@@ -1,0 +1,37 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Output sizing + parquet sink (reference Y1–Y3, S6; notebook.py:419–437).
+  *
+  * The reference estimates in-memory size with SizeEstimator over a
+  * re-serialized RDD (a Py4J hack); plan statistics give the same signal
+  * with NO materialization: `optimizedPlan.stats.sizeInBytes`. Partition
+  * count targets ~200 MB per output file, floor 1, and shrinks with
+  * `coalesce` (no shuffle) exactly like the reference.
+  *
+  * At cluster scale the modern alternative is AQE coalescing +
+  * `spark.sql.files.maxRecordsPerFile`; this util keeps the reference's
+  * explicit policy available where deterministic file counts matter.
+  */
+object Writer {
+
+  val targetPartitionBytes: Long = 200L * 1024 * 1024
+
+  /** Y1: size estimate from Catalyst plan statistics (no job run). */
+  def estimatedBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Y2: ceil(size / 200MB), floor 1. */
+  def partitionCount(bytes: BigInt): Int =
+    ((bytes + targetPartitionBytes - 1) / targetPartitionBytes).max(1).toInt
+
+  /** Y3+S6: coalesce to the size-derived partition count, write snappy
+    * parquet, overwrite.
+    */
+  def sizedParquet(df: DataFrame, path: String): Int = {
+    val n = partitionCount(estimatedBytes(df))
+    df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(path)
+    n
+  }
+}

@@ -1,0 +1,67 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Accuracy dimension (reference notebook.py:134, 180, 205–216):
+  * summary statistics + per-column distribution histograms.
+  *
+  * Unlike the reference (which collects 2.4M rows per column to the
+  * driver for matplotlib — SURVEY §1.1), the histogram here is computed
+  * ENGINE-SIDE: min/max in one pass, bucketing + count in a second.
+  * At 100 TB this is two scans with tiny shuffles instead of a driver
+  * OOM.
+  *
+  * Determinism: all floating-point aggregates are derived from
+  * decimal-exact sums cast to double at the end, so results are
+  * independent of partition/merge order (required for oracle
+  * hash-equality and, at scale, for reproducible runs).
+  */
+object Accuracy {
+
+  /** describe()-style stats for numeric columns, long format:
+    * (column, n, mean, stddev, min, max). Sums are computed in exact
+    * DECIMAL (order-independent), variance derived in double from
+    * those exact sums: var = (sumsq - sum²/n) / (n-1).
+    */
+  def summaryStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val x = col(c).cast("decimal(18,4)")
+      Seq(
+        count(col(c)).as(s"${c}_n"),
+        sum(x).cast("double").as(s"${c}_sum"),
+        sum((x * x).cast("decimal(38,8)")).cast("double").as(s"${c}_sumsq"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      val n = col(s"${c}_n").cast("double")
+      val mean = col(s"${c}_sum") / n
+      val variance = (col(s"${c}_sumsq") - col(s"${c}_sum") * col(s"${c}_sum") / n) / (n - 1)
+      struct(
+        lit(c).as("column"),
+        col(s"${c}_n").as("n"),
+        mean.as("mean"),
+        sqrt(variance).as("stddev"),
+        col(s"${c}_min").as("min"),
+        col(s"${c}_max").as("max"))
+    }
+    wide.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+      .orderBy(col("column"))
+  }
+
+  /** Equirange histogram: `bins` buckets over [min, max], engine-side.
+    * Returns (bucket, n) with bucket ∈ [0, bins-1]; the max value is
+    * clamped into the last bucket.
+    */
+  def histogram(df: DataFrame, column: String, bins: Int): DataFrame = {
+    val mm = df.agg(min(col(column)).cast("double"), max(col(column)).cast("double")).first()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = (hi - lo) / bins
+    val bucket = least(floor((col(column).cast("double") - lit(lo)) / lit(width)).cast("int"), lit(bins - 1))
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Timeliness dimension (reference notebook.py:364–401): daily count
+  * time-series + calendar-gap detection via a generated date dimension
+  * LEFT JOIN'd to the daily counts (the anti-join-via-left-join idiom).
+  *
+  * Scale notes: the date dimension is tiny (days between min and max)
+  * → always broadcast; min/max is a 1-row agg collected to the driver
+  * (driver-level adaptivity, SURVEY §3 E1). The daily counts shuffle is
+  * keyed on day — bounded by the calendar, never by row count.
+  */
+object Timeliness {
+
+  /** `groupBy(date(ts)).count()` daily series (reference A9). */
+  def dailyCounts(df: DataFrame, ts: Column): DataFrame =
+    df.groupBy(ts.cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Continuous date dimension covering [lo, hi] (reference S8+X10). */
+  def dateDim(spark: SparkSession, lo: java.sql.Date, hi: java.sql.Date): DataFrame = {
+    val ndays = java.time.temporal.ChronoUnit.DAYS
+      .between(lo.toLocalDate, hi.toLocalDate)
+    spark.range(0, ndays + 1)
+      .select(date_add(lit(lo), col("id").cast("int")).as("day"))
+  }
+
+  /** Calendar days in [min(day), max(day)] with zero rows (reference J1). */
+  def calendarGaps(spark: SparkSession, daily: DataFrame): DataFrame = {
+    val mm = daily.agg(min(col("day")), max(col("day"))).first()
+    if (mm.isNullAt(0)) return spark.emptyDataFrame.select(lit(null).cast("date").as("day")).limit(0)
+    val dim = dateDim(spark, mm.getDate(0), mm.getDate(1))
+    dim.join(broadcast(daily), Seq("day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .where(col("n") === 0)
+      .select(col("day"))
+      .orderBy(col("day"))
+  }
+}

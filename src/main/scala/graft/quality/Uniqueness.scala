@@ -1,0 +1,34 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Uniqueness dimension (reference notebook.py:249–294): exact-duplicate
+  * census, dedup, compound-key duplicate census.
+  *
+  * Scale notes: all three are hash aggregations keyed on (all columns |
+  * compound key). Partial aggregation makes the shuffle proportional to
+  * the number of DISTINCT keys per partition, not rows; AQE coalesces
+  * the post-shuffle partitions. For 100 TB wide rows, an all-columns
+  * groupBy shuffles the full payload — `dropDuplicates` on a hash of the
+  * row (see graft.ext.Dedup.exactByKey) is the cheaper scale path when
+  * byte-identical rows are the target.
+  */
+object Uniqueness {
+
+  /** Number of groups of byte-identical rows occurring more than once. */
+  def exactDupGroups(df: DataFrame): DataFrame =
+    df.groupBy(df.columns.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .agg(count(lit(1)).as("dup_groups"))
+
+  /** All-columns dedup (reference A7). */
+  def dropDups(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** Groups of a compound key occurring more than once, with counts. */
+  def compoundDupGroups(df: DataFrame, key: Seq[String]): DataFrame =
+    df.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+}

@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data-pipeline operators registered as driver queries:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+  * search over embeddings, text analysis, multimodal plumbing.
+  *
+  * Oracle rules are the same as ParityQueries. Queries whose results
+  * depend on engine-internal hashes (xxhash64: MinHash, SimHash, LSH
+  * buckets, stub decode) are NOT expressible in portable SQL → no
+  * oracleSql entry (driver records rows-only); their semantics are
+  * covered by ScalaTest instead (planted near-dups, recall vs brute
+  * force).
+  */
+object ExtensionQueries {
+
+  private val stopwords = Seq("the", "a")
+  private val langMarkers = Map(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("el", "la"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir).agg(
+        count_distinct(col("text")).as("n_distinct"),
+        count(lit(1)).as("n"))),
+    "x_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+    "x_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
+          TextAnalysis.subwordCount(col("text")).as("n_subword"))
+        .orderBy(col("doc_id"))),
+    "x_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text", stopwords)
+        .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"),
+          col("n_stopwords"), col("avg_token_len"), col("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+    "x_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir), "text", langMarkers)
+        .select(col("doc_id"), col("score_en"), col("score_es"), col("lang_pred"))
+        .orderBy(col("doc_id"))),
+    "x_jaccard_adjacent" -> ((s, dir) => jaccardAdjacent(s, dir)),
+    "x_minhash_neardup" -> ((s, dir) => minhashSummary(s, dir)),
+    "x_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+    "x_cosine_topk" -> ((s, dir) => cosineTopK(s, dir)),
+    "x_cosine_adjacent" -> ((s, dir) => cosineAdjacent(s, dir)),
+    "x_cosine_pairs_label" -> ((s, dir) =>
+      Similarity.cosinePairsWithin(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", -1.0)
+        .groupBy(col("blk").as("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("cos_sim") >= 0.35).cast("long")).as("n_close"),
+          max(col("cos_sim")).as("max_cos"))
+        .orderBy(col("label"))),
+    "x_ann_lsh_buckets" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(Similarity.lshBucket(col("embedding"), 8).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))),
+    "x_ann_topk" -> ((s, dir) => annTopK(s, dir)),
+    "x_multimodal_meta" -> ((s, dir) =>
+      Multimodal.attachPayload(Tables.documents(s, dir), "text", "text/plain")
+        .select(col("doc_id"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.format").as("format"))
+        .orderBy(col("doc_id"))),
+    "x_multimodal_decode" -> ((s, dir) =>
+      Multimodal.attachPayload(Tables.documents(s, dir), "text", "text/plain")
+        .select(col("doc_id"),
+          Multimodal.decodeFeaturesStub(col("payload")).as("features"))
+        .select(col("doc_id"), size(col("features")).as("n_features"),
+          element_at(col("features"), 1).as("feat0"))
+        .orderBy(col("doc_id")))
+  )
+
+  /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
+    * oracle-checkable anchor for the n-gram-Jaccard machinery. */
+  private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
+    val a = tok.select(col("doc_id").as("id_a"), col("t").as("t_a"))
+    val b = tok.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("t").as("t_b"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("t_a"), col("t_b"))).cast("long").as("inter"),
+        size(array_union(col("t_a"), col("t_b"))).cast("long").as("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .orderBy(col("id_a"))
+  }
+
+  /** MinHash+LSH near-dup summary (1 row, always non-empty): total
+    * docs, LSH candidate pairs, exact-Jaccard-confirmed pairs. */
+  private def minhashSummary(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val params = Dedup.MinHashParams()
+    // One candidate computation feeds both counters (the LSH pipeline
+    // hashes every doc — never run it twice for one report).
+    val pairs = Dedup.candidatePairs(docs, "doc_id", "text", params)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = pairs.agg(count(lit(1)).as("n_candidates"))
+    val confirmed = Dedup.verifyPairs(docs, pairs, "doc_id", "text", params, 0.5)
+      .agg(count(lit(1)).as("n_confirmed"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(candidates).crossJoin(confirmed)
+  }
+
+  /** Brute-force top-10 cosine against the vec_id=0 embedding. */
+  private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    Similarity.bruteForceTopK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+  }
+
+  /** LSH-bucketed ANN top-10 for the same query (recall measured in
+    * tests against the brute-force anchor). */
+  private def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    // 4 hyperplane bits → 16 buckets: at 500–50k vectors that keeps a
+    // bucket big enough for a meaningful top-10 (recall measured in tests).
+    Similarity.annTopK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10, bits = 4)
+  }
+
+  /** Cosine of adjacent embedding pairs — deterministic double fold on
+    * both sides, the oracle-checkable anchor for vector math. */
+  private def cosineAdjacent(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
+      col("embedding").as("v_b"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cos_sim"))
+      .orderBy(col("id_a"))
+  }
+
+  // ----------------------------------------------------------------- oracle
+
+  val oracle: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct, CAST(COUNT(*) AS BIGINT) AS n FROM documents",
+    "x_fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents ORDER BY doc_id",
+    "x_token_count" ->
+      """SELECT doc_id,
+        | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subword
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "x_text_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars_calc,
+        | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
+        | CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS avg_token_len,
+        | CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS stopword_ratio
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "x_lang_id" ->
+      """SELECT doc_id, score_en, score_es,
+        | CASE WHEN score_es > GREATEST(score_en, 0) THEN 'es'
+        |      WHEN score_en > 0 THEN 'en' ELSE 'und' END AS lang_pred
+        | FROM (SELECT doc_id,
+        |   CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS score_en,
+        |   CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la'))) AS BIGINT) AS score_es
+        |  FROM documents) t ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "x_jaccard_adjacent" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+        |  CAST(len(list_distinct(list_concat(a.t, b.t))) AS BIGINT) AS uni,
+        |  CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) AS jaccard
+        | FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin.replaceAll("\n", " "),
+    "x_cosine_adjacent" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |  / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |   * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS cos_sim
+        | FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 ORDER BY id_a""".stripMargin.replaceAll("\n", " "),
+    "x_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        | scored AS (SELECT e.vec_id,
+        |  list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y)
+        |  / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |   * sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y))) AS cos_sim
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        | SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+    "x_multimodal_meta" ->
+      "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, 'text/plain' AS format FROM documents ORDER BY doc_id",
+    "x_cosine_pairs_label" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        | p AS (SELECT a.label,
+        |  list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |  / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |   * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS cos_sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        | SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN cos_sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+        |  MAX(cos_sim) AS max_cos
+        | FROM p GROUP BY label ORDER BY label""".stripMargin.replaceAll("\n", " ")
+  )
+}

@@ -1,0 +1,431 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.etl.TimeDerivation
+import graft.quality.{Accuracy, Completeness, Consistency, Timeliness, Uniqueness, Validity}
+
+/** Reference-parity queries — one named entry per operator family of
+  * SURVEY.md §2, each with DuckDB-equivalent oracle SQL.
+  *
+  * Determinism rules (required for the driver's hash compare):
+  *   - every query ends in an ORDER BY over a unique key;
+  *   - float aggregates are EXACT decimal sums cast to double at the
+  *     end (sum order can't change the value), and any double math
+  *     after that is written as the same IEEE expression tree in both
+  *     the Spark code and the oracle SQL;
+  *   - column names are aliased identically on both sides;
+  *   - DuckDB sums of integers are HUGEINT → always CAST(... AS BIGINT)
+  *     in the oracle to match Spark's LongType.
+  *
+  * Operator coverage map (SURVEY §2 id → query):
+  *   S4 q_json_extract · S5/S6 q_csv_roundtrip · S6/S7/Y1–Y3
+  *   q_parquet_roundtrip · S8/X10 q_range_datedim · P1–P3 passim ·
+  *   P4–P7/X14 q_validity_report · P8 q_compound_dups · P9/A1/A2
+  *   q_nonnull_census,q_null_census · A3 q_count_events · A4
+  *   q_describe_lineitem · A5/O1 q_freq_event_type · A6
+  *   q_dup_groups_exact · A7 q_dedup_count · A8 q_compound_dups · A9
+  *   q_daily_counts · A10/J1 q_calendar_gaps · O1/O2 q_topk_orders ·
+  *   U1 q_union_split · X1–X8 q_time_derivation · X11–X13
+  *   q_calendar_gaps/q_agg_pricing · V1 q_histogram_price · Y4
+  *   q_sql_view_revenue · joins q_join_geo,q_join_revenue,
+  *   q_left_anti_customers · window (engine extension, SURVEY §2.5)
+  *   q_window_latest_event.
+  */
+object ParityQueries {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** lineitem column names (TESTDATA.md schema; static so the oracle
+    * SQL can enumerate them). */
+  private val lineitemCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+  private val lineitemNumCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax")
+  private val eventsCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** Validity rules over lineitem (reference P4–P7 shapes re-keyed to
+    * the test schema; the Year-bound rule's dynamic `current_date` is
+    * replaced by an injectable fixed bound per SURVEY §7.5.6). */
+  private def lineitemRules: Seq[Validity.Rule] = Seq(
+    Validity.Rule("disc_range", col("l_discount") >= 0 && col("l_discount") <= 0.1),
+    Validity.Rule("price_pos", col("l_extendedprice") > 0),
+    Validity.Rule("qty_range", col("l_quantity") >= 1 && col("l_quantity") <= 50),
+    Validity.Rule("ship_past", col("l_shipdate") < lit("2026-01-01").cast("timestamp")),
+    Validity.Rule("tax_range", col("l_tax") >= 0 && col("l_tax") <= 0.1))
+
+  // ---------------------------------------------------------------- queries
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_gap_report" -> ((s, dir) => pipelineGapReport(s, dir)),
+    "q_count_events" -> ((s, dir) =>
+      Tables.events(s, dir).agg(count(lit(1)).as("n"))),
+    "q_agg_pricing" -> ((s, dir) => aggPricing(s, dir)),
+    "q_nonnull_census" -> ((s, dir) =>
+      Completeness.nonNullCensus(Tables.lineitem(s, dir))),
+    "q_null_census" -> ((s, dir) =>
+      Completeness.nullCensus(Tables.events(s, dir))),
+    "q_freq_event_type" -> ((s, dir) =>
+      Consistency.freqTable(Tables.events(s, dir), "event_type")),
+    "q_dup_groups_exact" -> ((s, dir) =>
+      Uniqueness.exactDupGroups(Tables.events(s, dir))),
+    "q_dedup_count" -> ((s, dir) =>
+      Uniqueness.dropDups(Tables.lineitem(s, dir)).agg(count(lit(1)).as("n"))),
+    "q_compound_dups" -> ((s, dir) =>
+      Uniqueness.compoundDupGroups(
+          Tables.events(s, dir).withColumn("day", col("ts").cast("date")),
+          Seq("user_id", "day"))
+        .orderBy(col("user_id"), col("day"))),
+    "q_daily_counts" -> ((s, dir) =>
+      Timeliness.dailyCounts(Tables.events(s, dir), col("ts")).orderBy(col("day"))),
+    "q_calendar_gaps" -> ((s, dir) => pipelineGapReport(s, dir)),
+    "q_describe_lineitem" -> ((s, dir) =>
+      Accuracy.summaryStats(Tables.lineitem(s, dir), lineitemNumCols)),
+    "q_histogram_price" -> ((s, dir) =>
+      Accuracy.histogram(Tables.lineitem(s, dir), "l_extendedprice", 20)),
+    "q_validity_report" -> ((s, dir) =>
+      Validity.report(Tables.lineitem(s, dir), lineitemRules)),
+    "q_union_split" -> ((s, dir) => unionSplit(s, dir)),
+    "q_time_derivation" -> ((s, dir) => timeDerivation(s, dir)),
+    "q_sql_view_revenue" -> ((s, dir) => sqlViewRevenue(s, dir)),
+    "q_topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+    "q_join_geo" -> ((s, dir) => joinGeo(s, dir)),
+    "q_join_revenue" -> ((s, dir) => joinRevenue(s, dir)),
+    "q_left_anti_customers" -> ((s, dir) => leftAntiCustomers(s, dir)),
+    "q_window_latest_event" -> ((s, dir) => windowLatestEvent(s, dir)),
+    "q_json_extract" -> ((s, dir) => jsonExtract(s, dir)),
+    "q_range_datedim" -> ((s, dir) =>
+      Timeliness.dateDim(s, java.sql.Date.valueOf("2024-01-01"),
+          java.sql.Date.valueOf("2024-01-30"))
+        .orderBy(col("day"))),
+    "q_case_buckets" -> ((s, dir) => caseBuckets(s, dir)),
+    "q_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
+    "q_parquet_roundtrip" -> ((s, dir) => parquetRoundtrip(s, dir))
+  )
+
+  /** Flagship (SURVEY §7.2): events → derive day → drop a synthetic day
+    * (min+14) → daily counts → calendar-gap left join → the gap day.
+    * Driver-level adaptivity: min day and the gap bounds are 1-row aggs
+    * collected to the driver (reference A10/E1-step-4 pattern).
+    */
+  def pipelineGapReport(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir).select(col("ts").cast("date").as("day"))
+    val minDay = days.agg(min(col("day"))).first().getDate(0)
+    val gapDay = java.sql.Date.valueOf(minDay.toLocalDate.plusDays(14))
+    val daily = days.where(col("day") =!= lit(gapDay))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    Timeliness.calendarGaps(s, daily)
+  }
+
+  /** TPC-H Q1 shape: exact-decimal sums, double division at the end. */
+  private def aggPricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("avg_qty", col("sum_qty") / col("n_rows").cast("double"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** U1 union-all (positional) of two disjoint slices, re-aggregated. */
+  private def unionSplit(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.where(col("o_orderkey") % 2 === 0)
+      .union(o.where(col("o_orderkey") % 2 === 1))
+      .agg(count(lit(1)).as("n"),
+           sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+  }
+
+  /** X1–X8: the reference's digit-exact HHmm→timestamp derivation
+    * applied to a synthetic HHmm column (event_id % 2500 covers the
+    * '24xx' wrap, the <3-digit, the 3-digit, and the invalid-minute
+    * cases). `mi` stays UN-padded exactly like the reference's
+    * right(s,2); padding happens only inside the timestamp concat.
+    */
+  private def timeDerivation(s: SparkSession, dir: String): DataFrame = {
+    val hhmm = (col("event_id") % 2500).cast("int")
+    val hh = TimeDerivation.hhmmHour(hhmm)
+    val mi = TimeDerivation.hhmmMin(hhmm)
+    val ets = to_timestamp(
+      concat(col("ts").cast("date").cast("string"), lit(" "),
+        lpad(hh, 2, "0"), lit(":"), lpad(mi, 2, "0")),
+      "yyyy-MM-dd HH:mm")
+    Tables.events(s, dir)
+      .select(col("event_id"), hh.as("hh"), mi.as("mi"), ets.as("ets"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Y4: temp-view registration + spark.sql as the query surface. */
+  private def sqlViewRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT c.c_mktsegment AS seg,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY seg""")
+  }
+
+  /** Broadcast star join: tiny dims are explicitly broadcast. */
+  private def joinGeo(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** 5-table revenue rollup; fact-to-fact join shuffles on the key,
+    * dimension joins broadcast. */
+  private def joinRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Anti join: customers that never ordered. */
+  private def leftAntiCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Window function (engine extension per SURVEY §2.5): latest event
+    * per user via row_number. */
+  private def windowLatestEvent(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .orderBy(col("user_id"))
+  }
+
+  /** S4 analogue: semi-structured JSON column → typed field (from_json). */
+  private def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+
+  /** X1-style CASE bucketing over a numeric column. */
+  private def caseBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(when(col("value") < 50, "low")
+        .when(col("value") < 150, "mid")
+        .otherwise("high").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** S5+S6: CSV write→explicit-schema read round-trip, then aggregate.
+    * Doubles survive the text round-trip exactly (Java shortest-repr
+    * toString ↔ parse), so the oracle can aggregate the parquet source
+    * directly.
+    */
+  private def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir") + "/graft_csv_" +
+      Integer.toHexString(dir.hashCode)
+    val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_returnflag")
+    Tables.lineitem(s, dir).select(cols.map(col): _*)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", org.apache.spark.sql.types.LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", org.apache.spark.sql.types.DoubleType),
+      StructField("l_extendedprice", org.apache.spark.sql.types.DoubleType),
+      StructField("l_returnflag", org.apache.spark.sql.types.StringType)))
+    graft.etl.Sources.csv(s, tmp, schema)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** S6+S7+Y1–Y3: size-aware parquet write → read back → daily counts. */
+  private def parquetRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir") + "/graft_pq_" +
+      Integer.toHexString(dir.hashCode)
+    graft.io.Writer.sizedParquet(Tables.events(s, dir), tmp)
+    Timeliness.dailyCounts(graft.etl.Sources.parquet(s, tmp), col("ts"))
+      .orderBy(col("day"))
+  }
+
+  // ----------------------------------------------------------------- oracle
+
+  private def censusOracle(table: String, cols: Seq[String]): String =
+    "SELECT " + cols.map(c => s"CAST(COUNT($c) AS BIGINT) AS $c").mkString(", ") +
+      s" FROM $table"
+
+  private def nullCensusOracle(table: String, cols: Seq[String]): String =
+    "SELECT " + cols.map(c =>
+      s"CAST(COUNT(*) - COUNT($c) AS BIGINT) AS ${c}_nulls, " +
+      s"CAST(COUNT(*) - COUNT($c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ${c}_null_ratio"
+    ).mkString(", ") + s" FROM $table"
+
+  private def describeOracle(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      val sm = s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+      // DECIMAL(19,4) factors force DuckDB onto its int128 multiply path
+      // (18-digit decimals multiply in int64 and overflow); values are
+      // identical to Spark's decimal(18,4)² exact products.
+      val sq = s"CAST(SUM(CAST($c AS DECIMAL(19,4)) * CAST($c AS DECIMAL(19,4))) AS DOUBLE)"
+      val n = s"CAST(COUNT($c) AS DOUBLE)"
+      s"""SELECT '$c' AS col_name, CAST(COUNT($c) AS BIGINT) AS n,
+         | $sm / $n AS mean,
+         | SQRT(GREATEST(($sq - $sm * $sm / $n) / ($n - 1), 0)) AS stddev,
+         | CAST(MIN($c) AS DOUBLE) AS min, CAST(MAX($c) AS DOUBLE) AS max
+         | FROM $table""".stripMargin.replaceAll("\n", " ")
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_name")
+
+  private val validityOracle: String = {
+    val conds = Seq(
+      "disc_range" -> "l_discount >= 0 AND l_discount <= 0.1",
+      "price_pos" -> "l_extendedprice > 0",
+      "qty_range" -> "l_quantity >= 1 AND l_quantity <= 50",
+      "ship_past" -> "l_shipdate < TIMESTAMP '2026-01-01'",
+      "tax_range" -> "l_tax >= 0 AND l_tax <= 0.1")
+    conds.map { case (name, cond) =>
+      s"SELECT '$name' AS rule, CAST(SUM(CASE WHEN NOT($cond) THEN 1 ELSE 0 END) AS BIGINT) AS failures FROM lineitem"
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY rule")
+  }
+
+  private val timeDerivationOracle: String =
+    """SELECT event_id, hh, mi,
+      | try_strptime(CAST(d AS VARCHAR) || ' ' || lpad(hh, 2, '0') || ':' || lpad(mi, 2, '0'), '%Y-%m-%d %H:%M') AS ets
+      | FROM (
+      |  SELECT event_id, d,
+      |   CASE WHEN substr(st, 1, 2) = '24' THEN '00'
+      |        WHEN length(st) < 3 THEN '00'
+      |        WHEN length(st) = 3 THEN substr(st, 1, 1)
+      |        ELSE substr(st, 1, 2) END AS hh,
+      |   right(st, 2) AS mi
+      |  FROM (SELECT event_id, CAST(ts AS DATE) AS d,
+      |        CAST(CAST(event_id % 2500 AS INT) AS VARCHAR) AS st FROM events) a
+      | ) b ORDER BY event_id""".stripMargin.replaceAll("\n", " ")
+
+  private val gapOracle: String =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day FROM events),
+      | ex AS (SELECT MIN(day) + 14 AS gap FROM d),
+      | daily AS (SELECT day, COUNT(*) AS n FROM d WHERE day <> (SELECT gap FROM ex) GROUP BY day),
+      | mm AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+      | dim AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM mm)
+      | SELECT dim.day AS day FROM dim LEFT JOIN daily ON dim.day = daily.day
+      | WHERE COALESCE(daily.n, 0) = 0 ORDER BY day""".stripMargin.replaceAll("\n", " ")
+
+  val oracle: Map[String, String] = Map(
+    "pipeline_gap_report" -> gapOracle,
+    "q_calendar_gaps" -> gapOracle,
+    "q_count_events" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events",
+    "q_agg_pricing" -> """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(COUNT(*) AS BIGINT) AS n_rows,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      | FROM lineitem GROUP BY l_returnflag, l_linestatus
+      | ORDER BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", " "),
+    "q_nonnull_census" -> censusOracle("lineitem", lineitemCols),
+    "q_null_census" -> nullCensusOracle("events", eventsCols),
+    "q_freq_event_type" ->
+      "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "q_dup_groups_exact" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS dup_groups FROM (SELECT " +
+        eventsCols.mkString(", ") +
+        " FROM events GROUP BY " + eventsCols.mkString(", ") +
+        " HAVING COUNT(*) > 1) t"),
+    "q_dedup_count" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT DISTINCT * FROM lineitem) t",
+    "q_compound_dups" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM events GROUP BY user_id, CAST(ts AS DATE)
+        | HAVING COUNT(*) > 1 ORDER BY user_id, day""".stripMargin.replaceAll("\n", " "),
+    "q_daily_counts" ->
+      "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY day",
+    "q_describe_lineitem" -> describeOracle("lineitem", lineitemNumCols),
+    "q_histogram_price" ->
+      """WITH mm AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem),
+        | b AS (SELECT LEAST(CAST(FLOOR((l_extendedprice - mm.lo) / ((mm.hi - mm.lo) / 20)) AS BIGINT), 19) AS bucket FROM lineitem, mm)
+        | SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+    "q_validity_report" -> validityOracle,
+    "q_union_split" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        | FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 0
+        |       UNION ALL SELECT * FROM orders WHERE o_orderkey % 2 = 1) t""".stripMargin.replaceAll("\n", " "),
+    "q_time_derivation" -> timeDerivationOracle,
+    "q_sql_view_revenue" ->
+      """SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin.replaceAll("\n", " "),
+    "q_topk_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_join_geo" ->
+      """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin.replaceAll("\n", " "),
+    "q_join_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin.replaceAll("\n", " "),
+    "q_left_anti_customers" ->
+      """SELECT c_custkey, c_name FROM customer c
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        | ORDER BY c_custkey""".stripMargin.replaceAll("\n", " "),
+    "q_window_latest_event" ->
+      """SELECT user_id, event_id, ts FROM (
+        |  SELECT user_id, event_id, ts,
+        |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
+    "q_json_extract" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(COUNT(props) AS BIGINT) AS n_k
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+    "q_range_datedim" ->
+      """SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day
+        | ORDER BY day""".stripMargin.replaceAll("\n", " "),
+    "q_case_buckets" ->
+      """SELECT CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+    "q_csv_roundtrip" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " "),
+    "q_parquet_roundtrip" ->
+      "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY day"
+  )
+}

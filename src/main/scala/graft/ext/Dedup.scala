@@ -1,0 +1,178 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact (fingerprint hash), MinHash+LSH
+  * near-dup (shingle → minhash → band → bucket join), SimHash, and
+  * exact n-gram Jaccard.
+  *
+  * Scale design (the 100 TB contract):
+  *   - NEVER all-pairs. Candidates come from an equi-join on
+  *     (band_id, band_hash) buckets — Catalyst plans a plain shuffle
+  *     hash join keyed on the bucket, so cost is sum(bucket^2), not n^2.
+  *   - Hot buckets (degenerate shingles, boilerplate docs) are capped:
+  *     buckets larger than `maxBucketSize` are dropped from candidate
+  *     generation (reported separately) — this is the salting-adjacent
+  *     skew guard; without it one viral doc cluster quadratically
+  *     dominates a cluster-scale run.
+  *   - All per-doc work (shingling, signatures) is builtin array
+  *     functions inside whole-stage codegen; no UDFs, no driver loops.
+  */
+object Dedup {
+
+  /** 31-bit Mersenne prime — modulus for the (a·h + b) mod p permutation
+    * family; products of two <2³¹ values stay inside a Long. */
+  private val P = 2147483647L
+
+  final case class MinHashParams(
+    numHashes: Int = 64,
+    bands: Int = 16,
+    shingleSize: Int = 3,
+    maxBucketSize: Int = 1000)
+
+  /** Distinct k-word shingles of whitespace-tokenized text. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** Base hash of each shingle, reduced mod P (so permutation products
+    * never overflow). */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => pmod(xxhash64(s), lit(P)))
+
+  /** MinHash signature over a PRECOMPUTED shingle-hash array: array of
+    * `numHashes` minima over the universal hash family
+    * h_i(x) = (a_i·x + b_i) mod P, with a_i, b_i derived
+    * deterministically from i (fixed seeds → reproducible runs).
+    *
+    * Takes hashes, not text, on purpose: inlining the string shingling
+    * into each of the 64 lambdas (which CollapseProject will happily
+    * do) re-tokenizes every document 64 times — measured 30× slower.
+    * Callers materialize the hash array once (see `bands`).
+    */
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), minhashAt(hashes, _))
+
+  /** Single minhash value for hash-function index i (i is a Column so
+    * it can come from a lambda variable). Empty shingle set → P. */
+  private def minhashAt(hashes: Column, i: Column): Column = {
+    val a = pmod(i.cast("long") * lit(2654435761L) + lit(1L), lit(P))
+    val b = pmod(i.cast("long") * lit(40503L) + lit(7L), lit(P))
+    coalesce(array_min(transform(hashes, h => pmod(a * h + b, lit(P)))), lit(P))
+  }
+
+  /** Signature-level Jaccard estimate: fraction of agreeing minhashes. */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),
+      lit(0), (acc, v) => acc + v).cast("double") / size(sigA).cast("double")
+
+  /** Exact Jaccard of two string-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** (id, band_id, band_hash) — one row per LSH band per doc.
+    *
+    * The signature projection is persisted before banding: without the
+    * materialization barrier, CollapseProject inlines the whole
+    * 64-hash signature expression into EVERY band's aggregate (16×
+    * recomputation per row and a codegen tree too big to JIT) — 100×
+    * slowdown observed. With the barrier each doc hashes once.
+    */
+  def bands(docs: DataFrame, idCol: String, textCol: String,
+            params: MinHashParams): DataFrame = {
+    val rows = params.numHashes / params.bands
+    val hashDf = docs
+      .select(col(idCol).as("id"),
+        shingleHashes(shingles(col(textCol), params.shingleSize)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Each band folds its OWN rows-per-band minhash indices — every
+    // minhash is computed exactly once (slicing a shared signature
+    // array would inline all 64 minima into each of the 16 bands).
+    hashDf
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(params.bands - 1)), j =>
+          aggregate(sequence(j * rows, j * rows + (rows - 1)),
+            lit(1125899906842597L),
+            (acc, i) => acc * 31 + minhashAt(col("hs"), i)))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Candidate pairs (id_a < id_b) from same-bucket collisions, with
+    * the hot-bucket cap applied. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     params: MinHashParams): DataFrame = {
+    val b = bands(docs, idCol, textCol, params)
+    val sized = b.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= params.maxBucketSize)
+    val inBucket = b.join(sized, Seq("band_id", "band_hash"))
+    val l = inBucket.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
+    val r = inBucket.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified by EXACT shingle
+    * Jaccard ≥ threshold. Verification joins the (small) candidate set
+    * back to the shingle arrays — proportional to candidates, not n².
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   params: MinHashParams = MinHashParams(),
+                   threshold: Double = 0.8): DataFrame =
+    verifyPairs(docs, candidatePairs(docs, idCol, textCol, params),
+      idCol, textCol, params, threshold)
+
+  /** Exact-Jaccard verification of a precomputed (id_a, id_b) pair set
+    * (so callers can reuse one candidate computation for several
+    * downstream consumers). */
+  def verifyPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                  textCol: String, params: MinHashParams,
+                  threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), params.shingleSize).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact dedup via content fingerprint: keeps one row per distinct
+    * fingerprint. Shuffles the 16-byte key + survivor row, not the full
+    * payload per group — the scale-safe variant of dropDuplicates(all).
+    */
+  def exactByFingerprint(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp")).orderBy(col(textCol))
+    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** 32-bit SimHash of the whitespace tokens: per bit, majority vote of
+    * the token hashes' bit values (+1/−1). Near-dups differ in few bits
+    * (compare via bit_count(a ^ b) ≤ r).
+    */
+  def simhash(text: Column): Column = {
+    val hs = transform(split(text, " "), t => xxhash64(t))
+    val masks = array((0 until 32).map(i => lit(1L << i)): _*)
+    aggregate(
+      masks,
+      lit(0L),
+      (acc, m) => {
+        val votes = aggregate(hs, lit(0L),
+          (a, h) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L))
+        acc + when(votes > 0, m).otherwise(0L)
+      })
+  }
+}

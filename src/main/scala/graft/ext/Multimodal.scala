@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media payloads are opaque `binary`
+  * columns with a typed metadata struct alongside. The Spark-side
+  * contract (schema, partition sizing, batch shape) is real and tested;
+  * the actual codec work is a clearly-marked deterministic STUB because
+  * no image/audio libraries exist in this environment.
+  *
+  * Scale notes: payloads dominate row size, so ops that don't need the
+  * bytes must prune the column (columnar parquet reads make that free —
+  * keep payload and metadata in the SAME table but never select payload
+  * unless decoding). Decode is embarrassingly parallel per partition;
+  * `repartitionForDecode` sizes partitions by payload bytes, not rows,
+  * so one task never holds multi-GB of media in memory.
+  */
+object Multimodal {
+
+  /** Attach a payload + metadata struct derived from a source column
+    * (here text bytes stand in for a real media blob). */
+  def attachPayload(df: DataFrame, srcCol: String, format: String): DataFrame =
+    df.withColumn("payload", col(srcCol).cast("binary"))
+      .withColumn("media_meta", struct(
+        lit(format).as("format"),
+        length(col(srcCol).cast("binary")).cast("long").as("n_bytes"),
+        xxhash64(col(srcCol)).as("content_hash")))
+
+  /** Partition so each task handles ≈`targetBytes` of payload — the
+    * knob that matters for decode memory at scale. */
+  def repartitionForDecode(df: DataFrame, totalBytes: Long,
+                           targetBytes: Long = 256L * 1024 * 1024): DataFrame =
+    df.repartition(math.max(1, (totalBytes / targetBytes).toInt))
+
+  /** STUB decode: a real implementation calls an image/audio codec per
+    * batch (mapInPandas / mapPartitions with a native lib). Here the
+    * "features" are a deterministic function of the payload bytes so
+    * the downstream plumbing (schema `array<double>`, per-partition
+    * batching, similarity over the features) is fully exercisable.
+    */
+  def decodeFeaturesStub(payload: Column, dims: Int = 8): Column =
+    transform(sequence(lit(1), lit(dims)), i =>
+      (pmod(xxhash64(payload, i), lit(2000L)).cast("double") - 1000.0) / 1000.0)
+
+  /** Frame/sample selection shape: take every `stride`-th chunk index of
+    * a payload of `nChunks` logical chunks (a video frame sampler's
+    * plan shape, minus the codec). */
+  def sampleChunkIndices(nChunks: Column, stride: Int): Column =
+    filter(sequence(lit(0), nChunks - 1), i => i % stride === 0)
+}

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Vector math is a SEQUENTIAL double-precision fold over the array
+  * (zip_with + aggregate) — deterministic bit-for-bit regardless of
+  * partitioning, which the oracle hash-compare requires. All of it is
+  * builtin higher-order functions: codegen'd, no UDFs.
+  *
+  * Scale path: brute force is one scan per query batch (fine when the
+  * query side is small and broadcast); the LSH variant buckets vectors
+  * by random-hyperplane sign signatures so a query probes one bucket
+  * (~n/2^bits of the data) instead of everything.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as an ordered left fold in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k by cosine against one literal query vector.
+    * One scan + TakeOrderedAndProject (no full sort materialized).
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    corpus.select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component r_{j,d} ∈ [-1, 1),
+    * derived from (j, d) by integer hashing — no RNG state, so every
+    * executor materializes the same hyperplanes. */
+  private def planeComponent(j: Int, d: Column): Column =
+    (pmod(xxhash64(lit(j), d), lit(2000L)).cast("double") - 1000.0) / 1000.0
+
+  /** Sign-bit signature under `bits` random hyperplanes → bucket id in
+    * [0, 2^bits). Cosine-similar vectors land in the same bucket with
+    * probability (1 - θ/π)^bits. */
+  def lshBucket(vec: Column, bits: Int): Column = {
+    val dims = sequence(lit(1), size(vec))
+    (0 until bits).map { j =>
+      val d = aggregate(dims, lit(0.0),
+        (acc, i) => acc + element_at(vec, i).cast("double") * planeComponent(j, i))
+      when(d >= 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** ANN: probe only the query's bucket, exact cosine re-rank inside it.
+    * Returns the top-k of the bucket (recall < 1 by construction; the
+    * test suite measures it against bruteForceTopK). */
+  def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, bits: Int = 8): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), bits))
+    bucketed
+      .where(col("bucket") === lshBucketOf(query, bits))
+      .select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Driver-side bucket id for a literal query vector (same arithmetic
+    * as lshBucket, evaluated via a 1-row plan to reuse the identical
+    * expressions). */
+  def lshBucketOf(query: Seq[Float], bits: Int): Column =
+    lshBucket(array(query.map(v => lit(v.toDouble)): _*), bits)
+
+  /** All pairs (id_a < id_b) within the same blocking key whose cosine
+    * meets the threshold — the embedding-near-dup operator. Blocking
+    * (a label, an LSH bucket) keeps the join keyed, never cartesian.
+    */
+  def cosinePairsWithin(corpus: DataFrame, idCol: String, vecCol: String,
+                        blockCol: String, threshold: Double): DataFrame = {
+    val a = corpus.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = corpus.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("v_a"), col("v_b")))
+      .where(col("cos_sim") >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
+  }
+}

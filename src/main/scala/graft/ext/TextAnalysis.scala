@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, token counting, quality scoring, language-ID
+  * (marker-word heuristic) and document fingerprinting.
+  *
+  * Everything is built from codegen'd builtin functions (split /
+  * regexp_extract_all / filter / md5) — no UDFs — so the per-document
+  * work stays inside whole-stage codegen and scales embarrassingly
+  * parallel (zero shuffles for all per-doc columns).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count via the length-difference identity (kept
+    * arithmetic-only so the DuckDB oracle is the byte-identical
+    * formula; assumes single-spaced text). */
+  def wsTokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** BPE-ish subword chunk count: runs of letters, runs of digits, and
+    * single other non-space chars — the shape of a byte-pair pre-tokenizer. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+
+  /** Per-document quality features + score (length / token stats /
+    * stopword ratio), one pass, no shuffle. */
+  def qualityFeatures(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val nTok = wsTokenCount(t)
+    val nStop = size(filter(tokens(t), w => w.isin(stopwords.map(lit(_)): _*))).cast("long")
+    df.withColumn("n_chars_calc", length(t).cast("long"))
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_stopwords", nStop)
+      .withColumn("avg_token_len",
+        length(regexp_replace(t, " ", "")).cast("double") / nTok.cast("double"))
+      .withColumn("stopword_ratio", nStop.cast("double") / nTok.cast("double"))
+  }
+
+  /** Marker-word language ID: score = count of language-marker tokens;
+    * prediction = argmax, ties and all-zero → 'und'. A real system
+    * would use char-n-gram profiles; the *engine shape* (per-doc
+    * codegen'd scoring, no shuffle) is identical.
+    */
+  def langId(df: DataFrame, textCol: String, markers: Map[String, Seq[String]]): DataFrame = {
+    val t = tokens(col(textCol))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      lang -> size(filter(t, w => w.isin(ws.map(lit(_)): _*))).cast("long")
+    }
+    val withScores = scored.foldLeft(df) { case (d, (lang, sc)) =>
+      d.withColumn(s"score_$lang", sc)
+    }
+    // argmax with deterministic lexical tiebreak: strictly-greater wins.
+    val best = scored.foldLeft((lit("und"), lit(0L))) {
+      case ((bl, bs), (lang, _)) =>
+        val sc = col(s"score_$lang")
+        (when(sc > bs, lit(lang)).otherwise(bl), greatest(sc, bs))
+    }
+    withScores.withColumn("lang_pred", best._1)
+  }
+
+  /** Stable content fingerprint: md5 of whitespace-normalized lowercase
+    * text. Exact-dedup key that survives case/spacing jitter. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+}

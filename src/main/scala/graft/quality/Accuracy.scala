@@ -30,7 +30,7 @@ object Accuracy {
       Seq(
         count(col(c)).as(s"${c}_n"),
         sum(x).cast("double").as(s"${c}_sum"),
-        sum((x * x).cast("decimal(38,8)")).cast("double").as(s"${c}_sumsq"),
+        sum(x * x).cast("double").as(s"${c}_sumsq"),
         min(col(c)).cast("double").as(s"${c}_min"),
         max(col(c)).cast("double").as(s"${c}_max"))
     }
@@ -38,17 +38,20 @@ object Accuracy {
     val rows = cols.map { c =>
       val n = col(s"${c}_n").cast("double")
       val mean = col(s"${c}_sum") / n
+      // Exact decimal sums make this deterministic; the greatest(…, 0)
+      // guards the tiny negative variance that double cancellation can
+      // produce for (near-)constant columns (sqrt of it would be NaN).
       val variance = (col(s"${c}_sumsq") - col(s"${c}_sum") * col(s"${c}_sum") / n) / (n - 1)
       struct(
-        lit(c).as("column"),
+        lit(c).as("col_name"),
         col(s"${c}_n").as("n"),
         mean.as("mean"),
-        sqrt(variance).as("stddev"),
+        sqrt(greatest(variance, lit(0.0))).as("stddev"),
         col(s"${c}_min").as("min"),
         col(s"${c}_max").as("max"))
     }
     wide.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
-      .orderBy(col("column"))
+      .orderBy(col("col_name"))
   }
 
   /** Equirange histogram: `bins` buckets over [min, max], engine-side.
@@ -59,7 +62,11 @@ object Accuracy {
     val mm = df.agg(min(col(column)).cast("double"), max(col(column)).cast("double")).first()
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val width = (hi - lo) / bins
-    val bucket = least(floor((col(column).cast("double") - lit(lo)) / lit(width)).cast("int"), lit(bins - 1))
+    // Constant column (width 0) → everything in bucket 0, not div-by-zero.
+    val bucket =
+      if (width == 0) lit(0L)
+      else least(floor((col(column).cast("double") - lit(lo)) / lit(width)),
+                 lit((bins - 1).toLong))
     df.groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))

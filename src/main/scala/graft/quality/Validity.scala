@@ -29,9 +29,12 @@ object Validity {
     val aggs = rules.map(r =>
       sum((!r.holds <=> lit(true)).cast("long")).as(r.name))
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = rules.map(r => s"'${r.name}', `${r.name}`").mkString(", ")
-    wide.select(expr(
-      s"stack(${rules.size}, $stacked) AS (rule, failures)"))
+    // Reshape wide→long with Column literals (never string-spliced SQL:
+    // a rule name containing a quote must not break the plan).
+    val entries = rules.map(r =>
+      struct(lit(r.name).as("rule"), col(r.name).as("failures")))
+    wide.select(explode(array(entries: _*)).as("s"))
+      .select(col("s.rule").as("rule"), col("s.failures").as("failures"))
       .orderBy(col("rule"))
   }
 }

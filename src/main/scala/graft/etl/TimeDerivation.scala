@@ -32,14 +32,18 @@ object TimeDerivation {
   def hhmmMin(t: Column): Column =
     substring(t.cast("string"), -2, 2)
 
-  /** Full timestamp from (year, month, day, hhmm) per notebook.py:272–289. */
+  /** Full timestamp from (year, month, day, hhmm) per notebook.py:272–289.
+    * BOTH hour and minute are lpadded inside the concat (the reference
+    * lpads each piece; a 1-digit hour like "6:30" would fail strict
+    * `HH:mm` parsing and silently derive null).
+    */
   def hhmmTimestamp(year: Column, month: Column, day: Column, t: Column): Column =
     to_timestamp(
       concat(
         year.cast("string"), lit("-"),
         lpad(month.cast("string"), 2, "0"), lit("-"),
         lpad(day.cast("string"), 2, "0"), lit(" "),
-        hhmmHour(t), lit(":"),
+        lpad(hhmmHour(t), 2, "0"), lit(":"),
         lpad(hhmmMin(t), 2, "0")),
       "yyyy-MM-dd HH:mm")
 }

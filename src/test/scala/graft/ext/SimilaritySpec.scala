@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Similarity-search semantics: cosine math against hand-computed
+  * values, brute-force top-k as the correctness anchor, ANN bucket
+  * behavior (identical vectors share a bucket; probe results are exact
+  * cosines), and the no-cartesian plan contract for pair generation.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine matches hand-computed values") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),          // orthogonal
+      (Seq(1f, 0f), Seq(1f, 0f), 1.0),          // identical
+      (Seq(1f, 2f), Seq(2f, 4f), 1.0),          // parallel
+      (Seq(3f, 4f), Seq(4f, 3f), 24.0 / 25.0))  // (12+12)/(5*5)
+      .toDF("a", "b", "expected")
+    df.select(Similarity.cosine(col("a"), col("b")).as("got"), col("expected"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      }
+  }
+
+  test("bruteForceTopK returns the k nearest by cosine, descending, on real embeddings") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val q = e.where(col("vec_id") === 0).select("embedding").first().getSeq[Float](0)
+    val top = Similarity.bruteForceTopK(e.where(col("vec_id") =!= 0),
+      "vec_id", "embedding", q, 10).collect()
+    assert(top.length == 10)
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse, "not sorted descending")
+    // Exhaustive check: nothing outside the top-10 scores higher than its floor.
+    val floor = sims.min
+    val all = e.where(col("vec_id") =!= 0)
+      .select(Similarity.cosine(col("embedding"),
+        array(q.map(v => lit(v.toDouble)): _*)).as("c"))
+      .agg(max(col("c"))).first().getDouble(0)
+    assert(all <= sims.max + 1e-12)
+    assert(top.forall(_.getDouble(1) >= floor))
+  }
+
+  test("ANN: an exact-duplicate vector lands in the query's bucket and ranks first") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val q = e.where(col("vec_id") === 0).select("embedding").first().getSeq[Float](0)
+    // Plant a copy of the query vector under a fresh id.
+    val planted = e.select(col("vec_id"), col("embedding"))
+      .union(Seq((999999L, q)).toDF("vec_id", "embedding"))
+    val top = Similarity.annTopK(planted.where(col("vec_id") =!= 0),
+      "vec_id", "embedding", q, 5, bits = 4).collect()
+    assert(top.nonEmpty, "query bucket empty — LSH bucketing broken")
+    assert(top.head.getLong(0) == 999999L, "identical vector must rank first")
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("ANN recall vs brute force is meaningful at 4 bits on sf0.001") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001).where(col("vec_id") =!= 0)
+    val q = Tables.embeddings(spark, TestSpark.sf0001)
+      .where(col("vec_id") === 0).select("embedding").first().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(e, "vec_id", "embedding", q, 10, bits = 4)
+      .collect().map(_.getLong(0)).toSet
+    // One 4-bit bucket holds ~1/16 of vectors; recall is probabilistic
+    // but must be non-trivial and every ANN hit must be a real vector.
+    assert(ann.nonEmpty)
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.1, s"recall $recall collapsed — bucketing is broken")
+  }
+
+  test("cosinePairsWithin blocks by key — keyed join, no cartesian, only in-block pairs") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val pairs = Similarity.cosinePairsWithin(e, "vec_id", "embedding", "label", 0.9)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"pair generation must stay keyed:\n$plan")
+    val labels = e.select(col("vec_id").cast("long").as("id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    pairs.collect().foreach { r =>
+      assert(labels(r.getAs[Long]("id_a")) == labels(r.getAs[Long]("id_b")),
+        "pair crosses blocking key")
+    }
+  }
+
+  test("multimodal stub decode yields a fixed-width deterministic feature vector") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(20)
+    val feats = Multimodal.attachPayload(docs, "text", "text/plain")
+      .select(col("doc_id"), Multimodal.decodeFeaturesStub(col("payload")).as("f"))
+    val rows = feats.collect()
+    assert(rows.forall(_.getSeq[Double](1).size == 8))
+    val again = feats.collect()
+    assert(rows.map(_.getSeq[Double](1)).toSeq == again.map(_.getSeq[Double](1)).toSeq,
+      "stub decode must be deterministic")
+    assert(rows.forall(_.getSeq[Double](1).forall(v => v >= -1.0 && v < 1.0)))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.quality
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Invariants + cross-checks for the quality dimensions against the
+  * driver-provided sf0.001 tables (never synthesized data — TESTDATA.md).
+  */
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("census invariant: nulls + non-nulls = total for every column") {
+    val df = Tables.events(spark, TestSpark.sf0001)
+    val total = df.count()
+    val nonNull = Completeness.nonNullCensus(df).first()
+    val nulls = Completeness.nullCensus(df).first()
+    df.columns.foreach { c =>
+      assert(nonNull.getAs[Long](c) + nulls.getAs[Long](s"${c}_nulls") == total,
+        s"census invariant broken for $c")
+    }
+  }
+
+  test("summaryStats matches Spark's describe() on lineitem numerics") {
+    val df = Tables.lineitem(spark, TestSpark.sf0001)
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val ours = Accuracy.summaryStats(df, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val theirs = df.select(cols.map(col): _*).describe()
+    val byStat = theirs.collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val r = ours(c)
+      assert(r.getAs[Long]("n") == byStat("count").getAs[String](c).toLong)
+      assert(math.abs(r.getAs[Double]("mean") - byStat("mean").getAs[String](c).toDouble) < 1e-6)
+      assert(math.abs(r.getAs[Double]("stddev") - byStat("stddev").getAs[String](c).toDouble) < 1e-6)
+      assert(r.getAs[Double]("min") == byStat("min").getAs[String](c).toDouble)
+      assert(r.getAs[Double]("max") == byStat("max").getAs[String](c).toDouble)
+    }
+  }
+
+  test("histogram: buckets partition all rows; constant column collapses to bucket 0") {
+    val df = Tables.lineitem(spark, TestSpark.sf0001)
+    val h = Accuracy.histogram(df, "l_extendedprice", 20).collect()
+    assert(h.map(_.getAs[Long]("n")).sum == df.count())
+    assert(h.forall(r => r.getAs[Long]("bucket") >= 0 && r.getAs[Long]("bucket") <= 19))
+    // div-by-zero regression (VERDICT r1 §wrong-3): constant column
+    val const = spark.range(100).select(lit(7.5).as("v"))
+    val hc = Accuracy.histogram(const, "v", 20).collect()
+    assert(hc.length == 1 && hc.head.getAs[Long]("bucket") == 0L
+      && hc.head.getAs[Long]("n") == 100L)
+  }
+
+  test("validity 3VL: null predicate rows count as neither pass nor failure") {
+    val df = Seq[(java.lang.Integer, String)](
+      (1, "a"), (5, "b"), (null, "c"), (12, "d")).toDF("x", "id")
+    val rep = Validity.report(df, Seq(Validity.Rule("x_small", col("x") <= 5)))
+      .collect()
+    assert(rep.length == 1)
+    // x=12 fails; x=null is excluded by 3VL; 1 and 5 pass.
+    assert(rep.head.getAs[Long]("failures") == 1L)
+    // A rule name with a quote must not break the plan (regression for
+    // the round-1 stack()-injection defect).
+    val quoted = Validity.report(df, Seq(Validity.Rule("it's x", col("x") <= 5))).collect()
+    assert(quoted.head.getAs[String]("rule") == "it's x")
+    assert(quoted.head.getAs[Long]("failures") == 1L)
+  }
+
+  test("dedup idempotence and dup-census consistency on events") {
+    val df = Tables.events(spark, TestSpark.sf0001)
+    val once = Uniqueness.dropDups(df)
+    assert(Uniqueness.dropDups(once).count() == once.count())
+    // After dedup, the exact-dup census must be zero.
+    assert(Uniqueness.exactDupGroups(once).first().getLong(0) == 0L)
+  }
+
+  test("consistency frequency table sums to the row count") {
+    val df = Tables.events(spark, TestSpark.sf0001)
+    val freq = Consistency.freqTable(df, "event_type")
+    assert(freq.agg(sum(col("n"))).first().getLong(0) == df.count())
+  }
+
+  test("calendar gaps: planted missing day is found, dense series is gap-free") {
+    val daily = Seq(
+      ("2024-03-01", 5L), ("2024-03-02", 3L), ("2024-03-04", 7L))
+      .toDF("day", "n").select(col("day").cast("date").as("day"), col("n"))
+    val gaps = Timeliness.calendarGaps(spark, daily).collect()
+    assert(gaps.map(_.getDate(0).toString).toSeq == Seq("2024-03-03"))
+    val dense = Seq(("2024-03-01", 5L), ("2024-03-02", 3L))
+      .toDF("day", "n").select(col("day").cast("date").as("day"), col("n"))
+    assert(Timeliness.calendarGaps(spark, dense).count() == 0)
+  }
+}

@@ -81,8 +81,43 @@ object ExtensionQueries {
           Multimodal.decodeFeaturesStub(col("payload")).as("features"))
         .select(col("doc_id"), size(col("features")).as("n_features"),
           element_at(col("features"), 1).as("feat0"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    "x_embed_neardup" -> ((s, dir) => embedNearDup(s, dir)),
+    "x_stream_sessions" -> ((s, dir) => streamSessions(s, dir))
   )
+
+  /** Gap-sessionization over the bounded events stream
+    * (flatMapGroupsWithState, event-time timeout). Only sessions CLOSED
+    * by a later in-stream event emit on a bounded run — emission timing
+    * is a streaming-runtime concern, so the query is rows-only; exact
+    * session semantics are pinned by StreamingSpec's MemoryStream tests.
+    */
+  private def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StreamOps
+    val ev = StreamOps.eventsStream(s, dir)
+      .select(col("user_id"), col("ts")).as[StreamOps.SessionEvent]
+    StreamOps.runAvailableNow(
+      StreamOps.sessionize(ev, gapMinutes = 60).toDF(),
+      "stream_sessions",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Embedding-cosine near-dup: LSH-bucket blocking (8 hyperplane bits
+    * → 256 buckets) keeps the pair join keyed — sum(bucket²), never n²
+    * — then exact cosine confirms. Summary row so the result is stable
+    * (pair membership near the threshold is hash-dependent → no SQL
+    * oracle; semantics covered by SimilaritySpec). */
+  private def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", Similarity.lshBucket(col("embedding"), 8))
+    Similarity.cosinePairsWithin(e, "vec_id", "embedding", "bucket", 0.9)
+      .agg(count(lit(1)).as("n_neardup_pairs"),
+        coalesce(max(col("cos_sim")), lit(0.0)).as("max_cos"))
+  }
 
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
     * oracle-checkable anchor for the n-gram-Jaccard machinery. */

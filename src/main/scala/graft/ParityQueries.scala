@@ -109,8 +109,110 @@ object ParityQueries {
         .orderBy(col("day"))),
     "q_case_buckets" -> ((s, dir) => caseBuckets(s, dir)),
     "q_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
-    "q_parquet_roundtrip" -> ((s, dir) => parquetRoundtrip(s, dir))
+    "q_parquet_roundtrip" -> ((s, dir) => parquetRoundtrip(s, dir)),
+    "q_describe_strings" -> ((s, dir) => describeStrings(s, dir)),
+    "q_fs_listing" -> ((s, dir) =>
+      graft.etl.Sources.ls(s, dir)
+        .select(col("name"), col("size"))
+        .orderBy(col("name"))),
+    "q_json_roundtrip" -> ((s, dir) => jsonRoundtrip(s, dir)),
+    "q_current_year" -> ((s, dir) =>
+      // P6/X9: predicate vs the dynamic year(current_date()) scalar —
+      // evaluated engine-side in both Spark and the oracle (same day).
+      Tables.lineitem(s, dir)
+        .where(year(col("l_shipdate")) < year(current_date()))
+        .agg(count(lit(1)).as("n"))),
+    "q_preview" -> ((s, dir) =>
+      // P10/O2/O3: deterministic preview = orderBy unique key + limit.
+      Tables.events(s, dir)
+        .orderBy(col("event_id"))
+        .limit(5)
+        .select(col("event_id"), col("event_type"))),
+    "q_schema_introspect" -> ((s, dir) => schemaIntrospect(s, dir)),
+    "q_semi_customers" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))),
+    "q_join_full_nation" -> ((s, dir) => joinFullNation(s, dir)),
+    "q_stream_daily_counts" -> ((s, dir) =>
+      // Structured Streaming twin of q_daily_counts: readStream →
+      // watermark → tumbling 1-day window → memory sink, bounded run.
+      // Same rows as the batch query — one oracle serves both.
+      graft.streaming.StreamOps.runAvailableNow(
+        graft.streaming.StreamOps.dailyCounts(
+          graft.streaming.StreamOps.eventsStream(s, dir)),
+        "stream_daily_counts")
+        .orderBy(col("day")))
   )
+
+  /** A4 string-column describe() parity: count + lexicographic min/max,
+    * mean/stddev null (the reference stringifies; we keep typed columns
+    * with NULL where a stat is undefined for strings). */
+  private def describeStrings(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_returnflag", "l_linestatus")
+    val df = Tables.lineitem(s, dir)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"), min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"${c}_n").as("n"),
+        lit(null).cast("double").as("mean"), lit(null).cast("double").as("stddev"),
+        col(s"${c}_min").as("min"), col(s"${c}_max").as("max"))
+    }
+    wide.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** S4: JSON write → schema-INFERRING read round-trip (the reference's
+    * metadata.json path), aggregated on exact integer sums only so the
+    * result is independent of JSON double formatting. */
+  private def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir") + "/graft_json_" +
+      Integer.toHexString(dir.hashCode)
+    Tables.events(s, dir).select(col("event_id"), col("event_type"))
+      .write.mode("overwrite").json(tmp)
+    graft.etl.Sources.json(s, tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+      .orderBy(col("event_type"))
+  }
+
+  /** M1–M3: schema introspection surfaced as a relation (name, type),
+    * types rendered in ANSI SQL names so the oracle can read DuckDB's
+    * information_schema. */
+  private def schemaIntrospect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = Tables.lineitem(s, dir).schema.fields.toSeq.map { f =>
+      val sqlType = f.dataType match {
+        case LongType => "BIGINT"
+        case IntegerType => "INTEGER"
+        case DoubleType => "DOUBLE"
+        case StringType => "VARCHAR"
+        // Parquet timestamps surface as NTZ (isAdjustedToUTC=false) —
+        // both map to the ANSI name the oracle's information_schema uses.
+        case TimestampType | TimestampNTZType => "TIMESTAMP"
+        case dt => dt.sql
+      }
+      (f.name, sqlType)
+    }
+    s.createDataFrame(fields).toDF("column_name", "data_type")
+      .orderBy(col("column_name"))
+  }
+
+  /** Full-outer join: per-nation customer and supplier presence, nulls
+    * coalesced — exercises the one join type the parity suite lacked. */
+  private def joinFullNation(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, Seq("nk"), "full_outer")
+      .select(col("nk"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nk"))
+  }
 
   /** Flagship (SURVEY §7.2): events → derive day → drop a synthetic day
     * (min+14) → daily counts → calendar-gap left join → the gap day.
@@ -426,6 +528,43 @@ object ParityQueries {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " "),
     "q_parquet_roundtrip" ->
+      "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY day",
+    "q_describe_strings" ->
+      """SELECT * FROM (
+        | SELECT 'l_returnflag' AS col_name, CAST(COUNT(l_returnflag) AS BIGINT) AS n,
+        |  CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS stddev,
+        |  MIN(l_returnflag) AS min, MAX(l_returnflag) AS max FROM lineitem
+        | UNION ALL
+        | SELECT 'l_linestatus', CAST(COUNT(l_linestatus) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  MIN(l_linestatus), MAX(l_linestatus) FROM lineitem
+        |) t ORDER BY col_name""".stripMargin.replaceAll("\n", " "),
+    // The correctness gate always runs at sf0.01 (TESTDATA.md), so the
+    // oracle's listing path is pinned to that directory.
+    "q_fs_listing" ->
+      """SELECT regexp_extract(filename, '[^/]+$') AS name, CAST(size AS BIGINT) AS size
+        | FROM read_blob('/root/testdata/sf0.01/*') ORDER BY name""".stripMargin.replaceAll("\n", " "),
+    "q_json_roundtrip" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+    "q_current_year" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE year(l_shipdate) < year(current_date())",
+    "q_preview" ->
+      "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 5",
+    "q_schema_introspect" ->
+      """SELECT column_name, data_type FROM information_schema.columns
+        | WHERE table_name = 'lineitem' ORDER BY column_name""".stripMargin.replaceAll("\n", " "),
+    "q_semi_customers" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer c
+        | WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin.replaceAll("\n", " "),
+    "q_join_full_nation" ->
+      """SELECT COALESCE(c.nk, s.nk) AS nk,
+        | CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+        | CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+        | FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        | FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+        | ON c.nk = s.nk ORDER BY nk""".stripMargin.replaceAll("\n", " "),
+    "q_stream_daily_counts" ->
       "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY day"
   )
 }

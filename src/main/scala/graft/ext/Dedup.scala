@@ -86,19 +86,30 @@ object Dedup {
   def bands(docs: DataFrame, idCol: String, textCol: String,
             params: MinHashParams): DataFrame = {
     val rows = params.numHashes / params.bands
+    // Repartition BEFORE the heavy minhash projection: a small input
+    // (one parquet file → one split) would otherwise pin all 64-hash
+    // work on a single core. The shuffle moves only (id, raw text
+    // hashes); the expensive derivation then runs at full parallelism —
+    // the same reasoning keeps a 100 TB run from being limited by the
+    // source's file layout.
     val hashDf = docs
       .select(col(idCol).as("id"),
         shingleHashes(shingles(col(textCol), params.shingleSize)).as("hs"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Each band folds its OWN rows-per-band minhash indices — every
     // minhash is computed exactly once (slicing a shared signature
     // array would inline all 64 minima into each of the 16 bands).
+    // The fold is reduced mod P at every step: acc < P and mh < P keep
+    // acc*31+mh under 2^36, so the arithmetic can never overflow Long —
+    // safe under ANSI mode (Spark 4's default), where a wrapping
+    // multiply would throw ARITHMETIC_OVERFLOW instead.
     hashDf
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(params.bands - 1)), j =>
           aggregate(sequence(j * rows, j * rows + (rows - 1)),
-            lit(1125899906842597L),
-            (acc, i) => acc * 31 + minhashAt(col("hs"), i)))))
+            lit(1125899907L),
+            (acc, i) => pmod(acc * 31 + minhashAt(col("hs"), i), lit(P))))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
   }
@@ -107,7 +118,10 @@ object Dedup {
     * the hot-bucket cap applied. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      params: MinHashParams): DataFrame = {
+    // The band table feeds three consumers (bucket sizing + both join
+    // sides) — persist it or the 64-hash fold runs three times.
     val b = bands(docs, idCol, textCol, params)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = b.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") <= params.maxBucketSize)
@@ -136,9 +150,20 @@ object Dedup {
   def verifyPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                   textCol: String, params: MinHashParams,
                   threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), params.shingleSize).as("sh"))
-    pairs
+    // Shingle ONLY docs that appear in a candidate pair (a broadcast
+    // semi-join on the small id set): the candidate set is tiny next to
+    // the corpus, so re-shingling every document twice — once per join
+    // side — would dominate the verification cost at scale. The pair
+    // set itself feeds three consumers (two id projections + the join),
+    // so persist it rather than re-running candidate generation.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
+    val sh = docs
+      .join(broadcast(ids), col(idCol) === col("id"), "left_semi")
+      .select(col(idCol).as("id"),
+        shingles(col(textCol), params.shingleSize).as("sh"))
+    p
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))

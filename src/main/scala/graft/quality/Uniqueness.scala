@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * the number of DISTINCT keys per partition, not rows; AQE coalesces
   * the post-shuffle partitions. For 100 TB wide rows, an all-columns
   * groupBy shuffles the full payload — `dropDuplicates` on a hash of the
-  * row (see graft.ext.Dedup.exactByKey) is the cheaper scale path when
-  * byte-identical rows are the target.
+  * row (see graft.ext.Dedup.exactByFingerprint) is the cheaper scale
+  * path when byte-identical rows are the target.
   */
 object Uniqueness {
 

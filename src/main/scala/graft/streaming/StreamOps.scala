@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY §7.6: the reference defers
+  * streaming to future work — README.md:42 — and names the timeliness
+  * check as its natural streaming twin; this module is that twin).
+  *
+  * Batch/stream parity contract: every op here is the streaming
+  * re-expression of a batch operator with the SAME result on a bounded
+  * input — `dailyCounts` ≡ quality.Timeliness.dailyCounts, `dedup` ≡
+  * quality.Uniqueness.dropDups — verified by the oracle at sf0.01
+  * (q_stream_daily_counts) and by StreamingSpec.
+  *
+  * Scale notes: windowed aggregation state is keyed by (window, key)
+  * and pruned by the watermark; dedup state is bounded by
+  * `dropDuplicatesWithinWatermark` in production mode (exact in-batch
+  * dedup for the bounded AvailableNow runs used here). Sessionization
+  * uses flatMapGroupsWithState with event-time timeout — state per
+  * active user only.
+  */
+object StreamOps {
+
+  /** `readStream` over the events parquet directory, with the same
+    * TIMESTAMP(NANOS)→micros normalization as the batch loader
+    * (graft.Tables.events) so stream and batch see identical rows. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The file stream source lists a DIRECTORY; select just the events
+    // table from the shared sf dir with a glob filter.
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Tumbling 1-day window counts with a watermark — the streaming twin
+    * of the batch daily series (reference A9). */
+  def dailyCounts(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("date").as("day"), col("n"))
+
+  /** Streaming exact dedup over the given key columns (all columns =
+    * reference A7). Bounded runs use full-state dropDuplicates (exact);
+    * unbounded deployments should pass a watermark column and use
+    * `withinWatermark = true` so state is pruned. */
+  def dedup(events: DataFrame, keys: Seq[String],
+            withinWatermark: Boolean = false, watermark: String = "1 day"): DataFrame =
+    if (withinWatermark)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, last: Long, nEvents: Int)
+  final case class Session(user_id: Long, start: java.sql.Timestamp,
+                           end: java.sql.Timestamp, n_events: Int)
+
+  /** Gap-based sessionization: consecutive events of a user belong to
+    * one session while the gap stays under `gapMinutes`. Emits closed
+    * sessions via flatMapGroupsWithState with event-time timeout —
+    * the canonical custom-state streaming operator.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, rows: Iterator[SessionEvent],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(Session(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.last), s.nEvents))
+      }
+      // Batches are not time-ordered within a group — sort locally.
+      val times = rows.map(_.ts.getTime).toSeq.sorted
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      times.foreach { t =>
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(SessionState(s.start, t, s.nEvents + 1))
+          case Some(s) =>
+            closed ::= Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.nEvents)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Run a (bounded) streaming query to completion via AvailableNow into
+    * a named memory sink and return the sink contents. */
+  def runAvailableNow(df: DataFrame, name: String,
+                      mode: OutputMode = OutputMode.Complete): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

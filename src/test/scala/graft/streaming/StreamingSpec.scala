@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Streaming/batch parity + stateful-operator semantics. Bounded parity
+  * runs use the driver events table; sessionization is pinned with a
+  * MemoryStream so multi-batch state transitions and event-time
+  * timeouts are actually exercised.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming daily counts equal the batch daily series (bounded parity)") {
+    val streamed = StreamOps.runAvailableNow(
+      StreamOps.dailyCounts(StreamOps.eventsStream(spark, TestSpark.sf0001)),
+      "t_daily")
+    val batch = graft.quality.Timeliness.dailyCounts(
+      graft.Tables.events(spark, TestSpark.sf0001), col("ts"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming dedup removes planted duplicate keys") {
+    val input = MemoryStream[(Long, String)](spark)
+    input.addData((1L, "a"), (1L, "a"), (2L, "b"), (3L, "a"), (2L, "b"))
+    val q = StreamOps.dedup(input.toDF().toDF("id", "kind"), Seq("id", "kind"))
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("t_dedup").count() == 3)
+  }
+
+  test("sessionization: gap splits sessions; a later event closes the previous session") {
+    def ts(minute: Int) = new Timestamp(3600L * 1000 + minute * 60L * 1000)
+    val input = MemoryStream[StreamOps.SessionEvent](spark)
+    // user 7: events at minute 0, 10 (one session), then 200, 205 (a
+    // second session that CLOSES the first via the 60-min gap), then a
+    // third at 500 closing the second.
+    input.addData(
+      StreamOps.SessionEvent(7L, ts(0)), StreamOps.SessionEvent(7L, ts(10)),
+      StreamOps.SessionEvent(7L, ts(200)), StreamOps.SessionEvent(7L, ts(205)),
+      StreamOps.SessionEvent(7L, ts(500)),
+      // user 8: one event at minute 0 — its session closes via the
+      // EVENT-TIME TIMEOUT once the final watermark (max ts − 60 min =
+      // minute 440) passes its timeout at minute 60.
+      StreamOps.SessionEvent(8L, ts(0)))
+    val sessions = StreamOps.sessionize(input.toDS(), gapMinutes = 60)
+    val q = sessions.writeStream.format("memory").queryName("t_sessions")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("t_sessions")
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    // User 7: sessions (0,10) and (200,205) closed by in-stream gaps;
+    // the (500) session's timeout (560) is beyond the watermark → open.
+    // User 8: closed by timeout, 1 event.
+    assert(rows == Seq((7L, 2), (7L, 2), (8L, 1)),
+      s"expected two gap-closed and one timeout-closed session, got $rows")
+  }
+
+  test("sessionization handles multi-batch state carry-over") {
+    def ts(minute: Int) = new Timestamp(3600L * 1000 + minute * 60L * 1000)
+    val input = MemoryStream[StreamOps.SessionEvent](spark)
+    val sessions = StreamOps.sessionize(input.toDS(), gapMinutes = 60)
+    val q = sessions.writeStream.format("memory").queryName("t_sessions2")
+      .outputMode(OutputMode.Append).start()
+    // Batch 1: open a session. Batch 2: extend it within the gap.
+    // Batch 3: an event far in the future closes it.
+    input.addData(StreamOps.SessionEvent(1L, ts(0)))
+    q.processAllAvailable()
+    input.addData(StreamOps.SessionEvent(1L, ts(30)))
+    q.processAllAvailable()
+    input.addData(StreamOps.SessionEvent(1L, ts(1000)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_sessions2")
+      .select(col("user_id"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rows == Seq((1L, 2)),
+      s"the 2-event session spanning batches 1-2 must close in batch 3, got ${rows.toList}")
+  }
+}

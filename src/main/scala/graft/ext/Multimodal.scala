@@ -48,4 +48,35 @@ object Multimodal {
     * plan shape, minus the codec). */
   def sampleChunkIndices(nChunks: Column, stride: Int): Column =
     filter(sequence(lit(0), nChunks - 1), i => i % stride === 0)
+
+  /** Batched decode over partitions — the Scala shape of a Python
+    * `mapInPandas` decode: rows stream through in `batchSize` groups so
+    * a real codec can amortize per-batch setup (model load, native
+    * buffers) without ever materializing a partition in memory. The
+    * decode itself is the same deterministic STUB as
+    * `decodeFeaturesStub` (no media codecs in this environment); the
+    * batching, schema, and iterator discipline are the real contract.
+    */
+  def decodeBatched(df: DataFrame, idCol: String, payloadCol: String,
+                    dims: Int = 8, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // Per-batch "codec setup" would happen here, once per batch.
+          batch.iterator.map { case (id, bytes) =>
+            val feats = Array.tabulate(dims) { d =>
+              // Same arithmetic as decodeFeaturesStub's xxhash64 path,
+              // but computed JVM-side per batch element.
+              val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, d + 1)
+              ((h % 2000 + 2000) % 2000 - 1000).toDouble / 1000.0
+            }
+            (id, feats)
+          }
+        }
+      }
+      .toDF(idCol, "features")
+  }
 }

@@ -81,11 +81,19 @@ object Similarity {
     */
   def cosinePairsWithin(corpus: DataFrame, idCol: String, vecCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
-    val a = corpus.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = corpus.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // Precompute each vector's norm BEFORE the join: computed n times
+    // instead of once per pair (n²). The cosine is then the identical
+    // IEEE expression dot/(norm_a*norm_b), so results are bit-equal to
+    // the naive form — only the work moves.
+    val withNorm = corpus.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col("blk"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("blk"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("blk"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos_sim", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .where(col("cos_sim") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
   }

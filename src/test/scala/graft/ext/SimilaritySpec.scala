@@ -87,6 +87,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("batched mapPartitions decode: every row decoded once, fixed width, batch-size independent") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
+    val payloads = Multimodal.attachPayload(docs, "text", "text/plain")
+    val small = Multimodal.decodeBatched(payloads, "doc_id", "payload", dims = 8, batchSize = 7)
+    val large = Multimodal.decodeBatched(payloads, "doc_id", "payload", dims = 8, batchSize = 1000)
+    assert(small.count() == 50)
+    assert(small.collect().forall(_.getSeq[Double](1).size == 8))
+    // Batch size is a physical knob — it must not change results.
+    assert(small.exceptAll(large).count() == 0)
+  }
+
   test("multimodal stub decode yields a fixed-width deterministic feature vector") {
     val docs = Tables.documents(spark, TestSpark.sf0001).limit(20)
     val feats = Multimodal.attachPayload(docs, "text", "text/plain")

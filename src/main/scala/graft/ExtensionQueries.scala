@@ -178,7 +178,7 @@ object ExtensionQueries {
       col("embedding").as("v_b"))
     a.join(b, Seq("id_a"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cos_sim"))
+        Similarity.cosineIn(s)(col("v_a"), col("v_b")).as("cos_sim"))
       .orderBy(col("id_a"))
   }
 

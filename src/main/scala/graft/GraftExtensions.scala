@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.functions.GraftFunctionBuilders
+
+/** Engine extension point: registers the custom codegen'd expressions
+  * (graft_dot, graft_minhash_bands) into the session's function
+  * registry. Wire with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * Verify/Bench/test sessions all do; library call sites fall back to
+  * the equivalent higher-order-function forms when the extension is
+  * absent (Dedup.bands, Similarity.dot), so results never depend on it.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      GraftFunctionBuilders.dotInfo, GraftFunctionBuilders.dotBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_bands"),
+      GraftFunctionBuilders.minhashInfo, GraftFunctionBuilders.minhashBuilder _))
+  }
+}

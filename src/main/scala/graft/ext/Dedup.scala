@@ -104,12 +104,23 @@ object Dedup {
     // acc*31+mh under 2^36, so the arithmetic can never overflow Long —
     // safe under ANSI mode (Spark 4's default), where a wrapping
     // multiply would throw ARITHMETIC_OVERFLOW instead.
-    hashDf
-      .select(col("id"), posexplode(
+    //
+    // Fast path: sessions with GraftExtensions evaluate the whole fold
+    // in the codegen'd graft_minhash_bands kernel (higher-order
+    // functions are interpreted — the nested 64-lambda form below is
+    // the same arithmetic, an order of magnitude slower). Both paths
+    // produce identical band hashes (GraftFunctionsSpec).
+    val bandArray =
+      if (docs.sparkSession.catalog.functionExists("graft_minhash_bands"))
+        call_function("graft_minhash_bands", col("hs"),
+          lit(params.bands), lit(rows))
+      else
         transform(sequence(lit(0), lit(params.bands - 1)), j =>
           aggregate(sequence(j * rows, j * rows + (rows - 1)),
             lit(1125899907L),
-            (acc, i) => pmod(acc * 31 + minhashAt(col("hs"), i), lit(P))))))
+            (acc, i) => pmod(acc * 31 + minhashAt(col("hs"), i), lit(P))))
+    hashDf
+      .select(col("id"), posexplode(bandArray))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
   }

@@ -26,13 +26,26 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Session-aware dot: uses the codegen'd graft_dot kernel when
+    * GraftExtensions is installed (bit-identical fold order — see
+    * graft.functions.Kernels), else the higher-order form above. */
+  def dotIn(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
+    else dot(a, b)
+
+  def normIn(spark: org.apache.spark.sql.SparkSession)(a: Column): Column =
+    sqrt(dotIn(spark)(a, a))
+
+  def cosineIn(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column =
+    dotIn(spark)(a, b) / (normIn(spark)(a) * normIn(spark)(b))
+
   /** Brute-force top-k by cosine against one literal query vector.
     * One scan + TakeOrderedAndProject (no full sort materialized).
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    corpus.select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
+    corpus.select(col(idCol), cosineIn(corpus.sparkSession)(col(vecCol), q).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -64,7 +77,7 @@ object Similarity {
     val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), bits))
     bucketed
       .where(col("bucket") === lshBucketOf(query, bits))
-      .select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
+      .select(col(idCol), cosineIn(corpus.sparkSession)(col(vecCol), q).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -85,15 +98,16 @@ object Similarity {
     // instead of once per pair (n²). The cosine is then the identical
     // IEEE expression dot/(norm_a*norm_b), so results are bit-equal to
     // the naive form — only the work moves.
+    val spark = corpus.sparkSession
     val withNorm = corpus.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      col(vecCol).as("v"), normIn(spark)(col(vecCol)).as("nrm"))
     val a = withNorm.select(col("blk"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = withNorm.select(col("blk"), col("id").as("id_b"),
       col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("blk"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .withColumn("cos_sim", dotIn(spark)(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .where(col("cos_sim") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
   }

@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the two hot per-row array kernels.
+  *
+  * Why: Spark's higher-order functions (transform/aggregate/zip_with)
+  * are evaluated INTERPRETED — each lambda step is a virtual call with
+  * boxing, and nested lambdas (64 minhash functions × shingles) pay
+  * that cost multiplied. These expressions generate a call into a tight
+  * primitive JVM loop (Kernels) from within whole-stage codegen — the
+  * "custom codegen'd Expression only if benchmarks demand" path that
+  * SURVEY §7.3 reserved; benchmarks demanded it (x_minhash_neardup was
+  * the slowest query in the round-3 bench).
+  *
+  * Semantics are BIT-IDENTICAL to the higher-order-function forms they
+  * replace (same IEEE operation order for the double fold, same mod-P
+  * integer chain), so callers can switch paths without touching oracle
+  * hashes — GraftFunctionsSpec asserts the equivalence.
+  */
+object Kernels {
+
+  val P = 2147483647L // 2^31−1, the Mersenne prime used across Dedup
+
+  /** Sequential-order dot product; identical fold order to
+    * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, _+_)`. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  /** Per-band minhash-fold hashes: for band j, fold the minima of hash
+    * functions h_i(x) = (a_i·x + b_i) mod P over i ∈ [j·rows, (j+1)·rows)
+    * with acc' = (acc·31 + min_i) mod P. Exactly the expression chain in
+    * Dedup.bands' higher-order form (empty shingle set → min = P).
+    */
+  def minhashBands(hs: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val n = hs.numElements()
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var acc = 1125899907L
+      var k = 0
+      while (k < rows) {
+        val i = j * rows + k
+        val a = (i.toLong * 2654435761L + 1L) % P
+        val b = (i.toLong * 40503L + 7L) % P
+        var m = Long.MaxValue
+        var t = 0
+        while (t < n) {
+          val v = (a * hs.getLong(t) + b) % P
+          if (v < m) m = v
+          t += 1
+        }
+        if (n == 0) m = P
+        acc = (acc * 31 + m) % P
+        k += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Σ aᵢ·bᵢ in double precision over two numeric arrays (float or
+  * double elements). Null if either side is null or lengths differ
+  * (mirroring zip_with's null-padding behavior). */
+case class GraftDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null
+    else Kernels.dot(x, y, isFloat(left), isFloat(right))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (af, bf) = (isFloat(left), isFloat(right))
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.Kernels.dot($a, $b, $af, $bf);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** LSH band hashes of a shingle-hash array (array<long> → array<long>
+  * of `bands` fold hashes, `rowsPerBand` minhashes each). */
+case class GraftMinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash_bands expects array<bigint>, got $dt")
+    }
+
+  override def nullSafeEval(hs: Any): Any =
+    Kernels.minhashBands(hs.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs =>
+      s"${ev.value} = graft.functions.Kernels.minhashBands($hs, $bands, $rowsPerBand);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GraftFunctionBuilders {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val dotInfo = new ExpressionInfo(classOf[GraftDot].getName, "graft_dot")
+  def dotBuilder(exprs: Seq[Expression]): Expression =
+    GraftDot(exprs(0), exprs(1))
+
+  val minhashInfo =
+    new ExpressionInfo(classOf[GraftMinHashBands].getName, "graft_minhash_bands")
+  def minhashBuilder(exprs: Seq[Expression]): Expression =
+    GraftMinHashBands(exprs(0), intLit(exprs(1), "bands"),
+      intLit(exprs(2), "rowsPerBand"))
+}

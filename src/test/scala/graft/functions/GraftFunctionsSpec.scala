@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+import graft.ext.{Dedup, Similarity}
+
+/** The codegen'd kernel expressions must be drop-in replacements:
+  * bit-identical to the higher-order-function forms they accelerate,
+  * registered through GraftExtensions, and evaluated inside whole-stage
+  * codegen (no interpreted fallback).
+  */
+class GraftFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("GraftExtensions registers both functions in the session") {
+    assert(spark.catalog.functionExists("graft_dot"))
+    assert(spark.catalog.functionExists("graft_minhash_bands"))
+  }
+
+  test("graft_dot is bit-identical to the zip_with/aggregate fold on real embeddings") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select((col("vec_id") - 1).as("id_a"), col("embedding").as("v_b"))
+    val both = a.join(b, Seq("id_a"))
+      .select(
+        call_function("graft_dot", col("v_a"), col("v_b")).as("fast"),
+        Similarity.dot(col("v_a"), col("v_b")).as("slow"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"fast=${r.getDouble(0)} slow=${r.getDouble(1)} must be bit-equal")
+    }
+  }
+
+  test("graft_dot nulls on length mismatch, like zip_with's null padding") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val r = df.select(call_function("graft_dot", col("a"), col("b"))).first()
+    assert(r.isNullAt(0))
+  }
+
+  test("graft_minhash_bands matches the higher-order fold exactly") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(100)
+    val params = Dedup.MinHashParams()
+    val rows = params.numHashes / params.bands
+    val hs = Dedup.shingleHashes(Dedup.shingles(col("text"), params.shingleSize))
+    val P = 2147483647L
+    // The HOF form as written in Dedup.bands' fallback branch.
+    val slow = transform(sequence(lit(0), lit(params.bands - 1)), j =>
+      aggregate(sequence(j * rows, j * rows + (rows - 1)), lit(1125899907L),
+        (acc, i) => pmod(acc * 31 +
+          coalesce(array_min(transform(col("hs"), h =>
+            pmod(pmod(i.cast("long") * lit(2654435761L) + lit(1L), lit(P)) * h +
+                 pmod(i.cast("long") * lit(40503L) + lit(7L), lit(P)), lit(P)))), lit(P)),
+          lit(P))))
+    val both = docs.select(col("doc_id"), hs.as("hs"))
+      .select(
+        call_function("graft_minhash_bands", col("hs"),
+          lit(params.bands), lit(rows)).as("fast"),
+        slow.as("slow"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"band hashes diverge: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+    }
+  }
+
+  test("kernel expressions run inside whole-stage codegen") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val plan = e.select(call_function("graft_dot", col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // The `*(n)` prefix marks operators fused into a WholeStageCodegen
+    // stage; the Project evaluating graft_dot must carry it (an
+    // interpreted-fallback expression would break the fusion).
+    assert(plan.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"graft_dot Project not inside a codegen stage:\n$plan")
+  }
+}

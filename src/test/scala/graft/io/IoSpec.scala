@@ -1,0 +1,66 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+import graft.etl.{FlightSchema, Sources}
+
+/** Source/sink edges: bz2-compressed CSV (the reference decompresses
+  * with a shell loop — S2 — which the splittable codec makes
+  * unnecessary), directory listing, and the size-aware write policy.
+  */
+class IoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bz2-compressed CSV reads natively — no decompress step needed (S2)") {
+    val src = Sources.csv(spark,
+      getClass.getResource("/flights_mini.csv").getPath, FlightSchema.schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bz2").toString
+    src.write.mode("overwrite").option("header", "true")
+      .option("compression", "bzip2").csv(tmp)
+    assert(new java.io.File(tmp).listFiles().exists(_.getName.endsWith(".csv.bz2")))
+    val back = Sources.csv(spark, tmp, FlightSchema.schema)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).count() == 0)
+  }
+
+  test("directory listing has the reference's 4-column shape and real sizes (S3)") {
+    val ls = Sources.ls(spark, TestSpark.sf0001)
+    assert(ls.columns.toSeq == Seq("path", "name", "size", "modificationTime"))
+    val byName = ls.collect().map(r => r.getAs[String]("name") -> r.getAs[Long]("size")).toMap
+    assert(byName.keySet == Tables.names.map(_ + ".parquet").toSet)
+    val onDisk = new java.io.File(TestSpark.sf0001, "lineitem.parquet").length()
+    assert(byName("lineitem.parquet") == onDisk)
+  }
+
+  test("partition policy: ceil(bytes / 200MB), floor 1 (Y2)") {
+    assert(Writer.partitionCount(BigInt(0)) == 1)
+    assert(Writer.partitionCount(BigInt(1)) == 1)
+    assert(Writer.partitionCount(BigInt(200L * 1024 * 1024)) == 1)
+    assert(Writer.partitionCount(BigInt(200L * 1024 * 1024 + 1)) == 2)
+    assert(Writer.partitionCount(BigInt(10L * 200 * 1024 * 1024)) == 10)
+  }
+
+  test("sizedParquet writes the policy's file count and round-trips") {
+    val df = Tables.events(spark, TestSpark.sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sized").toString
+    val n = Writer.sizedParquet(df, tmp)
+    assert(n == 1) // sf0.001 events ≪ 200 MB
+    val files = new java.io.File(tmp).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == n)
+    assert(Sources.parquet(spark, tmp).count() == df.count())
+  }
+
+  test("multimodal decode partitioning targets bytes per task; chunk sampler strides") {
+    import graft.ext.Multimodal
+    val df = Tables.documents(spark, TestSpark.sf0001)
+    val parts = Multimodal.repartitionForDecode(df, totalBytes = 10L * 256 * 1024 * 1024)
+      .rdd.getNumPartitions
+    assert(parts == 10)
+    val sampled = df.limit(1).select(
+      Multimodal.sampleChunkIndices(lit(10L), stride = 3).as("idx"))
+      .first().getSeq[Long](0)
+    assert(sampled == Seq(0L, 3L, 6L, 9L))
+  }
+}

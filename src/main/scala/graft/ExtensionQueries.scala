@@ -83,8 +83,21 @@ object ExtensionQueries {
           element_at(col("features"), 1).as("feat0"))
         .orderBy(col("doc_id"))),
     "x_embed_neardup" -> ((s, dir) => embedNearDup(s, dir)),
-    "x_stream_sessions" -> ((s, dir) => streamSessions(s, dir))
+    "x_stream_sessions" -> ((s, dir) => streamSessions(s, dir)),
+    "x_ivf_topk" -> ((s, dir) => ivfTopK(s, dir))
   )
+
+  /** IVF ANN top-10 for the vec_id=0 query (16 clusters, probe 4) —
+    * the trained-index alternative to the LSH bucket path; recall vs
+    * brute force is measured in SimilaritySpec. */
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0)
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
+    Similarity.ivfTopK(corpus, "vec_id", "embedding", q, 10, cents, nProbe = 4)
+  }
 
   /** Gap-sessionization over the bounded events stream
     * (flatMapGroupsWithState, event-time timeout). Only sessions CLOSED

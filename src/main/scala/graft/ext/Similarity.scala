@@ -88,6 +88,57 @@ object Similarity {
   def lshBucketOf(query: Seq[Float], bits: Int): Column =
     lshBucket(array(query.map(v => lit(v.toDouble)): _*), bits)
 
+  /** IVF (inverted-file) clustering: every vector is assigned to its
+    * most-cosine-similar centroid. Centroids are the first `k` vectors
+    * in id order — deterministic and cheap; a production system plugs
+    * k-means centroids into the same shape. Assignment is a per-row
+    * argmax over k codegen'd dot products: no shuffle, no join.
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: Seq[Seq[Float]]): DataFrame = {
+    val spark = corpus.sparkSession
+    // LINEAR argmax: one sims array + array_position(max). A
+    // fold-of-when chain that threads the accumulator through both
+    // branches duplicates the subtree per step — 2^k expression nodes
+    // for k centroids (measured: heap exhaustion at k=16).
+    val sims = array(centroids.map(cv =>
+      cosineIn(spark)(col(vecCol), array(cv.map(v => lit(v.toDouble)): _*))): _*)
+    corpus
+      .withColumn("__sims", sims)
+      .withColumn("cluster_id",
+        (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("int"))
+      .drop("__sims")
+  }
+
+  /** First-k-by-id centroids for ivfAssign (driver-side collect of k
+    * small vectors). */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Seq[Float]] =
+    corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0)).toSeq
+
+  /** IVF ANN top-k: probe only the `nProbe` clusters whose centroids
+    * are nearest the query — the scan shrinks to ~nProbe/k of the
+    * corpus (vs 1/2^bits for the LSH variant; IVF adapts to the data's
+    * actual density, LSH needs no training pass).
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], topK: Int,
+              centroids: Seq[Seq[Float]], nProbe: Int): DataFrame = {
+    def dotLocal(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double =
+      dotLocal(a, b) / (math.sqrt(dotLocal(a, a)) * math.sqrt(dotLocal(b, b)))
+    val probe = centroids.zipWithIndex
+      .sortBy { case (cv, _) => -cosLocal(cv, query) }
+      .take(nProbe).map(_._2)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    ivfAssign(corpus, idCol, vecCol, centroids)
+      .where(col("cluster_id").isin(probe: _*))
+      .select(col(idCol), cosineIn(corpus.sparkSession)(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** All pairs (id_a < id_b) within the same blocking key whose cosine
     * meets the threshold — the embedding-near-dup operator. Blocking
     * (a label, an LSH bucket) keeps the join keyed, never cartesian.

@@ -87,6 +87,59 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF: assignment picks the most-similar centroid; probing more clusters raises recall") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001).where(col("vec_id") =!= 0)
+    val q = Tables.embeddings(spark, TestSpark.sf0001)
+      .where(col("vec_id") === 0).select("embedding").first().getSeq[Float](0)
+    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 8)
+    assert(cents.size == 8)
+    // Every vector must carry a valid cluster id.
+    val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+    assert(assigned.where(col("cluster_id") < 0 || col("cluster_id") >= 8).count() == 0)
+    // A centroid vector is its own nearest centroid (cosine 1.0).
+    val selfIds = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val selfAssign = assigned.where(col("vec_id").isin(selfIds: _*))
+      .select(col("vec_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    selfIds.zipWithIndex.foreach { case (id, i) =>
+      assert(selfAssign(id) == i, s"centroid $i must self-assign")
+    }
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    def recallAt(nProbe: Int): Double = {
+      val ann = Similarity.ivfTopK(e, "vec_id", "embedding", q, 10, cents, nProbe)
+        .collect().map(_.getLong(0)).toSet
+      (exact & ann).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    assert(r8 == 1.0, s"probing every cluster must be exhaustive, recall=$r8")
+    assert(r2 <= r8, "recall must be monotone in nProbe")
+  }
+
+  test("salted join and skewed aggregation match their unsalted twins") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", salt = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+    val direct = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"),
+        count(lit(1)).as("n"))
+    val viaSalt = Skew.skewedAgg(li, "l_orderkey", salt = 8)(
+      struct(sum(col("l_quantity").cast("decimal(18,2)")).as("q"),
+        count(lit(1)).as("n")).as("p"),
+      struct(sum(col("p.q")).as("q"), sum(col("p.n")).as("n")).as("p"))
+      .select(col("l_orderkey"), col("p.q").cast("decimal(18,2)").as("q"), col("p.n").as("n"))
+    assert(viaSalt.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(viaSalt).count() == 0)
+  }
+
   test("batched mapPartitions decode: every row decoded once, fixed width, batch-size independent") {
     val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
     val payloads = Multimodal.attachPayload(docs, "text", "text/plain")

@@ -65,7 +65,7 @@ object FlightPipeline {
       s"""SELECT *,
          |  $hourCase AS DepTime_Hour,
          |  right(CAST(DepTime AS STRING), 2) AS DepTime_Min,
-         |  to_timestamp(concat(
+         |  try_to_timestamp(concat(
          |    CAST(Year AS STRING), '-',
          |    lpad(CAST(Month AS STRING), 2, '0'), '-',
          |    lpad(CAST(DayofMonth AS STRING), 2, '0'), ' ',

@@ -38,12 +38,16 @@ object TimeDerivation {
     * `HH:mm` parsing and silently derive null).
     */
   def hhmmTimestamp(year: Column, month: Column, day: Column, t: Column): Column =
-    to_timestamp(
+    // try_to_timestamp, not to_timestamp: identical null-on-malformed
+    // result under legacy semantics, but under ANSI mode (Spark 4's
+    // default) a plain to_timestamp THROWS on e.g. minute "99" — the
+    // reference semantics require null (SURVEY §7.5.2).
+    try_to_timestamp(
       concat(
         year.cast("string"), lit("-"),
         lpad(month.cast("string"), 2, "0"), lit("-"),
         lpad(day.cast("string"), 2, "0"), lit(" "),
         lpad(hhmmHour(t), 2, "0"), lit(":"),
         lpad(hhmmMin(t), 2, "0")),
-      "yyyy-MM-dd HH:mm")
+      lit("yyyy-MM-dd HH:mm"))
 }

@@ -63,6 +63,20 @@ class TimeDerivationSpec extends AnyFunSuite {
     }
   }
 
+  test("derivation yields null (not an error) under ANSI mode too") {
+    // Spark 4 defaults to ANSI; a user session without our legacy
+    // setting must still get the reference's null-on-invalid semantics.
+    val ansi = spark.newSession()
+    ansi.conf.set("spark.sql.ansi.enabled", "true")
+    import ansi.implicits._
+    val out = Seq(1299, 630).toDF("t")
+      .select(TimeDerivation.hhmmTimestamp(lit(2008), lit(1), lit(15), col("t"))
+        .cast("string").as("ts"), col("t"))
+      .collect().map(r => r.getAs[Integer]("t").intValue() -> r.getAs[String]("ts")).toMap
+    assert(out(1299) == null)                      // minute 99 → null, no throw
+    assert(out(630) == "2008-01-15 06:30:00")
+  }
+
   test("SQL twin produces identical derivation to the Column API") {
     val df = graft.etl.FlightPipeline.load(spark,
       getClass.getResource("/flights_mini.csv").getPath)

@@ -25,6 +25,10 @@ object Accuracy {
     * those exact sums: var = (sumsq - sum²/n) / (n-1).
     */
   def summaryStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // Overflow headroom: x² is decimal(37,8), its sum decimal(38,8) —
+    // 30 integer digits. Values up to 1e9 squared over 1e12 rows sum to
+    // ≤1e30: within range at 100 TB scale. Columns beyond that domain
+    // need a Welford-style two-level aggregation instead.
     val aggs: Seq[Column] = cols.flatMap { c =>
       val x = col(c).cast("decimal(18,4)")
       Seq(

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties for the kernel implementations — pure JVM,
+  * no Spark session: the kernels must match straightforward reference
+  * models on arbitrary inputs (SURVEY §5.3).
+  */
+object KernelProps extends Properties("Kernels") {
+
+  private val doubleArr: Gen[Array[Double]] =
+    Gen.containerOf[Array, Double](Gen.chooseNum(-1e6, 1e6))
+
+  property("dot equals the sequential fold, bit for bit") =
+    forAll(doubleArr) { xs =>
+      val a = new GenericArrayData(xs)
+      val expect = xs.foldLeft(0.0)((acc, v) => acc + v * v)
+      java.lang.Double.doubleToLongBits(Kernels.dot(a, a, false, false)) ==
+        java.lang.Double.doubleToLongBits(expect)
+    }
+
+  property("dot is symmetric") =
+    forAll(doubleArr, doubleArr) { (xs, ys) =>
+      val n = math.min(xs.length, ys.length)
+      val a = new GenericArrayData(xs.take(n))
+      val b = new GenericArrayData(ys.take(n))
+      java.lang.Double.doubleToLongBits(Kernels.dot(a, b, false, false)) ==
+        java.lang.Double.doubleToLongBits(Kernels.dot(b, a, false, false))
+    }
+
+  private val P = Kernels.P
+  private val hashArr: Gen[Array[Long]] =
+    Gen.containerOf[Array, Long](Gen.chooseNum(0L, P - 1))
+
+  /** Reference model: the mod-P chain as written in Dedup.bands. */
+  private def modelBands(hs: Array[Long], bands: Int, rows: Int): Seq[Long] =
+    (0 until bands).map { j =>
+      (0 until rows).foldLeft(1125899907L) { (acc, k) =>
+        val i = j * rows + k
+        val a = (i.toLong * 2654435761L + 1L) % P
+        val b = (i.toLong * 40503L + 7L) % P
+        val m = if (hs.isEmpty) P else hs.map(h => (a * h + b) % P).min
+        (acc * 31 + m) % P
+      }
+    }
+
+  property("minhashBands equals the mod-P reference model") =
+    forAll(hashArr, Gen.chooseNum(1, 16), Gen.chooseNum(1, 8)) { (hs, bands, rows) =>
+      val got = Kernels.minhashBands(new GenericArrayData(hs), bands, rows)
+      got.toLongArray().toSeq == modelBands(hs, bands, rows)
+    }
+
+  property("minhashBands values stay in [0, P)") =
+    forAll(hashArr) { hs =>
+      Kernels.minhashBands(new GenericArrayData(hs), 16, 4)
+        .toLongArray().forall(v => v >= 0 && v < P)
+    }
+
+  property("permuting the shingle hashes never changes the bands (set semantics)") =
+    forAll(hashArr) { hs =>
+      val shuffled = scala.util.Random.shuffle(hs.toSeq).toArray
+      Kernels.minhashBands(new GenericArrayData(hs), 8, 8).toLongArray().toSeq ==
+        Kernels.minhashBands(new GenericArrayData(shuffled), 8, 8).toLongArray().toSeq
+    }
+}

@@ -392,6 +392,10 @@ object ParityQueries {
       s"CAST(COUNT(*) - COUNT($c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ${c}_null_ratio"
     ).mkString(", ") + s" FROM $table"
 
+  // Caveat (sf0.1+ only): once the exact decimal sums exceed 2^53 the
+  // final cast-to-double must round; Spark (BigDecimal.doubleValue,
+  // correctly rounded) and DuckDB (int128 → double, not always) can
+  // then differ by 1–2 ulp in stddev. Exact at the sf0.01 gate.
   private def describeOracle(table: String, cols: Seq[String]): String =
     cols.map { c =>
       val sm = s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"

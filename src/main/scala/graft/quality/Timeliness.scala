@@ -28,7 +28,10 @@ object Timeliness {
   }
 
   /** Calendar days in [min(day), max(day)] with zero rows (reference J1). */
-  def calendarGaps(spark: SparkSession, daily: DataFrame): DataFrame = {
+  def calendarGaps(spark: SparkSession, dailyIn: DataFrame): DataFrame = {
+    // Two consumers (the min/max bounds collect + the gap join): persist
+    // the calendar-bounded aggregate or its upstream shuffle runs twice.
+    val daily = dailyIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mm = daily.agg(min(col("day")), max(col("day"))).first()
     if (mm.isNullAt(0)) return spark.emptyDataFrame.select(lit(null).cast("date").as("day")).limit(0)
     val dim = dateDim(spark, mm.getDate(0), mm.getDate(1))

@@ -142,8 +142,22 @@ object ParityQueries {
         graft.streaming.StreamOps.dailyCounts(
           graft.streaming.StreamOps.eventsStream(s, dir)),
         "stream_daily_counts")
-        .orderBy(col("day")))
+        .orderBy(col("day"))),
+    "q_window_running_sum" -> ((s, dir) => windowRunningSum(s, dir))
   )
+
+  /** Window with an explicit frame spec (rows unbounded-preceding to
+    * current): running revenue per customer in order date order. */
+  private def windowRunningSum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
 
   /** A4 string-column describe() parity: count + lexicographic min/max,
     * mean/stddev null (the reference stringifies; we keep typed columns
@@ -569,6 +583,12 @@ object ParityQueries {
         | FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
         | ON c.nk = s.nk ORDER BY nk""".stripMargin.replaceAll("\n", " "),
     "q_stream_daily_counts" ->
-      "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY day"
+      "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY day",
+    "q_window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctionBuilders.dotInfo, GraftFunctionBuilders.dotBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_minhash_bands"),
       GraftFunctionBuilders.minhashInfo, GraftFunctionBuilders.minhashBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      GraftFunctionBuilders.shingleInfo, GraftFunctionBuilders.shingleBuilder _))
   }
 }

@@ -34,9 +34,15 @@ object Dedup {
   /** Distinct k-word shingles of whitespace-tokenized text. */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " ")
+    // `sequence(1, n)` DESCENDS for n < 1 (yielding [1, 0], and
+    // slice(…, 0, k) then throws) — a text with fewer than k tokens
+    // must produce an empty shingle set instead; null text stays null.
     array_distinct(
-      transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      when(toks.isNull, lit(null).cast("array<string>"))
+        .when(size(toks) < k, array().cast("array<string>"))
+        .otherwise(
+          transform(sequence(lit(1), size(toks) - (k - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
 
   /** Base hash of each shingle, reduced mod P (so permutation products
@@ -92,9 +98,15 @@ object Dedup {
     // hashes); the expensive derivation then runs at full parallelism —
     // the same reasoning keeps a 100 TB run from being limited by the
     // source's file layout.
+    // Kernel fast path for the shingle+hash projection too (tokenize →
+    // rolling shingle → xxhash64 → distinct in one primitive pass);
+    // same values as the higher-order chain (GraftFunctionsSpec).
+    val hsExpr =
+      if (docs.sparkSession.catalog.functionExists("graft_shingle_hashes"))
+        call_function("graft_shingle_hashes", col(textCol), lit(params.shingleSize))
+      else shingleHashes(shingles(col(textCol), params.shingleSize))
     val hashDf = docs
-      .select(col(idCol).as("id"),
-        shingleHashes(shingles(col(textCol), params.shingleSize)).as("hs"))
+      .select(col(idCol).as("id"), hsExpr.as("hs"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Each band folds its OWN rows-per-band minhash indices — every

@@ -40,6 +40,36 @@ object Kernels {
     acc
   }
 
+  /** Distinct k-word shingle hashes of a text, mod P — the kernel twin
+    * of `shingleHashes(shingles(text, k))` in Dedup: java String.split
+    * with regex " " and limit -1 (exactly Catalyst's StringSplit),
+    * shingles joined with single spaces (concat_ws), first-occurrence
+    * dedup (array_distinct), xxHash64 with Spark's seed 42 over the
+    * UTF8 bytes (the xxhash64 function), then pmod P.
+    */
+  def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = text.toString.split(" ", -1)
+    val n = math.max(toks.length - (k - 1), 0)
+    val seen = new java.util.LinkedHashSet[Long]()
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val s = UTF8String.fromString(sb.toString)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      seen.add(((h % P) + P) % P)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Per-band minhash-fold hashes: for band j, fold the minima of hash
     * functions h_i(x) = (a_i·x + b_i) mod P over i ∈ [j·rows, (j+1)·rows)
     * with acc' = (acc·31 + min_i) mod P. Exactly the expression chain in
@@ -123,6 +153,34 @@ case class GraftDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct k-word shingle hashes of a string column (string →
+  * array<long>, values in [0, P)). */
+case class GraftShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_shingle_hashes expects a string, got $dt")
+    }
+
+  override def nullSafeEval(text: Any): Any =
+    Kernels.shingleHashes(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.Kernels.shingleHashes($t, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** LSH band hashes of a shingle-hash array (array<long> → array<long>
   * of `bands` fold hashes, `rowsPerBand` minhashes each). */
 case class GraftMinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
@@ -168,4 +226,9 @@ object GraftFunctionBuilders {
   def minhashBuilder(exprs: Seq[Expression]): Expression =
     GraftMinHashBands(exprs(0), intLit(exprs(1), "bands"),
       intLit(exprs(2), "rowsPerBand"))
+
+  val shingleInfo =
+    new ExpressionInfo(classOf[GraftShingleHashes].getName, "graft_shingle_hashes")
+  def shingleBuilder(exprs: Seq[Expression]): Expression =
+    GraftShingleHashes(exprs(0), intLit(exprs(1), "k"))
 }

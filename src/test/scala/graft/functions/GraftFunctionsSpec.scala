@@ -70,6 +70,23 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_shingle_hashes matches the split/transform/distinct/xxhash64 chain") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("text"))
+      .union(spark.sql("SELECT '' AS text"))          // empty text
+      .union(spark.sql("SELECT 'one two' AS text"))   // fewer tokens than k
+      .union(spark.sql("SELECT 'a  b c' AS text"))    // double space → empty token
+    val both = docs.select(
+        call_function("graft_shingle_hashes", col("text"), lit(3)).as("fast"),
+        Dedup.shingleHashes(Dedup.shingles(col("text"), 3)).as("slow"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"shingle hashes diverge: ${r.getSeq[Long](0).take(5)} vs ${r.getSeq[Long](1).take(5)}")
+    }
+  }
+
   test("kernel expressions run inside whole-stage codegen") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val plan = e.select(call_function("graft_dot", col("embedding"), col("embedding")))

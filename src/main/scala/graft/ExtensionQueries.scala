@@ -84,7 +84,15 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))),
     "x_embed_neardup" -> ((s, dir) => embedNearDup(s, dir)),
     "x_stream_sessions" -> ((s, dir) => streamSessions(s, dir)),
-    "x_ivf_topk" -> ((s, dir) => ivfTopK(s, dir))
+    "x_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
+    "x_approx_distinct" -> ((s, dir) =>
+      // HLL++ cardinality — the sketch the exact-dedup census upgrades
+      // to at 100 TB (no full-key shuffle). Estimates are
+      // implementation-specific → no SQL oracle; the exact/approx error
+      // bound is asserted in DedupSpec.
+      Tables.documents(s, dir).agg(
+        approx_count_distinct(col("text")).as("approx_distinct"),
+        count(lit(1)).as("n")))
   )
 
   /** IVF ANN top-10 for the vec_id=0 query (16 clusters, probe 4) —

@@ -143,7 +143,33 @@ object ParityQueries {
           graft.streaming.StreamOps.eventsStream(s, dir)),
         "stream_daily_counts")
         .orderBy(col("day"))),
-    "q_window_running_sum" -> ((s, dir) => windowRunningSum(s, dir))
+    "q_window_running_sum" -> ((s, dir) => windowRunningSum(s, dir)),
+    "q_rollup_pricing" -> ((s, dir) =>
+      // Multi-dimensional aggregation: rollup with subtotal rows.
+      // grouping() disambiguates subtotal NULLs from data NULLs.
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))),
+    "q_except_parts" -> ((s, dir) =>
+      // Set difference: parts never ordered (EXCEPT = distinct anti).
+      Tables.part(s, dir).select(col("p_partkey").as("k"))
+        .except(Tables.lineitem(s, dir).select(col("l_partkey").as("k")))
+        .orderBy(col("k"))),
+    "q_intersect_keys" -> ((s, dir) =>
+      Tables.part(s, dir).select(col("p_partkey").as("k"))
+        .intersect(Tables.lineitem(s, dir).select(col("l_partkey").as("k")))
+        .agg(count(lit(1)).as("n"))),
+    "q_pivot_status" -> ((s, dir) =>
+      // Pivot: one count column per line status value.
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("l_returnflag")))
   )
 
   /** Window with an explicit frame spec (rows unbounded-preceding to
@@ -589,6 +615,23 @@ object ParityQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
-        | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin.replaceAll("\n", " ")
+        | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin.replaceAll("\n", " "),
+    "q_rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(GROUPING(l_returnflag) AS INT) AS g_rf, CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        | ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", " "),
+    "q_except_parts" ->
+      """SELECT p_partkey AS k FROM part
+        | EXCEPT SELECT l_partkey AS k FROM lineitem ORDER BY k""".stripMargin.replaceAll("\n", " "),
+    "q_intersect_keys" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        | SELECT p_partkey AS k FROM part
+        | INTERSECT SELECT l_partkey AS k FROM lineitem) t""".stripMargin.replaceAll("\n", " "),
+    "q_pivot_status" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -104,6 +104,16 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() == 30L * 29 / 2)
   }
 
+  test("approx_count_distinct tracks exact distinct within HLL error bounds") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val r = docs.agg(
+      approx_count_distinct(col("text")).as("approx"),
+      count_distinct(col("text")).as("exact")).first()
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact drifts beyond 5%")
+  }
+
   test("x_minhash_neardup summary is stable on driver testdata") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", Dedup.MinHashParams())

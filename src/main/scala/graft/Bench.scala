@@ -29,6 +29,11 @@ object Bench {
     // Failures are recorded per query (value -1), never silently timed:
     // a broken query must not masquerade as a fast one.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Operators persist multi-consumer intermediates (bands, pair
+      // sets, daily aggregates) for the duration of their query; clear
+      // them between measurements so storage doesn't accumulate across
+      // 50 queries and no query accidentally reuses another's cache.
+      spark.sqlContext.clearCache()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

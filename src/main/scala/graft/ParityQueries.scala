@@ -208,8 +208,9 @@ object ParityQueries {
     * metadata.json path), aggregated on exact integer sums only so the
     * result is independent of JSON double formatting. */
   private def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = sys.props("java.io.tmpdir") + "/graft_json_" +
-      Integer.toHexString(dir.hashCode)
+    // Per-invocation temp dir: a fixed hash-derived path would race
+    // when two sessions verify the same sf dir concurrently.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
     Tables.events(s, dir).select(col("event_id"), col("event_type"))
       .write.mode("overwrite").json(tmp)
     graft.etl.Sources.json(s, tmp)
@@ -391,8 +392,7 @@ object ParityQueries {
     * directly.
     */
   private def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = sys.props("java.io.tmpdir") + "/graft_csv_" +
-      Integer.toHexString(dir.hashCode)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
     val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_returnflag")
     Tables.lineitem(s, dir).select(cols.map(col): _*)
@@ -413,8 +413,7 @@ object ParityQueries {
 
   /** S6+S7+Y1–Y3: size-aware parquet write → read back → daily counts. */
   private def parquetRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = sys.props("java.io.tmpdir") + "/graft_pq_" +
-      Integer.toHexString(dir.hashCode)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_").toString
     graft.io.Writer.sizedParquet(Tables.events(s, dir), tmp)
     Timeliness.dailyCounts(graft.etl.Sources.parquet(s, tmp), col("ts"))
       .orderBy(col("day"))

@@ -25,20 +25,24 @@ object FlightPipeline {
   val compoundKey: Seq[String] =
     Seq("Origin", "UniqueCarrier", "FlightNum", "DepTime_Timestamp")
 
-  /** The reference's 10 validity rules (notebook.py:314–352) with the
-    * `year(current_date())` bound injectable for determinism
-    * (SURVEY §7.5.6). */
-  def referenceRules(asOfYear: Int): Seq[Validity.Rule] = Seq(
-    Validity.Rule("year_past", col("Year") < asOfYear),
-    Validity.Rule("month_range", col("Month").between(1, 12)),
-    Validity.Rule("dayofmonth_range", col("DayofMonth").between(1, 31)),
-    Validity.Rule("dayofweek_range", col("DayOfWeek").between(1, 7)),
-    Validity.Rule("deptime_range", col("DepTime").between(1, 2400)),
-    Validity.Rule("crsdeptime_range", col("CRSDepTime").between(1, 2400)),
-    Validity.Rule("arrtime_range", col("ArrTime").between(1, 2400)),
-    Validity.Rule("crsarrtime_range", col("CRSArrTime").between(1, 2400)),
-    Validity.Rule("flightnum_pos", col("FlightNum") > 0),
-    Validity.Rule("distance_pos", col("Distance") > 0))
+  /** The reference's 10 validity rules (notebook.py:314–352) paired
+    * with the column each guards (one table defines both the rule and
+    * the dropped-column filter), the `year(current_date())` bound
+    * injectable for determinism (SURVEY §7.5.6). */
+  def referenceRulesWithColumns(asOfYear: Int): Seq[(Validity.Rule, String)] = Seq(
+    (Validity.Rule("year_past", col("Year") < asOfYear), "Year"),
+    (Validity.Rule("month_range", col("Month").between(1, 12)), "Month"),
+    (Validity.Rule("dayofmonth_range", col("DayofMonth").between(1, 31)), "DayofMonth"),
+    (Validity.Rule("dayofweek_range", col("DayOfWeek").between(1, 7)), "DayOfWeek"),
+    (Validity.Rule("deptime_range", col("DepTime").between(1, 2400)), "DepTime"),
+    (Validity.Rule("crsdeptime_range", col("CRSDepTime").between(1, 2400)), "CRSDepTime"),
+    (Validity.Rule("arrtime_range", col("ArrTime").between(1, 2400)), "ArrTime"),
+    (Validity.Rule("crsarrtime_range", col("CRSArrTime").between(1, 2400)), "CRSArrTime"),
+    (Validity.Rule("flightnum_pos", col("FlightNum") > 0), "FlightNum"),
+    (Validity.Rule("distance_pos", col("Distance") > 0), "Distance"))
+
+  def referenceRules(asOfYear: Int): Seq[Validity.Rule] =
+    referenceRulesWithColumns(asOfYear).map(_._1)
 
   /** S5: explicit-schema PERMISSIVE CSV load. */
   def load(spark: SparkSession, path: String): DataFrame =
@@ -90,7 +94,19 @@ object FlightPipeline {
     val raw = load(spark, path)
     // Census → drop-all-null (driver-level adaptivity, SURVEY §3 E1).
     val (dropped, kept) = Completeness.dropAllNull(raw)
-    val cached = kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The timestamp derivation and the compound key read these columns;
+    // if the census dropped one (e.g. a file of only cancelled flights
+    // has all-null DepTime) re-add it as a typed null column — the data
+    // was all null anyway, so derived values are identical and nothing
+    // crashes downstream.
+    val required = Seq("Year" -> "int", "Month" -> "int",
+      "DayofMonth" -> "int", "DepTime" -> "int", "FlightNum" -> "int",
+      "Origin" -> "string", "UniqueCarrier" -> "string")
+    val derivable = required.foldLeft(kept) { case (df, (c, tpe)) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(tpe))
+    }
+    val cached = derivable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totalRows = cached.count()
     val exactDups = Uniqueness.exactDupGroups(cached).first().getLong(0)
     val deduped = deriveTimestamps(Uniqueness.dropDups(cached))
@@ -98,27 +114,15 @@ object FlightPipeline {
     val rowsAfterDedup = deduped.count()
     val compoundDups = Uniqueness.compoundDupGroups(deduped, compoundKey)
       .agg(count(lit(1))).first().getLong(0)
-    val validity = Validity.report(deduped,
-        referenceRules(asOfYear).filter(r => !dropped.contains(ruleColumn(r.name))))
+    val applicableRules = referenceRulesWithColumns(asOfYear).collect {
+      case (rule, column) if !dropped.contains(column) => rule
+    }
+    val validity = Validity.report(deduped, applicableRules)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val daily = Timeliness.dailyCounts(deduped, col("DepTime_Timestamp"))
     val gaps = Timeliness.calendarGaps(spark, daily)
       .collect().map(_.getDate(0)).toSeq
     Report(dropped, totalRows, exactDups, rowsAfterDedup, compoundDups,
       validity, gaps, deduped)
-  }
-
-  private def ruleColumn(ruleName: String): String = ruleName match {
-    case "year_past" => "Year"
-    case "month_range" => "Month"
-    case "dayofmonth_range" => "DayofMonth"
-    case "dayofweek_range" => "DayOfWeek"
-    case "deptime_range" => "DepTime"
-    case "crsdeptime_range" => "CRSDepTime"
-    case "arrtime_range" => "ArrTime"
-    case "crsarrtime_range" => "CRSArrTime"
-    case "flightnum_pos" => "FlightNum"
-    case "distance_pos" => "Distance"
-    case _ => ruleName
   }
 }

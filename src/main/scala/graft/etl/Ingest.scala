@@ -26,13 +26,20 @@ object Ingest {
     Files.createDirectories(dir)
     val target = dir.resolve(fileName)
     if (Files.exists(target) && Files.size(target) > 0) return target
-    val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(target))
-    if (resp.statusCode() / 100 != 2) {
-      Files.deleteIfExists(target)
-      throw new java.io.IOException(s"GET $url -> HTTP ${resp.statusCode()}")
-    }
-    target
+    // Download to a temp name and move into place: an interrupted body
+    // must never leave a truncated file that the idempotence check
+    // would treat as complete on the next run.
+    val tmp = Files.createTempFile(dir, s".$fileName.", ".part")
+    try {
+      val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp))
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"GET $url -> HTTP ${resp.statusCode()}")
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      target
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Fetch a set of (url, fileName) pairs sequentially (the reference's

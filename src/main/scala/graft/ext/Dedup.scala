@@ -180,10 +180,12 @@ object Dedup {
     // set itself feeds three consumers (two id projections + the join),
     // so persist it rather than re-running candidate generation.
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ids = p.select(col("id_a").as("id"))
-      .union(p.select(col("id_b").as("id"))).distinct()
+    // Collision-proof alias: idCol may itself be "id" (or docs may
+    // carry one) — a bare col("id") join condition would be ambiguous.
+    val ids = p.select(col("id_a").as("__vp_id"))
+      .union(p.select(col("id_b").as("__vp_id"))).distinct()
     val sh = docs
-      .join(broadcast(ids), col(idCol) === col("id"), "left_semi")
+      .join(broadcast(ids), col(idCol) === col("__vp_id"), "left_semi")
       .select(col(idCol).as("id"),
         shingles(col(textCol), params.shingleSize).as("sh"))
     p

@@ -53,9 +53,9 @@ object Multimodal {
     * `mapInPandas` decode: rows stream through in `batchSize` groups so
     * a real codec can amortize per-batch setup (model load, native
     * buffers) without ever materializing a partition in memory. The
-    * decode itself is the same deterministic STUB as
-    * `decodeFeaturesStub` (no media codecs in this environment); the
-    * batching, schema, and iterator discipline are the real contract.
+    * decode is the SAME deterministic stub as `decodeFeaturesStub`
+    * (xxhash64(payload, i) semantics, computed JVM-side), so the two
+    * paths are interchangeable — SimilaritySpec asserts equality.
     */
   def decodeBatched(df: DataFrame, idCol: String, payloadCol: String,
                     dims: Int = 8, batchSize: Int = 64): DataFrame = {
@@ -68,10 +68,17 @@ object Multimodal {
           // Per-batch "codec setup" would happen here, once per batch.
           batch.iterator.map { case (id, bytes) =>
             val feats = Array.tabulate(dims) { d =>
-              // Same arithmetic as decodeFeaturesStub's xxhash64 path,
-              // but computed JVM-side per batch element.
-              val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, d + 1)
-              ((h % 2000 + 2000) % 2000 - 1000).toDouble / 1000.0
+              // xxhash64(payload, i): seed 42 over the bytes, then the
+              // int literal folded in as a long — exactly the
+              // multi-argument xxhash64 expression decodeFeaturesStub
+              // evaluates (i = d+1, matching its 1-based sequence).
+              val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashUnsafeBytes(bytes,
+                  org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                  bytes.length, 42L)
+              val h = org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashInt(d + 1, h1)
+              (((h % 2000) + 2000) % 2000 - 1000).toDouble / 1000.0
             }
             (id, feats)
           }

@@ -26,12 +26,15 @@ object Kernels {
   val P = 2147483647L // 2^31−1, the Mersenne prime used across Dedup
 
   /** Sequential-order dot product; identical fold order to
-    * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, _+_)`. */
-  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, _+_)` — including a
+    * null element anywhere making the whole result null (boxed return
+    * so the expression can propagate it). */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -86,14 +89,20 @@ object Kernels {
         val i = j * rows + k
         val a = (i.toLong * 2654435761L + 1L) % P
         val b = (i.toLong * 40503L + 7L) % P
+        // Null elements are skipped — array_min ignores nulls in the
+        // higher-order twin; an all-null (or empty) set minhashes to P.
         var m = Long.MaxValue
+        var any = false
         var t = 0
         while (t < n) {
-          val v = (a * hs.getLong(t) + b) % P
-          if (v < m) m = v
+          if (!hs.isNullAt(t)) {
+            any = true
+            val v = (a * hs.getLong(t) + b) % P
+            if (v < m) m = v
+          }
           t += 1
         }
-        if (n == 0) m = P
+        if (!any) m = P
         acc = (acc * 31 + m) % P
         k += 1
       }
@@ -139,11 +148,14 @@ case class GraftDot(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (af, bf) = (isFloat(left), isFloat(right))
+      val boxed = ctx.freshName("dotBoxed")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.Kernels.dot($a, $b, $af, $bf);
+         |  java.lang.Double $boxed = graft.functions.Kernels.dot($a, $b, $af, $bf);
+         |  if ($boxed == null) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $boxed.doubleValue(); }
          |}
        """.stripMargin
     })

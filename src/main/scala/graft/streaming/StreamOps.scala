@@ -85,8 +85,17 @@ object StreamOps {
       var cur = state.getOption
       times.foreach { t =>
         cur match {
-          case Some(s) if t - s.last <= gapMs =>
-            cur = Some(SessionState(s.start, t, s.nEvents + 1))
+          // Overlapping or gap-adjacent event (including LATE events
+          // inside the current span): widen, never regress `last` —
+          // a late t < s.last must not shrink the session end.
+          case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+            cur = Some(SessionState(math.min(s.start, t),
+              math.max(s.last, t), s.nEvents + 1))
+          // Too late to merge (t < start − gap): best effort, emit as
+          // its own closed 1-event session; current session unchanged.
+          case Some(s) if t < s.start - gapMs =>
+            closed ::= Session(userId, new java.sql.Timestamp(t),
+              new java.sql.Timestamp(t), 1)
           case Some(s) =>
             closed ::= Session(userId, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.last), s.nEvents)
@@ -97,7 +106,10 @@ object StreamOps {
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.last + gapMs)
+        // Never set a timeout at/below the watermark — the runtime
+        // rejects it and would kill the whole query.
+        state.setTimeoutTimestamp(
+          math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
       }
       closed.reverseIterator
     }

@@ -44,6 +44,26 @@ class FlightPipelineSpec extends AnyFunSuite {
     assert(report.gapDays.map(_.toString) == Seq("2008-01-04"))
   }
 
+  test("run survives a slice whose derivation columns are all null (dropped)") {
+    // A file of only cancelled flights: DepTime/ArrTime all null →
+    // dropped by the census; the pipeline must not crash and the
+    // DepTime rules must silently not apply.
+    val header = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(getClass.getResource("/flights_mini.csv").getPath)).get(0)
+    val cancelled = Seq(
+      "2008,2,1,5,,1200,,1300,WN,503,N1,,,,,,HOU,DAL,239,,,1,A,0,,,,,",
+      "2008,2,2,6,,900,,1015,AA,104,N2,,,,,,JFK,ORD,740,,,1,B,0,,,,,")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cancelled")
+    java.nio.file.Files.writeString(dir.resolve("cancelled.csv"),
+      (header +: cancelled).mkString("\n"))
+    val rep = FlightPipeline.run(spark, dir.toString, asOfYear = 2009)
+    assert(rep.totalRows == 2)
+    assert(rep.droppedColumns.contains("DepTime"))
+    assert(!rep.validity.contains("deptime_range"))
+    assert(rep.validity("crsdeptime_range") == 0)
+    assert(rep.gapDays.isEmpty) // no timestamps → no calendar to gap-check
+  }
+
   test("cleaned output survives a parquet round-trip bit-identically") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_rt").toString
     val n = graft.io.Writer.sizedParquet(report.cleaned, tmp)

@@ -149,6 +149,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(small.collect().forall(_.getSeq[Double](1).size == 8))
     // Batch size is a physical knob — it must not change results.
     assert(small.exceptAll(large).count() == 0)
+    // The batched path and the expression stub are the SAME decode:
+    // interchangeable feature values, row for row.
+    val exprPath = payloads.select(col("doc_id"),
+      Multimodal.decodeFeaturesStub(col("payload"), 8).as("features"))
+    assert(small.exceptAll(exprPath).count() == 0)
+    assert(exprPath.exceptAll(small).count() == 0)
   }
 
   test("multimodal stub decode yields a fixed-width deterministic feature vector") {

@@ -43,6 +43,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("graft_dot propagates a null ELEMENT to null, like the fold") {
+    import spark.implicits._
+    val df = Seq((Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+    val r = df.select(
+      call_function("graft_dot", col("a"), col("b")).as("fast"),
+      graft.ext.Similarity.dot(col("a"), col("b")).as("slow")).first()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("graft_minhash_bands matches the higher-order fold exactly") {
     val docs = Tables.documents(spark, TestSpark.sf0001).limit(100)
     val params = Dedup.MinHashParams()

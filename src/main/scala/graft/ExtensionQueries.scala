@@ -92,7 +92,24 @@ object ExtensionQueries {
       // bound is asserted in DedupSpec.
       Tables.documents(s, dir).agg(
         approx_count_distinct(col("text")).as("approx_distinct"),
-        count(lit(1)).as("n")))
+        count(lit(1)).as("n"))),
+    "x_clean_text" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(TextAnalysis.cleanText(col("text"))).cast("long").as("n_clean_chars"))
+        .orderBy(col("doc_id"))),
+    "x_pii_flags" -> ((s, dir) =>
+      TextAnalysis.piiFlags(Tables.documents(s, dir), "text")
+        .groupBy()
+        .agg(sum(col("n_emails")).as("total_emails"),
+          sum(col("n_long_digit_runs")).as("total_digit_runs"),
+          sum(col("n_phone_like")).as("total_phone_like"),
+          count(lit(1)).as("n_docs"))),
+    "x_split_assign" -> ((s, dir) =>
+      TextAnalysis.assignSplit(Tables.documents(s, dir), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split")))
   )
 
   /** IVF ANN top-10 for the vec_id=0 query (16 clusters, probe 4) —
@@ -255,6 +272,20 @@ object ExtensionQueries {
         | SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
     "x_multimodal_meta" ->
       "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, 'text/plain' AS format FROM documents ORDER BY doc_id",
+    "x_clean_text" ->
+      """SELECT doc_id, CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+        | text, '<[^>]*>', ' ', 'g'), '&[a-zA-Z#0-9]+;', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_clean_chars
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "x_pii_flags" ->
+      """SELECT CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))) AS BIGINT) AS total_emails,
+        | CAST(SUM(len(regexp_extract_all(text, '[0-9]{9,}'))) AS BIGINT) AS total_digit_runs,
+        | CAST(SUM(len(regexp_extract_all(text, '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}'))) AS BIGINT) AS total_phone_like,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents""".stripMargin.replaceAll("\n", " "),
+    "x_split_assign" ->
+      """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        | FROM (SELECT ((((doc_id % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 AS b FROM documents) t
+        | GROUP BY 1 ORDER BY split""".stripMargin.replaceAll("\n", " "),
     "x_cosine_pairs_label" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
         | p AS (SELECT a.label,

@@ -68,4 +68,50 @@ object TextAnalysis {
     * text. Exact-dedup key that survives case/spacing jitter. */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Boilerplate cleaning for scraped text: drop HTML tags, collapse
+    * entities to spaces, normalize runs of whitespace. Pure regexp —
+    * codegen'd, shuffle-free. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "<[^>]*>", " "),
+        "&[a-zA-Z#0-9]+;", " "),
+      "\\s+", " "))
+
+  /** PII-shaped pattern counts (emails, long digit runs, phone-shaped
+    * sequences) — the filter signal a training pipeline uses to route
+    * documents to scrubbing. Counts only; redaction composes via
+    * regexp_replace with the same patterns. */
+  def piiFlags(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"), lit(0))).cast("long"))
+      .withColumn("n_long_digit_runs",
+        size(regexp_extract_all(t, lit("[0-9]{9,}"), lit(0))).cast("long"))
+      .withColumn("n_phone_like",
+        size(regexp_extract_all(t, lit("\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}"), lit(0))).cast("long"))
+  }
+
+  /** Deterministic train/val/test routing: a multiplicative hash of a
+    * numeric id into [0, 100), then range thresholds. Portable
+    * arithmetic (no engine-specific hash), so the same row lands in the
+    * same split on any engine — and the split is stable under
+    * repartitioning, appends, and reruns, unlike rand()-based sampling.
+    */
+  def splitBucket(id: Column): Column =
+    // Reduce mod a prime first: keeps the multiply under 2^52, so the
+    // arithmetic never overflows Long on any engine (overflow would
+    // wrap in Spark but promote to int128 in DuckDB — silently
+    // different buckets).
+    pmod(pmod(id.cast("long"), lit(1000003L)) * lit(2654435761L) + lit(104729L), lit(100L))
+
+  def assignSplit(df: DataFrame, idCol: String,
+                  trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val b = splitBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
 }

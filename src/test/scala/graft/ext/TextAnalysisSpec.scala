@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Text-pipeline operator semantics on hand-built goldens plus
+  * stability properties on the driver tables.
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cleanText strips tags and entities and collapses whitespace") {
+    val got = Seq(
+      "<p>Hello <b>world</b></p>",
+      "a &amp; b&nbsp;c",
+      "  spaced\t\tout \n text  ",
+      "plain").toDF("text")
+      .select(TextAnalysis.cleanText(col("text")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("Hello world", "a b c", "spaced out text", "plain"))
+  }
+
+  test("piiFlags counts emails, digit runs, and phone shapes") {
+    val r = TextAnalysis.piiFlags(Seq(
+      ("reach me at jo.doe+x@mail.example.org or admin@ex.co",
+        2L, 0L, 0L),
+      ("card 1234567890123456 and id 987654321", 0L, 2L, 0L),
+      ("call +1 555 867 5309 today", 0L, 0L, 1L),
+      ("nothing here", 0L, 0L, 0L)).toDF("text", "e", "d", "p"), "text")
+      .collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_emails") == row.getAs[Long]("e"), row.getString(0))
+      assert(row.getAs[Long]("n_long_digit_runs") == row.getAs[Long]("d"), row.getString(0))
+      assert(row.getAs[Long]("n_phone_like") == row.getAs[Long]("p"), row.getString(0))
+    }
+  }
+
+  test("assignSplit: deterministic, repartition-stable, near the requested ratios") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val once = TextAnalysis.assignSplit(docs, "doc_id")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val again = TextAnalysis.assignSplit(docs.repartition(7), "doc_id")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once == again, "split must not depend on partitioning")
+    val n = once.size.toDouble
+    val train = once.values.count(_ == "train") / n
+    assert(train > 0.8 && train < 0.98, s"train fraction $train implausible for 90%")
+    // A subset keeps its assignment (stability under appends/deletes).
+    val subset = TextAnalysis.assignSplit(docs.where(col("doc_id") % 3 === 0), "doc_id")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, s) => assert(once(id) == s) }
+  }
+}

@@ -34,4 +34,31 @@ object Writer {
     df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(path)
     n
   }
+
+  /** Hive-style partitioned layout (`path/col=value/...`): the scale
+    * upgrade over the reference's flat write — a reader filtering on
+    * the partition column scans only matching directories (partition
+    * pruning shows as PartitionFilters in the scan, with no data files
+    * of other partitions opened at all). Partition by a LOW-cardinality
+    * column (a date, a split label): one directory per value, and at
+    * 100 TB a high-cardinality partition column is a small-files
+    * disaster.
+    */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Bucketed + sorted table: both join sides pre-hashed into the same
+    * bucket count on the join key mean Catalyst plans the join with NO
+    * shuffle exchange — the co-location strategy for a fact table
+    * joined repeatedly on the same key at cluster scale. Requires the
+    * session catalog (saveAsTable), not a bare path.
+    */
+  def bucketedTable(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

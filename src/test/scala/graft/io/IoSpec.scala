@@ -52,6 +52,52 @@ class IoSpec extends AnyFunSuite {
     assert(Sources.parquet(spark, tmp).count() == df.count())
   }
 
+  test("partitioned write prunes partitions at read (PartitionFilters, not data filters)") {
+    val df = Tables.events(spark, TestSpark.sf0001)
+      .withColumn("day", col("ts").cast("date").cast("string"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Writer.partitionedParquet(df, tmp, Seq("day"))
+    val someDay = df.select(col("day")).orderBy(col("day")).first().getString(0)
+    // One directory per day on disk.
+    assert(new java.io.File(tmp).listFiles().count(_.getName.startsWith("day=")) ==
+      df.select(col("day")).distinct().count())
+    val read = Sources.parquet(spark, tmp).where(col("day") === someDay)
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("day#"),
+      s"expected partition pruning in scan:\n$scan")
+    assert(read.count() == df.where(col("day") === someDay).count())
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Writer.bucketedTable(
+        Tables.lineitem(spark, TestSpark.sf0001)
+          .select(col("l_orderkey"), col("l_quantity")), "li_b", "l_orderkey", 4)
+      Writer.bucketedTable(
+        Tables.orders(spark, TestSpark.sf0001)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+        "o_b", "l_orderkey", 4)
+      val joined = spark.table("li_b").join(spark.table("o_b"), Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // Both sides pre-bucketed on the key: sort-merge join with ZERO
+      // shuffle exchanges (only per-bucket sorts).
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      val plain = Tables.lineitem(spark, TestSpark.sf0001)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .join(Tables.orders(spark, TestSpark.sf0001)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+          Seq("l_orderkey"))
+      assert(joined.count() == plain.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
   test("multimodal decode partitioning targets bytes per task; chunk sampler strides") {
     import graft.ext.Multimodal
     val df = Tables.documents(spark, TestSpark.sf0001)

@@ -48,18 +48,35 @@ object FlightPipeline {
   def load(spark: SparkSession, path: String): DataFrame =
     Sources.csv(spark, path, FlightSchema.schema)
 
-  /** Column-API timestamp derivation (X1–X8). */
+  /** Column-API timestamp derivation (X1–X8). `DepTime_Date` derives
+    * from Year/Month/DayofMonth ONLY (reference notebook.py:365–377) —
+    * a row with null/malformed DepTime still has its calendar date, so
+    * cancelled flights count toward their day in the timeliness check.
+    */
   def deriveTimestamps(df: DataFrame): DataFrame =
     df.withColumn("DepTime_Hour", TimeDerivation.hhmmHour(col("DepTime")))
       .withColumn("DepTime_Min", TimeDerivation.hhmmMin(col("DepTime")))
       .withColumn("DepTime_Timestamp", TimeDerivation.hhmmTimestamp(
         col("Year"), col("Month"), col("DayofMonth"), col("DepTime")))
+      .withColumn("DepTime_Date", try_to_timestamp(
+        concat(col("Year").cast("string"), lit("-"),
+          lpad(col("Month").cast("string"), 2, "0"), lit("-"),
+          lpad(col("DayofMonth").cast("string"), 2, "0")),
+        lit("yyyy-MM-dd")))
 
   /** SQL-surface twin of deriveTimestamps (Y4/E2: temp view +
     * spark.sql), semantically identical to the reference's embedded SQL
     * (notebook.py:260–291). Tests assert SQL ≡ Column-API. */
   def deriveTimestampsSql(spark: SparkSession, df: DataFrame): DataFrame = {
-    df.createOrReplaceTempView("flights_v")
+    // Unique per-call view name: a fixed name would clobber a caller's
+    // view and race between concurrent calls in one session.
+    val view = "flights_v_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceTempView(view)
+    try deriveSql(spark, view)
+    finally spark.catalog.dropTempView(view)
+  }
+
+  private def deriveSql(spark: SparkSession, view: String): DataFrame = {
     val hourCase =
       """CASE WHEN substring(CAST(DepTime AS STRING), 1, 2) = '24' THEN '00'
         |     WHEN length(CAST(DepTime AS STRING)) < 3 THEN '00'
@@ -76,7 +93,7 @@ object FlightPipeline {
          |    lpad($hourCase, 2, '0'), ':',
          |    lpad(right(CAST(DepTime AS STRING), 2), 2, '0')),
          |   'yyyy-MM-dd HH:mm') AS DepTime_Timestamp
-         |FROM flights_v""".stripMargin)
+         |FROM $view""".stripMargin)
   }
 
   /** Full pipeline report — every reference golden in one struct. */
@@ -99,12 +116,12 @@ object FlightPipeline {
     // has all-null DepTime) re-add it as a typed null column — the data
     // was all null anyway, so derived values are identical and nothing
     // crashes downstream.
-    val required = Seq("Year" -> "int", "Month" -> "int",
-      "DayofMonth" -> "int", "DepTime" -> "int", "FlightNum" -> "int",
-      "Origin" -> "string", "UniqueCarrier" -> "string")
-    val derivable = required.foldLeft(kept) { case (df, (c, tpe)) =>
+    val required = Seq("Year", "Month", "DayofMonth", "DepTime",
+      "FlightNum", "Origin", "UniqueCarrier")
+    val derivable = required.foldLeft(kept) { (df, c) =>
       if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(tpe))
+      // Type comes from the authoritative schema, never restated here.
+      else df.withColumn(c, lit(null).cast(FlightSchema.schema(c).dataType))
     }
     val cached = derivable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totalRows = cached.count()
@@ -112,6 +129,9 @@ object FlightPipeline {
     val deduped = deriveTimestamps(Uniqueness.dropDups(cached))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsAfterDedup = deduped.count()
+    // Everything downstream reads `deduped` (now materialized) — the
+    // pre-dedup cache has no further consumers; don't pin it.
+    cached.unpersist()
     val compoundDups = Uniqueness.compoundDupGroups(deduped, compoundKey)
       .agg(count(lit(1))).first().getLong(0)
     val applicableRules = referenceRulesWithColumns(asOfYear).collect {
@@ -119,7 +139,7 @@ object FlightPipeline {
     }
     val validity = Validity.report(deduped, applicableRules)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val daily = Timeliness.dailyCounts(deduped, col("DepTime_Timestamp"))
+    val daily = Timeliness.dailyCounts(deduped, col("DepTime_Date"))
     val gaps = Timeliness.calendarGaps(spark, daily)
       .collect().map(_.getDate(0)).toSeq
     Report(dropped, totalRows, exactDups, rowsAfterDedup, compoundDups,

@@ -26,6 +26,16 @@ object Validity {
     * `!holds <=> true` counts only genuine failures (3VL: null → false).
     */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    if (rules.isEmpty)
+      // No applicable rules (every guarded column dropped): an empty
+      // report with the right schema, not an aggs.head crash.
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rule",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("failures",
+            org.apache.spark.sql.types.LongType))))
     val aggs = rules.map(r =>
       sum((!r.holds <=> lit(true)).cast("long")).as(r.name))
     val wide = df.agg(aggs.head, aggs.tail: _*)

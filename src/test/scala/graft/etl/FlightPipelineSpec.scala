@@ -64,6 +64,23 @@ class FlightPipelineSpec extends AnyFunSuite {
     assert(rep.gapDays.isEmpty) // no timestamps → no calendar to gap-check
   }
 
+  test("a day with only cancelled flights counts as present, not as a gap (A9 parity)") {
+    // Reference DepTime_Date derives from Year/Month/DayofMonth alone
+    // (notebook.py:365-377): null DepTime must not erase the day.
+    val header = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(getClass.getResource("/flights_mini.csv").getPath)).get(0)
+    val rows = Seq(
+      "2008,3,1,6,700,700,830,835,DL,1,N1,90,95,80,-5,0,ATL,BNA,214,5,5,0,,0,,,,,",
+      "2008,3,2,7,,900,,1015,AA,2,N2,,,,,,JFK,ORD,740,,,1,B,0,,,,,", // cancelled only
+      "2008,3,3,1,700,700,830,835,DL,3,N3,90,95,80,-5,0,ATL,BNA,214,5,5,0,,0,,,,,")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cancelday")
+    java.nio.file.Files.writeString(dir.resolve("slice.csv"),
+      (header +: rows).mkString("\n"))
+    val rep = FlightPipeline.run(spark, dir.toString, asOfYear = 2009)
+    assert(rep.gapDays.isEmpty,
+      s"cancelled-only day must not be a gap, got ${rep.gapDays}")
+  }
+
   test("cleaned output survives a parquet round-trip bit-identically") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_rt").toString
     val n = graft.io.Writer.sizedParquet(report.cleaned, tmp)

@@ -38,6 +38,24 @@ object ParityQueries {
 
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Per-JVM scratch root for round-trip queries, deleted on exit —
+    * per-invocation dirs stay race-free between concurrent sessions
+    * without accumulating full table copies in /tmp across runs. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  private def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
   /** lineitem column names (TESTDATA.md schema; static so the oracle
     * SQL can enumerate them). */
   private val lineitemCols = Seq(
@@ -210,7 +228,7 @@ object ParityQueries {
   private def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
     // Per-invocation temp dir: a fixed hash-derived path would race
     // when two sessions verify the same sf dir concurrently.
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+    val tmp = scratchDir("json_")
     Tables.events(s, dir).select(col("event_id"), col("event_type"))
       .write.mode("overwrite").json(tmp)
     graft.etl.Sources.json(s, tmp)
@@ -392,7 +410,7 @@ object ParityQueries {
     * directly.
     */
   private def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    val tmp = scratchDir("csv_")
     val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_returnflag")
     Tables.lineitem(s, dir).select(cols.map(col): _*)
@@ -413,7 +431,7 @@ object ParityQueries {
 
   /** S6+S7+Y1–Y3: size-aware parquet write → read back → daily counts. */
   private def parquetRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+    val tmp = scratchDir("pq_")
     graft.io.Writer.sizedParquet(Tables.events(s, dir), tmp)
     Timeliness.dailyCounts(graft.etl.Sources.parquet(s, tmp), col("ts"))
       .orderBy(col("day"))
@@ -590,8 +608,11 @@ object ParityQueries {
     "q_json_roundtrip" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+    // Pinned to UTC on both sides: Spark's session runs UTC, while
+    // DuckDB's current_date is host-local — near midnight across a
+    // year boundary the two could otherwise disagree.
     "q_current_year" ->
-      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE year(l_shipdate) < year(current_date())",
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE year(l_shipdate) < year(CAST((now() AT TIME ZONE 'UTC') AS DATE))",
     "q_preview" ->
       "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 5",
     "q_schema_introspect" ->

@@ -20,6 +20,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Operators persist multi-consumer intermediates scoped to their
+      // own query; clear between queries so ~50 of them can't
+      // accumulate storage over the run.
+      spark.sqlContext.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -92,7 +92,12 @@ object FlightPipeline {
          |    lpad(CAST(DayofMonth AS STRING), 2, '0'), ' ',
          |    lpad($hourCase, 2, '0'), ':',
          |    lpad(right(CAST(DepTime AS STRING), 2), 2, '0')),
-         |   'yyyy-MM-dd HH:mm') AS DepTime_Timestamp
+         |   'yyyy-MM-dd HH:mm') AS DepTime_Timestamp,
+         |  try_to_timestamp(concat(
+         |    CAST(Year AS STRING), '-',
+         |    lpad(CAST(Month AS STRING), 2, '0'), '-',
+         |    lpad(CAST(DayofMonth AS STRING), 2, '0')),
+         |   'yyyy-MM-dd') AS DepTime_Date
          |FROM $view""".stripMargin)
   }
 

@@ -67,6 +67,10 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           // Per-batch "codec setup" would happen here, once per batch.
           batch.iterator.map { case (id, bytes) =>
+            // Null payload → null features, like the expression twin
+            // (ids must be non-null — they key the output).
+            if (bytes == null) (id, null: Array[Double])
+            else {
             val feats = Array.tabulate(dims) { d =>
               // xxhash64(payload, i): seed 42 over the bytes, then the
               // int literal folded in as a long — exactly the
@@ -81,6 +85,7 @@ object Multimodal {
               (((h % 2000) + 2000) % 2000 - 1000).toDouble / 1000.0
             }
             (id, feats)
+            }
           }
         }
       }

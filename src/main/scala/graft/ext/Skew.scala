@@ -31,10 +31,13 @@ object Skew {
 
   /** Two-phase skew-safe aggregation: partial-aggregate on
     * (key, salt), then final-aggregate on key. For algebraic aggregates
-    * (sum/count/min/max) the result is identical to a direct groupBy;
-    * the hot key's partial work is spread over `salt` reducers.
-    * Callers pass the same column expression for both phases, e.g.
-    * `skewedAgg(df, "k", salt=16)(sum(col("v")).as("v"), sum(col("v")).as("v"))`.
+    * the result is identical to a direct groupBy; the hot key's partial
+    * work is spread over `salt` reducers. The final phase MERGES
+    * partials — sum/min/max re-apply themselves, but count's final
+    * phase must SUM the partial counts, never count() again (that
+    * would count salt partitions):
+    * `skewedAgg(df, "k", 16)(sum(col("v")).as("v"), sum(col("v")).as("v"))`
+    * `skewedAgg(df, "k", 16)(count(lit(1)).as("n"), sum(col("n")).as("n"))`
     */
   def skewedAgg(df: DataFrame, key: String, salt: Int)
                (partial: Column, fin: Column): DataFrame = {

@@ -85,12 +85,14 @@ object TextAnalysis {
     * regexp_replace with the same patterns. */
   def piiFlags(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_emails",
-        size(regexp_extract_all(t, lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"), lit(0))).cast("long"))
-      .withColumn("n_long_digit_runs",
-        size(regexp_extract_all(t, lit("[0-9]{9,}"), lit(0))).cast("long"))
+    // greatest(…, 0): size() of a null array is -1 under non-ANSI
+    // sessions — a null text must count 0 patterns, not deflate sums.
+    def n(pattern: String) =
+      greatest(size(regexp_extract_all(t, lit(pattern), lit(0))), lit(0)).cast("long")
+    df.withColumn("n_emails", n("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"))
+      .withColumn("n_long_digit_runs", n("[0-9]{9,}"))
       .withColumn("n_phone_like",
-        size(regexp_extract_all(t, lit("\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}"), lit(0))).cast("long"))
+        n("\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}"))
   }
 
   /** Deterministic train/val/test routing: a multiplicative hash of a

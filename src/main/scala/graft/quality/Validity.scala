@@ -36,8 +36,10 @@ object Validity {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("failures",
             org.apache.spark.sql.types.LongType))))
+    // coalesce(…, 0): sum over ZERO rows is null; an empty slice has
+    // zero failures, not null ones.
     val aggs = rules.map(r =>
-      sum((!r.holds <=> lit(true)).cast("long")).as(r.name))
+      coalesce(sum((!r.holds <=> lit(true)).cast("long")), lit(0L)).as(r.name))
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // Reshape wide→long with Column literals (never string-spliced SQL:
     // a rule name containing a quote must not break the plan).

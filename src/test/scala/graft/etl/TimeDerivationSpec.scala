@@ -80,10 +80,10 @@ class TimeDerivationSpec extends AnyFunSuite {
   test("SQL twin produces identical derivation to the Column API") {
     val df = graft.etl.FlightPipeline.load(spark,
       getClass.getResource("/flights_mini.csv").getPath)
-    val api = FlightPipeline.deriveTimestamps(df)
-      .select("DepTime", "DepTime_Hour", "DepTime_Min", "DepTime_Timestamp")
-    val sql = FlightPipeline.deriveTimestampsSql(spark, df)
-      .select("DepTime", "DepTime_Hour", "DepTime_Min", "DepTime_Timestamp")
+    val cols = Seq("DepTime", "DepTime_Hour", "DepTime_Min",
+      "DepTime_Timestamp", "DepTime_Date")
+    val api = FlightPipeline.deriveTimestamps(df).select(cols.head, cols.tail: _*)
+    val sql = FlightPipeline.deriveTimestampsSql(spark, df).select(cols.head, cols.tail: _*)
     assert(api.exceptAll(sql).count() == 0 && sql.exceptAll(api).count() == 0)
   }
 }

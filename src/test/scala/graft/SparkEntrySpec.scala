@@ -35,4 +35,32 @@ class SparkEntrySpec extends AnyFunSuite {
       assert(df.schema.fields.nonEmpty, s"$name produced an empty schema")
     }
   }
+
+  test("no registered query plans a cartesian or nested-loop join (100 TB guard)") {
+    // Deliberate exception: 1-row summary aggregates cross-joined into
+    // a single report row (x_minhash_neardup) — O(1), not O(n^2).
+    val allowCross = Set("x_minhash_neardup")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+      if (!allowCross(name)) {
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a cartesian product:\n$plan")
+        assert(!plan.contains("BroadcastNestedLoop"),
+          s"$name plans a nested-loop join:\n$plan")
+      }
+    }
+  }
+
+  test("registerAll exposes the full schema to plain spark.sql") {
+    Tables.registerAll(spark, TestSpark.sf0001)
+    val r = spark.sql("""
+      SELECT r_name, COUNT(*) AS n
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""").collect()
+    assert(r.map(_.getLong(1)).sum == spark.table("customer").count())
+    // events view carries the normalized timestamp type.
+    assert(spark.sql("SELECT ts FROM events").schema("ts").dataType
+      == org.apache.spark.sql.types.TimestampType)
+  }
 }

@@ -21,5 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctionBuilders.minhashInfo, GraftFunctionBuilders.minhashBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       GraftFunctionBuilders.shingleInfo, GraftFunctionBuilders.shingleBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_cosine_sim"),
+      GraftFunctionBuilders.cosineInfo, GraftFunctionBuilders.cosineBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_bucket"),
+      GraftFunctionBuilders.lshInfo, GraftFunctionBuilders.lshBuilder _))
+    // Opt-in approximate similarity-join rewrite (see
+    // graft.plans.ApproxSimilarityJoin — off unless
+    // spark.graft.approxSimilarityJoin=true).
+    ext.injectOptimizerRule(_ => new graft.plans.ApproxSimilarityJoin)
   }
 }

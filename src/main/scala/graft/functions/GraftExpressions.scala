@@ -43,6 +43,49 @@ object Kernels {
     acc
   }
 
+  /** Cosine of two numeric arrays via the dot kernel; null on null
+    * input, null element, zero norm, or length mismatch. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
+    val ab = dot(a, b, aFloat, bFloat)
+    val aa = dot(a, a, aFloat, aFloat)
+    val bb = dot(b, b, bFloat, bFloat)
+    if (ab == null || aa == null || bb == null) return null
+    val denom = math.sqrt(aa) * math.sqrt(bb)
+    if (denom == 0.0) null else ab / denom
+  }
+
+  /** Random-hyperplane LSH bucket — the kernel twin of
+    * Similarity.lshBucket: plane component (j, d) =
+    * (pmod(xxhash64(j, d), 2000) − 1000) / 1000 with xxhash64's seed-42
+    * int-chaining, bucket bit j set when the projection is ≥ 0.
+    * GraftFunctionsSpec pins equality with the higher-order form.
+    */
+  def lshBucket(vec: ArrayData, bits: Int, isFloat: Boolean): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val dims = vec.numElements()
+    // A null element nulls every projection fold in the higher-order
+    // twin, so every when() takes the 0 branch → bucket 0. Mirror that.
+    var i0 = 0
+    while (i0 < dims) { if (vec.isNullAt(i0)) return 0L; i0 += 1 }
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      var d = 0.0
+      var i = 0
+      while (i < dims) {
+        val h = XXH64.hashInt(i + 1, XXH64.hashInt(j, 42L))
+        val plane = (((h % 2000) + 2000) % 2000 - 1000).toDouble / 1000.0
+        val v = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        d += v * plane
+        i += 1
+      }
+      if (d >= 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
   /** Distinct k-word shingle hashes of a text, mod P — the kernel twin
     * of `shingleHashes(shingles(text, k))` in Dedup: java String.split
     * with regex " " and limit -1 (exactly Catalyst's StringSplit),
@@ -165,6 +208,84 @@ case class GraftDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Cosine similarity of two numeric arrays — the marker expression the
+  * approximate-similarity-join optimizer rule recognizes in join
+  * conditions (and a plain fast cosine everywhere else). */
+case class GraftCosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine_sim expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (af, bf) = (isFloat(left), isFloat(right))
+      val boxed = ctx.freshName("cosBoxed")
+      s"""
+         |java.lang.Double $boxed = graft.functions.Kernels.cosine($a, $b, $af, $bf);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH bucket id of a vector (kernel twin of
+  * Similarity.lshBucket; used by the approx-join rewrite). */
+case class GraftLshBucket(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_lsh_bucket expects array<float|double>, got $dt")
+    }
+
+  override def nullSafeEval(vec: Any): Any =
+    Kernels.lshBucket(vec.asInstanceOf[ArrayData], bits, isFloat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.Kernels.lshBucket($v, $bits, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct k-word shingle hashes of a string column (string →
   * array<long>, values in [0, P)). */
 case class GraftShingleHashes(child: Expression, k: Int)
@@ -243,4 +364,14 @@ object GraftFunctionBuilders {
     new ExpressionInfo(classOf[GraftShingleHashes].getName, "graft_shingle_hashes")
   def shingleBuilder(exprs: Seq[Expression]): Expression =
     GraftShingleHashes(exprs(0), intLit(exprs(1), "k"))
+
+  val cosineInfo =
+    new ExpressionInfo(classOf[GraftCosineSim].getName, "graft_cosine_sim")
+  def cosineBuilder(exprs: Seq[Expression]): Expression =
+    GraftCosineSim(exprs(0), exprs(1))
+
+  val lshInfo =
+    new ExpressionInfo(classOf[GraftLshBucket].getName, "graft_lsh_bucket")
+  def lshBuilder(exprs: Seq[Expression]): Expression =
+    GraftLshBucket(exprs(0), intLit(exprs(1), "bits"))
 }

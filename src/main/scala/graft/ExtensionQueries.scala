@@ -109,8 +109,27 @@ object ExtensionQueries {
       TextAnalysis.assignSplit(Tables.documents(s, dir), "doc_id")
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("split")))
+        .orderBy(col("split"))),
+    "x_approx_sim_join" -> ((s, dir) => approxSimJoin(s, dir))
   )
+
+  /** The naive cosine-threshold self-join, scaled by the opt-in
+    * optimizer rewrite (graft.plans.ApproxSimilarityJoin): the flag
+    * stays on for the session — the rule only ever fires on
+    * graft_cosine_sim join conjuncts, so no other query is affected.
+    * Summary row; LSH-bucket recall makes it rows-only (semantics
+    * pinned by ApproxSimilarityJoinSpec).
+    */
+  private def approxSimJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.graft.approxSimilarityJoin", "true")
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.crossJoin(b)
+      .where(call_function("graft_cosine_sim", col("v_a"), col("v_b")) >= lit(0.9)
+        && col("id_a") < col("id_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 
   /** IVF ANN top-10 for the vec_id=0 query (16 clusters, probe 4) —
     * the trained-index alternative to the LSH bucket path; recall vs

@@ -180,6 +180,13 @@ object ParityQueries {
       Tables.part(s, dir).select(col("p_partkey").as("k"))
         .intersect(Tables.lineitem(s, dir).select(col("l_partkey").as("k")))
         .agg(count(lit(1)).as("n"))),
+    "q_percentiles" -> ((s, dir) =>
+      // Exact interpolated percentiles (sort-based; the approximate
+      // sketch upgrade at scale is approx_percentile/t-digest).
+      Tables.lineitem(s, dir).agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))),
     "q_pivot_status" -> ((s, dir) =>
       // Pivot: one count column per line status value.
       Tables.lineitem(s, dir)
@@ -648,6 +655,10 @@ object ParityQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
         | SELECT p_partkey AS k FROM part
         | INTERSECT SELECT l_partkey AS k FROM lineitem) t""".stripMargin.replaceAll("\n", " "),
+    "q_percentiles" ->
+      """SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
+        | quantile_cont(l_extendedprice, 0.5) AS p50,
+        | quantile_cont(l_extendedprice, 0.95) AS p95 FROM lineitem""".stripMargin.replaceAll("\n", " "),
     "q_pivot_status" ->
       """SELECT l_returnflag,
         | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,

@@ -196,6 +196,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair set via iterative
+    * min-label propagation: every doc gets the smallest id reachable
+    * through near-dup edges as its `cluster_id`. Converges in
+    * O(log(diameter)) rounds; near-dup clusters are tiny (diameter a
+    * handful), so a low `maxIters` with an early-exit check is plenty.
+    * Each round is one keyed aggregation — no cartesian, no driver
+    * data beyond the 1-row convergence count.
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                      maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // Neighbor minimum: each node adopts min(own, neighbors') label.
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
+        .where(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup dedup end to end: keep ONE survivor (smallest id) per
+    * near-dup cluster, everything else unchanged — the operator a
+    * training pipeline actually runs, built on candidatePairs +
+    * verifyPairs + nearDupClusters.
+    */
+  def dedupNearDups(docs: DataFrame, idCol: String, textCol: String,
+                    params: MinHashParams = MinHashParams(),
+                    threshold: Double = 0.8): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, params, threshold)
+    val clusters = nearDupClusters(docs, idCol, pairs)
+    docs.join(clusters.where(col("id") === col("cluster_id"))
+        .select(col("id")),
+      docs(idCol) === col("id"), "left_semi")
+  }
+
   /** Exact dedup via content fingerprint: keeps one row per distinct
     * fingerprint. Shuffles the 16-byte key + survivor row, not the full
     * payload per group — the scale-safe variant of dropDuplicates(all).

@@ -104,6 +104,30 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() == 30L * 29 / 2)
   }
 
+  test("near-dup clustering: transitive clusters collapse to one survivor each") {
+    import spark.implicits._
+    // Chain 10-11-12 is one cluster via transitivity (10~11, 11~12
+    // even if 10!~12); 20-21 a second; 30 is a singleton.
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val docs = Seq(10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
+  test("dedupNearDups keeps one survivor per planted near-dup pair") {
+    val out = Dedup.dedupNearDups(corpus, "doc_id", "text", params, threshold = 0.5)
+    // 63 docs, 3 planted near-dup pairs -> 3 docs removed.
+    assert(out.count() == 60)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // The smaller id of each planted pair survives.
+    assert(ids.contains(3L) && !ids.contains(100L))
+    assert(ids.contains(17L) && !ids.contains(101L))
+    assert(ids.contains(42L) && !ids.contains(102L))
+  }
+
   test("approx_count_distinct tracks exact distinct within HLL error bounds") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val r = docs.agg(

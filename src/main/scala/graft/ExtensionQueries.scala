@@ -110,7 +110,14 @@ object ExtensionQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
-    "x_approx_sim_join" -> ((s, dir) => approxSimJoin(s, dir))
+    "x_approx_sim_join" -> ((s, dir) => approxSimJoin(s, dir)),
+    "x_neardup_dedup" -> ((s, dir) =>
+      // End-to-end near-dup dedup: candidates → verify → cluster →
+      // survivor per cluster. Rows-only (MinHash-dependent); semantics
+      // pinned by DedupSpec's planted clusters.
+      Dedup.dedupNearDups(Tables.documents(s, dir), "doc_id", "text",
+          Dedup.MinHashParams(), threshold = 0.5)
+        .agg(count(lit(1)).as("n_survivors")))
   )
 
   /** The naive cosine-threshold self-join, scaled by the opt-in

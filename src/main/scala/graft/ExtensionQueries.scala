@@ -121,21 +121,31 @@ object ExtensionQueries {
   )
 
   /** The naive cosine-threshold self-join, scaled by the opt-in
-    * optimizer rewrite (graft.plans.ApproxSimilarityJoin): the flag
-    * stays on for the session — the rule only ever fires on
-    * graft_cosine_sim join conjuncts, so no other query is affected.
-    * Summary row; LSH-bucket recall makes it rows-only (semantics
-    * pinned by ApproxSimilarityJoinSpec).
+    * optimizer rewrite (graft.plans.ApproxSimilarityJoin). The flag is
+    * scoped to THIS plan: set, force optimization eagerly (the
+    * QueryExecution caches its phases, so later actions reuse the
+    * rewritten plan), then restored — no other query in the session
+    * ever sees it. Summary row; LSH-bucket recall makes it rows-only
+    * (semantics pinned by ApproxSimilarityJoinSpec).
     */
   private def approxSimJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.graft.approxSimilarityJoin", "true")
-    val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
-    a.crossJoin(b)
-      .where(call_function("graft_cosine_sim", col("v_a"), col("v_b")) >= lit(0.9)
-        && col("id_a") < col("id_b"))
-      .agg(count(lit(1)).as("n_pairs"))
+    val flag = "spark.graft.approxSimilarityJoin"
+    val prev = s.conf.getOption(flag)
+    s.conf.set(flag, "true")
+    try {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      val df = a.crossJoin(b)
+        .where(call_function("graft_cosine_sim", col("v_a"), col("v_b")) >= lit(0.9)
+          && col("id_a") < col("id_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+      df.queryExecution.executedPlan // materialize phases under the flag
+      df
+    } finally prev match {
+      case Some(v) => s.conf.set(flag, v)
+      case None => s.conf.unset(flag)
+    }
   }
 
   /** IVF ANN top-10 for the vec_id=0 query (16 clusters, probe 4) —

@@ -236,6 +236,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      // Propagation is one hop per round: a chain of diameter > maxIters
+      // leaves labels partial (some clusters split in two). Loud, not
+      // silent — callers with adversarially long chains raise maxIters.
+      System.err.println(
+        s"[graft] nearDupClusters did NOT converge after $maxIters rounds; " +
+          "labels are partial — raise maxIters for long near-dup chains")
     labels
   }
 
@@ -247,8 +254,11 @@ object Dedup {
   def dedupNearDups(docs: DataFrame, idCol: String, textCol: String,
                     params: MinHashParams = MinHashParams(),
                     threshold: Double = 0.8): DataFrame = {
+    // Eager checkpoint, not persist: the pair set is consumed by three
+    // lineages (touched ids, propagation edges, loser anti-join) and a
+    // checkpoint needs no end-of-life unpersist bookkeeping.
     val pairs = nearDupPairs(docs, idCol, textCol, params, threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // Label propagation only needs the pair-connected subgraph — every
     // untouched doc is trivially its own cluster. The subgraph is tiny
     // next to the corpus, so the iterations run on hundreds of rows

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -37,11 +37,14 @@ class ApproxSimilarityJoin extends Rule[LogicalPlan]
   private def bits: Int =
     SQLConf.get.getConfString(bitsKey, "8").toInt
 
-  /** Some conjunct of the join condition is a cosine-threshold
-    * comparison (other conjuncts — id ordering, extra filters — ride
-    * along unchanged in the rewritten join). Joins already carrying a
-    * bucket-equality conjunct were rewritten by a previous fixed-point
-    * pass — never match them again.
+  /** Some conjunct of the join condition is a cosine LOWER-bound
+    * (similarity) comparison — `cos >= t`, `cos > t`, or the commuted
+    * `t <= cos` / `t < cos`. Upper bounds (`cos <= t`, dissimilarity)
+    * must NOT match: dissimilar vectors do not share LSH buckets, so
+    * the rewrite would be wrong, not just approximate. Other conjuncts
+    * (id ordering, extra filters) ride along unchanged. Joins already
+    * carrying a bucket-equality conjunct were rewritten by a previous
+    * fixed-point pass — never match them again.
     */
   private def cosineThreshold(cond: Expression): Option[GraftCosineSim] = {
     val conjuncts = splitConjunctivePredicates(cond)
@@ -53,8 +56,8 @@ class ApproxSimilarityJoin extends Rule[LogicalPlan]
     else conjuncts.collectFirst {
       case GreaterThanOrEqual(c: GraftCosineSim, Literal(_, _)) => c
       case GreaterThan(c: GraftCosineSim, Literal(_, _)) => c
-      case GreaterThanOrEqual(Literal(_, _), c: GraftCosineSim) => c
-      case GreaterThan(Literal(_, _), c: GraftCosineSim) => c
+      case LessThanOrEqual(Literal(_, _), c: GraftCosineSim) => c
+      case LessThan(Literal(_, _), c: GraftCosineSim) => c
     }
   }
 
@@ -83,20 +86,31 @@ class ApproxSimilarityJoin extends Rule[LogicalPlan]
     }
   }
 
+  /** Extractor: a qualifying join and its full condition, computed
+    * once. Only Inner/Cross joins qualify — a semi/anti join's output
+    * is left-only (the stripped Project would be unresolvable), and an
+    * approximate ANTI join would be anti-conservative: missed
+    * same-bucket matches let near-duplicates through.
+    */
+  private object SimilarityJoin {
+    def unapply(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+      case j @ Join(_, _, org.apache.spark.sql.catalyst.plans.Inner |
+                          org.apache.spark.sql.catalyst.plans.Cross,
+                    Some(cond), _) =>
+        cosineThreshold(cond).flatMap(sim => rewrite(j, cond, sim))
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
+          j @ Join(_, _, org.apache.spark.sql.catalyst.plans.Inner |
+                         org.apache.spark.sql.catalyst.plans.Cross,
+                   None, _)) =>
+        cosineThreshold(cond).flatMap(sim => rewrite(j, cond, sim))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
-      // Condition already pushed into the join...
-      case j @ Join(_, _, _, Some(cond), _)
-          if cosineThreshold(cond).isDefined &&
-             rewrite(j, cond, cosineThreshold(cond).get).isDefined =>
-        rewrite(j, cond, cosineThreshold(cond).get).get
-      // ...or still a Filter over a condition-less (cross) join.
-      case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
-          j @ Join(_, _, _, None, _))
-          if cosineThreshold(cond).isDefined &&
-             rewrite(j, cond, cosineThreshold(cond).get).isDefined =>
-        rewrite(j, cond, cosineThreshold(cond).get).get
+      case SimilarityJoin(rewritten) => rewritten
     }
   }
 }

@@ -69,7 +69,6 @@ class IoSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without a shuffle exchange") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       Writer.bucketedTable(

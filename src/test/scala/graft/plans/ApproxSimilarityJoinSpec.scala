@@ -60,6 +60,47 @@ class ApproxSimilarityJoinSpec extends AnyFunSuite {
     } finally spark.conf.unset(FLAG)
   }
 
+  test("upper-bound (dissimilarity) predicates never rewrite; commuted lower bounds do") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001).limit(50)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    spark.conf.set(FLAG, "true")
+    try {
+      // cos <= t finds DISSIMILAR pairs — same-bucket blocking would be
+      // wrong, not approximate; the rule must leave the plan alone.
+      val dissim = a.crossJoin(b)
+        .where(call_function("graft_cosine_sim", col("v_a"), col("v_b")) <= lit(0.1))
+        .queryExecution.executedPlan.toString
+      assert(dissim.contains("CartesianProduct") || dissim.contains("BroadcastNestedLoop"),
+        s"dissimilarity predicate must not be rewritten:\n$dissim")
+      // lit(t) <= cos is the same lower bound, commuted — must rewrite.
+      val commuted = a.crossJoin(b)
+        .where(lit(0.9) <= call_function("graft_cosine_sim", col("v_a"), col("v_b")))
+        .queryExecution.executedPlan.toString
+      assert(!commuted.contains("CartesianProduct") && !commuted.contains("BroadcastNestedLoop"),
+        s"commuted lower bound must be rewritten:\n$commuted")
+      // A left_anti similarity join must stay untouched (approximate
+      // anti-joins would let near-duplicates through).
+      val anti = a.join(b,
+          call_function("graft_cosine_sim", col("v_a"), col("v_b")) >= lit(0.9),
+          "left_anti")
+        .queryExecution.executedPlan.toString
+      assert(anti.contains("BroadcastNestedLoop") || anti.contains("CartesianProduct"),
+        s"anti join must not be rewritten:\n$anti")
+    } finally spark.conf.unset(FLAG)
+  }
+
+  test("the registered approx query leaves the session flag untouched") {
+    spark.conf.unset(FLAG)
+    val df = graft.ExtensionQueries.all("x_approx_sim_join")(spark, TestSpark.sf0001)
+    assert(spark.conf.getOption(FLAG).isEmpty, "flag leaked into the session")
+    // The plan was optimized under the flag: no cartesian remains.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pre-optimized plan lost the rewrite:\n$plan")
+    assert(df.first().getLong(0) >= 0)
+  }
+
   test("graft_lsh_bucket kernel equals the higher-order lshBucket") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val both = e.select(

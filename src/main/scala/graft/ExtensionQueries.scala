@@ -122,11 +122,12 @@ object ExtensionQueries {
 
   /** The naive cosine-threshold self-join, scaled by the opt-in
     * optimizer rewrite (graft.plans.ApproxSimilarityJoin). The flag is
-    * scoped to THIS plan: set, force optimization eagerly (the
-    * QueryExecution caches its phases, so later actions reuse the
-    * rewritten plan), then restored — no other query in the session
-    * ever sees it. Summary row; LSH-bucket recall makes it rows-only
-    * (semantics pinned by ApproxSimilarityJoinSpec).
+    * scoped to THIS computation: set, the rewritten join EXECUTED into
+    * an eager checkpoint (a downstream action builds a fresh
+    * QueryExecution and would re-optimize without the flag — a lazily
+    * returned plan would silently lose the rewrite), then restored.
+    * Summary row; LSH-bucket recall makes it rows-only (semantics
+    * pinned by ApproxSimilarityJoinSpec).
     */
   private def approxSimJoin(s: SparkSession, dir: String): DataFrame = {
     val flag = "spark.graft.approxSimilarityJoin"
@@ -136,12 +137,11 @@ object ExtensionQueries {
       val e = Tables.embeddings(s, dir)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
-      val df = a.crossJoin(b)
+      a.crossJoin(b)
         .where(call_function("graft_cosine_sim", col("v_a"), col("v_b")) >= lit(0.9)
           && col("id_a") < col("id_b"))
         .agg(count(lit(1)).as("n_pairs"))
-      df.queryExecution.executedPlan // materialize phases under the flag
-      df
+        .localCheckpoint(true) // runs under the flag; 1 row
     } finally prev match {
       case Some(v) => s.conf.set(flag, v)
       case None => s.conf.unset(flag)

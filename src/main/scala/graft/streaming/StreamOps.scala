@@ -120,6 +120,21 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream → batch-sink bridge via foreachBatch: each micro-batch is
+    * handed to arbitrary batch code (upserts, size-aware parquet,
+    * multi-sink fan-out — anything the streaming sinks can't express).
+    * The batchId makes redelivery idempotent for sinks that record it.
+    */
+  def foreachBatchSink(df: DataFrame, name: String)
+                      (handle: (DataFrame, Long) => Unit) = {
+    df.writeStream
+      .queryName(name)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(handle)
+      .start()
+  }
+
   /** Run a (bounded) streaming query to completion via AvailableNow into
     * a named memory sink and return the sink contents. */
   def runAvailableNow(df: DataFrame, name: String,

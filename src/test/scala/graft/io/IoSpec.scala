@@ -25,6 +25,33 @@ class IoSpec extends AnyFunSuite {
     assert(back.exceptAll(src).count() == 0)
   }
 
+  test("PERMISSIVE parse: malformed cells null out, corrupt rows are capturable (S5)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
+    java.nio.file.Files.writeString(dir.resolve("rows.csv"),
+      "a,b\n1,x\nnot_an_int,y\n3,z\n")
+    // Default PERMISSIVE: the malformed int cell becomes null, row kept.
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType)))
+    val lax = Sources.csv(TestSpark.spark, dir.toString, schema)
+    assert(lax.count() == 3)
+    assert(lax.where(col("a").isNull).count() == 1)
+    // With a corrupt-record column, the raw line is preserved for a
+    // quarantine pipeline instead of silently nulling.
+    // Spark disallows filtering a raw scan on ONLY the corrupt column —
+    // cache the parsed result first (the documented pattern).
+    val withCorrupt = TestSpark.spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema.add("_corrupt", StringType))
+      .csv(dir.toString)
+      .cache()
+    val bad = withCorrupt.where(col("_corrupt").isNotNull)
+    assert(bad.count() == 1)
+    assert(bad.first().getAs[String]("_corrupt").startsWith("not_an_int"))
+  }
+
   test("directory listing has the reference's 4-column shape and real sizes (S3)") {
     val ls = Sources.ls(spark, TestSpark.sf0001)
     assert(ls.columns.toSeq == Seq("path", "name", "size", "modificationTime"))

@@ -66,6 +66,27 @@ class StreamingSpec extends AnyFunSuite {
       s"expected two gap-closed and one timeout-closed session, got $rows")
   }
 
+  test("foreachBatch bridges a stream into batch parquet appends") {
+    val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString
+    // Idiomatic production shape: raw stream in, arbitrary BATCH logic
+    // per micro-batch (aggregate + size-aware write) in the handler.
+    val q = StreamOps.foreachBatchSink(
+      StreamOps.eventsStream(spark, TestSpark.sf0001), "t_febatch") {
+      (batch, batchId) =>
+        graft.quality.Timeliness.dailyCounts(batch, col("ts"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+    }
+    q.awaitTermination()
+    val written = spark.read.parquet(out)
+      .groupBy(col("day")).agg(sum(col("n")).as("n")) // re-merge batches
+      .select(col("day"), col("n"))
+    val expected = graft.quality.Timeliness.dailyCounts(
+      graft.Tables.events(spark, TestSpark.sf0001), col("ts"))
+    assert(written.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(written).count() == 0)
+  }
+
   test("sessionization handles multi-batch state carry-over") {
     def ts(minute: Int) = new Timestamp(3600L * 1000 + minute * 60L * 1000)
     val input = MemoryStream[StreamOps.SessionEvent](spark)

@@ -81,6 +81,24 @@ class QualitySpec extends AnyFunSuite {
     assert(freq.agg(sum(col("n"))).first().getLong(0) == df.count())
   }
 
+  test("date dimension edges: single day, full span, and the range source") {
+    val d = java.sql.Date.valueOf("2024-06-15")
+    assert(Timeliness.dateDim(spark, d, d).collect()
+      .map(_.getDate(0).toString).toSeq == Seq("2024-06-15"))
+    val span = Timeliness.dateDim(spark,
+      java.sql.Date.valueOf("2024-02-27"), java.sql.Date.valueOf("2024-03-02"))
+    // Crosses a leap-year Feb 29.
+    assert(span.collect().map(_.getDate(0).toString).toSeq ==
+      Seq("2024-02-27", "2024-02-28", "2024-02-29", "2024-03-01", "2024-03-02"))
+    assert(graft.etl.Sources.range(spark, 5).collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("string-column discovery matches the schema (reference M2)") {
+    val li = graft.Tables.lineitem(spark, graft.TestSpark.sf0001)
+    assert(Consistency.stringColumns(li).toSet == Set("l_returnflag", "l_linestatus"))
+  }
+
   test("calendar gaps: planted missing day is found, dense series is gap-free") {
     val daily = Seq(
       ("2024-03-01", 5L), ("2024-03-02", 3L), ("2024-03-04", 7L))

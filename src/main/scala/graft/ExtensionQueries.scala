@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -65,7 +65,7 @@ object ExtensionQueries {
         .orderBy(col("label"))),
     "x_ann_lsh_buckets" -> ((s, dir) =>
       Tables.embeddings(s, dir)
-        .select(Similarity.lshBucket(col("embedding"), 8).as("bucket"))
+        .select(Similarity.lshBucketIn(s)(col("embedding"), 8).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))),
     "x_ann_topk" -> ((s, dir) => annTopK(s, dir)),
@@ -111,6 +111,9 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
     "x_approx_sim_join" -> ((s, dir) => approxSimJoin(s, dir)),
+    "x_kernel_equiv" -> ((s, dir) => kernelEquiv(s, dir)),
+    "x_ann_recall" -> ((s, dir) => annRecall(s, dir)),
+    "x_ivf_recall" -> ((s, dir) => ivfRecall(s, dir)),
     "x_neardup_dedup" -> ((s, dir) =>
       // End-to-end near-dup dedup: candidates → verify → cluster →
       // survivor per cluster. Rows-only (MinHash-dependent); semantics
@@ -148,15 +151,16 @@ object ExtensionQueries {
     }
   }
 
-  /** IVF ANN top-10 for the vec_id=0 query (16 clusters, probe 4) —
-    * the trained-index alternative to the LSH bucket path; recall vs
-    * brute force is measured in SimilaritySpec. */
+  /** IVF ANN top-10 for the vec_id=0 query (16 Lloyd-trained clusters,
+    * probe 4) — the trained-index alternative to the LSH bucket path;
+    * recall vs brute force is measured in SimilaritySpec and
+    * oracle-gated by x_ivf_recall. */
   private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val q = e.where(col("vec_id") === 0)
       .select(col("embedding")).first().getSeq[Float](0)
     val corpus = e.where(col("vec_id") =!= 0)
-    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
+    val cents = Similarity.ivfTrain(corpus, "vec_id", "embedding", 16, iters = 2)
     Similarity.ivfTopK(corpus, "vec_id", "embedding", q, 10, cents, nProbe = 4)
   }
 
@@ -187,10 +191,87 @@ object ExtensionQueries {
     * oracle; semantics covered by SimilaritySpec). */
   private def embedNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-      .withColumn("bucket", Similarity.lshBucket(col("embedding"), 8))
+      .withColumn("bucket", Similarity.lshBucketIn(s)(col("embedding"), 8))
     Similarity.cosinePairsWithin(e, "vec_id", "embedding", "bucket", 0.9)
       .agg(count(lit(1)).as("n_neardup_pairs"),
         coalesce(max(col("cos_sim")), lit(0.0)).as("max_cos"))
+  }
+
+  /** Count of rows where a codegen'd kernel disagrees with its
+    * higher-order-function twin — the oracle-checkable form of the
+    * kernel-equivalence contract (GraftFunctionsSpec pins it per
+    * kernel; this gates it through the driver's DuckDB compare as a
+    * hard 0). Covers all five kernels: shingle hashes + minhash bands
+    * over documents, dot + cosine + lsh bucket over adjacent embedding
+    * pairs. Null-safe (`<=>`) so a null on both paths counts as
+    * agreement. Fails loudly if GraftExtensions is not installed —
+    * a vacuous pass would be worse than an error. */
+  private def kernelEquiv(s: SparkSession, dir: String): DataFrame = {
+    def mismatch(a: Column, b: Column): Column = (!(a <=> b)).cast("long")
+    val k = Dedup.MinHashParams()
+    val docSide = Tables.documents(s, dir).select(
+        mismatch(
+          call_function("graft_shingle_hashes", col("text"), lit(k.shingleSize)),
+          Dedup.shingleHashes(Dedup.shingles(col("text"), k.shingleSize))).as("m_sh"),
+        mismatch(
+          call_function("graft_minhash_bands",
+            call_function("graft_shingle_hashes", col("text"), lit(k.shingleSize)),
+            lit(k.bands), lit(k.numHashes / k.bands)),
+          Dedup.minhashBandsHof(
+            Dedup.shingleHashes(Dedup.shingles(col("text"), k.shingleSize)),
+            k.bands, k.numHashes / k.bands)).as("m_mb"))
+      .agg(coalesce(sum(col("m_sh") + col("m_mb")), lit(0L)).as("m_doc"))
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select((col("vec_id") - 1).as("id_a"), col("embedding").as("v_b"))
+    val vecSide = a.join(b, Seq("id_a"))
+      .select(
+        mismatch(call_function("graft_dot", col("v_a"), col("v_b")),
+          Similarity.dot(col("v_a"), col("v_b"))).as("m_dot"),
+        mismatch(call_function("graft_cosine_sim", col("v_a"), col("v_b")),
+          Similarity.cosine(col("v_a"), col("v_b"))).as("m_cos"),
+        mismatch(call_function("graft_lsh_bucket", col("v_a"), lit(8)),
+          Similarity.lshBucket(col("v_a"), 8)).as("m_lsh"))
+      .agg(coalesce(sum(col("m_dot") + col("m_cos") + col("m_lsh")), lit(0L)).as("m_vec"))
+    docSide.crossJoin(vecSide)
+      .select((col("m_doc") + col("m_vec")).as("n_mismatch"))
+  }
+
+  /** LSH-ANN recall floor as a driver-checkable bit: 1 when the
+    * multi-probe ANN top-10 overlaps the brute-force top-10 in at
+    * least `annRecallFloor` ids. Every input to the overlap is
+    * deterministic (hash-derived buckets, tie-broken ordering), so the
+    * bit is stable; the floor leaves headroom below the measured
+    * overlap so parameter-neutral refactors don't flip it. */
+  private val annRecallFloor = 5
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"))
+    val ann = Similarity.annTopK(corpus, "vec_id", "embedding", q, 10, bits = 4)
+      .select(col("vec_id"))
+    exact.join(ann, Seq("vec_id"))
+      .agg((count(lit(1)) >= annRecallFloor).cast("long").as("recall_ok"))
+  }
+
+  /** IVF-ANN recall floor bit (Lloyd-trained centroids, probe 4 of 16)
+    * — deterministic because ivfTrain's means are exact-decimal sums. */
+  private val ivfRecallFloor = 5
+  private def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0)
+    val cents = Similarity.ivfTrain(corpus, "vec_id", "embedding", 16, iters = 2)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"))
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding", q, 10, cents, nProbe = 4)
+      .select(col("vec_id"))
+    exact.join(ivf, Seq("vec_id"))
+      .agg((count(lit(1)) >= ivfRecallFloor).cast("long").as("recall_ok"))
   }
 
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
@@ -216,7 +297,7 @@ object ExtensionQueries {
     // One candidate computation feeds both counters (the LSH pipeline
     // hashes every doc — never run it twice for one report).
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", params)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val candidates = pairs.agg(count(lit(1)).as("n_candidates"))
     val confirmed = Dedup.verifyPairs(docs, pairs, "doc_id", "text", params, 0.5)
       .agg(count(lit(1)).as("n_confirmed"))
@@ -259,6 +340,15 @@ object ExtensionQueries {
   // ----------------------------------------------------------------- oracle
 
   val oracle: Map[String, String] = Map(
+    // Kernel ≡ higher-order-function: the Spark side counts
+    // disagreements across all five kernels; the contract is exactly
+    // zero, so the oracle is the constant 0.
+    "x_kernel_equiv" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+    // Recall floors: the Spark side emits 1 iff |ANN ∩ brute-force|
+    // meets the pinned floor (deterministic — see the query Scaladoc);
+    // the oracle is the constant 1.
+    "x_ann_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "x_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "x_dedup_exact" ->
       "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct, CAST(COUNT(*) AS BIGINT) AS n FROM documents",
     "x_fingerprint" ->

@@ -326,10 +326,14 @@ object ParityQueries {
     val hhmm = (col("event_id") % 2500).cast("int")
     val hh = TimeDerivation.hhmmHour(hhmm)
     val mi = TimeDerivation.hhmmMin(hhmm)
-    val ets = to_timestamp(
+    // try_to_timestamp, not to_timestamp: invalid minutes (event_id %
+    // 2500 produces e.g. minute 99) must yield null under ANSI mode
+    // too, matching the oracle's try_strptime (and the ANSI-safety of
+    // TimeDerivation.hhmmTimestamp).
+    val ets = try_to_timestamp(
       concat(col("ts").cast("date").cast("string"), lit(" "),
         lpad(hh, 2, "0"), lit(":"), lpad(mi, 2, "0")),
-      "yyyy-MM-dd HH:mm")
+      lit("yyyy-MM-dd HH:mm"))
     Tables.events(s, dir)
       .select(col("event_id"), hh.as("hh"), mi.as("mi"), ets.as("ets"))
       .orderBy(col("event_id"))

@@ -71,6 +71,17 @@ object Dedup {
     coalesce(array_min(transform(hashes, h => pmod(a * h + b, lit(P)))), lit(P))
   }
 
+  /** Higher-order-function twin of the graft_minhash_bands kernel: for
+    * band j, fold the minima of hash functions i ∈ [j·rows, (j+1)·rows)
+    * with acc' = (acc·31 + min_i) mod P. Public so the kernel-vs-HOF
+    * equivalence is oracle-checkable (x_kernel_equiv) as well as
+    * spec-pinned (GraftFunctionsSpec). */
+  def minhashBandsHof(hs: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), j =>
+      aggregate(sequence(j * rows, j * rows + (rows - 1)),
+        lit(1125899907L),
+        (acc, i) => pmod(acc * 31 + minhashAt(hs, i), lit(P))))
+
   /** Signature-level Jaccard estimate: fraction of agreeing minhashes. */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
     aggregate(zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),
@@ -92,12 +103,12 @@ object Dedup {
   def bands(docs: DataFrame, idCol: String, textCol: String,
             params: MinHashParams): DataFrame = {
     val rows = params.numHashes / params.bands
-    // Repartition BEFORE the heavy minhash projection: a small input
-    // (one parquet file → one split) would otherwise pin all 64-hash
-    // work on a single core. The shuffle moves only (id, raw text
-    // hashes); the expensive derivation then runs at full parallelism —
-    // the same reasoning keeps a 100 TB run from being limited by the
-    // source's file layout.
+    // Repartition BEFORE the heavy shingle+minhash projections, but
+    // ONLY when the source is under-partitioned (a small input — one
+    // parquet file → one split — would otherwise pin all the per-doc
+    // hash work on a single core). A well-partitioned 100 TB source
+    // already runs at full parallelism; an unconditional repartition
+    // there is a full shuffle of the raw text that buys nothing.
     // Kernel fast path for the shingle+hash projection too (tokenize →
     // rolling shingle → xxhash64 → distinct in one primitive pass);
     // same values as the higher-order chain (GraftFunctionsSpec).
@@ -105,10 +116,21 @@ object Dedup {
       if (docs.sparkSession.catalog.functionExists("graft_shingle_hashes"))
         call_function("graft_shingle_hashes", col(textCol), lit(params.shingleSize))
       else shingleHashes(shingles(col(textCol), params.shingleSize))
-    val hashDf = docs
-      .select(col(idCol).as("id"), hsExpr.as("hs"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val src = docs.select(col(idCol).as("id"), col(textCol))
+    val distributed =
+      if (src.rdd.getNumPartitions < parallelism) src.repartition(parallelism)
+      else src
+    // EAGER localCheckpoint, not persist: (a) it is the materialization
+    // barrier that stops CollapseProject from inlining the shingle
+    // expression into every band lambda (see below); (b) checkpoint
+    // blocks are freed by the ContextCleaner when the DataFrame is
+    // GC'd, so long-lived library sessions don't accumulate storage
+    // the way CacheManager persists (which live until an explicit
+    // unpersist) do.
+    val hashDf = distributed
+      .select(col("id"), hsExpr.as("hs"))
+      .localCheckpoint(true)
     // Each band folds its OWN rows-per-band minhash indices — every
     // minhash is computed exactly once (slicing a shared signature
     // array would inline all 64 minima into each of the 16 bands).
@@ -126,11 +148,7 @@ object Dedup {
       if (docs.sparkSession.catalog.functionExists("graft_minhash_bands"))
         call_function("graft_minhash_bands", col("hs"),
           lit(params.bands), lit(rows))
-      else
-        transform(sequence(lit(0), lit(params.bands - 1)), j =>
-          aggregate(sequence(j * rows, j * rows + (rows - 1)),
-            lit(1125899907L),
-            (acc, i) => pmod(acc * 31 + minhashAt(col("hs"), i), lit(P))))
+      else minhashBandsHof(col("hs"), params.bands, rows)
     hashDf
       .select(col("id"), posexplode(bandArray))
       .withColumnRenamed("pos", "band_id")
@@ -142,9 +160,10 @@ object Dedup {
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      params: MinHashParams): DataFrame = {
     // The band table feeds three consumers (bucket sizing + both join
-    // sides) — persist it or the 64-hash fold runs three times.
-    val b = bands(docs, idCol, textCol, params)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sides) — cache it or the 64-hash fold runs three times. Eager
+    // localCheckpoint, not persist: blocks are ContextCleaner-freed on
+    // GC instead of living in the CacheManager until unpersist.
+    val b = bands(docs, idCol, textCol, params).localCheckpoint(true)
     val sized = b.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") <= params.maxBucketSize)
@@ -178,8 +197,10 @@ object Dedup {
     // the corpus, so re-shingling every document twice — once per join
     // side — would dominate the verification cost at scale. The pair
     // set itself feeds three consumers (two id projections + the join),
-    // so persist it rather than re-running candidate generation.
-    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // so cache it (eager localCheckpoint — ContextCleaner-managed, no
+    // unpersist bookkeeping) rather than re-running candidate
+    // generation.
+    val p = pairs.localCheckpoint(true)
     // Collision-proof alias: idCol may itself be "id" (or docs may
     // carry one) — a bare col("id") join condition would be ambiguous.
     val ids = p.select(col("id_a").as("__vp_id"))
@@ -271,16 +292,25 @@ object Dedup {
   }
 
   /** Exact dedup via content fingerprint: keeps one row per distinct
-    * fingerprint. Shuffles the 16-byte key + survivor row, not the full
-    * payload per group — the scale-safe variant of dropDuplicates(all).
+    * fingerprint (the smallest raw text survives, full-row-hash
+    * tiebreak for a deterministic pick among byte-identical texts).
+    * Output schema is exactly the input schema.
+    *
+    * Scale shape: `groupBy(fp).agg(min_by(row, key))` — partial
+    * aggregation collapses duplicate groups map-side, so the shuffle
+    * carries at most one candidate row per fingerprint per map
+    * partition, and a boilerplate document duplicated millions of
+    * times reduces to one row per mapper instead of piling its whole
+    * group into a single task (the window-function form sorts each
+    * group in one task: a hot-key scale hazard).
     */
   def exactByFingerprint(df: DataFrame, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("fp")).orderBy(col(textCol))
-    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn")
+    val cols = df.columns.toSeq
+    val row = struct(cols.map(col): _*)
+    val ord = struct(col(textCol), xxhash64(row))
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(row, ord).as("__row"))
+      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** 32-bit SimHash of the whitespace tokens: per bit, majority vote of

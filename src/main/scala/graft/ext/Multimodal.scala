@@ -40,8 +40,13 @@ object Multimodal {
     * batching, similarity over the features) is fully exercisable.
     */
   def decodeFeaturesStub(payload: Column, dims: Int = 8): Column =
-    transform(sequence(lit(1), lit(dims)), i =>
-      (pmod(xxhash64(payload, i), lit(2000L)).cast("double") - 1000.0) / 1000.0)
+    // Explicit null-in → null-out: xxhash64 SKIPS null children (the
+    // expression is non-nullable), so without the guard a null payload
+    // would yield hash-of-index features — diverging from decodeBatched,
+    // whose null payload decodes to null (SimilaritySpec pins parity).
+    when(payload.isNull, lit(null).cast("array<double>"))
+      .otherwise(transform(sequence(lit(1), lit(dims)), i =>
+        (pmod(xxhash64(payload, i), lit(2000L)).cast("double") - 1000.0) / 1000.0))
 
   /** Frame/sample selection shape: take every `stride`-th chunk index of
     * a payload of `nChunks` logical chunks (a video frame sampler's

@@ -68,25 +68,51 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** ANN: probe only the query's bucket, exact cosine re-rank inside it.
-    * Returns the top-k of the bucket (recall < 1 by construction; the
-    * test suite measures it against bruteForceTopK). */
+  /** Session-aware lshBucket: the codegen'd graft_lsh_bucket kernel
+    * when GraftExtensions is installed (identical values — pinned in
+    * ApproxSimilarityJoinSpec), else the interpreted higher-order form.
+    * Same dispatch pattern as `dotIn`. */
+  def lshBucketIn(spark: org.apache.spark.sql.SparkSession)(vec: Column, bits: Int): Column =
+    if (spark.catalog.functionExists("graft_lsh_bucket"))
+      call_function("graft_lsh_bucket", vec, lit(bits))
+    else lshBucket(vec, bits)
+
+  /** Driver-side bucket id for a literal query vector — the SAME kernel
+    * arithmetic the column path evaluates (the kernel is pinned equal
+    * to the higher-order form), computed locally so multi-probe can
+    * enumerate neighbor buckets without running a 1-row Spark plan. */
+  def localBucket(query: Seq[Float], bits: Int): Long =
+    graft.functions.Kernels.lshBucket(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        query.map(_.toDouble).toArray),
+      bits, isFloat = false)
+
+  /** The buckets a query probes: its own, plus (multi-probe) every
+    * Hamming-1 neighbor — vectors just across one hyperplane land one
+    * bit-flip away, so probing bits+1 buckets recovers most of the
+    * near-boundary recall that single-bucket LSH loses. */
+  def probeBuckets(query: Seq[Float], bits: Int, multiProbe: Boolean): Seq[Long] = {
+    val b0 = localBucket(query, bits)
+    if (multiProbe) b0 +: (0 until bits).map(j => b0 ^ (1L << j))
+    else Seq(b0)
+  }
+
+  /** ANN: probe the query's bucket (plus Hamming-1 neighbors under
+    * multi-probe, the default), exact cosine re-rank inside the probed
+    * set. Scans ~(bits+1)/2^bits of the corpus; recall < 1 by
+    * construction — the test suite measures it against bruteForceTopK. */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              query: Seq[Float], k: Int, bits: Int = 8): DataFrame = {
+              query: Seq[Float], k: Int, bits: Int = 8,
+              multiProbe: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), bits))
-    bucketed
-      .where(col("bucket") === lshBucketOf(query, bits))
-      .select(col(idCol), cosineIn(corpus.sparkSession)(col(vecCol), q).as("cos_sim"))
+    val probes = probeBuckets(query, bits, multiProbe)
+    corpus.withColumn("bucket", lshBucketIn(spark)(col(vecCol), bits))
+      .where(col("bucket").isin(probes: _*))
+      .select(col(idCol), cosineIn(spark)(col(vecCol), q).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
-
-  /** Driver-side bucket id for a literal query vector (same arithmetic
-    * as lshBucket, evaluated via a 1-row plan to reuse the identical
-    * expressions). */
-  def lshBucketOf(query: Seq[Float], bits: Int): Column =
-    lshBucket(array(query.map(v => lit(v.toDouble)): _*), bits)
 
   /** IVF (inverted-file) clustering: every vector is assigned to its
     * most-cosine-similar centroid. Centroids are the first `k` vectors
@@ -111,10 +137,50 @@ object Similarity {
   }
 
   /** First-k-by-id centroids for ivfAssign (driver-side collect of k
-    * small vectors). */
+    * small vectors) — the deterministic SEED for ivfTrain, and the
+    * untrained baseline its recall is measured against. */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Seq[Float]] =
     corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0)).toSeq
+
+  /** Lloyd-trained centroids: `iters` rounds of assign → per-cluster
+    * mean → reassign, from the deterministic first-k seed. Each round
+    * is one distributed pass (assignment is a per-row argmax, the mean
+    * a single groupBy over k·dims cells collected to the driver — k
+    * small vectors, never data).
+    *
+    * DETERMINISTIC by construction: per-dimension sums are computed in
+    * exact DECIMAL arithmetic (each double cast to decimal(27,15) —
+    * value-wise rounding, order-independent — then summed exactly), so
+    * centroid means never drift with partitioning or aggregation order
+    * and trained-index results are stable run to run. An empty cluster
+    * keeps its previous centroid.
+    */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               iters: Int = 2): Seq[Seq[Float]] = {
+    var cents = ivfCentroids(corpus, idCol, vecCol, k)
+    val dims = cents.headOption.map(_.size).getOrElse(0)
+    var it = 0
+    while (it < iters && dims > 0) {
+      val sums = (0 until dims).map(d =>
+        sum(element_at(col(vecCol), d + 1).cast("double")
+          .cast("decimal(27,15)")).as(s"__s$d"))
+      val rows = ivfAssign(corpus, idCol, vecCol, cents)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .collect()
+      val byCluster = rows.map { r =>
+        val n = r.getAs[Long]("__n")
+        val mean = (0 until dims).map { d =>
+          (r.getAs[java.math.BigDecimal](s"__s$d").doubleValue() / n).toFloat
+        }
+        r.getAs[Int]("cluster_id") -> mean
+      }.toMap
+      cents = cents.indices.map(i => byCluster.getOrElse(i, cents(i)).toSeq)
+      it += 1
+    }
+    cents
+  }
 
   /** IVF ANN top-k: probe only the `nProbe` clusters whose centroids
     * are nearest the query — the scan shrinks to ~nProbe/k of the

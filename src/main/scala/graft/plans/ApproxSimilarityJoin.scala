@@ -34,8 +34,17 @@ class ApproxSimilarityJoin extends Rule[LogicalPlan]
 
   private def enabled: Boolean =
     SQLConf.get.getConfString(enabledKey, "false").toBoolean
-  private def bits: Int =
-    SQLConf.get.getConfString(bitsKey, "8").toInt
+  /** Clamped to [1, 63]: bits > 63 would silently wrap `1L << j` in the
+    * bucket kernel (degrading bucketing), bits <= 0 yields a constant
+    * bucket (the rewrite becomes a no-op cross join); a non-numeric
+    * conf value falls back to the default instead of throwing inside
+    * the optimizer. */
+  private def bits: Int = {
+    val parsed =
+      try SQLConf.get.getConfString(bitsKey, "8").toInt
+      catch { case _: NumberFormatException => 8 }
+    math.max(1, math.min(63, parsed))
+  }
 
   /** Some conjunct of the join condition is a cosine LOWER-bound
     * (similarity) comparison — `cos >= t`, `cos > t`, or the commuted

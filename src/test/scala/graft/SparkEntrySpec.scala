@@ -37,9 +37,10 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("no registered query plans a cartesian or nested-loop join (100 TB guard)") {
-    // Deliberate exception: 1-row summary aggregates cross-joined into
-    // a single report row (x_minhash_neardup) — O(1), not O(n^2).
-    val allowCross = Set("x_minhash_neardup")
+    // Deliberate exceptions: 1-row summary aggregates cross-joined into
+    // a single report row (x_minhash_neardup, x_kernel_equiv) — O(1),
+    // not O(n^2).
+    val allowCross = Set("x_minhash_neardup", "x_kernel_equiv")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       if (!allowCross(name)) {

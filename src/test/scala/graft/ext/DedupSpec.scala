@@ -76,6 +76,35 @@ class DedupSpec extends AnyFunSuite {
     val out = Dedup.exactByFingerprint(docs, "text")
     assert(out.count() == 2)
     assert(Dedup.exactByFingerprint(out, "text").count() == 2)
+    // Output schema is EXACTLY the input schema — no helper columns.
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    // Deterministic survivor: the smallest raw text ('T' < 't').
+    val survivor = out.where(col("doc_id").isin(1L, 2L)).collect()
+    assert(survivor.length == 1 && survivor.head.getLong(0) == 2L,
+      s"expected doc 2 (smallest raw text) to survive, got ${survivor.toSeq}")
+  }
+
+  test("exactByFingerprint: a hot fingerprint aggregates partially — no single-task window sort") {
+    // One boilerplate doc duplicated 10k times + 100 distinct docs: the
+    // window-function form would sort the whole 10k-row group in ONE
+    // task; the aggregate form collapses it map-side.
+    val hot = spark.range(10000)
+      .selectExpr("id AS doc_id", "'same boilerplate text repeated' AS text")
+    val distinct = spark.range(100)
+      .selectExpr("id + 20000 AS doc_id", "concat('unique doc ', id) AS text")
+    val out = Dedup.exactByFingerprint(hot.unionByName(distinct), "text")
+    assert(out.count() == 101)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"hot-key window sort present:\n$plan")
+    assert(plan.contains("partial_min_by") || plan.contains("partial_minby"),
+      s"map-side partial aggregation missing:\n$plan")
+    // All 10k hot rows tie on text, so the survivor comes from the
+    // full-row-hash tiebreak — arbitrary but deterministic: the pick
+    // must be identical across independent runs.
+    val pick1 = out.where(col("text").startsWith("same")).first().getLong(0)
+    val pick2 = Dedup.exactByFingerprint(hot.unionByName(distinct), "text")
+      .where(col("text").startsWith("same")).first().getLong(0)
+    assert(pick1 == pick2, s"survivor nondeterministic: $pick1 vs $pick2")
   }
 
   test("simhash: near-identical docs differ in few bits, unrelated docs in many") {

@@ -101,6 +101,21 @@ class ApproxSimilarityJoinSpec extends AnyFunSuite {
     assert(df.first().getLong(0) >= 0)
   }
 
+  test("bits conf is clamped and parse-safe — the optimizer never throws on bad values") {
+    val BITS = "spark.graft.approxSimilarityJoin.bits"
+    spark.conf.set(FLAG, "true")
+    try {
+      for (bad <- Seq("abc", "200", "-3", "0")) {
+        spark.conf.set(BITS, bad)
+        // Must still rewrite (falling back to / clamping the width),
+        // not throw inside the optimizer or degrade to a no-op bucket.
+        val plan = naiveJoin().queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+          s"bits=$bad broke the rewrite:\n$plan")
+      }
+    } finally { spark.conf.unset(FLAG); spark.conf.unset(BITS) }
+  }
+
   test("graft_lsh_bucket kernel equals the higher-order lshBucket") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val both = e.select(

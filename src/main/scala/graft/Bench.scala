@@ -29,26 +29,44 @@ object Bench {
     }
     // Failures are recorded per query (value -1), never silently timed:
     // a broken query must not masquerade as a fast one.
+    //
+    // NOISE IMMUNITY: each query is timed `reps` times and the headline
+    // per-query number is the MINIMUM — plans are deterministic, so the
+    // min is the contention-free estimate; a single timed run records
+    // whatever GC / page-cache / co-tenant pressure happened to coincide
+    // (round-4's driver artifact recorded 5–20× inflation on queries
+    // whose code had not changed). All raw runs are kept in "runs" so a
+    // reader can see the spread.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Operators persist multi-consumer intermediates (bands, pair
-      // sets, daily aggregates) for the duration of their query; clear
-      // them between measurements so storage doesn't accumulate across
-      // 50 queries and no query accidentally reuses another's cache.
-      spark.sqlContext.clearCache()
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      val times = (0 until reps).map { _ =>
+        // Operators persist multi-consumer intermediates (bands, pair
+        // sets, daily aggregates) for the duration of their query; clear
+        // them between measurements so storage doesn't accumulate across
+        // 50 queries, no query reuses another's cache, and every rep
+        // pays the full pipeline (not a cached tail).
+        spark.sqlContext.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+          -1.0
         }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      (name, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.4f"
+    val best = results.map { case (k, ts) =>
+      (k, if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }
+    val qs = best.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val runs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failed = best.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = best.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

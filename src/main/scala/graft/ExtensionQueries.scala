@@ -56,8 +56,12 @@ object ExtensionQueries {
     "x_cosine_topk" -> ((s, dir) => cosineTopK(s, dir)),
     "x_cosine_adjacent" -> ((s, dir) => cosineAdjacent(s, dir)),
     "x_cosine_pairs_label" -> ((s, dir) =>
+      // maxBlockSize mirrored in the oracle SQL (HAVING count <= cap)
+      // so the guard is part of the checked semantics, not a test-scale
+      // accident — at sf<=0.1 no label block comes near 10000.
       Similarity.cosinePairsWithin(
-          Tables.embeddings(s, dir), "vec_id", "embedding", "label", -1.0)
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", -1.0,
+          maxBlockSize = 10000)
         .groupBy(col("blk").as("label"))
         .agg(count(lit(1)).as("n_pairs"),
           sum((col("cos_sim") >= 0.35).cast("long")).as("n_close"),
@@ -186,13 +190,16 @@ object ExtensionQueries {
 
   /** Embedding-cosine near-dup: LSH-bucket blocking (8 hyperplane bits
     * → 256 buckets) keeps the pair join keyed — sum(bucket²), never n²
-    * — then exact cosine confirms. Summary row so the result is stable
+    * — then exact cosine confirms; a hot bucket (near-identical or
+    * near-zero vectors hashing together) is dropped at maxBlockSize
+    * rather than going quadratic. Summary row so the result is stable
     * (pair membership near the threshold is hash-dependent → no SQL
     * oracle; semantics covered by SimilaritySpec). */
   private def embedNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .withColumn("bucket", Similarity.lshBucketIn(s)(col("embedding"), 8))
-    Similarity.cosinePairsWithin(e, "vec_id", "embedding", "bucket", 0.9)
+    Similarity.cosinePairsWithin(e, "vec_id", "embedding", "bucket", 0.9,
+        maxBlockSize = 10000)
       .agg(count(lit(1)).as("n_neardup_pairs"),
         coalesce(max(col("cos_sim")), lit(0.0)).as("max_cos"))
   }
@@ -413,7 +420,9 @@ object ExtensionQueries {
         | FROM (SELECT ((((doc_id % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 AS b FROM documents) t
         | GROUP BY 1 ORDER BY split""".stripMargin.replaceAll("\n", " "),
     "x_cosine_pairs_label" ->
-      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      """WITH e0 AS (SELECT vec_id, label, embedding FROM embeddings),
+        | ok AS (SELECT label FROM e0 GROUP BY label HAVING COUNT(*) <= 10000),
+        | e AS (SELECT e0.* FROM e0 JOIN ok USING (label)),
         | p AS (SELECT a.label,
         |  list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
         |  / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))

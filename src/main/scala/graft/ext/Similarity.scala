@@ -208,16 +208,33 @@ object Similarity {
   /** All pairs (id_a < id_b) within the same blocking key whose cosine
     * meets the threshold — the embedding-near-dup operator. Blocking
     * (a label, an LSH bucket) keeps the join keyed, never cartesian.
+    *
+    * Hot-block guard: cost is Σ block², which is sub-quadratic only
+    * while every block stays bounded — ONE degenerate key (a coarse
+    * label, an LSH bucket full of near-zero vectors, a viral document
+    * cluster) goes quadratic in that key with no backpressure. Blocks
+    * larger than `maxBlockSize` are therefore DROPPED from pair
+    * generation, mirroring Dedup.MinHashParams.maxBucketSize; use
+    * `oversizedBlocks` with the same cap to report what was skipped
+    * (re-block the remainder with a finer key, or sub-block with a
+    * salt). Worst-case pair count is then bounded by
+    * n/maxBlockSize · maxBlockSize² = n·maxBlockSize.
     */
   def cosinePairsWithin(corpus: DataFrame, idCol: String, vecCol: String,
-                        blockCol: String, threshold: Double): DataFrame = {
+                        blockCol: String, threshold: Double,
+                        maxBlockSize: Int = 10000): DataFrame = {
     // Precompute each vector's norm BEFORE the join: computed n times
     // instead of once per pair (n²). The cosine is then the identical
     // IEEE expression dot/(norm_a*norm_b), so results are bit-equal to
     // the naive form — only the work moves.
     val spark = corpus.sparkSession
+    val sized = corpus.groupBy(col(blockCol).as("blk"))
+      .agg(count(lit(1)).as("__blk_n"))
+      .where(col("__blk_n") <= maxBlockSize)
+      .select(col("blk"))
     val withNorm = corpus.select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(vecCol).as("v"), normIn(spark)(col(vecCol)).as("nrm"))
+      .join(sized, Seq("blk"))
     val a = withNorm.select(col("blk"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = withNorm.select(col("blk"), col("id").as("id_b"),
@@ -228,4 +245,13 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
   }
+
+  /** The blocks `cosinePairsWithin` would drop at the given cap, with
+    * their sizes — the skip report a pipeline logs (or re-blocks) so an
+    * oversized block is never a silent coverage hole. */
+  def oversizedBlocks(corpus: DataFrame, blockCol: String,
+                      maxBlockSize: Int = 10000): DataFrame =
+    corpus.groupBy(col(blockCol).as("blk"))
+      .agg(count(lit(1)).as("block_n"))
+      .where(col("block_n") > maxBlockSize)
 }

@@ -146,6 +146,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cosinePairsWithin drops oversized blocks and reports them (hot-block guard)") {
+    // One degenerate label × 10k vectors would be ~50M pairs uncapped —
+    // the viral-document hazard. With the cap the block never reaches
+    // the join; two small labels are unaffected.
+    val hot = spark.range(10000).select(
+      col("id").as("vec_id"), lit("hot").as("label"),
+      array(lit(1f), (col("id") % 7).cast("float")).as("embedding"))
+    val cold = spark.range(10000, 10006).select(
+      col("id").as("vec_id"),
+      when(col("id") < 10003, "c0").otherwise("c1").as("label"),
+      array(lit(1f), lit(2f)).as("embedding"))
+    val corpus = hot.union(cold)
+    val pairs = Similarity.cosinePairsWithin(
+      corpus, "vec_id", "embedding", "label", -1.0, maxBlockSize = 1000)
+      .collect()
+    // Only the cold labels pair up: C(3,2) × 2 = 6 pairs, none from "hot".
+    assert(pairs.length == 6)
+    assert(pairs.forall(_.getAs[String]("blk") != "hot"))
+    val dropped = Similarity.oversizedBlocks(corpus, "label", 1000).collect()
+    assert(dropped.length == 1)
+    assert(dropped.head.getAs[String]("blk") == "hot")
+    assert(dropped.head.getAs[Long]("block_n") == 10000L)
+    // At the default cap the same corpus keeps every block.
+    assert(Similarity.oversizedBlocks(corpus, "label").count() == 0)
+  }
+
   test("IVF: assignment picks the most-similar centroid; probing more clusters raises recall") {
     val e = Tables.embeddings(spark, TestSpark.sf0001).where(col("vec_id") =!= 0)
     val q = Tables.embeddings(spark, TestSpark.sf0001)

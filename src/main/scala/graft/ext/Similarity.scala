@@ -187,16 +187,26 @@ object Similarity {
     * corpus (vs 1/2^bits for the LSH variant; IVF adapts to the data's
     * actual density, LSH needs no training pass).
     */
+  /** Driver-side cosine over two small vectors (centroid ranking — never
+    * data). Shared by ivfTopK and IvfIndex.probeTopK so the on-the-fly
+    * and persisted-index paths rank clusters identically. */
+  private[ext] def dotLocal(a: Seq[Float], b: Seq[Float]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+  private[ext] def cosLocal(a: Seq[Float], b: Seq[Float]): Double =
+    dotLocal(a, b) / (math.sqrt(dotLocal(a, a)) * math.sqrt(dotLocal(b, b)))
+
+  /** The `nProbe` cluster ids whose centroids are most cosine-similar
+    * to the query (driver-side over k small vectors). */
+  private[ext] def probeClusters(centroids: Seq[Seq[Float]], query: Seq[Float],
+                                 nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .sortBy { case (cv, _) => -cosLocal(cv, query) }
+      .take(nProbe).map(_._2)
+
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], topK: Int,
               centroids: Seq[Seq[Float]], nProbe: Int): DataFrame = {
-    def dotLocal(a: Seq[Float], b: Seq[Float]): Double =
-      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
-    def cosLocal(a: Seq[Float], b: Seq[Float]): Double =
-      dotLocal(a, b) / (math.sqrt(dotLocal(a, a)) * math.sqrt(dotLocal(b, b)))
-    val probe = centroids.zipWithIndex
-      .sortBy { case (cv, _) => -cosLocal(cv, query) }
-      .take(nProbe).map(_._2)
+    val probe = probeClusters(centroids, query, nProbe)
     val q = array(query.map(v => lit(v.toDouble)): _*)
     ivfAssign(corpus, idCol, vecCol, centroids)
       .where(col("cluster_id").isin(probe: _*))

@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Output sizing + parquet sink (reference Y1–Y3, S6; notebook.py:419–437).
   *
@@ -55,10 +56,27 @@ object Writer {
     * joined repeatedly on the same key at cluster scale. Requires the
     * session catalog (saveAsTable), not a bare path.
     */
-  def bucketedTable(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def bucketedTable(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    dropTableAndLocation(df.sparkSession, table)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** True-overwrite for a managed table in the default database: drop
+    * the catalog entry AND delete any orphaned warehouse directory. A
+    * table written by a previous JVM survives only as files (the
+    * in-memory catalog dies with its session), and saveAsTable's
+    * Overwrite refuses to adopt such a location
+    * (LOCATION_ALREADY_EXISTS) — so rebuildable index tables must
+    * clear both before writing. */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new Path(new Path(warehouse), table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
 }

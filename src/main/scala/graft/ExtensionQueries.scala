@@ -124,7 +124,10 @@ object ExtensionQueries {
       // pinned by DedupSpec's planted clusters.
       Dedup.dedupNearDups(Tables.documents(s, dir), "doc_id", "text",
           Dedup.MinHashParams(), threshold = 0.5)
-        .agg(count(lit(1)).as("n_survivors")))
+        .agg(count(lit(1)).as("n_survivors"))),
+    "x_neardup_idempotent" -> ((s, dir) => neardupIdempotent(s, dir)),
+    "x_decode_parity" -> ((s, dir) => decodeParity(s, dir)),
+    "x_stream_batch_parity" -> ((s, dir) => streamBatchParity(s, dir))
   )
 
   /** The naive cosine-threshold self-join, scaled by the opt-in
@@ -302,6 +305,65 @@ object ExtensionQueries {
       .agg((count(lit(1)) >= ivfRecallFloor).cast("long").as("recall_ok"))
   }
 
+  /** Near-dup dedup idempotence bit: deduping an already-deduped corpus
+    * removes nothing (every surviving pair is below the Jaccard
+    * threshold, so the second pass confirms zero pairs). The bit is
+    * hash-independent even though the survivor SET is not — which is
+    * what makes an oracle-checkable constant out of the MinHash
+    * pipeline's end-to-end semantics. */
+  private def neardupIdempotent(s: SparkSession, dir: String): DataFrame = {
+    val params = Dedup.MinHashParams()
+    val once = Dedup.dedupNearDups(Tables.documents(s, dir), "doc_id", "text",
+      params, threshold = 0.5)
+    val twice = Dedup.dedupNearDups(once, "doc_id", "text", params, threshold = 0.5)
+    once.agg(count(lit(1)).as("n1"))
+      .crossJoin(twice.agg(count(lit(1)).as("n2")))
+      .select((col("n1") === col("n2")).cast("long").as("idempotent_ok"))
+  }
+
+  /** Count of rows where the expression decode path
+    * (decodeFeaturesStub, codegen'd per-row) disagrees with the batched
+    * mapPartitions path (decodeBatched, the mapInPandas shape) — the
+    * oracle-checkable form of the two-path decode contract
+    * (SimilaritySpec pins it row-wise; this gates it as a hard 0).
+    * Full-outer join so a row missing from either path counts as a
+    * mismatch rather than vanishing; null payloads must decode to null
+    * on BOTH paths (`<=>` counts double-null as agreement). */
+  private def decodeParity(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Multimodal.attachPayload(Tables.documents(s, dir),
+      "text", "text/plain")
+    val viaExpr = withPayload.select(col("doc_id"),
+      Multimodal.decodeFeaturesStub(col("payload")).as("f_expr"))
+    val viaBatch = Multimodal.decodeBatched(withPayload, "doc_id", "payload")
+    viaExpr.join(viaBatch, Seq("doc_id"), "full_outer")
+      .agg(coalesce(sum((!(col("f_expr") <=> col("features"))).cast("long")),
+        lit(0L)).as("n_mismatch"))
+  }
+
+  /** Batch ≡ stream sessionization parity bit: the bounded AvailableNow
+    * run of the flatMapGroupsWithState sessionizer must emit EXACTLY
+    * the sessions the batch lag+cumsum twin predicts
+    * (StreamOps.sessionizeBatchEmitted — gap-closed sessions plus
+    * watermark-timed-out finals). Compared as multisets of
+    * (user_id, start, end, n_events); the bit is 1 iff the symmetric
+    * difference is empty. */
+  private def streamBatchParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StreamOps
+    val ev = StreamOps.eventsStream(s, dir)
+      .select(col("user_id"), col("ts")).as[StreamOps.SessionEvent]
+    val streamed = StreamOps.runAvailableNow(
+      StreamOps.sessionize(ev, gapMinutes = 60).toDF(),
+      "stream_sessions_parity",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select(col("user_id"), unix_millis(col("start")).as("start_ms"),
+        unix_millis(col("end")).as("end_ms"), col("n_events"))
+    val batch = StreamOps.sessionizeBatchEmitted(
+      Tables.events(s, dir), "user_id", "ts", gapMinutes = 60)
+    streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
+      .agg((count(lit(1)) === 0).cast("long").as("stream_parity_ok"))
+  }
+
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
     * oracle-checkable anchor for the n-gram-Jaccard machinery. */
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
@@ -377,6 +439,12 @@ object ExtensionQueries {
     // the oracle is the constant 1.
     "x_ann_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "x_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    // Constant-bit contracts (see each query's Scaladoc): dedup is
+    // idempotent, the two decode paths agree row-for-row, and bounded
+    // stream sessionization equals its batch twin.
+    "x_neardup_idempotent" -> "SELECT CAST(1 AS BIGINT) AS idempotent_ok",
+    "x_decode_parity" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+    "x_stream_batch_parity" -> "SELECT CAST(1 AS BIGINT) AS stream_parity_ok",
     "x_dedup_exact" ->
       "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct, CAST(COUNT(*) AS BIGINT) AS n FROM documents",
     "x_fingerprint" ->

@@ -120,6 +120,57 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Batch twin of [[sessionize]]: lag + cumulative-sum gap
+    * sessionization with identical merge semantics (an event extends
+    * the session while `t <= last + gap`; a strictly larger gap opens a
+    * new one). Timestamps are compared at millisecond precision, the
+    * same truncation `sessionize` gets from `Timestamp.getTime`.
+    * Partitioned window per user — shuffles once on the user key, no
+    * global sort — so it scales like any keyed aggregation. */
+  def sessionizeBatch(events: DataFrame, userCol: String, tsCol: String,
+                      gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = gapMinutes * 60L * 1000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    events.select(col(userCol).as("user_id"), unix_millis(col(tsCol)).as("ts_ms"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs).cast("long"))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"),
+        count(lit(1)).cast("int").as("n_events"))
+  }
+
+  /** The subset of [[sessionizeBatch]] sessions a bounded
+    * AvailableNow run of [[sessionize]] EMITS: sessions closed by a
+    * later in-stream event (any session but the user's last), plus
+    * last sessions whose event-time timeout (`end + gap`) falls
+    * strictly below the final watermark (`global max ts − gap` —
+    * Spark fires timeouts on `timeoutTimestamp < watermark`). This is
+    * the exact batch expression of Append-mode emission, which makes
+    * batch/stream sessionization parity oracle-checkable
+    * (x_stream_batch_parity). */
+  def sessionizeBatchEmitted(events: DataFrame, userCol: String, tsCol: String,
+                             gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = gapMinutes * 60L * 1000L
+    val sessions = sessionizeBatch(events, userCol, tsCol, gapMinutes)
+    // The final watermark is ONE scalar — collect it (the same
+    // query-point pattern as the similarity top-k anchors) rather than
+    // cross-joining a 1-row frame into every session.
+    val maxRow = events.agg(max(unix_millis(col(tsCol)))).first()
+    val watermarkMs =
+      if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0) - gapMs
+    sessions
+      .withColumn("last_sid",
+        max(col("session_id")).over(Window.partitionBy(col("user_id"))))
+      .where(col("session_id") < col("last_sid") ||
+        col("end_ms") + gapMs < lit(watermarkMs))
+      .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+  }
+
   /** Stream → batch-sink bridge via foreachBatch: each micro-batch is
     * handed to arbitrary batch code (upserts, size-aware parquet,
     * multi-sink fan-out — anything the streaming sinks can't express).

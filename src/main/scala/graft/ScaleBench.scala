@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+
+/** Scale-evidence harness: runs the dedup / similarity pipelines on
+  * self-generated corpora at multiples of the sf0.1 fixture size
+  * (5 000 docs / 2 000 embeddings = 1×) and reports wall time plus the
+  * counts that PROVE the sub-quadratic claims — candidate pairs,
+  * confirmed pairs, and the Σ block·(block−1)/2 "pair mass" that
+  * bounds each blocked pipeline's work.
+  *
+  * What linear-ish scaling looks like here: at 10× / 50× the corpus,
+  * an all-pairs design would do 100× / 2500× the work; the LSH-blocked
+  * pipelines must instead track the planted-duplicate mass, which
+  * grows ∝ n (clusters are a fixed FRACTION of the corpus).
+  *
+  * Corpus design (all deterministic — xxhash64 of ids, no RNG state):
+  *   - documents: 50 tokens from a 40-word vocab keyed on a base id;
+  *     the first 10% of ids form clusters of 4 sharing a base text,
+  *     variants 1–3 append a variant token (shingle Jaccard ≈ 0.96,
+  *     well above the 0.5 verify threshold); the other 90% are unique.
+  *     Planted near-dup pairs therefore = n/40 clusters × 6 = 0.15·n.
+  *   - embeddings: dim-64 uniform[−1,1] from the base id; the first
+  *     10% of ids form pairs whose odd member is the even one plus a
+  *     ±0.01 perturbation (cosine ≈ 0.9997, above the 0.9 threshold);
+  *     labels are 64 uniform blocks.
+  *
+  * Usage: runMain graft.ScaleBench [outBase] [scales]
+  *   outBase  defaults to /tmp/graft_scale
+  *   scales   comma list of multipliers, default "1,10,50"
+  * Prints one JSON line per scale point (and a gen line per corpus).
+  */
+object ScaleBench {
+
+  private val vocab = Seq(
+    "spark", "batch", "part", "line", "column", "order", "small", "sort",
+    "fast", "value", "scan", "hash", "slow", "group", "agg", "filter",
+    "query", "big", "key", "window", "row", "table", "stream", "merge",
+    "data", "join", "shuffle", "cache", "disk", "node", "task", "stage",
+    "plan", "code", "byte", "page", "file", "block", "read", "write")
+
+  def genDocuments(spark: SparkSession, n: Long): DataFrame = {
+    val vocabCol = array(vocab.map(lit): _*)
+    val nClustered = n / 10
+    spark.range(0, n, 1, 32).toDF("doc_id")
+      .withColumn("clustered", col("doc_id") < lit(nClustered))
+      .withColumn("base_id",
+        when(col("clustered"), expr("(doc_id DIV 4) * 4")).otherwise(col("doc_id")))
+      .withColumn("body", array_join(transform(sequence(lit(0), lit(49)),
+        i => element_at(vocabCol,
+          pmod(xxhash64(col("base_id"), i), lit(vocab.size.toLong)).cast("int") + 1)), " "))
+      .withColumn("variant", col("doc_id") % 4)
+      .withColumn("text",
+        when(col("clustered") && col("variant") > 0,
+          concat(col("body"), lit(" uvar"), col("variant"))).otherwise(col("body")))
+      .select(col("doc_id"), col("text"))
+  }
+
+  def genEmbeddings(spark: SparkSession, n: Long, nLabels: Int = 64): DataFrame = {
+    val nPaired = n / 10
+    spark.range(0, n, 1, 32).toDF("vec_id")
+      .withColumn("paired", col("vec_id") < lit(nPaired))
+      .withColumn("base_id",
+        when(col("paired"), expr("(vec_id DIV 2) * 2")).otherwise(col("vec_id")))
+      .withColumn("odd", col("paired") && (col("vec_id") % 2 === 1))
+      .withColumn("embedding", transform(sequence(lit(1), lit(64)), i =>
+        ((pmod(xxhash64(col("base_id"), i), lit(2001L)).cast("double") - 1000.0) / 1000.0
+          + when(col("odd"),
+              (pmod(xxhash64(col("vec_id"), i + 100), lit(21L)).cast("double") - 10.0) / 1000.0)
+            .otherwise(0.0)).cast("float")))
+      .withColumn("label",
+        pmod(xxhash64(col("vec_id"), lit(999)), lit(nLabels.toLong)).cast("int"))
+      .select(col("vec_id"), col("embedding"), col("label"))
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Σ n·(n−1)/2 over the blocks of `blockCol` — the pair mass that
+    * bounds a blocked pipeline's join work. */
+  private def pairMass(df: DataFrame, blockCol: String): Long =
+    df.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")), lit(0L)).as("mass"))
+      .first().getLong(0)
+
+  private def fmt(v: Double) = f"$v%.2f"
+
+  private def runPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val params = Dedup.MinHashParams()
+    spark.sqlContext.clearCache()
+    // Σ m·(m−1)/2 over LSH band buckets = the equi-join's exact pair
+    // budget — candidates can never exceed it, and it is the quantity
+    // that must stay ∝ n for the pipeline to scale.
+    val bandMass = pairMass(
+      Dedup.bands(docs, "doc_id", "text", params)
+        .withColumn("__bb", concat_ws("|", col("band_id"), col("band_hash"))),
+      "__bb")
+    spark.sqlContext.clearCache()
+    val (nCand, tCand) = timed {
+      Dedup.candidatePairs(docs, "doc_id", "text", params).count()
+    }
+    spark.sqlContext.clearCache()
+    val (nConf, tConf) = timed {
+      Dedup.nearDupPairs(docs, "doc_id", "text", params, threshold = 0.5).count()
+    }
+    spark.sqlContext.clearCache()
+    val (nSurv, tDedup) = timed {
+      Dedup.dedupNearDups(docs, "doc_id", "text", params, threshold = 0.5).count()
+    }
+    spark.sqlContext.clearCache()
+    val withBucket = emb.withColumn("bucket",
+      Similarity.lshBucketIn(spark)(col("embedding"), 8))
+    val bucketMass = pairMass(withBucket, "bucket")
+    val (nEmb, tEmb) = timed {
+      Similarity.cosinePairsWithin(withBucket, "vec_id", "embedding", "bucket",
+        threshold = 0.9, maxBlockSize = 10000).count()
+    }
+    spark.sqlContext.clearCache()
+    val labelMass = pairMass(emb, "label")
+    val (nLbl, tLbl) = timed {
+      Similarity.cosinePairsWithin(emb, "vec_id", "embedding", "label",
+        threshold = 0.35, maxBlockSize = 10000).count()
+    }
+    val nDocs = docs.count()
+    val nVecs = emb.count()
+    s"""{"scale":$scale,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
+      s""""minhash_candidates":{"t":${fmt(tCand)},"n_pairs":$nCand,"band_mass":$bandMass},""" +
+      s""""minhash_confirmed":{"t":${fmt(tConf)},"n_pairs":$nConf},""" +
+      s""""neardup_dedup":{"t":${fmt(tDedup)},"n_survivors":$nSurv},""" +
+      s""""embed_neardup":{"t":${fmt(tEmb)},"n_pairs":$nEmb,"bucket_mass":$bucketMass},""" +
+      s""""label_pairs":{"t":${fmt(tLbl)},"n_pairs":$nLbl,"label_mass":$labelMass}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outBase = args.headOption.getOrElse("/tmp/graft_scale")
+    val scales = args.drop(1).headOption.getOrElse("1,10,50")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    scales.foreach { m =>
+      val dir = s"$outBase/x$m"
+      val (_, tGen) = timed {
+        genDocuments(spark, 5000L * m)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        genEmbeddings(spark, 2000L * m)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      println(s"""{"gen":"x$m","t":${fmt(tGen)}}""")
+    }
+    // Untimed warmup at the smallest point: janino codegen + JIT land
+    // here so the 1× numbers measure the plans, not JVM cold start
+    // (same policy as Bench).
+    runPoint(spark, s"$outBase/x${scales.min}", scales.min)
+    scales.foreach { m => println(runPoint(spark, s"$outBase/x$m", m)) }
+    spark.stop()
+  }
+}

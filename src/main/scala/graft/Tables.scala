@@ -27,13 +27,27 @@ object Tables {
     * oracle comparisons see identical values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      case _ => df
+    // The nanosAsLong flag is only consulted while the relation is
+    // resolved (schema inference reads it from SQLConf — a per-read
+    // option does NOT reach it), so scope it save/restore style: a
+    // loader must not flip a session-global flag under a host
+    // application that reads other nanos parquet. Actions on the
+    // returned frame stay valid after restore — the resolved relation
+    // carries its conversion.
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(flag)
+    spark.conf.set(flag, "true")
+    try {
+      val df = load(spark, dir, "events")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case _ => df
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(flag, v)
+      case None => spark.conf.unset(flag)
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

@@ -38,16 +38,29 @@ object AnnIndex {
     * bucket + Hamming-1 neighbors under multi-probe). `bits` must
     * match the build.
     *
-    * Bucket pruning caveat: Spark's DisableUnnecessaryBucketedScan
-    * keeps bucketed scans only when a join/aggregation requires the
-    * bucketing, so a filter-only probe engages file-level bucket
-    * pruning (`SelectedBucketsCount` in the scan) only with
-    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`.
-    * Without it the probe still avoids any shuffle and pushes the
-    * bucket IN-filter into the parquet scan (row-group pruning over
-    * the bucket-sorted files) — strictly better than re-bucketing,
-    * just not file-skipping. */
+    * EXECUTES EAGERLY (k rows) under a scoped
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`:
+    * Spark's DisableUnnecessaryBucketedScan keeps bucketed scans only
+    * when a join/aggregation requires the bucketing, so a filter-only
+    * probe engages file-level bucket pruning (`SelectedBucketsCount`
+    * in the scan) only with that flag off — and planner confs are
+    * re-read per ACTION, so a lazily returned frame would re-plan
+    * without the flag and silently lose the file skipping. The flag is
+    * restored after the probe; session conf is left as found. */
   def probeTopK(spark: SparkSession, table: String, idCol: String,
+                vecCol: String, query: Seq[Float], k: Int,
+                bits: Int = 8, multiProbe: Boolean = true): DataFrame =
+    withBucketPruning(spark) {
+      probePlan(spark, table, idCol, vecCol, query, k, bits, multiProbe)
+        .localCheckpoint(true)
+    }
+
+  /** The lazy probe plan behind [[probeTopK]]. Callers that want to
+    * inspect or compose the plan manage the `autoBucketedScan` conf
+    * themselves (without it the probe still avoids any shuffle and
+    * pushes the bucket IN-filter into the parquet scan — row-group
+    * pruning over bucket-sorted files — just not file-skipping). */
+  def probePlan(spark: SparkSession, table: String, idCol: String,
                 vecCol: String, query: Seq[Float], k: Int,
                 bits: Int = 8, multiProbe: Boolean = true): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
@@ -57,5 +70,26 @@ object AnnIndex {
       .select(col(idCol), Similarity.cosineIn(spark)(col(vecCol), q).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** The executed-plan string [[probeTopK]] runs — planned under the
+    * same scoped pruning flag — for tests and plan review. */
+  def probePlanString(spark: SparkSession, table: String, idCol: String,
+                      vecCol: String, query: Seq[Float], k: Int,
+                      bits: Int = 8, multiProbe: Boolean = true): String =
+    withBucketPruning(spark) {
+      probePlan(spark, table, idCol, vecCol, query, k, bits, multiProbe)
+        .queryExecution.executedPlan.toString
+    }
+
+  /** Scoped save/restore of the bucketed-scan planner flag. */
+  private def withBucketPruning[T](spark: SparkSession)(f: => T): T = {
+    val flag = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(flag)
+    spark.conf.set(flag, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(flag, v)
+      case None => spark.conf.unset(flag)
+    }
   }
 }

@@ -99,6 +99,15 @@ object Dedup {
     * 64-hash signature expression into EVERY band's aggregate (16×
     * recomputation per row and a codegen tree too big to JIT) — 100×
     * slowdown observed. With the barrier each doc hashes once.
+    *
+    * EXECUTES EAGERLY at construction (the localCheckpoint barrier
+    * plus a partition-count probe both run Spark jobs) — plan-only
+    * consumers pay the pipeline. Checkpoint blocks live in executor
+    * storage only: on a cluster with executor loss / dynamic
+    * allocation, an evicted block fails the job — size the intra-query
+    * window accordingly or substitute reliable checkpoint(dir) (see
+    * nearDupClusters' note; same trade-off at every checkpoint site in
+    * this file).
     */
   def bands(docs: DataFrame, idCol: String, textCol: String,
             params: MinHashParams): DataFrame = {
@@ -156,7 +165,8 @@ object Dedup {
   }
 
   /** Candidate pairs (id_a < id_b) from same-bucket collisions, with
-    * the hot-bucket cap applied. */
+    * the hot-bucket cap applied. Eager (checkpoints the band table —
+    * see [[bands]] for the executor-loss caveat). */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      params: MinHashParams): DataFrame = {
     // The band table feeds three consumers (bucket sizing + both join
@@ -188,7 +198,8 @@ object Dedup {
 
   /** Exact-Jaccard verification of a precomputed (id_a, id_b) pair set
     * (so callers can reuse one candidate computation for several
-    * downstream consumers). */
+    * downstream consumers). Eager unless the pair set is already
+    * materialized (see [[bands]] for the executor-loss caveat). */
   def verifyPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                   textCol: String, params: MinHashParams,
                   threshold: Double): DataFrame = {
@@ -199,8 +210,13 @@ object Dedup {
     // set itself feeds three consumers (two id projections + the join),
     // so cache it (eager localCheckpoint — ContextCleaner-managed, no
     // unpersist bookkeeping) rather than re-running candidate
-    // generation.
-    val p = pairs.localCheckpoint(true)
+    // generation — UNLESS the caller already materialized it (a
+    // checkpointed input re-checkpointed here would store the pair set
+    // twice).
+    val p = pairs.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => pairs
+      case _ => pairs.localCheckpoint(true)
+    }
     // Collision-proof alias: idCol may itself be "id" (or docs may
     // carry one) — a bare col("id") join condition would be ambiguous.
     val ids = p.select(col("id_a").as("__vp_id"))
@@ -307,10 +323,31 @@ object Dedup {
   def exactByFingerprint(df: DataFrame, textCol: String): DataFrame = {
     val cols = df.columns.toSeq
     val row = struct(cols.map(col): _*)
-    val ord = struct(col(textCol), xxhash64(row))
+    // Hash expressions reject MapType children by default
+    // (spark.sql.legacy.allowHashOnMapType), so the tiebreak hashes
+    // only the hashable columns — a map-bearing schema dedups instead
+    // of failing analysis. The pick stays deterministic: ties that
+    // differ only inside an unhashed map column break arbitrarily but
+    // stably within a run (min_by over equal keys), and the surviving
+    // CONTENT is byte-identical text either way.
+    val hashable = df.schema.fields
+      .filterNot(f => containsMapType(f.dataType)).map(f => col(f.name)).toSeq
+    val ord =
+      if (hashable.nonEmpty) struct(col(textCol), xxhash64(hashable: _*))
+      else struct(col(textCol))
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
       .agg(min_by(row, ord).as("__row"))
       .select(cols.map(c => col("__row").getField(c).as(c)): _*)
+  }
+
+  private def containsMapType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(e, _) => containsMapType(e)
+      case StructType(fs) => fs.exists(f => containsMapType(f.dataType))
+      case _ => false
+    }
   }
 
   /** 32-bit SimHash of the whitespace tokens: per bit, majority vote of

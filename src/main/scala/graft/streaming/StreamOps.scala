@@ -27,15 +27,25 @@ object StreamOps {
     * TIMESTAMP(NANOS)→micros normalization as the batch loader
     * (graft.Tables.events) so stream and batch see identical rows. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // The file stream source lists a DIRECTORY; select just the events
-    // table from the shared sf dir with a glob filter.
-    val raw = spark.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    // Same save/restore scoping as graft.Tables.events: the flag is
+    // read at relation resolution, and a loader must not leave a
+    // session-global legacy flag flipped behind it.
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(flag)
+    spark.conf.set(flag, "true")
+    try {
+      val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+      // The file stream source lists a DIRECTORY; select just the events
+      // table from the shared sf dir with a glob filter.
+      val raw = spark.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    } finally prev match {
+      case Some(v) => spark.conf.set(flag, v)
+      case None => spark.conf.unset(flag)
+    }
   }
 
   /** Tumbling 1-day window counts with a watermark — the streaming twin

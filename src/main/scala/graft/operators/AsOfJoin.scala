@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — the temporal join training-data and event
+  * pipelines need (latest right-side state at or before each left
+  * event) that Spark has no native operator for.
+  *
+  * NOT implemented as a join: a naive `l.join(r, key && r.ts <= l.ts)`
+  * explodes to every (left, earlier-right) pair per key before a
+  * row_number filter — quadratic within a key, the same hazard as an
+  * uncapped similarity block — and a pure range condition degrades to
+  * BroadcastNestedLoop. Instead both sides are tagged and UNIONED,
+  * then ONE window pass per key ordered by (ts, side) carries the most
+  * recent right payload forward into each left row — the sort-merge
+  * shape native as-of implementations use, expressed in Spark's window
+  * machinery. Cost: one shuffle of (left + right) on the key, one
+  * sort, zero row explosion; AQE-splittable like any keyed window.
+  *
+  * Tie semantics: a right row at EXACTLY left.ts matches (right sorts
+  * before left at equal ts), matching SQL `ASOF JOIN ... ON l.ts >=
+  * r.ts`. Left rows with no earlier right row keep null payloads
+  * (left-outer semantics). If several right rows share (key, ts) the
+  * carried payload is the last in (ts, side) order — pre-aggregate the
+  * right side to one row per (key, ts) when that pick must be
+  * deterministic.
+  */
+object AsOfJoin {
+
+  def asOfBackward(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, payloadCols: Seq[String],
+                   prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightOut = payloadCols.map(prefix + _)
+    val rightSchema = right.schema
+    val leftSchema = left.schema
+    // Tagged union: left rows carry null payloads, right rows carry
+    // null left-only columns. side 0 = right, 1 = left, so at equal ts
+    // the right row precedes the left row in the window order.
+    val taggedLeft = left
+      .withColumn("__side", lit(1))
+      .select(col(keyCol) +: col(tsCol) +: col("__side") +:
+        (leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
+          payloadCols.map(p =>
+            lit(null).cast(rightSchema(p).dataType).as(prefix + p))): _*)
+    val taggedRight = right
+      .withColumn("__side", lit(0))
+      .select(col(keyCol) +: col(tsCol) +: col("__side") +:
+        (leftCols.filterNot(c => c == keyCol || c == tsCol).map(c =>
+          lit(null).cast(leftSchema(c).dataType).as(c)) ++
+          payloadCols.map(p => col(p).as(prefix + p))): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedLeft.unionByName(taggedRight)
+      .select((Seq(col(keyCol), col(tsCol), col("__side")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
+        rightOut.map(p => last(col(p), ignoreNulls = true).over(w).as(p))): _*)
+      .where(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightOut.map(col): _*)
+  }
+}

@@ -114,6 +114,8 @@ object ExtensionQueries {
     "x_ivf_recall" -> ((s, dir) => ivfRecall(s, dir)),
     "x_neardup_dedup" -> ((s, dir) => neardupIdempotent(s, dir)),
     "x_asof_join" -> ((s, dir) => asofJoin(s, dir)),
+    "x_range_join" -> ((s, dir) => rangeJoin(s, dir)),
+    "x_vocab_top50" -> ((s, dir) => vocabTop(s, dir)),
     "x_batch_sessions" -> ((s, dir) =>
       // Full value-checked batch sessionization (the parity bit in
       // x_stream_sessions compares stream vs batch; THIS query checks
@@ -369,6 +371,37 @@ object ExtensionQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Bounded-gap range join (graft.operators.RangeJoin): same-customer
+    * order pairs at most 7 days apart, summarized per customer. The
+    * interval-bucketing rewrite turns the range predicate into an
+    * equi-join on (key, week-bucket); the oracle is the naive
+    * inequality join in SQL — identical pairs, different plan. */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), unix_date(col("o_orderdate").cast("date")).as("d"))
+    graft.operators.RangeJoin.temporalPairs(o, "o_custkey", "d", maxGap = 7L)
+      .groupBy(col("k").as("o_custkey"))
+      .agg(count(lit(1)).as("n_close_pairs"),
+        min(col("t_a")).cast("long").as("first_day"),
+        max(col("t_b")).cast("long").as("last_day"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Corpus vocabulary: top-50 terms by total occurrences with their
+    * document frequencies — the frequency/vocab analysis every
+    * training-data pipeline runs before filtering. Whitespace
+    * tokenization matches the oracle's string_split; all-integer
+    * output, so the compare is exact. One explode + keyed aggregation,
+    * TakeOrdered top-k — no driver-side collection. */
+  private def vocabTop(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_total"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("term"))
+      .limit(50)
+
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
     * oracle-checkable anchor for the n-gram-Jaccard machinery. */
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
@@ -463,6 +496,18 @@ object ExtensionQueries {
         | FROM clicks c ASOF LEFT JOIN errors e
         |   ON c.user_id = e.user_id AND c.ts >= e.ts
         | ORDER BY c.event_id""".stripMargin.replaceAll("\n", " "),
+    "x_range_join" ->
+      """WITH o AS (SELECT o_custkey, (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d FROM orders),
+        | p AS (SELECT a.o_custkey AS k, a.d AS t_a, b.d AS t_b
+        |   FROM o a JOIN o b ON a.o_custkey = b.o_custkey AND b.d > a.d AND b.d - a.d <= 7)
+        | SELECT k AS o_custkey, CAST(COUNT(*) AS BIGINT) AS n_close_pairs,
+        |   CAST(MIN(t_a) AS BIGINT) AS first_day, CAST(MAX(t_b) AS BIGINT) AS last_day
+        | FROM p GROUP BY k ORDER BY o_custkey""".stripMargin.replaceAll("\n", " "),
+    "x_vocab_top50" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        | SELECT term, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        | FROM tok GROUP BY term ORDER BY n_total DESC, term LIMIT 50""".stripMargin.replaceAll("\n", " "),
     "x_batch_sessions" ->
       """WITH t AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
         | s AS (SELECT user_id, ts_ms,

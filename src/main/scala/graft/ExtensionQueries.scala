@@ -116,6 +116,8 @@ object ExtensionQueries {
     "x_asof_join" -> ((s, dir) => asofJoin(s, dir)),
     "x_range_join" -> ((s, dir) => rangeJoin(s, dir)),
     "x_vocab_top50" -> ((s, dir) => vocabTop(s, dir)),
+    "x_funnel" -> ((s, dir) => funnel(s, dir)),
+    "x_cohort_retention" -> ((s, dir) => cohortRetention(s, dir)),
     "x_batch_sessions" -> ((s, dir) =>
       // Full value-checked batch sessionization (the parity bit in
       // x_stream_sessions compares stream vs batch; THIS query checks
@@ -402,6 +404,46 @@ object ExtensionQueries {
       .orderBy(col("n_total").desc, col("term"))
       .limit(50)
 
+  /** Ordered funnel over the events stream: per user, the FIRST
+    * occurrence of each stage (conditional min — one keyed aggregation,
+    * no self-joins), then strict-ordering counts view → click →
+    * purchase. The single-pass conditional-aggregate shape is the one
+    * that survives 100 TB; a per-stage self-join would shuffle the
+    * event log once per stage. */
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def firstOf(t: String) = min(when(col("event_type") === t, col("ts")))
+    ev.groupBy(col("user_id"))
+      .agg(firstOf("view").as("t_view"), firstOf("click").as("t_click"),
+        firstOf("purchase").as("t_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("t_view").isNotNull.cast("long")).as("n_view"),
+        sum((col("t_view").isNotNull && col("t_click").isNotNull &&
+          col("t_click") > col("t_view")).cast("long")).as("n_view_click"),
+        sum((col("t_view").isNotNull && col("t_click").isNotNull &&
+          col("t_purchase").isNotNull && col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click")).cast("long")).as("n_full_funnel"))
+  }
+
+  /** Daily cohort retention: users grouped by first-seen day, with
+    * day-1 and day-7+ return counts — two keyed aggregations and one
+    * equi-join on the user key (the distinct (user, day) activity set
+    * is the small derived table, never the raw log twice). */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val firstDay = active.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    active.join(firstDay, Seq("user_id"))
+      .withColumn("offset", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count_distinct(when(col("offset") === 1, col("user_id"))).as("n_d1"),
+        count_distinct(when(col("offset") >= 7, col("user_id"))).as("n_d7plus"))
+      .orderBy(col("cohort_day"))
+  }
+
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
     * oracle-checkable anchor for the n-gram-Jaccard machinery. */
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
@@ -508,6 +550,29 @@ object ExtensionQueries {
         | SELECT term, CAST(COUNT(*) AS BIGINT) AS n_total,
         |   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         | FROM tok GROUP BY term ORDER BY n_total DESC, term LIMIT 50""".stripMargin.replaceAll("\n", " "),
+    "x_funnel" ->
+      """WITH f AS (SELECT user_id,
+        |   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+        |    AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+        |    AND t_purchase IS NOT NULL AND t_click > t_view
+        |    AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        | FROM f""".stripMargin.replaceAll("\n", " "),
+    "x_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | fd AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+        | SELECT cohort_day,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(DISTINCT CASE WHEN e.day - f.cohort_day = 1 THEN e.user_id END) AS BIGINT) AS n_d1,
+        |  CAST(COUNT(DISTINCT CASE WHEN e.day - f.cohort_day >= 7 THEN e.user_id END) AS BIGINT) AS n_d7plus
+        | FROM ev e JOIN fd f USING (user_id)
+        | GROUP BY cohort_day ORDER BY cohort_day""".stripMargin.replaceAll("\n", " "),
     "x_batch_sessions" ->
       """WITH t AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
         | s AS (SELECT user_id, ts_ms,

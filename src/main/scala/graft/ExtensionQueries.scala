@@ -117,6 +117,21 @@ object ExtensionQueries {
     "x_range_join" -> ((s, dir) => rangeJoin(s, dir)),
     "x_vocab_top50" -> ((s, dir) => vocabTop(s, dir)),
     "x_funnel" -> ((s, dir) => funnel(s, dir)),
+    "x_session_window" -> ((s, dir) =>
+      // Spark's NATIVE session_window operator over the same events —
+      // the third leg of the sessionization triangle (hand-built batch
+      // twin in x_batch_sessions, stream parity in x_stream_sessions),
+      // each checked against an independent SQL oracle. Note native
+      // session windows end at last_event + gap (exclusive end).
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "60 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("w.start")).as("start_ms"),
+          unix_millis(col("w.end")).as("end_ms"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_ms"))),
     "x_cohort_retention" -> ((s, dir) => cohortRetention(s, dir)),
     "x_batch_sessions" -> ((s, dir) =>
       // Full value-checked batch sessionization (the parity bit in
@@ -573,6 +588,19 @@ object ExtensionQueries {
         |  CAST(COUNT(DISTINCT CASE WHEN e.day - f.cohort_day >= 7 THEN e.user_id END) AS BIGINT) AS n_d7plus
         | FROM ev e JOIN fd f USING (user_id)
         | GROUP BY cohort_day ORDER BY cohort_day""".stripMargin.replaceAll("\n", " "),
+    // Same lag+cumsum SQL twin as x_batch_sessions, with the native
+    // operator's end convention (last event + gap, ms).
+    "x_session_window" ->
+      """WITH t AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        | s AS (SELECT user_id, ts_ms,
+        |   CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+        |     OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > 3600000
+        |   THEN 1 ELSE 0 END AS ns FROM t),
+        | g AS (SELECT user_id, ts_ms,
+        |   SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_ms ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        | SELECT user_id, MIN(ts_ms) AS start_ms, MAX(ts_ms) + 3600000 AS end_ms,
+        |   CAST(COUNT(*) AS BIGINT) AS n_events
+        | FROM g GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin.replaceAll("\n", " "),
     "x_batch_sessions" ->
       """WITH t AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
         | s AS (SELECT user_id, ts_ms,

@@ -133,6 +133,7 @@ object ExtensionQueries {
           col("n_events"))
         .orderBy(col("user_id"), col("start_ms"))),
     "x_cohort_retention" -> ((s, dir) => cohortRetention(s, dir)),
+    "x_salted_join" -> ((s, dir) => saltedJoinRevenue(s, dir)),
     "x_batch_sessions" -> ((s, dir) =>
       // Full value-checked batch sessionization (the parity bit in
       // x_stream_sessions compares stream vs batch; THIS query checks
@@ -459,6 +460,23 @@ object ExtensionQueries {
       .orderBy(col("cohort_day"))
   }
 
+  /** Salted fact-to-dim join (graft.ext.Skew.saltedJoin, salt 8): the
+    * hot-key fallback for joins AQE can't split. The salt spreads each
+    * key over 8 shuffle partitions and NEVER changes the result, which
+    * is exactly what the oracle checks — the plain SQL join aggregated
+    * identically. House decimal-sum rules for the measure. */
+  private def saltedJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+    graft.ext.Skew.saltedJoin(li, o, "okey", salt = 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
     * oracle-checkable anchor for the n-gram-Jaccard machinery. */
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
@@ -565,6 +583,12 @@ object ExtensionQueries {
         | SELECT term, CAST(COUNT(*) AS BIGINT) AS n_total,
         |   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         | FROM tok GROUP BY term ORDER BY n_total DESC, term LIMIT 50""".stripMargin.replaceAll("\n", " "),
+    // Salting is plan-internal: the oracle is the PLAIN join.
+    "x_salted_join" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replaceAll("\n", " "),
     "x_funnel" ->
       """WITH f AS (SELECT user_id,
         |   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,

@@ -196,6 +196,14 @@ object ParityQueries {
         expr("percentile(l_extendedprice, 0.25)").as("p25"),
         expr("percentile(l_extendedprice, 0.5)").as("p50"),
         expr("percentile(l_extendedprice, 0.95)").as("p95"))),
+    "q_group_percentiles" -> ((s, dir) =>
+      // Per-group exact percentiles — the grouped sibling of
+      // q_percentiles (one sort-based aggregation per group key).
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+        .orderBy(col("l_returnflag"))),
     "q_pivot_status" -> ((s, dir) =>
       // Pivot: one count column per line status value.
       Tables.lineitem(s, dir)
@@ -677,6 +685,11 @@ object ParityQueries {
       """SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
         | quantile_cont(l_extendedprice, 0.5) AS p50,
         | quantile_cont(l_extendedprice, 0.95) AS p95 FROM lineitem""".stripMargin.replaceAll("\n", " "),
+    "q_group_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.25) AS p25,
+        | quantile_cont(l_extendedprice, 0.5) AS p50,
+        | quantile_cont(l_extendedprice, 0.95) AS p95
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " "),
     "q_pivot_status" ->
       """SELECT l_returnflag,
         | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,

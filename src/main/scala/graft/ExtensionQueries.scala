@@ -134,6 +134,16 @@ object ExtensionQueries {
         .orderBy(col("user_id"), col("start_ms"))),
     "x_cohort_retention" -> ((s, dir) => cohortRetention(s, dir)),
     "x_salted_join" -> ((s, dir) => saltedJoinRevenue(s, dir)),
+    "x_skewed_agg" -> ((s, dir) =>
+      // Two-phase skew-safe aggregation (partial on (key, salt), final
+      // merge on key) — algebraic, so the result equals a direct
+      // groupBy, which is the oracle. count's final phase SUMS the
+      // partial counts (see Skew.skewedAgg's contract).
+      graft.ext.Skew.skewedAgg(
+          Tables.events(s, dir).select(col("event_type")),
+          "event_type", salt = 16)(
+          count(lit(1)).as("n"), sum(col("n")).as("n"))
+        .orderBy(col("event_type"))),
     "x_batch_sessions" -> ((s, dir) =>
       // Full value-checked batch sessionization (the parity bit in
       // x_stream_sessions compares stream vs batch; THIS query checks
@@ -583,6 +593,10 @@ object ExtensionQueries {
         | SELECT term, CAST(COUNT(*) AS BIGINT) AS n_total,
         |   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         | FROM tok GROUP BY term ORDER BY n_total DESC, term LIMIT 50""".stripMargin.replaceAll("\n", " "),
+    // Salting is plan-internal: the oracle is the PLAIN aggregation.
+    "x_skewed_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+        | GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
     // Salting is plan-internal: the oracle is the PLAIN join.
     "x_salted_join" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

@@ -196,6 +196,20 @@ object ParityQueries {
         expr("percentile(l_extendedprice, 0.25)").as("p25"),
         expr("percentile(l_extendedprice, 0.5)").as("p50"),
         expr("percentile(l_extendedprice, 0.95)").as("p95"))),
+    "q_topn_per_group" -> ((s, dir) => {
+      // Window top-n: the 3 highest-value orders per status — the
+      // general row_number()-filter family q_topk_orders' global
+      // TakeOrdered can't express. Deterministic tiebreak on the key.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_orderstatus"), col("rk").cast("long").as("rk"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("rk"))
+    }),
     "q_group_percentiles" -> ((s, dir) =>
       // Per-group exact percentiles — the grouped sibling of
       // q_percentiles (one sort-based aggregation per group key).
@@ -685,6 +699,12 @@ object ParityQueries {
       """SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
         | quantile_cont(l_extendedprice, 0.5) AS p50,
         | quantile_cont(l_extendedprice, 0.95) AS p95 FROM lineitem""".stripMargin.replaceAll("\n", " "),
+    "q_topn_per_group" ->
+      """SELECT o_orderstatus, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice FROM (
+        | SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) t
+        | WHERE rk <= 3 ORDER BY o_orderstatus, rk""".stripMargin.replaceAll("\n", " "),
     "q_group_percentiles" ->
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.25) AS p25,
         | quantile_cont(l_extendedprice, 0.5) AS p50,

@@ -321,19 +321,30 @@ object ExtensionQueries {
   /** x_neardup_dedup: runs the END-TO-END near-dup dedup (candidates →
     * verify → cluster → survivor per cluster, DedupSpec pins the
     * planted-cluster semantics) and gates it with the idempotence bit:
-    * deduping an already-deduped corpus removes nothing (every
-    * surviving pair is below the Jaccard threshold, so the second pass
-    * confirms zero pairs). The bit is hash-independent even though the
-    * survivor SET is not — which is what makes an oracle-checkable
-    * constant out of the MinHash pipeline's end-to-end semantics. */
+    * a second pass over the survivors confirms ZERO pairs at the
+    * threshold — precisely the condition under which
+    * dedup(dedup(x)) = dedup(x), since dedup removes a row iff a
+    * confirmed pair touches it. The bit is hash-independent even
+    * though the survivor SET is not — which is what makes an
+    * oracle-checkable constant out of the MinHash pipeline's
+    * end-to-end semantics.
+    *
+    * The corpus is banded ONCE: bands are per-row, so the survivors'
+    * band table is a semi-join of the full one — the second pass pays
+    * a slim join instead of repeating the shingle+minhash computation
+    * (the same amortization the persisted ANN/IVF indexes apply). */
   private def neardupIdempotent(s: SparkSession, dir: String): DataFrame = {
     val params = Dedup.MinHashParams()
-    val once = Dedup.dedupNearDups(Tables.documents(s, dir), "doc_id", "text",
-      params, threshold = 0.5)
-    val twice = Dedup.dedupNearDups(once, "doc_id", "text", params, threshold = 0.5)
-    once.agg(count(lit(1)).as("n1"))
-      .crossJoin(twice.agg(count(lit(1)).as("n2")))
-      .select((col("n1") === col("n2")).cast("long").as("idempotent_ok"))
+    val docs = Tables.documents(s, dir)
+    val b = Dedup.bands(docs, "doc_id", "text", params).localCheckpoint(true)
+    val once = Dedup.dedupNearDups(docs, "doc_id", "text", params,
+      threshold = 0.5, precomputedBands = Some(b))
+    val survivorBands = b.join(once.select(col("doc_id")),
+        b("id") === col("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    Dedup.nearDupPairs(once, "doc_id", "text", params, threshold = 0.5,
+        precomputedBands = Some(survivorBands))
+      .agg((count(lit(1)) === 0).cast("long").as("idempotent_ok"))
   }
 
   /** x_multimodal_decode: count of rows where the expression decode path

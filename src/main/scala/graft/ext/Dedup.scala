@@ -168,12 +168,20 @@ object Dedup {
     * the hot-bucket cap applied. Eager (checkpoints the band table —
     * see [[bands]] for the executor-loss caveat). */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                     params: MinHashParams): DataFrame = {
+                     params: MinHashParams): DataFrame =
     // The band table feeds three consumers (bucket sizing + both join
     // sides) — cache it or the 64-hash fold runs three times. Eager
     // localCheckpoint, not persist: blocks are ContextCleaner-freed on
     // GC instead of living in the CacheManager until unpersist.
-    val b = bands(docs, idCol, textCol, params).localCheckpoint(true)
+    candidatePairsFromBands(
+      bands(docs, idCol, textCol, params).localCheckpoint(true), params)
+
+  /** Candidate pairs from a precomputed (id, band_id, band_hash) table
+    * — lets several passes reuse ONE shingle+minhash computation
+    * (bands are per-row, so a subset corpus's band table is just a
+    * semi-join of the full one). The input should be materialized
+    * (checkpointed/persisted): it feeds three consumers here. */
+  def candidatePairsFromBands(b: DataFrame, params: MinHashParams): DataFrame = {
     val sized = b.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") <= params.maxBucketSize)
@@ -192,9 +200,14 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    params: MinHashParams = MinHashParams(),
-                   threshold: Double = 0.8): DataFrame =
-    verifyPairs(docs, candidatePairs(docs, idCol, textCol, params),
-      idCol, textCol, params, threshold)
+                   threshold: Double = 0.8,
+                   precomputedBands: Option[DataFrame] = None): DataFrame = {
+    val cands = precomputedBands match {
+      case Some(b) => candidatePairsFromBands(b, params)
+      case None => candidatePairs(docs, idCol, textCol, params)
+    }
+    verifyPairs(docs, cands, idCol, textCol, params, threshold)
+  }
 
   /** Exact-Jaccard verification of a precomputed (id_a, id_b) pair set
     * (so callers can reuse one candidate computation for several
@@ -290,11 +303,13 @@ object Dedup {
     */
   def dedupNearDups(docs: DataFrame, idCol: String, textCol: String,
                     params: MinHashParams = MinHashParams(),
-                    threshold: Double = 0.8): DataFrame = {
+                    threshold: Double = 0.8,
+                    precomputedBands: Option[DataFrame] = None): DataFrame = {
     // Eager checkpoint, not persist: the pair set is consumed by three
     // lineages (touched ids, propagation edges, loser anti-join) and a
     // checkpoint needs no end-of-life unpersist bookkeeping.
-    val pairs = nearDupPairs(docs, idCol, textCol, params, threshold)
+    val pairs = nearDupPairs(docs, idCol, textCol, params, threshold,
+        precomputedBands)
       .localCheckpoint(true)
     // Label propagation only needs the pair-connected subgraph — every
     // untouched doc is trivially its own cluster. The subgraph is tiny

@@ -7,7 +7,11 @@ import graft.ext.{Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data-pipeline operators registered as driver queries:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
-  * search over embeddings, text analysis, multimodal plumbing.
+  * search over embeddings (brute force / LSH / IVF, persisted
+  * indexes), text analysis and vocabulary, multimodal plumbing,
+  * temporal operators (as-of join, range join, sessionization:
+  * native + hand-built + streaming), event analytics (funnel, cohort
+  * retention), and skew machinery (salted join, two-phase agg).
   *
   * Oracle rules are the same as ParityQueries. Queries whose results
   * depend on engine-internal hashes (xxhash64: MinHash, SimHash, LSH

@@ -181,6 +181,34 @@ object StreamOps {
       .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
   }
 
+  /** Stream-stream interval join: each left event is enriched with the
+    * same key's right events from the preceding `windowMinutes`
+    * (0 ≤ left.ts − right.ts ≤ window). BOTH sides carry watermarks,
+    * so the join state is bounded: Spark evicts right-side state older
+    * than `left watermark − window` instead of buffering the full
+    * stream — the property that makes stream-stream joins viable on an
+    * unbounded log. Inner join: unmatched left rows drop (an outer
+    * interval join additionally waits out the watermark before
+    * emitting nulls).
+    *
+    * Columns: the left side keeps `keyCol` and `tsCol` names; the
+    * right side's ts is exposed as `ts_r` plus its payload columns.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String,
+                   windowMinutes: Int, watermark: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r = right
+      .withColumnRenamed(tsCol, "ts_r")
+      .withColumnRenamed(keyCol, "__rk")
+      .withWatermark("ts_r", watermark)
+    l.join(r,
+      col(keyCol) === col("__rk") &&
+        col("ts_r") <= col(tsCol) &&
+        col("ts_r") >= col(tsCol) - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .drop("__rk")
+  }
+
   /** Stream → batch-sink bridge via foreachBatch: each micro-batch is
     * handed to arbitrary batch code (upserts, size-aware parquet,
     * multi-sink fan-out — anything the streaming sinks can't express).

@@ -66,6 +66,34 @@ class StreamingSpec extends AnyFunSuite {
       s"expected two gap-closed and one timeout-closed session, got $rows")
   }
 
+  test("stream-stream interval join matches in-window pairs only, with bounded state") {
+    def ts(minute: Int) = new Timestamp(3600L * 1000 + minute * 60L * 1000)
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    val views = MemoryStream[(Long, Timestamp)](spark)
+    clicks.addData((1L, ts(30)), (1L, ts(100)), (2L, ts(30)))
+    views.addData((1L, ts(10)), (1L, ts(95)), (3L, ts(10)))
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      views.toDF().toDF("user_id", "ts").withColumn("view_tag", lit("v")),
+      "user_id", "ts", windowMinutes = 30, watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("t_ssjoin")
+      .select(col("user_id"), col("ts"), col("ts_r"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000L - 60,
+        r.getTimestamp(2).getTime / 60000L - 60)).toSet
+    // click@30 sees view@10 (20 min back, in window); click@100 sees
+    // view@95 (5 min back) but NOT view@10 (90 min back); user 2's
+    // click has no views; user 3's view has no clicks.
+    assert(rows == Set((1L, 30L, 10L), (1L, 100L, 95L)),
+      s"unexpected interval-join result: $rows")
+    // Both watermarks present → the runtime can evict right-side state
+    // older than watermark − window (bounded-state contract).
+    assert(joined.isStreaming, "interval join must stay a streaming frame")
+  }
+
   test("foreachBatch bridges a stream into batch parquet appends") {
     val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString
     // Idiomatic production shape: raw stream in, arbitrary BATCH logic

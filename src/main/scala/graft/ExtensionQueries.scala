@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{BloomPrune, Dedup, IvfIndex, Mixing, Multimodal, Packing, Quantize, Similarity, TextAnalysis}
 
 /** LLM-training-data-pipeline operators registered as driver queries:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
@@ -148,6 +148,29 @@ object ExtensionQueries {
           "event_type", salt = 16)(
           count(lit(1)).as("n"), sum(col("n")).as("n"))
         .orderBy(col("event_type"))),
+    "x_quantize_dot" -> ((s, dir) => quantizeDot(s, dir)),
+    "x_weighted_mix" -> ((s, dir) =>
+      // Deterministic weighted source mixing (graft.ext.Mixing): keep
+      // 25% of views, 50% of clicks, 10% of errors, everything else
+      // whole — the oracle replays the id-hash routing in SQL, so the
+      // kept MULTISET (not just counts) is pinned via per-type counts.
+      Mixing.sampleByPct(Tables.events(s, dir), "event_id", "event_type",
+          Map("view" -> 25, "click" -> 50, "error" -> 10))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+    "x_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
+    "x_approx_percentile" -> ((s, dir) => approxPercentileBound(s, dir)),
+    "x_quantize_recall" -> ((s, dir) => quantizeRecall(s, dir)),
+    "x_pack_chunks" -> ((s, dir) =>
+      // Concat-and-chunk sequence packing over the document corpus:
+      // 512-token context windows, 8 hash shards (graft.ext.Packing).
+      // All-integer output; the oracle replays the cumsum + interval
+      // arithmetic in SQL.
+      Packing.packSummary(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.wsTokenCount(col("text")), capacity = 512L, shards = 8)),
+    "x_contamination" -> ((s, dir) => contamination(s, dir)),
+    "x_bloom_prune" -> ((s, dir) => bloomPrune(s, dir)),
+    "x_stream_interval_join" -> ((s, dir) => streamIntervalParity(s, dir)),
     "x_batch_sessions" -> ((s, dir) =>
       // Full value-checked batch sessionization (the parity bit in
       // x_stream_sessions compares stream vs batch; THIS query checks
@@ -502,6 +525,151 @@ object ExtensionQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Adjacent-pair dot product in int8-quantized space
+    * (graft.ext.Quantize) — the oracle-checkable anchor for the
+    * quantization arithmetic: scale, round-half-up, and integer dot
+    * are replayed exactly by the DuckDB twin. */
+  private def quantizeDot(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Quantize.quantize(col("embedding")).as("qv"))
+    val a = e.select(col("vec_id").as("id_a"), col("qv").as("q_a"))
+    val b = e.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
+      col("qv").as("q_b"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        Quantize.dotQ(col("q_a"), col("q_b")).as("qdot"))
+      .orderBy(col("id_a"))
+  }
+
+  /** Int8 ranking quality as a driver-checkable bit: 1 when the
+    * quantized-cosine top-10 overlaps the float-cosine top-10 in at
+    * least `quantizeRecallFloor` ids. The per-vector scale cancels in
+    * cosine, so the two rankings differ only by rounding noise —
+    * measured overlap is 9–10 of 10 on the driver fixtures; the floor
+    * leaves the same headroom convention as [[annRecallFloor]] (and
+    * shares its fixture-dependence caveat). */
+  private val quantizeRecallFloor = 5
+  private def quantizeRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"))
+    val qlit = Quantize.quantize(array(q.map(x => lit(x)): _*))
+    val quant = corpus
+      .select(col("vec_id"),
+        Quantize.cosineQ(Quantize.quantize(col("embedding")), qlit).as("cos_q"))
+      .orderBy(col("cos_q").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"))
+    exact.join(quant, Seq("vec_id"))
+      .agg((count(lit(1)) >= quantizeRecallFloor).cast("long").as("recall_ok"))
+  }
+
+  /** Benchmark decontamination over the corpus: docs with
+    * doc_id % 97 == 0 stand in for the eval suite, the rest are the
+    * training corpus; report how many training docs share a word
+    * 3-gram with it (graft.ext.TextAnalysis.contaminationReport —
+    * broadcast semi-join, corpus never shuffled). */
+  private def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.contaminationReport(
+      docs.where(col("doc_id") % 97 =!= 0),
+      docs.where(col("doc_id") % 97 === 0),
+      "doc_id", "text", k = 3)
+  }
+
+  /** Bloom-pruned fact-to-dim join (graft.ext.BloomPrune): lineitem is
+    * pre-filtered by a Bloom filter over the selective order-key set
+    * before the exact join. The oracle is the PLAIN join — pruning is
+    * plan-internal, and the equality IS the no-false-negative proof. */
+  private def bloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(s, dir).where(col("o_orderstatus") === "P")
+      .select(col("o_orderkey").as("okey"))
+    // The dim-side cardinality sizes the sketch — one scalar count on
+    // the SMALL side (house pattern), never on the fact side.
+    val nKeys = math.max(keys.count(), 1L)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    BloomPrune.prunedJoin(li, keys, "okey", nKeys, fpp = 0.01)
+      .agg(count(lit(1)).as("n_matches"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
+  /** x_stream_interval_join: batch ≡ stream parity bit for the
+    * stream-stream interval join (StreamOps.intervalJoin). The bounded
+    * AvailableNow run joins click events to same-user view events from
+    * the preceding 10 minutes; an inner interval join emits every
+    * match it ever sees (watermarks only bound STATE), so on a bounded
+    * input the emitted set must equal the batch inequality join
+    * exactly. Compared as multisets of (click_id, view_id). */
+  private def streamIntervalParity(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    def sideS(t: String, idAs: String) =
+      StreamOps.eventsStream(s, dir).where(col("event_type") === t)
+        .select(col("user_id"), col("ts"), col("event_id").as(idAs))
+    val joined = StreamOps.intervalJoin(
+      sideS("click", "click_id"), sideS("view", "view_id"),
+      "user_id", "ts", windowMinutes = 10, watermark = "60 minutes")
+      .select(col("click_id"), col("view_id"))
+    val streamed = StreamOps.runAvailableNow(joined, "stream_interval_parity",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val ev = Tables.events(s, dir)
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("uid_r"), col("ts").as("ts_r"),
+        col("event_id").as("view_id"))
+    val batch = c.join(v,
+        col("user_id") === col("uid_r") && col("ts_r") <= col("ts") &&
+          col("ts_r") >= col("ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("view_id"))
+    streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
+      .agg((count(lit(1)) === 0).cast("long").as("interval_parity_ok"))
+  }
+
+  /** x_stream_dedup: STREAMING exact dedup (StreamOps.dedup over the
+    * events file stream) counted after a bounded AvailableNow run —
+    * checked against an EXACT oracle (DuckDB's COUNT(DISTINCT
+    * event_id)), not just a parity bit: the streaming path must land
+    * on the same distinct cardinality as any batch engine. */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val deduped = StreamOps.dedup(
+      StreamOps.eventsStream(s, dir).select(col("event_id"), col("ts")),
+      Seq("event_id"))
+    StreamOps.runAvailableNow(deduped, "stream_dedup_q",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .agg(count(lit(1)).as("n_unique"))
+  }
+
+  /** x_approx_percentile: the sketch path for quantiles (what
+    * q_percentiles' exact pass-through becomes at 100 TB — a
+    * fixed-size digest instead of a full sort/shuffle), gated by its
+    * own guarantee: approx_percentile(accuracy = A) returns a corpus
+    * element whose TRUE rank is within n/A of the target rank. The
+    * query re-derives the true ranks with one exact counting pass and
+    * emits the bound check as a bit; the sketch is deterministic for
+    * a given dataset, so the bit is stable. */
+  private def approxPercentileBound(s: SparkSession, dir: String): DataFrame = {
+    val acc = 1000
+    val ps = Seq(0.5, 0.9, 0.99)
+    val v = Tables.lineitem(s, dir).select(col("l_extendedprice").cast("double").as("v"))
+    // 3 scalars (the sketch output) — house driver-scalar pattern.
+    val approx = v.agg(percentile_approx(col("v"),
+        array(ps.map(lit): _*), lit(acc)).as("ap"))
+      .first().getSeq[Double](0)
+    val checks = ps.zip(approx).map { case (p, a) =>
+      val rank = sum((col("v") <= a).cast("long"))
+      val n = count(lit(1))
+      val slack = n.cast("double") / acc + 1.0
+      (rank.cast("double") >= n.cast("double") * p - slack) &&
+        (rank.cast("double") <= n.cast("double") * p + slack)
+    }
+    v.agg(checks.reduce(_ && _).cast("long").as("rank_bound_ok"))
+  }
+
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
     * oracle-checkable anchor for the n-gram-Jaccard machinery. */
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
@@ -586,6 +754,69 @@ object ExtensionQueries {
     "x_neardup_dedup" -> "SELECT CAST(1 AS BIGINT) AS idempotent_ok",
     "x_multimodal_decode" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
     "x_stream_sessions" -> "SELECT CAST(1 AS BIGINT) AS stream_parity_ok",
+    "x_quantize_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "x_stream_interval_join" -> "SELECT CAST(1 AS BIGINT) AS interval_parity_ok",
+    "x_approx_percentile" -> "SELECT CAST(1 AS BIGINT) AS rank_bound_ok",
+    // The STREAMING dedup must land on the exact distinct cardinality.
+    "x_stream_dedup" ->
+      "SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique FROM events",
+    // Deterministic mixing replayed in SQL: same id-hash, same
+    // per-type percentage routing.
+    "x_weighted_mix" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+        | WHERE ((event_id % 1000003) * 2654435761 + 104729) % 100 <
+        |   (CASE event_type WHEN 'view' THEN 25 WHEN 'click' THEN 50
+        |     WHEN 'error' THEN 10 ELSE 100 END)
+        | GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+    // Int8 quantization replayed in SQL: same scale, same
+    // floor(x*s + 0.5) rounding, same integer dot — IEEE double ops
+    // in the same order on both engines, so the compare is exact.
+    "x_quantize_dot" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma FROM embeddings),
+        | q AS (SELECT vec_id,
+        |   CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |        ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5) AS BIGINT)) END AS qv
+        |  FROM m)
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   list_reduce(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i]), (x, y) -> x + y) AS qdot
+        | FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 ORDER BY id_a""".stripMargin.replaceAll("\n", " "),
+    // Concat-and-chunk packing replayed in SQL: same shard hash, same
+    // per-shard cumsum, same chunk-interval arithmetic (512-token
+    // capacity, 8 shards — all integers).
+    "x_pack_chunks" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok,
+        |   (((doc_id % 1000003) * 2654435761 + 104729) % 8) AS shard FROM documents),
+        | c AS (SELECT shard, id, n_tok,
+        |   SUM(n_tok) OVER (PARTITION BY shard ORDER BY id ROWS UNBOUNDED PRECEDING) AS cum_end FROM d),
+        | s AS (SELECT shard, id, cum_end, cum_end - n_tok AS cum_before FROM c WHERE n_tok > 0),
+        | e AS (SELECT shard, id, cum_before, cum_end,
+        |   unnest(generate_series(CAST(floor(cum_before / 512) AS BIGINT), CAST(floor((cum_end - 1) / 512) AS BIGINT))) AS chunk_id
+        |  FROM s)
+        | SELECT shard, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |   CAST(SUM(LEAST(cum_end, (chunk_id + 1) * 512) - GREATEST(cum_before, chunk_id * 512)) AS BIGINT) AS n_tokens
+        | FROM e GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin.replaceAll("\n", " "),
+    // Decontamination replayed in SQL: word 3-grams, distinct
+    // (doc, shingle) pairs, doc_id % 97 routes bench vs train.
+    "x_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |     generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM tok),
+        | bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        | train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        | hits AS (SELECT train.doc_id, train.shingle FROM train JOIN bench USING (shingle))
+        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 97 <> 0) AS n_train_docs,
+        |   (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM hits) AS n_contaminated,
+        |   (SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) FROM hits) AS n_shared_shingles""".stripMargin.replaceAll("\n", " "),
+    // Bloom pruning is plan-internal: the oracle is the PLAIN join,
+    // and the equality is the no-false-negative proof.
+    "x_bloom_prune" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | FROM lineitem JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P') o
+        |   ON l_orderkey = o_orderkey""".stripMargin.replaceAll("\n", " "),
     // As-of join vs DuckDB's NATIVE ASOF LEFT JOIN — an independent
     // implementation of the same temporal-join semantics.
     "x_asof_join" ->

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: concatenate documents and chunk
+  * the token stream into fixed-capacity context windows
+  * ("concat-and-chunk", the standard pretraining packing scheme —
+  * documents may straddle a chunk boundary; every chunk except a
+  * shard's last holds exactly `capacity` tokens, so no padding waste).
+  *
+  * Scale shape: a single global token stream would serialize on one
+  * ordered window, so the corpus is first routed into `shards`
+  * deterministic hash shards (same multiplicative hash as
+  * [[TextAnalysis.splitBucket]] — stable under repartitioning and
+  * reruns); the running-token cumsum is a per-shard window (one
+  * shuffle on the shard key, shard count scales with the cluster).
+  * Chunk assignment is pure integer arithmetic on the cumsum —
+  * replayed exactly by the DuckDB oracle (x_pack_chunks).
+  */
+object Packing {
+
+  /** Deterministic shard in [0, shards) from a numeric id — the
+    * splitBucket hash with a parameterized modulus (see that Scaladoc
+    * for the overflow-safety argument). */
+  def shardOf(id: org.apache.spark.sql.Column, shards: Int): org.apache.spark.sql.Column =
+    pmod(pmod(id.cast("long"), lit(1000003L)) * lit(2654435761L) + lit(104729L),
+      lit(shards.toLong))
+
+  /** Per-document chunk spans: each doc (with `nTokens` tokens,
+    * ordered by id within its shard) is exploded into the chunks
+    * [chunk*capacity, (chunk+1)*capacity) its token range overlaps,
+    * with the token count it contributes to each. Output columns:
+    * shard, chunk_id, id, n_in_chunk.
+    */
+  def chunkSpans(docs: DataFrame, idCol: String, nTokens: org.apache.spark.sql.Column,
+                 capacity: Long, shards: Int): DataFrame = {
+    val byShard = Window.partitionBy(col("shard")).orderBy(col("id"))
+    docs
+      .select(col(idCol).as("id"), nTokens.as("n_tok"))
+      .withColumn("shard", shardOf(col("id"), shards))
+      .withColumn("cum_end", sum(col("n_tok")).over(
+        byShard.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_before", col("cum_end") - col("n_tok"))
+      // Empty docs (0 tokens) occupy no chunk — sequence() would flip
+      // to a descending range when end < start, so guard explicitly.
+      .where(col("n_tok") > 0)
+      .withColumn("chunk_id", explode(sequence(
+        floor(col("cum_before") / capacity),
+        floor((col("cum_end") - 1) / capacity))))
+      .withColumn("n_in_chunk",
+        least(col("cum_end"), (col("chunk_id") + 1) * capacity)
+          - greatest(col("cum_before"), col("chunk_id") * capacity))
+      .select(col("shard"), col("chunk_id"), col("id"), col("n_in_chunk"))
+  }
+
+  /** Packed-chunk summary: one row per (shard, chunk) with the number
+    * of contributing documents and its token fill. Every chunk except
+    * a shard's last is exactly full — the invariant PackingSpec pins
+    * and the oracle re-derives. */
+  def packSummary(docs: DataFrame, idCol: String, nTokens: org.apache.spark.sql.Column,
+                  capacity: Long, shards: Int): DataFrame =
+    chunkSpans(docs, idCol, nTokens, capacity, shards)
+      .groupBy(col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_in_chunk")).as("n_tokens"))
+      .orderBy(col("shard"), col("chunk_id"))
+}

@@ -116,4 +116,46 @@ object TextAnalysis {
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Word k-gram shingles as strings ("a b c" for k=3); a doc shorter
+    * than k tokens has none. Guarded explicitly: sequence() flips to a
+    * DESCENDING range when end < start, which would fabricate shingles
+    * for short docs. */
+  def shingleStrings(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)),
+        i => concat_ws(" ", slice(t, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: which training documents share at
+    * least one word `k`-gram with the benchmark set? The filter every
+    * serious pretraining pipeline runs before training so eval data
+    * doesn't leak into the corpus.
+    *
+    * Shape for 100 TB: both sides explode to DISTINCT (doc, shingle)
+    * pairs; the benchmark side is tiny (eval suites are KBs–MBs), so
+    * its distinct shingle set broadcasts and the contaminated-doc
+    * check is a broadcast semi-join against the train side — the huge
+    * corpus is never shuffled, only scanned. Returns one summary row:
+    * train-doc count, contaminated-doc count, and the number of
+    * distinct shingles seen on both sides.
+    */
+  def contaminationReport(train: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    def shingled(df: DataFrame) =
+      df.select(col(idCol).as("doc_id"),
+          explode(shingleStrings(col(textCol), k)).as("shingle"))
+        .distinct()
+    val trainSh = shingled(train)
+    val benchSet = shingled(benchmark).select(col("shingle")).distinct()
+    val contaminated = trainSh.join(broadcast(benchSet), Seq("shingle"), "left_semi")
+      .agg(count_distinct(col("doc_id")).as("n_contaminated"))
+    val shared = trainSh.select(col("shingle")).distinct()
+      .join(broadcast(benchSet), Seq("shingle"), "left_semi")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+    train.agg(count(lit(1)).as("n_train_docs"))
+      .crossJoin(contaminated).crossJoin(shared)
+  }
 }

@@ -38,9 +38,9 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("no registered query plans a cartesian or nested-loop join (100 TB guard)") {
     // Deliberate exceptions: 1-row summary aggregates cross-joined into
-    // a single report row (x_minhash_neardup, x_kernel_equiv) — O(1),
-    // not O(n^2).
-    val allowCross = Set("x_minhash_neardup", "x_kernel_equiv")
+    // a single report row (x_minhash_neardup, x_kernel_equiv,
+    // x_contamination) — O(1), not O(n^2).
+    val allowCross = Set("x_minhash_neardup", "x_kernel_equiv", "x_contamination")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       if (!allowCross(name)) {

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Concat-and-chunk packing invariants: token conservation, exact fill
+  * of every non-final chunk, straddling-doc membership, and the
+  * 0-token guard (sequence() must never flip descending).
+  */
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // One shard (shards = 1) makes the goldens hand-checkable: docs in
+  // id order, capacity 10.
+  private lazy val docs = Seq(
+    (1L, 4L), (2L, 3L), (3L, 7L), (4L, 10L), (5L, 0L), (6L, 2L)
+  ).toDF("id", "n")
+
+  test("chunkSpans: conservation, capacity fill, straddle membership, 0-token guard") {
+    val spans = Packing.chunkSpans(docs, "id", col("n"), capacity = 10L, shards = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // Cumsum: doc1 [0,4) doc2 [4,7) doc3 [7,14) doc4 [14,24) doc6 [24,26).
+    assert(spans == Set(
+      (0L, 1L, 4L), (0L, 2L, 3L), (0L, 3L, 3L),   // chunk 0: 4+3+3 = 10
+      (1L, 3L, 4L), (1L, 4L, 6L),                 // doc3 straddles 0→1
+      (2L, 4L, 4L), (2L, 6L, 2L)),                // doc5 (0 tokens) absent
+      s"unexpected spans: $spans")
+  }
+
+  test("packSummary: every chunk but the shard's last is exactly full") {
+    val sum = Packing.packSummary(docs, "id", col("n"), capacity = 10L, shards = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sum.toSeq == Seq((0L, 3L, 10L), (1L, 2L, 10L), (2L, 2L, 6L)))
+  }
+
+  test("multi-shard packing conserves tokens and respects capacity") {
+    val many = (1L to 500L).map(i => (i, 1L + i % 37)).toDF("id", "n")
+    val total = 500L + (1L to 500L).map(_ % 37).sum
+    val sum = Packing.packSummary(many, "id", col("n"), capacity = 64L, shards = 8)
+    assert(sum.agg(org.apache.spark.sql.functions.sum(col("n_tokens")))
+      .first().getLong(0) == total, "token count must be conserved")
+    assert(sum.where(col("n_tokens") > 64).count() == 0,
+      "no chunk may exceed capacity")
+    // Per shard: at most one (the last) under-full chunk.
+    val underfull = sum.where(col("n_tokens") < 64)
+      .groupBy(col("shard")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).count()
+    assert(underfull == 0, "only a shard's final chunk may be under-full")
+  }
+}

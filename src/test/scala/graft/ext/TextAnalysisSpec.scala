@@ -56,4 +56,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     subset.foreach { case (id, s) => assert(once(id) == s) }
   }
+
+  test("shingleStrings: word 3-grams, and short docs have none") {
+    val got = Seq("a b c d", "x y", "", "one two three")
+      .toDF("text")
+      .select(TextAnalysis.shingleStrings(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty && got(2).isEmpty,
+      "docs under k tokens must yield zero shingles, never a flipped range")
+    assert(got(3) == Seq("one two three"))
+  }
+
+  test("contaminationReport flags exactly the docs sharing a 3-gram") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),     // contains "quick brown fox"
+      (2L, "totally unrelated training text here"),
+      (3L, "quick brown dog sits quietly"),  // 2-word overlap only -> clean
+      (4L, "end of quick brown fox")         // contaminated too
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark says quick brown fox wins")).toDF("doc_id", "text")
+    val r = TextAnalysis.contaminationReport(train, bench, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_train_docs") == 4L)
+    assert(r.getAs[Long]("n_contaminated") == 2L)
+    assert(r.getAs[Long]("n_shared_shingles") == 1L)
+  }
 }

@@ -171,6 +171,30 @@ object ExtensionQueries {
     "x_contamination" -> ((s, dir) => contamination(s, dir)),
     "x_bloom_prune" -> ((s, dir) => bloomPrune(s, dir)),
     "x_stream_interval_join" -> ((s, dir) => streamIntervalParity(s, dir)),
+    "x_tfidf_top" -> ((s, dir) => {
+      // Top TF-IDF term for the first 20 docs, scored against
+      // corpus-wide document frequencies (TextAnalysis.topTfIdfTerm;
+      // linear idf on the oracle path — see its Scaladoc for why log
+      // idf can't be oracle-compared across engines).
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.topTfIdfTerm(
+          docs.where(col("doc_id") < 20), docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "x_sliding_window" -> ((s, dir) =>
+      // Spark's native SLIDING event-time window (60-minute windows
+      // every 15 minutes — each event lands in 4 overlapping windows);
+      // the oracle replays the epoch-aligned window-start arithmetic.
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "60 minutes", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_millis(col("w.start")).as("start_ms"), col("n_events"))
+        .orderBy(col("start_ms"))),
+    "x_length_buckets" -> ((s, dir) =>
+      // Length-bucketed batching census over the corpus: 64-token
+      // buckets (graft.ext.Packing.lengthBuckets) — all integers.
+      Packing.lengthBuckets(Tables.documents(s, dir),
+        TextAnalysis.wsTokenCount(col("text")), width = 64L)),
     "x_batch_sessions" -> ((s, dir) =>
       // Full value-checked batch sessionization (the parity bit in
       // x_stream_sessions compares stream vs batch; THIS query checks
@@ -393,6 +417,17 @@ object ExtensionQueries {
         lit(0L)).as("n_mismatch"))
   }
 
+  /** Multiset-equality bit: 1 iff `a` and `b` hold exactly the same
+    * rows with the same multiplicities. One ±1-weighted union +
+    * groupBy — a single shuffle, where the exceptAll-both-ways form
+    * shuffles both inputs twice. Inputs must share column order. */
+  private def multisetParityBit(a: DataFrame, b: DataFrame, bitName: String): DataFrame = {
+    val keys = a.columns.map(col)
+    a.withColumn("_w", lit(1L)).unionAll(b.withColumn("_w", lit(-1L)))
+      .groupBy(keys: _*).agg(sum(col("_w")).as("_d"))
+      .agg((count(when(col("_d") =!= 0, lit(1))) === 0).cast("long").as(bitName))
+  }
+
   /** x_stream_sessions: batch ≡ stream sessionization parity bit — RUNS
     * the bounded AvailableNow flatMapGroupsWithState sessionizer (the
     * streaming machinery is fully exercised), which must emit EXACTLY
@@ -414,8 +449,7 @@ object ExtensionQueries {
         unix_millis(col("end")).as("end_ms"), col("n_events"))
     val batch = StreamOps.sessionizeBatchEmitted(
       Tables.events(s, dir), "user_id", "ts", gapMinutes = 60)
-    streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
-      .agg((count(lit(1)) === 0).cast("long").as("stream_parity_ok"))
+    multisetParityBit(streamed, batch, "stream_parity_ok")
   }
 
   /** Backward as-of join over events: each click event picks up the
@@ -530,8 +564,8 @@ object ExtensionQueries {
     * quantization arithmetic: scale, round-half-up, and integer dot
     * are replayed exactly by the DuckDB twin. */
   private def quantizeDot(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), Quantize.quantize(col("embedding")).as("qv"))
+    val e = Quantize.withQuantized(Tables.embeddings(s, dir), "embedding", "qv")
+      .select(col("vec_id"), col("qv"))
     val a = e.select(col("vec_id").as("id_a"), col("qv").as("q_a"))
     val b = e.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
       col("qv").as("q_b"))
@@ -556,10 +590,15 @@ object ExtensionQueries {
     val corpus = e.where(col("vec_id") =!= 0)
     val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
       .select(col("vec_id"))
-    val qlit = Quantize.quantize(array(q.map(x => lit(x)): _*))
-    val quant = corpus
-      .select(col("vec_id"),
-        Quantize.cosineQ(Quantize.quantize(col("embedding")), qlit).as("cos_q"))
+    // Query vector quantized on the DRIVER (same IEEE arithmetic) and
+    // the corpus through the two-projection withQuantized shape — then
+    // the ranking runs on the codegen'd cosine kernel over doubles.
+    // Long→double is exact here (|q_i| ≤ 127, 128-dim dot ≪ 2^53), so
+    // the scores are bit-identical to integer cosineQ.
+    val qlit = array(Quantize.quantizeLocal(q).map(lit(_)): _*)
+    val quant = Quantize.withQuantized(corpus, "embedding", "qv")
+      .select(col("vec_id"), col("qv").cast("array<double>").as("qd"))
+      .select(col("vec_id"), Similarity.cosineIn(s)(col("qd"), qlit).as("cos_q"))
       .orderBy(col("cos_q").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"))
@@ -625,8 +664,7 @@ object ExtensionQueries {
         col("user_id") === col("uid_r") && col("ts_r") <= col("ts") &&
           col("ts_r") >= col("ts") - expr("INTERVAL 10 MINUTES"))
       .select(col("click_id"), col("view_id"))
-    streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
-      .agg((count(lit(1)) === 0).cast("long").as("interval_parity_ok"))
+    multisetParityBit(streamed, batch, "interval_parity_ok")
   }
 
   /** x_stream_dedup: STREAMING exact dedup (StreamOps.dedup over the
@@ -810,6 +848,39 @@ object ExtensionQueries {
         | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 97 <> 0) AS n_train_docs,
         |   (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM hits) AS n_contaminated,
         |   (SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) FROM hits) AS n_shared_shingles""".stripMargin.replaceAll("\n", " "),
+    // TF-IDF replayed in SQL: same tf / corpus-df tables, same
+    // linear-idf score (IEEE division — bit-identical both engines),
+    // same (score DESC, term) argmax.
+    "x_tfidf_top" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |   WHERE doc_id < 20 GROUP BY doc_id, term),
+        | dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS term_df FROM tok GROUP BY term),
+        | sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.term_df,
+        |     CAST(tf.tf AS DOUBLE) / CAST(dfq.term_df AS DOUBLE) AS score,
+        |     ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |       ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfq.term_df AS DOUBLE) DESC, tf.term) AS rn
+        |   FROM tf JOIN dfq USING (term))
+        | SELECT doc_id, term, tf, term_df, score FROM sc WHERE rn = 1 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // Sliding windows replayed in SQL: every event belongs to the 4
+    // epoch-aligned 60-minute windows whose 15-minute-grid start is in
+    // (ts - 60min, ts]; start = floor(ts/slide)*slide - k*slide for
+    // k in 0..3 enumerates exactly those.
+    "x_sliding_window" ->
+      """WITH t AS (SELECT epoch_ms(ts) AS ts_ms FROM events),
+        | w AS (SELECT ((ts_ms // 900000) - k.k) * 900000 AS start_ms
+        |   FROM t, (SELECT unnest(generate_series(0, 3)) AS k) k)
+        | SELECT start_ms, CAST(COUNT(*) AS BIGINT) AS n_events
+        | FROM w GROUP BY start_ms ORDER BY start_ms""".stripMargin.replaceAll("\n", " "),
+    // Length buckets replayed in SQL: same ws token count, integer
+    // floor-divide into 64-token buckets.
+    "x_length_buckets" ->
+      """WITH d AS (SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+        |   FROM documents)
+        | SELECT n_tok // 64 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |   MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+        | FROM d GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
     // Bloom pruning is plan-internal: the oracle is the PLAIN join,
     // and the equality is the no-false-negative proof.
     "x_bloom_prune" ->

@@ -65,4 +65,24 @@ object Packing {
       .groupBy(col("shard"), col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_in_chunk")).as("n_tokens"))
       .orderBy(col("shard"), col("chunk_id"))
+
+  /** Length-bucketed batching census: route each document into a
+    * fixed-width token-count bucket (the alternative to concat-and-
+    * chunk for SFT-style training, where sequences are padded — equal-
+    * length batches minimize the padding waste). One shuffle-free
+    * projection plus one groupBy; all-integer output so the oracle
+    * replays it with `//`. Columns: bucket (floor(n_tok/width)),
+    * n_docs, n_tokens, min_tok, max_tok. */
+  def lengthBuckets(docs: DataFrame, nTokens: org.apache.spark.sql.Column,
+                    width: Long): DataFrame =
+    docs.select(nTokens.as("n_tok"))
+      // Integer floor-divide via subtract-the-remainder: `/` on longs
+      // is double division in Spark, and a double round-trip loses
+      // exactness past 2^53.
+      .withColumn("bucket", (col("n_tok") - pmod(col("n_tok"), lit(width))) / width)
+      .select(col("bucket").cast("long"), col("n_tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+      .orderBy(col("bucket"))
 }

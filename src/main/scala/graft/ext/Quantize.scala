@@ -35,6 +35,44 @@ object Quantize {
         x => floor(x.cast("double") * (lit(127.0) / maxAbs) + lit(0.5)).cast("long")))
   }
 
+  /** Quantize `vecCol` into `outCol` (array<long>) in TWO chained
+    * projections: the per-vector scale is aliased first, so each
+    * element lambda reads a bound attribute instead of re-evaluating
+    * the embedded array_max. That matters because higher-order-function
+    * lambdas are interpreted per element — an aggregate inside the
+    * lambda makes the projection O(d²) per row and allocates a
+    * temporary abs-array per element. CollapseProject keeps the
+    * multi-referenced, non-cheap alias un-inlined, so the O(d) shape
+    * survives optimization. Prefer this over [[quantize]] wherever the
+    * input is a DataFrame column; [[quantize]] remains for literal /
+    * oracle-replay use. */
+  def withQuantized(df: org.apache.spark.sql.DataFrame, vecCol: String,
+                    outCol: String): org.apache.spark.sql.DataFrame = {
+    val ma = col("_graft_q_ma")
+    df.withColumn("_graft_q_ma",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+      .withColumn(outCol,
+        when(ma === lit(0.0), transform(col(vecCol), _ => lit(0L)))
+          .otherwise(transform(col(vecCol),
+            x => floor(x.cast("double") * (lit(127.0) / ma) + lit(0.5)).cast("long"))))
+      .drop("_graft_q_ma")
+  }
+
+  /** Driver-side quantization of one query vector — the same IEEE
+    * double arithmetic as [[quantize]] (max |x|, then
+    * floor(x · (127/max) + 0.5)), returned as doubles so the result
+    * can feed the codegen'd float/double kernels directly. Quantizing
+    * a LITERAL via the expression tree would re-interpret the HOF per
+    * row; a driver-computed literal array is free. */
+  def quantizeLocal(v: Seq[Float]): Array[Double] = {
+    val maxAbs = v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x.toDouble)))
+    if (maxAbs == 0.0) Array.fill(v.length)(0.0)
+    else {
+      val scale = 127.0 / maxAbs
+      v.map(x => math.floor(x.toDouble * scale + 0.5)).toArray
+    }
+  }
+
   /** Integer dot product of two quantized vectors. Exact long
     * arithmetic — 128-dim worst case is 128 · 127² ≈ 2.1M, nowhere
     * near overflow. */

@@ -158,4 +158,61 @@ object TextAnalysis {
     train.agg(count(lit(1)).as("n_train_docs"))
       .crossJoin(contaminated).crossJoin(shared)
   }
+
+  /** Per-document term frequencies joined with corpus-wide document
+    * frequencies — the substrate for TF-IDF weighting. Output columns:
+    * doc_id, term, tf (occurrences in the doc), term_df (number of
+    * corpus docs containing the term).
+    *
+    * Shape for 100 TB: one token explode feeds both sides; tf is a
+    * (doc, term) groupBy, df a distinct + term groupBy. The join back
+    * is term-keyed; when `docs` is a small slice of the corpus (the
+    * common "score this batch against corpus statistics" case), pass
+    * the slice as `docs` and the full corpus as `corpus` — the tiny
+    * tf side broadcasts and the vocabulary-sized df table is never
+    * shuffled twice.
+    */
+  def termFrequencies(docs: DataFrame, corpus: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    def tok(df: DataFrame) =
+      df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+    val tf = tok(docs).groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok(corpus).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("term_df"))
+    tf.join(dfreq, Seq("term"))
+  }
+
+  /** Top TF-IDF term per document, with a linear ("raw") idf: score =
+    * tf / df — a member of the tf·idf weighting family (idf = N/df up
+    * to the constant N), deliberately chosen over the classic log idf
+    * on this path. We expose the linear form because IEEE-754 division is
+    * correctly rounded on every engine, giving bit-identical scores
+    * and therefore a deterministic cross-engine argmax; libm `ln`
+    * differs in ULPs between the JVM and DuckDB, which can flip the
+    * ordering of real-valued ties (e.g. 2·ln(N/a) vs ln(N/a²)).
+    * The log-idf path is [[tfidfLog]], pinned by unit test.
+    *
+    * Ties (equal score) break toward the lexically-smallest term.
+    * One extra doc_id-partitioned window after the term join — the
+    * argmax never leaves the executors. */
+  def topTfIdfTerm(docs: DataFrame, corpus: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = termFrequencies(docs, corpus, idCol, textCol)
+      .withColumn("score",
+        col("tf").cast("double") / col("term_df").cast("double"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("term_df"), col("score"))
+  }
+
+  /** Log-idf TF-IDF score column: tf · ln(N / df). Kept off the
+    * cross-engine oracle path (see [[topTfIdfTerm]]); exact values are
+    * pinned by TextAnalysisSpec against hand-computed expectations. */
+  def tfidfLog(tf: Column, termDf: Column, nDocs: Long): Column =
+    tf.cast("double") * log(lit(nDocs.toDouble) / termDf.cast("double"))
 }

@@ -50,4 +50,15 @@ class PackingSpec extends AnyFunSuite {
       .where(col("c") > 1).count()
     assert(underfull == 0, "only a shard's final chunk may be under-full")
   }
+
+  test("lengthBuckets: floor-divide routing, per-bucket stats") {
+    val d = Seq(0L, 5L, 63L, 64L, 65L, 128L, 200L).toDF("n")
+    val got = Packing.lengthBuckets(d, col("n"), width = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 68L, 0L, 63L),    // 0, 5, 63
+      (1L, 2L, 129L, 64L, 65L),  // 64, 65
+      (2L, 1L, 128L, 128L, 128L),
+      (3L, 1L, 200L, 200L, 200L)))
+  }
 }

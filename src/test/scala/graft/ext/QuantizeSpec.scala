@@ -59,4 +59,19 @@ class QuantizeSpec extends AnyFunSuite {
     val overlap = exact.join(quant, Seq("vec_id")).count()
     assert(overlap >= 8, s"int8 ranking lost too much: $overlap of 10")
   }
+
+  test("withQuantized and quantizeLocal agree exactly with the quantize expression") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001).limit(50)
+    // Column path: two-projection shape vs single-expression tree.
+    val both = Quantize.withQuantized(e, "embedding", "q2")
+      .select(col("vec_id"), col("q2"), Quantize.quantize(col("embedding")).as("q1"))
+    assert(both.where(not(col("q1") <=> col("q2"))).count() == 0,
+      "withQuantized must be value-identical to quantize()")
+    // Driver path: same IEEE arithmetic as the expression tree.
+    val row = both.select(col("q1"),
+      transform(col("q2"), _.cast("double")).as("qd")).first()
+    val v = e.select(col("embedding")).first().getSeq[Float](0)
+    assert(Quantize.quantizeLocal(v).toSeq == row.getSeq[Double](1).map(identity),
+      "quantizeLocal must replay the expression arithmetic bit-for-bit")
+  }
 }

@@ -68,6 +68,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3) == Seq("one two three"))
   }
 
+  test("topTfIdfTerm: corpus-df scoring, lexical tiebreak, rare term wins") {
+    // Corpus of 4 docs; docs 1-2 are the scored slice.
+    val corpus = Seq(
+      (1L, "apple apple banana zebra"),  // zebra: tf 1 df 1 (1.0) beats apple: tf 2 df 3 (0.667)
+      (2L, "banana apple cherry cherry"),// cherry: tf 2 df 1 (2.0)
+      (3L, "apple banana banana"),
+      (4L, "apple banana")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topTfIdfTerm(
+        corpus.where(col("doc_id") <= 2), corpus, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "zebra", 1L, 1L), (2L, "cherry", 2L, 1L)))
+  }
+
+  test("tfidfLog pins the classic log-idf values exactly") {
+    // tf=2, df=4, N=8 -> 2*ln(2); tf=3, df=8, N=8 -> 0.
+    val vals = Seq((2L, 4L), (3L, 8L)).toDF("tf", "df")
+      .select(TextAnalysis.tfidfLog(col("tf"), col("df"), nDocs = 8L).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(vals(0) == 2.0 * math.log(2.0))
+    assert(vals(1) == 0.0)
+  }
+
   test("contaminationReport flags exactly the docs sharing a 3-gram") {
     val train = Seq(
       (1L, "the quick brown fox jumps"),     // contains "quick brown fox"

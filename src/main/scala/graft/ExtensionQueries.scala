@@ -195,6 +195,8 @@ object ExtensionQueries {
       // buckets (graft.ext.Packing.lengthBuckets) — all integers.
       Packing.lengthBuckets(Tables.documents(s, dir),
         TextAnalysis.wsTokenCount(col("text")), width = 64L)),
+    "x_edit_distance" -> ((s, dir) => editDistance(s, dir)),
+    "x_stream_static_join" -> ((s, dir) => streamStaticJoin(s, dir)),
     "x_batch_sessions" -> ((s, dir) =>
       // Full value-checked batch sessionization (the parity bit in
       // x_stream_sessions compares stream vs batch; THIS query checks
@@ -708,6 +710,43 @@ object ExtensionQueries {
     v.agg(checks.reduce(_ && _).cast("long").as("rank_bound_ok"))
   }
 
+  /** Levenshtein distance between adjacent docs' 40-char prefixes —
+    * the character-level fuzzy-dedup signal (complements the word-set
+    * Jaccard and MinHash paths). Both engines implement the classic
+    * DP edit distance over exact integers, so the compare is exact.
+    * The O(m·n) DP runs per pair inside codegen; the adjacent-pair
+    * self-join is the same id+1 equi-join anchor as x_quantize_dot. */
+  private def editDistance(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+    val a = d.select(col("doc_id").as("id_a"), col("t").as("t_a"))
+    val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      col("t").as("t_b"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("t_a"), col("t_b")).cast("long").as("dist"))
+      .orderBy(col("id_a"))
+  }
+
+  /** x_stream_static_join: stream-static enrichment — the events file
+    * stream joins a broadcast static dimension (customer segment) per
+    * microbatch, the standard "enrich a stream with reference data"
+    * pattern. Stateless (no watermark/state store needed for
+    * stream-static inner joins); the bounded AvailableNow emission
+    * must match the plain batch join, which is what the oracle runs. */
+  private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = StreamOps.eventsStream(s, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_mktsegment"))
+    StreamOps.runAvailableNow(joined, "stream_static_join",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
     * oracle-checkable anchor for the n-gram-Jaccard machinery. */
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
@@ -881,6 +920,17 @@ object ExtensionQueries {
         |   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |   MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
         | FROM d GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+    // Classic DP edit distance — exact integers on both engines.
+    "x_edit_distance" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        | FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin.replaceAll("\n", " "),
+    // Stream-static enrichment: the oracle is the plain batch join.
+    "x_stream_static_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM events JOIN customer ON user_id = c_custkey
+        | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replaceAll("\n", " "),
     // Bloom pruning is plan-internal: the oracle is the PLAIN join,
     // and the equality is the no-false-negative proof.
     "x_bloom_prune" ->

@@ -111,6 +111,7 @@ object ParityQueries {
     "q_union_split" -> ((s, dir) => unionSplit(s, dir)),
     "q_time_derivation" -> ((s, dir) => timeDerivation(s, dir)),
     "q_sql_view_revenue" -> ((s, dir) => sqlViewRevenue(s, dir)),
+    "q_grouping_sets" -> ((s, dir) => groupingSets(s, dir)),
     "q_topk_orders" -> ((s, dir) =>
       Tables.orders(s, dir)
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -382,6 +383,23 @@ object ParityQueries {
       GROUP BY c.c_mktsegment ORDER BY seg""")
   }
 
+  /** Explicit GROUPING SETS — the general form behind rollup/cube
+    * (q_rollup_pricing / q_cube_pricing cover the shorthands); the
+    * DataFrame API has no direct grouping-sets call, so this rides the
+    * SQL surface like sqlViewRevenue. One shuffle: Spark expands the
+    * sets map-side, it does not re-aggregate per set. */
+  private def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+      FROM lineitem_v
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")
+  }
+
   /** Broadcast star join: tiny dims are explicitly broadcast. */
   private def joinGeo(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -590,6 +608,13 @@ object ParityQueries {
         | CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         | GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin.replaceAll("\n", " "),
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(GROUPING(l_returnflag) AS INT) AS g_rf, CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        | FROM lineitem
+        | GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        | ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", " "),
     "q_topk_orders" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "q_join_geo" ->

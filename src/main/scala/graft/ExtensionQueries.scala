@@ -197,6 +197,9 @@ object ExtensionQueries {
         TextAnalysis.wsTokenCount(col("text")), width = 64L)),
     "x_edit_distance" -> ((s, dir) => editDistance(s, dir)),
     "x_stream_static_join" -> ((s, dir) => streamStaticJoin(s, dir)),
+    "x_upsert" -> ((s, dir) => upsertMerge(s, dir)),
+    "x_gap_fill" -> ((s, dir) => gapFillDaily(s, dir)),
+    "x_corr_regression" -> ((s, dir) => corrRegression(s, dir)),
     "x_batch_sessions" -> ((s, dir) =>
       // Full value-checked batch sessionization (the parity bit in
       // x_stream_sessions compares stream vs batch; THIS query checks
@@ -747,6 +750,64 @@ object ExtensionQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** SCD-1 MERGE over orders (graft.operators.Upsert): a deterministic
+    * updates batch (keys ≡ 0 mod 3, doubled price) replaces its base
+    * rows (base drops keys ≡ 0 mod 5, so updates both overwrite and
+    * insert); the merged state is summarized per status. The oracle
+    * replays the merge relationally (updates ∪ base-minus-updated). */
+  private def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Upsert
+    val orders = Tables.orders(s, dir)
+    val base = orders.where(col("o_orderkey") % 5 =!= 0)
+    // ×2 on a double is exponent arithmetic — exact on both engines.
+    val updates = orders.where(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    Upsert.upsert(base, updates, Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Calendar gap-fill (graft.quality.Timeliness.gapFill) over a
+    * deliberately sparse daily series (events with id ≡ 0 mod 997):
+    * counts zero-fill, the max-value gauge carries forward (LOCF). */
+  private def gapFillDaily(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Timeliness
+    val obs = Tables.events(s, dir)
+      .where(col("event_id") % 997 === 0)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+    Timeliness.gapFill(s, obs, "day", countCols = Seq("n"), gaugeCols = Seq("mx"))
+  }
+
+  /** Single-pass Pearson correlation + OLS slope between quantity and
+    * extended price, built from EXACT decimal sums: the five sums are
+    * decimal (order-independent, overflow-checked at this scale), cast
+    * to double only once summed, and the r/slope formulas then run in
+    * IEEE double with the same operation order as the SQL twin — so
+    * the compare is exact, unlike builtin corr()'s order-dependent
+    * float accumulation. One aggregate, no shuffle beyond it. */
+  private def corrRegression(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast("decimal(18,2)").as("x"),
+      col("l_extendedprice").cast("decimal(18,2)").as("y"))
+    val sums = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val nd = col("n").cast("double")
+    val covN = nd * col("sxy") - col("sx") * col("sy")
+    val varXN = nd * col("sxx") - col("sx") * col("sx")
+    val varYN = nd * col("syy") - col("sy") * col("sy")
+    sums.select(col("n"),
+      (covN / (sqrt(varXN) * sqrt(varYN))).as("pearson_r"),
+      (covN / varXN).as("slope"))
+  }
+
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
     * oracle-checkable anchor for the n-gram-Jaccard machinery. */
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
@@ -920,6 +981,43 @@ object ExtensionQueries {
         |   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |   MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
         | FROM d GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+    // MERGE replayed relationally: updates ∪ (base minus updated keys).
+    "x_upsert" ->
+      """WITH updates AS (SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+        |   FROM orders WHERE o_orderkey % 3 = 0),
+        | base AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
+        | merged AS (SELECT * FROM updates UNION ALL
+        |   SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates))
+        | SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        | FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replaceAll("\n", " "),
+    // Gap-fill replayed in SQL: calendar spine, zero-fill counts,
+    // IGNORE NULLS LOCF for the gauge.
+    "x_gap_fill" ->
+      """WITH obs AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n, MAX(value) AS mx
+        |   FROM events WHERE event_id % 997 = 0 GROUP BY 1),
+        | cal AS (SELECT CAST(unnest(generate_series(
+        |     (SELECT MIN(day) FROM obs), (SELECT MAX(day) FROM obs), INTERVAL 1 DAY)) AS DATE) AS day),
+        | j AS (SELECT cal.day AS day, obs.n, obs.mx FROM cal LEFT JOIN obs USING (day))
+        | SELECT day, COALESCE(n, 0) AS n,
+        |   last_value(mx IGNORE NULLS) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS mx_filled
+        | FROM j ORDER BY day""".stripMargin.replaceAll("\n", " "),
+    // Pearson/OLS from exact decimal sums: the sums are exact on both
+    // engines, the final r/slope arithmetic is IEEE double in the
+    // same operation order — bit-identical, unlike builtin corr().
+    "x_corr_regression" ->
+      """WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem)
+        | SELECT n,
+        |   (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |     (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS pearson_r,
+        |   (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+        | FROM s""".stripMargin.replaceAll("\n", " "),
     // Classic DP edit distance — exact integers on both engines.
     "x_edit_distance" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents)

@@ -27,6 +27,38 @@ object Timeliness {
       .select(date_add(lit(lo), col("id").cast("int")).as("day"))
   }
 
+  /** Calendar gap-fill over a daily series: every day in
+    * [min(day), max(day)] appears once, `countCols` zero-fill on
+    * missing days, and each gauge column is replaced by
+    * `<name>_filled` — last observation carried forward (LOCF), the
+    * interpolation convention for sampled gauges where absence means
+    * "unchanged", not zero.
+    *
+    * Scale shape: the fill runs on the AGGREGATED daily series (one
+    * row per calendar day), so the unpartitioned LOCF window's
+    * single-partition sort is calendar-bounded — never row-count
+    * bounded. The calendar dimension joins broadcast, as in
+    * [[calendarGaps]].
+    */
+  def gapFill(spark: SparkSession, dailyIn: DataFrame, dayCol: String,
+              countCols: Seq[String], gaugeCols: Seq[String]): DataFrame = {
+    val daily = dailyIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mm = daily.agg(min(col(dayCol)), max(col(dayCol))).first()
+    if (mm.isNullAt(0)) return dailyIn.limit(0)
+    val dim = dateDim(spark, mm.getDate(0), mm.getDate(1))
+      .withColumnRenamed("day", dayCol)
+    val joined = dim.join(broadcast(daily), Seq(dayCol), "left")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(dayCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val zeroed = countCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0L)))
+    }
+    gaugeCols.foldLeft(zeroed) { (d, c) =>
+      d.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w))
+        .drop(c)
+    }.orderBy(col(dayCol))
+  }
+
   /** Calendar days in [min(day), max(day)] with zero rows (reference J1). */
   def calendarGaps(spark: SparkSession, dailyIn: DataFrame): DataFrame = {
     // Two consumers (the min/max bounds collect + the gap join): persist

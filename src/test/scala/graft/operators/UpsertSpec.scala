@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** SCD-1 upsert semantics: update rows overwrite base rows on key
+  * match, unmatched updates insert, untouched base rows survive, and
+  * the operation is idempotent.
+  */
+class UpsertSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("k", "tag", "v")
+  private lazy val updates = Seq(
+    (2L, "b2", 99.0),  // overwrites base k=2
+    (9L, "new", 1.0)   // inserts
+  ).toDF("k", "tag", "v")
+
+  test("upsert: overwrite on match, insert on miss, keep the rest") {
+    val got = Upsert.upsert(base, updates, Seq("k"))
+      .orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (9L, "new", 1.0)))
+  }
+
+  test("upsert is idempotent: reapplying the same batch changes nothing") {
+    val once = Upsert.upsert(base, updates, Seq("k"))
+    val twice = Upsert.upsert(once, updates, Seq("k"))
+    assert(twice.exceptAll(once).count() == 0 && once.exceptAll(twice).count() == 0)
+  }
+
+  test("no nested-loop join: the anti-join stays a hash/merge equi-join") {
+    val plan = Upsert.upsert(base, updates, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"upsert must plan an equi-join:\n$plan")
+  }
+}

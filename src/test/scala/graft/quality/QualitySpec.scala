@@ -109,4 +109,20 @@ class QualitySpec extends AnyFunSuite {
       .toDF("day", "n").select(col("day").cast("date").as("day"), col("n"))
     assert(Timeliness.calendarGaps(spark, dense).count() == 0)
   }
+
+  test("gapFill: zero-fill counts, LOCF gauges across planted gaps") {
+    val daily = Seq(
+      ("2024-03-01", 5L, 1.5), ("2024-03-04", 7L, 9.0))
+      .toDF("day", "n", "mx")
+      .select(col("day").cast("date").as("day"), col("n"), col("mx"))
+    val got = Timeliness.gapFill(spark, daily, "day", Seq("n"), Seq("mx"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("2024-03-01", 5L, 1.5),
+      ("2024-03-02", 0L, 1.5),  // count zero-fills, gauge carries forward
+      ("2024-03-03", 0L, 1.5),
+      ("2024-03-04", 7L, 9.0)))
+    val empty = daily.limit(0)
+    assert(Timeliness.gapFill(spark, empty, "day", Seq("n"), Seq("mx")).count() == 0)
+  }
 }

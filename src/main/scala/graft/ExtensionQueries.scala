@@ -89,12 +89,19 @@ object ExtensionQueries {
     "x_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
     "x_approx_distinct" -> ((s, dir) =>
       // HLL++ cardinality — the sketch the exact-dedup census upgrades
-      // to at 100 TB (no full-key shuffle). Estimates are
-      // implementation-specific → no SQL oracle; the exact/approx error
-      // bound is asserted in DedupSpec.
+      // to at 100 TB (no full-key shuffle). The estimate itself is
+      // implementation-specific, so the ORACLE-CHECKED columns are the
+      // exact distinct count and the 3σ error-bound bit (rsd 0.05 →
+      // |approx/exact − 1| < 0.15; the sketch is deterministic per
+      // dataset, so the bit is stable). DedupSpec asserts the same
+      // bound on fixtures.
       Tables.documents(s, dir).agg(
-        approx_count_distinct(col("text")).as("approx_distinct"),
-        count(lit(1)).as("n"))),
+          approx_count_distinct(col("text"), 0.05).as("ad"),
+          count_distinct(col("text")).as("n_distinct"),
+          count(lit(1)).as("n"))
+        .select(col("n_distinct"), col("n"),
+          (abs(col("ad").cast("double") / col("n_distinct").cast("double") - 1.0) < 0.15)
+            .cast("long").as("approx_ok"))),
     "x_clean_text" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -200,6 +207,18 @@ object ExtensionQueries {
     "x_upsert" -> ((s, dir) => upsertMerge(s, dir)),
     "x_gap_fill" -> ((s, dir) => gapFillDaily(s, dir)),
     "x_corr_regression" -> ((s, dir) => corrRegression(s, dir)),
+    "x_rolling_stats" -> ((s, dir) => rollingStats(s, dir)),
+    "x_embed_norms" -> ((s, dir) =>
+      // Vector-corpus quality histogram: L2 norms bucketed at 0.25
+      // width. The per-vector sum-of-squares is a sequential fold
+      // (kernel and DuckDB's list_reduce accumulate left-to-right in
+      // double), so buckets match exactly across engines.
+      Tables.embeddings(s, dir)
+        .select(floor(sqrt(
+            Similarity.dotIn(s)(col("embedding"), col("embedding"))) * 4)
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))),
     "x_batch_sessions" -> ((s, dir) =>
       // Full value-checked batch sessionization (the parity bit in
       // x_stream_sessions compares stream vs batch; THIS query checks
@@ -808,6 +827,21 @@ object ExtensionQueries {
       (covN / varXN).as("slope"))
   }
 
+  /** Rolling time-series stats over the daily event counts: 7-day
+    * trailing sum and day-over-day delta — all integers. Unpartitioned
+    * window, but over the AGGREGATED daily series (one row per day):
+    * the single-partition sort is calendar-bounded, never row-count
+    * bounded — same argument as Timeliness.gapFill. */
+  private def rollingStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.quality.Timeliness.dailyCounts(Tables.events(s, dir), col("ts"))
+    val byDay = Window.orderBy(col("day"))
+    daily
+      .withColumn("n_7d", sum(col("n")).over(byDay.rowsBetween(-6, 0)))
+      .withColumn("delta", col("n") - lag(col("n"), 1).over(byDay))
+      .orderBy(col("day"))
+  }
+
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
     * oracle-checkable anchor for the n-gram-Jaccard machinery. */
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
@@ -890,6 +924,12 @@ object ExtensionQueries {
     // outputs, so the driver's DuckDB compare now covers what used to
     // be rows-only dumps.
     "x_neardup_dedup" -> "SELECT CAST(1 AS BIGINT) AS idempotent_ok",
+    // Exact distinct + row count are value-checked; the HLL estimate
+    // itself is implementation-specific and enters only via the bit.
+    "x_approx_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+        | CAST(COUNT(*) AS BIGINT) AS n, CAST(1 AS BIGINT) AS approx_ok
+        | FROM documents""".stripMargin.replaceAll("\n", " "),
     "x_multimodal_decode" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
     "x_stream_sessions" -> "SELECT CAST(1 AS BIGINT) AS stream_parity_ok",
     "x_quantize_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
@@ -981,6 +1021,22 @@ object ExtensionQueries {
         |   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |   MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
         | FROM d GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+    // Rolling window + lag replayed in SQL — all integer arithmetic.
+    "x_rolling_stats" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |   FROM events GROUP BY 1)
+        | SELECT day, n,
+        |   CAST(SUM(n) OVER (ORDER BY day ROWS 6 PRECEDING) AS BIGINT) AS n_7d,
+        |   n - lag(n) OVER (ORDER BY day) AS delta
+        | FROM d ORDER BY day""".stripMargin.replaceAll("\n", " "),
+    // Sequential fold on both engines: kernel loop and list_reduce
+    // both accumulate left-to-right in double.
+    "x_embed_norms" ->
+      """WITH b AS (SELECT CAST(floor(sqrt(list_reduce(
+        |     list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |     (a, v) -> a + v)) * 4) AS BIGINT) AS bucket FROM embeddings)
+        | SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM b GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
     // MERGE replayed relationally: updates ∪ (base minus updated keys).
     "x_upsert" ->
       """WITH updates AS (SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)

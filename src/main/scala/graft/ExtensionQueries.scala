@@ -208,6 +208,7 @@ object ExtensionQueries {
     "x_gap_fill" -> ((s, dir) => gapFillDaily(s, dir)),
     "x_corr_regression" -> ((s, dir) => corrRegression(s, dir)),
     "x_rolling_stats" -> ((s, dir) => rollingStats(s, dir)),
+    "x_stream_upsert" -> ((s, dir) => streamUpsertSink(s, dir)),
     "x_embed_norms" -> ((s, dir) =>
       // Vector-corpus quality histogram: L2 norms bucketed at 0.25
       // width. The per-vector sum-of-squares is a sequential fold
@@ -827,6 +828,33 @@ object ExtensionQueries {
       (covN / varXN).as("slope"))
   }
 
+  /** x_stream_upsert: the streaming MERGE sink pattern — update-mode
+    * daily counts flow through foreachBatch, and each micro-batch's
+    * changed days upsert into a state table (graft.operators.Upsert),
+    * exactly how a streaming pipeline maintains a continuously-
+    * refreshed aggregate table. The final state must equal the batch
+    * daily counts, which is what the oracle runs.
+    *
+    * The per-batch localCheckpoint keeps the state's lineage from
+    * nesting across batches. It stores blocks only in executor
+    * storage — fine for this bounded sink demo; a production deploy
+    * would MERGE into a transactional table instead (see
+    * Dedup.nearDupClusters for the executor-loss caveat). */
+  private def streamUpsertSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    import graft.operators.Upsert
+    val daily = StreamOps.dailyCounts(StreamOps.eventsStream(s, dir))
+    var state: DataFrame = null
+    val q = StreamOps.foreachBatchSink(daily, "stream_upsert_sink") { (batch, _) =>
+      val b = batch.localCheckpoint(true)
+      state = if (state == null) b
+        else Upsert.upsert(state, b, Seq("day")).localCheckpoint(true)
+    }
+    q.awaitTermination()
+    if (state == null) daily.sparkSession.emptyDataFrame
+    else state.orderBy(col("day"))
+  }
+
   /** Rolling time-series stats over the daily event counts: 7-day
     * trailing sum and day-over-day delta — all integers. Unpartitioned
     * window, but over the AGGREGATED daily series (one row per day):
@@ -1021,6 +1049,10 @@ object ExtensionQueries {
         |   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |   MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
         | FROM d GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+    // The streaming upsert sink's final state must equal the batch
+    // daily counts — same oracle as q_daily_counts.
+    "x_stream_upsert" ->
+      "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY day",
     // Rolling window + lag replayed in SQL — all integer arithmetic.
     "x_rolling_stats" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n

@@ -209,6 +209,7 @@ object ExtensionQueries {
     "x_corr_regression" -> ((s, dir) => corrRegression(s, dir)),
     "x_rolling_stats" -> ((s, dir) => rollingStats(s, dir)),
     "x_stream_upsert" -> ((s, dir) => streamUpsertSink(s, dir)),
+    "x_bigram_next" -> ((s, dir) => bigramNext(s, dir)),
     "x_embed_norms" -> ((s, dir) =>
       // Vector-corpus quality histogram: L2 norms bucketed at 0.25
       // width. The per-vector sum-of-squares is a sequential fold
@@ -855,6 +856,31 @@ object ExtensionQueries {
     else state.orderBy(col("day"))
   }
 
+  /** Corpus bigram statistics: for every frequent leading word, the
+    * most likely next word and the bigram count — the n-gram language-
+    * model table a classic LM (or a repetition detector) builds over a
+    * corpus. Shape: per-doc adjacent-pair explode (codegen, no
+    * shuffle) → (w1, w2) count → per-w1 argmax window. The n ≥ 20
+    * floor keeps the output the high-signal head, like x_vocab_top50.
+    * Everything is integer counts + lexical tiebreaks — exact oracle. */
+  private def bigramNext(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = TextAnalysis.tokens(col("text"))
+    val pairs = Tables.documents(s, dir)
+      .select(when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val byLead = Window.partitionBy(col("w1")).orderBy(col("n").desc, col("w2"))
+    counts.withColumn("rn", row_number().over(byLead))
+      .where(col("rn") === 1 && col("n") >= 20)
+      .select(col("w1"), col("w2"), col("n"))
+      .orderBy(col("w1"))
+  }
+
   /** Rolling time-series stats over the daily event counts: 7-day
     * trailing sum and day-over-day delta — all integers. Unpartitioned
     * window, but over the AGGREGATED daily series (one row per day):
@@ -1049,6 +1075,15 @@ object ExtensionQueries {
         |   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |   MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
         | FROM d GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+    // Bigram LM table replayed in SQL: same pair explode, same
+    // (count DESC, word) argmax, same n >= 20 floor.
+    "x_bigram_next" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        | p AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM tok,
+        |   UNNEST(generate_series(1, len(t) - 1)) AS u(i) WHERE len(t) >= 2),
+        | c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+        | r AS (SELECT w1, w2, n, ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS rn FROM c)
+        | SELECT w1, w2, n FROM r WHERE rn = 1 AND n >= 20 ORDER BY w1""".stripMargin.replaceAll("\n", " "),
     // The streaming upsert sink's final state must equal the batch
     // daily counts — same oracle as q_daily_counts.
     "x_stream_upsert" ->

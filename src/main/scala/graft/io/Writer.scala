@@ -65,6 +65,27 @@ object Writer {
       .saveAsTable(table)
   }
 
+  /** Training-shard export: exactly `shards` files, rows routed by the
+    * deterministic id-hash (stable under repartitioning and reruns —
+    * a row's shard never changes, so shard-level dedup bookkeeping and
+    * resumable training epochs survive a re-export), each file sorted
+    * by `sortCol`. repartition(expr) gives hash-partitioned
+    * co-location; sortWithinPartitions is a partition-local sort — no
+    * global ordering shuffle. At 100 TB this is the write shape for
+    * "N equal-ish shards a data loader streams independently".
+    */
+  def shardedParquet(df: DataFrame, path: String, idCol: String,
+                     shards: Int, sortCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("shard", graft.ext.Packing.shardOf(col(idCol), shards))
+      // One task per shard hash → each shard=k directory holds exactly
+      // ONE file; the partition-local sort leads with the shard so
+      // every file's rows come out ordered by sortCol.
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(sortCol))
+      .write.partitionBy("shard").mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** True-overwrite for a managed table in the default database: drop
     * the catalog entry AND delete any orphaned warehouse directory. A
     * table written by a previous JVM survives only as files (the

@@ -79,6 +79,30 @@ class IoSpec extends AnyFunSuite {
     assert(Sources.parquet(spark, tmp).count() == df.count())
   }
 
+  test("shardedParquet: one sorted file per shard dir, routing is the id-hash, lossless") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Writer.shardedParquet(docs, tmp, "doc_id", shards = 4, sortCol = "doc_id")
+    val dirs = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("shard="))
+    assert(dirs.length == 4, "every shard value must materialize as a directory")
+    dirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName}: exactly one file per shard")
+    }
+    // Round-trip losslessly and route by the deterministic hash.
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == docs.count())
+    assert(back.drop("shard").exceptAll(docs).count() == 0)
+    assert(back.where(col("shard") =!=
+      graft.ext.Packing.shardOf(col("doc_id"), 4)).count() == 0)
+    // Each file comes out sorted by the sort column.
+    dirs.foreach { d =>
+      val ids = spark.read.parquet(d.toString).select(col("doc_id"))
+        .collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"${d.getName} not sorted")
+    }
+  }
+
   test("partitioned write prunes partitions at read (PartitionFilters, not data filters)") {
     val df = Tables.events(spark, TestSpark.sf0001)
       .withColumn("day", col("ts").cast("date").cast("string"))

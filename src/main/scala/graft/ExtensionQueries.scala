@@ -114,6 +114,15 @@ object ExtensionQueries {
           sum(col("n_long_digit_runs")).as("total_digit_runs"),
           sum(col("n_phone_like")).as("total_phone_like"),
           count(lit(1)).as("n_docs"))),
+    "x_pii_redact" -> ((s, dir) => {
+      // Redaction summary: docs changed + net character delta
+      // (TextAnalysis.redactPii — the scrub x_pii_flags routes to).
+      val red = TextAnalysis.redactPii(col("text"))
+      Tables.documents(s, dir)
+        .select(col("text"), red.as("red"))
+        .agg(count(when(col("text") =!= col("red"), lit(1))).as("n_redacted_docs"),
+          sum(length(col("text")) - length(col("red"))).cast("long").as("chars_delta"))
+    }),
     "x_split_assign" -> ((s, dir) =>
       TextAnalysis.assignSplit(Tables.documents(s, dir), "doc_id")
         .groupBy(col("split"))
@@ -865,8 +874,16 @@ object ExtensionQueries {
     * Everything is integer counts + lexical tiebreaks — exact oracle. */
   private def bigramNext(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = TextAnalysis.tokens(col("text"))
-    val pairs = Tables.documents(s, dir)
+    // Single-file sources scan as ONE task: spread the per-doc pair
+    // explode first (house pattern, Dedup.bands). Tokenize into an
+    // aliased column so the pair lambda reads a bound attribute — an
+    // embedded split() would re-run per element (O(len²) per doc).
+    val docs = Tables.documents(s, dir).select(col("text"))
+    val parallelism = s.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < parallelism)
+      docs.repartition(parallelism) else docs
+    val t = col("t")
+    val pairs = src.select(TextAnalysis.tokens(col("text")).as("t"))
       .select(when(size(t) >= 2,
           transform(sequence(lit(1), size(t) - 1),
             i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
@@ -1296,6 +1313,16 @@ object ExtensionQueries {
         | CAST(SUM(len(regexp_extract_all(text, '[0-9]{9,}'))) AS BIGINT) AS total_digit_runs,
         | CAST(SUM(len(regexp_extract_all(text, '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}'))) AS BIGINT) AS total_phone_like,
         | CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents""".stripMargin.replaceAll("\n", " "),
+    // Same replacement chain, same order, global 'g' flag in DuckDB
+    // (Spark's regexp_replace is always global).
+    "x_pii_redact" ->
+      """WITH r AS (SELECT text, regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{9,}', '<NUM>', 'g'),
+        |   '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}', '<PHONE>', 'g') AS red
+        |  FROM documents)
+        | SELECT CAST(COUNT(CASE WHEN text <> red THEN 1 END) AS BIGINT) AS n_redacted_docs,
+        |   CAST(SUM(length(text) - length(red)) AS BIGINT) AS chars_delta FROM r""".stripMargin.replaceAll("\n", " "),
     "x_split_assign" ->
       """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
         | CAST(COUNT(*) AS BIGINT) AS n

@@ -95,6 +95,17 @@ object TextAnalysis {
         n("\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}"))
   }
 
+  /** PII redaction with fixed placeholder tokens — the scrub step the
+    * [[piiFlags]] routing feeds. Replacement order is load-bearing
+    * (digit runs collapse before the phone pattern can see them) and
+    * identical in the SQL twin, so the redacted text is deterministic
+    * cross-engine. Pure regexp_replace: codegen'd, shuffle-free. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+      "[0-9]{9,}", "<NUM>"),
+      "\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}", "<PHONE>")
+
   /** Deterministic train/val/test routing: a multiplicative hash of a
     * numeric id into [0, 100), then range thresholds. Portable
     * arithmetic (no engine-specific hash), so the same row lands in the
@@ -148,7 +159,17 @@ object TextAnalysis {
       df.select(col(idCol).as("doc_id"),
           explode(shingleStrings(col(textCol), k)).as("shingle"))
         .distinct()
-    val trainSh = shingled(train)
+    // Single-file sources scan as ONE task — spread the train-side
+    // shingle explode first (house pattern, Dedup.bands); the
+    // benchmark side is tiny by assumption and stays put.
+    val parallelism = train.sparkSession.sparkContext.defaultParallelism
+    val trainSrc = if (train.rdd.getNumPartitions < parallelism)
+      train.repartition(parallelism) else train
+    // Two consumers below (doc-level and shingle-level hit counts)
+    // share one report action: persist the exploded train side so the
+    // corpus shingling runs once, not twice.
+    val trainSh = shingled(trainSrc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchSet = shingled(benchmark).select(col("shingle")).distinct()
     val contaminated = trainSh.join(broadcast(benchSet), Seq("shingle"), "left_semi")
       .agg(count_distinct(col("doc_id")).as("n_contaminated"))

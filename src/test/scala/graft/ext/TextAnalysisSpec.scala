@@ -68,6 +68,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3) == Seq("one two three"))
   }
 
+  test("redactPii replaces emails, digit runs, and phone shapes with tokens") {
+    val got = Seq("mail a@b.com num 123456789 phone +1 555 1234 ok")
+      .toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"))
+      .first().getString(0)
+    // The phone pattern's optional trailing `[- .]?[0-9]{0,4}` greedily
+    // consumes the separator after the number — identical in the SQL
+    // twin, so it's pinned as-is.
+    assert(got == "mail <EMAIL> num <NUM> phone <PHONE>ok")
+  }
+
   test("topTfIdfTerm: corpus-df scoring, lexical tiebreak, rare term wins") {
     // Corpus of 4 docs; docs 1-2 are the scored slice.
     val corpus = Seq(

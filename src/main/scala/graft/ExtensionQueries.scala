@@ -219,6 +219,7 @@ object ExtensionQueries {
     "x_rolling_stats" -> ((s, dir) => rollingStats(s, dir)),
     "x_stream_upsert" -> ((s, dir) => streamUpsertSink(s, dir)),
     "x_bigram_next" -> ((s, dir) => bigramNext(s, dir)),
+    "x_quality_gate" -> ((s, dir) => qualityGate(s, dir)),
     "x_embed_norms" -> ((s, dir) =>
       // Vector-corpus quality histogram: L2 norms bucketed at 0.25
       // width. The per-vector sum-of-squares is a sequential fold
@@ -898,6 +899,43 @@ object ExtensionQueries {
       .orderBy(col("w1"))
   }
 
+  /** Gopher-style document quality GATE: the composite keep/drop
+    * decision a pretraining pipeline runs per document — too short,
+    * average word length out of band, too few stopwords, or dominated
+    * by a single repeated token. Every rule is INTEGER arithmetic
+    * (ratio thresholds rewritten as cross-multiplications), so the
+    * gate replays exactly in SQL. The repetition rule needs the
+    * per-doc token mode: one explode + (doc, term) count + per-doc
+    * max — the only shuffles in the query; the other three rules are
+    * codegen'd per-row columns. */
+  private def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val parallelism = s.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < parallelism)
+      docs.repartition(parallelism) else docs
+    val t = col("text")
+    val base = src.select(col("doc_id"),
+      TextAnalysis.wsTokenCount(t).as("n_tok"),
+      length(regexp_replace(t, " ", "")).cast("long").as("n_cns"),
+      size(filter(TextAnalysis.tokens(t), w => w.isin("the", "a")))
+        .cast("long").as("n_stop"))
+    val rep = src.select(col("doc_id"), explode(TextAnalysis.tokens(t)).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok"))
+    val fShort = col("n_tok") < 20
+    val fAvg = col("n_cns") < lit(3) * col("n_tok") ||
+      col("n_cns") > lit(10) * col("n_tok")
+    val fStop = col("n_stop") * 50 < col("n_tok")
+    val fRep = col("max_tok") * 5 >= col("n_tok")
+    base.join(rep, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(fShort.cast("long")).as("n_fail_short"),
+        sum(fAvg.cast("long")).as("n_fail_avg_len"),
+        sum(fStop.cast("long")).as("n_fail_stop"),
+        sum(fRep.cast("long")).as("n_fail_rep"),
+        sum((!(fShort || fAvg || fStop || fRep)).cast("long")).as("n_pass"))
+  }
+
   /** Rolling time-series stats over the daily event counts: 7-day
     * trailing sum and day-over-day delta — all integers. Unpartitioned
     * window, but over the AGGREGATED daily series (one row per day):
@@ -1092,6 +1130,27 @@ object ExtensionQueries {
         |   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |   MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
         | FROM d GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+    // Quality gate replayed in SQL: same integer cross-multiplied
+    // thresholds, same token-mode subquery.
+    "x_quality_gate" ->
+      """WITH base AS (SELECT doc_id,
+        |   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok,
+        |   CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_cns,
+        |   CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        | rep AS (SELECT doc_id, MAX(c) AS max_tok FROM (
+        |   SELECT doc_id, w, COUNT(*) AS c FROM
+        |     (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) tw
+        |   GROUP BY doc_id, w) tc GROUP BY doc_id),
+        | j AS (SELECT * FROM base JOIN rep USING (doc_id))
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |   CAST(SUM(CAST(n_tok < 20 AS BIGINT)) AS BIGINT) AS n_fail_short,
+        |   CAST(SUM(CAST(n_cns < 3 * n_tok OR n_cns > 10 * n_tok AS BIGINT)) AS BIGINT) AS n_fail_avg_len,
+        |   CAST(SUM(CAST(n_stop * 50 < n_tok AS BIGINT)) AS BIGINT) AS n_fail_stop,
+        |   CAST(SUM(CAST(max_tok * 5 >= n_tok AS BIGINT)) AS BIGINT) AS n_fail_rep,
+        |   CAST(SUM(CAST(NOT (n_tok < 20 OR n_cns < 3 * n_tok OR n_cns > 10 * n_tok
+        |     OR n_stop * 50 < n_tok OR max_tok * 5 >= n_tok) AS BIGINT)) AS BIGINT) AS n_pass
+        | FROM j""".stripMargin.replaceAll("\n", " "),
     // Bigram LM table replayed in SQL: same pair explode, same
     // (count DESC, word) argmax, same n >= 20 floor.
     "x_bigram_next" ->

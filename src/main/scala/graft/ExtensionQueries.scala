@@ -220,6 +220,25 @@ object ExtensionQueries {
     "x_stream_upsert" -> ((s, dir) => streamUpsertSink(s, dir)),
     "x_bigram_next" -> ((s, dir) => bigramNext(s, dir)),
     "x_quality_gate" -> ((s, dir) => qualityGate(s, dir)),
+    "x_ntile_buckets" -> ((s, dir) => {
+      // Equi-DEPTH histogram via NTILE(10) — the quantile-bucket
+      // complement of q_histogram_price's equi-width bins. The window
+      // orders by a UNIQUE composite (price, orderkey, linenumber) so
+      // remainder distribution is deterministic on both engines. A
+      // global sort (RangePartitioning) is the honest cost of exact
+      // equi-depth at scale; the sketch path is x_approx_percentile.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("bucket", ntile(10).over(w).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).cast("double").as("lo"),
+          max(col("l_extendedprice")).cast("double").as("hi"))
+        .orderBy(col("bucket"))
+    }),
     "x_embed_norms" -> ((s, dir) =>
       // Vector-corpus quality histogram: L2 norms bucketed at 0.25
       // width. The per-vector sum-of-squares is a sequential fold
@@ -1130,6 +1149,15 @@ object ExtensionQueries {
         |   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |   MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
         | FROM d GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+    // NTILE over the same unique total order — bucket assignment and
+    // remainder distribution are pinned by the standard.
+    "x_ntile_buckets" ->
+      """WITH t AS (SELECT l_extendedprice,
+        |   NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        |  FROM lineitem)
+        | SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |   CAST(MIN(l_extendedprice) AS DOUBLE) AS lo, CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+        | FROM t GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
     // Quality gate replayed in SQL: same integer cross-multiplied
     // thresholds, same token-mode subquery.
     "x_quality_gate" ->

@@ -129,6 +129,7 @@ object ParityQueries {
     "q_case_buckets" -> ((s, dir) => caseBuckets(s, dir)),
     "q_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
     "q_parquet_roundtrip" -> ((s, dir) => parquetRoundtrip(s, dir)),
+    "q_orc_roundtrip" -> ((s, dir) => orcRoundtrip(s, dir)),
     "q_describe_strings" -> ((s, dir) => describeStrings(s, dir)),
     "q_fs_listing" -> ((s, dir) =>
       graft.etl.Sources.ls(s, dir)
@@ -497,6 +498,20 @@ object ParityQueries {
       .orderBy(col("day"))
   }
 
+  /** ORC write → read back → per-status revenue: Spark's second
+    * columnar builtin (vectorized read, predicate pushdown — the same
+    * scan contract as parquet). The oracle computes the aggregate from
+    * the original table, so the compare proves roundtrip identity. */
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("orc_")
+    Tables.orders(s, dir).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ----------------------------------------------------------------- oracle
 
   private def censusOracle(table: String, cols: Seq[String]): String =
@@ -657,6 +672,12 @@ object ParityQueries {
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " "),
     "q_parquet_roundtrip" ->
       "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY day",
+    // Computed from the ORIGINAL table — equality proves the ORC
+    // write/read roundtrip is lossless.
+    "q_orc_roundtrip" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replaceAll("\n", " "),
     "q_describe_strings" ->
       """SELECT * FROM (
         | SELECT 'l_returnflag' AS col_name, CAST(COUNT(l_returnflag) AS BIGINT) AS n,

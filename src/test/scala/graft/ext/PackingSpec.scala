@@ -51,6 +51,16 @@ class PackingSpec extends AnyFunSuite {
     assert(underfull == 0, "only a shard's final chunk may be under-full")
   }
 
+  test("lengthBuckets matches the groupBy model on random token counts") {
+    val rnd = new scala.util.Random(7)
+    val ns = Seq.fill(200)(rnd.nextInt(500).toLong)
+    val model = ns.groupBy(_ / 64).toSeq.sortBy(_._1)
+      .map { case (b, vs) => (b, vs.size.toLong, vs.sum, vs.min, vs.max) }
+    val got = Packing.lengthBuckets(ns.toDF("n"), col("n"), width = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == model)
+  }
+
   test("lengthBuckets: floor-divide routing, per-bucket stats") {
     val d = Seq(0L, 5L, 63L, 64L, 65L, 128L, 200L).toDF("n")
     val got = Packing.lengthBuckets(d, col("n"), width = 64L)

@@ -35,6 +35,20 @@ class UpsertSpec extends AnyFunSuite {
     assert(twice.exceptAll(once).count() == 0 && once.exceptAll(twice).count() == 0)
   }
 
+  test("upsert matches the last-write-wins map model on random batches") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val base = Seq.fill(30)((rnd.nextInt(20).toLong, rnd.nextInt(100)))
+        .distinctBy(_._1)
+      val ups = Seq.fill(15)((rnd.nextInt(30).toLong, rnd.nextInt(100)))
+        .distinctBy(_._1)
+      val model = (base.toMap ++ ups.toMap).toSeq.sorted
+      val got = Upsert.upsert(base.toDF("k", "v"), ups.toDF("k", "v"), Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+      assert(got == model, s"round $round diverged from the map model")
+    }
+  }
+
   test("no nested-loop join: the anti-join stays a hash/merge equi-join") {
     val plan = Upsert.upsert(base, updates, Seq("k"))
       .queryExecution.executedPlan.toString

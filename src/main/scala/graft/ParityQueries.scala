@@ -130,6 +130,7 @@ object ParityQueries {
     "q_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
     "q_parquet_roundtrip" -> ((s, dir) => parquetRoundtrip(s, dir)),
     "q_orc_roundtrip" -> ((s, dir) => orcRoundtrip(s, dir)),
+    "q_text_roundtrip" -> ((s, dir) => textRoundtrip(s, dir)),
     "q_describe_strings" -> ((s, dir) => describeStrings(s, dir)),
     "q_fs_listing" -> ((s, dir) =>
       graft.etl.Sources.ls(s, dir)
@@ -512,6 +513,21 @@ object ParityQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Plain text-lines sink/source (one document per line — the rawest
+    * corpus interchange format). Writers drop nothing here: the
+    * fixture is newline-free and non-null, and the oracle aggregates
+    * the original table, so equality proves the line roundtrip
+    * lossless. A corpus with embedded newlines would need the json or
+    * parquet path instead. */
+  private def textRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("txt_")
+    Tables.documents(s, dir).select(col("text"))
+      .write.mode("overwrite").text(tmp)
+    s.read.text(tmp)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).cast("long").as("n_chars"))
+  }
+
   // ----------------------------------------------------------------- oracle
 
   private def censusOracle(table: String, cols: Seq[String]): String =
@@ -672,6 +688,9 @@ object ParityQueries {
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " "),
     "q_parquet_roundtrip" ->
       "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY day",
+    "q_text_roundtrip" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        | CAST(SUM(length(text)) AS BIGINT) AS n_chars FROM documents""".stripMargin.replaceAll("\n", " "),
     // Computed from the ORIGINAL table — equality proves the ORC
     // write/read roundtrip is lossless.
     "q_orc_roundtrip" ->

@@ -112,12 +112,8 @@ object Dedup {
   def bands(docs: DataFrame, idCol: String, textCol: String,
             params: MinHashParams): DataFrame = {
     val rows = params.numHashes / params.bands
-    // Repartition BEFORE the heavy shingle+minhash projections, but
-    // ONLY when the source is under-partitioned (a small input — one
-    // parquet file → one split — would otherwise pin all the per-doc
-    // hash work on a single core). A well-partitioned 100 TB source
-    // already runs at full parallelism; an unconditional repartition
-    // there is a full shuffle of the raw text that buys nothing.
+    // Spread BEFORE the heavy shingle+minhash projections (the policy
+    // and its 100 TB rationale live in graft.ext.Spread).
     // Kernel fast path for the shingle+hash projection too (tokenize →
     // rolling shingle → xxhash64 → distinct in one primitive pass);
     // same values as the higher-order chain (GraftFunctionsSpec).
@@ -125,11 +121,7 @@ object Dedup {
       if (docs.sparkSession.catalog.functionExists("graft_shingle_hashes"))
         call_function("graft_shingle_hashes", col(textCol), lit(params.shingleSize))
       else shingleHashes(shingles(col(textCol), params.shingleSize))
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    val src = docs.select(col(idCol).as("id"), col(textCol))
-    val distributed =
-      if (src.rdd.getNumPartitions < parallelism) src.repartition(parallelism)
-      else src
+    val distributed = Spread.ensure(docs.select(col(idCol).as("id"), col(textCol)))
     // EAGER localCheckpoint, not persist: (a) it is the materialization
     // barrier that stops CollapseProject from inlining the shingle
     // expression into every band lambda (see below); (b) checkpoint

@@ -21,12 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Deterministic shard in [0, shards) from a numeric id — the
-    * splitBucket hash with a parameterized modulus (see that Scaladoc
-    * for the overflow-safety argument). */
+  /** Deterministic shard in [0, shards) from a numeric id — delegates
+    * to the one canonical id-hash (TextAnalysis.idHashBucket; see its
+    * Scaladoc for the overflow-safety argument). */
   def shardOf(id: org.apache.spark.sql.Column, shards: Int): org.apache.spark.sql.Column =
-    pmod(pmod(id.cast("long"), lit(1000003L)) * lit(2654435761L) + lit(104729L),
-      lit(shards.toLong))
+    TextAnalysis.idHashBucket(id, shards.toLong)
 
   /** Per-document chunk spans: each doc (with `nTokens` tokens,
     * ordered by id within its shard) is exploded into the chunks

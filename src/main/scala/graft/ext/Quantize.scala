@@ -27,13 +27,17 @@ object Quantize {
   /** Per-vector symmetric int8 quantization → array<long> (long keeps
     * the downstream dot arithmetic in one type; values are in
     * [-127, 127]). The all-zero vector quantizes to all zeros. */
-  def quantize(v: Column): Column = {
-    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
-    // floor(x * (127/maxAbs) + 0.5): see object doc for why not round().
+  def quantize(v: Column): Column =
+    quantizeWith(v, array_max(transform(v, x => abs(x.cast("double")))))
+
+  /** The one quantization kernel — [[quantize]] (inline maxAbs) and
+    * [[withQuantized]] (aliased maxAbs) both call it, so the rounding
+    * can never drift between the two paths.
+    * floor(x * (127/maxAbs) + 0.5): see object doc for why not round(). */
+  private def quantizeWith(v: Column, maxAbs: Column): Column =
     when(maxAbs === lit(0.0), transform(v, _ => lit(0L)))
       .otherwise(transform(v,
         x => floor(x.cast("double") * (lit(127.0) / maxAbs) + lit(0.5)).cast("long")))
-  }
 
   /** Quantize `vecCol` into `outCol` (array<long>) in TWO chained
     * projections: the per-vector scale is aliased first, so each
@@ -47,16 +51,11 @@ object Quantize {
     * input is a DataFrame column; [[quantize]] remains for literal /
     * oracle-replay use. */
   def withQuantized(df: org.apache.spark.sql.DataFrame, vecCol: String,
-                    outCol: String): org.apache.spark.sql.DataFrame = {
-    val ma = col("_graft_q_ma")
+                    outCol: String): org.apache.spark.sql.DataFrame =
     df.withColumn("_graft_q_ma",
         array_max(transform(col(vecCol), x => abs(x.cast("double")))))
-      .withColumn(outCol,
-        when(ma === lit(0.0), transform(col(vecCol), _ => lit(0L)))
-          .otherwise(transform(col(vecCol),
-            x => floor(x.cast("double") * (lit(127.0) / ma) + lit(0.5)).cast("long"))))
+      .withColumn(outCol, quantizeWith(col(vecCol), col("_graft_q_ma")))
       .drop("_graft_q_ma")
-  }
 
   /** Driver-side quantization of one query vector — the same IEEE
     * double arithmetic as [[quantize]] (max |x|, then

@@ -79,20 +79,27 @@ object TextAnalysis {
         "&[a-zA-Z#0-9]+;", " "),
       "\\s+", " "))
 
+  /** The three PII shapes, shared by [[piiFlags]] (detection),
+    * [[redactPii]] (scrubbing), and their SQL oracle twins — one
+    * definition so the router and the scrubber can never disagree. */
+  private[ext] val piiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[ext] val piiDigitRun = "[0-9]{9,}"
+  private[ext] val piiPhone =
+    "\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}"
+
   /** PII-shaped pattern counts (emails, long digit runs, phone-shaped
     * sequences) — the filter signal a training pipeline uses to route
-    * documents to scrubbing. Counts only; redaction composes via
-    * regexp_replace with the same patterns. */
+    * documents to scrubbing. Counts only; [[redactPii]] scrubs with
+    * the same patterns. */
   def piiFlags(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     // greatest(…, 0): size() of a null array is -1 under non-ANSI
     // sessions — a null text must count 0 patterns, not deflate sums.
     def n(pattern: String) =
       greatest(size(regexp_extract_all(t, lit(pattern), lit(0))), lit(0)).cast("long")
-    df.withColumn("n_emails", n("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"))
-      .withColumn("n_long_digit_runs", n("[0-9]{9,}"))
-      .withColumn("n_phone_like",
-        n("\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}"))
+    df.withColumn("n_emails", n(piiEmail))
+      .withColumn("n_long_digit_runs", n(piiDigitRun))
+      .withColumn("n_phone_like", n(piiPhone))
   }
 
   /** PII redaction with fixed placeholder tokens — the scrub step the
@@ -102,9 +109,9 @@ object TextAnalysis {
     * cross-engine. Pure regexp_replace: codegen'd, shuffle-free. */
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(text,
-      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
-      "[0-9]{9,}", "<NUM>"),
-      "\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}", "<PHONE>")
+      piiEmail, "<EMAIL>"),
+      piiDigitRun, "<NUM>"),
+      piiPhone, "<PHONE>")
 
   /** Deterministic train/val/test routing: a multiplicative hash of a
     * numeric id into [0, 100), then range thresholds. Portable
@@ -112,12 +119,17 @@ object TextAnalysis {
     * same split on any engine — and the split is stable under
     * repartitioning, appends, and reruns, unlike rand()-based sampling.
     */
-  def splitBucket(id: Column): Column =
-    // Reduce mod a prime first: keeps the multiply under 2^52, so the
-    // arithmetic never overflows Long on any engine (overflow would
-    // wrap in Spark but promote to int128 in DuckDB — silently
-    // different buckets).
-    pmod(pmod(id.cast("long"), lit(1000003L)) * lit(2654435761L) + lit(104729L), lit(100L))
+  def splitBucket(id: Column): Column = idHashBucket(id, 100L)
+
+  /** The one canonical multiplicative id-hash into [0, mod) — split
+    * routing, shard routing (Packing.shardOf) and weighted mixing all
+    * delegate here, so the constants can never diverge between them
+    * (each is replayed by several SQL oracles). Reduce mod a prime
+    * first: keeps the multiply under 2^52, so the arithmetic never
+    * overflows Long on any engine (overflow would wrap in Spark but
+    * promote to int128 in DuckDB — silently different buckets). */
+  private[ext] def idHashBucket(id: Column, mod: Long): Column =
+    pmod(pmod(id.cast("long"), lit(1000003L)) * lit(2654435761L) + lit(104729L), lit(mod))
 
   def assignSplit(df: DataFrame, idCol: String,
                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
@@ -159,12 +171,9 @@ object TextAnalysis {
       df.select(col(idCol).as("doc_id"),
           explode(shingleStrings(col(textCol), k)).as("shingle"))
         .distinct()
-    // Single-file sources scan as ONE task — spread the train-side
-    // shingle explode first (house pattern, Dedup.bands); the
+    // Spread the train-side shingle explode (graft.ext.Spread); the
     // benchmark side is tiny by assumption and stays put.
-    val parallelism = train.sparkSession.sparkContext.defaultParallelism
-    val trainSrc = if (train.rdd.getNumPartitions < parallelism)
-      train.repartition(parallelism) else train
+    val trainSrc = Spread.ensure(train)
     // Two consumers below (doc-level and shingle-level hit counts)
     // share one report action: persist the exploded train side so the
     // corpus shingling runs once, not twice.

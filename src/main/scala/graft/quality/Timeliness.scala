@@ -44,7 +44,12 @@ object Timeliness {
               countCols: Seq[String], gaugeCols: Seq[String]): DataFrame = {
     val daily = dailyIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mm = daily.agg(min(col(dayCol)), max(col(dayCol))).first()
-    if (mm.isNullAt(0)) return dailyIn.limit(0)
+    // Empty input returns an empty frame with the SAME schema contract
+    // as the filled output (gauges renamed to <name>_filled), so
+    // callers selecting the documented columns never break.
+    if (mm.isNullAt(0)) return gaugeCols.foldLeft(dailyIn.limit(0)) {
+      (d, c) => d.withColumnRenamed(c, s"${c}_filled")
+    }
     val dim = dateDim(spark, mm.getDate(0), mm.getDate(1))
       .withColumnRenamed("day", dayCol)
     val joined = dim.join(broadcast(daily), Seq(dayCol), "left")

@@ -123,6 +123,9 @@ class QualitySpec extends AnyFunSuite {
       ("2024-03-03", 0L, 1.5),
       ("2024-03-04", 7L, 9.0)))
     val empty = daily.limit(0)
-    assert(Timeliness.gapFill(spark, empty, "day", Seq("n"), Seq("mx")).count() == 0)
+    val filledEmpty = Timeliness.gapFill(spark, empty, "day", Seq("n"), Seq("mx"))
+    assert(filledEmpty.count() == 0)
+    assert(filledEmpty.columns.contains("mx_filled"),
+      "empty input must keep the <gauge>_filled schema contract")
   }
 }

@@ -187,6 +187,7 @@ object ExtensionQueries {
     "x_contamination" -> ((s, dir) => contamination(s, dir)),
     "x_bloom_prune" -> ((s, dir) => bloomPrune(s, dir)),
     "x_stream_interval_join" -> ((s, dir) => streamIntervalParity(s, dir)),
+    "x_stream_outer_join" -> ((s, dir) => streamOuterIntervalParity(s, dir)),
     "x_tfidf_top" -> ((s, dir) => {
       // Top TF-IDF term for the first 20 docs, scored against
       // corpus-wide document frequencies (TextAnalysis.topTfIdfTerm;
@@ -726,6 +727,37 @@ object ExtensionQueries {
     multisetParityBit(streamed, batch, "interval_parity_ok")
   }
 
+  /** x_stream_outer_join: batch ≡ stream parity for the LEFT-OUTER
+    * stream-stream interval join — the harder emission contract:
+    * matched pairs flow like the inner join, but unmatched clicks
+    * only emit (with a null view_id) once the GLOBAL watermark —
+    * min over both sources' max event time, minus the delay — passes
+    * their event time, because until then a matching view could still
+    * arrive. StreamOps.intervalJoinLeftOuterEmitted expresses exactly
+    * that subset in batch; the bit is 1 iff the multisets agree. */
+  private def streamOuterIntervalParity(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    def sideS(t: String, idAs: String) =
+      StreamOps.eventsStream(s, dir).where(col("event_type") === t)
+        .select(col("user_id"), col("ts"), col("event_id").as(idAs))
+    val joined = StreamOps.intervalJoin(
+      sideS("click", "click_id"), sideS("view", "view_id"),
+      "user_id", "ts", windowMinutes = 10, watermark = "60 minutes",
+      joinType = "left_outer")
+      .select(col("click_id"), col("view_id"))
+    val streamed = StreamOps.runAvailableNow(joined, "stream_outer_interval_parity",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val ev = Tables.events(s, dir)
+    def sideB(t: String, idAs: String) =
+      ev.where(col("event_type") === t)
+        .select(col("user_id"), col("ts"), col("event_id").as(idAs))
+    val emitted = StreamOps.intervalJoinLeftOuterEmitted(
+      sideB("click", "click_id"), sideB("view", "view_id"),
+      "user_id", "ts", windowMinutes = 10, watermarkMinutes = 60)
+      .select(col("click_id"), col("view_id"))
+    multisetParityBit(streamed, emitted, "outer_parity_ok")
+  }
+
   /** x_stream_dedup: STREAMING exact dedup (StreamOps.dedup over the
     * events file stream) counted after a bounded AvailableNow run —
     * checked against an EXACT oracle (DuckDB's COUNT(DISTINCT
@@ -1067,6 +1099,7 @@ object ExtensionQueries {
     "x_stream_sessions" -> "SELECT CAST(1 AS BIGINT) AS stream_parity_ok",
     "x_quantize_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "x_stream_interval_join" -> "SELECT CAST(1 AS BIGINT) AS interval_parity_ok",
+    "x_stream_outer_join" -> "SELECT CAST(1 AS BIGINT) AS outer_parity_ok",
     "x_approx_percentile" -> "SELECT CAST(1 AS BIGINT) AS rank_bound_ok",
     // The STREAMING dedup must land on the exact distinct cardinality.
     "x_stream_dedup" ->

@@ -196,7 +196,8 @@ object StreamOps {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String,
-                   windowMinutes: Int, watermark: String): DataFrame = {
+                   windowMinutes: Int, watermark: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark)
     val r = right
       .withColumnRenamed(tsCol, "ts_r")
@@ -205,8 +206,46 @@ object StreamOps {
     l.join(r,
       col(keyCol) === col("__rk") &&
         col("ts_r") <= col(tsCol) &&
-        col("ts_r") >= col(tsCol) - expr(s"INTERVAL $windowMinutes MINUTES"))
+        col("ts_r") >= col(tsCol) - expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
       .drop("__rk")
+  }
+
+  /** The rows a bounded AvailableNow run of the LEFT-OUTER
+    * [[intervalJoin]] emits, expressed in batch: every matched pair,
+    * plus null-padded rows for unmatched left events whose event time
+    * falls strictly below the final watermark. The query's watermark
+    * is GLOBAL — the minimum over both sources' (max event time −
+    * delay) — because either side could still deliver old rows until
+    * its own max passes; an empty right source therefore never
+    * advances the watermark and no null-padded row flushes, exactly
+    * like the streaming query. Verified against the streaming
+    * emission by the x_stream_outer_join parity bit. */
+  def intervalJoinLeftOuterEmitted(left: DataFrame, right: DataFrame,
+                                   keyCol: String, tsCol: String,
+                                   windowMinutes: Int,
+                                   watermarkMinutes: Int): DataFrame = {
+    val delayMs = watermarkMinutes * 60L * 1000L
+    def maxMs(df: DataFrame, c: String): Option[Long] = {
+      val row = df.agg(max(unix_millis(col(c)))).first()
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    }
+    val wmMs = (maxMs(left, tsCol), maxMs(right, tsCol)) match {
+      case (Some(l), Some(r)) => math.min(l, r) - delayMs
+      case _ => Long.MinValue
+    }
+    val r2 = right
+      .withColumnRenamed(tsCol, "ts_r")
+      .withColumnRenamed(keyCol, "__rk")
+      .withColumn("__matched", lit(1))
+    left.join(r2,
+        col(keyCol) === col("__rk") &&
+          col("ts_r") <= col(tsCol) &&
+          col("ts_r") >= col(tsCol) - expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .where(col("__matched").isNotNull ||
+        unix_millis(col(tsCol)) < lit(wmMs))
+      .drop("__rk", "__matched")
   }
 
   /** Stream → batch-sink bridge via foreachBatch: each micro-batch is

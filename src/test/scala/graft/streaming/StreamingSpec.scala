@@ -94,6 +94,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.isStreaming, "interval join must stay a streaming frame")
   }
 
+  test("left-outer interval join: null-pads only below the min-source watermark") {
+    def ts(minute: Int) = new Timestamp(3600L * 1000 + minute * 60L * 1000)
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    val views = MemoryStream[(Long, Timestamp)](spark)
+    // Final watermark = min(max click, max view) − 10 min = min(200, 95) − 10 = 85.
+    // click@30 unmatched (no view in [0,30]) and 30 < 85 → null-pads;
+    // click@90 unmatched but 90 ≥ 85 → withheld (a view could still come);
+    // click@60 matches view@55.
+    clicks.addData((1L, ts(30)), (1L, ts(60)), (1L, ts(90)), (1L, ts(200)))
+    views.addData((1L, ts(55)), (1L, ts(95)))
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      views.toDF().toDF("user_id", "ts").withColumn("view_tag", lit("v")),
+      "user_id", "ts", windowMinutes = 30, watermark = "10 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("t_ssouter")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("t_ssouter")
+      .select(col("user_id"), col("ts"), col("ts_r"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000L - 60,
+        if (r.isNullAt(2)) -1L else r.getTimestamp(2).getTime / 60000L - 60)).toSet
+    // click@90 does NOT match view@95 (ts_r ≤ ts fails) and 90 ≥ 85 →
+    // withheld; click@200's only candidate view@95 is outside [170,200]
+    // and 200 ≥ 85 → withheld.
+    assert(streamed == Set((1L, 60L, 55L), (1L, 30L, -1L)),
+      s"unexpected outer emission: $streamed")
+    // The batch twin must reproduce the emitted multiset exactly.
+    import spark.implicits._
+    val cb = Seq((1L, ts(30)), (1L, ts(60)), (1L, ts(90)), (1L, ts(200)))
+      .toDF("user_id", "ts")
+    val vb = Seq((1L, ts(55)), (1L, ts(95))).toDF("user_id", "ts")
+      .withColumn("view_tag", lit("v"))
+    val twin = StreamOps.intervalJoinLeftOuterEmitted(cb, vb,
+        "user_id", "ts", windowMinutes = 30, watermarkMinutes = 10)
+      .select(col("user_id"), col("ts"), col("ts_r"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000L - 60,
+        if (r.isNullAt(2)) -1L else r.getTimestamp(2).getTime / 60000L - 60)).toSet
+    assert(twin == streamed, s"twin $twin != streamed $streamed")
+  }
+
   test("foreachBatch bridges a stream into batch parquet appends") {
     val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString
     // Idiomatic production shape: raw stream in, arbitrary BATCH logic

@@ -175,6 +175,22 @@ object ExtensionQueries {
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
     "x_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
+    "x_hash_sample" -> ((s, dir) =>
+      // Deterministic exact-100 uniform sample of the corpus
+      // (graft.ext.Mixing.exactK) — same rows on every run and engine.
+      Mixing.exactK(Tables.documents(s, dir), "doc_id", 100)
+        .select(col("doc_id"), col("h"))
+        .orderBy(col("h"), col("doc_id"))),
+    "x_stratified_sample" -> ((s, dir) =>
+      // Deterministic 3-per-event-type stratified sample
+      // (graft.ext.Mixing.stratifiedExactK), summarized per stratum
+      // so the driver row is small but every sampled id is pinned.
+      Mixing.stratifiedExactK(Tables.events(s, dir), "event_id",
+          "event_type", 3)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_ids"))
+        .orderBy(col("event_type"))),
     "x_approx_percentile" -> ((s, dir) => approxPercentileBound(s, dir)),
     "x_quantize_recall" -> ((s, dir) => quantizeRecall(s, dir)),
     "x_pack_chunks" -> ((s, dir) =>
@@ -1104,6 +1120,17 @@ object ExtensionQueries {
     // The STREAMING dedup must land on the exact distinct cardinality.
     "x_stream_dedup" ->
       "SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique FROM events",
+    // Exact-k sampling replayed in SQL: same hash, same (h, id) order.
+    "x_hash_sample" ->
+      """SELECT doc_id, (((doc_id % 1000003) * 2654435761 + 104729) % 1000003) AS h
+        | FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin.replaceAll("\n", " "),
+    "x_stratified_sample" ->
+      """WITH r AS (SELECT event_type, event_id,
+        |   ROW_NUMBER() OVER (PARTITION BY event_type
+        |     ORDER BY (((event_id % 1000003) * 2654435761 + 104729) % 1000003), event_id) AS rn
+        |  FROM events)
+        | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+        | FROM r WHERE rn <= 3 GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
     // Deterministic mixing replayed in SQL: same id-hash, same
     // per-type percentage routing.
     "x_weighted_mix" ->

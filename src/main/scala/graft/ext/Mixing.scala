@@ -28,4 +28,29 @@ object Mixing {
       }
     df.where(TextAnalysis.splitBucket(col(idCol)) < pct)
   }
+
+  /** Deterministic exact-k uniform sample: the k smallest rows under
+    * the id-hash order (ties broken by id) — a fixed-size,
+    * reproducible subset (eval slices, spot-check batches) where
+    * rand()-based limit() would pick different rows every run. The
+    * TakeOrderedAndProject plan keeps only k rows per partition, never
+    * a global sort. */
+  def exactK(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.withColumn("h", TextAnalysis.idHashBucket(col(idCol), 1000003L))
+      .orderBy(col("h"), col(idCol))
+      .limit(k)
+
+  /** Deterministic exact-k-PER-GROUP (stratified) sample: the same
+    * hash order, ranked within each group — every stratum contributes
+    * exactly min(k, |stratum|) rows. One shuffle on the group key. */
+  def stratifiedExactK(df: DataFrame, idCol: String, groupCol: String,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("h"), col(idCol))
+    df.withColumn("h", TextAnalysis.idHashBucket(col(idCol), 1000003L))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
 }

@@ -79,6 +79,20 @@ class IoSpec extends AnyFunSuite {
     assert(Sources.parquet(spark, tmp).count() == df.count())
   }
 
+  test("ORC scan pushes filters and prunes columns like parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Tables.orders(spark, TestSpark.sf0001).write.mode("overwrite").orc(tmp)
+    val plan = spark.read.orc(tmp)
+      .where(col("o_orderkey") === 42L)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)")
+      || plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"),
+      s"ORC scan must push the key filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"ORC scan must prune to the two projected columns:\n$plan")
+  }
+
   test("shardedParquet: one sorted file per shard dir, routing is the id-hash, lossless") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString

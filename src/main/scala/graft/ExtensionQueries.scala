@@ -238,18 +238,20 @@ object ExtensionQueries {
     "x_bigram_next" -> ((s, dir) => bigramNext(s, dir)),
     "x_quality_gate" -> ((s, dir) => qualityGate(s, dir)),
     "x_ntile_buckets" -> ((s, dir) => {
-      // Equi-DEPTH histogram via NTILE(10) — the quantile-bucket
-      // complement of q_histogram_price's equi-width bins. The window
-      // orders by a UNIQUE composite (price, orderkey, linenumber) so
-      // remainder distribution is deterministic on both engines. A
-      // global sort (RangePartitioning) is the honest cost of exact
-      // equi-depth at scale; the sketch path is x_approx_percentile.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
-        col("l_linenumber"))
-      Tables.lineitem(s, dir)
-        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        .withColumn("bucket", ntile(10).over(w).cast("long"))
+      // Equi-DEPTH histogram via DISTRIBUTED exact NTILE(10) — the
+      // quantile-bucket complement of q_histogram_price's equi-width
+      // bins. The order key is a UNIQUE composite (price, orderkey,
+      // linenumber) so remainder distribution is deterministic on both
+      // engines. graft.operators.EquiDepth computes the identical
+      // bucket assignment as the window form via range-partition +
+      // per-partition offsets — no empty-PARTITION-BY WindowExec
+      // funneling every row through one task (EquiDepthSpec pins both
+      // the equivalence and the plan shape); the sketch path at 100 TB
+      // stays x_approx_percentile.
+      graft.operators.EquiDepth.ntileBuckets(
+          Tables.lineitem(s, dir)
+            .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          Seq("l_extendedprice", "l_orderkey", "l_linenumber"), 10)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           min(col("l_extendedprice")).cast("double").as("lo"),

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed exact NTILE — equi-depth bucketing over a total order
+  * WITHOUT the single-task trap.
+  *
+  * `NTILE(n) OVER (ORDER BY …)` with no PARTITION BY plans a
+  * WindowExec whose partition spec is empty: Spark routes EVERY row
+  * into one task (SinglePartition), which dies at cluster scale no
+  * matter how many executors exist. Exact equi-depth doesn't need
+  * that: NTILE is a pure function of a row's GLOBAL RANK and the
+  * total count, and global ranks distribute as
+  *
+  *   1. range-partition + sort locally        (fully parallel)
+  *   2. count rows per partition              (one tiny agg → driver)
+  *   3. global rank = partition's cumulative
+  *      offset + local position               (fully parallel)
+  *
+  * — two passes, no global sort on one task, the classic distributed
+  * ranking construction. Pass 3 maps the rank through the standard
+  * NTILE arithmetic (first `total % n` buckets hold ⌈total/n⌉ rows,
+  * the rest ⌊total/n⌋), so the output is row-for-row identical to the
+  * window form — EquiDepthSpec pins both the equivalence and the
+  * absence of an empty-partition-spec WindowExec from the plan.
+  *
+  * The range-partitioned sort is materialized once (eager
+  * localCheckpoint): the per-partition counts and the rank pass MUST
+  * observe the same partition boundaries, and RangePartitioner
+  * re-samples its boundaries per action. One bounded materialization
+  * of (the projected) rows is the honest cost of exactness at scale —
+  * the sketch alternative is approx_percentile.
+  *
+  * Ordering columns must form a UNIQUE key (standard NTILE determinism
+  * requirement — same contract as the window form).
+  */
+object EquiDepth {
+
+  /** Appends a `bucket` column (1-based, long) = NTILE(`n`) over
+    * `ORDER BY orderCols`. `numPartitions` 0 → the session's shuffle
+    * partitions. */
+  def ntileBuckets(df: DataFrame, orderCols: Seq[String], n: Int,
+                   numPartitions: Int = 0): DataFrame = {
+    require(n > 0, s"ntile bucket count must be positive, got $n")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val cols = orderCols.map(col)
+    val sorted = df.repartitionByRange(parts, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .localCheckpoint(true)
+    // One small row per partition — metadata, not data (same class of
+    // driver scalar as the reference's own adaptive collects).
+    val counts = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+    }
+    val quot = total / n
+    val rem = total % n
+    val outSchema = sorted.schema.add("bucket", LongType, nullable = false)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    // Rank pass: narrow over the checkpointed partitions — the stored
+    // within-partition sort order is the global order restricted to
+    // each range, so offset + position IS the global rank.
+    sorted.mapPartitions { it =>
+      val off = bOffsets.value.getOrElse(TaskContext.getPartitionId(), 0L)
+      var i = 0L
+      it.map { row =>
+        i += 1
+        val rank = off + i
+        val bucket =
+          if (rank <= rem * (quot + 1)) (rank - 1) / (quot + 1) + 1
+          else rem + (rank - rem * (quot + 1) - 1) / math.max(quot, 1L) + 1
+        Row.fromSeq(row.toSeq :+ bucket)
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -13,12 +13,15 @@ import graft.ext.{BloomPrune, Dedup, IvfIndex, Mixing, Multimodal, Packing, Quan
   * native + hand-built + streaming), event analytics (funnel, cohort
   * retention), and skew machinery (salted join, two-phase agg).
   *
-  * Oracle rules are the same as ParityQueries. Queries whose results
-  * depend on engine-internal hashes (xxhash64: MinHash, SimHash, LSH
-  * buckets, stub decode) are NOT expressible in portable SQL → no
-  * oracleSql entry (driver records rows-only); their semantics are
-  * covered by ScalaTest instead (planted near-dups, recall vs brute
-  * force).
+  * Oracle rules are the same as ParityQueries. Queries whose raw
+  * results depend on engine-internal hashes (xxhash64: MinHash,
+  * SimHash, LSH buckets) emit hash-INDEPENDENT invariants of the real
+  * pipeline output instead of the raw values — truth counts computed
+  * by an independent exact operator and replayed by the oracle SQL
+  * (inverted-index Jaccard, brute-force cosine), plus subset/floor/
+  * shape bits — so every query is oracle-checkable; raw per-value
+  * semantics stay covered by ScalaTest (planted near-dups, recall vs
+  * brute force).
   */
 object ExtensionQueries {
 
@@ -54,9 +57,22 @@ object ExtensionQueries {
     "x_jaccard_adjacent" -> ((s, dir) => jaccardAdjacent(s, dir)),
     "x_minhash_neardup" -> ((s, dir) => minhashSummary(s, dir)),
     "x_simhash" -> ((s, dir) =>
+      // SimHash values are engine-internal (xxhash64), but two
+      // INVARIANTS of them are not: (a) simhash is a pure function of
+      // text, so byte-identical docs — the planted dup groups at
+      // sf0.1 — MUST collide (zero purity violations across every
+      // text group, evaluated over the real per-doc hashes); (b) the
+      // group/doc census matches the corpus. Per-value semantics stay
+      // pinned in DedupSpec.
       Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-        .orderBy(col("doc_id"))),
+        .where(col("text").isNotNull)
+        .select(col("text"), Dedup.simhash(col("text")).as("simhash"))
+        .groupBy(col("text"))
+        .agg(count_distinct(col("simhash")).as("__nh"), count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("n_text_groups"),
+          coalesce(sum(col("__c")), lit(0L)).as("n_docs"),
+          coalesce(sum(when(col("__nh") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_purity_violations"))),
     "x_cosine_topk" -> ((s, dir) => cosineTopK(s, dir)),
     "x_cosine_adjacent" -> ((s, dir) => cosineAdjacent(s, dir)),
     "x_cosine_pairs_label" -> ((s, dir) =>
@@ -72,10 +88,18 @@ object ExtensionQueries {
           max(col("cos_sim")).as("max_cos"))
         .orderBy(col("label"))),
     "x_ann_lsh_buckets" -> ((s, dir) =>
+      // Bucket IDs are hash-derived, but the bucketing's invariants
+      // are oracle-checkable over the real per-vector buckets: the
+      // per-bucket counts must sum to the corpus (every vector lands
+      // in exactly one bucket), every bucket in [0, 2^8), occupied
+      // buckets at most 2^8. Per-bucket values stay in SimilaritySpec.
       Tables.embeddings(s, dir)
         .select(Similarity.lshBucketIn(s)(col("embedding"), 8).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-        .orderBy(col("bucket"))),
+        .agg(coalesce(sum(col("n")), lit(0L)).as("total_vecs"),
+          (min(col("bucket")) >= 0 && max(col("bucket")) < 256)
+            .cast("long").as("bounds_ok"),
+          (count(lit(1)) <= 256).cast("long").as("n_buckets_ok"))),
     "x_ann_topk" -> ((s, dir) => annTopK(s, dir)),
     "x_multimodal_meta" -> ((s, dir) =>
       Multimodal.attachPayload(Tables.documents(s, dir), "text", "text/plain")
@@ -283,30 +307,48 @@ object ExtensionQueries {
 
   /** The naive cosine-threshold self-join, scaled by the opt-in
     * optimizer rewrite (graft.plans.ApproxSimilarityJoin). The flag is
-    * scoped to THIS computation: set, the rewritten join EXECUTED into
-    * an eager checkpoint (a downstream action builds a fresh
-    * QueryExecution and would re-optimize without the flag — a lazily
-    * returned plan would silently lose the rewrite), then restored.
-    * Summary row; LSH-bucket recall makes it rows-only (semantics
-    * pinned by ApproxSimilarityJoinSpec).
+    * scoped to the rewritten computation: set, the rewritten join
+    * EXECUTED into an eager checkpoint (a downstream action builds a
+    * fresh QueryExecution and would re-optimize without the flag — a
+    * lazily returned plan would silently lose the rewrite), then
+    * restored. The rewritten pair count is hash-dependent (LSH-bucket
+    * recall), so the gate bounds it with hash-independent truth: the
+    * SAME query executed WITHOUT the flag (the un-rewritten n² path —
+    * gate/bench scale only) must be an upper bound, and the
+    * identical-vector pair count a lower bound. Plan-shape semantics
+    * stay pinned by ApproxSimilarityJoinSpec.
     */
   private def approxSimJoin(s: SparkSession, dir: String): DataFrame = {
     val flag = "spark.graft.approxSimilarityJoin"
-    val prev = s.conf.getOption(flag)
-    s.conf.set(flag, "true")
-    try {
+    def pairCount(): DataFrame = {
       val e = Tables.embeddings(s, dir)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
       a.crossJoin(b)
         .where(call_function("graft_cosine_sim", col("v_a"), col("v_b")) >= lit(0.9)
           && col("id_a") < col("id_b"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .localCheckpoint(true) // runs under the flag; 1 row
-    } finally prev match {
-      case Some(v) => s.conf.set(flag, v)
-      case None => s.conf.unset(flag)
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // executes under the CURRENT flag state; 1 row
     }
+    val prev = s.conf.getOption(flag)
+    s.conf.set(flag, "true")
+    val rewritten =
+      try pairCount()
+      finally prev match {
+        case Some(v) => s.conf.set(flag, v)
+        case None => s.conf.unset(flag)
+      }
+    val truth = pairCount() // flag restored: the plain (un-rewritten) join
+    val nIdent = Tables.embeddings(s, dir)
+      .groupBy(col("embedding")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(expr("__c * (__c - 1) DIV 2")), lit(0L))
+        .as("n_identical_pairs"))
+    rewritten.select(col("n").as("__rew"))
+      .crossJoin(truth.select(col("n").as("n_true_pairs")))
+      .crossJoin(nIdent)
+      .select(col("n_true_pairs"), col("n_identical_pairs"),
+        (col("__rew") <= col("n_true_pairs")).cast("long").as("le_true_ok"),
+        (col("__rew") >= col("n_identical_pairs")).cast("long").as("ge_identical_ok"))
   }
 
   /** One persisted IVF index per (session, sf dir): Lloyd training and
@@ -329,31 +371,56 @@ object ExtensionQueries {
   }
 
   /** IVF ANN top-10 for the vec_id=0 query (16 Lloyd-trained clusters,
-    * probe 4) — the trained-index alternative to the LSH bucket path;
-    * recall vs brute force is measured in SimilaritySpec and
-    * oracle-gated by x_ivf_recall. Served from the per-session
-    * persisted index (partition-pruned probe, no retraining). */
+    * probe 4) — the trained-index alternative to the LSH bucket path,
+    * emitted through the shape gate; per-value recall vs brute force
+    * is measured in SimilaritySpec and gated by x_ivf_recall. Served
+    * from the per-session persisted index (partition-pruned probe, no
+    * retraining). */
   private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val q = e.where(col("vec_id") === 0)
       .select(col("embedding")).first().getSeq[Float](0)
-    IvfIndex.probeTopK(s, ivfIndexFor(s, dir), "vec_id", "embedding", q, 10, nProbe = 4)
+    topKShape(
+      IvfIndex.probeTopK(s, ivfIndexFor(s, dir), "vec_id", "embedding", q, 10, nProbe = 4),
+      e.where(col("vec_id") =!= 0), "vec_id")
   }
 
-  /** Embedding-cosine near-dup: LSH-bucket blocking (8 hyperplane bits
-    * → 256 buckets) keeps the pair join keyed — sum(bucket²), never n²
-    * — then exact cosine confirms; a hot bucket (near-identical or
-    * near-zero vectors hashing together) is dropped at maxBlockSize
-    * rather than going quadratic. Summary row so the result is stable
-    * (pair membership near the threshold is hash-dependent → no SQL
-    * oracle; semantics covered by SimilaritySpec). */
+  /** Embedding-cosine near-dup gate: LSH-bucket blocking (8 hyperplane
+    * bits → 256 buckets) keeps the pair join keyed — sum(bucket²),
+    * never n² — then exact cosine confirms; a hot bucket is dropped at
+    * maxBlockSize rather than going quadratic. The confirmed SET is
+    * hash-dependent, so the gate emits its hash-independent bounds
+    * over the real output (same construction as minhashSummary):
+    * n_true_pairs / n_identical_pairs from Similarity.bruteForcePairs
+    * (the oracle replays the identical fold-order cosine in SQL — the
+    * truth pass is quadratic BY DESIGN and runs at gate/bench scale,
+    * not in production paths), subset_ok because blocking only ever
+    * misses pairs, ge_identical_ok because byte-identical vectors
+    * share every hyperplane sign and have cosine 1. */
   private def embedNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .withColumn("bucket", Similarity.lshBucketIn(s)(col("embedding"), 8))
-    Similarity.cosinePairsWithin(e, "vec_id", "embedding", "bucket", 0.9,
-        maxBlockSize = 10000)
-      .agg(count(lit(1)).as("n_neardup_pairs"),
-        coalesce(max(col("cos_sim")), lit(0.0)).as("max_cos"))
+    val confirmed = Similarity.cosinePairsWithin(e, "vec_id", "embedding",
+        "bucket", 0.9, maxBlockSize = 10000)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val truth = Similarity.bruteForcePairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 0.9)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val nIdent = Tables.embeddings(s, dir)
+      .groupBy(col("embedding")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(expr("__c * (__c - 1) DIV 2")), lit(0L))
+        .as("n_identical_pairs"))
+    val nConf = confirmed.agg(count(lit(1)).as("__conf"))
+    val viol = confirmed.join(truth, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__viol"))
+    Tables.embeddings(s, dir).agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
+      .crossJoin(nIdent).crossJoin(nConf).crossJoin(viol)
+      .select(col("n_vecs"), col("n_true_pairs"), col("n_identical_pairs"),
+        (col("__viol") === 0).cast("long").as("subset_ok"),
+        (col("__conf") >= col("n_identical_pairs")).cast("long").as("ge_identical_ok"))
   }
 
   /** Count of rows where a codegen'd kernel disagrees with its
@@ -1040,8 +1107,24 @@ object ExtensionQueries {
       .orderBy(col("id_a"))
   }
 
-  /** MinHash+LSH near-dup summary (1 row, always non-empty): total
-    * docs, LSH candidate pairs, exact-Jaccard-confirmed pairs. */
+  /** MinHash+LSH near-dup gate (1 row, always non-empty). The
+    * candidate/confirmed pair SETS depend on engine-internal xxhash64,
+    * but they are bounded both ways by hash-independent truth, and the
+    * gate emits exactly those bounds over the REAL pipeline output:
+    *
+    *   - n_true_pairs / n_exact_pairs: the exact inverted-index
+    *     Jaccard operator (Dedup.exactJaccardPairs) at the verify
+    *     threshold and at J = 1 — value-checked against the oracle's
+    *     SQL replay of the same shingle/Jaccard arithmetic;
+    *   - subset_ok: every LSH-confirmed pair is an exact-Jaccard pair
+    *     (verification computes the identical integer ratio, so the
+    *     anti-join must be empty);
+    *   - ge_exact_ok: every identical-shingle-set pair (J = 1) is
+    *     confirmed — equal sets give equal signatures, so all 16 bands
+    *     collide and verification keeps them. (A J = 1 group larger
+    *     than maxBucketSize would be dropped by the hot-bucket cap —
+    *     fixture-dependent in the same sense as annRecallFloor.)
+    */
   private def minhashSummary(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val params = Dedup.MinHashParams()
@@ -1049,11 +1132,24 @@ object ExtensionQueries {
     // hashes every doc — never run it twice for one report).
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", params)
       .localCheckpoint(true)
-    val candidates = pairs.agg(count(lit(1)).as("n_candidates"))
     val confirmed = Dedup.verifyPairs(docs, pairs, "doc_id", "text", params, 0.5)
-      .agg(count(lit(1)).as("n_confirmed"))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val truth = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+        params.shingleSize, 0.5)
+      .localCheckpoint(true)
+    val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"),
+      coalesce(sum((col("jaccard") >= 1.0).cast("long")), lit(0L))
+        .as("n_exact_pairs"))
+    val nConf = confirmed.agg(count(lit(1)).as("__conf"))
+    val viol = confirmed
+      .join(truth.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__viol"))
     docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(candidates).crossJoin(confirmed)
+      .crossJoin(nTrue).crossJoin(nConf).crossJoin(viol)
+      .select(col("n_docs"), col("n_true_pairs"), col("n_exact_pairs"),
+        (col("__viol") === 0).cast("long").as("subset_ok"),
+        (col("__conf") >= col("n_exact_pairs")).cast("long").as("ge_exact_ok"))
   }
 
   /** Brute-force top-10 cosine against the vec_id=0 embedding. */
@@ -1064,15 +1160,39 @@ object ExtensionQueries {
     Similarity.bruteForceTopK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
   }
 
-  /** LSH-bucketed ANN top-10 for the same query (recall measured in
-    * tests against the brute-force anchor). */
+  /** Top-k SHAPE gate over a (vec_id, cos_sim) result whose MEMBERSHIP
+    * is hash-dependent (ANN probes): exactly k rows, k distinct ids,
+    * every id drawn from the corpus, every score a plausible cosine.
+    * Evaluated over the real top-k output, so a broken probe (empty
+    * bucket, duplicated id, id invented by a bad join) fails the
+    * driver compare even though the ID LIST itself has no portable
+    * oracle. k rows is fixture-dependent in the same sense as
+    * annRecallFloor: the probed set must hold ≥ k vectors (it is
+    * 15–30× k on the driver fixtures). Result-quality (not shape) is
+    * gated separately by the recall-floor bits. */
+  private def topKShape(topk: DataFrame, corpus: DataFrame, idCol: String): DataFrame =
+    topk.join(corpus.select(col(idCol).as("vec_id"), lit(1L).as("__in")),
+        Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("vec_id")).as("n_distinct_ids"),
+        coalesce(sum(col("__in")), lit(0L)).as("n_in_corpus"),
+        (coalesce(min(col("cos_sim")), lit(0.0)) >= -1.000001 &&
+          coalesce(max(col("cos_sim")), lit(0.0)) <= 1.000001)
+          .cast("long").as("cos_bounds_ok"))
+
+  /** LSH-bucketed ANN top-10 for the same query, emitted through the
+    * shape gate (per-value recall vs brute force is measured in
+    * SimilaritySpec and gated by x_ann_recall). */
   private def annTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val q = e.where(col("vec_id") === 0)
       .select(col("embedding")).first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0)
     // 4 hyperplane bits → 16 buckets: at 500–50k vectors that keeps a
     // bucket big enough for a meaningful top-10 (recall measured in tests).
-    Similarity.annTopK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10, bits = 4)
+    topKShape(
+      Similarity.annTopK(corpus, "vec_id", "embedding", q, 10, bits = 4),
+      corpus, "vec_id")
   }
 
   /** Cosine of adjacent embedding pairs — deterministic double fold on
@@ -1090,7 +1210,73 @@ object ExtensionQueries {
 
   // ----------------------------------------------------------------- oracle
 
+  // Shared CTE for the cosine-pair oracles: all pairs (a < b) with the
+  // identical fold-order cosine the kernels compute (see x_quantize_dot
+  // for the fold-equivalence precedent). Quadratic — gate scale only.
+  private val cosPairsCte =
+    """e AS (SELECT vec_id, embedding,
+      |   sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      | p AS (SELECT
+      |   list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos_sim
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+      | ident AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n
+      |  FROM (SELECT COUNT(*) AS c FROM embeddings GROUP BY embedding) g)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // --- invariant oracles over hash-dependent pipelines ---
+    // LSH bucketing: every vector lands in exactly one bucket in
+    // [0, 2^8); the per-bucket counts must sum back to the corpus.
+    "x_ann_lsh_buckets" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS total_vecs,
+        | CAST(1 AS BIGINT) AS bounds_ok, CAST(1 AS BIGINT) AS n_buckets_ok""".stripMargin.replaceAll("\n", " "),
+    // Top-k shape gates (see topKShape): exactly k rows, k distinct
+    // corpus ids, cosine-range scores — constants for the fixed k=10.
+    "x_ann_topk" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_distinct_ids,
+        | CAST(10 AS BIGINT) AS n_in_corpus, CAST(1 AS BIGINT) AS cos_bounds_ok""".stripMargin.replaceAll("\n", " "),
+    "x_ivf_topk" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_distinct_ids,
+        | CAST(10 AS BIGINT) AS n_in_corpus, CAST(1 AS BIGINT) AS cos_bounds_ok""".stripMargin.replaceAll("\n", " "),
+    // SimHash: a pure function of text — every group of byte-identical
+    // docs must share one hash value (zero purity violations); the
+    // group/doc census is value-checked.
+    "x_simhash" ->
+      """SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_text_groups,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_purity_violations
+        | FROM documents WHERE text IS NOT NULL""".stripMargin.replaceAll("\n", " "),
+    // MinHash near-dup gate: the truth side (exact inverted-index
+    // Jaccard at the verify threshold and at J = 1) is replayed with
+    // the same word-3-gram shingles and integer Jaccard ratio; the
+    // LSH-confirmed set is bounded by it (subset / ≥-exact bits).
+    "x_minhash_neardup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+        | sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |     generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM tok),
+        | ns AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        | pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+        |   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | j AS (SELECT CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) AS jac
+        |   FROM pr JOIN ns na ON na.doc_id = pr.ia JOIN ns nb ON nb.doc_id = pr.ib)
+        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j WHERE jac >= 0.5) AS n_true_pairs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j WHERE jac >= 1.0) AS n_exact_pairs,
+        |  CAST(1 AS BIGINT) AS subset_ok, CAST(1 AS BIGINT) AS ge_exact_ok""".stripMargin.replaceAll("\n", " "),
+    // Embedding near-dup / approx-sim-join gates: truth is the
+    // brute-force cosine pair count at the threshold (identical
+    // fold-order arithmetic), identical-vector pairs the floor.
+    "x_embed_neardup" ->
+      (s"""WITH $cosPairsCte
+        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p WHERE cos_sim >= 0.9) AS n_true_pairs,
+        |  (SELECT n FROM ident) AS n_identical_pairs,
+        |  CAST(1 AS BIGINT) AS subset_ok, CAST(1 AS BIGINT) AS ge_identical_ok""".stripMargin.replaceAll("\n", " ")),
+    "x_approx_sim_join" ->
+      (s"""WITH $cosPairsCte
+        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p WHERE cos_sim >= 0.9) AS n_true_pairs,
+        |  (SELECT n FROM ident) AS n_identical_pairs,
+        |  CAST(1 AS BIGINT) AS le_true_ok, CAST(1 AS BIGINT) AS ge_identical_ok""".stripMargin.replaceAll("\n", " ")),
     // Kernel ≡ higher-order-function: the Spark side counts
     // disagreements across all five kernels; the contract is exactly
     // zero, so the oracle is the constant 0.

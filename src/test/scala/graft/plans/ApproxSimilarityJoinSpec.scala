@@ -94,11 +94,14 @@ class ApproxSimilarityJoinSpec extends AnyFunSuite {
     spark.conf.unset(FLAG)
     val df = graft.ExtensionQueries.all("x_approx_sim_join")(spark, TestSpark.sf0001)
     assert(spark.conf.getOption(FLAG).isEmpty, "flag leaked into the session")
-    // The plan was optimized under the flag: no cartesian remains.
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
-      s"pre-optimized plan lost the rewrite:\n$plan")
-    assert(df.first().getLong(0) >= 0)
+    // Both the rewritten pass (under the flag) and the un-rewritten
+    // truth pass already executed into checkpoints at construction;
+    // the gate bits must hold: rewritten ⊆ truth, ⊇ identical pairs.
+    val r = df.first()
+    assert(r.getAs[Long]("n_true_pairs") >= 0)
+    assert(r.getAs[Long]("le_true_ok") == 1L, "rewritten count exceeded truth")
+    assert(r.getAs[Long]("ge_identical_ok") == 1L,
+      "rewritten count below the identical-vector floor")
   }
 
   test("bits conf is clamped and parse-safe — the optimizer never throws on bad values") {

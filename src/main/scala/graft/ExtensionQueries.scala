@@ -202,8 +202,10 @@ object ExtensionQueries {
     "x_hash_sample" -> ((s, dir) =>
       // Deterministic exact-100 uniform sample of the corpus
       // (graft.ext.Mixing.exactK) — same rows on every run and engine.
+      // The ranking hash is re-derived for the dump (exactK returns
+      // the input schema; orderHash is the same single definition).
       Mixing.exactK(Tables.documents(s, dir), "doc_id", 100)
-        .select(col("doc_id"), col("h"))
+        .select(col("doc_id"), Mixing.orderHash(col("doc_id")).as("h"))
         .orderBy(col("h"), col("doc_id"))),
     "x_stratified_sample" -> ((s, dir) =>
       // Deterministic 3-per-event-type stratified sample
@@ -358,15 +360,32 @@ object ExtensionQueries {
     * catalog, so a fresh JVM always rebuilds (a catalog table surviving
     * in the warehouse dir must never serve stale data after the source
     * parquet changes). */
+  // Weak keys: a GC'd session's entry drops out, and a NEW session is
+  // a distinct reference — unlike identityHashCode, which the JVM can
+  // hand to a different session after collection (a stale-index
+  // hazard). SparkSession uses reference equality, which is exactly
+  // the memo's contract: per-session, rebuild in a fresh JVM/session.
   private val ivfMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Float]]]()
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, Seq[Seq[Float]]]]()
   private def ivfIndexFor(s: SparkSession, dir: String): String = {
-    val table = "graft_ivf_" +
-      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-    val key = System.identityHashCode(s).toString + "|" + dir
-    ivfMemo.computeIfAbsent(key, _ =>
-      IvfIndex.build(Tables.embeddings(s, dir).where(col("vec_id") =!= 0),
-        "vec_id", "embedding", table, k = 16, iters = 2))
+    // Collision-resistant table name: MD5 of the full dir path (a
+    // 32-bit hashCode could collide across sf dirs and silently serve
+    // an index built from the wrong corpus).
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val table = "graft_ivf_" + digest
+    ivfMemo.synchronized {
+      val perSession = {
+        val m = ivfMemo.get(s)
+        if (m != null) m
+        else { val m2 = new java.util.HashMap[String, Seq[Seq[Float]]](); ivfMemo.put(s, m2); m2 }
+      }
+      if (!perSession.containsKey(dir))
+        perSession.put(dir,
+          IvfIndex.build(Tables.embeddings(s, dir).where(col("vec_id") =!= 0),
+            "vec_id", "embedding", table, k = 16, iters = 2))
+    }
     table
   }
 
@@ -1310,12 +1329,12 @@ object ExtensionQueries {
       "SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique FROM events",
     // Exact-k sampling replayed in SQL: same hash, same (h, id) order.
     "x_hash_sample" ->
-      """SELECT doc_id, (((doc_id % 1000003) * 2654435761 + 104729) % 1000003) AS h
+      """SELECT doc_id, ((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 1000003) AS h
         | FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin.replaceAll("\n", " "),
     "x_stratified_sample" ->
       """WITH r AS (SELECT event_type, event_id,
         |   ROW_NUMBER() OVER (PARTITION BY event_type
-        |     ORDER BY (((event_id % 1000003) * 2654435761 + 104729) % 1000003), event_id) AS rn
+        |     ORDER BY ((((event_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 1000003), event_id) AS rn
         |  FROM events)
         | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
         | FROM r WHERE rn <= 3 GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
@@ -1323,7 +1342,7 @@ object ExtensionQueries {
     // per-type percentage routing.
     "x_weighted_mix" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
-        | WHERE ((event_id % 1000003) * 2654435761 + 104729) % 100 <
+        | WHERE (((event_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100 <
         |   (CASE event_type WHEN 'view' THEN 25 WHEN 'click' THEN 50
         |     WHEN 'error' THEN 10 ELSE 100 END)
         | GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
@@ -1346,7 +1365,7 @@ object ExtensionQueries {
     "x_pack_chunks" ->
       """WITH d AS (SELECT doc_id AS id,
         |   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok,
-        |   (((doc_id % 1000003) * 2654435761 + 104729) % 8) AS shard FROM documents),
+        |   ((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 8) AS shard FROM documents),
         | c AS (SELECT shard, id, n_tok,
         |   SUM(n_tok) OVER (PARTITION BY shard ORDER BY id ROWS UNBOUNDED PRECEDING) AS cum_end FROM d),
         | s AS (SELECT shard, id, cum_end, cum_end - n_tok AS cum_before FROM c WHERE n_tok > 0),
@@ -1666,7 +1685,7 @@ object ExtensionQueries {
     "x_split_assign" ->
       """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
         | CAST(COUNT(*) AS BIGINT) AS n
-        | FROM (SELECT ((((doc_id % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 AS b FROM documents) t
+        | FROM (SELECT (((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 AS b FROM documents) t
         | GROUP BY 1 ORDER BY split""".stripMargin.replaceAll("\n", " "),
     "x_cosine_pairs_label" ->
       """WITH e0 AS (SELECT vec_id, label, embedding FROM embeddings),

@@ -29,28 +29,39 @@ object Mixing {
     df.where(TextAnalysis.splitBucket(col(idCol)) < pct)
   }
 
+  /** The ranking hash exactK/stratifiedExactK order by — public so a
+    * caller can re-derive a sampled row's rank (the x_hash_sample
+    * oracle replays it in SQL). */
+  def orderHash(id: Column): Column =
+    TextAnalysis.idHashBucket(id, 1000003L)
+
   /** Deterministic exact-k uniform sample: the k smallest rows under
     * the id-hash order (ties broken by id) — a fixed-size,
     * reproducible subset (eval slices, spot-check batches) where
     * rand()-based limit() would pick different rows every run. The
     * TakeOrderedAndProject plan keeps only k rows per partition, never
-    * a global sort. */
+    * a global sort. Output schema is exactly the input schema (the
+    * ranking hash is internal, collision-safe, and dropped; re-derive
+    * it with [[orderHash]] when needed). */
   def exactK(df: DataFrame, idCol: String, k: Int): DataFrame =
-    df.withColumn("h", TextAnalysis.idHashBucket(col(idCol), 1000003L))
-      .orderBy(col("h"), col(idCol))
+    df.withColumn("__mix_h", orderHash(col(idCol)))
+      .orderBy(col("__mix_h"), col(idCol))
       .limit(k)
+      .drop("__mix_h")
 
   /** Deterministic exact-k-PER-GROUP (stratified) sample: the same
     * hash order, ranked within each group — every stratum contributes
-    * exactly min(k, |stratum|) rows. One shuffle on the group key. */
+    * exactly min(k, |stratum|) rows. One shuffle on the group key.
+    * Output schema is exactly the input schema (internal rank columns
+    * are collision-safe and dropped). */
   def stratifiedExactK(df: DataFrame, idCol: String, groupCol: String,
                        k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("h"), col(idCol))
-    df.withColumn("h", TextAnalysis.idHashBucket(col(idCol), 1000003L))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .drop("rn")
+      .orderBy(col("__mix_h"), col(idCol))
+    df.withColumn("__mix_h", orderHash(col(idCol)))
+      .withColumn("__mix_rn", row_number().over(w))
+      .where(col("__mix_rn") <= k)
+      .drop("__mix_rn", "__mix_h")
   }
 }

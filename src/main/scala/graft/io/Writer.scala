@@ -73,6 +73,9 @@ object Writer {
     * co-location; sortWithinPartitions is a partition-local sort — no
     * global ordering shuffle. At 100 TB this is the write shape for
     * "N equal-ish shards a data loader streams independently".
+    *
+    * `shard` is part of the OUTPUT layout (the partitionBy directory
+    * column); a pre-existing input column named `shard` is replaced.
     */
   def shardedParquet(df: DataFrame, path: String, idCol: String,
                      shards: Int, sortCol: String): Unit = {

@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   * carried payload is the last in (ts, side) order — pre-aggregate the
   * right side to one row per (key, ts) when that pick must be
   * deterministic.
+  *
+  * Null payloads keep as-of semantics: each right row is carried as
+  * ONE non-null struct of all its payload fields, and last(...,
+  * ignoreNulls) skips only left rows' null STRUCTS — so a matched
+  * right row whose payload VALUE is null projects null, exactly like
+  * SQL ASOF JOIN. (Per-column last(payload, ignoreNulls) would skip
+  * the null and carry an older non-null value forward — LOCF, a
+  * different operator.)
   */
 object AsOfJoin {
 
@@ -33,32 +41,32 @@ object AsOfJoin {
                    tsCol: String, payloadCols: Seq[String],
                    prefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns.toSeq
-    val rightOut = payloadCols.map(prefix + _)
     val rightSchema = right.schema
     val leftSchema = left.schema
-    // Tagged union: left rows carry null payloads, right rows carry
-    // null left-only columns. side 0 = right, 1 = left, so at equal ts
-    // the right row precedes the left row in the window order.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(p => rightSchema(p)))
+    // Tagged union: left rows carry a null payload STRUCT, right rows
+    // carry null left-only columns and a non-null struct (possibly of
+    // null fields). side 0 = right, 1 = left, so at equal ts the right
+    // row precedes the left row in the window order.
     val taggedLeft = left
       .withColumn("__side", lit(1))
       .select(col(keyCol) +: col(tsCol) +: col("__side") +:
-        (leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
-          payloadCols.map(p =>
-            lit(null).cast(rightSchema(p).dataType).as(prefix + p))): _*)
+        (leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) :+
+          lit(null).cast(payloadType).as("__asof_p")): _*)
     val taggedRight = right
       .withColumn("__side", lit(0))
       .select(col(keyCol) +: col(tsCol) +: col("__side") +:
         (leftCols.filterNot(c => c == keyCol || c == tsCol).map(c =>
-          lit(null).cast(leftSchema(c).dataType).as(c)) ++
-          payloadCols.map(p => col(p).as(prefix + p))): _*)
+          lit(null).cast(leftSchema(c).dataType).as(c)) :+
+          struct(payloadCols.map(col): _*).as("__asof_p")): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedLeft.unionByName(taggedRight)
-      .select((Seq(col(keyCol), col(tsCol), col("__side")) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
-        rightOut.map(p => last(col(p), ignoreNulls = true).over(w).as(p))): _*)
+      .withColumn("__asof_c", last(col("__asof_p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightOut.map(col): _*)
+      .select(leftCols.map(col) ++
+        payloadCols.map(p => col("__asof_c").getField(p).as(prefix + p)): _*)
   }
 }

@@ -36,6 +36,30 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"unexpected as-of result: $out")
   }
 
+  test("asOfBackward: a matched right row with a NULL payload yields null (not LOCF)") {
+    // Right rows at 5 (payload "r5") and 15 (payload NULL): a left row
+    // at 20 must surface the null from the MATCHED row at 15 — an
+    // implementation carrying per-column last(ignoreNulls) would skip
+    // it and leak "r5" forward (last-observation-carried-forward,
+    // which is a different operator).
+    val left = Seq((1L, ts(20), "l20")).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts(5), Some("r5")), (1L, ts(15), Option.empty[String])
+    ).toDF("k", "t", "rv")
+    val out = AsOfJoin.asOfBackward(left, right, "k", "t", Seq("rv"))
+      .select(col("asof_rv")).collect()
+    assert(out.length == 1 && out(0).isNullAt(0),
+      s"matched-but-null payload must stay null, got ${out.toSeq}")
+    // Multi-payload: both fields come from the SAME matched row.
+    val right2 = Seq(
+      (1L, ts(5), Some("r5"), Some(50L)), (1L, ts(15), Option.empty[String], Some(150L))
+    ).toDF("k", "t", "rv", "rn")
+    val out2 = AsOfJoin.asOfBackward(left, right2, "k", "t", Seq("rv", "rn"))
+      .select(col("asof_rv"), col("asof_rn")).first()
+    assert(out2.isNullAt(0) && out2.getLong(1) == 150L,
+      "payload fields must be carried atomically from the matched row")
+  }
+
   test("asOfBackward plans one exchange and no join node") {
     val left = Seq((1L, ts(10), "a")).toDF("k", "t", "lv")
     val right = Seq((1L, ts(7), "b")).toDF("k", "t", "rv")

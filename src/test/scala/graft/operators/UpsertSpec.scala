@@ -49,6 +49,23 @@ class UpsertSpec extends AnyFunSuite {
     }
   }
 
+  test("versionCol collapses duplicate keys in the batch: highest version wins") {
+    val dupUpdates = Seq(
+      (2L, "old", 1L), (2L, "newer", 3L), (2L, "mid", 2L), // dup key 2, v=3 wins
+      (9L, "ins", 1L)
+    ).toDF("k", "tag", "ver")
+    val versionedBase = base.withColumn("ver", lit(0L))
+      .select(col("k"), col("tag"), col("ver"))
+    val got = Upsert.upsert(versionedBase, dupUpdates, Seq("k"), Some("ver"))
+      .orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 0L), (2L, "newer", 3L), (3L, "c", 0L), (9L, "ins", 1L)))
+    // Exactly one row per key even though the batch had three for k=2.
+    val merged = Upsert.upsert(versionedBase, dupUpdates, Seq("k"), Some("ver"))
+    assert(merged.groupBy(col("k")).count().where(col("count") > 1).count() == 0)
+  }
+
   test("no nested-loop join: the anti-join stays a hash/merge equi-join") {
     val plan = Upsert.upsert(base, updates, Seq("k"))
       .queryExecution.executedPlan.toString

@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -422,11 +424,11 @@ object ExtensionQueries {
     val confirmed = Similarity.cosinePairsWithin(e, "vec_id", "embedding",
         "bucket", 0.9, maxBlockSize = 10000)
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
+      .pipe(graft.ext.Checkpoints.stage)
     val truth = Similarity.bruteForcePairs(Tables.embeddings(s, dir),
         "vec_id", "embedding", 0.9)
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
+      .pipe(graft.ext.Checkpoints.stage)
     val nIdent = Tables.embeddings(s, dir)
       .groupBy(col("embedding")).agg(count(lit(1)).as("__c"))
       .agg(coalesce(sum(expr("__c * (__c - 1) DIV 2")), lit(0L))
@@ -547,12 +549,12 @@ object ExtensionQueries {
   private def neardupIdempotent(s: SparkSession, dir: String): DataFrame = {
     val params = Dedup.MinHashParams()
     val docs = Tables.documents(s, dir)
-    val b = Dedup.bands(docs, "doc_id", "text", params).localCheckpoint(true)
+    val b = Dedup.bands(docs, "doc_id", "text", params).pipe(graft.ext.Checkpoints.stage)
     val once = Dedup.dedupNearDups(docs, "doc_id", "text", params,
       threshold = 0.5, precomputedBands = Some(b))
     val survivorBands = b.join(once.select(col("doc_id")),
         b("id") === col("doc_id"), "left_semi")
-      .localCheckpoint(true)
+      .pipe(graft.ext.Checkpoints.stage)
     Dedup.nearDupPairs(once, "doc_id", "text", params, threshold = 0.5,
         precomputedBands = Some(survivorBands))
       .agg((count(lit(1)) === 0).cast("long").as("idempotent_ok"))
@@ -1150,13 +1152,13 @@ object ExtensionQueries {
     // One candidate computation feeds both counters (the LSH pipeline
     // hashes every doc — never run it twice for one report).
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", params)
-      .localCheckpoint(true)
+      .pipe(graft.ext.Checkpoints.stage)
     val confirmed = Dedup.verifyPairs(docs, pairs, "doc_id", "text", params, 0.5)
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
+      .pipe(graft.ext.Checkpoints.stage)
     val truth = Dedup.exactJaccardPairs(docs, "doc_id", "text",
         params.shingleSize, 0.5)
-      .localCheckpoint(true)
+      .pipe(graft.ext.Checkpoints.stage)
     val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"),
       coalesce(sum((col("jaccard") >= 1.0).cast("long")), lit(0L))
         .as("n_exact_pairs"))

@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** The one materialization-barrier policy for every multi-pass
+  * pipeline (MinHash banding, pair sets, label propagation, the exact
+  * inverted index): each needs an EAGER barrier — both as the
+  * CollapseProject stop and so several consumers share one
+  * computation — and the storage class is a deployment decision, not
+  * an operator one.
+  *
+  * Default: `localCheckpoint(eager)` — executor-storage blocks, freed
+  * by the ContextCleaner on GC, no configuration. The blocks do NOT
+  * survive executor loss: a cluster with dynamic allocation /
+  * preemption that loses one mid-query fails the job.
+  *
+  * Set `spark.graft.checkpointDir` to a reliable location (HDFS, S3,
+  * NFS) and every barrier in the library becomes a RELIABLE
+  * `checkpoint(eager)` there instead: slower per barrier (a
+  * filesystem write), immune to executor loss — the right trade on a
+  * 1000-executor run where losing a node an hour into dedup must not
+  * restart the pipeline.
+  */
+object Checkpoints {
+
+  val ConfKey = "spark.graft.checkpointDir"
+
+  def stage(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir mints a UUID subdirectory; only (re)point it
+        // when the configured base changes, so one session's barriers
+        // share a directory instead of spraying one per call.
+        if (!sc.getCheckpointDir.exists(_.contains(dir)))
+          sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+}

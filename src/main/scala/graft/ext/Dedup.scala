@@ -1,5 +1,7 @@
 package graft.ext
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -100,14 +102,13 @@ object Dedup {
     * recomputation per row and a codegen tree too big to JIT) — 100×
     * slowdown observed. With the barrier each doc hashes once.
     *
-    * EXECUTES EAGERLY at construction (the localCheckpoint barrier
-    * plus a partition-count probe both run Spark jobs) — plan-only
-    * consumers pay the pipeline. Checkpoint blocks live in executor
-    * storage only: on a cluster with executor loss / dynamic
-    * allocation, an evicted block fails the job — size the intra-query
-    * window accordingly or substitute reliable checkpoint(dir) (see
-    * nearDupClusters' note; same trade-off at every checkpoint site in
-    * this file).
+    * EXECUTES EAGERLY at construction (the checkpoint barrier runs a
+    * Spark job) — plan-only consumers pay the pipeline. Every barrier
+    * in this file goes through Checkpoints.stage: local
+    * executor-storage blocks by default, or a RELIABLE
+    * checkpoint(dir) when `spark.graft.checkpointDir` is set — the
+    * deployment knob for clusters with executor loss / dynamic
+    * allocation, where an evicted local block would fail the job.
     */
   def bands(docs: DataFrame, idCol: String, textCol: String,
             params: MinHashParams): DataFrame = {
@@ -131,7 +132,7 @@ object Dedup {
     // unpersist) do.
     val hashDf = distributed
       .select(col("id"), hsExpr.as("hs"))
-      .localCheckpoint(true)
+      .pipe(Checkpoints.stage)
     // Each band folds its OWN rows-per-band minhash indices — every
     // minhash is computed exactly once (slicing a shared signature
     // array would inline all 64 minima into each of the 16 bands).
@@ -166,7 +167,7 @@ object Dedup {
     // localCheckpoint, not persist: blocks are ContextCleaner-freed on
     // GC instead of living in the CacheManager until unpersist.
     candidatePairsFromBands(
-      bands(docs, idCol, textCol, params).localCheckpoint(true), params)
+      bands(docs, idCol, textCol, params).pipe(Checkpoints.stage), params)
 
   /** Candidate pairs from a precomputed (id, band_id, band_hash) table
     * — lets several passes reuse ONE shingle+minhash computation
@@ -220,7 +221,7 @@ object Dedup {
     // twice).
     val p = pairs.queryExecution.analyzed match {
       case _: org.apache.spark.sql.execution.LogicalRDD => pairs
-      case _ => pairs.localCheckpoint(true)
+      case _ => pairs.pipe(Checkpoints.stage)
     }
     // Collision-proof alias: idCol may itself be "id" (or docs may
     // carry one) — a bare col("id") join condition would be ambiguous.
@@ -263,7 +264,7 @@ object Dedup {
       .select(col("id"), size(col("sh")).as("nsh"),
         explode(col("sh")).as("shingle"))
       // Feeds both join sides — shingle the corpus once, not twice.
-      .localCheckpoint(true)
+      .pipe(Checkpoints.stage)
     val a = sh.select(col("shingle"), col("id").as("id_a"), col("nsh").as("na"))
     val b = sh.select(col("shingle"), col("id").as("id_b"), col("nsh").as("nb"))
     a.join(b, Seq("shingle"))
@@ -286,17 +287,18 @@ object Dedup {
     */
   def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                       maxIters: Int = 10): DataFrame = {
-    // EAGER localCheckpoint, not persist: persist caches the data but
+    // EAGER checkpoint, not persist: persist caches the data but
     // the logical plan still nests one level per round, and driver-side
     // re-analysis grows exponentially (measured 4s → 10s → 38s per
     // iteration). Checkpointing truncates the lineage so every round
-    // plans against a flat scan. (A cluster deployment with executor
-    // loss should use reliable checkpoint(dir) instead.)
+    // plans against a flat scan. (Set spark.graft.checkpointDir on a
+    // cluster with executor loss — Checkpoints.stage then uses
+    // reliable checkpoint(dir) for every round.)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+      .pipe(Checkpoints.stage)
     var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
-      .localCheckpoint(true)
+      .pipe(Checkpoints.stage)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -309,7 +311,7 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
+        .pipe(Checkpoints.stage)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
         .where(col("cluster_id") =!= col("prev")).count()
       labels = next
@@ -340,7 +342,7 @@ object Dedup {
     // checkpoint needs no end-of-life unpersist bookkeeping.
     val pairs = nearDupPairs(docs, idCol, textCol, params, threshold,
         precomputedBands)
-      .localCheckpoint(true)
+      .pipe(Checkpoints.stage)
     // Label propagation only needs the pair-connected subgraph — every
     // untouched doc is trivially its own cluster. The subgraph is tiny
     // next to the corpus, so the iterations run on hundreds of rows

@@ -217,6 +217,34 @@ class DedupSpec extends AnyFunSuite {
     assert(confirmed.where(col("id_a") === 3 && col("id_b") === 4).count() == 1)
   }
 
+  test("dedupNearDups under reliable checkpointing: same result, files in the conf'd dir") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated text about distributed query engines"),
+      (4L, "another different document mentioning stream processing")
+    ).toDF("doc_id", "text")
+    val local = Dedup.dedupNearDups(docs, "doc_id", "text",
+      Dedup.MinHashParams(), 0.5).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    spark.conf.set(Checkpoints.ConfKey, dir)
+    try {
+      val reliable = Dedup.dedupNearDups(docs, "doc_id", "text",
+        Dedup.MinHashParams(), 0.5).select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted
+      assert(reliable.toSeq == local.toSeq,
+        "reliable checkpointing must not change dedup results")
+      // The reliable path actually wrote checkpoint data under the dir.
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+      assert(wrote, s"no checkpoint files under $dir — reliable path not taken")
+    } finally {
+      spark.conf.unset(Checkpoints.ConfKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("x_minhash_neardup summary is stable on driver testdata") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", Dedup.MinHashParams())

@@ -132,6 +132,13 @@ object ParityQueries {
     "q_orc_roundtrip" -> ((s, dir) => orcRoundtrip(s, dir)),
     "q_text_roundtrip" -> ((s, dir) => textRoundtrip(s, dir)),
     "q_describe_strings" -> ((s, dir) => describeStrings(s, dir)),
+    "q_describe_mixed" -> ((s, dir) =>
+      // The reference's single-call df.describe() over numeric AND
+      // string columns as ONE relation (notebook.py:134) — the split
+      // q_describe_lineitem / q_describe_strings twins remain the
+      // typed-column forms.
+      graft.quality.Accuracy.summaryStatsMixed(Tables.lineitem(s, dir),
+        lineitemNumCols, Seq("l_returnflag", "l_linestatus"))),
     "q_fs_listing" -> ((s, dir) =>
       graft.etl.Sources.ls(s, dir)
         .select(col("name"), col("size"))
@@ -559,6 +566,33 @@ object ParityQueries {
          | FROM $table""".stripMargin.replaceAll("\n", " ")
     }.mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_name")
 
+  /** Mixed describe() oracle: numeric rows replay the exact-decimal
+    * mean/stddev with DECIMAL(18,4)-text extrema; string rows carry
+    * null mean/stddev and raw lexicographic extrema. Fixed-scale
+    * decimal text prints identically on both engines (raw double
+    * text would not — see Accuracy.summaryStatsMixed). */
+  private def describeMixedOracle(table: String, numCols: Seq[String],
+                                  strCols: Seq[String]): String = {
+    val numSelects = numCols.map { c =>
+      val sm = s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+      val sq = s"CAST(SUM(CAST($c AS DECIMAL(19,4)) * CAST($c AS DECIMAL(19,4))) AS DOUBLE)"
+      val n = s"CAST(COUNT($c) AS DOUBLE)"
+      s"""SELECT '$c' AS col_name, CAST(COUNT($c) AS BIGINT) AS n,
+         | $sm / $n AS mean,
+         | SQRT(GREATEST(($sq - $sm * $sm / $n) / ($n - 1), 0)) AS stddev,
+         | CAST(CAST(MIN($c) AS DECIMAL(18,4)) AS VARCHAR) AS min_s,
+         | CAST(CAST(MAX($c) AS DECIMAL(18,4)) AS VARCHAR) AS max_s
+         | FROM $table""".stripMargin.replaceAll("\n", " ")
+    }
+    val strSelects = strCols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT($c) AS BIGINT) AS n,
+         | CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS stddev,
+         | MIN($c) AS min_s, MAX($c) AS max_s FROM $table""".stripMargin.replaceAll("\n", " ")
+    }
+    (numSelects ++ strSelects)
+      .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY col_name")
+  }
+
   private val validityOracle: String = {
     val conds = Seq(
       "disc_range" -> "l_discount >= 0 AND l_discount <= 0.1",
@@ -624,6 +658,8 @@ object ParityQueries {
     "q_daily_counts" ->
       "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY day",
     "q_describe_lineitem" -> describeOracle("lineitem", lineitemNumCols),
+    "q_describe_mixed" -> describeMixedOracle("lineitem", lineitemNumCols,
+      Seq("l_returnflag", "l_linestatus")),
     "q_histogram_price" ->
       """WITH mm AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem),
         | b AS (SELECT LEAST(CAST(FLOOR((l_extendedprice - mm.lo) / ((mm.hi - mm.lo) / 20)) AS BIGINT), 19) AS bucket FROM lineitem, mm)

@@ -58,6 +58,59 @@ object Accuracy {
       .orderBy(col("col_name"))
   }
 
+  /** Single-call MIXED-type describe(): numeric AND string columns in
+    * ONE relation — the reference's `df.describe()` shape (its output
+    * stringifies every stat over all 29 columns at once; notebook.py
+    * 134, 180). One pass, one wide aggregate.
+    *
+    * Schema: (col_name, n, mean, stddev, min_s, max_s). mean/stddev
+    * are doubles, null for string columns — exactly the reference's
+    * null cells. min_s/max_s are STRINGS for both families: raw values
+    * for string columns, and numeric extrema pinned to DECIMAL(18,4)
+    * text (fixed scale prints identically on any engine, unlike raw
+    * Double.toString, whose shortest-round-trip formatting is
+    * engine-specific — the one deliberate deviation from the
+    * reference's cell text).
+    */
+  def summaryStatsMixed(df: DataFrame, numCols: Seq[String],
+                        strCols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = numCols.flatMap { c =>
+      val x = col(c).cast("decimal(18,4)")
+      Seq(
+        count(col(c)).as(s"${c}_n"),
+        sum(x).cast("double").as(s"${c}_sum"),
+        sum(x * x).cast("double").as(s"${c}_sumsq"),
+        min(col(c)).cast("decimal(18,4)").cast("string").as(s"${c}_min"),
+        max(col(c)).cast("decimal(18,4)").cast("string").as(s"${c}_max"))
+    } ++ strCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = numCols.map { c =>
+      val n = col(s"${c}_n").cast("double")
+      val mean = col(s"${c}_sum") / n
+      val variance = (col(s"${c}_sumsq") - col(s"${c}_sum") * col(s"${c}_sum") / n) / (n - 1)
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}_n").as("n"),
+        mean.as("mean"),
+        sqrt(greatest(variance, lit(0.0))).as("stddev"),
+        col(s"${c}_min").as("min_s"),
+        col(s"${c}_max").as("max_s"))
+    } ++ strCols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}_n").as("n"),
+        lit(null).cast("double").as("mean"),
+        lit(null).cast("double").as("stddev"),
+        col(s"${c}_min").as("min_s"),
+        col(s"${c}_max").as("max_s"))
+    }
+    wide.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+      .orderBy(col("col_name"))
+  }
+
   /** Equirange histogram: `bins` buckets over [min, max], engine-side.
     * Returns (bucket, n) with bucket ∈ [0, bins-1]; the max value is
     * clamped into the last bucket.

@@ -81,6 +81,69 @@ class FlightPipelineSpec extends AnyFunSuite {
       s"cancelled-only day must not be a gap, got ${rep.gapDays}")
   }
 
+  test("full Report golden on a generated 2008-slice-shaped fixture") {
+    // Deterministic generator mirroring the recorded 2008 slice's SHAPE
+    // (.dbc pos=13.0/19.0/21.0/23.0): 29 columns, alphanumeric TailNum
+    // (all-null under the int schema), 121 contiguous days (Jan 1 –
+    // Apr 30 2008, leap year), 4 exact-duplicate groups, 12
+    // compound-key duplicate groups, exactly one CRSDepTime=0 row as
+    // the sole validity failure. The recorded ABSOLUTE counts (2.39M
+    // rows, 12,245 compound dups) scale with the slice; the structural
+    // goldens asserted here are scale-free, and every one of the
+    // Report's seven fields is pinned in this single test.
+    val daysInMonth = Map(1 -> 31, 2 -> 29, 3 -> 31, 4 -> 30)
+    val carriers = Seq("AA", "WN", "DL", "UA", "9E")
+    val origins = Seq("ATL", "ORD", "DFW", "DEN", "PHX")
+    val dests = Seq("LAX", "SFO", "JFK", "SEA", "MCO")
+    val base = scala.collection.mutable.ArrayBuffer[Array[String]]()
+    var n = 0
+    for (m <- 1 to 4; d <- 1 to daysInMonth(m); i <- 0 until 6) {
+      n += 1
+      val dep = 100 * ((n % 23) + 1) + (n % 60) // HHmm in [100, 2359]
+      val crsDep = if (m == 1 && d == 15 && i == 0) 0 else dep
+      val arr = 100 * (((n + 7) % 23) + 1) + ((n + 13) % 60)
+      base += Array(
+        "2008", m.toString, d.toString, ((n % 7) + 1).toString,
+        dep.toString, crsDep.toString, arr.toString,
+        (100 * (((n + 11) % 23) + 1) + ((n + 29) % 60)).toString,
+        carriers(i % 5), (100 + (n % 900)).toString, s"N${n % 997}AB",
+        (60 + n % 300).toString, (60 + (n + 5) % 300).toString,
+        (50 + n % 250).toString, ((n % 40) - 10).toString,
+        ((n % 35) - 5).toString, origins((i + d) % 5), dests((i + m) % 5),
+        (100 + n % 2000).toString, (n % 30).toString, (n % 25).toString,
+        if (n % 181 == 0) "1" else "0", if (n % 181 == 0) "A" else "",
+        "0", "0", "0", "0", "0", "0")
+    }
+    val exactDupCopies = base.take(4).map(_.clone())
+    val compoundExtras = (1 to 12).map { j =>
+      val src = base(50 * j + 45) // n = 50j+46: never row 1–4 or the CRS row (n=85)
+      val e = src.clone()
+      e(6) = "777"; e(14) = "99"; e(17) = "XXX" // same compound key, different row
+      e
+    }
+    val all = base ++ exactDupCopies ++ compoundExtras
+    val header = FlightSchema.schema.fields.map(_.name).mkString(",")
+    val path = java.nio.file.Files.createTempFile("flights_2008_shape_", ".csv")
+    java.nio.file.Files.writeString(path,
+      (header +: all.map(_.mkString(","))).mkString("\n"))
+    try {
+      val r = FlightPipeline.run(spark, path.toString, asOfYear = 2009)
+      assert(r.droppedColumns == Seq("TailNum"))        // .dbc pos=13.0
+      assert(r.totalRows == 726L + 4 + 12)              // 121 days × 6 + planted
+      assert(r.exactDupGroups == 4L)                    // .dbc pos=19.0 (recorded: 4)
+      assert(r.rowsAfterDedup == r.totalRows - 4)
+      assert(r.compoundDupGroups == 12L)                // shape of recorded 12,245
+      assert(r.validity("crsdeptime_range") == 1L)      // .dbc pos=21.0: sole failure
+      (r.validity - "crsdeptime_range").foreach { case (rule, failed) =>
+        assert(failed == 0L, s"rule $rule expected clean, got $failed")
+      }
+      assert(r.gapDays.isEmpty)                         // 121 contiguous days
+      // The daily series spans exactly the recorded 121 days (.dbc pos=23.0).
+      assert(graft.quality.Timeliness.dailyCounts(r.cleaned,
+        org.apache.spark.sql.functions.col("DepTime_Date")).count() == 121L)
+    } finally java.nio.file.Files.deleteIfExists(path)
+  }
+
   test("cleaned output survives a parquet round-trip bit-identically") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_rt").toString
     val n = graft.io.Writer.sizedParquet(report.cleaned, tmp)

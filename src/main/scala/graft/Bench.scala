@@ -38,7 +38,12 @@ object Bench {
     // whose code had not changed). All raw runs are kept in "runs" so a
     // reader can see the spread.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional regex filter (local profiling only — the driver runs the
+    // full surface): time only matching query names.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         // Operators persist multi-consumer intermediates (bands, pair
         // sets, daily aggregates) for the duration of their query; clear
@@ -66,7 +71,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = best.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = best.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
+    // Per-family subtotals: streaming queries pay a FIXED state-store /
+    // watermark-flush cost per query (measured flat from sf0.001 to
+    // sf0.1), so the batch signal reads cleanly only with the families
+    // split out. "parity" = the reference-surface q_* family; the rest
+    // of x_* is the extension surface.
+    def family(name: String): String =
+      if (name.contains("stream")) "streaming"
+      else if (name.startsWith("q_") || name == "pipeline_gap_report") "parity"
+      else "extension"
+    val fams = best.filter(_._2 >= 0).groupBy(t => family(t._1))
+      .view.mapValues(_.map(_._2).sum).toMap
+    val famJson = Seq("parity", "extension", "streaming")
+      .map(f => "\"" + f + "\":" + fmt(fams.getOrElse(f, 0.0)))
+      .mkString("{", ",", "}")
+    val streamingFixed = fmt(fams.getOrElse("streaming", 0.0))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"families":$famJson,"streaming_fixed_s":$streamingFixed,"queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

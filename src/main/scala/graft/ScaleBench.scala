@@ -129,6 +129,25 @@ object ScaleBench {
       Similarity.cosinePairsWithin(emb, "vec_id", "embedding", "label",
         threshold = 0.35, maxBlockSize = 10000).count()
     }
+    // Exact equi-depth at scale: the distributed EquiDepth operator
+    // against the empty-PARTITION-BY window form it replaced. Both
+    // produce identical buckets (EquiDepthSpec); the window form
+    // funnels every row through ONE task, so its wall is the
+    // single-core sort — the gap widens linearly with the corpus.
+    spark.sqlContext.clearCache()
+    val nt = docs.select(col("doc_id"),
+      pmod(xxhash64(col("doc_id")), lit(1000003L)).as("v"))
+    val (ntBuckets, tNt) = timed {
+      graft.operators.EquiDepth.ntileBuckets(nt, Seq("v", "doc_id"), 100)
+        .groupBy(col("bucket")).count().count()
+    }
+    spark.sqlContext.clearCache()
+    val (_, tWin) = timed {
+      import org.apache.spark.sql.expressions.Window
+      nt.withColumn("bucket",
+          ntile(100).over(Window.orderBy(col("v"), col("doc_id"))))
+        .groupBy(col("bucket")).count().count()
+    }
     val nDocs = docs.count()
     val nVecs = emb.count()
     s"""{"scale":$scale,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
@@ -136,7 +155,8 @@ object ScaleBench {
       s""""minhash_confirmed":{"t":${fmt(tConf)},"n_pairs":$nConf},""" +
       s""""neardup_dedup":{"t":${fmt(tDedup)},"n_survivors":$nSurv},""" +
       s""""embed_neardup":{"t":${fmt(tEmb)},"n_pairs":$nEmb,"bucket_mass":$bucketMass},""" +
-      s""""label_pairs":{"t":${fmt(tLbl)},"n_pairs":$nLbl,"label_mass":$labelMass}}"""
+      s""""label_pairs":{"t":${fmt(tLbl)},"n_pairs":$nLbl,"label_mass":$labelMass},""" +
+      s""""equidepth":{"t":${fmt(tNt)},"t_single_task_window":${fmt(tWin)},"n_buckets":$ntBuckets}}"""
   }
 
   def main(args: Array[String]): Unit = {

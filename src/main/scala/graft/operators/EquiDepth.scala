@@ -50,9 +50,12 @@ object EquiDepth {
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val cols = orderCols.map(col)
-    val sorted = df.repartitionByRange(parts, cols: _*)
-      .sortWithinPartitions(cols: _*)
-      .localCheckpoint(true)
+    // Barrier via Checkpoints.stage: local blocks by default, reliable
+    // checkpoint(dir) under spark.graft.checkpointDir like every other
+    // multi-pass barrier in the library.
+    val sorted = graft.ext.Checkpoints.stage(
+      df.repartitionByRange(parts, cols: _*)
+        .sortWithinPartitions(cols: _*))
     // One small row per partition — metadata, not data (same class of
     // driver scalar as the reference's own adaptive collects).
     val counts = sorted.groupBy(spark_partition_id().as("__pid"))

@@ -32,6 +32,55 @@ class NestedJsonSpec extends AnyFunSuite {
       | {"multiple":false,"typeClass":"primitive","typeName":"title","value":"Other"}]}}}}"""
       .stripMargin.replaceAll("\n", "")
 
+  test("full recorded Dataverse schema golden: every top-level field and nested type infers as recorded") {
+    // The COMPLETE recorded shape (.dbc pos=9.0, FIXTURES.md §2): all
+    // seven top-level scalars plus the two deep nests, with the
+    // recorded types — id/filesize long, multiple boolean, checksum a
+    // struct 5 levels down. This pins spark.read.json inference
+    // against the reference's golden, not just a representative nest.
+    val doc =
+      """{"authority":"10.7910","id":3038542,"identifier":"DVN/HG7NV7",
+        |"persistentUrl":"https://doi.org/10.7910/DVN/HG7NV7","protocol":"doi",
+        |"publicationDate":"2008-10-06","publisher":"Harvard Dataverse",
+        |"datasetVersion":{"files":[
+        | {"categories":["Data"],"dataFile":{"checksum":{"type":"MD5","value":"ab12"},
+        |  "contentType":"text/x-bzip2","creationDate":"2016-06-14","filename":"2008.csv.bz2",
+        |  "filesize":113753229,"md5":"ab12","persistentId":""}}],
+        |"metadataBlocks":{"citation":{"fields":[
+        | {"multiple":false,"typeClass":"primitive","typeName":"title","value":"Data Expo 2009: Airline on time data"}]}}}}"""
+        .stripMargin.replaceAll("\n", "")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dataverse").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "metadata.jsonl"), doc + "\n")
+    val df = Sources.json(spark, dir)
+    val top = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(top.keySet == Set("authority", "id", "identifier", "persistentUrl",
+      "protocol", "publicationDate", "publisher", "datasetVersion"))
+    Seq("authority", "identifier", "persistentUrl", "protocol",
+      "publicationDate", "publisher").foreach(c => assert(top(c) == StringType, c))
+    assert(top("id") == LongType)
+    val fileStruct = top("datasetVersion").asInstanceOf[StructType]("files")
+      .dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    val dataFile = fileStruct("dataFile").dataType.asInstanceOf[StructType]
+    assert(dataFile.fieldNames.toSet == Set("checksum", "contentType",
+      "creationDate", "filename", "filesize", "md5", "persistentId"))
+    assert(dataFile("filesize").dataType == LongType)
+    assert(dataFile("checksum").dataType.asInstanceOf[StructType]
+      .fieldNames.toSet == Set("type", "value"))
+    val fields = top("datasetVersion").asInstanceOf[StructType]("metadataBlocks")
+      .dataType.asInstanceOf[StructType]("citation")
+      .dataType.asInstanceOf[StructType]("fields")
+      .dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(fields("multiple").dataType == BooleanType)
+    assert(fields("value").dataType == StringType)
+    // 5-deep dotted navigation works end-to-end on the recorded path.
+    val chk = df.select(
+        explode(col("datasetVersion.files")).as("f"))
+      .select(col("f.dataFile.checksum.type").as("t"),
+        col("f.dataFile.filesize").as("sz")).first()
+    assert(chk.getString(0) == "MD5" && chk.getLong(1) == 113753229L)
+  }
+
   test("schema inference discovers the nested struct/array shape and paths navigate it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nested").toString
     java.nio.file.Files.writeString(

@@ -5,7 +5,7 @@ import scala.util.chaining._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{BloomPrune, Dedup, IvfIndex, Mixing, Multimodal, Packing, Quantize, Similarity, TextAnalysis}
+import graft.ext.{BloomPrune, Dedup, HeavyHitters, IvfIndex, Mixing, Multimodal, Packing, Quantize, Similarity, TextAnalysis}
 
 /** LLM-training-data-pipeline operators registered as driver queries:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
@@ -162,6 +162,21 @@ object ExtensionQueries {
     "x_asof_join" -> ((s, dir) => asofJoin(s, dir)),
     "x_range_join" -> ((s, dir) => rangeJoin(s, dir)),
     "x_vocab_top50" -> ((s, dir) => vocabTop(s, dir)),
+    "x_heavy_hitters" -> ((s, dir) =>
+      // Sketch-then-confirm heavy hitters: the Misra–Gries candidate
+      // set (native TypedImperativeAggregate, constant-size partials)
+      // is guaranteed to contain every token above the n/(k+1)
+      // frequency threshold, and the confirm pass keeps exactly those
+      // — so the OUTPUT is deterministic and the oracle replays it as
+      // an exact census filter. MisraGriesSpec pins the sketch-side
+      // guarantees (membership under adversarial partitioning, error
+      // bound, serde roundtrip) in the k < vocab regime.
+      HeavyHitters.confirmedHeavy(
+        s,
+        Tables.documents(s, dir).select(explode(split(col("text"), " ")).as("token")),
+        "token", 64)),
+    "x_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, dir), "text")),
     "x_funnel" -> ((s, dir) => funnel(s, dir)),
     "x_session_window" -> ((s, dir) =>
       // Spark's NATIVE session_window operator over the same events —
@@ -1567,6 +1582,36 @@ object ExtensionQueries {
         | SELECT term, CAST(COUNT(*) AS BIGINT) AS n_total,
         |   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         | FROM tok GROUP BY term ORDER BY n_total DESC, term LIMIT 50""".stripMargin.replaceAll("\n", " "),
+    // The MG sketch is plan-internal (it can only over-generate
+    // candidates; the confirm pass filters with exact counts), so the
+    // oracle is the exact census filtered at the same integer
+    // cross-multiplied n*(k+1) > total threshold.
+    "x_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        | t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+        | c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token)
+        | SELECT token, n FROM c, t WHERE n * 65 > total ORDER BY token""".stripMargin.replaceAll("\n", " "),
+    // Repetition signals replayed in SQL: same n-gram construction
+    // (positional list slices), same counts, same double divisions.
+    "x_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
+        | base AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tok,
+        |   CAST(len(list_distinct(tok)) AS BIGINT) AS n_distinct FROM t),
+        | bg AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] AS g FROM t,
+        |   UNNEST(generate_series(1, len(tok) - 1)) AS u(i) WHERE len(tok) >= 2),
+        | bgm AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n FROM
+        |   (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2) bc GROUP BY doc_id),
+        | tg AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS g FROM t,
+        |   UNNEST(generate_series(1, len(tok) - 2)) AS u(i) WHERE len(tok) >= 3),
+        | tgm AS (SELECT doc_id, CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_mass
+        |   FROM (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2) tc GROUP BY doc_id)
+        | SELECT b.doc_id, b.n_tok, b.n_distinct,
+        |   CAST(b.n_tok - b.n_distinct AS DOUBLE) / CAST(b.n_tok AS DOUBLE) AS dup_tok_frac,
+        |   COALESCE(bgm.top_bigram_n, 0) AS top_bigram_n,
+        |   CAST(COALESCE(bgm.top_bigram_n, 0) AS DOUBLE) / CAST(b.n_tok - 1 AS DOUBLE) AS top_bigram_frac,
+        |   COALESCE(tgm.dup_trigram_mass, 0) AS dup_trigram_mass
+        | FROM base b LEFT JOIN bgm USING (doc_id) LEFT JOIN tgm USING (doc_id)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // Salting is plan-internal: the oracle is the PLAIN aggregation.
     "x_skewed_agg" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events

@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctionBuilders.cosineInfo, GraftFunctionBuilders.cosineBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_lsh_bucket"),
       GraftFunctionBuilders.lshInfo, GraftFunctionBuilders.lshBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_mg_topk"),
+      graft.functions.MisraGriesTopK.info, graft.functions.MisraGriesTopK.builder _))
     // Opt-in approximate similarity-join rewrite (see
     // graft.plans.ApproxSimilarityJoin — off unless
     // spark.graft.approxSimilarityJoin=true).

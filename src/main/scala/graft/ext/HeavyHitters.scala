@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Heavy-hitters (frequent items) over an item column, sketch-first.
+  *
+  * The exact census `groupBy(item).count` shuffles one row per
+  * DISTINCT item — at 100 TB a token census is itself a giant table.
+  * The Misra–Gries summary (graft.functions.MisraGriesTopK) is a
+  * k-counter partial aggregate: map-side partials collapse each
+  * partition to one small map, the shuffle moves one blob per
+  * partition, and the candidate set is guaranteed to contain every
+  * item with frequency > n/(k+1) regardless of partitioning.
+  *
+  * `confirmedHeavy` then joins the (tiny) candidate set back against
+  * the data for exact counts and keeps items above the n/(k+1)
+  * threshold — a two-pass sketch-then-confirm whose OUTPUT is fully
+  * deterministic (the sketch can only over-generate candidates, and
+  * the confirm pass filters with exact counts), which is what makes it
+  * oracle-checkable value-for-value against an exact SQL replay. The
+  * second pass aggregates only rows whose item survives a broadcast
+  * semi-join on the candidates, so it is a filtered scan, not a full
+  * census.
+  */
+object HeavyHitters {
+
+  /** MG candidate map as a 1-row DataFrame `map<string,bigint>`;
+    * requires the graft extension (registered in every engine
+    * session). Estimates are order-dependent lower bounds — treat as
+    * candidates, not counts. */
+  def sketch(items: DataFrame, itemCol: String, k: Int): DataFrame =
+    items.agg(call_function("graft_mg_topk", col(itemCol), lit(k)).as("candidates"))
+
+  /** Exact heavy hitters via sketch-then-confirm: items whose exact
+    * count `n` satisfies `n * (k+1) > total`, with exact counts.
+    * Deterministic regardless of partitioning (see class doc).
+    */
+  def confirmedHeavy(spark: SparkSession, items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    val it = col(itemCol)
+    val candidates = sketch(items, itemCol, k)
+      .select(explode(map_keys(col("candidates"))).as(itemCol))
+    // Candidate set has <= k rows — broadcast both the semi-join and
+    // the 1-row total. The only full-data aggregations are the MG
+    // sketch (constant-size partials) and one count().
+    val confirmed = items
+      .join(broadcast(candidates), itemCol)
+      .groupBy(it)
+      .agg(count(lit(1)).as("n"))
+    val total = items.agg(count(lit(1)).as("total"))
+    confirmed
+      .crossJoin(broadcast(total))
+      .where(col("n") * (k + 1) > col("total"))
+      .select(it, col("n"))
+      .orderBy(it)
+  }
+}

@@ -64,6 +64,63 @@ object TextAnalysis {
     withScores.withColumn("lang_pred", best._1)
   }
 
+  /** Per-document repetition signals (the Gopher repetition family,
+    * re-shaped for single-line documents): duplicate-token fraction,
+    * the most-frequent-bigram count and its fraction of all bigrams,
+    * and the occurrence mass of duplicated trigrams. High values mark
+    * degenerate generated/boilerplate text that token-level quality
+    * features miss.
+    *
+    * Shape at scale: per-row n-gram arrays are built inside codegen
+    * (transform over sequence — no window sort needed for adjacency),
+    * then ONE explode feeds two keyed aggregations whose partial
+    * (map-side) combine collapses each document's grams before the
+    * shuffle; the per-doc join keys are co-partitioned by doc_id. No
+    * per-document collect, no cross-doc state.
+    *
+    * Output: doc_id, n_tok, n_distinct, dup_tok_frac, top_bigram_n,
+    * top_bigram_frac, dup_trigram_mass — one row per non-null-text
+    * document.
+    */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    def grams(k: Int): Column = {
+      // sequence(a, b) steps DOWNWARD when a > b, so guard short docs.
+      val idx = sequence(lit(0), size(t) - k)
+      when(size(t) >= k,
+        transform(idx, i =>
+          concat_ws(" ", (0 until k).map(o => element_at(t, i + o + 1)): _*)))
+        .otherwise(array())
+    }
+    val base = df
+      .where(col(textCol).isNotNull)
+      .select(col("doc_id"), t.as("tok"),
+        grams(2).as("bigrams"), grams(3).as("trigrams"))
+    val perDoc = base.select(col("doc_id"),
+      size(col("tok")).cast("long").as("n_tok"),
+      size(array_distinct(col("tok"))).cast("long").as("n_distinct"))
+    val topBigram = base
+      .select(col("doc_id"), explode(col("bigrams")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+    val dupTrigram = base
+      .select(col("doc_id"), explode(col("trigrams")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_trigram_mass"))
+    perDoc
+      .join(topBigram, Seq("doc_id"), "left")
+      .join(dupTrigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        ((col("n_tok") - col("n_distinct")).cast("double") /
+          col("n_tok").cast("double")).as("dup_tok_frac"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        (coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+          (col("n_tok") - 1).cast("double")).as("top_bigram_frac"),
+        coalesce(col("dup_trigram_mass"), lit(0L)).as("dup_trigram_mass"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stable content fingerprint: md5 of whitespace-normalized lowercase
     * text. Exact-dedup key that survives case/spacing jitter. */
   def fingerprint(text: Column): Column =

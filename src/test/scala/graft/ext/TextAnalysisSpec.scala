@@ -116,4 +116,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_contaminated") == 2L)
     assert(r.getAs[Long]("n_shared_shingles") == 1L)
   }
+
+  test("repetitionStats pins n-gram repetition on hand-counted goldens") {
+    val rows = TextAnalysis.repetitionStats(Seq(
+      (1L, "a b a b a b"), // bigrams: 'a b'x3 'b a'x2; trigrams: 'a b a'x2 'b a b'x2
+      (2L, "w x y z"),     // no repetition anywhere
+      (3L, "q q q q q"),   // total degeneracy
+      (4L, "one two"),     // bigrams but no trigram can repeat
+      (5L, "solo")         // no bigrams at all
+    ).toDF("doc_id", "text"), "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val d1 = rows(1L)
+    assert(d1.getAs[Long]("n_tok") == 6L && d1.getAs[Long]("n_distinct") == 2L)
+    assert(d1.getAs[Double]("dup_tok_frac") == 4.0 / 6.0)
+    assert(d1.getAs[Long]("top_bigram_n") == 3L)
+    assert(d1.getAs[Double]("top_bigram_frac") == 3.0 / 5.0)
+    assert(d1.getAs[Long]("dup_trigram_mass") == 4L)
+
+    val d2 = rows(2L)
+    assert(d2.getAs[Double]("dup_tok_frac") == 0.0)
+    assert(d2.getAs[Long]("top_bigram_n") == 1L)
+    assert(d2.getAs[Long]("dup_trigram_mass") == 0L)
+
+    val d3 = rows(3L)
+    assert(d3.getAs[Double]("dup_tok_frac") == 4.0 / 5.0)
+    assert(d3.getAs[Long]("top_bigram_n") == 4L)
+    assert(d3.getAs[Double]("top_bigram_frac") == 1.0)
+    assert(d3.getAs[Long]("dup_trigram_mass") == 3L)
+
+    val d4 = rows(4L)
+    assert(d4.getAs[Long]("top_bigram_n") == 1L)
+    assert(d4.getAs[Long]("dup_trigram_mass") == 0L)
+
+    // A one-token doc has zero bigrams AND trigrams: both left joins
+    // miss and the coalesced counts must read 0, not null.
+    val d5 = rows(5L)
+    assert(d5.getAs[Long]("n_tok") == 1L)
+    assert(d5.getAs[Long]("top_bigram_n") == 0L)
+    assert(d5.getAs[Long]("dup_trigram_mass") == 0L)
+  }
 }

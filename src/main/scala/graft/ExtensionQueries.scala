@@ -177,6 +177,7 @@ object ExtensionQueries {
         "token", 64)),
     "x_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables.documents(s, dir), "text")),
+    "x_connected_components" -> ((s, dir) => connectedComponentsCensus(s, dir)),
     "x_funnel" -> ((s, dir) => funnel(s, dir)),
     "x_session_window" -> ((s, dir) =>
       // Spark's NATIVE session_window operator over the same events —
@@ -686,6 +687,27 @@ object ExtensionQueries {
         count_distinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_total").desc, col("term"))
       .limit(50)
+
+  /** Census of the connected components of the star-schema membership
+    * graph (customer—nation—region edges, ids offset into disjoint
+    * ranges), computed by the generic alternating large-star /
+    * small-star operator. Components are exactly the five regions, so
+    * every label and size is value-checkable by a recursive-CTE
+    * transitive closure in the oracle — the driver-visible gate for an
+    * operator whose per-round internals no SQL engine exposes. */
+  private def connectedComponentsCensus(s: SparkSession, dir: String): DataFrame = {
+    val nationEdges = Tables.nation(s, dir)
+      .select((col("n_nationkey") + 100).cast("long").as("src"),
+        col("n_regionkey").cast("long").as("dst"))
+    val customerEdges = Tables.customer(s, dir)
+      .select((col("c_custkey") + 1000).cast("long").as("src"),
+        (col("c_nationkey") + 100).cast("long").as("dst"))
+    graft.operators.ConnectedComponents
+      .run(nationEdges.union(customerEdges), "src", "dst")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
+      .orderBy(col("component"))
+  }
 
   /** Ordered funnel over the events stream: per user, the FIRST
     * occurrence of each stage (conditional min — one keyed aggregation,
@@ -1591,6 +1613,19 @@ object ExtensionQueries {
         | t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
         | c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token)
         | SELECT token, n FROM c, t WHERE n * 65 > total ORDER BY token""".stripMargin.replaceAll("\n", " "),
+    // Component labels are the deterministic min-node-id per
+    // component, so the oracle can replay them with a recursive-CTE
+    // transitive closure (node count per min-reachable-id).
+    "x_connected_components" ->
+      """WITH RECURSIVE
+        | e0 AS (SELECT CAST(n_nationkey + 100 AS BIGINT) AS a, CAST(n_regionkey AS BIGINT) AS b FROM nation
+        |   UNION ALL SELECT CAST(c_custkey + 1000 AS BIGINT), CAST(c_nationkey + 100 AS BIGINT) FROM customer),
+        | e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        | r AS (SELECT a AS node, b AS reach FROM e
+        |   UNION SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+        | lab AS (SELECT node, LEAST(MIN(reach), node) AS component FROM r GROUP BY node)
+        | SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes, MAX(node) AS max_node
+        | FROM lab GROUP BY component ORDER BY component""".stripMargin.replaceAll("\n", " "),
     // Repetition signals replayed in SQL: same n-gram construction
     // (positional list slices), same counts, same double divisions.
     "x_repetition" ->

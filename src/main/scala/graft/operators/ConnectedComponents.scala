@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Checkpoints
+
+/** Generic connected components over an edge list, via the alternating
+  * large-star / small-star algorithm (Kiveris et al. 2014, "Connected
+  * Components in MapReduce and Beyond"). Converges in O(log² n) rounds
+  * for ANY graph shape — unlike plain min-label propagation (used by
+  * Dedup.nearDupClusters, where near-dup clusters are dense and
+  * shallow so O(cluster-diameter) rounds is the cheaper constant),
+  * a path graph of length L costs label-prop L rounds but this
+  * operator only ~log L. At 100 TB every round is a full shuffle of
+  * the edge set, so round count IS the cost model.
+  *
+  * Each round is two keyed aggregations joined back on their key
+  * (co-partitioned — one shuffle each) plus a distinct; per-round
+  * results are staged through [[Checkpoints.stage]] so the logical
+  * plan does not nest across rounds (driver re-analysis grows
+  * exponentially otherwise) and the barrier storage follows the
+  * deployment's `spark.graft.checkpointDir` policy.
+  *
+  * Output: one row per node that appears in the edge list —
+  * `(node, component)` where `component` is the smallest node id in
+  * the node's component (deterministic, engine-independent). Self
+  * loops are ignored; isolated nodes never reach the operator (an
+  * edge list cannot express them) — union them in as singletons at
+  * the call site if needed.
+  */
+object ConnectedComponents {
+
+  /** @param edges two numeric-id columns (src, dst); treated undirected
+    * @param maxIter hard cap on large+small rounds; throws if the edge
+    *   set has not stabilized by then (silent wrong answers are worse)
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
+    val nodes = edges
+      .select(col(srcCol).cast("long").as("node"))
+      .union(edges.select(col(dstCol).cast("long").as("node")))
+      .distinct()
+
+    // Symmetric view, self loops dropped.
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    var e = Checkpoints.stage(
+      e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct())
+
+    // Order-independent edge-set signature for convergence detection:
+    // (count, sum of per-edge 64-bit hashes) — equal signatures on
+    // distinct edge sets would need a 2^-64-scale hash-sum collision
+    // on consecutive rounds of the same run.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("a"), col("b"))), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // Large-star: every node u links its LARGER neighbors to
+      // m(u) = min(Γ(u) ∪ {u}). Keeps the symmetric-view invariant
+      // input; output is oriented (big, small) candidate edges.
+      val mins = e.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("mn"), col("a")).as("m"))
+      val large = e.join(mins, "a")
+        .where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+
+      // Small-star over the oriented result: every node u with smaller
+      // neighbors Γ≤(u) re-roots them (and itself) at min(Γ≤(u)).
+      val sMins = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val small = large.join(sMins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(sMins.select(col("a"), col("m").as("b")))
+        .where(col("a") =!= col("b"))
+        .distinct()
+
+      // Re-symmetrize for the next large-star round.
+      e = Checkpoints.stage(
+        small.union(small.select(col("b").as("a"), col("a").as("b"))).distinct())
+      val next = signature(e)
+      converged = next == sig
+      sig = next
+      round += 1
+    }
+    require(converged,
+      s"[graft] ConnectedComponents did not converge after $maxIter rounds")
+
+    // Converged state is a set of min-rooted stars (symmetric view):
+    // each non-root node carries exactly one smaller neighbor — its
+    // component root. Roots carry no smaller neighbor.
+    val labels = e.where(col("b") < col("a"))
+      .groupBy(col("a")).agg(min(col("b")).as("component"))
+      .select(col("a").as("node"), col("component"))
+    nodes
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+}

@@ -178,6 +178,9 @@ object ExtensionQueries {
     "x_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables.documents(s, dir), "text")),
     "x_connected_components" -> ((s, dir) => connectedComponentsCensus(s, dir)),
+    "x_chunk_overlap" -> ((s, dir) =>
+      Packing.chunkWithOverlap(Tables.documents(s, dir), "doc_id", "text",
+        window = 64, stride = 48)),
     "x_funnel" -> ((s, dir) => funnel(s, dir)),
     "x_session_window" -> ((s, dir) =>
       // Spark's NATIVE session_window operator over the same events —
@@ -1613,6 +1616,17 @@ object ExtensionQueries {
         | t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
         | c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token)
         | SELECT token, n FROM c, t WHERE n * 65 > total ORDER BY token""".stripMargin.replaceAll("\n", " "),
+    // Sliding-window chunking replayed in SQL: same integer chunk
+    // count, same 1-based inclusive token slices.
+    "x_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT doc_id, tok,
+        |   CASE WHEN len(tok) <= 64 THEN 1 ELSE 1 + (len(tok) - 64 + 47) // 48 END AS n_chunks FROM t),
+        | x AS (SELECT doc_id, i AS chunk_id, tok[i*48 + 1 : i*48 + 64] AS ct
+        |   FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i))
+        | SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |   CAST(len(ct) AS BIGINT) AS n_chunk_tok, array_to_string(ct, ' ') AS chunk_text
+        | FROM x ORDER BY doc_id, chunk_id""".stripMargin.replaceAll("\n", " "),
     // Component labels are the deterministic min-node-id per
     // component, so the oracle can replay them with a recursive-CTE
     // transitive closure (node count per min-reachable-id).

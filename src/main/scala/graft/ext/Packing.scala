@@ -65,6 +65,48 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_in_chunk")).as("n_tokens"))
       .orderBy(col("shard"), col("chunk_id"))
 
+  /** Sliding-window chunking with overlap — the RAG/embedding-indexing
+    * twin of concat-and-chunk: each document is split independently
+    * into windows of `window` tokens advancing by `stride`
+    * (stride < window ⇒ adjacent chunks share `window - stride`
+    * tokens of context). A document with n tokens yields
+    * `1 + ceil((n - window) / stride)` chunks (one if n <= window),
+    * so every token lands in at least one chunk and the final chunk
+    * is the only short one.
+    *
+    * Scale shape: chunk spans are built per row inside codegen
+    * (sequence → transform → slice on the token array — no window
+    * function, no shuffle; documents chunk embarrassingly parallel)
+    * and only then exploded. All-integer chunk arithmetic, replayed
+    * exactly by the DuckDB oracle (x_chunk_overlap).
+    *
+    * Output: doc_id, chunk_id, n_chunk_tok, chunk_text — null-text
+    * documents yield no chunks (explode of a null span array).
+    */
+  def chunkWithOverlap(docs: DataFrame, idCol: String, textCol: String,
+                       window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val t = split(col(textCol), " ")
+    val n = size(t).cast("long")
+    // Integer ceil((n - window)/stride) via (n - window + stride - 1) div
+    // stride; both engines' integer division truncates toward zero and
+    // the CASE guard keeps the argument non-negative.
+    val nChunks = when(n <= window, lit(1L))
+      .otherwise(lit(1L) + floor((n - window + (stride - 1)).cast("double") / stride).cast("long"))
+    docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), t.as("tok"), nChunks.as("n_chunks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("n_chunks") - 1),
+          i => slice(col("tok"), (i * stride + 1).cast("int"), lit(window))))
+          .as(Seq("chunk_id", "chunk_tok")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk_tok")).cast("long").as("n_chunk_tok"),
+        array_join(col("chunk_tok"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Length-bucketed batching census: route each document into a
     * fixed-width token-count bucket (the alternative to concat-and-
     * chunk for SFT-style training, where sequences are padded — equal-

@@ -71,4 +71,28 @@ class PackingSpec extends AnyFunSuite {
       (2L, 1L, 128L, 128L, 128L),
       (3L, 1L, 200L, 200L, 200L)))
   }
+
+  test("chunkWithOverlap: coverage, overlap width, short-final-chunk, edge counts") {
+    def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+    val rows = Packing.chunkWithOverlap(Seq(
+      (1L, doc(10)),  // n <= window -> 1 whole-doc chunk
+      (2L, doc(64)),  // exactly window -> 1 chunk
+      (3L, doc(65)),  // one token past -> 2 chunks, second is short
+      (4L, doc(160))  // 1 + ceil(96/48) = 3 chunks, last exactly full
+    ).toDF("doc_id", "text"), "doc_id", "text", window = 64, stride = 48)
+      .collect()
+      .groupBy(_.getLong(0))
+
+    assert(rows(1L).map(_.getAs[Long]("n_chunk_tok")).toSeq == Seq(10L))
+    assert(rows(1L).head.getAs[String]("chunk_text") == doc(10))
+    assert(rows(2L).map(_.getAs[Long]("n_chunk_tok")).toSeq == Seq(64L))
+    assert(rows(3L).map(_.getAs[Long]("n_chunk_tok")).toSeq == Seq(64L, 17L))
+    assert(rows(4L).map(_.getAs[Long]("n_chunk_tok")).toSeq == Seq(64L, 64L, 64L))
+
+    // Overlap: chunk i and i+1 share window - stride = 16 tokens.
+    val c3 = rows(3L).map(_.getAs[String]("chunk_text").split(" ").toSeq)
+    assert(c3(0).takeRight(16) == c3(1).take(16))
+    // Coverage: every token appears in some chunk, in order.
+    assert((c3(0) ++ c3(1).drop(16)) == doc(65).split(" ").toSeq)
+  }
 }

@@ -181,6 +181,26 @@ object ExtensionQueries {
     "x_chunk_overlap" -> ((s, dir) =>
       Packing.chunkWithOverlap(Tables.documents(s, dir), "doc_id", "text",
         window = 64, stride = 48)),
+    "x_zorder" -> ((s, dir) =>
+      // Z-curve bucket census over (l_partkey, l_suppkey): the
+      // driver-checkable face of ZOrder.clusterByZOrder — bucket
+      // membership IS the curve arithmetic (pure bit interleave,
+      // replayed bit-for-bit by the oracle), and the per-bucket
+      // min/max columns exhibit the bounded bounding boxes that make
+      // z-clustered files prunable on BOTH dimensions. Layout-level
+      // locality (partition bounding boxes vs a single-column sort)
+      // is pinned in ZOrderSpec.
+      Tables.lineitem(s, dir)
+        .select(
+          graft.io.ZOrder.zValue(Seq(col("l_partkey"), col("l_suppkey")), 16).as("z"),
+          col("l_partkey"), col("l_suppkey"))
+        .groupBy(shiftright(col("z"), 16).as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).cast("long").as("min_part"),
+          max(col("l_partkey")).cast("long").as("max_part"),
+          min(col("l_suppkey")).cast("long").as("min_supp"),
+          max(col("l_suppkey")).cast("long").as("max_supp"))
+        .orderBy(col("z_bucket"))),
     "x_funnel" -> ((s, dir) => funnel(s, dir)),
     "x_session_window" -> ((s, dir) =>
       // Spark's NATIVE session_window operator over the same events —
@@ -1616,6 +1636,16 @@ object ExtensionQueries {
         | t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
         | c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token)
         | SELECT token, n FROM c, t WHERE n * 65 > total ORDER BY token""".stripMargin.replaceAll("\n", " "),
+    // The Morton interleave replayed bit-for-bit — the SQL is
+    // GENERATED from the same (bit, dimension) -> position enumeration
+    // as the Column form (ZOrder.zValueSql), so they cannot drift.
+    "x_zorder" ->
+      s"""WITH z AS (SELECT (${graft.io.ZOrder.zValueSql(Seq("l_partkey", "l_suppkey"), 16)}) AS z,
+        |   l_partkey, l_suppkey FROM lineitem)
+        | SELECT z >> 16 AS z_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |   CAST(MIN(l_partkey) AS BIGINT) AS min_part, CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+        |   CAST(MIN(l_suppkey) AS BIGINT) AS min_supp, CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
+        | FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin.replaceAll("\n", " "),
     // Sliding-window chunking replayed in SQL: same integer chunk
     // count, same 1-based inclusive token slices.
     "x_chunk_overlap" ->

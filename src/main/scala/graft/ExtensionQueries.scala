@@ -128,6 +128,18 @@ object ExtensionQueries {
         .select(col("n_distinct"), col("n"),
           (abs(col("ad").cast("double") / col("n_distinct").cast("double") - 1.0) < 0.15)
             .cast("long").as("approx_ok"))),
+    "x_hll_rollup" -> ((s, dir) =>
+      // The pre-aggregation pattern approx_count_distinct can't do:
+      // DataSketches HLL sketches as a PERSISTABLE per-(day, type)
+      // column, re-aggregated to per-type cardinalities by merging
+      // sketches — never rescanning the raw events. At 100 TB the
+      // daily sketch table is the only thing the rollup reads (a few
+      // KB per key), and it composes across arbitrary regroupings.
+      // Estimates are implementation-specific but deterministic per
+      // dataset, so the oracle-checked columns are the exact counts,
+      // the merge width, and the error-bound bit (lgConfigK=12 →
+      // rsd ≈ 1.6%; gate at 15%).
+      hllRollup(s, dir)),
     "x_clean_text" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -710,6 +722,35 @@ object ExtensionQueries {
         count_distinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_total").desc, col("term"))
       .limit(50)
+
+  /** Two-level distinct-user rollup where the second level reads ONLY
+    * the first level's sketches: day×type HLL sketches (the shape a
+    * 100 TB pipeline materializes once per day), merged per type with
+    * `hll_union_agg` — exactness of the final estimate is gated
+    * against an independently-computed exact COUNT(DISTINCT). */
+  private def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    // Level 1: the persistable daily sketch table. Checkpointed so the
+    // rollup provably consumes materialized sketches, not a rewritten
+    // scan of the raw events.
+    val daily = graft.ext.Checkpoints.stage(
+      events
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk")))
+    // Level 2: merge-only rollup.
+    val rolled = daily
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_day_sketches"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = events
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    rolled.join(exact, "event_type")
+      .select(col("event_type"), col("n_day_sketches"), col("n_exact"),
+        (abs(col("est").cast("double") / col("n_exact").cast("double") - 1.0) < 0.15)
+          .cast("long").as("approx_ok"))
+      .orderBy(col("event_type"))
+  }
 
   /** Census of the connected components of the star-schema membership
     * graph (customer—nation—region edges, ids offset into disjoint
@@ -1636,6 +1677,16 @@ object ExtensionQueries {
         | t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
         | c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token)
         | SELECT token, n FROM c, t WHERE n * 65 > total ORDER BY token""".stripMargin.replaceAll("\n", " "),
+    // Sketch estimates are implementation-internal; the oracle checks
+    // the exact cardinalities, the number of daily sketches each
+    // rollup merged, and that the merged estimate hit its error bound.
+    "x_hll_rollup" ->
+      """WITH d AS (SELECT event_type, CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_day_sketches
+        |   FROM events GROUP BY event_type),
+        | x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |   FROM events GROUP BY event_type)
+        | SELECT d.event_type, d.n_day_sketches, x.n_exact, CAST(1 AS BIGINT) AS approx_ok
+        | FROM d JOIN x USING (event_type) ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
     // The Morton interleave replayed bit-for-bit — the SQL is
     // GENERATED from the same (bit, dimension) -> position enumeration
     // as the Column form (ZOrder.zValueSql), so they cannot drift.

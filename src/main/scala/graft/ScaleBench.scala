@@ -148,6 +148,22 @@ object ScaleBench {
           ntile(100).over(Window.orderBy(col("v"), col("doc_id"))))
         .groupBy(col("bucket")).count().count()
     }
+    // Connected components on the WORST-case shape: one path per 1000
+    // nodes (diameter 999 — min-label propagation would need ~999
+    // rounds per component; the alternating star algorithm must stay
+    // logarithmic for the operator to be usable at all). Component
+    // count = the exact truth at every scale; rounds is the shuffle
+    // count, i.e. the cost that must grow ~log(n), not n.
+    spark.sqlContext.clearCache()
+    val nNodes = 5000L * scale
+    val pathEdges = spark.range(0, nNodes - 1, 1, 32)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      .where((col("id") + 1) % 1000 =!= 0) // cut into 1000-node paths
+    val ((nComp, ccRounds), tCc) = timed {
+      val (labels, rounds) =
+        graft.operators.ConnectedComponents.runCounted(pathEdges, "src", "dst")
+      (labels.select(col("component")).distinct().count(), rounds)
+    }
     val nDocs = docs.count()
     val nVecs = emb.count()
     s"""{"scale":$scale,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
@@ -156,7 +172,8 @@ object ScaleBench {
       s""""neardup_dedup":{"t":${fmt(tDedup)},"n_survivors":$nSurv},""" +
       s""""embed_neardup":{"t":${fmt(tEmb)},"n_pairs":$nEmb,"bucket_mass":$bucketMass},""" +
       s""""label_pairs":{"t":${fmt(tLbl)},"n_pairs":$nLbl,"label_mass":$labelMass},""" +
-      s""""equidepth":{"t":${fmt(tNt)},"t_single_task_window":${fmt(tWin)},"n_buckets":$ntBuckets}}"""
+      s""""equidepth":{"t":${fmt(tNt)},"t_single_task_window":${fmt(tWin)},"n_buckets":$ntBuckets},""" +
+      s""""connected_components":{"t":${fmt(tCc)},"rounds":$ccRounds,"n_components":$nComp}}"""
   }
 
   def main(args: Array[String]): Unit = {

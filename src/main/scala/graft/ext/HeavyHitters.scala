@@ -47,6 +47,10 @@ object HeavyHitters {
       .join(broadcast(candidates), itemCol)
       .groupBy(it)
       .agg(count(lit(1)).as("n"))
+    // The 1-row total attaches as a broadcast cross join (plans as a
+    // nested-loop with a single build row — O(candidates), same as the
+    // engine's other 1-row report assemblies; a constant equi-key
+    // does not help, Catalyst folds it away and re-plans the loop).
     val total = items.agg(count(lit(1)).as("total"))
     confirmed
       .crossJoin(broadcast(total))

@@ -35,7 +35,14 @@ object ConnectedComponents {
     * @param maxIter hard cap on large+small rounds; throws if the edge
     *   set has not stabilized by then (silent wrong answers are worse)
     */
-  def run(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
+  def run(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame =
+    runCounted(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[run]] plus the number of large+small rounds to convergence —
+    * the quantity ScaleBench tracks to evidence the O(log² n) bound
+    * (round count IS the shuffle count, i.e. the cost at scale). */
+  def runCounted(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxIter: Int = 25): (DataFrame, Int) = {
     val nodes = edges
       .select(col(srcCol).cast("long").as("node"))
       .union(edges.select(col(dstCol).cast("long").as("node")))
@@ -100,8 +107,9 @@ object ConnectedComponents {
     val labels = e.where(col("b") < col("a"))
       .groupBy(col("a")).agg(min(col("b")).as("component"))
       .select(col("a").as("node"), col("component"))
-    nodes
+    val out = nodes
       .join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    (out, round)
   }
 }

@@ -43,7 +43,9 @@ class SparkEntrySpec extends AnyFunSuite {
     // into localCheckpoints at construction; only the 1-row assembly
     // joins remain in the returned plan.)
     val allowCross = Set("x_minhash_neardup", "x_kernel_equiv",
-      "x_contamination", "x_embed_neardup", "x_approx_sim_join")
+      "x_contamination", "x_embed_neardup", "x_approx_sim_join",
+      // The <= k confirmed heavy-hitter counts cross a 1-row total.
+      "x_heavy_hitters")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       if (!allowCross(name)) {

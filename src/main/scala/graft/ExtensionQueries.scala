@@ -128,6 +128,16 @@ object ExtensionQueries {
         .select(col("n_distinct"), col("n"),
           (abs(col("ad").cast("double") / col("n_distinct").cast("double") - 1.0) < 0.15)
             .cast("long").as("approx_ok"))),
+    "x_oov_rate" -> ((s, dir) =>
+      // Tokenizer-coverage signal: per-document out-of-vocabulary
+      // fraction against the corpus top-10 vocabulary (count DESC,
+      // token tie-break — deterministic). The vocab is a DERIVED
+      // broadcast dimension: built once from the corpus (two keyed
+      // aggs + TakeOrdered over the token census), then broadcast to
+      // a per-token hash join — the corpus is scanned, exploded, and
+      // flagged without ever shuffling on doc_id until the final
+      // per-doc rollup.
+      oovRate(s, dir)),
     "x_hll_rollup" -> ((s, dir) =>
       // The pre-aggregation pattern approx_count_distinct can't do:
       // DataSketches HLL sketches as a PERSISTABLE per-(day, type)
@@ -722,6 +732,11 @@ object ExtensionQueries {
         count_distinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_total").desc, col("term"))
       .limit(50)
+
+  /** Per-document OOV fraction vs the corpus top-`vocabSize` tokens —
+    * see the x_oov_rate registration comment for the plan shape. */
+  private def oovRate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovStats(Tables.documents(s, dir), "doc_id", "text", vocabSize = 10)
 
   /** Two-level distinct-user rollup where the second level reads ONLY
     * the first level's sketches: day×type HLL sketches (the shape a
@@ -1677,6 +1692,18 @@ object ExtensionQueries {
         | t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
         | c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token)
         | SELECT token, n FROM c, t WHERE n * 65 > total ORDER BY token""".stripMargin.replaceAll("\n", " "),
+    // OOV replayed in SQL: same top-10 vocab (count DESC, token), same
+    // anti-membership count, same double division.
+    "x_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        | v AS (SELECT token FROM (SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+        |   ORDER BY c DESC, token LIMIT 10) t),
+        | f AS (SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |   CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM tok LEFT JOIN v ON tok.token = v.token GROUP BY tok.doc_id)
+        | SELECT doc_id, n_tok, n_oov,
+        |   CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE) AS oov_frac
+        | FROM f ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // Sketch estimates are implementation-internal; the oracle checks
     // the exact cardinalities, the number of daily sketches each
     // rollup merged, and that the merged estimate hit its error bound.

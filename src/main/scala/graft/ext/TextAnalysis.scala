@@ -121,6 +121,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document out-of-vocabulary stats against the corpus's own
+    * top-`vocabSize` tokens (count DESC, token ASC tie-break — fully
+    * deterministic, so the vocabulary itself is portable). The vocab
+    * is a derived broadcast dimension: two keyed aggregations +
+    * TakeOrdered build it, a broadcast left join flags membership
+    * per token, and the only doc_id shuffle is the final rollup.
+    * Columns: doc_id, n_tok, n_oov, oov_frac. */
+  def oovStats(df: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tok"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tok").cast("double")).as("oov_frac"))
+      .orderBy(col(idCol))
+  }
+
   /** Stable content fingerprint: md5 of whitespace-normalized lowercase
     * text. Exact-dedup key that survives case/spacing jitter. */
   def fingerprint(text: Column): Column =

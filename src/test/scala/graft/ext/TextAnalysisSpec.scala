@@ -156,4 +156,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d5.getAs[Long]("top_bigram_n") == 0L)
     assert(d5.getAs[Long]("dup_trigram_mass") == 0L)
   }
+
+  test("oovStats: corpus-derived vocab, count-then-token tiebreak, per-doc fractions") {
+    // Corpus counts: a=4, b=3, c=3, d=1, e=1. vocabSize=2 keeps {a, b}
+    // (b beats c only by the lexical tiebreak at count 3 — pinned).
+    val rows = TextAnalysis.oovStats(Seq(
+      (1L, "a b c a"),
+      (2L, "b c d a"),
+      (3L, "e c b a"),
+      (4L, "e")
+    ).toDF("doc_id", "text"), "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("n_oov") == 1L) // c
+    assert(rows(2L).getAs[Long]("n_oov") == 2L) // c d
+    assert(rows(3L).getAs[Long]("n_oov") == 2L) // e c
+    assert(rows(4L).getAs[Long]("n_oov") == 1L && rows(4L).getAs[Double]("oov_frac") == 1.0)
+    assert(rows(1L).getAs[Double]("oov_frac") == 0.25)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Heavy-hitters (frequent items) over an item column, sketch-first.
@@ -35,14 +35,21 @@ object HeavyHitters {
   /** Exact heavy hitters via sketch-then-confirm: items whose exact
     * count `n` satisfies `n * (k+1) > total`, with exact counts.
     * Deterministic regardless of partitioning (see class doc).
+    *
+    * Exactly two passes over `items`: the sketch pass also carries the
+    * total count (one aggregation, two outputs), and the confirm pass
+    * counts only rows surviving the broadcast candidate join.
     */
-  def confirmedHeavy(spark: SparkSession, items: DataFrame, itemCol: String, k: Int): DataFrame = {
+  def confirmedHeavy(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     val it = col(itemCol)
-    val candidates = sketch(items, itemCol, k)
+    // 1 row: (candidate map, corpus total) — staged so the two
+    // consumers below share one computation instead of re-scanning.
+    val sketchAndTotal = Checkpoints.stage(
+      items.agg(
+        call_function("graft_mg_topk", it, lit(k)).as("candidates"),
+        count(lit(1)).as("total")))
+    val candidates = sketchAndTotal
       .select(explode(map_keys(col("candidates"))).as(itemCol))
-    // Candidate set has <= k rows — broadcast both the semi-join and
-    // the 1-row total. The only full-data aggregations are the MG
-    // sketch (constant-size partials) and one count().
     val confirmed = items
       .join(broadcast(candidates), itemCol)
       .groupBy(it)
@@ -51,9 +58,8 @@ object HeavyHitters {
     // nested-loop with a single build row — O(candidates), same as the
     // engine's other 1-row report assemblies; a constant equi-key
     // does not help, Catalyst folds it away and re-plans the loop).
-    val total = items.agg(count(lit(1)).as("total"))
     confirmed
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(sketchAndTotal.select(col("total"))))
       .where(col("n") * (k + 1) > col("total"))
       .select(it, col("n"))
       .orderBy(it)

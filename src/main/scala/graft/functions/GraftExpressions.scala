@@ -343,7 +343,7 @@ case class GraftMinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
 
 object GraftFunctionBuilders {
 
-  private def intLit(e: Expression, what: String): Int = e match {
+  private[functions] def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case Literal(v: Long, LongType) => v.toInt
     case other => throw new IllegalArgumentException(

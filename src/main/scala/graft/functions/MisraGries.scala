@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
@@ -175,13 +175,7 @@ case class MisraGriesTopK(
 object MisraGriesTopK {
   val info = new ExpressionInfo(classOf[MisraGriesTopK].getName, "graft_mg_topk")
 
-  def builder(exprs: Seq[Expression]): Expression = {
-    val k = exprs(1) match {
-      case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) => v.toInt
-      case other => throw new IllegalArgumentException(
-        s"graft_mg_topk: k must be an integer literal, got $other")
-    }
-    MisraGriesTopK(exprs(0), k).toAggregateExpression()
-  }
+  def builder(exprs: Seq[Expression]): Expression =
+    MisraGriesTopK(exprs(0), GraftFunctionBuilders.intLit(exprs(1), "k"))
+      .toAggregateExpression()
 }

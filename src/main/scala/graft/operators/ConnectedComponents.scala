@@ -38,9 +38,13 @@ object ConnectedComponents {
   def run(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame =
     runCounted(edges, srcCol, dstCol, maxIter)._1
 
-  /** [[run]] plus the number of large+small rounds to convergence —
-    * the quantity ScaleBench tracks to evidence the O(log² n) bound
-    * (round count IS the shuffle count, i.e. the cost at scale). */
+  /** [[run]] plus the number of PRODUCTIVE (edge-set-changing)
+    * large+small rounds to the fixed point — the quantity ScaleBench
+    * tracks to evidence the O(log² n) bound (round count IS the
+    * shuffle count, i.e. the cost at scale). One further detection
+    * round always executes to observe the unchanged signature; it is
+    * not counted and not limited by maxIter, so a graph that needs
+    * exactly maxIter rounds converges rather than throwing. */
   def runCounted(edges: DataFrame, srcCol: String, dstCol: String,
                  maxIter: Int = 25): (DataFrame, Int) = {
     val nodes = edges
@@ -69,7 +73,7 @@ object ConnectedComponents {
     var sig = signature(e)
     var converged = false
     var round = 0
-    while (!converged && round < maxIter) {
+    while (!converged) {
       // Large-star: every node u links its LARGER neighbors to
       // m(u) = min(Γ(u) ∪ {u}). Keeps the symmetric-view invariant
       // input; output is oriented (big, small) candidate edges.
@@ -94,12 +98,14 @@ object ConnectedComponents {
       e = Checkpoints.stage(
         small.union(small.select(col("b").as("a"), col("a").as("b"))).distinct())
       val next = signature(e)
-      converged = next == sig
+      if (next == sig) converged = true
+      else {
+        round += 1
+        require(round <= maxIter,
+          s"[graft] ConnectedComponents did not converge after $maxIter rounds")
+      }
       sig = next
-      round += 1
     }
-    require(converged,
-      s"[graft] ConnectedComponents did not converge after $maxIter rounds")
 
     // Converged state is a set of min-rooted stars (symmetric view):
     // each non-root node carries exactly one smaller neighbor — its

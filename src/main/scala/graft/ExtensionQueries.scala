@@ -194,7 +194,6 @@ object ExtensionQueries {
       // guarantees (membership under adversarial partitioning, error
       // bound, serde roundtrip) in the k < vocab regime.
       HeavyHitters.confirmedHeavy(
-        s,
         Tables.documents(s, dir).select(explode(split(col("text"), " ")).as("token")),
         "token", 64)),
     "x_repetition" -> ((s, dir) =>

@@ -81,7 +81,7 @@ class MisraGriesSpec extends AnyFunSuite {
       .toSeq.sortBy(_._1)
     Seq(3, 13).foreach { parts =>
       val got = HeavyHitters
-        .confirmedHeavy(spark, items.toDF("item").repartition(parts), "item", k)
+        .confirmedHeavy(items.toDF("item").repartition(parts), "item", k)
         .as[(String, Long)].collect().toSeq
       assert(got == expected, s"parts=$parts")
     }

@@ -1764,7 +1764,7 @@ object ExtensionQueries {
         | SELECT b.doc_id, b.n_tok, b.n_distinct,
         |   CAST(b.n_tok - b.n_distinct AS DOUBLE) / CAST(b.n_tok AS DOUBLE) AS dup_tok_frac,
         |   COALESCE(bgm.top_bigram_n, 0) AS top_bigram_n,
-        |   CAST(COALESCE(bgm.top_bigram_n, 0) AS DOUBLE) / CAST(b.n_tok - 1 AS DOUBLE) AS top_bigram_frac,
+        |   CASE WHEN b.n_tok > 1 THEN CAST(COALESCE(bgm.top_bigram_n, 0) AS DOUBLE) / CAST(b.n_tok - 1 AS DOUBLE) ELSE 0.0 END AS top_bigram_frac,
         |   COALESCE(tgm.dup_trigram_mass, 0) AS dup_trigram_mass
         | FROM base b LEFT JOIN bgm USING (doc_id) LEFT JOIN tgm USING (doc_id)
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),

@@ -82,6 +82,60 @@ object ScaleBench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Run `f` and report (result, wall seconds, shuffle-WRITE bytes of
+    * every task that ran during it). The listener bus is async, so
+    * after the action we wait for the byte counter to go quiet — fine
+    * for a bench harness where points are run serially. */
+  private def withShuffleBytes[T](spark: SparkSession)(f: => T): (T, Double, Long) = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(e.taskMetrics).foreach(m => acc.addAndGet(m.shuffleWriteMetrics.bytesWritten))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (r, t) = timed(f)
+    var last = -1L
+    var stable = 0
+    while (stable < 3) {
+      Thread.sleep(200)
+      val cur = acc.get()
+      if (cur == last) stable += 1 else { stable = 0; last = cur }
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    (r, t, acc.get())
+  }
+
+  /** Heavy hitters at adversarial scale: n items whose tail is ~all
+    * DISTINCT (vocab ≈ 0.7·n ≫ k), so the exact census must shuffle
+    * one row per distinct item while the Misra–Gries path shuffles one
+    * constant-size blob per partition + the 3-token confirm counts.
+    * The shuffle-bytes ratio is the 100 TB argument in one number.
+    */
+  def heavyHittersPoint(spark: SparkSession, n: Long): String = {
+    val k = 64
+    // 30% of the mass on 3 heavy tokens; every tail token unique.
+    val items = spark.range(0, n, 1, 32)
+      .select(when(col("id") % 10 < 3, concat(lit("heavy_"), col("id") % 3))
+        .otherwise(concat(lit("tail_"), col("id"))).as("token"))
+    val (mgRows, tMg, mgBytes) = withShuffleBytes(spark) {
+      graft.ext.HeavyHitters.confirmedHeavy(items, "token", k).collect()
+    }
+    spark.sqlContext.clearCache()
+    // The exact-census alternative a user would otherwise run: full
+    // groupBy census, filtered at the same n*(k+1) > total threshold.
+    val (censusRows, tCensus, censusBytes) = withShuffleBytes(spark) {
+      val census = items.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      census.where(col("n") * (k + 1) > lit(n))
+        .orderBy(col("token")).collect()
+    }
+    require(mgRows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      censusRows.map(r => (r.getString(0), r.getLong(1))).toSeq,
+      "sketch-then-confirm output must equal the exact census filter")
+    s"""{"heavy_hitters":{"n_items":$n,"k":$k,"n_heavy":${mgRows.length},""" +
+      s""""mg":{"t":${fmt(tMg)},"shuffle_bytes":$mgBytes},""" +
+      s""""exact_census":{"t":${fmt(tCensus)},"shuffle_bytes":$censusBytes}}}"""
+  }
+
   /** Σ n·(n−1)/2 over the blocks of `blockCol` — the pair mass that
     * bounds a blocked pipeline's join work. */
   private def pairMass(df: DataFrame, blockCol: String): Long =
@@ -164,6 +218,27 @@ object ScaleBench {
         graft.operators.ConnectedComponents.runCounted(pathEdges, "src", "dst")
       (labels.select(col("component")).distinct().count(), rounds)
     }
+    // The SKEW shape at the same edge count: one hub adjacent to up to
+    // 10^5 spokes (every round's groupBy(a).agg(min) sees that key
+    // whole), remaining edges as 1000-node paths. Star-contraction
+    // LIKES hubs (a star finishes in O(1) rounds); the risk is the
+    // hot-key aggregation stalling a round — partial (map-side)
+    // aggregation caps it at one row per partition per key, which this
+    // point evidences: wall must stay within ~2x of the uniform graph.
+    spark.sqlContext.clearCache()
+    val e = 5000L * scale
+    val hubSpokes = math.min(100000L, e)
+    val hubEdges = spark.range(1, hubSpokes + 1, 1, 32)
+      .select(lit(0L).as("src"), col("id").as("dst"))
+    val restEdges = spark.range(hubSpokes + 1, e + 1, 1, 32)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      .where((col("id") + 1) % 1000 =!= 0)
+    val skewEdges = hubEdges.union(restEdges)
+    val ((nCompSkew, ccRoundsSkew), tCcSkew) = timed {
+      val (labels, rounds) =
+        graft.operators.ConnectedComponents.runCounted(skewEdges, "src", "dst")
+      (labels.select(col("component")).distinct().count(), rounds)
+    }
     val nDocs = docs.count()
     val nVecs = emb.count()
     s"""{"scale":$scale,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
@@ -173,7 +248,9 @@ object ScaleBench {
       s""""embed_neardup":{"t":${fmt(tEmb)},"n_pairs":$nEmb,"bucket_mass":$bucketMass},""" +
       s""""label_pairs":{"t":${fmt(tLbl)},"n_pairs":$nLbl,"label_mass":$labelMass},""" +
       s""""equidepth":{"t":${fmt(tNt)},"t_single_task_window":${fmt(tWin)},"n_buckets":$ntBuckets},""" +
-      s""""connected_components":{"t":${fmt(tCc)},"rounds":$ccRounds,"n_components":$nComp}}"""
+      s""""connected_components":{"t":${fmt(tCc)},"rounds":$ccRounds,"n_components":$nComp},""" +
+      s""""cc_skew":{"t":${fmt(tCcSkew)},"rounds":$ccRoundsSkew,"n_components":$nCompSkew,""" +
+      s""""hub_degree":$hubSpokes,"n_edges":$e}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -206,6 +283,10 @@ object ScaleBench {
     // (same policy as Bench).
     runPoint(spark, s"$outBase/x${scales.min}", scales.min)
     scales.foreach { m => println(runPoint(spark, s"$outBase/x$m", m)) }
+    // One fixed-size adversarial point (not per-scale): 10M items,
+    // ~7M distinct — the regime where the census's shuffle is the
+    // product the sketch exists to avoid.
+    println(heavyHittersPoint(spark, 10000000L))
     spark.stop()
   }
 }

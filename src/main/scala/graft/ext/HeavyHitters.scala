@@ -39,6 +39,17 @@ object HeavyHitters {
     * Exactly two passes over `items`: the sketch pass also carries the
     * total count (one aggregation, two outputs), and the confirm pass
     * counts only rows surviving the broadcast candidate join.
+    *
+    * Signature note (round 6): this method no longer takes a
+    * SparkSession — the plan is built entirely from `items`' own
+    * session, so the old first parameter was dead weight. Callers
+    * pass `(items, itemCol, k)`.
+    *
+    * Null semantics: `total` is `count(itemCol)` — null items are
+    * excluded, matching the MG sketch (which skips nulls) and the
+    * confirm equi-join (which drops them). Counting nulls into the
+    * denominator would inflate the n*(k+1) > total threshold and
+    * could drop true heavy hitters of the non-null stream.
     */
   def confirmedHeavy(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     val it = col(itemCol)
@@ -47,7 +58,7 @@ object HeavyHitters {
     val sketchAndTotal = Checkpoints.stage(
       items.agg(
         call_function("graft_mg_topk", it, lit(k)).as("candidates"),
-        count(lit(1)).as("total")))
+        count(it).as("total")))
     val candidates = sketchAndTotal
       .select(explode(map_keys(col("candidates"))).as(itemCol))
     val confirmed = items

@@ -115,8 +115,12 @@ object TextAnalysis {
         ((col("n_tok") - col("n_distinct")).cast("double") /
           col("n_tok").cast("double")).as("dup_tok_frac"),
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
-        (coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
-          (col("n_tok") - 1).cast("double")).as("top_bigram_frac"),
+        // One-token doc has zero bigrams: guard the 0/0 (NULL with
+        // ANSI off, error with ANSI on, NaN in some DuckDB builds).
+        when(col("n_tok") > 1,
+          coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+            (col("n_tok") - 1).cast("double"))
+          .otherwise(0.0).as("top_bigram_frac"),
         coalesce(col("dup_trigram_mass"), lit(0L)).as("dup_trigram_mass"))
       .orderBy(col("doc_id"))
   }

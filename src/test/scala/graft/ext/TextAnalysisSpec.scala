@@ -154,6 +154,9 @@ class TextAnalysisSpec extends AnyFunSuite {
     val d5 = rows(5L)
     assert(d5.getAs[Long]("n_tok") == 1L)
     assert(d5.getAs[Long]("top_bigram_n") == 0L)
+    // 0/(n_tok-1) is 0/0 here — the guard must pin it to 0.0, not
+    // NULL (ANSI off) / error (ANSI on) / NaN (some DuckDB builds).
+    assert(d5.getAs[Double]("top_bigram_frac") == 0.0)
     assert(d5.getAs[Long]("dup_trigram_mass") == 0L)
   }
 

@@ -87,6 +87,19 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("confirmedHeavy ignores null items in the total (threshold matches the non-null stream)") {
+    import spark.implicits._
+    // 12 'a', 8 'b', 5 nulls. k=2 → threshold n*(k+1) > total.
+    // Against the non-null total (20): a 36>20 heavy, b 24>20 heavy.
+    // Against an inflated null-counting total (25): b 24>25 would be
+    // WRONGLY dropped — this pins total = count(itemCol).
+    val items = (Seq.fill(12)(Some("a")) ++ Seq.fill(8)(Some("b")) ++
+      Seq.fill(5)(Option.empty[String])).toDF("item").repartition(4)
+    val got = HeavyHitters.confirmedHeavy(items, "item", k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq("a" -> 12L, "b" -> 8L))
+  }
+
   test("merge of summaries built on disjoint shards keeps the union guarantee") {
     // Driver-side check of the raw summary algebra (no Spark): shard
     // the stream 5 ways, build one summary per shard, fold-merge.

@@ -73,4 +73,53 @@ class ZOrderSpec extends AnyFunSuite {
     assert(sortSpans.exists(_._2 >= 63L),
       "single-column sort should leave y unclustered — benchmark premise broken")
   }
+
+  test("z-clustered parquet skips row groups for a SECOND-dimension predicate; x-sort reads all") {
+    // The file-level proof of the class doc's pruning claim: write the
+    // same 64x64 grid z-clustered and x-sorted (16 files each, one row
+    // group per file), filter on y — the dimension the sort does NOT
+    // cluster — and compare what the scan ACTUALLY emitted. Parquet
+    // pushdown skips a row group only when its min/max excludes the
+    // predicate, so the scan's numOutputRows is the surviving
+    // row-group mass: the measurable twin of "files read".
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+    val grid = spark.range(0, 64).select(col("id").as("x"))
+      .crossJoin(spark.range(0, 64).select(col("id").as("y")))
+
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder_prune").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft_xsort_prune").toString
+    ZOrder.clusterByZOrder(grid, Seq("x", "y"), 6, 16)
+      .write.mode("overwrite").parquet(zDir)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(sDir)
+    assert(new java.io.File(zDir).listFiles().count(_.getName.endsWith(".parquet")) == 16)
+    assert(new java.io.File(sDir).listFiles().count(_.getName.endsWith(".parquet")) == 16)
+
+    // Rows the scan emitted (post row-group skip, pre re-filter).
+    def scanOutputRows(df: DataFrame): Long = {
+      assert(df.collect().length == 64 * 4, "predicate must keep the y<4 strip")
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = plan.collectLeaves().collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty, s"expected a FileSourceScanExec leaf:\n$plan")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+
+    val zRows = scanOutputRows(spark.read.parquet(zDir).where(col("y") < 4))
+    val sRows = scanOutputRows(spark.read.parquet(sDir).where(col("y") < 4))
+    // x-sorted files all span y 0..63: min/max can never exclude y<4,
+    // every row group survives — the scan emits the whole table.
+    assert(sRows == 64L * 64L, s"x-sorted scan should read everything, got $sRows")
+    // z-clustered files have y-boxes <= 32 wide: at most half the curve
+    // segments can intersect the y<4 strip. Strictly fewer rows read,
+    // and by a margin that holds at any scale (boxes shrink with more
+    // files; the strip mass doesn't grow).
+    assert(zRows < sRows, s"z-order must skip row groups: z=$zRows sort=$sRows")
+    assert(zRows <= 64L * 64L / 2, s"z-order should skip >= half the row groups, got $zRows")
+  }
 }

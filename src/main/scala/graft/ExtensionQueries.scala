@@ -366,7 +366,123 @@ object ExtensionQueries {
           Tables.events(s, dir), "user_id", "ts", gapMinutes = 60)
         .select(col("user_id"), col("start_ms"), col("end_ms"),
           col("n_events").cast("long").as("n_events"))
-        .orderBy(col("user_id"), col("start_ms")))
+        .orderBy(col("user_id"), col("start_ms"))),
+    "x_rollup" -> ((s, dir) =>
+      // ROLLUP subtotal lattice over (returnflag, linestatus): detail,
+      // per-flag subtotal, grand total in ONE pass — Spark's Expand
+      // operator replicates each row per grouping set and partial
+      // aggregation collapses all three levels map-side. grouping_id
+      // disambiguates rollup nulls from data nulls; keys coalesce to
+      // '(all)' so the ordering is engine-portable.
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("gid"), col("rf"), col("ls"))),
+    "x_pivot" -> ((s, dir) => {
+      // Day × event-type PIVOT with an EXPLICIT value list — never let
+      // pivot run its values-discovery distinct job at scale; with the
+      // list given it is one groupBy pass, one shuffle. Absent cells
+      // coalesce to 0 to match SQL conditional counts.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", types)
+        .count()
+        .select(col("day") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy(col("day"))
+    }),
+    "x_topk_group" -> ((s, dir) => {
+      // Top-3 orders by price per priority. The rank-filter pattern
+      // triggers Spark's WindowGroupLimit rule: each map task keeps
+      // only its local top-3 per group BEFORE the shuffle, so the
+      // exchange carries O(groups·k) rows, not the table (plan pinned
+      // in TopKSpec).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk").cast("long").as("rk"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    }),
+    "x_scd2" -> ((s, dir) =>
+      // SCD-2 history build (operators/Scd2): each user's event-type
+      // change stream collapsed to validity intervals — run heads +
+      // lead() sharing one key shuffle. valid_to null = current.
+      graft.operators.Scd2.intervals(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          "user_id", "ts", "event_type", tieCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("valid_from")).as("valid_from_ms"),
+          unix_millis(col("valid_to")).as("valid_to_ms"), col("event_type"))
+        .orderBy(col("user_id"), col("valid_from_ms"), col("event_id"))),
+    "x_table_diff" -> ((s, dir) => {
+      // Cutover reconciliation (operators/Reconcile): orders vs a
+      // deterministically drifted twin — 1/499 keys dropped
+      // (only_left), 1/997 prices bumped (differs), 1/631 re-keyed
+      // negative (only_right) — full-outer key join + null-safe
+      // column compares, no engine-specific hashing.
+      val orders = Tables.orders(s, dir)
+      val extra = orders.where(col("o_orderkey") % 631 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+      val drifted = orders.where(col("o_orderkey") % 499 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 997 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(extra)
+      graft.operators.Reconcile.diffCensus(orders, drifted, Seq("o_orderkey"))
+    }),
+    "x_k_anonymity" -> ((s, dir) =>
+      // Privacy-audit census (quality/Uniqueness.kAnonymityProfile):
+      // equivalence-class-size histogram over the quasi-identifiers
+      // (nation, market segment) — min k in this profile IS the
+      // table's k-anonymity.
+      graft.quality.Uniqueness.kAnonymityProfile(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"))),
+    "x_memorization" -> ((s, dir) =>
+      // Per-doc memorized-bigram fraction against the corpus's own
+      // bigram census (TextAnalysis.memorizedBigramStats, minCount 4)
+      // — the document-level boilerplate/memorization signal.
+      TextAnalysis.memorizedBigramStats(
+        Tables.documents(s, dir), "doc_id", "text", minCount = 4L)),
+    "x_compaction_bins" -> ((s, dir) => {
+      // Compaction planning: pseudo-files (one per orderkey, size =
+      // its line count) packed into 64-row bins by GLOBAL start
+      // offset. The running total is operators/PrefixSum — range
+      // partition + per-partition offsets — NOT an empty-PARTITION-BY
+      // window (which would funnel every file through one task).
+      val files = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("size"))
+      graft.operators.PrefixSum.runningTotal(files, Seq("l_orderkey"), "size")
+        .withColumn("bin", expr("(cum - size) DIV 64"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("size")).as("rows_in_bin"),
+          min(col("l_orderkey")).as("first_key"), max(col("l_orderkey")).as("last_key"))
+        .orderBy(col("bin"))
+    }),
+    "x_union_evolve" -> ((s, dir) => {
+      // Schema-evolution union: the legacy half of the corpus lacks
+      // `lang`; unionByName(allowMissingColumns) null-fills it —
+      // positional union would silently misalign. Census by lang
+      // pins the fill semantics.
+      val d = Tables.documents(s, dir)
+      val cur = d.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val legacy = d.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+      cur.unionByName(legacy, allowMissingColumns = true)
+        .groupBy(coalesce(col("lang"), lit("(missing)")).as("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    })
   )
 
   /** The naive cosine-threshold self-join, scaled by the opt-in
@@ -1910,6 +2026,102 @@ object ExtensionQueries {
         | SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  CAST(SUM(CASE WHEN cos_sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
         |  MAX(cos_sim) AS max_cos
-        | FROM p GROUP BY label ORDER BY label""".stripMargin.replaceAll("\n", " ")
+        | FROM p GROUP BY label ORDER BY label""".stripMargin.replaceAll("\n", " "),
+    // GROUPING() bit order (first arg = MSB) matches Spark's
+    // grouping_id(); both cast to BIGINT.
+    "x_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | COALESCE(l_returnflag, '(all)') AS rf, COALESCE(l_linestatus, '(all)') AS ls,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        | ORDER BY gid, rf, ls""".stripMargin.replaceAll("\n", " "),
+    "x_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        | FROM events GROUP BY 1 ORDER BY day""".stripMargin.replaceAll("\n", " "),
+    "x_topk_group" ->
+      """WITH r AS (SELECT o_orderpriority,
+        |   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |   o_orderkey, o_totalprice FROM orders)
+        | SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+        | FROM r WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin.replaceAll("\n", " "),
+    // Run-head detection replayed exactly: first row per key OR
+    // attr distinct from previous (null-safe both ways).
+    "x_scd2" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |   LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        | c AS (SELECT user_id, ts, event_id, event_type FROM s
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        | SELECT user_id, event_id, epoch_ms(ts) AS valid_from_ms,
+        |  epoch_ms(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_ms,
+        |  event_type
+        | FROM c ORDER BY user_id, valid_from_ms, event_id""".stripMargin.replaceAll("\n", " "),
+    "x_table_diff" ->
+      """WITH drift AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |   CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |   o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 499 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 631 = 0),
+        | j AS (SELECT CASE WHEN d.o_orderkey IS NULL THEN 'only_left'
+        |   WHEN o.o_orderkey IS NULL THEN 'only_right'
+        |   WHEN (o.o_custkey IS NOT DISTINCT FROM d.o_custkey)
+        |    AND (o.o_orderstatus IS NOT DISTINCT FROM d.o_orderstatus)
+        |    AND (o.o_totalprice IS NOT DISTINCT FROM d.o_totalprice)
+        |    AND (o.o_orderdate IS NOT DISTINCT FROM d.o_orderdate)
+        |    AND (o.o_orderpriority IS NOT DISTINCT FROM d.o_orderpriority) THEN 'equal'
+        |   ELSE 'differs' END AS status
+        |  FROM orders o FULL OUTER JOIN drift d ON o.o_orderkey = d.o_orderkey)
+        | SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM j
+        | GROUP BY status ORDER BY status""".stripMargin.replaceAll("\n", " "),
+    "x_k_anonymity" ->
+      """SELECT k, CAST(COUNT(*) AS BIGINT) AS n_groups, CAST(SUM(k) AS BIGINT) AS n_rows
+        | FROM (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM customer
+        |  GROUP BY c_nationkey, c_mktsegment) g
+        | GROUP BY k ORDER BY k""".stripMargin.replaceAll("\n", " "),
+    "x_memorization" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
+        | bg AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] AS g FROM t,
+        |  UNNEST(generate_series(1, len(tok) - 1)) AS u(i) WHERE len(tok) >= 2),
+        | corpus AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY g),
+        | pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |   CAST(SUM(CASE WHEN c >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_memorized
+        |  FROM bg JOIN corpus USING (g) GROUP BY doc_id)
+        | SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(pd.n_memorized, 0) AS n_memorized,
+        |  CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+        |   THEN CAST(pd.n_memorized AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
+        |   ELSE 0.0 END AS memorized_frac
+        | FROM documents d LEFT JOIN pd USING (doc_id)
+        | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // The running total replays as a window here (the oracle runs at
+    // gate scale; the ENGINE path is the distributed PrefixSum).
+    "x_compaction_bins" ->
+      """WITH f AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS size FROM lineitem GROUP BY 1),
+        | c AS (SELECT l_orderkey, size,
+        |   SUM(size) OVER (ORDER BY l_orderkey ROWS UNBOUNDED PRECEDING) AS cum FROM f),
+        | b AS (SELECT (cum - size) // 64 AS bin, size, l_orderkey FROM c)
+        | SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(size) AS BIGINT) AS rows_in_bin,
+        |  MIN(l_orderkey) AS first_key, MAX(l_orderkey) AS last_key
+        | FROM b GROUP BY bin ORDER BY bin""".stripMargin.replaceAll("\n", " "),
+    "x_union_evolve" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL AS lang FROM documents WHERE doc_id % 2 = 1)
+        | SELECT COALESCE(lang, '(missing)') AS lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        | FROM u GROUP BY 1 ORDER BY lang""".stripMargin.replaceAll("\n", " ")
   )
 }

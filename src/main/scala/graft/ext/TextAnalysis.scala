@@ -148,6 +148,49 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Per-document "memorized n-gram" stats: the fraction of a doc's
+    * bigrams that occur at least `minCount` times in the whole corpus.
+    * The document-level memorization / boilerplate signal — a doc made
+    * of corpus-frequent n-grams is template mass; the same join shape
+    * scores training docs against a REFERENCE corpus's n-gram counts
+    * for contamination-style auditing.
+    *
+    * Shape at scale: one explode feeds (a) the corpus gram census and
+    * (b) the per-doc membership join — the exploded frame is staged
+    * once so the two consumers share the n-gram construction. The join
+    * is keyed on the gram (never broadcast — the gram table grows with
+    * the corpus); partial aggregation collapses both census and rollup
+    * before their shuffles. Docs with < 2 tokens surface with zero
+    * counts and frac 0.0 (guarded division, no 0/0). */
+  def memorizedBigramStats(df: DataFrame, idCol: String, textCol: String,
+                           minCount: Long): DataFrame = {
+    val t = tokens(col(textCol))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array())
+    val exploded = Checkpoints.stage(
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol), explode(bigrams).as("g")))
+    val corpus = exploded.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    // Inner join is lossless: the census is built from the same corpus,
+    // so every doc gram has a count (>= 1).
+    val perDoc = exploded.join(corpus, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("n_memorized"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_memorized"), lit(0L)).as("n_memorized"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          coalesce(col("n_memorized"), lit(0L)).cast("double") /
+            col("n_bigrams").cast("double"))
+          .otherwise(0.0).as("memorized_frac"))
+      .orderBy(col(idCol))
+  }
+
   /** Stable content fingerprint: md5 of whitespace-normalized lowercase
     * text. Exact-dedup key that survives case/spacing jitter. */
   def fingerprint(text: Column): Column =

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed exact running total (inclusive prefix sum) over a total
+  * order — `SUM(v) OVER (ORDER BY …)` WITHOUT the single-task trap.
+  *
+  * The window form with an empty PARTITION BY routes every row through
+  * ONE task (same failure mode EquiDepth closes for NTILE). A prefix
+  * sum distributes identically to a rank:
+  *
+  *   1. range-partition + sort locally          (fully parallel)
+  *   2. sum values per partition                (one tiny agg → driver)
+  *   3. running total = partition's cumulative
+  *      offset + local running total            (fully parallel)
+  *
+  * The sorted frame is materialized once (Checkpoints.stage): the
+  * per-partition sums and the scan pass must observe the SAME
+  * partition boundaries, and RangePartitioner re-samples per action.
+  *
+  * This is the backbone of layout planning at 100 TB — compaction
+  * bin-packing, contiguous shard assignment, token-budget splitting —
+  * anywhere "where does this row start in the global order" is the
+  * question. Ordering columns must form a unique key (same determinism
+  * contract as EquiDepth / the window form).
+  */
+object PrefixSum {
+
+  /** Appends `outCol` = inclusive running total of `valueCol` over
+    * `ORDER BY orderCols`. `valueCol` must be LongType (callers cast —
+    * keeps the scan pass allocation-free and the semantics exact).
+    * `numPartitions` 0 → the session's shuffle partitions. */
+  def runningTotal(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                   numPartitions: Int = 0, outCol: String = "cum"): DataFrame = {
+    require(df.schema(valueCol).dataType == LongType,
+      s"$valueCol must be LongType, got ${df.schema(valueCol).dataType}")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val cols = orderCols.map(col)
+    val sorted = graft.ext.Checkpoints.stage(
+      df.repartitionByRange(parts, cols: _*)
+        .sortWithinPartitions(cols: _*))
+    // One row per partition — metadata-sized driver collect, the same
+    // class of adaptive scalar as EquiDepth's counts.
+    val sums = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(coalesce(sum(col(valueCol)), lit(0L)).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      sums.map { case (pid, s) => val o = acc; acc += s; pid -> o }.toMap
+    }
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      var acc = bOffsets.value.getOrElse(TaskContext.getPartitionId(), 0L)
+      it.map { row =>
+        acc += row.getLong(vIdx)
+        Row.fromSeq(row.toSeq :+ acc)
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -31,4 +31,20 @@ object Uniqueness {
     df.groupBy(key.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .where(col("n") > 1)
+
+  /** k-anonymity profile over quasi-identifier columns: for each
+    * equivalence-class size k, how many classes and rows have exactly
+    * that size. A released table is k-anonymous iff the smallest k in
+    * this profile is >= k — the privacy-audit complement of the dup
+    * censuses above (there big groups are the defect; here SMALL
+    * groups are). Two keyed aggregations, both with partial combine:
+    * the first shuffles one row per distinct quasi-identifier tuple,
+    * the second one row per distinct class size — tiny. */
+  def kAnonymityProfile(df: DataFrame, quasiCols: Seq[String]): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("k")).as("n_rows"))
+      .orderBy(col("k"))
 }

@@ -160,6 +160,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d5.getAs[Long]("dup_trigram_mass") == 0L)
   }
 
+  test("memorizedBigramStats: corpus-frequent bigram fraction, short docs kept at 0") {
+    // Corpus bigram counts: 'a b' x3 (docs 1,2,3), 'b c' x2 (docs 1,2),
+    // 'x y' x1 (doc 4). minCount=2 → memorized grams {'a b','b c'}.
+    val rows = TextAnalysis.memorizedBigramStats(Seq(
+      (1L, "a b c"),   // grams: a b, b c → 2/2 memorized
+      (2L, "a b c"),   // same
+      (3L, "a b"),     // 1/1
+      (4L, "x y"),     // 0/1
+      (5L, "solo")     // no bigrams: 0/0 → frac 0.0, row KEPT
+    ).toDF("doc_id", "text"), "doc_id", "text", minCount = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1L) == ((2L, 2L, 1.0)))
+    assert(rows(2L) == ((2L, 2L, 1.0)))
+    assert(rows(3L) == ((1L, 1L, 1.0)))
+    assert(rows(4L) == ((1L, 0L, 0.0)))
+    assert(rows(5L) == ((0L, 0L, 0.0)))
+  }
+
   test("oovStats: corpus-derived vocab, count-then-token tiebreak, per-doc fractions") {
     // Corpus counts: a=4, b=3, c=3, d=1, e=1. vocabSize=2 keeps {a, b}
     // (b beats c only by the lexical tiebreak at count 3 — pinned).

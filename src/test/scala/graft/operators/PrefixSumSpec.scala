@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** PrefixSum must be row-for-row identical to the single-task window
+  * form while keeping the empty-partition-spec WindowExec OUT of its
+  * plan — the same contract EquiDepthSpec pins for NTILE.
+  */
+class PrefixSumSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("running total equals SUM OVER (ORDER BY) across partitionings") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 5000L).map(i => (i, rnd.nextInt(100).toLong))
+    Seq(1, 3, 13).foreach { parts =>
+      val df = rows.toDF("k", "v").repartition(parts)
+      val got = PrefixSum.runningTotal(df, Seq("k"), "v")
+        .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+      val expected = df
+        .withColumn("cum", sum(col("v")).over(
+          Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("empty partitions and empty input are safe") {
+    val df = Seq((1L, 5L), (2L, 7L)).toDF("k", "v")
+    // numPartitions far above the row count: most range partitions
+    // empty — offsets must still line up.
+    val got = PrefixSum.runningTotal(df, Seq("k"), "v", numPartitions = 16)
+      .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> 12L))
+    val empty = PrefixSum.runningTotal(
+      spark.emptyDataset[(Long, Long)].toDF("k", "v"), Seq("k"), "v")
+    assert(empty.count() == 0)
+  }
+
+  test("plan has no empty-partition-spec WindowExec (the single-task trap)") {
+    val df = spark.range(0, 10000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    val plan = PrefixSum.runningTotal(df, Seq("k"), "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"distributed prefix sum must not plan a Window:\n$plan")
+  }
+
+  test("rejects non-long value columns") {
+    val df = Seq((1L, 1.5)).toDF("k", "v")
+    assertThrows[IllegalArgumentException] {
+      PrefixSum.runningTotal(df, Seq("k"), "v")
+    }
+  }
+}

@@ -128,4 +128,22 @@ class QualitySpec extends AnyFunSuite {
     assert(filledEmpty.columns.contains("mx_filled"),
       "empty input must keep the <gauge>_filled schema contract")
   }
+
+  test("kAnonymityProfile: class-size histogram on a hand-built table") {
+    import spark.implicits._
+    // Quasi-identifier (zip, age): sizes 3, 2, 1, 1 → histogram
+    // k=1: 2 groups/2 rows, k=2: 1 group/2 rows, k=3: 1 group/3 rows.
+    // min k = 1 → the table is only 1-anonymous.
+    val t = Seq(
+      ("02139", 30, "a"), ("02139", 30, "b"), ("02139", 30, "c"),
+      ("02139", 40, "d"), ("02139", 40, "e"),
+      ("94110", 30, "f"),
+      ("94110", 50, "g")
+    ).toDF("zip", "age", "payload")
+    val got = Uniqueness.kAnonymityProfile(t, Seq("zip", "age"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 3L)))
+    // Invariant: Σ n_rows over the profile = table row count.
+    assert(got.map(_._3).sum == 7L)
+  }
 }

@@ -468,6 +468,7 @@ object ExtensionQueries {
           min(col("l_orderkey")).as("first_key"), max(col("l_orderkey")).as("last_key"))
         .orderBy(col("bin"))
     }),
+    "x_count_min" -> ((s, dir) => countMinCensus(s, dir)),
     "x_union_evolve" -> ((s, dir) => {
       // Schema-evolution union: the legacy half of the corpus lacks
       // `lang`; unionByName(allowMissingColumns) null-fills it —
@@ -1352,6 +1353,41 @@ object ExtensionQueries {
       .orderBy(col("day"))
   }
 
+  /** Count–min sketch frequency estimation over event types — the
+    * point-frequency member of the sketch family (HLL = distincts,
+    * approx_percentile = quantiles, Bloom = membership, Misra–Gries =
+    * top-k; CMS = per-item counts). One aggregation builds the
+    * constant-size sketch (partial merges are cell-wise adds — one
+    * small blob per partition crosses the shuffle, same 100 TB shape
+    * as MisraGries); the driver probes it for the 5 event types (k-row
+    * scalar, like the IVF centroids). Estimates are hash-dependent, so
+    * the output carries the CMS GUARANTEE bits instead of raw
+    * estimates: est >= exact always, and est <= exact + ⌈eps·N⌉ with
+    * confidence 0.99 — deterministic for a fixed seed, so the bits are
+    * stable across runs and the oracle replays them as constants over
+    * the exact census. */
+  private def countMinCensus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val events = Tables.events(s, dir)
+    val eps = 0.001
+    val agg = events.agg(
+      count_min_sketch(col("event_type"), lit(eps), lit(0.99), lit(42)).as("cms"),
+      count(col("event_type")).as("total")).head()
+    val cms = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]](0)))
+    val bound = math.ceil(eps * agg.getLong(1)).toLong
+    val exact = events.where(col("event_type").isNotNull)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map { r =>
+        val (t, n) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(t)
+        (t, n, if (est >= n) 1L else 0L, if (est <= n + bound) 1L else 0L)
+      }.toSeq
+    import s.implicits._
+    exact.toDF("event_type", "n", "est_ge_exact", "est_within_eps")
+      .orderBy(col("event_type"))
+  }
+
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
     * oracle-checkable anchor for the n-gram-Jaccard machinery. */
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
@@ -2115,6 +2151,15 @@ object ExtensionQueries {
         |  CAST(SUM(size) AS BIGINT) AS rows_in_bin,
         |  MIN(l_orderkey) AS first_key, MAX(l_orderkey) AS last_key
         | FROM b GROUP BY bin ORDER BY bin""".stripMargin.replaceAll("\n", " "),
+    // CMS estimates are sketch-internal (hash-dependent); the output
+    // is the exact census + the sketch's guarantee bits, which are
+    // deterministic for the fixed seed — the oracle replays them as
+    // constants (same pattern as the LSH/ANN invariant oracles).
+    "x_count_min" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(1 AS BIGINT) AS est_ge_exact, CAST(1 AS BIGINT) AS est_within_eps
+        | FROM events WHERE event_type IS NOT NULL
+        | GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
     "x_union_evolve" ->
       """WITH u AS (
         |  SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0

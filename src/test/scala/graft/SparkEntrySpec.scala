@@ -57,6 +57,27 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
+  test("no registered query plans an empty-partition window (single-task trap)") {
+    // NTILE/SUM OVER (ORDER BY …) with no PARTITION BY routes every
+    // row through ONE task — the trap EquiDepth and PrefixSum exist to
+    // avoid. Deliberate exceptions: windows over ALREADY-AGGREGATED
+    // day-grain series (one row per calendar day — bounded by the
+    // calendar, never by data volume; documented at their use sites).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+    val allowDayGrain = Set("x_rolling_stats", "x_gap_fill")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!allowDayGrain(name)) {
+        val plan = fn(spark, TestSpark.sf0001).queryExecution.optimizedPlan
+        val bad = plan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+          case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
+        }
+        assert(bad.isEmpty,
+          s"$name plans an empty-partition-spec window (single-task at scale):\n$plan")
+      }
+    }
+  }
+
   test("registerAll exposes the full schema to plain spark.sql") {
     Tables.registerAll(spark, TestSpark.sf0001)
     val r = spark.sql("""

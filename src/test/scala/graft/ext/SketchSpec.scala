@@ -48,4 +48,30 @@ class SketchSpec extends AnyFunSuite {
         s"$what estimate $est outside bound of exact $exact — the gate bit would flap")
     }
   }
+
+  test("count-min estimates are one-sided and in-bound under any partitioning (x_count_min's bits)") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    // Skewed stream: token i of 500 appears ~n/(i+1) times.
+    val items = (0 until 60000).map(i => s"t${(i * 2654435761L) % ((i % 500) + 1)}")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val eps = 0.001
+    val bound = math.ceil(eps * items.size).toLong
+    Seq(1, 7, 32).foreach { parts =>
+      val bytes = items.toDF("t").repartition(parts)
+        .agg(count_min_sketch(col("t"), lit(eps), lit(0.99), lit(42)).as("s"))
+        .head().getAs[Array[Byte]](0)
+      val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+      exact.foreach { case (t, n) =>
+        val est = cms.estimateCount(t)
+        assert(est >= n, s"parts=$parts $t: CMS must never undercount ($est < $n)")
+        assert(est <= n + bound, s"parts=$parts $t: est $est above $n + eps*N=$bound")
+      }
+      // Cell-wise merge makes the sketch layout-independent for a
+      // fixed seed — the driver-probe bits can never flap.
+      assert(java.util.Arrays.equals(bytes,
+        items.toDF("t").repartition(parts)
+          .agg(count_min_sketch(col("t"), lit(eps), lit(0.99), lit(42)).as("s"))
+          .head().getAs[Array[Byte]](0)))
+    }
+  }
 }

@@ -155,13 +155,16 @@ object TextAnalysis {
     * scores training docs against a REFERENCE corpus's n-gram counts
     * for contamination-style auditing.
     *
-    * Shape at scale: one explode feeds (a) the corpus gram census and
-    * (b) the per-doc membership join — the exploded frame is staged
-    * once so the two consumers share the n-gram construction. The join
-    * is keyed on the gram (never broadcast — the gram table grows with
-    * the corpus); partial aggregation collapses both census and rollup
-    * before their shuffles. Docs with < 2 tokens surface with zero
-    * counts and frac 0.0 (guarded division, no 0/0). */
+    * Shape at scale: occurrences collapse to UNIQUE (doc, gram) pairs
+    * with per-doc counts BEFORE anything shuffles — the gram-keyed
+    * join and the corpus census both run over pairs, not raw
+    * occurrences (on repetitive corpora, the whole point of this
+    * signal, that is the difference between shuffling n_tokens and
+    * shuffling n_distinct_grams·docs). The pair frame is staged once
+    * so census and join share it. The join is keyed on the gram
+    * (never broadcast — the gram table grows with the corpus). Docs
+    * with < 2 tokens surface with zero counts and frac 0.0 (guarded
+    * division, no 0/0). */
   def memorizedBigramStats(df: DataFrame, idCol: String, textCol: String,
                            minCount: Long): DataFrame = {
     val t = tokens(col(textCol))
@@ -169,16 +172,19 @@ object TextAnalysis {
       transform(sequence(lit(0), size(t) - 2),
         i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
       .otherwise(array())
-    val exploded = Checkpoints.stage(
+    val pairs = Checkpoints.stage(
       df.where(col(textCol).isNotNull)
-        .select(col(idCol), explode(bigrams).as("g")))
-    val corpus = exploded.groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .select(col(idCol), explode(bigrams).as("g"))
+        .groupBy(col(idCol), col("g"))
+        .agg(count(lit(1)).as("c_doc")))
+    val corpus = pairs.groupBy(col("g"))
+      .agg(sum(col("c_doc")).as("c"))
     // Inner join is lossless: the census is built from the same corpus,
     // so every doc gram has a count (>= 1).
-    val perDoc = exploded.join(corpus, "g")
+    val perDoc = pairs.join(corpus, "g")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("n_memorized"))
+      .agg(sum(col("c_doc")).as("n_bigrams"),
+        sum(when(col("c") >= minCount, col("c_doc")).otherwise(0L)).as("n_memorized"))
     df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),

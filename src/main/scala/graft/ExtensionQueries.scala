@@ -469,6 +469,49 @@ object ExtensionQueries {
         .orderBy(col("bin"))
     }),
     "x_count_min" -> ((s, dir) => countMinCensus(s, dir)),
+    "x_cdc_apply" -> ((s, dir) => {
+      // CDC apply (operators/Cdc): snapshot + ordered I/U/D change
+      // feed -> final state in ONE plan (union + WindowGroupLimit
+      // latest-per-key; deletes drop the key). Feed is deterministic
+      // drift over orders: 1/5 updated (seq 1), 1/7 deleted (seq 2 —
+      // delete beats update on keys divisible by 35), 1/11 inserted
+      // under a fresh negative key. The dump is the final state's
+      // (count, key-sum, exact price-sum) — a full multiset pin in 1
+      // row; the oracle replays feed and window.
+      val o = Tables.orders(s, dir)
+      val upd = o.where(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val del = o.where(col("o_orderkey") % 7 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+      val ins = o.where(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      graft.operators.Cdc.applyChanges(
+          o, upd.unionByName(del).unionByName(ins), Seq("o_orderkey"), "seq", "op")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
+    "x_shipping_priority" -> ((s, dir) =>
+      // TPC-H Q3 shape: selective dim filter -> 3-way join -> keyed
+      // agg -> top-10 (TakeOrderedAndProject — never a global sort).
+      // Catalyst broadcasts the filtered customer side; the
+      // lineitem/orders join stays shuffle-keyed. Revenue is the
+      // exact-decimal sum of double products (identical order-free
+      // arithmetic on both engines).
+      Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir)
+            .where(col("o_orderdate") < lit("1998-06-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+            .where(col("l_shipdate") > lit("1998-06-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
+    "x_entropy" -> ((s, dir) => entropyProfile(s, dir)),
     "x_union_evolve" -> ((s, dir) => {
       // Schema-evolution union: the legacy half of the corpus lacks
       // `lang`; unionByName(allowMissingColumns) null-fills it —
@@ -1388,6 +1431,34 @@ object ExtensionQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Shannon entropy (bits) of the categorical columns — the
+    * information-theoretic face of the consistency frequency tables
+    * (a collapsed-entropy column signals upstream data loss the raw
+    * counts hide). Float determinism: entropy is a SUM of per-category
+    * terms, and float addition is order-sensitive, so the per-category
+    * counts are collected into a SORTED array and folded sequentially
+    * — the same deterministic-fold technique as the embedding kernels;
+    * the oracle replays list_sort + list_reduce in the identical
+    * order. The collected array is one element per CATEGORY (bounded
+    * by the domain, not the data), never per row. */
+  private def entropyProfile(s: SparkSession, dir: String): DataFrame = {
+    def ent(df: DataFrame, colName: String, label: String): DataFrame =
+      df.where(col(colName).isNotNull)
+        .groupBy(col(colName)).agg(count(lit(1)).as("n"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"),
+          sum(col("n")).as("total"), count(lit(1)).as("n_categories"))
+        .select(lit(label).as("col_name"), col("n_categories"),
+          aggregate(
+            transform(col("ns"), n => {
+              val p = n.cast("double") / col("total").cast("double")
+              -p * log2(p)
+            }),
+            lit(0.0), (acc, x) => acc + x).as("entropy_bits"))
+    ent(Tables.events(s, dir), "event_type", "events.event_type")
+      .unionByName(ent(Tables.documents(s, dir), "lang", "documents.lang"))
+      .orderBy(col("col_name"))
+  }
+
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
     * oracle-checkable anchor for the n-gram-Jaccard machinery. */
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
@@ -2151,6 +2222,49 @@ object ExtensionQueries {
         |  CAST(SUM(size) AS BIGINT) AS rows_in_bin,
         |  MIN(l_orderkey) AS first_key, MAX(l_orderkey) AS last_key
         | FROM b GROUP BY bin ORDER BY bin""".stripMargin.replaceAll("\n", " "),
+    "x_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice, 'U' AS op, 1 AS seq
+        |   FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'D', 2 FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_totalprice, 'I', 1 FROM orders WHERE o_orderkey % 11 = 0),
+        | allr AS (SELECT o_orderkey, o_totalprice, 'I' AS op, 0 AS seq FROM orders
+        |  UNION ALL SELECT * FROM chg),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM allr)
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        | FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin.replaceAll("\n", " "),
+    "x_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        | FROM customer, orders, lineitem
+        | WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        | GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        | ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin.replaceAll("\n", " "),
+    "x_entropy" ->
+      """WITH f1 AS (SELECT event_type AS v, CAST(COUNT(*) AS BIGINT) AS n FROM events
+        |   WHERE event_type IS NOT NULL GROUP BY 1),
+        | a1 AS (SELECT list_sort(list(n)) AS ns, CAST(SUM(n) AS DOUBLE) AS total,
+        |   CAST(COUNT(*) AS BIGINT) AS ncat FROM f1),
+        | f2 AS (SELECT lang AS v, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        |   WHERE lang IS NOT NULL GROUP BY 1),
+        | a2 AS (SELECT list_sort(list(n)) AS ns, CAST(SUM(n) AS DOUBLE) AS total,
+        |   CAST(COUNT(*) AS BIGINT) AS ncat FROM f2),
+        | u AS (
+        |  SELECT 'events.event_type' AS col_name, ncat AS n_categories,
+        |   list_reduce(list_transform(ns, n -> -(CAST(n AS DOUBLE)/total) * log2(CAST(n AS DOUBLE)/total)),
+        |    (x, y) -> x + y) AS entropy_bits FROM a1
+        |  UNION ALL
+        |  SELECT 'documents.lang', ncat,
+        |   list_reduce(list_transform(ns, n -> -(CAST(n AS DOUBLE)/total) * log2(CAST(n AS DOUBLE)/total)),
+        |    (x, y) -> x + y) FROM a2)
+        | SELECT col_name, n_categories, entropy_bits FROM u ORDER BY col_name""".stripMargin.replaceAll("\n", " "),
     // CMS estimates are sketch-internal (hash-dependent); the output
     // is the exact census + the sketch's guarantee bits, which are
     // deterministic for the fixed seed — the oracle replays them as

@@ -105,6 +105,30 @@ object ScaleBench {
     (r, t, acc.get())
   }
 
+  /** PrefixSum vs the single-task window at volume — the same
+    * crossover evidence as EquiDepth's (BENCH_NOTES): the window form
+    * funnels every row through ONE task; the distributed form scales
+    * out. Both checksummed equal before timings count. */
+  def prefixSumPoint(spark: SparkSession, n: Long): String = {
+    val df = spark.range(0, n, 1, 32)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+    val (sumPs, tPs) = timed {
+      graft.operators.PrefixSum.runningTotal(df, Seq("k"), "v")
+        .agg(sum(col("cum"))).head().getLong(0)
+    }
+    spark.sqlContext.clearCache()
+    val (sumW, tW) = timed {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("cum", sum(col("v")).over(
+          Window.orderBy(col("k"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .agg(sum(col("cum"))).head().getLong(0)
+    }
+    require(sumPs == sumW, s"prefix-sum checksum mismatch: $sumPs vs $sumW")
+    s"""{"prefix_sum":{"n_rows":$n,"checksum":$sumPs,""" +
+      s""""distributed":{"t":${fmt(tPs)}},"single_task_window":{"t":${fmt(tW)}}}}"""
+  }
+
   /** Heavy hitters at adversarial scale: n items whose tail is ~all
     * DISTINCT (vocab ≈ 0.7·n ≫ k), so the exact census must shuffle
     * one row per distinct item while the Misra–Gries path shuffles one
@@ -254,8 +278,9 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val outBase = args.headOption.getOrElse("/tmp/graft_scale")
-    val scales = args.drop(1).headOption.getOrElse("1,10,50")
+    val positional = args.filterNot(_ == "points-only")
+    val outBase = positional.headOption.getOrElse("/tmp/graft_scale")
+    val scales = positional.drop(1).headOption.getOrElse("1,10,50")
       .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -268,25 +293,32 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    scales.foreach { m =>
-      val dir = s"$outBase/x$m"
-      val (_, tGen) = timed {
-        genDocuments(spark, 5000L * m)
-          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        genEmbeddings(spark, 2000L * m)
-          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // `points-only` (any arg position) skips the corpus scales and
+    // runs just the fixed-size points — quick re-measurement.
+    val pointsOnly = args.contains("points-only")
+    if (!pointsOnly) {
+      scales.foreach { m =>
+        val dir = s"$outBase/x$m"
+        val (_, tGen) = timed {
+          genDocuments(spark, 5000L * m)
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          genEmbeddings(spark, 2000L * m)
+            .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        }
+        println(s"""{"gen":"x$m","t":${fmt(tGen)}}""")
       }
-      println(s"""{"gen":"x$m","t":${fmt(tGen)}}""")
+      // Untimed warmup at the smallest point: janino codegen + JIT land
+      // here so the 1× numbers measure the plans, not JVM cold start
+      // (same policy as Bench).
+      runPoint(spark, s"$outBase/x${scales.min}", scales.min)
+      scales.foreach { m => println(runPoint(spark, s"$outBase/x$m", m)) }
     }
-    // Untimed warmup at the smallest point: janino codegen + JIT land
-    // here so the 1× numbers measure the plans, not JVM cold start
-    // (same policy as Bench).
-    runPoint(spark, s"$outBase/x${scales.min}", scales.min)
-    scales.foreach { m => println(runPoint(spark, s"$outBase/x$m", m)) }
-    // One fixed-size adversarial point (not per-scale): 10M items,
+    // Fixed-size points (not per-scale): heavy hitters at 10M items,
     // ~7M distinct — the regime where the census's shuffle is the
-    // product the sketch exists to avoid.
+    // product the sketch exists to avoid — and the prefix-sum
+    // crossover at 20M rows.
     println(heavyHittersPoint(spark, 10000000L))
+    println(prefixSumPoint(spark, 20000000L))
     spark.stop()
   }
 }

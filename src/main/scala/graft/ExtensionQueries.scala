@@ -261,6 +261,7 @@ object ExtensionQueries {
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
     "x_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
+    "x_stream_heavy" -> ((s, dir) => streamHeavyHitters(s, dir)),
     "x_hash_sample" -> ((s, dir) =>
       // Deterministic exact-100 uniform sample of the corpus
       // (graft.ext.Mixing.exactK) — same rows on every run and engine.
@@ -1160,6 +1161,27 @@ object ExtensionQueries {
     StreamOps.runAvailableNow(deduped, "stream_dedup_q",
         org.apache.spark.sql.streaming.OutputMode.Append())
       .agg(count(lit(1)).as("n_unique"))
+  }
+
+  /** x_stream_heavy: the Misra–Gries TypedImperativeAggregate running
+    * INSIDE Structured Streaming — per-day windowed sketch over the
+    * event-type stream; the custom aggregate's buffers serialize into
+    * the state store like any builtin, which is the property this
+    * query pins (a sketch that can't stream can't run on an unbounded
+    * pipeline). With k=8 ≥ the 5-type vocabulary MG never evicts, so
+    * the candidate maps ARE the exact per-day type counts and the
+    * oracle is a plain GROUP BY replay — the same k≥vocab exactness
+    * MisraGriesSpec proves; k < vocab behavior is pinned there too. */
+  private def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val sketched = StreamOps.eventsStream(s, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(call_function("graft_mg_topk", col("event_type"), lit(8)).as("cand"))
+      .select(col("w.start").cast("date").as("day"), col("cand"))
+    StreamOps.runAvailableNow(sketched, "stream_heavy_q")
+      .select(col("day"), explode(col("cand")).as(Seq("event_type", "n")))
+      .orderBy(col("day"), col("event_type"))
   }
 
   /** x_approx_percentile: the sketch path for quantiles (what
@@ -2222,6 +2244,11 @@ object ExtensionQueries {
         |  CAST(SUM(size) AS BIGINT) AS rows_in_bin,
         |  MIN(l_orderkey) AS first_key, MAX(l_orderkey) AS last_key
         | FROM b GROUP BY bin ORDER BY bin""".stripMargin.replaceAll("\n", " "),
+    // k >= vocabulary makes the MG candidate map the exact census
+    // (no evictions), so the streaming sketch replays as GROUP BY.
+    "x_stream_heavy" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin.replaceAll("\n", " "),
     "x_cdc_apply" ->
       """WITH chg AS (
         |  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice, 'U' AS op, 1 AS seq

@@ -262,6 +262,24 @@ object ExtensionQueries {
         .orderBy(col("event_type"))),
     "x_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "x_stream_heavy" -> ((s, dir) => streamHeavyHitters(s, dir)),
+    "x_frame_sample" -> ((s, dir) => {
+      // Frame sampling over binary payloads (Multimodal.sampleFrames):
+      // 32-byte frames, every 2nd kept — real byte slicing on the
+      // BINARY column, dumped as text for the oracle (the fixture is
+      // ASCII; both sides guard on strlen==length so a future
+      // non-ASCII fixture turns the gate red rather than silently
+      // comparing bytes to chars). First 50 docs keep the dump small.
+      val docs = Tables.documents(s, dir)
+        .where(col("doc_id") < 50 && col("text").isNotNull)
+        .where(length(col("text")) === octet_length(col("text")))
+      Multimodal.sampleFrames(
+          Multimodal.attachPayload(docs, "text", "text/plain"),
+          "doc_id", "payload", frameBytes = 32, stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame").cast("string").as("frame_str"),
+          length(col("frame")).cast("long").as("n_frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
     "x_hash_sample" -> ((s, dir) =>
       // Deterministic exact-100 uniform sample of the corpus
       // (graft.ext.Mixing.exactK) — same rows on every run and engine.
@@ -2244,6 +2262,17 @@ object ExtensionQueries {
         |  CAST(SUM(size) AS BIGINT) AS rows_in_bin,
         |  MIN(l_orderkey) AS first_key, MAX(l_orderkey) AS last_key
         | FROM b GROUP BY bin ORDER BY bin""".stripMargin.replaceAll("\n", " "),
+    // Byte slicing replayed as char substring — sound because both
+    // sides keep only ASCII rows (strlen = length guard).
+    "x_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 50 AND text IS NOT NULL AND strlen(text) = length(text)),
+        | f AS (SELECT doc_id, i AS frame_idx,
+        |   substring(text, CAST(i*32+1 AS BIGINT), CAST(32 AS BIGINT)) AS frame_str
+        |  FROM d, UNNEST(generate_series(0, CAST(ceil(strlen(text)/32.0) AS BIGINT) - 1)) AS u(i)
+        |  WHERE i % 2 = 0)
+        | SELECT doc_id, frame_idx, frame_str, CAST(strlen(frame_str) AS BIGINT) AS n_frame_bytes
+        | FROM f ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
     // k >= vocabulary makes the MG candidate map the exact census
     // (no evictions), so the streaming sketch replays as GROUP BY.
     "x_stream_heavy" ->

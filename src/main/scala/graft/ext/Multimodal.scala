@@ -54,6 +54,25 @@ object Multimodal {
   def sampleChunkIndices(nChunks: Column, stride: Int): Column =
     filter(sequence(lit(0), nChunks - 1), i => i % stride === 0)
 
+  /** Byte-exact frame sampling: slice the payload into `frameBytes`
+    * frames and keep every `stride`-th — one output row per sampled
+    * frame, `frame` a BINARY slice (the last frame may be short). The
+    * whole sampler is codegen'd builtins (sequence → filter → explode
+    * → substr on binary); a real video sampler swaps the byte-slice
+    * for a codec call but keeps this exact plan shape. Rows with null
+    * payloads produce no frames. */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+                   frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    val nChunks = ceil(length(col(payloadCol)).cast("double") / frameBytes).cast("long")
+    df.select(col(idCol), col(payloadCol),
+        explode(sampleChunkIndices(nChunks, stride)).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        substr(col(payloadCol),
+          (col("frame_idx") * frameBytes + 1).cast("int"),
+          lit(frameBytes)).as("frame"))
+  }
+
   /** Batched decode over partitions — the Scala shape of a Python
     * `mapInPandas` decode: rows stream through in `batchSize` groups so
     * a real codec can amortize per-batch setup (model load, native

@@ -292,4 +292,24 @@ class SimilaritySpec extends AnyFunSuite {
       "stub decode must be deterministic")
     assert(rows.forall(_.getSeq[Double](1).forall(v => v >= -1.0 && v < 1.0)))
   }
+
+  test("sampleFrames: stride-1 frames reassemble the payload byte-exactly; stride-k keeps every k-th") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abcdefghij"),      // 10 bytes: frames of 4 → [abcd, efgh, ij]
+      (2L, "xyz"),             // shorter than one frame
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val payloads = Multimodal.attachPayload(df, "text", "text/plain")
+    val all = Multimodal.sampleFrames(payloads, "id", "payload", frameBytes = 4, stride = 1)
+      .select(col("id"), col("frame_idx"), col("frame").cast("string").as("f"))
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(all.toSeq == Seq((1L, 0L, "abcd"), (1L, 1L, "efgh"), (1L, 2L, "ij"), (2L, 0L, "xyz")),
+      "stride 1 must tile the payload exactly; null payloads produce no frames")
+    assert(all.filter(_._1 == 1L).map(_._3).mkString == "abcdefghij",
+      "frames must reassemble byte-exactly")
+    val sampled = Multimodal.sampleFrames(payloads, "id", "payload", frameBytes = 4, stride = 2)
+      .select(col("id"), col("frame_idx")).as[(Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(sampled.toSeq == Seq((1L, 0L), (1L, 2L), (2L, 0L)))
+  }
 }

@@ -182,6 +182,7 @@ object ExtensionQueries {
     "x_ivf_recall" -> ((s, dir) => ivfRecall(s, dir)),
     "x_neardup_dedup" -> ((s, dir) => neardupIdempotent(s, dir)),
     "x_asof_join" -> ((s, dir) => asofJoin(s, dir)),
+    "x_asof_forward" -> ((s, dir) => asofForwardJoin(s, dir)),
     "x_range_join" -> ((s, dir) => rangeJoin(s, dir)),
     "x_vocab_top50" -> ((s, dir) => vocabTop(s, dir)),
     "x_heavy_hitters" -> ((s, dir) =>
@@ -877,6 +878,23 @@ object ExtensionQueries {
     graft.operators.AsOfJoin.asOfBackward(
         clicks, errors, "user_id", "ts", Seq("err_id"), "prev_")
       .select(col("event_id"), col("user_id"), col("prev_err_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Forward twin of [[asofJoin]]: each click's NEXT error at or after
+    * it (time-to-next-failure shape) — checked against DuckDB's native
+    * forward ASOF (`c.ts <= e.ts`). Right side pre-aggregated per
+    * (user, ts) with MIN so the at-ts pick is deterministic. */
+  private def asofForwardJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.where(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("err_id"))
+    graft.operators.AsOfJoin.asOfForward(
+        clicks, errors, "user_id", "ts", Seq("err_id"), "next_")
+      .select(col("event_id"), col("user_id"), col("next_err_id"))
       .orderBy(col("event_id"))
   }
 
@@ -1932,6 +1950,14 @@ object ExtensionQueries {
         | SELECT c.event_id, c.user_id, e.err_id AS prev_err_id
         | FROM clicks c ASOF LEFT JOIN errors e
         |   ON c.user_id = e.user_id AND c.ts >= e.ts
+        | ORDER BY c.event_id""".stripMargin.replaceAll("\n", " "),
+    "x_asof_forward" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        | errors AS (SELECT user_id, ts, CAST(MIN(event_id) AS BIGINT) AS err_id
+        |   FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+        | SELECT c.event_id, c.user_id, e.err_id AS next_err_id
+        | FROM clicks c ASOF LEFT JOIN errors e
+        |   ON c.user_id = e.user_id AND c.ts <= e.ts
         | ORDER BY c.event_id""".stripMargin.replaceAll("\n", " "),
     "x_range_join" ->
       """WITH o AS (SELECT o_custkey, (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d FROM orders),

@@ -37,35 +37,69 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  def asOfBackward(left: DataFrame, right: DataFrame, keyCol: String,
-                   tsCol: String, payloadCols: Seq[String],
-                   prefix: String = "asof_"): DataFrame = {
+  /** Tagged union of both sides: left rows carry a null payload
+    * STRUCT, right rows carry null left-only columns and a non-null
+    * struct (possibly of null fields). Side values order the tie at
+    * equal ts — whichever side must win the match sorts toward the
+    * matching frame edge. */
+  private def taggedUnion(left: DataFrame, right: DataFrame, keyCol: String,
+                          tsCol: String, payloadCols: Seq[String],
+                          leftSide: Int, rightSide: Int): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightSchema = right.schema
     val leftSchema = left.schema
     val payloadType = org.apache.spark.sql.types.StructType(
       payloadCols.map(p => rightSchema(p)))
-    // Tagged union: left rows carry a null payload STRUCT, right rows
-    // carry null left-only columns and a non-null struct (possibly of
-    // null fields). side 0 = right, 1 = left, so at equal ts the right
-    // row precedes the left row in the window order.
     val taggedLeft = left
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftSide))
       .select(col(keyCol) +: col(tsCol) +: col("__side") +:
         (leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) :+
           lit(null).cast(payloadType).as("__asof_p")): _*)
     val taggedRight = right
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rightSide))
       .select(col(keyCol) +: col(tsCol) +: col("__side") +:
         (leftCols.filterNot(c => c == keyCol || c == tsCol).map(c =>
           lit(null).cast(leftSchema(c).dataType).as(c)) :+
           struct(payloadCols.map(col): _*).as("__asof_p")): _*)
+    taggedLeft.unionByName(taggedRight)
+  }
+
+  def asOfBackward(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, payloadCols: Seq[String],
+                   prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side 0 = right, 1 = left: at equal ts the right row precedes the
+    // left row, so an exactly-at-ts right row matches (l.ts >= r.ts).
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    taggedLeft.unionByName(taggedRight)
+    taggedUnion(left, right, keyCol, tsCol, payloadCols, leftSide = 1, rightSide = 0)
       .withColumn("__asof_c", last(col("__asof_p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(p => col("__asof_c").getField(p).as(prefix + p)): _*)
+  }
+
+  /** Forward as-of: the EARLIEST right row at or after each left row
+    * (time-to-next-event analytics; SQL `ASOF JOIN ... ON l.ts <=
+    * r.ts`). Same union-plus-one-window construction as backward with
+    * the frame mirrored: side 0 = left, 1 = right (an exactly-at-ts
+    * right row sorts after the left row and matches), frame current →
+    * following, first non-null payload. If several right rows share
+    * (key, ts) the carried payload is the first in (ts, side) order —
+    * pre-aggregate the right side when that pick must be
+    * deterministic. Left rows with no later right row keep null
+    * payloads. */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCol: String,
+                  tsCol: String, payloadCols: Seq[String],
+                  prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    taggedUnion(left, right, keyCol, tsCol, payloadCols, leftSide = 0, rightSide = 1)
+      .withColumn("__asof_c", first(col("__asof_p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
       .select(leftCols.map(col) ++
         payloadCols.map(p => col("__asof_c").getField(p).as(prefix + p)): _*)
   }

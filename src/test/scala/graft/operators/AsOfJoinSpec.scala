@@ -70,6 +70,41 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"as-of should shuffle exactly once (key partitioning):\n$plan")
   }
 
+  test("asOfForward: earliest-at-or-after match, ties match, no-match is null") {
+    val left = Seq(
+      (1L, ts(10), "l10"), (1L, ts(20), "l20"), (1L, ts(30), "l30"),
+      (2L, ts(10), "m10")).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts(7), "r7"), (1L, ts(20), "r20"), (1L, ts(25), "r25"),
+      (3L, ts(1), "x1")).toDF("k", "t", "rv")
+    val out = AsOfJoin.asOfForward(left, right, "k", "t", Seq("rv"), "next_")
+      .select(col("k"), col("t"), col("lv"), col("next_rv"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000L,
+        r.getString(2), r.getString(3))).toSet
+    assert(out == Set(
+      (1L, 10L, "l10", "r20"),     // earliest at-or-after 10 is 20
+      (1L, 20L, "l20", "r20"),     // tie at equal ts matches
+      (1L, 30L, "l30", null),      // after every right row
+      (2L, 10L, "m10", null)),     // key with no right rows at all
+      s"unexpected forward as-of result: $out")
+  }
+
+  test("asOfForward mirrors backward: null payloads stay null, plan is window-only") {
+    val left = Seq((1L, ts(2), "l2")).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts(5), Option.empty[String]), (1L, ts(15), Some("r15"))
+    ).toDF("k", "t", "rv")
+    val out = AsOfJoin.asOfForward(left, right, "k", "t", Seq("rv"))
+      .select(col("asof_rv")).collect()
+    assert(out.length == 1 && out(0).isNullAt(0),
+      s"matched-but-null payload must stay null, got ${out.toSeq}")
+    val plan = AsOfJoin.asOfForward(left, right, "k", "t", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"forward as-of must not plan a join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"forward as-of should shuffle exactly once:\n$plan")
+  }
+
   test("asOfBackward result size equals the left side (never explodes)") {
     // 1 key, 50 left rows, 50 right rows — a naive range join would
     // build ~1275 pairs before filtering; as-of must emit exactly 50.

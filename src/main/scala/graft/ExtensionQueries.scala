@@ -532,6 +532,7 @@ object ExtensionQueries {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)),
     "x_entropy" -> ((s, dir) => entropyProfile(s, dir)),
+    "x_token_split" -> ((s, dir) => tokenBudgetSplit(s, dir)),
     "x_union_evolve" -> ((s, dir) => {
       // Schema-evolution union: the legacy half of the corpus lacks
       // `lang`; unionByName(allowMissingColumns) null-fills it —
@@ -1489,6 +1490,28 @@ object ExtensionQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Token-BUDGET corpus split: docs are assigned to 'train' in
+    * doc_id order until the running token total reaches 80% of the
+    * corpus, the rest to 'val' — splitting by token mass, not doc
+    * count, which is how real pretraining corpora are sliced (doc
+    * length varies by orders of magnitude; a doc-count split skews
+    * the actual token budget). The running total is the distributed
+    * PrefixSum; the 80% cut is one driver scalar from a 1-row agg.
+    * Contrast with x_split_assign's hash split: that one is random
+    * and per-row; this one is ordered and mass-exact. */
+  private def tokenBudgetSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).as("n_tok"))
+    val total = docs.agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
+    val cut = (total * 8L) / 10L
+    graft.operators.PrefixSum.runningTotal(docs, Seq("doc_id"), "n_tok")
+      .withColumn("split", when(col("cum") <= cut, "train").otherwise("val"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("split"))
+  }
+
   /** Shannon entropy (bits) of the categorical columns — the
     * information-theoretic face of the consistency frequency tables
     * (a collapsed-entropy column signals upstream data loss the raw
@@ -2329,6 +2352,20 @@ object ExtensionQueries {
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         | GROUP BY l_orderkey, o_orderdate, o_orderpriority
         | ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin.replaceAll("\n", " "),
+    // Same whitespace token-count identity as x_token_count; the
+    // running total replays as a window at gate scale.
+    "x_token_split" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(strlen(text) - strlen(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+        |  FROM documents),
+        | t AS (SELECT (CAST(SUM(n_tok) AS BIGINT) * 8) // 10 AS cut FROM d),
+        | c AS (SELECT doc_id, n_tok,
+        |   SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        | sp AS (SELECT doc_id, n_tok,
+        |   CASE WHEN cum <= (SELECT cut FROM t) THEN 'train' ELSE 'val' END AS split FROM c)
+        | SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        | FROM sp GROUP BY split ORDER BY split""".stripMargin.replaceAll("\n", " "),
     "x_entropy" ->
       """WITH f1 AS (SELECT event_type AS v, CAST(COUNT(*) AS BIGINT) AS n FROM events
         |   WHERE event_type IS NOT NULL GROUP BY 1),

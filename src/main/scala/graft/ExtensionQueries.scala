@@ -1502,9 +1502,13 @@ object ExtensionQueries {
   private def tokenBudgetSplit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).as("n_tok"))
-    val total = docs.agg(coalesce(sum(col("n_tok")), lit(0L))).head().getLong(0)
+    // Prefix-sum FIRST: the corpus total is max(cum) over the staged
+    // (checkpointed) frame — one scalar action over cached blocks, no
+    // second tokenization pass over the raw text.
+    val withCum = graft.operators.PrefixSum.runningTotal(docs, Seq("doc_id"), "n_tok")
+    val total = withCum.agg(coalesce(max(col("cum")), lit(0L))).head().getLong(0)
     val cut = (total * 8L) / 10L
-    graft.operators.PrefixSum.runningTotal(docs, Seq("doc_id"), "n_tok")
+    withCum
       .withColumn("split", when(col("cum") <= cut, "train").otherwise("val"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),

@@ -93,16 +93,19 @@ object ScaleBench {
         Option(e.taskMetrics).foreach(m => acc.addAndGet(m.shuffleWriteMetrics.bytesWritten))
     }
     spark.sparkContext.addSparkListener(listener)
-    val (r, t) = timed(f)
-    var last = -1L
-    var stable = 0
-    while (stable < 3) {
-      Thread.sleep(200)
-      val cur = acc.get()
-      if (cur == last) stable += 1 else { stable = 0; last = cur }
-    }
-    spark.sparkContext.removeSparkListener(listener)
-    (r, t, acc.get())
+    try {
+      val (r, t) = timed(f)
+      var last = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val cur = acc.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (r, t, acc.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // finally: a throwing measurement must never leave the counting
+    // listener attached — it would double-count every later point.
   }
 
   /** PrefixSum vs the single-task window at volume — the same
@@ -258,6 +261,10 @@ object ScaleBench {
       .select(col("id").as("src"), (col("id") + 1).as("dst"))
       .where((col("id") + 1) % 1000 =!= 0)
     val skewEdges = hubEdges.union(restEdges)
+    // Actual count, not the nominal e: the path-cutting filter drops
+    // ~(e - hubSpokes)/1000 edges, and the published JSON must match
+    // the graph that ran.
+    val nSkewEdges = skewEdges.count()
     val ((nCompSkew, ccRoundsSkew), tCcSkew) = timed {
       val (labels, rounds) =
         graft.operators.ConnectedComponents.runCounted(skewEdges, "src", "dst")
@@ -274,7 +281,7 @@ object ScaleBench {
       s""""equidepth":{"t":${fmt(tNt)},"t_single_task_window":${fmt(tWin)},"n_buckets":$ntBuckets},""" +
       s""""connected_components":{"t":${fmt(tCc)},"rounds":$ccRounds,"n_components":$nComp},""" +
       s""""cc_skew":{"t":${fmt(tCcSkew)},"rounds":$ccRoundsSkew,"n_components":$nCompSkew,""" +
-      s""""hub_degree":$hubSpokes,"n_edges":$e}}"""
+      s""""hub_degree":$hubSpokes,"n_edges":$nSkewEdges}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -316,7 +323,12 @@ object ScaleBench {
     // Fixed-size points (not per-scale): heavy hitters at 10M items,
     // ~7M distinct — the regime where the census's shuffle is the
     // product the sketch exists to avoid — and the prefix-sum
-    // crossover at 20M rows.
+    // crossover at 20M rows. Warm the SAME plan shapes untimed first
+    // (in points-only mode nothing else has warmed the JVM, and the
+    // first measured path would otherwise absorb all janino+JIT cost,
+    // biasing the comparison the points exist to publish).
+    heavyHittersPoint(spark, 100000L)
+    prefixSumPoint(spark, 100000L)
     println(heavyHittersPoint(spark, 10000000L))
     println(prefixSumPoint(spark, 20000000L))
     spark.stop()

@@ -52,7 +52,11 @@ object Multimodal {
     * a payload of `nChunks` logical chunks (a video frame sampler's
     * plan shape, minus the codec). */
   def sampleChunkIndices(nChunks: Column, stride: Int): Column =
-    filter(sequence(lit(0), nChunks - 1), i => i % stride === 0)
+    // sequence(a, b) steps DOWNWARD when a > b (sequence(0, -1) =
+    // [0, -1]) — an empty payload must yield NO indices, not phantom
+    // frames 0 and -1.
+    when(nChunks > 0, filter(sequence(lit(0), nChunks - 1), i => i % stride === 0))
+      .otherwise(array().cast("array<bigint>"))
 
   /** Byte-exact frame sampling: slice the payload into `frameBytes`
     * frames and keep every `stride`-th — one output row per sampled

@@ -82,24 +82,29 @@ object AsOfJoin {
 
   /** Forward as-of: the EARLIEST right row at or after each left row
     * (time-to-next-event analytics; SQL `ASOF JOIN ... ON l.ts <=
-    * r.ts`). Same union-plus-one-window construction as backward with
-    * the frame mirrored: side 0 = left, 1 = right (an exactly-at-ts
-    * right row sorts after the left row and matches), frame current →
-    * following, first non-null payload. If several right rows share
-    * (key, ts) the carried payload is the first in (ts, side) order —
-    * pre-aggregate the right side when that pick must be
-    * deterministic. Left rows with no later right row keep null
-    * payloads. */
+    * r.ts`). Same union-plus-one-window construction as backward, run
+    * over ts DESCENDING: in that order "latest seen so far" IS the
+    * smallest right ts >= left ts, so the frame stays unbounded-
+    * preceding → current-row — the INCREMENTAL frame Spark evaluates
+    * in O(m) per key. (The tempting mirror — current-row → unbounded-
+    * FOLLOWING with first() — is recomputed from scratch per row,
+    * O(m²) per key: a hot key would hang exactly at the scale this
+    * operator targets.) Tie order: right sorts before left at equal
+    * ts in the descending scan too, so an exactly-at-ts right row
+    * matches. If several right rows share (key, ts) the carried
+    * payload is the last in scan order — pre-aggregate the right side
+    * when that pick must be deterministic. Left rows with no later
+    * right row keep null payloads. */
   def asOfForward(left: DataFrame, right: DataFrame, keyCol: String,
                   tsCol: String, payloadCols: Seq[String],
                   prefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns.toSeq
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__side").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    taggedUnion(left, right, keyCol, tsCol, payloadCols, leftSide = 0, rightSide = 1)
-      .withColumn("__asof_c", first(col("__asof_p"), ignoreNulls = true).over(w))
-      .where(col("__side") === 0)
+      .orderBy(col(tsCol).desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedUnion(left, right, keyCol, tsCol, payloadCols, leftSide = 1, rightSide = 0)
+      .withColumn("__asof_c", last(col("__asof_p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
       .select(leftCols.map(col) ++
         payloadCols.map(p => col("__asof_c").getField(p).as(prefix + p)): _*)
   }

@@ -32,7 +32,10 @@ object PrefixSum {
   /** Appends `outCol` = inclusive running total of `valueCol` over
     * `ORDER BY orderCols`. `valueCol` must be LongType (callers cast —
     * keeps the scan pass allocation-free and the semantics exact).
-    * `numPartitions` 0 → the session's shuffle partitions. */
+    * Null values contribute nothing — the running total at a null row
+    * equals the previous row's, exactly like the `SUM OVER` window
+    * twin (which skips nulls) and the per-partition `sum()` offsets
+    * pass. `numPartitions` 0 → the session's shuffle partitions. */
   def runningTotal(df: DataFrame, orderCols: Seq[String], valueCol: String,
                    numPartitions: Int = 0, outCol: String = "cum"): DataFrame = {
     require(df.schema(valueCol).dataType == LongType,
@@ -60,7 +63,7 @@ object PrefixSum {
     sorted.mapPartitions { it =>
       var acc = bOffsets.value.getOrElse(TaskContext.getPartitionId(), 0L)
       it.map { row =>
-        acc += row.getLong(vIdx)
+        if (!row.isNullAt(vIdx)) acc += row.getLong(vIdx)
         Row.fromSeq(row.toSeq :+ acc)
       }
     }(Encoders.row(outSchema))

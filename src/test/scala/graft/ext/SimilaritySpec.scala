@@ -311,5 +311,15 @@ class SimilaritySpec extends AnyFunSuite {
     val sampled = Multimodal.sampleFrames(payloads, "id", "payload", frameBytes = 4, stride = 2)
       .select(col("id"), col("frame_idx")).as[(Long, Long)].collect().sortBy(r => (r._1, r._2))
     assert(sampled.toSeq == Seq((1L, 0L), (1L, 2L), (2L, 0L)))
+    // Empty (zero-byte) payload: nChunks = 0 must yield NO frames —
+    // sequence(0, -1) steps downward to [0, -1] without the guard,
+    // producing a phantom frame 0 (and a from-the-end frame_idx -1 at
+    // stride 1).
+    val withEmpty = Multimodal.attachPayload(
+      Seq((9L, "")).toDF("id", "text"), "text", "text/plain")
+    Seq(1, 2).foreach { stride =>
+      assert(Multimodal.sampleFrames(withEmpty, "id", "payload", 4, stride).count() == 0,
+        s"empty payload must produce no frames at stride $stride")
+    }
   }
 }

@@ -103,6 +103,11 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"forward as-of must not plan a join:\n$plan")
     assert("Exchange".r.findAllIn(plan).size == 1,
       s"forward as-of should shuffle exactly once:\n$plan")
+    // The frame must be the INCREMENTAL unboundedpreceding->currentrow
+    // (descending scan). An unboundedfollowing frame is recomputed
+    // from scratch per row — O(m²) on a hot key.
+    assert(!plan.toLowerCase.contains("unboundedfollowing"),
+      s"forward as-of must use the incremental descending frame:\n$plan")
   }
 
   test("asOfBackward result size equals the left side (never explodes)") {

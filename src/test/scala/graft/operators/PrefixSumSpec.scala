@@ -41,6 +41,17 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("null values contribute nothing, exactly like the SUM OVER window twin") {
+    val df = Seq(
+      (1L, Some(5L)), (2L, Option.empty[Long]), (3L, Some(7L)), (4L, Option.empty[Long])
+    ).toDF("k", "v")
+    val got = PrefixSum.runningTotal(df, Seq("k"), "v")
+      .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+    // cum at a null row equals the previous row's total (SUM skips
+    // nulls); no NPE, offsets and scan agree.
+    assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 12L, 4L -> 12L))
+  }
+
   test("plan has no empty-partition-spec WindowExec (the single-task trap)") {
     val df = spark.range(0, 10000).select(col("id").as("k"), (col("id") % 7).as("v"))
     val plan = PrefixSum.runningTotal(df, Seq("k"), "v")

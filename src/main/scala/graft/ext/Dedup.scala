@@ -354,6 +354,38 @@ object Dedup {
     docs.join(broadcast(losers), docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** [[dedupNearDups]] with QUALITY-AWARE survivorship: per near-dup
+    * cluster, keep the doc with the highest `scoreCol` (ties broken
+    * toward the smallest id — fully deterministic) instead of the
+    * smallest id. This is how production dedup actually picks: when a
+    * boilerplate page and its clean twin collide, keep the clean one,
+    * whatever its id. Same pipeline as dedupNearDups (bands →
+    * candidates → verify → label-prop on the tiny touched subgraph);
+    * the winner per cluster is one extra keyed argmax over the
+    * clustered docs — max(struct(score, -id)) is the lexicographic
+    * argmax with the id tiebreak, deterministic on both engines. */
+  def dedupNearDupsBy(docs: DataFrame, idCol: String, textCol: String,
+                      scoreCol: String,
+                      params: MinHashParams = MinHashParams(),
+                      threshold: Double = 0.8,
+                      precomputedBands: Option[DataFrame] = None): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, params, threshold,
+        precomputedBands)
+      .pipe(Checkpoints.stage)
+    val touched = pairs.select(col("id_a").as("doc"))
+      .union(pairs.select(col("id_b").as("doc"))).distinct()
+    val clusters = nearDupClusters(touched, "doc", pairs)
+    val scored = docs
+      .select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score"))
+      .join(broadcast(clusters), "id")
+    val winners = scored.groupBy(col("cluster_id"))
+      .agg(max(struct(col("__score"), (-col("id")).as("nid"))).as("w"))
+      .select((-col("w.nid")).as("id"))
+    val losers = clusters.select(col("id"))
+      .join(broadcast(winners), Seq("id"), "left_anti")
+    docs.join(broadcast(losers), docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** Exact dedup via content fingerprint: keeps one row per distinct
     * fingerprint (the smallest raw text survives, full-row-hash
     * tiebreak for a deterministic pick among byte-identical texts).

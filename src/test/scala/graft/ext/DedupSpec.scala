@@ -176,6 +176,29 @@ class DedupSpec extends AnyFunSuite {
     assert(ids.contains(42L) && !ids.contains(102L))
   }
 
+  test("dedupNearDupsBy keeps the HIGHEST-scored member per cluster, smallest id on ties") {
+    // Scores steer each planted pair differently: (3,100) → the
+    // high-id twin wins; (17,101) → the low-id original wins;
+    // (42,102) → a tie, so the smaller id must win deterministically.
+    val scored = corpus.withColumn("quality",
+      when(col("doc_id") === 100L, 9.0)
+        .when(col("doc_id") === 3L, 1.0)
+        .when(col("doc_id") === 17L, 9.0)
+        .when(col("doc_id") === 101L, 1.0)
+        .when(col("doc_id") === 42L, 5.0)
+        .when(col("doc_id") === 102L, 5.0)
+        .otherwise(0.0))
+    val out = Dedup.dedupNearDupsBy(scored, "doc_id", "text", "quality",
+      params, threshold = 0.5)
+    assert(out.count() == 60)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(3L) && ids.contains(100L), "higher-scored twin must survive")
+    assert(ids.contains(17L) && !ids.contains(101L), "higher-scored original must survive")
+    assert(ids.contains(42L) && !ids.contains(102L), "score tie must break to the smaller id")
+    // Untouched docs are never dropped.
+    assert((0L until 60L).filterNot(Set(3L, 17L, 42L)).forall(ids.contains))
+  }
+
   test("approx_count_distinct tracks exact distinct within HLL error bounds") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val r = docs.agg(

@@ -2328,9 +2328,13 @@ object ExtensionQueries {
         | FROM f ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
     // k >= vocabulary makes the MG candidate map the exact census
     // (no evictions), so the streaming sketch replays as GROUP BY.
+    // NULL filter matches the engine path: the MG aggregate skips null
+    // items, while a bare GROUP BY would emit a NULL group (same
+    // defensive filter as x_count_min's oracle).
     "x_stream_heavy" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
-        | FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin.replaceAll("\n", " "),
+        | FROM events WHERE event_type IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin.replaceAll("\n", " "),
     "x_cdc_apply" ->
       """WITH chg AS (
         |  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice, 'U' AS op, 1 AS seq

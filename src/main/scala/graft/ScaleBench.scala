@@ -97,8 +97,13 @@ object ScaleBench {
       val (r, t) = timed(f)
       var last = -1L
       var stable = 0
-      while (stable < 3) {
+      var waited = 0
+      // Bounded quiesce: the harness runs points serially, but a
+      // concurrent shuffle-writing job must not spin this loop forever
+      // — after 30 s of non-quiet counter, take the value as-is.
+      while (stable < 3 && waited < 150) {
         Thread.sleep(200)
+        waited += 1
         val cur = acc.get()
         if (cur == last) stable += 1 else { stable = 0; last = cur }
       }

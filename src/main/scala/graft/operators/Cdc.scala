@@ -30,7 +30,11 @@ object Cdc {
     val seeded = base
       .withColumn(opCol, lit("I"))
       .withColumn(seqCol, lit(0L))
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    // seqCol is documented unique per key; if a caller violates that,
+    // the opCol tiebreak keeps the winner deterministic (op-desc:
+    // U > I > D) instead of partition-order-dependent.
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
     seeded.unionByName(changes.select(seeded.columns.map(col).toIndexedSeq: _*))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1 && col(opCol) =!= "D")

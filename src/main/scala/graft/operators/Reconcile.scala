@@ -27,15 +27,19 @@ object Reconcile {
     val dataCols = left.columns.filterNot(keyCols.contains).toSeq
     val l = left.alias("l")
     val r = right.alias("r")
-    val cond = keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    // Backtick-quoted references: a column name containing a dot would
+    // otherwise parse as a nested-field path and fail resolution.
+    def lc(c: String) = col(s"l.`$c`")
+    def rc(c: String) = col(s"r.`$c`")
+    val cond = keyCols.map(k => lc(k) === rc(k)).reduce(_ && _)
     val allEq =
       if (dataCols.isEmpty) lit(true)
-      else dataCols.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _)
-    val status = when(col(s"r.${keyCols.head}").isNull, "only_left")
-      .when(col(s"l.${keyCols.head}").isNull, "only_right")
+      else dataCols.map(c => lc(c) <=> rc(c)).reduce(_ && _)
+    val status = when(rc(keyCols.head).isNull, "only_left")
+      .when(lc(keyCols.head).isNull, "only_right")
       .when(allEq, "equal")
       .otherwise("differs")
-    val keyOut = keyCols.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k))
+    val keyOut = keyCols.map(k => coalesce(lc(k), rc(k)).as(k))
     l.join(r, cond, "full_outer")
       .select(keyOut :+ status.as("status"): _*)
   }

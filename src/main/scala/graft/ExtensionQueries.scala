@@ -1461,32 +1461,33 @@ object ExtensionQueries {
     * top-k; CMS = per-item counts). One aggregation builds the
     * constant-size sketch (partial merges are cell-wise adds — one
     * small blob per partition crosses the shuffle, same 100 TB shape
-    * as MisraGries); the driver probes it for the 5 event types (k-row
-    * scalar, like the IVF centroids). Estimates are hash-dependent, so
+    * as MisraGries); the sketch itself is the only driver value (a
+    * 2-cell scalar row, like the IVF centroids). The exact-vs-estimate
+    * comparison is DISTRIBUTED: the serialized sketch ships as a
+    * binary literal and the codegen'd `graft_cms_estimate` kernel
+    * probes it executor-side next to each exact group count — at n
+    * distinct keys the comparison stays an n-row distributed frame
+    * instead of an n-row driver collect (the generic shape's
+    * scale-killer, fixed round 8). Estimates are hash-dependent, so
     * the output carries the CMS GUARANTEE bits instead of raw
     * estimates: est >= exact always, and est <= exact + ⌈eps·N⌉ with
     * confidence 0.99 — deterministic for a fixed seed, so the bits are
     * stable across runs and the oracle replays them as constants over
     * the exact census. */
   private def countMinCensus(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.util.sketch.CountMinSketch
     val events = Tables.events(s, dir)
     val eps = 0.001
     val agg = events.agg(
       count_min_sketch(col("event_type"), lit(eps), lit(0.99), lit(42)).as("cms"),
       count(col("event_type")).as("total")).head()
-    val cms = CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]](0)))
     val bound = math.ceil(eps * agg.getLong(1)).toLong
-    val exact = events.where(col("event_type").isNotNull)
+    val est = call_function("graft_cms_estimate",
+      col("event_type"), lit(agg.getAs[Array[Byte]](0)))
+    events.where(col("event_type").isNotNull)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      .collect().map { r =>
-        val (t, n) = (r.getString(0), r.getLong(1))
-        val est = cms.estimateCount(t)
-        (t, n, if (est >= n) 1L else 0L, if (est <= n + bound) 1L else 0L)
-      }.toSeq
-    import s.implicits._
-    exact.toDF("event_type", "n", "est_ge_exact", "est_within_eps")
+      .select(col("event_type"), col("n"),
+        (est >= col("n")).cast("long").as("est_ge_exact"),
+        (est <= col("n") + lit(bound)).cast("long").as("est_within_eps"))
       .orderBy(col("event_type"))
   }
 

@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctionBuilders.cosineInfo, GraftFunctionBuilders.cosineBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_lsh_bucket"),
       GraftFunctionBuilders.lshInfo, GraftFunctionBuilders.lshBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      GraftFunctionBuilders.mightContainInfo, GraftFunctionBuilders.mightContainBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
+      GraftFunctionBuilders.cmsEstimateInfo, GraftFunctionBuilders.cmsEstimateBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_mg_topk"),
       graft.functions.MisraGriesTopK.info, graft.functions.MisraGriesTopK.builder _))
     // Opt-in approximate similarity-join rewrite (see

@@ -25,10 +25,12 @@ import org.apache.spark.util.sketch.BloomFilter
   * commutative, so the filter (and its false-positive set) is
   * deterministic for a given key set regardless of row order.
   *
-  * The membership test is a closure over the sketch (Spark exposes no
-  * builtin `might_contain` to user code) — one non-codegen predicate,
-  * but it runs BEFORE the shuffle it saves, which is the winning
-  * trade at any fpp below the selectivity.
+  * The membership test is the codegen'd `graft_might_contain`
+  * expression (GraftExpressions) probing the serialized sketch shipped
+  * as a binary literal — it runs inside whole-stage codegen on the
+  * big-side scan, BEFORE the shuffle it saves. (Spark exposes no
+  * builtin `might_contain` to user code; rounds 5–7 used a Scala UDF
+  * here — the engine's one per-row lambda, now closed.)
   */
 object BloomPrune {
 
@@ -40,13 +42,21 @@ object BloomPrune {
     small.stat.bloomFilter(keyCol, expectedKeys, fpp)
 
   /** Prune `big` to rows whose key might be in the filter. Nulls never
-    * match (a null key cannot equi-join, so dropping it is
-    * join-semantics-preserving). */
-  def prune(big: DataFrame, keyCol: String, bf: BloomFilter): DataFrame = {
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bf.mightContainLong(k))
-    big.where(mightContain(col(keyCol)))
-  }
+    * match (null → null under 3VL, so WHERE drops them — a null key
+    * cannot equi-join, so dropping it is join-semantics-preserving).
+    *
+    * Requires the `graft_might_contain` kernel (sessions with
+    * GraftExtensions — Verify/Bench/tests all are). Without it the
+    * prune is a documented NO-OP: pruning is an optimization, and
+    * `prunedJoin`'s exact join preserves the result either way —
+    * the same results-never-depend-on-the-extension contract as the
+    * Dedup/Similarity kernel fallbacks. */
+  def prune(big: DataFrame, keyCol: String, bf: BloomFilter): DataFrame =
+    if (big.sparkSession.catalog.functionExists("graft_might_contain")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      big.where(call_function("graft_might_contain", col(keyCol), lit(bos.toByteArray)))
+    } else big
 
   /** Bloom-pruned equi-join: filter the big side with the small side's
     * key sketch, then join exactly. Result ≡ `big.join(small, key)` —

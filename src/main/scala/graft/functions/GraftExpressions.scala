@@ -341,6 +341,143 @@ case class GraftMinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe: `graft_might_contain(key, sketch)`
+  * where `sketch` is a FOLDABLE binary column (the serialized
+  * BloomFilter, in practice a `lit(bytes)` — broadcast-sized by
+  * construction, shipped once per task in the plan like any literal).
+  *
+  * This closes the engine's one per-row lambda: the previous UDF form
+  * (BloomPrune round 5–7) was opaque to whole-stage codegen on the
+  * pruned join's BIG-side scan — exactly the hot path the prune
+  * exists to thin. The sketch is deserialized ONCE per expression
+  * instance (transient lazy), and the generated code calls
+  * `mightContainLong` on a plan-reference object — no boxing, no
+  * closure dispatch.
+  *
+  * Null semantics: null key → null (a null key can never equi-join,
+  * so a WHERE on this expression drops it — identical pruning to the
+  * old UDF's `false`); null sketch → null for every row.
+  */
+case class GraftMightContain(valueExpr: Expression, sketchExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = valueExpr
+  override def right: Expression = sketchExpr
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okVal = valueExpr.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!okVal)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_might_contain expects an integral key, got ${valueExpr.dataType}")
+    else if (sketchExpr.dataType != BinaryType || !sketchExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_might_contain expects a foldable binary sketch argument")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  // Deserialized once per expression instance — on the driver at
+  // codegen time (the reference object then ships serialized inside
+  // the task binary) and once per executor instance on the
+  // interpreted path.
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = sketchExpr.eval(null).asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+  }
+
+  override def nullSafeEval(v: Any, ignoredSketch: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Number].longValue())
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (bloom == null)
+      GraftSketchCodegen.constantNullCode(ctx, ev, "boolean", "false")
+    else {
+      val bf = ctx.addReferenceObj("graftBloom", bloom,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      // The sketch child is a literal: its "evaluation" below is a
+      // plan-reference load, not per-row work.
+      nullSafeCodeGen(ctx, ev, (v, _) =>
+        s"${ev.value} = $bf.mightContainLong((long) $v);")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(valueExpr = newLeft, sketchExpr = newRight)
+}
+
+/** Count–min point-frequency probe:
+  * `graft_cms_estimate(item, sketch)` with `sketch` a foldable binary
+  * (serialized CountMinSketch). Executor-side twin of the driver-side
+  * `cms.estimateCount(item)` loop — the generic-cardinality shape: at
+  * n distinct keys the comparison stays distributed instead of
+  * collecting an n-row census to the driver. String items probe with
+  * the same String overload the driver path used, so estimates are
+  * bit-identical. */
+case class GraftCmsEstimate(valueExpr: Expression, sketchExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = valueExpr
+  override def right: Expression = sketchExpr
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (valueExpr.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cms_estimate expects a string item, got ${valueExpr.dataType}")
+    else if (sketchExpr.dataType != BinaryType || !sketchExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_cms_estimate expects a foldable binary sketch argument")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val cms: org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = sketchExpr.eval(null).asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override def nullSafeEval(v: Any, ignoredSketch: Any): Any =
+    cms.estimateCount(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (cms == null)
+      GraftSketchCodegen.constantNullCode(ctx, ev, "long", "0L")
+    else {
+      val ref = ctx.addReferenceObj("graftCms", cms,
+        classOf[org.apache.spark.util.sketch.CountMinSketch].getName)
+      nullSafeCodeGen(ctx, ev, (v, _) =>
+        s"${ev.value} = $ref.estimateCount($v.toString());")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(valueExpr = newLeft, sketchExpr = newRight)
+}
+
+private[functions] object GraftSketchCodegen {
+  /** Generated code for an always-null result of primitive `javaType`
+    * (the null-sketch degenerate case of the probe expressions). */
+  private[functions] def constantNullCode(
+      ctx: CodegenContext, ev: ExprCode,
+      javaType: String, zero: String): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code =
+      code"""
+        |boolean ${ev.isNull} = true;
+        |$javaType ${ev.value} = $zero;
+      """.stripMargin)
+  }
+}
+
 object GraftFunctionBuilders {
 
   private[functions] def intLit(e: Expression, what: String): Int = e match {
@@ -374,4 +511,14 @@ object GraftFunctionBuilders {
     new ExpressionInfo(classOf[GraftLshBucket].getName, "graft_lsh_bucket")
   def lshBuilder(exprs: Seq[Expression]): Expression =
     GraftLshBucket(exprs(0), intLit(exprs(1), "bits"))
+
+  val mightContainInfo =
+    new ExpressionInfo(classOf[GraftMightContain].getName, "graft_might_contain")
+  def mightContainBuilder(exprs: Seq[Expression]): Expression =
+    GraftMightContain(exprs(0), exprs(1))
+
+  val cmsEstimateInfo =
+    new ExpressionInfo(classOf[GraftCmsEstimate].getName, "graft_cms_estimate")
+  def cmsEstimateBuilder(exprs: Seq[Expression]): Expression =
+    GraftCmsEstimate(exprs(0), exprs(1))
 }

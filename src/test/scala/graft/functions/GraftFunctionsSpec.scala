@@ -97,6 +97,62 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_might_contain agrees with the driver-side probe on every key, nulls drop") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+    val bf = orders.where(col("o_orderstatus") === "P")
+      .stat.bloomFilter("o_orderkey", 1000, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probed = orders
+      .select(col("o_orderkey"),
+        call_function("graft_might_contain", col("o_orderkey"),
+          lit(bos.toByteArray)).as("m"))
+      .collect()
+    assert(probed.nonEmpty)
+    // Hard-0 gate: expression == BloomFilter.mightContainLong, every key.
+    probed.foreach { r =>
+      assert(r.getBoolean(1) == bf.mightContainLong(r.getLong(0)),
+        s"probe diverges for key ${r.getLong(0)}")
+    }
+    import spark.implicits._
+    val nullKey = Seq(Option.empty[Long]).toDF("k")
+      .select(call_function("graft_might_contain", col("k"), lit(bos.toByteArray)))
+      .first()
+    assert(nullKey.isNullAt(0), "null key must be null (dropped by WHERE)")
+  }
+
+  test("graft_cms_estimate agrees with the driver-side estimateCount on every item") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val bytes = events
+      .agg(count_min_sketch(col("event_type"), lit(0.001), lit(0.99), lit(42)))
+      .head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val probed = events.where(col("event_type").isNotNull)
+      .select(col("event_type")).distinct()
+      .select(col("event_type"),
+        call_function("graft_cms_estimate", col("event_type"), lit(bytes)).as("est"))
+      .collect()
+    assert(probed.nonEmpty)
+    probed.foreach { r =>
+      assert(r.getLong(1) == cms.estimateCount(r.getString(0)),
+        s"estimate diverges for item ${r.getString(0)}")
+    }
+  }
+
+  test("sketch probes run inside whole-stage codegen") {
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+    val bf = orders.limit(10).stat.bloomFilter("o_orderkey", 100, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val plan = orders
+      .where(call_function("graft_might_contain", col("o_orderkey"), lit(bos.toByteArray)))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("Filter") && l.contains("*(")),
+      s"graft_might_contain Filter not inside a codegen stage:\n$plan")
+  }
+
   test("kernel expressions run inside whole-stage codegen") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val plan = e.select(call_function("graft_dot", col("embedding"), col("embedding")))

@@ -5,7 +5,7 @@ import scala.util.chaining._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{BloomPrune, Dedup, HeavyHitters, IvfIndex, Mixing, Multimodal, Packing, Quantize, Similarity, TextAnalysis}
+import graft.ext.{BloomPrune, Dedup, DedupIndex, HeavyHitters, IvfIndex, Mixing, Multimodal, Packing, Quantize, Similarity, TextAnalysis}
 
 /** LLM-training-data-pipeline operators registered as driver queries:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
@@ -58,6 +58,7 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))),
     "x_jaccard_adjacent" -> ((s, dir) => jaccardAdjacent(s, dir)),
     "x_minhash_neardup" -> ((s, dir) => minhashSummary(s, dir)),
+    "x_incremental_dedup" -> ((s, dir) => incrementalDedup(s, dir)),
     "x_simhash" -> ((s, dir) =>
       // SimHash values are engine-internal (xxhash64), but two
       // INVARIANTS of them are not: (a) simhash is a pure function of
@@ -1605,6 +1606,63 @@ object ExtensionQueries {
         (col("__conf") >= col("n_exact_pairs")).cast("long").as("ge_exact_ok"))
   }
 
+  /** x_incremental_dedup: the INCREMENTAL dedup entry point
+    * (DedupIndex), gated against full recompute. Split: docs with
+    * doc_id % 5 == 4 are the "new shard", the rest the already-indexed
+    * corpus. The query (a) builds the persisted band index over the
+    * old corpus, (b) probes the new shard against it —
+    * DedupIndex.probeNewBatch, which never re-shingles the indexed
+    * docs — and (c) checks the union-then-dedup equivalence: probe
+    * candidates must EQUAL the full-corpus Dedup.candidatePairs
+    * restricted to pairs touching a new id (both-direction anti-joins,
+    * hard 0). Verified pairs (exact Jaccard >= 0.5 over candidates)
+    * are gated against the SQL-replayable exact truth: subset always,
+    * and >= the J=1.0 pair count (byte-identical docs share every band
+    * hash, so LSH can never miss them). Counts in the output are the
+    * DuckDB-replayable exact ones; LSH-dependent sets enter only via
+    * the equivalence bits. */
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val params = Dedup.MinHashParams()
+    val docs = Tables.documents(s, dir)
+    val isNewId = (c: org.apache.spark.sql.Column) => pmod(c, lit(5)) === 4
+    val oldDocs = docs.where(!isNewId(col("doc_id")))
+    val newDocs = docs.where(isNewId(col("doc_id")))
+    val table = "graft_dedup_band_index"
+    DedupIndex.build(oldDocs, "doc_id", "text", table, params)
+    val inc = DedupIndex.probeNewBatch(s, table, newDocs, "doc_id", "text", params)
+      .pipe(graft.ext.Checkpoints.stage)
+    // Full-recompute twin over old ∪ new, cut to new-touching pairs
+    // (the split is arithmetic on the id, so the cut is a cheap filter).
+    val fullNew = Dedup.candidatePairs(docs, "doc_id", "text", params)
+      .where(isNewId(col("id_a")) || isNewId(col("id_b")))
+      .pipe(graft.ext.Checkpoints.stage)
+    val missing = fullNew.join(inc, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__missing"))
+    val extra = inc.join(fullNew, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__extra"))
+    val verified = Dedup.verifyPairs(docs, inc, "doc_id", "text", params, 0.5)
+      .pipe(graft.ext.Checkpoints.stage)
+    val truth = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+        params.shingleSize, 0.5)
+      .where(isNewId(col("id_a")) || isNewId(col("id_b")))
+      .pipe(graft.ext.Checkpoints.stage)
+    val nTruth = truth.agg(count(lit(1)).as("n_true_new_pairs"),
+      coalesce(sum((col("jaccard") >= 1.0).cast("long")), lit(0L))
+        .as("n_exact_new_pairs"))
+    val nConf = verified.agg(count(lit(1)).as("__conf"))
+    val viol = verified
+      .join(truth.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__viol"))
+    newDocs.agg(count(lit(1)).as("n_new_docs"))
+      .crossJoin(nTruth).crossJoin(nConf).crossJoin(viol)
+      .crossJoin(missing).crossJoin(extra)
+      .select(col("n_new_docs"), col("n_true_new_pairs"), col("n_exact_new_pairs"),
+        (col("__missing") === 0 && col("__extra") === 0).cast("long")
+          .as("same_as_batch_ok"),
+        (col("__viol") === 0).cast("long").as("subset_ok"),
+        (col("__conf") >= col("n_exact_new_pairs")).cast("long").as("ge_exact_ok"))
+  }
+
   /** Brute-force top-10 cosine against the vec_id=0 embedding. */
   private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -1715,6 +1773,26 @@ object ExtensionQueries {
         | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j WHERE jac >= 0.5) AS n_true_pairs,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j WHERE jac >= 1.0) AS n_exact_pairs,
+        |  CAST(1 AS BIGINT) AS subset_ok, CAST(1 AS BIGINT) AS ge_exact_ok""".stripMargin.replaceAll("\n", " "),
+    // Incremental twin: same exact-Jaccard truth, restricted to pairs
+    // touching the "new shard" (doc_id % 5 = 4). The incremental-vs-
+    // batch candidate equality enters via the same_as_batch_ok bit
+    // (computed in-engine over the two LSH candidate sets).
+    "x_incremental_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+        | sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |     generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM tok),
+        | ns AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        | pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+        |   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | j AS (SELECT ia, ib, CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) AS jac
+        |   FROM pr JOIN ns na ON na.doc_id = pr.ia JOIN ns nb ON nb.doc_id = pr.ib
+        |   WHERE ia % 5 = 4 OR ib % 5 = 4)
+        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 5 = 4) AS n_new_docs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j WHERE jac >= 0.5) AS n_true_new_pairs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j WHERE jac >= 1.0) AS n_exact_new_pairs,
+        |  CAST(1 AS BIGINT) AS same_as_batch_ok,
         |  CAST(1 AS BIGINT) AS subset_ok, CAST(1 AS BIGINT) AS ge_exact_ok""".stripMargin.replaceAll("\n", " "),
     // Embedding near-dup / approx-sim-join gates: truth is the
     // brute-force cosine pair count at the threshold (identical

@@ -1,0 +1,108 @@
+package graft.ext
+
+import scala.util.chaining._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Writer
+
+/** Incremental near-dup dedup: persist the corpus LSH band table once,
+  * then dedup each arriving shard against the index WITHOUT
+  * re-shingling the indexed corpus — the shape a real pipeline runs
+  * (dedup shard-N against everything ingested so far), vs
+  * [[Dedup.candidatePairs]] which re-hashes the full corpus per call.
+  *
+  * Index layout: the (id, band_id, band_hash) table bucketed+sorted on
+  * `band_hash` (16 `band_id` values × high-cardinality hashes — the
+  * hash is the selective key; bucketing on it lets the probe's
+  * semi-join and the bucket-sizing groupBy run off the stored
+  * clustering). Cost model at 100 TB:
+  *   - build: one full-corpus banding pass (exactly [[Dedup.bands]]),
+  *     paid ONCE;
+  *   - probe: bands the NEW batch (O(batch)), then semi-joins the
+  *     index down to buckets the batch touches before any sizing or
+  *     pair generation — the corpus-side read is O(touched buckets),
+  *     never a rescan of the corpus text;
+  *   - append: insertInto the same bucketed layout, so the index stays
+  *     probe-able shard after shard.
+  *
+  * Equivalence contract (pinned by x_incremental_dedup and
+  * DedupSpec): probe candidates == the full-recompute
+  * [[Dedup.candidatePairsFromBands]] over old ∪ new, restricted to
+  * pairs touching a new id. That holds because (a) banding is
+  * per-row — a doc's bands don't depend on the rest of the corpus —
+  * and (b) the `maxBucketSize` cap is applied to bucket counts over
+  * old ∪ new (complete within every touched bucket; untouched buckets
+  * can't produce a new-touching pair).
+  */
+object DedupIndex {
+
+  /** Band the corpus and persist as a bucketed+sorted table keyed on
+    * `band_hash`. Overwrites `table`. */
+  def build(docs: DataFrame, idCol: String, textCol: String, table: String,
+            params: Dedup.MinHashParams = Dedup.MinHashParams(),
+            nBuckets: Int = 16): Unit =
+    Writer.bucketedTable(
+      Dedup.bands(docs, idCol, textCol, params), table, "band_hash", nBuckets)
+
+  /** Append a new batch's bands to an existing index (after a
+    * [[probeNewBatch]] has deduped the batch, persist the survivors'
+    * bands so the NEXT shard probes against them too). insertInto
+    * keeps the table's bucketed layout. */
+  def append(spark: SparkSession, table: String, newDocs: DataFrame,
+             idCol: String, textCol: String,
+             params: Dedup.MinHashParams = Dedup.MinHashParams()): Unit =
+    Dedup.bands(newDocs, idCol, textCol, params)
+      .write.mode("append").insertInto(table)
+
+  /** Candidate near-dup pairs TOUCHING the new batch (new-vs-indexed
+    * and new-vs-new), canonicalized id_a < id_b. Only the new batch is
+    * shingled; the corpus side comes from the saved band table,
+    * restricted up front to buckets the batch touches. */
+  def probeNewBatch(spark: SparkSession, table: String, newDocs: DataFrame,
+                    idCol: String, textCol: String,
+                    params: Dedup.MinHashParams = Dedup.MinHashParams()): DataFrame = {
+    val newBands = Dedup.bands(newDocs, idCol, textCol, params)
+      .pipe(Checkpoints.stage)
+    // Buckets untouched by the batch cannot yield a new-touching pair:
+    // cut the index to touched buckets BEFORE sizing — the broadcast
+    // semi-join is the probe's only contact with the corpus index.
+    val touched = newBands.select(col("band_id"), col("band_hash")).distinct()
+    val idxTouched = spark.table(table)
+      .join(broadcast(touched), Seq("band_id", "band_hash"), "left_semi")
+    // Bucket counts over old ∪ new — the SAME cap decision the batch
+    // pipeline would make on the union corpus (see the object doc), so
+    // incremental == full-recompute holds even on capped buckets.
+    // Feeds sizing + both join sides; stage it once.
+    val union = idxTouched.unionByName(newBands).pipe(Checkpoints.stage)
+    val sized = union.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= params.maxBucketSize)
+    val inBucket = union.join(sized, Seq("band_id", "band_hash"))
+    val newSide = newBands.join(sized, Seq("band_id", "band_hash"))
+      .select(col("band_id"), col("band_hash"), col("id").as("id_n"))
+    val allSide = inBucket
+      .select(col("band_id"), col("band_hash"), col("id").as("id_o"))
+    newSide.join(allSide, Seq("band_id", "band_hash"))
+      .where(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
+  }
+
+  /** End-to-end incremental near-dup pairs: probe candidates, then
+    * exact-Jaccard verification against the UNION corpus (only docs
+    * that appear in a candidate pair are shingled — Dedup.verifyPairs'
+    * semi-join contract). `allDocs` must cover both indexed and new
+    * ids (the verification needs the text of indexed docs a new doc
+    * collides with). */
+  def nearDupPairsNewBatch(spark: SparkSession, table: String,
+                           newDocs: DataFrame, allDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           params: Dedup.MinHashParams = Dedup.MinHashParams(),
+                           threshold: Double = 0.8): DataFrame =
+    Dedup.verifyPairs(allDocs,
+      probeNewBatch(spark, table, newDocs, idCol, textCol, params),
+      idCol, textCol, params, threshold)
+}

@@ -268,6 +268,47 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("DedupIndex: probe equals full recompute restricted to new-touching pairs; append extends the index") {
+    import scala.util.chaining._
+    // Index the 63-doc corpus, then arrive with a batch holding: a
+    // near-dup of an INDEXED doc, a near-dup WITHIN the batch, and an
+    // unrelated doc.
+    val batch = Seq(
+      200L -> corpus.where(col("doc_id") === 5).select(col("text"))
+        .first().getString(0).replaceFirst("\\w+$", "whiskey"),
+      201L -> "entirely novel content that matches nothing at all here",
+      202L -> "entirely novel content that matches nothing at all there"
+    ).toDF("doc_id", "text")
+    val all = corpus.unionByName(batch)
+    val table = "graft_dedup_idx_spec"
+    DedupIndex.build(corpus, "doc_id", "text", table, params)
+    val probe = DedupIndex.probeNewBatch(spark, table, batch, "doc_id", "text", params)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Full-recompute twin over old ∪ new, cut to pairs touching the batch.
+    val newIds = Set(200L, 201L, 202L)
+    val full = Dedup.candidatePairs(all, "doc_id", "text", params)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => newIds(p._1) || newIds(p._2)).toSet
+    assert(probe == full, s"probe $probe != batch-restricted $full")
+    // The planted collisions surface; verification confirms them.
+    assert(probe.contains((5L, 200L)), "new-vs-indexed near-dup missed")
+    assert(probe.contains((201L, 202L)), "new-vs-new near-dup missed")
+    val verified = DedupIndex.nearDupPairsNewBatch(spark, table, batch, all,
+      "doc_id", "text", params, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.contains((5L, 200L)) && verified.contains((201L, 202L)))
+    // Append the batch's bands; a SECOND shard colliding with the first
+    // one's docs must now probe against them through the index alone.
+    DedupIndex.append(spark, table, batch, "doc_id", "text", params)
+    val second = Seq(300L ->
+      "entirely novel content that matches nothing at all anywhere")
+      .toDF("doc_id", "text")
+    val probe2 = DedupIndex.probeNewBatch(spark, table, second, "doc_id", "text", params)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe2.exists(p => p._2 == 300L && newIds(p._1)),
+      s"appended bands not visible to the second probe: $probe2")
+  }
+
   test("x_minhash_neardup summary is stable on driver testdata") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", Dedup.MinHashParams())

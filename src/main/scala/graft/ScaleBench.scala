@@ -76,6 +76,88 @@ object ScaleBench {
       .select(col("vec_id"), col("embedding"), col("label"))
   }
 
+  /** [[genDocuments]] plus one VIRAL near-identical cluster appended
+    * at ids [n, n+v): v = max(2000, n/50) docs sharing a single base
+    * body with a tiny per-doc variant suffix — every LSH band bucket
+    * it touches holds ~v rows, v ≫ maxBucketSize (1000). This is the
+    * boilerplate-skew shape (one template page duplicated across a
+    * crawl) that the hot-bucket cap exists for: without the cap, that
+    * one cluster contributes Σ 16·v²/2 candidate rows and
+    * quadratically dominates the banded join. */
+  def genViralDocs(spark: SparkSession, n: Long): (DataFrame, Long) = {
+    val v = math.max(2000L, n / 50)
+    val vocabCol = array(vocab.map(lit): _*)
+    val viral = spark.range(n, n + v, 1, 32).toDF("doc_id")
+      .withColumn("body", array_join(transform(sequence(lit(0), lit(49)),
+        i => element_at(vocabCol,
+          pmod(xxhash64(lit(-7L), i), lit(vocab.size.toLong)).cast("int") + 1)), " "))
+      .withColumn("text",
+        concat(col("body"), lit(" vvar"), pmod(col("doc_id"), lit(5))))
+      .select(col("doc_id"), col("text"))
+    (genDocuments(spark, n).unionByName(viral), v)
+  }
+
+  /** The MinHash-LSH banded join under boilerplate skew — the measured
+    * form of the Σ bucket² + maxBucketSize contract written at
+    * Dedup.scala's header. One shared band table (banding cost is
+    * identical either way; the cap only changes the JOIN), then
+    * candidate generation with the cap ON (1000) vs OFF, reporting
+    * wall, candidate pairs, shuffle bytes, and the Σ m·(m−1)/2 bucket
+    * mass each join must pay. Invariants required before the numbers
+    * count: capped ⊆ uncapped, and the two runs agree EXACTLY on
+    * pairs among the organic tail (the cap may only drop
+    * viral-cluster pairs — organic near-dup recall is untouched).
+    */
+  def neardupSkewPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import scala.util.chaining._
+    val n = 5000L * scale
+    val pathStr = s"$dir/neardup_skew_x$scale"
+    val (gen, viralSize) = genViralDocs(spark, n)
+    gen.write.mode("overwrite").parquet(pathStr)
+    val docs = spark.read.parquet(pathStr)
+    val capOn = Dedup.MinHashParams()
+    val capOff = capOn.copy(maxBucketSize = Int.MaxValue)
+    spark.sqlContext.clearCache()
+    val bands = Dedup.bands(docs, "doc_id", "text", capOn)
+      .pipe(graft.ext.Checkpoints.stage)
+    val buckets = bands.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("m"))
+      .pipe(graft.ext.Checkpoints.stage)
+    val hotMax = buckets.agg(coalesce(max(col("m")), lit(0L))).first().getLong(0)
+    val nCapped = buckets.where(col("m") > capOn.maxBucketSize).count()
+    def mass(b: DataFrame) = b
+      .agg(coalesce(sum((col("m") * (col("m") - 1) / 2).cast("long")), lit(0L)))
+      .first().getLong(0)
+    val massOn = mass(buckets.where(col("m") <= capOn.maxBucketSize))
+    val massOff = mass(buckets)
+    spark.sqlContext.clearCache()
+    val (pairsOn, tOn, bytesOn) = withShuffleBytes(spark) {
+      Dedup.candidatePairsFromBands(bands, capOn)
+        .pipe(graft.ext.Checkpoints.stage)
+    }
+    val nOn = pairsOn.count()
+    spark.sqlContext.clearCache()
+    val (pairsOff, tOff, bytesOff) = withShuffleBytes(spark) {
+      Dedup.candidatePairsFromBands(bands, capOff)
+        .pipe(graft.ext.Checkpoints.stage)
+    }
+    val nOff = pairsOff.count()
+    // Correctness floor for the comparison: the cap is a pure subset...
+    require(pairsOn.join(pairsOff, Seq("id_a", "id_b"), "left_anti").count() == 0,
+      "capped candidates must be a subset of uncapped")
+    // ...and it only drops VIRAL pairs — organic-tail candidates equal.
+    val organic = (p: DataFrame) =>
+      p.where(col("id_a") < n && col("id_b") < n).count()
+    val (tailOn, tailOff) = (organic(pairsOn), organic(pairsOff))
+    require(tailOn == tailOff,
+      s"cap changed organic-tail candidates: $tailOn vs $tailOff")
+    s"""{"neardup_skew":{"scale":$scale,"n_docs":${n + viralSize},""" +
+      s""""viral_cluster":$viralSize,"hot_bucket_max":$hotMax,""" +
+      s""""n_buckets_capped":$nCapped,"organic_pairs":$tailOn,""" +
+      s""""cap_on":{"t":${fmt(tOn)},"n_pairs":$nOn,"band_mass":$massOn,"shuffle_bytes":$bytesOn},""" +
+      s""""cap_off":{"t":${fmt(tOff)},"n_pairs":$nOff,"band_mass":$massOff,"shuffle_bytes":$bytesOff}}}"""
+  }
+
   private def timed[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -305,6 +387,14 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // `neardup-skew-only` (any arg position): just the boilerplate-skew
+    // dedup point at each scale, 1× warmup untimed first.
+    if (args.contains("neardup-skew-only")) {
+      neardupSkewPoint(spark, outBase, 1)
+      scales.foreach(m => println(neardupSkewPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
     // `points-only` (any arg position) skips the corpus scales and
     // runs just the fixed-size points — quick re-measurement.
     val pointsOnly = args.contains("points-only")
@@ -324,6 +414,7 @@ object ScaleBench {
       // (same policy as Bench).
       runPoint(spark, s"$outBase/x${scales.min}", scales.min)
       scales.foreach { m => println(runPoint(spark, s"$outBase/x$m", m)) }
+      scales.foreach { m => println(neardupSkewPoint(spark, outBase, m)) }
     }
     // Fixed-size points (not per-scale): heavy hitters at 10M items,
     // ~7M distinct — the regime where the census's shuffle is the

@@ -35,6 +35,78 @@ class PlanAuditSpec extends AnyFunSuite {
       s"symmetric diff of two big sides must sort-merge full-outer:\n$plan")
   }
 
+  test("salted join: shuffle join keyed on (key, salt), never broadcast of the salted side") {
+    import org.apache.spark.sql.functions._
+    // Salting exists for the dim that does NOT fit a broadcast — pin
+    // the shape under that regime (threshold off), scoped and restored.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val li = Tables.lineitem(spark, TestSpark.sf0001)
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val o = Tables.orders(spark, TestSpark.sf0001)
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+      val plan = graft.ext.Skew.saltedJoin(li, o, "okey", salt = 8)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"salted join must shuffle on (key, salt):\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"the 8x-replicated salted side must not broadcast:\n$plan")
+      // Both join key lists carry the salt — the hot key really is
+      // spread over `salt` shuffle partitions.
+      assert(plan.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+          l.contains("__salt") && l.contains("okey")),
+        s"join keys must be (okey, __salt):\n$plan")
+    } finally prev match {
+      case Some(v) => spark.conf.set(thresholdKey, v)
+      case None => spark.conf.unset(thresholdKey)
+    }
+  }
+
+  test("dedup band join: equi-join keyed on (band_id, band_hash), no quadratic shape") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val plan = graft.ext.Dedup.candidatePairs(docs, "doc_id", "text",
+        graft.ext.Dedup.MinHashParams())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"band join must never be quadratic:\n$plan")
+    // The candidate join is keyed on the bucket — cost sum(bucket^2),
+    // the contract at Dedup.scala:13-21.
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) &&
+        l.contains("band_id") && l.contains("band_hash")),
+      s"candidate join must be keyed on (band_id, band_hash):\n$plan")
+  }
+
+  test("as-of join: one exchange, one sort, one window — no self-join explosion") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("err_id"))
+    val plan = graft.operators.AsOfJoin.asOfBackward(
+        clicks, errors, "user_id", "ts", Seq("err_id"), "prev_")
+      .queryExecution.executedPlan.toString
+    def occurrences(needle: String) =
+      plan.linesIterator.count(_.contains(needle))
+    // The tagged-union + window shape: no join operator of any kind...
+    Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+      "CartesianProduct", "BroadcastNestedLoop").foreach { j =>
+      assert(!plan.contains(j), s"as-of must not plan a $j:\n$plan")
+    }
+    // ...exactly one Window pass, fed by exactly one shuffle Exchange
+    // and one Sort on (key, ts, side).
+    assert(occurrences("Window") == 1, s"expected exactly one Window:\n$plan")
+    assert(occurrences("Exchange") == 1,
+      s"expected exactly one Exchange (the key shuffle):\n$plan")
+    assert(occurrences("Sort ") == 1,
+      s"expected exactly one Sort (the window order):\n$plan")
+  }
+
   test("x_asof_join and x_range_join stay free of cartesian/nested-loop shapes") {
     Seq("x_asof_join", "x_range_join").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, TestSpark.sf0001)

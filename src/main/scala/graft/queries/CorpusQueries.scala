@@ -1,0 +1,923 @@
+package graft
+
+import scala.util.chaining._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, DedupIndex, HeavyHitters, Mixing, Multimodal, Packing, TextAnalysis}
+
+/** Document-corpus-family registry: dedup (exact / MinHash-LSH /
+  * incremental / SimHash / n-gram Jaccard), text analysis and
+  * vocabulary, quality gates, PII, splits/mixing/sampling, sequence
+  * packing, and the multimodal payload plumbing. Split out of
+  * ExtensionQueries (round 8) purely for navigation — registry
+  * contents and oracle rules are unchanged. */
+private[graft] object CorpusQueries {
+
+  private val stopwords = Seq("the", "a")
+  private val langMarkers = Map(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("el", "la"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir).agg(
+        count_distinct(col("text")).as("n_distinct"),
+        count(lit(1)).as("n"))),
+    "x_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+    "x_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
+          TextAnalysis.subwordCount(col("text")).as("n_subword"))
+        .orderBy(col("doc_id"))),
+    "x_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text", stopwords)
+        .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"),
+          col("n_stopwords"), col("avg_token_len"), col("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+    "x_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir), "text", langMarkers)
+        .select(col("doc_id"), col("score_en"), col("score_es"), col("lang_pred"))
+        .orderBy(col("doc_id"))),
+    "x_jaccard_adjacent" -> ((s, dir) => jaccardAdjacent(s, dir)),
+    "x_minhash_neardup" -> ((s, dir) => minhashSummary(s, dir)),
+    "x_incremental_dedup" -> ((s, dir) => incrementalDedup(s, dir)),
+    "x_simhash" -> ((s, dir) =>
+      // SimHash values are engine-internal (xxhash64), but two
+      // INVARIANTS of them are not: (a) simhash is a pure function of
+      // text, so byte-identical docs — the planted dup groups at
+      // sf0.1 — MUST collide (zero purity violations across every
+      // text group, evaluated over the real per-doc hashes); (b) the
+      // group/doc census matches the corpus. Per-value semantics stay
+      // pinned in DedupSpec.
+      Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("text"), Dedup.simhash(col("text")).as("simhash"))
+        .groupBy(col("text"))
+        .agg(count_distinct(col("simhash")).as("__nh"), count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("n_text_groups"),
+          coalesce(sum(col("__c")), lit(0L)).as("n_docs"),
+          coalesce(sum(when(col("__nh") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_purity_violations"))),
+    "x_multimodal_meta" -> ((s, dir) =>
+      Multimodal.attachPayload(Tables.documents(s, dir), "text", "text/plain")
+        .select(col("doc_id"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.format").as("format"))
+        .orderBy(col("doc_id"))),
+    "x_multimodal_decode" -> ((s, dir) => decodeParity(s, dir)),
+    "x_approx_distinct" -> ((s, dir) =>
+      // HLL++ cardinality — the sketch the exact-dedup census upgrades
+      // to at 100 TB (no full-key shuffle). The estimate itself is
+      // implementation-specific, so the ORACLE-CHECKED columns are the
+      // exact distinct count and the 3σ error-bound bit (rsd 0.05 →
+      // |approx/exact − 1| < 0.15; the sketch is deterministic per
+      // dataset, so the bit is stable). DedupSpec asserts the same
+      // bound on fixtures.
+      Tables.documents(s, dir).agg(
+          approx_count_distinct(col("text"), 0.05).as("ad"),
+          count_distinct(col("text")).as("n_distinct"),
+          count(lit(1)).as("n"))
+        .select(col("n_distinct"), col("n"),
+          (abs(col("ad").cast("double") / col("n_distinct").cast("double") - 1.0) < 0.15)
+            .cast("long").as("approx_ok"))),
+    "x_oov_rate" -> ((s, dir) =>
+      // Tokenizer-coverage signal: per-document out-of-vocabulary
+      // fraction against the corpus top-10 vocabulary (count DESC,
+      // token tie-break — deterministic). The vocab is a DERIVED
+      // broadcast dimension: built once from the corpus (two keyed
+      // aggs + TakeOrdered over the token census), then broadcast to
+      // a per-token hash join — the corpus is scanned, exploded, and
+      // flagged without ever shuffling on doc_id until the final
+      // per-doc rollup.
+      oovRate(s, dir)),
+    "x_clean_text" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(TextAnalysis.cleanText(col("text"))).cast("long").as("n_clean_chars"))
+        .orderBy(col("doc_id"))),
+    "x_pii_flags" -> ((s, dir) =>
+      TextAnalysis.piiFlags(Tables.documents(s, dir), "text")
+        .groupBy()
+        .agg(sum(col("n_emails")).as("total_emails"),
+          sum(col("n_long_digit_runs")).as("total_digit_runs"),
+          sum(col("n_phone_like")).as("total_phone_like"),
+          count(lit(1)).as("n_docs"))),
+    "x_pii_redact" -> ((s, dir) => {
+      // Redaction summary: docs changed + net character delta
+      // (TextAnalysis.redactPii — the scrub x_pii_flags routes to).
+      val red = TextAnalysis.redactPii(col("text"))
+      Tables.documents(s, dir)
+        .select(col("text"), red.as("red"))
+        .agg(count(when(col("text") =!= col("red"), lit(1))).as("n_redacted_docs"),
+          sum(length(col("text")) - length(col("red"))).cast("long").as("chars_delta"))
+    }),
+    "x_split_assign" -> ((s, dir) =>
+      TextAnalysis.assignSplit(Tables.documents(s, dir), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))),
+    "x_neardup_dedup" -> ((s, dir) => neardupIdempotent(s, dir)),
+    "x_vocab_top50" -> ((s, dir) => vocabTop(s, dir)),
+    "x_heavy_hitters" -> ((s, dir) =>
+      // Sketch-then-confirm heavy hitters: the Misra–Gries candidate
+      // set (native TypedImperativeAggregate, constant-size partials)
+      // is guaranteed to contain every token above the n/(k+1)
+      // frequency threshold, and the confirm pass keeps exactly those
+      // — so the OUTPUT is deterministic and the oracle replays it as
+      // an exact census filter. MisraGriesSpec pins the sketch-side
+      // guarantees (membership under adversarial partitioning, error
+      // bound, serde roundtrip) in the k < vocab regime.
+      HeavyHitters.confirmedHeavy(
+        Tables.documents(s, dir).select(explode(split(col("text"), " ")).as("token")),
+        "token", 64)),
+    "x_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, dir), "text")),
+    "x_chunk_overlap" -> ((s, dir) =>
+      Packing.chunkWithOverlap(Tables.documents(s, dir), "doc_id", "text",
+        window = 64, stride = 48)),
+    "x_frame_sample" -> ((s, dir) => {
+      // Frame sampling over binary payloads (Multimodal.sampleFrames):
+      // 32-byte frames, every 2nd kept — real byte slicing on the
+      // BINARY column, dumped as text for the oracle (the fixture is
+      // ASCII; both sides guard on strlen==length so a future
+      // non-ASCII fixture turns the gate red rather than silently
+      // comparing bytes to chars). First 50 docs keep the dump small.
+      val docs = Tables.documents(s, dir)
+        .where(col("doc_id") < 50 && col("text").isNotNull)
+        .where(length(col("text")) === octet_length(col("text")))
+      Multimodal.sampleFrames(
+          Multimodal.attachPayload(docs, "text", "text/plain"),
+          "doc_id", "payload", frameBytes = 32, stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame").cast("string").as("frame_str"),
+          length(col("frame")).cast("long").as("n_frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+    "x_hash_sample" -> ((s, dir) =>
+      // Deterministic exact-100 uniform sample of the corpus
+      // (graft.ext.Mixing.exactK) — same rows on every run and engine.
+      // The ranking hash is re-derived for the dump (exactK returns
+      // the input schema; orderHash is the same single definition).
+      Mixing.exactK(Tables.documents(s, dir), "doc_id", 100)
+        .select(col("doc_id"), Mixing.orderHash(col("doc_id")).as("h"))
+        .orderBy(col("h"), col("doc_id"))),
+    "x_stratified_sample" -> ((s, dir) =>
+      // Deterministic 3-per-event-type stratified sample
+      // (graft.ext.Mixing.stratifiedExactK), summarized per stratum
+      // so the driver row is small but every sampled id is pinned.
+      Mixing.stratifiedExactK(Tables.events(s, dir), "event_id",
+          "event_type", 3)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_ids"))
+        .orderBy(col("event_type"))),
+    "x_weighted_mix" -> ((s, dir) =>
+      // Deterministic weighted source mixing (graft.ext.Mixing): keep
+      // 25% of views, 50% of clicks, 10% of errors, everything else
+      // whole — the oracle replays the id-hash routing in SQL, so the
+      // kept MULTISET (not just counts) is pinned via per-type counts.
+      Mixing.sampleByPct(Tables.events(s, dir), "event_id", "event_type",
+          Map("view" -> 25, "click" -> 50, "error" -> 10))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+    "x_pack_chunks" -> ((s, dir) =>
+      // Concat-and-chunk sequence packing over the document corpus:
+      // 512-token context windows, 8 hash shards (graft.ext.Packing).
+      // All-integer output; the oracle replays the cumsum + interval
+      // arithmetic in SQL.
+      Packing.packSummary(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.wsTokenCount(col("text")), capacity = 512L, shards = 8)),
+    "x_contamination" -> ((s, dir) => contamination(s, dir)),
+    "x_tfidf_top" -> ((s, dir) => {
+      // Top TF-IDF term for the first 20 docs, scored against
+      // corpus-wide document frequencies (TextAnalysis.topTfIdfTerm;
+      // linear idf on the oracle path — see its Scaladoc for why log
+      // idf can't be oracle-compared across engines).
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.topTfIdfTerm(
+          docs.where(col("doc_id") < 20), docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "x_length_buckets" -> ((s, dir) =>
+      // Length-bucketed batching census over the corpus: 64-token
+      // buckets (graft.ext.Packing.lengthBuckets) — all integers.
+      Packing.lengthBuckets(Tables.documents(s, dir),
+        TextAnalysis.wsTokenCount(col("text")), width = 64L)),
+    "x_edit_distance" -> ((s, dir) => editDistance(s, dir)),
+    "x_bigram_next" -> ((s, dir) => bigramNext(s, dir)),
+    "x_quality_gate" -> ((s, dir) => qualityGate(s, dir)),
+    "x_memorization" -> ((s, dir) =>
+      // Per-doc memorized-bigram fraction against the corpus's own
+      // bigram census (TextAnalysis.memorizedBigramStats, minCount 4)
+      // — the document-level boilerplate/memorization signal.
+      TextAnalysis.memorizedBigramStats(
+        Tables.documents(s, dir), "doc_id", "text", minCount = 4L)),
+    "x_token_split" -> ((s, dir) => tokenBudgetSplit(s, dir)),
+    "x_entropy" -> ((s, dir) => entropyProfile(s, dir)),
+    "x_union_evolve" -> ((s, dir) => {
+      // Schema-evolution union: the legacy half of the corpus lacks
+      // `lang`; unionByName(allowMissingColumns) null-fills it —
+      // positional union would silently misalign. Census by lang
+      // pins the fill semantics.
+      val d = Tables.documents(s, dir)
+      val cur = d.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val legacy = d.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+      cur.unionByName(legacy, allowMissingColumns = true)
+        .groupBy(coalesce(col("lang"), lit("(missing)")).as("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  /** x_neardup_dedup: runs the END-TO-END near-dup dedup (candidates →
+    * verify → cluster → survivor per cluster, DedupSpec pins the
+    * planted-cluster semantics) and gates it with the idempotence bit:
+    * a second pass over the survivors confirms ZERO pairs at the
+    * threshold — precisely the condition under which
+    * dedup(dedup(x)) = dedup(x), since dedup removes a row iff a
+    * confirmed pair touches it. The bit is hash-independent even
+    * though the survivor SET is not — which is what makes an
+    * oracle-checkable constant out of the MinHash pipeline's
+    * end-to-end semantics.
+    *
+    * The corpus is banded ONCE: bands are per-row, so the survivors'
+    * band table is a semi-join of the full one — the second pass pays
+    * a slim join instead of repeating the shingle+minhash computation
+    * (the same amortization the persisted ANN/IVF indexes apply). */
+  private def neardupIdempotent(s: SparkSession, dir: String): DataFrame = {
+    val params = Dedup.MinHashParams()
+    val docs = Tables.documents(s, dir)
+    val b = Dedup.bands(docs, "doc_id", "text", params).pipe(graft.ext.Checkpoints.stage)
+    val once = Dedup.dedupNearDups(docs, "doc_id", "text", params,
+      threshold = 0.5, precomputedBands = Some(b))
+    val survivorBands = b.join(once.select(col("doc_id")),
+        b("id") === col("doc_id"), "left_semi")
+      .pipe(graft.ext.Checkpoints.stage)
+    Dedup.nearDupPairs(once, "doc_id", "text", params, threshold = 0.5,
+        precomputedBands = Some(survivorBands))
+      .agg((count(lit(1)) === 0).cast("long").as("idempotent_ok"))
+  }
+
+  /** x_multimodal_decode: count of rows where the expression decode path
+    * (decodeFeaturesStub, codegen'd per-row) disagrees with the batched
+    * mapPartitions path (decodeBatched, the mapInPandas shape) — the
+    * oracle-checkable form of the two-path decode contract
+    * (SimilaritySpec pins it row-wise; this gates it as a hard 0).
+    * Full-outer join so a row missing from either path counts as a
+    * mismatch rather than vanishing; null payloads must decode to null
+    * on BOTH paths (`<=>` counts double-null as agreement). */
+  private def decodeParity(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Multimodal.attachPayload(Tables.documents(s, dir),
+      "text", "text/plain")
+    val viaExpr = withPayload.select(col("doc_id"),
+      Multimodal.decodeFeaturesStub(col("payload")).as("f_expr"))
+    val viaBatch = Multimodal.decodeBatched(withPayload, "doc_id", "payload")
+    viaExpr.join(viaBatch, Seq("doc_id"), "full_outer")
+      .agg(coalesce(sum((!(col("f_expr") <=> col("features"))).cast("long")),
+        lit(0L)).as("n_mismatch"))
+  }
+
+  /** Corpus vocabulary: top-50 terms by total occurrences with their
+    * document frequencies — the frequency/vocab analysis every
+    * training-data pipeline runs before filtering. Whitespace
+    * tokenization matches the oracle's string_split; all-integer
+    * output, so the compare is exact. One explode + keyed aggregation,
+    * TakeOrdered top-k — no driver-side collection. */
+  private def vocabTop(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_total"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("term"))
+      .limit(50)
+
+  /** Per-document OOV fraction vs the corpus top-`vocabSize` tokens —
+    * see the x_oov_rate registration comment for the plan shape. */
+  private def oovRate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovStats(Tables.documents(s, dir), "doc_id", "text", vocabSize = 10)
+
+  /** Benchmark decontamination over the corpus: docs with
+    * doc_id % 97 == 0 stand in for the eval suite, the rest are the
+    * training corpus; report how many training docs share a word
+    * 3-gram with it (graft.ext.TextAnalysis.contaminationReport —
+    * broadcast semi-join, corpus never shuffled). */
+  private def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.contaminationReport(
+      docs.where(col("doc_id") % 97 =!= 0),
+      docs.where(col("doc_id") % 97 === 0),
+      "doc_id", "text", k = 3)
+  }
+
+  /** Levenshtein distance between adjacent docs' 40-char prefixes —
+    * the character-level fuzzy-dedup signal (complements the word-set
+    * Jaccard and MinHash paths). Both engines implement the classic
+    * DP edit distance over exact integers, so the compare is exact.
+    * The O(m·n) DP runs per pair inside codegen; the adjacent-pair
+    * self-join is the same id+1 equi-join anchor as x_quantize_dot. */
+  private def editDistance(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+    val a = d.select(col("doc_id").as("id_a"), col("t").as("t_a"))
+    val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      col("t").as("t_b"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("t_a"), col("t_b")).cast("long").as("dist"))
+      .orderBy(col("id_a"))
+  }
+
+  /** Corpus bigram statistics: for every frequent leading word, the
+    * most likely next word and the bigram count — the n-gram language-
+    * model table a classic LM (or a repetition detector) builds over a
+    * corpus. Shape: per-doc adjacent-pair explode (codegen, no
+    * shuffle) → (w1, w2) count → per-w1 argmax window. The n ≥ 20
+    * floor keeps the output the high-signal head, like x_vocab_top50.
+    * Everything is integer counts + lexical tiebreaks — exact oracle. */
+  private def bigramNext(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Spread the single-file scan before the per-doc pair explode
+    // (graft.ext.Spread). Tokenize into an aliased column so the pair
+    // lambda reads a bound attribute — an embedded split() would
+    // re-run per element (O(len²) per doc).
+    val src = graft.ext.Spread.ensure(Tables.documents(s, dir).select(col("text")))
+    val t = col("t")
+    val pairs = src.select(TextAnalysis.tokens(col("text")).as("t"))
+      .select(when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val byLead = Window.partitionBy(col("w1")).orderBy(col("n").desc, col("w2"))
+    counts.withColumn("rn", row_number().over(byLead))
+      .where(col("rn") === 1 && col("n") >= 20)
+      .select(col("w1"), col("w2"), col("n"))
+      .orderBy(col("w1"))
+  }
+
+  /** Gopher-style document quality GATE: the composite keep/drop
+    * decision a pretraining pipeline runs per document — too short,
+    * average word length out of band, too few stopwords, or dominated
+    * by a single repeated token. Every rule is INTEGER arithmetic
+    * (ratio thresholds rewritten as cross-multiplications), so the
+    * gate replays exactly in SQL. The repetition rule needs the
+    * per-doc token mode: one explode + (doc, term) count + per-doc
+    * max — the only shuffles in the query; the other three rules are
+    * codegen'd per-row columns. */
+  private def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.ext.Spread.ensure(Tables.documents(s, dir))
+    val t = col("text")
+    val base = src.select(col("doc_id"),
+      TextAnalysis.wsTokenCount(t).as("n_tok"),
+      length(regexp_replace(t, " ", "")).cast("long").as("n_cns"),
+      size(filter(TextAnalysis.tokens(t), w => w.isin("the", "a")))
+        .cast("long").as("n_stop"))
+    val rep = src.select(col("doc_id"), explode(TextAnalysis.tokens(t)).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok"))
+    val fShort = col("n_tok") < 20
+    val fAvg = col("n_cns") < lit(3) * col("n_tok") ||
+      col("n_cns") > lit(10) * col("n_tok")
+    val fStop = col("n_stop") * 50 < col("n_tok")
+    val fRep = col("max_tok") * 5 >= col("n_tok")
+    base.join(rep, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(fShort.cast("long")).as("n_fail_short"),
+        sum(fAvg.cast("long")).as("n_fail_avg_len"),
+        sum(fStop.cast("long")).as("n_fail_stop"),
+        sum(fRep.cast("long")).as("n_fail_rep"),
+        sum((!(fShort || fAvg || fStop || fRep)).cast("long")).as("n_pass"))
+  }
+
+  /** Token-BUDGET corpus split: docs are assigned to 'train' in
+    * doc_id order until the running token total reaches 80% of the
+    * corpus, the rest to 'val' — splitting by token mass, not doc
+    * count, which is how real pretraining corpora are sliced (doc
+    * length varies by orders of magnitude; a doc-count split skews
+    * the actual token budget). The running total is the distributed
+    * PrefixSum; the 80% cut is one driver scalar from a 1-row agg.
+    * Contrast with x_split_assign's hash split: that one is random
+    * and per-row; this one is ordered and mass-exact. */
+  private def tokenBudgetSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).as("n_tok"))
+    // Prefix-sum FIRST: the corpus total is max(cum) over the staged
+    // (checkpointed) frame — one scalar action over cached blocks, no
+    // second tokenization pass over the raw text.
+    val withCum = graft.operators.PrefixSum.runningTotal(docs, Seq("doc_id"), "n_tok")
+    val total = withCum.agg(coalesce(max(col("cum")), lit(0L))).head().getLong(0)
+    val cut = (total * 8L) / 10L
+    withCum
+      .withColumn("split", when(col("cum") <= cut, "train").otherwise("val"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("split"))
+  }
+
+  /** Shannon entropy (bits) of the categorical columns — the
+    * information-theoretic face of the consistency frequency tables
+    * (a collapsed-entropy column signals upstream data loss the raw
+    * counts hide). Float determinism: entropy is a SUM of per-category
+    * terms, and float addition is order-sensitive, so the per-category
+    * counts are collected into a SORTED array and folded sequentially
+    * — the same deterministic-fold technique as the embedding kernels;
+    * the oracle replays list_sort + list_reduce in the identical
+    * order. The collected array is one element per CATEGORY (bounded
+    * by the domain, not the data), never per row. */
+  private def entropyProfile(s: SparkSession, dir: String): DataFrame = {
+    def ent(df: DataFrame, colName: String, label: String): DataFrame =
+      df.where(col(colName).isNotNull)
+        .groupBy(col(colName)).agg(count(lit(1)).as("n"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"),
+          sum(col("n")).as("total"), count(lit(1)).as("n_categories"))
+        .select(lit(label).as("col_name"), col("n_categories"),
+          aggregate(
+            transform(col("ns"), n => {
+              val p = n.cast("double") / col("total").cast("double")
+              -p * log2(p)
+            }),
+            lit(0.0), (acc, x) => acc + x).as("entropy_bits"))
+    ent(Tables.events(s, dir), "event_type", "events.event_type")
+      .unionByName(ent(Tables.documents(s, dir), "lang", "documents.lang"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
+    * oracle-checkable anchor for the n-gram-Jaccard machinery. */
+  private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
+    val a = tok.select(col("doc_id").as("id_a"), col("t").as("t_a"))
+    val b = tok.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("t").as("t_b"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("t_a"), col("t_b"))).cast("long").as("inter"),
+        size(array_union(col("t_a"), col("t_b"))).cast("long").as("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .orderBy(col("id_a"))
+  }
+
+  /** MinHash+LSH near-dup gate (1 row, always non-empty). The
+    * candidate/confirmed pair SETS depend on engine-internal xxhash64,
+    * but they are bounded both ways by hash-independent truth, and the
+    * gate emits exactly those bounds over the REAL pipeline output:
+    *
+    *   - n_true_pairs / n_exact_pairs: the exact inverted-index
+    *     Jaccard operator (Dedup.exactJaccardPairs) at the verify
+    *     threshold and at J = 1 — value-checked against the oracle's
+    *     SQL replay of the same shingle/Jaccard arithmetic;
+    *   - subset_ok: every LSH-confirmed pair is an exact-Jaccard pair
+    *     (verification computes the identical integer ratio, so the
+    *     anti-join must be empty);
+    *   - ge_exact_ok: every identical-shingle-set pair (J = 1) is
+    *     confirmed — equal sets give equal signatures, so all 16 bands
+    *     collide and verification keeps them. (A J = 1 group larger
+    *     than maxBucketSize would be dropped by the hot-bucket cap —
+    *     fixture-dependent in the same sense as annRecallFloor.)
+    */
+  private def minhashSummary(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val params = Dedup.MinHashParams()
+    // One candidate computation feeds both counters (the LSH pipeline
+    // hashes every doc — never run it twice for one report).
+    val pairs = Dedup.candidatePairs(docs, "doc_id", "text", params)
+      .pipe(graft.ext.Checkpoints.stage)
+    val confirmed = Dedup.verifyPairs(docs, pairs, "doc_id", "text", params, 0.5)
+      .select(col("id_a"), col("id_b"))
+      .pipe(graft.ext.Checkpoints.stage)
+    val truth = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+        params.shingleSize, 0.5)
+      .pipe(graft.ext.Checkpoints.stage)
+    val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"),
+      coalesce(sum((col("jaccard") >= 1.0).cast("long")), lit(0L))
+        .as("n_exact_pairs"))
+    val nConf = confirmed.agg(count(lit(1)).as("__conf"))
+    val viol = confirmed
+      .join(truth.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__viol"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(nTrue).crossJoin(nConf).crossJoin(viol)
+      .select(col("n_docs"), col("n_true_pairs"), col("n_exact_pairs"),
+        (col("__viol") === 0).cast("long").as("subset_ok"),
+        (col("__conf") >= col("n_exact_pairs")).cast("long").as("ge_exact_ok"))
+  }
+
+  /** x_incremental_dedup: the INCREMENTAL dedup entry point
+    * (DedupIndex), gated against full recompute. Split: docs with
+    * doc_id % 5 == 4 are the "new shard", the rest the already-indexed
+    * corpus. The query (a) builds the persisted band index over the
+    * old corpus, (b) probes the new shard against it —
+    * DedupIndex.probeNewBatch, which never re-shingles the indexed
+    * docs — and (c) checks the union-then-dedup equivalence: probe
+    * candidates must EQUAL the full-corpus Dedup.candidatePairs
+    * restricted to pairs touching a new id (both-direction anti-joins,
+    * hard 0). Verified pairs (exact Jaccard >= 0.5 over candidates)
+    * are gated against the SQL-replayable exact truth: subset always,
+    * and >= the J=1.0 pair count (byte-identical docs share every band
+    * hash, so LSH can never miss them). Counts in the output are the
+    * DuckDB-replayable exact ones; LSH-dependent sets enter only via
+    * the equivalence bits. */
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val params = Dedup.MinHashParams()
+    val docs = Tables.documents(s, dir)
+    val isNewId = (c: org.apache.spark.sql.Column) => pmod(c, lit(5)) === 4
+    val oldDocs = docs.where(!isNewId(col("doc_id")))
+    val newDocs = docs.where(isNewId(col("doc_id")))
+    val table = "graft_dedup_band_index"
+    DedupIndex.build(oldDocs, "doc_id", "text", table, params)
+    val inc = DedupIndex.probeNewBatch(s, table, newDocs, "doc_id", "text", params)
+      .pipe(graft.ext.Checkpoints.stage)
+    // Full-recompute twin over old ∪ new, cut to new-touching pairs
+    // (the split is arithmetic on the id, so the cut is a cheap filter).
+    val fullNew = Dedup.candidatePairs(docs, "doc_id", "text", params)
+      .where(isNewId(col("id_a")) || isNewId(col("id_b")))
+      .pipe(graft.ext.Checkpoints.stage)
+    val missing = fullNew.join(inc, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__missing"))
+    val extra = inc.join(fullNew, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__extra"))
+    val verified = Dedup.verifyPairs(docs, inc, "doc_id", "text", params, 0.5)
+      .pipe(graft.ext.Checkpoints.stage)
+    val truth = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+        params.shingleSize, 0.5)
+      .where(isNewId(col("id_a")) || isNewId(col("id_b")))
+      .pipe(graft.ext.Checkpoints.stage)
+    val nTruth = truth.agg(count(lit(1)).as("n_true_new_pairs"),
+      coalesce(sum((col("jaccard") >= 1.0).cast("long")), lit(0L))
+        .as("n_exact_new_pairs"))
+    val nConf = verified.agg(count(lit(1)).as("__conf"))
+    val viol = verified
+      .join(truth.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__viol"))
+    newDocs.agg(count(lit(1)).as("n_new_docs"))
+      .crossJoin(nTruth).crossJoin(nConf).crossJoin(viol)
+      .crossJoin(missing).crossJoin(extra)
+      .select(col("n_new_docs"), col("n_true_new_pairs"), col("n_exact_new_pairs"),
+        (col("__missing") === 0 && col("__extra") === 0).cast("long")
+          .as("same_as_batch_ok"),
+        (col("__viol") === 0).cast("long").as("subset_ok"),
+        (col("__conf") >= col("n_exact_new_pairs")).cast("long").as("ge_exact_ok"))
+  }
+
+  // ----------------------------------------------------------------- oracle
+
+  val oracle: Map[String, String] = Map(
+    // SimHash: a pure function of text — every group of byte-identical
+    // docs must share one hash value (zero purity violations); the
+    // group/doc census is value-checked.
+    "x_simhash" ->
+      """SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_text_groups,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_purity_violations
+        | FROM documents WHERE text IS NOT NULL""".stripMargin.replaceAll("\n", " "),
+    // MinHash near-dup gate: the truth side (exact inverted-index
+    // Jaccard at the verify threshold and at J = 1) is replayed with
+    // the same word-3-gram shingles and integer Jaccard ratio; the
+    // LSH-confirmed set is bounded by it (subset / ≥-exact bits).
+    "x_minhash_neardup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+        | sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |     generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM tok),
+        | ns AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        | pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+        |   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | j AS (SELECT CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) AS jac
+        |   FROM pr JOIN ns na ON na.doc_id = pr.ia JOIN ns nb ON nb.doc_id = pr.ib)
+        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j WHERE jac >= 0.5) AS n_true_pairs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j WHERE jac >= 1.0) AS n_exact_pairs,
+        |  CAST(1 AS BIGINT) AS subset_ok, CAST(1 AS BIGINT) AS ge_exact_ok""".stripMargin.replaceAll("\n", " "),
+    // Incremental twin: same exact-Jaccard truth, restricted to pairs
+    // touching the "new shard" (doc_id % 5 = 4). The incremental-vs-
+    // batch candidate equality enters via the same_as_batch_ok bit
+    // (computed in-engine over the two LSH candidate sets).
+    "x_incremental_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+        | sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |     generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM tok),
+        | ns AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        | pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+        |   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | j AS (SELECT ia, ib, CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) AS jac
+        |   FROM pr JOIN ns na ON na.doc_id = pr.ia JOIN ns nb ON nb.doc_id = pr.ib
+        |   WHERE ia % 5 = 4 OR ib % 5 = 4)
+        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 5 = 4) AS n_new_docs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j WHERE jac >= 0.5) AS n_true_new_pairs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j WHERE jac >= 1.0) AS n_exact_new_pairs,
+        |  CAST(1 AS BIGINT) AS same_as_batch_ok,
+        |  CAST(1 AS BIGINT) AS subset_ok, CAST(1 AS BIGINT) AS ge_exact_ok""".stripMargin.replaceAll("\n", " "),
+    // Constant-bit contract (see the query Scaladoc): dedup is
+    // idempotent. The query RUNS the full pipeline it gates — the bit
+    // is derived from the real outputs.
+    "x_neardup_dedup" -> "SELECT CAST(1 AS BIGINT) AS idempotent_ok",
+    // Exact distinct + row count are value-checked; the HLL estimate
+    // itself is implementation-specific and enters only via the bit.
+    "x_approx_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+        | CAST(COUNT(*) AS BIGINT) AS n, CAST(1 AS BIGINT) AS approx_ok
+        | FROM documents""".stripMargin.replaceAll("\n", " "),
+    "x_multimodal_decode" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+    // Exact-k sampling replayed in SQL: same hash, same (h, id) order.
+    "x_hash_sample" ->
+      """SELECT doc_id, ((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 1000003) AS h
+        | FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin.replaceAll("\n", " "),
+    "x_stratified_sample" ->
+      """WITH r AS (SELECT event_type, event_id,
+        |   ROW_NUMBER() OVER (PARTITION BY event_type
+        |     ORDER BY ((((event_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 1000003), event_id) AS rn
+        |  FROM events)
+        | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+        | FROM r WHERE rn <= 3 GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+    // Deterministic mixing replayed in SQL: same id-hash, same
+    // per-type percentage routing.
+    "x_weighted_mix" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+        | WHERE (((event_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100 <
+        |   (CASE event_type WHEN 'view' THEN 25 WHEN 'click' THEN 50
+        |     WHEN 'error' THEN 10 ELSE 100 END)
+        | GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+    // Concat-and-chunk packing replayed in SQL: same shard hash, same
+    // per-shard cumsum, same chunk-interval arithmetic (512-token
+    // capacity, 8 shards — all integers).
+    "x_pack_chunks" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok,
+        |   ((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 8) AS shard FROM documents),
+        | c AS (SELECT shard, id, n_tok,
+        |   SUM(n_tok) OVER (PARTITION BY shard ORDER BY id ROWS UNBOUNDED PRECEDING) AS cum_end FROM d),
+        | s AS (SELECT shard, id, cum_end, cum_end - n_tok AS cum_before FROM c WHERE n_tok > 0),
+        | e AS (SELECT shard, id, cum_before, cum_end,
+        |   unnest(generate_series(CAST(floor(cum_before / 512) AS BIGINT), CAST(floor((cum_end - 1) / 512) AS BIGINT))) AS chunk_id
+        |  FROM s)
+        | SELECT shard, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |   CAST(SUM(LEAST(cum_end, (chunk_id + 1) * 512) - GREATEST(cum_before, chunk_id * 512)) AS BIGINT) AS n_tokens
+        | FROM e GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin.replaceAll("\n", " "),
+    // Decontamination replayed in SQL: word 3-grams, distinct
+    // (doc, shingle) pairs, doc_id % 97 routes bench vs train.
+    "x_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |     generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM tok),
+        | bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        | train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        | hits AS (SELECT train.doc_id, train.shingle FROM train JOIN bench USING (shingle))
+        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 97 <> 0) AS n_train_docs,
+        |   (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM hits) AS n_contaminated,
+        |   (SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) FROM hits) AS n_shared_shingles""".stripMargin.replaceAll("\n", " "),
+    // TF-IDF replayed in SQL: same tf / corpus-df tables, same
+    // linear-idf score (IEEE division — bit-identical both engines),
+    // same (score DESC, term) argmax.
+    "x_tfidf_top" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |   WHERE doc_id < 20 GROUP BY doc_id, term),
+        | dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS term_df FROM tok GROUP BY term),
+        | sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.term_df,
+        |     CAST(tf.tf AS DOUBLE) / CAST(dfq.term_df AS DOUBLE) AS score,
+        |     ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |       ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfq.term_df AS DOUBLE) DESC, tf.term) AS rn
+        |   FROM tf JOIN dfq USING (term))
+        | SELECT doc_id, term, tf, term_df, score FROM sc WHERE rn = 1 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // Length buckets replayed in SQL: same ws token count, integer
+    // floor-divide into 64-token buckets.
+    "x_length_buckets" ->
+      """WITH d AS (SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+        |   FROM documents)
+        | SELECT n_tok // 64 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |   MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+        | FROM d GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+    // Quality gate replayed in SQL: same integer cross-multiplied
+    // thresholds, same token-mode subquery.
+    "x_quality_gate" ->
+      """WITH base AS (SELECT doc_id,
+        |   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok,
+        |   CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_cns,
+        |   CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        | rep AS (SELECT doc_id, MAX(c) AS max_tok FROM (
+        |   SELECT doc_id, w, COUNT(*) AS c FROM
+        |     (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) tw
+        |   GROUP BY doc_id, w) tc GROUP BY doc_id),
+        | j AS (SELECT * FROM base JOIN rep USING (doc_id))
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |   CAST(SUM(CAST(n_tok < 20 AS BIGINT)) AS BIGINT) AS n_fail_short,
+        |   CAST(SUM(CAST(n_cns < 3 * n_tok OR n_cns > 10 * n_tok AS BIGINT)) AS BIGINT) AS n_fail_avg_len,
+        |   CAST(SUM(CAST(n_stop * 50 < n_tok AS BIGINT)) AS BIGINT) AS n_fail_stop,
+        |   CAST(SUM(CAST(max_tok * 5 >= n_tok AS BIGINT)) AS BIGINT) AS n_fail_rep,
+        |   CAST(SUM(CAST(NOT (n_tok < 20 OR n_cns < 3 * n_tok OR n_cns > 10 * n_tok
+        |     OR n_stop * 50 < n_tok OR max_tok * 5 >= n_tok) AS BIGINT)) AS BIGINT) AS n_pass
+        | FROM j""".stripMargin.replaceAll("\n", " "),
+    // Bigram LM table replayed in SQL: same pair explode, same
+    // (count DESC, word) argmax, same n >= 20 floor.
+    "x_bigram_next" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        | p AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM tok,
+        |   UNNEST(generate_series(1, len(t) - 1)) AS u(i) WHERE len(t) >= 2),
+        | c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+        | r AS (SELECT w1, w2, n, ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS rn FROM c)
+        | SELECT w1, w2, n FROM r WHERE rn = 1 AND n >= 20 ORDER BY w1""".stripMargin.replaceAll("\n", " "),
+    // Classic DP edit distance — exact integers on both engines.
+    "x_edit_distance" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        | FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin.replaceAll("\n", " "),
+    "x_vocab_top50" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        | SELECT term, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        | FROM tok GROUP BY term ORDER BY n_total DESC, term LIMIT 50""".stripMargin.replaceAll("\n", " "),
+    // The MG sketch is plan-internal (it can only over-generate
+    // candidates; the confirm pass filters with exact counts), so the
+    // oracle is the exact census filtered at the same integer
+    // cross-multiplied n*(k+1) > total threshold.
+    "x_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        | t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+        | c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token)
+        | SELECT token, n FROM c, t WHERE n * 65 > total ORDER BY token""".stripMargin.replaceAll("\n", " "),
+    // OOV replayed in SQL: same top-10 vocab (count DESC, token), same
+    // anti-membership count, same double division.
+    "x_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        | v AS (SELECT token FROM (SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+        |   ORDER BY c DESC, token LIMIT 10) t),
+        | f AS (SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |   CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM tok LEFT JOIN v ON tok.token = v.token GROUP BY tok.doc_id)
+        | SELECT doc_id, n_tok, n_oov,
+        |   CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE) AS oov_frac
+        | FROM f ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // Sliding-window chunking replayed in SQL: same integer chunk
+    // count, same 1-based inclusive token slices.
+    "x_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT doc_id, tok,
+        |   CASE WHEN len(tok) <= 64 THEN 1 ELSE 1 + (len(tok) - 64 + 47) // 48 END AS n_chunks FROM t),
+        | x AS (SELECT doc_id, i AS chunk_id, tok[i*48 + 1 : i*48 + 64] AS ct
+        |   FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i))
+        | SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |   CAST(len(ct) AS BIGINT) AS n_chunk_tok, array_to_string(ct, ' ') AS chunk_text
+        | FROM x ORDER BY doc_id, chunk_id""".stripMargin.replaceAll("\n", " "),
+    // Repetition signals replayed in SQL: same n-gram construction
+    // (positional list slices), same counts, same double divisions.
+    "x_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
+        | base AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tok,
+        |   CAST(len(list_distinct(tok)) AS BIGINT) AS n_distinct FROM t),
+        | bg AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] AS g FROM t,
+        |   UNNEST(generate_series(1, len(tok) - 1)) AS u(i) WHERE len(tok) >= 2),
+        | bgm AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n FROM
+        |   (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2) bc GROUP BY doc_id),
+        | tg AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS g FROM t,
+        |   UNNEST(generate_series(1, len(tok) - 2)) AS u(i) WHERE len(tok) >= 3),
+        | tgm AS (SELECT doc_id, CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_mass
+        |   FROM (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2) tc GROUP BY doc_id)
+        | SELECT b.doc_id, b.n_tok, b.n_distinct,
+        |   CAST(b.n_tok - b.n_distinct AS DOUBLE) / CAST(b.n_tok AS DOUBLE) AS dup_tok_frac,
+        |   COALESCE(bgm.top_bigram_n, 0) AS top_bigram_n,
+        |   CASE WHEN b.n_tok > 1 THEN CAST(COALESCE(bgm.top_bigram_n, 0) AS DOUBLE) / CAST(b.n_tok - 1 AS DOUBLE) ELSE 0.0 END AS top_bigram_frac,
+        |   COALESCE(tgm.dup_trigram_mass, 0) AS dup_trigram_mass
+        | FROM base b LEFT JOIN bgm USING (doc_id) LEFT JOIN tgm USING (doc_id)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "x_dedup_exact" ->
+      "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct, CAST(COUNT(*) AS BIGINT) AS n FROM documents",
+    "x_fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents ORDER BY doc_id",
+    "x_token_count" ->
+      """SELECT doc_id,
+        | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subword
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "x_text_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars_calc,
+        | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
+        | CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS avg_token_len,
+        | CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS stopword_ratio
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "x_lang_id" ->
+      """SELECT doc_id, score_en, score_es,
+        | CASE WHEN score_es > GREATEST(score_en, 0) THEN 'es'
+        |      WHEN score_en > 0 THEN 'en' ELSE 'und' END AS lang_pred
+        | FROM (SELECT doc_id,
+        |   CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS score_en,
+        |   CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la'))) AS BIGINT) AS score_es
+        |  FROM documents) t ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "x_jaccard_adjacent" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+        |  CAST(len(list_distinct(list_concat(a.t, b.t))) AS BIGINT) AS uni,
+        |  CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) AS jaccard
+        | FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin.replaceAll("\n", " "),
+    "x_multimodal_meta" ->
+      "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, 'text/plain' AS format FROM documents ORDER BY doc_id",
+    "x_clean_text" ->
+      """SELECT doc_id, CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+        | text, '<[^>]*>', ' ', 'g'), '&[a-zA-Z#0-9]+;', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_clean_chars
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "x_pii_flags" ->
+      """SELECT CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))) AS BIGINT) AS total_emails,
+        | CAST(SUM(len(regexp_extract_all(text, '[0-9]{9,}'))) AS BIGINT) AS total_digit_runs,
+        | CAST(SUM(len(regexp_extract_all(text, '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}'))) AS BIGINT) AS total_phone_like,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents""".stripMargin.replaceAll("\n", " "),
+    // Same replacement chain, same order, global 'g' flag in DuckDB
+    // (Spark's regexp_replace is always global).
+    "x_pii_redact" ->
+      """WITH r AS (SELECT text, regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{9,}', '<NUM>', 'g'),
+        |   '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}', '<PHONE>', 'g') AS red
+        |  FROM documents)
+        | SELECT CAST(COUNT(CASE WHEN text <> red THEN 1 END) AS BIGINT) AS n_redacted_docs,
+        |   CAST(SUM(length(text) - length(red)) AS BIGINT) AS chars_delta FROM r""".stripMargin.replaceAll("\n", " "),
+    "x_split_assign" ->
+      """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        | FROM (SELECT (((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 AS b FROM documents) t
+        | GROUP BY 1 ORDER BY split""".stripMargin.replaceAll("\n", " "),
+    "x_memorization" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
+        | bg AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] AS g FROM t,
+        |  UNNEST(generate_series(1, len(tok) - 1)) AS u(i) WHERE len(tok) >= 2),
+        | corpus AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY g),
+        | pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |   CAST(SUM(CASE WHEN c >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_memorized
+        |  FROM bg JOIN corpus USING (g) GROUP BY doc_id)
+        | SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(pd.n_memorized, 0) AS n_memorized,
+        |  CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+        |   THEN CAST(pd.n_memorized AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
+        |   ELSE 0.0 END AS memorized_frac
+        | FROM documents d LEFT JOIN pd USING (doc_id)
+        | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // Byte slicing replayed as char substring — sound because both
+    // sides keep only ASCII rows (strlen = length guard).
+    "x_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 50 AND text IS NOT NULL AND strlen(text) = length(text)),
+        | f AS (SELECT doc_id, i AS frame_idx,
+        |   substring(text, CAST(i*32+1 AS BIGINT), CAST(32 AS BIGINT)) AS frame_str
+        |  FROM d, UNNEST(generate_series(0, CAST(ceil(strlen(text)/32.0) AS BIGINT) - 1)) AS u(i)
+        |  WHERE i % 2 = 0)
+        | SELECT doc_id, frame_idx, frame_str, CAST(strlen(frame_str) AS BIGINT) AS n_frame_bytes
+        | FROM f ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
+    // Same whitespace token-count identity as x_token_count; the
+    // running total replays as a window at gate scale.
+    "x_token_split" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(strlen(text) - strlen(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+        |  FROM documents),
+        | t AS (SELECT (CAST(SUM(n_tok) AS BIGINT) * 8) // 10 AS cut FROM d),
+        | c AS (SELECT doc_id, n_tok,
+        |   SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        | sp AS (SELECT doc_id, n_tok,
+        |   CASE WHEN cum <= (SELECT cut FROM t) THEN 'train' ELSE 'val' END AS split FROM c)
+        | SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        | FROM sp GROUP BY split ORDER BY split""".stripMargin.replaceAll("\n", " "),
+    "x_entropy" ->
+      """WITH f1 AS (SELECT event_type AS v, CAST(COUNT(*) AS BIGINT) AS n FROM events
+        |   WHERE event_type IS NOT NULL GROUP BY 1),
+        | a1 AS (SELECT list_sort(list(n)) AS ns, CAST(SUM(n) AS DOUBLE) AS total,
+        |   CAST(COUNT(*) AS BIGINT) AS ncat FROM f1),
+        | f2 AS (SELECT lang AS v, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        |   WHERE lang IS NOT NULL GROUP BY 1),
+        | a2 AS (SELECT list_sort(list(n)) AS ns, CAST(SUM(n) AS DOUBLE) AS total,
+        |   CAST(COUNT(*) AS BIGINT) AS ncat FROM f2),
+        | u AS (
+        |  SELECT 'events.event_type' AS col_name, ncat AS n_categories,
+        |   list_reduce(list_transform(ns, n -> -(CAST(n AS DOUBLE)/total) * log2(CAST(n AS DOUBLE)/total)),
+        |    (x, y) -> x + y) AS entropy_bits FROM a1
+        |  UNION ALL
+        |  SELECT 'documents.lang', ncat,
+        |   list_reduce(list_transform(ns, n -> -(CAST(n AS DOUBLE)/total) * log2(CAST(n AS DOUBLE)/total)),
+        |    (x, y) -> x + y) FROM a2)
+        | SELECT col_name, n_categories, entropy_bits FROM u ORDER BY col_name""".stripMargin.replaceAll("\n", " "),
+    "x_union_evolve" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL AS lang FROM documents WHERE doc_id % 2 = 1)
+        | SELECT COALESCE(lang, '(missing)') AS lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        | FROM u GROUP BY 1 ORDER BY lang""".stripMargin.replaceAll("\n", " ")
+  )
+}

@@ -1,0 +1,504 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, IvfIndex, Quantize, Similarity}
+
+/** Embedding-family registry: similarity search (brute force / LSH /
+  * IVF, persisted indexes), quantization, the approximate-similarity-
+  * join rewrite, and the kernel-equivalence gate. Split out of
+  * ExtensionQueries (round 8) purely for navigation — registry
+  * contents and oracle rules are unchanged; ExtensionQueries.all
+  * merges the families. */
+private[graft] object VectorQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_cosine_topk" -> ((s, dir) => cosineTopK(s, dir)),
+    "x_cosine_adjacent" -> ((s, dir) => cosineAdjacent(s, dir)),
+    "x_cosine_pairs_label" -> ((s, dir) =>
+      // maxBlockSize mirrored in the oracle SQL (HAVING count <= cap)
+      // so the guard is part of the checked semantics, not a test-scale
+      // accident — at sf<=0.1 no label block comes near 10000.
+      Similarity.cosinePairsWithin(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", -1.0,
+          maxBlockSize = 10000)
+        .groupBy(col("blk").as("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("cos_sim") >= 0.35).cast("long")).as("n_close"),
+          max(col("cos_sim")).as("max_cos"))
+        .orderBy(col("label"))),
+    "x_ann_lsh_buckets" -> ((s, dir) =>
+      // Bucket IDs are hash-derived, but the bucketing's invariants
+      // are oracle-checkable over the real per-vector buckets: the
+      // per-bucket counts must sum to the corpus (every vector lands
+      // in exactly one bucket), every bucket in [0, 2^8), occupied
+      // buckets at most 2^8. Per-bucket values stay in SimilaritySpec.
+      Tables.embeddings(s, dir)
+        .select(Similarity.lshBucketIn(s)(col("embedding"), 8).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("total_vecs"),
+          (min(col("bucket")) >= 0 && max(col("bucket")) < 256)
+            .cast("long").as("bounds_ok"),
+          (count(lit(1)) <= 256).cast("long").as("n_buckets_ok"))),
+    "x_ann_topk" -> ((s, dir) => annTopK(s, dir)),
+    "x_embed_neardup" -> ((s, dir) => embedNearDup(s, dir)),
+    "x_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
+    "x_approx_sim_join" -> ((s, dir) => approxSimJoin(s, dir)),
+    "x_kernel_equiv" -> ((s, dir) => kernelEquiv(s, dir)),
+    "x_ann_recall" -> ((s, dir) => annRecall(s, dir)),
+    "x_ivf_recall" -> ((s, dir) => ivfRecall(s, dir)),
+    "x_quantize_dot" -> ((s, dir) => quantizeDot(s, dir)),
+    "x_quantize_recall" -> ((s, dir) => quantizeRecall(s, dir)),
+    "x_embed_norms" -> ((s, dir) =>
+      // Vector-corpus quality histogram: L2 norms bucketed at 0.25
+      // width. The per-vector sum-of-squares is a sequential fold
+      // (kernel and DuckDB's list_reduce accumulate left-to-right in
+      // double), so buckets match exactly across engines.
+      Tables.embeddings(s, dir)
+        .select(floor(sqrt(
+            Similarity.dotIn(s)(col("embedding"), col("embedding"))) * 4)
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")))
+  )
+
+  /** The naive cosine-threshold self-join, scaled by the opt-in
+    * optimizer rewrite (graft.plans.ApproxSimilarityJoin). The flag is
+    * scoped to the rewritten computation: set, the rewritten join
+    * EXECUTED into an eager checkpoint (a downstream action builds a
+    * fresh QueryExecution and would re-optimize without the flag — a
+    * lazily returned plan would silently lose the rewrite), then
+    * restored. The rewritten pair count is hash-dependent (LSH-bucket
+    * recall), so the gate bounds it with hash-independent truth: the
+    * SAME query executed WITHOUT the flag (the un-rewritten n² path —
+    * gate/bench scale only) must be an upper bound, and the
+    * identical-vector pair count a lower bound. Plan-shape semantics
+    * stay pinned by ApproxSimilarityJoinSpec.
+    */
+  private def approxSimJoin(s: SparkSession, dir: String): DataFrame = {
+    val flag = "spark.graft.approxSimilarityJoin"
+    def pairCount(): DataFrame = {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      a.crossJoin(b)
+        .where(call_function("graft_cosine_sim", col("v_a"), col("v_b")) >= lit(0.9)
+          && col("id_a") < col("id_b"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // executes under the CURRENT flag state; 1 row
+    }
+    val prev = s.conf.getOption(flag)
+    s.conf.set(flag, "true")
+    val rewritten =
+      try pairCount()
+      finally prev match {
+        case Some(v) => s.conf.set(flag, v)
+        case None => s.conf.unset(flag)
+      }
+    // Truth via bruteForcePairs, not the un-rewritten cross join: its
+    // norms are precomputed per VECTOR (n, not n² — the kernel cosine
+    // recomputes both norms per pair), and sqrt(aa)·sqrt(bb) is the
+    // identical IEEE product, so the threshold set matches the kernel
+    // bit-for-bit (measured: 2× faster truth pass at sf0.1).
+    val truth = Similarity.bruteForcePairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 0.9)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val nIdent = Tables.embeddings(s, dir)
+      .groupBy(col("embedding")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(expr("__c * (__c - 1) DIV 2")), lit(0L))
+        .as("n_identical_pairs"))
+    rewritten.select(col("n").as("__rew"))
+      .crossJoin(truth.select(col("n").as("n_true_pairs")))
+      .crossJoin(nIdent)
+      .select(col("n_true_pairs"), col("n_identical_pairs"),
+        (col("__rew") <= col("n_true_pairs")).cast("long").as("le_true_ok"),
+        (col("__rew") >= col("n_identical_pairs")).cast("long").as("ge_identical_ok"))
+  }
+
+  /** One persisted IVF index per (session, sf dir): Lloyd training and
+    * cluster assignment run ONCE (IvfIndex.build), then every consumer
+    * — x_ivf_topk, x_ivf_recall, repeated bench reps — probes the saved
+    * partition-pruned table. Keyed by session identity, not just the
+    * catalog, so a fresh JVM always rebuilds (a catalog table surviving
+    * in the warehouse dir must never serve stale data after the source
+    * parquet changes). */
+  // Weak keys: a GC'd session's entry drops out, and a NEW session is
+  // a distinct reference — unlike identityHashCode, which the JVM can
+  // hand to a different session after collection (a stale-index
+  // hazard). SparkSession uses reference equality, which is exactly
+  // the memo's contract: per-session, rebuild in a fresh JVM/session.
+  private val ivfMemo =
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, Seq[Seq[Float]]]]()
+  private def ivfIndexFor(s: SparkSession, dir: String): String = {
+    // Collision-resistant table name: MD5 of the full dir path (a
+    // 32-bit hashCode could collide across sf dirs and silently serve
+    // an index built from the wrong corpus).
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val table = "graft_ivf_" + digest
+    ivfMemo.synchronized {
+      val perSession = {
+        val m = ivfMemo.get(s)
+        if (m != null) m
+        else { val m2 = new java.util.HashMap[String, Seq[Seq[Float]]](); ivfMemo.put(s, m2); m2 }
+      }
+      if (!perSession.containsKey(dir))
+        perSession.put(dir,
+          IvfIndex.build(Tables.embeddings(s, dir).where(col("vec_id") =!= 0),
+            "vec_id", "embedding", table, k = 16, iters = 2))
+    }
+    table
+  }
+
+  /** IVF ANN top-10 for the vec_id=0 query (16 Lloyd-trained clusters,
+    * probe 4) — the trained-index alternative to the LSH bucket path,
+    * emitted through the shape gate; per-value recall vs brute force
+    * is measured in SimilaritySpec and gated by x_ivf_recall. Served
+    * from the per-session persisted index (partition-pruned probe, no
+    * retraining). */
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    topKShape(
+      IvfIndex.probeTopK(s, ivfIndexFor(s, dir), "vec_id", "embedding", q, 10, nProbe = 4),
+      e.where(col("vec_id") =!= 0), "vec_id")
+  }
+
+  /** Embedding-cosine near-dup gate: LSH-bucket blocking (8 hyperplane
+    * bits → 256 buckets) keeps the pair join keyed — sum(bucket²),
+    * never n² — then exact cosine confirms; a hot bucket is dropped at
+    * maxBlockSize rather than going quadratic. The confirmed SET is
+    * hash-dependent, so the gate emits its hash-independent bounds
+    * over the real output (same construction as minhashSummary):
+    * n_true_pairs / n_identical_pairs from Similarity.bruteForcePairs
+    * (the oracle replays the identical fold-order cosine in SQL — the
+    * truth pass is quadratic BY DESIGN and runs at gate/bench scale,
+    * not in production paths), subset_ok because blocking only ever
+    * misses pairs, ge_identical_ok because byte-identical vectors
+    * share every hyperplane sign and have cosine 1. */
+  private def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", Similarity.lshBucketIn(s)(col("embedding"), 8))
+    val confirmed = Similarity.cosinePairsWithin(e, "vec_id", "embedding",
+        "bucket", 0.9, maxBlockSize = 10000)
+      .select(col("id_a"), col("id_b"))
+      .pipe(graft.ext.Checkpoints.stage)
+    val truth = Similarity.bruteForcePairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 0.9)
+      .select(col("id_a"), col("id_b"))
+      .pipe(graft.ext.Checkpoints.stage)
+    val nIdent = Tables.embeddings(s, dir)
+      .groupBy(col("embedding")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(expr("__c * (__c - 1) DIV 2")), lit(0L))
+        .as("n_identical_pairs"))
+    val nConf = confirmed.agg(count(lit(1)).as("__conf"))
+    val viol = confirmed.join(truth, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__viol"))
+    Tables.embeddings(s, dir).agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
+      .crossJoin(nIdent).crossJoin(nConf).crossJoin(viol)
+      .select(col("n_vecs"), col("n_true_pairs"), col("n_identical_pairs"),
+        (col("__viol") === 0).cast("long").as("subset_ok"),
+        (col("__conf") >= col("n_identical_pairs")).cast("long").as("ge_identical_ok"))
+  }
+
+  /** Count of rows where a codegen'd kernel disagrees with its
+    * higher-order-function twin — the oracle-checkable form of the
+    * kernel-equivalence contract (GraftFunctionsSpec pins it per
+    * kernel; this gates it through the driver's DuckDB compare as a
+    * hard 0). Covers all five kernels: shingle hashes + minhash bands
+    * over documents, dot + cosine + lsh bucket over adjacent embedding
+    * pairs. Null-safe (`<=>`) so a null on both paths counts as
+    * agreement. Fails loudly if GraftExtensions is not installed —
+    * a vacuous pass would be worse than an error. */
+  private def kernelEquiv(s: SparkSession, dir: String): DataFrame = {
+    def mismatch(a: Column, b: Column): Column = (!(a <=> b)).cast("long")
+    val k = Dedup.MinHashParams()
+    val docSide = Tables.documents(s, dir).select(
+        mismatch(
+          call_function("graft_shingle_hashes", col("text"), lit(k.shingleSize)),
+          Dedup.shingleHashes(Dedup.shingles(col("text"), k.shingleSize))).as("m_sh"),
+        mismatch(
+          call_function("graft_minhash_bands",
+            call_function("graft_shingle_hashes", col("text"), lit(k.shingleSize)),
+            lit(k.bands), lit(k.numHashes / k.bands)),
+          Dedup.minhashBandsHof(
+            Dedup.shingleHashes(Dedup.shingles(col("text"), k.shingleSize)),
+            k.bands, k.numHashes / k.bands)).as("m_mb"))
+      .agg(coalesce(sum(col("m_sh") + col("m_mb")), lit(0L)).as("m_doc"))
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select((col("vec_id") - 1).as("id_a"), col("embedding").as("v_b"))
+    val vecSide = a.join(b, Seq("id_a"))
+      .select(
+        mismatch(call_function("graft_dot", col("v_a"), col("v_b")),
+          Similarity.dot(col("v_a"), col("v_b"))).as("m_dot"),
+        mismatch(call_function("graft_cosine_sim", col("v_a"), col("v_b")),
+          Similarity.cosine(col("v_a"), col("v_b"))).as("m_cos"),
+        mismatch(call_function("graft_lsh_bucket", col("v_a"), lit(8)),
+          Similarity.lshBucket(col("v_a"), 8)).as("m_lsh"))
+      .agg(coalesce(sum(col("m_dot") + col("m_cos") + col("m_lsh")), lit(0L)).as("m_vec"))
+    docSide.crossJoin(vecSide)
+      .select((col("m_doc") + col("m_vec")).as("n_mismatch"))
+  }
+
+  /** LSH-ANN recall floor as a driver-checkable bit: 1 when the
+    * multi-probe ANN top-10 overlaps the brute-force top-10 in at
+    * least `annRecallFloor` ids. Every input to the overlap is
+    * deterministic (hash-derived buckets, tie-broken ordering), so the
+    * bit is stable; the floor leaves headroom below the measured
+    * overlap so parameter-neutral refactors don't flip it.
+    *
+    * FIXTURE-DEPENDENT FLOOR: 5 is an empirical bound for the driver
+    * fixtures (measured overlap 7–10 of 10 at sf0.001–0.1). A new
+    * scale factor or regenerated embeddings can flip this bit as a
+    * PARAMETER artifact, not a code bug — re-measure overlap vs brute
+    * force (SimilaritySpec does) before suspecting the ANN path. */
+  private val annRecallFloor = 5
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"))
+    val ann = Similarity.annTopK(corpus, "vec_id", "embedding", q, 10, bits = 4)
+      .select(col("vec_id"))
+    exact.join(ann, Seq("vec_id"))
+      .agg((count(lit(1)) >= annRecallFloor).cast("long").as("recall_ok"))
+  }
+
+  /** IVF-ANN recall floor bit (Lloyd-trained centroids, probe 4 of 16)
+    * — deterministic because ivfTrain's means are exact-decimal sums.
+    * The IVF side probes the SAME per-session persisted index as
+    * x_ivf_topk (identical results to on-the-fly ivfTopK — same
+    * centroids, same ranking, same cosine — with zero retraining).
+    * Same fixture-dependent-floor caveat as [[annRecallFloor]]. */
+  private val ivfRecallFloor = 5
+  private def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"))
+    val ivf = IvfIndex.probeTopK(s, ivfIndexFor(s, dir), "vec_id", "embedding",
+        q, 10, nProbe = 4)
+      .select(col("vec_id"))
+    exact.join(ivf, Seq("vec_id"))
+      .agg((count(lit(1)) >= ivfRecallFloor).cast("long").as("recall_ok"))
+  }
+
+  /** Adjacent-pair dot product in int8-quantized space
+    * (graft.ext.Quantize) — the oracle-checkable anchor for the
+    * quantization arithmetic: scale, round-half-up, and integer dot
+    * are replayed exactly by the DuckDB twin. */
+  private def quantizeDot(s: SparkSession, dir: String): DataFrame = {
+    val e = Quantize.withQuantized(Tables.embeddings(s, dir), "embedding", "qv")
+      .select(col("vec_id"), col("qv"))
+    val a = e.select(col("vec_id").as("id_a"), col("qv").as("q_a"))
+    val b = e.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
+      col("qv").as("q_b"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        Quantize.dotQ(col("q_a"), col("q_b")).as("qdot"))
+      .orderBy(col("id_a"))
+  }
+
+  /** Int8 ranking quality as a driver-checkable bit: 1 when the
+    * quantized-cosine top-10 overlaps the float-cosine top-10 in at
+    * least `quantizeRecallFloor` ids. The per-vector scale cancels in
+    * cosine, so the two rankings differ only by rounding noise —
+    * measured overlap is 9–10 of 10 on the driver fixtures; the floor
+    * leaves the same headroom convention as [[annRecallFloor]] (and
+    * shares its fixture-dependence caveat). */
+  private val quantizeRecallFloor = 5
+  private def quantizeRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"))
+    // Query vector quantized on the DRIVER (same IEEE arithmetic) and
+    // the corpus through the two-projection withQuantized shape — then
+    // the ranking runs on the codegen'd cosine kernel over doubles.
+    // Long→double is exact here (|q_i| ≤ 127, 128-dim dot ≪ 2^53), so
+    // the scores are bit-identical to integer cosineQ.
+    val qlit = array(Quantize.quantizeLocal(q).map(lit(_)).toIndexedSeq: _*)
+    val quant = Quantize.withQuantized(corpus, "embedding", "qv")
+      .select(col("vec_id"), col("qv").cast("array<double>").as("qd"))
+      .select(col("vec_id"), Similarity.cosineIn(s)(col("qd"), qlit).as("cos_q"))
+      .orderBy(col("cos_q").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"))
+    exact.join(quant, Seq("vec_id"))
+      .agg((count(lit(1)) >= quantizeRecallFloor).cast("long").as("recall_ok"))
+  }
+
+  /** Brute-force top-10 cosine against the vec_id=0 embedding. */
+  private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    Similarity.bruteForceTopK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+  }
+
+  /** Top-k SHAPE gate over a (vec_id, cos_sim) result whose MEMBERSHIP
+    * is hash-dependent (ANN probes): exactly k rows, k distinct ids,
+    * every id drawn from the corpus, every score a plausible cosine.
+    * Evaluated over the real top-k output, so a broken probe (empty
+    * bucket, duplicated id, id invented by a bad join) fails the
+    * driver compare even though the ID LIST itself has no portable
+    * oracle. k rows is fixture-dependent in the same sense as
+    * annRecallFloor: the probed set must hold ≥ k vectors (it is
+    * 15–30× k on the driver fixtures). Result-quality (not shape) is
+    * gated separately by the recall-floor bits. */
+  private def topKShape(topk: DataFrame, corpus: DataFrame, idCol: String): DataFrame =
+    topk.join(corpus.select(col(idCol).as("vec_id"), lit(1L).as("__in")),
+        Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("vec_id")).as("n_distinct_ids"),
+        coalesce(sum(col("__in")), lit(0L)).as("n_in_corpus"),
+        (coalesce(min(col("cos_sim")), lit(0.0)) >= -1.000001 &&
+          coalesce(max(col("cos_sim")), lit(0.0)) <= 1.000001)
+          .cast("long").as("cos_bounds_ok"))
+
+  /** LSH-bucketed ANN top-10 for the same query, emitted through the
+    * shape gate (per-value recall vs brute force is measured in
+    * SimilaritySpec and gated by x_ann_recall). */
+  private def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0)
+    // 4 hyperplane bits → 16 buckets: at 500–50k vectors that keeps a
+    // bucket big enough for a meaningful top-10 (recall measured in tests).
+    topKShape(
+      Similarity.annTopK(corpus, "vec_id", "embedding", q, 10, bits = 4),
+      corpus, "vec_id")
+  }
+
+  /** Cosine of adjacent embedding pairs — deterministic double fold on
+    * both sides, the oracle-checkable anchor for vector math. */
+  private def cosineAdjacent(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
+      col("embedding").as("v_b"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineIn(s)(col("v_a"), col("v_b")).as("cos_sim"))
+      .orderBy(col("id_a"))
+  }
+
+  // ----------------------------------------------------------------- oracle
+
+  // Shared CTE for the cosine-pair oracles: all pairs (a < b) with the
+  // identical fold-order cosine the kernels compute (see x_quantize_dot
+  // for the fold-equivalence precedent). Quadratic — gate scale only.
+  private val cosPairsCte =
+    """e AS (SELECT vec_id, embedding,
+      |   sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      | p AS (SELECT
+      |   list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos_sim
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+      | ident AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n
+      |  FROM (SELECT COUNT(*) AS c FROM embeddings GROUP BY embedding) g)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // --- invariant oracles over hash-dependent pipelines ---
+    // LSH bucketing: every vector lands in exactly one bucket in
+    // [0, 2^8); the per-bucket counts must sum back to the corpus.
+    "x_ann_lsh_buckets" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS total_vecs,
+        | CAST(1 AS BIGINT) AS bounds_ok, CAST(1 AS BIGINT) AS n_buckets_ok""".stripMargin.replaceAll("\n", " "),
+    // Top-k shape gates (see topKShape): exactly k rows, k distinct
+    // corpus ids, cosine-range scores — constants for the fixed k=10.
+    "x_ann_topk" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_distinct_ids,
+        | CAST(10 AS BIGINT) AS n_in_corpus, CAST(1 AS BIGINT) AS cos_bounds_ok""".stripMargin.replaceAll("\n", " "),
+    "x_ivf_topk" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_distinct_ids,
+        | CAST(10 AS BIGINT) AS n_in_corpus, CAST(1 AS BIGINT) AS cos_bounds_ok""".stripMargin.replaceAll("\n", " "),
+    // Embedding near-dup / approx-sim-join gates: truth is the
+    // brute-force cosine pair count at the threshold (identical
+    // fold-order arithmetic), identical-vector pairs the floor.
+    "x_embed_neardup" ->
+      (s"""WITH $cosPairsCte
+        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p WHERE cos_sim >= 0.9) AS n_true_pairs,
+        |  (SELECT n FROM ident) AS n_identical_pairs,
+        |  CAST(1 AS BIGINT) AS subset_ok, CAST(1 AS BIGINT) AS ge_identical_ok""".stripMargin.replaceAll("\n", " ")),
+    "x_approx_sim_join" ->
+      (s"""WITH $cosPairsCte
+        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p WHERE cos_sim >= 0.9) AS n_true_pairs,
+        |  (SELECT n FROM ident) AS n_identical_pairs,
+        |  CAST(1 AS BIGINT) AS le_true_ok, CAST(1 AS BIGINT) AS ge_identical_ok""".stripMargin.replaceAll("\n", " ")),
+    // Kernel ≡ higher-order-function: the Spark side counts
+    // disagreements across all five kernels; the contract is exactly
+    // zero, so the oracle is the constant 0.
+    "x_kernel_equiv" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+    // Recall floors: the Spark side emits 1 iff |ANN ∩ brute-force|
+    // meets the pinned floor (deterministic — see the query Scaladoc);
+    // the oracle is the constant 1.
+    "x_ann_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "x_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "x_quantize_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    // Int8 quantization replayed in SQL: same scale, same
+    // floor(x*s + 0.5) rounding, same integer dot — IEEE double ops
+    // in the same order on both engines, so the compare is exact.
+    "x_quantize_dot" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma FROM embeddings),
+        | q AS (SELECT vec_id,
+        |   CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |        ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5) AS BIGINT)) END AS qv
+        |  FROM m)
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   list_reduce(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i]), (x, y) -> x + y) AS qdot
+        | FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 ORDER BY id_a""".stripMargin.replaceAll("\n", " "),
+    // Sequential fold on both engines: kernel loop and list_reduce
+    // both accumulate left-to-right in double.
+    "x_embed_norms" ->
+      """WITH b AS (SELECT CAST(floor(sqrt(list_reduce(
+        |     list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |     (a, v) -> a + v)) * 4) AS BIGINT) AS bucket FROM embeddings)
+        | SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM b GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+    "x_cosine_adjacent" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |  / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |   * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS cos_sim
+        | FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 ORDER BY id_a""".stripMargin.replaceAll("\n", " "),
+    "x_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        | scored AS (SELECT e.vec_id,
+        |  list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y)
+        |  / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |   * sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y))) AS cos_sim
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        | SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+    "x_cosine_pairs_label" ->
+      """WITH e0 AS (SELECT vec_id, label, embedding FROM embeddings),
+        | ok AS (SELECT label FROM e0 GROUP BY label HAVING COUNT(*) <= 10000),
+        | e AS (SELECT e0.* FROM e0 JOIN ok USING (label)),
+        | p AS (SELECT a.label,
+        |  list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |  / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |   * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS cos_sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        | SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN cos_sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+        |  MAX(cos_sim) AS max_cos
+        | FROM p GROUP BY label ORDER BY label""".stripMargin.replaceAll("\n", " ")
+  )
+}

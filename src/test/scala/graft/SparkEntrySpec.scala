@@ -49,7 +49,10 @@ class SparkEntrySpec extends AnyFunSuite {
     val allowCross = Set("x_minhash_neardup", "x_kernel_equiv",
       "x_contamination", "x_embed_neardup", "x_approx_sim_join",
       // The <= k confirmed heavy-hitter counts cross a 1-row total.
-      "x_heavy_hitters")
+      "x_heavy_hitters",
+      // Same 1-row report assembly as x_minhash_neardup, plus the
+      // equivalence-bit counters (missing/extra anti-join counts).
+      "x_incremental_dedup")
     val allowDayGrain = Set("x_rolling_stats", "x_gap_fill")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, TestSpark.sf0001)

@@ -158,6 +158,54 @@ object ScaleBench {
       s""""cap_off":{"t":${fmt(tOff)},"n_pairs":$nOff,"band_mass":$massOff,"shuffle_bytes":$bytesOff}}}"""
   }
 
+  /** The incremental-dedup entry point (graft.ext.DedupIndex) against
+    * the full recompute it replaces — the amortization argument for
+    * the round-8 API, measured. A shard of max(100, n/100) new docs
+    * (1% of the corpus, the daily-ingest shape) arrives against an
+    * n-doc indexed corpus; the probe bands ONLY the shard and
+    * semi-joins the persisted band table, while the full recompute
+    * re-shingles and re-minhashes all n + shard docs. Equality of the
+    * two candidate sets (restricted to shard-touching pairs) is
+    * `require`d before the timings print — same discipline as
+    * neardupSkewPoint. Build cost is reported separately: it is the
+    * one-time cost the probe amortizes across shards.
+    */
+  def incrementalDedupPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.DedupIndex
+    val n = 5000L * scale
+    val batchN = math.max(100L, n / 100)
+    val pathStr = s"$dir/inc_dedup_x$scale"
+    genDocuments(spark, n + batchN).write.mode("overwrite").parquet(pathStr)
+    val docs = spark.read.parquet(pathStr)
+    val oldDocs = docs.where(col("doc_id") < n)
+    val batch = docs.where(col("doc_id") >= n)
+    val params = Dedup.MinHashParams()
+    val table = s"graft_scale_inc_idx_x$scale"
+    spark.sqlContext.clearCache()
+    val (_, tBuild) = timed { DedupIndex.build(oldDocs, "doc_id", "text", table, params) }
+    spark.sqlContext.clearCache()
+    val (probe, tProbe) = timed {
+      import scala.util.chaining._
+      DedupIndex.probeNewBatch(spark, table, batch, "doc_id", "text", params)
+        .pipe(graft.ext.Checkpoints.stage)
+    }
+    val nProbe = probe.count()
+    spark.sqlContext.clearCache()
+    val (full, tFull) = timed {
+      import scala.util.chaining._
+      Dedup.candidatePairs(docs, "doc_id", "text", params)
+        .where(col("id_a") >= n || col("id_b") >= n)
+        .pipe(graft.ext.Checkpoints.stage)
+    }
+    val nFull = full.count()
+    require(nProbe == nFull &&
+      probe.join(full, Seq("id_a", "id_b"), "left_anti").count() == 0,
+      s"incremental probe diverged from full recompute: $nProbe vs $nFull")
+    s"""{"inc_dedup":{"scale":$scale,"n_indexed":$n,"n_batch":$batchN,""" +
+      s""""n_new_pairs":$nProbe,"build":{"t":${fmt(tBuild)}},""" +
+      s""""probe":{"t":${fmt(tProbe)}},"full_recompute":{"t":${fmt(tFull)}}}}"""
+  }
+
   private def timed[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -395,6 +443,14 @@ object ScaleBench {
       spark.stop()
       return
     }
+    // `inc-dedup-only`: just the incremental-probe-vs-full-recompute
+    // point at each scale, 1× warmup untimed first.
+    if (args.contains("inc-dedup-only")) {
+      incrementalDedupPoint(spark, outBase, 1)
+      scales.foreach(m => println(incrementalDedupPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
     // `points-only` (any arg position) skips the corpus scales and
     // runs just the fixed-size points — quick re-measurement.
     val pointsOnly = args.contains("points-only")
@@ -415,6 +471,7 @@ object ScaleBench {
       runPoint(spark, s"$outBase/x${scales.min}", scales.min)
       scales.foreach { m => println(runPoint(spark, s"$outBase/x$m", m)) }
       scales.foreach { m => println(neardupSkewPoint(spark, outBase, m)) }
+      scales.foreach { m => println(incrementalDedupPoint(spark, outBase, m)) }
     }
     // Fixed-size points (not per-scale): heavy hitters at 10M items,
     // ~7M distinct — the regime where the census's shuffle is the

@@ -429,6 +429,57 @@ object Dedup {
     }
   }
 
+  /** Hashes of every character k-gram of `text` — the winnowing
+    * pipeline's first stage. Hash = first 8 hex chars of md5, compared
+    * LEXICOGRAPHICALLY: portable across engines (DuckDB replays it
+    * verbatim — SQL engines lack xxhash64), uniform enough that the
+    * window-min selection is unbiased. Null text → null; text shorter
+    * than k → empty array. */
+  def kgramHashes(text: Column, k: Int): Column =
+    when(text.isNull, lit(null).cast("array<string>"))
+      .when(length(text) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(text) - (k - 1)),
+        i => substring(md5(text.substr(i, lit(k))), 1, 8)))
+
+  /** Winnowing selection over a PRECOMPUTED k-gram hash array: the
+    * minimum hash of every window of `w` consecutive k-gram hashes,
+    * deduplicated — the fingerprint set of Schleimer, Wilkerson &
+    * Aiken's winnowing algorithm (SIGMOD'03, the MOSS fingerprinter).
+    * Guarantee: two documents sharing any substring of length
+    * ≥ k + w − 1 share at least one fingerprint, while only ~2/(w+1)
+    * of all k-gram hashes are kept — the local-similarity complement
+    * to MinHash's global Jaccard (MinHash finds mostly-similar DOCS;
+    * winnowing finds shared PASSAGES inside otherwise-different docs).
+    * Ties keep the value — the output is the fingerprint SET, so the
+    * classic rightmost-tie rule changes nothing observable. Fewer
+    * than w hashes → one window over all of them (the standard
+    * short-document degeneration).
+    *
+    * Takes hashes, not text, for the same reason minhashSignature
+    * does: the hash array is referenced once per window, and an
+    * inlined text→hashes expression would be recomputed per window by
+    * the lambda (O(len²) md5 calls). Callers materialize the hashes
+    * first — [[winnowed]] stages the projection exactly like
+    * [[bands]]. */
+  def winnowSelect(hs: Column, w: Int): Column =
+    when(hs.isNull, lit(null).cast("array<string>"))
+      .when(size(hs) === 0, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+        j => array_min(slice(hs, j, lit(w))))))
+
+  /** [[kgramHashes]] + [[winnowSelect]] end to end, with the hash
+    * projection MATERIALIZED between them (eager — the barrier keeps
+    * CollapseProject from inlining the md5 chain into every window
+    * lambda; see [[bands]] for the policy and the executor-loss
+    * caveat). Adds `outCol` (array<string> fingerprints) to `df`. */
+  def winnowed(df: DataFrame, textCol: String, outCol: String,
+               k: Int = 8, w: Int = 4): DataFrame =
+    Spread.ensure(df)
+      .withColumn(outCol, kgramHashes(col(textCol), k))
+      .pipe(Checkpoints.stage)
+      .withColumn(outCol, winnowSelect(col(outCol), w))
+
   /** 32-bit SimHash of the whitespace tokens: per bit, majority vote of
     * the token hashes' bit values (+1/−1). Near-dups differ in few bits
     * (compare via bit_count(a ^ b) ≤ r).

@@ -218,6 +218,23 @@ private[graft] object CorpusQueries {
       // — the document-level boilerplate/memorization signal.
       TextAnalysis.memorizedBigramStats(
         Tables.documents(s, dir), "doc_id", "text", minCount = 4L)),
+    "x_winnow" -> ((s, dir) =>
+      // Winnowing document fingerprints (Dedup.winnowed — k=8 char
+      // k-grams, window w=4): the shared-passage detector. The
+      // fingerprints are md5-prefix strings compared lexicographically
+      // on BOTH engines, so the per-doc census (k-gram count,
+      // fingerprint count, smallest fingerprint) is value-exact. First
+      // 100 docs keep the dump small; density/guarantee semantics are
+      // pinned corpus-independently in DedupSpec.
+      Dedup.winnowed(
+          Tables.documents(s, dir)
+            .where(col("doc_id") < 100 && col("text").isNotNull),
+          "text", "fps", k = 8, w = 4)
+        .select(col("doc_id"),
+          size(Dedup.kgramHashes(col("text"), 8)).cast("long").as("n_kgrams"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("min_fp"))
+        .orderBy(col("doc_id"))),
     "x_token_split" -> ((s, dir) => tokenBudgetSplit(s, dir)),
     "x_entropy" -> ((s, dir) => entropyProfile(s, dir)),
     "x_union_evolve" -> ((s, dir) => {
@@ -879,6 +896,22 @@ private[graft] object CorpusQueries {
         |  WHERE i % 2 = 0)
         | SELECT doc_id, frame_idx, frame_str, CAST(strlen(frame_str) AS BIGINT) AS n_frame_bytes
         | FROM f ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
+    // Winnowing replayed in SQL: same md5-prefix k-gram hashes, same
+    // window-min selection (lexicographic on hex strings), same
+    // short-document degeneration (one window when < w hashes).
+    "x_winnow" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+        | g AS (SELECT doc_id, list_transform(
+        |     generate_series(1, CASE WHEN length(text) >= 8 THEN length(text) - 7 ELSE 0 END),
+        |     i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs FROM d),
+        | f AS (SELECT doc_id, hs,
+        |   CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_distinct(list_transform(
+        |          generate_series(1, GREATEST(len(hs) - 3, 1)),
+        |          j -> list_min(hs[j:j+3]))) END AS fps FROM g)
+        | SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_kgrams,
+        |   CAST(len(fps) AS BIGINT) AS n_fp, list_min(fps) AS min_fp
+        | FROM f ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // Same whitespace token-count identity as x_token_count; the
     // running total replays as a window at gate scale.
     "x_token_split" ->

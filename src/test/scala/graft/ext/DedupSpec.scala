@@ -309,6 +309,44 @@ class DedupSpec extends AnyFunSuite {
       s"appended bands not visible to the second probe: $probe2")
   }
 
+  test("winnowing: guarantee, density, degeneration, and hand-checked window mins") {
+    // Hand-checked: k=2, w=2 over 'abcd' → k-grams ab,bc,cd; windows
+    // (ab,bc),(bc,cd); fingerprints = {min(h(ab),h(bc)), min(h(bc),h(cd))}.
+    val hand = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val hs = Seq("ab", "bc", "cd")
+      .map(s => org.apache.commons.codec.digest.DigestUtils.md5Hex(s).substring(0, 8))
+    val expected = Seq(hs.take(2).min, hs.drop(1).min).distinct.sorted
+    val got = Dedup.winnowed(hand, "text", "fps", k = 2, w = 2)
+      .select(col("fps")).first().getSeq[String](0).sorted
+    assert(got == expected, s"hand-checked fingerprints: $got vs $expected")
+    // Guarantee: docs sharing a substring of length >= k + w - 1 share
+    // >= 1 fingerprint (the winnowing theorem, k=8 w=4 → 11 chars).
+    val shared = "this exact passage appears verbatim in both documents"
+    val docs = Seq(
+      (1L, s"left context totally different $shared and then some more"),
+      (2L, s"$shared trailing content that matches nothing else at all"),
+      (3L, "an unrelated document with none of that text anywhere")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowed(docs, "text", "fps")
+      .select(col("doc_id"), col("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared passage must share a fingerprint")
+    // Density: winnowing keeps ~2/(w+1) of hashes — assert well under
+    // half survive on a real-length doc (and at least one).
+    val dense = fps(1L).size.toDouble /
+      Dedup.winnowed(docs, "text", "hs0", k = 8, w = 1)
+        .where(col("doc_id") === 1).select(size(col("hs0"))).first().getInt(0)
+    assert(dense > 0.0 && dense < 0.5, s"fingerprint density $dense out of band")
+    // Degeneration: text shorter than k -> empty set; fewer than w
+    // k-grams -> exactly one window (one fingerprint).
+    val short = Seq((1L, "tiny"), (2L, "exactly9!")).toDF("doc_id", "text")
+    val sfp = Dedup.winnowed(short, "text", "fps")
+      .select(col("doc_id"), size(col("fps"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sfp(1L) == 0, "shorter than k must fingerprint to empty")
+    assert(sfp(2L) == 1, "2 k-grams under w=4 must yield exactly one window min")
+  }
+
   test("x_minhash_neardup summary is stable on driver testdata") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", Dedup.MinHashParams())

@@ -480,6 +480,43 @@ object Dedup {
       .pipe(Checkpoints.stage)
       .withColumn(outCol, winnowSelect(col(outCol), w))
 
+  /** Shared-passage document pairs via a winnow-fingerprint inverted
+    * index: explode each doc's fingerprint set, self-join keyed on the
+    * fingerprint (NEVER all-pairs), count shared fingerprints per
+    * pair, keep pairs sharing at least `minShared`. The local-overlap
+    * twin of [[exactJaccardPairs]]: that one scores whole-document
+    * n-gram Jaccard; this one fires on a single shared passage of
+    * ≥ k + w − 1 chars inside otherwise-unrelated documents (license
+    * headers, quoted blocks, plagiarized sections).
+    *
+    * Scale shape: cost is Σ df(fingerprint)² over the index, and
+    * fingerprints posted by more than `maxPostings` docs (boilerplate
+    * passages — the hot keys) are dropped from pair generation, the
+    * same quadratic guard as candidatePairs' maxBucketSize. Each
+    * doc's fingerprint set is distinct by construction, so the pair
+    * count is exactly |shared fingerprint sets ∩|. Fully value-exact
+    * across engines (md5-prefix fingerprints — the x_winnow_pairs
+    * oracle replays the entire pipeline in SQL). */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, w: Int = 4, minShared: Int = 2,
+                  maxPostings: Int = 1000): DataFrame = {
+    val fp = winnowed(docs.select(col(idCol).as("id"), col(textCol)),
+        textCol, "fps", k, w)
+      .select(col("id"), explode(col("fps")).as("fp"))
+      // Feeds the posting-size census + both join sides.
+      .pipe(Checkpoints.stage)
+    val sized = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxPostings)
+    val in = fp.join(sized.select(col("fp")), Seq("fp"))
+    val a = in.select(col("fp"), col("id").as("id_a"))
+    val b = in.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** 32-bit SimHash of the whitespace tokens: per bit, majority vote of
     * the token hashes' bit values (+1/−1). Near-dups differ in few bits
     * (compare via bit_count(a ^ b) ≤ r).

@@ -235,6 +235,22 @@ private[graft] object CorpusQueries {
           size(col("fps")).cast("long").as("n_fp"),
           array_min(col("fps")).as("min_fp"))
         .orderBy(col("doc_id"))),
+    "x_winnow_pairs" -> ((s, dir) =>
+      // Shared-passage pairs over the winnow-fingerprint inverted
+      // index (Dedup.winnowPairs): fully VALUE-exact across engines
+      // (portable fingerprints), so unlike the MinHash gates the
+      // oracle replays the whole pipeline — index, posting cap, pair
+      // counts — and compares every row. Gated on a 200-doc slice:
+      // the synthetic small-vocab fixture makes 8-char sequences
+      // collide corpus-wide (nearly every doc pair shares >= 2
+      // fingerprints), so a full-corpus dump is quadratic in rows
+      // without adding checking power — the slice pins the identical
+      // arithmetic; discrimination on realistic text is pinned in
+      // DedupSpec.
+      Dedup.winnowPairs(
+          Tables.documents(s, dir).where(col("doc_id") < 200),
+          "doc_id", "text", k = 8, w = 4, minShared = 2, maxPostings = 1000)
+        .orderBy(col("id_a"), col("id_b"))),
     "x_token_split" -> ((s, dir) => tokenBudgetSplit(s, dir)),
     "x_entropy" -> ((s, dir) => entropyProfile(s, dir)),
     "x_union_evolve" -> ((s, dir) => {
@@ -912,6 +928,25 @@ private[graft] object CorpusQueries {
         | SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_kgrams,
         |   CAST(len(fps) AS BIGINT) AS n_fp, list_min(fps) AS min_fp
         | FROM f ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // Winnow-pair pipeline replayed end to end: same fingerprints,
+    // same <= 1000 posting cap, same pair counts and >= 2 floor.
+    "x_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+        | g AS (SELECT doc_id, list_transform(
+        |     generate_series(1, CASE WHEN length(text) >= 8 THEN length(text) - 7 ELSE 0 END),
+        |     i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs FROM d),
+        | f AS (SELECT doc_id,
+        |   CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_distinct(list_transform(
+        |          generate_series(1, GREATEST(len(hs) - 3, 1)),
+        |          j -> list_min(hs[j:j+3]))) END AS fps FROM g),
+        | e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        | ok AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 1000),
+        | i AS (SELECT e.doc_id, e.fp FROM e JOIN ok USING (fp)),
+        | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |   FROM i a JOIN i b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        | SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
     // Same whitespace token-count identity as x_token_count; the
     // running total replays as a window at gate scale.
     "x_token_split" ->

@@ -347,6 +347,40 @@ class DedupSpec extends AnyFunSuite {
     assert(sfp(2L) == 1, "2 k-grams under w=4 must yield exactly one window min")
   }
 
+  test("winnowPairs: shared passages pair up, unrelated docs don't, hot postings capped") {
+    val shared = "this exact passage appears verbatim in both documents today"
+    val docs = Seq(
+      (1L, s"left context totally different $shared and then some more"),
+      (2L, s"$shared trailing content that matches nothing else at all"),
+      (3L, "an unrelated document with none of that text anywhere"),
+      (4L, "another distinct body of text sharing no passages either")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 2),
+      s"shared-passage pair (1,2) missed: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      s"unrelated docs paired: ${pairs.toSeq}")
+    // A boilerplate passage in EVERY doc: maxPostings = 3 drops its
+    // fingerprints from the index, so only the (1,2)-exclusive overlap
+    // survives — the n^2 guard is semantic, not just advisory.
+    val boiler = "standard legal disclaimer footer attached to every page"
+    val many = (10L to 19L).map(i => (i, s"unique body number $i with $boiler"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowPairs(many, "doc_id", "text",
+      minShared = 1, maxPostings = 3)
+    assert(capped.count() == 0,
+      "boilerplate-only overlap must be dropped by the posting cap")
+    val uncapped = Dedup.winnowPairs(many, "doc_id", "text",
+      minShared = 1, maxPostings = 1000)
+    assert(uncapped.count() == 45, "uncapped boilerplate pairs all 10 docs")
+    // Keyed plan: no cartesian/nested-loop anywhere in the pair join.
+    val plan = Dedup.winnowPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"winnowPairs plans a quadratic join:\n$plan")
+  }
+
   test("x_minhash_neardup summary is stable on driver testdata") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", Dedup.MinHashParams())

@@ -43,8 +43,16 @@ object DedupIndex {
   def build(docs: DataFrame, idCol: String, textCol: String, table: String,
             params: Dedup.MinHashParams = Dedup.MinHashParams(),
             nBuckets: Int = 16): Unit =
-    Writer.bucketedTable(
-      Dedup.bands(docs, idCol, textCol, params), table, "band_hash", nBuckets)
+    buildFromBands(Dedup.bands(docs, idCol, textCol, params), table, nBuckets)
+
+  /** Persist a PRECOMPUTED (id, band_id, band_hash) table — for
+    * pipelines that already banded the corpus for another consumer
+    * (a dedup run, a gate query), so the index write is just the
+    * bucketed save, never a second shingle+minhash pass. Bands are
+    * per-row, so any row-subset of a larger band table is a valid
+    * index for that subset of docs. */
+  def buildFromBands(bands: DataFrame, table: String, nBuckets: Int = 16): Unit =
+    Writer.bucketedTable(bands, table, "band_hash", nBuckets)
 
   /** Append a new batch's bands to an existing index (after a
     * [[probeNewBatch]] has deduped the batch, persist the survivors'

@@ -566,15 +566,20 @@ private[graft] object CorpusQueries {
     val params = Dedup.MinHashParams()
     val docs = Tables.documents(s, dir)
     val isNewId = (c: org.apache.spark.sql.Column) => pmod(c, lit(5)) === 4
-    val oldDocs = docs.where(!isNewId(col("doc_id")))
     val newDocs = docs.where(isNewId(col("doc_id")))
     val table = "graft_dedup_band_index"
-    DedupIndex.build(oldDocs, "doc_id", "text", table, params)
+    // ONE banding pass feeds both the index build (old rows — bands
+    // are per-row, so the filter IS the old corpus's band table) and
+    // the full-recompute twin (all rows); only the probe re-bands,
+    // because banding the new shard is the probe's own contract.
+    val allBands = Dedup.bands(docs, "doc_id", "text", params)
+      .pipe(graft.ext.Checkpoints.stage)
+    DedupIndex.buildFromBands(allBands.where(!isNewId(col("id"))), table)
     val inc = DedupIndex.probeNewBatch(s, table, newDocs, "doc_id", "text", params)
       .pipe(graft.ext.Checkpoints.stage)
     // Full-recompute twin over old ∪ new, cut to new-touching pairs
     // (the split is arithmetic on the id, so the cut is a cheap filter).
-    val fullNew = Dedup.candidatePairs(docs, "doc_id", "text", params)
+    val fullNew = Dedup.candidatePairsFromBands(allBands, params)
       .where(isNewId(col("id_a")) || isNewId(col("id_b")))
       .pipe(graft.ext.Checkpoints.stage)
     val missing = fullNew.join(inc, Seq("id_a", "id_b"), "left_anti")

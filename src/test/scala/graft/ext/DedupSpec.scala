@@ -290,6 +290,14 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .filter(p => newIds(p._1) || newIds(p._2)).toSet
     assert(probe == full, s"probe $probe != batch-restricted $full")
+    // buildFromBands: persisting a precomputed band table yields an
+    // identical index (bands are per-row; no re-shingling on build).
+    DedupIndex.buildFromBands(
+      Dedup.bands(corpus, "doc_id", "text", params), table + "_fb")
+    val probeFb = DedupIndex.probeNewBatch(spark, table + "_fb", batch,
+        "doc_id", "text", params)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probeFb == probe, "buildFromBands index must probe identically")
     // The planted collisions surface; verification confirms them.
     assert(probe.contains((5L, 200L)), "new-vs-indexed near-dup missed")
     assert(probe.contains((201L, 202L)), "new-vs-new near-dup missed")

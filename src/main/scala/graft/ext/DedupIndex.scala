@@ -74,11 +74,16 @@ object DedupIndex {
     val newBands = Dedup.bands(newDocs, idCol, textCol, params)
       .pipe(Checkpoints.stage)
     // Buckets untouched by the batch cannot yield a new-touching pair:
-    // cut the index to touched buckets BEFORE sizing — the broadcast
-    // semi-join is the probe's only contact with the corpus index.
+    // cut the index to touched buckets BEFORE sizing — the semi-join
+    // is the probe's only contact with the corpus index. NO broadcast
+    // hint: a typical shard's bucket set is small and AQE converts the
+    // shuffle join to a broadcast at runtime, but a forced hint would
+    // make a large shard (millions of docs × bands rows) a driver
+    // OOM; the index side is bucketed on band_hash, so the shuffle
+    // form co-locates off the stored clustering.
     val touched = newBands.select(col("band_id"), col("band_hash")).distinct()
     val idxTouched = spark.table(table)
-      .join(broadcast(touched), Seq("band_id", "band_hash"), "left_semi")
+      .join(touched, Seq("band_id", "band_hash"), "left_semi")
     // Bucket counts over old ∪ new — the SAME cap decision the batch
     // pipeline would make on the union corpus (see the object doc), so
     // incremental == full-recompute holds even on capped buckets.

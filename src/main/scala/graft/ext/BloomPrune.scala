@@ -56,7 +56,16 @@ object BloomPrune {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       big.where(call_function("graft_might_contain", col(keyCol), lit(bos.toByteArray)))
-    } else big
+    } else {
+      // Loud, not silent: the caller asked for a prune and is getting
+      // none — results stay correct through prunedJoin's exact join,
+      // but the shuffle savings are gone until the extension is wired.
+      System.err.println(
+        "[graft] BloomPrune.prune: graft_might_contain not registered " +
+          "(spark.sql.extensions=graft.GraftExtensions) - returning the " +
+          "input unpruned; prunedJoin results are unaffected")
+      big
+    }
 
   /** Bloom-pruned equi-join: filter the big side with the small side's
     * key sketch, then join exactly. Result ≡ `big.join(small, key)` —

@@ -57,12 +57,28 @@ object DedupIndex {
   /** Append a new batch's bands to an existing index (after a
     * [[probeNewBatch]] has deduped the batch, persist the survivors'
     * bands so the NEXT shard probes against them too). insertInto
-    * keeps the table's bucketed layout. */
+    * keeps the table's bucketed layout.
+    *
+    * IDEMPOTENT: rows already present are anti-joined away before the
+    * write, so a retried append (or a shard re-ingesting an indexed
+    * id) never double-counts band rows — duplicates would inflate the
+    * bucket census and silently push real buckets over
+    * `maxBucketSize`, breaking the probe ≡ full-recompute
+    * equivalence. Banding is deterministic per (id, text), so a
+    * duplicate id's rows are EXACT duplicates and the three-column
+    * anti-join removes them all; the existence check reads only the
+    * buckets the batch touches, same contact pattern as the probe. */
   def append(spark: SparkSession, table: String, newDocs: DataFrame,
              idCol: String, textCol: String,
-             params: Dedup.MinHashParams = Dedup.MinHashParams()): Unit =
-    Dedup.bands(newDocs, idCol, textCol, params)
+             params: Dedup.MinHashParams = Dedup.MinHashParams()): Unit = {
+    val nb = Dedup.bands(newDocs, idCol, textCol, params)
+      .pipe(Checkpoints.stage)
+    val touched = nb.select(col("band_id"), col("band_hash")).distinct()
+    val existing = spark.table(table)
+      .join(touched, Seq("band_id", "band_hash"), "left_semi")
+    nb.join(existing, Seq("id", "band_id", "band_hash"), "left_anti")
       .write.mode("append").insertInto(table)
+  }
 
   /** Candidate near-dup pairs TOUCHING the new batch (new-vs-indexed
     * and new-vs-new), canonicalized id_a < id_b. Only the new batch is

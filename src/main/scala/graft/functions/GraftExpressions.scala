@@ -445,8 +445,14 @@ case class GraftCmsEstimate(valueExpr: Expression, sketchExpr: Expression)
       new java.io.ByteArrayInputStream(bytes))
   }
 
+  // Probe with the UTF-8 BYTES, not a decoded String: the sketch
+  // hashes string items as their UTF-8 bytes anyway
+  // (CountMinSketchImpl.getHashBuckets(String) delegates to the byte[]
+  // form), so getBytes hits the identical hash path without the
+  // per-row UTF8String -> java.lang.String transcode.
   override def nullSafeEval(v: Any, ignoredSketch: Any): Any =
-    cms.estimateCount(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    cms.estimateCount(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (cms == null)
@@ -455,7 +461,7 @@ case class GraftCmsEstimate(valueExpr: Expression, sketchExpr: Expression)
       val ref = ctx.addReferenceObj("graftCms", cms,
         classOf[org.apache.spark.util.sketch.CountMinSketch].getName)
       nullSafeCodeGen(ctx, ev, (v, _) =>
-        s"${ev.value} = $ref.estimateCount($v.toString());")
+        s"${ev.value} = $ref.estimateCount($v.getBytes());")
     }
 
   override protected def withNewChildrenInternal(

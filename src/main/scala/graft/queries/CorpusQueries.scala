@@ -219,19 +219,24 @@ private[graft] object CorpusQueries {
       TextAnalysis.memorizedBigramStats(
         Tables.documents(s, dir), "doc_id", "text", minCount = 4L)),
     "x_winnow" -> ((s, dir) =>
-      // Winnowing document fingerprints (Dedup.winnowed — k=8 char
-      // k-grams, window w=4): the shared-passage detector. The
-      // fingerprints are md5-prefix strings compared lexicographically
-      // on BOTH engines, so the per-doc census (k-gram count,
-      // fingerprint count, smallest fingerprint) is value-exact. First
-      // 100 docs keep the dump small; density/guarantee semantics are
-      // pinned corpus-independently in DedupSpec.
-      Dedup.winnowed(
-          Tables.documents(s, dir)
-            .where(col("doc_id") < 100 && col("text").isNotNull),
-          "text", "fps", k = 8, w = 4)
+      // Winnowing document fingerprints (k=8 char k-grams, window
+      // w=4): the shared-passage detector. The fingerprints are
+      // md5-prefix strings compared lexicographically on BOTH engines,
+      // so the per-doc census (k-gram count, fingerprint count,
+      // smallest fingerprint) is value-exact. ONE staged hash pass
+      // feeds both the k-gram count and the window selection (the
+      // same barrier winnowed applies internally — see
+      // Dedup.winnowSelect's inlining caveat). First 100 docs keep
+      // the dump small; density/guarantee semantics are pinned
+      // corpus-independently in DedupSpec.
+      Tables.documents(s, dir)
+        .where(col("doc_id") < 100 && col("text").isNotNull)
+        .withColumn("hs", Dedup.kgramHashes(col("text"), 8))
+        .pipe(graft.ext.Checkpoints.stage)
         .select(col("doc_id"),
-          size(Dedup.kgramHashes(col("text"), 8)).cast("long").as("n_kgrams"),
+          size(col("hs")).cast("long").as("n_kgrams"),
+          Dedup.winnowSelect(col("hs"), 4).as("fps"))
+        .select(col("doc_id"), col("n_kgrams"),
           size(col("fps")).cast("long").as("n_fp"),
           array_min(col("fps")).as("min_fp"))
         .orderBy(col("doc_id"))),
@@ -567,7 +572,13 @@ private[graft] object CorpusQueries {
     val docs = Tables.documents(s, dir)
     val isNewId = (c: org.apache.spark.sql.Column) => pmod(c, lit(5)) === 4
     val newDocs = docs.where(isNewId(col("doc_id")))
-    val table = "graft_dedup_band_index"
+    // Collision-resistant per-dir table name (same policy and rationale
+    // as VectorQueries.ivfIndexFor): a shared-warehouse session pair
+    // running different sf dirs must never serve each other's bands.
+    val table = "graft_dedup_band_index_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
     // ONE banding pass feeds both the index build (old rows — bands
     // are per-row, so the filter IS the old corpus's band table) and
     // the full-recompute twin (all rows); only the probe re-bands,

@@ -315,6 +315,16 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(probe2.exists(p => p._2 == 300L && newIds(p._1)),
       s"appended bands not visible to the second probe: $probe2")
+    // RETRIED append is a no-op: duplicate band rows would inflate the
+    // bucket census (and can push real buckets over the cap), so
+    // append anti-joins rows already present.
+    val rowsBefore = spark.table(table).count()
+    DedupIndex.append(spark, table, batch, "doc_id", "text", params)
+    assert(spark.table(table).count() == rowsBefore,
+      "re-appending an already-indexed shard must not add rows")
+    val probe2Again = DedupIndex.probeNewBatch(spark, table, second, "doc_id", "text", params)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe2Again == probe2, "probe must be unchanged after a retried append")
   }
 
   test("winnowing: guarantee, density, degeneration, and hand-checked window mins") {

@@ -158,6 +158,89 @@ object ScaleBench {
       s""""cap_off":{"t":${fmt(tOff)},"n_pairs":$nOff,"band_mass":$massOff,"shuffle_bytes":$bytesOff}}}"""
   }
 
+  /** High-entropy corpus for the winnowing skew point: every token is
+    * an md5-prefix of (doc_id, position), so organic cross-document
+    * k-gram collisions are ~zero and the ONLY shared passages are the
+    * planted boilerplate footer on every 5th doc — isolating the
+    * posting-cap effect from the 40-word-vocab fixture's ubiquitous
+    * collisions. */
+  def genHighEntropyDocs(spark: SparkSession, n: Long): DataFrame = {
+    val footer = " standard legal disclaimer boilerplate footer attached to every page of this corpus"
+    spark.range(0, n, 1, 32).toDF("doc_id")
+      .withColumn("body", array_join(transform(sequence(lit(0), lit(39)),
+        i => substring(md5(concat_ws("_", col("doc_id"), i)), 1, 8)), " "))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(col("body"), lit(footer)))
+          .otherwise(col("body")))
+      .select(col("doc_id"), col("text"))
+  }
+
+  /** winnowPairs under boilerplate skew — the Σ df² posting-cap
+    * contract measured, the winnowing analogue of [[neardupSkewPoint]].
+    * A shared footer on 20% of docs posts its ~30 fingerprints to n/5
+    * documents each; uncapped, those postings alone cost
+    * ~30·(n/5)²/2 join rows (quadratic in the corpus — at 10× already
+    * ~10⁹, which is exactly why the uncapped wall is only RUN at 1×;
+    * at larger scales the uncapped cost is reported as the computed
+    * posting mass, not executed). The capped join drops the
+    * boilerplate fingerprints and pays only the organic mass, which
+    * this corpus makes ~zero. Invariant before numbers print: at 1×
+    * the capped pair set is empty (high-entropy bodies share nothing
+    * once the footer is capped) while the uncapped set pairs every
+    * footer-doc combination. */
+  def winnowSkewPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    val n = 5000L * scale
+    val pathStr = s"$dir/winnow_skew_x$scale"
+    genHighEntropyDocs(spark, n).write.mode("overwrite").parquet(pathStr)
+    val docs = spark.read.parquet(pathStr)
+    spark.sqlContext.clearCache()
+    // Posting census once (one winnow pass): Σ df·(df−1)/2 with and
+    // without the cap — the join's exact pair budget either way.
+    val census = Dedup.winnowed(docs, "text", "fps")
+      .select(explode(col("fps")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    def mass(c: DataFrame) = c
+      .agg(coalesce(sum((col("df") * (col("df") - 1) / 2).cast("long")), lit(0L)))
+      .first().getLong(0)
+    // Cap at 500 postings: the footer's df is n/5 (1000 at 1×), so it
+    // is over the cap at every scale while organic fingerprints
+    // (df 2–3 from rare md5-prefix collisions) always survive.
+    val cap = 500
+    val massOn = mass(census.where(col("df") <= cap))
+    val massOff = mass(census)
+    val hotDf = census.agg(coalesce(max(col("df")), lit(0L))).first().getLong(0)
+    spark.sqlContext.clearCache()
+    val (nOn, tOn) = timed {
+      Dedup.winnowPairs(docs, "doc_id", "text", minShared = 1, maxPostings = cap)
+        .count()
+    }
+    // The uncapped join is quadratic in the footer population — run it
+    // only at 1× (30·10⁶ join rows); beyond that the mass IS the cost.
+    val offJson =
+      if (scale == 1) {
+        spark.sqlContext.clearCache()
+        val (nOff, tOff) = timed {
+          Dedup.winnowPairs(docs, "doc_id", "text", minShared = 1,
+            maxPostings = Int.MaxValue).count()
+        }
+        val footerDocs = (n + 4) / 5
+        val footerPairs = footerDocs * (footerDocs - 1) / 2
+        // Every footer pair present uncapped, and the cap removes the
+        // bulk of the join mass. (The capped run still pairs SOME
+        // footer docs: footer-region fingerprints selected only in a
+        // minority of footer docs — boundary windows are doc-specific
+        // — have df below the cap; their work is bounded by cap·df
+        // per fingerprint, which is the cap's actual contract.)
+        require(nOff >= footerPairs && massOn * 10 <= massOff,
+          s"winnow skew invariant: capped $nOn/$massOn, uncapped $nOff/$massOff")
+        s""","cap_off":{"t":${fmt(tOff)},"n_pairs":$nOff}"""
+      } else ""
+    s"""{"winnow_skew":{"scale":$scale,"n_docs":$n,"hot_posting_df":$hotDf,""" +
+      s""""cap_on":{"t":${fmt(tOn)},"n_pairs":$nOn,"mass":$massOn},""" +
+      s""""cap_off_mass":$massOff$offJson}}"""
+  }
+
   /** The incremental-dedup entry point (graft.ext.DedupIndex) against
     * the full recompute it replaces — the amortization argument for
     * the round-8 API, measured. A shard of max(100, n/100) new docs
@@ -451,6 +534,13 @@ object ScaleBench {
       spark.stop()
       return
     }
+    // `winnow-skew-only`: just the winnowing posting-cap point.
+    if (args.contains("winnow-skew-only")) {
+      winnowSkewPoint(spark, outBase, 1)
+      scales.foreach(m => println(winnowSkewPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
     // `points-only` (any arg position) skips the corpus scales and
     // runs just the fixed-size points — quick re-measurement.
     val pointsOnly = args.contains("points-only")
@@ -472,6 +562,7 @@ object ScaleBench {
       scales.foreach { m => println(runPoint(spark, s"$outBase/x$m", m)) }
       scales.foreach { m => println(neardupSkewPoint(spark, outBase, m)) }
       scales.foreach { m => println(incrementalDedupPoint(spark, outBase, m)) }
+      scales.foreach { m => println(winnowSkewPoint(spark, outBase, m)) }
     }
     // Fixed-size points (not per-scale): heavy hitters at 10M items,
     // ~7M distinct — the regime where the census's shuffle is the

@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctionBuilders.mightContainInfo, GraftFunctionBuilders.mightContainBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
       GraftFunctionBuilders.cmsEstimateInfo, GraftFunctionBuilders.cmsEstimateBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_winnow"),
+      GraftFunctionBuilders.winnowInfo, GraftFunctionBuilders.winnowBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_mg_topk"),
       graft.functions.MisraGriesTopK.info, graft.functions.MisraGriesTopK.builder _))
     // Opt-in approximate similarity-join rewrite (see

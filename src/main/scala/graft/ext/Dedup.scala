@@ -468,17 +468,26 @@ object Dedup {
         sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
         j => array_min(slice(hs, j, lit(w))))))
 
-  /** [[kgramHashes]] + [[winnowSelect]] end to end, with the hash
-    * projection MATERIALIZED between them (eager — the barrier keeps
-    * CollapseProject from inlining the md5 chain into every window
-    * lambda; see [[bands]] for the policy and the executor-loss
-    * caveat). Adds `outCol` (array<string> fingerprints) to `df`. */
+  /** [[kgramHashes]] + [[winnowSelect]] end to end. Sessions with
+    * GraftExtensions run the codegen'd `graft_winnow` kernel — one
+    * primitive pass per row, no barrier needed (identical
+    * fingerprints: GraftFunctionsSpec pins the equality, x_kernel_equiv
+    * gates it hard-0 through the driver compare). The fallback
+    * higher-order path MATERIALIZES the hash projection between the
+    * two stages (eager — the barrier keeps CollapseProject from
+    * inlining the md5 chain into every window lambda; see [[bands]]
+    * for the policy and the executor-loss caveat). Adds `outCol`
+    * (array<string> fingerprints) to `df`. */
   def winnowed(df: DataFrame, textCol: String, outCol: String,
                k: Int = 8, w: Int = 4): DataFrame =
-    Spread.ensure(df)
-      .withColumn(outCol, kgramHashes(col(textCol), k))
-      .pipe(Checkpoints.stage)
-      .withColumn(outCol, winnowSelect(col(outCol), w))
+    if (df.sparkSession.catalog.functionExists("graft_winnow"))
+      Spread.ensure(df).withColumn(outCol,
+        call_function("graft_winnow", col(textCol), lit(k), lit(w)))
+    else
+      Spread.ensure(df)
+        .withColumn(outCol, kgramHashes(col(textCol), k))
+        .pipe(Checkpoints.stage)
+        .withColumn(outCol, winnowSelect(col(outCol), w))
 
   /** Shared-passage document pairs via a winnow-fingerprint inverted
     * index: explode each doc's fingerprint set, self-join keyed on the

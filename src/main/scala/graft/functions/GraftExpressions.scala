@@ -116,6 +116,52 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints — the kernel twin of
+    * `Dedup.winnowSelect(Dedup.kgramHashes(text, k), w)`: character
+    * k-gram → md5 hex prefix (8 chars, lowercase — exactly Spark's
+    * `md5` over the substring's UTF-8 bytes; substring is
+    * codepoint-based like Catalyst's Substring), then the minimum of
+    * every w-window of consecutive hashes (lexicographic — identical
+    * to array_min's binary comparison on ASCII hex), deduplicated
+    * preserving first occurrence (array_distinct's order). One
+    * primitive pass per row; the higher-order form re-evaluates the
+    * hash array per window lambda unless a materialization barrier is
+    * interposed (Dedup.winnowed) — the kernel needs no barrier.
+    */
+  def winnow(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val nChars = text.numChars()
+    val nGrams = nChars - (k - 1)
+    if (nGrams <= 0) return new GenericArrayData(new Array[Any](0))
+    val hs = new Array[String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val sub = text.substringSQL(i + 1, k)
+      hs(i) = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(sub.getBytes).substring(0, 8)
+      i += 1
+    }
+    val nWin = math.max(nGrams - (w - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j < nWin) {
+      var m = hs(j)
+      var t = j + 1
+      val end = math.min(j + w, nGrams)
+      while (t < end) {
+        if (hs(t).compareTo(m) < 0) m = hs(t)
+        t += 1
+      }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Per-band minhash-fold hashes: for band j, fold the minima of hash
     * functions h_i(x) = (a_i·x + b_i) mod P over i ∈ [j·rows, (j+1)·rows)
     * with acc' = (acc·31 + min_i) mod P. Exactly the expression chain in
@@ -309,6 +355,35 @@ case class GraftShingleHashes(child: Expression, k: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
       s"${ev.value} = graft.functions.Kernels.shingleHashes($t, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprints of a string (string → array<string> of
+  * 8-hex-char md5 prefixes) — kernel twin of the
+  * kgramHashes→winnowSelect chain; see Kernels.winnow. */
+case class GraftWinnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_winnow expects a string, got $dt")
+    }
+
+  override def nullSafeEval(text: Any): Any =
+    Kernels.winnow(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.Kernels.winnow($t, $k, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -527,4 +602,9 @@ object GraftFunctionBuilders {
     new ExpressionInfo(classOf[GraftCmsEstimate].getName, "graft_cms_estimate")
   def cmsEstimateBuilder(exprs: Seq[Expression]): Expression =
     GraftCmsEstimate(exprs(0), exprs(1))
+
+  val winnowInfo =
+    new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow")
+  def winnowBuilder(exprs: Seq[Expression]): Expression =
+    GraftWinnow(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "w"))
 }

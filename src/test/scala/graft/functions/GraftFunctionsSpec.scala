@@ -141,6 +141,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_winnow matches the kgramHashes/winnowSelect chain exactly") {
+    import scala.util.chaining._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("text"))
+      .union(spark.sql("SELECT '' AS text"))          // empty text
+      .union(spark.sql("SELECT 'tiny' AS text"))      // shorter than k
+      .union(spark.sql("SELECT 'exactly9!' AS text")) // fewer k-grams than w
+      .union(spark.sql("SELECT CAST(NULL AS STRING) AS text"))
+    // The HOF side needs the barrier (winnowSelect's inlining caveat);
+    // the kernel side is a single expression.
+    val slow = docs
+      .withColumn("hs", Dedup.kgramHashes(col("text"), 8))
+      .pipe(graft.ext.Checkpoints.stage)
+      .select(col("text"), Dedup.winnowSelect(col("hs"), 4).as("slow"))
+    val both = slow
+      .select(call_function("graft_winnow", col("text"), lit(8), lit(4)).as("fast"),
+        col("slow"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0), "null text must be null on both paths")
+      else assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"winnow diverges: ${r.getSeq[String](0).take(5)} vs ${r.getSeq[String](1).take(5)}")
+    }
+  }
+
   test("sketch probes run inside whole-stage codegen") {
     val orders = Tables.orders(spark, TestSpark.sf0001)
     val bf = orders.limit(10).stat.bloomFilter("o_orderkey", 100, 0.01)

@@ -279,11 +279,15 @@ object Dedup {
 
   /** Connected components over a near-dup pair set via iterative
     * min-label propagation: every doc gets the smallest id reachable
-    * through near-dup edges as its `cluster_id`. Converges in
-    * O(log(diameter)) rounds; near-dup clusters are tiny (diameter a
-    * handful), so a low `maxIters` with an early-exit check is plenty.
-    * Each round is one keyed aggregation — no cartesian, no driver
-    * data beyond the 1-row convergence count.
+    * through near-dup edges as its `cluster_id`. Propagation is ONE
+    * HOP per round, so convergence takes O(diameter) rounds — size
+    * `maxIters` to the longest expected near-dup chain (near-dup
+    * clusters are tiny, diameter a handful, so the default 10 with an
+    * early-exit check is plenty; adversarially long chains need
+    * `maxIters` raised, or graft.operators.ConnectedComponents, whose
+    * alternating large-star/small-star contraction converges in
+    * O(log² n) rounds). Each round is one keyed aggregation — no
+    * cartesian, no driver data beyond the 1-row convergence count.
     */
   def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                       maxIters: Int = 10): DataFrame = {
@@ -361,9 +365,13 @@ object Dedup {
     * boilerplate page and its clean twin collide, keep the clean one,
     * whatever its id. Same pipeline as dedupNearDups (bands →
     * candidates → verify → label-prop on the tiny touched subgraph);
-    * the winner per cluster is one extra keyed argmax over the
-    * clustered docs — max(struct(score, -id)) is the lexicographic
-    * argmax with the id tiebreak, deterministic on both engines. */
+    * the winner per cluster is a row_number() pick ordered
+    * (score DESC, id ASC) over the clustered docs — the id stays in
+    * its NATIVE type (string UUIDs work; an argmax that negates the
+    * id would silently drop every clustered doc for non-numeric ids),
+    * and the window partitions by cluster_id over the TINY touched
+    * subgraph, so no single-task hazard: each partition is one
+    * near-dup cluster, a handful of rows. */
   def dedupNearDupsBy(docs: DataFrame, idCol: String, textCol: String,
                       scoreCol: String,
                       params: MinHashParams = MinHashParams(),
@@ -376,11 +384,15 @@ object Dedup {
       .union(pairs.select(col("id_b").as("doc"))).distinct()
     val clusters = nearDupClusters(touched, "doc", pairs)
     val scored = docs
-      .select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score"))
+      .select(col(idCol).as("id"), col(scoreCol).as("__score"))
       .join(broadcast(clusters), "id")
-    val winners = scored.groupBy(col("cluster_id"))
-      .agg(max(struct(col("__score"), (-col("id")).as("nid"))).as("w"))
-      .select((-col("w.nid")).as("id"))
+    val winners = scored
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("__score").desc, col("id").asc)))
+      .where(col("__rn") === 1)
+      .select(col("id"))
     val losers = clusters.select(col("id"))
       .join(broadcast(winners), Seq("id"), "left_anti")
     docs.join(broadcast(losers), docs(idCol) === losers("id"), "left_anti")

@@ -97,23 +97,28 @@ object Kernels {
     import org.apache.spark.unsafe.types.UTF8String
     val toks = text.toString.split(" ", -1)
     val n = math.max(toks.length - (k - 1), 0)
-    val seen = new java.util.LinkedHashSet[Long]()
+    // Dedup on the SHINGLE STRING (array_distinct's key in the HOF
+    // twin), not on the post-mod-P hash: two distinct shingles that
+    // collide mod P must BOTH keep their (equal) value, exactly like
+    // the higher-order chain — deduping on the hash would drop one
+    // and break the bit-identical equivalence x_kernel_equiv gates.
+    val seen = new java.util.LinkedHashSet[String]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n)
     var i = 0
     while (i < n) {
       val sb = new java.lang.StringBuilder(toks(i))
       var j = 1
       while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
-      val s = UTF8String.fromString(sb.toString)
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-      seen.add(((h % P) + P) % P)
+      val str = sb.toString
+      if (seen.add(str)) {
+        val s = UTF8String.fromString(str)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        out += ((h % P) + P) % P
+      }
       i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var o = 0
-    while (it.hasNext) { out(o) = it.next(); o += 1 }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
 
   /** Winnowing fingerprints — the kernel twin of

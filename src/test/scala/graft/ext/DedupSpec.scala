@@ -199,6 +199,30 @@ class DedupSpec extends AnyFunSuite {
     assert((0L until 60L).filterNot(Set(3L, 17L, 42L)).forall(ids.contains))
   }
 
+  test("dedupNearDupsBy with STRING ids: native-type tiebreak, no silent data loss") {
+    // Regression: the winner pick once cast the id to long — string
+    // UUID-ish ids cast to null, `winners` came back empty, and the
+    // left_anti dropped EVERY clustered doc including the survivors.
+    val scored = corpus.withColumn("quality",
+      when(col("doc_id") === 100L, 9.0)
+        .when(col("doc_id") === 3L, 1.0)
+        .when(col("doc_id") === 17L, 9.0)
+        .when(col("doc_id") === 101L, 1.0)
+        .when(col("doc_id") === 42L, 5.0)
+        .when(col("doc_id") === 102L, 5.0)
+        .otherwise(0.0))
+      .withColumn("doc_id", format_string("doc-%03d", col("doc_id")))
+    val out = Dedup.dedupNearDupsBy(scored, "doc_id", "text", "quality",
+      params, threshold = 0.5)
+    assert(out.count() == 60, "string ids must dedup, not empty-cluster-drop")
+    val ids = out.select("doc_id").collect().map(_.getString(0)).toSet
+    assert(!ids.contains("doc-003") && ids.contains("doc-100"),
+      "higher-scored twin must survive under string ids")
+    assert(ids.contains("doc-017") && !ids.contains("doc-101"))
+    assert(ids.contains("doc-042") && !ids.contains("doc-102"),
+      "score tie must break to the lexicographically smaller id")
+  }
+
   test("approx_count_distinct tracks exact distinct within HLL error bounds") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val r = docs.agg(

@@ -97,6 +97,44 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_shingle_hashes keeps BOTH values when distinct shingles collide mod P") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val P = 2147483647L
+    def h(s: String): Long = {
+      val u = UTF8String.fromString(s)
+      val x = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      ((x % P) + P) % P
+    }
+    // Birthday-search two distinct tokens with equal post-mod-P hash
+    // (space 2^31; 400k deterministic candidates → expected ~37
+    // collisions). The dedup key is the SHINGLE, not the hash: the
+    // HOF twin (array_distinct on shingles → hash) keeps both equal
+    // values, and the kernel must mirror that exactly.
+    val seen = new scala.collection.mutable.HashMap[Long, String]()
+    var pair: Option[(String, String)] = None
+    var i = 0
+    while (pair.isEmpty && i < 400000) {
+      val t = "tok" + i
+      seen.put(h(t), t) match {
+        case Some(prev) if prev != t => pair = Some((prev, t))
+        case _ => ()
+      }
+      i += 1
+    }
+    assert(pair.nonEmpty, "no mod-P collision in 400k tokens — widen the search")
+    val (t1, t2) = pair.get
+    val both = spark.sql(s"SELECT '$t1 $t2' AS text")
+      .select(
+        call_function("graft_shingle_hashes", col("text"), lit(1)).as("fast"),
+        Dedup.shingleHashes(Dedup.shingles(col("text"), 1)).as("slow"))
+      .first()
+    assert(both.getSeq[Long](0).size == 2,
+      s"kernel must keep both colliding shingles ($t1, $t2)")
+    assert(both.getSeq[Long](0) == both.getSeq[Long](1),
+      "kernel and HOF twin diverge on a mod-P collision")
+  }
+
   test("graft_might_contain agrees with the driver-side probe on every key, nulls drop") {
     import org.apache.spark.util.sketch.BloomFilter
     val orders = Tables.orders(spark, TestSpark.sf0001)

@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctionBuilders.cmsEstimateInfo, GraftFunctionBuilders.cmsEstimateBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_winnow"),
       GraftFunctionBuilders.winnowInfo, GraftFunctionBuilders.winnowBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_winnow_packed"),
+      GraftFunctionBuilders.winnowPackedInfo, GraftFunctionBuilders.winnowPackedBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_mg_topk"),
       graft.functions.MisraGriesTopK.info, graft.functions.MisraGriesTopK.builder _))
     // Opt-in approximate similarity-join rewrite (see

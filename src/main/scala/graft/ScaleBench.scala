@@ -196,7 +196,8 @@ object ScaleBench {
     spark.sqlContext.clearCache()
     // Posting census once (one winnow pass): Σ df·(df−1)/2 with and
     // without the cap — the join's exact pair budget either way.
-    val census = Dedup.winnowed(docs, "text", "fps")
+    // Packed fingerprints, same as winnowPairs' internal index.
+    val census = Dedup.winnowedPacked(docs, "text", "fps")
       .select(explode(col("fps")).as("fp"))
       .groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .localCheckpoint(true)

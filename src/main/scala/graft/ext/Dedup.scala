@@ -501,6 +501,29 @@ object Dedup {
         .pipe(Checkpoints.stage)
         .withColumn(outCol, winnowSelect(col(outCol), w))
 
+  /** [[winnowed]] with INT-PACKED fingerprints (`outCol` is
+    * array<long>, each element the md5-prefix fingerprint's unsigned
+    * 32-bit value): the form every shuffle-heavy consumer should use —
+    * a fixed-width 8-byte long halves the exploded inverted-index row
+    * vs a 16-byte offset+payload hex string, and packing is an
+    * order-preserving bijection on the 8-hex fingerprints
+    * (lexicographic hex == unsigned numeric), so the SELECTED
+    * fingerprint set is identical to [[winnowed]]'s modulo encoding —
+    * `lpad(lower(hex(fp)), 8, '0')` recovers the string form exactly
+    * (GraftFunctionsSpec pins it; hex only at oracle boundaries).
+    * Kernel fast path (`graft_winnow_packed`); the fallback converts
+    * the string pipeline's output AFTER winnow-select, so it pays the
+    * conv() on ~2/(w+1) of the hashes only. */
+  def winnowedPacked(df: DataFrame, textCol: String, outCol: String,
+                     k: Int = 8, w: Int = 4): DataFrame =
+    if (df.sparkSession.catalog.functionExists("graft_winnow_packed"))
+      Spread.ensure(df).withColumn(outCol,
+        call_function("graft_winnow_packed", col(textCol), lit(k), lit(w)))
+    else
+      winnowed(df, textCol, outCol, k, w)
+        .withColumn(outCol,
+          transform(col(outCol), s => conv(s, 16, 10).cast("long")))
+
   /** Shared-passage document pairs via a winnow-fingerprint inverted
     * index: explode each doc's fingerprint set, self-join keyed on the
     * fingerprint (NEVER all-pairs), count shared fingerprints per
@@ -513,15 +536,20 @@ object Dedup {
     * Scale shape: cost is Σ df(fingerprint)² over the index, and
     * fingerprints posted by more than `maxPostings` docs (boilerplate
     * passages — the hot keys) are dropped from pair generation, the
-    * same quadratic guard as candidatePairs' maxBucketSize. Each
-    * doc's fingerprint set is distinct by construction, so the pair
-    * count is exactly |shared fingerprint sets ∩|. Fully value-exact
-    * across engines (md5-prefix fingerprints — the x_winnow_pairs
-    * oracle replays the entire pipeline in SQL). */
+    * same quadratic guard as candidatePairs' maxBucketSize. The
+    * exploded index carries INT-PACKED fingerprints
+    * ([[winnowedPacked]] — the packing is an order-preserving
+    * bijection, so counts are unchanged) because the explode+shuffle
+    * of ~2·len/(w+1) fingerprints per doc is this operator's dominant
+    * cost at scale and a fixed-width long halves the shuffled row.
+    * Each doc's fingerprint set is distinct by construction, so the
+    * pair count is exactly |shared fingerprint sets ∩|. Fully
+    * value-exact across engines (the x_winnow_pairs oracle replays
+    * the entire pipeline in SQL on the hex form). */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 8, w: Int = 4, minShared: Int = 2,
                   maxPostings: Int = 1000): DataFrame = {
-    val fp = winnowed(docs.select(col(idCol).as("id"), col(textCol)),
+    val fp = winnowedPacked(docs.select(col(idCol).as("id"), col(textCol)),
         textCol, "fps", k, w)
       .select(col("id"), explode(col("fps")).as("fp"))
       // Feeds the posting-size census + both join sides.

@@ -167,6 +167,74 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Int-packed winnowing fingerprints — [[winnow]]'s row-width twin:
+    * the 8-hex-char md5 prefix IS the digest's first 4 bytes, so each
+    * fingerprint packs as that unsigned 32-bit value in a long
+    * ([0, 2^32)). Fixed-width lowercase hex compares lexicographically
+    * exactly as the unsigned value compares numerically, and packing
+    * is a bijection on 8-hex strings, so window-min selection and
+    * first-occurrence dedup pick the SAME fingerprints —
+    * `lpad(lower(hex(packed)), 8, '0')` reproduces [[winnow]]'s output
+    * element-for-element (GraftFunctionsSpec pins it). Why it exists:
+    * the winnow inverted index explodes ~len/(w+1)·2 fingerprints per
+    * doc through a corpus-wide shuffle, and an 8-byte fixed-width long
+    * beats a 16-byte offset+payload UTF8String row — the measured
+    * dominator of the winnow join at ScaleBench 50×. Also ~2× less
+    * per-row hash work: one reused MessageDigest, no hex encode.
+    */
+  def winnowPacked(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    val nChars = text.numChars()
+    val nGrams = nChars - (k - 1)
+    if (nGrams <= 0) return new GenericArrayData(new Array[Long](0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out16 = new Array[Byte](16)
+    val hs = new Array[Long](nGrams)
+    if (text.numBytes() == nChars) {
+      // ASCII fast path: a k-codepoint substring IS a k-byte slice, so
+      // hash sliding windows of the row's one byte[] — no per-k-gram
+      // UTF8String/byte[] allocation (2·nGrams objects saved per row;
+      // GC pressure was a measured chunk of the 50× skew wall).
+      val bytes = text.getBytes
+      var i = 0
+      while (i < nGrams) {
+        md.update(bytes, i, k)
+        md.digest(out16, 0, 16) // writes + resets, no allocation
+        hs(i) = ((out16(0) & 0xffL) << 24) | ((out16(1) & 0xffL) << 16) |
+          ((out16(2) & 0xffL) << 8) | (out16(3) & 0xffL)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < nGrams) {
+        val sub = text.substringSQL(i + 1, k)
+        md.update(sub.getBytes)
+        md.digest(out16, 0, 16)
+        hs(i) = ((out16(0) & 0xffL) << 24) | ((out16(1) & 0xffL) << 16) |
+          ((out16(2) & 0xffL) << 8) | (out16(3) & 0xffL)
+        i += 1
+      }
+    }
+    val nWin = math.max(nGrams - (w - 1), 1)
+    val seen = new java.util.LinkedHashSet[Long]()
+    var j = 0
+    while (j < nWin) {
+      var m = hs(j)
+      var t = j + 1
+      val end = math.min(j + w, nGrams)
+      while (t < end) {
+        if (hs(t) < m) m = hs(t)
+        t += 1
+      }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Per-band minhash-fold hashes: for band j, fold the minima of hash
     * functions h_i(x) = (a_i·x + b_i) mod P over i ∈ [j·rows, (j+1)·rows)
     * with acc' = (acc·31 + min_i) mod P. Exactly the expression chain in
@@ -394,6 +462,35 @@ case class GraftWinnow(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Int-packed winnowing fingerprints (string → array<long>, each the
+  * md5-prefix fingerprint as an unsigned 32-bit value) — see
+  * Kernels.winnowPacked for the bijection with [[GraftWinnow]]. */
+case class GraftWinnowPacked(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_winnow_packed expects a string, got $dt")
+    }
+
+  override def nullSafeEval(text: Any): Any =
+    Kernels.winnowPacked(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.Kernels.winnowPacked($t, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** LSH band hashes of a shingle-hash array (array<long> → array<long>
   * of `bands` fold hashes, `rowsPerBand` minhashes each). */
 case class GraftMinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
@@ -612,4 +709,9 @@ object GraftFunctionBuilders {
     new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow")
   def winnowBuilder(exprs: Seq[Expression]): Expression =
     GraftWinnow(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "w"))
+
+  val winnowPackedInfo =
+    new ExpressionInfo(classOf[GraftWinnowPacked].getName, "graft_winnow_packed")
+  def winnowPackedBuilder(exprs: Seq[Expression]): Expression =
+    GraftWinnowPacked(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "w"))
 }

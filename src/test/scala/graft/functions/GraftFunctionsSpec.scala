@@ -135,6 +135,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
       "kernel and HOF twin diverge on a mod-P collision")
   }
 
+  test("graft_winnow_packed is the hex bijection of graft_winnow, element for element") {
+    // Packing is order-preserving (lexicographic 8-hex == unsigned
+    // numeric), so the packed kernel must select the SAME fingerprints
+    // in the SAME order — lpad(lower(hex(v)), 8, '0') recovers
+    // graft_winnow's output exactly. Real corpus + degenerate cases.
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("text"))
+      .union(spark.sql("SELECT '' AS text"))         // shorter than k
+      .union(spark.sql("SELECT 'exactly9!' AS text")) // fewer than w k-grams
+      .union(spark.sql("SELECT CAST(NULL AS STRING) AS text"))
+      // Non-ASCII: exercises the codepoint (non-byte-slice) path —
+      // multi-byte chars make numBytes != numChars.
+      .union(spark.sql("SELECT 'héllo wörld ünïcode tęst dæta ßharp' AS text"))
+    val both = docs.select(
+        transform(call_function("graft_winnow_packed", col("text"), lit(8), lit(4)),
+          v => lpad(lower(hex(v)), 8, "0")).as("packed_hex"),
+        call_function("graft_winnow", col("text"), lit(8), lit(4)).as("str"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0), "null text must stay null")
+      else assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"packed/string winnow diverge: ${r.getSeq[String](0).take(4)} vs ${r.getSeq[String](1).take(4)}")
+    }
+  }
+
   test("graft_might_contain agrees with the driver-side probe on every key, nulls drop") {
     import org.apache.spark.util.sketch.BloomFilter
     val orders = Tables.orders(spark, TestSpark.sf0001)

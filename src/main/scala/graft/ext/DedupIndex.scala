@@ -83,12 +83,20 @@ object DedupIndex {
   /** Candidate near-dup pairs TOUCHING the new batch (new-vs-indexed
     * and new-vs-new), canonicalized id_a < id_b. Only the new batch is
     * shingled; the corpus side comes from the saved band table,
-    * restricted up front to buckets the batch touches. */
+    * restricted up front to buckets the batch touches.
+    *
+    * `stager` is the multi-consumer materialization barrier
+    * (Checkpoints.stage in production); PlanAuditSpec injects
+    * `identity` to pin the UNSTAGED logical plan — the left_semi
+    * restriction sitting below the sizing aggregate, and no broadcast
+    * hint on the index side — which the barriers would otherwise hide
+    * behind LogicalRDD leaves. */
   def probeNewBatch(spark: SparkSession, table: String, newDocs: DataFrame,
                     idCol: String, textCol: String,
-                    params: Dedup.MinHashParams = Dedup.MinHashParams()): DataFrame = {
+                    params: Dedup.MinHashParams = Dedup.MinHashParams(),
+                    stager: DataFrame => DataFrame = Checkpoints.stage): DataFrame = {
     val newBands = Dedup.bands(newDocs, idCol, textCol, params)
-      .pipe(Checkpoints.stage)
+      .pipe(stager)
     // Buckets untouched by the batch cannot yield a new-touching pair:
     // cut the index to touched buckets BEFORE sizing — the semi-join
     // is the probe's only contact with the corpus index. NO broadcast
@@ -104,7 +112,7 @@ object DedupIndex {
     // pipeline would make on the union corpus (see the object doc), so
     // incremental == full-recompute holds even on capped buckets.
     // Feeds sizing + both join sides; stage it once.
-    val union = idxTouched.unionByName(newBands).pipe(Checkpoints.stage)
+    val union = idxTouched.unionByName(newBands).pipe(stager)
     val sized = union.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") <= params.maxBucketSize)

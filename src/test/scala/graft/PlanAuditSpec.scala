@@ -107,6 +107,67 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly one Sort (the window order):\n$plan")
   }
 
+  test("DedupIndex.probeNewBatch: left_semi bucket restriction BELOW the sizing agg, no broadcast hint") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val params = graft.ext.Dedup.MinHashParams()
+    val table = "graft_plan_audit_probe_idx"
+    graft.ext.DedupIndex.build(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text", table, params)
+    // identity stager: the pin needs the UNSTAGED logical plan — the
+    // production checkpoints hide the semi-join behind LogicalRDDs.
+    val probe = graft.ext.DedupIndex.probeNewBatch(spark, table,
+      docs.where(pmod(col("doc_id"), lit(5)) === 4), "doc_id", "text", params,
+      stager = identity)
+    val opt = probe.queryExecution.optimizedPlan
+    // 1) The index is cut to touched buckets with a left_semi join.
+    val semis = opt.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, s"no left_semi bucket restriction in:\n$opt")
+    // 2) Every bucket-sizing aggregate sits ABOVE the restriction: the
+    //    probe sizes only touched buckets, never the whole index.
+    val sizing = opt.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.name == "bucket_n") => a
+    }
+    assert(sizing.nonEmpty, s"bucket-sizing aggregate missing from:\n$opt")
+    sizing.foreach { a =>
+      assert(a.exists { case j: Join => j.joinType == LeftSemi; case _ => false },
+        s"sizing aggregate not fed by the left_semi restriction:\n$opt")
+    }
+    // 3) No broadcast HINT on any join — a huge shard must never be
+    //    forced through the driver; AQE may still pick broadcast at
+    //    runtime, which is the intended adaptivity.
+    opt.collect { case j: Join => j.hint }.foreach { h =>
+      assert(h.leftHint.isEmpty && h.rightHint.isEmpty,
+        s"probeNewBatch must not carry join hints:\n$opt")
+    }
+  }
+
+  test("winnowPairs: fp-keyed equi-join, posting cap filtered below the pair join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val df = graft.ext.Dedup.winnowPairs(docs, "doc_id", "text", maxPostings = 777)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"winnowPairs plans a quadratic join:\n$plan")
+    // The pair join is keyed on the packed fingerprint.
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("fp")),
+      s"pair join must be keyed on fp:\n$plan")
+    // The df <= maxPostings cap is applied BELOW the pair join (hot
+    // fingerprints never reach pair generation).
+    val opt = df.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.nonEmpty, s"no join in winnowPairs plan:\n$opt")
+    val capBelowJoin = joins.exists(_.exists {
+      case f: Filter => f.condition.toString.contains("777")
+      case _ => false
+    })
+    assert(capBelowJoin, s"posting cap (777) not below the pair join:\n$opt")
+  }
+
   test("x_asof_join and x_range_join stay free of cartesian/nested-loop shapes") {
     Seq("x_asof_join", "x_range_join").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, TestSpark.sf0001)

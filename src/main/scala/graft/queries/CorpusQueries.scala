@@ -46,7 +46,8 @@ private[graft] object CorpusQueries {
         .orderBy(col("doc_id"))),
     "x_jaccard_adjacent" -> ((s, dir) => jaccardAdjacent(s, dir)),
     "x_minhash_neardup" -> ((s, dir) => minhashSummary(s, dir)),
-    "x_incremental_dedup" -> ((s, dir) => incrementalDedup(s, dir)),
+    "x_incremental_dedup" -> ((s, dir) => incrementalDedupProd(s, dir)),
+    "x_incremental_dedup_gate" -> ((s, dir) => incrementalDedupGate(s, dir)),
     "x_simhash" -> ((s, dir) =>
       // SimHash values are engine-internal (xxhash64), but two
       // INVARIANTS of them are not: (a) simhash is a pure function of
@@ -552,8 +553,98 @@ private[graft] object CorpusQueries {
         (col("__conf") >= col("n_exact_pairs")).cast("long").as("ge_exact_ok"))
   }
 
-  /** x_incremental_dedup: the INCREMENTAL dedup entry point
-    * (DedupIndex), gated against full recompute. Split: docs with
+  /** Session-memoized band index over the "already ingested" 4/5 of
+    * the corpus (doc_id % 5 != 4) — the amortized build that
+    * x_incremental_dedup's probe rides, built ONCE per (session, dir)
+    * exactly like the IVF index memo (VectorQueries.ivfIndexFor, same
+    * weak-key staleness rationale: a fresh JVM/session always
+    * rebuilds; bench reps 2..n in one session probe the existing
+    * index, which is precisely the production amortization being
+    * timed). */
+  private val incIdxMemo =
+    new java.util.WeakHashMap[SparkSession, java.util.HashSet[String]]()
+  private def incIndexFor(s: SparkSession, dir: String,
+                          params: Dedup.MinHashParams): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val table = "graft_inc_band_idx_" + digest
+    incIdxMemo.synchronized {
+      val perSession = {
+        val m = incIdxMemo.get(s)
+        if (m != null) m
+        else { val m2 = new java.util.HashSet[String](); incIdxMemo.put(s, m2); m2 }
+      }
+      if (!perSession.contains(dir)) {
+        DedupIndex.build(
+          Tables.documents(s, dir).where(pmod(col("doc_id"), lit(5)) =!= 4),
+          "doc_id", "text", table, params)
+        perSession.add(dir)
+      }
+    }
+    table
+  }
+
+  /** x_incremental_dedup: the PRODUCTION incremental-dedup path — band
+    * the arriving shard (doc_id % 5 == 4), probe the persisted band
+    * index (DedupIndex.probeNewBatch — never re-shingles the indexed
+    * corpus), exact-Jaccard-verify the candidates — plus only CHEAP
+    * invariant bits. The expensive equivalence machinery (the
+    * full-recompute twin and the corpus-wide exact-Jaccard truth pass)
+    * lives in [[incrementalDedupGate]] / x_incremental_dedup_gate:
+    * this entry exists so the bench profile times what a pipeline
+    * actually pays per shard (VERDICT r8 #3), not the 3-pipeline gate.
+    *
+    * Oracle-checked values: n_new_docs and n_ident_new_pairs — the
+    * byte-identical-text pair count touching the shard, replayed by a
+    * GROUP BY text census in DuckDB (C(n,2) − C(n−k,2) per text
+    * group). The bits are LSH-independent invariants of the REAL
+    * output: found_ident_ok (byte-identical docs share every band
+    * hash and J = 1 ≥ threshold, so the probe+verify can never miss
+    * them while their buckets are under the cap — same assumption as
+    * x_minhash_neardup's ge_exact_ok), touch_new_ok (every verified
+    * pair touches the shard), canon_ok (id_a < id_b). */
+  private def incrementalDedupProd(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val params = Dedup.MinHashParams()
+    val docs = Tables.documents(s, dir)
+    val isNewId = (c: Column) => pmod(c, lit(5)) === 4
+    val newDocs = docs.where(isNewId(col("doc_id")))
+    val table = incIndexFor(s, dir, params)
+    val verified = DedupIndex.nearDupPairsNewBatch(s, table, newDocs, docs,
+        "doc_id", "text", params, threshold = 0.5)
+      .pipe(graft.ext.Checkpoints.stage)
+    // Byte-identical new-touching pairs: md5-keyed self-join —
+    // identical text ⇔ identical digest, one keyed equi-join whose
+    // mass is Σ dup_group², nothing like the truth pass's shingle
+    // explosion.
+    val fp = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("__fp"))
+    val identPairs = fp.select(col("__fp"), col("doc_id").as("id_a"))
+      .join(fp.select(col("__fp"), col("doc_id").as("id_b")), Seq("__fp"))
+      .where(col("id_a") < col("id_b") &&
+        (isNewId(col("id_a")) || isNewId(col("id_b"))))
+      .select(col("id_a"), col("id_b"))
+      .pipe(graft.ext.Checkpoints.stage)
+    val nIdent = identPairs.agg(count(lit(1)).as("n_ident_new_pairs"))
+    val identMissed = identPairs.join(verified, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__im"))
+    val badTouch = verified
+      .where(!(isNewId(col("id_a")) || isNewId(col("id_b"))))
+      .agg(count(lit(1)).as("__bt"))
+    val badCanon = verified.where(col("id_a") >= col("id_b"))
+      .agg(count(lit(1)).as("__bc"))
+    newDocs.agg(count(lit(1)).as("n_new_docs"))
+      .crossJoin(nIdent).crossJoin(identMissed)
+      .crossJoin(badTouch).crossJoin(badCanon)
+      .select(col("n_new_docs"), col("n_ident_new_pairs"),
+        (col("__im") === 0).cast("long").as("found_ident_ok"),
+        (col("__bt") === 0).cast("long").as("touch_new_ok"),
+        (col("__bc") === 0).cast("long").as("canon_ok"))
+  }
+
+  /** x_incremental_dedup_gate: the INCREMENTAL dedup EQUIVALENCE gate
+    * (DedupIndex vs full recompute). Split: docs with
     * doc_id % 5 == 4 are the "new shard", the rest the already-indexed
     * corpus. The query (a) builds the persisted band index over the
     * old corpus, (b) probes the new shard against it —
@@ -566,8 +657,10 @@ private[graft] object CorpusQueries {
     * and >= the J=1.0 pair count (byte-identical docs share every band
     * hash, so LSH can never miss them). Counts in the output are the
     * DuckDB-replayable exact ones; LSH-dependent sets enter only via
-    * the equivalence bits. */
-  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    * the equivalence bits. Deliberately 3 pipelines per run — GATE
+    * cost, not production cost; the production path is
+    * [[incrementalDedupProd]]. */
+  private def incrementalDedupGate(s: SparkSession, dir: String): DataFrame = {
     val params = Dedup.MinHashParams()
     val docs = Tables.documents(s, dir)
     val isNewId = (c: org.apache.spark.sql.Column) => pmod(c, lit(5)) === 4
@@ -648,11 +741,26 @@ private[graft] object CorpusQueries {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j WHERE jac >= 0.5) AS n_true_pairs,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j WHERE jac >= 1.0) AS n_exact_pairs,
         |  CAST(1 AS BIGINT) AS subset_ok, CAST(1 AS BIGINT) AS ge_exact_ok""".stripMargin.replaceAll("\n", " "),
-    // Incremental twin: same exact-Jaccard truth, restricted to pairs
-    // touching the "new shard" (doc_id % 5 = 4). The incremental-vs-
-    // batch candidate equality enters via the same_as_batch_ok bit
-    // (computed in-engine over the two LSH candidate sets).
+    // Production incremental dedup: byte-identical-pair census touching
+    // the shard replayed as a GROUP BY text (C(n,2) − C(n−k,2) per
+    // group); the probe/verify invariants enter as bits over the real
+    // output (found_ident / touch_new / canonical order).
     "x_incremental_dedup" ->
+      """WITH g AS (SELECT text, COUNT(*) AS n,
+        |   SUM(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END) AS k
+        |  FROM documents WHERE text IS NOT NULL GROUP BY text)
+        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 5 = 4) AS n_new_docs,
+        |  CAST(COALESCE(SUM(n*(n-1)//2 - (n-k)*(n-k-1)//2), 0) AS BIGINT) AS n_ident_new_pairs,
+        |  CAST(1 AS BIGINT) AS found_ident_ok,
+        |  CAST(1 AS BIGINT) AS touch_new_ok,
+        |  CAST(1 AS BIGINT) AS canon_ok
+        | FROM g""".stripMargin.replaceAll("\n", " "),
+    // Incremental twin GATE: same exact-Jaccard truth, restricted to
+    // pairs touching the "new shard" (doc_id % 5 = 4). The
+    // incremental-vs-batch candidate equality enters via the
+    // same_as_batch_ok bit (computed in-engine over the two LSH
+    // candidate sets).
+    "x_incremental_dedup_gate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
         | sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
         |     generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END),

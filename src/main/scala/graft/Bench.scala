@@ -71,6 +71,60 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = best.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = best.map(_._2).filter(_ >= 0).sum
+    // PER-QUERY FLOOR DIFF — the noise-proof regression signal. The
+    // committed BENCH_FLOOR.json holds the best-known min per query
+    // (updated ONLY downward, so co-tenant-inflated runs can never
+    // poison it). A query is flagged "regressed" when this run's min
+    // exceeds 1.5× its floor AND by > 0.3 s absolute (sub-second
+    // queries jitter multiplicatively without meaning anything) — a
+    // plan regression shows up as a flagged query; uniform co-tenant
+    // inflation shows up as MANY flagged queries at a similar ratio,
+    // which is the read-it-off-the-artifact signature that used to
+    // take a manual triage session. The floor file is rewritten each
+    // run (min of floor and this run), so local re-measures ratchet.
+    val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "BENCH_FLOOR.json")
+    val floor: Map[String, Double] = try {
+      val src = scala.io.Source.fromFile(floorPath, "UTF-8")
+      val txt = try src.mkString finally src.close()
+      "\"([^\"]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val bestMap = best.toMap
+    val regressed = best.collect {
+      case (k, v) if v >= 0 && floor.get(k).exists(f => v > f * 1.5 && v - f > 0.3) => k
+    }
+    val regressedJson = regressed.map { k =>
+      "\"" + k + "\":\"" + fmt(bestMap(k)) + " vs floor " + fmt(floor(k)) + "\""
+    }.mkString("{", ",", "}")
+    val vsFloorJson = best.collect {
+      case (k, v) if v >= 0 && floor.contains(k) =>
+        "\"" + k + "\":" + f"${v / floor(k)}%.2f"
+    }.mkString("{", ",", "}")
+    val floorTotal = best.collect {
+      case (k, v) if v >= 0 && floor.contains(k) => floor(k)
+    }.sum
+    // Ratchet the floor file: min(known floor, this run), new queries
+    // enter at this run's min. Never raised, never dropped.
+    val newFloor = (floor.keySet ++ bestMap.keySet).toSeq.sorted.flatMap { k =>
+      (floor.get(k), bestMap.get(k).filter(_ >= 0)) match {
+        case (Some(f), Some(v)) => Some(k -> math.min(f, v))
+        case (Some(f), None) => Some(k -> f)
+        case (None, Some(v)) => Some(k -> v)
+        case _ => None
+      }
+    }
+    try {
+      val w = new java.io.PrintWriter(floorPath, "UTF-8")
+      try {
+        w.println("{")
+        newFloor.zipWithIndex.foreach { case ((k, v), i) =>
+          w.println(s"""  "$k": ${fmt(v)}${if (i < newFloor.size - 1) "," else ""}""")
+        }
+        w.println("}")
+      } finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $floorPath: ${e.getMessage}")
+    }
     // Per-family subtotals: streaming queries pay a FIXED state-store /
     // watermark-flush cost per query (measured flat from sf0.001 to
     // sf0.1), so the batch signal reads cleanly only with the families
@@ -86,7 +140,7 @@ object Bench {
       .map(f => "\"" + f + "\":" + fmt(fams.getOrElse(f, 0.0)))
       .mkString("{", ",", "}")
     val streamingFixed = fmt(fams.getOrElse("streaming", 0.0))
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"families":$famJson,"streaming_fixed_s":$streamingFixed,"queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"families":$famJson,"streaming_fixed_s":$streamingFixed,"floor_total":${fmt(floorTotal)},"vs_floor":$vsFloorJson,"regressed":$regressedJson,"queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
     // The driver artifact keeps only the LAST ~2000 chars of stdout and
     // parses the final JSON line it finds there — a 136-query map with
     // per-rep runs is ~4000 chars and can never survive whole (round 7's
@@ -103,7 +157,13 @@ object Bench {
     }
     val slowest = best.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${best.size},"families":$famJson,"streaming_fixed_s":$streamingFixed,"slowest":$slowest,"failed":$failed,"queries_file":"$outPath","sf":"$sfDir"}""")
+    // Compact floor summary for the tail-limited driver artifact: the
+    // floor-comparable total and the regressed NAMES (full per-query
+    // ratios live in BENCH_FULL.json). A total within ~1.2× of
+    // floor_total with an empty regressed list = a clean run; a
+    // uniformly inflated co-tenant run shows a high ratio AND a long
+    // regressed list — distinguishable at a glance, no triage session.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${best.size},"families":$famJson,"streaming_fixed_s":$streamingFixed,"floor_total":${fmt(floorTotal)},"regressed":$regressedJson,"slowest":$slowest,"failed":$failed,"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -78,6 +78,13 @@ object DedupIndex {
       .join(touched, Seq("band_id", "band_hash"), "left_semi")
     nb.join(existing, Seq("id", "band_id", "band_hash"), "left_anti")
       .write.mode("append").insertInto(table)
+    // insertInto refreshes the WRITING session's relation cache — which
+    // is newDocs' session, and in the streaming path that is the
+    // foreachBatch micro-batch CLONE, not `spark`. The reader session
+    // passed in here would keep serving the pre-append file listing
+    // (measured: the second micro-batch probed an apparently-empty
+    // index), so refresh it explicitly.
+    spark.catalog.refreshTable(table)
   }
 
   /** Candidate near-dup pairs TOUCHING the new batch (new-vs-indexed
@@ -126,6 +133,60 @@ object DedupIndex {
       .select(least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"))
       .distinct()
+  }
+
+  /** Streaming incremental dedup — the actual 100 TB ingest shape:
+    * shards arrive as micro-batches, each batch PROBES the persisted
+    * band index for candidate pairs (new-vs-indexed and new-vs-new,
+    * never re-shingling the corpus) and then APPENDS its bands, so the
+    * next shard probes against everything ingested so far. Runs the
+    * bounded stream to completion (foreachBatch + AvailableNow) and
+    * returns (accumulated candidate pairs, batches processed).
+    *
+    * Equivalence contract (oracle-gated by x_stream_incremental_dedup,
+    * spec-pinned in DedupSpec): because every doc arrives in exactly
+    * one batch and a pair is generated when its LATER member arrives
+    * (earlier member indexed, or same batch), the accumulated set over
+    * all batches equals the one-shot [[Dedup.candidatePairs]] over the
+    * full corpus — independent of batch order. Caveat shared with the
+    * per-probe contract: the maxBucketSize cap is decided on
+    * indexed-so-far ∪ batch counts, so a bucket that crosses the cap
+    * only after later shards arrive can leave EXTRA early pairs vs the
+    * full recompute; with the default cap (1000) this needs a
+    * near-dup cluster larger than the cap, which the cap exists to
+    * drop anyway.
+    *
+    * Per-batch state is localCheckpoint'd (lineage must not nest
+    * across batches — see Dedup.nearDupClusters); the accumulated pair
+    * set stays distributed, nothing collects to the driver. */
+  def streamIngest(spark: SparkSession, table: String, stream: DataFrame,
+                   idCol: String, textCol: String,
+                   params: Dedup.MinHashParams = Dedup.MinHashParams(),
+                   queryName: String = "graft_stream_ingest"): (DataFrame, Int) = {
+    var acc: DataFrame = null
+    var nBatches = 0
+    val q = graft.streaming.StreamOps.foreachBatchSink(stream, queryName) {
+      (batch, _) =>
+        val b = batch.localCheckpoint(true)
+        nBatches += 1
+        val pairs = probeNewBatch(spark, table, b, idCol, textCol, params)
+          .localCheckpoint(true)
+        acc = if (acc == null) pairs
+          else acc.unionByName(pairs).distinct().localCheckpoint(true)
+        append(spark, table, b, idCol, textCol, params)
+    }
+    q.awaitTermination()
+    val pairsOut =
+      if (acc != null) acc
+      else {
+        val idType = stream.schema(idCol).dataType
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id_a", idType),
+            org.apache.spark.sql.types.StructField("id_b", idType))))
+      }
+    (pairsOut, nBatches)
   }
 
   /** End-to-end incremental near-dup pairs: probe candidates, then

@@ -48,6 +48,7 @@ private[graft] object CorpusQueries {
     "x_minhash_neardup" -> ((s, dir) => minhashSummary(s, dir)),
     "x_incremental_dedup" -> ((s, dir) => incrementalDedupProd(s, dir)),
     "x_incremental_dedup_gate" -> ((s, dir) => incrementalDedupGate(s, dir)),
+    "x_stream_incremental_dedup" -> ((s, dir) => streamIncrementalDedup(s, dir)),
     "x_simhash" -> ((s, dir) =>
       // SimHash values are engine-internal (xxhash64), but two
       // INVARIANTS of them are not: (a) simhash is a pure function of
@@ -643,6 +644,65 @@ private[graft] object CorpusQueries {
         (col("__bc") === 0).cast("long").as("canon_ok"))
   }
 
+  /** x_stream_incremental_dedup: DedupIndex wired into Structured
+    * Streaming — the actual 100 TB ingest shape (VERDICT r8 #5).
+    * The corpus is staged as THREE deterministic id-keyed shard files
+    * (doc_id % 3; distributed writes, the driver only renames one part
+    * file per shard into the source dir), then a file stream with
+    * maxFilesPerTrigger=1 delivers them as three micro-batches to
+    * [[DedupIndex.streamIngest]]: each batch probes the persisted band
+    * index — built EMPTY at the start, growing shard by shard — and
+    * appends its bands for the next batch to probe against.
+    *
+    * Oracle contract: the accumulated candidate-pair set over all
+    * batches must EQUAL the one-shot Dedup.candidatePairs over the
+    * full corpus (every pair is generated exactly when its later
+    * member's shard arrives — see streamIngest's Scaladoc, including
+    * the over-cap caveat that cannot trigger on this fixture).
+    * n_docs is value-replayed; the three_batches and
+    * stream-equivalence bits derive from the real run. */
+  private def streamIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val params = Dedup.MinHashParams()
+    val docs = Tables.documents(s, dir)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val idx = "graft_stream_inc_idx_" + digest
+    // Fresh EMPTY index each run — the stream builds it up.
+    DedupIndex.buildFromBands(
+      Dedup.bands(docs.limit(0), "doc_id", "text", params), idx)
+    val base = Files.createTempDirectory("graft_stream_shards_").toString
+    val inDir = s"$base/in"
+    Files.createDirectories(Paths.get(inDir))
+    (0 until 3).foreach { i =>
+      val w = s"$base/w$i"
+      docs.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(w)
+      val part = new java.io.File(w).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $w"))
+      Files.move(part.toPath, Paths.get(inDir, s"shard_$i.parquet"))
+    }
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val (acc, nBatches) = DedupIndex.streamIngest(s, idx, stream,
+      "doc_id", "text", params, queryName = "stream_inc_dedup_" + digest)
+    val full = Dedup.candidatePairs(docs, "doc_id", "text", params)
+      .pipe(graft.ext.Checkpoints.stage)
+    val missing = full.join(acc, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__m"))
+    val extra = acc.join(full, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__e"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(missing).crossJoin(extra)
+      .select(col("n_docs"),
+        lit(if (nBatches == 3) 1L else 0L).as("three_batches_ok"),
+        (col("__m") === 0 && col("__e") === 0).cast("long")
+          .as("stream_matches_batch_ok"))
+  }
+
   /** x_incremental_dedup_gate: the INCREMENTAL dedup EQUIVALENCE gate
     * (DedupIndex vs full recompute). Split: docs with
     * doc_id % 5 == 4 are the "new shard", the rest the already-indexed
@@ -755,6 +815,15 @@ private[graft] object CorpusQueries {
         |  CAST(1 AS BIGINT) AS touch_new_ok,
         |  CAST(1 AS BIGINT) AS canon_ok
         | FROM g""".stripMargin.replaceAll("\n", " "),
+    // Streaming incremental dedup: the batch-equivalence and
+    // three-micro-batch bits derive from the real streamed run
+    // in-engine (constant-bit pattern, same as x_stream_sessions);
+    // n_docs is value-replayed.
+    "x_stream_incremental_dedup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(1 AS BIGINT) AS three_batches_ok,
+        | CAST(1 AS BIGINT) AS stream_matches_batch_ok
+        | FROM documents""".stripMargin.replaceAll("\n", " "),
     // Incremental twin GATE: same exact-Jaccard truth, restricted to
     // pairs touching the "new shard" (doc_id % 5 = 4). The
     // incremental-vs-batch candidate equality enters via the

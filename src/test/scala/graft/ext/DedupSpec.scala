@@ -351,6 +351,48 @@ class DedupSpec extends AnyFunSuite {
     assert(probe2Again == probe2, "probe must be unchanged after a retried append")
   }
 
+  test("streamIngest: two successive micro-batched shards accumulate the full candidate set") {
+    import java.nio.file.{Files, Paths}
+    // Shards split the planted corpus so near-dup pairs land in every
+    // regime: (3,100) same-shard, (17,101) and (42,102) cross-shard —
+    // the second batch must find them by probing bands the FIRST batch
+    // appended (plus the original empty index growing under it).
+    val base = Files.createTempDirectory("graft_stream_spec_").toString
+    val inDir = s"$base/in"
+    Files.createDirectories(Paths.get(inDir))
+    // Shard 0 = {0..49, 100}: pair (3,100) arrives whole (new-vs-new);
+    // shard 1 = {50..59, 101, 102}: 101 and 102 must pair with 17 and
+    // 42 via the bands shard 0 APPENDED (new-vs-indexed).
+    val shards = Seq(
+      corpus.where(col("doc_id") < 50 || col("doc_id") === 100L),
+      corpus.where(col("doc_id") >= 50 && col("doc_id") =!= 100L))
+    shards.zipWithIndex.foreach { case (df, i) =>
+      val w = s"$base/w$i"
+      df.coalesce(1).write.mode("overwrite").parquet(w)
+      val part = new java.io.File(w).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .get
+      Files.move(part.toPath, Paths.get(inDir, s"shard_$i.parquet"))
+    }
+    val table = "graft_stream_ingest_spec"
+    DedupIndex.buildFromBands(
+      Dedup.bands(corpus.limit(0), "doc_id", "text", params), table)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val (acc, nBatches) = DedupIndex.streamIngest(spark, table, stream,
+      "doc_id", "text", params, queryName = "stream_ingest_spec")
+    assert(nBatches == 2, s"expected 2 micro-batches, got $nBatches")
+    val streamed = acc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.candidatePairs(corpus, "doc_id", "text", params)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed accumulation diverged: extra=${streamed -- batch} missing=${batch -- streamed}")
+    // Same-shard pair (3,100: both in shard 0) and cross-shard pairs
+    // (17,101 / 42,102: members split across shards) all surface.
+    assert(streamed.contains((3L, 100L)) && streamed.contains((17L, 101L)) &&
+      streamed.contains((42L, 102L)), s"planted pairs missing from $streamed")
+  }
+
   test("winnowing: guarantee, density, degeneration, and hand-checked window mins") {
     // Hand-checked: k=2, w=2 over 'abcd' → k-grams ab,bc,cd; windows
     // (ab,bc),(bc,cd); fingerprints = {min(h(ab),h(bc)), min(h(bc),h(cd))}.

@@ -28,15 +28,24 @@ object IvfIndex {
 
   /** Train (Lloyd, exact-decimal means — deterministic), assign, and
     * save. Returns the trained centroids so a caller that also wants
-    * on-the-fly queries needn't read them back. */
+    * on-the-fly queries needn't read them back.
+    *
+    * Alongside the float vector, the saved row carries `qv` — the
+    * per-vector-scaled int8 quantization (graft.ext.Quantize) stored
+    * as array<tinyint>: [[probeTopKQuantized]] pre-ranks off that
+    * column alone, so its scan reads ~1/4 the bytes of the float
+    * column (the 100 TB probe-cost lever; measured by ScaleBench's
+    * ivf_quantized point). */
   def build(corpus: DataFrame, idCol: String, vecCol: String, table: String,
             k: Int = 16, iters: Int = 2): Seq[Seq[Float]] = {
     val spark = corpus.sparkSession
     Writer.dropTableAndLocation(spark, table)
     Writer.dropTableAndLocation(spark, centroidsTable(table))
     val cents = Similarity.ivfTrain(corpus, idCol, vecCol, k, iters)
-    Similarity.ivfAssign(corpus, idCol, vecCol, cents)
-      .select(col(idCol), col(vecCol), col("cluster_id"))
+    Quantize.withQuantized(
+        Similarity.ivfAssign(corpus, idCol, vecCol, cents), vecCol, "qv")
+      .withColumn("qv", col("qv").cast("array<tinyint>"))
+      .select(col(idCol), col(vecCol), col("qv"), col("cluster_id"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster_id")
       .format("parquet")
@@ -68,6 +77,68 @@ object IvfIndex {
     val q = array(query.map(v => lit(v.toDouble)): _*)
     spark.table(table)
       .where(col("cluster_id").isin(probe: _*))
+      .select(col(idCol), Similarity.cosineIn(spark)(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** [[probeTopK]] with an INT8 pre-rank: the probed partitions are
+    * first ranked by quantized cosine reading ONLY the `qv`
+    * array<tinyint> column (~1/4 the scan bytes of the float column —
+    * at 100 TB the probe cost IS that scan; measured by ScaleBench's
+    * ivf_quantized point), then the top `shortlist` (default 4k) ids
+    * are re-ranked with the exact float cosine, so the returned scores
+    * are identical to [[probeTopK]]'s for every id that survives the
+    * pre-rank. Recall vs the float probe is bounded by the shortlist
+    * (a true top-k member must rank ≤ shortlist in quantized score —
+    * int8 rounding noise is tiny next to a 4× margin; measured in
+    * IvfIndexSpec and gated by x_ivf_quantized).
+    *
+    * The shortlist ids are collected to the driver (shortlist rows —
+    * a k-scale scalar collect, same class as [[centroids]]) so the
+    * float re-rank reads the shortlist through a PUSHED `In` filter
+    * instead of rescanning every probed partition's float column — a
+    * semi-join shape would scan exactly the bytes the int8 pre-rank
+    * just saved.
+    *
+    * Arithmetic: byte values promote to double EXACTLY, so the
+    * quantized dot is the same integers Quantize.dotQ computes; the
+    * query is quantized driver-side with the identical scheme. The
+    * query-norm factor is a constant and cannot change ranking, so the
+    * pre-rank divides by |qv| only (zero vectors guard to null and
+    * sort last, never NaN-first). */
+  /** The int8 pre-rank of [[probeTopKQuantized]], split out LAZY so
+    * its scan shape is plan-pinnable (IvfIndexSpec: ReadSchema carries
+    * `qv`, never the float column): quantized cosine over the probed
+    * partitions, top-`shortlist` ids. */
+  private[ext] def quantizedPreRank(spark: SparkSession, table: String,
+                                    idCol: String, query: Seq[Float],
+                                    nProbe: Int, shortlist: Int): DataFrame = {
+    val cents = centroids(spark, table)
+    val probe = Similarity.probeClusters(cents, query, nProbe)
+    val qq = Quantize.quantizeLocal(query)
+    val qlit = array(qq.toIndexedSeq.map(lit(_)): _*)
+    val qnorm2 = Similarity.dotIn(spark)(col("qv"), col("qv"))
+    spark.table(table).where(col("cluster_id").isin(probe: _*))
+      .select(col(idCol),
+        when(qnorm2 === 0.0, lit(null).cast("double"))
+          .otherwise(Similarity.dotIn(spark)(col("qv"), qlit) / sqrt(qnorm2))
+          .as("qscore"))
+      .orderBy(col("qscore").desc_nulls_last, col(idCol))
+      .limit(shortlist)
+  }
+
+  def probeTopKQuantized(spark: SparkSession, table: String, idCol: String,
+                         vecCol: String, query: Seq[Float], k: Int,
+                         nProbe: Int, shortlist: Int = 0): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val shortIds = quantizedPreRank(spark, table, idCol, query, nProbe, sl)
+      .select(col(idCol)).collect().map(_.get(0))
+    val cents = centroids(spark, table)
+    val probe = Similarity.probeClusters(cents, query, nProbe)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    spark.table(table).where(col("cluster_id").isin(probe: _*))
+      .where(col(idCol).isin(shortIds.toIndexedSeq: _*))
       .select(col(idCol), Similarity.cosineIn(spark)(col(vecCol), q).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)

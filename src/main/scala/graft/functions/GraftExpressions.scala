@@ -25,35 +25,55 @@ object Kernels {
 
   val P = 2147483647L // 2^31−1, the Mersenne prime used across Dedup
 
+  /** Element-type codes for the typed kernels: the int8-quantized
+    * IVF probe reads array<tinyint> vectors, so the dot kernel speaks
+    * bytes as well as floats/doubles (byte values promote to double
+    * EXACTLY — |v| ≤ 127 — so int8 arithmetic in a double fold is the
+    * same integers). */
+  val TDouble = 0
+  val TFloat = 1
+  val TByte = 2
+
   /** Sequential-order dot product; identical fold order to
     * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, _+_)` — including a
     * null element anywhere making the whole result null (boxed return
     * so the expression can propagate it). */
-  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+  def dotT(a: ArrayData, b: ArrayData, aT: Int, bT: Int): java.lang.Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = if (aT == TFloat) a.getFloat(i).toDouble
+        else if (aT == TByte) a.getByte(i).toDouble
+        else a.getDouble(i)
+      val y = if (bT == TFloat) b.getFloat(i).toDouble
+        else if (bT == TByte) b.getByte(i).toDouble
+        else b.getDouble(i)
       acc += x * y
       i += 1
     }
     acc
   }
 
+  /** Boolean-typed twin kept for direct callers (KernelProps). */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double =
+    dotT(a, b, if (aFloat) TFloat else TDouble, if (bFloat) TFloat else TDouble)
+
   /** Cosine of two numeric arrays via the dot kernel; null on null
     * input, null element, zero norm, or length mismatch. */
-  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+  def cosineT(a: ArrayData, b: ArrayData, aT: Int, bT: Int): java.lang.Double = {
     if (a.numElements() != b.numElements()) return null
-    val ab = dot(a, b, aFloat, bFloat)
-    val aa = dot(a, a, aFloat, aFloat)
-    val bb = dot(b, b, bFloat, bFloat)
+    val ab = dotT(a, b, aT, bT)
+    val aa = dotT(a, a, aT, aT)
+    val bb = dotT(b, b, bT, bT)
     if (ab == null || aa == null || bb == null) return null
     val denom = math.sqrt(aa) * math.sqrt(bb)
     if (denom == 0.0) null else ab / denom
   }
+
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double =
+    cosineT(a, b, if (aFloat) TFloat else TDouble, if (bFloat) TFloat else TDouble)
 
   /** Random-hyperplane LSH bucket — the kernel twin of
     * Similarity.lshBucket: plane component (j, d) =
@@ -275,47 +295,50 @@ object Kernels {
   }
 }
 
-/** Σ aᵢ·bᵢ in double precision over two numeric arrays (float or
-  * double elements). Null if either side is null or lengths differ
-  * (mirroring zip_with's null-padding behavior). */
+private[functions] object GraftVecTypes {
+  /** Kernels element-type code of an array expression's elements;
+    * -1 when unsupported. */
+  def code(e: Expression): Int = e.dataType match {
+    case ArrayType(DoubleType, _) => Kernels.TDouble
+    case ArrayType(FloatType, _) => Kernels.TFloat
+    case ArrayType(ByteType, _) => Kernels.TByte
+    case _ => -1
+  }
+}
+
+/** Σ aᵢ·bᵢ in double precision over two numeric arrays (double, float,
+  * or tinyint elements — the int8-quantized IVF probe dots
+  * array<tinyint> against the quantized query). Null if either side is
+  * null or lengths differ (mirroring zip_with's null-padding
+  * behavior). */
 case class GraftDot(left: Expression, right: Expression)
     extends BinaryExpression {
-
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left) && ok(right))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (GraftVecTypes.code(left) >= 0 && GraftVecTypes.code(right) >= 0)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"graft_dot expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
-  }
+        s"graft_dot expects array<tinyint|float|double> inputs, got ${left.dataType} / ${right.dataType}")
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     if (x.numElements() != y.numElements()) null
-    else Kernels.dot(x, y, isFloat(left), isFloat(right))
+    else Kernels.dotT(x, y, GraftVecTypes.code(left), GraftVecTypes.code(right))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val (af, bf) = (isFloat(left), isFloat(right))
+      val (at, bt) = (GraftVecTypes.code(left), GraftVecTypes.code(right))
       val boxed = ctx.freshName("dotBoxed")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  java.lang.Double $boxed = graft.functions.Kernels.dot($a, $b, $af, $bf);
+         |  java.lang.Double $boxed = graft.functions.Kernels.dotT($a, $b, $at, $bt);
          |  if ($boxed == null) { ${ev.isNull} = true; }
          |  else { ${ev.value} = $boxed.doubleValue(); }
          |}
@@ -333,36 +356,26 @@ case class GraftDot(left: Expression, right: Expression)
 case class GraftCosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
-
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left) && ok(right))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (GraftVecTypes.code(left) >= 0 && GraftVecTypes.code(right) >= 0)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"graft_cosine_sim expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
-  }
+        s"graft_cosine_sim expects array<tinyint|float|double> inputs, got ${left.dataType} / ${right.dataType}")
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
+    Kernels.cosineT(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      GraftVecTypes.code(left), GraftVecTypes.code(right))
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val (af, bf) = (isFloat(left), isFloat(right))
+      val (at, bt) = (GraftVecTypes.code(left), GraftVecTypes.code(right))
       val boxed = ctx.freshName("cosBoxed")
       s"""
-         |java.lang.Double $boxed = graft.functions.Kernels.cosine($a, $b, $af, $bf);
+         |java.lang.Double $boxed = graft.functions.Kernels.cosineT($a, $b, $at, $bt);
          |if ($boxed == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $boxed.doubleValue(); }
        """.stripMargin

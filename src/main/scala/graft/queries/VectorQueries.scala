@@ -48,6 +48,7 @@ private[graft] object VectorQueries {
     "x_kernel_equiv" -> ((s, dir) => kernelEquiv(s, dir)),
     "x_ann_recall" -> ((s, dir) => annRecall(s, dir)),
     "x_ivf_recall" -> ((s, dir) => ivfRecall(s, dir)),
+    "x_ivf_quantized" -> ((s, dir) => ivfQuantized(s, dir)),
     "x_quantize_dot" -> ((s, dir) => quantizeDot(s, dir)),
     "x_quantize_recall" -> ((s, dir) => quantizeRecall(s, dir)),
     "x_embed_norms" -> ((s, dir) =>
@@ -294,6 +295,42 @@ private[graft] object VectorQueries {
       .agg((count(lit(1)) >= ivfRecallFloor).cast("long").as("recall_ok"))
   }
 
+  /** x_ivf_quantized: the INT8 IVF probe (VERDICT r8 #6) — the probe
+    * scans the persisted index's array<tinyint> column for the
+    * pre-rank (~1/4 the bytes of the float column), float re-rank on
+    * the 4k shortlist only (IvfIndex.probeTopKQuantized). Bits over
+    * the real run: recall_vs_float_ok — the quantized probe's top-10
+    * overlaps the float probe's top-10 in ≥ 8 ids (same index, same
+    * probed clusters; the only divergence channel is a true member
+    * ranked below the 4× shortlist by int8 noise) — and
+    * recall_vs_exact_ok at the x_ivf_recall floor (≥ 5, nProbe misses
+    * dominate, identically for both probes). n_topk is the
+    * value-replayable row count. */
+  private def ivfQuantized(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0)
+    val table = ivfIndexFor(s, dir)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"))
+    val flt = IvfIndex.probeTopK(s, table, "vec_id", "embedding", q, 10, nProbe = 4)
+      .select(col("vec_id"))
+    val qnt = IvfIndex.probeTopKQuantized(s, table, "vec_id", "embedding", q,
+        10, nProbe = 4)
+      .pipe(graft.ext.Checkpoints.stage)
+    val vsFloat = qnt.select(col("vec_id")).join(flt, Seq("vec_id"))
+      .agg(count(lit(1)).as("__nf"))
+    val vsExact = qnt.select(col("vec_id")).join(exact, Seq("vec_id"))
+      .agg(count(lit(1)).as("__ne"))
+    qnt.agg(count(lit(1)).as("n_topk"))
+      .crossJoin(vsFloat).crossJoin(vsExact)
+      .select(col("n_topk"),
+        (col("__nf") >= 8).cast("long").as("recall_vs_float_ok"),
+        (col("__ne") >= ivfRecallFloor).cast("long").as("recall_vs_exact_ok"))
+  }
+
   /** Adjacent-pair dot product in int8-quantized space
     * (graft.ext.Quantize) — the oracle-checkable anchor for the
     * quantization arithmetic: scale, round-half-up, and integer dot
@@ -450,6 +487,12 @@ private[graft] object VectorQueries {
     // the oracle is the constant 1.
     "x_ann_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "x_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    // Int8 IVF probe: top-k row count value-replayed; the two recall
+    // floors derive from the real probes in-engine.
+    "x_ivf_quantized" ->
+      """SELECT CAST(10 AS BIGINT) AS n_topk,
+        | CAST(1 AS BIGINT) AS recall_vs_float_ok,
+        | CAST(1 AS BIGINT) AS recall_vs_exact_ok""".stripMargin.replaceAll("\n", " "),
     "x_quantize_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     // Int8 quantization replayed in SQL: same scale, same
     // floor(x*s + 0.5) rounding, same integer dot — IEEE double ops

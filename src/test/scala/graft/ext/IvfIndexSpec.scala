@@ -46,4 +46,52 @@ class IvfIndexSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS ${IvfIndex.centroidsTable(table)}")
     }
   }
+
+  test("quantized probe: int8 pre-rank scans only qv, float re-rank matches the float probe") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = e.where(col("vec_id") =!= 0).select(col("vec_id"), col("embedding"))
+    val q = e.where(col("vec_id") === 0).select("embedding").first().getSeq[Float](0)
+    val t = table + "_q"
+    IvfIndex.build(corpus, "vec_id", "embedding", t, k = 8, iters = 2)
+    try {
+      // The saved index carries the int8 column as real tinyints.
+      assert(spark.table(t).schema("qv").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ByteType, containsNull = true))
+      val flt = IvfIndex.probeTopK(spark, t, "vec_id", "embedding", q, 10, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val qnt = IvfIndex.probeTopKQuantized(spark, t, "vec_id", "embedding", q, 10, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // Same probed clusters + exact float re-rank: every id surviving
+      // the 4x shortlist carries the IDENTICAL score; overlap >= 8.
+      val fm = flt.toMap
+      qnt.foreach { case (id, s) =>
+        fm.get(id).foreach(fs => assert(fs == s,
+          s"re-ranked score for $id diverges: $s vs $fs"))
+      }
+      assert(qnt.map(_._1).toSet.intersect(flt.map(_._1).toSet).size >= 8,
+        s"quantized probe lost recall vs float: ${qnt.toSeq} vs ${flt.toSeq}")
+      // Column pruning delivers the byte cut: the PRE-RANK scan reads
+      // qv but NOT the float embedding column...
+      val prePlan = IvfIndex.quantizedPreRank(spark, t, "vec_id", q,
+          nProbe = 2, shortlist = 40)
+        .queryExecution.executedPlan.toString
+      val preScans = prePlan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(preScans.nonEmpty && preScans.forall(l =>
+        l.contains("qv") && !l.contains("embedding")),
+        s"pre-rank must scan qv only (the 4x byte cut):\n$prePlan")
+      // ...and the re-rank reaches the float column through a PUSHED
+      // id filter (partition-pruned too), never a rescan of the
+      // probed partitions' float bytes.
+      val rePlan = IvfIndex.probeTopKQuantized(spark, t, "vec_id", "embedding",
+          q, 10, nProbe = 2)
+        .queryExecution.executedPlan.toString
+      assert(rePlan.contains("PushedFilters: [In(vec_id") &&
+        rePlan.contains("PartitionFilters"),
+        s"re-rank must push the shortlist id filter into the scan:\n$rePlan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${IvfIndex.centroidsTable(t)}")
+    }
+  }
 }

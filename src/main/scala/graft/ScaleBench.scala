@@ -76,6 +76,27 @@ object ScaleBench {
       .select(col("vec_id"), col("embedding"), col("label"))
   }
 
+  /** CLUSTERED embeddings — the corpus shape IVF exists for (the
+    * uniform [[genEmbeddings]] corpus is ~orthogonal in dim 64, so
+    * Lloyd assignment degenerates and probed partitions hold trivial
+    * data): `centers` deterministic centroids, each vector = its
+    * center + small per-vector noise, center picked by id hash so
+    * cluster sizes are ~n/centers. The noise carries FULL mantissa
+    * entropy (2M granularity): coarse-grained noise left the float
+    * column snappy-compressible to ~1/3 of raw — unlike any real
+    * embedding corpus — which silently deflated the float-scan
+    * baseline the ivf_quantized point measures against. */
+  def genClusteredEmbeddings(spark: SparkSession, n: Long,
+                             centers: Int = 16): DataFrame =
+    spark.range(0, n, 1, 32).toDF("vec_id")
+      .withColumn("c", pmod(xxhash64(col("vec_id"), lit(7)), lit(centers.toLong)))
+      .withColumn("embedding", transform(sequence(lit(1), lit(64)), i =>
+        ((pmod(xxhash64(col("c"), i), lit(2001L)).cast("double") - 1000.0) / 1000.0
+          + (pmod(xxhash64(col("vec_id"), i + 500), lit(2000001L)).cast("double") - 1000000.0)
+            / 20000000.0)
+          .cast("float")))
+      .select(col("vec_id"), col("embedding"))
+
   /** [[genDocuments]] plus one VIRAL near-identical cluster appended
     * at ids [n, n+v): v = max(2000, n/50) docs sharing a single base
     * body with a tiny per-doc variant suffix — every LSH band bucket
@@ -327,6 +348,114 @@ object ScaleBench {
     // listener attached — it would double-count every later point.
   }
 
+  /** [[withShuffleBytes]]'s INPUT twin: wall seconds + bytes READ
+    * (taskMetrics.inputMetrics) of every task during `f` — the scan
+    * cost a storage-bound probe pays. Same bounded quiesce. */
+  private def withInputBytes[T](spark: SparkSession)(f: => T): (T, Double, Long) = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(e.taskMetrics).foreach(m => acc.addAndGet(m.inputMetrics.bytesRead))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (r, t) = timed(f)
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 150) {
+        Thread.sleep(200)
+        waited += 1
+        val cur = acc.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (r, t, acc.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Compressed parquet column-chunk bytes of `cols` across the given
+    * cluster partitions of a saved IVF index — EXACTLY the bytes a
+    * column-pruned, partition-pruned probe scan must fetch (the
+    * range-GETs an object store serves). Read from file footers:
+    * deterministic, unlike task input metrics, which on a local
+    * filesystem track only metadata reads (measured: two scans of
+    * DIFFERENT columns reported byte-identical "input"). */
+  private def probedChunkBytes(spark: SparkSession, table: String,
+                               clusters: Seq[Int], cols: Set[String]): Long = {
+    import scala.jdk.CollectionConverters._
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = loc.getFileSystem(conf)
+    clusters.flatMap { c =>
+      val d = new org.apache.hadoop.fs.Path(loc, s"cluster_id=$c")
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+    }.map { st =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+      try r.getFooter.getBlocks.asScala.map(_.getColumns.asScala
+          .filter(cc => cols.contains(cc.getPath.toDotString.split("\\.")(0)))
+          .map(_.getTotalSize).sum).sum
+      finally r.close()
+    }.sum
+  }
+
+  /** The int8 IVF probe vs the float probe — the scan-bytes cut
+    * measured on a CLUSTERED corpus ([[genClusteredEmbeddings]], so
+    * probed partitions carry ~nProbe/k of the data and the float
+    * column has realistic (incompressible) entropy. Byte numbers are
+    * compressed column-chunk sizes over the probed partitions
+    * ([[probedChunkBytes]]):
+    *   - float_scan: (id, embedding) chunks — what probeTopK's
+    *     ranking scan fetches;
+    *   - int8_scan: (id, qv) chunks — what the quantized pre-rank
+    *     fetches instead; the cut is bounded below 4× by parquet's
+    *     INT32 physical type for tinyint (encoding+snappy recover
+    *     most of it);
+    *   - the re-rank's shortlist point-reads are bounded by
+    *     shortlist × row-group bytes — constant in corpus size.
+    * The invariant gate before numbers print: quantized top-10
+    * overlaps the float top-10 in ≥ 8 ids (the x_ivf_quantized
+    * floor) — the byte cut must not cost recall. */
+  def ivfQuantizedPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.{IvfIndex, Similarity}
+    val n = 2000L * scale
+    val pathStr = s"$dir/ivf_quant_x$scale"
+    genClusteredEmbeddings(spark, n + 1).write.mode("overwrite").parquet(pathStr)
+    val emb = spark.read.parquet(pathStr)
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val table = s"graft_scale_ivfq_x$scale"
+    val (_, tBuild) = timed {
+      IvfIndex.build(corpus, "vec_id", "embedding", table, k = 16, iters = 2)
+    }
+    val probed = Similarity.probeClusters(IvfIndex.centroids(spark, table), q, 4)
+    val bytesFloat = probedChunkBytes(spark, table, probed, Set("vec_id", "embedding"))
+    val bytesInt8 = probedChunkBytes(spark, table, probed, Set("vec_id", "qv"))
+    spark.sqlContext.clearCache()
+    val (fRows, tF) = timed {
+      IvfIndex.probeTopK(spark, table, "vec_id", "embedding", q, 10, nProbe = 4)
+        .collect()
+    }
+    spark.sqlContext.clearCache()
+    val (qRows, tQ) = timed {
+      IvfIndex.probeTopKQuantized(spark, table, "vec_id", "embedding", q, 10,
+        nProbe = 4).collect()
+    }
+    val overlap = fRows.map(_.getLong(0)).toSet
+      .intersect(qRows.map(_.getLong(0)).toSet).size
+    require(overlap >= 8, s"quantized probe overlap $overlap < 8 of 10")
+    val nProbed = spark.table(table)
+      .where(col("cluster_id").isin(probed: _*)).count()
+    s"""{"ivf_quantized":{"scale":$scale,"n_vecs":$n,"n_probed":$nProbed,""" +
+      s""""topk_overlap":$overlap,"build":{"t":${fmt(tBuild)}},""" +
+      s""""float_scan":{"t":${fmt(tF)},"chunk_bytes":$bytesFloat},""" +
+      s""""int8_scan":{"t":${fmt(tQ)},"chunk_bytes":$bytesInt8}}}"""
+  }
+
   /** PrefixSum vs the single-task window at volume — the same
     * crossover evidence as EquiDepth's (BENCH_NOTES): the window form
     * funnels every row through ONE task; the distributed form scales
@@ -542,6 +671,13 @@ object ScaleBench {
       spark.stop()
       return
     }
+    // `ivf-quantized-only`: just the int8-probe scan-bytes point.
+    if (args.contains("ivf-quantized-only")) {
+      ivfQuantizedPoint(spark, outBase, 1)
+      scales.foreach(m => println(ivfQuantizedPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
     // `points-only` (any arg position) skips the corpus scales and
     // runs just the fixed-size points — quick re-measurement.
     val pointsOnly = args.contains("points-only")
@@ -564,6 +700,7 @@ object ScaleBench {
       scales.foreach { m => println(neardupSkewPoint(spark, outBase, m)) }
       scales.foreach { m => println(incrementalDedupPoint(spark, outBase, m)) }
       scales.foreach { m => println(winnowSkewPoint(spark, outBase, m)) }
+      scales.foreach { m => println(ivfQuantizedPoint(spark, outBase, m)) }
     }
     // Fixed-size points (not per-scale): heavy hitters at 10M items,
     // ~7M distinct — the regime where the census's shuffle is the

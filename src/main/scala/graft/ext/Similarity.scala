@@ -197,8 +197,8 @@ object Similarity {
 
   /** The `nProbe` cluster ids whose centroids are most cosine-similar
     * to the query (driver-side over k small vectors). */
-  private[ext] def probeClusters(centroids: Seq[Seq[Float]], query: Seq[Float],
-                                 nProbe: Int): Seq[Int] =
+  private[graft] def probeClusters(centroids: Seq[Seq[Float]], query: Seq[Float],
+                                   nProbe: Int): Seq[Int] =
     centroids.zipWithIndex
       .sortBy { case (cv, _) => -cosLocal(cv, query) }
       .take(nProbe).map(_._2)

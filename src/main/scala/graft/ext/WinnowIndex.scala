@@ -1,0 +1,121 @@
+package graft.ext
+
+import scala.util.chaining._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Writer
+
+/** Incremental shared-passage detection: persist the corpus's winnow
+  * fingerprint POSTINGS once (Dedup.winnowedPacked — int-packed
+  * md5-prefix fingerprints), then probe each arriving shard against
+  * the index WITHOUT re-fingerprinting the corpus — the
+  * contamination/plagiarism shape a real pipeline runs (does shard-N
+  * quote anything already ingested?), the [[DedupIndex]] pattern
+  * applied to the winnowing family.
+  *
+  * Index layout: (id, fp) postings bucketed+sorted on `fp` (the
+  * selective key), so the probe's semi-join and the posting-size
+  * census run off the stored clustering. Cost model at 100 TB:
+  *   - build: one fingerprint pass over the corpus, paid ONCE;
+  *   - probe: fingerprint the NEW batch (O(batch)), semi-join the
+  *     index down to fingerprints the batch posts (O(touched
+  *     postings) — never a corpus re-read), apply the maxPostings
+  *     hot-key cap on old ∪ new counts, count shared fingerprints
+  *     per new-touching pair;
+  *   - append: idempotent insertInto of the batch's postings in the
+  *     same bucketed layout.
+  *
+  * Equivalence contract (pinned by x_winnow_incremental and
+  * DedupSpec): probe pairs — including their n_shared counts — EQUAL
+  * [[Dedup.winnowPairs]] over old ∪ new restricted to pairs touching
+  * a new id. Holds because (a) fingerprinting is per-row, (b) the
+  * posting cap is decided on old ∪ new counts (a fingerprint the
+  * batch doesn't post cannot contribute a new-touching pair, and for
+  * touched fingerprints the union census is complete), and (c) each
+  * doc's fingerprint set is distinct, so count(DISTINCT fp) per
+  * canonical pair is exactly the shared-fingerprint count whichever
+  * side(s) of the join the pair's members enter from. Unlike the
+  * MinHash twin the whole thing is VALUE-exact across engines —
+  * portable fingerprints — so the oracle replays the probe itself,
+  * not just invariant bits.
+  */
+object WinnowIndex {
+
+  /** Fingerprint the corpus and persist its postings as a
+    * bucketed+sorted table keyed on `fp`. Overwrites `table`. */
+  def build(docs: DataFrame, idCol: String, textCol: String, table: String,
+            k: Int = 8, w: Int = 4, nBuckets: Int = 16): Unit =
+    buildFromPostings(postings(docs, idCol, textCol, k, w), table, nBuckets)
+
+  /** Persist a PRECOMPUTED (id, fp) posting table — postings are
+    * per-row, so any row-subset of a larger posting table is a valid
+    * index for that subset of docs. */
+  def buildFromPostings(p: DataFrame, table: String, nBuckets: Int = 16): Unit =
+    Writer.bucketedTable(p, table, "fp", nBuckets)
+
+  /** (id, fp) exploded posting list of `docs` — one row per distinct
+    * fingerprint per doc (winnow sets are distinct by construction). */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+               k: Int, w: Int): DataFrame =
+    Dedup.winnowedPacked(docs.select(col(idCol).as("id"), col(textCol)),
+        textCol, "fps", k, w)
+      .select(col("id"), explode(col("fps")).as("fp"))
+
+  /** Append a new batch's postings to an existing index. IDEMPOTENT
+    * (same contract and contact pattern as [[DedupIndex.append]]):
+    * rows already present are anti-joined away, reading only the
+    * fingerprints the batch posts; the reader session's relation
+    * cache is refreshed explicitly (the write may run from a
+    * foreachBatch clone session). */
+  def append(spark: SparkSession, table: String, newDocs: DataFrame,
+             idCol: String, textCol: String,
+             k: Int = 8, w: Int = 4): Unit = {
+    val np = postings(newDocs, idCol, textCol, k, w).pipe(Checkpoints.stage)
+    val touched = np.select(col("fp")).distinct()
+    val existing = spark.table(table).join(touched, Seq("fp"), "left_semi")
+    np.join(existing, Seq("id", "fp"), "left_anti")
+      .write.mode("append").insertInto(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Shared-passage pairs TOUCHING the new batch (new-vs-indexed and
+    * new-vs-new), canonicalized id_a < id_b with the shared-
+    * fingerprint count. Only the new batch is fingerprinted; the
+    * corpus side comes from the saved posting table, cut up front to
+    * fingerprints the batch posts. `stager` as in
+    * [[DedupIndex.probeNewBatch]] (PlanAuditSpec injects identity). */
+  def probeNewBatch(spark: SparkSession, table: String, newDocs: DataFrame,
+                    idCol: String, textCol: String,
+                    k: Int = 8, w: Int = 4, minShared: Int = 2,
+                    maxPostings: Int = 1000,
+                    stager: DataFrame => DataFrame = Checkpoints.stage): DataFrame = {
+    val np = postings(newDocs, idCol, textCol, k, w).pipe(stager)
+    // Fingerprints the batch doesn't post cannot yield a new-touching
+    // pair: cut the index BEFORE the posting census — the semi-join is
+    // the probe's only contact with the corpus index.
+    val touched = np.select(col("fp")).distinct()
+    val idxTouched = spark.table(table).join(touched, Seq("fp"), "left_semi")
+    // Posting counts over old ∪ new — the same cap decision the batch
+    // pipeline makes on the union corpus. Feeds sizing + both join
+    // sides; stage once.
+    val union = idxTouched.unionByName(np).pipe(stager)
+    val sized = union.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxPostings)
+    val inPost = union.join(sized.select(col("fp")), Seq("fp"))
+    val newSide = np.join(sized.select(col("fp")), Seq("fp"))
+      .select(col("fp"), col("id").as("id_n"))
+    val allSide = inPost.select(col("fp"), col("id").as("id_o"))
+    newSide.join(allSide, Seq("fp"))
+      .where(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"), col("fp"))
+      // A new-new pair enters from BOTH join directions — one row per
+      // (pair, fp) per direction; count DISTINCT fp so the shared
+      // count matches the one-shot winnowPairs exactly.
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count_distinct(col("fp")).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+}

@@ -5,7 +5,7 @@ import scala.util.chaining._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, DedupIndex, HeavyHitters, Mixing, Multimodal, Packing, TextAnalysis}
+import graft.ext.{Dedup, DedupIndex, HeavyHitters, Mixing, Multimodal, Packing, TextAnalysis, WinnowIndex}
 
 /** Document-corpus-family registry: dedup (exact / MinHash-LSH /
   * incremental / SimHash / n-gram Jaccard), text analysis and
@@ -49,6 +49,7 @@ private[graft] object CorpusQueries {
     "x_incremental_dedup" -> ((s, dir) => incrementalDedupProd(s, dir)),
     "x_incremental_dedup_gate" -> ((s, dir) => incrementalDedupGate(s, dir)),
     "x_stream_incremental_dedup" -> ((s, dir) => streamIncrementalDedup(s, dir)),
+    "x_winnow_incremental" -> ((s, dir) => winnowIncremental(s, dir)),
     "x_simhash" -> ((s, dir) =>
       // SimHash values are engine-internal (xxhash64), but two
       // INVARIANTS of them are not: (a) simhash is a pure function of
@@ -703,6 +704,29 @@ private[graft] object CorpusQueries {
           .as("stream_matches_batch_ok"))
   }
 
+  /** x_winnow_incremental: incremental shared-passage probe
+    * (graft.ext.WinnowIndex — the DedupIndex pattern applied to the
+    * winnowing family). The already-ingested 4/5 of the 200-doc slice
+    * is indexed (persisted bucketed posting table); the doc_id % 5 == 4
+    * shard probes it WITHOUT re-fingerprinting the corpus. Fully
+    * VALUE-exact: portable md5-prefix fingerprints mean the oracle
+    * replays the whole probe — fingerprints, old∪new posting cap,
+    * per-pair shared counts — as the x_winnow_pairs pipeline
+    * restricted to new-touching pairs (probe ≡ one-shot equivalence,
+    * see WinnowIndex's contract; same 200-doc slice rationale as
+    * x_winnow_pairs). */
+  private def winnowIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(col("doc_id") < 200)
+    val isNew = pmod(col("doc_id"), lit(5)) === 4
+    val table = "graft_winnow_idx_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    WinnowIndex.build(docs.where(!isNew), "doc_id", "text", table)
+    WinnowIndex.probeNewBatch(s, table, docs.where(isNew), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** x_incremental_dedup_gate: the INCREMENTAL dedup EQUIVALENCE gate
     * (DedupIndex vs full recompute). Split: docs with
     * doc_id % 5 == 4 are the "new shard", the rest the already-indexed
@@ -1139,6 +1163,29 @@ private[graft] object CorpusQueries {
         | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
         |   FROM i a JOIN i b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
         | SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    // Incremental winnow probe replayed end to end: the full
+    // x_winnow_pairs pipeline (same fingerprints, same <= 1000
+    // posting cap over the UNION corpus, same >= 2 floor) restricted
+    // to pairs touching the doc_id % 5 = 4 shard — the probe ≡
+    // one-shot contract as a value compare, n_shared included.
+    "x_winnow_incremental" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+        | g AS (SELECT doc_id, list_transform(
+        |     generate_series(1, CASE WHEN length(text) >= 8 THEN length(text) - 7 ELSE 0 END),
+        |     i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs FROM d),
+        | f AS (SELECT doc_id,
+        |   CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_distinct(list_transform(
+        |          generate_series(1, GREATEST(len(hs) - 3, 1)),
+        |          j -> list_min(hs[j:j+3]))) END AS fps FROM g),
+        | e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        | ok AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 1000),
+        | i AS (SELECT e.doc_id, e.fp FROM e JOIN ok USING (fp)),
+        | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |   FROM i a JOIN i b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        | SELECT id_a, id_b, n_shared FROM p
+        | WHERE n_shared >= 2 AND (id_a % 5 = 4 OR id_b % 5 = 4)
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
     // Same whitespace token-count identity as x_token_count; the
     // running total replays as a window at gate scale.

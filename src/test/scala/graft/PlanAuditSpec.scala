@@ -144,6 +144,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("WinnowIndex.probeNewBatch: left_semi posting restriction below the sizing agg, no hints") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val table = "graft_plan_audit_winnow_idx"
+    graft.ext.WinnowIndex.build(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 4), "doc_id", "text", table)
+    val probe = graft.ext.WinnowIndex.probeNewBatch(spark, table,
+      docs.where(pmod(col("doc_id"), lit(5)) === 4), "doc_id", "text",
+      stager = identity)
+    val opt = probe.queryExecution.optimizedPlan
+    val semis = opt.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, s"no left_semi posting restriction in:\n$opt")
+    val sizing = opt.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.name == "df") => a
+    }
+    assert(sizing.nonEmpty, s"posting-sizing aggregate missing from:\n$opt")
+    sizing.foreach { a =>
+      assert(a.exists { case j: Join => j.joinType == LeftSemi; case _ => false },
+        s"sizing aggregate not fed by the left_semi restriction:\n$opt")
+    }
+    opt.collect { case j: Join => j.hint }.foreach { h =>
+      assert(h.leftHint.isEmpty && h.rightHint.isEmpty,
+        s"probeNewBatch must not carry join hints:\n$opt")
+    }
+  }
+
   test("winnowPairs: fp-keyed equi-join, posting cap filtered below the pair join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val docs = Tables.documents(spark, TestSpark.sf0001)

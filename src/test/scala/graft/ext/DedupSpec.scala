@@ -465,6 +465,51 @@ class DedupSpec extends AnyFunSuite {
       s"winnowPairs plans a quadratic join:\n$plan")
   }
 
+  test("WinnowIndex: probe equals one-shot winnowPairs restricted to new-touching pairs; append extends") {
+    val shared = "this exact passage appears verbatim in both documents today"
+    val indexed = Seq(
+      (1L, s"left context totally different $shared and then some more"),
+      (2L, "an unrelated document with none of that text anywhere"),
+      (3L, "another distinct body of text sharing no passages either")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"$shared quoted inside an otherwise brand new arrival"),
+      (11L, "novel content quoting nothing from the indexed corpus at all")
+    ).toDF("doc_id", "text")
+    val table = "graft_winnow_idx_spec"
+    WinnowIndex.build(indexed, "doc_id", "text", table)
+    val probe = WinnowIndex.probeNewBatch(spark, table, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // The quoted passage pairs (1,10); the quiet docs pair nothing.
+    assert(probe.exists(p => p._1 == 1L && p._2 == 10L && p._3 >= 2),
+      s"cross-shard quoted passage missed: $probe")
+    assert(!probe.exists(p => p._1 == 11L || p._2 == 11L),
+      s"non-quoting new doc paired: $probe")
+    // Probe ≡ one-shot winnowPairs over old ∪ new, new-touching only —
+    // n_shared VALUES included (the WinnowIndex equivalence contract).
+    val newIds = Set(10L, 11L)
+    val oneShot = Dedup.winnowPairs(indexed.unionByName(batch), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(p => newIds(p._1) || newIds(p._2)).toSet
+    assert(probe == oneShot, s"probe $probe != one-shot restricted $oneShot")
+    // Append the batch; a second shard quoting the FIRST shard's new
+    // passage must pair through the index alone.
+    WinnowIndex.append(spark, table, batch, "doc_id", "text")
+    val second = Seq(
+      (20L, s"yet another arrival also containing $shared in full"))
+      .toDF("doc_id", "text")
+    val probe2 = WinnowIndex.probeNewBatch(spark, table, second, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe2.contains((1L, 20L)) && probe2.contains((10L, 20L)),
+      s"appended postings not visible to the second probe: $probe2")
+    // Retried append is a no-op (idempotence — same contract as
+    // DedupIndex.append).
+    val before = spark.table(table).count()
+    WinnowIndex.append(spark, table, batch, "doc_id", "text")
+    assert(spark.table(table).count() == before,
+      "re-appending an already-indexed shard must not add postings")
+  }
+
   test("x_minhash_neardup summary is stable on driver testdata") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", Dedup.MinHashParams())

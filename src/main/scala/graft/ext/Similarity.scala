@@ -281,6 +281,37 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** End-to-end embedding near-dup DEDUP: one survivor (smallest id)
+    * per cosine-similar cluster, everything else unchanged — the
+    * embedding-side twin of Dedup.dedupNearDups, and the operator a
+    * vector-corpus pipeline actually runs (drop near-duplicate
+    * embeddings before training/indexing). LSH-bucket blocking keeps
+    * pair generation keyed (Σ bucket², never n²; hot buckets dropped
+    * at `maxBlockSize`), exact cosine confirms at `threshold`, then
+    * min-label propagation on the TINY pair-connected subgraph and one
+    * broadcast anti-join over the corpus — identical scale shape to
+    * the text pipeline. Byte-identical vectors share every hyperplane
+    * sign and have cosine 1, so identical-embedding groups ALWAYS
+    * collapse to one row (the oracle-checkable floor of the
+    * hash-dependent survivor set). */
+  def dedupEmbeddings(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, bits: Int = 8,
+                      maxBlockSize: Int = 10000): DataFrame = {
+    import scala.util.chaining._
+    val spark = corpus.sparkSession
+    val bucketed = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__bucket", lshBucketIn(spark)(col(vecCol), bits))
+    val pairs = cosinePairsWithin(bucketed, idCol, vecCol, "__bucket",
+        threshold, maxBlockSize)
+      .select(col("id_a"), col("id_b"))
+      .pipe(Checkpoints.stage)
+    val touched = pairs.select(col("id_a").as("doc"))
+      .union(pairs.select(col("id_b").as("doc"))).distinct()
+    val clusters = Dedup.nearDupClusters(touched, "doc", pairs)
+    val losers = clusters.where(col("id") =!= col("cluster_id")).select(col("id"))
+    corpus.join(broadcast(losers), corpus(idCol) === losers("id"), "left_anti")
+  }
+
   /** The blocks `cosinePairsWithin` would drop at the given cap, with
     * their sizes — the skip report a pipeline logs (or re-blocks) so an
     * oversized block is never a silent coverage hole. */

@@ -43,6 +43,7 @@ private[graft] object VectorQueries {
           (count(lit(1)) <= 256).cast("long").as("n_buckets_ok"))),
     "x_ann_topk" -> ((s, dir) => annTopK(s, dir)),
     "x_embed_neardup" -> ((s, dir) => embedNearDup(s, dir)),
+    "x_embed_dedup" -> ((s, dir) => embedDedup(s, dir)),
     "x_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
     "x_approx_sim_join" -> ((s, dir) => approxSimJoin(s, dir)),
     "x_kernel_equiv" -> ((s, dir) => kernelEquiv(s, dir)),
@@ -295,6 +296,34 @@ private[graft] object VectorQueries {
       .agg((count(lit(1)) >= ivfRecallFloor).cast("long").as("recall_ok"))
   }
 
+  /** x_embed_dedup: END-TO-END embedding near-dup dedup
+    * (Similarity.dedupEmbeddings — LSH-blocked pairs → label-prop
+    * clusters → smallest-id survivor anti-join). The survivor SET is
+    * hash-dependent (LSH recall), so the gate emits its
+    * hash-independent envelope over the REAL output: n_in and
+    * n_distinct_emb are value-replayed; ident_collapsed_ok holds
+    * because byte-identical vectors share every hyperplane sign and
+    * have cosine 1, so each identical-embedding group always collapses
+    * to exactly one survivor (survivor embeddings are DISTINCT);
+    * out_bounded_ok pins 1 ≤ |out| ≤ n_distinct_emb. Per-value
+    * survivor semantics are pinned on fixtures in SimilaritySpec. */
+  private def embedDedup(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val out = Similarity.dedupEmbeddings(e, "vec_id", "embedding", threshold = 0.9)
+      .pipe(graft.ext.Checkpoints.stage)
+    val nIn = e.agg(count(lit(1)).as("n_in"),
+      count_distinct(col("embedding")).as("n_distinct_emb"))
+    val maxPer = out.groupBy(col("embedding")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max(col("__c")), lit(0L)).as("__maxc"))
+    val nOut = out.agg(count(lit(1)).as("__nout"))
+    nIn.crossJoin(maxPer).crossJoin(nOut)
+      .select(col("n_in"), col("n_distinct_emb"),
+        (col("__maxc") <= 1).cast("long").as("ident_collapsed_ok"),
+        (col("__nout") >= 1 && col("__nout") <= col("n_distinct_emb"))
+          .cast("long").as("out_bounded_ok"))
+  }
+
   /** x_ivf_quantized: the INT8 IVF probe (VERDICT r8 #6) — the probe
     * scans the persisted index's array<tinyint> column for the
     * pre-rank (~1/4 the bytes of the float column), float re-rank on
@@ -487,6 +516,15 @@ private[graft] object VectorQueries {
     // the oracle is the constant 1.
     "x_ann_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "x_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    // Embedding dedup: input census value-replayed; the
+    // identical-collapse and bounds bits derive from the real
+    // survivor set in-engine.
+    "x_embed_dedup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
+        | CAST(COUNT(DISTINCT embedding) AS BIGINT) AS n_distinct_emb,
+        | CAST(1 AS BIGINT) AS ident_collapsed_ok,
+        | CAST(1 AS BIGINT) AS out_bounded_ok
+        | FROM embeddings""".stripMargin.replaceAll("\n", " "),
     // Int8 IVF probe: top-k row count value-replayed; the two recall
     // floors derive from the real probes in-engine.
     "x_ivf_quantized" ->

@@ -322,4 +322,33 @@ class SimilaritySpec extends AnyFunSuite {
         s"empty payload must produce no frames at stride $stride")
     }
   }
+
+  test("dedupEmbeddings: identical vectors collapse to the smallest id, unrelated/untouched survive") {
+    val docs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),     // byte-identical to 1
+      (3L, Seq(1.0f, 0.001f, 0.0f, 0.0f)),   // near-identical (cos ~1)
+      (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),     // unrelated
+      (5L, Seq(0.0f, 0.0f, 1.0f, 0.0f))      // unrelated
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.dedupEmbeddings(docs, "vec_id", "embedding", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // The identical pair ALWAYS collapses (same hyperplane signs,
+    // cosine exactly 1) and the smallest id survives.
+    assert(out.contains(1L) && !out.contains(2L),
+      s"identical pair must keep the smaller id: $out")
+    // Unrelated vectors are untouched and must all survive.
+    assert(out.contains(4L) && out.contains(5L), s"untouched docs dropped: $out")
+    // Doc 3 collapses iff its bucket matches (near-identical vectors
+    // agree on almost every hyperplane) — either way the output stays
+    // within the [distinct-cluster, distinct-embedding] envelope.
+    assert(out.size == 3 || out.size == 4, s"survivor count out of envelope: $out")
+    // Idempotence: a second pass removes nothing further when the
+    // first collapsed everything in one bucket.
+    val again = Similarity.dedupEmbeddings(
+        docs.where(col("vec_id").isin(out.toSeq: _*)), "vec_id", "embedding",
+        threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again.subsetOf(out), "second pass must only ever shrink")
+  }
 }

@@ -70,9 +70,15 @@ object DedupIndex {
     * buckets the batch touches, same contact pattern as the probe. */
   def append(spark: SparkSession, table: String, newDocs: DataFrame,
              idCol: String, textCol: String,
-             params: Dedup.MinHashParams = Dedup.MinHashParams()): Unit = {
-    val nb = Dedup.bands(newDocs, idCol, textCol, params)
-      .pipe(Checkpoints.stage)
+             params: Dedup.MinHashParams = Dedup.MinHashParams()): Unit =
+    appendFromBands(spark, table,
+      Dedup.bands(newDocs, idCol, textCol, params).pipe(Checkpoints.stage))
+
+  /** [[append]] from a PRECOMPUTED (materialized) band table of the
+    * batch — so a probe-then-append cycle ([[streamIngest]]) bands
+    * each batch ONCE, not once per call. */
+  def appendFromBands(spark: SparkSession, table: String,
+                      nb: DataFrame): Unit = {
     val touched = nb.select(col("band_id"), col("band_hash")).distinct()
     val existing = spark.table(table)
       .join(touched, Seq("band_id", "band_hash"), "left_semi")
@@ -101,9 +107,18 @@ object DedupIndex {
   def probeNewBatch(spark: SparkSession, table: String, newDocs: DataFrame,
                     idCol: String, textCol: String,
                     params: Dedup.MinHashParams = Dedup.MinHashParams(),
-                    stager: DataFrame => DataFrame = Checkpoints.stage): DataFrame = {
-    val newBands = Dedup.bands(newDocs, idCol, textCol, params)
-      .pipe(stager)
+                    stager: DataFrame => DataFrame = Checkpoints.stage): DataFrame =
+    probeNewBatchFromBands(spark, table,
+      Dedup.bands(newDocs, idCol, textCol, params).pipe(stager),
+      params, stager)
+
+  /** [[probeNewBatch]] from a PRECOMPUTED band table of the batch
+    * (materialized unless `stager` is identity — it feeds the touched
+    * projection, the union, and the new join side). */
+  def probeNewBatchFromBands(spark: SparkSession, table: String,
+                             newBands: DataFrame,
+                             params: Dedup.MinHashParams = Dedup.MinHashParams(),
+                             stager: DataFrame => DataFrame = Checkpoints.stage): DataFrame = {
     // Buckets untouched by the batch cannot yield a new-touching pair:
     // cut the index to touched buckets BEFORE sizing — the semi-join
     // is the probe's only contact with the corpus index. NO broadcast
@@ -157,8 +172,13 @@ object DedupIndex {
     * drop anyway.
     *
     * Per-batch state is localCheckpoint'd (lineage must not nest
-    * across batches — see Dedup.nearDupClusters); the accumulated pair
-    * set stays distributed, nothing collects to the driver. */
+    * across batches — see Dedup.nearDupClusters); the accumulated
+    * pair set is a plain union of those checkpointed leaves
+    * (CombineUnions keeps the plan flat), and nothing collects to the
+    * driver. Precondition for the no-distinct union: each id arrives
+    * in exactly ONE batch — a source that can re-deliver a shard
+    * re-emits that shard's pairs (append itself is idempotent) and
+    * needs a downstream dropDuplicates. */
   def streamIngest(spark: SparkSession, table: String, stream: DataFrame,
                    idCol: String, textCol: String,
                    params: Dedup.MinHashParams = Dedup.MinHashParams(),
@@ -169,11 +189,21 @@ object DedupIndex {
       (batch, _) =>
         val b = batch.localCheckpoint(true)
         nBatches += 1
-        val pairs = probeNewBatch(spark, table, b, idCol, textCol, params)
+        // Band the batch ONCE — the probe and the append share it
+        // (shingle+minhash is the batch-side cost; paying it twice
+        // per micro-batch doubled the ingest wall).
+        val nb = Dedup.bands(b, idCol, textCol, params)
           .localCheckpoint(true)
-        acc = if (acc == null) pairs
-          else acc.unionByName(pairs).distinct().localCheckpoint(true)
-        append(spark, table, b, idCol, textCol, params)
+        val pairs = probeNewBatchFromBands(spark, table, nb, params)
+          .localCheckpoint(true)
+        // Plain union, NO distinct: per-batch pair sets are DISJOINT —
+        // a pair is emitted only by the batch its LATER member arrives
+        // in (the earlier member is indexed by then, and the probe
+        // already dedups within a batch), so a per-batch distinct
+        // would re-shuffle the whole accumulated set every batch:
+        // O(batches²) total work at ingest scale for nothing.
+        acc = if (acc == null) pairs else acc.unionByName(pairs)
+        appendFromBands(spark, table, nb)
     }
     q.awaitTermination()
     val pairsOut =

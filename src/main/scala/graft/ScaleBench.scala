@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Similarity}
@@ -373,6 +373,72 @@ object ScaleBench {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  /** WinnowIndex probe vs one-shot winnowPairs — the amortization
+    * argument for the incremental shared-passage API, measured (the
+    * winnowing twin of [[incrementalDedupPoint]]). An n-doc
+    * high-entropy corpus (boilerplate footer on every 5th doc, cap
+    * 500 — the footer stays capped at every scale) is indexed once; a
+    * shard of max(100, n/100) docs arrives, HALF of them quoting one
+    * indexed doc's 360-char body verbatim (the contamination shape —
+    * each quoting doc must pair with exactly its source), half novel.
+    * Probe = fingerprint the shard + semi-join the persisted posting
+    * table (O(shard) + touched postings); one-shot = winnowPairs over
+    * old ∪ new cut to shard-touching pairs (re-fingerprints the whole
+    * corpus). Pair sets INCLUDING n_shared values are `require`d
+    * equal before timings print. */
+  def winnowIncPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import scala.util.chaining._
+    import graft.ext.WinnowIndex
+    val n = 5000L * scale
+    val batchN = math.max(100L, n / 100)
+    val cap = 500
+    val pathStr = s"$dir/winnow_inc_x$scale"
+    def bodyOf(key: Column) = array_join(transform(sequence(lit(0), lit(39)),
+      i => substring(md5(concat_ws("_", key, i)), 1, 8)), " ")
+    val batchGen = spark.range(n, n + batchN, 1, 32).toDF("doc_id")
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          // Quote the body of old doc (doc_id − n), plus a unique tail.
+          concat(bodyOf(col("doc_id") - n), lit(" uquote"), col("doc_id")))
+          .otherwise(bodyOf(col("doc_id") + lit(10000000L))))
+      .select(col("doc_id"), col("text"))
+    genHighEntropyDocs(spark, n).unionByName(batchGen)
+      .write.mode("overwrite").parquet(pathStr)
+    val docs = spark.read.parquet(pathStr)
+    val oldDocs = docs.where(col("doc_id") < n)
+    val batch = docs.where(col("doc_id") >= n)
+    val table = s"graft_scale_winnow_idx_x$scale"
+    spark.sqlContext.clearCache()
+    val (_, tBuild) = timed {
+      WinnowIndex.build(oldDocs, "doc_id", "text", table)
+    }
+    spark.sqlContext.clearCache()
+    val (probe, tProbe) = timed {
+      WinnowIndex.probeNewBatch(spark, table, batch, "doc_id", "text",
+          minShared = 1, maxPostings = cap)
+        .pipe(graft.ext.Checkpoints.stage)
+    }
+    val nProbe = probe.count()
+    spark.sqlContext.clearCache()
+    val (oneShot, tFull) = timed {
+      Dedup.winnowPairs(docs, "doc_id", "text", minShared = 1, maxPostings = cap)
+        .where(col("id_a") >= n || col("id_b") >= n)
+        .pipe(graft.ext.Checkpoints.stage)
+    }
+    val nFull = oneShot.count()
+    require(nProbe == nFull && probe
+        .join(oneShot, Seq("id_a", "id_b", "n_shared"), "left_anti").count() == 0,
+      s"winnow probe diverged from one-shot: $nProbe vs $nFull")
+    // Every quoting doc found its source (the contamination floor).
+    val quoted = probe.where(col("id_b") === col("id_a") + n).count()
+    require(quoted >= batchN / 2,
+      s"quoted-passage pairs missing: $quoted < ${batchN / 2}")
+    s"""{"winnow_inc":{"scale":$scale,"n_indexed":$n,"n_batch":$batchN,""" +
+      s""""n_new_pairs":$nProbe,"n_quoted_found":$quoted,""" +
+      s""""build":{"t":${fmt(tBuild)}},"probe":{"t":${fmt(tProbe)}},""" +
+      s""""one_shot":{"t":${fmt(tFull)}}}}"""
+  }
+
   /** Compressed parquet column-chunk bytes of `cols` across the given
     * cluster partitions of a saved IVF index — EXACTLY the bytes a
     * column-pruned, partition-pruned probe scan must fetch (the
@@ -678,6 +744,13 @@ object ScaleBench {
       spark.stop()
       return
     }
+    // `winnow-inc-only`: just the incremental-winnow probe point.
+    if (args.contains("winnow-inc-only")) {
+      winnowIncPoint(spark, outBase, 1)
+      scales.foreach(m => println(winnowIncPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
     // `points-only` (any arg position) skips the corpus scales and
     // runs just the fixed-size points — quick re-measurement.
     val pointsOnly = args.contains("points-only")
@@ -701,6 +774,7 @@ object ScaleBench {
       scales.foreach { m => println(incrementalDedupPoint(spark, outBase, m)) }
       scales.foreach { m => println(winnowSkewPoint(spark, outBase, m)) }
       scales.foreach { m => println(ivfQuantizedPoint(spark, outBase, m)) }
+      scales.foreach { m => println(winnowIncPoint(spark, outBase, m)) }
     }
     // Fixed-size points (not per-scale): heavy hitters at 10M items,
     // ~7M distinct — the regime where the census's shuffle is the

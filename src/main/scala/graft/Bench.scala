@@ -86,13 +86,10 @@ object Bench {
     val floor: Map[String, Double] = try {
       val src = scala.io.Source.fromFile(floorPath, "UTF-8")
       val txt = try src.mkString finally src.close()
-      "\"([^\"]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      BenchFloor.parse(txt)
     } catch { case _: Throwable => Map.empty }
     val bestMap = best.toMap
-    val regressed = best.collect {
-      case (k, v) if v >= 0 && floor.get(k).exists(f => v > f * 1.5 && v - f > 0.3) => k
-    }
+    val regressed = BenchFloor.regressed(floor, best)
     val regressedJson = regressed.map { k =>
       "\"" + k + "\":\"" + fmt(bestMap(k)) + " vs floor " + fmt(floor(k)) + "\""
     }.mkString("{", ",", "}")
@@ -105,23 +102,10 @@ object Bench {
     }.sum
     // Ratchet the floor file: min(known floor, this run), new queries
     // enter at this run's min. Never raised, never dropped.
-    val newFloor = (floor.keySet ++ bestMap.keySet).toSeq.sorted.flatMap { k =>
-      (floor.get(k), bestMap.get(k).filter(_ >= 0)) match {
-        case (Some(f), Some(v)) => Some(k -> math.min(f, v))
-        case (Some(f), None) => Some(k -> f)
-        case (None, Some(v)) => Some(k -> v)
-        case _ => None
-      }
-    }
     try {
       val w = new java.io.PrintWriter(floorPath, "UTF-8")
-      try {
-        w.println("{")
-        newFloor.zipWithIndex.foreach { case ((k, v), i) =>
-          w.println(s"""  "$k": ${fmt(v)}${if (i < newFloor.size - 1) "," else ""}""")
-        }
-        w.println("}")
-      } finally w.close()
+      try w.print(BenchFloor.render(BenchFloor.merge(floor, bestMap)))
+      finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $floorPath: ${e.getMessage}")
     }

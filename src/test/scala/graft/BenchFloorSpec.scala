@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The floor file is the round-over-round regression baseline — a bug
+  * here silently corrupts every future noise triage, so the pure
+  * logic is pinned: parse/render round-trip, downward-only ratchet,
+  * and the regression thresholds' edge cases.
+  */
+class BenchFloorSpec extends AnyFunSuite {
+
+  test("parse/render round-trip, including the committed file") {
+    val entries = Seq("a_query" -> 1.2345, "b" -> 0.0001, "z" -> 99.9999)
+    assert(BenchFloor.parse(BenchFloor.render(entries)) == entries.toMap)
+    // The committed artifact itself must parse (driver + Bench both
+    // read it).
+    val src = scala.io.Source.fromFile("BENCH_FLOOR.json", "UTF-8")
+    val txt = try src.mkString finally src.close()
+    val committed = BenchFloor.parse(txt)
+    assert(committed.nonEmpty, "committed BENCH_FLOOR.json parsed empty")
+    assert(committed.values.forall(v => v > 0 && v < 1000),
+      "committed floors out of sane range")
+  }
+
+  test("merge ratchets downward only; absent queries keep their floor; failures never enter") {
+    val floor = Map("q1" -> 2.0, "q2" -> 1.0, "q3" -> 5.0)
+    val run = Map("q1" -> 1.5, "q2" -> 9.0, "q4" -> 0.7, "q5" -> -1.0)
+    val merged = BenchFloor.merge(floor, run).toMap
+    assert(merged("q1") == 1.5, "faster run must lower the floor")
+    assert(merged("q2") == 1.0, "slower run must NOT raise the floor")
+    assert(merged("q3") == 5.0, "query absent from the run keeps its floor")
+    assert(merged("q4") == 0.7, "new query enters at its run min")
+    assert(!merged.contains("q5"), "a failed (-1) query must not set a floor")
+    // Idempotent: merging the merged floor with the same run changes nothing.
+    assert(BenchFloor.merge(merged, run).toMap == merged)
+  }
+
+  test("regression flag needs BOTH the ratio and the absolute threshold") {
+    val floor = Map("fast" -> 0.1, "slow" -> 2.0, "mid" -> 1.0)
+    // fast: 0.25 is 2.5x its floor but only +0.15s — sub-second jitter,
+    // not flagged. slow: 3.5 is +1.5s over floor but only 1.75x... over
+    // 1.5x ratio AND over 0.3s -> flagged. mid: 1.35 is +0.35s but only
+    // 1.35x -> not flagged.
+    val best = Seq("fast" -> 0.25, "slow" -> 3.5, "mid" -> 1.35,
+      "nofloor" -> 60.0, "failed" -> -1.0)
+    assert(BenchFloor.regressed(floor, best) == Seq("slow"))
+  }
+}

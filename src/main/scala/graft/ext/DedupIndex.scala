@@ -183,39 +183,27 @@ object DedupIndex {
                    idCol: String, textCol: String,
                    params: Dedup.MinHashParams = Dedup.MinHashParams(),
                    queryName: String = "graft_stream_ingest"): (DataFrame, Int) = {
-    var acc: DataFrame = null
-    var nBatches = 0
-    val q = graft.streaming.StreamOps.foreachBatchSink(stream, queryName) {
-      (batch, _) =>
-        val b = batch.localCheckpoint(true)
-        nBatches += 1
+    val (accOpt, nBatches) = graft.streaming.StreamOps
+      .accumulateBatches(stream, queryName) { b =>
         // Band the batch ONCE — the probe and the append share it
         // (shingle+minhash is the batch-side cost; paying it twice
-        // per micro-batch doubled the ingest wall).
+        // per micro-batch doubled the ingest wall). The probe's only
+        // contact with the mutable table is its eager union
+        // checkpoint, which runs HERE — before the append mutates it.
         val nb = Dedup.bands(b, idCol, textCol, params)
           .localCheckpoint(true)
         val pairs = probeNewBatchFromBands(spark, table, nb, params)
-          .localCheckpoint(true)
-        // Plain union, NO distinct: per-batch pair sets are DISJOINT —
-        // a pair is emitted only by the batch its LATER member arrives
-        // in (the earlier member is indexed by then, and the probe
-        // already dedups within a batch), so a per-batch distinct
-        // would re-shuffle the whole accumulated set every batch:
-        // O(batches²) total work at ingest scale for nothing.
-        acc = if (acc == null) pairs else acc.unionByName(pairs)
         appendFromBands(spark, table, nb)
-    }
-    q.awaitTermination()
-    val pairsOut =
-      if (acc != null) acc
-      else {
-        val idType = stream.schema(idCol).dataType
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id_a", idType),
-            org.apache.spark.sql.types.StructField("id_b", idType))))
+        pairs
       }
+    val pairsOut = accOpt.getOrElse {
+      val idType = stream.schema(idCol).dataType
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a", idType),
+          org.apache.spark.sql.types.StructField("id_b", idType))))
+    }
     (pairsOut, nBatches)
   }
 

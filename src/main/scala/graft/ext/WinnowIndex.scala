@@ -71,8 +71,14 @@ object WinnowIndex {
     * foreachBatch clone session). */
   def append(spark: SparkSession, table: String, newDocs: DataFrame,
              idCol: String, textCol: String,
-             k: Int = 8, w: Int = 4): Unit = {
-    val np = postings(newDocs, idCol, textCol, k, w).pipe(Checkpoints.stage)
+             k: Int = 8, w: Int = 4): Unit =
+    appendFromPostings(spark, table,
+      postings(newDocs, idCol, textCol, k, w).pipe(Checkpoints.stage))
+
+  /** [[append]] from a PRECOMPUTED (materialized) posting table of the
+    * batch — a probe-then-append cycle fingerprints each batch once. */
+  def appendFromPostings(spark: SparkSession, table: String,
+                         np: DataFrame): Unit = {
     val touched = np.select(col("fp")).distinct()
     val existing = spark.table(table).join(touched, Seq("fp"), "left_semi")
     np.join(existing, Seq("id", "fp"), "left_anti")
@@ -90,8 +96,17 @@ object WinnowIndex {
                     idCol: String, textCol: String,
                     k: Int = 8, w: Int = 4, minShared: Int = 2,
                     maxPostings: Int = 1000,
-                    stager: DataFrame => DataFrame = Checkpoints.stage): DataFrame = {
-    val np = postings(newDocs, idCol, textCol, k, w).pipe(stager)
+                    stager: DataFrame => DataFrame = Checkpoints.stage): DataFrame =
+    probeNewBatchFromPostings(spark, table,
+      postings(newDocs, idCol, textCol, k, w).pipe(stager),
+      minShared, maxPostings, stager)
+
+  /** [[probeNewBatch]] from a PRECOMPUTED posting table of the batch
+    * (materialized unless `stager` is identity). */
+  def probeNewBatchFromPostings(spark: SparkSession, table: String,
+                                np: DataFrame, minShared: Int = 2,
+                                maxPostings: Int = 1000,
+                                stager: DataFrame => DataFrame = Checkpoints.stage): DataFrame = {
     // Fingerprints the batch doesn't post cannot yield a new-touching
     // pair: cut the index BEFORE the posting census — the semi-join is
     // the probe's only contact with the corpus index.
@@ -117,5 +132,41 @@ object WinnowIndex {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count_distinct(col("fp")).as("n_shared"))
       .where(col("n_shared") >= minShared)
+  }
+
+  /** Streaming shared-passage ingest — the winnowing twin of
+    * [[DedupIndex.streamIngest]] (same accumulator, same disjointness
+    * and one-batch-per-id contract, same over-cap caveat): each
+    * micro-batch is fingerprinted ONCE, probes the persisted posting
+    * table for shared-passage pairs touching it, then appends its
+    * postings for later shards to probe against — continuous
+    * contamination screening of an ingest stream. The accumulated
+    * pair set (n_shared included) equals the one-shot
+    * [[Dedup.winnowPairs]] over everything ingested, which
+    * x_stream_winnow's value-exact oracle replays wholesale. */
+  def streamIngest(spark: SparkSession, table: String, stream: DataFrame,
+                   idCol: String, textCol: String,
+                   k: Int = 8, w: Int = 4, minShared: Int = 2,
+                   maxPostings: Int = 1000,
+                   queryName: String = "graft_stream_winnow"): (DataFrame, Int) = {
+    val (accOpt, nBatches) = graft.streaming.StreamOps
+      .accumulateBatches(stream, queryName) { b =>
+        val np = postings(b, idCol, textCol, k, w).localCheckpoint(true)
+        val pairs = probeNewBatchFromPostings(spark, table, np,
+          minShared, maxPostings)
+        appendFromPostings(spark, table, np)
+        pairs
+      }
+    val pairsOut = accOpt.getOrElse {
+      val idType = stream.schema(idCol).dataType
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a", idType),
+          org.apache.spark.sql.types.StructField("id_b", idType),
+          org.apache.spark.sql.types.StructField("n_shared",
+            org.apache.spark.sql.types.LongType))))
+    }
+    (pairsOut, nBatches)
   }
 }

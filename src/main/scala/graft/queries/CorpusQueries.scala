@@ -50,6 +50,7 @@ private[graft] object CorpusQueries {
     "x_incremental_dedup_gate" -> ((s, dir) => incrementalDedupGate(s, dir)),
     "x_stream_incremental_dedup" -> ((s, dir) => streamIncrementalDedup(s, dir)),
     "x_winnow_incremental" -> ((s, dir) => winnowIncremental(s, dir)),
+    "x_stream_winnow" -> ((s, dir) => streamWinnow(s, dir)),
     "x_simhash" -> ((s, dir) =>
       // SimHash values are engine-internal (xxhash64), but two
       // INVARIANTS of them are not: (a) simhash is a pure function of
@@ -720,10 +721,11 @@ private[graft] object CorpusQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Staged shard files for [[streamIncrementalDedup]] — three
+  /** Staged shard files for the streaming-ingest queries — three
     * id-keyed (doc_id % 3) single-file parquet shards in a temp dir,
-    * written once per (session, dir): distributed writes, the driver
-    * only renames one part file per shard into the source dir. */
+    * written once per (session, key): distributed writes, the driver
+    * only renames one part file per shard into the source dir. `key`
+    * distinguishes corpora (full vs sliced) within one dir. */
   private val shardMemo =
     new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, String]]()
   private def stagedShardsFor(s: SparkSession, dir: String,
@@ -752,6 +754,36 @@ private[graft] object CorpusQueries {
       }
       perSession.get(dir)
     }
+
+  /** x_stream_winnow: streaming shared-passage ingest
+    * (WinnowIndex.streamIngest) — the 200-doc winnow slice arrives as
+    * THREE id-keyed micro-batches against an initially-empty posting
+    * index; each batch is fingerprinted once, probes the index, then
+    * appends its postings. The accumulated pair set (n_shared
+    * included) must equal the one-shot winnowPairs over the whole
+    * slice — every pair fires exactly when its later member's shard
+    * arrives — and the fingerprints are portable md5 prefixes, so the
+    * oracle replays the ENTIRE streamed result value-exactly (the
+    * x_winnow_pairs SQL verbatim: same fingerprints, same cap, same
+    * counts). The 3-batch shape is `require`d, so a staging failure
+    * fails the gate loudly instead of degenerating to one batch. */
+  private def streamWinnow(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(col("doc_id") < 200)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val idx = "graft_stream_winnow_idx_" + digest
+    WinnowIndex.buildFromPostings(
+      WinnowIndex.postings(docs.limit(0), "doc_id", "text", 8, 4), idx)
+    val inDir = stagedShardsFor(s, dir + "#winnow200", docs)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val (acc, nBatches) = WinnowIndex.streamIngest(s, idx, stream,
+      "doc_id", "text", queryName = "stream_winnow_" + digest)
+    require(nBatches == 3, s"expected 3 micro-batches, got $nBatches")
+    acc.orderBy(col("id_a"), col("id_b"))
+  }
 
   /** x_incremental_dedup_gate: the INCREMENTAL dedup EQUIVALENCE gate
     * (DedupIndex vs full recompute). Split: docs with
@@ -1212,6 +1244,28 @@ private[graft] object CorpusQueries {
         |   FROM i a JOIN i b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
         | SELECT id_a, id_b, n_shared FROM p
         | WHERE n_shared >= 2 AND (id_a % 5 = 4 OR id_b % 5 = 4)
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    // Streaming winnow ingest replayed VALUE-exactly: the accumulated
+    // per-batch probe results must equal the one-shot winnow-pair
+    // pipeline over the whole slice (same md5-prefix fingerprints,
+    // same <= 1000 posting cap, same >= 2 floor) — the x_winnow_pairs
+    // SQL verbatim.
+    "x_stream_winnow" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+        | g AS (SELECT doc_id, list_transform(
+        |     generate_series(1, CASE WHEN length(text) >= 8 THEN length(text) - 7 ELSE 0 END),
+        |     i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs FROM d),
+        | f AS (SELECT doc_id,
+        |   CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_distinct(list_transform(
+        |          generate_series(1, GREATEST(len(hs) - 3, 1)),
+        |          j -> list_min(hs[j:j+3]))) END AS fps FROM g),
+        | e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        | ok AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 1000),
+        | i AS (SELECT e.doc_id, e.fp FROM e JOIN ok USING (fp)),
+        | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |   FROM i a JOIN i b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        | SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
     // Same whitespace token-count identity as x_token_count; the
     // running total replays as a window at gate scale.

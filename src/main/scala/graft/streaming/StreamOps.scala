@@ -263,6 +263,32 @@ object StreamOps {
       .start()
   }
 
+  /** Bounded probe-then-append ingest loop: runs the stream through
+    * foreachBatch, applies `perBatch` to each micro-batch
+    * (localCheckpoint'd first — lineage must not nest across batches)
+    * and accumulates the per-batch result rows by PLAIN union.
+    * Shared by DedupIndex.streamIngest and WinnowIndex.streamIngest,
+    * whose per-batch outputs are provably disjoint (a pair is emitted
+    * only by the batch its later member arrives in), so no distinct —
+    * a per-batch distinct would re-shuffle the whole accumulated set
+    * every batch, O(batches²) total work at ingest scale. Each
+    * per-batch result is localCheckpoint'd, so the accumulator is a
+    * flat union of checkpointed leaves (CombineUnions). Returns
+    * (accumulated rows if any batch ran, batch count). */
+  def accumulateBatches(stream: DataFrame, queryName: String)(
+      perBatch: DataFrame => DataFrame): (Option[DataFrame], Int) = {
+    var acc: DataFrame = null
+    var n = 0
+    val q = foreachBatchSink(stream, queryName) { (batch, _) =>
+      val b = batch.localCheckpoint(true)
+      n += 1
+      val out = perBatch(b).localCheckpoint(true)
+      acc = if (acc == null) out else acc.unionByName(out)
+    }
+    q.awaitTermination()
+    (Option(acc), n)
+  }
+
   /** Run a (bounded) streaming query to completion via AvailableNow into
     * a named memory sink and return the sink contents. */
   def runAvailableNow(df: DataFrame, name: String,

@@ -510,6 +510,52 @@ class DedupSpec extends AnyFunSuite {
       "re-appending an already-indexed shard must not add postings")
   }
 
+  test("WinnowIndex.streamIngest: micro-batched shards accumulate the one-shot pair set, n_shared exact") {
+    import java.nio.file.{Files, Paths}
+    val shared = "this exact passage appears verbatim in both documents today"
+    // Shard 0 carries an internal quoted pair (1,2); shard 1's doc 10
+    // quotes shard 0's doc 1 — found only through the appended index.
+    val corpus = Seq(
+      (1L, s"left context totally different $shared and then some more"),
+      (2L, s"$shared trailing content that matches nothing else at all"),
+      (3L, "an unrelated document with none of that text anywhere"),
+      (10L, s"late arrival also containing $shared in its middle part"),
+      (11L, "novel content quoting nothing from anything seen before")
+    ).toDF("doc_id", "text")
+    val base = Files.createTempDirectory("graft_stream_winnow_spec_").toString
+    val inDir = s"$base/in"
+    Files.createDirectories(Paths.get(inDir))
+    Seq(corpus.where(col("doc_id") < 10), corpus.where(col("doc_id") >= 10))
+      .zipWithIndex.foreach { case (df, i) =>
+        val w = s"$base/w$i"
+        df.coalesce(1).write.mode("overwrite").parquet(w)
+        val part = new java.io.File(w).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .get
+        Files.move(part.toPath, Paths.get(inDir, s"shard_$i.parquet"))
+      }
+    val table = "graft_stream_winnow_spec"
+    WinnowIndex.buildFromPostings(
+      WinnowIndex.postings(corpus.limit(0), "doc_id", "text", 8, 4), table)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val (acc, nBatches) = WinnowIndex.streamIngest(spark, table, stream,
+      "doc_id", "text", queryName = "stream_winnow_spec")
+    assert(nBatches == 2, s"expected 2 micro-batches, got $nBatches")
+    val streamed = acc.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = Dedup.winnowPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == oneShot,
+      s"streamed winnow diverged: extra=${streamed -- oneShot} missing=${oneShot -- streamed}")
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 2L),
+      "same-shard quoted pair missed")
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 10L),
+      "cross-shard quoted pair missed (appended postings not probed)")
+    assert(!streamed.exists(p => p._1 == 11L || p._2 == 11L),
+      "non-quoting doc paired")
+  }
+
   test("x_minhash_neardup summary is stable on driver testdata") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", Dedup.MinHashParams())

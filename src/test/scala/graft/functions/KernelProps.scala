@@ -64,4 +64,35 @@ object KernelProps extends Properties("Kernels") {
       Kernels.minhashBands(new GenericArrayData(hs), 8, 8).toLongArray().toSeq ==
         Kernels.minhashBands(new GenericArrayData(shuffled), 8, 8).toLongArray().toSeq
     }
+
+  // Mixed ASCII / multi-byte text: the packed winnow kernel has an
+  // ASCII byte-slice fast path and a codepoint slow path — the
+  // bijection with the string kernel must hold on BOTH, for arbitrary
+  // k/w and text lengths (incl. shorter-than-k and shorter-than-w).
+  private val textGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 60)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      1 -> Gen.const(' '),
+      1 -> Gen.oneOf('é', 'ü', 'ß', '中', '☃')))
+  } yield cs.mkString
+
+  property("winnowPacked is the hex bijection of winnow for arbitrary text, k, w") =
+    forAll(textGen, Gen.chooseNum(1, 10), Gen.chooseNum(1, 6)) { (text, k, w) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      val packed = Kernels.winnowPacked(u, k, w).toLongArray()
+        .map(v => f"$v%08x").toSeq
+      val str = {
+        val arr = Kernels.winnow(u, k, w)
+        (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+      }
+      packed == str
+    }
+
+  property("winnowPacked values are unsigned 32-bit") =
+    forAll(textGen) { text =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      Kernels.winnowPacked(u, 4, 3).toLongArray()
+        .forall(v => v >= 0L && v <= 0xffffffffL)
+    }
 }

@@ -65,6 +65,22 @@ object Writer {
       .saveAsTable(table)
   }
 
+  /** An EMPTY bucketed+sorted table with the given schema — catalog
+    * DDL only, no Spark write job. The streaming-ingest gates
+    * re-create their index fresh per run (append mutates it), and a
+    * full empty WRITE per run was pure fixed cost; the DDL bucket
+    * spec matches [[bucketedTable]]'s, so insertInto appends land in
+    * the identical layout. */
+  def emptyBucketedTable(spark: SparkSession, table: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         key: String, buckets: Int): Unit = {
+    dropTableAndLocation(spark, table)
+    val cols = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"CREATE TABLE `$table` ($cols) USING PARQUET " +
+      s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS")
+  }
+
   /** Training-shard export: exactly `shards` files, rows routed by the
     * deterministic id-hash (stable under repartitioning and reruns —
     * a row's shard never changes, so shard-level dedup bookkeeping and

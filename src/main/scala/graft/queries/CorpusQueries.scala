@@ -672,9 +672,14 @@ private[graft] object CorpusQueries {
     val idx = "graft_stream_inc_idx_" + digest
     // Fresh EMPTY index each run — the stream builds it up (append
     // mutates the table, so unlike the shard files it can never be
-    // reused across runs).
-    DedupIndex.buildFromBands(
-      Dedup.bands(docs.limit(0), "doc_id", "text", params), idx)
+    // reused across runs). Catalog DDL only: a band run over limit(0)
+    // still paid a checkpoint + empty write job per rep.
+    graft.io.Writer.emptyBucketedTable(s, idx,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", docs.schema("doc_id").dataType),
+        org.apache.spark.sql.types.StructField("band_id", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("band_hash", org.apache.spark.sql.types.LongType))),
+      "band_hash", 16)
     // The staged shard files are a pure function of the corpus —
     // memoized per (session, dir) like the IVF index, so bench reps
     // pay the streaming ingest, not three corpus rewrites.
@@ -773,8 +778,13 @@ private[graft] object CorpusQueries {
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val idx = "graft_stream_winnow_idx_" + digest
-    WinnowIndex.buildFromPostings(
-      WinnowIndex.postings(docs.limit(0), "doc_id", "text", 8, 4), idx)
+    // Fresh EMPTY posting index per run, catalog DDL only (see the
+    // dedup twin above for the rationale).
+    graft.io.Writer.emptyBucketedTable(s, idx,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", docs.schema("doc_id").dataType),
+        org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.LongType))),
+      "fp", 16)
     val inDir = stagedShardsFor(s, dir + "#winnow200", docs)
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1")

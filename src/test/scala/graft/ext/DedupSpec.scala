@@ -556,6 +556,33 @@ class DedupSpec extends AnyFunSuite {
       "non-quoting doc paired")
   }
 
+  test("streamIngest on an EMPTY stream: zero batches, empty result with the right schema") {
+    import java.nio.file.Files
+    val emptyDir = Files.createTempDirectory("graft_stream_empty_").toString
+    val table = "graft_stream_empty_spec"
+    DedupIndex.buildFromBands(
+      Dedup.bands(corpus.limit(0), "doc_id", "text", params), table)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(emptyDir)
+    val (pairs, n) = DedupIndex.streamIngest(spark, table, stream,
+      "doc_id", "text", params, queryName = "stream_empty_spec")
+    assert(n == 0, s"no files must mean no batches, got $n")
+    assert(pairs.columns.toSeq == Seq("id_a", "id_b"))
+    assert(pairs.schema("id_a").dataType == corpus.schema("doc_id").dataType,
+      "empty result must carry the id's native type")
+    assert(pairs.count() == 0)
+    // The winnow twin's empty branch carries n_shared too.
+    val wTable = "graft_stream_empty_winnow_spec"
+    WinnowIndex.buildFromPostings(
+      WinnowIndex.postings(corpus.limit(0), "doc_id", "text", 8, 4), wTable)
+    val wStream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(emptyDir)
+    val (wPairs, wn) = WinnowIndex.streamIngest(spark, wTable, wStream,
+      "doc_id", "text", queryName = "stream_empty_winnow_spec")
+    assert(wn == 0 && wPairs.count() == 0)
+    assert(wPairs.columns.toSeq == Seq("id_a", "id_b", "n_shared"))
+  }
+
   test("x_minhash_neardup summary is stable on driver testdata") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val pairs = Dedup.candidatePairs(docs, "doc_id", "text", Dedup.MinHashParams())

@@ -41,25 +41,31 @@ object Bench {
     // Optional regex filter (local profiling only — the driver runs the
     // full surface): time only matching query names.
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
-      .map { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
-        // Operators persist multi-consumer intermediates (bands, pair
-        // sets, daily aggregates) for the duration of their query; clear
-        // them between measurements so storage doesn't accumulate across
-        // 50 queries, no query reuses another's cache, and every rep
-        // pays the full pipeline (not a cached tail).
-        spark.sqlContext.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
+
+    def timeQueries(names: Set[String]): Seq[(String, Seq[Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => names.contains(name) }
+        .map { case (name, fn) =>
+          val times = (0 until reps).map { _ =>
+            // Operators persist multi-consumer intermediates (bands, pair
+            // sets, daily aggregates) for the duration of their query; clear
+            // them between measurements so storage doesn't accumulate across
+            // 50 queries, no query reuses another's cache, and every rep
+            // pays the full pipeline (not a cached tail).
+            spark.sqlContext.clearCache()
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              -1.0
+            }
+          }
+          (name, times)
         }
-      }
-      (name, times)
-    }
+
+    val selected = SparkEntry.queries.keySet
+      .filter(name => filter.forall(_.findFirstIn(name).isDefined))
+    val results = timeQueries(selected)
     def fmt(v: Double) = if (v < 0) "-1" else f"$v%.4f"
     val best = results.map { case (k, ts) =>
       (k, if (ts.exists(_ < 0)) -1.0 else ts.min)
@@ -74,37 +80,84 @@ object Bench {
     // PER-QUERY FLOOR DIFF — the noise-proof regression signal. The
     // committed BENCH_FLOOR.json holds the best-known min per query
     // (updated ONLY downward, so co-tenant-inflated runs can never
-    // poison it). A query is flagged "regressed" when this run's min
-    // exceeds 1.5× its floor AND by > 0.3 s absolute (sub-second
-    // queries jitter multiplicatively without meaning anything) — a
-    // plan regression shows up as a flagged query; uniform co-tenant
-    // inflation shows up as MANY flagged queries at a similar ratio,
-    // which is the read-it-off-the-artifact signature that used to
-    // take a manual triage session. The floor file is rewritten each
-    // run (min of floor and this run), so local re-measures ratchet.
+    // poison it) AND the sf dir that set it — floors from a different
+    // sf are meaningless, so a mismatched file is neither compared
+    // against nor overwritten. Likewise an EXISTING file that fails to
+    // read/parse is left alone (rewriting it from an empty floor would
+    // destroy the committed ratchet history); only a genuinely absent
+    // file starts fresh.
     val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "BENCH_FLOOR.json")
-    val floor: Map[String, Double] = try {
-      val src = scala.io.Source.fromFile(floorPath, "UTF-8")
-      val txt = try src.mkString finally src.close()
-      BenchFloor.parse(txt)
-    } catch { case _: Throwable => Map.empty }
+    val floorText: Option[String] =
+      if (!new java.io.File(floorPath).exists()) None
+      else try {
+        val src = scala.io.Source.fromFile(floorPath, "UTF-8")
+        Some(try src.mkString finally src.close())
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not read $floorPath: ${e.getMessage}")
+        Some("")
+      }
+    val parsed = floorText.map(BenchFloor.parse).getOrElse(Map.empty)
+    val fileSf = floorText.flatMap(BenchFloor.parseSf)
+    val sfMatches = fileSf.forall(_ == sfDir)
+    val readOk = floorText.forall(_ => parsed.nonEmpty)
+    if (!sfMatches)
+      System.err.println(s"[bench] $floorPath is for sf ${fileSf.get}, this run " +
+        s"is $sfDir — floors ignored and file left untouched")
+    if (!readOk)
+      System.err.println(s"[bench] existing $floorPath unreadable/empty — " +
+        "floors ignored and file left untouched (NOT rewritten from empty)")
+    val writeAllowed = sfMatches && readOk
+    val floorRaw: Map[String, Double] =
+      if (writeAllowed) parsed else Map.empty
+    // Zombie floors (renamed/deleted queries): warn always; on a FULL
+    // run — where registry membership is authoritative — drop them so
+    // they can't linger forever (merge keeps run-absent keys by design,
+    // for filtered runs).
+    val zombies = BenchFloor.zombies(floorRaw, SparkEntry.queries.keySet)
+    if (zombies.nonEmpty)
+      System.err.println(s"[bench] floor keys not in the query registry: " +
+        zombies.mkString(", ") +
+        (if (filter.isEmpty) " — dropped (full run)" else " — kept (filtered run)"))
+    val floor = if (filter.isEmpty) floorRaw -- zombies else floorRaw
     val bestMap = best.toMap
     val regressed = BenchFloor.regressed(floor, best)
+    // SELF-TRIAGE (VERDICT r9 #1): a non-empty regressed list is
+    // re-timed immediately — same process, same reps, just the flagged
+    // queries — and each flag ships with its verdict: "transient"
+    // (re-measure back under the thresholds: co-tenant noise, the only
+    // kind any closing artifact has ever carried) or "confirmed" (still
+    // over: a real regression). The adjudication that used to live in
+    // the judge's session is now in the artifact itself.
+    val recheck: Map[String, Double] =
+      if (regressed.isEmpty) Map.empty
+      else timeQueries(regressed.toSet).map { case (k, ts) =>
+        k -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      }.toMap
     val regressedJson = regressed.map { k =>
-      "\"" + k + "\":\"" + fmt(bestMap(k)) + " vs floor " + fmt(floor(k)) + "\""
+      val rc = recheck.getOrElse(k, -1.0)
+      "\"" + k + "\":{\"run\":" + fmt(bestMap(k)) + ",\"recheck\":" + fmt(rc) +
+        ",\"floor\":" + fmt(floor(k)) +
+        ",\"verdict\":\"" + BenchFloor.triage(floor(k), rc) + "\"}"
     }.mkString("{", ",", "}")
+    val confirmedCount =
+      regressed.count(k => BenchFloor.triage(floor(k), recheck.getOrElse(k, -1.0)) == "confirmed")
+    // Ratio guarded on floor > 0: a zero/corrupt floor entry must not
+    // emit Infinity/NaN (invalid JSON) into the artifact.
     val vsFloorJson = best.collect {
-      case (k, v) if v >= 0 && floor.contains(k) =>
+      case (k, v) if v >= 0 && floor.get(k).exists(_ > 0) =>
         "\"" + k + "\":" + f"${v / floor(k)}%.2f"
     }.mkString("{", ",", "}")
     val floorTotal = best.collect {
       case (k, v) if v >= 0 && floor.contains(k) => floor(k)
     }.sum
-    // Ratchet the floor file: min(known floor, this run), new queries
-    // enter at this run's min. Never raised, never dropped.
-    try {
+    // Ratchet the floor file: min(known floor, this run AND the triage
+    // re-measures — a recheck min is as real as a first-pass min), new
+    // queries enter at this run's min. Never raised; zombies dropped on
+    // full runs above; sf-mismatched or unreadable files never written.
+    if (writeAllowed) try {
+      val merged = BenchFloor.merge(BenchFloor.merge(floor, bestMap).toMap, recheck)
       val w = new java.io.PrintWriter(floorPath, "UTF-8")
-      try w.print(BenchFloor.render(BenchFloor.merge(floor, bestMap)))
+      try w.print(BenchFloor.render(merged, Some(sfDir)))
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $floorPath: ${e.getMessage}")
@@ -113,12 +166,15 @@ object Bench {
     // watermark-flush cost per query (measured flat from sf0.001 to
     // sf0.1), so the batch signal reads cleanly only with the families
     // split out. "parity" = the reference-surface q_* family; "gate" =
-    // *_gate equivalence harnesses that deliberately run multiple
+    // the equivalence harnesses that deliberately run multiple
     // pipelines per execution (their cost is correctness machinery,
-    // not a production path — profile them apart); the rest of x_* is
-    // the extension surface.
+    // not a production path — profile them apart): every *_gate name
+    // plus the streaming ingest harnesses, which run a full one-shot
+    // recompute alongside the streamed path for their oracle bits; the
+    // rest of x_* is the extension surface.
     def family(name: String): String =
-      if (name.endsWith("_gate")) "gate"
+      if (name.endsWith("_gate") ||
+          name == "x_stream_incremental_dedup" || name == "x_stream_winnow") "gate"
       else if (name.contains("stream")) "streaming"
       else if (name.startsWith("q_") || name == "pipeline_gap_report") "parity"
       else "extension"
@@ -128,7 +184,7 @@ object Bench {
       .map(f => "\"" + f + "\":" + fmt(fams.getOrElse(f, 0.0)))
       .mkString("{", ",", "}")
     val streamingFixed = fmt(fams.getOrElse("streaming", 0.0))
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"families":$famJson,"streaming_fixed_s":$streamingFixed,"floor_total":${fmt(floorTotal)},"vs_floor":$vsFloorJson,"regressed":$regressedJson,"queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"families":$famJson,"streaming_fixed_s":$streamingFixed,"floor_total":${fmt(floorTotal)},"vs_floor":$vsFloorJson,"regressed":$regressedJson,"confirmed_regressions":$confirmedCount,"queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
     // The driver artifact keeps only the LAST ~2000 chars of stdout and
     // parses the final JSON line it finds there — a 136-query map with
     // per-rep runs is ~4000 chars and can never survive whole (round 7's
@@ -150,12 +206,12 @@ object Bench {
       .sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // Compact floor summary for the tail-limited driver artifact: the
-    // floor-comparable total and the regressed NAMES (full per-query
-    // ratios live in BENCH_FULL.json). A total within ~1.2× of
-    // floor_total with an empty regressed list = a clean run; a
-    // uniformly inflated co-tenant run shows a high ratio AND a long
-    // regressed list — distinguishable at a glance, no triage session.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${best.size},"families":$famJson,"streaming_fixed_s":$streamingFixed,"floor_total":${fmt(floorTotal)},"regressed":$regressedJson,"slowest":$slowest,"failed":$failed,"queries_file":"$outPath","sf":"$sfDir"}""")
+    // floor-comparable total and the SELF-TRIAGED regressed entries
+    // (run/recheck/floor/verdict; full per-query ratios live in
+    // BENCH_FULL.json). An empty regressed list = a clean run; entries
+    // with verdict "transient" = adjudicated noise, no action needed;
+    // "confirmed" = a real regression that survived its re-measure.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${best.size},"families":$famJson,"streaming_fixed_s":$streamingFixed,"floor_total":${fmt(floorTotal)},"regressed":$regressedJson,"confirmed_regressions":$confirmedCount,"slowest":$slowest,"failed":$failed,"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,11 +15,27 @@ object BenchFloor {
   val RatioThreshold = 1.5
   val AbsoluteThresholdSec = 0.3
 
+  /** Key under which the run's scale-factor dir is stamped into the
+    * floor file. Floors are only comparable at the sf that set them:
+    * one run at a smaller sf would ratchet every floor permanently
+    * downward (floors are never raised) and turn every later
+    * default-sf run into a wall of false "regressed" flags — so Bench
+    * refuses to compare or merge across a sf mismatch. The value is a
+    * quoted string, invisible to [[parse]]'s numeric-pair regex. */
+  val SfKey = "__sf__"
+
   /** Parse a flat {"name": seconds, ...} floor file. Tolerant of
     * formatting (regex over pairs); unreadable input → empty. */
   def parse(text: String): Map[String, Double] =
     "\"([^\"]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** The sf dir stamped in the floor file, if any (files written
+    * before the stamp existed have none — treated as matching, and
+    * stamped on the next write). */
+  def parseSf(text: String): Option[String] =
+    ("\"" + SfKey + "\"\\s*:\\s*\"([^\"]*)\"").r
+      .findFirstMatchIn(text).map(_.group(1))
 
   /** Queries of this run flagged as regressed vs their floor. Failed
     * queries (negative time) are never flagged — they are reported in
@@ -31,6 +47,26 @@ object BenchFloor {
       case (k, v) if v >= 0 && floor.get(k).exists(f =>
         v > f * RatioThreshold && v - f > AbsoluteThresholdSec) => k
     }
+
+  /** Triage verdict for a flagged query after its same-process
+    * re-measure: back under either flag threshold → "transient"
+    * (co-tenant/GC noise — the signature round 9's closing artifact
+    * shipped unresolved five times); still over BOTH → "confirmed" (a
+    * real plan/code regression survives a re-measure). A failed
+    * re-measure (negative) is "confirmed": a flag must never be
+    * cleared by a crash. */
+  def triage(floor: Double, recheck: Double): String =
+    if (recheck >= 0 && !(recheck > floor * RatioThreshold &&
+        recheck - floor > AbsoluteThresholdSec)) "transient"
+    else "confirmed"
+
+  /** Floor keys no longer present in the query registry — a renamed or
+    * deleted query would otherwise keep a zombie floor forever (merge
+    * deliberately keeps keys absent from a RUN, because filtered runs
+    * see only a subset). Bench warns on these always and drops them on
+    * full runs, where registry membership is authoritative. */
+  def zombies(floor: Map[String, Double], registry: Set[String]): Seq[String] =
+    (floor.keySet -- registry - SfKey).toSeq.sorted
 
   /** The ratcheted floor: min(known floor, this run) per query; new
     * queries enter at this run's min; a query absent from this run
@@ -48,11 +84,13 @@ object BenchFloor {
     }
 
   /** Render the floor file body (stable order, trailing-comma-free —
-    * must round-trip through [[parse]]). */
-  def render(entries: Seq[(String, Double)]): String = {
-    val body = entries.zipWithIndex.map { case ((k, v), i) =>
+    * must round-trip through [[parse]]/[[parseSf]]). `sf` stamps the
+    * scale-factor line first. */
+  def render(entries: Seq[(String, Double)], sf: Option[String] = None): String = {
+    val sfLine = sf.map(v => s"""  "$SfKey": "$v",""").toSeq
+    val body = (sfLine ++ entries.zipWithIndex.map { case ((k, v), i) =>
       s"""  "$k": ${f"$v%.4f"}${if (i < entries.size - 1) "," else ""}"""
-    }.mkString("\n")
+    }).mkString("\n")
     s"{\n$body\n}\n"
   }
 }

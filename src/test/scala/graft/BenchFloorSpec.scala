@@ -4,8 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The floor file is the round-over-round regression baseline — a bug
   * here silently corrupts every future noise triage, so the pure
-  * logic is pinned: parse/render round-trip, downward-only ratchet,
-  * and the regression thresholds' edge cases.
+  * logic is pinned: parse/render round-trip (sf stamp included),
+  * downward-only ratchet, the regression thresholds' edge cases, the
+  * self-triage verdict, and zombie-floor detection.
   */
 class BenchFloorSpec extends AnyFunSuite {
 
@@ -20,6 +21,18 @@ class BenchFloorSpec extends AnyFunSuite {
     assert(committed.nonEmpty, "committed BENCH_FLOOR.json parsed empty")
     assert(committed.values.forall(v => v > 0 && v < 1000),
       "committed floors out of sane range")
+    // The committed file carries the sf stamp of the driver's bench dir.
+    assert(BenchFloor.parseSf(txt).contains("/root/testdata/sf0.1"))
+  }
+
+  test("sf stamp round-trips and stays invisible to the numeric parse") {
+    val entries = Seq("q1" -> 0.5)
+    val text = BenchFloor.render(entries, Some("/data/sf0.01"))
+    assert(BenchFloor.parseSf(text).contains("/data/sf0.01"))
+    assert(BenchFloor.parse(text) == entries.toMap,
+      "the sf marker must never parse as a query floor")
+    // Legacy files without a stamp: None (Bench treats as matching).
+    assert(BenchFloor.parseSf(BenchFloor.render(entries)).isEmpty)
   }
 
   test("merge ratchets downward only; absent queries keep their floor; failures never enter") {
@@ -44,5 +57,27 @@ class BenchFloorSpec extends AnyFunSuite {
     val best = Seq("fast" -> 0.25, "slow" -> 3.5, "mid" -> 1.35,
       "nofloor" -> 60.0, "failed" -> -1.0)
     assert(BenchFloor.regressed(floor, best) == Seq("slow"))
+  }
+
+  test("triage: noise clears on re-measure, a real pessimization does not") {
+    // Transient: the re-measure lands back at/near floor (either flag
+    // threshold no longer met).
+    assert(BenchFloor.triage(floor = 2.0, recheck = 2.1) == "transient")
+    assert(BenchFloor.triage(floor = 0.1, recheck = 0.35) == "transient") // +0.25s < abs
+    assert(BenchFloor.triage(floor = 1.0, recheck = 1.4) == "transient") // 1.4x < ratio
+    // Confirmed: a DELIBERATE plan pessimization (say a query that now
+    // re-runs its pipeline twice) re-measures at the same inflated
+    // wall — still over both thresholds.
+    assert(BenchFloor.triage(floor = 2.0, recheck = 4.0) == "confirmed")
+    // A crashed re-measure must never clear a flag.
+    assert(BenchFloor.triage(floor = 2.0, recheck = -1.0) == "confirmed")
+  }
+
+  test("zombies: floor keys outside the registry, sf stamp never counted") {
+    val floor = Map("alive" -> 1.0, "renamed_old" -> 2.0, "deleted_q" -> 3.0,
+      BenchFloor.SfKey -> 0.0)
+    val z = BenchFloor.zombies(floor, Set("alive", "other"))
+    assert(z == Seq("deleted_q", "renamed_old"))
+    assert(BenchFloor.zombies(Map("a" -> 1.0), Set("a")).isEmpty)
   }
 }

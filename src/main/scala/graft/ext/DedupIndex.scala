@@ -128,7 +128,12 @@ object DedupIndex {
     // OOM; the index side is bucketed on band_hash, so the shuffle
     // form co-locates off the stored clustering.
     val touched = newBands.select(col("band_id"), col("band_hash")).distinct()
+    // Explicit band-column projection: the STREAMING index layout adds
+    // a batch-id partition column the union must not see; on the
+    // unpartitioned batch layout this is an identity projection the
+    // optimizer collapses (the PlanAuditSpec pins are unchanged).
     val idxTouched = spark.table(table)
+      .select(col("id"), col("band_id"), col("band_hash"))
       .join(touched, Seq("band_id", "band_hash"), "left_semi")
     // Bucket counts over old ∪ new — the SAME cap decision the batch
     // pipeline would make on the union corpus (see the object doc), so
@@ -155,8 +160,14 @@ object DedupIndex {
     * band index for candidate pairs (new-vs-indexed and new-vs-new,
     * never re-shingling the corpus) and then APPENDS its bands, so the
     * next shard probes against everything ingested so far. Runs the
-    * bounded stream to completion (foreachBatch + AvailableNow) and
-    * returns (accumulated candidate pairs, batches processed).
+    * bounded stream to completion (foreachBatch + AvailableNow),
+    * writing each batch's pairs idempotently (batch-id partition
+    * overwrite — StreamOps.sinkBatches) to the `<table>_pairs` sink
+    * table, and returns (the sink's accumulated pairs, batches
+    * processed). The sink is the unbounded-ingest shape: per-batch
+    * appends to a table, nothing held in driver memory, redelivery
+    * overwrites its own partition (DedupSpec pins that), and a driver
+    * restart re-reads it.
     *
     * Equivalence contract (oracle-gated by x_stream_incremental_dedup,
     * spec-pinned in DedupSpec): because every doc arrives in exactly
@@ -171,40 +182,61 @@ object DedupIndex {
     * near-dup cluster larger than the cap, which the cap exists to
     * drop anyway.
     *
-    * Per-batch state is localCheckpoint'd (lineage must not nest
-    * across batches — see Dedup.nearDupClusters); the accumulated
-    * pair set is a plain union of those checkpointed leaves
-    * (CombineUnions keeps the plan flat), and nothing collects to the
-    * driver. Precondition for the no-distinct union: each id arrives
-    * in exactly ONE batch — a source that can re-deliver a shard
-    * re-emits that shard's pairs (append itself is idempotent) and
-    * needs a downstream dropDuplicates. */
+    * Per-batch plumbing: the batch is banded ONCE (shingle+minhash is
+    * the batch-side cost); the probe's union checkpoint — its only
+    * contact with the mutable table — materializes BEFORE the append
+    * mutates it, so the pair set the sink write executes afterwards
+    * never reads the live table. The INDEX here is batch-partitioned
+    * on top of the bucket spec (Writer.emptyPartitionedBucketedTable,
+    * created fresh by this call — the stream owns its index): the
+    * append is a dynamic overwrite of exactly the batch's own
+    * partition, which makes it redelivery-idempotent with NO
+    * existence anti-join and no second index read — the r9 anti-join
+    * append was the largest per-batch term in the profile. Probes run
+    * off the shared bucket clustering exactly as on the batch layout;
+    * the one-small-partition-per-shard growth is what
+    * [[compact]] reclaims. */
   def streamIngest(spark: SparkSession, table: String, stream: DataFrame,
                    idCol: String, textCol: String,
                    params: Dedup.MinHashParams = Dedup.MinHashParams(),
                    queryName: String = "graft_stream_ingest"): (DataFrame, Int) = {
-    val (accOpt, nBatches) = graft.streaming.StreamOps
-      .accumulateBatches(stream, queryName) { b =>
-        // Band the batch ONCE — the probe and the append share it
-        // (shingle+minhash is the batch-side cost; paying it twice
-        // per micro-batch doubled the ingest wall). The probe's only
-        // contact with the mutable table is its eager union
-        // checkpoint, which runs HERE — before the append mutates it.
-        val nb = Dedup.bands(b, idCol, textCol, params)
-          .localCheckpoint(true)
-        val pairs = probeNewBatchFromBands(spark, table, nb, params)
-        appendFromBands(spark, table, nb)
-        pairs
-      }
-    val pairsOut = accOpt.getOrElse {
-      val idType = stream.schema(idCol).dataType
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id_a", idType),
-          org.apache.spark.sql.types.StructField("id_b", idType))))
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val idType = stream.schema(idCol).dataType
+    Writer.emptyPartitionedBucketedTable(spark, table,
+      StructType(Seq(
+        StructField("id", idType),
+        StructField("band_id", IntegerType),
+        StructField("band_hash", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "band_hash", 16)
+    // Pairs sink bucketed on id_a: the write shapes to 8 files/batch
+    // (vs one per upstream slice), and the accumulated pairs feed
+    // id-keyed consumers (cluster label-prop, survivor anti-join)
+    // that can ride the stored clustering.
+    val sink = table + "_pairs"
+    Writer.emptyPartitionedBucketedTable(spark, sink,
+      StructType(Seq(
+        StructField("id_a", idType),
+        StructField("id_b", idType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "id_a", 8)
+    StreamOps.sinkBatches(spark, stream, queryName, sink) { (b, batchId) =>
+      // Refresh the index's cached file listing HERE — the previous
+      // batch's append ran concurrently with its pairs write, so the
+      // refresh lands at the start of the next probe instead of
+      // serializing after the append.
+      spark.catalog.refreshTable(table)
+      val nb = StreamOps.Profile.timed(queryName, "band")(
+        Dedup.bands(b, idCol, textCol, params).localCheckpoint(true))
+      val pairs = StreamOps.Profile.timed(queryName, "probe_stage")(
+        probeNewBatchFromBands(spark, table, nb, params))
+      // The index append rides as a side write: its rows (nb) and the
+      // pairs plan share no live table (the probe's union checkpoint
+      // above already materialized the index contact), so both inserts
+      // overlap in writeBatchSinks.
+      (pairs, Seq(table -> nb))
     }
-    (pairsOut, nBatches)
   }
 
   /** End-to-end incremental near-dup pairs: probe candidates, then

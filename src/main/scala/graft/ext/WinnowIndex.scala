@@ -111,7 +111,11 @@ object WinnowIndex {
     // pair: cut the index BEFORE the posting census — the semi-join is
     // the probe's only contact with the corpus index.
     val touched = np.select(col("fp")).distinct()
-    val idxTouched = spark.table(table).join(touched, Seq("fp"), "left_semi")
+    // Explicit posting-column projection: the streaming index layout
+    // adds a batch-id partition column the union must not see; an
+    // identity projection on the batch layout (optimizer-collapsed).
+    val idxTouched = spark.table(table).select(col("id"), col("fp"))
+      .join(touched, Seq("fp"), "left_semi")
     // Posting counts over old ∪ new — the same cap decision the batch
     // pipeline makes on the union corpus. Feeds sizing + both join
     // sides; stage once.
@@ -135,13 +139,15 @@ object WinnowIndex {
   }
 
   /** Streaming shared-passage ingest — the winnowing twin of
-    * [[DedupIndex.streamIngest]] (same accumulator, same disjointness
-    * and one-batch-per-id contract, same over-cap caveat): each
-    * micro-batch is fingerprinted ONCE, probes the persisted posting
-    * table for shared-passage pairs touching it, then appends its
-    * postings for later shards to probe against — continuous
-    * contamination screening of an ingest stream. The accumulated
-    * pair set (n_shared included) equals the one-shot
+    * [[DedupIndex.streamIngest]] (same batch-partitioned bucketed
+    * index created fresh here, same anti-join-free partition-overwrite
+    * append, same batch-id-partitioned sink table `<table>_pairs`,
+    * same disjointness and one-batch-per-id contract, same over-cap
+    * caveat): each micro-batch is fingerprinted ONCE, probes the
+    * persisted posting table for shared-passage pairs touching it,
+    * then appends its postings for later shards to probe against —
+    * continuous contamination screening of an ingest stream. The
+    * accumulated pair set (n_shared included) equals the one-shot
     * [[Dedup.winnowPairs]] over everything ingested, which
     * x_stream_winnow's value-exact oracle replays wholesale. */
   def streamIngest(spark: SparkSession, table: String, stream: DataFrame,
@@ -149,24 +155,33 @@ object WinnowIndex {
                    k: Int = 8, w: Int = 4, minShared: Int = 2,
                    maxPostings: Int = 1000,
                    queryName: String = "graft_stream_winnow"): (DataFrame, Int) = {
-    val (accOpt, nBatches) = graft.streaming.StreamOps
-      .accumulateBatches(stream, queryName) { b =>
-        val np = postings(b, idCol, textCol, k, w).localCheckpoint(true)
-        val pairs = probeNewBatchFromPostings(spark, table, np,
-          minShared, maxPostings)
-        appendFromPostings(spark, table, np)
-        pairs
-      }
-    val pairsOut = accOpt.getOrElse {
-      val idType = stream.schema(idCol).dataType
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id_a", idType),
-          org.apache.spark.sql.types.StructField("id_b", idType),
-          org.apache.spark.sql.types.StructField("n_shared",
-            org.apache.spark.sql.types.LongType))))
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val idType = stream.schema(idCol).dataType
+    Writer.emptyPartitionedBucketedTable(spark, table,
+      StructType(Seq(
+        StructField("id", idType),
+        StructField("fp", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "fp", 16)
+    // Pairs sink bucketed on id_a — see the dedup twin's rationale.
+    val sink = table + "_pairs"
+    Writer.emptyPartitionedBucketedTable(spark, sink,
+      StructType(Seq(
+        StructField("id_a", idType),
+        StructField("id_b", idType),
+        StructField("n_shared", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "id_a", 8)
+    StreamOps.sinkBatches(spark, stream, queryName, sink) { (b, batchId) =>
+      // Refresh-at-probe + index append as a concurrent side write —
+      // see the dedup twin's comments.
+      spark.catalog.refreshTable(table)
+      val np = StreamOps.Profile.timed(queryName, "band")(
+        postings(b, idCol, textCol, k, w).localCheckpoint(true))
+      val pairs = StreamOps.Profile.timed(queryName, "probe_stage")(
+        probeNewBatchFromPostings(spark, table, np, minShared, maxPostings))
+      (pairs, Seq(table -> np))
     }
-    (pairsOut, nBatches)
   }
 }

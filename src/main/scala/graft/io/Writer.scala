@@ -23,9 +23,13 @@ object Writer {
   def estimatedBytes(df: DataFrame): BigInt =
     df.queryExecution.optimizedPlan.stats.sizeInBytes
 
-  /** Y2: ceil(size / 200MB), floor 1. */
+  /** Y2: ceil(size / 200MB), floor 1. Clamped into Int range: plan
+    * statistics over joins are MULTIPLIED row estimates and can reach
+    * 1e18 bytes, where a bare BigInt.toInt wraps NEGATIVE and
+    * coalesce(n) throws (caught live in the streaming pairs sink). */
   def partitionCount(bytes: BigInt): Int =
-    ((bytes + targetPartitionBytes - 1) / targetPartitionBytes).max(1).toInt
+    ((bytes + targetPartitionBytes - 1) / targetPartitionBytes)
+      .max(1).min(Int.MaxValue).toInt
 
   /** Y3+S6: coalesce to the size-derived partition count, write snappy
     * parquet, overwrite.
@@ -78,6 +82,47 @@ object Writer {
     val cols = schema.fields
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
     spark.sql(s"CREATE TABLE `$table` ($cols) USING PARQUET " +
+      s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS")
+  }
+
+  /** An EMPTY partitioned table with the given schema — catalog DDL
+    * only, no write job (same rationale as [[emptyBucketedTable]]).
+    * `partitionCol` must be the LAST schema field (Spark moves
+    * partition columns to the end of a table's schema; declaring them
+    * there keeps position-based insertInto aligned). The streaming
+    * ingest sinks partition by batch id, so a redelivered batch can
+    * dynamic-partition-overwrite exactly its own directory. */
+  def emptyPartitionedTable(spark: SparkSession, table: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            partitionCol: String): Unit = {
+    require(schema.fields.last.name == partitionCol,
+      s"partition column $partitionCol must be last in the schema")
+    dropTableAndLocation(spark, table)
+    val cols = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"CREATE TABLE `$table` ($cols) USING PARQUET " +
+      s"PARTITIONED BY (`$partitionCol`)")
+  }
+
+  /** An EMPTY table both PARTITIONED (by `partitionCol`, last schema
+    * field) and BUCKETED (on `key`) — the streaming incremental-index
+    * layout: each micro-batch dynamic-partition-overwrites exactly its
+    * own partition (idempotent append with NO existence anti-join —
+    * redelivery replaces the partition), while every partition shares
+    * the bucket spec so probes still run off the stored clustering.
+    * The per-batch partitions are the small-files cost the index
+    * compaction operator exists to reclaim. */
+  def emptyPartitionedBucketedTable(spark: SparkSession, table: String,
+                                    schema: org.apache.spark.sql.types.StructType,
+                                    partitionCol: String,
+                                    key: String, buckets: Int): Unit = {
+    require(schema.fields.last.name == partitionCol,
+      s"partition column $partitionCol must be last in the schema")
+    dropTableAndLocation(spark, table)
+    val cols = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"CREATE TABLE `$table` ($cols) USING PARQUET " +
+      s"PARTITIONED BY (`$partitionCol`) " +
       s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS")
   }
 

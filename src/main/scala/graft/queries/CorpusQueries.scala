@@ -670,16 +670,8 @@ private[graft] object CorpusQueries {
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val idx = "graft_stream_inc_idx_" + digest
-    // Fresh EMPTY index each run — the stream builds it up (append
-    // mutates the table, so unlike the shard files it can never be
-    // reused across runs). Catalog DDL only: a band run over limit(0)
-    // still paid a checkpoint + empty write job per rep.
-    graft.io.Writer.emptyBucketedTable(s, idx,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", docs.schema("doc_id").dataType),
-        org.apache.spark.sql.types.StructField("band_id", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("band_hash", org.apache.spark.sql.types.LongType))),
-      "band_hash", 16)
+    // streamIngest creates its own fresh index + pairs sink (both
+    // catalog DDL, batch-partitioned) under this name each run.
     // The staged shard files are a pure function of the corpus —
     // memoized per (session, dir) like the IVF index, so bench reps
     // pay the streaming ingest, not three corpus rewrites.
@@ -689,8 +681,7 @@ private[graft] object CorpusQueries {
       .parquet(inDir)
     val (acc, nBatches) = DedupIndex.streamIngest(s, idx, stream,
       "doc_id", "text", params, queryName = "stream_inc_dedup_" + digest)
-    val full = Dedup.candidatePairs(docs, "doc_id", "text", params)
-      .pipe(graft.ext.Checkpoints.stage)
+    val full = fullPairsFor(s, dir, docs, params)
     val missing = full.join(acc, Seq("id_a", "id_b"), "left_anti")
       .agg(count(lit(1)).as("__m"))
     val extra = acc.join(full, Seq("id_a", "id_b"), "left_anti")
@@ -731,6 +722,30 @@ private[graft] object CorpusQueries {
     * written once per (session, key): distributed writes, the driver
     * only renames one part file per shard into the source dir. `key`
     * distinguishes corpora (full vs sliced) within one dir. */
+  /** The one-shot candidatePairs truth set for the streaming dedup
+    * gate's equivalence check — a pure function of the corpus, staged
+    * once per (session, dir) like the shard files below (weak-key:
+    * a fresh JVM/session recomputes). What the gate TIMES is the
+    * streamed ingest; the recompute is oracle machinery, and paying
+    * it per bench rep (~2 s) only blurred the ingest signal. The
+    * equivalence compare itself still runs every execution, against
+    * that rep's freshly streamed pair set. */
+  private val fullPairsMemo =
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
+  private def fullPairsFor(s: SparkSession, dir: String, docs: DataFrame,
+                           params: Dedup.MinHashParams): DataFrame =
+    fullPairsMemo.synchronized {
+      val perSession = {
+        val m = fullPairsMemo.get(s)
+        if (m != null) m
+        else { val m2 = new java.util.HashMap[String, DataFrame](); fullPairsMemo.put(s, m2); m2 }
+      }
+      if (!perSession.containsKey(dir))
+        perSession.put(dir, Dedup.candidatePairs(docs, "doc_id", "text", params)
+          .pipe(graft.ext.Checkpoints.stage))
+      perSession.get(dir)
+    }
+
   private val shardMemo =
     new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, String]]()
   private def stagedShardsFor(s: SparkSession, dir: String,
@@ -778,13 +793,8 @@ private[graft] object CorpusQueries {
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val idx = "graft_stream_winnow_idx_" + digest
-    // Fresh EMPTY posting index per run, catalog DDL only (see the
-    // dedup twin above for the rationale).
-    graft.io.Writer.emptyBucketedTable(s, idx,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", docs.schema("doc_id").dataType),
-        org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.LongType))),
-      "fp", 16)
+    // streamIngest creates its own fresh posting index + pairs sink
+    // (catalog DDL, batch-partitioned) under this name each run.
     val inDir = stagedShardsFor(s, dir + "#winnow200", docs)
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1")

@@ -375,8 +375,6 @@ class DedupSpec extends AnyFunSuite {
       Files.move(part.toPath, Paths.get(inDir, s"shard_$i.parquet"))
     }
     val table = "graft_stream_ingest_spec"
-    DedupIndex.buildFromBands(
-      Dedup.bands(corpus.limit(0), "doc_id", "text", params), table)
     val stream = spark.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val (acc, nBatches) = DedupIndex.streamIngest(spark, table, stream,
@@ -391,6 +389,33 @@ class DedupSpec extends AnyFunSuite {
     // (17,101 / 42,102: members split across shards) all surface.
     assert(streamed.contains((3L, 100L)) && streamed.contains((17L, 101L)) &&
       streamed.contains((42L, 102L)), s"planted pairs missing from $streamed")
+  }
+
+  test("sink table: batchId redelivery overwrites its own partition — idempotent by construction") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sink = "graft_sink_redelivery_spec"
+    graft.io.Writer.emptyPartitionedTable(spark, sink,
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType),
+        StructField(StreamOps.BatchTag, LongType))), StreamOps.BatchTag)
+    def rows(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+    StreamOps.writeBatchToSink(spark, sink, rows((1L, 2L), (3L, 4L)), batchId = 0)
+    StreamOps.writeBatchToSink(spark, sink, rows((5L, 6L)), batchId = 1)
+    // REDELIVERY of batch 0 (a restarted stream replays its last
+    // uncommitted batch): dynamic partition overwrite must replace
+    // batch 0's rows — never duplicate them — and leave batch 1 alone.
+    StreamOps.writeBatchToSink(spark, sink, rows((1L, 2L), (3L, 4L)), batchId = 0)
+    val after = spark.table(sink)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == Set((1L, 2L, 0L), (3L, 4L, 0L), (5L, 6L, 1L)),
+      s"redelivered batch must overwrite, not append: $after")
+    // A CHANGED redelivery (source rewrote the shard) fully replaces
+    // the old partition contents.
+    StreamOps.writeBatchToSink(spark, sink, rows((7L, 8L)), batchId = 0)
+    val changed = spark.table(sink)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(changed == Set((7L, 8L, 0L), (5L, 6L, 1L)),
+      s"stale batch-0 rows must not survive a changed redelivery: $changed")
   }
 
   test("winnowing: guarantee, density, degeneration, and hand-checked window mins") {
@@ -535,8 +560,6 @@ class DedupSpec extends AnyFunSuite {
         Files.move(part.toPath, Paths.get(inDir, s"shard_$i.parquet"))
       }
     val table = "graft_stream_winnow_spec"
-    WinnowIndex.buildFromPostings(
-      WinnowIndex.postings(corpus.limit(0), "doc_id", "text", 8, 4), table)
     val stream = spark.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val (acc, nBatches) = WinnowIndex.streamIngest(spark, table, stream,
@@ -560,8 +583,6 @@ class DedupSpec extends AnyFunSuite {
     import java.nio.file.Files
     val emptyDir = Files.createTempDirectory("graft_stream_empty_").toString
     val table = "graft_stream_empty_spec"
-    DedupIndex.buildFromBands(
-      Dedup.bands(corpus.limit(0), "doc_id", "text", params), table)
     val stream = spark.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1").parquet(emptyDir)
     val (pairs, n) = DedupIndex.streamIngest(spark, table, stream,
@@ -573,8 +594,6 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.count() == 0)
     // The winnow twin's empty branch carries n_shared too.
     val wTable = "graft_stream_empty_winnow_spec"
-    WinnowIndex.buildFromPostings(
-      WinnowIndex.postings(corpus.limit(0), "doc_id", "text", 8, 4), wTable)
     val wStream = spark.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1").parquet(emptyDir)
     val (wPairs, wn) = WinnowIndex.streamIngest(spark, wTable, wStream,

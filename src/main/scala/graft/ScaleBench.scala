@@ -439,6 +439,84 @@ object ScaleBench {
       s""""one_shot":{"t":${fmt(tFull)}}}}"""
   }
 
+  /** Index-compaction recovery: the streaming band index after 50
+    * per-shard appends holds 50 batch partitions × up to 16 bucket
+    * files (~800 parquet footers), and every probe pays a footer read
+    * per file before a single row — the same small-files failure the
+    * IVF layout fix measured. DedupIndex.compact merges the history
+    * into ONE partition at one file per bucket; this point times the
+    * SAME probe (same batch, same plan) against both layouts and
+    * `require`s the pair sets identical, so the published delta is
+    * pure layout — file count and probe wall, nothing semantic. */
+  def compactionPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import scala.util.chaining._
+    import graft.ext.DedupIndex
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val n = 5000L * scale
+    val batchN = math.max(100L, n / 100)
+    val shards = 50
+    val pathStr = s"$dir/compaction_x$scale"
+    genDocuments(spark, n + batchN).write.mode("overwrite").parquet(pathStr)
+    val docs = spark.read.parquet(pathStr)
+    val params = Dedup.MinHashParams()
+    val table = s"graft_scale_compact_idx_x$scale"
+    graft.io.Writer.emptyPartitionedBucketedTable(spark, table,
+      StructType(Seq(
+        StructField("id", docs.schema("doc_id").dataType),
+        StructField("band_id", IntegerType),
+        StructField("band_hash", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "band_hash", 16)
+    // Band once, append in 50 id-keyed slices — the post-ingest state
+    // a 50-shard stream leaves behind, without paying 50 probes here.
+    val bands = Dedup.bands(docs.where(col("doc_id") < n), "doc_id", "text", params)
+      .localCheckpoint(true)
+    val (_, tAppend) = timed {
+      (0 until shards).foreach { i =>
+        StreamOps.writeBatchToSink(spark, table,
+          bands.where(pmod(col("id"), lit(shards)) === i), i.toLong)
+      }
+    }
+    spark.catalog.refreshTable(table)
+    def indexFiles(): Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(loc, true)
+      var k = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) k += 1 }
+      k
+    }
+    val newBands = Dedup.bands(docs.where(col("doc_id") >= n), "doc_id", "text", params)
+      .localCheckpoint(true)
+    spark.sqlContext.clearCache()
+    val (probeFrag, tFrag) = timed {
+      DedupIndex.probeNewBatchFromBands(spark, table, newBands, params)
+        .pipe(graft.ext.Checkpoints.stage)
+    }
+    val nFrag = probeFrag.count()
+    val filesFrag = indexFiles()
+    val (_, tCompact) = timed { DedupIndex.compact(spark, table) }
+    val filesCompact = indexFiles()
+    spark.sqlContext.clearCache()
+    val (probeCompact, tComp) = timed {
+      DedupIndex.probeNewBatchFromBands(spark, table, newBands, params)
+        .pipe(graft.ext.Checkpoints.stage)
+    }
+    val nComp = probeCompact.count()
+    require(nFrag == nComp &&
+      probeFrag.join(probeCompact, Seq("id_a", "id_b"), "left_anti").count() == 0,
+      s"probe diverged across compaction: $nFrag vs $nComp")
+    require(filesCompact <= 16 && filesCompact < filesFrag,
+      s"compaction did not shrink the layout: $filesFrag -> $filesCompact")
+    s"""{"compaction":{"scale":$scale,"n_indexed":$n,"shards":$shards,""" +
+      s""""n_new_pairs":$nFrag,"files_before":$filesFrag,"files_after":$filesCompact,""" +
+      s""""append_50":{"t":${fmt(tAppend)}},"compact":{"t":${fmt(tCompact)}},""" +
+      s""""probe_fragmented":{"t":${fmt(tFrag)}},"probe_compacted":{"t":${fmt(tComp)}}}}"""
+  }
+
   /** Compressed parquet column-chunk bytes of `cols` across the given
     * cluster partitions of a saved IVF index — EXACTLY the bytes a
     * column-pruned, partition-pruned probe scan must fetch (the
@@ -751,6 +829,13 @@ object ScaleBench {
       spark.stop()
       return
     }
+    // `compaction-only`: just the index-compaction recovery point.
+    if (args.contains("compaction-only")) {
+      compactionPoint(spark, outBase, 1)
+      scales.foreach(m => println(compactionPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
     // `points-only` (any arg position) skips the corpus scales and
     // runs just the fixed-size points — quick re-measurement.
     val pointsOnly = args.contains("points-only")
@@ -775,6 +860,7 @@ object ScaleBench {
       scales.foreach { m => println(winnowSkewPoint(spark, outBase, m)) }
       scales.foreach { m => println(ivfQuantizedPoint(spark, outBase, m)) }
       scales.foreach { m => println(winnowIncPoint(spark, outBase, m)) }
+      scales.foreach { m => println(compactionPoint(spark, outBase, m)) }
     }
     // Fixed-size points (not per-scale): heavy hitters at 10M items,
     // ~7M distinct — the regime where the census's shuffle is the

@@ -239,6 +239,22 @@ object DedupIndex {
     }
   }
 
+  /** Compact a [[streamIngest]] band index (and its `<table>_pairs`
+    * sink, when present) after many per-shard appends: every batch
+    * partition merges into one compacted partition holding one file
+    * per bucket, so probe scans stop paying a parquet footer per
+    * shard ingested. Quiesce the stream first — see
+    * StreamOps.compactSink for the redelivery and crash contract.
+    * Probe results are unchanged (spec-pinned in DedupSpec; measured
+    * probe recovery in ScaleBench's compaction point). */
+  def compact(spark: SparkSession, table: String): Int = {
+    val merged = graft.streaming.StreamOps.compactSink(spark, table)
+    val sink = table + "_pairs"
+    if (spark.catalog.tableExists(sink))
+      graft.streaming.StreamOps.compactSink(spark, sink)
+    merged
+  }
+
   /** End-to-end incremental near-dup pairs: probe candidates, then
     * exact-Jaccard verification against the UNION corpus (only docs
     * that appear in a candidate pair are shingled — Dedup.verifyPairs'

@@ -184,4 +184,15 @@ object WinnowIndex {
       (pairs, Seq(table -> np))
     }
   }
+
+  /** Compact a [[streamIngest]] posting index (and its pairs sink) —
+    * the winnowing twin of [[DedupIndex.compact]], same quiesce /
+    * redelivery / crash contract (StreamOps.compactSink). */
+  def compact(spark: SparkSession, table: String): Int = {
+    val merged = graft.streaming.StreamOps.compactSink(spark, table)
+    val sink = table + "_pairs"
+    if (spark.catalog.tableExists(sink))
+      graft.streaming.StreamOps.compactSink(spark, sink)
+    merged
+  }
 }

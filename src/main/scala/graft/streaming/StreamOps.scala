@@ -362,6 +362,47 @@ object StreamOps {
     }
   }
 
+  /** Compact a batch-id-partitioned sink/index table: merge every
+    * per-batch partition into ONE compacted partition ([[BatchTag]] =
+    * `mergedId`, a negative id no stream batch can collide with),
+    * written through the same layout-shaping path as the appends — so
+    * a bucketed index lands as one file per bucket and probes recover
+    * their footer-read budget after thousands of small per-shard
+    * partitions (the failure mode IvfIndex measured for its own
+    * layout). Returns the number of partitions merged away (0 = table
+    * already compact).
+    *
+    * Run QUIESCED — between AvailableNow runs or with the stream
+    * stopped: compact only batches the stream's checkpoint has
+    * committed (a committed batch is never redelivered, so collapsing
+    * its partition keeps the redelivery contract; the live batch's
+    * partition must stay its own). The rewrite is not atomic — a
+    * crash between the merged write and the partition drops leaves
+    * rows duplicated across old + merged partitions — but RERUNNING
+    * compact self-heals: the snapshot is distinct()'d ignoring the
+    * tag, so surviving duplicates collapse back to one row (exact row
+    * duplicates cannot otherwise exist: band/posting/pair rows are
+    * unique per doc). The distinct rides the full-rewrite shuffle a
+    * compaction pays anyway. */
+  def compactSink(spark: SparkSession, table: String,
+                  mergedId: Long = -1L): Int = {
+    require(mergedId < 0, s"merged partition id must be negative: $mergedId")
+    spark.catalog.refreshTable(table)
+    // Snapshot BEFORE mutating — the merged write must never read the
+    // table it is overwriting mid-job.
+    val snap = spark.table(table).localCheckpoint(true)
+    val ids = snap.select(col(BatchTag)).distinct().collect()
+      .map(_.getLong(0)).filter(_ != mergedId).sorted
+    if (ids.isEmpty) 0
+    else {
+      writeBatchToSink(spark, table, snap.drop(BatchTag).distinct(), mergedId)
+      ids.foreach(id =>
+        spark.sql(s"ALTER TABLE `$table` DROP PARTITION (`$BatchTag`=$id)"))
+      spark.catalog.refreshTable(table)
+      ids.length
+    }
+  }
+
   /** Bounded probe-then-append ingest loop, sink-table edition: runs
     * the stream through foreachBatch and writes each micro-batch's
     * `perBatch` rows to `sinkTable` (which must exist, partitioned by

@@ -418,6 +418,69 @@ class DedupSpec extends AnyFunSuite {
       s"stale batch-0 rows must not survive a changed redelivery: $changed")
   }
 
+  test("compact: batch partitions merge to one file per bucket, probes unchanged, rerun and crash both safe") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val table = "graft_compact_spec"
+    graft.io.Writer.emptyPartitionedBucketedTable(spark, table,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("band_id", IntegerType),
+        StructField("band_hash", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "band_hash", 16)
+    // Five per-shard appends — the post-ingest layout compaction exists
+    // for: one partition dir per batch, 16 bucket files each.
+    val bands = Dedup.bands(corpus.where(col("doc_id") < 100), "doc_id", "text", params)
+      .localCheckpoint(true)
+    (0 until 5).foreach { i =>
+      StreamOps.writeBatchToSink(spark, table,
+        bands.where(pmod(col("id"), lit(5)) === i), i.toLong)
+    }
+    spark.catalog.refreshTable(table)
+    def tableFiles(): Seq[java.io.File] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(loc))
+    }
+    val newBatch = Dedup.bands(corpus.where(col("doc_id") >= 100), "doc_id", "text", params)
+      .localCheckpoint(true)
+    def probe(): Set[(Long, Long)] =
+      DedupIndex.probeNewBatchFromBands(spark, table, newBatch, params)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filesBefore = tableFiles().size
+    val rowsBefore = spark.table(table).drop(StreamOps.BatchTag)
+      .collect().map(_.toSeq).toSet
+    val pairsBefore = probe()
+    assert(pairsBefore.nonEmpty, "probe against the uncompacted index found nothing")
+    assert(DedupIndex.compact(spark, table) == 5)
+    assert(tableFiles().size <= 16,
+      s"compacted index should hold at most one file per bucket, got ${tableFiles().size}")
+    assert(tableFiles().size < filesBefore, s"no file-count reduction from $filesBefore")
+    assert(spark.table(table).drop(StreamOps.BatchTag)
+      .collect().map(_.toSeq).toSet == rowsBefore, "compaction changed the index rows")
+    assert(probe() == pairsBefore, "compaction changed probe results")
+    // Idempotent when already compact.
+    assert(DedupIndex.compact(spark, table) == 0)
+    // Crash simulation: a compaction that wrote the merged partition
+    // but died before dropping the originals leaves rows duplicated
+    // across merged + batch partitions; a RERUN must collapse them.
+    StreamOps.writeBatchToSink(spark, table,
+      bands.where(pmod(col("id"), lit(5)) === 2), 7L)
+    val withNew = spark.table(table).drop(StreamOps.BatchTag)
+      .collect().map(_.toSeq).toSet
+    StreamOps.writeBatchToSink(spark, table,
+      spark.table(table).drop(StreamOps.BatchTag).localCheckpoint(true),
+      -1L) // merged write, no drops
+    assert(DedupIndex.compact(spark, table) == 1) // heals: merges partition 7
+    assert(spark.table(table).drop(StreamOps.BatchTag)
+      .collect().map(_.toSeq).toSet == withNew,
+      "rerun after simulated crash must dedup the half-compacted state")
+  }
+
   test("winnowing: guarantee, density, degeneration, and hand-checked window mins") {
     // Hand-checked: k=2, w=2 over 'abcd' → k-grams ab,bc,cd; windows
     // (ab,bc),(bc,cd); fingerprints = {min(h(ab),h(bc)), min(h(bc),h(cd))}.

@@ -122,7 +122,7 @@ object IvfIndex {
     * pre-rank divides by |qv| only (zero vectors guard to null and
     * sort last, never NaN-first). */
   /** The int8 pre-rank of [[probeTopKQuantized]], split out LAZY so
-    * its scan shape is plan-pinnable (IvfIndexSpec: ReadSchema carries
+    * its scan shape is plan-pinnable (PlanAuditSpec: ReadSchema carries
     * `qv`, never the float column): quantized cosine over the probed
     * partitions, top-`shortlist` ids. */
   private[graft] def quantizedPreRank(spark: SparkSession, table: String,

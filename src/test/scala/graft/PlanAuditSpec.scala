@@ -204,4 +204,43 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q plans a quadratic join:\n$plan")
     }
   }
+
+  // The quantized-IVF probe's whole claim is a SCAN contract — the
+  // int8 pre-rank reads only the tinyint column, the float re-rank
+  // reaches the embedding column through a pushed id shortlist — so
+  // the two pins live here with the other plan audits (value
+  // equivalence stays in IvfIndexSpec). Shared index for both pins.
+  private lazy val ivfAuditTable: String = {
+    import org.apache.spark.sql.functions._
+    val t = "plan_audit_ivf_idx"
+    val corpus = Tables.embeddings(spark, TestSpark.sf0001)
+      .where(col("vec_id") =!= 0).select(col("vec_id"), col("embedding"))
+    graft.ext.IvfIndex.build(corpus, "vec_id", "embedding", t, k = 8, iters = 2)
+    t
+  }
+  private lazy val ivfAuditQuery: Seq[Float] =
+    Tables.embeddings(spark, TestSpark.sf0001)
+      .where(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0)
+
+  test("quantized IVF pre-rank: scans ONLY qv — never the float embedding column") {
+    val plan = graft.ext.IvfIndex.quantizedPreRank(spark, ivfAuditTable,
+        "vec_id", ivfAuditQuery, nProbe = 2, shortlist = 40)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty && scans.forall(l =>
+      l.contains("qv") && !l.contains("embedding")),
+      s"pre-rank must scan qv only (the 4x byte cut):\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"pre-rank must stay partition-pruned to the probed clusters:\n$plan")
+  }
+
+  test("quantized IVF re-rank: float column reached via pushed In(vec_id) shortlist, partition-pruned") {
+    val plan = graft.ext.IvfIndex.probeTopKQuantized(spark, ivfAuditTable,
+        "vec_id", "embedding", ivfAuditQuery, 10, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(vec_id") &&
+      plan.contains("PartitionFilters"),
+      s"re-rank must push the shortlist id filter into the scan:\n$plan")
+  }
 }

@@ -517,6 +517,110 @@ object ScaleBench {
       s""""probe_fragmented":{"t":${fmt(tFrag)}},"probe_compacted":{"t":${fmt(tComp)}}}}"""
   }
 
+  /** The streaming ingest path at REAL shard counts: the sf0.1 gates
+    * run 3 micro-batches; this point drives DedupIndex.streamIngest
+    * through 50 one-file batches (Structured Streaming, AvailableNow,
+    * maxFilesPerTrigger=1) over a 10×-scale corpus and publishes the
+    * per-batch wall curve — the marginal cost of shard k as the index
+    * behind it grows, which must stay ~flat for the unbounded-ingest
+    * story to hold (the index append is one partition regardless of
+    * history; the probe is cut to touched buckets; the footer tax of
+    * accumulated small partitions is the term that would bend it, and
+    * compact() is the documented reclaim).
+    *
+    * Equivalence is asserted AT CHECKPOINTS, not just at the end: the
+    * sink and index are batch-id partitioned, so `pairs where tag ≤ k`
+    * against a one-shot candidatePairs over exactly the docs indexed
+    * in batches ≤ k replays the accumulated state after batch k —
+    * three prefix `require`s (k = 9, 24, 49) plus the full-run one. */
+  def streamIngestPoint(spark: SparkSession, dir: String, scale: Int,
+                        shards: Int = 50): String = {
+    import scala.util.chaining._
+    import graft.ext.{Checkpoints, Dedup, DedupIndex}
+    import graft.streaming.StreamOps
+    val n = 5000L * scale
+    val pathStr = s"$dir/stream_ingest_x$scale"
+    genDocuments(spark, n).write.mode("overwrite").parquet(pathStr)
+    val docs = spark.read.parquet(pathStr)
+    // Stage one parquet file per shard — the file-per-trigger source.
+    val inDir = {
+      import java.nio.file.{Files, Paths}
+      val base = Files.createTempDirectory(s"graft_scale_stream_x$scale").toString
+      val in = s"$base/in"
+      Files.createDirectories(Paths.get(in))
+      (0 until shards).foreach { i =>
+        val w = s"$base/w$i"
+        docs.where(pmod(col("doc_id"), lit(shards)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(w)
+        val part = new java.io.File(w).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file under $w"))
+        Files.move(part.toPath, Paths.get(in, f"shard_$i%03d.parquet"))
+      }
+      in
+    }
+    val params = Dedup.MinHashParams()
+    val table = s"graft_scale_stream_idx_x$scale"
+    val batchWalls = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0)
+          Option(e.progress.durationMs.get("triggerExecution"))
+            .foreach(ms => batchWalls.add(ms.toDouble / 1e3))
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val (accT, tIngest) = try timed {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      DedupIndex.streamIngest(spark, table, stream, "doc_id", "text", params,
+        queryName = s"graft_scale_stream_x$scale")
+    } finally {
+      // The listener bus is async; give it a beat before detaching.
+      Thread.sleep(500)
+      spark.streams.removeListener(listener)
+    }
+    val (acc, nBatches) = accT
+    require(nBatches == shards, s"expected $shards micro-batches, got $nBatches")
+    val accPairs = acc.pipe(Checkpoints.stage)
+    // Prefix equivalence at checkpoints: accumulated(≤k) ≡ one-shot
+    // over exactly the docs the index holds for batches ≤ k.
+    val checkpoints = Seq(shards / 5 - 1, shards / 2 - 1, shards - 1)
+    checkpoints.foreach { k =>
+      val prefixIds = spark.table(table)
+        .where(col(StreamOps.BatchTag) <= k)
+        .select(col("id").as("doc_id")).distinct()
+      val prefixDocs = docs.join(prefixIds, Seq("doc_id"), "left_semi")
+      val oneShot = Dedup.candidatePairs(prefixDocs, "doc_id", "text", params)
+        .pipe(Checkpoints.stage)
+      val accK = spark.table(table + "_pairs")
+        .where(col(StreamOps.BatchTag) <= k)
+        .select(col("id_a"), col("id_b")).pipe(Checkpoints.stage)
+      val nOne = oneShot.count()
+      val nAcc = accK.count()
+      require(nAcc == nOne &&
+        oneShot.join(accK, Seq("id_a", "id_b"), "left_anti").count() == 0,
+        s"prefix ≤$k diverged from one-shot: $nAcc vs $nOne")
+    }
+    val walls = {
+      import scala.jdk.CollectionConverters._
+      batchWalls.asScala.toVector
+    }
+    require(walls.size >= shards, s"listener captured ${walls.size} < $shards batches")
+    def avg(xs: Seq[Double]) = if (xs.isEmpty) 0.0 else xs.sum / xs.size
+    val sorted = walls.sorted
+    val firstTen = avg(walls.take(10))
+    val lastTen = avg(walls.takeRight(10))
+    s"""{"stream_ingest":{"scale":$scale,"n_docs":$n,"batches":$nBatches,""" +
+      s""""n_pairs":${accPairs.count()},"ingest_wall":{"t":${fmt(tIngest)}},""" +
+      s""""batch_wall":{"median":${fmt(sorted(sorted.size / 2))},""" +
+      s""""p90":${fmt(sorted((sorted.size * 9) / 10))},"max":${fmt(sorted.last)},""" +
+      s""""first10_avg":${fmt(firstTen)},"last10_avg":${fmt(lastTen)},""" +
+      s""""slope_last_over_first":${fmt(lastTen / math.max(firstTen, 1e-9))}}}}"""
+  }
+
   /** Compressed parquet column-chunk bytes of `cols` across the given
     * cluster partitions of a saved IVF index — EXACTLY the bytes a
     * column-pruned, partition-pruned probe scan must fetch (the
@@ -836,6 +940,14 @@ object ScaleBench {
       spark.stop()
       return
     }
+    // `stream-ingest-only`: just the 50-micro-batch ingest point
+    // (fixed 10× scale — the batch COUNT is the axis, not the corpus).
+    if (args.contains("stream-ingest-only")) {
+      streamIngestPoint(spark, outBase, 1, shards = 10) // warmup, untimed
+      println(streamIngestPoint(spark, outBase, 10))
+      spark.stop()
+      return
+    }
     // `points-only` (any arg position) skips the corpus scales and
     // runs just the fixed-size points — quick re-measurement.
     val pointsOnly = args.contains("points-only")
@@ -873,6 +985,7 @@ object ScaleBench {
     prefixSumPoint(spark, 100000L)
     println(heavyHittersPoint(spark, 10000000L))
     println(prefixSumPoint(spark, 20000000L))
+    println(streamIngestPoint(spark, outBase, 10))
     spark.stop()
   }
 }

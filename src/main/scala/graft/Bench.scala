@@ -174,7 +174,8 @@ object Bench {
     // rest of x_* is the extension surface.
     def family(name: String): String =
       if (name.endsWith("_gate") ||
-          name == "x_stream_incremental_dedup" || name == "x_stream_winnow") "gate"
+          name == "x_stream_incremental_dedup" || name == "x_stream_winnow" ||
+          name == "x_stream_embed_ingest") "gate"
       else if (name.contains("stream")) "streaming"
       else if (name.startsWith("q_") || name == "pipeline_gap_report") "parity"
       else "extension"

@@ -1,5 +1,7 @@
 package graft.ext
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -140,6 +142,138 @@ object IvfIndex {
           .as("qscore"))
       .orderBy(col("qscore").desc_nulls_last, col(idCol))
       .limit(shortlist)
+  }
+
+  /** Same-cell cosine pairs TOUCHING a new batch of vectors — the
+    * vector-family incremental probe ([[DedupIndex.probeNewBatch]] /
+    * [[WinnowIndex.probeNewBatchFromPostings]] shape applied to the
+    * IVF cells): `assigned` is the batch WITH its `cluster_id` column
+    * (one [[Similarity.ivfAssign]] pass — per-row argmax, no shuffle),
+    * and the index side is cut to the batch's touched cells BEFORE any
+    * pair work — the semi-join is the probe's only contact with the
+    * corpus index, so probe cost is O(touched cells), never a corpus
+    * re-read. Pair generation is keyed on `cluster_id` (Σ cell², the
+    * [[Similarity.cosinePairsWithin]] cost shape — never n²), with
+    * per-vector norms precomputed per SIDE so the cosine is the
+    * identical IEEE expression dot/(nrm·nrm) cosinePairsWithin
+    * evaluates — dot and the norm product both commute bit-exactly, so
+    * probe scores equal the one-shot's whichever side a pair's members
+    * enter from.
+    *
+    * Equivalence contract (pinned by IvfIndexSpec and the
+    * x_stream_embed_ingest gate): with centroids FIXED, a pair (a, b)
+    * lands in the same cell iff cell assignment says so regardless of
+    * arrival order, so probe pairs over a sequence of batches
+    * accumulate to EXACTLY `cosinePairsWithin(assigned corpus,
+    * "cluster_id")` — each pair emitted once, by the batch its
+    * later-arriving member lands in (new-new pairs enter the join from
+    * both directions with bit-identical scores; the groupBy collapses
+    * them). */
+  def probeNewBatch(spark: SparkSession, table: String, assigned: DataFrame,
+                    idCol: String, vecCol: String, threshold: Double,
+                    stager: DataFrame => DataFrame = Checkpoints.stage): DataFrame = {
+    val touched = assigned.select(col("cluster_id")).distinct()
+    // Explicit projection: the streaming index layout adds a batch-id
+    // partition column the union must not see.
+    val idxTouched = spark.table(table)
+      .select(col(idCol), col(vecCol), col("cluster_id"))
+      .join(touched, Seq("cluster_id"), "left_semi")
+    val union = idxTouched
+      .unionByName(assigned.select(col(idCol), col(vecCol), col("cluster_id")))
+      .pipe(stager)
+    val newSide = assigned.select(col("cluster_id"), col(idCol).as("__id_n"),
+      col(vecCol).as("__v_n"), Similarity.normIn(spark)(col(vecCol)).as("__nrm_n"))
+    val allSide = union.select(col("cluster_id"), col(idCol).as("__id_o"),
+      col(vecCol).as("__v_o"), Similarity.normIn(spark)(col(vecCol)).as("__nrm_o"))
+    newSide.join(allSide, Seq("cluster_id"))
+      .where(col("__id_n") =!= col("__id_o"))
+      .withColumn("cos_sim",
+        Similarity.dotIn(spark)(col("__v_n"), col("__v_o")) /
+          (col("__nrm_n") * col("__nrm_o")))
+      .where(col("cos_sim") >= threshold)
+      .select(least(col("__id_n"), col("__id_o")).as("id_a"),
+        greatest(col("__id_n"), col("__id_o")).as("id_b"), col("cos_sim"))
+      // A new-new pair enters from both join directions with the same
+      // bit-exact score; max() collapses the duplicate.
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cos_sim")).as("cos_sim"))
+  }
+
+  /** Streaming vector ingest with near-dup screening — the vector twin
+    * of [[DedupIndex.streamIngest]] / [[WinnowIndex.streamIngest]]
+    * (same batch-id-partitioned bucketed index created fresh here,
+    * same partition-overwrite idempotent append, same
+    * `<table>_pairs` sink, same one-batch-per-id contract): centroids
+    * are FIXED up front (a seed corpus's [[Similarity.ivfTrain]] in
+    * production; any fixed set preserves the contract), and each
+    * micro-batch is cell-assigned ONCE (per-row argmax over broadcast
+    * centroid literals — no shuffle, no join), probes the persisted
+    * index for same-cell cosine pairs at `threshold` touching it, then
+    * appends its rows for later batches to probe against. The
+    * accumulated pair set equals the one-shot cell-blocked
+    * [[Similarity.cosinePairsWithin]] over everything ingested
+    * ([[probeNewBatch]]'s contract), and the index rows double as a
+    * servable ANN index: the centroids side table is persisted too, so
+    * [[probeTopK]] runs against `table` directly — ingest screening
+    * and query serving share one growing structure.
+    *
+    * Layout note: unlike [[build]]'s cluster-partitioned layout, the
+    * streaming index is PARTITIONED by batch id (idempotent appends)
+    * and BUCKETED on `cluster_id`, so a [[probeTopK]] scan prunes
+    * buckets rather than partition directories until [[compact]]
+    * collapses the per-batch partitions; the batch [[build]] remains
+    * the scan-optimal layout for a frozen corpus. */
+  def streamIngest(spark: SparkSession, table: String, stream: DataFrame,
+                   idCol: String, vecCol: String, centroids: Seq[Seq[Float]],
+                   threshold: Double = 0.9,
+                   queryName: String = "graft_stream_ivf"): (DataFrame, Int) = {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+    val idType = stream.schema(idCol).dataType
+    val vecType = stream.schema(vecCol).dataType
+    Writer.dropTableAndLocation(spark, centroidsTable(table))
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cluster_id", "centroid")
+      .write.format("parquet").saveAsTable(centroidsTable(table))
+    Writer.emptyPartitionedBucketedTable(spark, table,
+      StructType(Seq(
+        StructField(idCol, idType),
+        StructField(vecCol, vecType),
+        StructField("cluster_id", IntegerType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "cluster_id", 16)
+    val sink = table + "_pairs"
+    Writer.emptyPartitionedBucketedTable(spark, sink,
+      StructType(Seq(
+        StructField("id_a", idType),
+        StructField("id_b", idType),
+        StructField("cos_sim", DoubleType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "id_a", 8)
+    StreamOps.sinkBatches(spark, stream, queryName, sink) { (b, batchId) =>
+      // Refresh-at-probe + index append as a concurrent side write —
+      // see the dedup twin's comments.
+      spark.catalog.refreshTable(table)
+      val assigned = StreamOps.Profile.timed(queryName, "assign")(
+        Similarity.ivfAssign(b, idCol, vecCol, centroids)
+          .select(col(idCol), col(vecCol), col("cluster_id"))
+          .localCheckpoint(true))
+      val pairs = StreamOps.Profile.timed(queryName, "probe_stage")(
+        probeNewBatch(spark, table, assigned, idCol, vecCol, threshold))
+      (pairs, Seq(table -> assigned))
+    }
+  }
+
+  /** Compact a [[streamIngest]] vector index (and its pairs sink) —
+    * same quiesce / redelivery / crash contract as the dedup and
+    * winnow twins (StreamOps.compactSink). */
+  def compact(spark: SparkSession, table: String): Int = {
+    val merged = graft.streaming.StreamOps.compactSink(spark, table)
+    val sink = table + "_pairs"
+    if (spark.catalog.tableExists(sink))
+      graft.streaming.StreamOps.compactSink(spark, sink)
+    merged
   }
 
   def probeTopKQuantized(spark: SparkSession, table: String, idCol: String,

@@ -748,8 +748,9 @@ private[graft] object CorpusQueries {
 
   private val shardMemo =
     new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, String]]()
-  private def stagedShardsFor(s: SparkSession, dir: String,
-                              docs: DataFrame): String =
+  private[graft] def stagedShardsFor(s: SparkSession, dir: String,
+                                     docs: DataFrame,
+                                     idCol: String = "doc_id"): String =
     shardMemo.synchronized {
       import java.nio.file.{Files, Paths}
       val perSession = {
@@ -763,7 +764,7 @@ private[graft] object CorpusQueries {
         Files.createDirectories(Paths.get(inDir))
         (0 until 3).foreach { i =>
           val w = s"$base/w$i"
-          docs.where(pmod(col("doc_id"), lit(3)) === i)
+          docs.where(pmod(col(idCol), lit(3)) === i)
             .coalesce(1).write.mode("overwrite").parquet(w)
           val part = new java.io.File(w).listFiles()
             .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))

@@ -45,6 +45,7 @@ private[graft] object VectorQueries {
     "x_embed_neardup" -> ((s, dir) => embedNearDup(s, dir)),
     "x_embed_dedup" -> ((s, dir) => embedDedup(s, dir)),
     "x_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
+    "x_stream_embed_ingest" -> ((s, dir) => streamEmbedIngest(s, dir)),
     "x_approx_sim_join" -> ((s, dir) => approxSimJoin(s, dir)),
     "x_kernel_equiv" -> ((s, dir) => kernelEquiv(s, dir)),
     "x_ann_recall" -> ((s, dir) => annRecall(s, dir)),
@@ -207,6 +208,76 @@ private[graft] object VectorQueries {
       .select(col("n_vecs"), col("n_true_pairs"), col("n_identical_pairs"),
         (col("__viol") === 0).cast("long").as("subset_ok"),
         (col("__conf") >= col("n_identical_pairs")).cast("long").as("ge_identical_ok"))
+  }
+
+  /** x_stream_embed_ingest: STREAMING vector ingest with near-dup
+    * screening (IvfIndex.streamIngest) — the embeddings corpus arrives
+    * as THREE id-keyed micro-batches against an initially-empty
+    * cell-blocked vector index, centroids fixed up front (first-k
+    * seed; a production ingest plugs Lloyd-trained ones into the same
+    * shape). Each batch is cell-assigned once, probes the persisted
+    * index for same-cell cosine pairs at 0.9 touching it, then appends
+    * its vectors for later batches to probe against. Gate bits over
+    * the real run: same_as_oneshot_ok — the accumulated pair set AND
+    * its cosine values equal the one-shot cell-blocked
+    * cosinePairsWithin over the whole corpus with the same centroids
+    * (both-direction anti-joins + a null-safe value compare, hard 0 —
+    * IvfIndex.probeNewBatch's contract); subset_ok vs the brute-force
+    * truth (cell blocking only ever misses; same IEEE cosine);
+    * ge_identical_ok because byte-identical vectors share the argmax
+    * cell and have cosine 1. n_vecs / n_true_pairs /
+    * n_identical_pairs are value-replayed by the DuckDB twin. The
+    * 3-batch shape is `require`d so a staging failure fails loudly. */
+  private def streamEmbedIngest(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val idx = "graft_stream_ivf_" + digest
+    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+    val inDir = CorpusQueries.stagedShardsFor(s, dir + "#embed", e, "vec_id")
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val (acc0, nBatches) = IvfIndex.streamIngest(s, idx, stream,
+      "vec_id", "embedding", cents, threshold = 0.9,
+      queryName = "stream_ivf_" + digest)
+    require(nBatches == 3, s"expected 3 micro-batches, got $nBatches")
+    val acc = acc0.pipe(graft.ext.Checkpoints.stage)
+    val oneShot = Similarity.cosinePairsWithin(
+        Similarity.ivfAssign(e, "vec_id", "embedding", cents),
+        "vec_id", "embedding", "cluster_id", 0.9, maxBlockSize = Int.MaxValue)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .pipe(graft.ext.Checkpoints.stage)
+    val missing = oneShot.join(acc, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__missing"))
+    val extra = acc.join(oneShot, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__extra"))
+    val valDiff = acc.join(
+        oneShot.select(col("id_a"), col("id_b"), col("cos_sim").as("__cs1")),
+        Seq("id_a", "id_b"))
+      .agg(coalesce(sum((!(col("cos_sim") <=> col("__cs1"))).cast("long")), lit(0L))
+        .as("__vdiff"))
+    val truth = Similarity.bruteForcePairs(e, "vec_id", "embedding", 0.9)
+      .select(col("id_a"), col("id_b"))
+      .pipe(graft.ext.Checkpoints.stage)
+    val nIdent = Tables.embeddings(s, dir)
+      .groupBy(col("embedding")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(expr("__c * (__c - 1) DIV 2")), lit(0L))
+        .as("n_identical_pairs"))
+    val viol = acc.join(truth, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__viol"))
+    val nAcc = acc.agg(count(lit(1)).as("__n_acc"))
+    e.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
+      .crossJoin(nIdent).crossJoin(nAcc)
+      .crossJoin(missing).crossJoin(extra).crossJoin(valDiff).crossJoin(viol)
+      .select(col("n_vecs"), col("n_true_pairs"), col("n_identical_pairs"),
+        (col("__missing") === 0 && col("__extra") === 0 && col("__vdiff") === 0)
+          .cast("long").as("same_as_oneshot_ok"),
+        (col("__viol") === 0).cast("long").as("subset_ok"),
+        (col("__n_acc") >= col("n_identical_pairs")).cast("long").as("ge_identical_ok"))
   }
 
   /** Count of rows where a codegen'd kernel disagrees with its
@@ -507,6 +578,17 @@ private[graft] object VectorQueries {
         | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p WHERE cos_sim >= 0.9) AS n_true_pairs,
         |  (SELECT n FROM ident) AS n_identical_pairs,
         |  CAST(1 AS BIGINT) AS le_true_ok, CAST(1 AS BIGINT) AS ge_identical_ok""".stripMargin.replaceAll("\n", " ")),
+    // Streaming vector ingest: corpus census + brute-force truth
+    // value-replayed (identical fold-order cosine); the streamed ≡
+    // one-shot equivalence, subset, and identical-floor bits derive
+    // from the real run in-engine.
+    "x_stream_embed_ingest" ->
+      (s"""WITH $cosPairsCte
+        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p WHERE cos_sim >= 0.9) AS n_true_pairs,
+        |  (SELECT n FROM ident) AS n_identical_pairs,
+        |  CAST(1 AS BIGINT) AS same_as_oneshot_ok,
+        |  CAST(1 AS BIGINT) AS subset_ok, CAST(1 AS BIGINT) AS ge_identical_ok""".stripMargin.replaceAll("\n", " ")),
     // Kernel ≡ higher-order-function: the Spark side counts
     // disagreements across all five kernels; the contract is exactly
     // zero, so the oracle is the constant 0.

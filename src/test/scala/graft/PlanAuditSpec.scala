@@ -172,6 +172,51 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("IvfIndex.probeNewBatch: left_semi cell restriction, cluster-keyed pair join, no hints") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    import graft.streaming.StreamOps
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.ext.Similarity.ivfCentroids(e, "vec_id", "embedding", 8)
+    val table = "graft_plan_audit_ivf_stream_idx"
+    graft.io.Writer.emptyPartitionedBucketedTable(spark, table,
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", e.schema("embedding").dataType),
+        StructField("cluster_id", IntegerType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "cluster_id", 16)
+    try {
+      val assignedAll = graft.ext.Similarity
+        .ivfAssign(e, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("embedding"), col("cluster_id"))
+      StreamOps.writeBatchToSink(spark, table,
+        assignedAll.where(pmod(col("vec_id"), lit(5)) =!= 4), 0L)
+      // identity stager: the pin needs the UNSTAGED logical plan (same
+      // rationale as the dedup/winnow probe pins above).
+      val probe = graft.ext.IvfIndex.probeNewBatch(spark, table,
+        assignedAll.where(pmod(col("vec_id"), lit(5)) === 4),
+        "vec_id", "embedding", 0.9, stager = identity)
+      val opt = probe.queryExecution.optimizedPlan
+      // 1) The index contact is a left_semi cut to the batch's cells.
+      val semis = opt.collect { case j: Join if j.joinType == LeftSemi => j }
+      assert(semis.nonEmpty, s"no left_semi cell restriction in:\n$opt")
+      // 2) The pair join stays keyed on cluster_id — never
+      //    cartesian/nested-loop (Σ cell², not n²).
+      val phys = probe.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoop"),
+        s"pair join must stay cell-keyed:\n$phys")
+      // 3) No broadcast hints — AQE picks the strategy at runtime.
+      opt.collect { case j: Join => j.hint }.foreach { h =>
+        assert(h.leftHint.isEmpty && h.rightHint.isEmpty,
+          s"probeNewBatch must not carry join hints:\n$opt")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$table`")
+  }
+
   test("winnowPairs: fp-keyed equi-join, posting cap filtered below the pair join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val docs = Tables.documents(spark, TestSpark.sf0001)

@@ -53,7 +53,8 @@ class SparkEntrySpec extends AnyFunSuite {
       // Same 1-row report assembly as x_minhash_neardup, plus the
       // equivalence-bit counters (missing/extra anti-join counts).
       "x_incremental_dedup", "x_incremental_dedup_gate",
-      "x_stream_incremental_dedup", "x_ivf_quantized", "x_embed_dedup")
+      "x_stream_incremental_dedup", "x_ivf_quantized", "x_embed_dedup",
+      "x_stream_embed_ingest")
     val allowDayGrain = Set("x_rolling_stats", "x_gap_fill")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, TestSpark.sf0001)

@@ -79,4 +79,76 @@ class IvfIndexSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS ${IvfIndex.centroidsTable(t)}")
     }
   }
+
+  test("streamIngest: micro-batched shards accumulate the cell-blocked pair set; index serves probeTopK; compact preserves both") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.StreamOps
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 8)
+    // Two single-file shards by vec_id parity: cross-shard pairs force
+    // the second batch to probe vectors the FIRST batch appended.
+    val base = Files.createTempDirectory("graft_ivf_stream_spec_").toString
+    val inDir = s"$base/in"
+    Files.createDirectories(Paths.get(inDir))
+    Seq(e.where(pmod(col("vec_id"), lit(2)) === 0),
+        e.where(pmod(col("vec_id"), lit(2)) === 1))
+      .zipWithIndex.foreach { case (df, i) =>
+        val w = s"$base/w$i"
+        df.coalesce(1).write.mode("overwrite").parquet(w)
+        val part = new java.io.File(w).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .get
+        Files.move(part.toPath, Paths.get(inDir, s"shard_$i.parquet"))
+      }
+    val t = "graft_ivf_stream_spec"
+    val stream = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val (acc, nBatches) = IvfIndex.streamIngest(spark, t, stream,
+      "vec_id", "embedding", cents, threshold = 0.35,
+      queryName = "ivf_stream_spec")
+    try {
+      assert(nBatches == 2, s"expected 2 micro-batches, got $nBatches")
+      val streamed = acc.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // VALUE-exact equivalence (ids AND scores) with the one-shot
+      // cell-blocked pairs under the same fixed centroids — the
+      // probeNewBatch contract.
+      val oneShot = Similarity.cosinePairsWithin(
+          Similarity.ivfAssign(e, "vec_id", "embedding", cents),
+          "vec_id", "embedding", "cluster_id", 0.35, maxBlockSize = Int.MaxValue)
+        .select(col("id_a"), col("id_b"), col("cos_sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed.nonEmpty, "fixture produced no pairs — lower the threshold")
+      assert(streamed == oneShot,
+        s"streamed accumulation diverged: extra=${streamed -- oneShot} missing=${oneShot -- streamed}")
+      // Cross-shard coverage: at least one pair spans the two parity
+      // shards (its members' parities differ), so the second batch
+      // provably probed the first batch's appended vectors.
+      assert(streamed.exists { case (a, b, _) => a % 2 != b % 2 },
+        "no cross-shard pair — the probe-then-append path went unexercised")
+      // The ingested index doubles as a servable ANN index: probeTopK
+      // against it is identical to on-the-fly ivfTopK with the same
+      // centroids over the same corpus.
+      val q = e.where(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      def served() = IvfIndex.probeTopK(spark, t, "vec_id", "embedding", q, 10, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val direct = Similarity.ivfTopK(e, "vec_id", "embedding", q, 10, cents, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served() == direct,
+        "streamed-index probe diverges from on-the-fly ivfTopK")
+      // Compaction merges the per-batch partitions; pair sink contents
+      // and probe results are unchanged.
+      val merged = IvfIndex.compact(spark, t)
+      assert(merged == 2, s"expected 2 batch partitions merged, got $merged")
+      val afterPairs = spark.table(t + "_pairs").drop(StreamOps.BatchTag)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(afterPairs == streamed, "compact changed the pair sink contents")
+      assert(served() == direct, "compact changed probeTopK results")
+    } finally {
+      Seq(t, t + "_pairs", IvfIndex.centroidsTable(t))
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    }
+  }
 }

@@ -99,12 +99,15 @@ object Bench {
     val parsed = floorText.map(BenchFloor.parse).getOrElse(Map.empty)
     val fileSf = floorText.flatMap(BenchFloor.parseSf)
     val sfMatches = fileSf.forall(_ == sfDir)
-    val readOk = floorText.forall(_ => parsed.nonEmpty)
+    // "Readable" ≠ "has entries": an empty-but-valid floor file ({} or
+    // sf-stamp-only) must stay writable or the ratchet wedges forever
+    // (BenchFloor.readable; the IO-failure path reaches here as "").
+    val readOk = floorText.forall(BenchFloor.readable)
     if (!sfMatches)
       System.err.println(s"[bench] $floorPath is for sf ${fileSf.get}, this run " +
         s"is $sfDir — floors ignored and file left untouched")
     if (!readOk)
-      System.err.println(s"[bench] existing $floorPath unreadable/empty — " +
+      System.err.println(s"[bench] existing $floorPath unreadable — " +
         "floors ignored and file left untouched (NOT rewritten from empty)")
     val writeAllowed = sfMatches && readOk
     val floorRaw: Map[String, Double] =

@@ -84,13 +84,24 @@ object BenchFloor {
     }
 
   /** Render the floor file body (stable order, trailing-comma-free —
-    * must round-trip through [[parse]]/[[parseSf]]). `sf` stamps the
-    * scale-factor line first. */
+    * must round-trip through [[parse]]/[[parseSf]] AND stay strict
+    * JSON). `sf` stamps the scale-factor line first. Commas are
+    * computed over the CONCATENATED line list: an sf stamp with zero
+    * entries (a filtered run whose regex matched nothing) must not
+    * leave a dangling comma. */
   def render(entries: Seq[(String, Double)], sf: Option[String] = None): String = {
-    val sfLine = sf.map(v => s"""  "$SfKey": "$v",""").toSeq
-    val body = (sfLine ++ entries.zipWithIndex.map { case ((k, v), i) =>
-      s"""  "$k": ${f"$v%.4f"}${if (i < entries.size - 1) "," else ""}"""
-    }).mkString("\n")
-    s"{\n$body\n}\n"
+    val lines = sf.map(v => s"""  "$SfKey": "$v"""").toSeq ++
+      entries.map { case (k, v) => s"""  "$k": ${f"$v%.4f"}""" }
+    s"{\n${lines.mkString(",\n")}\n}\n"
   }
+
+  /** Whether floor-file TEXT counts as a readable floor file (vs an IO
+    * or parse failure): any text that is recognizably a floor file —
+    * numeric entries, an sf stamp, or just an empty JSON object —
+    * reads fine even when it yields ZERO floors. Conflating "empty but
+    * valid" with "unreadable" wedges the ratchet permanently: Bench
+    * refuses to overwrite an unreadable file, so a legitimately empty
+    * one would never be written again. */
+  def readable(text: String): Boolean =
+    parse(text).nonEmpty || parseSf(text).isDefined || text.trim.startsWith("{")
 }

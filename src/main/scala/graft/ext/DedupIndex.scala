@@ -114,11 +114,23 @@ object DedupIndex {
 
   /** [[probeNewBatch]] from a PRECOMPUTED band table of the batch
     * (materialized unless `stager` is identity — it feeds the touched
-    * projection, the union, and the new join side). */
+    * projection, the union, and the new join side).
+    *
+    * `excludeBatch`: on the STREAMING (batch-id-partitioned) index
+    * layout, the in-flight batch's OWN partition is excluded from the
+    * index read — a crashed prior attempt can land the index append
+    * without the sink write (the two inserts run concurrently in
+    * writeBatchSinks), and on redelivery the probe would then see the
+    * batch's rows on BOTH sides of the union: an inflated bucket
+    * census that can push real buckets over `maxBucketSize` and
+    * silently drop pairs. The exclusion is a partition filter
+    * (pruning, not a scan), and a fresh run — where the partition
+    * doesn't exist — reads exactly what it read before. */
   def probeNewBatchFromBands(spark: SparkSession, table: String,
                              newBands: DataFrame,
                              params: Dedup.MinHashParams = Dedup.MinHashParams(),
-                             stager: DataFrame => DataFrame = Checkpoints.stage): DataFrame = {
+                             stager: DataFrame => DataFrame = Checkpoints.stage,
+                             excludeBatch: Option[Long] = None): DataFrame = {
     // Buckets untouched by the batch cannot yield a new-touching pair:
     // cut the index to touched buckets BEFORE sizing — the semi-join
     // is the probe's only contact with the corpus index. NO broadcast
@@ -132,7 +144,9 @@ object DedupIndex {
     // a batch-id partition column the union must not see; on the
     // unpartitioned batch layout this is an identity projection the
     // optimizer collapses (the PlanAuditSpec pins are unchanged).
-    val idxTouched = spark.table(table)
+    val idxRead = excludeBatch.foldLeft(spark.table(table))((df, b) =>
+      df.where(col(graft.streaming.StreamOps.BatchTag) =!= lit(b)))
+    val idxTouched = idxRead
       .select(col("id"), col("band_id"), col("band_hash"))
       .join(touched, Seq("band_id", "band_hash"), "left_semi")
     // Bucket counts over old ∪ new — the SAME cap decision the batch
@@ -230,7 +244,8 @@ object DedupIndex {
       val nb = StreamOps.Profile.timed(queryName, "band")(
         Dedup.bands(b, idCol, textCol, params).localCheckpoint(true))
       val pairs = StreamOps.Profile.timed(queryName, "probe_stage")(
-        probeNewBatchFromBands(spark, table, nb, params))
+        probeNewBatchFromBands(spark, table, nb, params,
+          excludeBatch = Some(batchId)))
       // The index append rides as a side write: its rows (nb) and the
       // pairs plan share no live table (the probe's union checkpoint
       // above already materialized the index contact), so both inserts

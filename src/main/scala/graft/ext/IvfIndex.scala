@@ -168,22 +168,53 @@ object IvfIndex {
     * "cluster_id")` — each pair emitted once, by the batch its
     * later-arriving member lands in (new-new pairs enter the join from
     * both directions with bit-identical scores; the groupBy collapses
-    * them). */
+    * them). `maxCellSize` mirrors cosinePairsWithin's `maxBlockSize`
+    * (same 10k default, so the contract holds cap-for-cap below it —
+    * see the inline caveat on incremental cap decisions). */
   def probeNewBatch(spark: SparkSession, table: String, assigned: DataFrame,
                     idCol: String, vecCol: String, threshold: Double,
-                    stager: DataFrame => DataFrame = Checkpoints.stage): DataFrame = {
+                    stager: DataFrame => DataFrame = Checkpoints.stage,
+                    excludeBatch: Option[Long] = None,
+                    maxCellSize: Int = 10000): DataFrame = {
     val touched = assigned.select(col("cluster_id")).distinct()
+    // `excludeBatch`: on the streaming layout, cut the in-flight
+    // batch's OWN partition out of the index read — a crashed attempt
+    // can land the index append without the sink write, and on
+    // redelivery the probe would see the batch's vectors on both
+    // union sides (inflated cell census, duplicate same-score pairs).
+    // Partition-pruned; a fresh run reads exactly what it read before.
+    // Same contract as DedupIndex.probeNewBatchFromBands.
+    val idxRead = excludeBatch.foldLeft(spark.table(table))((df, b) =>
+      df.where(col(graft.streaming.StreamOps.BatchTag) =!= lit(b)))
     // Explicit projection: the streaming index layout adds a batch-id
     // partition column the union must not see.
-    val idxTouched = spark.table(table)
+    val idxTouched = idxRead
       .select(col(idCol), col(vecCol), col("cluster_id"))
       .join(touched, Seq("cluster_id"), "left_semi")
     val union = idxTouched
       .unionByName(assigned.select(col(idCol), col(vecCol), col("cluster_id")))
       .pipe(stager)
-    val newSide = assigned.select(col("cluster_id"), col(idCol).as("__id_n"),
+    // Hot-cell cap — the cosinePairsWithin.maxBlockSize doctrine
+    // applied to the incremental probe: pair work is Σ cell², so one
+    // degenerate cell (a black-image / empty-doc embedding attractor)
+    // would make a batch's probe quadratic in that cell with no
+    // backpressure. Cells whose old ∪ new count exceeds `maxCellSize`
+    // are DROPPED from pair generation (the batch's rows still index —
+    // later batches see them). Caveat shared with the dedup twin: the
+    // cap decision is made on indexed-so-far ∪ batch counts, so a cell
+    // crossing the cap only after later batches arrive leaves extra
+    // early pairs vs the one-shot recompute; with the 10k default that
+    // needs a near-dup cell larger than the cap, which the cap exists
+    // to drop anyway.
+    val sized = union.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cell_n"))
+      .where(col("cell_n") <= maxCellSize)
+      .select(col("cluster_id"))
+    val newSide = assigned.join(sized, Seq("cluster_id"))
+      .select(col("cluster_id"), col(idCol).as("__id_n"),
       col(vecCol).as("__v_n"), Similarity.normIn(spark)(col(vecCol)).as("__nrm_n"))
-    val allSide = union.select(col("cluster_id"), col(idCol).as("__id_o"),
+    val allSide = union.join(sized, Seq("cluster_id"))
+      .select(col("cluster_id"), col(idCol).as("__id_o"),
       col(vecCol).as("__v_o"), Similarity.normIn(spark)(col(vecCol)).as("__nrm_o"))
     newSide.join(allSide, Seq("cluster_id"))
       .where(col("__id_n") =!= col("__id_o"))
@@ -260,7 +291,8 @@ object IvfIndex {
           .select(col(idCol), col(vecCol), col("cluster_id"))
           .localCheckpoint(true))
       val pairs = StreamOps.Profile.timed(queryName, "probe_stage")(
-        probeNewBatch(spark, table, assigned, idCol, vecCol, threshold))
+        probeNewBatch(spark, table, assigned, idCol, vecCol, threshold,
+          excludeBatch = Some(batchId)))
       (pairs, Seq(table -> assigned))
     }
   }

@@ -102,11 +102,20 @@ object WinnowIndex {
       minShared, maxPostings, stager)
 
   /** [[probeNewBatch]] from a PRECOMPUTED posting table of the batch
-    * (materialized unless `stager` is identity). */
+    * (materialized unless `stager` is identity).
+    *
+    * `excludeBatch`: on the streaming index layout, exclude the
+    * in-flight batch's own partition from the index read — a crashed
+    * attempt that landed the index append but not the sink write would
+    * otherwise double-count the batch's postings on redelivery,
+    * inflating the posting census (cap decisions) AND `n_shared`
+    * counts. Partition-pruned; a no-op on fresh runs. Same contract as
+    * [[DedupIndex.probeNewBatchFromBands]]. */
   def probeNewBatchFromPostings(spark: SparkSession, table: String,
                                 np: DataFrame, minShared: Int = 2,
                                 maxPostings: Int = 1000,
-                                stager: DataFrame => DataFrame = Checkpoints.stage): DataFrame = {
+                                stager: DataFrame => DataFrame = Checkpoints.stage,
+                                excludeBatch: Option[Long] = None): DataFrame = {
     // Fingerprints the batch doesn't post cannot yield a new-touching
     // pair: cut the index BEFORE the posting census — the semi-join is
     // the probe's only contact with the corpus index.
@@ -114,7 +123,9 @@ object WinnowIndex {
     // Explicit posting-column projection: the streaming index layout
     // adds a batch-id partition column the union must not see; an
     // identity projection on the batch layout (optimizer-collapsed).
-    val idxTouched = spark.table(table).select(col("id"), col("fp"))
+    val idxRead = excludeBatch.foldLeft(spark.table(table))((df, b) =>
+      df.where(col(graft.streaming.StreamOps.BatchTag) =!= lit(b)))
+    val idxTouched = idxRead.select(col("id"), col("fp"))
       .join(touched, Seq("fp"), "left_semi")
     // Posting counts over old ∪ new — the same cap decision the batch
     // pipeline makes on the union corpus. Feeds sizing + both join
@@ -180,7 +191,8 @@ object WinnowIndex {
       val np = StreamOps.Profile.timed(queryName, "band")(
         postings(b, idCol, textCol, k, w).localCheckpoint(true))
       val pairs = StreamOps.Profile.timed(queryName, "probe_stage")(
-        probeNewBatchFromPostings(spark, table, np, minShared, maxPostings))
+        probeNewBatchFromPostings(spark, table, np, minShared, maxPostings,
+          excludeBatch = Some(batchId)))
       (pairs, Seq(table -> np))
     }
   }

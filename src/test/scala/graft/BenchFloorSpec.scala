@@ -73,6 +73,44 @@ class BenchFloorSpec extends AnyFunSuite {
     assert(BenchFloor.triage(floor = 2.0, recheck = -1.0) == "confirmed")
   }
 
+  test("render is strict JSON at every arity, including sf-stamp-only") {
+    // The ADVICE edge: a filtered run whose regex matches nothing (and
+    // no pre-existing floor) renders ZERO entries with an sf stamp —
+    // the old per-entries comma logic left '"__sf__": "...",\n}'.
+    def strictParse(s: String): Unit = {
+      // Minimal strict-JSON object check without a JSON lib: balanced
+      // braces, no comma immediately before the closing brace, every
+      // line between braces is a "key": value pair.
+      val t = s.trim
+      assert(t.startsWith("{") && t.endsWith("}"), s"not an object: $s")
+      assert(!t.dropRight(1).trim.endsWith(","), s"trailing comma: $s")
+      val inner = t.drop(1).dropRight(1).trim
+      if (inner.nonEmpty)
+        inner.split(",\n").foreach(l =>
+          assert(l.trim.matches("\"[^\"]+\"\\s*:\\s*(\"[^\"]*\"|[0-9.eE+-]+)"),
+            s"bad line '$l' in $s"))
+    }
+    strictParse(BenchFloor.render(Nil, Some("/data/sf0.1")))
+    strictParse(BenchFloor.render(Nil, None))
+    strictParse(BenchFloor.render(Seq("q" -> 1.0), Some("/data/sf0.1")))
+    strictParse(BenchFloor.render(Seq("a" -> 1.0, "b" -> 2.0), None))
+    // Round-trip still holds on the empty-with-stamp file.
+    val stampOnly = BenchFloor.render(Nil, Some("/d"))
+    assert(BenchFloor.parse(stampOnly).isEmpty)
+    assert(BenchFloor.parseSf(stampOnly).contains("/d"))
+  }
+
+  test("readable: empty-but-valid floor files must not wedge the ratchet") {
+    // Valid floor files at every arity read fine...
+    assert(BenchFloor.readable(BenchFloor.render(Seq("q" -> 1.0))))
+    assert(BenchFloor.readable(BenchFloor.render(Nil, Some("/d"))))
+    assert(BenchFloor.readable("{}"))
+    assert(BenchFloor.readable("  {\n}\n"))
+    // ...while IO failures (Bench maps them to "") and junk do not.
+    assert(!BenchFloor.readable(""))
+    assert(!BenchFloor.readable("not a floor file"))
+  }
+
   test("zombies: floor keys outside the registry, sf stamp never counted") {
     val floor = Map("alive" -> 1.0, "renamed_old" -> 2.0, "deleted_q" -> 3.0,
       BenchFloor.SfKey -> 0.0)

@@ -20,11 +20,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** The events table is written with parquet TIMESTAMP(NANOS), which
-    * Spark does not read natively — read the raw nanos as long and
-    * floor-divide to micros (integral DIV: doubles would lose precision
-    * above 2^53). This matches DuckDB's nanos→micros truncation, so
-    * oracle comparisons see identical values.
+  /** The events table's `ts` encoding has varied across testdata
+    * generations; this loader absorbs every encoding seen so far and
+    * always yields a session-tz TimestampType column:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark does not read it natively —
+    *    read the raw nanos as long and floor-divide to micros
+    *    (integral DIV: doubles would lose precision above 2^53),
+    *    matching DuckDB's nanos→micros truncation.
+    *  - parquet timestamp[us] WITHOUT timezone: Spark 4.x infers
+    *    TIMESTAMP_NTZ — cast to TimestampType. The session timezone is
+    *    pinned UTC by every entry point (Verify/Bench/tests), so the
+    *    cast reinterprets the naive value as the same UTC instant the
+    *    DuckDB oracle reads from the file, value-identical to the old
+    *    nanos path.
+    *  - timestamp[us] with timezone: already TimestampType, pass
+    *    through.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // The nanosAsLong flag is only consulted while the relation is
@@ -43,6 +54,9 @@ object Tables {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
         case _ => df
       }
     } finally prev match {

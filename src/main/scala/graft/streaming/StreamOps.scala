@@ -43,8 +43,10 @@ object StreamOps {
   }
 
   /** `readStream` over the events parquet directory, with the same
-    * TIMESTAMP(NANOS)→micros normalization as the batch loader
-    * (graft.Tables.events) so stream and batch see identical rows. */
+    * `ts` normalization as the batch loader (graft.Tables.events) —
+    * nanos-as-long → micros, TIMESTAMP_NTZ → session-tz timestamp —
+    * so stream and batch see identical rows and `withWatermark` always
+    * gets a TimestampType event-time column. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // Same save/restore scoping as graft.Tables.events: the flag is
     // read at relation resolution, and a loader must not leave a
@@ -58,9 +60,14 @@ object StreamOps {
       // table from the shared sf dir with a glob filter.
       val raw = spark.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
+      batchSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } finally prev match {
       case Some(v) => spark.conf.set(flag, v)
       case None => spark.conf.unset(flag)

@@ -101,7 +101,14 @@ object BenchFloor {
     * reads fine even when it yields ZERO floors. Conflating "empty but
     * valid" with "unreadable" wedges the ratchet permanently: Bench
     * refuses to overwrite an unreadable file, so a legitimately empty
-    * one would never be written again. */
-  def readable(text: String): Boolean =
-    parse(text).nonEmpty || parseSf(text).isDefined || text.trim.startsWith("{")
+    * one would never be written again. The bare-braces fallback
+    * requires BOTH braces: a tail-truncated write ("{" then crash) or
+    * mangled tail has zero parseable entries and no sf stamp, and
+    * treating it as readable would let Bench rewrite the floor from
+    * empty — destroying the ratchet history the parse guards protect. */
+  def readable(text: String): Boolean = {
+    val t = text.trim
+    parse(text).nonEmpty || parseSf(text).isDefined ||
+      (t.startsWith("{") && t.endsWith("}"))
+  }
 }

@@ -125,7 +125,14 @@ object DedupIndex {
     * census that can push real buckets over `maxBucketSize` and
     * silently drop pairs. The exclusion is a partition filter
     * (pruning, not a scan), and a fresh run — where the partition
-    * doesn't exist — reads exactly what it read before. */
+    * doesn't exist — reads exactly what it read before.
+    *
+    * CAVEAT: the guarantee assumes the crashed batch's rows still sit
+    * in their OWN partition. A compact run between the crash and the
+    * restart merges the orphaned append into the compacted partition,
+    * where the exclusion filter cannot see it — see the
+    * crash-then-compact hazard on StreamOps.compactSink: restart the
+    * stream before compacting. */
   def probeNewBatchFromBands(spark: SparkSession, table: String,
                              newBands: DataFrame,
                              params: Dedup.MinHashParams = Dedup.MinHashParams(),
@@ -213,11 +220,19 @@ object DedupIndex {
   def streamIngest(spark: SparkSession, table: String, stream: DataFrame,
                    idCol: String, textCol: String,
                    params: Dedup.MinHashParams = Dedup.MinHashParams(),
-                   queryName: String = "graft_stream_ingest"): (DataFrame, Int) = {
+                   queryName: String = "graft_stream_ingest",
+                   checkpointLocation: Option[String] = None): (DataFrame, Int) = {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val idType = stream.schema(idCol).dataType
-    Writer.emptyPartitionedBucketedTable(spark, table,
+    // With a checkpoint the ingest is RESTARTABLE: keep whatever index
+    // state a previous driver accumulated (the checkpoint guarantees
+    // committed batches are not redelivered). Without one, the stream
+    // owns a fresh index.
+    val mkTable = if (checkpointLocation.isDefined)
+      Writer.ensurePartitionedBucketedTable _
+    else Writer.emptyPartitionedBucketedTable _
+    mkTable(spark, table,
       StructType(Seq(
         StructField("id", idType),
         StructField("band_id", IntegerType),
@@ -229,13 +244,14 @@ object DedupIndex {
     // id-keyed consumers (cluster label-prop, survivor anti-join)
     // that can ride the stored clustering.
     val sink = table + "_pairs"
-    Writer.emptyPartitionedBucketedTable(spark, sink,
+    mkTable(spark, sink,
       StructType(Seq(
         StructField("id_a", idType),
         StructField("id_b", idType),
         StructField(StreamOps.BatchTag, LongType))),
       StreamOps.BatchTag, "id_a", 8)
-    StreamOps.sinkBatches(spark, stream, queryName, sink) { (b, batchId) =>
+    StreamOps.sinkBatches(spark, stream, queryName, sink,
+        checkpointLocation) { (b, batchId) =>
       // Refresh the index's cached file listing HERE — the previous
       // batch's append ran concurrently with its pairs write, so the
       // refresh lands at the start of the next probe instead of

@@ -257,17 +257,24 @@ object IvfIndex {
   def streamIngest(spark: SparkSession, table: String, stream: DataFrame,
                    idCol: String, vecCol: String, centroids: Seq[Seq[Float]],
                    threshold: Double = 0.9,
-                   queryName: String = "graft_stream_ivf"): (DataFrame, Int) = {
+                   queryName: String = "graft_stream_ivf",
+                   checkpointLocation: Option[String] = None): (DataFrame, Int) = {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
     val idType = stream.schema(idCol).dataType
     val vecType = stream.schema(vecCol).dataType
+    // Restartable with a checkpoint — see the dedup twin's comment.
+    // The centroids are caller-supplied constants, so rewriting their
+    // table on restart is safe either way.
     Writer.dropTableAndLocation(spark, centroidsTable(table))
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cluster_id", "centroid")
       .write.format("parquet").saveAsTable(centroidsTable(table))
-    Writer.emptyPartitionedBucketedTable(spark, table,
+    val mkTable = if (checkpointLocation.isDefined)
+      Writer.ensurePartitionedBucketedTable _
+    else Writer.emptyPartitionedBucketedTable _
+    mkTable(spark, table,
       StructType(Seq(
         StructField(idCol, idType),
         StructField(vecCol, vecType),
@@ -275,14 +282,15 @@ object IvfIndex {
         StructField(StreamOps.BatchTag, LongType))),
       StreamOps.BatchTag, "cluster_id", 16)
     val sink = table + "_pairs"
-    Writer.emptyPartitionedBucketedTable(spark, sink,
+    mkTable(spark, sink,
       StructType(Seq(
         StructField("id_a", idType),
         StructField("id_b", idType),
         StructField("cos_sim", DoubleType),
         StructField(StreamOps.BatchTag, LongType))),
       StreamOps.BatchTag, "id_a", 8)
-    StreamOps.sinkBatches(spark, stream, queryName, sink) { (b, batchId) =>
+    StreamOps.sinkBatches(spark, stream, queryName, sink,
+        checkpointLocation) { (b, batchId) =>
       // Refresh-at-probe + index append as a concurrent side write —
       // see the dedup twin's comments.
       spark.catalog.refreshTable(table)

@@ -165,11 +165,16 @@ object WinnowIndex {
                    idCol: String, textCol: String,
                    k: Int = 8, w: Int = 4, minShared: Int = 2,
                    maxPostings: Int = 1000,
-                   queryName: String = "graft_stream_winnow"): (DataFrame, Int) = {
+                   queryName: String = "graft_stream_winnow",
+                   checkpointLocation: Option[String] = None): (DataFrame, Int) = {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val idType = stream.schema(idCol).dataType
-    Writer.emptyPartitionedBucketedTable(spark, table,
+    // Restartable with a checkpoint — see the dedup twin's comment.
+    val mkTable = if (checkpointLocation.isDefined)
+      Writer.ensurePartitionedBucketedTable _
+    else Writer.emptyPartitionedBucketedTable _
+    mkTable(spark, table,
       StructType(Seq(
         StructField("id", idType),
         StructField("fp", LongType),
@@ -177,14 +182,15 @@ object WinnowIndex {
       StreamOps.BatchTag, "fp", 16)
     // Pairs sink bucketed on id_a — see the dedup twin's rationale.
     val sink = table + "_pairs"
-    Writer.emptyPartitionedBucketedTable(spark, sink,
+    mkTable(spark, sink,
       StructType(Seq(
         StructField("id_a", idType),
         StructField("id_b", idType),
         StructField("n_shared", LongType),
         StructField(StreamOps.BatchTag, LongType))),
       StreamOps.BatchTag, "id_a", 8)
-    StreamOps.sinkBatches(spark, stream, queryName, sink) { (b, batchId) =>
+    StreamOps.sinkBatches(spark, stream, queryName, sink,
+        checkpointLocation) { (b, batchId) =>
       // Refresh-at-probe + index append as a concurrent side write —
       // see the dedup twin's comments.
       spark.catalog.refreshTable(table)

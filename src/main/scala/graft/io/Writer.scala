@@ -125,6 +125,16 @@ object Writer {
       s"PARTITIONED BY (`$partitionCol`) " +
       s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS")
   }
+  /** Create-if-missing twin of [[emptyPartitionedBucketedTable]] — the
+    * restartable-ingest path: a streamIngest resuming from a stream
+    * checkpoint must KEEP the partitions an earlier driver accumulated,
+    * so the table is created only when absent and never dropped. */
+  def ensurePartitionedBucketedTable(spark: SparkSession, table: String,
+                                     schema: org.apache.spark.sql.types.StructType,
+                                     partitionCol: String,
+                                     key: String, buckets: Int): Unit =
+    if (!spark.catalog.tableExists(table))
+      emptyPartitionedBucketedTable(spark, table, schema, partitionCol, key, buckets)
 
   /** Training-shard export: exactly `shards` files, rows routed by the
     * deterministic id-hash (stable under repartitioning and reruns —

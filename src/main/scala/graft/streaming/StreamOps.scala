@@ -278,15 +278,24 @@ object StreamOps {
     * handed to arbitrary batch code (upserts, size-aware parquet,
     * multi-sink fan-out — anything the streaming sinks can't express).
     * The batchId makes redelivery idempotent for sinks that record it.
+    *
+    * `checkpointLocation`: when supplied, the query's offset log lives
+    * there and a LATER start with the same location resumes after the
+    * last committed batch (restartable ingest — batch ids continue,
+    * already-committed inputs are not redelivered). When None, Spark
+    * uses a fresh temp checkpoint: exactly-once within the run, but a
+    * driver restart reprocesses everything.
     */
-  def foreachBatchSink(df: DataFrame, name: String)
+  def foreachBatchSink(df: DataFrame, name: String,
+                       checkpointLocation: Option[String] = None)
                       (handle: (DataFrame, Long) => Unit) = {
-    df.writeStream
+    val w = df.writeStream
       .queryName(name)
       .outputMode(OutputMode.Update)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(handle)
-      .start()
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w.start()
   }
 
   /** Partition column tagging each sink row with the micro-batch that
@@ -390,7 +399,19 @@ object StreamOps {
     * tag, so surviving duplicates collapse back to one row (exact row
     * duplicates cannot otherwise exist: band/posting/pair rows are
     * unique per doc). The distinct rides the full-rewrite shuffle a
-    * compaction pays anyway. */
+    * compaction pays anyway.
+    *
+    * Crash-then-compact hazard: the quiesce contract above is the
+    * CALLER's obligation — this method cannot tell a committed
+    * partition from one a crashed, checkpoint-uncommitted attempt
+    * orphaned. If a compact runs between a crash and the restart, the
+    * orphaned partition merges into `mergedId`, the redelivered batch
+    * no longer finds its rows in its own (excluded) partition, and the
+    * probe double-counts them while the re-append duplicates them —
+    * until a LATER compact's distinct() heals the index rows (probe
+    * results emitted in between stay inflated). So: after a crash,
+    * restart the stream (letting redelivery overwrite the orphan)
+    * BEFORE any compact. */
   def compactSink(spark: SparkSession, table: String,
                   mergedId: Long = -1L): Int = {
     require(mergedId < 0, s"merged partition id must be negative: $mergedId")
@@ -418,8 +439,12 @@ object StreamOps {
     * accumulator this is the production shape on all three axes the
     * verdict named: BOUNDED (one table partition per batch — no union
     * plan or checkpointed-RDD set growing with shard count), DURABLE
-    * (a driver restart re-reads the table; nothing lives in driver
-    * memory), and RACE-FREE by construction (no cross-thread `var`;
+    * (all accumulated state lives in the sink tables — nothing
+    * driver-held within a run; pass `checkpointLocation` to make the
+    * OFFSET log durable too, so a restarted driver resumes after the
+    * last committed batch instead of reprocessing the input — without
+    * it the run is exactly-once only within one driver lifetime), and
+    * RACE-FREE by construction (no cross-thread `var`;
     * the one counter is an AtomicInteger). Shared by
     * DedupIndex.streamIngest and WinnowIndex.streamIngest, whose
     * per-batch outputs are provably disjoint (a pair is emitted only
@@ -434,10 +459,11 @@ object StreamOps {
     * (the ingests' index appends, staged apart from the probe) — and
     * all land through ONE [[writeBatchSinks]] call, concurrently. */
   def sinkBatches(spark: SparkSession, stream: DataFrame, queryName: String,
-                  sinkTable: String)(
+                  sinkTable: String,
+                  checkpointLocation: Option[String] = None)(
       perBatch: (DataFrame, Long) => (DataFrame, Seq[(String, DataFrame)])): (DataFrame, Int) = {
     val n = new java.util.concurrent.atomic.AtomicInteger(0)
-    val q = foreachBatchSink(stream, queryName) { (batch, batchId) =>
+    val q = foreachBatchSink(stream, queryName, checkpointLocation) { (batch, batchId) =>
       val b = Profile.timed(queryName, "checkpoint")(batch.localCheckpoint(true))
       n.incrementAndGet()
       val (out, side) = perBatch(b, batchId)

@@ -109,6 +109,15 @@ class BenchFloorSpec extends AnyFunSuite {
     // ...while IO failures (Bench maps them to "") and junk do not.
     assert(!BenchFloor.readable(""))
     assert(!BenchFloor.readable("not a floor file"))
+    // A tail-truncated write (crash mid-write after the opening brace)
+    // has no parseable entries, no sf stamp, and no closing brace —
+    // it must read as UNREADABLE so Bench refuses to rewrite the floor
+    // from empty and the ratchet history survives.
+    assert(!BenchFloor.readable("{"))
+    assert(!BenchFloor.readable("{\n  \"graft_f"))
+    // ...but a truncated file that still retains parseable entries is
+    // salvageable and stays readable (parse wins over the brace check).
+    assert(BenchFloor.readable("{\n  \"q\": 1.2345,\n  \"r\""))
   }
 
   test("zombies: floor keys outside the registry, sf stamp never counted") {

@@ -671,4 +671,85 @@ class DedupSpec extends AnyFunSuite {
     val n = pairs.count()
     assert(n >= 0) // smoke: runs end-to-end on the real table
   }
+
+  test("excludeBatch: a crashed attempt's orphaned index append does not inflate the redelivered probe") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val table = "graft_exclude_batch_spec"
+    graft.io.Writer.emptyPartitionedBucketedTable(spark, table,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("band_id", IntegerType),
+        StructField("band_hash", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "band_hash", 16)
+    // Batch 0 committed: everything but the planted near-dup newcomers.
+    val committed = Dedup.bands(
+      corpus.where(col("doc_id") < 100), "doc_id", "text", params)
+      .localCheckpoint(true)
+    StreamOps.writeBatchToSink(spark, table, committed, 0L)
+    spark.catalog.refreshTable(table)
+    // Batch 1 = the newcomers. Probe BEFORE any batch-1 append — the
+    // result a clean (non-crashed) delivery produces.
+    val nb = Dedup.bands(
+      corpus.where(col("doc_id") >= 100), "doc_id", "text", params)
+      .localCheckpoint(true)
+    def probe(): Set[(Long, Long)] =
+      DedupIndex.probeNewBatchFromBands(spark, table, nb, params,
+        excludeBatch = Some(1L))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clean = probe()
+    assert(clean.nonEmpty, "planted pairs must surface on the clean probe")
+    // CRASHED attempt: the index append landed (the two writeBatchSinks
+    // inserts run concurrently) but the sink write / checkpoint commit
+    // did not. On redelivery the batch's rows sit in the index under
+    // their own partition AND arrive again as nb.
+    StreamOps.writeBatchToSink(spark, table, nb, 1L)
+    spark.catalog.refreshTable(table)
+    // The excluded probe must not see the orphaned partition: same
+    // pairs as the clean delivery — no double-counted bucket census,
+    // no self-pairs.
+    assert(probe() == clean,
+      "redelivered probe with excludeBatch must equal the pre-crash probe")
+  }
+
+  test("streamIngest with a checkpoint: a restarted driver resumes after committed batches, state intact") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_stream_restart_").toString
+    val inDir = s"$base/in"
+    val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(inDir))
+    def addShard(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val w = s"$base/w_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(w)
+      val part = new java.io.File(w).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(inDir, s"$name.parquet"))
+    }
+    def run(): (Set[(Long, Long)], Int) = {
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val (acc, n) = DedupIndex.streamIngest(spark, "graft_stream_restart_spec",
+        stream, "doc_id", "text", params,
+        queryName = "stream_restart_spec", checkpointLocation = Some(ckpt))
+      (acc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet, n)
+    }
+    // Run 1 sees only shard 0 — then the driver "dies" (query ended).
+    addShard(corpus.where(col("doc_id") < 50 || col("doc_id") === 100L), "shard_0")
+    val (p1, n1) = run()
+    assert(n1 == 1, s"first run must process exactly its one file, got $n1")
+    assert(p1.contains((3L, 100L)), s"same-shard planted pair missed: $p1")
+    // Run 2, same checkpoint: only the NEW file is processed (the
+    // committed batch is not redelivered), the index keeps run 1's
+    // partitions, and cross-run pairs surface by probing them.
+    addShard(corpus.where(col("doc_id") >= 50 && col("doc_id") =!= 100L), "shard_1")
+    val (p2, n2) = run()
+    assert(n2 == 1, s"restart must process only the uncommitted file, got $n2")
+    val batch = Dedup.candidatePairs(corpus, "doc_id", "text", params)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == batch,
+      s"restarted accumulation diverged: extra=${p2 -- batch} missing=${batch -- p2}")
+    assert(p2.contains((17L, 101L)) && p2.contains((42L, 102L)),
+      s"cross-run pairs require run 2 to probe run 1's index partitions: $p2")
+  }
 }

@@ -7,10 +7,19 @@
 #   tools/precommit.sh && git commit ...
 #
 # Full-test variant (slower, ~3.5 min): tools/precommit.sh test
+#
+# Both variants also run graft.SmokeCheck — the seconds-scale
+# environment-drift gate (testdata regens have changed the events.ts
+# parquet encoding twice; round 11 shipped 10 broken queries because
+# nothing in-session read the regenerated files). Skip with
+# SKIP_SMOKE=1 when testdata is known-good and iterating fast.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 if [[ "${1:-}" == "test" ]]; then
-  exec sbt -batch test
+  sbt -batch test
 else
-  exec sbt -batch Test/compile
+  sbt -batch Test/compile
+fi
+if [[ "${SKIP_SMOKE:-}" != "1" ]]; then
+  sbt -batch "runMain graft.SmokeCheck"
 fi

@@ -197,6 +197,54 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Per-document bigram surprisal under the corpus's own bigram LM —
+    * the CCNet-style perplexity quality filter, integerized so the
+    * score is bit-identical across engines. For each doc bigram g =
+    * "w1 w2" with corpus count c and prefix mass c1 = Σ counts of
+    * bigrams starting w1, the MLE surprisal −log2(c/c1) is floored to
+    * whole bits, which is computable EXACTLY in integer arithmetic:
+    * floor(log2(c1/c)) = floor(log2(c1 DIV c)) (no power of two lies
+    * strictly between q and c1/c < q+1), so the per-doc SUM is a
+    * BIGINT — order-independent, unlike a float sum of logs — and the
+    * only double is one final division. Low mean_bits = predictable /
+    * boilerplate text, high = unusual (or noisy); both tails are the
+    * filter's targets. Two keyed censuses + two keyed joins — the
+    * same shuffle shape as [[memorizedBigramStats]], no all-pairs
+    * anywhere; the prefix census is vocabulary-sized (a dimension
+    * table at any corpus scale). */
+  def surprisalStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array())
+    val pairs = Checkpoints.stage(
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol), explode(bigrams).as("g"))
+        .groupBy(col(idCol), col("g"))
+        .agg(count(lit(1)).as("c_doc"))
+        .withColumn("w1", element_at(split(col("g"), " "), 1)))
+    val corpus = pairs.groupBy(col("g")).agg(sum(col("c_doc")).as("c"))
+    val prefix = pairs.groupBy(col("w1")).agg(sum(col("c_doc")).as("c1"))
+    // Both joins are lossless: census and prefix mass are built from
+    // the same pairs, so every (g, w1) matches and c1 >= c >= 1.
+    val perDoc = pairs.join(corpus, "g").join(prefix, "w1")
+      .withColumn("bits", floor(log2(expr("c1 DIV c"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("c_doc")).as("n_bigrams"),
+        sum(col("c_doc") * col("bits")).as("bits_sum"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bits_sum"), lit(0L)).as("bits_sum"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          coalesce(col("bits_sum"), lit(0L)).cast("double") /
+            col("n_bigrams").cast("double"))
+          .otherwise(0.0).as("mean_bits"))
+      .orderBy(col(idCol))
+  }
+
   /** Stable content fingerprint: md5 of whitespace-normalized lowercase
     * text. Exact-dedup key that survives case/spacing jitter. */
   def fingerprint(text: Column): Column =

@@ -222,6 +222,12 @@ private[graft] object CorpusQueries {
       // — the document-level boilerplate/memorization signal.
       TextAnalysis.memorizedBigramStats(
         Tables.documents(s, dir), "doc_id", "text", minCount = 4L)),
+    "x_surprisal" -> ((s, dir) =>
+      // Per-doc mean bigram surprisal under the corpus's own bigram LM
+      // (TextAnalysis.surprisalStats) — the CCNet-style perplexity
+      // quality filter, integerized to whole bits so the score is
+      // engine-exact (see the operator doc).
+      TextAnalysis.surprisalStats(Tables.documents(s, dir), "doc_id", "text")),
     "x_winnow" -> ((s, dir) =>
       // Winnowing document fingerprints (k=8 char k-grams, window
       // w=4): the shared-passage detector. The fingerprints are
@@ -1195,6 +1201,29 @@ private[graft] object CorpusQueries {
         |  CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
         |   THEN CAST(pd.n_memorized AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
         |   ELSE 0.0 END AS memorized_frac
+        | FROM documents d LEFT JOIN pd USING (doc_id)
+        | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // Surprisal replayed in SQL: same bigram construction as
+    // x_memorization, same prefix-mass census, same integer-exact
+    // floor(log2(c1 // c)) bits — the one double is the final
+    // division of two integers, IEEE-identical on both engines.
+    "x_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
+        | bg AS (SELECT doc_id, tok[i] AS w1, tok[i] || ' ' || tok[i+1] AS g FROM t,
+        |  UNNEST(generate_series(1, len(tok) - 1)) AS u(i) WHERE len(tok) >= 2),
+        | pairs AS (SELECT doc_id, w1, g, COUNT(*) AS c_doc FROM bg GROUP BY 1, 2, 3),
+        | corpus AS (SELECT g, SUM(c_doc) AS c FROM pairs GROUP BY g),
+        | pre AS (SELECT w1, SUM(c_doc) AS c1 FROM pairs GROUP BY w1),
+        | j AS (SELECT p.doc_id, p.c_doc,
+        |   CAST(FLOOR(LOG2(CAST(pre.c1 // corpus.c AS DOUBLE))) AS BIGINT) AS bits
+        |  FROM pairs p JOIN corpus USING (g) JOIN pre USING (w1)),
+        | pd AS (SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+        |   CAST(SUM(c_doc * bits) AS BIGINT) AS bits_sum FROM j GROUP BY doc_id)
+        | SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(pd.bits_sum, 0) AS bits_sum,
+        |  CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+        |   THEN CAST(pd.bits_sum AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
+        |   ELSE 0.0 END AS mean_bits
         | FROM documents d LEFT JOIN pd USING (doc_id)
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
     // Byte slicing replayed as char substring — sound because both

@@ -179,6 +179,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(5L) == ((0L, 0L, 0.0)))
   }
 
+  test("surprisalStats: integer-exact bits from the corpus bigram LM, short docs kept at 0") {
+    // Bigrams (with multiplicity): doc 1 'a b' x2, 'b a' x1 (from
+    // "a b a b"); doc 2 'a c' x1. Corpus: c('a b')=2, c('b a')=1,
+    // c('a c')=1. Prefix mass: c1(a)=3, c1(b)=1.
+    // bits = floor(log2(c1 DIV c)): 'a b' → 3 DIV 2 = 1 → 0;
+    // 'b a' → 1 DIV 1 = 1 → 0; 'a c' → 3 DIV 1 = 3 → 1.
+    val rows = TextAnalysis.surprisalStats(Seq(
+      (1L, "a b a b"), // n=3, bits_sum = 2*0 + 1*0 = 0, mean 0.0
+      (2L, "a c"),     // n=1, bits_sum = 1, mean 1.0
+      (3L, "solo")     // no bigrams: all-zero row KEPT
+    ).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1L) == ((3L, 0L, 0.0)))
+    assert(rows(2L) == ((1L, 1L, 1.0)))
+    assert(rows(3L) == ((0L, 0L, 0.0)))
+    // The predictability direction: a doc made of the corpus's dominant
+    // continuations scores strictly below one made of rare ones.
+    val contrast = TextAnalysis.surprisalStats(Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "the cat sat"), (5L, "the cat sat"), (6L, "the cat sat"),
+      (7L, "the dog ran")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(contrast(1L) < contrast(7L),
+      s"boilerplate must score below rare text: ${contrast(1L)} vs ${contrast(7L)}")
+  }
+
   test("oovStats: corpus-derived vocab, count-then-token tiebreak, per-doc fractions") {
     // Corpus counts: a=4, b=3, c=3, d=1, e=1. vocabSize=2 keeps {a, b}
     // (b beats c only by the lexical tiebreak at count 3 — pinned).

@@ -151,4 +151,48 @@ class IvfIndexSpec extends AnyFunSuite {
         .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
     }
   }
+
+  test("excludeBatch: a crashed attempt's orphaned index append does not inflate the vector probe") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 8)
+    val t = "graft_ivf_exclude_batch_spec"
+    try {
+      graft.io.Writer.emptyPartitionedBucketedTable(spark, t,
+        StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", e.schema("embedding").dataType),
+          StructField("cluster_id", IntegerType),
+          StructField(StreamOps.BatchTag, LongType))),
+        StreamOps.BatchTag, "cluster_id", 16)
+      def assign(df: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfAssign(df, "vec_id", "embedding", cents)
+          .select(col("vec_id"), col("embedding"), col("cluster_id"))
+          .localCheckpoint(true)
+      // Batch 0 committed: even ids.
+      StreamOps.writeBatchToSink(spark, t,
+        assign(e.where(pmod(col("vec_id"), lit(2)) === 0)), 0L)
+      spark.catalog.refreshTable(t)
+      // Batch 1 = odd ids. Probe BEFORE any batch-1 append — the clean
+      // delivery's result (ids AND scores).
+      val nb = assign(e.where(pmod(col("vec_id"), lit(2)) === 1))
+      def probe(): Set[(Long, Long, Double)] =
+        IvfIndex.probeNewBatch(spark, t, nb, "vec_id", "embedding",
+          threshold = 0.35, excludeBatch = Some(1L))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val clean = probe()
+      assert(clean.nonEmpty, "fixture produced no pairs — lower the threshold")
+      // CRASHED attempt: the index append landed, the checkpoint
+      // commit did not; redelivery sees the batch's vectors in the
+      // index AND as the incoming batch.
+      StreamOps.writeBatchToSink(spark, t, nb, 1L)
+      spark.catalog.refreshTable(t)
+      assert(probe() == clean,
+        "redelivered vector probe with excludeBatch must equal the pre-crash probe")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    }
+  }
 }

@@ -216,6 +216,7 @@ private[graft] object CorpusQueries {
     "x_edit_distance" -> ((s, dir) => editDistance(s, dir)),
     "x_bigram_next" -> ((s, dir) => bigramNext(s, dir)),
     "x_quality_gate" -> ((s, dir) => qualityGate(s, dir)),
+    "x_curation_pipeline" -> ((s, dir) => curationPipeline(s, dir)),
     "x_memorization" -> ((s, dir) =>
       // Per-doc memorized-bigram fraction against the corpus's own
       // bigram census (TextAnalysis.memorizedBigramStats, minCount 4)
@@ -446,6 +447,47 @@ private[graft] object CorpusQueries {
         sum(fStop.cast("long")).as("n_fail_stop"),
         sum(fRep.cast("long")).as("n_fail_rep"),
         sum((!(fShort || fAvg || fStop || fRep)).cast("long")).as("n_pass"))
+  }
+
+  /** The end-to-end curation pipeline a training-data run chains from
+    * this library's pieces, as ONE registered query so the composition
+    * itself is oracle-checked: exact dedup (min-doc_id survivor per
+    * content fingerprint — the WindowGroupLimit rn=1 shape, one key
+    * shuffle), the four-predicate quality gate (same predicates as
+    * x_quality_gate), deterministic split assignment, and a per-split
+    * size summary. Every stage is keyed work — no collect, no
+    * cartesian — so the pipeline scales exactly as its parts do. */
+  private def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.ext.Spread.ensure(Tables.documents(s, dir))
+      .where(col("text").isNotNull)
+    val surv = docs
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+      .where(col("__rn") === 1).drop("__fp", "__rn")
+      .pipe(graft.ext.Checkpoints.stage) // feeds base AND the repetition census
+    val t = col("text")
+    val base = surv.select(col("doc_id"), col("n_chars"),
+      TextAnalysis.wsTokenCount(t).as("n_tok"),
+      length(regexp_replace(t, " ", "")).cast("long").as("n_cns"),
+      size(filter(TextAnalysis.tokens(t), w => w.isin("the", "a")))
+        .cast("long").as("n_stop"))
+    val rep = surv.select(col("doc_id"), explode(TextAnalysis.tokens(t)).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok"))
+    val kept = base.join(rep, Seq("doc_id"))
+      .where(!(col("n_tok") < 20 ||
+        col("n_cns") < lit(3) * col("n_tok") ||
+        col("n_cns") > lit(10) * col("n_tok") ||
+        col("n_stop") * 50 < col("n_tok") ||
+        col("max_tok") * 5 >= col("n_tok")))
+    TextAnalysis.assignSplit(kept, "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tok")).as("sum_tokens"))
+      .orderBy(col("split"))
   }
 
   /** Token-BUDGET corpus split: docs are assigned to 'train' in
@@ -1057,6 +1099,36 @@ private[graft] object CorpusQueries {
         |   CAST(SUM(CAST(NOT (n_tok < 20 OR n_cns < 3 * n_tok OR n_cns > 10 * n_tok
         |     OR n_stop * 50 < n_tok OR max_tok * 5 >= n_tok) AS BIGINT)) AS BIGINT) AS n_pass
         | FROM j""".stripMargin.replaceAll("\n", " "),
+    // The full curation chain replayed in SQL: same fingerprint
+    // normalization, same min-doc_id survivor, same four gate
+    // predicates, same split-bucket arithmetic.
+    "x_curation_pipeline" ->
+      """WITH fp AS (SELECT doc_id, n_chars, text,
+        |   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+        |  FROM documents WHERE text IS NOT NULL),
+        | surv AS (SELECT doc_id, n_chars, text FROM
+        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp) s
+        |  WHERE rn = 1),
+        | base AS (SELECT doc_id, n_chars,
+        |   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok,
+        |   CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_cns,
+        |   CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |  FROM surv),
+        | rep AS (SELECT doc_id, MAX(c) AS max_tok FROM (
+        |   SELECT doc_id, w, COUNT(*) AS c FROM
+        |     (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM surv) tw
+        |   GROUP BY doc_id, w) tc GROUP BY doc_id),
+        | kept AS (SELECT b.doc_id, b.n_chars, b.n_tok FROM base b JOIN rep USING (doc_id)
+        |  WHERE NOT (n_tok < 20 OR n_cns < 3 * n_tok OR n_cns > 10 * n_tok
+        |    OR n_stop * 50 < n_tok OR max_tok * 5 >= n_tok)),
+        | sp AS (SELECT *, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, n_chars, n_tok,
+        |    (((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 AS b
+        |   FROM kept) k)
+        | SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+        | FROM sp GROUP BY split ORDER BY split""".stripMargin.replaceAll("\n", " "),
     // Bigram LM table replayed in SQL: same pair explode, same
     // (count DESC, word) argmax, same n >= 20 floor.
     "x_bigram_next" ->

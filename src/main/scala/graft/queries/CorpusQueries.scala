@@ -457,7 +457,8 @@ private[graft] object CorpusQueries {
     * x_quality_gate), deterministic split assignment, and a per-split
     * size summary. Every stage is keyed work — no collect, no
     * cartesian — so the pipeline scales exactly as its parts do. */
-  private def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def curationPipeline(s: SparkSession, dir: String,
+      stager: DataFrame => DataFrame = graft.ext.Checkpoints.stage): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.ext.Spread.ensure(Tables.documents(s, dir))
       .where(col("text").isNotNull)
@@ -466,7 +467,7 @@ private[graft] object CorpusQueries {
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
       .where(col("__rn") === 1).drop("__fp", "__rn")
-      .pipe(graft.ext.Checkpoints.stage) // feeds base AND the repetition census
+      .pipe(stager) // feeds base AND the repetition census
     val t = col("text")
     val base = surv.select(col("doc_id"), col("n_chars"),
       TextAnalysis.wsTokenCount(t).as("n_tok"),

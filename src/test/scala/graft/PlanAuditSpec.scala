@@ -288,4 +288,22 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.contains("PartitionFilters"),
       s"re-rank must push the shortlist id filter into the scan:\n$plan")
   }
+
+  test("x_curation_pipeline: dedup survivor rides WindowGroupLimit, no cartesian anywhere") {
+    // Audited with the stage barrier replaced by identity: the
+    // production query checkpoints the survivor set (it feeds two
+    // consumers), which hides the window inside the checkpoint job —
+    // the un-staged plan is the one whose SHAPE must hold at scale.
+    val plan = CorpusQueries.curationPipeline(
+        spark, TestSpark.sf0001, stager = df => df)
+      .queryExecution.executedPlan.toString
+    // The rn=1 survivor filter must trigger WindowGroupLimit so each
+    // map task keeps one row per fingerprint BEFORE the shuffle — at
+    // corpus scale the exchange carries O(distinct fingerprints), not
+    // the raw corpus.
+    assert(plan.contains("WindowGroupLimit"),
+      s"fingerprint-survivor must use WindowGroupLimit:\n$plan")
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"curation pipeline must stay equi-keyed:\n$plan")
+  }
 }

@@ -49,6 +49,33 @@ object Mixing {
       .limit(k)
       .drop("__mix_h")
 
+  /** √-temperature mixture rebalancing — the standard multilingual /
+    * multi-source corpus heuristic (sampling weights ∝ count^α with
+    * α = 1/2), realized downsample-only: group g keeps the fraction
+    * √(c_min / c_g), so kept counts are √(c_min·c_g) ∝ √c_g — rare
+    * groups survive whole, dominant ones shrink toward the geometric
+    * middle. Deterministic per row (the same id-hash bucket as every
+    * Mixing op, keep iff bucket < floor(100·√(c_min/c_g))) and
+    * engine-exact: IEEE division, sqrt, and multiply are all
+    * correctly-rounded single operations, so an oracle replaying the
+    * formula computes the identical keep percentage. Fixed at α = 1/2
+    * on purpose — pow() is NOT correctly rounded across libms, sqrt
+    * is. The group census is a k-row broadcast join (k = number of
+    * groups), never a driver loop over data. */
+  def sqrtTemperatureMix(df: DataFrame, idCol: String, groupCol: String): DataFrame = {
+    val census = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__mix_c"))
+    // One k-row scalar: the smallest group's count anchors the scale.
+    val minRow = census.agg(min(col("__mix_c"))).first()
+    if (minRow.isNullAt(0)) return df.where(lit(false)) // empty input
+    val cMin = minRow.getLong(0)
+    val pct = census.withColumn("__mix_pct",
+      floor(lit(100.0) * sqrt(lit(cMin).cast("double") / col("__mix_c").cast("double"))))
+      .drop("__mix_c")
+    df.join(broadcast(pct), Seq(groupCol))
+      .where(TextAnalysis.splitBucket(col(idCol)) < col("__mix_pct"))
+      .drop("__mix_pct")
+  }
+
   /** Deterministic exact-k-PER-GROUP (stratified) sample: the same
     * hash order, ranked within each group — every stratum contributes
     * exactly min(k, |stratum|) rows. One shuffle on the group key.

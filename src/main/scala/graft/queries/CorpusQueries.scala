@@ -126,6 +126,15 @@ private[graft] object CorpusQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
+    "x_sqrt_mix" -> ((s, dir) =>
+      // √-temperature mixture rebalance by source
+      // (graft.ext.Mixing.sqrtTemperatureMix): kept counts ∝ √c_g,
+      // deterministic per row, engine-exact keep percentages (IEEE
+      // sqrt — see the operator doc).
+      Mixing.sqrtTemperatureMix(Tables.documents(s, dir), "doc_id", "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))),
     "x_neardup_dedup" -> ((s, dir) => neardupIdempotent(s, dir)),
     "x_vocab_top50" -> ((s, dir) => vocabTop(s, dir)),
     "x_heavy_hitters" -> ((s, dir) =>
@@ -1019,6 +1028,17 @@ private[graft] object CorpusQueries {
         |  FROM events)
         | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
         | FROM r WHERE rn <= 3 GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+    // √-temperature rebalance replayed in SQL: same census, same
+    // floor(100·sqrt(cmin/c)) keep pct (IEEE-exact on both engines),
+    // same id-hash bucket.
+    "x_sqrt_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        | m AS (SELECT MIN(n) AS cmin FROM c),
+        | p AS (SELECT source, CAST(FLOOR(100.0 * SQRT(CAST(cmin AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS pct FROM c, m),
+        | k AS (SELECT d.source FROM documents d JOIN p USING (source)
+        |  WHERE (((((d.doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 < pct)
+        | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+        | FROM k GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
     // Deterministic mixing replayed in SQL: same id-hash, same
     // per-type percentage routing.
     "x_weighted_mix" ->

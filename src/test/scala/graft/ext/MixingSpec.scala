@@ -35,4 +35,33 @@ class MixingSpec extends AnyFunSuite {
       Map("web" -> 20, "books" -> 50)).select(col("id")).collect().map(_.getLong(0)).toSet
     assert(subset == once.filter(_ <= 1000L), "a row's fate must not depend on the corpus")
   }
+
+  test("sqrtTemperatureMix: min group whole, keep pct = floor(100*sqrt(cmin/c)), deterministic") {
+    // Counts: tiny=4 (pct 100 — exact), big=16 (4/16 = 0.25 exact,
+    // sqrt = 0.5 exact → pct 50), mid=9 (floor(100*sqrt(4/9)) = 66).
+    val df = ((1L to 4L).map(i => (i, "tiny")) ++
+      (101L to 116L).map(i => (i, "big")) ++
+      (201L to 209L).map(i => (i, "mid"))).toDF("id", "g")
+    val mixed = Mixing.sqrtTemperatureMix(df, "id", "g")
+    val kept = mixed.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.getOrElse("tiny", 0L) == 4L, s"min group must survive whole: $kept")
+    // The realized keep per group equals the independent bucket filter
+    // at the predicted percentage — the mix IS that composition.
+    def expect(lo: Long, hi: Long, pct: Int) =
+      df.where(col("id").between(lo, hi) &&
+        TextAnalysis.splitBucket(col("id")) < pct).count()
+    assert(kept.getOrElse("big", 0L) == expect(101, 116, 50),
+      s"big group must keep exactly its bucket<50 rows: $kept")
+    assert(kept.getOrElse("mid", 0L) == expect(201, 209, 66),
+      s"mid group must keep exactly its bucket<66 rows: $kept")
+    // Deterministic under repartition; schema unchanged.
+    val again = Mixing.sqrtTemperatureMix(df.repartition(7), "id", "g")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(again == mixed.select(col("id")).collect().map(_.getLong(0)).toSet)
+    assert(mixed.columns.toSeq.sorted == df.columns.toSeq.sorted,
+      "output schema must be the input schema")
+    // Empty input: empty output with the input schema, no NPE.
+    assert(Mixing.sqrtTemperatureMix(df.where(lit(false)), "id", "g").count() == 0)
+  }
 }

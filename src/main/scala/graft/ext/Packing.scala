@@ -54,6 +54,30 @@ object Packing {
       .select(col("shard"), col("chunk_id"), col("id"), col("n_in_chunk"))
   }
 
+  /** Per-chunk document boundaries — the attention-mask metadata a
+    * training loader needs next to the packed tokens: for every doc
+    * span inside a chunk, its start/end token offsets WITHIN that
+    * chunk ([off_start, off_end), 0-based; a cross-boundary doc
+    * yields one row per chunk it straddles). Derived from
+    * [[chunkSpans]] with one more per-(shard, chunk) window cumsum —
+    * chunks hold ≤ capacity tokens, so the window is bounded, and the
+    * (shard, chunk_id) clustering is a refinement of the shard
+    * partitioning the spans already carry, so the extra window adds a
+    * per-partition sort but no new exchange. Offsets are pure integer
+    * arithmetic, replayed exactly by the x_pack_boundaries oracle.
+    * Invariants (PackingSpec): spans within a chunk tile it exactly —
+    * first starts at 0, consecutive spans abut, last ends at the
+    * chunk's fill. */
+  def chunkBoundaries(docs: DataFrame, idCol: String, nTokens: org.apache.spark.sql.Column,
+                      capacity: Long, shards: Int): DataFrame = {
+    val inChunk = Window.partitionBy(col("shard"), col("chunk_id")).orderBy(col("id"))
+    chunkSpans(docs, idCol, nTokens, capacity, shards)
+      .withColumn("off_end", sum(col("n_in_chunk")).over(
+        inChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("shard"), col("chunk_id"), col("id"),
+        (col("off_end") - col("n_in_chunk")).as("off_start"), col("off_end"))
+  }
+
   /** Packed-chunk summary: one row per (shard, chunk) with the number
     * of contributing documents and its token fill. Every chunk except
     * a shard's last is exactly full — the invariant PackingSpec pins

@@ -206,6 +206,14 @@ private[graft] object CorpusQueries {
       // arithmetic in SQL.
       Packing.packSummary(Tables.documents(s, dir), "doc_id",
         TextAnalysis.wsTokenCount(col("text")), capacity = 512L, shards = 8)),
+    "x_pack_boundaries" -> ((s, dir) =>
+      // Per-chunk document boundary offsets (the attention-mask
+      // metadata next to the packed tokens) for the same 512/8 packing
+      // — every doc span's [off_start, off_end) within its chunk,
+      // all-integer, oracle-replayed.
+      Packing.chunkBoundaries(Tables.documents(s, dir), "doc_id",
+          TextAnalysis.wsTokenCount(col("text")), capacity = 512L, shards = 8)
+        .orderBy(col("shard"), col("chunk_id"), col("id"))),
     "x_contamination" -> ((s, dir) => contamination(s, dir)),
     "x_tfidf_top" -> ((s, dir) => {
       // Top TF-IDF term for the first 20 docs, scored against
@@ -1063,6 +1071,24 @@ private[graft] object CorpusQueries {
         | SELECT shard, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |   CAST(SUM(LEAST(cum_end, (chunk_id + 1) * 512) - GREATEST(cum_before, chunk_id * 512)) AS BIGINT) AS n_tokens
         | FROM e GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin.replaceAll("\n", " "),
+    // Boundary offsets replayed in SQL: the x_pack_chunks spans CTE
+    // plus one per-(shard, chunk) running sum.
+    "x_pack_boundaries" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok,
+        |   ((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 8) AS shard FROM documents),
+        | c AS (SELECT shard, id, n_tok,
+        |   SUM(n_tok) OVER (PARTITION BY shard ORDER BY id ROWS UNBOUNDED PRECEDING) AS cum_end FROM d),
+        | s AS (SELECT shard, id, cum_end, cum_end - n_tok AS cum_before FROM c WHERE n_tok > 0),
+        | e AS (SELECT shard, id, cum_before, cum_end,
+        |   unnest(generate_series(CAST(floor(cum_before / 512) AS BIGINT), CAST(floor((cum_end - 1) / 512) AS BIGINT))) AS chunk_id
+        |  FROM s),
+        | sp AS (SELECT shard, chunk_id, id,
+        |   LEAST(cum_end, (chunk_id + 1) * 512) - GREATEST(cum_before, chunk_id * 512) AS n_in_chunk FROM e)
+        | SELECT shard, chunk_id, id,
+        |  CAST(SUM(n_in_chunk) OVER (PARTITION BY shard, chunk_id ORDER BY id ROWS UNBOUNDED PRECEDING) - n_in_chunk AS BIGINT) AS off_start,
+        |  CAST(SUM(n_in_chunk) OVER (PARTITION BY shard, chunk_id ORDER BY id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS off_end
+        | FROM sp ORDER BY shard, chunk_id, id""".stripMargin.replaceAll("\n", " "),
     // Decontamination replayed in SQL: word 3-grams, distinct
     // (doc, shingle) pairs, doc_id % 97 routes bench vs train.
     "x_contamination" ->

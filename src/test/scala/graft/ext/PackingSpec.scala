@@ -36,6 +36,30 @@ class PackingSpec extends AnyFunSuite {
     assert(sum.toSeq == Seq((0L, 3L, 10L), (1L, 2L, 10L), (2L, 2L, 6L)))
   }
 
+  test("chunkBoundaries: spans tile each chunk — start 0, abutting, end = fill") {
+    val b = Packing.chunkBoundaries(docs, "id", col("n"), capacity = 10L, shards = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // Same spans as chunkSpans, with within-chunk offsets.
+    assert(b.toSet == Set(
+      (0L, 1L, 0L, 4L), (0L, 2L, 4L, 7L), (0L, 3L, 7L, 10L),
+      (1L, 3L, 0L, 4L), (1L, 4L, 4L, 10L),
+      (2L, 4L, 0L, 4L), (2L, 6L, 4L, 6L)),
+      s"unexpected boundaries: $b")
+    // Tiling invariant on a larger random corpus, every shard.
+    val many = (1L to 500L).map(i => (i, i % 37)).toDF("id", "n")
+    val rows = Packing.chunkBoundaries(many, "id", col("n"), capacity = 64L, shards = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    rows.foreach { case ((shard, chunk), spans) =>
+      assert(spans.head._2 == 0L, s"first span of ($shard,$chunk) must start at 0")
+      spans.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(0)._3 == w(1)._2, s"spans of ($shard,$chunk) must abut: $spans")
+      }
+      assert(spans.last._3 <= 64L, s"($shard,$chunk) overfilled: $spans")
+    }
+  }
+
   test("multi-shard packing conserves tokens and respects capacity") {
     val many = (1L to 500L).map(i => (i, 1L + i % 37)).toDF("id", "n")
     val total = 500L + (1L to 500L).map(_ % 37).sum

@@ -713,6 +713,36 @@ class DedupSpec extends AnyFunSuite {
       "redelivered probe with excludeBatch must equal the pre-crash probe")
   }
 
+  test("excludeBatch: winnow probe unchanged by a crashed attempt's orphaned posting append") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val table = "graft_winnow_exclude_batch_spec"
+    graft.io.Writer.emptyPartitionedBucketedTable(spark, table,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("fp", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "fp", 16)
+    val committed = WinnowIndex.postings(
+      corpus.where(col("doc_id") < 100), "doc_id", "text", k = 8, w = 4)
+      .localCheckpoint(true)
+    StreamOps.writeBatchToSink(spark, table, committed, 0L)
+    spark.catalog.refreshTable(table)
+    val np = WinnowIndex.postings(
+      corpus.where(col("doc_id") >= 100), "doc_id", "text", k = 8, w = 4)
+      .localCheckpoint(true)
+    def probe(): Set[(Long, Long, Long)] =
+      WinnowIndex.probeNewBatchFromPostings(spark, table, np,
+        excludeBatch = Some(1L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val clean = probe()
+    assert(clean.nonEmpty, "near-dup newcomers must share passages with their sources")
+    StreamOps.writeBatchToSink(spark, table, np, 1L)
+    spark.catalog.refreshTable(table)
+    assert(probe() == clean,
+      "redelivered winnow probe with excludeBatch must equal the pre-crash probe")
+  }
+
   test("streamIngest with a checkpoint: a restarted driver resumes after committed batches, state intact") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_stream_restart_").toString

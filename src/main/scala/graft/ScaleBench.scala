@@ -862,6 +862,55 @@ object ScaleBench {
       s""""stream_sessions":{"t":${fmt(tStream)},"n_emitted":$nStream}}"""
   }
 
+  /** The round-12 corpus operators at scale: bigram-surprisal LM
+    * scoring (two keyed censuses + two keyed joins), the memorization
+    * twin it shares its shuffle shape with, √-temperature mixture
+    * rebalancing (k-row census broadcast), and packed-chunk boundary
+    * emission (per-shard windows). All four must grow ≤ linearly in
+    * documents — none has a pair-mass term. Corpus via
+    * [[genDocuments]] (50-token docs), generation excluded from every
+    * timing by an untimed localCheckpoint. */
+  def corpusOpsPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.{Mixing, TextAnalysis}
+    val n = 5000L * scale
+    val docs = genDocuments(spark, n).localCheckpoint(true)
+    spark.sqlContext.clearCache()
+    val (nSur, tSur) = timed {
+      TextAnalysis.surprisalStats(docs, "doc_id", "text").count()
+    }
+    require(nSur == n, s"surprisal must keep every doc: $nSur != $n")
+    spark.sqlContext.clearCache()
+    val (nMem, tMem) = timed {
+      TextAnalysis.memorizedBigramStats(docs, "doc_id", "text", minCount = 4L).count()
+    }
+    spark.sqlContext.clearCache()
+    // Exponentially skewed sources (group k holds ids
+    // [500·2^k, 500·2^{k+1}), counts doubling from a 500-doc smallest
+    // group — the web-dump shape √-temperature exists for, with c_min
+    // representative so integer-pct quantization doesn't zero the
+    // head; see the operator's quantization caveat): total kept must
+    // compress well under n, not pass through.
+    val withSrc = docs.withColumn("source",
+      concat(lit("s"), floor(log2(expr("doc_id DIV 500") + 1))))
+    val (nMix, tMix) = timed {
+      Mixing.sqrtTemperatureMix(withSrc, "doc_id", "source").count()
+    }
+    // Strictly compressive at every scale; the ratio tightens as more
+    // doubling groups exist (few groups at the 1× warmup).
+    require(nMix < (n * 3) / 4,
+      s"skewed sources must downsample: kept $nMix of $n")
+    spark.sqlContext.clearCache()
+    val (nSpan, tSpan) = timed {
+      graft.ext.Packing.chunkBoundaries(docs, "doc_id",
+        TextAnalysis.wsTokenCount(col("text")), capacity = 512L, shards = 32).count()
+    }
+    s"""{"scale":$scale,"n_docs":$n,""" +
+      s""""surprisal":{"t":${fmt(tSur)},"n_rows":$nSur},""" +
+      s""""memorization":{"t":${fmt(tMem)},"n_rows":$nMem},""" +
+      s""""sqrt_mix":{"t":${fmt(tMix)},"n_kept":$nMix},""" +
+      s""""pack_boundaries":{"t":${fmt(tSpan)},"n_spans":$nSpan}}"""
+  }
+
   /** Σ n·(n−1)/2 over the blocks of `blockCol` — the pair mass that
     * bounds a blocked pipeline's join work. */
   private def pairMass(df: DataFrame, blockCol: String): Long =
@@ -1033,6 +1082,13 @@ object ScaleBench {
     if (args.contains("winnow-inc-only")) {
       winnowIncPoint(spark, outBase, 1)
       scales.foreach(m => println(winnowIncPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `corpus-ops-only`: the round-12 corpus operators at scale.
+    if (args.contains("corpus-ops-only")) {
+      corpusOpsPoint(spark, outBase, 1)
+      scales.foreach(m => println(corpusOpsPoint(spark, outBase, m)))
       spark.stop()
       return
     }

@@ -61,7 +61,14 @@ object Mixing {
     * formula computes the identical keep percentage. Fixed at α = 1/2
     * on purpose — pow() is NOT correctly rounded across libms, sqrt
     * is. The group census is a k-row broadcast join (k = number of
-    * groups), never a driver loop over data. */
+    * groups), never a driver loop over data.
+    *
+    * Quantization caveat: the keep percentage is an integer bucket
+    * threshold, so a group larger than 10⁴·c_min floors to pct 0 and
+    * is dropped whole. Under extreme skew (a 1-doc tail group against
+    * a web-dump head), pre-bucket the tail or drop sub-threshold
+    * groups first so c_min reflects a REPRESENTATIVE smallest group —
+    * the same discipline any bucketed sampler needs. */
   def sqrtTemperatureMix(df: DataFrame, idCol: String, groupCol: String): DataFrame = {
     val census = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__mix_c"))
     // One k-row scalar: the smallest group's count anchors the scale.

@@ -50,6 +50,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive/metric-learning training:
+    * for each anchor, the k most cosine-similar corpus vectors
+    * carrying a DIFFERENT label — the negatives that actually move
+    * the loss. The anchor batch broadcasts (mining passes work a
+    * bounded batch of anchors, the production shape) and the corpus
+    * is scanned ONCE: |anchors|·n codegen'd scorings then a
+    * per-anchor WindowGroupLimit top-k — linear in the corpus, never
+    * corpus×corpus. The broadcast side is the anchor batch, so the
+    * nested-loop the non-equi label filter induces is bounded by the
+    * batch size; at larger anchor batches, shard the batch and union.
+    * Output: (anchor_id, id, cos_sim, rank), rank 1-based per anchor. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, anchors: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = corpus.sparkSession
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("__anchor_vec"), col(labelCol).as("__anchor_label"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    corpus.join(broadcast(a), col(labelCol) =!= col("__anchor_label"))
+      .select(col("anchor_id"), col(idCol),
+        cosineIn(s)(col(vecCol), col("__anchor_vec")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component r_{j,d} ∈ [-1, 1),
     * derived from (j, d) by integer hashing — no RNG state, so every
     * executor materializes the same hyperplanes. */

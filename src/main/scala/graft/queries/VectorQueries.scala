@@ -16,6 +16,17 @@ private[graft] object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_cosine_topk" -> ((s, dir) => cosineTopK(s, dir)),
     "x_cosine_adjacent" -> ((s, dir) => cosineAdjacent(s, dir)),
+    "x_hard_negatives" -> ((s, dir) => {
+      // Hard-negative mining (Similarity.hardNegatives): top-5
+      // different-label neighbors for a 5-anchor batch — anchor batch
+      // broadcast, corpus scanned once, per-anchor WindowGroupLimit.
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          emb.where(col("vec_id") < 5), k = 5)
+        .select(col("anchor_id"), col("vec_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
     "x_cosine_pairs_label" -> ((s, dir) =>
       // maxBlockSize mirrored in the oracle SQL (HAVING count <= cap)
       // so the guard is part of the checked semantics, not a test-scale
@@ -642,6 +653,22 @@ private[graft] object VectorQueries {
         |  / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
         |   * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS cos_sim
         | FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 ORDER BY id_a""".stripMargin.replaceAll("\n", " "),
+    // Hard negatives replayed in SQL: same fold-order cosine as the
+    // other vector oracles, same different-label filter, same
+    // (cos DESC, vec_id) rank per anchor.
+    "x_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS al
+        |  FROM embeddings WHERE vec_id < 5),
+        | scored AS (SELECT a.anchor_id, e.vec_id,
+        |  list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.av[i] AS DOUBLE)), (x, y) -> x + y)
+        |  / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |   * sqrt(list_reduce(list_transform(generate_series(1, len(a.av)), i -> CAST(a.av[i] AS DOUBLE) * CAST(a.av[i] AS DOUBLE)), (x, y) -> x + y))) AS cos_sim
+        |  FROM embeddings e JOIN a ON e.label <> a.al),
+        | r AS (SELECT anchor_id, vec_id, cos_sim,
+        |   ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM scored)
+        | SELECT anchor_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+        | FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin.replaceAll("\n", " "),
     "x_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         | scored AS (SELECT e.vec_id,

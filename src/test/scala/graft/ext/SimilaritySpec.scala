@@ -351,4 +351,29 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(again.subsetOf(out), "second pass must only ever shrink")
   }
+
+  test("hardNegatives: top-k different-label neighbors per anchor, never the anchor's own label") {
+    // 2D toy geometry: anchor (1,0) label A. Same-label near-twin
+    // (0.99, 0.1) must NOT appear; the most similar other-label vector
+    // is (0.9, 0.2) [B], then (0.5, 0.5) [B], then (0,1) [C].
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), "A"),
+      (1L, Seq(0.99f, 0.1f), "A"),   // same label — excluded however similar
+      (2L, Seq(0.9f, 0.2f), "B"),
+      (3L, Seq(0.5f, 0.5f), "B"),
+      (4L, Seq(0f, 1f), "C")).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+        vecs.where(col("vec_id") === 0L), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(out == Seq((0L, 2L, 1), (0L, 3L, 2)),
+      s"expected ranked other-label neighbors (2,3), got $out")
+    // Multi-anchor: every anchor gets exactly min(k, |other-label|)
+    // rows and never a row of its own label.
+    val multi = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+        vecs.where(col("vec_id").isin(0L, 4L)), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val byAnchor = multi.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byAnchor(0L) == Set(2L, 3L, 4L), s"anchor 0 negatives wrong: $byAnchor")
+    assert(byAnchor(4L) == Set(0L, 1L, 2L, 3L), s"anchor 4 negatives wrong: $byAnchor")
+  }
 }

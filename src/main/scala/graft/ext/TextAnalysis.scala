@@ -222,14 +222,20 @@ object TextAnalysis {
       df.where(col(textCol).isNotNull)
         .select(col(idCol), explode(bigrams).as("g"))
         .groupBy(col(idCol), col("g"))
-        .agg(count(lit(1)).as("c_doc"))
-        .withColumn("w1", element_at(split(col("g"), " "), 1)))
+        .agg(count(lit(1)).as("c_doc")))
+    // Prefix mass folds from the GRAM census, not the doc×gram pairs
+    // (same value — c1(w1) = Σ_g c(g) over grams starting w1 — on a
+    // strictly smaller input), and bits lands per GRAM before the one
+    // pairs join: census-sized work everywhere except a single keyed
+    // join against pairs. Both joins are lossless: census and prefix
+    // mass are built from the same grams, so every (g, w1) matches
+    // and c1 >= c >= 1.
     val corpus = pairs.groupBy(col("g")).agg(sum(col("c_doc")).as("c"))
-    val prefix = pairs.groupBy(col("w1")).agg(sum(col("c_doc")).as("c1"))
-    // Both joins are lossless: census and prefix mass are built from
-    // the same pairs, so every (g, w1) matches and c1 >= c >= 1.
-    val perDoc = pairs.join(corpus, "g").join(prefix, "w1")
-      .withColumn("bits", floor(log2(expr("c1 DIV c"))))
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+    val prefix = corpus.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+    val gramBits = corpus.join(prefix, "w1")
+      .select(col("g"), floor(log2(expr("c1 DIV c"))).as("bits"))
+    val perDoc = pairs.join(gramBits, "g")
       .groupBy(col(idCol))
       .agg(sum(col("c_doc")).as("n_bigrams"),
         sum(col("c_doc") * col("bits")).as("bits_sum"))

@@ -228,7 +228,9 @@ object DedupIndex {
     // With a checkpoint the ingest is RESTARTABLE: keep whatever index
     // state a previous driver accumulated (the checkpoint guarantees
     // committed batches are not redelivered). Without one, the stream
-    // owns a fresh index.
+    // owns a fresh index. A restart MUST pass the same MinHash params:
+    // the kept index rows are run-1 bands, so changed params would
+    // probe incomparable signatures.
     val mkTable = if (checkpointLocation.isDefined)
       Writer.ensurePartitionedBucketedTable _
     else Writer.emptyPartitionedBucketedTable _

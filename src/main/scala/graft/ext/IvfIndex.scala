@@ -264,8 +264,11 @@ object IvfIndex {
     val idType = stream.schema(idCol).dataType
     val vecType = stream.schema(vecCol).dataType
     // Restartable with a checkpoint — see the dedup twin's comment.
-    // The centroids are caller-supplied constants, so rewriting their
-    // table on restart is safe either way.
+    // A restart MUST pass the same centroids (and threshold): run 1's
+    // rows are indexed under run 1's cell assignment, so different
+    // centroids would silently mis-prune probes against them. The
+    // centroids table is rewritten on restart because it is derived
+    // from the argument, not state.
     Writer.dropTableAndLocation(spark, centroidsTable(table))
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c) }

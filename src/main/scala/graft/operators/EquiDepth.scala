@@ -39,12 +39,13 @@ import org.apache.spark.sql.types.LongType
   */
 object EquiDepth {
 
-  /** Appends a `bucket` column (1-based, long) = NTILE(`n`) over
-    * `ORDER BY orderCols`. `numPartitions` 0 → the session's shuffle
-    * partitions. */
-  def ntileBuckets(df: DataFrame, orderCols: Seq[String], n: Int,
-                   numPartitions: Int = 0): DataFrame = {
-    require(n > 0, s"ntile bucket count must be positive, got $n")
+  /** The shared rank core: range-partition + local sort (staged once),
+    * per-partition counts to the driver (metadata), then the narrow
+    * rank pass appending `colName` (1-based global rank, long).
+    * Returns the ranked frame and the total row count. */
+  private def rankedWithTotal(df: DataFrame, orderCols: Seq[String],
+                              numPartitions: Int,
+                              colName: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
@@ -66,24 +67,51 @@ object EquiDepth {
       var acc = 0L
       counts.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
     }
-    val quot = total / n
-    val rem = total % n
-    val outSchema = sorted.schema.add("bucket", LongType, nullable = false)
+    val outSchema = sorted.schema.add(colName, LongType, nullable = false)
     val bOffsets = spark.sparkContext.broadcast(offsets)
     // Rank pass: narrow over the checkpointed partitions — the stored
     // within-partition sort order is the global order restricted to
     // each range, so offset + position IS the global rank.
-    sorted.mapPartitions { it =>
+    val ranked = sorted.mapPartitions { it =>
       val off = bOffsets.value.getOrElse(TaskContext.getPartitionId(), 0L)
       var i = 0L
       it.map { row =>
         i += 1
-        val rank = off + i
-        val bucket =
-          if (rank <= rem * (quot + 1)) (rank - 1) / (quot + 1) + 1
-          else rem + (rank - rem * (quot + 1) - 1) / math.max(quot, 1L) + 1
-        Row.fromSeq(row.toSeq :+ bucket)
+        Row.fromSeq(row.toSeq :+ (off + i))
       }
     }(Encoders.row(outSchema))
+    (ranked, total)
+  }
+
+  /** Appends a `bucket` column (1-based, long) = NTILE(`n`) over
+    * `ORDER BY orderCols`. `numPartitions` 0 → the session's shuffle
+    * partitions. */
+  def ntileBuckets(df: DataFrame, orderCols: Seq[String], n: Int,
+                   numPartitions: Int = 0): DataFrame = {
+    require(n > 0, s"ntile bucket count must be positive, got $n")
+    val (ranked, total) = rankedWithTotal(df, orderCols, numPartitions, "__edq_rank")
+    val quot = total / n
+    val rem = total % n
+    // The standard NTILE arithmetic on the global rank, in integer
+    // expressions (DIV, not double division).
+    ranked.withColumn("bucket",
+        when(col("__edq_rank") <= lit(rem * (quot + 1)),
+          expr(s"(__edq_rank - 1) DIV ${quot + 1} + 1"))
+          .otherwise(expr(
+            s"$rem + (__edq_rank - ${rem * (quot + 1)} - 1) DIV ${math.max(quot, 1L)} + 1")))
+      .drop("__edq_rank")
+  }
+
+  /** EXACT order statistics without a single-task global sort: the
+    * rows sitting at the given 1-based `ranks` of `ORDER BY
+    * orderCols`, each with a `rank` column — the same two-pass
+    * construction as [[ntileBuckets]] (range shuffle + per-partition
+    * offsets), exact at any cardinality. Out-of-range ranks simply
+    * match nothing. The result is |ranks| rows — a percentile /
+    * winsorization-bound lookup (p1 = rank max(1, n·1/100), etc.). */
+  def percentileValues(df: DataFrame, orderCols: Seq[String], ranks: Seq[Long],
+                       numPartitions: Int = 0): DataFrame = {
+    val (ranked, _) = rankedWithTotal(df, orderCols, numPartitions, "rank")
+    ranked.where(col("rank").isin(ranks: _*))
   }
 }

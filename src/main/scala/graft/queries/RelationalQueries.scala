@@ -73,6 +73,32 @@ private[graft] object RelationalQueries {
     "x_gap_fill" -> ((s, dir) => gapFillDaily(s, dir)),
     "x_corr_regression" -> ((s, dir) => corrRegression(s, dir)),
     "x_rolling_stats" -> ((s, dir) => rollingStats(s, dir)),
+    "x_winsorize" -> ((s, dir) => {
+      // Exact-rank winsorization of events.value at [p1, p99] via the
+      // distributed order statistic (EquiDepth.percentileValues — the
+      // same two-pass rank construction as x_ntile_buckets, never a
+      // single-task sort): bounds are the values at ranks
+      // max(1, n DIV 100) and n − that + 1 under the unique
+      // (value, event_id) order; the clip census sums decimal-exact
+      // (events.value is 2-decimal by construction).
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      val n = ev.count()
+      val loRank = math.max(1L, n / 100)
+      val hiRank = n - loRank + 1
+      val bounds = graft.operators.EquiDepth.percentileValues(
+          ev, Seq("value", "event_id"), Seq(loRank, hiRank))
+        .select(col("rank"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val (vLo, vHi) = (bounds(loRank), bounds(hiRank))
+      val clipped = least(greatest(col("value"), lit(vLo)), lit(vHi))
+      ev.agg(
+          count(lit(1)).as("n"),
+          sum((col("value") < vLo).cast("long")).as("n_low"),
+          sum((col("value") > vHi).cast("long")).as("n_high"),
+          sum(clipped.cast("decimal(18,2)")).cast("double").as("sum_winsorized"))
+        .withColumn("v_lo", lit(vLo))
+        .withColumn("v_hi", lit(vHi))
+    }),
     "x_ntile_buckets" -> ((s, dir) => {
       // Equi-DEPTH histogram via DISTRIBUTED exact NTILE(10) — the
       // quantile-bucket complement of q_histogram_price's equi-width
@@ -703,6 +729,20 @@ private[graft] object RelationalQueries {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         | FROM lineitem JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P') o
         |   ON l_orderkey = o_orderkey""".stripMargin.replaceAll("\n", " "),
+    // Winsorization replayed in SQL: same rank formula on the same
+    // unique order, same clip, same decimal-exact sum.
+    "x_winsorize" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM events),
+        | r AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rank FROM events),
+        | b AS (SELECT
+        |   (SELECT value FROM r, n WHERE rank = GREATEST(1, n // 100)) AS v_lo,
+        |   (SELECT value FROM r, n WHERE rank = n - GREATEST(1, n // 100) + 1) AS v_hi)
+        | SELECT CAST(n.n AS BIGINT) AS n,
+        |  CAST((SELECT COUNT(*) FROM events, b WHERE value < b.v_lo) AS BIGINT) AS n_low,
+        |  CAST((SELECT COUNT(*) FROM events, b WHERE value > b.v_hi) AS BIGINT) AS n_high,
+        |  (SELECT CAST(SUM(CAST(LEAST(GREATEST(value, b.v_lo), b.v_hi) AS DECIMAL(18,2))) AS DOUBLE) FROM events, b) AS sum_winsorized,
+        |  b.v_lo AS v_lo, b.v_hi AS v_hi
+        | FROM n, b""".stripMargin.replaceAll("\n", " "),
     // NTILE over the same unique total order — bucket assignment and
     // remainder distribution are pinned by the standard.
     "x_ntile_buckets" ->

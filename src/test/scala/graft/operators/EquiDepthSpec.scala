@@ -59,6 +59,21 @@ class EquiDepthSpec extends AnyFunSuite {
       5L -> 7L, 6L -> 7L, 7L -> 7L))
   }
 
+  test("percentileValues: exact order statistics at requested ranks, out-of-range ignored") {
+    val df = (1L to 1000L).map(i => ((i * 7919) % 1000, i)).toDF("a", "b")
+    val got = EquiDepth.percentileValues(df, Seq("a", "b"), Seq(1L, 500L, 1000L, 5000L))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
+    // Truth via a plain sorted collect at fixture scale.
+    val sorted = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.keySet == Set(1L, 500L, 1000L), s"ranks wrong: ${got.keySet}")
+    assert(got(1L) == sorted(0) && got(500L) == sorted(499) && got(1000L) == sorted(999),
+      s"order statistics diverge: $got")
+    // The plan must not contain the empty-partition-spec Window trap.
+    val plan = EquiDepth.percentileValues(df, Seq("a", "b"), Seq(1L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"single-task window present:\n$plan")
+  }
+
   test("driver query x_ntile_buckets plans no empty-partition-spec Window") {
     val q = graft.SparkEntry.queries("x_ntile_buckets")(spark, TestSpark.sf0001)
     assert(!q.queryExecution.executedPlan.toString.contains("Window"),

@@ -19,9 +19,13 @@ object SmokeCheck {
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0)
                else sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
-    val sfDirs = new java.io.File(base).listFiles()
+    val sfDirs = Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("sf"))
       .map(_.getAbsolutePath).sorted.toSeq
+    if (sfDirs.isEmpty) {
+      System.err.println(s"[smoke] no sf* dirs under $base — testdata missing or moved")
+      sys.exit(1)
+    }
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.session.timeZone", "UTC")

@@ -83,6 +83,28 @@ object Mixing {
       .drop("__mix_pct")
   }
 
+  /** Per-group TOKEN budget cap — the domain-quota form curation
+    * actually uses ("at most B tokens per source"), not a row-count
+    * cap: rows are taken in the deterministic id-hash order (same
+    * order as every Mixing op, so reruns and subsets agree) and a row
+    * survives iff the group's running token total INCLUDING it stays
+    * ≤ budget — the first over-budget row and everything after it in
+    * the group drop. One window cumsum keyed on the group (a single
+    * shuffle, incremental currentRow frame); groups whose whole mass
+    * fits pass through untouched. Output schema = input schema. */
+  def tokenBudgetPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                          tokCol: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__mix_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__mix_h", orderHash(col(idCol)))
+      .withColumn("__mix_tok", tokCol)
+      .withColumn("__mix_cum", sum(col("__mix_tok")).over(w))
+      .where(col("__mix_cum") <= budget)
+      .drop("__mix_h", "__mix_tok", "__mix_cum")
+  }
+
   /** Deterministic exact-k-PER-GROUP (stratified) sample: the same
     * hash order, ranked within each group — every stratum contributes
     * exactly min(k, |stratum|) rows. One shuffle on the group key.

@@ -126,6 +126,16 @@ private[graft] object CorpusQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
+    "x_group_budget" -> ((s, dir) =>
+      // Per-source token-budget cap (Mixing.tokenBudgetPerGroup):
+      // 2000 whitespace tokens per source in the deterministic hash
+      // order; per-source kept census with the exact token mass.
+      Mixing.tokenBudgetPerGroup(Tables.documents(s, dir), "doc_id",
+          "source", TextAnalysis.wsTokenCount(col("text")), budget = 2000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextAnalysis.wsTokenCount(col("text"))).as("tok_kept"))
+        .orderBy(col("source"))),
     "x_sqrt_mix" -> ((s, dir) =>
       // √-temperature mixture rebalance by source
       // (graft.ext.Mixing.sqrtTemperatureMix): kept counts ∝ √c_g,
@@ -1036,6 +1046,19 @@ private[graft] object CorpusQueries {
         |  FROM events)
         | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
         | FROM r WHERE rn <= 3 GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+    // Per-source token budget replayed in SQL: same hash order, same
+    // inclusive running-total cutoff.
+    "x_group_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok,
+        |   ((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 1000003) AS h
+        |  FROM documents),
+        | c AS (SELECT source, doc_id, n_tok,
+        |   SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tok_kept
+        | FROM c WHERE cum <= 2000 GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
     // √-temperature rebalance replayed in SQL: same census, same
     // floor(100·sqrt(cmin/c)) keep pct (IEEE-exact on both engines),
     // same id-hash bucket.

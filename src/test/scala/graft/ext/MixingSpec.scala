@@ -36,6 +36,30 @@ class MixingSpec extends AnyFunSuite {
     assert(subset == once.filter(_ <= 1000L), "a row's fate must not depend on the corpus")
   }
 
+  test("tokenBudgetPerGroup: inclusive prefix in hash order, whole small groups, deterministic") {
+    val df = ((1L to 40L).map(i => (i, "big", 10L)) ++      // 400 tokens total
+      (101L to 103L).map(i => (i, "small", 5L)))            // 15 — under budget
+      .toDF("id", "g", "n")
+    val out = Mixing.tokenBudgetPerGroup(df, "id", "g", col("n"), budget = 100L)
+    assert(out.columns.toSeq == df.columns.toSeq, "schema must be the input schema")
+    val kept = out.collect().map(r => (r.getString(1), r.getLong(0)))
+    // Small group fits whole.
+    assert(kept.count(_._1 == "small") == 3, s"under-budget group truncated: ${kept.toSeq}")
+    // Big group: exactly 10 docs of 10 tokens — and precisely the
+    // first 10 in (orderHash, id) order, the same prefix an
+    // independent sort computes.
+    val bigKept = kept.filter(_._1 == "big").map(_._2).toSet
+    assert(bigKept.size == 10, s"expected 10 big docs kept, got ${bigKept.size}")
+    val expected = df.where(col("g") === "big")
+      .select(col("id"), Mixing.orderHash(col("id")).as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.take(10).map(_._2).toSet
+    assert(bigKept == expected, s"kept set is not the hash-order prefix: $bigKept vs $expected")
+    // Deterministic under repartition.
+    val again = Mixing.tokenBudgetPerGroup(df.repartition(7), "id", "g", col("n"), 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_._2).toSet)
+  }
+
   test("sqrtTemperatureMix: min group whole, keep pct = floor(100*sqrt(cmin/c)), deterministic") {
     // Counts: tiny=4 (pct 100 — exact), big=16 (4/16 = 0.25 exact,
     // sqrt = 0.5 exact → pct 50), mid=9 (floor(100*sqrt(4/9)) = 66).

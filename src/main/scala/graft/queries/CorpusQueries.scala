@@ -45,6 +45,7 @@ private[graft] object CorpusQueries {
         .select(col("doc_id"), col("score_en"), col("score_es"), col("lang_pred"))
         .orderBy(col("doc_id"))),
     "x_jaccard_adjacent" -> ((s, dir) => jaccardAdjacent(s, dir)),
+    "x_containment_adjacent" -> ((s, dir) => containmentAdjacent(s, dir)),
     "x_minhash_neardup" -> ((s, dir) => minhashSummary(s, dir)),
     "x_incremental_dedup" -> ((s, dir) => incrementalDedupProd(s, dir)),
     "x_incremental_dedup_gate" -> ((s, dir) => incrementalDedupGate(s, dir)),
@@ -574,6 +575,26 @@ private[graft] object CorpusQueries {
 
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
     * oracle-checkable anchor for the n-gram-Jaccard machinery. */
+  /** Directional CONTAINMENT on adjacent doc pairs — the subset/
+    * quotation signal Jaccard misses: a short doc fully quoted inside
+    * a long one has |A∩B|/|A| = 1 while its Jaccard stays small.
+    * Same distinct-token machinery and pairing as [[jaccardAdjacent]]
+    * (keyed equi-join, no cartesian); both directions reported. */
+  private def containmentAdjacent(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
+    val a = tok.select(col("doc_id").as("id_a"), col("t").as("t_a"))
+    val b = tok.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("t").as("t_b"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("t_a"), col("t_b"))).cast("long").as("inter"),
+        size(col("t_a")).cast("long").as("n_a"),
+        size(col("t_b")).cast("long").as("n_b"))
+      .withColumn("contain_a_in_b", col("inter").cast("double") / col("n_a").cast("double"))
+      .withColumn("contain_b_in_a", col("inter").cast("double") / col("n_b").cast("double"))
+      .orderBy(col("id_a"))
+  }
+
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
@@ -1297,6 +1318,16 @@ private[graft] object CorpusQueries {
         |   CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS score_en,
         |   CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la'))) AS BIGINT) AS score_es
         |  FROM documents) t ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // Directional containment replayed in SQL: same distinct tokens,
+    // same adjacent pairing, |A∩B|/|A| and /|B|.
+    "x_containment_adjacent" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+        |  CAST(len(a.t) AS BIGINT) AS n_a, CAST(len(b.t) AS BIGINT) AS n_b,
+        |  CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / CAST(len(a.t) AS DOUBLE) AS contain_a_in_b,
+        |  CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / CAST(len(b.t) AS DOUBLE) AS contain_b_in_a
+        | FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin.replaceAll("\n", " "),
     "x_jaccard_adjacent" ->
       """WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -63,24 +63,36 @@ object Mixing {
     * is. The group census is a k-row broadcast join (k = number of
     * groups), never a driver loop over data.
     *
-    * Quantization caveat: the keep percentage is an integer bucket
-    * threshold, so a group larger than 10⁴·c_min floors to pct 0 and
-    * is dropped whole. Under extreme skew (a 1-doc tail group against
-    * a web-dump head), pre-bucket the tail or drop sub-threshold
-    * groups first so c_min reflects a REPRESENTATIVE smallest group —
-    * the same discipline any bucketed sampler needs. */
+    * No quantization cliff: the keep rule is the ALL-INTEGER
+    * cross-multiplication  bucket² · c_g < 10⁸ · c_min  over a
+    * 10⁴-bucket id-hash — algebraically bucket < 10⁴·√(c_min/c_g), so
+    * keep probability degrades smoothly to 10⁻⁴ granularity instead of
+    * flooring to zero at 10⁴·c_min the way an integer percentage did
+    * (a web-dump head domain against a 500-doc tail now keeps its
+    * ~√-proportional share). Evaluated as
+    * bucket² ≤ (10⁸·c_min − 1) div c_g so nothing ever multiplies by
+    * c_g — no overflow for any group size; the only bound is
+    * c_min < 2⁶³/10⁸ ≈ 9.2·10¹⁰, i.e. the SMALLEST group under 92 G
+    * rows, unreachable in practice. Integer div/mod/compare are exact
+    * and identical on every engine, so the oracle replays it verbatim
+    * (doubles appear nowhere). */
   def sqrtTemperatureMix(df: DataFrame, idCol: String, groupCol: String): DataFrame = {
     val census = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__mix_c"))
     // One k-row scalar: the smallest group's count anchors the scale.
     val minRow = census.agg(min(col("__mix_c"))).first()
     if (minRow.isNullAt(0)) return df.where(lit(false)) // empty input
     val cMin = minRow.getLong(0)
-    val pct = census.withColumn("__mix_pct",
-      floor(lit(100.0) * sqrt(lit(cMin).cast("double") / col("__mix_c").cast("double"))))
+    require(cMin < Long.MaxValue / 100000000L,
+      s"smallest group has $cMin rows — beyond the 10⁸·c_min integer range")
+    // Per-group integer threshold t_g = (10⁸·c_min − 1) div c_g;
+    // keep iff bucket² ≤ t_g  ⇔  bucket²·c_g < 10⁸·c_min.
+    val thr = census.withColumn("__mix_t",
+      expr(s"(${cMin}L * 100000000L - 1L) div __mix_c"))
       .drop("__mix_c")
-    df.join(broadcast(pct), Seq(groupCol))
-      .where(TextAnalysis.splitBucket(col(idCol)) < col("__mix_pct"))
-      .drop("__mix_pct")
+    val b = TextAnalysis.idHashBucket(col(idCol), 10000L)
+    df.join(broadcast(thr), Seq(groupCol))
+      .where(b * b <= col("__mix_t"))
+      .drop("__mix_t")
   }
 
   /** Per-group TOKEN budget cap — the domain-quota form curation
@@ -89,19 +101,24 @@ object Mixing {
     * order as every Mixing op, so reruns and subsets agree) and a row
     * survives iff the group's running token total INCLUDING it stays
     * ≤ budget — the first over-budget row and everything after it in
-    * the group drop. One window cumsum keyed on the group (a single
-    * shuffle, incremental currentRow frame); groups whose whole mass
-    * fits pass through untouched. Output schema = input schema. */
+    * the group drop. Groups whose whole mass fits pass through
+    * untouched. Output schema = input schema.
+    *
+    * Scale shape: the cumsum is [[graft.operators.PrefixSum.keyedRunningTotal]],
+    * NOT a `Window.partitionBy(group)` — the window form routes each
+    * group through ONE task, and this operator's target use ("at most
+    * B tokens per SOURCE") is exactly the few-groups/huge-rows shape
+    * where that serializes a web-dump domain into a single thread. The
+    * keyed prefix sum range-partitions every group across tasks, so a
+    * single dominant group scales with cores (MixingSpec pins
+    * window-equality; ScaleBench measures the dominant-group case). */
   def tokenBudgetPerGroup(df: DataFrame, idCol: String, groupCol: String,
                           tokCol: Column, budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("__mix_h"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__mix_h", orderHash(col(idCol)))
-      .withColumn("__mix_tok", tokCol)
-      .withColumn("__mix_cum", sum(col("__mix_tok")).over(w))
-      .where(col("__mix_cum") <= budget)
+    val withCum = graft.operators.PrefixSum.keyedRunningTotal(
+      df.withColumn("__mix_h", orderHash(col(idCol)))
+        .withColumn("__mix_tok", tokCol.cast("long")),
+      groupCol, Seq("__mix_h", idCol), "__mix_tok", outCol = "__mix_cum")
+    withCum.where(col("__mix_cum") <= budget)
       .drop("__mix_h", "__mix_tok", "__mix_cum")
   }
 

@@ -1081,14 +1081,15 @@ private[graft] object CorpusQueries {
         |  CAST(SUM(n_tok) AS BIGINT) AS tok_kept
         | FROM c WHERE cum <= 2000 GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
     // √-temperature rebalance replayed in SQL: same census, same
-    // floor(100·sqrt(cmin/c)) keep pct (IEEE-exact on both engines),
-    // same id-hash bucket.
+    // all-integer keep rule bucket² ≤ (10⁸·cmin − 1) div c over the
+    // same 10⁴-bucket id-hash — integer div/mod/compare are exact and
+    // identical on both engines (doubles appear nowhere).
     "x_sqrt_mix" ->
       """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
         | m AS (SELECT MIN(n) AS cmin FROM c),
-        | p AS (SELECT source, CAST(FLOOR(100.0 * SQRT(CAST(cmin AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS pct FROM c, m),
-        | k AS (SELECT d.source FROM documents d JOIN p USING (source)
-        |  WHERE (((((d.doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 < pct)
+        | p AS (SELECT source, (cmin * 100000000 - 1) // n AS t FROM c, m),
+        | d2 AS (SELECT source, (((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 10000) + 10000) % 10000 AS b FROM documents),
+        | k AS (SELECT d2.source FROM d2 JOIN p USING (source) WHERE b * b <= t)
         | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
         | FROM k GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
     // Deterministic mixing replayed in SQL: same id-hash, same

@@ -306,4 +306,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
       s"curation pipeline must stay equi-keyed:\n$plan")
   }
+
+  test("x_group_budget: keyed prefix sum, no Window node (the one-task-per-group funnel)") {
+    // "At most B tokens per SOURCE" is the few-groups/huge-rows shape:
+    // Window.partitionBy(source) would route each source through ONE
+    // task. The keyed-prefix-sum rebuild must keep WindowExec out.
+    val plan = SparkEntry.queries("x_group_budget")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"tokenBudgetPerGroup must not plan a Window:\n$plan")
+  }
 }

@@ -60,9 +60,11 @@ class MixingSpec extends AnyFunSuite {
     assert(again == kept.map(_._2).toSet)
   }
 
-  test("sqrtTemperatureMix: min group whole, keep pct = floor(100*sqrt(cmin/c)), deterministic") {
-    // Counts: tiny=4 (pct 100 — exact), big=16 (4/16 = 0.25 exact,
-    // sqrt = 0.5 exact → pct 50), mid=9 (floor(100*sqrt(4/9)) = 66).
+  test("sqrtTemperatureMix: min group whole, keep rule bucket²·c < 10⁸·cmin, deterministic") {
+    // Counts: tiny=4 (threshold ⇔ bucket ≤ 9999 — whole group), big=16
+    // (bucket² ≤ (4·10⁸−1) div 16 = 24999999 ⇔ bucket < 5000 — the 50%
+    // point of the 10⁴-bucket hash), mid=9 (bucket ≤ 6666 ⇔ the
+    // 10⁴·√(4/9) = 6666.67 cut).
     val df = ((1L to 4L).map(i => (i, "tiny")) ++
       (101L to 116L).map(i => (i, "big")) ++
       (201L to 209L).map(i => (i, "mid"))).toDF("id", "g")
@@ -71,14 +73,14 @@ class MixingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(kept.getOrElse("tiny", 0L) == 4L, s"min group must survive whole: $kept")
     // The realized keep per group equals the independent bucket filter
-    // at the predicted percentage — the mix IS that composition.
-    def expect(lo: Long, hi: Long, pct: Int) =
+    // at the predicted cut — the mix IS that composition.
+    def expect(lo: Long, hi: Long, cut: Int) =
       df.where(col("id").between(lo, hi) &&
-        TextAnalysis.splitBucket(col("id")) < pct).count()
-    assert(kept.getOrElse("big", 0L) == expect(101, 116, 50),
-      s"big group must keep exactly its bucket<50 rows: $kept")
-    assert(kept.getOrElse("mid", 0L) == expect(201, 209, 66),
-      s"mid group must keep exactly its bucket<66 rows: $kept")
+        TextAnalysis.idHashBucket(col("id"), 10000L) < cut).count()
+    assert(kept.getOrElse("big", 0L) == expect(101, 116, 5000),
+      s"big group must keep exactly its bucket<5000 rows: $kept")
+    assert(kept.getOrElse("mid", 0L) == expect(201, 209, 6667),
+      s"mid group must keep exactly its bucket<6667 rows: $kept")
     // Deterministic under repartition; schema unchanged.
     val again = Mixing.sqrtTemperatureMix(df.repartition(7), "id", "g")
       .select(col("id")).collect().map(_.getLong(0)).toSet
@@ -87,5 +89,42 @@ class MixingSpec extends AnyFunSuite {
       "output schema must be the input schema")
     // Empty input: empty output with the input schema, no NPE.
     assert(Mixing.sqrtTemperatureMix(df.where(lit(false)), "id", "g").count() == 0)
+  }
+
+  test("sqrtTemperatureMix: a 10⁵·cmin group keeps a ~√-proportional share, not zero") {
+    // The integer-percentage form floored to pct 0 for any group past
+    // 10⁴·cmin and dropped it WHOLE; the cross-multiplied rule keeps
+    // bucket ≤ 31 (31² = 961 ≤ (10⁸−1) div 10⁵ = 999 < 32²), i.e. an
+    // expected 32/10⁴ ≈ √(1/10⁵) share of a 100 000-row head group
+    // against a 1-row tail.
+    val df = ((1L to 100000L).map(i => (i, "head")) ++ Seq((2000000L, "tail")))
+      .toDF("id", "g")
+    val kept = Mixing.sqrtTemperatureMix(df, "id", "g")
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val headKept = kept.getOrElse("head", 0L)
+    assert(headKept > 0L, "head group must not cliff to zero")
+    val exact = df.where(col("g") === "head" &&
+      TextAnalysis.idHashBucket(col("id"), 10000L) <= 31).count()
+    assert(headKept == exact, s"head keep must be exactly the bucket≤31 cut: $headKept vs $exact")
+    // ~316 expected (√(cmin·c) = √10⁵); hash jitter stays well inside 2×.
+    assert(headKept > 150 && headKept < 650, s"share not ~√-proportional: $headKept")
+  }
+
+  test("tokenBudgetPerGroup equals the single-task window form row-for-row") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 3000L)
+      .map(i => (i, s"src${rnd.nextInt(4)}", (rnd.nextInt(50) + 1).toLong))
+      .toDF("id", "g", "n")
+    val got = Mixing.tokenBudgetPerGroup(df, "id", "g", col("n"), budget = 5000L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val w = Window.partitionBy(col("g"))
+      .orderBy(Mixing.orderHash(col("id")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cum", sum(col("n")).over(w))
+      .where(col("cum") <= 5000L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == expected, "keyed prefix-sum path must equal the window form")
   }
 }

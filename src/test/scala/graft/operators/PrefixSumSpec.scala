@@ -65,4 +65,54 @@ class PrefixSumSpec extends AnyFunSuite {
       PrefixSum.runningTotal(df, Seq("k"), "v")
     }
   }
+
+  test("keyed running total equals SUM OVER (PARTITION BY g ORDER BY k) across partitionings") {
+    val rnd = new scala.util.Random(23)
+    // 3 groups with very different sizes — including one dominant
+    // group that the window form would drag through a single task.
+    val rows = (1L to 4000L).map { i =>
+      val g = if (i % 10 == 0) "small" else if (i % 10 == 1) "mid" else "huge"
+      (i, g, rnd.nextInt(100).toLong)
+    }
+    Seq(1, 3, 13).foreach { parts =>
+      val df = rows.toDF("k", "g", "v").repartition(parts)
+      val got = PrefixSum.keyedRunningTotal(df, "g", Seq("k"), "v")
+        .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+      val expected = df
+        .withColumn("cum", sum(col("v")).over(
+          Window.partitionBy(col("g")).orderBy(col("k"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("keyed: null groups, null values, empty partitions, empty input") {
+    val df = Seq(
+      (1L, Option("a"), Some(5L)), (2L, Option.empty[String], Some(3L)),
+      (3L, Option("a"), Option.empty[Long]), (4L, Option.empty[String], Some(4L)),
+      (5L, Option("a"), Some(7L))
+    ).toDF("k", "g", "v")
+    // Way more partitions than rows: group runs split across sparse
+    // partitions, offsets must still line up; the null group is ONE
+    // group like the window twin.
+    val got = PrefixSum.keyedRunningTotal(df, "g", Seq("k"), "v", numPartitions = 16)
+      .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> 3L, 3L -> 5L, 4L -> 7L, 5L -> 12L))
+    val empty = PrefixSum.keyedRunningTotal(
+      spark.emptyDataset[(Long, String, Long)].toDF("k", "g", "v"), "g", Seq("k"), "v")
+    assert(empty.count() == 0)
+  }
+
+  test("keyed: one dominant group spans many partitions — no Window in the plan") {
+    val df = spark.range(0, 20000)
+      .select(col("id").as("k"), lit("the_one_source").as("g"), (col("id") % 7).as("v"))
+    val out = PrefixSum.keyedRunningTotal(df, "g", Seq("k"), "v", numPartitions = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keyed prefix sum must not plan a Window:\n$plan")
+    // The single group really is spread: the last row's cum is the
+    // group total, computed across 8 range partitions.
+    val total = out.agg(max(col("cum"))).first().getLong(0)
+    assert(total == (0L until 20000L).map(_ % 7).sum)
+  }
 }

@@ -566,6 +566,36 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Directional CONTAINMENT scored over an ARBITRARY candidate-pair
+    * frame — the subset/quotation signal Jaccard misses (a short doc
+    * fully quoted inside a long one has |A∩B|/|A| = 1 while its
+    * Jaccard stays small). `pairs` is any frame with `id_a`/`id_b`
+    * columns — [[winnowPairs]] output, MinHash candidates, or an
+    * explicit list; every other pair column (n_shared, …) rides
+    * through untouched, with `inter`, `n_a`, `n_b`,
+    * `contain_a_in_b` (= |A∩B|/|A|), `contain_b_in_a` appended.
+    *
+    * Scale shape: two keyed equi-joins of the pair list against the
+    * per-doc distinct-token sets — cost O(|docs| + |pairs|) through
+    * the shuffle, never a cartesian; detection (the candidate
+    * generator) and scoring stay decoupled, so the same scorer runs
+    * on any blocking scheme's output. */
+  def containmentOn(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("__cid"),
+      array_distinct(split(col(textCol), " ")).as("__ct"))
+    val scored = pairs
+      .join(tok.select(col("__cid").as("id_a"), col("__ct").as("__t_a")), Seq("id_a"))
+      .join(tok.select(col("__cid").as("id_b"), col("__ct").as("__t_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("__t_a"), col("__t_b"))).cast("long"))
+      .withColumn("n_a", size(col("__t_a")).cast("long"))
+      .withColumn("n_b", size(col("__t_b")).cast("long"))
+      .withColumn("contain_a_in_b", col("inter").cast("double") / col("n_a").cast("double"))
+      .withColumn("contain_b_in_a", col("inter").cast("double") / col("n_b").cast("double"))
+    scored.select(pairs.columns.map(col) ++ Seq(col("inter"), col("n_a"),
+      col("n_b"), col("contain_a_in_b"), col("contain_b_in_a")): _*)
+  }
+
   /** 32-bit SimHash of the whitespace tokens: per bit, majority vote of
     * the token hashes' bit values (+1/−1). Near-dups differ in few bits
     * (compare via bit_count(a ^ b) ≤ r).

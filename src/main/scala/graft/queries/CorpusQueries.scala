@@ -46,6 +46,7 @@ private[graft] object CorpusQueries {
         .orderBy(col("doc_id"))),
     "x_jaccard_adjacent" -> ((s, dir) => jaccardAdjacent(s, dir)),
     "x_containment_adjacent" -> ((s, dir) => containmentAdjacent(s, dir)),
+    "x_containment_pairs" -> ((s, dir) => containmentPairs(s, dir)),
     "x_minhash_neardup" -> ((s, dir) => minhashSummary(s, dir)),
     "x_incremental_dedup" -> ((s, dir) => incrementalDedupProd(s, dir)),
     "x_incremental_dedup_gate" -> ((s, dir) => incrementalDedupGate(s, dir)),
@@ -575,24 +576,29 @@ private[graft] object CorpusQueries {
 
   /** Exact word-set Jaccard for adjacent doc pairs (id, id+1) — the
     * oracle-checkable anchor for the n-gram-Jaccard machinery. */
-  /** Directional CONTAINMENT on adjacent doc pairs — the subset/
-    * quotation signal Jaccard misses: a short doc fully quoted inside
-    * a long one has |A∩B|/|A| = 1 while its Jaccard stays small.
-    * Same distinct-token machinery and pairing as [[jaccardAdjacent]]
-    * (keyed equi-join, no cartesian); both directions reported. */
+  /** Directional CONTAINMENT on adjacent doc pairs — the value-exact
+    * oracle anchor for [[graft.ext.Dedup.containmentOn]]: the synthetic
+    * (id, id+1) pairing makes the score list replayable row-for-row in
+    * SQL; the same scorer applied to DETECTED candidate pairs is
+    * x_containment_pairs. */
   private def containmentAdjacent(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
-    val a = tok.select(col("doc_id").as("id_a"), col("t").as("t_a"))
-    val b = tok.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("t").as("t_b"))
-    a.join(b, Seq("id_a"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("t_a"), col("t_b"))).cast("long").as("inter"),
-        size(col("t_a")).cast("long").as("n_a"),
-        size(col("t_b")).cast("long").as("n_b"))
-      .withColumn("contain_a_in_b", col("inter").cast("double") / col("n_a").cast("double"))
-      .withColumn("contain_b_in_a", col("inter").cast("double") / col("n_b").cast("double"))
-      .orderBy(col("id_a"))
+    val docs = Tables.documents(s, dir)
+    val pairs = docs.select(col("doc_id").as("id_a"),
+      (col("doc_id") + 1).as("id_b"))
+    Dedup.containmentOn(docs, pairs).orderBy(col("id_a"))
+  }
+
+  /** Containment scored on REAL candidate pairs: the winnow-fingerprint
+    * shared-passage pairs ([[graft.ext.Dedup.winnowPairs]], the same
+    * 200-doc slice and parameters x_winnow_pairs pins) fed through
+    * [[graft.ext.Dedup.containmentOn]] — the production shape, where
+    * "short doc quoted inside a long one" actually surfaces. The
+    * oracle replays detection AND scoring end-to-end in SQL. */
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(col("doc_id") < 200)
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 2, maxPostings = 1000)
+    Dedup.containmentOn(docs, pairs).orderBy(col("id_a"), col("id_b"))
   }
 
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
@@ -1446,6 +1452,34 @@ private[graft] object CorpusQueries {
         |   FROM i a JOIN i b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
         | SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    // Containment on detected pairs: the x_winnow_pairs pipeline
+    // (same fingerprints, cap, >= 2 floor) then the containment
+    // scoring join replayed on its output — detection AND scoring
+    // value-exact end to end.
+    "x_containment_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+        | g AS (SELECT doc_id, list_transform(
+        |     generate_series(1, CASE WHEN length(text) >= 8 THEN length(text) - 7 ELSE 0 END),
+        |     i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs FROM d),
+        | f AS (SELECT doc_id,
+        |   CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_distinct(list_transform(
+        |          generate_series(1, GREATEST(len(hs) - 3, 1)),
+        |          j -> list_min(hs[j:j+3]))) END AS fps FROM g),
+        | e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        | ok AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 1000),
+        | i AS (SELECT e.doc_id, e.fp FROM e JOIN ok USING (fp)),
+        | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |   FROM i a JOIN i b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | sel AS (SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2),
+        | tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM d)
+        | SELECT s.id_a, s.id_b, s.n_shared,
+        |  CAST(len(list_intersect(ta.t, tb.t)) AS BIGINT) AS inter,
+        |  CAST(len(ta.t) AS BIGINT) AS n_a, CAST(len(tb.t) AS BIGINT) AS n_b,
+        |  CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) / CAST(len(ta.t) AS DOUBLE) AS contain_a_in_b,
+        |  CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) / CAST(len(tb.t) AS DOUBLE) AS contain_b_in_a
+        | FROM sel s JOIN tok ta ON s.id_a = ta.doc_id JOIN tok tb ON s.id_b = tb.doc_id
+        | ORDER BY s.id_a, s.id_b""".stripMargin.replaceAll("\n", " "),
     // Incremental winnow probe replayed end to end: the full
     // x_winnow_pairs pipeline (same fingerprints, same <= 1000
     // posting cap over the UNION corpus, same >= 2 floor) restricted

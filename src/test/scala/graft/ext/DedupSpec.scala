@@ -782,4 +782,26 @@ class DedupSpec extends AnyFunSuite {
     assert(p2.contains((17L, 101L)) && p2.contains((42L, 102L)),
       s"cross-run pairs require run 2 to probe run 1's index partitions: $p2")
   }
+
+  test("containmentOn: scores any pair frame, payload columns ride through, directions exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),          // 4 distinct tokens
+      (2L, "the quick brown fox jumps over the lazy dog"), // 8 distinct
+      (3L, "completely different words")
+    ).toDF("doc_id", "text")
+    // An arbitrary detected-pair frame with a payload column.
+    val pairs = Seq((1L, 2L, 7L), (1L, 3L, 1L)).toDF("id_a", "id_b", "n_shared")
+    val out = Dedup.containmentOn(docs, pairs)
+    assert(out.columns.toSeq == Seq("id_a", "id_b", "n_shared",
+      "inter", "n_a", "n_b", "contain_a_in_b", "contain_b_in_a"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getDouble(6), r.getDouble(7))).toMap
+    // Doc 1 fully contained in doc 2: |A∩B|/|A| = 1, Jaccard-ish
+    // direction b-in-a = 4/8 — the asymmetry the signal exists for.
+    assert(rows((1L, 2L)) == ((7L, 4L, 4L, 8L, 1.0, 0.5)))
+    // Disjoint pair: zero both ways; payload preserved.
+    assert(rows((1L, 3L)) == ((1L, 0L, 4L, 3L, 0.0, 0.0)))
+  }
 }

@@ -76,6 +76,36 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** [[hardNegatives]] for an UNBOUNDED anchor set — a full training
+    * epoch's anchors, not just a mining batch. The one-shot form
+    * `broadcast(anchors)` hits the driver/broadcast ceiling past a few
+    * hundred thousand anchors; here the anchor set is deterministically
+    * hash-sliced to ~`sliceSize` rows and each slice rides the SAME
+    * broadcast corpus scan, unioned. Every anchor's top-k is computed
+    * against the full corpus inside its own slice and never looks at
+    * other anchors, so the union equals the one-shot result
+    * row-for-row (SimilaritySpec pins the equality) — chunking changes
+    * memory, not results. Cost: ceil(n_anchors/sliceSize) corpus
+    * scans — the price of bounding each broadcast; pick sliceSize just
+    * under the broadcast ceiling. Slices are hash-balanced (expected
+    * sliceSize rows, same multiplicative id-hash as every sampler
+    * here); at hundreds of slices, drive the loop through
+    * [[Checkpoints.stage]]d writes instead of one union plan. */
+  def hardNegativesChunked(corpus: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String, anchors: DataFrame, k: Int,
+                           sliceSize: Int = 100000): DataFrame = {
+    require(sliceSize > 0, s"sliceSize must be positive, got $sliceSize")
+    // One metadata-scale action: the anchor count sizes the loop.
+    val n = anchors.count()
+    val nSlices = math.max(1L, (n + sliceSize - 1) / sliceSize).toInt
+    if (nSlices == 1)
+      return hardNegatives(corpus, idCol, vecCol, labelCol, anchors, k)
+    (0 until nSlices).map { i =>
+      hardNegatives(corpus, idCol, vecCol, labelCol,
+        anchors.where(TextAnalysis.idHashBucket(col(idCol), nSlices) === i), k)
+    }.reduce(_.union(_))
+  }
+
   /** Deterministic pseudo-random hyperplane component r_{j,d} ∈ [-1, 1),
     * derived from (j, d) by integer hashing — no RNG state, so every
     * executor materializes the same hyperplanes. */

@@ -17,12 +17,15 @@ private[graft] object VectorQueries {
     "x_cosine_topk" -> ((s, dir) => cosineTopK(s, dir)),
     "x_cosine_adjacent" -> ((s, dir) => cosineAdjacent(s, dir)),
     "x_hard_negatives" -> ((s, dir) => {
-      // Hard-negative mining (Similarity.hardNegatives): top-5
-      // different-label neighbors for a 5-anchor batch — anchor batch
-      // broadcast, corpus scanned once, per-anchor WindowGroupLimit.
+      // Hard-negative mining via the CHUNKED path (Similarity
+      // .hardNegativesChunked): top-5 different-label neighbors for a
+      // 5-anchor batch forced through 3 hash-slices (sliceSize = 2),
+      // so the epoch-scale union plan is what the oracle checks —
+      // per-anchor top-k is slice-independent, result identical to the
+      // one-shot broadcast (SimilaritySpec pins the equality).
       val emb = Tables.embeddings(s, dir)
-      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
-          emb.where(col("vec_id") < 5), k = 5)
+      Similarity.hardNegativesChunked(emb, "vec_id", "embedding", "label",
+          emb.where(col("vec_id") < 5), k = 5, sliceSize = 2)
         .select(col("anchor_id"), col("vec_id"), col("cos_sim"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("anchor_id"), col("rank"))

@@ -376,4 +376,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byAnchor(0L) == Set(2L, 3L, 4L), s"anchor 0 negatives wrong: $byAnchor")
     assert(byAnchor(4L) == Set(0L, 1L, 2L, 3L), s"anchor 4 negatives wrong: $byAnchor")
   }
+
+  test("hardNegativesChunked equals the one-shot broadcast row-for-row, any slice size") {
+    // 40 anchors over a 200-vector corpus: far past what one test
+    // "broadcast batch" would be, sliced 3 different ways — per-anchor
+    // top-k is slice-independent, so every chunking must produce the
+    // IDENTICAL result set (ranks included).
+    val rnd = new scala.util.Random(41)
+    val corpus = (0L until 200L).map { i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1), s"lab${i % 5}")
+    }.toDF("vec_id", "embedding", "label")
+    val anchors = corpus.where(col("vec_id") < 40)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val oneShot = rows(Similarity.hardNegatives(
+      corpus, "vec_id", "embedding", "label", anchors, k = 3))
+    Seq(1, 7, 64).foreach { sliceSize =>
+      val chunked = rows(Similarity.hardNegativesChunked(
+        corpus, "vec_id", "embedding", "label", anchors, k = 3, sliceSize))
+      assert(chunked == oneShot, s"sliceSize=$sliceSize diverged")
+    }
+    // Guard rail: a nonsensical slice size fails loudly.
+    assertThrows[IllegalArgumentException] {
+      Similarity.hardNegativesChunked(
+        corpus, "vec_id", "embedding", "label", anchors, k = 3, sliceSize = 0)
+    }
+  }
 }

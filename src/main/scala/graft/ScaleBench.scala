@@ -833,9 +833,10 @@ object ScaleBench {
         ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
         "user_id", "ts", "event_type", tieCols = Seq("event_id")).count()
     }
-    // Streaming leg: the 32 generator files re-read as 4-file
-    // micro-batches drive the flatMapGroupsWithState state store
-    // through 8 real batches — per-user session state lives across
+    // Streaming leg: the 8 sequentially-written event-time-contiguous
+    // shards (one file each, above) re-read at maxFilesPerTrigger=1
+    // drive the flatMapGroupsWithState state store through 8 real
+    // one-file micro-batches — per-user session state lives across
     // batch boundaries, the path with no >sf0.1 measurement before
     // this point. Emission count must equal the batch twin's
     // Append-mode expression exactly.

@@ -227,11 +227,18 @@ object DedupIndex {
     val idType = stream.schema(idCol).dataType
     // With a checkpoint the ingest is RESTARTABLE: keep whatever index
     // state a previous driver accumulated (the checkpoint guarantees
-    // committed batches are not redelivered). Without one, the stream
-    // owns a fresh index. A restart MUST pass the same MinHash params:
-    // the kept index rows are run-1 bands, so changed params would
-    // probe incomparable signatures.
-    val mkTable = if (checkpointLocation.isDefined)
+    // committed batches are not redelivered) — but ONLY when that
+    // checkpoint has actually committed something. A fresh/empty
+    // checkpoint means a fresh run, so a leftover index table from an
+    // earlier run (whose batch ids would collide with the restarting
+    // counter and survive dynamic partition overwrite) is dropped, not
+    // silently merged — table and checkpoint stay in lockstep. Without
+    // a checkpoint, the stream owns a fresh index. A restart MUST pass
+    // the same MinHash params: the kept index rows are run-1 bands, so
+    // changed params would probe incomparable signatures.
+    val resuming = checkpointLocation.exists(cp =>
+      StreamOps.lastCommittedBatch(spark, cp).isDefined)
+    val mkTable = if (resuming)
       Writer.ensurePartitionedBucketedTable _
     else Writer.emptyPartitionedBucketedTable _
     mkTable(spark, table,
@@ -277,14 +284,20 @@ object DedupIndex {
     * partition merges into one compacted partition holding one file
     * per bucket, so probe scans stop paying a parquet footer per
     * shard ingested. Quiesce the stream first — see
-    * StreamOps.compactSink for the redelivery and crash contract.
+    * StreamOps.compactSink for the redelivery and crash contract;
+    * pass the ingest's `checkpointLocation` and a compact that would
+    * swallow a crashed attempt's orphaned partition REFUSES instead
+    * (spec-pinned crash → refuse → restart → compact case).
     * Probe results are unchanged (spec-pinned in DedupSpec; measured
     * probe recovery in ScaleBench's compaction point). */
-  def compact(spark: SparkSession, table: String): Int = {
-    val merged = graft.streaming.StreamOps.compactSink(spark, table)
+  def compact(spark: SparkSession, table: String,
+              checkpointLocation: Option[String] = None): Int = {
+    val merged = graft.streaming.StreamOps.compactSink(spark, table,
+      checkpointLocation = checkpointLocation)
     val sink = table + "_pairs"
     if (spark.catalog.tableExists(sink))
-      graft.streaming.StreamOps.compactSink(spark, sink)
+      graft.streaming.StreamOps.compactSink(spark, sink,
+        checkpointLocation = checkpointLocation)
     merged
   }
 

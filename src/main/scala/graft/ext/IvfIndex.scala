@@ -274,7 +274,12 @@ object IvfIndex {
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cluster_id", "centroid")
       .write.format("parquet").saveAsTable(centroidsTable(table))
-    val mkTable = if (checkpointLocation.isDefined)
+    // Keep prior state only when the checkpoint has committed batches
+    // (fresh checkpoint + leftover table = drop, not silent merge —
+    // see the dedup twin).
+    val resuming = checkpointLocation.exists(cp =>
+      StreamOps.lastCommittedBatch(spark, cp).isDefined)
+    val mkTable = if (resuming)
       Writer.ensurePartitionedBucketedTable _
     else Writer.emptyPartitionedBucketedTable _
     mkTable(spark, table,
@@ -310,12 +315,16 @@ object IvfIndex {
 
   /** Compact a [[streamIngest]] vector index (and its pairs sink) —
     * same quiesce / redelivery / crash contract as the dedup and
-    * winnow twins (StreamOps.compactSink). */
-  def compact(spark: SparkSession, table: String): Int = {
-    val merged = graft.streaming.StreamOps.compactSink(spark, table)
+    * winnow twins (StreamOps.compactSink); pass the ingest's
+    * `checkpointLocation` to refuse crash-then-compact corruption. */
+  def compact(spark: SparkSession, table: String,
+              checkpointLocation: Option[String] = None): Int = {
+    val merged = graft.streaming.StreamOps.compactSink(spark, table,
+      checkpointLocation = checkpointLocation)
     val sink = table + "_pairs"
     if (spark.catalog.tableExists(sink))
-      graft.streaming.StreamOps.compactSink(spark, sink)
+      graft.streaming.StreamOps.compactSink(spark, sink,
+        checkpointLocation = checkpointLocation)
     merged
   }
 

@@ -202,11 +202,16 @@ object TextAnalysis {
     * score is bit-identical across engines. For each doc bigram g =
     * "w1 w2" with corpus count c and prefix mass c1 = Σ counts of
     * bigrams starting w1, the MLE surprisal −log2(c/c1) is floored to
-    * whole bits, which is computable EXACTLY in integer arithmetic:
-    * floor(log2(c1/c)) = floor(log2(c1 DIV c)) (no power of two lies
-    * strictly between q and c1/c < q+1), so the per-doc SUM is a
-    * BIGINT — order-independent, unlike a float sum of logs — and the
-    * only double is one final division. Low mean_bits = predictable /
+    * whole bits, which is computed EXACTLY in integer arithmetic:
+    * floor(log2(c1/c)) = floor(log2(q)) for q = c1 DIV c (no power of
+    * two lies strictly between q and c1/c < q+1), and floor(log2(q))
+    * = bit_length(q) − 1 — derived here as the length of q's binary
+    * string on BOTH engines, so no libm log appears anywhere (Spark's
+    * log2 is ln/ln 2 while DuckDB's is native log2; their floor()s
+    * diverge at q = 2⁴⁸−1, so a float path is only
+    * almost-engine-exact). The per-doc SUM is therefore a BIGINT —
+    * order-independent, unlike a float sum of logs — and the only
+    * double is one final division. Low mean_bits = predictable /
     * boilerplate text, high = unusual (or noisy); both tails are the
     * filter's targets. Two keyed censuses + two keyed joins — the
     * same shuffle shape as [[memorizedBigramStats]], no all-pairs
@@ -234,7 +239,8 @@ object TextAnalysis {
       .withColumn("w1", element_at(split(col("g"), " "), 1))
     val prefix = corpus.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
     val gramBits = corpus.join(prefix, "w1")
-      .select(col("g"), floor(log2(expr("c1 DIV c"))).as("bits"))
+      .select(col("g"),
+        (length(conv(expr("c1 DIV c"), 10, 2)) - 1).cast("long").as("bits"))
     val perDoc = pairs.join(gramBits, "g")
       .groupBy(col(idCol))
       .agg(sum(col("c_doc")).as("n_bigrams"),

@@ -171,7 +171,11 @@ object WinnowIndex {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val idType = stream.schema(idCol).dataType
     // Restartable with a checkpoint — see the dedup twin's comment.
-    val mkTable = if (checkpointLocation.isDefined)
+    // Keep prior state only when the checkpoint has committed batches
+    // (fresh checkpoint + leftover table = drop, not silent merge).
+    val resuming = checkpointLocation.exists(cp =>
+      StreamOps.lastCommittedBatch(spark, cp).isDefined)
+    val mkTable = if (resuming)
       Writer.ensurePartitionedBucketedTable _
     else Writer.emptyPartitionedBucketedTable _
     mkTable(spark, table,
@@ -205,12 +209,17 @@ object WinnowIndex {
 
   /** Compact a [[streamIngest]] posting index (and its pairs sink) —
     * the winnowing twin of [[DedupIndex.compact]], same quiesce /
-    * redelivery / crash contract (StreamOps.compactSink). */
-  def compact(spark: SparkSession, table: String): Int = {
-    val merged = graft.streaming.StreamOps.compactSink(spark, table)
+    * redelivery / crash contract (StreamOps.compactSink); pass the
+    * ingest's `checkpointLocation` to refuse crash-then-compact
+    * corruption. */
+  def compact(spark: SparkSession, table: String,
+              checkpointLocation: Option[String] = None): Int = {
+    val merged = graft.streaming.StreamOps.compactSink(spark, table,
+      checkpointLocation = checkpointLocation)
     val sink = table + "_pairs"
     if (spark.catalog.tableExists(sink))
-      graft.streaming.StreamOps.compactSink(spark, sink)
+      graft.streaming.StreamOps.compactSink(spark, sink,
+        checkpointLocation = checkpointLocation)
     merged
   }
 }

@@ -111,7 +111,12 @@ object EquiDepth {
     * winsorization-bound lookup (p1 = rank max(1, n·1/100), etc.). */
   def percentileValues(df: DataFrame, orderCols: Seq[String], ranks: Seq[Long],
                        numPartitions: Int = 0): DataFrame = {
-    val (ranked, _) = rankedWithTotal(df, orderCols, numPartitions, "rank")
-    ranked.where(col("rank").isin(ranks: _*))
+    // The output APPENDS `rank`; a pre-existing column of that name
+    // would silently duplicate in the schema — refuse loudly instead.
+    require(!df.columns.contains("rank"),
+      "input already has a 'rank' column — rename it before percentileValues")
+    val (ranked, _) = rankedWithTotal(df, orderCols, numPartitions, "__edq_rank")
+    ranked.where(col("__edq_rank").isin(ranks: _*))
+      .withColumnRenamed("__edq_rank", "rank")
   }
 }

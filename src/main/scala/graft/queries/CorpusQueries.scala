@@ -1395,7 +1395,7 @@ private[graft] object CorpusQueries {
         | corpus AS (SELECT g, SUM(c_doc) AS c FROM pairs GROUP BY g),
         | pre AS (SELECT w1, SUM(c_doc) AS c1 FROM pairs GROUP BY w1),
         | j AS (SELECT p.doc_id, p.c_doc,
-        |   CAST(FLOOR(LOG2(CAST(pre.c1 // corpus.c AS DOUBLE))) AS BIGINT) AS bits
+        |   CAST(length(to_base(CAST(pre.c1 // corpus.c AS BIGINT), 2)) - 1 AS BIGINT) AS bits
         |  FROM pairs p JOIN corpus USING (g) JOIN pre USING (w1)),
         | pd AS (SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
         |   CAST(SUM(c_doc * bits) AS BIGINT) AS bits_sum FROM j GROUP BY doc_id)

@@ -83,6 +83,10 @@ private[graft] object RelationalQueries {
       // (events.value is 2-decimal by construction).
       val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
       val n = ev.count()
+      // SmokeCheck asserts events is non-empty at every sf; if it ever
+      // isn't, fail loudly here instead of a bare bounds-map lookup
+      // (rank 0 matches nothing and the lookup would NPE-style throw).
+      require(n > 0, "x_winsorize requires a non-empty events table")
       val loRank = math.max(1L, n / 100)
       val hiRank = n - loRank + 1
       val bounds = graft.operators.EquiDepth.percentileValues(

@@ -401,19 +401,23 @@ object StreamOps {
     * unique per doc). The distinct rides the full-rewrite shuffle a
     * compaction pays anyway.
     *
-    * Crash-then-compact hazard: the quiesce contract above is the
-    * CALLER's obligation — this method cannot tell a committed
-    * partition from one a crashed, checkpoint-uncommitted attempt
-    * orphaned. If a compact runs between a crash and the restart, the
-    * orphaned partition merges into `mergedId`, the redelivered batch
-    * no longer finds its rows in its own (excluded) partition, and the
-    * probe double-counts them while the re-append duplicates them —
-    * until a LATER compact's distinct() heals the index rows (probe
-    * results emitted in between stay inflated). So: after a crash,
-    * restart the stream (letting redelivery overwrite the orphan)
-    * BEFORE any compact. */
+    * Crash-then-compact hazard — ENFORCED when `checkpointLocation`
+    * is passed: a partition whose batch tag is beyond the
+    * checkpoint's last COMMITTED batch is a crashed attempt's orphan
+    * (its append landed, its commit didn't). Compacting it would
+    * merge it into `mergedId`, so the redelivered batch no longer
+    * finds its rows in its own (excluded) partition — the probe
+    * double-counts them while the re-append duplicates them, until a
+    * later compact's distinct() heals the rows (probe results emitted
+    * in between stay inflated). With the checkpoint in hand this is
+    * checkable from the commit log the stream already persists, so
+    * compactSink REFUSES (IllegalStateException) instead of
+    * corrupting: restart the stream (redelivery overwrites the
+    * orphan), then compact. Without a checkpointLocation the contract
+    * stays the caller's obligation, as before. */
   def compactSink(spark: SparkSession, table: String,
-                  mergedId: Long = -1L): Int = {
+                  mergedId: Long = -1L,
+                  checkpointLocation: Option[String] = None): Int = {
     require(mergedId < 0, s"merged partition id must be negative: $mergedId")
     spark.catalog.refreshTable(table)
     // Snapshot BEFORE mutating — the merged write must never read the
@@ -421,6 +425,16 @@ object StreamOps {
     val snap = spark.table(table).localCheckpoint(true)
     val ids = snap.select(col(BatchTag)).distinct().collect()
       .map(_.getLong(0)).filter(_ != mergedId).sorted
+    checkpointLocation.foreach { cp =>
+      val last = lastCommittedBatch(spark, cp)
+      val orphans = ids.filter(id => id >= 0 && last.forall(_ < id))
+      if (orphans.nonEmpty) throw new IllegalStateException(
+        s"refusing to compact `$table`: partition(s) ${orphans.mkString(", ")} " +
+          s"are beyond the checkpoint's last committed batch " +
+          s"(${last.fold("none")(_.toString)}) at $cp — a crashed attempt's " +
+          "orphaned append. Restart the stream so redelivery overwrites " +
+          "the orphan, then compact.")
+    }
     if (ids.isEmpty) 0
     else {
       writeBatchToSink(spark, table, snap.drop(BatchTag).distinct(), mergedId)
@@ -429,6 +443,20 @@ object StreamOps {
       spark.catalog.refreshTable(table)
       ids.length
     }
+  }
+
+  /** Highest batch id the checkpoint's commit log records as COMMITTED
+    * — None when nothing committed yet (fresh or missing checkpoint).
+    * Structured Streaming writes `commits/<batchId>` atomically after
+    * a batch's foreachBatch completes, so any sink partition tagged
+    * beyond this id is an orphaned, will-be-redelivered append. Read
+    * via the Hadoop FS API — works on HDFS/S3/local alike. */
+  def lastCommittedBatch(spark: SparkSession, checkpointLocation: String): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(checkpointLocation, "commits")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).maxOption
   }
 
   /** Bounded probe-then-append ingest loop, sink-table edition: runs

@@ -783,6 +783,108 @@ class DedupSpec extends AnyFunSuite {
       s"cross-run pairs require run 2 to probe run 1's index partitions: $p2")
   }
 
+  test("compact with a checkpoint: crashed attempt -> compact REFUSED -> restart -> compact succeeds") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.StreamOps
+    val base = Files.createTempDirectory("graft_compact_guard_").toString
+    val inDir = s"$base/in"
+    val ckpt = s"$base/ckpt"
+    val table = "graft_compact_guard_spec"
+    Files.createDirectories(Paths.get(inDir))
+    def addShard(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val w = s"$base/w_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(w)
+      val part = new java.io.File(w).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(inDir, s"$name.parquet"))
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      DedupIndex.streamIngest(spark, table, stream, "doc_id", "text", params,
+        queryName = "compact_guard_spec", checkpointLocation = Some(ckpt))
+    }
+    // Batch 0 commits cleanly.
+    addShard(corpus.where(col("doc_id") < 100), "shard_0")
+    run()
+    assert(StreamOps.lastCommittedBatch(spark, ckpt).contains(0L))
+    // CRASH simulation: batch 1's index append lands but its commit
+    // does not (the writeBatchSinks insert raced ahead of the
+    // checkpoint commit when the driver died).
+    val orphan = Dedup.bands(
+      corpus.where(col("doc_id") >= 100), "doc_id", "text", params)
+      .localCheckpoint(true)
+    StreamOps.writeBatchToSink(spark, table, orphan, 1L)
+    spark.catalog.refreshTable(table)
+    // Compact with the checkpoint in hand must REFUSE — merging the
+    // orphan would inflate every probe until a later compact heals it.
+    val ex = intercept[IllegalStateException] {
+      DedupIndex.compact(spark, table, checkpointLocation = Some(ckpt))
+    }
+    assert(ex.getMessage.contains("orphaned"), s"wrong refusal: ${ex.getMessage}")
+    // Restart the stream: redelivery overwrites the orphaned partition
+    // (same batch id, dynamic partition overwrite) and commits.
+    addShard(corpus.where(col("doc_id") >= 100), "shard_1")
+    run()
+    assert(StreamOps.lastCommittedBatch(spark, ckpt).exists(_ >= 1L))
+    // Now every partition is committed: compact proceeds and the
+    // probe-visible index survives intact (merged partition only).
+    val before = spark.table(table).drop(StreamOps.BatchTag)
+      .collect().map(_.toSeq).toSet
+    val merged = DedupIndex.compact(spark, table, checkpointLocation = Some(ckpt))
+    assert(merged >= 2, s"expected >= 2 partitions merged, got $merged")
+    val after = spark.table(table).drop(StreamOps.BatchTag)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "compact must not change the index contents")
+  }
+
+  test("a FRESH checkpoint never merges a leftover index from an earlier run") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val base = Files.createTempDirectory("graft_fresh_ckpt_").toString
+    val inDir = s"$base/in"
+    val ckpt = s"$base/ckpt" // never created — a brand-new run
+    Files.createDirectories(Paths.get(inDir))
+    val table = "graft_fresh_ckpt_spec"
+    // Leftover state from "an earlier run": an index holding docs < 100
+    // under batch id 0 — exactly the ids a restarting batch counter
+    // would collide with.
+    graft.io.Writer.emptyPartitionedBucketedTable(spark, table,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("band_id", IntegerType),
+        StructField("band_hash", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "band_hash", 16)
+    StreamOps.writeBatchToSink(spark, table, Dedup.bands(
+      corpus.where(col("doc_id") < 100), "doc_id", "text", params)
+      .localCheckpoint(true), 0L)
+    spark.catalog.refreshTable(table)
+    // New run, FRESH checkpoint, ingesting only the planted newcomers:
+    // the leftover must be dropped, so no cross pair (e.g. (3, 100))
+    // can surface from stale state.
+    val w = s"$base/w"
+    corpus.where(col("doc_id") >= 100).coalesce(1)
+      .write.mode("overwrite").parquet(w)
+    val part = new java.io.File(w).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, Paths.get(inDir, "shard_0.parquet"))
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val (acc, _) = DedupIndex.streamIngest(spark, table, stream, "doc_id", "text",
+      params, queryName = "fresh_ckpt_spec", checkpointLocation = Some(ckpt))
+    val got = acc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Dedup.candidatePairs(
+      corpus.where(col("doc_id") >= 100), "doc_id", "text", params)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect,
+      s"fresh-checkpoint run must see ONLY its own corpus: extra=${got -- expect}")
+    assert(!got.contains((3L, 100L)), "stale cross-run pair surfaced from leftover state")
+    val staleIds = spark.table(table).where(col("id") < 100).count()
+    assert(staleIds == 0, s"leftover index rows survived a fresh checkpoint: $staleIds")
+  }
+
   test("containmentOn: scores any pair frame, payload columns ride through, directions exact") {
     import spark.implicits._
     val docs = Seq(

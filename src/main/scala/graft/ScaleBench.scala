@@ -912,6 +912,161 @@ object ScaleBench {
       s""""pack_boundaries":{"t":${fmt(tSpan)},"n_spans":$nSpan}}"""
   }
 
+  /** The round-13 curation quartet at scale — each leg carries a
+    * require()d closed-form oracle so the timing can never go green on
+    * wrong answers:
+    *
+    *   - winsorize: EquiDepth.percentileValues bounds + clip census on
+    *     ~unique 64-bit values, so n_low/n_high equal loRank−1 /
+    *     n−hiRank EXACTLY (rank is the order statistic's definition);
+    *   - group_budget: tokenBudgetPerGroup on a corpus where ONE group
+    *     holds 99% of rows (tok 1 each, budget n/10) — kept =
+    *     Σ min(c_g, B) exactly; the Window.partitionBy twin runs the
+    *     same cut so the point PUBLISHES the single-task gap the keyed
+    *     prefix sum removes;
+    *   - hard_negatives: the chunked path (4 slices) over the scaled
+    *     corpus — 64 labels guarantee ≥ k different-label rows per
+    *     anchor, so rows = anchors·k exactly;
+    *   - containment_pairs: containmentOn over the MinHash candidate
+    *     set (∝ n by the banded-join cap); every base→variant cluster
+    *     pair must score contain_a_in_b = 1.0 exactly (the variant doc
+    *     IS the base body plus one token — subset by construction).
+    *
+    * All four must grow ≤ linearly in their input — none has a
+    * pair-mass term beyond the capped candidate join. */
+  def curationOpsPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.{Mixing, TextAnalysis}
+    import org.apache.spark.sql.expressions.Window
+    // Winsorize: clip census at exact [p1, p99] rank bounds.
+    val nVals = 50000L * scale
+    val vals = spark.range(0, nVals, 1, 32)
+      .select(col("id"), xxhash64(col("id")).as("value"))
+      .localCheckpoint(true)
+    spark.sqlContext.clearCache()
+    val ((nLow, nHigh), tWz) = timed {
+      val loRank = math.max(1L, nVals / 100)
+      val hiRank = nVals - loRank + 1
+      val bounds = graft.operators.EquiDepth.percentileValues(
+          vals, Seq("value", "id"), Seq(loRank, hiRank))
+        .select(col("rank"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (vLo, vHi) = (bounds(loRank), bounds(hiRank))
+      val r = vals.agg(
+        sum((col("value") < vLo).cast("long")).as("n_low"),
+        sum((col("value") > vHi).cast("long")).as("n_high")).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val loRank = math.max(1L, nVals / 100)
+    require(nLow == loRank - 1 && nHigh == nVals - (nVals - loRank + 1),
+      s"winsorize census off: n_low=$nLow n_high=$nHigh n=$nVals loRank=$loRank")
+    // Group budget: one dominant group (99%), the shape the window
+    // form serializes into a single task.
+    val nRows = 50000L * scale
+    val budget = nRows / 10
+    val grouped = spark.range(0, nRows, 1, 32)
+      .select(col("id"),
+        when(pmod(col("id"), lit(100L)) < 99, lit("head"))
+          .otherwise(concat(lit("t"), pmod(col("id"), lit(7L)))).as("source"),
+        lit(1L).as("tok"))
+      .localCheckpoint(true)
+    val expectKept = grouped.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .collect().map(r => math.min(r.getLong(1), budget)).sum
+    spark.sqlContext.clearCache()
+    val (nKept, tGb) = timed {
+      Mixing.tokenBudgetPerGroup(grouped, "id", "source", col("tok"), budget).count()
+    }
+    require(nKept == expectKept,
+      s"group budget kept $nKept, closed form says $expectKept")
+    spark.sqlContext.clearCache()
+    val (nKeptW, tGbWindow) = timed {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(Mixing.orderHash(col("id")), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grouped.withColumn("__cum", sum(col("tok")).over(w))
+        .where(col("__cum") <= budget).count()
+    }
+    require(nKeptW == expectKept, s"window twin kept $nKeptW != $expectKept")
+    // Hard negatives, chunked: 200 anchors through 4 slices.
+    val nVecs = 2000L * scale
+    val emb = genEmbeddings(spark, nVecs).localCheckpoint(true)
+    val anchors = emb.where(col("vec_id") < 200)
+    spark.sqlContext.clearCache()
+    val (nNeg, tHn) = timed {
+      Similarity.hardNegativesChunked(emb, "vec_id", "embedding", "label",
+        anchors, k = 5, sliceSize = 50).count()
+    }
+    require(nNeg == 200L * 5,
+      s"hard negatives must emit anchors*k rows, got $nNeg")
+    // Containment on detected pairs: candidate set ∝ n, base→variant
+    // pairs are exact subsets.
+    val nDocs = 5000L * scale
+    val docs = genDocuments(spark, nDocs).localCheckpoint(true)
+    val params = Dedup.MinHashParams()
+    spark.sqlContext.clearCache()
+    val ((nPairs, nBad, nBaseVar), tCp) = timed {
+      val pairs = graft.ext.Checkpoints.stage(
+        Dedup.candidatePairs(docs, "doc_id", "text", params))
+      val scored = graft.ext.Checkpoints.stage(
+        Dedup.containmentOn(docs, pairs, "doc_id", "text"))
+      val nClustered = nDocs / 10
+      val baseVar = scored.where(col("id_a") < nClustered &&
+        expr("id_a DIV 4") === expr("id_b DIV 4") && col("id_a") % 4 === 0)
+      (scored.count(),
+        baseVar.where(col("contain_a_in_b") =!= 1.0).count(),
+        baseVar.count())
+    }
+    require(nBad == 0 && nBaseVar > 0,
+      s"base->variant containment must be exactly 1.0: $nBad bad of $nBaseVar")
+    s"""{"scale":$scale,"n_vals":$nVals,"n_rows":$nRows,"n_vecs":$nVecs,"n_docs":$nDocs,""" +
+      s""""winsorize":{"t":${fmt(tWz)},"n_low":$nLow,"n_high":$nHigh},""" +
+      s""""group_budget":{"t":${fmt(tGb)},"t_single_task_window":${fmt(tGbWindow)},"n_kept":$nKept},""" +
+      s""""hard_negatives":{"t":${fmt(tHn)},"n_rows":$nNeg},""" +
+      s""""containment_pairs":{"t":${fmt(tCp)},"n_pairs":$nPairs,"n_base_var":$nBaseVar}}"""
+  }
+
+  /** Recall-vs-nProbe operating curve for the IVF index — the table a
+    * 100 TB operator consults before picking a probe width, measured
+    * on BOTH corpus shapes because they bound the real world:
+    * `clustered` (genClusteredEmbeddings — tight centers, the shape
+    * IVF exists for) and `uniform` (genEmbeddings — near-isotropic in
+    * dim 64, Lloyd's worst case, where probed cells can only hold
+    * ~nProbe/k of the mass). 20 held-out queries (ids beyond the
+    * corpus, same generator), recall@10 vs the brute-force truth,
+    * probe wall timed per setting over all 20 queries. */
+  def ivfRecallCurvePoint(spark: SparkSession): String = {
+    import graft.ext.IvfIndex
+    val n = 50000L
+    val nq = 20
+    def curve(tag: String, gen: Long => DataFrame): String = {
+      val all = gen(n + nq).localCheckpoint(true)
+      val corpus = all.where(col("vec_id") < n)
+      val queries = all.where(col("vec_id") >= n)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq)
+      val table = s"graft_ivf_curve_$tag"
+      IvfIndex.build(corpus, "vec_id", "embedding", table, k = 16, iters = 2)
+      val truths = queries.map { qv =>
+        Similarity.bruteForceTopK(corpus, "vec_id", "embedding", qv, 10)
+          .collect().map(_.getLong(0)).toSet
+      }
+      val pts = Seq(1, 2, 4, 8).map { np =>
+        val (recalls, t) = timed {
+          queries.zip(truths).map { case (qv, truth) =>
+            val got = IvfIndex.probeTopK(
+                spark, table, "vec_id", "embedding", qv, 10, np)
+              .collect().map(_.getLong(0)).toSet
+            got.intersect(truth).size.toDouble / truth.size
+          }
+        }
+        val mean = recalls.sum / recalls.length
+        s"""{"nProbe":$np,"recall":${fmt(mean)},"t":${fmt(t)}}"""
+      }
+      s""""$tag":{"n":$n,"cells":16,"k":10,"points":[${pts.mkString(",")}]}"""
+    }
+    s"""{"ivf_recall_curve":{${curve("clustered", m => genClusteredEmbeddings(spark, m))},""" +
+      s"""${curve("uniform", m => genEmbeddings(spark, m))}}}"""
+  }
+
   /** Σ n·(n−1)/2 over the blocks of `blockCol` — the pair mass that
     * bounds a blocked pipeline's join work. */
   private def pairMass(df: DataFrame, blockCol: String): Long =
@@ -1090,6 +1245,20 @@ object ScaleBench {
     if (args.contains("corpus-ops-only")) {
       corpusOpsPoint(spark, outBase, 1)
       scales.foreach(m => println(corpusOpsPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `curation-ops-only`: the round-13 curation quartet at scale.
+    if (args.contains("curation-ops-only")) {
+      curationOpsPoint(spark, outBase, 1)
+      scales.foreach(m => println(curationOpsPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `ivf-curve-only`: the recall-vs-nProbe operating curve (fixed
+    // size — the probe width is the axis, not the corpus).
+    if (args.contains("ivf-curve-only")) {
+      println(ivfRecallCurvePoint(spark))
       spark.stop()
       return
     }

@@ -122,6 +122,37 @@ object Mixing {
       .drop("__mix_h", "__mix_tok", "__mix_cum")
   }
 
+  /** Deterministic global training order + shard assignment — the
+    * epoch shuffle a training dataloader consumes. Every row gets
+    * `epoch_pos` (its 0-based position in the global (id-hash, id)
+    * order — the same portable order as every Mixing op, so the
+    * "shuffle" is reproducible run-to-run and engine-auditable),
+    * `shard` (round-robin epoch_pos % nShards — shard sizes differ by
+    * at most one row, and consecutive hash-order rows land on
+    * DIFFERENT shards, so every shard sees an unbiased interleave of
+    * the corpus rather than a contiguous hash range), and
+    * `pos_in_shard` (epoch_pos div nShards — the row's read offset
+    * within its shard's epoch). Writing the output partitioned by
+    * `shard`, sorted by `pos_in_shard`, is the materialized epoch.
+    *
+    * Scale shape: the global rank is [[graft.operators.PrefixSum]]'s
+    * range-partition + per-partition offsets — NOT a single-task
+    * `row_number() OVER (ORDER BY …)` window, which serializes the
+    * entire corpus through one task. For a different epoch, vary the
+    * id space (e.g. hash id XOR epoch upstream) — the operator itself
+    * stays stateless. */
+  def trainOrder(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    graft.operators.PrefixSum.runningTotal(
+        df.withColumn("__mix_h", orderHash(col(idCol)))
+          .withColumn("__mix_one", lit(1L)),
+        Seq("__mix_h", idCol), "__mix_one", outCol = "__mix_pos")
+      .withColumn("epoch_pos", col("__mix_pos") - 1L)
+      .withColumn("shard", (col("epoch_pos") % nShards).cast("int"))
+      .withColumn("pos_in_shard", expr(s"epoch_pos DIV $nShards"))
+      .drop("__mix_h", "__mix_one", "__mix_pos")
+  }
+
   /** Deterministic exact-k-PER-GROUP (stratified) sample: the same
     * hash order, ranked within each group — every stratum contributes
     * exactly min(k, |stratum|) rows. One shuffle on the group key.

@@ -376,4 +376,60 @@ object Similarity {
     corpus.groupBy(col(blockCol).as("blk"))
       .agg(count(lit(1)).as("block_n"))
       .where(col("block_n") > maxBlockSize)
+
+  /** SemDeDup — SEMANTIC deduplication by k-means-scoped cosine
+    * pruning (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embedding space (the trained centroids passed in — reuse
+    * [[ivfTrain]]'s, or an IVF index's saved ones, so dedup and ANN
+    * share one clustering), form near-duplicate groups WITHIN each
+    * cluster at `threshold`, and keep one survivor per group —
+    * following the paper, the member with the LOWEST cosine to its
+    * cluster centroid (the most peripheral example, maximizing
+    * retained diversity; ties break to the smallest id). Differs from
+    * [[dedupEmbeddings]] in blocking physics: LSH buckets catch
+    * near-IDENTICAL vectors (hyperplane signs agree only very close
+    * up), while centroid cells catch SEMANTIC redundancy at much
+    * lower thresholds (0.9–0.95 cosine on real embeddings) — the
+    * regime where LSH recall collapses but k-means cells still
+    * co-locate the redundant mass.
+    *
+    * Scale shape — the reason SemDeDup clusters at all: pair
+    * generation is Σ cell², never n², and cells are capped at
+    * `maxClusterSize` (report the skips with [[oversizedBlocks]] over
+    * the assignment, exactly like the LSH path). Assignment is one
+    * per-row argmax over k broadcast centroids; group formation is
+    * min-label propagation on the pair-connected subgraph (tiny by
+    * construction); the final anti-join broadcasts only the loser
+    * ids. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Float]], threshold: Double,
+                    maxClusterSize: Int = 10000): DataFrame = {
+    import scala.util.chaining._
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val assigned = ivfAssign(corpus.select(col(idCol), col(vecCol)),
+        idCol, vecCol, centroids)
+      .withColumnRenamed("cluster_id", "__cell")
+    val centDf = centroids.zipWithIndex
+      .map { case (cv, i) => (i, cv.map(_.toDouble)) }
+      .toDF("__cell", "__cent")
+    val withCos = assigned.join(broadcast(centDf), Seq("__cell"))
+      .withColumn("__cos_cent", cosineIn(spark)(col(vecCol), col("__cent")))
+      .drop("__cent")
+    val pairs = cosinePairsWithin(withCos, idCol, vecCol, "__cell",
+        threshold, maxClusterSize)
+      .select(col("id_a"), col("id_b"))
+      .pipe(Checkpoints.stage)
+    val touched = pairs.select(col("id_a").as("doc"))
+      .union(pairs.select(col("id_b").as("doc"))).distinct()
+    val groups = Dedup.nearDupClusters(touched, "doc", pairs)
+    val withGroup = groups.select(col("id"), col("cluster_id").as("__grp"))
+      .join(withCos.select(col(idCol).as("id"), col("__cos_cent")), Seq("id"))
+    val survivors = withGroup.groupBy(col("__grp"))
+      .agg(min_by(col("id"), struct(col("__cos_cent"), col("id"))).as("__keep"))
+    val losers = withGroup.join(survivors, Seq("__grp"))
+      .where(col("id") =!= col("__keep"))
+      .select(col("id"))
+    corpus.join(broadcast(losers), corpus(idCol) === losers("id"), "left_anti")
+  }
 }

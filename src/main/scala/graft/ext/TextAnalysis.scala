@@ -438,4 +438,215 @@ object TextAnalysis {
     * pinned by TextAnalysisSpec against hand-computed expectations. */
   def tfidfLog(tf: Column, termDf: Column, nDocs: Long): Column =
     tf.cast("double") * log(lit(nDocs.toDouble) / termDf.cast("double"))
+
+  /** Top collocations by pointwise mutual information over the corpus
+    * bigram census — the phrase-mining / vocab-induction signal
+    * ("new york" is a unit, "of the" is not). PMI = log p(ab) /
+    * (p(a)·p(b)) is ordered here by its exact rational core
+    * r = c_ab·N / (c_a·c_b) (N = total token count): log is monotone,
+    * so the RANKING is identical, and r itself is one integer multiply
+    * per side followed by a single correctly-rounded IEEE division —
+    * bit-identical on every engine, where a libm log path is only
+    * almost (see [[topTfIdfTerm]] for the precedent). `minCount`
+    * floors c_ab — PMI's known pathology is that hapax pairs of hapax
+    * words score arbitrarily high.
+    *
+    * Shape at scale: one token census (vocab-sized) + one bigram
+    * census (distinct-bigram-sized), two gram-keyed joins against the
+    * unigram census — never broadcast (web vocabularies outgrow the
+    * broadcast limit), never all-pairs — and a TakeOrdered top-k. The
+    * integer products stay exact below c_ab·N < 2⁶³; past that (a
+    * >10¹⁵-token corpus with a degenerate bigram) divide both counts
+    * by a common power of two before scoring — the ranking is scale-
+    * invariant in N, so the pre-scale loses nothing. */
+  def pmiBigrams(df: DataFrame, textCol: String,
+                 minCount: Long, topK: Int): DataFrame = {
+    val t = tokens(col(textCol))
+    val base = df.where(col(textCol).isNotNull)
+    val toks = base.select(explode(t).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = toks.agg(count(lit(1)).as("__n_tok"))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val bi = base.select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+    val cA = uni.select(col("w").as("w1"), col("c").as("c_a"))
+    val cB = uni.select(col("w").as("w2"), col("c").as("c_b"))
+    bi.join(cA, "w1").join(cB, "w2").crossJoin(nTok)
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab") * col("__n_tok")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("bigram"))
+      .limit(topK)
+  }
+
+  /** One BPE merge-candidate census — the inner loop of byte-pair-
+    * encoding tokenizer training (count adjacent symbol pairs, merge
+    * the most frequent; Sennrich et al. 2016, arXiv:1508.07909): the
+    * top adjacent character pairs weighted by word frequency. The
+    * load-bearing scale trick is counting over the WORD CENSUS, not
+    * the corpus: occurrences collapse to (distinct word, count) first,
+    * so the quadratic-ish pair explode runs over the vocabulary (~10⁶
+    * rows at any corpus size) while the 100 TB corpus contributes only
+    * one token-census groupBy. `n_occ` is the corpus-weighted pair
+    * count (the BPE merge priority), `n_words` the distinct words
+    * containing the pair. All-integer — the oracle replays it
+    * verbatim. */
+  def bpePairs(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val words = df.where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .where(length(col("w")) >= 2)
+    val pairIdx = sequence(lit(1), length(col("w")) - 1)
+    words
+      .select(col("w"), col("c"),
+        explode(transform(pairIdx, i =>
+          concat(col("w").substr(i, lit(1)), lit(" "),
+            col("w").substr(i + 1, lit(1))))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("c")).as("n_occ"),
+        count_distinct(col("w")).as("n_words"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(topK)
+  }
+
+  /** DSIR-style importance weights via n-gram LM contrast (Data
+    * Selection with Importance Resampling, Xie et al. 2023,
+    * arXiv:2302.03169): score each document by how much more
+    * predictable it is under a TARGET-domain bigram LM than under the
+    * raw-corpus LM — log p_target(x) − log p_raw(x), the importance
+    * log-weight that upsamples target-like documents. Integerized to
+    * whole bits exactly like [[surprisalStats]] (per-gram
+    * floor(log2(c1 DIV c)) as binary bit-length — no libm log, per-doc
+    * sums are BIGINTs, order-independent): w_bits = Σ c_doc·(bits_raw
+    * − bits_target) over grams the target LM has seen; grams the
+    * target corpus lacks are counted in `n_oov_target` instead of
+    * being assigned a smoothed mass (smoothing constants are a
+    * modeling choice this operator surfaces to the caller — a doc
+    * that is mostly target-OOV is its own signal). High w_bits =
+    * target-like (cheap under the target LM, expensive under raw);
+    * resampling then keeps the top mass by weight.
+    *
+    * Shape at scale: identical to [[surprisalStats]] — unique (doc,
+    * gram) pairs staged once, two vocabulary-sized censuses (raw and
+    * target), gram-keyed joins only, no all-pairs, no broadcast of
+    * anything corpus-sized. */
+  def dsirContrastBits(df: DataFrame, idCol: String, textCol: String,
+                       targetPred: Column): DataFrame = {
+    val t = tokens(col(textCol))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val pairs = Checkpoints.stage(
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol), targetPred.cast("boolean").as("__is_t"),
+          explode(bigrams).as("g"))
+        .groupBy(col(idCol), col("__is_t"), col("g"))
+        .agg(count(lit(1)).as("c_doc")))
+    // Whole-bit surprisal of a gram census: bit_length(c1 DIV c) − 1,
+    // where c1 is the census's own prefix mass — same integer-exact
+    // construction as surprisalStats, parameterized by census.
+    def bitsOf(census: DataFrame, outCol: String): DataFrame = {
+      val c = census.withColumn("w1", element_at(split(col("g"), " "), 1))
+      val pre = c.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+      c.join(pre, "w1").select(col("g"),
+        (length(conv(expr("c1 DIV c"), 10, 2)) - 1).cast("long").as(outCol))
+    }
+    val rawBits = bitsOf(
+      pairs.groupBy(col("g")).agg(sum(col("c_doc")).as("c")), "bits_raw")
+    val tgtBits = bitsOf(
+      pairs.where(col("__is_t")).groupBy(col("g"))
+        .agg(sum(col("c_doc")).as("c")), "bits_t")
+    val gramBits = rawBits.join(tgtBits, Seq("g"), "left")
+    val perDoc = pairs.join(gramBits, "g")
+      .groupBy(col(idCol))
+      .agg(sum(col("c_doc")).as("n_bigrams"),
+        sum(when(col("bits_t").isNull, col("c_doc")).otherwise(0L))
+          .as("n_oov_target"),
+        sum(when(col("bits_t").isNotNull,
+          col("c_doc") * (col("bits_raw") - col("bits_t"))).otherwise(0L))
+          .as("w_bits"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov_target"), lit(0L)).as("n_oov_target"),
+        coalesce(col("w_bits"), lit(0L)).as("w_bits"))
+      .orderBy(col(idCol))
+  }
+
+  /** BM25 top-k retrieval over the corpus for a fixed term query —
+    * the keyword-retrieval scorer (Robertson & Walker's Okapi BM25)
+    * with the LINEAR idf variant (N − df + 0.5)/(df + 0.5): like
+    * [[topTfIdfTerm]], the log is dropped so every arithmetic step is
+    * an exactly-representable literal, an integer-to-double
+    * conversion, or a correctly-rounded IEEE op — the score, and
+    * therefore the ranking, is bit-identical across engines (the
+    * classic log-idf twin changes cross-TERM weighting, not the
+    * per-term ranking; it is pinned in TextAnalysisSpec). k1 = 1.2,
+    * b = 0.75 (the standard operating point). Per-term scores are
+    * summed in EXPLICIT left-to-right term order — float addition is
+    * not associative, so a SUM() aggregate over terms would not be
+    * engine-exact; a fixed fold is.
+    *
+    * Returns only documents containing ≥ 1 query term (standard
+    * candidate semantics). Shape at scale: one token explode filtered
+    * to the query terms BEFORE any shuffle (the corpus never shuffles
+    * — only matching postings do), per-term df and corpus length
+    * scalars as 1-row crossJoins, TakeOrdered top-k. For ad-hoc
+    * many-query serving build an inverted index instead; this is the
+    * scan-time scorer a batch relevance-labeling pipeline runs. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], topK: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8,
+      s"bm25TopK takes 1–8 query terms, got ${terms.size}")
+    require(terms.distinct.size == terms.size, "query terms must be distinct")
+    val t = tokens(col(textCol))
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol), size(t).cast("long").as("dl"))
+    val scalars = base.agg(count(lit(1)).as("__n_docs"),
+      sum(col("dl")).as("__sum_dl"))
+    val tok = base.select(col(idCol), col("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .where(col("term").isin(terms: _*))
+    val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+      sum(when(col("term") === tm, 1L).otherwise(0L)).as(s"tf_$i")
+    }
+    val tf = tok.groupBy(col(idCol), col("dl"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    val dfCols = terms.zipWithIndex.map { case (tm, i) =>
+      count(when(col("term") === tm, lit(1))).as(s"__df_$i")
+    }
+    val dfs = tok.select(col(idCol), col("term")).distinct()
+      .agg(dfCols.head, dfCols.tail: _*)
+    val scored = tf.crossJoin(dfs).crossJoin(scalars)
+      .withColumn("__avgdl",
+        col("__sum_dl").cast("double") / col("__n_docs").cast("double"))
+    // Per-term BM25 with the exact parenthesization the oracle SQL
+    // mirrors: idf · ((tf·2.2) / (tf + 1.2·(0.25 + 0.75·(dl/avgdl)))).
+    def termScore(i: Int): Column = {
+      val tfD = col(s"tf_$i").cast("double")
+      val dfD = col(s"__df_$i").cast("double")
+      val idf = ((col("__n_docs").cast("double") - dfD) + lit(0.5)) /
+        (dfD + lit(0.5))
+      when(col(s"tf_$i") > 0,
+        idf * ((tfD * lit(2.2)) /
+          (tfD + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") / col("__avgdl"))))))
+        .otherwise(lit(0.0))
+    }
+    val score = terms.indices.map(termScore)
+      .reduceLeft[Column](_ + _)
+    scored
+      .select((col(idCol) +: col("dl") +:
+        terms.indices.map(i => col(s"tf_$i"))) :+ score.as("score"): _*)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -258,6 +258,47 @@ private[graft] object CorpusQueries {
       // quality filter, integerized to whole bits so the score is
       // engine-exact (see the operator doc).
       TextAnalysis.surprisalStats(Tables.documents(s, dir), "doc_id", "text")),
+    "x_pmi_bigrams" -> ((s, dir) =>
+      // Top-30 collocations by PMI over the corpus bigram census
+      // (TextAnalysis.pmiBigrams, minCount 10) — ordered by the exact
+      // rational PMI core c_ab·N/(c_a·c_b), one integer multiply per
+      // side + one IEEE division, replayed verbatim by the oracle.
+      TextAnalysis.pmiBigrams(Tables.documents(s, dir), "text",
+        minCount = 10L, topK = 30)),
+    "x_bpe_pairs" -> ((s, dir) =>
+      // One BPE merge-candidate census (TextAnalysis.bpePairs): top-30
+      // adjacent char pairs weighted by word frequency, counted over
+      // the VOCAB census — all-integer, oracle-replayed.
+      TextAnalysis.bpePairs(Tables.documents(s, dir), "text", topK = 30)),
+    "x_dsir_weight" -> ((s, dir) =>
+      // DSIR-style importance log-weights in whole bits
+      // (TextAnalysis.dsirContrastBits): raw-LM minus target-LM bigram
+      // surprisal, target = the English slice of the corpus. Integer
+      // sums; the oracle replays both censuses.
+      TextAnalysis.dsirContrastBits(Tables.documents(s, dir), "doc_id",
+        "text", col("lang") === "en")),
+    "x_bm25_topk" -> ((s, dir) =>
+      // BM25 top-10 for the fixed 2-term query ("dup", "data") — one
+      // rare discriminative term + one common term, the shape BM25's
+      // idf weighting exists for. Linear-idf variant, k1=1.2, b=0.75,
+      // explicit-order float arithmetic so the scores hash-match the
+      // oracle replay.
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("dup", "data"), topK = 10)),
+    "x_train_order" -> ((s, dir) =>
+      // Deterministic epoch shuffle + round-robin shard assignment
+      // (Mixing.trainOrder, 8 shards) — per-shard census with an
+      // order-sensitive signature Σ doc_id·pos_in_shard, so the oracle
+      // pins the POSITIONS, not just shard membership. The rank is
+      // PrefixSum's range-partition construction, not a global-order
+      // window (PlanAuditSpec pins the no-Window shape).
+      Mixing.trainOrder(Tables.documents(s, dir), "doc_id", nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_ids"),
+          max(col("pos_in_shard")).as("max_pos"),
+          sum(col("doc_id") * col("pos_in_shard")).as("order_sig"))
+        .orderBy(col("shard"))),
     "x_winnow" -> ((s, dir) =>
       // Winnowing document fingerprints (k=8 char k-grams, window
       // w=4): the shared-passage detector. The fingerprints are
@@ -1406,6 +1447,91 @@ private[graft] object CorpusQueries {
         |   ELSE 0.0 END AS mean_bits
         | FROM documents d LEFT JOIN pd USING (doc_id)
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // PMI replayed in SQL: same censuses, same integer products, same
+    // single IEEE division, same (ratio DESC, bigram) order.
+    "x_pmi_bigrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
+        | u AS (SELECT unnest(tok) AS w FROM t),
+        | uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY w),
+        | n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM u),
+        | bg AS (SELECT tok[i] || ' ' || tok[i+1] AS bigram, tok[i] AS w1, tok[i+1] AS w2 FROM t,
+        |  UNNEST(generate_series(1, len(tok) - 1)) AS g(i) WHERE len(tok) >= 2),
+        | bc AS (SELECT bigram, MIN(w1) AS w1, MIN(w2) AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |   FROM bg GROUP BY bigram HAVING COUNT(*) >= 10)
+        | SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b,
+        |  CAST(c_ab * n_tok AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS pmi_ratio
+        | FROM bc JOIN uni a ON a.w = bc.w1 JOIN uni b ON b.w = bc.w2, n
+        | ORDER BY pmi_ratio DESC, bigram LIMIT 30""".stripMargin.replaceAll("\n", " "),
+    // BPE pair census replayed in SQL: same word census, same substr
+    // pair explode, same (n_occ DESC, pair) order — all integers.
+    "x_bpe_pairs" ->
+      """WITH u AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE text IS NOT NULL),
+        | wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY w HAVING length(w) >= 2),
+        | p AS (SELECT w, c, substr(w, CAST(i AS INT), 1) || ' ' || substr(w, CAST(i AS INT) + 1, 1) AS pair
+        |   FROM wc, UNNEST(generate_series(1, length(w) - 1)) AS g(i))
+        | SELECT pair, CAST(SUM(c) AS BIGINT) AS n_occ, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+        | FROM p GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 30""".stripMargin.replaceAll("\n", " "),
+    // DSIR contrast replayed in SQL: the x_surprisal construction run
+    // twice (raw corpus + English target), bit-lengths via to_base,
+    // integer sums — doubles appear nowhere.
+    "x_dsir_weight" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
+        | bg AS (SELECT doc_id, lang, tok[i] || ' ' || tok[i+1] AS g FROM t,
+        |  UNNEST(generate_series(1, len(tok) - 1)) AS u(i) WHERE len(tok) >= 2),
+        | pairs AS (SELECT doc_id, lang, g, COUNT(*) AS c_doc FROM bg GROUP BY 1, 2, 3),
+        | rawc AS (SELECT g, string_split(g, ' ')[1] AS w1, SUM(c_doc) AS c FROM pairs GROUP BY g),
+        | rawp AS (SELECT w1, SUM(c) AS c1 FROM rawc GROUP BY w1),
+        | rawb AS (SELECT g, CAST(length(to_base(CAST(c1 // c AS BIGINT), 2)) - 1 AS BIGINT) AS bits_raw
+        |   FROM rawc JOIN rawp USING (w1)),
+        | tgtc AS (SELECT g, string_split(g, ' ')[1] AS w1, SUM(c_doc) AS c FROM pairs WHERE lang = 'en' GROUP BY g),
+        | tgtp AS (SELECT w1, SUM(c) AS c1 FROM tgtc GROUP BY w1),
+        | tgtb AS (SELECT g, CAST(length(to_base(CAST(c1 // c AS BIGINT), 2)) - 1 AS BIGINT) AS bits_t
+        |   FROM tgtc JOIN tgtp USING (w1)),
+        | gb AS (SELECT g, bits_raw, bits_t FROM rawb LEFT JOIN tgtb USING (g)),
+        | pd AS (SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+        |   CAST(SUM(CASE WHEN bits_t IS NULL THEN c_doc ELSE 0 END) AS BIGINT) AS n_oov_target,
+        |   CAST(SUM(CASE WHEN bits_t IS NOT NULL THEN c_doc * (bits_raw - bits_t) ELSE 0 END) AS BIGINT) AS w_bits
+        |  FROM pairs JOIN gb USING (g) GROUP BY doc_id)
+        | SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(pd.n_oov_target, 0) AS n_oov_target, COALESCE(pd.w_bits, 0) AS w_bits
+        | FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // BM25 replayed in SQL with the IDENTICAL expression tree (same
+    // parenthesization, same cast points, same left-to-right term
+    // sum) — every step is an exactly-representable literal, an
+    // int-to-double conversion, or one correctly-rounded IEEE op, so
+    // scores hash-match bit-for-bit.
+    "x_bm25_topk" ->
+      """WITH base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, text
+        |   FROM documents WHERE text IS NOT NULL),
+        | sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base),
+        | tok AS (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM base),
+        | tokf AS (SELECT * FROM tok WHERE term IN ('dup', 'data')),
+        | tf AS (SELECT doc_id, dl,
+        |    CAST(SUM(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+        |    CAST(SUM(CASE WHEN term = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS tf_1
+        |   FROM tokf GROUP BY doc_id, dl),
+        | dfs AS (SELECT CAST(COUNT(DISTINCT CASE WHEN term = 'dup' THEN doc_id END) AS BIGINT) AS df_0,
+        |    CAST(COUNT(DISTINCT CASE WHEN term = 'data' THEN doc_id END) AS BIGINT) AS df_1 FROM tokf),
+        | s AS (SELECT doc_id, dl, tf_0, tf_1,
+        |   (CASE WHEN tf_0 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE)) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)
+        |     * ((CAST(tf_0 AS DOUBLE) * 2.2) / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) ELSE 0.0 END)
+        |   + (CASE WHEN tf_1 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE)) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)
+        |     * ((CAST(tf_1 AS DOUBLE) * 2.2) / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) ELSE 0.0 END) AS score
+        |  FROM tf, dfs, sc)
+        | SELECT doc_id, dl, tf_0, tf_1, score FROM s ORDER BY score DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+    // Epoch shuffle replayed in SQL: same id-hash order (the oracle's
+    // ROW_NUMBER window is fine at oracle scale; the engine path is
+    // the distributed prefix sum), same round-robin shard arithmetic.
+    "x_train_order" ->
+      """WITH d AS (SELECT doc_id,
+        |   ((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 1000003) AS h FROM documents),
+        | r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS pos FROM d),
+        | a AS (SELECT doc_id, pos % 8 AS shard, pos // 8 AS pos_in_shard FROM r)
+        | SELECT CAST(shard AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(MAX(pos_in_shard) AS BIGINT) AS max_pos,
+        |  CAST(SUM(doc_id * pos_in_shard) AS BIGINT) AS order_sig
+        | FROM a GROUP BY shard ORDER BY shard""".stripMargin.replaceAll("\n", " "),
     // Byte slicing replayed as char substring — sound because both
     // sides keep only ASCII rows (strlen = length guard).
     "x_frame_sample" ->

@@ -58,6 +58,7 @@ private[graft] object VectorQueries {
     "x_ann_topk" -> ((s, dir) => annTopK(s, dir)),
     "x_embed_neardup" -> ((s, dir) => embedNearDup(s, dir)),
     "x_embed_dedup" -> ((s, dir) => embedDedup(s, dir)),
+    "x_semantic_dedup" -> ((s, dir) => semanticDedupGate(s, dir)),
     "x_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
     "x_stream_embed_ingest" -> ((s, dir) => streamEmbedIngest(s, dir)),
     "x_approx_sim_join" -> ((s, dir) => approxSimJoin(s, dir)),
@@ -409,6 +410,47 @@ private[graft] object VectorQueries {
           .cast("long").as("out_bounded_ok"))
   }
 
+  /** x_semantic_dedup: SemDeDup (Similarity.semanticDedup) —
+    * k-means-cell-scoped cosine pruning with the paper's
+    * keep-most-peripheral survivor rule. The survivor SET depends on
+    * the trained clustering (deterministic run-to-run — ivfTrain's
+    * exact-decimal means — but not SQL-replayable), so the gate emits
+    * the hash-independent envelope over the REAL output: n_in /
+    * n_distinct_emb are value-replayed; ident_collapsed_ok holds
+    * because byte-identical vectors produce identical similarity
+    * arrays (same argmax cell) and cosine ~1 ≥ τ, so each
+    * identical-embedding group always collapses to one survivor;
+    * no_resident_pair_ok re-runs the within-cell detector (same
+    * centroids, threshold, cap) over the survivors and must find ZERO
+    * pairs — two survivors ≥ τ in one cell would have been one group;
+    * out_bounded_ok pins 1 ≤ |out| ≤ n_distinct_emb. Per-value
+    * survivor semantics (peripheral-keep rule, planted duplicates)
+    * are pinned on fixtures in SimilaritySpec. */
+  private def semanticDedupGate(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.ivfTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding", cents,
+        threshold = 0.95, maxClusterSize = 10000)
+      .pipe(graft.ext.Checkpoints.stage)
+    val nIn = e.agg(count(lit(1)).as("n_in"),
+      count_distinct(col("embedding")).as("n_distinct_emb"))
+    val maxPer = out.groupBy(col("embedding")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max(col("__c")), lit(0L)).as("__maxc"))
+    val resident = Similarity.cosinePairsWithin(
+        Similarity.ivfAssign(out, "vec_id", "embedding", cents)
+          .withColumnRenamed("cluster_id", "__cell"),
+        "vec_id", "embedding", "__cell", 0.95, 10000)
+      .agg(count(lit(1)).as("__nres"))
+    val nOut = out.agg(count(lit(1)).as("__nout"))
+    nIn.crossJoin(maxPer).crossJoin(nOut).crossJoin(resident)
+      .select(col("n_in"), col("n_distinct_emb"),
+        (col("__maxc") <= 1).cast("long").as("ident_collapsed_ok"),
+        (col("__nres") === 0).cast("long").as("no_resident_pair_ok"),
+        (col("__nout") >= 1 && col("__nout") <= col("n_distinct_emb"))
+          .cast("long").as("out_bounded_ok"))
+  }
+
   /** x_ivf_quantized: the INT8 IVF probe (VERDICT r8 #6) — the probe
     * scans the persisted index's array<tinyint> column for the
     * pre-rank (~1/4 the bytes of the float column), float re-rank on
@@ -619,6 +661,16 @@ private[graft] object VectorQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
         | CAST(COUNT(DISTINCT embedding) AS BIGINT) AS n_distinct_emb,
         | CAST(1 AS BIGINT) AS ident_collapsed_ok,
+        | CAST(1 AS BIGINT) AS out_bounded_ok
+        | FROM embeddings""".stripMargin.replaceAll("\n", " "),
+    // SemDeDup: input census value-replayed; the identical-collapse,
+    // zero-resident-pair, and bounds bits derive from the real
+    // survivor set in-engine.
+    "x_semantic_dedup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
+        | CAST(COUNT(DISTINCT embedding) AS BIGINT) AS n_distinct_emb,
+        | CAST(1 AS BIGINT) AS ident_collapsed_ok,
+        | CAST(1 AS BIGINT) AS no_resident_pair_ok,
         | CAST(1 AS BIGINT) AS out_bounded_ok
         | FROM embeddings""".stripMargin.replaceAll("\n", " "),
     // Int8 IVF probe: top-k row count value-replayed; the two recall

@@ -316,4 +316,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"tokenBudgetPerGroup must not plan a Window:\n$plan")
   }
+
+  test("x_train_order: distributed rank, no Window node (the global-order funnel)") {
+    // A row_number() OVER (ORDER BY …) global window serializes the
+    // whole corpus through one task; trainOrder's rank must come from
+    // PrefixSum's range-partition + offsets construction instead.
+    val plan = SparkEntry.queries("x_train_order")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"trainOrder must not plan a Window:\n$plan")
+  }
 }

@@ -58,7 +58,10 @@ class SparkEntrySpec extends AnyFunSuite {
       // Anchor-batch × corpus scoring: the non-equi label filter is a
       // nested loop BOUNDED by the broadcast anchor batch (5 rows) —
       // linear in the corpus by construction (Similarity.hardNegatives).
-      "x_hard_negatives")
+      "x_hard_negatives",
+      // 1-row scalar crossJoins: corpus token count (PMI), df/avgdl
+      // scalars (BM25), and the SemDeDup gate's report assembly.
+      "x_pmi_bigrams", "x_bm25_topk", "x_semantic_dedup")
     val allowDayGrain = Set("x_rolling_stats", "x_gap_fill")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, TestSpark.sf0001)

@@ -127,4 +127,23 @@ class MixingSpec extends AnyFunSuite {
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(got == expected, "keyed prefix-sum path must equal the window form")
   }
+
+  test("trainOrder: positions are the (hash, id) permutation; round-robin shards balance") {
+    val df = (1L to 1000L).map(i => (i, s"payload$i")).toDF("id", "t")
+    val got = Mixing.trainOrder(df, "id", nShards = 8)
+      .select(col("id"), col("epoch_pos"), col("shard"), col("pos_in_shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.length == 1000)
+    // epoch_pos is a permutation of 0..n-1 in (orderHash, id) order.
+    assert(got.map(_._2).sorted.toSeq == (0L until 1000L))
+    val expectedOrder = df
+      .withColumn("h", Mixing.orderHash(col("id")))
+      .orderBy(col("h"), col("id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.sortBy(_._2).map(_._1).toSeq == expectedOrder)
+    // shard/pos arithmetic and balance (1000 = 8·125 exactly).
+    assert(got.forall { case (_, p, s, ps) => s == (p % 8).toInt && ps == p / 8 })
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.values.toSet == Set(125))
+  }
 }

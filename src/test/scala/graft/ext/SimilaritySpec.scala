@@ -402,4 +402,36 @@ class SimilaritySpec extends AnyFunSuite {
         corpus, "vec_id", "embedding", "label", anchors, k = 3, sliceSize = 0)
     }
   }
+
+  test("semanticDedup: one survivor per group, the most centroid-peripheral member") {
+    // Fixed centroids (no training) so the cell assignment is known:
+    // cell 0 = x-axis, cell 1 = y-axis.
+    val cents = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f))
+    val corpus = Seq(
+      // Near-dup group in cell 0: pairwise cosine ≥ 0.95; cosine to
+      // the centroid ranks a3 (1.0) > a1 > a2 — the paper's rule keeps
+      // a2, the most peripheral.
+      (1L, Seq(1f, 0.05f, 0f, 0f)),  // a1
+      (2L, Seq(1f, 0.1f, 0f, 0f)),   // a2 — lowest cos to centroid
+      (3L, Seq(1f, 0f, 0f, 0f)),     // a3 — exactly the centroid
+      // Cell-0 resident far from the group (cos < 0.95 to all a's).
+      (4L, Seq(1f, -0.5f, 0f, 0f)),
+      // Lone cell-1 vector.
+      (5L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        cents, threshold = 0.95, maxClusterSize = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L), s"expected peripheral survivor 2, got $kept")
+    // Identical vectors always collapse, tie broken to the smallest id.
+    val ident = Seq(
+      (10L, Seq(1f, 0f, 0f, 0f)),
+      (11L, Seq(1f, 0f, 0f, 0f)),
+      (12L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val keptIdent = Similarity.semanticDedup(ident, "vec_id", "embedding",
+        cents, threshold = 0.95, maxClusterSize = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIdent == Set(10L, 12L))
+  }
 }

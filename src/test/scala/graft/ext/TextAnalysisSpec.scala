@@ -223,4 +223,100 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(4L).getAs[Long]("n_oov") == 1L && rows(4L).getAs[Double]("oov_frac") == 1.0)
     assert(rows(1L).getAs[Double]("oov_frac") == 0.25)
   }
+
+  test("pmiBigrams: hand-computed ratios, (ratio DESC, bigram) order, minCount floor") {
+    // Tokens: a,b,a,b,a,c → c_a=3, c_b=2, c_c=1, N=6.
+    // Bigrams: "a b"×2, "b a"×1, "a c"×1.
+    // pmi_ratio: "a b" = 2·6/(3·2) = 2.0, "a c" = 1·6/(3·1) = 2.0,
+    //            "b a" = 1·6/(2·3) = 1.0. Tie at 2.0 → lexical order.
+    val got = TextAnalysis.pmiBigrams(
+      Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text"),
+      "text", minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("a b", 2L, 3L, 2L, 2.0),
+      ("a c", 1L, 3L, 1L, 2.0),
+      ("b a", 1L, 2L, 3L, 1.0)))
+    // minCount floors hapax pairs out.
+    val floored = TextAnalysis.pmiBigrams(
+      Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text"),
+      "text", minCount = 2L, topK = 10)
+      .collect().map(_.getString(0))
+    assert(floored.toSeq == Seq("a b"))
+  }
+
+  test("bpePairs: vocab-census weighting and overlapping adjacent pairs") {
+    // Word census: "abab"×2, "aaa"×1, "b"×1 (dropped: length < 2).
+    // Pairs: abab → a b, b a, a b (weight 2 each); aaa → a a, a a (1).
+    // n_occ: "a b" = 4, "b a" = 2, "a a" = 2; n_words 1 each.
+    val got = TextAnalysis.bpePairs(
+      Seq((1L, "abab aaa b"), (2L, "abab")).toDF("doc_id", "text"),
+      "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a b", 4L, 1L), ("a a", 2L, 1L), ("b a", 2L, 1L)))
+  }
+
+  test("dsirContrastBits: all-target contrast is zero; disjoint doc is all-OOV") {
+    // Target = everything → bits_t == bits_raw for every gram → w_bits
+    // and n_oov_target are identically zero.
+    val allTarget = TextAnalysis.dsirContrastBits(
+      Seq((1L, "a b a b"), (2L, "b a c d")).toDF("doc_id", "text"),
+      "doc_id", "text", lit(true))
+      .collect()
+    assert(allTarget.forall(r => r.getAs[Long]("w_bits") == 0L &&
+      r.getAs[Long]("n_oov_target") == 0L))
+    // A doc sharing no bigram with the target corpus: every gram OOV,
+    // w_bits 0 (OOV grams carry no contrast mass by contract).
+    val oov = TextAnalysis.dsirContrastBits(
+      Seq((1L, "a b a b"), (2L, "x y z")).toDF("doc_id", "text"),
+      "doc_id", "text", col("doc_id") === 1L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(oov(2L).getAs[Long]("n_oov_target") == 2L)
+    assert(oov(2L).getAs[Long]("w_bits") == 0L)
+    // And the target doc itself: raw census has 5 bigram tokens
+    // ("a b"×2, "b a"×1, "x y", "y z"), target census only doc 1's.
+    // Doc 1's grams exist in both → no OOV.
+    assert(oov(1L).getAs[Long]("n_oov_target") == 0L)
+  }
+
+  test("dsirContrastBits direction: target-like docs outscore off-target docs") {
+    // Target grams are common in target, rare in raw → positive
+    // contrast for docs made of them; doc 9 (off-target grams) gets
+    // no positive mass from the target LM.
+    val docs = (1L to 8L).map(i => (i, "the cat sat on the mat")) :+
+      ((9L, "stock market index fund")) :+
+      ((10L, "the cat sat on the mat"))
+    val got = TextAnalysis.dsirContrastBits(
+      docs.toDF("doc_id", "text"), "doc_id", "text", col("doc_id") <= 8L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("w_bits"), r.getAs[Long]("n_oov_target"))).toMap
+    assert(got(10L)._1 >= 0L, s"target-like doc must not score negative: ${got(10L)}")
+    assert(got(9L)._2 == 3L, "off-target doc is all-OOV under the target LM")
+    assert(got(10L)._1 > got(9L)._1 || got(9L)._2 > 0L)
+  }
+
+  test("bm25TopK: rare-term docs outrank common-term docs; dl normalization; tf columns") {
+    val docs = Seq(
+      (1L, "rare common common common"),          // has the rare term
+      (2L, "common common common common"),        // common only
+      (3L, "rare common"),                        // rare term, shorter doc
+      (4L, "filler filler filler filler filler")) // no query term
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("rare", "common"), topK = 10).collect()
+    val ids = got.map(_.getLong(0)).toSeq
+    // Doc 4 has no query term → absent from candidates.
+    assert(!ids.contains(4L))
+    // Both rare-term docs rank above the common-only doc; the shorter
+    // rare-term doc (3) beats the longer one (1) on dl normalization.
+    assert(ids.take(2).toSet == Set(1L, 3L))
+    assert(ids.head == 3L, s"shorter doc must rank first: $ids")
+    assert(ids.last == 2L)
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Long]("tf_0") == 1L && byId(1L).getAs[Long]("tf_1") == 3L)
+    assert(byId(2L).getAs[Long]("tf_0") == 0L && byId(2L).getAs[Long]("tf_1") == 4L)
+    assert(got.map(_.getAs[Double]("score")).toSeq ==
+      got.map(_.getAs[Double]("score")).sortBy(-_).toSeq)
+  }
 }

@@ -168,4 +168,44 @@ object Mixing {
       .where(col("__mix_rn") <= k)
       .drop("__mix_rn", "__mix_h")
   }
+
+  /** Leakage-safe corpus split — split by near-dup CLUSTER, not by
+    * document. Per-doc hash splitting (assignSplit) silently puts
+    * near-duplicates of a training doc into the eval split — the
+    * train/test-contamination failure mode dedup-before-split practice
+    * exists to prevent. Here every document adopts the connected
+    * component of the near-dup pair graph (any (id_a, id_b) pair
+    * frame: exact-Jaccard, MinHash-confirmed, winnow shared-passage)
+    * as `cluster_id`, and the split bucket is hashed from the CLUSTER
+    * label with the same canonical id-hash every Mixing op replays in
+    * SQL — so two docs joined by any pair path can never straddle
+    * splits, by construction. Docs touching no pair are their own
+    * singleton cluster (cluster_id = own id). Output = input schema
+    * + `cluster_id` + `split`.
+    *
+    * Scale shape: [[graft.operators.ConnectedComponents]]'
+    * large/small-star contraction runs O(log² n) keyed rounds over the
+    * PAIR set only (pair mass ≈ linear in corpus size — measured, see
+    * BENCH_NOTES minhash sizing); the label attach is one shuffle
+    * keyed on id against a labels side that only holds paired docs;
+    * split assignment is per-row codegen arithmetic. Nothing touches
+    * the driver beyond CC's convergence signature.
+    */
+  def clusterSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    val labels = graft.operators.ConnectedComponents
+      .run(pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .select(col("node").as("__cs_id"), col("component").as("__cs_comp"))
+    val b = TextAnalysis.splitBucket(col("cluster_id"))
+    docs.join(labels, docs(idCol).cast("long") === col("__cs_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("__cs_comp"), col(idCol).cast("long")))
+      .drop("__cs_id", "__cs_comp")
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
 }

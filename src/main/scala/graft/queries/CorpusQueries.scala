@@ -128,6 +128,7 @@ private[graft] object CorpusQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
+    "x_cluster_split" -> ((s, dir) => clusterSplitSummary(s, dir)),
     "x_group_budget" -> ((s, dir) =>
       // Per-source token-budget cap (Mixing.tokenBudgetPerGroup):
       // 2000 whitespace tokens per source in the deterministic hash
@@ -640,6 +641,39 @@ private[graft] object CorpusQueries {
     val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
       k = 8, w = 4, minShared = 2, maxPostings = 1000)
     Dedup.containmentOn(docs, pairs).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Leakage-safe cluster split ([[graft.ext.Mixing.clusterSplit]])
+    * over the exact-Jaccard near-dup graph (word-3-gram shingles,
+    * J ≥ 0.5 — the hash-independent pair set the x_minhash_neardup
+    * oracle already replays in SQL): per-split doc and cluster
+    * census, plus the operator's defining invariant computed over the
+    * REAL assignment — n_leaky_pairs, the count of near-dup pairs
+    * whose endpoints landed in different splits, which must be 0 by
+    * construction. The oracle replays detection (shingle self-join),
+    * clustering (recursive-CTE transitive closure to the min
+    * reachable id — the same label ConnectedComponents converges to),
+    * split hashing, and the leak join end-to-end. */
+  private def clusterSplitSummary(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .pipe(graft.ext.Checkpoints.stage)
+    val assigned = Mixing.clusterSplit(docs, "doc_id", pairs)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .pipe(graft.ext.Checkpoints.stage)
+    val leak = pairs
+      .join(assigned.select(col("doc_id").as("id_a"), col("split").as("__sa")),
+        Seq("id_a"))
+      .join(assigned.select(col("doc_id").as("id_b"), col("split").as("__sb")),
+        Seq("id_b"))
+      .where(col("__sa") =!= col("__sb"))
+      .agg(count(lit(1)).as("n_leaky_pairs"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(leak)
+      .orderBy(col("split"))
   }
 
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
@@ -1409,6 +1443,41 @@ private[graft] object CorpusQueries {
         | CAST(COUNT(*) AS BIGINT) AS n
         | FROM (SELECT (((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 AS b FROM documents) t
         | GROUP BY 1 ORDER BY split""".stripMargin.replaceAll("\n", " "),
+    // Cluster split replayed END-TO-END: exact-Jaccard pair detection
+    // (same shingle/ratio SQL as x_minhash_neardup), recursive-CTE
+    // transitive closure to the min reachable id (the label
+    // large/small-star converges to), the canonical split hash applied
+    // to the CLUSTER id, and the leak join over the real assignment.
+    "x_cluster_split" ->
+      """WITH RECURSIVE
+        | tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+        | sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |     generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM tok),
+        | ns AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        | pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+        |   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | jp AS (SELECT CAST(ia AS BIGINT) AS ia, CAST(ib AS BIGINT) AS ib
+        |   FROM pr JOIN ns na ON na.doc_id = pr.ia JOIN ns nb ON nb.doc_id = pr.ib
+        |   WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= 0.5),
+        | e AS (SELECT ia AS a, ib AS b FROM jp UNION SELECT ib, ia FROM jp),
+        | r AS (SELECT a AS node, b AS reach FROM e
+        |   UNION SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+        | lab0 AS (SELECT node, LEAST(MIN(reach), node) AS comp FROM r GROUP BY node),
+        | lab AS (SELECT d.doc_id, COALESCE(l.comp, CAST(d.doc_id AS BIGINT)) AS cluster_id
+        |   FROM documents d LEFT JOIN lab0 l ON d.doc_id = l.node),
+        | spl AS (SELECT doc_id, cluster_id,
+        |   CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |   FROM (SELECT doc_id, cluster_id,
+        |     (((((cluster_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 AS b
+        |     FROM lab) t),
+        | leak AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs FROM jp
+        |   JOIN spl sa ON jp.ia = sa.doc_id JOIN spl sb ON jp.ib = sb.doc_id
+        |   WHERE sa.split <> sb.split)
+        | SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |   CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+        |   (SELECT n_leaky_pairs FROM leak) AS n_leaky_pairs
+        | FROM spl GROUP BY split ORDER BY split""".stripMargin.replaceAll("\n", " "),
     "x_memorization" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
         | bg AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] AS g FROM t,

@@ -61,7 +61,10 @@ class SparkEntrySpec extends AnyFunSuite {
       "x_hard_negatives",
       // 1-row scalar crossJoins: corpus token count (PMI), df/avgdl
       // scalars (BM25), and the SemDeDup gate's report assembly.
-      "x_pmi_bigrams", "x_bm25_topk", "x_semantic_dedup")
+      "x_pmi_bigrams", "x_bm25_topk", "x_semantic_dedup",
+      // The global n_leaky_pairs gate (1 row) crossed into the 3-row
+      // per-split census.
+      "x_cluster_split")
     val allowDayGrain = Set("x_rolling_stats", "x_gap_fill")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, TestSpark.sf0001)

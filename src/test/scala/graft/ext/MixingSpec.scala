@@ -146,4 +146,31 @@ class MixingSpec extends AnyFunSuite {
     val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
     assert(sizes.values.toSet == Set(125))
   }
+
+  test("clusterSplit: component labels, no-straddle invariant, singleton fallthrough") {
+    val docs = (1L to 200L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    // Chain 1–2–3 (one cluster via transitivity, no direct 1–3 edge)
+    // plus a far-apart pair 10–150.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 150L)).toDF("id_a", "id_b")
+    val out = Mixing.clusterSplit(docs, "doc_id", pairs)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "cluster_id", "split"),
+      "output must be input schema + cluster_id + split")
+    val rows = out.select(col("doc_id"), col("cluster_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(rows.size == 200)
+    // Min-reachable-id labels; everyone else is their own singleton.
+    assert(Seq(1L, 2L, 3L).forall(rows(_)._1 == 1L))
+    assert(rows(10L)._1 == 10L && rows(150L)._1 == 10L)
+    assert(rows(7L)._1 == 7L && rows(42L)._1 == 42L)
+    // The defining invariant: a cluster occupies exactly one split.
+    assert(Seq(1L, 2L, 3L).map(rows(_)._2).distinct.size == 1)
+    assert(rows(10L)._2 == rows(150L)._2)
+    // Singletons hash exactly like the per-doc split (cluster_id = id).
+    val perDoc = TextAnalysis.assignSplit(docs, "doc_id")
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(7L)._2 == perDoc(7L) && rows(42L)._2 == perDoc(42L))
+    // Paired docs hash from the CLUSTER id: 150 follows 10's bucket.
+    assert(rows(150L)._2 == perDoc(10L))
+  }
 }

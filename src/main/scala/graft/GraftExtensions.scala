@@ -33,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctionBuilders.winnowInfo, GraftFunctionBuilders.winnowBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_winnow_packed"),
       GraftFunctionBuilders.winnowPackedInfo, GraftFunctionBuilders.winnowPackedBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_encode"),
+      GraftFunctionBuilders.bpeEncodeInfo, GraftFunctionBuilders.bpeEncodeBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_mg_topk"),
       graft.functions.MisraGriesTopK.info, graft.functions.MisraGriesTopK.builder _))
     // Opt-in approximate similarity-join rewrite (see

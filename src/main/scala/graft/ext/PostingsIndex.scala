@@ -1,0 +1,222 @@
+package graft.ext
+
+import scala.util.chaining._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Writer
+
+/** Persisted BM25 retrieval index — the index-backed twin of
+  * [[TextAnalysis.bm25TopK]], completing the same
+  * build → probe → append → streaming-ingest lifecycle the dedup
+  * (DedupIndex), shared-passage (WinnowIndex) and embedding (IvfIndex)
+  * families already have: tokenize the corpus ONCE into a persisted
+  * posting table, then answer ad-hoc term queries by reading only the
+  * query terms' postings — never a corpus rescan per query, which is
+  * what the scan-time scorer costs.
+  *
+  * Index layout, three tables:
+  *   - `<table>`       (term, id, tf, dl) bucketed+sorted on `term` —
+  *     the selective probe key. `dl` is DENORMALIZED into the posting
+  *     row (+8 bytes) so a probe never joins a corpus-sized length
+  *     table: the probe's only corpus contact is the query terms'
+  *     postings.
+  *   - `<table>_docs`  (id, dl) bucketed on `id` — one row per
+  *     indexed doc INCLUDING zero-posting docs (empty/whitespace
+  *     text); the doc-granularity idempotence anchor for [[append]]
+  *     and the corpus census ground truth.
+  *   - `<table>_stats` (n_docs, sum_dl) — one row per build/append
+  *     batch; a probe SUMS this k-row table for the corpus scalars
+  *     (N, avgdl) instead of scanning `_docs` (2-col but
+  *     corpus-sized — a 20 B-doc corpus would pay ~300 GB per probe).
+  *
+  * Cost model at 100 TB: build is one tokenize+census pass, paid once;
+  * probe reads |terms| posting ranges off the stored bucketing (term
+  * equality/In predicates prune buckets) + a k-row stats sum; append
+  * touches only the new batch's postings and the `_docs` buckets its
+  * ids hash to. BM25's global terms (idf, avgdl) are resolved at PROBE
+  * time from current stats, so appends never rewrite old postings.
+  *
+  * Equivalence contract (pinned by PostingsIndexSpec, oracle-gated by
+  * x_bm25_index / x_stream_bm25): probe(terms, k) over an index built
+  * from any build/append/ingest partition of the corpus equals
+  * [[TextAnalysis.bm25TopK]] over the whole corpus — postings are
+  * per-doc, stats are additive over disjoint doc sets, and the ranking
+  * arithmetic is the SAME code ([[TextAnalysis.bm25Rank]]).
+  */
+object PostingsIndex {
+
+  /** (term, id, tf, dl) posting rows of a doc frame — whitespace
+    * tokens, exactly [[TextAnalysis.tokens]]' split (so scan-time and
+    * index-time token censuses agree bit-for-bit, empty-string token
+    * included). Zero-token docs yield no posting rows; their corpus
+    * mass rides in [[docLengths]]. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), size(t).cast("long").as("dl"),
+        explode(t).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("id"), col("tf"), col("dl"))
+  }
+
+  /** (id, dl) for every non-null-text doc — including docs with no
+    * postings, which still count toward N and avgdl. */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+
+  /** 1-row corpus-mass delta of a doc-length frame. */
+  def statsOf(dls: DataFrame): DataFrame =
+    dls.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+
+  /** Tokenize `docs` and persist the three-table index. Overwrites. */
+  def build(spark: SparkSession, docs: DataFrame, idCol: String,
+            textCol: String, table: String, nBuckets: Int = 16): Unit = {
+    val dls = docLengths(docs, idCol, textCol).pipe(Checkpoints.stage)
+    Writer.bucketedTable(postings(docs, idCol, textCol), table, "term", nBuckets)
+    Writer.bucketedTable(dls, table + "_docs", "id", nBuckets)
+    // 1-row scalar table; the single bucket is just the uniform writer.
+    Writer.bucketedTable(statsOf(dls), table + "_stats", "n_docs", 1)
+  }
+
+  /** Append a new batch. IDEMPOTENT at doc granularity: ids already in
+    * `_docs` are dropped whole before any write (postings are a pure
+    * function of (id, text), so partial presence cannot happen), and
+    * the batch's stats row counts only the surviving docs — a retried
+    * append or a shard re-ingesting an indexed id never inflates tf,
+    * N, or avgdl. The existence check semi-joins the id-bucketed
+    * `_docs` table on the batch's ids only — contact is the batch's
+    * buckets, never an index scan. */
+  def append(spark: SparkSession, table: String, newDocs: DataFrame,
+             idCol: String, textCol: String): Unit = {
+    val dls = docLengths(newDocs, idCol, textCol).pipe(Checkpoints.stage)
+    val indexed = spark.table(table + "_docs")
+      .join(dls.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id"))
+    val fresh = dls.join(indexed, Seq("id"), "left_anti")
+      .pipe(Checkpoints.stage)
+    val freshDocs = newDocs.join(fresh.select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+    postings(freshDocs, idCol, textCol).write.mode("append").insertInto(table)
+    fresh.write.mode("append").insertInto(table + "_docs")
+    statsOf(fresh).write.mode("append").insertInto(table + "_stats")
+    // insertInto refreshes the WRITING session's relation cache only;
+    // keep the reading session honest (same hazard as DedupIndex).
+    Seq(table, table + "_docs", table + "_stats")
+      .foreach(spark.catalog.refreshTable)
+  }
+
+  /** BM25 top-k for 1–8 query terms off the persisted index: reads the
+    * query terms' postings (term-bucket-pruned scan, `dl` riding in
+    * the row), sums the k-row stats table for (N, avgdl), and ranks
+    * with the shared [[TextAnalysis.bm25Rank]] kernel — score-identical
+    * to the scan-time scorer, corpus contact O(|terms' postings|).
+    * Works on both the batch and the streaming (batch-partitioned)
+    * layouts — the explicit projection drops the partition tag. */
+  def probe(spark: SparkSession, table: String, terms: Seq[String],
+            topK: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8,
+      s"probe takes 1–8 query terms, got ${terms.size}")
+    require(terms.distinct.size == terms.size, "query terms must be distinct")
+    val post = spark.table(table)
+      .select(col("term"), col("id"), col("tf"), col("dl"))
+      .where(col("term").isin(terms: _*))
+      // Feeds tf and df aggregates — read the pruned postings once.
+      .pipe(Checkpoints.stage)
+    val st = spark.table(table + "_stats")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("__n_docs"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("__sum_dl"))
+    val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+      sum(when(col("term") === tm, col("tf")).otherwise(0L)).as(s"tf_$i")
+    }
+    val tf = post.groupBy(col("id"), col("dl"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    // Postings are unique per (term, id), so a plain conditional count
+    // IS the document frequency — no distinct pass, unlike scan-time.
+    val dfCols = terms.zipWithIndex.map { case (tm, i) =>
+      count(when(col("term") === tm, lit(1))).as(s"__df_$i")
+    }
+    val dfs = post.agg(dfCols.head, dfCols.tail: _*)
+    TextAnalysis.bm25Rank(tf.crossJoin(dfs).crossJoin(st), "id",
+      terms.size, topK)
+  }
+
+  /** Streaming ingest — micro-batches append postings + doc lengths +
+    * a per-batch stats row, all as DYNAMIC overwrites of the batch's
+    * own partition (redelivery-idempotent, nothing driver-held), so
+    * the index is probe-able the moment the stream quiesces and after
+    * any driver restart. With a `checkpointLocation` the ingest is
+    * RESTARTABLE under the same fresh-checkpoint contract as
+    * DedupIndex.streamIngest: leftover tables are dropped unless the
+    * checkpoint has committed batches. Contract shared with the other
+    * streaming ingests: every doc id arrives in exactly ONE batch
+    * (cross-batch duplicate ids are the batch [[append]]'s job — the
+    * streaming path trades the existence anti-join for partition
+    * overwrite, the same trade DedupIndex made in r10). Returns (the
+    * accumulated per-batch stats rows, batches processed). */
+  def streamIngest(spark: SparkSession, table: String, stream: DataFrame,
+                   idCol: String, textCol: String,
+                   queryName: String = "graft_bm25_ingest",
+                   checkpointLocation: Option[String] = None,
+                   nBuckets: Int = 16): (DataFrame, Int) = {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val idType = stream.schema(idCol).dataType
+    val resuming = checkpointLocation.exists(cp =>
+      StreamOps.lastCommittedBatch(spark, cp).isDefined)
+    val mkTable = if (resuming)
+      Writer.ensurePartitionedBucketedTable _
+    else Writer.emptyPartitionedBucketedTable _
+    mkTable(spark, table,
+      StructType(Seq(
+        StructField("term", StringType),
+        StructField("id", idType),
+        StructField("tf", LongType),
+        StructField("dl", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "term", nBuckets)
+    mkTable(spark, table + "_docs",
+      StructType(Seq(
+        StructField("id", idType),
+        StructField("dl", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "id", nBuckets)
+    mkTable(spark, table + "_stats",
+      StructType(Seq(
+        StructField("n_docs", LongType),
+        StructField("sum_dl", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "n_docs", 1)
+    StreamOps.sinkBatches(spark, stream, queryName, table + "_stats",
+        checkpointLocation) { (b, _) =>
+      // Tokenize the batch once; postings and stats both read it.
+      val dls = StreamOps.Profile.timed(queryName, "doc_lengths")(
+        docLengths(b, idCol, textCol).localCheckpoint(true))
+      val post = postings(b, idCol, textCol)
+      (statsOf(dls), Seq(table -> post, (table + "_docs") -> dls))
+    }
+  }
+
+  /** Compact a [[streamIngest]] index after many per-shard appends —
+    * all three tables merge their batch partitions (probe results
+    * unchanged; stats rows merge additively since the compact is a
+    * row-preserving rewrite). Same quiesce/crash contract as
+    * DedupIndex.compact: pass the ingest's checkpoint and a compact
+    * that would swallow a crashed attempt's orphan REFUSES. */
+  def compact(spark: SparkSession, table: String,
+              checkpointLocation: Option[String] = None): Int = {
+    val merged = graft.streaming.StreamOps.compactSink(spark, table,
+      checkpointLocation = checkpointLocation)
+    Seq("_docs", "_stats").foreach { suffix =>
+      if (spark.catalog.tableExists(table + suffix))
+        graft.streaming.StreamOps.compactSink(spark, table + suffix,
+          checkpointLocation = checkpointLocation)
+    }
+    merged
+  }
+}

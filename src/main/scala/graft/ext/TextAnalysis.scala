@@ -515,6 +515,96 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016): iterate "count
+    * adjacent pairs over the word census, merge the most frequent"
+    * `nMerges` times and return the learned merge table in rank order
+    * ("a b" strings — [[bpeEncode]]'s input). Runs driver-side on the
+    * COLLECTED word census: the census is vocabulary-sized (~10⁶ rows
+    * at any corpus scale — the same collapse [[bpePairs]] exploits
+    * distributed), and the merge loop is inherently sequential (every
+    * merge reshapes the next census), so one distributed
+    * token-groupBy + a census-sized driver loop is the scale-correct
+    * split — this is how production tokenizer training works, and the
+    * ONLY corpus-sized pass is the groupBy. Tie-break = (count desc,
+    * pair asc), bpePairs' exact ordering, so merge #1 is bpePairs'
+    * top row by construction. Training stops early when the best
+    * pair's count falls below `minCount` (hapax merges memorize). */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+               minCount: Long = 2L): Seq[String] = {
+    require(nMerges >= 0, s"nMerges must be non-negative, got $nMerges")
+    val census = df.where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .where(length(col("w")) >= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] = census.map { case (w, c) =>
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        buf += w.substring(i, i + n)
+        i += n
+      }
+      (buf.toArray, c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[String]()
+    var go = true
+    while (go && merges.length < nMerges) {
+      val counts = scala.collection.mutable.HashMap[String, Long]()
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = syms(i) + " " + syms(i + 1)
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) go = false
+      else {
+        val (bestPair, bestCount) = counts.minBy { case (p, c) => (-c, p) }
+        if (bestCount < minCount) go = false
+        else {
+          merges += bestPair
+          val Array(a, b) = bestPair.split(" ", 2)
+          words = words.map { case (syms, c) =>
+            if (syms.length < 2) (syms, c)
+            else {
+              val nb = scala.collection.mutable.ArrayBuffer[String]()
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                  nb += (a + b); j += 2
+                } else { nb += syms(j); j += 1 }
+              }
+              (nb.toArray, c)
+            }
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed BPE tokenizer APPLY: adds `outCol` (array<string>
+    * subword tokens) segmenting `textCol` against a learned merge
+    * table ([[bpeTrain]]'s output) with the codegen'd
+    * `graft_bpe_encode` kernel — the table rides in the plan as a
+    * literal, the per-row merge loop stays inside whole-stage codegen,
+    * and the 100 TB tokenize is shuffle-free. The kernel is REQUIRED
+    * (no higher-order twin exists — the greedy merge loop is
+    * unboundedly iterative, which Column-expression folds cannot
+    * express): sessions must set
+    * spark.sql.extensions=graft.GraftExtensions. */
+  def bpeEncode(df: DataFrame, textCol: String, merges: Seq[String],
+                outCol: String): DataFrame = {
+    require(df.sparkSession.catalog.functionExists("graft_bpe_encode"),
+      "graft_bpe_encode kernel not registered — set " +
+        "spark.sql.extensions=graft.GraftExtensions (unlike the " +
+        "dot/minhash kernels this one has no higher-order fallback)")
+    df.withColumn(outCol,
+      call_function("graft_bpe_encode", col(textCol), lit(merges.toArray)))
+  }
+
   /** DSIR-style importance weights via n-gram LM contrast (Data
     * Selection with Importance Resampling, Xie et al. 2023,
     * arXiv:2302.03169): score each document by how much more
@@ -625,9 +715,19 @@ object TextAnalysis {
     }
     val dfs = tok.select(col(idCol), col("term")).distinct()
       .agg(dfCols.head, dfCols.tail: _*)
-    val scored = tf.crossJoin(dfs).crossJoin(scalars)
-      .withColumn("__avgdl",
-        col("__sum_dl").cast("double") / col("__n_docs").cast("double"))
+    bm25Rank(tf.crossJoin(dfs).crossJoin(scalars), idCol, terms.size, topK)
+  }
+
+  /** The BM25 ranking stage shared by [[bm25TopK]] (scan-time) and
+    * [[PostingsIndex.probe]] (index-time): takes the per-doc frame
+    * with columns (idCol, dl, tf_0..tf_{n-1}, __df_0.., __n_docs,
+    * __sum_dl) and emits the top-k. ONE definition of the arithmetic,
+    * so the two paths can never drift — scores stay hash-identical
+    * whether computed from a corpus scan or a persisted index. */
+  private[ext] def bm25Rank(perDoc: DataFrame, idCol: String,
+                            nTerms: Int, topK: Int): DataFrame = {
+    val scored = perDoc.withColumn("__avgdl",
+      col("__sum_dl").cast("double") / col("__n_docs").cast("double"))
     // Per-term BM25 with the exact parenthesization the oracle SQL
     // mirrors: idf · ((tf·2.2) / (tf + 1.2·(0.25 + 0.75·(dl/avgdl)))).
     def termScore(i: Int): Column = {
@@ -641,11 +741,11 @@ object TextAnalysis {
             (col("dl").cast("double") / col("__avgdl"))))))
         .otherwise(lit(0.0))
     }
-    val score = terms.indices.map(termScore)
+    val score = (0 until nTerms).map(termScore)
       .reduceLeft[Column](_ + _)
     scored
       .select((col(idCol) +: col("dl") +:
-        terms.indices.map(i => col(s"tf_$i"))) :+ score.as("score"): _*)
+        (0 until nTerms).map(i => col(s"tf_$i"))) :+ score.as("score"): _*)
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }

@@ -293,6 +293,85 @@ object Kernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Greedy BPE segmentation of a whitespace-tokenized text against a
+    * learned merge table (the APPLY step of byte-pair encoding,
+    * Sennrich et al. 2016 — the training step is
+    * TextAnalysis.bpeTrain): per word, repeatedly merge the
+    * LOWEST-RANK adjacent symbol pair present in the table (all its
+    * occurrences in the word, left to right) until none remains, then
+    * emit the word's subword symbols in order. Symbols start as code
+    * points, so astral-plane characters never split mid-surrogate.
+    * Deterministic and per-row — the 100 TB tokenize is embarrassingly
+    * parallel with the (small) merge table riding in the plan.
+    * Invariant (spec-pinned): concatenating the output tokens
+    * reproduces the text with spaces removed. */
+  def bpeEncode(text: org.apache.spark.unsafe.types.UTF8String,
+                table: BpeTable): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    val words = text.toString.split(" ", -1)
+    var wi = 0
+    while (wi < words.length) {
+      val word = words(wi)
+      var symbols = {
+        val buf = new scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < word.length) {
+          val n = Character.charCount(word.codePointAt(i))
+          buf += word.substring(i, i + n)
+          i += n
+        }
+        buf
+      }
+      var done = symbols.length < 2
+      while (!done) {
+        var best = -1
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < symbols.length - 1) {
+          val r = table.rank.get(symbols(i) + " " + symbols(i + 1))
+          if (r != null && r.intValue() < bestRank) {
+            bestRank = r.intValue(); best = i
+          }
+          i += 1
+        }
+        if (best < 0) done = true
+        else {
+          val a = symbols(best)
+          val b = symbols(best + 1)
+          val merged = new scala.collection.mutable.ArrayBuffer[String](symbols.length)
+          var j = 0
+          while (j < symbols.length) {
+            if (j < symbols.length - 1 && symbols(j) == a && symbols(j + 1) == b) {
+              merged += (a + b); j += 2
+            } else { merged += symbols(j); j += 1 }
+          }
+          symbols = merged
+          done = symbols.length < 2
+        }
+      }
+      var k = 0
+      while (k < symbols.length) {
+        out += UTF8String.fromString(symbols(k)); k += 1
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** A learned BPE merge table: space-joined symbol pairs in rank order
+  * (index = rank; lower rank = earlier-learned = higher merge
+  * priority). Built once per expression instance; the transient rank
+  * map rebuilds lazily per executor after plan-reference transport. */
+final class BpeTable(val merges: Array[String]) extends Serializable {
+  @transient lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) { m.put(merges(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
 }
 
 private[functions] object GraftVecTypes {
@@ -659,6 +738,68 @@ case class GraftCmsEstimate(valueExpr: Expression, sketchExpr: Expression)
     copy(valueExpr = newLeft, sketchExpr = newRight)
 }
 
+/** Tokenizer apply: `graft_bpe_encode(text, merges)` — greedy BPE
+  * segmentation (string → array<string> of subword tokens) against a
+  * FOLDABLE array<string> merge table ("a b" pairs in rank order, in
+  * practice `lit(bpeTrain(...).toArray)`). The table is parsed into a
+  * [[BpeTable]] once per expression instance — on the driver at
+  * codegen time, shipped as a plan reference like the bloom/CMS
+  * sketches — so the per-row work is the pure [[Kernels.bpeEncode]]
+  * merge loop, fully inside whole-stage codegen. Null text → null;
+  * null merge table → null for every row. */
+case class GraftBpeEncode(textExpr: Expression, mergesExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = textExpr
+  override def right: Expression = mergesExpr
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (textExpr.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_encode expects a string text, got ${textExpr.dataType}")
+    else if (!mergesExpr.dataType.isInstanceOf[ArrayType] ||
+        mergesExpr.dataType.asInstanceOf[ArrayType].elementType != StringType ||
+        !mergesExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_bpe_encode expects a foldable array<string> merge table")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val table: BpeTable = {
+    val arr = mergesExpr.eval(null).asInstanceOf[ArrayData]
+    if (arr == null) null
+    else {
+      val n = arr.numElements()
+      val merges = new Array[String](n)
+      var i = 0
+      while (i < n) { merges(i) = arr.getUTF8String(i).toString; i += 1 }
+      new BpeTable(merges)
+    }
+  }
+
+  override def nullSafeEval(t: Any, ignoredMerges: Any): Any =
+    Kernels.bpeEncode(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (table == null)
+      GraftSketchCodegen.constantNullCode(ctx, ev,
+        "org.apache.spark.sql.catalyst.util.ArrayData", "null")
+    else {
+      val ref = ctx.addReferenceObj("graftBpe", table,
+        classOf[BpeTable].getName)
+      nullSafeCodeGen(ctx, ev, (t, _) =>
+        s"${ev.value} = graft.functions.Kernels.bpeEncode($t, $ref);")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(textExpr = newLeft, mergesExpr = newRight)
+}
+
 private[functions] object GraftSketchCodegen {
   /** Generated code for an always-null result of primitive `javaType`
     * (the null-sketch degenerate case of the probe expressions). */
@@ -727,4 +868,9 @@ object GraftFunctionBuilders {
     new ExpressionInfo(classOf[GraftWinnowPacked].getName, "graft_winnow_packed")
   def winnowPackedBuilder(exprs: Seq[Expression]): Expression =
     GraftWinnowPacked(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "w"))
+
+  val bpeEncodeInfo =
+    new ExpressionInfo(classOf[GraftBpeEncode].getName, "graft_bpe_encode")
+  def bpeEncodeBuilder(exprs: Seq[Expression]): Expression =
+    GraftBpeEncode(exprs(0), exprs(1))
 }

@@ -286,6 +286,9 @@ private[graft] object CorpusQueries {
       // oracle replay.
       TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Seq("dup", "data"), topK = 10)),
+    "x_bm25_index" -> ((s, dir) => bm25Index(s, dir)),
+    "x_stream_bm25" -> ((s, dir) => streamBm25(s, dir)),
+    "x_bpe_encode" -> ((s, dir) => bpeEncodeCensus(s, dir)),
     "x_train_order" -> ((s, dir) =>
       // Deterministic epoch shuffle + round-robin shard assignment
       // (Mixing.trainOrder, 8 shards) — per-shard census with an
@@ -841,6 +844,89 @@ private[graft] object CorpusQueries {
     * the over-cap caveat that cannot trigger on this fixture).
     * n_docs is value-replayed; the three_batches and
     * stream-equivalence bits derive from the real run. */
+  /** x_bpe_encode: BPE tokenizer train-then-apply end to end —
+    * TextAnalysis.bpeTrain learns 30 merges from the corpus word
+    * census (driver loop on the vocabulary-sized census; bpePairs'
+    * counting, iterated), then the codegen'd graft_bpe_encode kernel
+    * segments every document. Token identities are BPE-internal (no
+    * SQL replay of an iterative merge loop), so the gate is the
+    * repo's census+invariant form: SQL-checkable corpus masses
+    * (n_docs / chars-without-spaces / whitespace token count) plus
+    * three invariant bits computed over the REAL encoded output —
+    * reconstruct_ok (concat of subwords == text minus spaces, per
+    * doc), bounds_ok (non-empty words ≤ BPE tokens ≤ chars), and
+    * merged_ok (trained merges actually fired: strictly fewer tokens
+    * than characters). TextAnalysisSpec pins the merge order and
+    * segmentations on a hand-derived corpus. */
+  private def bpeEncodeCensus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+    val toks = TextAnalysis.tokens(col("text"))
+    TextAnalysis.bpeEncode(docs.where(col("text").isNotNull), "text",
+        merges, "__toks")
+      .select(
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("__chars"),
+        size(toks).cast("long").as("__words"),
+        size(filter(toks, w => length(w) > 0)).cast("long").as("__newords"),
+        size(col("__toks")).cast("long").as("__ntok"),
+        (concat_ws("", col("__toks")) ===
+          regexp_replace(col("text"), " ", "")).cast("long").as("__rec"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("total_chars"),
+        sum(col("__words")).as("total_words"),
+        (count(lit(1)) === sum(col("__rec"))).cast("long").as("reconstruct_ok"),
+        (sum(col("__ntok")) <= sum(col("__chars")) &&
+          sum(col("__ntok")) >= sum(col("__newords"))).cast("long").as("bounds_ok"),
+        (sum(col("__ntok")) < sum(col("__chars"))).cast("long").as("merged_ok"))
+  }
+
+  /** x_bm25_index: the PostingsIndex lifecycle — build on the
+    * already-ingested 4/5 of the corpus, append the doc_id % 5 == 4
+    * shard, append it AGAIN (the redelivered-shard case: the
+    * doc-granular anti-join must make it a no-op, or N/avgdl/tf
+    * inflate and every score drifts), then probe the same 2-term query
+    * as x_bm25_topk. The oracle is the scan-time scorer's SQL replay
+    * over the FULL corpus — value-exact across the whole
+    * build → append → redeliver → probe lifecycle, because probe
+    * shares bm25Rank's arithmetic with the scan path. */
+  private def bm25Index(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isNew = pmod(col("doc_id"), lit(5)) === 4
+    val table = "graft_bm25_idx_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    graft.ext.PostingsIndex.build(s, docs.where(!isNew), "doc_id", "text", table)
+    graft.ext.PostingsIndex.append(s, table, docs.where(isNew), "doc_id", "text")
+    graft.ext.PostingsIndex.append(s, table, docs.where(isNew), "doc_id", "text")
+    graft.ext.PostingsIndex.probe(s, table, Seq("dup", "data"), topK = 10)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** x_stream_bm25: the streaming twin — three one-file micro-batches
+    * ingest the corpus into the batch-partitioned index
+    * (PostingsIndex.streamIngest), then one probe answers the same
+    * 2-term query. Same full-corpus oracle as x_bm25_topk plus the
+    * batch-count bit: value-exact retrieval over an index that was
+    * never built in one piece. */
+  private def streamBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val table = "graft_bm25_stream_" + digest
+    val inDir = stagedShardsFor(s, dir, docs)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val (_, nBatches) = graft.ext.PostingsIndex.streamIngest(s, table,
+      stream, "doc_id", "text", queryName = "stream_bm25_" + digest)
+    graft.ext.PostingsIndex.probe(s, table, Seq("dup", "data"), topK = 10)
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("three_batches_ok", lit(if (nBatches == 3) 1L else 0L))
+  }
+
   private def streamIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val params = Dedup.MinHashParams()
     val docs = Tables.documents(s, dir)
@@ -1055,6 +1141,31 @@ private[graft] object CorpusQueries {
   }
 
   // ----------------------------------------------------------------- oracle
+
+  /** The BM25 scan replay (fixed 2-term query, linear-idf member,
+    * explicit-order float arithmetic) — shared verbatim by
+    * x_bm25_topk, x_bm25_index and (plus a constant bit) x_stream_bm25:
+    * scan-time scorer, index probe, and stream-built index probe must
+    * all land on the same bits. */
+  private val bm25OracleSql: String =
+    """WITH base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, text
+      |   FROM documents WHERE text IS NOT NULL),
+      | sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base),
+      | tok AS (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM base),
+      | tokf AS (SELECT * FROM tok WHERE term IN ('dup', 'data')),
+      | tf AS (SELECT doc_id, dl,
+      |    CAST(SUM(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+      |    CAST(SUM(CASE WHEN term = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS tf_1
+      |   FROM tokf GROUP BY doc_id, dl),
+      | dfs AS (SELECT CAST(COUNT(DISTINCT CASE WHEN term = 'dup' THEN doc_id END) AS BIGINT) AS df_0,
+      |    CAST(COUNT(DISTINCT CASE WHEN term = 'data' THEN doc_id END) AS BIGINT) AS df_1 FROM tokf),
+      | s AS (SELECT doc_id, dl, tf_0, tf_1,
+      |   (CASE WHEN tf_0 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE)) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)
+      |     * ((CAST(tf_0 AS DOUBLE) * 2.2) / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) ELSE 0.0 END)
+      |   + (CASE WHEN tf_1 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE)) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)
+      |     * ((CAST(tf_1 AS DOUBLE) * 2.2) / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) ELSE 0.0 END) AS score
+      |  FROM tf, dfs, sc)
+      | SELECT doc_id, dl, tf_0, tf_1, score FROM s ORDER BY score DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
 
   val oracle: Map[String, String] = Map(
     // SimHash: a pure function of text — every group of byte-identical
@@ -1569,25 +1680,26 @@ private[graft] object CorpusQueries {
     // sum) — every step is an exactly-representable literal, an
     // int-to-double conversion, or one correctly-rounded IEEE op, so
     // scores hash-match bit-for-bit.
-    "x_bm25_topk" ->
-      """WITH base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, text
-        |   FROM documents WHERE text IS NOT NULL),
-        | sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base),
-        | tok AS (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM base),
-        | tokf AS (SELECT * FROM tok WHERE term IN ('dup', 'data')),
-        | tf AS (SELECT doc_id, dl,
-        |    CAST(SUM(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
-        |    CAST(SUM(CASE WHEN term = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS tf_1
-        |   FROM tokf GROUP BY doc_id, dl),
-        | dfs AS (SELECT CAST(COUNT(DISTINCT CASE WHEN term = 'dup' THEN doc_id END) AS BIGINT) AS df_0,
-        |    CAST(COUNT(DISTINCT CASE WHEN term = 'data' THEN doc_id END) AS BIGINT) AS df_1 FROM tokf),
-        | s AS (SELECT doc_id, dl, tf_0, tf_1,
-        |   (CASE WHEN tf_0 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE)) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)
-        |     * ((CAST(tf_0 AS DOUBLE) * 2.2) / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) ELSE 0.0 END)
-        |   + (CASE WHEN tf_1 > 0 THEN ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE)) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)
-        |     * ((CAST(tf_1 AS DOUBLE) * 2.2) / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) ELSE 0.0 END) AS score
-        |  FROM tf, dfs, sc)
-        | SELECT doc_id, dl, tf_0, tf_1, score FROM s ORDER BY score DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+    "x_bm25_topk" -> bm25OracleSql,
+    // The index probe must reproduce the scan-time scorer EXACTLY, so
+    // its oracle IS the x_bm25_topk replay over the full corpus — the
+    // build/append/redeliver lifecycle and bucket-pruned probe on the
+    // engine side have to land on the same bits.
+    "x_bm25_index" -> bm25OracleSql,
+    // BPE token identities are engine-internal (iterative greedy merge
+    // loop — not SQL-replayable); the oracle pins the SQL-checkable
+    // corpus masses and the three invariant bits the engine computes
+    // over its real encoded output.
+    "x_bpe_encode" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(len(replace(text, ' ', ''))) AS BIGINT) AS total_chars,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+        | CAST(1 AS BIGINT) AS reconstruct_ok, CAST(1 AS BIGINT) AS bounds_ok,
+        | CAST(1 AS BIGINT) AS merged_ok
+        | FROM documents WHERE text IS NOT NULL""".stripMargin.replaceAll("\n", " "),
+    "x_stream_bm25" ->
+      (bm25OracleSql.replace("SELECT doc_id, dl, tf_0, tf_1, score FROM s",
+        "SELECT doc_id, dl, tf_0, tf_1, score, CAST(1 AS BIGINT) AS three_batches_ok FROM s")),
     // Epoch shuffle replayed in SQL: same id-hash order (the oracle's
     // ROW_NUMBER window is fine at oracle scale; the engine path is
     // the distributed prefix sum), same round-robin shard arithmetic.

@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** PostingsIndex lifecycle semantics: an index built/appended in any
+  * partition of the corpus must probe score-identically to the
+  * scan-time BM25 (shared bm25Rank kernel), appends must be
+  * doc-granularly idempotent, and zero-posting docs must still count
+  * toward the corpus scalars (N, avgdl).
+  */
+class PostingsIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Small corpus with controlled term overlap: "dup" rare, "data"
+    * common, plus an empty-text doc (dl = 1 via the single empty
+    * token — same on scan and index paths) and a doc with neither
+    * query term. */
+  private lazy val corpus = Seq(
+    (1L, "dup data alpha bravo"),
+    (2L, "data data charlie delta data"),
+    (3L, "alpha bravo charlie"),
+    (4L, "dup dup data echo"),
+    (5L, ""),
+    (6L, "echo fox golf hotel india julia kilo lima"),
+    (7L, "data alpha"),
+    (8L, "dup zulu")).toDF("doc_id", "text")
+
+  private val terms = Seq("dup", "data")
+
+  private def scanTopK(df: org.apache.spark.sql.DataFrame, k: Int = 10) =
+    TextAnalysis.bm25TopK(df, "doc_id", "text", terms, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+
+  private def probeTopK(table: String, k: Int = 10) =
+    PostingsIndex.probe(spark, table, terms, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+
+  test("build + probe equals scan-time bm25TopK bit-for-bit") {
+    PostingsIndex.build(spark, corpus, "doc_id", "text", "pidx_t1")
+    assert(probeTopK("pidx_t1") == scanTopK(corpus),
+      "index probe must reproduce the scan-time scores exactly")
+  }
+
+  test("append completes the corpus; a redelivered append is a no-op") {
+    val old = corpus.where(col("doc_id") <= 5)
+    val batch = corpus.where(col("doc_id") > 5)
+    PostingsIndex.build(spark, old, "doc_id", "text", "pidx_t2")
+    PostingsIndex.append(spark, "pidx_t2", batch, "doc_id", "text")
+    val once = probeTopK("pidx_t2")
+    assert(once == scanTopK(corpus),
+      "built 5/8 + appended 3/8 must equal the one-shot scan")
+    // Redelivery: same batch again — doc-granular anti-join must keep
+    // postings, _docs AND _stats untouched or every score drifts.
+    PostingsIndex.append(spark, "pidx_t2", batch, "doc_id", "text")
+    assert(probeTopK("pidx_t2") == once, "re-appended batch must be a no-op")
+    val st = spark.table("pidx_t2_stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    assert(st.getLong(0) == 8L, s"N inflated: ${st.getLong(0)}")
+  }
+
+  test("zero-posting and no-query-term docs still shape N and avgdl") {
+    // Drop doc 5 ("" → dl 1, no query terms) and doc 6 (8 tokens, no
+    // query terms): neither ever matches, but both move avgdl — the
+    // probe must rank differently without them.
+    val without = corpus.where(col("doc_id") =!= 5 && col("doc_id") =!= 6)
+    PostingsIndex.build(spark, corpus, "doc_id", "text", "pidx_t3a")
+    PostingsIndex.build(spark, without, "doc_id", "text", "pidx_t3b")
+    val full = probeTopK("pidx_t3a")
+    assert(full == scanTopK(corpus))
+    assert(probeTopK("pidx_t3b") == scanTopK(without))
+    assert(full.map(_._5) != probeTopK("pidx_t3b").map(_._5),
+      "removing non-matching docs must still move the scores via avgdl/N")
+  }
+
+  test("probe plan: term-pruned postings scan, no _docs contact, no corpus-keyed join") {
+    PostingsIndex.build(spark, corpus, "doc_id", "text", "pidx_t4")
+    val plan = PostingsIndex.probe(spark, "pidx_t4", terms, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pidx_t4"), "probe must read the posting table")
+    assert(!plan.contains("pidx_t4_docs"),
+      "probe must never touch the corpus-sized _docs table — dl rides in the posting row")
+    assert(plan.contains("term IN (dup,data)") || plan.contains("term#"),
+      "term filter missing from the probe plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "probe joins are 1-row report assembly — a sort-merge join means a corpus-keyed join crept in")
+  }
+}

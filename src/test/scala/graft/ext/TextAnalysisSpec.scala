@@ -257,6 +257,57 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a b", 4L, 1L), ("a a", 2L, 1L), ("b a", 2L, 1L)))
   }
 
+  test("bpeTrain: hand-derived merge order, census weighting, tie-break, minCount floor") {
+    // Word census: abab ×3, aaa ×1, bb ×1.
+    // Iter 1: "a b" 6, "b a" 3, "a a" 2, "b b" 1 → merge "a b".
+    // Iter 2: abab = [ab, ab] → "ab ab" 3, "a a" 2, "b b" 1 → "ab ab".
+    // Iter 3: "a a" 2, "b b" 1 → "a a"; then everything < minCount 2.
+    val docs = Seq((1L, "abab abab aaa"), (2L, "abab bb")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(docs, "text", nMerges = 10) ==
+      Seq("a b", "ab ab", "a a"))
+    // minCount floor: "ab ab" (count 3) falls under 4, training stops.
+    assert(TextAnalysis.bpeTrain(docs, "text", nMerges = 10, minCount = 4L) ==
+      Seq("a b"))
+    // Tied counts pick the lexicographically smallest pair — the same
+    // (n_occ desc, pair asc) order bpePairs pins.
+    val tie = Seq((1L, "ab cd ab cd")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(tie, "text", nMerges = 1) == Seq("a b"))
+  }
+
+  test("bpeEncode: greedy rank-order merges, all-occurrence passes, reconstruction, null/empty") {
+    val merges = Seq("a b", "ab ab", "a a")
+    val docs = Seq((1L, "abab"), (2L, "aaa"), (3L, "bb"), (4L, "ababab"),
+      (5L, "ba"), (6L, ""), (7L, null.asInstanceOf[String]),
+      (8L, "abab aaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, "text", merges, "toks")
+      .select(col("doc_id"), col("toks"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(got(1L) == Seq("abab"))
+    // All occurrences of the chosen pair merge left-to-right: aaa →
+    // [aa, a], never [a, aa].
+    assert(got(2L) == Seq("aa", "a"))
+    assert(got(3L) == Seq("b", "b"), "untrained pairs must not merge")
+    // Rank order beats position: "a b" (rank 0) fires everywhere
+    // before "ab ab" (rank 1) — ababab → [ab,ab,ab] → [abab, ab].
+    assert(got(4L) == Seq("abab", "ab"))
+    assert(got(5L) == Seq("b", "a"), "merges are ordered: ba is not ab")
+    assert(got(6L) == Seq(), "empty text → zero tokens")
+    assert(got(7L) == null, "null text → null")
+    assert(got(8L) == Seq("abab", "aa", "a"), "words segment independently")
+    // Reconstruction invariant over a broader random-ish corpus.
+    val wide = (1L to 60L).map(i =>
+        (i, s"lower newest low${i % 7} widest lowest new est ${i}x"))
+      .toDF("doc_id", "text")
+    val rec = TextAnalysis.bpeEncode(wide, "text",
+        TextAnalysis.bpeTrain(wide, "text", nMerges = 20), "toks")
+      .select((concat_ws("", col("toks")) ===
+        regexp_replace(col("text"), " ", "")).as("ok"))
+      .collect()
+    assert(rec.nonEmpty && rec.forall(_.getBoolean(0)),
+      "concat of BPE tokens must reproduce the text minus spaces")
+  }
+
   test("dsirContrastBits: all-target contrast is zero; disjoint doc is all-OOV") {
     // Target = everything → bits_t == bits_raw for every gram → w_bits
     // and n_oov_target are identically zero.

@@ -1024,6 +1024,87 @@ object ScaleBench {
       s""""containment_pairs":{"t":${fmt(tCp)},"n_pairs":$nPairs,"n_base_var":$nBaseVar}}"""
   }
 
+  /** Round-13 retrieval/tokenizer/split additions at scale, each leg
+    * with a closed-form (or value-equality) require so a timing can
+    * never go green on wrong answers:
+    *   - BM25 index probe vs corpus scan — same top-10, probe reads
+    *     only the 2 query terms' postings (build cost reported
+    *     separately: the one-time pass the probe amortizes);
+    *   - BPE train (census-sized driver loop) + encode (shuffle-free
+    *     codegen kernel), reconstruction invariant over every doc;
+    *   - cluster-aware split over the PRODUCTION near-dup detector
+    *     (LSH candidates → exact verify → CC → split): planted
+    *     4-doc clusters must label to their base id, zero pairs may
+    *     straddle splits, split counts cover the corpus. */
+  def retrievalOpsPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.{Mixing, PostingsIndex}
+    val nDocs = 5000L * scale
+    val docs = genDocuments(spark, nDocs).localCheckpoint(true)
+    // One guaranteed-common vocab token + the rare variant marker —
+    // the discriminative/common mix BM25's idf weighting exists for.
+    val terms = Seq(vocab.head, "uvar1")
+    val table = "graft_bm25_scale"
+    spark.sqlContext.clearCache()
+    val (_, tBuild) = timed {
+      PostingsIndex.build(spark, docs, "doc_id", "text", table)
+    }
+    spark.sqlContext.clearCache()
+    val (probeRows, tProbe) = timed {
+      PostingsIndex.probe(spark, table, terms, 10).collect()
+    }
+    spark.sqlContext.clearCache()
+    val (scanRows, tScan) = timed {
+      graft.ext.TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 10).collect()
+    }
+    require(probeRows.map(_.toSeq).toSeq == scanRows.map(_.toSeq).toSeq,
+      "BM25 index probe must equal the corpus scan bit-for-bit")
+    spark.sqlContext.clearCache()
+    val (merges, tTrain) = timed {
+      graft.ext.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+    }
+    require(merges.size == 30, s"expected 30 merges, got ${merges.size}")
+    spark.sqlContext.clearCache()
+    val ((nTok, nChars, nBadRec), tEnc) = timed {
+      val r = graft.ext.TextAnalysis.bpeEncode(docs, "text", merges, "toks")
+        .agg(
+          sum(size(col("toks")).cast("long")).as("n_tok"),
+          sum(length(regexp_replace(col("text"), " ", "")).cast("long")).as("n_chars"),
+          sum((concat_ws("", col("toks")) =!=
+            regexp_replace(col("text"), " ", "")).cast("long")).as("n_bad"))
+        .first()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    require(nBadRec == 0, s"BPE reconstruction failed on $nBadRec docs")
+    require(nTok < nChars,
+      s"trained merges must compress: $nTok tokens vs $nChars chars")
+    val params = Dedup.MinHashParams()
+    spark.sqlContext.clearCache()
+    val ((nLeaky, nBadLabel, nSplitDocs), tCs) = timed {
+      val pairs = graft.ext.Checkpoints.stage(
+        Dedup.nearDupPairs(docs, "doc_id", "text", params, threshold = 0.5)
+          .select(col("id_a"), col("id_b")))
+      val assigned = graft.ext.Checkpoints.stage(
+        Mixing.clusterSplit(docs, "doc_id", pairs))
+      val leaky = pairs
+        .join(assigned.select(col("doc_id").as("id_a"), col("split").as("sa")),
+          Seq("id_a"))
+        .join(assigned.select(col("doc_id").as("id_b"), col("split").as("sb")),
+          Seq("id_b"))
+        .where(col("sa") =!= col("sb")).count()
+      val badLabel = assigned.where(col("doc_id") < nDocs / 10)
+        .where(col("cluster_id") =!= expr("(doc_id DIV 4) * 4")).count()
+      (leaky, badLabel, assigned.count())
+    }
+    require(nLeaky == 0, s"cluster split leaked $nLeaky pairs across splits")
+    require(nBadLabel == 0,
+      s"$nBadLabel planted-cluster docs carry the wrong component label")
+    require(nSplitDocs == nDocs, "split assignment must cover the corpus")
+    s"""{"scale":$scale,"n_docs":$nDocs,""" +
+      s""""bm25":{"t_build":${fmt(tBuild)},"t_probe":${fmt(tProbe)},"t_scan":${fmt(tScan)}},""" +
+      s""""bpe":{"t_train":${fmt(tTrain)},"t_encode":${fmt(tEnc)},"n_tok":$nTok,"n_chars":$nChars},""" +
+      s""""cluster_split":{"t":${fmt(tCs)},"n_leaky":$nLeaky}}"""
+  }
+
   /** Recall-vs-nProbe operating curve for the IVF index — the table a
     * 100 TB operator consults before picking a probe width, measured
     * on BOTH corpus shapes because they bound the real world:
@@ -1252,6 +1333,14 @@ object ScaleBench {
     if (args.contains("curation-ops-only")) {
       curationOpsPoint(spark, outBase, 1)
       scales.foreach(m => println(curationOpsPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `retrieval-ops-only`: the round-13 retrieval/tokenizer/split
+    // additions at scale (BM25 index, BPE, cluster split).
+    if (args.contains("retrieval-ops-only")) {
+      retrievalOpsPoint(spark, outBase, 1)
+      scales.foreach(m => println(retrievalOpsPoint(spark, outBase, m)))
       spark.stop()
       return
     }

@@ -146,6 +146,77 @@ object PostingsIndex {
       terms.size, topK)
   }
 
+  /** Batched multi-query probe — the SERVING shape: N term queries
+    * answered in ONE postings contact (a query-at-a-time loop pays the
+    * stats sum and the postings scan setup N times; the batch joins
+    * the union of all query terms once and fans per-query scores out
+    * of it). Per (query, doc) the per-term score components fold in
+    * term-index order through an array_sort-ed aggregate, so the float
+    * sum is the SAME left-to-right order as [[probe]]'s explicit
+    * column chain — batch and single-query scores are bit-identical
+    * (0 + x and x + 0 are exact for the non-negative components, and
+    * absent terms contribute exactly the 0.0 the single path adds), a
+    * contract PostingsIndexSpec pins per query. Top-k per query rides
+    * a rank window partitioned by query_id — the WindowGroupLimit
+    * shape, k rows per partition pre-shuffle, never a global sort.
+    * Output: (query_id, id, dl, score), ordered (query_id, rank). */
+  def probeBatch(spark: SparkSession, table: String,
+                 queries: Seq[(Long, Seq[String])], topK: Int): DataFrame = {
+    require(queries.nonEmpty, "probeBatch needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "query ids must be distinct")
+    queries.foreach { case (qid, ts) =>
+      require(ts.nonEmpty && ts.size <= 8,
+        s"query $qid takes 1–8 terms, got ${ts.size}")
+      require(ts.distinct.size == ts.size, s"query $qid terms must be distinct")
+    }
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, i, t) }
+    }.toDF("query_id", "term_idx", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val post = spark.table(table)
+      .select(col("term"), col("id"), col("tf"), col("dl"))
+      .where(col("term").isin(allTerms: _*))
+      .pipe(Checkpoints.stage)
+    val st = spark.table(table + "_stats")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("__n_docs"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("__sum_dl"))
+    // Document frequency per DISTINCT term, computed once and shared
+    // across every query that uses the term.
+    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val avgdl = col("__sum_dl").cast("double") / col("__n_docs").cast("double")
+    val tfD = col("tf").cast("double")
+    val dfD = col("__df").cast("double")
+    val idf = ((col("__n_docs").cast("double") - dfD) + lit(0.5)) /
+      (dfD + lit(0.5))
+    // Exactly bm25Rank's parenthesization (tf > 0 always holds on a
+    // posting row; the guard keeps the expression form identical).
+    val component = when(col("tf") > 0,
+      idf * ((tfD * lit(2.2)) /
+        (tfD + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") / avgdl)))))
+      .otherwise(lit(0.0))
+    val scored = post
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(st)
+      .select(col("query_id"), col("id"), col("dl"),
+        col("term_idx"), component.as("__comp"))
+      .groupBy(col("query_id"), col("id"), col("dl"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term_idx"), col("__comp")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("__comp")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= topK)
+      .orderBy(col("query_id"), col("__rank"))
+      .drop("__rank")
+  }
+
   /** Streaming ingest — micro-batches append postings + doc lengths +
     * a per-batch stats row, all as DYNAMIC overwrites of the batch's
     * own partition (redelivery-idempotent, nothing driver-held), so

@@ -287,6 +287,7 @@ private[graft] object CorpusQueries {
       TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Seq("dup", "data"), topK = 10)),
     "x_bm25_index" -> ((s, dir) => bm25Index(s, dir)),
+    "x_bm25_batch" -> ((s, dir) => bm25Batch(s, dir)),
     "x_stream_bm25" -> ((s, dir) => streamBm25(s, dir)),
     "x_bpe_encode" -> ((s, dir) => bpeEncodeCensus(s, dir)),
     "x_train_order" -> ((s, dir) =>
@@ -902,6 +903,39 @@ private[graft] object CorpusQueries {
     graft.ext.PostingsIndex.append(s, table, docs.where(isNew), "doc_id", "text")
     graft.ext.PostingsIndex.probe(s, table, Seq("dup", "data"), topK = 10)
       .withColumnRenamed("id", "doc_id")
+  }
+
+  /** x_bm25_batch: the SERVING shape — three term queries answered by
+    * ONE batched postings contact (PostingsIndex.probeBatch). The
+    * defining contract, batch ≡ per-query single probe bit-for-bit
+    * (ordered float fold — see probeBatch's doc), is computed over
+    * the REAL output for all three queries (exceptAll both ways);
+    * the canonical ("dup","data") query's rows are value-checked by
+    * the same full-corpus SQL replay as every BM25 twin. */
+  private def bm25Batch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val table = "graft_bm25_batch_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    graft.ext.PostingsIndex.build(s, docs, "doc_id", "text", table)
+    val batch = Seq((0L, Seq("dup", "data")), (1L, Seq("data")),
+      (2L, Seq("dup")))
+    val all = graft.ext.PostingsIndex.probeBatch(s, table, batch, topK = 10)
+      .pipe(graft.ext.Checkpoints.stage)
+    val mismatches = batch.map { case (qid, ts) =>
+      val single = graft.ext.PostingsIndex.probe(s, table, ts, 10)
+        .select(col("id"), col("dl"), col("score"))
+      val b = all.where(col("query_id") === qid)
+        .select(col("id"), col("dl"), col("score"))
+      b.exceptAll(single).count() + single.exceptAll(b).count()
+    }.sum
+    all.where(col("query_id") === 0)
+      .select(col("id").as("doc_id"), col("dl"), col("score"))
+      .withColumn("batch_matches_single_ok",
+        lit(if (mismatches == 0) 1L else 0L))
+      .withColumn("n_queries", lit(3L))
+      .orderBy(col("score").desc, col("doc_id"))
   }
 
   /** x_stream_bm25: the streaming twin — three one-file micro-batches
@@ -1686,6 +1720,13 @@ private[graft] object CorpusQueries {
     // build/append/redeliver lifecycle and bucket-pruned probe on the
     // engine side have to land on the same bits.
     "x_bm25_index" -> bm25OracleSql,
+    // Batched serving probe: query 0's rows replayed value-exact; the
+    // batch ≡ single contract for all three queries enters as a bit
+    // computed over the real output.
+    "x_bm25_batch" ->
+      (bm25OracleSql.replace("SELECT doc_id, dl, tf_0, tf_1, score FROM s",
+        "SELECT doc_id, dl, score, CAST(1 AS BIGINT) AS batch_matches_single_ok, " +
+          "CAST(3 AS BIGINT) AS n_queries FROM s")),
     // BPE token identities are engine-internal (iterative greedy merge
     // loop — not SQL-replayable); the oracle pins the SQL-checkable
     // corpus masses and the three invariant bits the engine computes

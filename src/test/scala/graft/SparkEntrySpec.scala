@@ -64,7 +64,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "x_pmi_bigrams", "x_bm25_topk", "x_semantic_dedup",
       // Same BM25 report assembly (1-row dfs × 1-row stats) off the
       // persisted index instead of the scan.
-      "x_bm25_index", "x_stream_bm25",
+      "x_bm25_index", "x_stream_bm25", "x_bm25_batch",
       // The global n_leaky_pairs gate (1 row) crossed into the 3-row
       // per-split census.
       "x_cluster_split")

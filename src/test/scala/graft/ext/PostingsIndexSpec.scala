@@ -78,6 +78,23 @@ class PostingsIndexSpec extends AnyFunSuite {
       "removing non-matching docs must still move the scores via avgdl/N")
   }
 
+  test("probeBatch: N queries, one postings contact, bit-identical to per-query probes") {
+    PostingsIndex.build(spark, corpus, "doc_id", "text", "pidx_t5")
+    val batch = Seq((0L, Seq("dup", "data")), (1L, Seq("data")),
+      (2L, Seq("dup", "echo", "alpha")))
+    val got = PostingsIndex.probeBatch(spark, "pidx_t5", batch, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    batch.foreach { case (qid, ts) =>
+      val single = PostingsIndex.probe(spark, "pidx_t5", ts, 5)
+        .select(col("id"), col("dl"), col("score"))
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSeq
+      assert(got.filter(_._1 == qid).toSeq == single,
+        s"batch result for query $qid must equal the single probe bit-for-bit")
+    }
+  }
+
   test("probe plan: term-pruned postings scan, no _docs contact, no corpus-keyed join") {
     PostingsIndex.build(spark, corpus, "doc_id", "text", "pidx_t4")
     val plan = PostingsIndex.probe(spark, "pidx_t4", terms, 10)

@@ -35,6 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctionBuilders.winnowPackedInfo, GraftFunctionBuilders.winnowPackedBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_bpe_encode"),
       GraftFunctionBuilders.bpeEncodeInfo, GraftFunctionBuilders.bpeEncodeBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      GraftFunctionBuilders.nfcInfo, GraftFunctionBuilders.nfcBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_mg_topk"),
       graft.functions.MisraGriesTopK.info, graft.functions.MisraGriesTopK.builder _))
     // Opt-in approximate similarity-join rewrite (see

@@ -153,6 +153,32 @@ object Mixing {
       .drop("__mix_h", "__mix_one", "__mix_pos")
   }
 
+  /** Curriculum training order — [[trainOrder]]'s epoch shuffle with a
+    * DIFFICULTY score as the leading sort key: rows rank by
+    * (score asc, id-hash, id), so the materialized epoch reads
+    * easy→hard while ties WITHIN a difficulty level still interleave
+    * by the canonical hash (deterministic, and unbiased inside each
+    * level — a plain (score, id) order would replay ingestion order
+    * within ties). Same distributed rank (PrefixSum's range-partition
+    * construction, no global-order window), same round-robin
+    * shard/pos arithmetic, so each shard sees the curriculum at the
+    * same pace. Score column must be integer-typed for cross-engine
+    * exactness (callers with a float score quantize first — e.g.
+    * milli-bits, the x_curriculum recipe). */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: Column,
+                      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    graft.operators.PrefixSum.runningTotal(
+        df.withColumn("__mix_s", scoreCol.cast("long"))
+          .withColumn("__mix_h", orderHash(col(idCol)))
+          .withColumn("__mix_one", lit(1L)),
+        Seq("__mix_s", "__mix_h", idCol), "__mix_one", outCol = "__mix_pos")
+      .withColumn("epoch_pos", col("__mix_pos") - 1L)
+      .withColumn("shard", (col("epoch_pos") % nShards).cast("int"))
+      .withColumn("pos_in_shard", expr(s"epoch_pos DIV $nShards"))
+      .drop("__mix_s", "__mix_h", "__mix_one", "__mix_pos")
+  }
+
   /** Deterministic exact-k-PER-GROUP (stratified) sample: the same
     * hash order, ranked within each group — every stratum contributes
     * exactly min(k, |stratum|) rows. One shuffle on the group key.

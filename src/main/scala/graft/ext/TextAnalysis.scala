@@ -595,6 +595,23 @@ object TextAnalysis {
     * unboundedly iterative, which Column-expression folds cannot
     * express): sessions must set
     * spark.sql.extensions=graft.GraftExtensions. */
+  /** Unicode NFC normalization column (codegen'd `graft_nfc` kernel):
+    * canonically equivalent byte-different texts (precomposed é vs
+    * e + combining acute — pasted web text mixes both) collapse to
+    * one form, so fingerprint/hash dedup and exact-match
+    * decontamination stop missing canonical twins. Run BEFORE any
+    * hash-keyed text operator on crawled corpora. Per-row, shuffle
+    * free; quick-check-clean strings (all ASCII) pass through with
+    * zero allocation. DuckDB's nfc_normalize replays it exactly, so
+    * oracles stay value-exact. Kernel required (no higher-order
+    * twin — Unicode composition tables are not Column-expressible). */
+  def nfcNormalize(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    require(df.sparkSession.catalog.functionExists("graft_nfc"),
+      "graft_nfc kernel not registered — set " +
+        "spark.sql.extensions=graft.GraftExtensions")
+    df.withColumn(outCol, call_function("graft_nfc", col(textCol)))
+  }
+
   def bpeEncode(df: DataFrame, textCol: String, merges: Seq[String],
                 outCol: String): DataFrame = {
     require(df.sparkSession.catalog.functionExists("graft_bpe_encode"),

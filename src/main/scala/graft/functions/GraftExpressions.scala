@@ -294,6 +294,22 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Unicode NFC normalization (canonical composition) — the
+    * normalize-before-fingerprint step: byte-different, canonically
+    * equivalent texts (precomposed é vs e + combining acute) collapse
+    * to one canonical form, so hash-keyed dedup stops treating them
+    * as distinct documents. java.text.Normalizer implements the same
+    * Unicode normalization DuckDB's nfc_normalize (utf8proc) does, so
+    * SQL oracles replay it directly. Fast path: a quick-check-clean
+    * string (all ASCII, and most real text) returns the INPUT
+    * UTF8String — one scan, zero allocation. */
+  def nfc(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Greedy BPE segmentation of a whitespace-tokenized text against a
     * learned merge table (the APPLY step of byte-pair encoding,
     * Sennrich et al. 2016 — the training step is
@@ -738,6 +754,33 @@ case class GraftCmsEstimate(valueExpr: Expression, sketchExpr: Expression)
     copy(valueExpr = newLeft, sketchExpr = newRight)
 }
 
+/** Unicode NFC normalization: `graft_nfc(text)` (string → string) —
+  * see [[Kernels.nfc]]. Null → null; quick-check-clean strings pass
+  * through without allocation. */
+case class GraftNfc(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_nfc expects a string, got $dt")
+    }
+
+  override def nullSafeEval(text: Any): Any =
+    Kernels.nfc(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.Kernels.nfc($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Tokenizer apply: `graft_bpe_encode(text, merges)` — greedy BPE
   * segmentation (string → array<string> of subword tokens) against a
   * FOLDABLE array<string> merge table ("a b" pairs in rank order, in
@@ -873,4 +916,7 @@ object GraftFunctionBuilders {
     new ExpressionInfo(classOf[GraftBpeEncode].getName, "graft_bpe_encode")
   def bpeEncodeBuilder(exprs: Seq[Expression]): Expression =
     GraftBpeEncode(exprs(0), exprs(1))
+
+  val nfcInfo = new ExpressionInfo(classOf[GraftNfc].getName, "graft_nfc")
+  def nfcBuilder(exprs: Seq[Expression]): Expression = GraftNfc(exprs(0))
 }

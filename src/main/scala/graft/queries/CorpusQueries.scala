@@ -129,6 +129,8 @@ private[graft] object CorpusQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
     "x_cluster_split" -> ((s, dir) => clusterSplitSummary(s, dir)),
+    "x_curriculum" -> ((s, dir) => curriculumSummary(s, dir)),
+    "x_export_manifest" -> ((s, dir) => exportManifest(s, dir)),
     "x_group_budget" -> ((s, dir) =>
       // Per-source token-budget cap (Mixing.tokenBudgetPerGroup):
       // 2000 whitespace tokens per source in the deterministic hash
@@ -290,6 +292,22 @@ private[graft] object CorpusQueries {
     "x_bm25_batch" -> ((s, dir) => bm25Batch(s, dir)),
     "x_stream_bm25" -> ((s, dir) => streamBm25(s, dir)),
     "x_bpe_encode" -> ((s, dir) => bpeEncodeCensus(s, dir)),
+    "x_nfc_normalize" -> ((s, dir) =>
+      // Unicode NFC before hash dedup (TextAnalysis.nfcNormalize, the
+      // codegen'd graft_nfc kernel == DuckDB nfc_normalize): change
+      // census + the dedup-relevant distinct count on the NORMALIZED
+      // text. The sf corpora are ASCII (n_changed 0 — NFC is the
+      // identity there, which the oracle also asserts); the non-ASCII
+      // composition cases are pinned in TextAnalysisSpec.
+      TextAnalysis.nfcNormalize(
+          Tables.documents(s, dir).where(col("text").isNotNull),
+          "text", "__norm")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("__norm") =!= col("text")).cast("long")).as("n_changed"),
+          sum(length(col("text")) - length(col("__norm")))
+            .cast("long").as("chars_delta"),
+          count_distinct(col("__norm")).as("n_distinct_norm"),
+          count_distinct(col("text")).as("n_distinct_raw"))),
     "x_train_order" -> ((s, dir) =>
       // Deterministic epoch shuffle + round-robin shard assignment
       // (Mixing.trainOrder, 8 shards) — per-shard census with an
@@ -678,6 +696,58 @@ private[graft] object CorpusQueries {
         count_distinct(col("cluster_id")).as("n_clusters"))
       .crossJoin(leak)
       .orderBy(col("split"))
+  }
+
+  /** x_export_manifest: sharded training-export integrity — write the
+    * corpus as 8 hash-routed sorted shard files
+    * (Writer.shardedParquet), read the WRITTEN FILES back, and emit
+    * the per-shard manifest (row count, order-independent checksum =
+    * Σ canonical id-hash, id range) a data-movement consumer checks
+    * before training. The oracle derives the same manifest from the
+    * SOURCE table by replaying the routing hash and checksum in SQL —
+    * so a dropped/duplicated/misrouted row in the physical files
+    * hash-mismatches: the gate verifies the bytes on disk, not the
+    * plan that produced them. */
+  private def exportManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val out = s"/tmp/graft_export_$digest"
+    graft.io.Writer.shardedParquet(docs, out, "doc_id",
+      shards = 8, sortCol = "doc_id")
+    s.read.parquet(out)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(Mixing.orderHash(col("doc_id"))).as("checksum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("shard"))
+  }
+
+  /** x_curriculum: easy→hard training order — per-doc surprisal
+    * difficulty (bits_sum·1000 DIV n_bigrams: integer milli-bits, so
+    * engine and oracle order identically with no float compare)
+    * leading [[graft.ext.Mixing.curriculumOrder]]'s distributed rank;
+    * per-shard census with the order signature Σ doc_id·epoch_pos
+    * pinning GLOBAL positions, not just shard membership. The oracle
+    * replays the surprisal LM end-to-end (the x_surprisal SQL), the
+    * same integer difficulty, the same (difficulty, hash, id)
+    * ROW_NUMBER, and the same round-robin arithmetic. */
+  private def curriculumSummary(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = TextAnalysis.surprisalStats(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        when(col("n_bigrams") > 0,
+          expr("(bits_sum * 1000) DIV n_bigrams")).otherwise(0L)
+          .as("difficulty"))
+    Mixing.curriculumOrder(scored, "doc_id", col("difficulty"), nShards = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id") * col("epoch_pos")).as("order_sig"),
+        min(col("epoch_pos")).as("min_pos"),
+        max(col("pos_in_shard")).as("max_pos"))
+      .orderBy(col("shard"))
   }
 
   private def jaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
@@ -1661,6 +1731,45 @@ private[graft] object CorpusQueries {
         |   ELSE 0.0 END AS mean_bits
         | FROM documents d LEFT JOIN pd USING (doc_id)
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // Manifest replayed from the SOURCE table (routing hash + checksum
+    // in SQL) while the engine reads the WRITTEN files — any physical
+    // write defect mismatches.
+    "x_export_manifest" ->
+      """WITH d AS (SELECT doc_id,
+        |  ((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 8) AS shard,
+        |  ((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 1000003) AS h
+        | FROM documents)
+        | SELECT CAST(shard AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(h) AS BIGINT) AS checksum,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+        | FROM d GROUP BY shard ORDER BY shard""".stripMargin.replaceAll("\n", " "),
+    // Curriculum replayed end-to-end: the surprisal LM (same SQL as
+    // x_surprisal), the integer milli-bit difficulty, the same
+    // (difficulty, hash, id) global order, the same shard arithmetic.
+    "x_curriculum" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
+        | bg AS (SELECT doc_id, tok[i] AS w1, tok[i] || ' ' || tok[i+1] AS g FROM t,
+        |  UNNEST(generate_series(1, len(tok) - 1)) AS u(i) WHERE len(tok) >= 2),
+        | pairs AS (SELECT doc_id, w1, g, COUNT(*) AS c_doc FROM bg GROUP BY 1, 2, 3),
+        | corpus AS (SELECT g, SUM(c_doc) AS c FROM pairs GROUP BY g),
+        | pre AS (SELECT w1, SUM(c_doc) AS c1 FROM pairs GROUP BY w1),
+        | j AS (SELECT p.doc_id, p.c_doc,
+        |   CAST(length(to_base(CAST(pre.c1 // corpus.c AS BIGINT), 2)) - 1 AS BIGINT) AS bits
+        |  FROM pairs p JOIN corpus USING (g) JOIN pre USING (w1)),
+        | pd AS (SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+        |   CAST(SUM(c_doc * bits) AS BIGINT) AS bits_sum FROM j GROUP BY doc_id),
+        | sc AS (SELECT d.doc_id,
+        |   CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+        |    THEN (pd.bits_sum * 1000) // pd.n_bigrams ELSE 0 END AS difficulty,
+        |   ((((d.doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 1000003) AS h
+        |  FROM documents d LEFT JOIN pd USING (doc_id)),
+        | r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY difficulty, h, doc_id) - 1 AS pos FROM sc),
+        | a AS (SELECT doc_id, pos, pos % 8 AS shard, pos // 8 AS pos_in_shard FROM r)
+        | SELECT CAST(shard AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id * pos) AS BIGINT) AS order_sig,
+        |  CAST(MIN(pos) AS BIGINT) AS min_pos,
+        |  CAST(MAX(pos_in_shard) AS BIGINT) AS max_pos
+        | FROM a GROUP BY shard ORDER BY shard""".stripMargin.replaceAll("\n", " "),
     // PMI replayed in SQL: same censuses, same integer products, same
     // single IEEE division, same (ratio DESC, bigram) order.
     "x_pmi_bigrams" ->
@@ -1727,6 +1836,13 @@ private[graft] object CorpusQueries {
       (bm25OracleSql.replace("SELECT doc_id, dl, tf_0, tf_1, score FROM s",
         "SELECT doc_id, dl, score, CAST(1 AS BIGINT) AS batch_matches_single_ok, " +
           "CAST(3 AS BIGINT) AS n_queries FROM s")),
+    "x_nfc_normalize" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        | CAST(SUM(len(text) - len(nfc_normalize(text))) AS BIGINT) AS chars_delta,
+        | CAST(COUNT(DISTINCT nfc_normalize(text)) AS BIGINT) AS n_distinct_norm,
+        | CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_raw
+        | FROM documents WHERE text IS NOT NULL""".stripMargin.replaceAll("\n", " "),
     // BPE token identities are engine-internal (iterative greedy merge
     // loop — not SQL-replayable); the oracle pins the SQL-checkable
     // corpus masses and the three invariant bits the engine computes

@@ -147,6 +147,33 @@ class MixingSpec extends AnyFunSuite {
     assert(sizes.values.toSet == Set(125))
   }
 
+  test("curriculumOrder: score leads, hash breaks ties, shard arithmetic holds") {
+    val df = (1L to 800L).map(i => (i, s"p$i", i % 4)).toDF("id", "t", "score")
+    val got = Mixing.curriculumOrder(df, "id", col("score"), nShards = 8)
+      .select(col("id"), col("epoch_pos"), col("shard"), col("pos_in_shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.length == 800)
+    assert(got.map(_._2).sorted.toSeq == (0L until 800L))
+    // Expected order: (score, orderHash(id), id) — locally derived.
+    val expected = df
+      .withColumn("h", Mixing.orderHash(col("id")))
+      .orderBy(col("score"), col("h"), col("id"))
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(got.sortBy(_._2).map(_._1).toSeq == expected,
+      "positions must follow (score, hash, id), not insertion or hash-only order")
+    // Easy→hard: every score-0 row ranks before every score-1 row, etc.
+    val posById = got.map(g => g._1 -> g._2).toMap
+    (0L until 3L).foreach { s =>
+      val maxThis = (1L to 800L).filter(_ % 4 == s).map(posById).max
+      val minNext = (1L to 800L).filter(_ % 4 == s + 1).map(posById).min
+      assert(maxThis < minNext,
+        s"every score-$s row must precede every score-${s + 1} row")
+    }
+    assert(got.forall { case (_, p, s, ps) => s == (p % 8).toInt && ps == p / 8 })
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.values.toSet == Set(100))
+  }
+
   test("clusterSplit: component labels, no-straddle invariant, singleton fallthrough") {
     val docs = (1L to 200L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
     // Chain 1–2–3 (one cluster via transitivity, no direct 1–3 edge)

@@ -257,6 +257,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a b", 4L, 1L), ("a a", 2L, 1L), ("b a", 2L, 1L)))
   }
 
+  test("nfcNormalize: composition collapses canonical twins; ASCII passes through; idempotent") {
+    val composed = "café"            // precomposed é
+    val decomposed = "café"         // e + combining acute
+    val hangulDecomp = "가"     // ᄀ + ᅡ → 가
+    val docs = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"),
+      (4L, hangulDecomp), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.nfcNormalize(docs, "text", "norm")
+      .select(col("doc_id"), col("norm"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == composed)
+    assert(got(2L) == composed, "decomposed é must compose to the precomposed form")
+    assert(got(3L) == "plain ascii", "NFC is the identity on ASCII")
+    assert(got(4L) == "가", "decomposed Hangul jamo must compose to the syllable")
+    assert(got(5L) == null, "null text → null")
+    // Canonical twins now collapse under exact dedup.
+    val distinct = TextAnalysis.nfcNormalize(
+        docs.where(col("text").isNotNull), "text", "norm")
+      .agg(count_distinct(col("norm")), count_distinct(col("text"))).head()
+    assert(distinct.getLong(0) == 3L && distinct.getLong(1) == 4L,
+      "composed+decomposed café must be ONE normalized doc, two raw docs")
+    // Idempotence: normalizing the normalized column changes nothing.
+    val again = TextAnalysis.nfcNormalize(
+        TextAnalysis.nfcNormalize(docs.where(col("text").isNotNull),
+          "text", "n1"), "n1", "n2")
+      .where(col("n1") =!= col("n2")).count()
+    assert(again == 0, "NFC must be idempotent")
+  }
+
   test("bpeTrain: hand-derived merge order, census weighting, tie-break, minCount floor") {
     // Word census: abab ×3, aaa ×1, bb ×1.
     // Iter 1: "a b" 6, "b a" 3, "a a" 2, "b b" 1 → merge "a b".

@@ -95,6 +95,49 @@ class PostingsIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("streamIngest: checkpointed restart resumes; probe == scan; compact preserves probe and stats") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_pidx_restart_").toString
+    val inDir = s"$base/in"
+    val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(inDir))
+    val table = "pidx_stream_spec"
+    def addShard(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val w = s"$base/w_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(w)
+      val part = new java.io.File(w).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(inDir, s"$name.parquet"))
+    }
+    def run(): Int = {
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      PostingsIndex.streamIngest(spark, table, stream, "doc_id", "text",
+        queryName = "pidx_stream_spec_q", checkpointLocation = Some(ckpt))._2
+    }
+    // Run 1 ingests shard 0, then the driver "dies" (query ended).
+    addShard(corpus.where(col("doc_id") <= 4), "shard_0")
+    assert(run() == 1, "first run must process exactly its one file")
+    // Restart with the same checkpoint: only the new file is
+    // processed, run 1's partitions survive, and the probe over the
+    // stream-built index equals the one-shot corpus scan bit-for-bit.
+    addShard(corpus.where(col("doc_id") > 4), "shard_1")
+    assert(run() == 1, "restart must process only the uncommitted file")
+    val probe = probeTopK(table)
+    assert(probe == scanTopK(corpus),
+      "stream-built index must probe identically to the scan")
+    def nIndexed() = spark.table(table + "_stats")
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    assert(nIndexed() == 8L, "per-batch stats rows must sum to the corpus")
+    // Compact all three tables: probe results and the additive stats
+    // sum must be unchanged (compact is a row-preserving rewrite).
+    val merged = PostingsIndex.compact(spark, table,
+      checkpointLocation = Some(ckpt))
+    assert(merged >= 2, s"expected >= 2 partitions merged, got $merged")
+    assert(probeTopK(table) == probe, "compact must not change probe results")
+    assert(nIndexed() == 8L, "compact must not change the stats mass")
+  }
+
   test("probe plan: term-pruned postings scan, no _docs contact, no corpus-keyed join") {
     PostingsIndex.build(spark, corpus, "doc_id", "text", "pidx_t4")
     val plan = PostingsIndex.probe(spark, "pidx_t4", terms, 10)

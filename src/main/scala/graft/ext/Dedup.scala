@@ -566,6 +566,53 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Cross-corpus shared-passage pairs — the DECONTAMINATION detector:
+    * every (train doc, eval doc) pair sharing at least `minShared`
+    * winnow fingerprints, i.e. training documents that quote, copy, or
+    * near-copy an eval/benchmark document. The whole-doc n-gram
+    * overlap gate (x_contamination) misses a leaked passage shorter
+    * than the doc; winnowing's (k, w) guarantee catches any shared run
+    * of ≥ k+w−1 chars, which is exactly the "benchmark question pasted
+    * into a web page" shape. Posting cap decided on the train ∪ eval
+    * census — the same decision [[winnowPairs]] would make on the
+    * union corpus, so results equal the one-corpus operator restricted
+    * to cross pairs. Eval is typically benchmark-sized, but nothing
+    * assumes it: all joins are fp-keyed, never a broadcast of either
+    * corpus. Output: (train_id, eval_id, n_shared). */
+  def crossCorpusPairs(train: DataFrame, evalDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       k: Int = 8, w: Int = 4, minShared: Int = 2,
+                       maxPostings: Int = 1000): DataFrame = {
+    def fps(df: DataFrame): DataFrame =
+      winnowedPacked(df.select(col(idCol).as("id"), col(textCol)),
+          textCol, "fps", k, w)
+        .select(col("id"), explode(col("fps")).as("fp"))
+        .pipe(Checkpoints.stage)
+    val tf = fps(train)
+    val ef = fps(evalDocs)
+    val sized = tf.select(col("fp")).unionAll(ef.select(col("fp")))
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxPostings)
+      .select(col("fp"))
+    tf.join(sized, Seq("fp"))
+      .select(col("fp"), col("id").as("train_id"))
+      .join(ef.join(sized, Seq("fp"))
+        .select(col("fp"), col("id").as("eval_id")), Seq("fp"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Drop every training doc flagged by [[crossCorpusPairs]] — the
+    * composed "remove eval contamination from pretraining data" step.
+    * The anti-join is id-keyed; pass a precomputed (staged) pair frame
+    * when the caller also wants the pair report, so detection runs
+    * once. */
+  def decontaminate(train: DataFrame, pairs: DataFrame,
+                    idCol: String): DataFrame =
+    train.join(pairs.select(col("train_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Directional CONTAINMENT scored over an ARBITRARY candidate-pair
     * frame — the subset/quotation signal Jaccard misses (a short doc
     * fully quoted inside a long one has |A∩B|/|A| = 1 while its

@@ -130,6 +130,7 @@ private[graft] object CorpusQueries {
         .orderBy(col("split"))),
     "x_cluster_split" -> ((s, dir) => clusterSplitSummary(s, dir)),
     "x_curriculum" -> ((s, dir) => curriculumSummary(s, dir)),
+    "x_decontaminate" -> ((s, dir) => decontaminateSummary(s, dir)),
     "x_export_manifest" -> ((s, dir) => exportManifest(s, dir)),
     "x_group_budget" -> ((s, dir) =>
       // Per-source token-budget cap (Mixing.tokenBudgetPerGroup):
@@ -723,6 +724,30 @@ private[graft] object CorpusQueries {
         min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
       .orderBy(col("shard"))
+  }
+
+  /** x_decontaminate: cross-corpus decontamination
+    * ([[graft.ext.Dedup.crossCorpusPairs]] + [[graft.ext.Dedup.decontaminate]]):
+    * eval = doc_id < 50, train = 50..299 (the winnow-family slice
+    * rationale — fingerprints are portable md5 prefixes, so the
+    * oracle replays detection end-to-end in SQL). Decontamination
+    * params k=20, w=8: a flag needs a shared run of ≥ 27 chars —
+    * the "benchmark text pasted into a page" shape — where the
+    * similarity-detection default k=8 would flag shared PHRASES
+    * (measured on this fixture: 10 814 cross pairs at k=8 vs 13 at
+    * k=20, of which 2 are the planted ~95-fp genuine copies). Emits
+    * every flagged (train_id, eval_id, n_shared) pair value-exact,
+    * plus the post-drop train count the anti-join actually produced. */
+  private def decontaminateSummary(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalDocs = docs.where(col("doc_id") < 50)
+    val train = docs.where(col("doc_id") >= 50 && col("doc_id") < 300)
+    val pairs = Dedup.crossCorpusPairs(train, evalDocs, "doc_id", "text",
+        k = 20, w = 8, minShared = 2, maxPostings = 1000)
+      .pipe(graft.ext.Checkpoints.stage)
+    val nClean = Dedup.decontaminate(train, pairs, "doc_id").count()
+    pairs.withColumn("n_clean_train", lit(nClean))
+      .orderBy(col("train_id"), col("eval_id"))
   }
 
   /** x_curriculum: easy→hard training order — per-doc surprisal
@@ -1731,6 +1756,30 @@ private[graft] object CorpusQueries {
         |   ELSE 0.0 END AS mean_bits
         | FROM documents d LEFT JOIN pd USING (doc_id)
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // Decontamination replayed end-to-end: the x_winnow_pairs
+    // fingerprint SQL over train ∪ eval (cap on the union census),
+    // restricted to cross pairs; the post-drop count follows by
+    // subtraction.
+    "x_decontaminate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+        | g AS (SELECT doc_id, list_transform(
+        |     generate_series(1, CASE WHEN length(text) >= 20 THEN length(text) - 19 ELSE 0 END),
+        |     i -> substr(md5(substr(text, i, 20)), 1, 8)) AS hs FROM d),
+        | f AS (SELECT doc_id,
+        |   CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_distinct(list_transform(
+        |          generate_series(1, GREATEST(len(hs) - 7, 1)),
+        |          j -> list_min(hs[j:j+7]))) END AS fps FROM g),
+        | e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        | ok AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 1000),
+        | i AS (SELECT e.doc_id, e.fp FROM e JOIN ok USING (fp)),
+        | p AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |   FROM i a JOIN i b USING (fp) WHERE a.doc_id >= 50 AND b.doc_id < 50 GROUP BY 1, 2),
+        | fl AS (SELECT train_id, eval_id, n_shared FROM p WHERE n_shared >= 2),
+        | nc AS (SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id >= 50 AND doc_id < 300)
+        |   - COUNT(DISTINCT train_id) AS BIGINT) AS n_clean_train FROM fl)
+        | SELECT train_id, eval_id, n_shared, (SELECT n_clean_train FROM nc) AS n_clean_train
+        | FROM fl ORDER BY train_id, eval_id""".stripMargin.replaceAll("\n", " "),
     // Manifest replayed from the SOURCE table (routing hash + checksum
     // in SQL) while the engine reads the WRITTEN files — any physical
     // write defect mismatches.

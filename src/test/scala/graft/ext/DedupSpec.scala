@@ -885,6 +885,30 @@ class DedupSpec extends AnyFunSuite {
     assert(staleIds == 0, s"leftover index rows survived a fresh checkpoint: $staleIds")
   }
 
+  test("crossCorpusPairs + decontaminate: planted leak flagged, clean train survives whole") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (1L, "what is the capital of assyria answer nineveh obviously"),
+      (2L, "compute the integral of x squared dx from zero to one")).toDF("doc_id", "text")
+    val train = Seq(
+      // Doc 100 quotes eval doc 1 verbatim inside unrelated text.
+      (100L, "some web page what is the capital of assyria answer nineveh obviously and more prose"),
+      (101L, "completely unrelated training document about spark shuffles"),
+      (102L, "another clean doc on parquet footers and row groups"),
+      (103L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusPairs(train, evalDocs, "doc_id", "text",
+      k = 20, w = 8, minShared = 2)
+    val flagged = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(flagged.map(p => (p._1, p._2)).toSet == Set((100L, 1L)),
+      s"exactly the planted leak must flag, got ${flagged.toSeq}")
+    assert(flagged.head._3 >= 2, "a verbatim quote must share many fingerprints")
+    val clean = Dedup.decontaminate(train, pairs, "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(clean == Set(101L, 102L, 103L),
+      s"only the leaking doc drops (null-text docs survive): $clean")
+  }
+
   test("containmentOn: scores any pair frame, payload columns ride through, directions exact") {
     import spark.implicits._
     val docs = Seq(

@@ -21,6 +21,50 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * arXiv:2207.14255 — "FIM"): rewrite a hash-chosen `fimPct`% of
+    * documents into the PSM order
+    * `<PRE>prefix<SUF>suffix<MID>middle`, teaching an autoregressive
+    * model to infill. The two split offsets 0 ≤ a ≤ b ≤ len are
+    * derived from the SAME canonical id-hash as every Mixing/Packing
+    * decision (two draws: hash(id) and hash(id + 7919)), so the
+    * transform is deterministic per row, stable under repartitioning
+    * and reruns, and an independent engine replays it — offsets,
+    * substrings, sentinel concat — value-exact in SQL. Untouched rows
+    * pass through with `fim_applied` = 0; every row keeps its
+    * character mass (the three pieces partition the text), so
+    * downstream token budgets are unchanged. Per-row codegen
+    * arithmetic, shuffle-free at any scale.
+    *
+    * Output = input schema + `fim_applied` (0/1) + `fim_text` (the
+    * PSM string, or the original text where not applied / null). */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   fimPct: Int = 50): DataFrame = {
+    require(fimPct >= 0 && fimPct <= 100, s"fimPct out of range: $fimPct")
+    val len = length(col(textCol))
+    // Two independent-ish draws from the canonical hash: offsets are
+    // uniform-ish over the valid ranges, and all-integer on both
+    // engines. a ∈ [0, len], b ∈ [a, len].
+    val h1 = TextAnalysis.idHashBucket(col(idCol), 1000003L)
+    val h2 = TextAnalysis.idHashBucket(col(idCol) + lit(7919L), 1000003L)
+    val applied = col(textCol).isNotNull &&
+      TextAnalysis.splitBucket(col(idCol)) < fimPct
+    df.withColumn("__fim_a", pmod(h1, len.cast("long") + 1L))
+      .withColumn("__fim_b",
+        col("__fim_a") + pmod(h2, len.cast("long") - col("__fim_a") + 1L))
+      .withColumn("fim_applied", when(applied, 1L).otherwise(0L))
+      .withColumn("fim_text",
+        when(applied,
+          concat(lit("<PRE>"),
+            expr(s"substring($textCol, 1, __fim_a)"),
+            lit("<SUF>"),
+            expr(s"substring($textCol, __fim_b + 1, length($textCol) - __fim_b)"),
+            lit("<MID>"),
+            expr(s"substring($textCol, __fim_a + 1, __fim_b - __fim_a)")))
+          .otherwise(col(textCol)))
+      .drop("__fim_a", "__fim_b")
+  }
+
   /** Deterministic shard in [0, shards) from a numeric id — delegates
     * to the one canonical id-hash (TextAnalysis.idHashBucket; see its
     * Scaladoc for the overflow-safety argument). */

@@ -131,6 +131,16 @@ private[graft] object CorpusQueries {
     "x_cluster_split" -> ((s, dir) => clusterSplitSummary(s, dir)),
     "x_curriculum" -> ((s, dir) => curriculumSummary(s, dir)),
     "x_decontaminate" -> ((s, dir) => decontaminateSummary(s, dir)),
+    "x_fim" -> ((s, dir) =>
+      // Fill-in-the-middle rewrite (Packing.fimTransform, 50% of docs
+      // by the canonical hash): deterministic PSM reordering with
+      // hash-derived split offsets — per-row codegen arithmetic the
+      // oracle replays value-exact (offsets, substrings, sentinels).
+      Packing.fimTransform(
+          Tables.documents(s, dir).where(col("text").isNotNull),
+          "doc_id", "text", fimPct = 50)
+        .select(col("doc_id"), col("fim_applied"), col("fim_text"))
+        .orderBy(col("doc_id"))),
     "x_export_manifest" -> ((s, dir) => exportManifest(s, dir)),
     "x_group_budget" -> ((s, dir) =>
       // Per-source token-budget cap (Mixing.tokenBudgetPerGroup):
@@ -1756,6 +1766,22 @@ private[graft] object CorpusQueries {
         |   ELSE 0.0 END AS mean_bits
         | FROM documents d LEFT JOIN pd USING (doc_id)
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // FIM replayed end-to-end: same hash draws, same offset
+    // arithmetic, same substring/sentinel assembly.
+    "x_fim" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE text IS NOT NULL),
+        | h AS (SELECT doc_id, text, n,
+        |   ((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 1000003) AS h1,
+        |   (((((doc_id + 7919) % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 1000003) AS h2,
+        |   (((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 AS bucket
+        |  FROM d),
+        | o AS (SELECT doc_id, text, n, bucket, h1 % (n + 1) AS a,
+        |   h1 % (n + 1) + (h2 % (n - (h1 % (n + 1)) + 1)) AS b FROM h)
+        | SELECT doc_id,
+        |  CASE WHEN bucket < 50 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS fim_applied,
+        |  CASE WHEN bucket < 50 THEN '<PRE>' || substr(text, 1, a) || '<SUF>' || substr(text, b + 1, n - b) || '<MID>' || substr(text, a + 1, b - a)
+        |       ELSE text END AS fim_text
+        | FROM o ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // Decontamination replayed end-to-end: the x_winnow_pairs
     // fingerprint SQL over train ∪ eval (cap on the union census),
     // restricted to cross pairs; the post-drop count follows by

@@ -119,4 +119,38 @@ class PackingSpec extends AnyFunSuite {
     // Coverage: every token appears in some chunk, in order.
     assert((c3(0) ++ c3(1).drop(16)) == doc(65).split(" ").toSeq)
   }
+
+  test("fimTransform: deterministic PSM split, mass preserved, reassembly exact") {
+    val docs = (1L to 400L).map(i => (i, s"doc $i " + ("abcdefgh" * (i % 5 + 1).toInt)))
+      .toDF("doc_id", "text")
+    val out = Packing.fimTransform(docs, "doc_id", "text", fimPct = 50)
+      .select(col("doc_id"), col("text"), col("fim_applied"), col("fim_text"))
+      .collect()
+    assert(out.length == 400)
+    val applied = out.filter(_.getLong(2) == 1L)
+    // ~50% hash-gated; deterministic, so the exact count is stable.
+    assert(applied.length > 120 && applied.length < 280,
+      s"hash gate far from 50%: ${applied.length}/400")
+    applied.foreach { r =>
+      val (text, fim) = (r.getString(1), r.getString(3))
+      // Sentinels present, in PSM order.
+      val pre = fim.indexOf("<PRE>"); val suf = fim.indexOf("<SUF>")
+      val mid = fim.indexOf("<MID>")
+      assert(pre == 0 && suf > 0 && mid > suf, s"bad PSM shape: $fim")
+      // The three pieces partition the text: reassemble P+M+S.
+      val p = fim.substring(5, suf)
+      val sfx = fim.substring(suf + 5, mid)
+      val m = fim.substring(mid + 5)
+      assert(p + m + sfx == text, s"FIM pieces must reassemble the doc")
+    }
+    // Untouched rows pass through verbatim.
+    out.filter(_.getLong(2) == 0L).foreach { r =>
+      assert(r.getString(3) == r.getString(1))
+    }
+    // Deterministic under repartitioning.
+    val again = Packing.fimTransform(docs.repartition(7), "doc_id", "text", fimPct = 50)
+      .select(col("doc_id"), col("fim_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall(r => again(r.getLong(0)) == r.getString(3)))
+  }
 }

@@ -326,4 +326,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"trainOrder must not plan a Window:\n$plan")
   }
+
+  test("x_curriculum: score-led distributed rank, no Window node") {
+    // Same funnel pin as x_train_order with the difficulty score as
+    // the leading sort key — the rank must stay PrefixSum-shaped.
+    val plan = SparkEntry.queries("x_curriculum")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"curriculumOrder must not plan a Window:\n$plan")
+  }
+
+  test("per-row transforms (FIM / NFC / BPE encode) plan no Exchange: the tokenize/rewrite map is shuffle-free") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 100, 1, 4)
+      .selectExpr("id AS doc_id", "concat('text number ', id) AS text")
+    // The OPERATOR plans (the registered queries add orderBy/agg for
+    // the oracle, which legitimately exchange) — the claim "shuffle-
+    // free at 100 TB" belongs to the transforms themselves.
+    val fim = graft.ext.Packing.fimTransform(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!fim.contains("Exchange"), s"fimTransform must not shuffle:\n$fim")
+    val nfc = graft.ext.TextAnalysis.nfcNormalize(docs, "text", "n")
+      .queryExecution.executedPlan.toString
+    assert(!nfc.contains("Exchange"), s"nfcNormalize must not shuffle:\n$nfc")
+    val bpe = graft.ext.TextAnalysis.bpeEncode(docs, "text",
+        Seq("t e", "te x"), "toks")
+      .queryExecution.executedPlan.toString
+    assert(!bpe.contains("Exchange"), s"bpeEncode must not shuffle:\n$bpe")
+    // And the kernels stay inside whole-stage codegen — the starred
+    // `*(n)` stage marker on the Project carrying the kernel call (a
+    // CodegenFallback expression would strip the star).
+    assert(bpe.linesIterator.exists(l =>
+        l.contains("graftbpeencode") && l.trim.startsWith("*(")),
+      s"bpeEncode's kernel Project must be codegen-starred:\n$bpe")
+    assert(nfc.linesIterator.exists(l =>
+        l.contains("graftnfc") && l.trim.startsWith("*(")),
+      s"nfcNormalize's kernel Project must be codegen-starred:\n$nfc")
+  }
 }

@@ -195,6 +195,80 @@ object Mixing {
       .drop("__mix_rn", "__mix_h")
   }
 
+  /** STREAMING per-group token-budget enforcement — the quota a 100 TB
+    * ingest applies as shards arrive, not after the fact: each
+    * micro-batch keeps a group's rows only while the group's running
+    * token total — PRIOR batches' full mass plus the batch-local
+    * keyed prefix sum — stays ≤ `budget`. The ledger tracks each
+    * batch's TOTAL group mass (kept + dropped), so the decision rule
+    * is exactly [[tokenBudgetPerGroup]]'s global-cumsum prefix over
+    * the batch-concatenation order: stream result ≡ the batch
+    * operator run on the same rows in (batch, id-hash, id) order —
+    * the value-exact contract x_stream_group_budget's oracle replays
+    * as ONE windowed cumsum.
+    *
+    * Plumbing mirrors the index ingests: the kept-rows sink and the
+    * per-(group, batch) ledger are batch-partitioned tables written
+    * by dynamic partition overwrite (redelivery-idempotent); the
+    * ledger read excludes the in-flight batch's own partition (a
+    * crashed attempt's orphan must not double-count); the batch's
+    * kept set materializes BEFORE the ledger append mutates state.
+    * The ledger is k·batches tiny rows — the only cross-batch state.
+    * Returns (accumulated kept rows, batches processed). */
+  def streamTokenBudget(spark: org.apache.spark.sql.SparkSession,
+                        table: String, stream: DataFrame,
+                        idCol: String, groupCol: String, tokExpr: Column,
+                        budget: Long,
+                        queryName: String = "graft_budget_ingest",
+                        checkpointLocation: Option[String] = None): (DataFrame, Int) = {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.io.Writer
+    val idType = stream.schema(idCol).dataType
+    val grpType = stream.schema(groupCol).dataType
+    val resuming = checkpointLocation.exists(cp =>
+      StreamOps.lastCommittedBatch(spark, cp).isDefined)
+    val mkTable = if (resuming)
+      Writer.ensurePartitionedBucketedTable _
+    else Writer.emptyPartitionedBucketedTable _
+    mkTable(spark, table,
+      StructType(Seq(
+        StructField(idCol, idType),
+        StructField(groupCol, grpType),
+        StructField("tok", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, idCol, 8)
+    mkTable(spark, table + "_totals",
+      StructType(Seq(
+        StructField(groupCol, grpType),
+        StructField("total_tok", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, groupCol, 1)
+    StreamOps.sinkBatches(spark, stream, queryName, table,
+        checkpointLocation) { (b, batchId) =>
+      spark.catalog.refreshTable(table + "_totals")
+      val rows = b.select(col(idCol), col(groupCol),
+        tokExpr.cast("long").as("tok"))
+      val prior = spark.table(table + "_totals")
+        .where(col(StreamOps.BatchTag) =!= lit(batchId))
+        .groupBy(col(groupCol))
+        .agg(coalesce(sum(col("total_tok")), lit(0L)).as("__prior"))
+      val withCum = graft.operators.PrefixSum.keyedRunningTotal(
+        rows.withColumn("__mix_h", orderHash(col(idCol))),
+        groupCol, Seq("__mix_h", idCol), "tok", outCol = "__cum")
+      // Materialize the kept set before the ledger side-write lands —
+      // the plan reads _totals, which that write is about to mutate.
+      val kept = withCum
+        .join(prior, Seq(groupCol), "left")
+        .where(col("__cum") + coalesce(col("__prior"), lit(0L)) <= budget)
+        .select(col(idCol), col(groupCol), col("tok"))
+        .localCheckpoint(true)
+      val ledger = rows.groupBy(col(groupCol))
+        .agg(coalesce(sum(col("tok")), lit(0L)).as("total_tok"))
+      (kept, Seq((table + "_totals") -> ledger))
+    }
+  }
+
   /** Leakage-safe corpus split — split by near-dup CLUSTER, not by
     * document. Per-doc hash splitting (assignSplit) silently puts
     * near-duplicates of a training doc into the eval split — the

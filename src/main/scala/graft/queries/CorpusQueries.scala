@@ -131,6 +131,7 @@ private[graft] object CorpusQueries {
     "x_cluster_split" -> ((s, dir) => clusterSplitSummary(s, dir)),
     "x_curriculum" -> ((s, dir) => curriculumSummary(s, dir)),
     "x_decontaminate" -> ((s, dir) => decontaminateSummary(s, dir)),
+    "x_stream_group_budget" -> ((s, dir) => streamGroupBudget(s, dir)),
     "x_fim" -> ((s, dir) =>
       // Fill-in-the-middle rewrite (Packing.fimTransform, 50% of docs
       // by the canonical hash): deterministic PSM reordering with
@@ -987,6 +988,35 @@ private[graft] object CorpusQueries {
         (sum(col("__ntok")) < sum(col("__chars"))).cast("long").as("merged_ok"))
   }
 
+  /** x_stream_group_budget: per-language token quotas enforced DURING
+    * ingest ([[graft.ext.Mixing.streamTokenBudget]], budget 3 800 —
+    * caps en/es/zh, passes de/fr whole at sf0.01): the corpus arrives
+    * as the three staged doc_id % 3 micro-batches (written with
+    * strictly increasing mtimes, so the file stream processes them in
+    * shard order), and the kept set must equal the BATCH operator's
+    * global-cumsum prefix over the (batch, id-hash, id) order — which
+    * the oracle replays as ONE windowed cumsum. Per-language kept
+    * census over the accumulated sink. */
+  private def streamGroupBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val table = "graft_budget_stream_" + digest
+    val inDir = stagedShardsFor(s, dir, docs)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .where(col("text").isNotNull)
+    val (kept, nBatches) = Mixing.streamTokenBudget(s, table, stream,
+      "doc_id", "lang", TextAnalysis.wsTokenCount(col("text")),
+      budget = 3800L, queryName = "stream_budget_" + digest)
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("kept_tok"))
+      .withColumn("three_batches_ok", lit(if (nBatches == 3) 1L else 0L))
+      .orderBy(col("lang"))
+  }
+
   /** x_bm25_index: the PostingsIndex lifecycle — build on the
     * already-ingested 4/5 of the corpus, append the doc_id % 5 == 4
     * shard, append it AGAIN (the redelivered-shard case: the
@@ -1766,6 +1796,22 @@ private[graft] object CorpusQueries {
         |   ELSE 0.0 END AS mean_bits
         | FROM documents d LEFT JOIN pd USING (doc_id)
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // Streaming quota replayed as ONE windowed cumsum: the ledger
+    // tracks total (kept + dropped) batch mass, so stream-kept ==
+    // the global-cumsum prefix over (batch = doc_id % 3, hash, id).
+    "x_stream_group_budget" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |   (length(text) - length(replace(text, ' ', '')) + 1) AS tok,
+        |   doc_id % 3 AS b,
+        |   ((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 1000003) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT doc_id, lang, tok,
+        |   SUM(tok) OVER (PARTITION BY lang ORDER BY b, h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        | k AS (SELECT * FROM c WHERE cum <= 3800)
+        | SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(tok) AS BIGINT) AS kept_tok,
+        |  CAST(1 AS BIGINT) AS three_batches_ok
+        | FROM k GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
     // FIM replayed end-to-end: same hash draws, same offset
     // arithmetic, same substring/sentinel assembly.
     "x_fim" ->

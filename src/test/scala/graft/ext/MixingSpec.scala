@@ -147,6 +147,48 @@ class MixingSpec extends AnyFunSuite {
     assert(sizes.values.toSet == Set(125))
   }
 
+  test("streamTokenBudget: stream-kept equals the batch global-cumsum prefix over batch order") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.expressions.Window
+    val base = Files.createTempDirectory("graft_budget_stream_").toString
+    val inDir = s"$base/in"
+    Files.createDirectories(Paths.get(inDir))
+    val all = (1L to 300L)
+      .map(i => (i, if (i % 3 == 0) "big" else s"t${i % 2}", 10L + i % 7))
+      .toDF("id", "g", "tok")
+    def addShard(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val w = s"$base/w_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(w)
+      val part = new java.io.File(w).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(inDir, s"$name.parquet"))
+    }
+    addShard(all.where(col("id") <= 150), "shard_0")
+    addShard(all.where(col("id") > 150), "shard_1")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val (kept, n) = Mixing.streamTokenBudget(spark, "mix_budget_spec",
+      stream, "id", "g", col("tok"), budget = 300L,
+      queryName = "mix_budget_spec_q")
+    assert(n == 2, s"expected 2 micro-batches, got $n")
+    val got = kept.select(col("id")).collect().map(_.getLong(0)).toSet
+    // The contract: kept == tokenBudgetPerGroup's global-cumsum prefix
+    // over the (batch, id-hash, id) concatenation order — because the
+    // ledger records total (kept + dropped) batch mass per group.
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("b"), Mixing.orderHash(col("id")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = all
+      .withColumn("b", when(col("id") <= 150, 0).otherwise(1))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .where(col("cum") <= 300L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"stream diverged from the batch prefix: extra=${got -- expected} missing=${expected -- got}")
+    // The budget binds: every group kept a strict partial prefix.
+    assert(got.nonEmpty && got.size < 300)
+  }
+
   test("curriculumOrder: score leads, hash breaks ties, shard arithmetic holds") {
     val df = (1L to 800L).map(i => (i, s"p$i", i % 4)).toDF("id", "t", "score")
     val got = Mixing.curriculumOrder(df, "id", col("score"), nShards = 8)

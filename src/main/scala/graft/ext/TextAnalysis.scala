@@ -595,6 +595,67 @@ object TextAnalysis {
     * unboundedly iterative, which Column-expression folds cannot
     * express): sessions must set
     * spark.sql.extensions=graft.GraftExtensions. */
+  /** Cross-document repeated-block removal — CCNet-style boilerplate
+    * dedup at PASSAGE granularity (Wenzek et al. 2020 deduplicate
+    * paragraphs across a crawl; headers, nav bars, license blurbs
+    * repeat across pages while each page's body is unique): the text
+    * is cut into fixed `blockTokens`-word blocks, any block appearing
+    * in ≥ `minDf` DISTINCT documents is dropped from every document,
+    * and the survivors reassemble in original order. Within-doc
+    * repetition (df = 1) survives — that's the repetition SIGNAL's
+    * job, not boilerplate. Document-level dedup can't do this: two
+    * pages sharing only a nav bar are not near-dups, but the nav bar
+    * is still noise in both.
+    *
+    * Scale shape: one posexplode (corpus token mass through the
+    * shuffle once), a block census (groupBy block — vocabulary-like
+    * cardinality), one keyed anti-join, and an order-restoring
+    * per-doc re-aggregation (array_sort over collect_list of (pos,
+    * block) structs — per-doc state is the doc's own blocks, bounded
+    * by doc length). All-relational, replayed value-exact by the
+    * oracle (string_agg ORDER BY pos).
+    *
+    * Output: (idCol, clean_text, n_blocks, n_dropped). */
+  def dropRepeatedBlocks(df: DataFrame, idCol: String, textCol: String,
+                         blockTokens: Int = 10, minDf: Long = 2L): DataFrame = {
+    require(blockTokens > 0 && minDf >= 2,
+      s"bad params: blockTokens=$blockTokens minDf=$minDf")
+    val t = tokens(col(textCol))
+    // Integer block count: (size-1) DIV blockTokens (Column `/` is
+    // double division — floor+cast keeps both engines integer-exact).
+    val blockIdx = when(size(t) > 0,
+      sequence(lit(0),
+        floor((size(t) - lit(1)) / lit(blockTokens)).cast("int")))
+      .otherwise(array())
+    val blocks = Checkpoints.stage(
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol),
+          posexplode_outer(transform(blockIdx, i =>
+            concat_ws(" ", slice(t, i * blockTokens + lit(1), lit(blockTokens))))))
+        .withColumnRenamed("pos", "__blk_pos")
+        .withColumnRenamed("col", "__blk"))
+    val boiler = blocks.where(col("__blk").isNotNull)
+      .groupBy(col("__blk"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDf)
+      .select(col("__blk"))
+    val kept = blocks.where(col("__blk").isNotNull)
+      .join(boiler, Seq("__blk"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__blk_pos"), col("__blk")))),
+          s => s.getField("__blk"))).as("clean_text"),
+        count(lit(1)).as("__n_kept"))
+    blocks.groupBy(col(idCol))
+      .agg(count(col("__blk")).as("n_blocks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_blocks"),
+        (col("n_blocks") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Unicode NFC normalization column (codegen'd `graft_nfc` kernel):
     * canonically equivalent byte-different texts (precomposed é vs
     * e + combining acute — pasted web text mixes both) collapse to

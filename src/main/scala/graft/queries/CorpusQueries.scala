@@ -132,6 +132,18 @@ private[graft] object CorpusQueries {
     "x_curriculum" -> ((s, dir) => curriculumSummary(s, dir)),
     "x_decontaminate" -> ((s, dir) => decontaminateSummary(s, dir)),
     "x_stream_group_budget" -> ((s, dir) => streamGroupBudget(s, dir)),
+    "x_drop_boilerplate" -> ((s, dir) =>
+      // CCNet-style cross-document repeated-block removal
+      // (TextAnalysis.dropRepeatedBlocks, 10-word blocks, df >= 2):
+      // blocks shared across >= 2 docs — the planted dup groups'
+      // common bodies — drop from EVERY doc; unique bodies survive
+      // in original order. Full per-doc dump, value-exact (the
+      // oracle rebuilds clean_text with string_agg ORDER BY pos).
+      TextAnalysis.dropRepeatedBlocks(
+          Tables.documents(s, dir)
+            .where(col("text").isNotNull && col("text") =!= ""),
+          "doc_id", "text", blockTokens = 10, minDf = 2L)
+        .orderBy(col("doc_id"))),
     "x_fim" -> ((s, dir) =>
       // Fill-in-the-middle rewrite (Packing.fimTransform, 50% of docs
       // by the canonical hash): deterministic PSM reordering with
@@ -1796,6 +1808,22 @@ private[graft] object CorpusQueries {
         |   ELSE 0.0 END AS mean_bits
         | FROM documents d LEFT JOIN pd USING (doc_id)
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // Boilerplate removal replayed end-to-end: same 10-word blocks
+    // (inclusive list slices), same distinct-doc census, same anti
+    // join, clean text rebuilt with an ordered string_agg.
+    "x_drop_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |   FROM documents WHERE text IS NOT NULL AND text <> ''),
+        | b AS (SELECT doc_id, i AS pos, array_to_string(t[(i*10+1):(i*10+10)], ' ') AS blk
+        |   FROM d, UNNEST(generate_series(0, (len(t)-1)//10)) AS u(i)),
+        | boiler AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(DISTINCT doc_id) >= 2),
+        | kept AS (SELECT b.* FROM b ANTI JOIN boiler USING (blk)),
+        | r AS (SELECT doc_id, string_agg(blk, ' ' ORDER BY pos) AS clean_text,
+        |   COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+        | nb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks FROM b GROUP BY doc_id)
+        | SELECT nb.doc_id, COALESCE(r.clean_text, '') AS clean_text, nb.n_blocks,
+        |  CAST(nb.n_blocks - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+        | FROM nb LEFT JOIN r USING (doc_id) ORDER BY nb.doc_id""".stripMargin.replaceAll("\n", " "),
     // Streaming quota replayed as ONE windowed cumsum: the ledger
     // tracks total (kept + dropped) batch mass, so stream-kept ==
     // the global-cumsum prefix over (batch = doc_id % 3, hash, id).

@@ -257,6 +257,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a b", 4L, 1L), ("a a", 2L, 1L), ("b a", 2L, 1L)))
   }
 
+  test("dropRepeatedBlocks: shared nav-bar blocks drop everywhere, unique bodies and within-doc repeats survive") {
+    val nav = (1 to 10).map(i => s"nav$i").mkString(" ")     // one exact 10-word block
+    val docs = Seq(
+      (1L, s"$nav unique body of document one right here"),
+      (2L, s"$nav a different body for document two instead"),
+      (3L, "totally original document with no shared blocks at all yes"),
+      // Within-doc repetition: the same 10 words twice in ONE doc —
+      // df = 1, so boilerplate removal must NOT touch it.
+      (4L, ("rep " * 10).trim + " " + ("rep " * 10).trim))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dropRepeatedBlocks(docs, "doc_id", "text",
+        blockTokens = 10, minDf = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // Docs 1 and 2 share exactly the nav block: it drops from BOTH,
+    // each keeps its unique tail (a short final block).
+    assert(got(1L)._1 == "unique body of document one right here", got(1L))
+    assert(got(2L)._1 == "a different body for document two instead")
+    assert(got(1L)._3 == 1L && got(2L)._3 == 1L, "exactly the nav block drops")
+    // Doc 3 is untouched.
+    assert(got(3L)._1 == "totally original document with no shared blocks at all yes")
+    assert(got(3L)._3 == 0L)
+    // Doc 4's within-doc repeat survives whole (df = 1).
+    assert(got(4L)._1 == ("rep " * 20).trim && got(4L)._3 == 0L)
+  }
+
   test("nfcNormalize: composition collapses canonical twins; ASCII passes through; idempotent") {
     val composed = "café"            // precomposed é
     val decomposed = "café"         // e + combining acute

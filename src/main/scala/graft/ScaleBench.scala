@@ -1099,10 +1099,47 @@ object ScaleBench {
     require(nBadLabel == 0,
       s"$nBadLabel planted-cluster docs carry the wrong component label")
     require(nSplitDocs == nDocs, "split assignment must cover the corpus")
+    // Boilerplate removal: every planted 4-doc cluster shares its
+    // 50-token body, so its five 10-word body blocks have df ≥ 4 and
+    // must drop from every member; unique docs keep all blocks.
+    spark.sqlContext.clearCache()
+    val ((nDropped, nBadUnique), tBp) = timed {
+      val out = graft.ext.TextAnalysis.dropRepeatedBlocks(
+          docs, "doc_id", "text", blockTokens = 10, minDf = 2L)
+        .localCheckpoint(true)
+      val r = out.agg(
+        coalesce(sum(col("n_dropped")), lit(0L)).as("nd"),
+        coalesce(sum(when(col("doc_id") >= nDocs / 10,
+          (col("n_dropped") > 0).cast("long"))), lit(0L)).as("bad"))
+        .first()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nDropped >= (nDocs / 10) * 5,
+      s"planted clusters must shed their shared body blocks: $nDropped")
+    require(nBadUnique == 0,
+      s"$nBadUnique unique docs lost blocks — boilerplate census over-fired")
+    // FIM: per-row rewrite, mass preserved on every transformed doc.
+    spark.sqlContext.clearCache()
+    val ((nFim, nBadMass), tFim) = timed {
+      val out = graft.ext.Packing.fimTransform(docs, "doc_id", "text")
+      val r = out.agg(
+        coalesce(sum(col("fim_applied")), lit(0L)).as("nf"),
+        coalesce(sum(when(col("fim_applied") === 1L,
+          (length(col("fim_text")) =!= length(col("text")) + 15).cast("long"))),
+          lit(0L)).as("bad"))
+        .first()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nFim > nDocs / 3 && nFim < 2 * nDocs / 3,
+      s"hash gate far from 50%: $nFim/$nDocs")
+    require(nBadMass == 0,
+      s"$nBadMass FIM rewrites changed the character mass")
     s"""{"scale":$scale,"n_docs":$nDocs,""" +
       s""""bm25":{"t_build":${fmt(tBuild)},"t_probe":${fmt(tProbe)},"t_scan":${fmt(tScan)}},""" +
       s""""bpe":{"t_train":${fmt(tTrain)},"t_encode":${fmt(tEnc)},"n_tok":$nTok,"n_chars":$nChars},""" +
-      s""""cluster_split":{"t":${fmt(tCs)},"n_leaky":$nLeaky}}"""
+      s""""cluster_split":{"t":${fmt(tCs)},"n_leaky":$nLeaky},""" +
+      s""""boilerplate":{"t":${fmt(tBp)},"n_dropped":$nDropped},""" +
+      s""""fim":{"t":${fmt(tFim)},"n_rewritten":$nFim}}"""
   }
 
   /** Recall-vs-nProbe operating curve for the IVF index — the table a

@@ -189,6 +189,50 @@ class MixingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < 300)
   }
 
+  test("streamTokenBudget: a crashed attempt's orphaned ledger row does not double-count on redelivery") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.StreamOps
+    val base = Files.createTempDirectory("graft_budget_crash_").toString
+    val inDir = s"$base/in"
+    val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(inDir))
+    val table = "mix_budget_crash_spec"
+    val all = (1L to 200L).map(i => (i, "g", 10L)).toDF("id", "g", "tok")
+    def addShard(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val w = s"$base/w_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(w)
+      val part = new java.io.File(w).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(inDir, s"$name.parquet"))
+    }
+    def run(): Set[Long] = {
+      val stream = spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      Mixing.streamTokenBudget(spark, table, stream, "id", "g", col("tok"),
+          budget = 1500L, queryName = "mix_budget_crash_q",
+          checkpointLocation = Some(ckpt))
+        ._1.select(col("id")).collect().map(_.getLong(0)).toSet
+    }
+    // Batch 0 (ids 1..100, 1000 tokens) commits: all kept.
+    addShard(all.where(col("id") <= 100), "shard_0")
+    assert(run().size == 100)
+    // CRASH simulation: batch 1's LEDGER row lands but its commit does
+    // not (the concurrent side-write raced ahead of the checkpoint
+    // when the driver died).
+    val orphanLedger = Seq(("g", 1000L)).toDF("g", "total_tok")
+      .localCheckpoint(true)
+    StreamOps.writeBatchToSink(spark, table + "_totals", orphanLedger, 1L)
+    spark.catalog.refreshTable(table + "_totals")
+    // Redelivery of batch 1 (ids 101..200, 1000 tokens): the in-flight
+    // batch's OWN ledger partition is excluded, so prior mass is batch
+    // 0's 1000 — budget 1500 keeps exactly 50 more rows. Counting the
+    // orphan would read prior = 2000 and keep nothing.
+    addShard(all.where(col("id") > 100), "shard_1")
+    val kept = run()
+    assert(kept.count(_ > 100L) == 50,
+      s"redelivered batch must keep 50 rows (prior = batch 0 only), got ${kept.count(_ > 100L)}")
+  }
+
   test("curriculumOrder: score leads, hash breaks ties, shard arithmetic holds") {
     val df = (1L to 800L).map(i => (i, s"p$i", i % 4)).toDF("id", "t", "score")
     val got = Mixing.curriculumOrder(df, "id", col("score"), nShards = 8)

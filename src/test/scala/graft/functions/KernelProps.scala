@@ -95,4 +95,55 @@ object KernelProps extends Properties("Kernels") {
       Kernels.winnowPacked(u, 4, 3).toLongArray()
         .forall(v => v >= 0L && v <= 0xffffffffL)
     }
+
+  // --- BPE encode ---
+
+  private val bpeWordGen: Gen[String] =
+    Gen.listOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+  private val bpeTextGen: Gen[String] =
+    Gen.listOf(bpeWordGen).map(_.mkString(" "))
+  private val mergeGen: Gen[Array[String]] = Gen.listOf(for {
+    a <- Gen.oneOf("a", "b", "c", "d", "ab", "cd", "abc")
+    b <- Gen.oneOf("a", "b", "c", "d", "ab", "cd")
+  } yield s"$a $b").map(_.distinct.toArray)
+
+  private def encode(text: String, merges: Array[String]): Seq[String] = {
+    val arr = Kernels.bpeEncode(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text),
+      new BpeTable(merges))
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  property("bpeEncode reconstruction: concat of tokens == text minus spaces, any merge table") =
+    forAll(bpeTextGen, mergeGen) { (text, merges) =>
+      encode(text, merges).mkString == text.replace(" ", "")
+    }
+
+  property("bpeEncode with an empty merge table is the per-character split") =
+    forAll(bpeTextGen) { text =>
+      encode(text, Array.empty) ==
+        text.split(" ", -1).toSeq.flatMap(_.map(_.toString))
+    }
+
+  property("bpeEncode emits no token outside the closure of chars and merged pairs") =
+    forAll(bpeTextGen, mergeGen) { (text, merges) =>
+      val legal = Set("a", "b", "c", "d") ++ merges.map(_.split(" ", 2).mkString)
+      encode(text, merges).forall(legal.contains)
+    }
+
+  // --- NFC ---
+
+  private val unicodeGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString), Gen.const("é"),
+    Gen.const("é"), Gen.const("가"),
+    Gen.const("가"), Gen.const(" "))).map(_.mkString)
+
+  property("nfc is idempotent and matches java.text.Normalizer") =
+    forAll(unicodeGen) { s =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val once = Kernels.nfc(u).toString
+      Kernels.nfc(
+        org.apache.spark.unsafe.types.UTF8String.fromString(once)).toString == once &&
+        once == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
 }

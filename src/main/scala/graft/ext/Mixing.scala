@@ -153,6 +153,32 @@ object Mixing {
       .drop("__mix_h", "__mix_one", "__mix_pos")
   }
 
+  /** Multi-epoch training order — [[trainOrder]] with an epoch
+    * parameter: epoch k ranks by the canonical hash of
+    * id XOR (k·2654435761), so every epoch is an independent-looking,
+    * fully reproducible permutation of the corpus and epoch 0 IS
+    * trainOrder's order exactly (salt 0). This closes trainOrder's
+    * "vary the id space upstream" caveat in the operator itself — a
+    * dataloader asks for (epoch, nShards) and gets its shard files'
+    * read order with no upstream id surgery. Same distributed rank,
+    * same round-robin shard arithmetic, SQL-replayable (xor is exact
+    * on both engines). */
+  def epochOrder(df: DataFrame, idCol: String, epoch: Int,
+                 nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(epoch >= 0, s"epoch must be non-negative, got $epoch")
+    val salted = col(idCol).cast("long")
+      .bitwiseXOR(lit(epoch.toLong * 2654435761L))
+    graft.operators.PrefixSum.runningTotal(
+        df.withColumn("__mix_h", TextAnalysis.idHashBucket(salted, 1000003L))
+          .withColumn("__mix_one", lit(1L)),
+        Seq("__mix_h", idCol), "__mix_one", outCol = "__mix_pos")
+      .withColumn("epoch_pos", col("__mix_pos") - 1L)
+      .withColumn("shard", (col("epoch_pos") % nShards).cast("int"))
+      .withColumn("pos_in_shard", expr(s"epoch_pos DIV $nShards"))
+      .drop("__mix_h", "__mix_one", "__mix_pos")
+  }
+
   /** Curriculum training order — [[trainOrder]]'s epoch shuffle with a
     * DIFFICULTY score as the leading sort key: rows rank by
     * (score asc, id-hash, id), so the materialized epoch reads

@@ -528,14 +528,24 @@ object TextAnalysis {
     * ONLY corpus-sized pass is the groupBy. Tie-break = (count desc,
     * pair asc), bpePairs' exact ordering, so merge #1 is bpePairs'
     * top row by construction. Training stops early when the best
-    * pair's count falls below `minCount` (hapax merges memorize). */
+    * pair's count falls below `minCount` (hapax merges memorize).
+    * `maxVocab` bounds the DRIVER-side census at web scale: only the
+    * top-maxVocab words by (count desc, word asc) are collected — the
+    * long tail it drops carries a vanishing share of token mass (and
+    * is exactly what minCount would starve out of merges anyway), and
+    * the cut is a distributed TakeOrdered, so the collect is
+    * maxVocab-bounded no matter the corpus. */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
-               minCount: Long = 2L): Seq[String] = {
+               minCount: Long = 2L,
+               maxVocab: Int = 10000000): Seq[String] = {
     require(nMerges >= 0, s"nMerges must be non-negative, got $nMerges")
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
     val census = df.where(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .where(length(col("w")) >= 2)
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var words: Array[(Array[String], Long)] = census.map { case (w, c) =>
       val buf = scala.collection.mutable.ArrayBuffer[String]()

@@ -346,6 +346,18 @@ private[graft] object CorpusQueries {
           max(col("pos_in_shard")).as("max_pos"),
           sum(col("doc_id") * col("pos_in_shard")).as("order_sig"))
         .orderBy(col("shard"))),
+    "x_epoch_order" -> ((s, dir) =>
+      // Multi-epoch shuffle (Mixing.epochOrder, epoch 3): an
+      // independent reproducible permutation per epoch — same
+      // order-signature census as x_train_order, which pins epoch 0.
+      Mixing.epochOrder(Tables.documents(s, dir), "doc_id",
+          epoch = 3, nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_ids"),
+          max(col("pos_in_shard")).as("max_pos"),
+          sum(col("doc_id") * col("pos_in_shard")).as("order_sig"))
+        .orderBy(col("shard"))),
     "x_winnow" -> ((s, dir) =>
       // Winnowing document fingerprints (k=8 char k-grams, window
       // w=4): the shared-passage detector. The fingerprints are
@@ -2012,6 +2024,18 @@ private[graft] object CorpusQueries {
     "x_train_order" ->
       """WITH d AS (SELECT doc_id,
         |   ((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 1000003) AS h FROM documents),
+        | r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS pos FROM d),
+        | a AS (SELECT doc_id, pos % 8 AS shard, pos // 8 AS pos_in_shard FROM r)
+        | SELECT CAST(shard AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(MAX(pos_in_shard) AS BIGINT) AS max_pos,
+        |  CAST(SUM(doc_id * pos_in_shard) AS BIGINT) AS order_sig
+        | FROM a GROUP BY shard ORDER BY shard""".stripMargin.replaceAll("\n", " "),
+    // Epoch-3 shuffle replayed: same xor salt (3·2654435761), same
+    // hash, same rank and shard arithmetic as the x_train_order replay.
+    "x_epoch_order" ->
+      """WITH d AS (SELECT doc_id,
+        |   ((((xor(doc_id, 7963307283) % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 1000003) AS h FROM documents),
         | r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS pos FROM d),
         | a AS (SELECT doc_id, pos % 8 AS shard, pos // 8 AS pos_in_shard FROM r)
         | SELECT CAST(shard AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n,

@@ -260,6 +260,28 @@ class MixingSpec extends AnyFunSuite {
     assert(sizes.values.toSet == Set(100))
   }
 
+  test("epochOrder: epoch 0 is trainOrder; later epochs are distinct reproducible permutations") {
+    val df = (1L to 500L).map(i => (i, s"p$i")).toDF("id", "t")
+    def positions(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), col("epoch_pos"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0 = positions(Mixing.epochOrder(df, "id", epoch = 0, nShards = 8))
+    val t0 = positions(Mixing.trainOrder(df, "id", nShards = 8))
+    assert(e0 == t0, "epoch 0 must reproduce trainOrder's order exactly")
+    val e1 = positions(Mixing.epochOrder(df, "id", epoch = 1, nShards = 8))
+    val e2 = positions(Mixing.epochOrder(df, "id", epoch = 2, nShards = 8))
+    // Each epoch is a permutation of 0..n-1…
+    Seq(e0, e1, e2).foreach(e =>
+      assert(e.values.toSeq.sorted == (0L until 500L)))
+    // …and different epochs genuinely reshuffle (identical orders
+    // would need a 500-point hash coincidence).
+    assert(e1 != e0 && e2 != e0 && e2 != e1)
+    // Reproducible: same epoch, same order, any partitioning.
+    val e1b = positions(Mixing.epochOrder(df.repartition(11), "id",
+      epoch = 1, nShards = 8))
+    assert(e1b == e1)
+  }
+
   test("clusterSplit: component labels, no-straddle invariant, singleton fallthrough") {
     val docs = (1L to 200L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
     // Chain 1–2–3 (one cluster via transitivity, no direct 1–3 edge)

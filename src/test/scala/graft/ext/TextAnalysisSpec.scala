@@ -328,6 +328,10 @@ class TextAnalysisSpec extends AnyFunSuite {
     // (n_occ desc, pair asc) order bpePairs pins.
     val tie = Seq((1L, "ab cd ab cd")).toDF("doc_id", "text")
     assert(TextAnalysis.bpeTrain(tie, "text", nMerges = 1) == Seq("a b"))
+    // maxVocab census prune: keep only the top word (abab ×3) — the
+    // tail's merges (a a from aaa) vanish, the head's survive.
+    assert(TextAnalysis.bpeTrain(docs, "text", nMerges = 10, maxVocab = 1) ==
+      Seq("a b", "ab ab"))
   }
 
   test("bpeEncode: greedy rank-order merges, all-occurrence passes, reconstruction, null/empty") {

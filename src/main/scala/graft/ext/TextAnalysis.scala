@@ -837,4 +837,106 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Multinomial Naive-Bayes text classifier, trained and applied
+    * distributed — the fasttext-style classifier slot in a
+    * CCNet-shaped curation pipeline (quality / language / domain
+    * routing), integerized to whole bits so train and predict are
+    * bit-identical across engines.
+    *
+    * Train slice = rows whose canonical split bucket
+    * ([[splitBucket]], the same multiplicative hash every split/shard
+    * oracle replays) is < `trainBuckets`; everything else is scored.
+    * Per class c the word likelihood is the whole-bit surprisal of
+    * the class-conditional census: bits(w,c) = floor(log2(V_c /
+    * c_wc)) = bit_length(V_c DIV c_wc) − 1 (V_c = class token mass),
+    * the same libm-free construction as [[surprisalStats]]. A vocab
+    * word UNSEEN in class c costs bit_length(V_c) bits — strictly
+    * more than any seen word (a count-1 word costs bit_length(V_c) −
+    * 1), which is where the discrimination lives; words outside the
+    * whole train vocabulary carry no class signal and are counted in
+    * `n_oov` instead of being smoothed. The class prior enters as
+    * bit_length(N DIV n_c) − 1. Prediction = argmin over classes of
+    * prior + Σ c_doc·bits — ALL BIGINT sums, order-independent —
+    * with ties broken by label asc; a doc with zero in-vocab tokens
+    * falls back to the min-(prior, label) class.
+    *
+    * Shape at scale: the class-conditional census and the (vocab × k
+    * classes) bits grid are vocabulary-sized dimension tables at any
+    * corpus scale (the only corpus-sized passes are the two token
+    * explodes); scoring is ONE word-keyed join of the doc-word pairs
+    * against the grid (k rows per pair, k = #classes), then keyed
+    * aggregations — no all-pairs, nothing corpus-sized on the
+    * driver, the one crossJoin rides a k-row class table. */
+  def nbClassify(df: DataFrame, idCol: String, textCol: String,
+                 labelCol: String, trainBuckets: Int = 80): DataFrame = {
+    require(trainBuckets > 0 && trainBuckets < 100,
+      s"trainBuckets must be in (0, 100), got $trainBuckets")
+    val base = df.where(col(textCol).isNotNull)
+      .withColumn("__b", splitBucket(col(idCol)))
+    val train = base.where(col("__b") < trainBuckets)
+    val holdout = base.where(col("__b") >= trainBuckets)
+
+    // Class-conditional word census over the train slice (vocab-sized).
+    val pairsT = Checkpoints.stage(
+      train.select(col(labelCol).as("label"),
+          explode(tokens(col(textCol))).as("w"))
+        .groupBy(col("label"), col("w")).agg(count(lit(1)).as("c_wc")))
+    // k-row class table: token mass, doc count, prior + penalty bits.
+    val mass = pairsT.groupBy(col("label")).agg(sum(col("c_wc")).as("v_c"))
+    val ndocs = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_c"))
+    val classTbl = mass.join(ndocs, "label")
+      .crossJoin(ndocs.agg(sum(col("n_c")).as("n_train")))
+      .select(col("label"), col("v_c"),
+        (length(conv(expr("n_train DIV n_c"), 10, 2)) - 1).cast("long")
+          .as("prior_bits"),
+        length(conv(col("v_c"), 10, 2)).cast("long").as("penalty_bits"))
+    // (vocab × k) bits grid: seen → whole-bit surprisal, unseen-in-class
+    // → penalty. Dimension-sized; the class side is a k-row broadcast.
+    val grid = pairsT.select(col("w")).distinct()
+      .crossJoin(broadcast(classTbl))
+      .join(pairsT, Seq("label", "w"), "left")
+      .select(col("w"), col("label"), col("prior_bits"),
+        when(col("c_wc").isNotNull,
+          (length(conv(expr("v_c DIV c_wc"), 10, 2)) - 1).cast("long"))
+          .otherwise(col("penalty_bits")).as("bits"))
+
+    // Holdout doc-word pairs; the inner join below drops words outside
+    // the train vocabulary (surfaced as n_oov, never smoothed).
+    val docPairs = Checkpoints.stage(
+      holdout.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+        .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c_doc")))
+    val nTok = docPairs.groupBy(col(idCol)).agg(sum(col("c_doc")).as("n_tok"))
+    val scores = docPairs.join(grid, "w")
+      .groupBy(col(idCol), col("label"), col("prior_bits"))
+      .agg(sum(col("c_doc") * col("bits")).as("tok_bits"),
+        sum(col("c_doc")).as("n_scored"))
+      .select(col(idCol), col("label"),
+        (col("tok_bits") + col("prior_bits")).as("tot_bits"), col("n_scored"))
+    val best = scores.groupBy(col(idCol)).agg(min(col("tot_bits")).as("bits_best"))
+    val pred = scores.join(best, idCol)
+      .where(col("tot_bits") === col("bits_best"))
+      .groupBy(col(idCol))
+      .agg(min(col("label")).as("__pred"), min(col("n_scored")).as("n_scored"),
+        min(col("bits_best")).as("bits_best"))
+    // Zero-in-vocab fallback: the min-(prior, label) class, as 1 row.
+    val dflt = classTbl
+      .select(col("label").as("__dflt_label"), col("prior_bits").as("__dflt_bits"))
+      .orderBy(col("__dflt_bits"), col("__dflt_label")).limit(1)
+
+    holdout.select(col(idCol), col(labelCol).as("label_true"))
+      .join(nTok, Seq(idCol), "left")
+      .join(pred, Seq(idCol), "left")
+      .crossJoin(dflt)
+      .select(col(idCol), col("label_true"),
+        coalesce(col("__pred"), col("__dflt_label")).as("label_pred"),
+        coalesce(col("bits_best"), col("__dflt_bits")).as("bits_best"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        (coalesce(col("n_tok"), lit(0L)) - coalesce(col("n_scored"), lit(0L)))
+          .as("n_oov"),
+        (col("label_true") === coalesce(col("__pred"), col("__dflt_label")))
+          .cast("long").as("correct"))
+      .orderBy(col(idCol))
+  }
 }

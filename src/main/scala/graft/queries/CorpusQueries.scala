@@ -128,6 +128,22 @@ private[graft] object CorpusQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
+    "x_nb_classify" -> ((s, dir) =>
+      // Multinomial Naive Bayes (TextAnalysis.nbClassify) routing the
+      // 20% holdout to target-language-vs-rest (the CCNet keep/drop
+      // call) under the canonical hash split, whole-bit integer
+      // likelihoods so every predicted label and score is engine-exact
+      // — the oracle replays train + score end-to-end. Binary rather
+      // than 5-way because the fixture's lang signal is two
+      // en-skewed marker tokens ('the'/'a'): binary runs above the
+      // majority baseline (0.57 vs 0.52 at sf0.01), 5-way is
+      // noise-dominated for ANY classifier on this text (exact-float
+      // Laplace NB measures 0.23 there — worse than the integer-bit
+      // form's 0.33).
+      TextAnalysis.nbClassify(
+        Tables.documents(s, dir).withColumn("cls",
+          when(col("lang") === "en", "en").otherwise("other")),
+        "doc_id", "text", "cls", trainBuckets = 80)),
     "x_cluster_split" -> ((s, dir) => clusterSplitSummary(s, dir)),
     "x_curriculum" -> ((s, dir) => curriculumSummary(s, dir)),
     "x_decontaminate" -> ((s, dir) => decontaminateSummary(s, dir)),
@@ -1747,6 +1763,54 @@ private[graft] object CorpusQueries {
         | CAST(COUNT(*) AS BIGINT) AS n
         | FROM (SELECT (((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 AS b FROM documents) t
         | GROUP BY 1 ORDER BY split""".stripMargin.replaceAll("\n", " "),
+    // Naive Bayes replayed END-TO-END: the canonical split hash, the
+    // class-conditional census, whole-bit likelihood/penalty/prior
+    // (to_base = binary bit length, same as the surprisal family),
+    // argmin with label-asc tiebreak, and the zero-in-vocab default.
+    "x_nb_classify" ->
+      """WITH base AS (SELECT doc_id,
+        |   CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS lang,
+        |   string_split(text, ' ') AS tok,
+        |   (((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 AS b
+        |  FROM documents WHERE text IS NOT NULL),
+        | train AS (SELECT * FROM base WHERE b < 80),
+        | hold AS (SELECT * FROM base WHERE b >= 80),
+        | pt AS (SELECT label, w, COUNT(*) AS c_wc FROM
+        |   (SELECT lang AS label, unnest(tok) AS w FROM train) GROUP BY 1, 2),
+        | mass AS (SELECT label, SUM(c_wc) AS v_c FROM pt GROUP BY 1),
+        | nd AS (SELECT lang AS label, COUNT(*) AS n_c FROM train GROUP BY 1),
+        | ct AS (SELECT label, v_c,
+        |   CAST(length(to_base(CAST(n_train // n_c AS BIGINT), 2)) - 1 AS BIGINT) AS prior_bits,
+        |   CAST(length(to_base(CAST(v_c AS BIGINT), 2)) AS BIGINT) AS penalty_bits
+        |  FROM mass JOIN nd USING (label) CROSS JOIN (SELECT SUM(n_c) AS n_train FROM nd)),
+        | grid AS (SELECT v.w, c.label, c.prior_bits,
+        |   CASE WHEN p.c_wc IS NOT NULL
+        |    THEN CAST(length(to_base(CAST(c.v_c // p.c_wc AS BIGINT), 2)) - 1 AS BIGINT)
+        |    ELSE c.penalty_bits END AS bits
+        |  FROM (SELECT DISTINCT w FROM pt) v CROSS JOIN ct c
+        |  LEFT JOIN pt p ON p.label = c.label AND p.w = v.w),
+        | dp AS (SELECT doc_id, w, COUNT(*) AS c_doc FROM
+        |   (SELECT doc_id, unnest(tok) AS w FROM hold) GROUP BY 1, 2),
+        | ntok AS (SELECT doc_id, SUM(c_doc) AS n_tok FROM dp GROUP BY 1),
+        | sc AS (SELECT dp.doc_id, g.label,
+        |   SUM(dp.c_doc * g.bits) + MIN(g.prior_bits) AS tot_bits,
+        |   SUM(dp.c_doc) AS n_scored
+        |  FROM dp JOIN grid g USING (w) GROUP BY 1, 2),
+        | best AS (SELECT doc_id, MIN(tot_bits) AS bits_best FROM sc GROUP BY 1),
+        | pred AS (SELECT s.doc_id, MIN(s.label) AS label_pred,
+        |   MIN(s.n_scored) AS n_scored, MIN(s.tot_bits) AS bits_best
+        |  FROM sc s JOIN best b ON s.doc_id = b.doc_id AND s.tot_bits = b.bits_best
+        |  GROUP BY 1),
+        | dflt AS (SELECT label AS dflt_label, prior_bits AS dflt_bits FROM ct
+        |  ORDER BY prior_bits, label LIMIT 1)
+        | SELECT h.doc_id, h.lang AS label_true,
+        |  COALESCE(p.label_pred, d.dflt_label) AS label_pred,
+        |  CAST(COALESCE(p.bits_best, d.dflt_bits) AS BIGINT) AS bits_best,
+        |  CAST(COALESCE(p.n_scored, 0) AS BIGINT) AS n_scored,
+        |  CAST(COALESCE(nt.n_tok, 0) - COALESCE(p.n_scored, 0) AS BIGINT) AS n_oov,
+        |  CAST(h.lang = COALESCE(p.label_pred, d.dflt_label) AS BIGINT) AS correct
+        | FROM hold h LEFT JOIN pred p USING (doc_id) LEFT JOIN ntok nt USING (doc_id)
+        | CROSS JOIN dflt d ORDER BY h.doc_id""".stripMargin.replaceAll("\n", " "),
     // Cluster split replayed END-TO-END: exact-Jaccard pair detection
     // (same shingle/ratio SQL as x_minhash_neardup), recursive-CTE
     // transitive closure to the min reachable id (the label

@@ -67,7 +67,11 @@ class SparkEntrySpec extends AnyFunSuite {
       "x_bm25_index", "x_stream_bm25", "x_bm25_batch",
       // The global n_leaky_pairs gate (1 row) crossed into the 3-row
       // per-split census.
-      "x_cluster_split")
+      "x_cluster_split",
+      // Vocab × k-row class table (the bits grid) and the 1-row
+      // zero-in-vocab default — both nested loops bounded by #classes
+      // (TextAnalysis.nbClassify).
+      "x_nb_classify")
     val allowDayGrain = Set("x_rolling_stats", "x_gap_fill")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, TestSpark.sf0001)

@@ -430,4 +430,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Double]("score")).toSeq ==
       got.map(_.getAs[Double]("score")).sortBy(-_).toSeq)
   }
+
+  // Split buckets for small ids: b(id) = (61*id + 29) % 100 (the
+  // canonical multiplicative hash reduced mod 100). Train = b < 80:
+  // ids 0,2,3,5 train; 1,6,14,19 holdout.
+  test("nbClassify: hand-derived bits, prediction, tie-break, OOV default") {
+    val docs = Seq(
+      (0L, "the cat sat", "en"),
+      (2L, "the dog ran", "en"),
+      (3L, "le chat noir", "fr"),
+      (5L, "le chien brun", "fr"),
+      (1L, "the cat ran", "en"),
+      (6L, "le chat brun", "fr"),
+      (14L, "zzz qqq", "fr"),
+      (19L, "the le", "fr")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.nbClassify(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet == Set(1L, 6L, 14L, 19L), "holdout = buckets >= 80")
+    // V_en = V_fr = 6; bits: the/le -> 1, count-1 words -> 2,
+    // unseen-in-class penalty -> 3, prior (4 DIV 2) -> 1 bit each.
+    assert(got(1L) == (("en", "en", 6L, 3L, 0L, 1L)))   // 1+2+2 + 1
+    assert(got(6L) == (("fr", "fr", 6L, 3L, 0L, 1L)))   // 1+2+2 + 1
+    // Tie at 5 bits both classes -> label-asc tiebreak picks en.
+    assert(got(19L) == (("fr", "en", 5L, 2L, 0L, 0L)))
+    // All-OOV doc: default = min-(prior, label) class, zero scored.
+    assert(got(14L) == (("fr", "en", 1L, 0L, 2L, 0L)))
+  }
+
+  test("nbClassify: separable vocab classifies the holdout perfectly; repartition-stable") {
+    val docs = (0L until 40L).map { id =>
+      if (id % 2 == 0) (id, "alpha beta alpha gamma", "A")
+      else (id, "omega psi omega chi", "B")
+    }.toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbClassify(docs, "doc_id", "text", "lang")
+    val rows = out.collect()
+    assert(rows.length == 8, "8 of 40 ids hash into buckets >= 80")
+    assert(rows.forall(_.getAs[Long]("correct") == 1L),
+      "disjoint vocabularies must classify perfectly")
+    assert(rows.forall(_.getAs[Long]("n_oov") == 0L))
+    val again = TextAnalysis.nbClassify(docs.repartition(7), "doc_id", "text", "lang")
+      .collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "prediction must not depend on partitioning")
+  }
 }

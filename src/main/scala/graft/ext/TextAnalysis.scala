@@ -838,6 +838,56 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Gopher quality-filter rule census (Rae et al. 2021 §A1.1.2, the
+    * rule family MassiveWeb/Gopher popularized and RefinedWeb/Dolma
+    * reuse), per document, with every threshold evaluated as an
+    * INTEGER cross-multiplication — no ratio ever becomes a float, so
+    * each flag (and therefore the census) is engine-exact:
+    *
+    *  - word count in [50, 100 000]
+    *  - mean word length in [3, 10]   (3n ≤ chars ∧ chars ≤ 10n)
+    *  - ≥ 80% of words contain an alphabetic character (5a ≥ 4n)
+    *  - symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1 (10s ≤ n)
+    *  - ≥ 2 distinct words from Gopher's required-stopword list
+    *    {the, be, to, of, and, that, have, with}
+    *
+    * Emits the raw per-doc counters next to the flags so a caller can
+    * re-threshold without recomputing. Pure per-row codegen
+    * (split/filter/replace) — shuffle-free, scan-cost-only at 100 TB;
+    * the flags feed the same downstream keep/drop joins as
+    * [[qualityFeatures]]' score. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = wsTokenCount(t)
+    val wordChars = length(regexp_replace(t, " ", "")).cast("long")
+    val nAlpha = size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    // Non-overlapping literal '...' runs, counted via the length delta
+    // of a literal replace (same left-to-right semantics both engines).
+    val nEllipsis = ((length(t) - length(expr(s"replace($textCol, '...', '')"))) / 3)
+      .cast("long")
+    val nSym = nHash + nEllipsis
+    val reqStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nReqStops = size(array_intersect(array_distinct(toks),
+      array(reqStops.map(lit(_)): _*))).cast("long")
+    df.where(t.isNotNull).select(
+        col(idCol), nWords.as("n_words"), wordChars.as("word_chars"),
+        nAlpha.as("n_alpha_words"), nSym.as("n_sym"),
+        nReqStops.as("n_req_stops"),
+        (nWords >= 50 && nWords <= 100000L).cast("long").as("ok_nwords"),
+        (nWords * 3 <= wordChars && wordChars <= nWords * 10)
+          .cast("long").as("ok_mean_len"),
+        (nAlpha * 5 >= nWords * 4).cast("long").as("ok_alpha"),
+        (nSym * 10 <= nWords).cast("long").as("ok_symbol"),
+        (nReqStops >= 2).cast("long").as("ok_stops"))
+      .withColumn("pass_all",
+        (col("ok_nwords") === 1 && col("ok_mean_len") === 1 &&
+          col("ok_alpha") === 1 && col("ok_symbol") === 1 &&
+          col("ok_stops") === 1).cast("long"))
+      .orderBy(col(idCol))
+  }
+
   /** Multinomial Naive-Bayes text classifier, trained and applied
     * distributed — the fasttext-style classifier slot in a
     * CCNet-shaped curation pipeline (quality / language / domain

@@ -44,6 +44,11 @@ private[graft] object CorpusQueries {
       TextAnalysis.langId(Tables.documents(s, dir), "text", langMarkers)
         .select(col("doc_id"), col("score_en"), col("score_es"), col("lang_pred"))
         .orderBy(col("doc_id"))),
+    "x_gopher_rules" -> ((s, dir) =>
+      // Gopher quality-rule census (TextAnalysis.gopherRules): per-doc
+      // counters + integer-cross-multiplied flags, replayed rule by
+      // rule in the oracle.
+      TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")),
     "x_jaccard_adjacent" -> ((s, dir) => jaccardAdjacent(s, dir)),
     "x_containment_adjacent" -> ((s, dir) => containmentAdjacent(s, dir)),
     "x_containment_pairs" -> ((s, dir) => containmentPairs(s, dir)),
@@ -1763,6 +1768,29 @@ private[graft] object CorpusQueries {
         | CAST(COUNT(*) AS BIGINT) AS n
         | FROM (SELECT (((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 AS b FROM documents) t
         | GROUP BY 1 ORDER BY split""".stripMargin.replaceAll("\n", " "),
+    // Gopher rules replayed counter-for-counter: the flags are integer
+    // cross-multiplications of the counters, so no float ever enters.
+    "x_gopher_rules" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+        |  CAST((length(text) - length(replace(text, '#', ''))) +
+        |       (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+        |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |       ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_req_stops
+        | FROM documents WHERE text IS NOT NULL)
+        | SELECT doc_id, n_words, word_chars, n_alpha_words, n_sym, n_req_stops,
+        |  CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS ok_nwords,
+        |  CAST(n_words * 3 <= word_chars AND word_chars <= n_words * 10 AS BIGINT) AS ok_mean_len,
+        |  CAST(n_alpha_words * 5 >= n_words * 4 AS BIGINT) AS ok_alpha,
+        |  CAST(n_sym * 10 <= n_words AS BIGINT) AS ok_symbol,
+        |  CAST(n_req_stops >= 2 AS BIGINT) AS ok_stops,
+        |  CAST(n_words >= 50 AND n_words <= 100000
+        |   AND n_words * 3 <= word_chars AND word_chars <= n_words * 10
+        |   AND n_alpha_words * 5 >= n_words * 4
+        |   AND n_sym * 10 <= n_words AND n_req_stops >= 2 AS BIGINT) AS pass_all
+        | FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // Naive Bayes replayed END-TO-END: the canonical split hash, the
     // class-conditional census, whole-bit likelihood/penalty/prior
     // (to_base = binary bit length, same as the surprisal family),

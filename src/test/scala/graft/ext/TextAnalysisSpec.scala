@@ -431,6 +431,41 @@ class TextAnalysisSpec extends AnyFunSuite {
       got.map(_.getAs[Double]("score")).sortBy(-_).toSeq)
   }
 
+  test("gopherRules: each rule trips on its own violation") {
+    val good = (1 to 50).map(i => s"word$i").mkString(" ") + " the and"
+    val docs = Seq(
+      (1L, good),                                              // all pass
+      (2L, "too short to pass"),                               // < 50 words
+      (3L, (1 to 50).map(_ => "a").mkString(" ") + " the and"), // mean len < 3
+      (4L, ((1 to 40).map(_ => "word") ++ (1 to 20).map(_ => "12345"))
+        .mkString(" ") + " the and"),                          // alpha < 80%
+      (5L, good + (1 to 10).map(_ => " #").mkString),          // symbols > 10%
+      (6L, (1 to 50).map(i => s"xyz$i").mkString(" ")))        // no req stops
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("pass_all") == 1L)
+    assert(got(2L).getAs[Long]("ok_nwords") == 0L && got(2L).getAs[Long]("n_words") == 4L)
+    assert(got(3L).getAs[Long]("ok_mean_len") == 0L && got(3L).getAs[Long]("ok_nwords") == 1L)
+    assert(got(4L).getAs[Long]("ok_alpha") == 0L && got(4L).getAs[Long]("n_alpha_words") == 42L)
+    assert(got(5L).getAs[Long]("ok_symbol") == 0L && got(5L).getAs[Long]("n_sym") == 10L)
+    assert(got(6L).getAs[Long]("ok_stops") == 0L && got(6L).getAs[Long]("n_req_stops") == 0L)
+    Seq(2L, 3L, 4L, 5L, 6L).foreach(id =>
+      assert(got(id).getAs[Long]("pass_all") == 0L, s"doc $id"))
+  }
+
+  test("gopherRules: ellipsis runs count by thirds; mean-len bounds inclusive") {
+    val base = (1 to 60).map(i => s"ab$i").mkString(" ")    // 60 words, has 'the and' no
+    val docs = Seq(
+      (1L, base + " the and ......"),   // 6 dots = 2 ellipsis runs
+      (2L, base + " the and")).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_sym") == 2L)
+    assert(got(2L).getAs[Long]("n_sym") == 0L)
+    assert(got(2L).getAs[Long]("pass_all") == 1L)
+  }
+
   // Split buckets for small ids: b(id) = (61*id + 29) % 100 (the
   // canonical multiplicative hash reduced mod 100). Train = b < 80:
   // ids 0,2,3,5 train; 1,6,14,19 holdout.

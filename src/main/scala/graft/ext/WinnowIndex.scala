@@ -207,6 +207,77 @@ object WinnowIndex {
     }
   }
 
+  /** Streaming cross-corpus DECONTAMINATION: probe arriving TRAIN
+    * shards against a STATIC eval/benchmark fingerprint index — the
+    * "screen pretraining data against the eval suite DURING ingest"
+    * twin of [[Dedup.crossCorpusPairs]]. Unlike [[streamIngest]] the
+    * index is never appended to (the eval suite is fixed), so batches
+    * are fully independent: each micro-batch is fingerprinted once,
+    * joined against the eval postings, and its flagged (train_id,
+    * eval_id, n_shared ≥ minShared) pairs land in the batch-tagged
+    * sink `<evalTable>_flags` (dynamic partition overwrite — the
+    * redelivery/crash discipline of the index-ingest family).
+    *
+    * Cap semantics — the ONE deliberate difference from the one-shot
+    * operator: the hot-fingerprint cap is decided on EVAL-side
+    * posting counts alone (computed once from the static index before
+    * the stream starts), not on the train ∪ eval union census, which
+    * a stream cannot know mid-flight. That makes every batch's flags
+    * a pure function of (batch docs, capped eval index), so the
+    * accumulated flag set is ingestion-order- and shard-split-
+    * invariant and equals the same eval-capped one-shot — which the
+    * x_stream_decontaminate oracle replays end-to-end, value-exact.
+    *
+    * Scale shape: per batch O(batch fingerprints + touched eval
+    * postings); the eval side is benchmark-sized and pre-capped; the
+    * corpus never re-reads. */
+  def streamDecontaminate(spark: SparkSession, evalTable: String,
+                          stream: DataFrame, idCol: String, textCol: String,
+                          k: Int = 20, w: Int = 8, minShared: Int = 2,
+                          maxPostings: Int = 1000,
+                          queryName: String = "graft_stream_decon",
+                          checkpointLocation: Option[String] = None): (DataFrame, Int) = {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val idType = stream.schema(idCol).dataType
+    val resuming = checkpointLocation.exists(cp =>
+      StreamOps.lastCommittedBatch(spark, cp).isDefined)
+    val mkTable = if (resuming)
+      Writer.ensurePartitionedBucketedTable _
+    else Writer.emptyPartitionedBucketedTable _
+    val sink = evalTable + "_flags"
+    mkTable(spark, sink,
+      StructType(Seq(
+        StructField("train_id", idType),
+        StructField("eval_id", idType),
+        StructField("n_shared", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "train_id", 8)
+    // Eval-side posting cap decided ONCE from the static index —
+    // batch-independent by construction; materialized so the stream
+    // never recomputes the census.
+    val evCapped = spark.table(evalTable)
+      .join(spark.table(evalTable).groupBy(col("fp"))
+          .agg(count(lit(1)).as("__df")).where(col("__df") <= maxPostings)
+          .select(col("fp")),
+        Seq("fp"))
+      .select(col("fp"), col("id").as("eval_id"))
+      .localCheckpoint(true)
+    StreamOps.sinkBatches(spark, stream, queryName, sink,
+        checkpointLocation) { (b, batchId) =>
+      val np = StreamOps.Profile.timed(queryName, "fp")(
+        postings(b, idCol, textCol, k, w).localCheckpoint(true))
+      // Winnow fp sets are distinct per doc, so count(*) per pair IS
+      // the shared-fingerprint count.
+      val flags = np.join(evCapped, Seq("fp"))
+        .groupBy(col("id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= minShared)
+        .select(col("id").as("train_id"), col("eval_id"), col("n_shared"))
+      (flags, Seq.empty)
+    }
+  }
+
   /** Compact a [[streamIngest]] posting index (and its pairs sink) —
     * the winnowing twin of [[DedupIndex.compact]], same quiesce /
     * redelivery / crash contract (StreamOps.compactSink); pass the

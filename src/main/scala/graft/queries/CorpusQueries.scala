@@ -152,6 +152,7 @@ private[graft] object CorpusQueries {
     "x_cluster_split" -> ((s, dir) => clusterSplitSummary(s, dir)),
     "x_curriculum" -> ((s, dir) => curriculumSummary(s, dir)),
     "x_decontaminate" -> ((s, dir) => decontaminateSummary(s, dir)),
+    "x_stream_decontaminate" -> ((s, dir) => streamDecontaminate(s, dir)),
     "x_stream_group_budget" -> ((s, dir) => streamGroupBudget(s, dir)),
     "x_drop_boilerplate" -> ((s, dir) =>
       // CCNet-style cross-document repeated-block removal
@@ -803,6 +804,36 @@ private[graft] object CorpusQueries {
       .pipe(graft.ext.Checkpoints.stage)
     val nClean = Dedup.decontaminate(train, pairs, "doc_id").count()
     pairs.withColumn("n_clean_train", lit(nClean))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** x_stream_decontaminate: streaming decontamination
+    * (WinnowIndex.streamDecontaminate) — the x_decontaminate corpus
+    * split (eval = doc_id < 50, train = 50..300) with the TRAIN side
+    * arriving as three id-keyed micro-batches probed against the
+    * static eval fingerprint index. Accumulated flags equal the
+    * eval-capped one-shot (batches are independent — the cap is
+    * decided on the static eval side alone), which the oracle replays
+    * value-exact with the same winnow/md5 arithmetic as
+    * x_decontaminate. */
+  private def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalDocs = docs.where(col("doc_id") < 50)
+    val train = docs.where(col("doc_id") >= 50 && col("doc_id") < 300)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val idx = "graft_stream_decon_eval_" + digest
+    WinnowIndex.build(evalDocs, "doc_id", "text", idx, k = 20, w = 8)
+    val inDir = stagedShardsFor(s, dir + "#decon", train)
+    val stream = s.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val (acc, nBatches) = WinnowIndex.streamDecontaminate(s, idx, stream,
+      "doc_id", "text", queryName = "stream_decon_" + digest)
+    require(nBatches == 3, s"expected 3 micro-batches, got $nBatches")
+    val nClean = train.count() - acc.select(col("train_id")).distinct().count()
+    acc.withColumn("n_clean_train", lit(nClean))
       .orderBy(col("train_id"), col("eval_id"))
   }
 
@@ -1979,6 +2010,30 @@ private[graft] object CorpusQueries {
         | i AS (SELECT e.doc_id, e.fp FROM e JOIN ok USING (fp)),
         | p AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
         |   FROM i a JOIN i b USING (fp) WHERE a.doc_id >= 50 AND b.doc_id < 50 GROUP BY 1, 2),
+        | fl AS (SELECT train_id, eval_id, n_shared FROM p WHERE n_shared >= 2),
+        | nc AS (SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id >= 50 AND doc_id < 300)
+        |   - COUNT(DISTINCT train_id) AS BIGINT) AS n_clean_train FROM fl)
+        | SELECT train_id, eval_id, n_shared, (SELECT n_clean_train FROM nc) AS n_clean_train
+        | FROM fl ORDER BY train_id, eval_id""".stripMargin.replaceAll("\n", " "),
+    // Streaming decontamination replayed as the EVAL-CAPPED one-shot
+    // (same winnow/md5 arithmetic as x_decontaminate; cap on eval-side
+    // posting counts only — the stream's batch-independent contract).
+    "x_stream_decontaminate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+        | g AS (SELECT doc_id, list_transform(
+        |     generate_series(1, CASE WHEN length(text) >= 20 THEN length(text) - 19 ELSE 0 END),
+        |     i -> substr(md5(substr(text, i, 20)), 1, 8)) AS hs FROM d),
+        | f AS (SELECT doc_id,
+        |   CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_distinct(list_transform(
+        |          generate_series(1, GREATEST(len(hs) - 7, 1)),
+        |          j -> list_min(hs[j:j+7]))) END AS fps FROM g),
+        | e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        | ok AS (SELECT fp FROM e WHERE doc_id < 50 GROUP BY fp HAVING COUNT(*) <= 1000),
+        | ie AS (SELECT e.doc_id AS eval_id, e.fp FROM e JOIN ok USING (fp) WHERE e.doc_id < 50),
+        | it AS (SELECT e.doc_id AS train_id, e.fp FROM e WHERE e.doc_id >= 50),
+        | p AS (SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |   FROM it JOIN ie USING (fp) GROUP BY 1, 2),
         | fl AS (SELECT train_id, eval_id, n_shared FROM p WHERE n_shared >= 2),
         | nc AS (SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id >= 50 AND doc_id < 300)
         |   - COUNT(DISTINCT train_id) AS BIGINT) AS n_clean_train FROM fl)

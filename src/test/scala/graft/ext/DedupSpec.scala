@@ -909,6 +909,51 @@ class DedupSpec extends AnyFunSuite {
       s"only the leaking doc drops (null-text docs survive): $clean")
   }
 
+  test("streamDecontaminate: streamed flags equal the one-shot; shard-split-invariant") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val evalDocs = Seq(
+      (1L, "what is the capital of assyria answer nineveh obviously"),
+      (2L, "compute the integral of x squared dx from zero to one")).toDF("doc_id", "text")
+    val train = Seq(
+      (100L, "some web page what is the capital of assyria answer nineveh obviously and more prose"),
+      (101L, "completely unrelated training document about spark shuffles"),
+      (102L, "late shard quoting compute the integral of x squared dx from zero to one verbatim"),
+      (103L, "another clean doc on parquet footers and row groups")).toDF("doc_id", "text")
+    val idx = "graft_stream_decon_spec_eval"
+    WinnowIndex.build(evalDocs, "doc_id", "text", idx, k = 20, w = 8)
+    def run(splitAt: Long, tag: String): Set[(Long, Long, Long)] = {
+      val base = Files.createTempDirectory(s"graft_stream_decon_spec_$tag").toString
+      val inDir = s"$base/in"
+      Files.createDirectories(Paths.get(inDir))
+      Seq(train.where(col("doc_id") < splitAt), train.where(col("doc_id") >= splitAt))
+        .zipWithIndex.foreach { case (df, i) =>
+          val w = s"$base/w$i"
+          df.coalesce(1).write.mode("overwrite").parquet(w)
+          val part = new java.io.File(w).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          Files.move(part.toPath, Paths.get(inDir, s"shard_$i.parquet"))
+        }
+      val stream = spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val (acc, n) = WinnowIndex.streamDecontaminate(spark, idx, stream,
+        "doc_id", "text", queryName = s"stream_decon_spec_$tag")
+      assert(n == 2, s"expected 2 micro-batches, got $n")
+      acc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val a = run(102L, "a")
+    val oneShot = Dedup.crossCorpusPairs(train, evalDocs, "doc_id", "text",
+        k = 20, w = 8, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == oneShot,
+      s"streamed flags diverged: extra=${a -- oneShot} missing=${oneShot -- a}")
+    assert(a.map(p => (p._1, p._2)) == Set((100L, 1L), (102L, 2L)),
+      s"exactly the two planted leaks must flag: $a")
+    // A different shard split accumulates the identical flag set —
+    // batches are independent by construction (static eval index).
+    assert(run(101L, "b") == a, "shard split must not change the flags")
+  }
+
   test("containmentOn: scores any pair frame, payload columns ride through, directions exact") {
     import spark.implicits._
     val docs = Seq(

@@ -338,6 +338,8 @@ private[graft] object CorpusQueries {
     "x_bm25_batch" -> ((s, dir) => bm25Batch(s, dir)),
     "x_stream_bm25" -> ((s, dir) => streamBm25(s, dir)),
     "x_bpe_encode" -> ((s, dir) => bpeEncodeCensus(s, dir)),
+    "x_tokenize_pack" -> ((s, dir) => tokenizePack(s, dir)),
+    "x_fertility" -> ((s, dir) => fertility(s, dir)),
     "x_nfc_normalize" -> ((s, dir) =>
       // Unicode NFC before hash dedup (TextAnalysis.nfcNormalize, the
       // codegen'd graft_nfc kernel == DuckDB nfc_normalize): change
@@ -805,6 +807,90 @@ private[graft] object CorpusQueries {
     val nClean = Dedup.decontaminate(train, pairs, "doc_id").count()
     pairs.withColumn("n_clean_train", lit(nClean))
       .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** x_tokenize_pack: the last mile before a training dataloader as
+    * ONE composed pipeline — NFC normalize → BPE train (30 merges) +
+    * codegen encode → per-doc BPE token counts → concat-and-chunk
+    * packing into 512-token chunks across 8 hash shards with boundary
+    * metadata. BPE token identities are engine-internal
+    * (x_bpe_encode's rationale), so the gate is the census+invariant
+    * form: SQL-replayable corpus masses over the NFC'd text, plus
+    * bits over the REAL packed output — conservation (chunk fills sum
+    * to the encoded token mass), fullness (every non-final chunk
+    * holds exactly 512), tiling (boundary spans tile every chunk),
+    * and the shard-local chunk-count bound. Every stage is the
+    * already-pinned operator — this query pins the COMPOSITION. */
+  private def tokenizePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+    val norm = TextAnalysis.nfcNormalize(docs, "text", "__norm")
+    val merges = TextAnalysis.bpeTrain(norm, "__norm", nMerges = 30)
+    val toks = TextAnalysis.tokens(col("__norm"))
+    val enc = graft.ext.Checkpoints.stage(
+      TextAnalysis.bpeEncode(norm, "__norm", merges, "__toks")
+        .select(col("doc_id"),
+          length(regexp_replace(col("__norm"), " ", "")).cast("long").as("__chars"),
+          TextAnalysis.wsTokenCount(col("__norm")).as("__words"),
+          size(filter(toks, w => length(w) > 0)).cast("long").as("__newords"),
+          size(col("__toks")).cast("long").as("n_bpe")))
+    val chunks = graft.ext.Checkpoints.stage(
+      Packing.packSummary(enc, "doc_id", col("n_bpe"), capacity = 512L, shards = 8))
+    val bounds = Packing.chunkBoundaries(enc, "doc_id", col("n_bpe"),
+      capacity = 512L, shards = 8)
+    val masses = enc.agg(count(lit(1)).as("n_docs"),
+      sum(col("__chars")).as("total_chars"), sum(col("__words")).as("total_words"),
+      sum(col("__newords")).as("__nw"), sum(col("n_bpe")).as("__bpe"))
+    val chunkAgg = chunks.agg(sum(col("n_tokens")).as("__fill"),
+      count(lit(1)).as("__nchunks"))
+    val lastPerShard = chunks.groupBy(col("shard")).agg(max(col("chunk_id")).as("__last"))
+    val notFull = chunks.join(lastPerShard, "shard")
+      .where(col("chunk_id") < col("__last") && col("n_tokens") =!= 512L)
+      .agg(count(lit(1)).as("__notfull"))
+    val badTile = bounds.groupBy(col("shard"), col("chunk_id"))
+      .agg(min(col("off_start")).as("__mn"), max(col("off_end")).as("__mx"),
+        sum(col("off_end") - col("off_start")).as("__mass"))
+      .where(col("__mn") =!= 0L || col("__mx") =!= col("__mass"))
+      .agg(count(lit(1)).as("__badtile"))
+    masses.crossJoin(chunkAgg).crossJoin(notFull).crossJoin(badTile)
+      .select(col("n_docs"), col("total_chars"), col("total_words"),
+        (col("__fill") === col("__bpe")).cast("long").as("conservation_ok"),
+        (col("__notfull") === 0).cast("long").as("full_ok"),
+        (col("__badtile") === 0).cast("long").as("tile_ok"),
+        (col("__nchunks") * 512L >= col("__bpe") &&
+          (col("__nchunks") - 8L) * 512L < col("__bpe"))
+          .cast("long").as("count_ok"))
+  }
+
+  /** x_fertility: per-language tokenizer-fertility census — the
+    * multilingual tokenizer-equity metric (how many subword tokens a
+    * language pays per word/char). The VALUE columns use the
+    * SQL-replayable BPE-ish pre-tokenizer ([[TextAnalysis
+    * .subwordCount]]) so per-lang fertility_milli (1000·tokens DIV
+    * words, integer) is engine-exact; the LEARNED 30-merge BPE
+    * tokenizer enters through per-lang invariant bits over its real
+    * encoded output (token mass within [non-empty words, chars];
+    * merges fired in every language slice). */
+  private def fertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+    val toks = TextAnalysis.tokens(col("text"))
+    TextAnalysis.bpeEncode(docs, "text", merges, "__toks")
+      .select(col("lang"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("__chars"),
+        TextAnalysis.wsTokenCount(col("text")).as("__words"),
+        TextAnalysis.subwordCount(col("text")).as("__sub"),
+        size(filter(toks, w => length(w) > 0)).cast("long").as("__nw"),
+        size(col("__toks")).cast("long").as("__ntok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("total_chars"),
+        sum(col("__words")).as("total_words"),
+        sum(col("__sub")).as("total_subwords"),
+        expr("(1000 * sum(__sub)) DIV sum(__words)").as("fertility_milli"),
+        (sum(col("__ntok")) <= sum(col("__chars")) &&
+          sum(col("__ntok")) >= sum(col("__nw"))).cast("long").as("bpe_bounds_ok"),
+        (sum(col("__ntok")) < sum(col("__chars"))).cast("long").as("bpe_merged_ok"))
+      .orderBy(col("lang"))
   }
 
   /** x_stream_decontaminate: streaming decontamination
@@ -2162,6 +2248,28 @@ private[graft] object CorpusQueries {
         | CAST(1 AS BIGINT) AS reconstruct_ok, CAST(1 AS BIGINT) AS bounds_ok,
         | CAST(1 AS BIGINT) AS merged_ok
         | FROM documents WHERE text IS NOT NULL""".stripMargin.replaceAll("\n", " "),
+    // Tokenize→pack composition: masses replayed over the NFC'd text;
+    // the BPE-dependent packing invariants enter as bits over the real
+    // packed output (x_bpe_encode's rationale).
+    "x_tokenize_pack" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(length(replace(nfc_normalize(text), ' ', ''))) AS BIGINT) AS total_chars,
+        | CAST(SUM(length(nfc_normalize(text)) - length(replace(nfc_normalize(text), ' ', '')) + 1) AS BIGINT) AS total_words,
+        | CAST(1 AS BIGINT) AS conservation_ok, CAST(1 AS BIGINT) AS full_ok,
+        | CAST(1 AS BIGINT) AS tile_ok, CAST(1 AS BIGINT) AS count_ok
+        | FROM documents WHERE text IS NOT NULL""".stripMargin.replaceAll("\n", " "),
+    // Fertility census: the value columns use the SQL-replayable
+    // subword pre-tokenizer (integer milli-fertility); the learned-BPE
+    // columns are invariant bits.
+    "x_fertility" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) AS total_chars,
+        | CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_words,
+        | CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_subwords,
+        | CAST((1000 * SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))) //
+        |   SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS fertility_milli,
+        | CAST(1 AS BIGINT) AS bpe_bounds_ok, CAST(1 AS BIGINT) AS bpe_merged_ok
+        | FROM documents WHERE text IS NOT NULL GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
     "x_stream_bm25" ->
       (bm25OracleSql.replace("SELECT doc_id, dl, tf_0, tf_1, score FROM s",
         "SELECT doc_id, dl, tf_0, tf_1, score, CAST(1 AS BIGINT) AS three_batches_ok FROM s")),

@@ -71,7 +71,9 @@ class SparkEntrySpec extends AnyFunSuite {
       // Vocab × k-row class table (the bits grid) and the 1-row
       // zero-in-vocab default — both nested loops bounded by #classes
       // (TextAnalysis.nbClassify).
-      "x_nb_classify")
+      "x_nb_classify",
+      // 1-row gate assembly (masses × chunk census × invariant bits).
+      "x_tokenize_pack")
     val allowDayGrain = Set("x_rolling_stats", "x_gap_fill")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, TestSpark.sf0001)

@@ -153,4 +153,21 @@ class PackingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out.forall(r => again(r.getLong(0)) == r.getString(3)))
   }
+
+  test("tokenize->pack composition gate: every invariant bit holds on driver testdata") {
+    val row = graft.SparkEntry.queries("x_tokenize_pack")(spark, graft.TestSpark.sf0001)
+      .collect().head
+    Seq("conservation_ok", "full_ok", "tile_ok", "count_ok").foreach(b =>
+      assert(row.getAs[Long](b) == 1L, s"$b violated"))
+    assert(row.getAs[Long]("n_docs") > 0)
+    val fert = graft.SparkEntry.queries("x_fertility")(spark, graft.TestSpark.sf0001)
+      .collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      assert(r.getAs[Long]("bpe_bounds_ok") == 1L, r.getString(0))
+      assert(r.getAs[Long]("bpe_merged_ok") == 1L, r.getString(0))
+      // Subword fertility is >= 1 token per word by construction.
+      assert(r.getAs[Long]("fertility_milli") >= 1000L, r.getString(0))
+    }
+  }
 }

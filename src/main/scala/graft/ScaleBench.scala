@@ -1142,6 +1142,157 @@ object ScaleBench {
       s""""fim":{"t":${fmt(tFim)},"n_rewritten":$nFim}}"""
   }
 
+  /** The round-13 second-half additions at scale (NB classifier,
+    * Gopher rules, streaming decontamination, tokenize→pack), each
+    * leg with a require()d oracle so a timing can never go green on
+    * wrong answers:
+    *
+    *   - nb_classify: planted 3×-repeated class-marker tokens give a
+    *     ~40-bit per-doc margin vs the ±1-bit shared-vocab noise
+    *     (random-walk σ ≈ √50), so holdout accuracy must be ≥ 0.99
+    *     and the holdout row count equals the canonical-bucket census
+    *     exactly;
+    *   - gopher_rules: full-corpus census; pass_all must equal the
+    *     conjunction of its five flags on EVERY row (0 violations);
+    *   - stream_decontaminate: every planted quote (train doc
+    *     embedding a full eval doc) must flag, and the accumulated
+    *     stream flags must EQUAL the one-shot eval-capped pair set
+    *     (the batch-independence contract), both-direction anti-joins
+    *     hard 0;
+    *   - tokenize_pack: all four packing invariants (conservation /
+    *     fullness / tiling / count bound) hold over the real packed
+    *     output at every scale.
+    *
+    * All legs are token-mass-linear: censuses are vocabulary-sized,
+    * the NB grid is vocab × 2, decontamination contacts only postings
+    * the batch touches. */
+  def classifierOpsPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.{TextAnalysis, WinnowIndex}
+    val n = 5000L * scale
+    // NB classifier: separable planted markers on the shared-vocab corpus.
+    val labeled = genDocuments(spark, n)
+      .withColumn("label",
+        when(pmod(col("doc_id"), lit(2L)) === 0, "A").otherwise("B"))
+      .withColumn("text", concat(col("text"),
+        when(col("label") === "A", lit(" zqa zqa zqa"))
+          .otherwise(lit(" wvu wvu wvu"))))
+      .localCheckpoint(true)
+    val nHoldExpect = labeled
+      .where(TextAnalysis.splitBucket(col("doc_id")) >= 80).count()
+    spark.sqlContext.clearCache()
+    val ((nHold, nCorrect), tNb) = timed {
+      val r = TextAnalysis.nbClassify(labeled, "doc_id", "text", "label")
+        .agg(count(lit(1)).as("n"), sum(col("correct")).as("c")).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nHold == nHoldExpect, s"holdout $nHold != census $nHoldExpect")
+    require(nCorrect * 100L >= nHold * 99L,
+      s"planted-marker accuracy below 99%: $nCorrect/$nHold")
+    // Gopher rules: census + flag-consistency invariant.
+    spark.sqlContext.clearCache()
+    val ((nRules, nInconsistent), tGr) = timed {
+      val out = TextAnalysis.gopherRules(labeled, "doc_id", "text")
+      val r = out.agg(count(lit(1)).as("n"),
+        sum((col("pass_all") =!=
+          (col("ok_nwords") * col("ok_mean_len") * col("ok_alpha") *
+            col("ok_symbol") * col("ok_stops"))).cast("long")).as("bad"))
+        .first()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nRules == n && nInconsistent == 0,
+      s"gopher census off: n=$nRules bad=$nInconsistent")
+    // Streaming decontamination: 500 eval docs (disjoint generator
+    // ids), planted quotes every 100th train doc, 8 micro-batches.
+    val evalDocs = genDocuments(spark, n + 500).where(col("doc_id") >= n)
+      .localCheckpoint(true)
+    val rawTrain = genDocuments(spark, n)
+    val planted = rawTrain.where(pmod(col("doc_id"), lit(100L)) === 0)
+      .withColumn("eid", lit(n) + pmod(expr("doc_id DIV 100"), lit(500L)))
+      .join(evalDocs.select(col("doc_id").as("eid"), col("text").as("etext")), Seq("eid"))
+      .select(col("doc_id"), concat(col("text"), lit(" "), col("etext")).as("text"))
+    val train = rawTrain.where(pmod(col("doc_id"), lit(100L)) =!= 0)
+      .unionByName(planted).localCheckpoint(true)
+    val inDir = {
+      import java.nio.file.{Files, Paths}
+      val base = Files.createTempDirectory(s"graft_scale_decon_x$scale").toString
+      val in = s"$base/in"
+      Files.createDirectories(Paths.get(in))
+      (0 until 8).foreach { i =>
+        val w = s"$base/w$i"
+        train.where(pmod(col("doc_id"), lit(8L)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(w)
+        val part = new java.io.File(w).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file under $w"))
+        Files.move(part.toPath, Paths.get(in, f"shard_$i%03d.parquet"))
+      }
+      in
+    }
+    val idx = s"graft_scale_decon_eval_x$scale"
+    WinnowIndex.build(evalDocs, "doc_id", "text", idx, k = 20, w = 8)
+    spark.sqlContext.clearCache()
+    val ((nFlags, nBatches), tSd) = timed {
+      val stream = spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val (acc, nb) = WinnowIndex.streamDecontaminate(spark, idx, stream,
+        "doc_id", "text", queryName = s"scale_decon_x$scale")
+      (acc.count(), nb)
+    }
+    require(nBatches == 8, s"expected 8 micro-batches, got $nBatches")
+    val accTbl = spark.table(idx + "_flags")
+      .select(col("train_id"), col("eval_id"), col("n_shared"))
+    val nPlantedMissed = planted
+      .select(col("doc_id").as("train_id"))
+      .withColumn("eval_id", lit(n) + pmod(expr("train_id DIV 100"), lit(500L)))
+      .join(accTbl, Seq("train_id", "eval_id"), "left_anti").count()
+    require(nPlantedMissed == 0,
+      s"$nPlantedMissed planted quotes missed by the stream probe")
+    // Batch-independence contract: stream flags == one-shot with the
+    // same eval-side cap, both directions, n_shared included.
+    val evPost = spark.table(idx)
+    val evCapped = evPost.join(
+      evPost.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= 1000).select(col("fp")), Seq("fp"))
+      .select(col("fp"), col("id").as("eval_id"))
+    val oneShot = WinnowIndex.postings(train, "doc_id", "text", 20, 8)
+      .join(evCapped, Seq("fp"))
+      .groupBy(col("id").as("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+    require(accTbl.join(oneShot, Seq("train_id", "eval_id", "n_shared"), "left_anti")
+      .count() == 0, "stream flags not in the one-shot set")
+    require(oneShot.join(accTbl, Seq("train_id", "eval_id", "n_shared"), "left_anti")
+      .count() == 0, "one-shot flags missing from the stream")
+    // Tokenize→pack: the composition's four invariants at scale.
+    spark.sqlContext.clearCache()
+    val ((nDocsTp, bitsOk), tTp) = timed {
+      val norm = TextAnalysis.nfcNormalize(
+        rawTrain.localCheckpoint(true), "text", "__norm")
+      val merges = TextAnalysis.bpeTrain(norm, "__norm", nMerges = 30)
+      val enc = graft.ext.Checkpoints.stage(
+        TextAnalysis.bpeEncode(norm, "__norm", merges, "__toks")
+          .select(col("doc_id"), size(col("__toks")).cast("long").as("n_bpe")))
+      val chunks = graft.ext.Checkpoints.stage(
+        graft.ext.Packing.packSummary(enc, "doc_id", col("n_bpe"),
+          capacity = 512L, shards = 32))
+      val totBpe = enc.agg(sum(col("n_bpe"))).first().getLong(0)
+      val fill = chunks.agg(sum(col("n_tokens"))).first().getLong(0)
+      val lastPerShard = chunks.groupBy(col("shard"))
+        .agg(max(col("chunk_id")).as("__last"))
+      val notFull = chunks.join(lastPerShard, "shard")
+        .where(col("chunk_id") < col("__last") && col("n_tokens") =!= 512L)
+        .count()
+      (enc.count(), fill == totBpe && notFull == 0L)
+    }
+    require(bitsOk, "tokenize->pack invariants violated at scale")
+    require(nDocsTp == n, s"composition must keep every doc: $nDocsTp")
+    s"""{"scale":$scale,"n_docs":$n,""" +
+      s""""nb_classify":{"t":${fmt(tNb)},"n_holdout":$nHold,"n_correct":$nCorrect},""" +
+      s""""gopher_rules":{"t":${fmt(tGr)},"n_rows":$nRules},""" +
+      s""""stream_decontaminate":{"t":${fmt(tSd)},"n_flags":$nFlags,"n_batches":$nBatches},""" +
+      s""""tokenize_pack":{"t":${fmt(tTp)},"n_docs":$nDocsTp}}"""
+  }
+
   /** Recall-vs-nProbe operating curve for the IVF index — the table a
     * 100 TB operator consults before picking a probe width, measured
     * on BOTH corpus shapes because they bound the real world:
@@ -1378,6 +1529,15 @@ object ScaleBench {
     if (args.contains("retrieval-ops-only")) {
       retrievalOpsPoint(spark, outBase, 1)
       scales.foreach(m => println(retrievalOpsPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `classifier-ops-only`: the round-13 second-half additions
+    // (NB classifier, Gopher rules, streaming decontamination,
+    // tokenize→pack) at scale.
+    if (args.contains("classifier-ops-only")) {
+      classifierOpsPoint(spark, outBase, 1)
+      scales.foreach(m => println(classifierOpsPoint(spark, outBase, m)))
       spark.stop()
       return
     }

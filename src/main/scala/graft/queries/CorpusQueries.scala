@@ -340,6 +340,7 @@ private[graft] object CorpusQueries {
     "x_bpe_encode" -> ((s, dir) => bpeEncodeCensus(s, dir)),
     "x_tokenize_pack" -> ((s, dir) => tokenizePack(s, dir)),
     "x_fertility" -> ((s, dir) => fertility(s, dir)),
+    "x_source_quality" -> ((s, dir) => sourceQuality(s, dir)),
     "x_nfc_normalize" -> ((s, dir) =>
       // Unicode NFC before hash dedup (TextAnalysis.nfcNormalize, the
       // codegen'd graft_nfc kernel == DuckDB nfc_normalize): change
@@ -807,6 +808,40 @@ private[graft] object CorpusQueries {
     val nClean = Dedup.decontaminate(train, pairs, "doc_id").count()
     pairs.withColumn("n_clean_train", lit(nClean))
       .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** x_source_quality: the per-source quality dashboard — the report a
+    * curation operator reads before setting mixing weights ("which
+    * domains are junk"): per source, doc count, token mass, Gopher
+    * pass rate, PII-bearing doc count, and mean bigram surprisal as
+    * integer milli-bits (1000·Σbits_sum DIV Σn_bigrams — the same
+    * whole-bit LM as x_surprisal folded per source, so the value is
+    * engine-exact; no float mean anywhere). Pure composition of
+    * pinned censuses joined on the k-row source key — three
+    * corpus-linear passes + keyed joins, replayed end-to-end by the
+    * oracle. */
+  private def sourceQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+    val sur = TextAnalysis.surprisalStats(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_bigrams")).as("__nb"), sum(col("bits_sum")).as("__bs"))
+      .select(col("source"),
+        when(col("__nb") > 0, expr("(__bs * 1000) DIV __nb")).otherwise(0L)
+          .as("surprisal_milli_bits"))
+    val gop = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"),
+        sum(col("pass_all")).as("n_pass_gopher"))
+    val pii = TextAnalysis.piiFlags(docs, "text")
+      .groupBy(col("source"))
+      .agg(sum(((col("n_emails") + col("n_long_digit_runs") +
+        col("n_phone_like")) > 0).cast("long")).as("n_pii_docs"))
+    gop.join(sur, "source").join(pii, "source")
+      .select(col("source"), col("n_docs"), col("total_words"),
+        col("n_pass_gopher"), col("n_pii_docs"), col("surprisal_milli_bits"))
+      .orderBy(col("source"))
   }
 
   /** x_tokenize_pack: the last mile before a training dataloader as
@@ -2248,6 +2283,48 @@ private[graft] object CorpusQueries {
         | CAST(1 AS BIGINT) AS reconstruct_ok, CAST(1 AS BIGINT) AS bounds_ok,
         | CAST(1 AS BIGINT) AS merged_ok
         | FROM documents WHERE text IS NOT NULL""".stripMargin.replaceAll("\n", " "),
+    // Per-source dashboard replayed end-to-end: the x_surprisal LM
+    // folded per source in integer milli-bits, the Gopher flags'
+    // conjunction, and the PII presence count — all keyed on source.
+    "x_source_quality" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
+        | bg AS (SELECT doc_id, tok[i] AS w1, tok[i] || ' ' || tok[i+1] AS g FROM t,
+        |  UNNEST(generate_series(1, len(tok) - 1)) AS u(i) WHERE len(tok) >= 2),
+        | pairs AS (SELECT doc_id, w1, g, COUNT(*) AS c_doc FROM bg GROUP BY 1, 2, 3),
+        | corpus AS (SELECT g, SUM(c_doc) AS c FROM pairs GROUP BY g),
+        | pre AS (SELECT w1, SUM(c_doc) AS c1 FROM pairs GROUP BY w1),
+        | j AS (SELECT p.doc_id, p.c_doc,
+        |   CAST(length(to_base(CAST(pre.c1 // corpus.c AS BIGINT), 2)) - 1 AS BIGINT) AS bits
+        |  FROM pairs p JOIN corpus USING (g) JOIN pre USING (w1)),
+        | pd AS (SELECT doc_id, SUM(c_doc) AS nb, SUM(c_doc * bits) AS bs FROM j GROUP BY doc_id),
+        | sur AS (SELECT source, CASE WHEN SUM(nb) > 0
+        |    THEN CAST((SUM(bs) * 1000) // SUM(nb) AS BIGINT) ELSE 0 END AS surprisal_milli_bits
+        |  FROM t JOIN pd USING (doc_id) GROUP BY source),
+        | gc AS (SELECT doc_id, source,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        |  CAST((length(text) - length(replace(text, '#', ''))) +
+        |       (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+        |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |       ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stops
+        | FROM documents WHERE text IS NOT NULL),
+        | gop AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |   CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |   CAST(SUM(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |     AND n_words * 3 <= word_chars AND word_chars <= n_words * 10
+        |     AND n_alpha * 5 >= n_words * 4
+        |     AND n_sym * 10 <= n_words AND n_stops >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_gopher
+        |  FROM gc GROUP BY source),
+        | pii AS (SELECT source, CAST(SUM(CASE WHEN
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |    + len(regexp_extract_all(text, '[0-9]{9,}'))
+        |    + len(regexp_extract_all(text, '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}'))
+        |    > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source)
+        | SELECT source, n_docs, total_words, n_pass_gopher, n_pii_docs, surprisal_milli_bits
+        | FROM gop JOIN sur USING (source) JOIN pii USING (source)
+        | ORDER BY source""".stripMargin.replaceAll("\n", " "),
     // Tokenize→pack composition: masses replayed over the NFC'd text;
     // the BPE-dependent packing invariants enter as bits over the real
     // packed output (x_bpe_encode's rationale).

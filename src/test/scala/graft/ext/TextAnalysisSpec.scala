@@ -466,6 +466,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L).getAs[Long]("pass_all") == 1L)
   }
 
+  test("sourceQuality dashboard: per-source masses cover the corpus; rates bounded") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val rows = graft.SparkEntry.queries("x_source_quality")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      docs.where(col("text").isNotNull).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pass_gopher") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_pii_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("surprisal_milli_bits") >= 0L)
+    }
+  }
+
   // Split buckets for small ids: b(id) = (61*id + 29) % 100 (the
   // canonical multiplicative hash reduced mod 100). Train = b < 80:
   // ids 0,2,3,5 train; 1,6,14,19 holdout.

@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product quantization for
+  * nearest neighbor search") — the byte-budget scale path for ANN over
+  * embedding corpora: each L2-NORMALIZED vector is cut into `m`
+  * subvectors, each subvector is replaced by the id of its nearest
+  * codebook centroid (per-subspace Lloyd/k-means, trained
+  * distributed), and the m code ids are PACKED INTO ONE BIGINT (8
+  * bits per subspace, so m ≤ 8, k ≤ 256 — eight bytes per vector,
+  * a 32× cut vs 64-dim float32 and 8× vs the int8 row). Ranking uses
+  * asymmetric distance computation (ADC): the query stays exact; a
+  * driver-computed m×k lookup table of partial dot products turns
+  * per-vector scoring into m shifts + m array lookups — pure codegen
+  * over the single packed-code column, so a probe scans 8 bytes per
+  * vector and nothing else.
+  *
+  * Normalizing before encoding makes the reconstructed dot product an
+  * approximate COSINE, so PQ ranks against the same truth as the
+  * LSH/IVF/int8 family (recall floors measured in PqSpec /
+  * x_pq_recall). Codes are scale-invariant: v and 2v encode
+  * identically.
+  *
+  * Scale shape: training touches each subspace census independently
+  * (m small Lloyd runs whose per-round state is k·(d/m) decimal sums
+  * on the driver — dimension-sized); encoding is one shuffle-free
+  * codegen pass; probing is one scan of the packed column + a
+  * TakeOrdered top-k. Nothing corpus-sized ever reaches the driver.
+  */
+object Pq {
+
+  /** Unit-normalize an array<float> column (zero vectors pass through
+    * as zeros rather than NaN). */
+  private[ext] def unit(spark: SparkSession, v: Column): Column = {
+    val n = sqrt(Similarity.dotIn(spark)(v, v))
+    when(n === 0.0, transform(v, _ => lit(0.0)))
+      .otherwise(transform(v, x => x.cast("double") / n))
+  }
+
+  /** Squared-L2 distances from a subvector column to each centroid —
+    * a LINEAR array of k expressions (argmin via
+    * array_position(array_min), the ivfAssign pattern: never a
+    * fold-of-when accumulator, which doubles the subtree per step). */
+  private def l2Dists(sv: Column, cents: Seq[Seq[Float]]): Column =
+    array(cents.map { cv =>
+      cv.indices.map { d =>
+        val diff = element_at(sv, d + 1) - lit(cv(d).toDouble)
+        diff * diff
+      }.reduceLeft[Column](_ + _)
+    }: _*)
+
+  private def codeOf(sv: Column, cents: Seq[Seq[Float]]): Column = {
+    val dists = l2Dists(sv, cents)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Per-subspace Lloyd on the NORMALIZED corpus: deterministic
+    * first-k-by-id seed, `iters` rounds of assign → per-code decimal
+    * mean → reassign (the ivfTrain recipe under L2 on each slice).
+    * Returns m codebooks of k centroids of dim d/m. */
+  def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                     m: Int = 8, k: Int = 16, iters: Int = 2): Seq[Seq[Seq[Float]]] = {
+    require(m >= 1 && m <= 8, s"m must be in [1, 8], got $m")
+    require(k >= 2 && k <= 256, s"k must be in [2, 256], got $k")
+    val spark = corpus.sparkSession
+    val dims = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dims % m == 0, s"vector dim $dims not divisible by m=$m")
+    val sub = dims / m
+    val normed = corpus
+      .select(col(idCol).as("__id"), unit(spark, col(vecCol)).as("__u"))
+      .localCheckpoint(true)
+    (0 until m).map { j =>
+      val sv = normed.select(col("__id"),
+        slice(col("__u"), j * sub + 1, sub).as("__sv"))
+      var cents: Seq[Seq[Float]] = sv.orderBy(col("__id")).limit(k)
+        .select(col("__sv")).collect()
+        .map(_.getSeq[Double](0).map(_.toFloat).toSeq).toSeq
+      var it = 0
+      while (it < iters) {
+        val sums = (0 until sub).map(d =>
+          sum(element_at(col("__sv"), d + 1)
+            .cast("decimal(27,15)")).as(s"__s$d"))
+        val rows = sv.withColumn("__c", codeOf(col("__sv"), cents))
+          .groupBy(col("__c"))
+          .agg(count(lit(1)).as("__n"), sums: _*)
+          .collect()
+        val byCode = rows.map { r =>
+          val n = r.getAs[Long]("__n")
+          r.getAs[Int]("__c") -> (0 until sub).map(d =>
+            (r.getAs[java.math.BigDecimal](s"__s$d").doubleValue() / n).toFloat)
+        }.toMap
+        cents = cents.indices.map(i => byCode.getOrElse(i, cents(i)).toSeq)
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** Encode the corpus: normalize, assign each subspace's nearest
+    * code, pack all m codes into one BIGINT (code_j in bits
+    * [8j, 8j+8)). One shuffle-free codegen projection. */
+  def encodePacked(corpus: DataFrame, idCol: String, vecCol: String,
+                   books: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    val m = books.size
+    val sub = books.head.head.size
+    val u = unit(spark, col(vecCol))
+    val packed = books.zipWithIndex.map { case (cents, j) =>
+      codeOf(slice(u, j * sub + 1, sub), cents).cast("long") * lit(1L << (8 * j))
+    }.reduceLeft[Column](_ + _)
+    corpus.select(col(idCol), packed.as("pq_code"))
+  }
+
+  /** ADC top-k: the exact (normalized) query builds an m×k partial
+    * dot-product LUT on the driver; each vector's approximate cosine
+    * is m unpack-shifts + m literal-array lookups over the packed
+    * code — the probe reads 8 bytes per vector. Ties break by id. */
+  def probeTopK(encoded: DataFrame, idCol: String, q: Seq[Float],
+                books: Seq[Seq[Seq[Float]]], topK: Int): DataFrame = {
+    val m = books.size
+    val sub = books.head.head.size
+    require(q.size == m * sub, s"query dim ${q.size} != ${m * sub}")
+    val qn = {
+      val n = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      if (n == 0.0) q.map(_ => 0.0) else q.map(_.toDouble / n)
+    }
+    val score = books.zipWithIndex.map { case (cents, j) =>
+      val lut = array(cents.map(cv =>
+        lit(cv.indices.foldLeft(0.0)((a, d) =>
+          a + qn(j * sub + d) * cv(d).toDouble))): _*)
+      element_at(lut,
+        pmod(shiftright(col("pq_code"), 8 * j), lit(256L)).cast("int") + 1)
+    }.reduceLeft[Column](_ + _)
+    encoded.withColumn("pq_score", score)
+      .orderBy(col("pq_score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** The production serving shape: ADC shortlists `shortlist`
+    * candidates from the 8-byte codes (the cheap full scan), then the
+    * FLOAT vectors of only those candidates are fetched (broadcast
+    * id semi-join — shortlist-sized) and re-ranked by exact cosine.
+    * Same two-tier structure as the int8 IVF probe: approximate
+    * prune over the compressed column, exact order over a
+    * candidate-sized read. Measured on the driver fixture: ADC-only
+    * recall@10 = 5/10, shortlist-50 + re-rank = 10/10 (PqSpec). */
+  def probeTopKReranked(encoded: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, q: Seq[Float],
+                        books: Seq[Seq[Seq[Float]]], topK: Int,
+                        shortlist: Int = 50): DataFrame = {
+    require(shortlist >= topK, s"shortlist $shortlist < topK $topK")
+    val spark = corpus.sparkSession
+    val ids = probeTopK(encoded, idCol, q, books, shortlist).select(col(idCol))
+    val qlit = array(q.map(v => lit(v.toDouble)): _*)
+    corpus.join(broadcast(ids), Seq(idCol))
+      .withColumn("score", Similarity.cosineIn(spark)(col(vecCol), qlit))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+}

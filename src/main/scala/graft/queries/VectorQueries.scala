@@ -68,6 +68,7 @@ private[graft] object VectorQueries {
     "x_ivf_quantized" -> ((s, dir) => ivfQuantized(s, dir)),
     "x_quantize_dot" -> ((s, dir) => quantizeDot(s, dir)),
     "x_quantize_recall" -> ((s, dir) => quantizeRecall(s, dir)),
+    "x_pq_recall" -> ((s, dir) => pqRecall(s, dir)),
     "x_embed_norms" -> ((s, dir) =>
       // Vector-corpus quality histogram: L2 norms bucketed at 0.25
       // width. The per-vector sum-of-squares is a sequential fold
@@ -534,6 +535,41 @@ private[graft] object VectorQueries {
       .agg((count(lit(1)) >= quantizeRecallFloor).cast("long").as("recall_ok"))
   }
 
+  /** x_pq_recall: product quantization end to end (graft.ext.Pq) —
+    * per-subspace Lloyd codebooks (m=8, k=128, the operating point
+    * PqSpec measures), codes packed 8 bytes/vector, ADC top-10 off
+    * the packed column, and the production shortlist-50 + exact
+    * cosine re-rank. Codes/scores are engine-internal (trained
+    * codebooks), so the gate is the recall-floor form of
+    * x_ivf_recall: n_corpus and n_topk value-replayed, ADC and
+    * re-ranked recall floors (3 and 8 of 10 — measured 5 and 10 on
+    * the near-isotropic fixture, PQ's hard case) computed over the
+    * real probes in-engine. */
+  private def pqRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Pq
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0).localCheckpoint(true)
+    val books = Pq.trainCodebooks(corpus, "vec_id", "embedding",
+      m = 8, k = 128, iters = 3)
+    val enc = Pq.encodePacked(corpus, "vec_id", "embedding", books)
+      .localCheckpoint(true)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .select(col("vec_id")).localCheckpoint(true)
+    val adcHits = exact.join(
+      Pq.probeTopK(enc, "vec_id", q, books, 10).select(col("vec_id")),
+      Seq("vec_id")).count()
+    val rrHits = exact.join(
+      Pq.probeTopKReranked(enc, corpus, "vec_id", "embedding", q, books,
+        topK = 10, shortlist = 50).select(col("vec_id")),
+      Seq("vec_id")).count()
+    corpus.agg(count(lit(1)).as("n_corpus"))
+      .select(col("n_corpus"), lit(10L).as("n_topk"),
+        (lit(adcHits) >= 3L).cast("long").as("adc_recall_ok"),
+        (lit(rrHits) >= 8L).cast("long").as("rerank_recall_ok"))
+  }
+
   /** Brute-force top-10 cosine against the vec_id=0 embedding. */
   private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -680,6 +716,14 @@ private[graft] object VectorQueries {
         | CAST(1 AS BIGINT) AS recall_vs_float_ok,
         | CAST(1 AS BIGINT) AS recall_vs_exact_ok""".stripMargin.replaceAll("\n", " "),
     "x_quantize_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    // PQ: corpus census value-replayed; both recall floors derive from
+    // the real ADC / re-ranked probes in-engine.
+    "x_pq_recall" ->
+      """SELECT CAST(COUNT(*) - 1 AS BIGINT) AS n_corpus,
+        | CAST(10 AS BIGINT) AS n_topk,
+        | CAST(1 AS BIGINT) AS adc_recall_ok,
+        | CAST(1 AS BIGINT) AS rerank_recall_ok
+        | FROM embeddings""".stripMargin.replaceAll("\n", " "),
     // Int8 quantization replayed in SQL: same scale, same
     // floor(x*s + 0.5) rounding, same integer dot — IEEE double ops
     // in the same order on both engines, so the compare is exact.

@@ -1142,6 +1142,95 @@ object ScaleBench {
       s""""fim":{"t":${fmt(tFim)},"n_rewritten":$nFim}}"""
   }
 
+  /** Column-chunk bytes for `cols` over every parquet file under a
+    * raw directory — [[probedChunkBytes]] for non-catalog paths. */
+  private def dirChunkBytes(spark: SparkSession, pathStr: String,
+                            cols: Set[String]): Long = {
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+        try r.getFooter.getBlocks.asScala.map(_.getColumns.asScala
+            .filter(cc => cols.contains(cc.getPath.toDotString.split("\\.")(0)))
+            .map(_.getTotalSize).sum).sum
+        finally r.close()
+      }.sum
+  }
+
+  /** Product quantization at scale — the BYTES story next to the int8
+    * point: the corpus written twice, once as float vectors and once
+    * as the packed 8-byte PQ codes, compressed column-chunk sizes
+    * compared; then the two-tier probe (ADC scan over the code
+    * column, shortlist-50 float re-rank). Corpus = the UNIFORM
+    * generator with its planted near-twin pairs: the closed-form gate
+    * is that vec 0's twin (vec 1, cosine ≈ 0.999 vs < 0.5 noise
+    * neighbors — a margin far above code resolution) survives the ADC
+    * shortlist and ranks FIRST after re-rank at every scale. Recall@10
+    * vs brute force is reported as data, not gated: beyond the twin,
+    * a uniform corpus's top-10 are ~0.3-cosine noise neighbors —
+    * legitimately hard for 8-byte codes (the clustered corpus is
+    * outright pathological: thousands of same-cluster vectors differ
+    * below code resolution; production pairs PQ with an IVF coarse
+    * stage for that shape, as the IVF curve table documents). */
+  def pqPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.{Pq, Similarity}
+    val n = 2000L * scale
+    val basePath = s"$dir/pq_x$scale"
+    genEmbeddings(spark, n).write.mode("overwrite")
+      .parquet(s"$basePath/float")
+    val emb = spark.read.parquet(s"$basePath/float")
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    spark.sqlContext.clearCache()
+    val (books, tTrain) = timed {
+      Pq.trainCodebooks(corpus, "vec_id", "embedding", m = 8, k = 128, iters = 3)
+    }
+    val (_, tEnc) = timed {
+      Pq.encodePacked(corpus, "vec_id", "embedding", books)
+        .write.mode("overwrite").parquet(s"$basePath/codes")
+    }
+    val bytesFloat = dirChunkBytes(spark, s"$basePath/float",
+      Set("vec_id", "embedding"))
+    val bytesCodes = dirChunkBytes(spark, s"$basePath/codes",
+      Set("vec_id", "pq_code"))
+    val enc = spark.read.parquet(s"$basePath/codes")
+    spark.sqlContext.clearCache()
+    val (adcIds, tAdc) = timed {
+      Pq.probeTopK(enc, "vec_id", q, books, 50)
+        .select(col("vec_id")).collect().map(_.getLong(0))
+    }
+    spark.sqlContext.clearCache()
+    val (rrIds, tRr) = timed {
+      Pq.probeTopKReranked(enc, corpus, "vec_id", "embedding", q, books,
+        topK = 10, shortlist = 50).select(col("vec_id")).collect()
+        .map(_.getLong(0))
+    }
+    spark.sqlContext.clearCache()
+    val (exactIds, tBrute) = timed {
+      Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+        .select(col("vec_id")).collect().map(_.getLong(0))
+    }
+    val recall = exactIds.toSet.intersect(rrIds.toSet).size
+    require(adcIds.contains(1L),
+      "planted near-twin fell out of the ADC shortlist")
+    require(rrIds.headOption.contains(1L),
+      s"planted near-twin must re-rank FIRST, got ${rrIds.take(3).toSeq}")
+    require(exactIds.headOption.contains(1L),
+      "generator invariant broken: twin not the exact top-1")
+    require(adcIds.length == 50, s"ADC shortlist must hold 50 ids")
+    s"""{"pq":{"scale":$scale,"n_vecs":$n,"rerank_recall":$recall,""" +
+      s""""train":{"t":${fmt(tTrain)}},"encode":{"t":${fmt(tEnc)}},""" +
+      s""""float_bytes":$bytesFloat,"code_bytes":$bytesCodes,""" +
+      s""""adc_probe":{"t":${fmt(tAdc)}},"rerank":{"t":${fmt(tRr)}},""" +
+      s""""brute_force":{"t":${fmt(tBrute)}}}}"""
+  }
+
   /** The round-13 second-half additions at scale (NB classifier,
     * Gopher rules, streaming decontamination, tokenize→pack), each
     * leg with a require()d oracle so a timing can never go green on
@@ -1529,6 +1618,13 @@ object ScaleBench {
     if (args.contains("retrieval-ops-only")) {
       retrievalOpsPoint(spark, outBase, 1)
       scales.foreach(m => println(retrievalOpsPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `pq-only`: product-quantization bytes/probe point.
+    if (args.contains("pq-only")) {
+      pqPoint(spark, outBase, 1)
+      scales.foreach(m => println(pqPoint(spark, outBase, m)))
       spark.stop()
       return
     }

@@ -31,30 +31,42 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** Unit-normalize an array<float> column (zero vectors pass through
-    * as zeros rather than NaN). */
-  private[ext] def unit(spark: SparkSession, v: Column): Column = {
-    val n = sqrt(Similarity.dotIn(spark)(v, v))
-    when(n === 0.0, transform(v, _ => lit(0.0)))
-      .otherwise(transform(v, x => x.cast("double") / n))
+  /** Unit-normalize `vecCol` into `outCol` (zero vectors pass through
+    * as zeros rather than NaN). The norm is aliased first so the
+    * element lambda reads a bound attribute — the Quantize
+    * .withQuantized shape (an aggregate inside the lambda would be
+    * O(d²) per row). */
+  private[ext] def withUnit(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    df.withColumn("__pq_n",
+        sqrt(Similarity.dotIn(spark)(col(vecCol), col(vecCol))))
+      .withColumn(outCol,
+        when(col("__pq_n") === 0.0, transform(col(vecCol), _ => lit(0.0)))
+          .otherwise(transform(col(vecCol), x => x.cast("double") / col("__pq_n"))))
+      .drop("__pq_n")
   }
 
-  /** Squared-L2 distances from a subvector column to each centroid —
-    * a LINEAR array of k expressions (argmin via
-    * array_position(array_min), the ivfAssign pattern: never a
-    * fold-of-when accumulator, which doubles the subtree per step). */
-  private def l2Dists(sv: Column, cents: Seq[Seq[Float]]): Column =
-    array(cents.map { cv =>
-      cv.indices.map { d =>
-        val diff = element_at(sv, d + 1) - lit(cv(d).toDouble)
-        diff * diff
-      }.reduceLeft[Column](_ + _)
-    }: _*)
-
-  private def codeOf(sv: Column, cents: Seq[Seq[Float]]): Column = {
-    val dists = l2Dists(sv, cents)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+  /** Squared-L2 distances from a subvector column to each centroid.
+    * The codebook enters as ONE constant-folded 2-D array literal and
+    * the k distances come from a single transform/zip_with/aggregate
+    * expression — NOT k×d inlined arithmetic nodes, which at
+    * k=256 codes blows past janino's generated-method limits
+    * (measured: InternalCompilerException at m·k·d ≈ 8000 terms).
+    * Argmin stays array_position(array_min) — the ivfAssign pattern,
+    * never a fold-of-when accumulator. */
+  private def l2Dists(sv: Column, cents: Seq[Seq[Float]]): Column = {
+    val centsLit = array(cents.map(cv =>
+      array(cv.map(d => lit(d.toDouble)): _*)): _*)
+    transform(centsLit, c =>
+      aggregate(zip_with(sv, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
   }
+
+  /** Argmin over an ALIASED distance column (first min wins —
+    * deterministic ties). Callers alias the l2Dists array first so it
+    * evaluates once per row, not once per reference. */
+  private def argminCode(distCol: Column): Column =
+    (array_position(distCol, array_min(distCol)) - 1).cast("int")
 
   /** Per-subspace Lloyd on the NORMALIZED corpus: deterministic
     * first-k-by-id seed, `iters` rounds of assign → per-code decimal
@@ -64,12 +76,12 @@ object Pq {
                      m: Int = 8, k: Int = 16, iters: Int = 2): Seq[Seq[Seq[Float]]] = {
     require(m >= 1 && m <= 8, s"m must be in [1, 8], got $m")
     require(k >= 2 && k <= 256, s"k must be in [2, 256], got $k")
-    val spark = corpus.sparkSession
     val dims = corpus.select(size(col(vecCol))).first().getInt(0)
     require(dims % m == 0, s"vector dim $dims not divisible by m=$m")
     val sub = dims / m
-    val normed = corpus
-      .select(col(idCol).as("__id"), unit(spark, col(vecCol)).as("__u"))
+    val normed = withUnit(
+        corpus.select(col(idCol).as("__id"), col(vecCol)), vecCol, "__u")
+      .select(col("__id"), col("__u"))
       .localCheckpoint(true)
     (0 until m).map { j =>
       val sv = normed.select(col("__id"),
@@ -82,7 +94,8 @@ object Pq {
         val sums = (0 until sub).map(d =>
           sum(element_at(col("__sv"), d + 1)
             .cast("decimal(27,15)")).as(s"__s$d"))
-        val rows = sv.withColumn("__c", codeOf(col("__sv"), cents))
+        val rows = sv.withColumn("__d", l2Dists(col("__sv"), cents))
+          .withColumn("__c", argminCode(col("__d")))
           .groupBy(col("__c"))
           .agg(count(lit(1)).as("__n"), sums: _*)
           .collect()
@@ -103,14 +116,18 @@ object Pq {
     * [8j, 8j+8)). One shuffle-free codegen projection. */
   def encodePacked(corpus: DataFrame, idCol: String, vecCol: String,
                    books: Seq[Seq[Seq[Float]]]): DataFrame = {
-    val spark = corpus.sparkSession
-    val m = books.size
     val sub = books.head.head.size
-    val u = unit(spark, col(vecCol))
-    val packed = books.zipWithIndex.map { case (cents, j) =>
-      codeOf(slice(u, j * sub + 1, sub), cents).cast("long") * lit(1L << (8 * j))
+    val base = withUnit(corpus.select(col(idCol), col(vecCol)), vecCol, "__u")
+    // One aliased distance array per subspace, so each evaluates once
+    // per row (argmin references it twice).
+    val withDists = books.zipWithIndex.foldLeft(base) { case (df, (cents, j)) =>
+      df.withColumn(s"__d$j",
+        l2Dists(slice(col("__u"), j * sub + 1, sub), cents))
+    }
+    val packed = books.indices.map { j =>
+      argminCode(col(s"__d$j")).cast("long") * lit(1L << (8 * j))
     }.reduceLeft[Column](_ + _)
-    corpus.select(col(idCol), packed.as("pq_code"))
+    withDists.select(col(idCol), packed.as("pq_code"))
   }
 
   /** ADC top-k: the exact (normalized) query builds an m×k partial

@@ -924,9 +924,19 @@ object TextAnalysis {
       s"trainBuckets must be in (0, 100), got $trainBuckets")
     val base = df.where(col(textCol).isNotNull)
       .withColumn("__b", splitBucket(col(idCol)))
-    val train = base.where(col("__b") < trainBuckets)
-    val holdout = base.where(col("__b") >= trainBuckets)
+    val (grid, dflt) = nbModel(
+      base.where(col("__b") < trainBuckets), textCol, labelCol)
+    nbScore(base.where(col("__b") >= trainBuckets), idCol, textCol, labelCol,
+      grid, dflt)
+  }
 
+  /** Train the NB model on an explicit train slice: returns the
+    * (vocab × k) bits grid (w, label, prior_bits, bits) and the 1-row
+    * zero-in-vocab default — both dimension-sized frames a caller can
+    * materialize once and score any number of batches against
+    * ([[streamClassify]] does exactly that). */
+  def nbModel(train: DataFrame, textCol: String,
+              labelCol: String): (DataFrame, DataFrame) = {
     // Class-conditional word census over the train slice (vocab-sized).
     val pairsT = Checkpoints.stage(
       train.select(col(labelCol).as("label"),
@@ -951,9 +961,20 @@ object TextAnalysis {
         when(col("c_wc").isNotNull,
           (length(conv(expr("v_c DIV c_wc"), 10, 2)) - 1).cast("long"))
           .otherwise(col("penalty_bits")).as("bits"))
+    // Zero-in-vocab fallback: the min-(prior, label) class, as 1 row.
+    val dflt = classTbl
+      .select(col("label").as("__dflt_label"), col("prior_bits").as("__dflt_bits"))
+      .orderBy(col("__dflt_bits"), col("__dflt_label")).limit(1)
+    (grid, dflt)
+  }
 
-    // Holdout doc-word pairs; the inner join below drops words outside
-    // the train vocabulary (surfaced as n_oov, never smoothed).
+  /** Score a document frame against a trained [[nbModel]] — a pure
+    * per-batch function of (docs, grid, dflt), which is what makes
+    * the streaming twin's accumulated output equal batch scoring. */
+  def nbScore(holdout: DataFrame, idCol: String, textCol: String,
+              labelCol: String, grid: DataFrame, dflt: DataFrame): DataFrame = {
+    // Doc-word pairs; the inner join below drops words outside the
+    // train vocabulary (surfaced as n_oov, never smoothed).
     val docPairs = Checkpoints.stage(
       holdout.select(col(idCol), explode(tokens(col(textCol))).as("w"))
         .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c_doc")))
@@ -970,10 +991,6 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(min(col("label")).as("__pred"), min(col("n_scored")).as("n_scored"),
         min(col("bits_best")).as("bits_best"))
-    // Zero-in-vocab fallback: the min-(prior, label) class, as 1 row.
-    val dflt = classTbl
-      .select(col("label").as("__dflt_label"), col("prior_bits").as("__dflt_bits"))
-      .orderBy(col("__dflt_bits"), col("__dflt_label")).limit(1)
 
     holdout.select(col(idCol), col(labelCol).as("label_true"))
       .join(nTok, Seq(idCol), "left")
@@ -988,5 +1005,51 @@ object TextAnalysis {
         (col("label_true") === coalesce(col("__pred"), col("__dflt_label")))
           .cast("long").as("correct"))
       .orderBy(col(idCol))
+  }
+
+  /** Streaming classification DURING ingest: score arriving
+    * micro-batches against a FIXED pretrained [[nbModel]] (grid +
+    * default materialized before the stream starts) and land the
+    * predictions in the batch-tagged sink `<table>` with the index
+    * family's redelivery discipline (dynamic partition overwrite — a
+    * redelivered batch overwrites its own partition). Scoring is a
+    * pure per-batch function of (batch, model), so batches are fully
+    * independent and the accumulated predictions EQUAL batch
+    * [[nbScore]] over everything ingested, in any shard split — the
+    * x_stream_classify oracle replays the whole thing with the
+    * x_nb_classify SQL. The model never updates mid-stream
+    * (train/serve separation, the production-routing shape); retrain
+    * = rebuild the grid and restart the query. */
+  def streamClassify(spark: org.apache.spark.sql.SparkSession, table: String,
+                     stream: DataFrame, idCol: String, textCol: String,
+                     labelCol: String, grid: DataFrame, dflt: DataFrame,
+                     queryName: String = "graft_stream_classify",
+                     checkpointLocation: Option[String] = None): (DataFrame, Int) = {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val idType = stream.schema(idCol).dataType
+    val resuming = checkpointLocation.exists(cp =>
+      StreamOps.lastCommittedBatch(spark, cp).isDefined)
+    val mkTable = if (resuming)
+      graft.io.Writer.ensurePartitionedBucketedTable _
+    else graft.io.Writer.emptyPartitionedBucketedTable _
+    mkTable(spark, table,
+      StructType(Seq(
+        StructField(idCol, idType),
+        StructField("label_true", StringType),
+        StructField("label_pred", StringType),
+        StructField("bits_best", LongType),
+        StructField("n_scored", LongType),
+        StructField("n_oov", LongType),
+        StructField("correct", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, idCol, 8)
+    val g = grid.localCheckpoint(true)
+    val d = dflt.localCheckpoint(true)
+    StreamOps.sinkBatches(spark, stream, queryName, table,
+        checkpointLocation) { (b, _) =>
+      (nbScore(b.where(col(textCol).isNotNull), idCol, textCol, labelCol, g, d),
+        Seq.empty)
+    }
   }
 }

@@ -149,6 +149,7 @@ private[graft] object CorpusQueries {
         Tables.documents(s, dir).withColumn("cls",
           when(col("lang") === "en", "en").otherwise("other")),
         "doc_id", "text", "cls", trainBuckets = 80)),
+    "x_stream_classify" -> ((s, dir) => streamClassify(s, dir)),
     "x_cluster_split" -> ((s, dir) => clusterSplitSummary(s, dir)),
     "x_curriculum" -> ((s, dir) => curriculumSummary(s, dir)),
     "x_decontaminate" -> ((s, dir) => decontaminateSummary(s, dir)),
@@ -808,6 +809,37 @@ private[graft] object CorpusQueries {
     val nClean = Dedup.decontaminate(train, pairs, "doc_id").count()
     pairs.withColumn("n_clean_train", lit(nClean))
       .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** x_stream_classify: classification DURING ingest
+    * (TextAnalysis.streamClassify) — the x_nb_classify model trained
+    * once on the static train slice (buckets < 80), then the HOLDOUT
+    * arrives as three id-keyed micro-batches scored against the fixed
+    * grid. Scoring is a pure per-batch function of (batch, model), so
+    * the accumulated predictions equal batch scoring — the oracle IS
+    * the x_nb_classify replay. */
+  private def streamClassify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("cls", when(col("lang") === "en", "en").otherwise("other"))
+    val base = docs.where(col("text").isNotNull)
+      .withColumn("__b", TextAnalysis.splitBucket(col("doc_id")))
+    val (grid, dflt) = TextAnalysis.nbModel(
+      base.where(col("__b") < 80), "text", "cls")
+    val holdout = base.where(col("__b") >= 80)
+      .select(col("doc_id"), col("text"), col("cls"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val table = "graft_stream_classify_" + digest
+    val inDir = stagedShardsFor(s, dir + "#classify", holdout)
+    val stream = s.readStream.schema(holdout.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val (acc, nBatches) = TextAnalysis.streamClassify(s, table, stream,
+      "doc_id", "text", "cls", grid, dflt,
+      queryName = "stream_classify_" + digest)
+    require(nBatches == 3, s"expected 3 micro-batches, got $nBatches")
+    acc.orderBy(col("doc_id"))
   }
 
   /** x_source_quality: the per-source quality dashboard — the report a
@@ -1533,6 +1565,53 @@ private[graft] object CorpusQueries {
       |  FROM tf, dfs, sc)
       | SELECT doc_id, dl, tf_0, tf_1, score FROM s ORDER BY score DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
 
+  /** The NB train+score SQL replay shared by x_nb_classify and its
+    * streaming twin (pure per-batch scoring => accumulated == batch). */
+  private val nbOracleSql: String =
+    """WITH base AS (SELECT doc_id,
+        |   CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS lang,
+        |   string_split(text, ' ') AS tok,
+        |   (((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 AS b
+        |  FROM documents WHERE text IS NOT NULL),
+        | train AS (SELECT * FROM base WHERE b < 80),
+        | hold AS (SELECT * FROM base WHERE b >= 80),
+        | pt AS (SELECT label, w, COUNT(*) AS c_wc FROM
+        |   (SELECT lang AS label, unnest(tok) AS w FROM train) GROUP BY 1, 2),
+        | mass AS (SELECT label, SUM(c_wc) AS v_c FROM pt GROUP BY 1),
+        | nd AS (SELECT lang AS label, COUNT(*) AS n_c FROM train GROUP BY 1),
+        | ct AS (SELECT label, v_c,
+        |   CAST(length(to_base(CAST(n_train // n_c AS BIGINT), 2)) - 1 AS BIGINT) AS prior_bits,
+        |   CAST(length(to_base(CAST(v_c AS BIGINT), 2)) AS BIGINT) AS penalty_bits
+        |  FROM mass JOIN nd USING (label) CROSS JOIN (SELECT SUM(n_c) AS n_train FROM nd)),
+        | grid AS (SELECT v.w, c.label, c.prior_bits,
+        |   CASE WHEN p.c_wc IS NOT NULL
+        |    THEN CAST(length(to_base(CAST(c.v_c // p.c_wc AS BIGINT), 2)) - 1 AS BIGINT)
+        |    ELSE c.penalty_bits END AS bits
+        |  FROM (SELECT DISTINCT w FROM pt) v CROSS JOIN ct c
+        |  LEFT JOIN pt p ON p.label = c.label AND p.w = v.w),
+        | dp AS (SELECT doc_id, w, COUNT(*) AS c_doc FROM
+        |   (SELECT doc_id, unnest(tok) AS w FROM hold) GROUP BY 1, 2),
+        | ntok AS (SELECT doc_id, SUM(c_doc) AS n_tok FROM dp GROUP BY 1),
+        | sc AS (SELECT dp.doc_id, g.label,
+        |   SUM(dp.c_doc * g.bits) + MIN(g.prior_bits) AS tot_bits,
+        |   SUM(dp.c_doc) AS n_scored
+        |  FROM dp JOIN grid g USING (w) GROUP BY 1, 2),
+        | best AS (SELECT doc_id, MIN(tot_bits) AS bits_best FROM sc GROUP BY 1),
+        | pred AS (SELECT s.doc_id, MIN(s.label) AS label_pred,
+        |   MIN(s.n_scored) AS n_scored, MIN(s.tot_bits) AS bits_best
+        |  FROM sc s JOIN best b ON s.doc_id = b.doc_id AND s.tot_bits = b.bits_best
+        |  GROUP BY 1),
+        | dflt AS (SELECT label AS dflt_label, prior_bits AS dflt_bits FROM ct
+        |  ORDER BY prior_bits, label LIMIT 1)
+        | SELECT h.doc_id, h.lang AS label_true,
+        |  COALESCE(p.label_pred, d.dflt_label) AS label_pred,
+        |  CAST(COALESCE(p.bits_best, d.dflt_bits) AS BIGINT) AS bits_best,
+        |  CAST(COALESCE(p.n_scored, 0) AS BIGINT) AS n_scored,
+        |  CAST(COALESCE(nt.n_tok, 0) - COALESCE(p.n_scored, 0) AS BIGINT) AS n_oov,
+        |  CAST(h.lang = COALESCE(p.label_pred, d.dflt_label) AS BIGINT) AS correct
+        | FROM hold h LEFT JOIN pred p USING (doc_id) LEFT JOIN ntok nt USING (doc_id)
+        | CROSS JOIN dflt d ORDER BY h.doc_id""".stripMargin.replaceAll("\n", " ")
+
   val oracle: Map[String, String] = Map(
     // SimHash: a pure function of text — every group of byte-identical
     // docs must share one hash value (zero purity violations); the
@@ -1947,50 +2026,11 @@ private[graft] object CorpusQueries {
     // class-conditional census, whole-bit likelihood/penalty/prior
     // (to_base = binary bit length, same as the surprisal family),
     // argmin with label-asc tiebreak, and the zero-in-vocab default.
-    "x_nb_classify" ->
-      """WITH base AS (SELECT doc_id,
-        |   CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS lang,
-        |   string_split(text, ' ') AS tok,
-        |   (((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 + 104729) % 100) + 100) % 100 AS b
-        |  FROM documents WHERE text IS NOT NULL),
-        | train AS (SELECT * FROM base WHERE b < 80),
-        | hold AS (SELECT * FROM base WHERE b >= 80),
-        | pt AS (SELECT label, w, COUNT(*) AS c_wc FROM
-        |   (SELECT lang AS label, unnest(tok) AS w FROM train) GROUP BY 1, 2),
-        | mass AS (SELECT label, SUM(c_wc) AS v_c FROM pt GROUP BY 1),
-        | nd AS (SELECT lang AS label, COUNT(*) AS n_c FROM train GROUP BY 1),
-        | ct AS (SELECT label, v_c,
-        |   CAST(length(to_base(CAST(n_train // n_c AS BIGINT), 2)) - 1 AS BIGINT) AS prior_bits,
-        |   CAST(length(to_base(CAST(v_c AS BIGINT), 2)) AS BIGINT) AS penalty_bits
-        |  FROM mass JOIN nd USING (label) CROSS JOIN (SELECT SUM(n_c) AS n_train FROM nd)),
-        | grid AS (SELECT v.w, c.label, c.prior_bits,
-        |   CASE WHEN p.c_wc IS NOT NULL
-        |    THEN CAST(length(to_base(CAST(c.v_c // p.c_wc AS BIGINT), 2)) - 1 AS BIGINT)
-        |    ELSE c.penalty_bits END AS bits
-        |  FROM (SELECT DISTINCT w FROM pt) v CROSS JOIN ct c
-        |  LEFT JOIN pt p ON p.label = c.label AND p.w = v.w),
-        | dp AS (SELECT doc_id, w, COUNT(*) AS c_doc FROM
-        |   (SELECT doc_id, unnest(tok) AS w FROM hold) GROUP BY 1, 2),
-        | ntok AS (SELECT doc_id, SUM(c_doc) AS n_tok FROM dp GROUP BY 1),
-        | sc AS (SELECT dp.doc_id, g.label,
-        |   SUM(dp.c_doc * g.bits) + MIN(g.prior_bits) AS tot_bits,
-        |   SUM(dp.c_doc) AS n_scored
-        |  FROM dp JOIN grid g USING (w) GROUP BY 1, 2),
-        | best AS (SELECT doc_id, MIN(tot_bits) AS bits_best FROM sc GROUP BY 1),
-        | pred AS (SELECT s.doc_id, MIN(s.label) AS label_pred,
-        |   MIN(s.n_scored) AS n_scored, MIN(s.tot_bits) AS bits_best
-        |  FROM sc s JOIN best b ON s.doc_id = b.doc_id AND s.tot_bits = b.bits_best
-        |  GROUP BY 1),
-        | dflt AS (SELECT label AS dflt_label, prior_bits AS dflt_bits FROM ct
-        |  ORDER BY prior_bits, label LIMIT 1)
-        | SELECT h.doc_id, h.lang AS label_true,
-        |  COALESCE(p.label_pred, d.dflt_label) AS label_pred,
-        |  CAST(COALESCE(p.bits_best, d.dflt_bits) AS BIGINT) AS bits_best,
-        |  CAST(COALESCE(p.n_scored, 0) AS BIGINT) AS n_scored,
-        |  CAST(COALESCE(nt.n_tok, 0) - COALESCE(p.n_scored, 0) AS BIGINT) AS n_oov,
-        |  CAST(h.lang = COALESCE(p.label_pred, d.dflt_label) AS BIGINT) AS correct
-        | FROM hold h LEFT JOIN pred p USING (doc_id) LEFT JOIN ntok nt USING (doc_id)
-        | CROSS JOIN dflt d ORDER BY h.doc_id""".stripMargin.replaceAll("\n", " "),
+    "x_nb_classify" -> nbOracleSql,
+    // Streaming classification scores each micro-batch against the
+    // SAME fixed model (pure per-batch function), so the accumulated
+    // sink equals batch scoring — the oracle IS the batch replay.
+    "x_stream_classify" -> nbOracleSql,
     // Cluster split replayed END-TO-END: exact-Jaccard pair detection
     // (same shingle/ratio SQL as x_minhash_neardup), recursive-CTE
     // transitive closure to the min reachable id (the label

@@ -508,6 +508,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(14L) == (("fr", "en", 1L, 0L, 2L, 0L)))
   }
 
+  test("streamClassify: accumulated predictions equal batch scoring; shard-split-invariant") {
+    import java.nio.file.{Files, Paths}
+    val docs = (0L until 40L).map { id =>
+      if (id % 2 == 0) (id, "alpha beta alpha gamma", "A")
+      else (id, "omega psi omega chi", "B")
+    }.toDF("doc_id", "text", "lang")
+    val base = docs.withColumn("__b", TextAnalysis.splitBucket(col("doc_id")))
+    val (grid, dflt) = TextAnalysis.nbModel(base.where(col("__b") < 80), "text", "lang")
+    val holdout = base.where(col("__b") >= 80).select(col("doc_id"), col("text"), col("lang"))
+    val batch = TextAnalysis.nbScore(holdout, "doc_id", "text", "lang", grid, dflt)
+      .collect().map(_.toSeq).toSet
+    def run(splitAt: Long, tag: String): Set[Seq[Any]] = {
+      val root = Files.createTempDirectory(s"graft_stream_cls_$tag").toString
+      val inDir = s"$root/in"
+      Files.createDirectories(Paths.get(inDir))
+      Seq(holdout.where(col("doc_id") < splitAt), holdout.where(col("doc_id") >= splitAt))
+        .zipWithIndex.foreach { case (df, i) =>
+          val w = s"$root/w$i"
+          df.coalesce(1).write.mode("overwrite").parquet(w)
+          val part = new java.io.File(w).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          Files.move(part.toPath, Paths.get(inDir, s"shard_$i.parquet"))
+        }
+      val stream = spark.readStream.schema(holdout.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val (acc, n) = TextAnalysis.streamClassify(spark,
+        s"graft_stream_cls_spec_$tag", stream, "doc_id", "text", "lang",
+        grid, dflt, queryName = s"stream_cls_spec_$tag")
+      assert(n == 2, s"expected 2 micro-batches, got $n")
+      acc.collect().map(_.toSeq).toSet
+    }
+    val a = run(20L, "a")
+    assert(a == batch,
+      s"streamed predictions diverged: extra=${a -- batch} missing=${batch -- a}")
+    assert(run(10L, "b") == a, "shard split must not change predictions")
+  }
+
   test("nbClassify: separable vocab classifies the holdout perfectly; repartition-stable") {
     val docs = (0L until 40L).map { id =>
       if (id % 2 == 0) (id, "alpha beta alpha gamma", "A")

@@ -76,7 +76,9 @@ object Pq {
                      m: Int = 8, k: Int = 16, iters: Int = 2): Seq[Seq[Seq[Float]]] = {
     require(m >= 1 && m <= 8, s"m must be in [1, 8], got $m")
     require(k >= 2 && k <= 256, s"k must be in [2, 256], got $k")
-    val dims = corpus.select(size(col(vecCol))).first().getInt(0)
+    val head = corpus.select(size(col(vecCol))).limit(1).collect()
+    require(head.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dims = head.head.getInt(0)
     require(dims % m == 0, s"vector dim $dims not divisible by m=$m")
     val sub = dims / m
     val normed = withUnit(

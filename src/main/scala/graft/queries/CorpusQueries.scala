@@ -150,6 +150,7 @@ private[graft] object CorpusQueries {
           when(col("lang") === "en", "en").otherwise("other")),
         "doc_id", "text", "cls", trainBuckets = 80)),
     "x_stream_classify" -> ((s, dir) => streamClassify(s, dir)),
+    "x_detector_agreement" -> ((s, dir) => detectorAgreement(s, dir)),
     "x_cluster_split" -> ((s, dir) => clusterSplitSummary(s, dir)),
     "x_curriculum" -> ((s, dir) => curriculumSummary(s, dir)),
     "x_decontaminate" -> ((s, dir) => decontaminateSummary(s, dir)),
@@ -809,6 +810,36 @@ private[graft] object CorpusQueries {
     val nClean = Dedup.decontaminate(train, pairs, "doc_id").count()
     pairs.withColumn("n_clean_train", lit(nClean))
       .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** x_detector_agreement: the dedup-signal agreement diagnostic — the
+    * census a curation operator reads before trusting one detector's
+    * survivors ("do document-level and passage-level signals agree,
+    * and where do they diverge?"). Both detectors are the repo's
+    * VALUE-EXACT truth operators on the same 200-doc slice (the
+    * winnow oracle's bound): whole-doc exact 3-gram Jaccard ≥ 0.5
+    * vs winnow shared-passage pairs (k=8, w=4, minShared=2), with the
+    * intersection/only counts of their canonical pair sets. Fully
+    * SQL-replayed — no floors, no bits. Divergence is the point:
+    * Jaccard-only = globally similar docs sharing no verbatim run ≥
+    * k+w−1 chars; winnow-only = a quoted passage inside otherwise
+    * different docs (the contamination shape). */
+  private def detectorAgreement(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val docs = Tables.documents(s, dir).where(col("doc_id") < 200)
+    val jac = Dedup.exactJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .pipe(graft.ext.Checkpoints.stage)
+    val win = Dedup.winnowPairs(docs, "doc_id", "text")
+      .select(col("id_a"), col("id_b"))
+      .pipe(graft.ext.Checkpoints.stage)
+    val nJ = jac.agg(count(lit(1)).as("n_jaccard_pairs"))
+    val nW = win.agg(count(lit(1)).as("n_winnow_pairs"))
+    val nB = jac.join(win, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_both"))
+    nJ.crossJoin(nW).crossJoin(nB)
+      .select(col("n_jaccard_pairs"), col("n_winnow_pairs"), col("n_both"),
+        (col("n_jaccard_pairs") - col("n_both")).as("n_jaccard_only"),
+        (col("n_winnow_pairs") - col("n_both")).as("n_winnow_only"))
   }
 
   /** x_stream_classify: classification DURING ingest
@@ -2461,6 +2492,43 @@ private[graft] object CorpusQueries {
         |   FROM i a JOIN i b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
         | SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    // Signal-agreement census: BOTH truth detectors replayed on the
+    // same slice — the x_cluster_split Jaccard CTEs and the
+    // x_winnow_pairs fingerprint CTEs — then plain set algebra.
+    "x_detector_agreement" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |   FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+        | sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |     generate_series(1, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM tok),
+        | ns AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        | pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+        |   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | jp AS (SELECT ia AS id_a, ib AS id_b
+        |   FROM pr JOIN ns na ON na.doc_id = pr.ia JOIN ns nb ON nb.doc_id = pr.ib
+        |   WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= 0.5),
+        | d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+        | g AS (SELECT doc_id, list_transform(
+        |     generate_series(1, CASE WHEN length(text) >= 8 THEN length(text) - 7 ELSE 0 END),
+        |     i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs FROM d),
+        | f AS (SELECT doc_id,
+        |   CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_distinct(list_transform(
+        |          generate_series(1, GREATEST(len(hs) - 3, 1)),
+        |          j -> list_min(hs[j:j+3]))) END AS fps FROM g),
+        | e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        | ok AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 1000),
+        | i AS (SELECT e.doc_id, e.fp FROM e JOIN ok USING (fp)),
+        | wp0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |   FROM i a JOIN i b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | wp AS (SELECT id_a, id_b FROM wp0 WHERE n_shared >= 2),
+        | nj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_jaccard_pairs FROM jp),
+        | nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_winnow_pairs FROM wp),
+        | nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM jp JOIN wp USING (id_a, id_b))
+        | SELECT n_jaccard_pairs, n_winnow_pairs, n_both,
+        |  n_jaccard_pairs - n_both AS n_jaccard_only,
+        |  n_winnow_pairs - n_both AS n_winnow_only
+        | FROM nj CROSS JOIN nw CROSS JOIN nb""".stripMargin.replaceAll("\n", " "),
     // Containment on detected pairs: the x_winnow_pairs pipeline
     // (same fingerprints, cap, >= 2 floor) then the containment
     // scoring join replayed on its output — detection AND scoring

@@ -545,14 +545,32 @@ private[graft] object VectorQueries {
     * re-ranked recall floors (3 and 8 of 10 — measured 5 and 10 on
     * the near-isotropic fixture, PQ's hard case) computed over the
     * real probes in-engine. */
+  // PQ codebooks memoized per (session, dir) — build once, probe many,
+  // the ivfMemo contract (training is 24 small Lloyd jobs; re-running
+  // it per bench rep would time the one-time build, not the probe).
+  private val pqMemo =
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, Seq[Seq[Seq[Float]]]]]()
+  private def pqBooksFor(s: SparkSession, dir: String,
+                         corpus: DataFrame): Seq[Seq[Seq[Float]]] =
+    pqMemo.synchronized {
+      val perSession = {
+        val m = pqMemo.get(s)
+        if (m != null) m
+        else { val m2 = new java.util.HashMap[String, Seq[Seq[Seq[Float]]]](); pqMemo.put(s, m2); m2 }
+      }
+      if (!perSession.containsKey(dir))
+        perSession.put(dir, graft.ext.Pq.trainCodebooks(
+          corpus, "vec_id", "embedding", m = 8, k = 128, iters = 3))
+      perSession.get(dir)
+    }
+
   private def pqRecall(s: SparkSession, dir: String): DataFrame = {
     import graft.ext.Pq
     val e = Tables.embeddings(s, dir)
     val q = e.where(col("vec_id") === 0)
       .select(col("embedding")).first().getSeq[Float](0)
     val corpus = e.where(col("vec_id") =!= 0).localCheckpoint(true)
-    val books = Pq.trainCodebooks(corpus, "vec_id", "embedding",
-      m = 8, k = 128, iters = 3)
+    val books = pqBooksFor(s, dir, corpus)
     val enc = Pq.encodePacked(corpus, "vec_id", "embedding", books)
       .localCheckpoint(true)
     val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)

@@ -73,7 +73,9 @@ class SparkEntrySpec extends AnyFunSuite {
       // (TextAnalysis.nbClassify).
       "x_nb_classify",
       // 1-row gate assembly (masses × chunk census × invariant bits).
-      "x_tokenize_pack")
+      "x_tokenize_pack",
+      // 1-row report assembly of the two truth detectors' counts.
+      "x_detector_agreement")
     val allowDayGrain = Set("x_rolling_stats", "x_gap_fill")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, TestSpark.sf0001)

@@ -136,8 +136,10 @@ object Pq {
     * dot-product LUT on the driver; each vector's approximate cosine
     * is m unpack-shifts + m literal-array lookups over the packed
     * code — the probe reads 8 bytes per vector. Ties break by id. */
-  def probeTopK(encoded: DataFrame, idCol: String, q: Seq[Float],
-                books: Seq[Seq[Seq[Float]]], topK: Int): DataFrame = {
+  /** The ONE definition of the ADC score expression — single and
+    * batched probes both call it, so the two paths can never drift
+    * (scores stay bit-identical whichever way a query is served). */
+  private def adcScore(q: Seq[Float], books: Seq[Seq[Seq[Float]]]): Column = {
     val m = books.size
     val sub = books.head.head.size
     require(q.size == m * sub, s"query dim ${q.size} != ${m * sub}")
@@ -145,16 +147,49 @@ object Pq {
       val n = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
       if (n == 0.0) q.map(_ => 0.0) else q.map(_.toDouble / n)
     }
-    val score = books.zipWithIndex.map { case (cents, j) =>
+    books.zipWithIndex.map { case (cents, j) =>
       val lut = array(cents.map(cv =>
         lit(cv.indices.foldLeft(0.0)((a, d) =>
           a + qn(j * sub + d) * cv(d).toDouble))): _*)
       element_at(lut,
         pmod(shiftright(col("pq_code"), 8 * j), lit(256L)).cast("int") + 1)
     }.reduceLeft[Column](_ + _)
-    encoded.withColumn("pq_score", score)
+  }
+
+  def probeTopK(encoded: DataFrame, idCol: String, q: Seq[Float],
+                books: Seq[Seq[Seq[Float]]], topK: Int): DataFrame =
+    encoded.withColumn("pq_score", adcScore(q, books))
       .orderBy(col("pq_score").desc, col(idCol))
       .limit(topK)
+
+  /** Batched ADC serving: N queries answered in ONE scan of the
+    * packed-code column — per query a LUT-sum score column, stacked
+    * to (query_id, id, pq_score) rows, then per-query top-k through
+    * WindowGroupLimit (partial top-k per partition BEFORE the
+    * shuffle, so only queries×topK rows per partition move). Scores
+    * come from the same [[adcScore]] expression as the single probe,
+    * so batch ≡ per-query bit-for-bit — the x_pq_batch gate proves it
+    * over the real output. */
+  def probeBatch(encoded: DataFrame, idCol: String,
+                 queries: Seq[(Long, Seq[Float])],
+                 books: Seq[Seq[Seq[Float]]], topK: Int): DataFrame = {
+    require(queries.nonEmpty && queries.size <= 64,
+      s"probeBatch takes 1-64 queries, got ${queries.size}")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "query ids must be distinct")
+    import org.apache.spark.sql.expressions.Window
+    val stacked = encoded.select(col(idCol),
+        explode(array(queries.map { case (qid, q) =>
+          struct(lit(qid).as("query_id"), adcScore(q, books).as("pq_score"))
+        }: _*)).as("__e"))
+      .select(col("__e.query_id").as("query_id"), col(idCol),
+        col("__e.pq_score").as("pq_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_score").desc, col(idCol))
+    stacked.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topK)
+      .select(col("query_id"), col(idCol), col("pq_score"))
+      .orderBy(col("query_id"), col("pq_score").desc, col(idCol))
   }
 
   /** The production serving shape: ADC shortlists `shortlist`

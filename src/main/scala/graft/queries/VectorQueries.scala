@@ -69,6 +69,7 @@ private[graft] object VectorQueries {
     "x_quantize_dot" -> ((s, dir) => quantizeDot(s, dir)),
     "x_quantize_recall" -> ((s, dir) => quantizeRecall(s, dir)),
     "x_pq_recall" -> ((s, dir) => pqRecall(s, dir)),
+    "x_pq_batch" -> ((s, dir) => pqBatch(s, dir)),
     "x_embed_norms" -> ((s, dir) =>
       // Vector-corpus quality histogram: L2 norms bucketed at 0.25
       // width. The per-vector sum-of-squares is a sequential fold
@@ -588,6 +589,38 @@ private[graft] object VectorQueries {
         (lit(rrHits) >= 8L).cast("long").as("rerank_recall_ok"))
   }
 
+  /** x_pq_batch: batched ADC serving (Pq.probeBatch) — three held-out
+    * query vectors answered in ONE scan of the packed-code column,
+    * proven row-for-row (scores included) equal to the three single
+    * probes via both-direction exceptAll over the real output — the
+    * x_bm25_batch contract for the vector side. Scores are
+    * engine-internal (trained codebooks), so the gate emits the
+    * replayable shape counts + the equality bit. */
+  private def pqBatch(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    import graft.ext.Pq
+    val e = Tables.embeddings(s, dir)
+    val qs = e.where(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq.sortBy(_._1)
+    val corpus = e.where(col("vec_id") >= 3).localCheckpoint(true)
+    val books = pqBooksFor(s, dir + "#batch", corpus)
+    val enc = Pq.encodePacked(corpus, "vec_id", "embedding", books)
+      .localCheckpoint(true)
+    val batch = Pq.probeBatch(enc, "vec_id", qs, books, topK = 10)
+      .pipe(graft.ext.Checkpoints.stage)
+    val singles = qs.map { case (qid, q) =>
+      Pq.probeTopK(enc, "vec_id", q, books, topK = 10)
+        .select(lit(qid).as("query_id"), col("vec_id"), col("pq_score"))
+    }.reduce(_ unionAll _).pipe(graft.ext.Checkpoints.stage)
+    val nMissing = batch.exceptAll(singles).count()
+    val nExtra = singles.exceptAll(batch).count()
+    batch.agg(count(lit(1)).as("n_rows"))
+      .select(lit(3L).as("n_queries"), lit(10L).as("n_topk"), col("n_rows"),
+        (lit(nMissing) === 0L && lit(nExtra) === 0L).cast("long")
+          .as("batch_matches_single_ok"))
+  }
+
   /** Brute-force top-10 cosine against the vec_id=0 embedding. */
   private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -734,6 +767,12 @@ private[graft] object VectorQueries {
         | CAST(1 AS BIGINT) AS recall_vs_float_ok,
         | CAST(1 AS BIGINT) AS recall_vs_exact_ok""".stripMargin.replaceAll("\n", " "),
     "x_quantize_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    // Batched PQ serving: shape counts value-replayed; the
+    // batch == single equality bit derives from the real probes.
+    "x_pq_batch" ->
+      """SELECT CAST(3 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS n_topk,
+        | CAST(30 AS BIGINT) AS n_rows,
+        | CAST(1 AS BIGINT) AS batch_matches_single_ok""".stripMargin.replaceAll("\n", " "),
     // PQ: corpus census value-replayed; both recall floors derive from
     // the real ADC / re-ranked probes in-engine.
     "x_pq_recall" ->

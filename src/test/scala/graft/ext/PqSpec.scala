@@ -77,6 +77,28 @@ class PqSpec extends AnyFunSuite {
       s"even ids (id-tiebreak order) expected, got ${top.toSeq}")
   }
 
+  test("probeBatch: one scan answers N queries identically to N single probes") {
+    val docs = (0L until 30L).map { id =>
+      val a = ((id % 7) + 1).toFloat; val b = ((id % 5) + 1).toFloat
+      (id, Seq(a, b, b, a))
+    }.toDF("vec_id", "embedding")
+    val trained = Pq.trainCodebooks(docs, "vec_id", "embedding", m = 2, k = 4, iters = 2)
+    val enc = Pq.encodePacked(docs, "vec_id", "embedding", trained)
+    val qs = Seq(100L -> Seq(1f, 0f, 0f, 1f), 200L -> Seq(0f, 1f, 1f, 0f),
+      300L -> Seq(1f, 1f, 1f, 1f))
+    val batch = Pq.probeBatch(enc, "vec_id", qs, trained, topK = 5)
+      .collect().map(_.toSeq)
+    assert(batch.length == 15)
+    val singles = qs.flatMap { case (qid, q) =>
+      Pq.probeTopK(enc, "vec_id", q, trained, 5)
+        .collect().map(r => Seq(qid, r.getLong(0), r.getAs[Double]("pq_score")))
+    }
+    assert(batch.toSet == singles.toSet,
+      s"batch != singles: extra=${batch.toSet -- singles.toSet} missing=${singles.toSet -- batch.toSet}")
+    // Batch output is grouped by query, score-desc with id tiebreak.
+    assert(batch.map(_.head.asInstanceOf[Long]).toSeq == batch.map(_.head.asInstanceOf[Long]).sortBy(identity).toSeq)
+  }
+
   test("recall on driver embeddings: ADC floor holds; shortlist-50 re-rank recovers the exact set") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val q = e.where(col("vec_id") === 0)

@@ -151,6 +151,7 @@ private[graft] object CorpusQueries {
         "doc_id", "text", "cls", trainBuckets = 80)),
     "x_stream_classify" -> ((s, dir) => streamClassify(s, dir)),
     "x_detector_agreement" -> ((s, dir) => detectorAgreement(s, dir)),
+    "x_corpus_diff" -> ((s, dir) => corpusDiff(s, dir)),
     "x_cluster_split" -> ((s, dir) => clusterSplitSummary(s, dir)),
     "x_curriculum" -> ((s, dir) => curriculumSummary(s, dir)),
     "x_decontaminate" -> ((s, dir) => decontaminateSummary(s, dir)),
@@ -810,6 +811,31 @@ private[graft] object CorpusQueries {
     val nClean = Dedup.decontaminate(train, pairs, "doc_id").count()
     pairs.withColumn("n_clean_train", lit(nClean))
       .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** x_corpus_diff: snapshot delta census — the report an incremental
+    * pipeline reads before reprocessing a new crawl snapshot (only
+    * `added` + `changed` docs flow into the dedup/winnow/BM25 index
+    * appends; `removed` drives tombstones). Snapshots are two
+    * deterministic slices of the corpus (A = ids < 400, B = ids ≥ 100
+    * with every 50th doc's text edited), diffed by id with a content
+    * fingerprint — one id-keyed full-outer join, value-replayed
+    * end-to-end (md5 is portable). */
+  private def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+    val a = docs.where(col("doc_id") < 400)
+      .select(col("doc_id"), md5(col("text")).as("fp_a"))
+    val b = docs.where(col("doc_id") >= 100)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(50L)) === 0,
+          concat(col("text"), lit(" edited-v2"))).otherwise(col("text"))).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(when(col("fp_a").isNull, "added")
+        .when(col("fp_b").isNull, "removed")
+        .when(col("fp_a") =!= col("fp_b"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
   }
 
   /** x_detector_agreement: the dedup-signal agreement diagnostic — the
@@ -2492,6 +2518,21 @@ private[graft] object CorpusQueries {
         |   FROM i a JOIN i b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
         | SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    // Snapshot diff replayed: same slices, same edit, same md5
+    // fingerprints, same full-outer status derivation.
+    "x_corpus_diff" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        | a AS (SELECT doc_id, md5(text) AS fp_a FROM d WHERE doc_id < 400),
+        | b AS (SELECT doc_id, md5(CASE WHEN doc_id % 50 = 0
+        |     THEN text || ' edited-v2' ELSE text END) AS fp_b
+        |   FROM d WHERE doc_id >= 100),
+        | j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, fp_a, fp_b
+        |   FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        | SELECT CASE WHEN fp_a IS NULL THEN 'added'
+        |   WHEN fp_b IS NULL THEN 'removed'
+        |   WHEN fp_a <> fp_b THEN 'changed' ELSE 'unchanged' END AS status,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM j GROUP BY 1 ORDER BY status""".stripMargin.replaceAll("\n", " "),
     // Signal-agreement census: BOTH truth detectors replayed on the
     // same slice — the x_cluster_split Jaccard CTEs and the
     // x_winnow_pairs fingerprint CTEs — then plain set algebra.

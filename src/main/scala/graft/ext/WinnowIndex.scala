@@ -125,7 +125,10 @@ object WinnowIndex {
     // identity projection on the batch layout (optimizer-collapsed).
     val idxRead = excludeBatch.foldLeft(spark.table(table))((df, b) =>
       df.where(col(graft.streaming.StreamOps.BatchTag) =!= lit(b)))
-    val idxTouched = idxRead.select(col("id"), col("fp"))
+    // Tombstoned docs are invisible BEFORE the posting census, so the
+    // cap decision and every pair equal a rebuild on the live corpus.
+    val idxTouched = minusTombstones(spark, table,
+        idxRead.select(col("id"), col("fp")))
       .join(touched, Seq("fp"), "left_semi")
     // Posting counts over old ∪ new — the same cap decision the batch
     // pipeline makes on the union corpus. Feeds sizing + both join
@@ -205,6 +208,56 @@ object WinnowIndex {
           excludeBatch = Some(batchId)))
       (pairs, Seq(table -> np))
     }
+  }
+
+  /** Tombstone-delete documents from the index — the
+    * right-to-be-forgotten path a 100 TB corpus index must support
+    * without rewriting petabytes on every takedown: deleted ids land
+    * in the side table `<table>_tombstones`; every probe anti-joins it
+    * BEFORE the posting census (so cap decisions and pair counts equal
+    * a rebuild on the live corpus — x_index_delete's value-exact
+    * contract), and [[purgeTombstones]] later rewrites the postings
+    * physically in one batch. Idempotent: re-deleting an id is a
+    * no-op. The tombstone table stays takedown-sized (≪ index), so the
+    * probe-time anti-join broadcasts. */
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    val t = table + "_tombstones"
+    val d = ids.select(col("id")).distinct()
+    if (!spark.catalog.tableExists(t))
+      d.write.saveAsTable(t)
+    else
+      d.join(spark.table(t), Seq("id"), "left_anti")
+        .write.mode("append").insertInto(t)
+    spark.catalog.refreshTable(t)
+  }
+
+  private def minusTombstones(spark: SparkSession, table: String,
+                              postings: DataFrame): DataFrame = {
+    val t = table + "_tombstones"
+    if (spark.catalog.tableExists(t))
+      postings.join(broadcast(spark.table(t)), Seq("id"), "left_anti")
+    else postings
+  }
+
+  /** Physically purge tombstoned postings: rewrite the index minus
+    * deleted ids in the same bucketed layout, then drop the tombstone
+    * table. Probe results are IDENTICAL before and after (the probe
+    * already filters) — purging reclaims bytes, it never changes
+    * answers. Returns the number of postings removed. */
+  def purgeTombstones(spark: SparkSession, table: String,
+                      nBuckets: Int = 16): Long = {
+    val t = table + "_tombstones"
+    if (!spark.catalog.tableExists(t)) return 0L
+    // Snapshot BEFORE overwriting — the rewrite must never read the
+    // table it replaces mid-job (the compactSink discipline).
+    val snap = spark.table(table).localCheckpoint(true)
+    val stones = spark.table(t).localCheckpoint(true)
+    val live = snap.join(stones, Seq("id"), "left_anti").localCheckpoint(true)
+    val removed = snap.count() - live.count()
+    Writer.bucketedTable(live, table, "fp", nBuckets)
+    spark.sql(s"DROP TABLE $t")
+    spark.catalog.refreshTable(table)
+    removed
   }
 
   /** Streaming cross-corpus DECONTAMINATION: probe arriving TRAIN

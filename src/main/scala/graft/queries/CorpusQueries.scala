@@ -152,6 +152,7 @@ private[graft] object CorpusQueries {
     "x_stream_classify" -> ((s, dir) => streamClassify(s, dir)),
     "x_detector_agreement" -> ((s, dir) => detectorAgreement(s, dir)),
     "x_corpus_diff" -> ((s, dir) => corpusDiff(s, dir)),
+    "x_index_delete" -> ((s, dir) => indexDelete(s, dir)),
     "x_cluster_split" -> ((s, dir) => clusterSplitSummary(s, dir)),
     "x_curriculum" -> ((s, dir) => curriculumSummary(s, dir)),
     "x_decontaminate" -> ((s, dir) => decontaminateSummary(s, dir)),
@@ -811,6 +812,43 @@ private[graft] object CorpusQueries {
     val nClean = Dedup.decontaminate(train, pairs, "doc_id").count()
     pairs.withColumn("n_clean_train", lit(nClean))
       .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** x_index_delete: the takedown lifecycle on the winnow index —
+    * build over the old corpus, tombstone-delete every 5th doc
+    * (WinnowIndex.delete), probe a new shard (deleted docs must be
+    * invisible to the posting census AND the pairs — the probe equals
+    * a rebuild on the live corpus, which the oracle replays
+    * value-exact), then PHYSICALLY purge (purgeTombstones) and probe
+    * again: identical answers, fewer bytes. n_purged (the deleted
+    * docs' posting mass) is value-replayed; purge_stable_ok is the
+    * probe-equality bit over the real outputs. */
+  private def indexDelete(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val docs = Tables.documents(s, dir)
+    val old = docs.where(col("doc_id") < 250)
+    val newDocs = docs.where(col("doc_id") >= 250 && col("doc_id") < 300)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val idx = "graft_del_idx_" + digest
+    if (s.catalog.tableExists(idx + "_tombstones"))
+      s.sql(s"DROP TABLE ${idx}_tombstones")
+    WinnowIndex.build(old, "doc_id", "text", idx)
+    WinnowIndex.delete(s, idx,
+      old.where(pmod(col("doc_id"), lit(5L)) === 0)
+        .select(col("doc_id").as("id")))
+    val probe1 = WinnowIndex.probeNewBatch(s, idx, newDocs, "doc_id", "text")
+      .pipe(graft.ext.Checkpoints.stage)
+    val nPurged = WinnowIndex.purgeTombstones(s, idx)
+    val probe2 = WinnowIndex.probeNewBatch(s, idx, newDocs, "doc_id", "text")
+      .pipe(graft.ext.Checkpoints.stage)
+    val stable = probe1.exceptAll(probe2).count() == 0 &&
+      probe2.exceptAll(probe1).count() == 0
+    probe1
+      .withColumn("n_purged", lit(nPurged))
+      .withColumn("purge_stable_ok", lit(if (stable) 1L else 0L))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** x_corpus_diff: snapshot delta census — the report an incremental
@@ -2517,6 +2555,41 @@ private[graft] object CorpusQueries {
         | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
         |   FROM i a JOIN i b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
         | SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    // Takedown lifecycle replayed on the LIVE corpus: the winnow
+    // pair SQL over (old minus deleted) plus the new shard, restricted
+    // to new-touching pairs; n_purged = the deleted docs' posting mass.
+    "x_index_delete" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |   WHERE ((doc_id < 250 AND doc_id % 5 <> 0)
+        |       OR (doc_id >= 250 AND doc_id < 300)) AND text IS NOT NULL),
+        | g AS (SELECT doc_id, list_transform(
+        |     generate_series(1, CASE WHEN length(text) >= 8 THEN length(text) - 7 ELSE 0 END),
+        |     i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs FROM d),
+        | f AS (SELECT doc_id,
+        |   CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_distinct(list_transform(
+        |          generate_series(1, GREATEST(len(hs) - 3, 1)),
+        |          j -> list_min(hs[j:j+3]))) END AS fps FROM g),
+        | e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        | ok AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 1000),
+        | i AS (SELECT e.doc_id, e.fp FROM e JOIN ok USING (fp)),
+        | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |   FROM i a JOIN i b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | del AS (SELECT doc_id, text FROM documents
+        |   WHERE doc_id < 250 AND doc_id % 5 = 0 AND text IS NOT NULL),
+        | dg AS (SELECT doc_id, list_transform(
+        |     generate_series(1, CASE WHEN length(text) >= 8 THEN length(text) - 7 ELSE 0 END),
+        |     i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs FROM del),
+        | df AS (SELECT doc_id,
+        |   CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_distinct(list_transform(
+        |          generate_series(1, GREATEST(len(hs) - 3, 1)),
+        |          j -> list_min(hs[j:j+3]))) END AS fps FROM dg),
+        | np AS (SELECT CAST(COALESCE(SUM(len(fps)), 0) AS BIGINT) AS n_purged FROM df)
+        | SELECT id_a, id_b, n_shared, (SELECT n_purged FROM np) AS n_purged,
+        |  CAST(1 AS BIGINT) AS purge_stable_ok
+        | FROM p WHERE n_shared >= 2 AND id_b >= 250
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
     // Snapshot diff replayed: same slices, same edit, same md5
     // fingerprints, same full-outer status derivation.

@@ -909,6 +909,37 @@ class DedupSpec extends AnyFunSuite {
       s"only the leaking doc drops (null-text docs survive): $clean")
   }
 
+  test("WinnowIndex.delete: tombstoned docs vanish from probes; purge is answer-stable and idempotent") {
+    import spark.implicits._
+    val shared = "this exact passage appears verbatim in both documents today"
+    val old = Seq(
+      (1L, s"left context totally different $shared and then some more"),
+      (2L, s"$shared trailing content that matches nothing else at all"),
+      (3L, "an unrelated document with none of that text anywhere")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, s"late arrival also containing $shared in its middle part")).toDF("doc_id", "text")
+    val idx = "graft_del_spec_idx"
+    if (spark.catalog.tableExists(idx + "_tombstones"))
+      spark.sql(s"DROP TABLE ${idx}_tombstones")
+    WinnowIndex.build(old, "doc_id", "text", idx)
+    def probePairs() = WinnowIndex.probeNewBatch(spark, idx, newDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probePairs() == Set((1L, 10L), (2L, 10L)), "pre-delete: both quoters pair")
+    WinnowIndex.delete(spark, idx, Seq(1L).toDF("id"))
+    assert(probePairs() == Set((2L, 10L)), "deleted doc must vanish from probes")
+    // Idempotent re-delete, plus a second id.
+    WinnowIndex.delete(spark, idx, Seq(1L, 1L).toDF("id"))
+    WinnowIndex.delete(spark, idx, Seq(2L).toDF("id"))
+    assert(probePairs() == Set.empty, "both quoters deleted -> no pairs")
+    val before = spark.table(idx).count()
+    val purged = WinnowIndex.purgeTombstones(spark, idx)
+    assert(purged > 0 && spark.table(idx).count() == before - purged,
+      "purge must physically remove exactly the tombstoned postings")
+    assert(!spark.catalog.tableExists(idx + "_tombstones"))
+    assert(probePairs() == Set.empty, "purge never changes answers")
+    assert(WinnowIndex.purgeTombstones(spark, idx) == 0L, "second purge is a no-op")
+  }
+
   test("streamDecontaminate: streamed flags equal the one-shot; shard-split-invariant") {
     import java.nio.file.{Files, Paths}
     import spark.implicits._

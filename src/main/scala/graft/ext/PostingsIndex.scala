@@ -111,6 +111,78 @@ object PostingsIndex {
       .foreach(spark.catalog.refreshTable)
   }
 
+  /** Tombstone-delete documents from the index — the WinnowIndex
+    * takedown pattern, with the BM25 twist that the STATS must shed
+    * the deleted docs too (idf and avgdl change when docs leave):
+    * probes subtract the tombstoned (count, Σdl) — read from the
+    * 2-col `_docs` table via a broadcast semi-join against the
+    * takedown-sized tombstone list — from the k-row stats sum, and
+    * anti-join the pruned postings, so every score equals a rebuild
+    * on the live corpus (x_bm25_delete replays that rebuild
+    * value-exact). [[purgeTombstones]] rewrites physically later. */
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    val t = table + "_tombstones"
+    val d = ids.select(col("id")).distinct()
+    if (!spark.catalog.tableExists(t)) d.write.saveAsTable(t)
+    else d.join(spark.table(t), Seq("id"), "left_anti")
+      .write.mode("append").insertInto(t)
+    spark.catalog.refreshTable(t)
+  }
+
+  private def minusTombstones(spark: SparkSession, table: String,
+                              postings: DataFrame): DataFrame = {
+    val t = table + "_tombstones"
+    if (spark.catalog.tableExists(t))
+      postings.join(broadcast(spark.table(t)), Seq("id"), "left_anti")
+    else postings
+  }
+
+  /** 1-row (n_docs, sum_dl) of the LIVE corpus: the stats-table sum
+    * minus the tombstoned docs' mass. */
+  private def liveStats(spark: SparkSession, table: String): DataFrame = {
+    val total = spark.table(table + "_stats")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("__n_docs"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("__sum_dl"))
+    val t = table + "_tombstones"
+    if (!spark.catalog.tableExists(t)) total
+    else {
+      val del = spark.table(table + "_docs")
+        .join(broadcast(spark.table(t)), Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("__dn"),
+          coalesce(sum(col("dl")), lit(0L)).as("__ds"))
+      total.crossJoin(del).select(
+        (col("__n_docs") - col("__dn")).as("__n_docs"),
+        (col("__sum_dl") - col("__ds")).as("__sum_dl"))
+    }
+  }
+
+  /** Physically purge tombstoned docs from all three tables (same
+    * layouts), recompute the stats row, drop the tombstone list.
+    * Answer-stable by construction; returns postings removed. */
+  def purgeTombstones(spark: SparkSession, table: String,
+                      nBuckets: Int = 16): Long = {
+    val t = table + "_tombstones"
+    if (!spark.catalog.tableExists(t)) return 0L
+    val stones = spark.table(t).localCheckpoint(true)
+    val postSnap = spark.table(table)
+      .select(col("term"), col("id"), col("tf"), col("dl"))
+      .localCheckpoint(true)
+    val docsSnap = spark.table(table + "_docs")
+      .select(col("id"), col("dl")).localCheckpoint(true)
+    val livePost = postSnap.join(stones, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val liveDocs = docsSnap.join(stones, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val removed = postSnap.count() - livePost.count()
+    Writer.bucketedTable(livePost, table, "term", nBuckets)
+    Writer.bucketedTable(liveDocs, table + "_docs", "id", nBuckets)
+    Writer.bucketedTable(statsOf(liveDocs), table + "_stats", "n_docs", 1)
+    spark.sql(s"DROP TABLE $t")
+    Seq(table, table + "_docs", table + "_stats")
+      .foreach(spark.catalog.refreshTable)
+    removed
+  }
+
   /** BM25 top-k for 1–8 query terms off the persisted index: reads the
     * query terms' postings (term-bucket-pruned scan, `dl` riding in
     * the row), sums the k-row stats table for (N, avgdl), and ranks
@@ -123,14 +195,13 @@ object PostingsIndex {
     require(terms.nonEmpty && terms.size <= 8,
       s"probe takes 1–8 query terms, got ${terms.size}")
     require(terms.distinct.size == terms.size, "query terms must be distinct")
-    val post = spark.table(table)
-      .select(col("term"), col("id"), col("tf"), col("dl"))
-      .where(col("term").isin(terms: _*))
+    val post = minusTombstones(spark, table,
+        spark.table(table)
+          .select(col("term"), col("id"), col("tf"), col("dl"))
+          .where(col("term").isin(terms: _*)))
       // Feeds tf and df aggregates — read the pruned postings once.
       .pipe(Checkpoints.stage)
-    val st = spark.table(table + "_stats")
-      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("__n_docs"),
-        coalesce(sum(col("sum_dl")), lit(0L)).as("__sum_dl"))
+    val st = liveStats(spark, table)
     val tfCols = terms.zipWithIndex.map { case (tm, i) =>
       sum(when(col("term") === tm, col("tf")).otherwise(0L)).as(s"tf_$i")
     }
@@ -175,13 +246,12 @@ object PostingsIndex {
       ts.zipWithIndex.map { case (t, i) => (qid, i, t) }
     }.toDF("query_id", "term_idx", "term")
     val allTerms = queries.flatMap(_._2).distinct
-    val post = spark.table(table)
-      .select(col("term"), col("id"), col("tf"), col("dl"))
-      .where(col("term").isin(allTerms: _*))
+    val post = minusTombstones(spark, table,
+        spark.table(table)
+          .select(col("term"), col("id"), col("tf"), col("dl"))
+          .where(col("term").isin(allTerms: _*)))
       .pipe(Checkpoints.stage)
-    val st = spark.table(table + "_stats")
-      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("__n_docs"),
-        coalesce(sum(col("sum_dl")), lit(0L)).as("__sum_dl"))
+    val st = liveStats(spark, table)
     // Document frequency per DISTINCT term, computed once and shared
     // across every query that uses the term.
     val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("__df"))

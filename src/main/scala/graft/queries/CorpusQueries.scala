@@ -340,6 +340,7 @@ private[graft] object CorpusQueries {
         Seq("dup", "data"), topK = 10)),
     "x_bm25_index" -> ((s, dir) => bm25Index(s, dir)),
     "x_bm25_batch" -> ((s, dir) => bm25Batch(s, dir)),
+    "x_bm25_delete" -> ((s, dir) => bm25Delete(s, dir)),
     "x_stream_bm25" -> ((s, dir) => streamBm25(s, dir)),
     "x_bpe_encode" -> ((s, dir) => bpeEncodeCensus(s, dir)),
     "x_tokenize_pack" -> ((s, dir) => tokenizePack(s, dir)),
@@ -1362,6 +1363,37 @@ private[graft] object CorpusQueries {
     graft.ext.PostingsIndex.append(s, table, docs.where(isNew), "doc_id", "text")
     graft.ext.PostingsIndex.probe(s, table, Seq("dup", "data"), topK = 10)
       .withColumnRenamed("id", "doc_id")
+  }
+
+  /** x_bm25_delete: the BM25 takedown lifecycle — build over the full
+    * corpus, tombstone-delete every 5th doc (PostingsIndex.delete),
+    * probe: postings AND stats must shed the deleted docs, so every
+    * surviving score equals the scan-time scorer on the live corpus
+    * (idf/avgdl included) — which the oracle replays value-exact.
+    * Then purge physically and probe again: identical rows
+    * (purge_stable_ok over the real outputs). */
+  private def bm25Delete(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val docs = Tables.documents(s, dir)
+    val table = "graft_bm25_del_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    if (s.catalog.tableExists(table + "_tombstones"))
+      s.sql(s"DROP TABLE ${table}_tombstones")
+    graft.ext.PostingsIndex.build(s, docs, "doc_id", "text", table)
+    graft.ext.PostingsIndex.delete(s, table,
+      docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+        .select(col("doc_id").as("id")))
+    val probe1 = graft.ext.PostingsIndex.probe(s, table, Seq("dup", "data"), topK = 10)
+      .pipe(graft.ext.Checkpoints.stage)
+    graft.ext.PostingsIndex.purgeTombstones(s, table)
+    val probe2 = graft.ext.PostingsIndex.probe(s, table, Seq("dup", "data"), topK = 10)
+      .pipe(graft.ext.Checkpoints.stage)
+    val stable = probe1.exceptAll(probe2).count() == 0 &&
+      probe2.exceptAll(probe1).count() == 0
+    probe1.withColumnRenamed("id", "doc_id")
+      .withColumn("purge_stable_ok", lit(if (stable) 1L else 0L))
   }
 
   /** x_bm25_batch: the SERVING shape — three term queries answered by
@@ -2393,6 +2425,14 @@ private[graft] object CorpusQueries {
     // build/append/redeliver lifecycle and bucket-pruned probe on the
     // engine side have to land on the same bits.
     "x_bm25_index" -> bm25OracleSql,
+    // Takedown probe == scan-time scorer on the LIVE corpus (the
+    // deleted docs leave idf/avgdl too); purge bit over real outputs.
+    "x_bm25_delete" ->
+      (bm25OracleSql
+        .replace("FROM documents WHERE text IS NOT NULL",
+          "FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 0")
+        .replace("SELECT doc_id, dl, tf_0, tf_1, score FROM s",
+          "SELECT doc_id, dl, tf_0, tf_1, score, CAST(1 AS BIGINT) AS purge_stable_ok FROM s")),
     // Batched serving probe: query 0's rows replayed value-exact; the
     // batch ≡ single contract for all three queries enters as a bit
     // computed over the real output.

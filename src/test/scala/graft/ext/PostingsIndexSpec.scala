@@ -138,6 +138,30 @@ class PostingsIndexSpec extends AnyFunSuite {
     assert(nIndexed() == 8L, "compact must not change the stats mass")
   }
 
+  test("delete: probe equals scan on the live corpus (idf/avgdl shift too); purge stable") {
+    val table = "pidx_del"
+    if (spark.catalog.tableExists(table + "_tombstones"))
+      spark.sql(s"DROP TABLE ${table}_tombstones")
+    PostingsIndex.build(spark, corpus, "doc_id", "text", table)
+    // Delete doc 4 (two 'dup' postings + a 'data' one): df, N and
+    // avgdl all change — the probe must equal a scan on the rest.
+    PostingsIndex.delete(spark, table, Seq(4L).toDF("id"))
+    val live = corpus.where(col("doc_id") =!= 4L)
+    assert(probeTopK(table) == scanTopK(live),
+      "tombstoned probe must equal the live-corpus scan bit-for-bit")
+    // Idempotent re-delete; then a second id.
+    PostingsIndex.delete(spark, table, Seq(4L, 4L).toDF("id"))
+    PostingsIndex.delete(spark, table, Seq(2L).toDF("id"))
+    val live2 = corpus.where(!col("doc_id").isin(2L, 4L))
+    val before = probeTopK(table)
+    assert(before == scanTopK(live2))
+    val purged = PostingsIndex.purgeTombstones(spark, table)
+    assert(purged > 0, "purge must remove the deleted docs' postings")
+    assert(!spark.catalog.tableExists(table + "_tombstones"))
+    assert(probeTopK(table) == before, "purge never changes answers")
+    assert(PostingsIndex.purgeTombstones(spark, table) == 0L)
+  }
+
   test("probe plan: term-pruned postings scan, no _docs contact, no corpus-keyed join") {
     PostingsIndex.build(spark, corpus, "doc_id", "text", "pidx_t4")
     val plan = PostingsIndex.probe(spark, "pidx_t4", terms, 10)

@@ -54,6 +54,47 @@ object DedupIndex {
   def buildFromBands(bands: DataFrame, table: String, nBuckets: Int = 16): Unit =
     Writer.bucketedTable(bands, table, "band_hash", nBuckets)
 
+  /** Tombstone-delete docs from the band index — the takedown pattern
+    * shared across the four index families (WinnowIndex's doc has the
+    * contract): probes hide tombstoned ids BEFORE the bucket census,
+    * so cap decisions and candidate pairs equal a rebuild on the live
+    * corpus; [[purgeTombstones]] rewrites physically later. Pinned in
+    * DedupSpec (probe-equals-live + purge stability). */
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    val t = table + "_tombstones"
+    val d = ids.select(col("id")).distinct()
+    if (!spark.catalog.tableExists(t)) d.write.saveAsTable(t)
+    else d.join(spark.table(t), Seq("id"), "left_anti")
+      .write.mode("append").insertInto(t)
+    spark.catalog.refreshTable(t)
+  }
+
+  private def minusTombstones(spark: SparkSession, table: String,
+                              bands: DataFrame): DataFrame = {
+    val t = table + "_tombstones"
+    if (spark.catalog.tableExists(t))
+      bands.join(broadcast(spark.table(t)), Seq("id"), "left_anti")
+    else bands
+  }
+
+  /** Physically purge tombstoned bands (same bucketed layout), drop
+    * the tombstone list. Answer-stable; returns rows removed. */
+  def purgeTombstones(spark: SparkSession, table: String,
+                      nBuckets: Int = 16): Long = {
+    val t = table + "_tombstones"
+    if (!spark.catalog.tableExists(t)) return 0L
+    val snap = spark.table(table)
+      .select(col("id"), col("band_id"), col("band_hash"))
+      .localCheckpoint(true)
+    val live = snap.join(spark.table(t).localCheckpoint(true),
+      Seq("id"), "left_anti").localCheckpoint(true)
+    val removed = snap.count() - live.count()
+    Writer.bucketedTable(live, table, "band_hash", nBuckets)
+    spark.sql(s"DROP TABLE $t")
+    spark.catalog.refreshTable(table)
+    removed
+  }
+
   /** Append a new batch's bands to an existing index (after a
     * [[probeNewBatch]] has deduped the batch, persist the survivors'
     * bands so the NEXT shard probes against them too). insertInto
@@ -153,8 +194,10 @@ object DedupIndex {
     // optimizer collapses (the PlanAuditSpec pins are unchanged).
     val idxRead = excludeBatch.foldLeft(spark.table(table))((df, b) =>
       df.where(col(graft.streaming.StreamOps.BatchTag) =!= lit(b)))
-    val idxTouched = idxRead
-      .select(col("id"), col("band_id"), col("band_hash"))
+    // Tombstoned docs vanish BEFORE the bucket census — cap decisions
+    // and pairs equal a rebuild on the live corpus.
+    val idxTouched = minusTombstones(spark, table,
+        idxRead.select(col("id"), col("band_id"), col("band_hash")))
       .join(touched, Seq("band_id", "band_hash"), "left_semi")
     // Bucket counts over old ∪ new — the SAME cap decision the batch
     // pipeline would make on the union corpus (see the object doc), so

@@ -84,14 +84,63 @@ object IvfIndex {
     * the same centroids (same driver-side ranking, same cosine
     * expression) — only the training and assignment work is amortized
     * away, and the scan is partition-pruned to the probed clusters. */
+
+  /** Tombstone-delete vectors from the index — the takedown pattern
+    * shared across the four index families (WinnowIndex's doc has the
+    * contract). Probes hide tombstoned ids; [[purgeTombstones]]
+    * rewrites the partitioned layout later. Pinned in IvfIndexSpec. */
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    val t = table + "_tombstones"
+    val d = ids.select(col("id")).distinct()
+    if (!spark.catalog.tableExists(t)) d.write.saveAsTable(t)
+    else d.join(spark.table(t), Seq("id"), "left_anti")
+      .write.mode("append").insertInto(t)
+    spark.catalog.refreshTable(t)
+  }
+
+  private def minusTombstones(spark: SparkSession, table: String,
+                              idCol: String, rows: DataFrame): DataFrame = {
+    val t = table + "_tombstones"
+    if (spark.catalog.tableExists(t))
+      rows.join(broadcast(spark.table(t).select(col("id").as(idCol))),
+        Seq(idCol), "left_anti")
+    else rows
+  }
+
+  /** Physically purge tombstoned vectors: full rewrite in the same
+    * compact partitioned layout (a deployment-scale variant overwrites
+    * ONLY the clusters holding tombstoned ids via dynamic partition
+    * overwrite — same result, partition-pruned write), then drop the
+    * tombstone list. Answer-stable; returns rows removed. */
+  def purgeTombstones(spark: SparkSession, table: String,
+                      idCol: String): Long = {
+    val t = table + "_tombstones"
+    if (!spark.catalog.tableExists(t)) return 0L
+    val snap = spark.table(table).localCheckpoint(true)
+    val live = snap.join(broadcast(
+        spark.table(t).localCheckpoint(true).select(col("id").as(idCol))),
+      Seq(idCol), "left_anti").localCheckpoint(true)
+    val removed = snap.count() - live.count()
+    live
+      .repartition(col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"), col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id")
+      .format("parquet")
+      .saveAsTable(table)
+    spark.sql(s"DROP TABLE $t")
+    spark.catalog.refreshTable(table)
+    removed
+  }
+
   def probeTopK(spark: SparkSession, table: String, idCol: String,
                 vecCol: String, query: Seq[Float], k: Int,
                 nProbe: Int): DataFrame = {
     val cents = centroids(spark, table)
     val probe = Similarity.probeClusters(cents, query, nProbe)
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    spark.table(table)
-      .where(col("cluster_id").isin(probe: _*))
+    minusTombstones(spark, table, idCol,
+        spark.table(table).where(col("cluster_id").isin(probe: _*)))
       .select(col(idCol), Similarity.cosineIn(spark)(col(vecCol), q).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
@@ -135,7 +184,8 @@ object IvfIndex {
     val qq = Quantize.quantizeLocal(query)
     val qlit = array(qq.toIndexedSeq.map(lit(_)): _*)
     val qnorm2 = Similarity.dotIn(spark)(col("qv"), col("qv"))
-    spark.table(table).where(col("cluster_id").isin(probe: _*))
+    minusTombstones(spark, table, idCol,
+        spark.table(table).where(col("cluster_id").isin(probe: _*)))
       .select(col(idCol),
         when(qnorm2 === 0.0, lit(null).cast("double"))
           .otherwise(Similarity.dotIn(spark)(col("qv"), qlit) / sqrt(qnorm2))

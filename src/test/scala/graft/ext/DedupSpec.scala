@@ -909,6 +909,30 @@ class DedupSpec extends AnyFunSuite {
       s"only the leaking doc drops (null-text docs survive): $clean")
   }
 
+  test("DedupIndex.delete: tombstoned docs vanish from band probes; purge answer-stable") {
+    import spark.implicits._
+    val body = (1 to 30).map(i => s"token$i").mkString(" ")
+    val old = Seq(
+      (1L, s"$body variant one"),
+      (2L, s"$body variant two"),
+      (3L, "a totally different unrelated document body here")).toDF("doc_id", "text")
+    val newDocs = Seq((10L, s"$body variant ten")).toDF("doc_id", "text")
+    val idx = "graft_band_del_spec"
+    if (spark.catalog.tableExists(idx + "_tombstones"))
+      spark.sql(s"DROP TABLE ${idx}_tombstones")
+    DedupIndex.build(old, "doc_id", "text", idx)
+    def cands() = DedupIndex.probeNewBatch(spark, idx, newDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands() == Set((1L, 10L), (2L, 10L)), "pre-delete: both variants pair")
+    DedupIndex.delete(spark, idx, Seq(1L).toDF("id"))
+    assert(cands() == Set((2L, 10L)), "deleted doc must vanish from band probes")
+    val before = spark.table(idx).count()
+    val purged = DedupIndex.purgeTombstones(spark, idx)
+    assert(purged > 0 && spark.table(idx).count() == before - purged)
+    assert(cands() == Set((2L, 10L)), "purge never changes answers")
+    assert(DedupIndex.purgeTombstones(spark, idx) == 0L)
+  }
+
   test("WinnowIndex.delete: tombstoned docs vanish from probes; purge is answer-stable and idempotent") {
     import spark.implicits._
     val shared = "this exact passage appears verbatim in both documents today"

@@ -195,4 +195,32 @@ class IvfIndexSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
     }
   }
+
+  test("delete: tombstoned vectors vanish from float AND quantized probes; purge answer-stable") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0)
+    val t = "ivf_del_spec"
+    if (spark.catalog.tableExists(t + "_tombstones"))
+      spark.sql(s"DROP TABLE ${t}_tombstones")
+    IvfIndex.build(corpus, "vec_id", "embedding", t, k = 8, iters = 1)
+    def top(k: Int) = IvfIndex.probeTopK(spark, t, "vec_id", "embedding", q, k, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val before = top(10)
+    // Delete the current top-2 hits: they must vanish, the rest keep order.
+    IvfIndex.delete(spark, t, before.take(2).toDF("id"))
+    val after = top(10)
+    assert(!after.exists(before.take(2).contains), "deleted ids must vanish")
+    assert(after.take(8) == before.drop(2), "survivors keep their exact order")
+    // Quantized probe honors tombstones too.
+    val qTop = IvfIndex.probeTopKQuantized(spark, t, "vec_id", "embedding", q, 10, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!qTop.exists(before.take(2).contains), "quantized probe must hide tombstones")
+    val purged = IvfIndex.purgeTombstones(spark, t, "vec_id")
+    assert(purged == 2L, s"exactly the two tombstoned rows purge, got $purged")
+    assert(top(10) == after, "purge never changes answers")
+    assert(IvfIndex.purgeTombstones(spark, t, "vec_id") == 0L)
+  }
 }

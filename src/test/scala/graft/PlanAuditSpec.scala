@@ -363,4 +363,44 @@ class PlanAuditSpec extends AnyFunSuite {
         l.contains("graftnfc") && l.trim.startsWith("*(")),
       s"nfcNormalize's kernel Project must be codegen-starred:\n$nfc")
   }
+
+  test("gopherRules: shuffle-free per-row census — no Exchange in the pre-sort plan") {
+    // The orderBy is presentation; audit the plan BELOW it (the census
+    // itself must be one codegen projection over the scan).
+    val plan = graft.ext.TextAnalysis.gopherRules(
+        graft.Tables.documents(spark, TestSpark.sf0001), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val body = plan.split("\n").dropWhile(l => !l.contains("Project")).mkString("\n")
+    assert(!body.contains("Exchange hashpartitioning"),
+      s"per-row rule census must not shuffle below its projection:\n$plan")
+    assert(!plan.contains("Window("), s"no window machinery:\n$plan")
+  }
+
+  test("Pq.probeBatch: per-query top-k rides WindowGroupLimit, partitioned by query") {
+    val docs = spark.range(0, 200).selectExpr("id as vec_id",
+      "transform(sequence(1, 8), i -> cast(pmod(hash(id, i), 100) as float) / 100.0) as embedding")
+    val books = graft.ext.Pq.trainCodebooks(docs, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+    val enc = graft.ext.Pq.encodePacked(docs, "vec_id", "embedding", books)
+    val qs = Seq(1L -> Seq(1f, 0f, 0f, 1f, 1f, 0f, 0f, 1f),
+      2L -> Seq(0f, 1f, 1f, 0f, 0f, 1f, 1f, 0f))
+    val plan = graft.ext.Pq.probeBatch(enc, "vec_id", qs, books, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must prune partially pre-shuffle:\n$plan")
+    assert(plan.contains("query_id"),
+      s"window must partition by query_id:\n$plan")
+  }
+
+  test("nbClassify scoring: word-keyed join against the grid — no corpus-sized nested loop") {
+    val plan = SparkEntry.queries("x_nb_classify")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    // The only nested-loop inputs are the k-row class table (grid
+    // build) and the 1-row default; the doc-word scoring join itself
+    // must be a keyed hash/sort join on the word column.
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin")
+        || plan.contains("BroadcastHashJoin"),
+      s"scoring must join keyed on the word:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian anywhere in the classifier:\n$plan")
+  }
 }

@@ -83,6 +83,13 @@ object DedupIndex {
                       nBuckets: Int = 16): Long = {
     val t = table + "_tombstones"
     if (!spark.catalog.tableExists(t)) return 0L
+    require(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .partitionColumnNames.isEmpty,
+      s"purgeTombstones supports the batch (bucketed) layout only — " +
+        s"`$table` is batch-partitioned (streaming layout); tombstoned " +
+        "probes already exclude deleted ids there, and a physical purge " +
+        "belongs in the compact cycle")
     val snap = spark.table(table)
       .select(col("id"), col("band_id"), col("band_hash"))
       .localCheckpoint(true)

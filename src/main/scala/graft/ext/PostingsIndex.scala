@@ -163,6 +163,13 @@ object PostingsIndex {
                       nBuckets: Int = 16): Long = {
     val t = table + "_tombstones"
     if (!spark.catalog.tableExists(t)) return 0L
+    require(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .partitionColumnNames.isEmpty,
+      s"purgeTombstones supports the batch (bucketed) layout only — " +
+        s"`$table` is batch-partitioned (streaming layout); tombstoned " +
+        "probes already exclude deleted ids there, and a physical purge " +
+        "belongs in the compact cycle")
     val stones = spark.table(t).localCheckpoint(true)
     val postSnap = spark.table(table)
       .select(col("term"), col("id"), col("tf"), col("dl"))

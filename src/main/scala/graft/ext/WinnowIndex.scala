@@ -248,6 +248,13 @@ object WinnowIndex {
                       nBuckets: Int = 16): Long = {
     val t = table + "_tombstones"
     if (!spark.catalog.tableExists(t)) return 0L
+    require(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .partitionColumnNames.isEmpty,
+      s"purgeTombstones supports the batch (bucketed) layout only — " +
+        s"`$table` is batch-partitioned (streaming layout); tombstoned " +
+        "probes already exclude deleted ids there, and a physical purge " +
+        "belongs in the compact cycle")
     // Snapshot BEFORE overwriting — the rewrite must never read the
     // table it replaces mid-job (the compactSink discipline).
     val snap = spark.table(table).localCheckpoint(true)

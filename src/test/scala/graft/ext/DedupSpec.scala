@@ -933,6 +933,24 @@ class DedupSpec extends AnyFunSuite {
     assert(DedupIndex.purgeTombstones(spark, idx) == 0L)
   }
 
+  test("purgeTombstones REFUSES the streaming (batch-partitioned) layout — probes filter, compact purges") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val t = "graft_purge_guard_spec"
+    graft.io.Writer.emptyPartitionedBucketedTable(spark, t,
+      StructType(Seq(StructField("id", LongType), StructField("fp", LongType),
+        StructField(graft.streaming.StreamOps.BatchTag, LongType))),
+      graft.streaming.StreamOps.BatchTag, "fp", 4)
+    WinnowIndex.delete(spark, t, Seq(1L).toDF("id"))
+    val e = intercept[IllegalArgumentException] {
+      WinnowIndex.purgeTombstones(spark, t)
+    }
+    assert(e.getMessage.contains("batch-partitioned"),
+      s"guard must name the streaming layout: ${e.getMessage}")
+    spark.sql(s"DROP TABLE ${t}_tombstones")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("WinnowIndex.delete: tombstoned docs vanish from probes; purge is answer-stable and idempotent") {
     import spark.implicits._
     val shared = "this exact passage appears verbatim in both documents today"

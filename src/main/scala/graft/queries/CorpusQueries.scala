@@ -152,6 +152,7 @@ private[graft] object CorpusQueries {
     "x_stream_classify" -> ((s, dir) => streamClassify(s, dir)),
     "x_detector_agreement" -> ((s, dir) => detectorAgreement(s, dir)),
     "x_corpus_diff" -> ((s, dir) => corpusDiff(s, dir)),
+    "x_simhash_dedup" -> ((s, dir) => simhashDedupGate(s, dir)),
     "x_index_delete" -> ((s, dir) => indexDelete(s, dir)),
     "x_cluster_split" -> ((s, dir) => clusterSplitSummary(s, dir)),
     "x_curriculum" -> ((s, dir) => curriculumSummary(s, dir)),
@@ -850,6 +851,72 @@ private[graft] object CorpusQueries {
       .withColumn("n_purged", lit(nPurged))
       .withColumn("purge_stable_ok", lit(if (stable) 1L else 0L))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** x_simhash_dedup: the banded SimHash detector end to end
+    * (Dedup.simhashPairs/simhashDedup). Hash values are
+    * engine-internal (xxhash64 votes), so the gate is the
+    * census+invariant form over the REAL pipeline output:
+    * banded_complete_ok re-proves the 4-band pigeonhole on this
+    * corpus (every hamming ≤ 3 pair among the all-pairs DISTINCT-hash
+    * truth — gate-scale only, labeled — must appear in the banded
+    * verified set), capped_none_ok certifies the truth pass's
+    * precondition (no bucket hit the cap here), ident_collapsed_ok
+    * pins that byte-identical texts collapse to one survivor
+    * (identical text ⇒ identical hash ⇒ hamming 0), and the output
+    * size is bounded by the distinct-text census. Per-value semantics
+    * stay in DedupSpec. */
+  private def simhashDedupGate(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val docs = Tables.documents(s, dir)
+    val live = docs.where(col("text").isNotNull)
+    val verified = Dedup.simhashPairs(docs, "doc_id", "text")
+      .pipe(graft.ext.Checkpoints.stage)
+    val hashes = live
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .pipe(graft.ext.Checkpoints.stage)
+    // Truth pass (gate scale): all-pairs hamming over DISTINCT hash
+    // values, expanded back to id pairs.
+    val dv = hashes.select(col("sh")).distinct()
+      .pipe(graft.ext.Checkpoints.stage)
+    val closeVals = dv.select(col("sh").as("sh_a"))
+      .crossJoin(dv.select(col("sh").as("sh_b")))
+      .where(col("sh_a") < col("sh_b") &&
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+    val crossIdPairs = closeVals
+      .join(hashes.select(col("sh").as("sh_a"), col("doc_id").as("ia")), Seq("sh_a"))
+      .join(hashes.select(col("sh").as("sh_b"), col("doc_id").as("ib")), Seq("sh_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"))
+    val sameValPairs = hashes.select(col("sh"), col("doc_id").as("ia"))
+      .join(hashes.select(col("sh"), col("doc_id").as("ib")), Seq("sh"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+    val truth = crossIdPairs.unionByName(sameValPairs)
+      .pipe(graft.ext.Checkpoints.stage)
+    val missing = truth
+      .join(verified.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("__missing"))
+    val capped = hashes
+      .select(posexplode(array((0 until 4).map(j =>
+        shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L))): _*)))
+      .toDF("band_id", "band_val")
+      .groupBy(col("band_id"), col("band_val"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(count(when(col("__n") > 1000, lit(1))).as("__capped"))
+    val out = Dedup.simhashDedup(docs, "doc_id", "text")
+      .pipe(graft.ext.Checkpoints.stage)
+    val outStats = out.agg(count(lit(1)).as("__n_out"),
+      count_distinct(col("text")).as("__n_out_text"))
+    live.agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("text")).as("n_distinct_text"))
+      .crossJoin(missing).crossJoin(capped).crossJoin(outStats)
+      .select(col("n_docs"), col("n_distinct_text"),
+        (col("__missing") === 0).cast("long").as("banded_complete_ok"),
+        (col("__capped") === 0).cast("long").as("capped_none_ok"),
+        (col("__n_out") === col("__n_out_text")).cast("long").as("ident_collapsed_ok"),
+        (col("__n_out") >= 1 && col("__n_out") <= col("n_distinct_text"))
+          .cast("long").as("out_bounded_ok"))
   }
 
   /** x_corpus_diff: snapshot delta census — the report an incremental
@@ -2631,6 +2698,16 @@ private[graft] object CorpusQueries {
         |  CAST(1 AS BIGINT) AS purge_stable_ok
         | FROM p WHERE n_shared >= 2 AND id_b >= 250
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    // SimHash dedup: census values replayed; the pigeonhole/collapse
+    // bits derive from the real pipeline + truth pass in-engine.
+    "x_simhash_dedup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_text,
+        | CAST(1 AS BIGINT) AS banded_complete_ok,
+        | CAST(1 AS BIGINT) AS capped_none_ok,
+        | CAST(1 AS BIGINT) AS ident_collapsed_ok,
+        | CAST(1 AS BIGINT) AS out_bounded_ok
+        | FROM documents WHERE text IS NOT NULL""".stripMargin.replaceAll("\n", " "),
     // Snapshot diff replayed: same slices, same edit, same md5
     // fingerprints, same full-outer status derivation.
     "x_corpus_diff" ->

@@ -75,7 +75,10 @@ class SparkEntrySpec extends AnyFunSuite {
       // 1-row gate assembly (masses × chunk census × invariant bits).
       "x_tokenize_pack",
       // 1-row report assembly of the two truth detectors' counts.
-      "x_detector_agreement")
+      "x_detector_agreement",
+      // Labeled gate-scale truth pass: all-pairs hamming over DISTINCT
+      // hash values, plus the 1-row report assembly.
+      "x_simhash_dedup")
     val allowDayGrain = Set("x_rolling_stats", "x_gap_fill")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, TestSpark.sf0001)

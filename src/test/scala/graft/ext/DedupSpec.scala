@@ -933,6 +933,36 @@ class DedupSpec extends AnyFunSuite {
     assert(DedupIndex.purgeTombstones(spark, idx) == 0L)
   }
 
+  test("simhashPairs: banded set equals brute-force hamming truth (pigeonhole); dedup collapses identical docs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, graft.TestSpark.sf0001)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Brute-force truth on the driver (500 hashes): every hamming<=3
+    // pair must be found with the exact distance, and nothing else.
+    val hs = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(pairs.toSet == truth,
+      s"banded != truth: extra=${pairs.toSet -- truth} missing=${truth -- pairs.toSet}")
+    // Identical docs (planted dup groups exist at sf0.001) share the
+    // hash, so dedup keeps exactly one per text value among clustered
+    // docs — survivors' texts of the clustered subgraph are distinct.
+    val out = Dedup.simhashDedup(docs, "doc_id", "text")
+    val survivors = out.where(col("text").isNotNull)
+    assert(survivors.count() == out.count())
+    val dupTexts = docs.groupBy(col("text")).count().where(col("count") > 1).count()
+    if (dupTexts > 0)
+      assert(survivors.count() < docs.where(col("text").isNotNull).count(),
+        "identical-text groups must lose members")
+    assert(survivors.groupBy(col("text")).count().where(col("count") > 1).count() == 0,
+      "no two survivors may share a text")
+  }
+
   test("purgeTombstones REFUSES the streaming (batch-partitioned) layout — probes filter, compact purges") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StructField, StructType}

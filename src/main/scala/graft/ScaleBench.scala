@@ -1382,6 +1382,59 @@ object ScaleBench {
       s""""tokenize_pack":{"t":${fmt(tTp)},"n_docs":$nDocsTp}}"""
   }
 
+  /** The banded-SimHash detector at scale, next to the MinHash skew
+    * point: wall + verified-pair mass + the Σ bucket² join budget, on
+    * the planted-cluster corpus. The 40-word synthetic vocabulary is
+    * ADVERSARIALLY low-entropy for simhash (correlated bit votes →
+    * few distinct band values → hot buckets even at 1×) — exactly the
+    * degenerate shape the hot-bucket cap exists for, so the point
+    * measures the CAPPED join and requires the operator's actual
+    * guarantee: every same-hash pair with ≥ 1 UNCAPPED band (linear
+    * to compute: per-hash, check its 4 buckets against the census)
+    * must appear in the banded verified set at distance 0. Real-
+    * corpus hashes are near-uniform; this corpus bounds the worst
+    * case. */
+  def simhashPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.Dedup
+    val n = 5000L * scale
+    val docs = genDocuments(spark, n).localCheckpoint(true)
+    val hashes = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .localCheckpoint(true)
+    val bandRows = hashes
+      .select(col("sh"), posexplode(array((0 until 4).map(j =>
+        shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L))): _*)))
+      .toDF("sh", "band_id", "band_val")
+      .localCheckpoint(true)
+    val census = bandRows.groupBy(col("band_id"), col("band_val"))
+      .agg(count(lit(1)).as("__n")).localCheckpoint(true)
+    val nOverCap = census.where(col("__n") > 1000).count()
+    val bucketMass = census
+      .agg(coalesce(sum(expr("__n * (__n - 1) DIV 2")), lit(0L)))
+      .first().getLong(0)
+    // Same-hash pairs whose hash keeps >= 1 uncapped band — the
+    // subset the cap provably preserves (they agree on EVERY band).
+    val eligible = bandRows.join(census, Seq("band_id", "band_val"))
+      .groupBy(col("sh"))
+      .agg(max((col("__n") <= 1000).cast("int")).as("__ok"))
+      .where(col("__ok") === 1)
+      .join(hashes, Seq("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
+      .first().getLong(0)
+    spark.sqlContext.clearCache()
+    val ((nPairs, nHam0), tSim) = timed {
+      val p = Dedup.simhashPairs(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      (p.count(), p.where(col("hamming") === 0).count())
+    }
+    require(nHam0 >= eligible,
+      s"banded set must hold every uncapped same-hash pair: $nHam0 < $eligible")
+    s"""{"simhash":{"scale":$scale,"n_docs":$n,"t":${fmt(tSim)},""" +
+      s""""n_pairs":$nPairs,"n_hamming0":$nHam0,"eligible_same_hash":$eligible,""" +
+      s""""n_over_cap_buckets":$nOverCap,"bucket_pair_mass_uncapped":$bucketMass}}"""
+  }
+
   /** Recall-vs-nProbe operating curve for the IVF index — the table a
     * 100 TB operator consults before picking a probe width, measured
     * on BOTH corpus shapes because they bound the real world:
@@ -1618,6 +1671,13 @@ object ScaleBench {
     if (args.contains("retrieval-ops-only")) {
       retrievalOpsPoint(spark, outBase, 1)
       scales.foreach(m => println(retrievalOpsPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `simhash-only`: banded-SimHash detector point.
+    if (args.contains("simhash-only")) {
+      simhashPoint(spark, outBase, 1)
+      scales.foreach(m => println(simhashPoint(spark, outBase, m)))
       spark.stop()
       return
     }

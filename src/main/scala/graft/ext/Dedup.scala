@@ -603,6 +603,75 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** SURGICAL decontamination: cut the leaked passage OUT of a flagged
+    * training doc instead of dropping the whole doc (the fix
+    * deduplication literature reaches for when whole-doc removal costs
+    * too much good text — remove the repeated span, keep the rest).
+    * Two stages with different jobs:
+    *   1. DETECT — [[crossCorpusPairs]] (winnow fingerprints, union
+    *      cap, minShared) flags (train, eval) pairs exactly as
+    *      [[decontaminate]] would;
+    *   2. LOCALIZE — for flagged docs only, every train k-gram
+    *      position whose md5-prefix hash appears among the MATCHED
+    *      eval docs' k-grams marks chars [pos, pos+k) leaked; a char
+    *      survives iff no leaked k-gram covers it. All k-grams here,
+    *      not the winnowed subset — fingerprints are a sample and
+    *      would leave most of the quoted span in place.
+    * Both stages are keyed joins (pair-scoped: the k-gram join
+    * touches flagged train docs × their matched eval docs only); the
+    * per-char rebuild is O(len·|leaked positions|) per FLAGGED doc —
+    * flagged mass is the contamination rate, typically ≪ 1% of the
+    * corpus, and the construction is replayed char-exact by the
+    * x_excise oracle. Returns one row per flagged doc: clean_text
+    * with the spans removed plus the cut census. */
+  def excisePassages(train: DataFrame, evalDocs: DataFrame,
+                     idCol: String, textCol: String,
+                     k: Int = 20, w: Int = 8, minShared: Int = 2,
+                     maxPostings: Int = 1000): DataFrame = {
+    val flagged = crossCorpusPairs(train, evalDocs, idCol, textCol,
+        k, w, minShared, maxPostings)
+      .select(col("train_id"), col("eval_id"))
+      .pipe(Checkpoints.stage)
+    val flaggedTrain = train
+      .join(flagged.select(col("train_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .pipe(Checkpoints.stage)
+    // Train k-gram positions (0-based) of flagged docs only.
+    val tpos = flaggedTrain
+      .select(col(idCol), posexplode(kgramHashes(col(textCol), k)))
+      .toDF(idCol, "__pos", "__h")
+    // Matched eval docs' k-gram hash sets, pair-scoped via the flag
+    // frame — never an all-eval join.
+    val evalH = evalDocs
+      .select(col(idCol).as("eval_id"),
+        explode(kgramHashes(col(textCol), k)).as("__h"))
+      .distinct()
+    val leaked = tpos
+      .join(flagged.withColumnRenamed("train_id", idCol), Seq(idCol))
+      .join(evalH, Seq("eval_id", "__h"), "left_semi")
+      .select(col(idCol), col("__pos")).distinct()
+    val leakedSets = leaked.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__ps"),
+        count(lit(1)).as("n_leaked_grams"))
+    // Char c (1-based) is cut iff some leaked k-gram start p (0-based)
+    // lies in [c-k, c-1]; survivors re-join in order.
+    flaggedTrain.join(leakedSets, Seq(idCol))
+      .withColumn("clean_text",
+        array_join(
+          filter(
+            transform(sequence(lit(1), length(col(textCol))),
+              c => when(exists(col("__ps"), p => p >= c - k && p <= c - 1),
+                  lit(null).cast("string"))
+                .otherwise(col(textCol).substr(c, lit(1)))),
+            x => x.isNotNull),
+          ""))
+      .select(col(idCol),
+        length(col(textCol)).cast("long").as("orig_len"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        col("n_leaked_grams"), col("clean_text"))
+      .orderBy(col(idCol))
+  }
+
   /** Drop every training doc flagged by [[crossCorpusPairs]] — the
     * composed "remove eval contamination from pretraining data" step.
     * The anti-join is id-keyed; pass a precomputed (staged) pair frame

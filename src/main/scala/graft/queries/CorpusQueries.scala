@@ -158,6 +158,7 @@ private[graft] object CorpusQueries {
     "x_curriculum" -> ((s, dir) => curriculumSummary(s, dir)),
     "x_decontaminate" -> ((s, dir) => decontaminateSummary(s, dir)),
     "x_stream_decontaminate" -> ((s, dir) => streamDecontaminate(s, dir)),
+    "x_excise" -> ((s, dir) => excise(s, dir)),
     "x_stream_group_budget" -> ((s, dir) => streamGroupBudget(s, dir)),
     "x_drop_boilerplate" -> ((s, dir) =>
       // CCNet-style cross-document repeated-block removal
@@ -851,6 +852,20 @@ private[graft] object CorpusQueries {
       .withColumn("n_purged", lit(nPurged))
       .withColumn("purge_stable_ok", lit(if (stable) 1L else 0L))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** x_excise: surgical decontamination (Dedup.excisePassages) on the
+    * x_decontaminate split — flagged train docs keep everything EXCEPT
+    * the chars covered by k-grams their matched eval docs also
+    * contain. Fingerprints (portable md5) detect; the all-k-gram
+    * pair-scoped join localizes; the per-char rebuild is replayed
+    * char-exact by the oracle, clean_text included. */
+  private def excise(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.excisePassages(
+      docs.where(col("doc_id") >= 50 && col("doc_id") < 300),
+      docs.where(col("doc_id") < 50),
+      "doc_id", "text", k = 20, w = 8, minShared = 2)
   }
 
   /** x_simhash_dedup: the banded SimHash detector end to end
@@ -2370,6 +2385,47 @@ private[graft] object CorpusQueries {
         |   - COUNT(DISTINCT train_id) AS BIGINT) AS n_clean_train FROM fl)
         | SELECT train_id, eval_id, n_shared, (SELECT n_clean_train FROM nc) AS n_clean_train
         | FROM fl ORDER BY train_id, eval_id""".stripMargin.replaceAll("\n", " "),
+    // Surgical decontamination replayed end to end: the
+    // x_decontaminate flag CTEs (union cap), then all-k-gram
+    // localization and the per-char rebuild — clean_text char-exact.
+    "x_excise" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+        | g AS (SELECT doc_id, list_transform(
+        |     generate_series(1, CASE WHEN length(text) >= 20 THEN length(text) - 19 ELSE 0 END),
+        |     i -> substr(md5(substr(text, i, 20)), 1, 8)) AS hs FROM d),
+        | f AS (SELECT doc_id,
+        |   CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_distinct(list_transform(
+        |          generate_series(1, GREATEST(len(hs) - 7, 1)),
+        |          j -> list_min(hs[j:j+7]))) END AS fps FROM g),
+        | e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        | ok AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 1000),
+        | i AS (SELECT e.doc_id, e.fp FROM e JOIN ok USING (fp)),
+        | p AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS n_shared
+        |   FROM i a JOIN i b USING (fp) WHERE a.doc_id >= 50 AND b.doc_id < 50 GROUP BY 1, 2),
+        | fl AS (SELECT train_id, eval_id FROM p WHERE n_shared >= 2),
+        | tk AS (SELECT d.doc_id, u.i - 1 AS pos, substr(md5(substr(d.text, u.i, 20)), 1, 8) AS h
+        |   FROM d, UNNEST(generate_series(1, CASE WHEN length(d.text) >= 20 THEN length(d.text) - 19 ELSE 0 END)) AS u(i)
+        |   WHERE d.doc_id IN (SELECT train_id FROM fl)),
+        | ek AS (SELECT DISTINCT d.doc_id AS eval_id, substr(md5(substr(d.text, u.i, 20)), 1, 8) AS h
+        |   FROM d, UNNEST(generate_series(1, CASE WHEN length(d.text) >= 20 THEN length(d.text) - 19 ELSE 0 END)) AS u(i)
+        |   WHERE d.doc_id < 50),
+        | lk AS (SELECT DISTINCT tk.doc_id, tk.pos FROM tk
+        |   JOIN fl ON fl.train_id = tk.doc_id
+        |   JOIN ek ON ek.eval_id = fl.eval_id AND ek.h = tk.h),
+        | ls AS (SELECT doc_id, list_sort(list(pos)) AS ps,
+        |   CAST(COUNT(*) AS BIGINT) AS n_leaked_grams FROM lk GROUP BY doc_id)
+        | SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS orig_len,
+        |  CAST(length(COALESCE(array_to_string(list_transform(
+        |    list_filter(generate_series(1, length(d.text)),
+        |      c -> len(list_filter(ls.ps, p -> p >= c - 20 AND p <= c - 1)) = 0),
+        |    c -> substr(d.text, c, 1)), ''), '')) AS BIGINT) AS clean_len,
+        |  ls.n_leaked_grams,
+        |  COALESCE(array_to_string(list_transform(
+        |    list_filter(generate_series(1, length(d.text)),
+        |      c -> len(list_filter(ls.ps, p -> p >= c - 20 AND p <= c - 1)) = 0),
+        |    c -> substr(d.text, c, 1)), ''), '') AS clean_text
+        | FROM d JOIN ls USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
     // Streaming decontamination replayed as the EVAL-CAPPED one-shot
     // (same winnow/md5 arithmetic as x_decontaminate; cap on eval-side
     // posting counts only — the stream's batch-independent contract).

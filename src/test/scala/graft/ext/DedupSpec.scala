@@ -1012,6 +1012,40 @@ class DedupSpec extends AnyFunSuite {
     assert(WinnowIndex.purgeTombstones(spark, idx) == 0L, "second purge is a no-op")
   }
 
+  test("excisePassages: the quoted span is cut, surrounding prose survives, re-detection is clean") {
+    import spark.implicits._
+    val quote = "what is the capital of assyria answer nineveh obviously"
+    val evalDocs = Seq(
+      (1L, quote),
+      (2L, "compute the integral of x squared dx from zero to one")).toDF("doc_id", "text")
+    val prefix = "some web page with its own words here"
+    val suffix = "and its own closing thoughts afterwards"
+    val train = Seq(
+      (100L, s"$prefix $quote $suffix"),
+      (101L, "completely unrelated training document about spark shuffles")).toDF("doc_id", "text")
+    val out = Dedup.excisePassages(train, evalDocs, "doc_id", "text",
+      k = 20, w = 8, minShared = 2)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(100L), "only the quoting doc flags")
+    val r = rows.head
+    val clean = r.getAs[String]("clean_text")
+    assert(!clean.contains(quote), "the quoted span must be gone")
+    assert(clean.startsWith(prefix.dropRight(19)) || clean.startsWith(prefix.take(10)),
+      s"prefix prose must survive (cut may clip up to k-1 adjoining chars): $clean")
+    assert(clean.contains(suffix.drop(19)) || clean.contains(suffix.takeRight(10)),
+      s"suffix prose must survive: $clean")
+    assert(r.getAs[Long]("clean_len") == clean.length.toLong)
+    assert(r.getAs[Long]("clean_len") < r.getAs[Long]("orig_len"))
+    // Surgical, not whole-doc: most of the non-quoted text remains.
+    assert(clean.length >= (prefix.length + suffix.length) - 2 * 19,
+      s"cut must not exceed the span plus k-1 on each side: ${clean.length}")
+    // Re-detection on the cleaned doc finds nothing.
+    val cleaned = Seq((100L, clean)).toDF("doc_id", "text")
+    assert(Dedup.crossCorpusPairs(cleaned, evalDocs, "doc_id", "text",
+      k = 20, w = 8, minShared = 2).count() == 0,
+      "excised doc must no longer flag")
+  }
+
   test("streamDecontaminate: streamed flags equal the one-shot; shard-split-invariant") {
     import java.nio.file.{Files, Paths}
     import spark.implicits._

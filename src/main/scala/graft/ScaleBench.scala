@@ -1352,6 +1352,30 @@ object ScaleBench {
       .count() == 0, "stream flags not in the one-shot set")
     require(oneShot.join(accTbl, Seq("train_id", "eval_id", "n_shared"), "left_anti")
       .count() == 0, "one-shot flags missing from the stream")
+    // Surgical excision on the same planted-quote corpus: every
+    // planted doc must flag AND shed at least its quote's mass (the
+    // quote's k-grams all appear in the matched eval doc, so its
+    // chars are fully covered; organic cuts only shrink further).
+    spark.sqlContext.clearCache()
+    val ((nExcised, nBadPlant), tEx) = timed {
+      val out = graft.ext.Dedup.excisePassages(train, evalDocs,
+          "doc_id", "text", k = 20, w = 8, minShared = 2)
+        .localCheckpoint(true)
+      val expect = planted
+        .select(col("doc_id"),
+          (lit(n) + pmod(expr("doc_id DIV 100"), lit(500L))).as("eid"))
+        .join(evalDocs.select(col("doc_id").as("eid"),
+          length(col("text")).as("__elen")), Seq("eid"))
+      val bad = expect.join(out, Seq("doc_id"), "left")
+        .where(col("clean_len").isNull ||
+          col("clean_len") > col("orig_len") - col("__elen"))
+        .count()
+      (out.count(), bad)
+    }
+    require(nBadPlant == 0,
+      s"$nBadPlant planted quotes not fully excised")
+    require(nExcised >= n / 100,
+      s"every planted doc must flag: $nExcised < ${n / 100}")
     // Tokenize→pack: the composition's four invariants at scale.
     spark.sqlContext.clearCache()
     val ((nDocsTp, bitsOk), tTp) = timed {
@@ -1379,6 +1403,7 @@ object ScaleBench {
       s""""nb_classify":{"t":${fmt(tNb)},"n_holdout":$nHold,"n_correct":$nCorrect},""" +
       s""""gopher_rules":{"t":${fmt(tGr)},"n_rows":$nRules},""" +
       s""""stream_decontaminate":{"t":${fmt(tSd)},"n_flags":$nFlags,"n_batches":$nBatches},""" +
+      s""""excise":{"t":${fmt(tEx)},"n_excised":$nExcised},""" +
       s""""tokenize_pack":{"t":${fmt(tTp)},"n_docs":$nDocsTp}}"""
   }
 

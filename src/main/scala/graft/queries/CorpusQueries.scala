@@ -159,6 +159,7 @@ private[graft] object CorpusQueries {
     "x_decontaminate" -> ((s, dir) => decontaminateSummary(s, dir)),
     "x_stream_decontaminate" -> ((s, dir) => streamDecontaminate(s, dir)),
     "x_excise" -> ((s, dir) => excise(s, dir)),
+    "x_chunk_dedup" -> ((s, dir) => chunkDedup(s, dir)),
     "x_stream_group_budget" -> ((s, dir) => streamGroupBudget(s, dir)),
     "x_drop_boilerplate" -> ((s, dir) =>
       // CCNet-style cross-document repeated-block removal
@@ -852,6 +853,28 @@ private[graft] object CorpusQueries {
       .withColumn("n_purged", lit(nPurged))
       .withColumn("purge_stable_ok", lit(if (stable) 1L else 0L))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** x_chunk_dedup: dedup at CHUNK granularity — vector-store
+    * ingestion hygiene (never index the same RAG chunk twice, even
+    * when different docs produce it): the x_chunk_overlap chunking →
+    * md5 content fingerprint per chunk → exact-dedup census with a
+    * smallest-(doc, chunk) survivor signature, all value-replayed
+    * (portable fingerprints, integer survivor key). One keyed groupBy
+    * over the chunk stream — corpus-linear. */
+  private def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val chunks = Packing.chunkWithOverlap(Tables.documents(s, dir),
+        "doc_id", "text", window = 64, stride = 48)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("__key"),
+        md5(col("chunk_text")).as("__fp"))
+      .pipe(graft.ext.Checkpoints.stage)
+    chunks.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__c"), min(col("__key")).as("__surv"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        coalesce(sum(col("__c") - 1), lit(0L)).as("n_dup_dropped"),
+        coalesce(sum(col("__surv")), lit(0L)).as("survivor_sig"))
   }
 
   /** x_excise: surgical decontamination (Dedup.excisePassages) on the
@@ -2385,6 +2408,21 @@ private[graft] object CorpusQueries {
         |   - COUNT(DISTINCT train_id) AS BIGINT) AS n_clean_train FROM fl)
         | SELECT train_id, eval_id, n_shared, (SELECT n_clean_train FROM nc) AS n_clean_train
         | FROM fl ORDER BY train_id, eval_id""".stripMargin.replaceAll("\n", " "),
+    // Chunk dedup replayed: same chunking, same md5 fingerprints,
+    // same integer survivor key.
+    "x_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT doc_id, tok,
+        |   CASE WHEN len(tok) <= 64 THEN 1 ELSE 1 + (len(tok) - 64 + 47) // 48 END AS n_chunks FROM t),
+        | x AS (SELECT doc_id, i AS chunk_id,
+        |   md5(array_to_string(tok[i*48 + 1 : i*48 + 64], ' ')) AS fp
+        |   FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)),
+        | g AS (SELECT fp, COUNT(*) AS c, MIN(doc_id * 1000 + chunk_id) AS surv FROM x GROUP BY fp)
+        | SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+        |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_dup_dropped,
+        |  CAST(COALESCE(SUM(surv), 0) AS BIGINT) AS survivor_sig
+        | FROM g""".stripMargin.replaceAll("\n", " "),
     // Surgical decontamination replayed end to end: the
     // x_decontaminate flag CTEs (union cap), then all-k-gram
     // localization and the per-char rebuild — clean_text char-exact.

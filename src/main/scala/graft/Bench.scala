@@ -53,6 +53,15 @@ object Bench {
             // 50 queries, no query reuses another's cache, and every rep
             // pays the full pipeline (not a cached tail).
             spark.sqlContext.clearCache()
+            // clearCache only empties the SQL CacheManager — localCheckpoint
+            // barriers (Checkpoints.stage) are plain persisted RDDs freed by
+            // the ASYNC ContextCleaner on GC. Checkpoint-heavy queries' dead
+            // blocks otherwise pile up across reps (r13 rep arrays grew
+            // monotonically: x_cluster_split 5.5 → 11.9 → 30.3 s). Every rep
+            // rebuilds from scratch, so a blocking sweep is always safe and
+            // makes reps i.i.d.
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = true))
             val t0 = System.nanoTime()
             try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
             catch { case e: Throwable =>

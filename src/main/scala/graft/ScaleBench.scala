@@ -1428,7 +1428,7 @@ object ScaleBench {
       .localCheckpoint(true)
     val bandRows = hashes
       .select(col("sh"), posexplode(array((0 until 4).map(j =>
-        shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L))): _*)))
+        shiftright(col("sh"), 16 * j).bitwiseAND(lit(65535L))): _*)))
       .toDF("sh", "band_id", "band_val")
       .localCheckpoint(true)
     val census = bandRows.groupBy(col("band_id"), col("band_val"))

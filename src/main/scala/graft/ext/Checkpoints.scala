@@ -37,4 +37,19 @@ object Checkpoints {
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }
+
+  /** Free the storage behind a [[stage]]d frame NOW instead of waiting
+    * for the async ContextCleaner. Iterative operators (label
+    * propagation, large/small-star rounds) retire one barrier per
+    * round; relying on GC + ContextCleaner lets dead rounds' blocks
+    * pile up across iterations (and across bench reps), inflating
+    * executor storage monotonically. No-op for frames that are not a
+    * materialized barrier; for reliable checkpoints it drops the block
+    * copies (the files remain until context shutdown — harmless). */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

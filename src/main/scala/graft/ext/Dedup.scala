@@ -209,9 +209,10 @@ object Dedup {
   def verifyPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                   textCol: String, params: MinHashParams,
                   threshold: Double): DataFrame = {
-    // Shingle ONLY docs that appear in a candidate pair (a broadcast
-    // semi-join on the small id set): the candidate set is tiny next to
-    // the corpus, so re-shingling every document twice — once per join
+    // Shingle ONLY docs that appear in a candidate pair (an id-keyed
+    // semi-join — no broadcast hint, since the candidate-id set is
+    // dup-mass-sized at web dup rates; AQE broadcasts when it is
+    // actually small): re-shingling every document twice — once per join
     // side — would dominate the verification cost at scale. The pair
     // set itself feeds three consumers (two id projections + the join),
     // so cache it (eager localCheckpoint — ContextCleaner-managed, no
@@ -228,7 +229,7 @@ object Dedup {
     val ids = p.select(col("id_a").as("__vp_id"))
       .union(p.select(col("id_b").as("__vp_id"))).distinct()
     val sh = docs
-      .join(broadcast(ids), col(idCol) === col("__vp_id"), "left_semi")
+      .join(ids, col(idCol) === col("__vp_id"), "left_semi")
       .select(col(idCol).as("id"),
         shingles(col(textCol), params.shingleSize).as("sh"))
     p
@@ -318,10 +319,15 @@ object Dedup {
         .pipe(Checkpoints.stage)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
         .where(col("cluster_id") =!= col("prev")).count()
+      // The convergence count was the old barrier's last reader — free
+      // its blocks now rather than letting rounds accumulate until the
+      // async ContextCleaner gets to them.
+      Checkpoints.release(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
+    Checkpoints.release(edges)
     if (!converged)
       // Propagation is one hop per round: a chain of diameter > maxIters
       // leaves labels partial (some clusters split in two). Loud, not
@@ -348,14 +354,16 @@ object Dedup {
         precomputedBands)
       .pipe(Checkpoints.stage)
     // Label propagation only needs the pair-connected subgraph — every
-    // untouched doc is trivially its own cluster. The subgraph is tiny
-    // next to the corpus, so the iterations run on hundreds of rows
-    // and the losers broadcast into one anti-join over the full table.
+    // untouched doc is trivially its own cluster. The final anti-join is
+    // a plain id-keyed join with NO broadcast hint: the loser set is the
+    // corpus's duplicate mass (20–60 % of a web crawl), far past any
+    // driver/broadcast ceiling at scale — AQE still picks a broadcast
+    // join at runtime when the set is genuinely small.
     val touched = pairs.select(col("id_a").as("doc"))
       .union(pairs.select(col("id_b").as("doc"))).distinct()
     val clusters = nearDupClusters(touched, "doc", pairs)
     val losers = clusters.where(col("id") =!= col("cluster_id")).select(col("id"))
-    docs.join(broadcast(losers), docs(idCol) === losers("id"), "left_anti")
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
   /** [[dedupNearDups]] with QUALITY-AWARE survivorship: per near-dup
@@ -383,9 +391,13 @@ object Dedup {
     val touched = pairs.select(col("id_a").as("doc"))
       .union(pairs.select(col("id_b").as("doc"))).distinct()
     val clusters = nearDupClusters(touched, "doc", pairs)
+    // Cluster frame ≈ touched-doc mass (every doc in a near-dup pair) —
+    // corpus-fraction-sized at web dup rates, so no broadcast hint: the
+    // id-keyed shuffle join scales with cores and AQE still broadcasts
+    // when the touched set is actually small.
     val scored = docs
       .select(col(idCol).as("id"), col(scoreCol).as("__score"))
-      .join(broadcast(clusters), "id")
+      .join(clusters, "id")
     val winners = scored
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -394,8 +406,8 @@ object Dedup {
       .where(col("__rn") === 1)
       .select(col("id"))
     val losers = clusters.select(col("id"))
-      .join(broadcast(winners), Seq("id"), "left_anti")
-    docs.join(broadcast(losers), docs(idCol) === losers("id"), "left_anti")
+      .join(winners, Seq("id"), "left_anti")
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
   /** Exact dedup via content fingerprint: keeps one row per distinct
@@ -712,16 +724,22 @@ object Dedup {
       col("n_b"), col("contain_a_in_b"), col("contain_b_in_a")): _*)
   }
 
-  /** SimHash near-dup pairs via byte-band blocking (Manku, Jain &
+  /** SimHash near-dup pairs via band blocking (Manku, Jain &
     * Sarma 2007, "Detecting near-duplicates for web crawling"): the
-    * 32-bit [[simhash]] splits into FOUR 8-bit bands; two hashes with
+    * 64-bit [[simhash]] splits into FOUR 16-bit bands; two hashes with
     * Hamming distance ≤ 3 must agree exactly on ≥ 1 band (pigeonhole
     * — 3 differing bits can dirty at most 3 of the 4 bands), so the
     * band equi-join is a COMPLETE candidate generator for the
-    * default radius, never a recall heuristic. Candidates verify with
-    * one bit_count(xor) — no text re-read. The same hot-bucket cap as
-    * the MinHash path bounds a degenerate band value (e.g. an all-
-    * zeros band from short docs); within uncapped buckets the
+    * default radius, never a recall heuristic. 16-bit bands give
+    * 65 536 values per band — expected bucket size n/65 536, so the
+    * default 1000 cap saturates only past ~65 M docs per partition-
+    * able corpus slice (an 8-bit band space saturates by ~256 k docs,
+    * silently voiding the completeness guarantee). Candidates verify
+    * with one bit_count(xor) — no text re-read. The same hot-bucket
+    * cap as the MinHash path bounds a degenerate band value (e.g. an
+    * all-zeros band from short docs); capped buckets are NEVER silent:
+    * [[simhashOversized]] reports exactly the (band, value) buckets
+    * the detector skipped, with sizes. Within uncapped buckets the
     * pigeonhole guarantee is exact, which x_simhash_dedup's truth
     * pass checks over the real corpus (all-pairs over DISTINCT hash
     * values — gate-scale only; production trusts the theorem).
@@ -736,16 +754,7 @@ object Dedup {
                    maxBucketSize: Long = 1000L): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-band pigeonhole covers hamming <= 3, got $maxHamming")
-    val bands = Checkpoints.stage(
-      docs.where(col(textCol).isNotNull)
-        .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-        .select(col("id"), col("sh"),
-          explode(array((0 until 4).map(j =>
-            struct(lit(j).as("band_id"),
-              shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L))
-                .as("band_val"))): _*)).as("b"))
-        .select(col("id"), col("sh"), col("b.band_id").as("band_id"),
-          col("b.band_val").as("band_val")))
+    val bands = Checkpoints.stage(simhashBands(docs, idCol, textCol))
     val sized = bands.groupBy(col("band_id"), col("band_val"))
       .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucketSize)
       .select(col("band_id"), col("band_val"))
@@ -764,6 +773,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** The per-doc (band_id, band_val) table behind [[simhashPairs]]:
+    * four 16-bit bands of the 64-bit [[simhash]], one row per
+    * (doc, band). Per-row codegen, no shuffle. */
+  private def simhashBands(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .select(col("id"), col("sh"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band_id"),
+            shiftright(col("sh"), 16 * j).bitwiseAND(lit(65535L))
+              .as("band_val"))): _*)).as("b"))
+      .select(col("id"), col("sh"), col("b.band_id").as("band_id"),
+        col("b.band_val").as("band_val"))
+
+  /** The (band_id, band_val) buckets [[simhashPairs]] would SKIP at the
+    * given cap, with their sizes — the saturation report that keeps a
+    * capped bucket from being a silent recall hole (the completeness
+    * guarantee is per-pair "≥ 1 uncapped shared band"; when the band
+    * space saturates, this table is how a pipeline notices). Same
+    * shape as [[graft.ext.Similarity.oversizedBlocks]]. */
+  def simhashOversized(docs: DataFrame, idCol: String, textCol: String,
+                       maxBucketSize: Long = 1000L): DataFrame =
+    simhashBands(docs, idCol, textCol)
+      .groupBy(col("band_id"), col("band_val"))
+      .agg(count(lit(1)).as("block_n"))
+      .where(col("block_n") > maxBucketSize)
+
   /** SimHash dedup end to end: one smallest-id survivor per connected
     * component of the [[simhashPairs]] graph — the dedupNearDups
     * survivor machinery on the cheapest detector. */
@@ -776,23 +813,30 @@ object Dedup {
       .union(pairs.select(col("id_b").as("doc"))).distinct()
     val clusters = nearDupClusters(touched, "doc", pairs)
     val losers = clusters.where(col("id") =!= col("cluster_id")).select(col("id"))
-    docs.join(broadcast(losers), docs(idCol) === losers("id"), "left_anti")
+    // No broadcast hint — loser set is dup-mass-sized (see dedupNearDups).
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
-  /** 32-bit SimHash of the whitespace tokens: per bit, majority vote of
+  /** 64-bit SimHash of the whitespace tokens: per bit, majority vote of
     * the token hashes' bit values (+1/−1). Near-dups differ in few bits
-    * (compare via bit_count(a ^ b) ≤ r).
+    * (compare via bit_count(a ^ b) ≤ r). 64 bits is the width Manku et
+    * al. (WWW'07) use for web-scale near-dup detection — a 32-bit
+    * fingerprint cut into 8-bit bands saturates the band space (256
+    * values/band) by ~10⁶ docs, collapsing every banded bucket into the
+    * size cap. Bits accumulate via bitwiseOR (masks are distinct powers
+    * of two, and OR sidesteps the bit-63 two's-complement overflow a
+    * `+` would rely on).
     */
   def simhash(text: Column): Column = {
     val hs = transform(split(text, " "), t => xxhash64(t))
-    val masks = array((0 until 32).map(i => lit(1L << i)): _*)
+    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
     aggregate(
       masks,
       lit(0L),
       (acc, m) => {
         val votes = aggregate(hs, lit(0L),
           (a, h) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L))
-        acc + when(votes > 0, m).otherwise(0L)
+        acc.bitwiseOR(when(votes > 0, m).otherwise(0L))
       })
   }
 }

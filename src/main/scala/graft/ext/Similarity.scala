@@ -345,8 +345,11 @@ object Similarity {
     * pair generation keyed (Σ bucket², never n²; hot buckets dropped
     * at `maxBlockSize`), exact cosine confirms at `threshold`, then
     * min-label propagation on the TINY pair-connected subgraph and one
-    * broadcast anti-join over the corpus — identical scale shape to
-    * the text pipeline. Byte-identical vectors share every hyperplane
+    * id-keyed shuffle anti-join over the corpus (no broadcast hint —
+    * the loser set is the corpus's duplicate mass, driver-fatal to
+    * broadcast at scale; AQE broadcasts when genuinely small) —
+    * identical scale shape to the text pipeline.
+    * Byte-identical vectors share every hyperplane
     * sign and have cosine 1, so identical-embedding groups ALWAYS
     * collapse to one row (the oracle-checkable floor of the
     * hash-dependent survivor set). */
@@ -365,7 +368,7 @@ object Similarity {
       .union(pairs.select(col("id_b").as("doc"))).distinct()
     val clusters = Dedup.nearDupClusters(touched, "doc", pairs)
     val losers = clusters.where(col("id") =!= col("cluster_id")).select(col("id"))
-    corpus.join(broadcast(losers), corpus(idCol) === losers("id"), "left_anti")
+    corpus.join(losers, corpus(idCol) === losers("id"), "left_anti")
   }
 
   /** The blocks `cosinePairsWithin` would drop at the given cap, with
@@ -399,8 +402,9 @@ object Similarity {
     * the assignment, exactly like the LSH path). Assignment is one
     * per-row argmax over k broadcast centroids; group formation is
     * min-label propagation on the pair-connected subgraph (tiny by
-    * construction); the final anti-join broadcasts only the loser
-    * ids. */
+    * construction); the final anti-join is an id-keyed shuffle join —
+    * the loser set is dup-mass-sized, so no broadcast hint (AQE
+    * broadcasts when it is actually small). */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[Seq[Float]], threshold: Double,
                     maxClusterSize: Int = 10000): DataFrame = {
@@ -430,6 +434,6 @@ object Similarity {
     val losers = withGroup.join(survivors, Seq("__grp"))
       .where(col("id") =!= col("__keep"))
       .select(col("id"))
-    corpus.join(broadcast(losers), corpus(idCol) === losers("id"), "left_anti")
+    corpus.join(losers, corpus(idCol) === losers("id"), "left_anti")
   }
 }

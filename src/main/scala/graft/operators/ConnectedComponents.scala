@@ -94,9 +94,14 @@ object ConnectedComponents {
         .where(col("a") =!= col("b"))
         .distinct()
 
-      // Re-symmetrize for the next large-star round.
+      // Re-symmetrize for the next large-star round. The new barrier is
+      // eager, so once staged the prior round's blocks are dead — free
+      // them NOW (the async ContextCleaner lets them accumulate across
+      // rounds and bench reps otherwise).
+      val prev = e
       e = Checkpoints.stage(
         small.union(small.select(col("b").as("a"), col("a").as("b"))).distinct())
+      Checkpoints.release(prev)
       val next = signature(e)
       if (next == sig) converged = true
       else {
@@ -113,9 +118,14 @@ object ConnectedComponents {
     val labels = e.where(col("b") < col("a"))
       .groupBy(col("a")).agg(min(col("b")).as("component"))
       .select(col("a").as("node"), col("component"))
-    val out = nodes
+    // `labels`/`out` read the FINAL `e` lazily — materialize the result
+    // as its own barrier so the last round's blocks can be freed too
+    // (otherwise the final edge set outlives the operator inside every
+    // caller that holds the result).
+    val out = Checkpoints.stage(nodes
       .join(labels, Seq("node"), "left")
-      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+      .select(col("node"), coalesce(col("component"), col("node")).as("component")))
+    Checkpoints.release(e)
     (out, round)
   }
 }

@@ -860,13 +860,17 @@ private[graft] object CorpusQueries {
     * when different docs produce it): the x_chunk_overlap chunking →
     * md5 content fingerprint per chunk → exact-dedup census with a
     * smallest-(doc, chunk) survivor signature, all value-replayed
-    * (portable fingerprints, integer survivor key). One keyed groupBy
+    * (portable fingerprints, integer survivor key). The key packs
+    * (doc_id, chunk_id) into disjoint 32-bit halves of a Long —
+    * collision-free for any chunk count below 2³² (a `doc_id * 1000`
+    * pack would collide once a doc exceeds 1000 chunks, i.e. text
+    * past ~48 k words at window 64 / stride 48). One keyed groupBy
     * over the chunk stream — corpus-linear. */
   private def chunkDedup(s: SparkSession, dir: String): DataFrame = {
     import scala.util.chaining._
     val chunks = Packing.chunkWithOverlap(Tables.documents(s, dir),
         "doc_id", "text", window = 64, stride = 48)
-      .select((col("doc_id") * 1000 + col("chunk_id")).as("__key"),
+      .select((shiftleft(col("doc_id"), 32) + col("chunk_id")).as("__key"),
         md5(col("chunk_text")).as("__fp"))
       .pipe(graft.ext.Checkpoints.stage)
     chunks.groupBy(col("__fp"))
@@ -937,7 +941,7 @@ private[graft] object CorpusQueries {
       .agg(count(lit(1)).as("__missing"))
     val capped = hashes
       .select(posexplode(array((0 until 4).map(j =>
-        shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L))): _*)))
+        shiftright(col("sh"), 16 * j).bitwiseAND(lit(65535L))): _*)))
       .toDF("band_id", "band_val")
       .groupBy(col("band_id"), col("band_val"))
       .agg(count(lit(1)).as("__n"))
@@ -2417,7 +2421,7 @@ private[graft] object CorpusQueries {
         | x AS (SELECT doc_id, i AS chunk_id,
         |   md5(array_to_string(tok[i*48 + 1 : i*48 + 64], ' ')) AS fp
         |   FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)),
-        | g AS (SELECT fp, COUNT(*) AS c, MIN(doc_id * 1000 + chunk_id) AS surv FROM x GROUP BY fp)
+        | g AS (SELECT fp, COUNT(*) AS c, MIN(doc_id * 4294967296 + chunk_id) AS surv FROM x GROUP BY fp)
         | SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_chunks,
         |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
         |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_dup_dropped,

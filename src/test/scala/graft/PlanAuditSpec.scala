@@ -403,4 +403,57 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"no cartesian anywhere in the classifier:\n$plan")
   }
+
+  test("dedup enders: survivor anti-join is NEVER a forced broadcast of a corpus-derived frame") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.{Dedup, Similarity}
+    // The loser set is the corpus's duplicate mass (20-60% of a web
+    // crawl) — a broadcast() hint on it is a driver-fatal scale bug.
+    // With the auto-broadcast threshold OFF, any BroadcastExchange
+    // left in the plan can only come from an explicit hint; corpus-
+    // derived frames must show none. (AQE still broadcasts small sets
+    // at runtime in production — that is the point of dropping the
+    // hint: the decision moves to statistics.)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val docs = Tables.documents(spark, TestSpark.sf0001).limit(120)
+      val vecs = Tables.embeddings(spark, TestSpark.sf0001).limit(120)
+      val noHint = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "dedupNearDups" -> (() => Dedup.dedupNearDups(docs, "doc_id", "text")),
+        "dedupNearDupsBy" -> (() => Dedup.dedupNearDupsBy(
+          docs.withColumn("q", length(col("text"))), "doc_id", "text", "q")),
+        "simhashDedup" -> (() => Dedup.simhashDedup(docs, "doc_id", "text")),
+        "dedupEmbeddings" -> (() => Similarity.dedupEmbeddings(
+          vecs, "vec_id", "embedding", threshold = 0.95)))
+      noHint.foreach { case (name, mk) =>
+        val plan = mk().queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastExchange"),
+          s"$name: corpus-derived frame forced into a broadcast:\n$plan")
+      }
+      // semanticDedup legitimately broadcasts the k-row CENTROID frame
+      // (a hint on a constant-size local table); the loser anti-join
+      // itself must still be hint-free.
+      val cents = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f))
+      val semPlan = Similarity.semanticDedup(
+          vecs.select(col("vec_id"),
+            expr("transform(slice(embedding, 1, 4), x -> cast(x as float))")
+              .as("embedding")),
+          "vec_id", "embedding", cents, threshold = 0.95)
+        .queryExecution.executedPlan.toString
+      assert(!semPlan.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+        s"semanticDedup: loser anti-join must not be a forced broadcast:\n$semPlan")
+      // (the centroid lineage appears once per consumer, so count the
+      // JOINS, not the exchanges: every broadcast join must be the
+      // __cell-keyed centroid attach)
+      assert(semPlan.linesIterator.filter(_.contains("BroadcastHashJoin"))
+          .forall(_.contains("__cell")),
+        s"semanticDedup: only the k-row centroid frame may broadcast:\n$semPlan")
+    } finally prev match {
+      case Some(v) => spark.conf.set(thresholdKey, v)
+      case None => spark.conf.unset(thresholdKey)
+    }
+  }
 }

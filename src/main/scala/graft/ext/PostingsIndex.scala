@@ -74,9 +74,15 @@ object PostingsIndex {
     dls.agg(count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
 
-  /** Tokenize `docs` and persist the three-table index. Overwrites. */
+  /** Tokenize `docs` and persist the three-table index. Overwrites —
+    * including any leftover takedown state (`_tombstones`,
+    * `_stats_deltas`) from a previous index under the same name, which
+    * would otherwise silently hide/miscount the fresh build's docs. */
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
             textCol: String, table: String, nBuckets: Int = 16): Unit = {
+    Seq(table + "_tombstones", table + "_stats_deltas").foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE `$t`")
+    }
     val dls = docLengths(docs, idCol, textCol).pipe(Checkpoints.stage)
     Writer.bucketedTable(postings(docs, idCol, textCol), table, "term", nBuckets)
     Writer.bucketedTable(dls, table + "_docs", "id", nBuckets)
@@ -113,20 +119,51 @@ object PostingsIndex {
 
   /** Tombstone-delete documents from the index — the WinnowIndex
     * takedown pattern, with the BM25 twist that the STATS must shed
-    * the deleted docs too (idf and avgdl change when docs leave):
-    * probes subtract the tombstoned (count, Σdl) — read from the
-    * 2-col `_docs` table via a broadcast semi-join against the
-    * takedown-sized tombstone list — from the k-row stats sum, and
-    * anti-join the pruned postings, so every score equals a rebuild
-    * on the live corpus (x_bm25_delete replays that rebuild
-    * value-exact). [[purgeTombstones]] rewrites physically later. */
+    * the deleted docs too (idf and avgdl change when docs leave).
+    * The stats correction is SNAPSHOTTED HERE, once per takedown
+    * wave: the newly tombstoned docs' (count, Σdl) — read from the
+    * id-bucketed `_docs` table via a semi-join against the
+    * takedown-sized wave, so the contact is the wave's buckets — is
+    * written as a NEGATIVE row to the k-row `_stats_deltas` side
+    * table. Probes then sum `_stats` + `_stats_deltas` (both k-row)
+    * and NEVER touch `_docs`: the previous per-probe correction
+    * semi-joined the corpus-sized `_docs` on every probe batch
+    * (~300 GB per batch at 20 B docs); this pays that cost once, at
+    * delete time, against the wave only. Postings are still hidden by
+    * the tombstone anti-join, so every score equals a rebuild on the
+    * live corpus (x_bm25_delete replays that rebuild value-exact).
+    * [[purgeTombstones]] rewrites physically later, absorbing the
+    * deltas back into a recomputed `_stats`.
+    *
+    * Crash contract: the wave is committed tombstones-first. A crash
+    * between the tombstone write and the delta write leaves probes
+    * hiding the wave's postings while the stats still count its mass
+    * (scores drift low vs a rebuild, bounded to the one wave — the
+    * conservative direction for takedowns: the docs ARE gone from
+    * results); a retried delete() of the same ids is a no-op either
+    * side of the crash (the anti-join empties the wave), and
+    * [[purgeTombstones]] heals the drift exactly. */
   def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
     val t = table + "_tombstones"
     val d = ids.select(col("id")).distinct()
-    if (!spark.catalog.tableExists(t)) d.write.saveAsTable(t)
-    else d.join(spark.table(t), Seq("id"), "left_anti")
-      .write.mode("append").insertInto(t)
-    spark.catalog.refreshTable(t)
+    val fresh = (if (!spark.catalog.tableExists(t)) d
+      else d.join(spark.table(t), Seq("id"), "left_anti"))
+      .localCheckpoint(true)
+    // The wave's corpus mass, measured while the wave is still
+    // un-tombstoned: docs never in `_docs` (unknown ids) contribute
+    // nothing; docs of an earlier wave were filtered by the anti-join.
+    val delta = spark.table(table + "_docs")
+      .select(col("id"), col("dl"))
+      .join(broadcast(fresh), Seq("id"), "left_semi")
+      .agg((lit(0L) - count(lit(1))).as("n_docs"),
+        (lit(0L) - coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+    if (!spark.catalog.tableExists(t)) fresh.write.saveAsTable(t)
+    else fresh.write.mode("append").insertInto(t)
+    val dt = table + "_stats_deltas"
+    if (!spark.catalog.tableExists(dt))
+      delta.write.format("parquet").saveAsTable(dt)
+    else delta.write.mode("append").insertInto(dt)
+    Seq(t, dt).foreach(spark.catalog.refreshTable)
   }
 
   private def minusTombstones(spark: SparkSession, table: String,
@@ -137,22 +174,23 @@ object PostingsIndex {
     else postings
   }
 
-  /** 1-row (n_docs, sum_dl) of the LIVE corpus: the stats-table sum
-    * minus the tombstoned docs' mass. */
+  /** 1-row (n_docs, sum_dl) of the LIVE corpus: the k-row stats-table
+    * sum plus the (negative) takedown deltas [[delete]] snapshotted —
+    * never a `_docs` contact, so probe cost stays independent of
+    * corpus size after any number of takedown waves. */
   private def liveStats(spark: SparkSession, table: String): DataFrame = {
     val total = spark.table(table + "_stats")
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("__n_docs"),
         coalesce(sum(col("sum_dl")), lit(0L)).as("__sum_dl"))
-    val t = table + "_tombstones"
-    if (!spark.catalog.tableExists(t)) total
+    val dt = table + "_stats_deltas"
+    if (!spark.catalog.tableExists(dt)) total
     else {
-      val del = spark.table(table + "_docs")
-        .join(broadcast(spark.table(t)), Seq("id"), "left_semi")
-        .agg(count(lit(1)).as("__dn"),
-          coalesce(sum(col("dl")), lit(0L)).as("__ds"))
+      val del = spark.table(dt)
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("__dn"),
+          coalesce(sum(col("sum_dl")), lit(0L)).as("__ds"))
       total.crossJoin(del).select(
-        (col("__n_docs") - col("__dn")).as("__n_docs"),
-        (col("__sum_dl") - col("__ds")).as("__sum_dl"))
+        (col("__n_docs") + col("__dn")).as("__n_docs"),
+        (col("__sum_dl") + col("__ds")).as("__sum_dl"))
     }
   }
 
@@ -184,6 +222,10 @@ object PostingsIndex {
     Writer.bucketedTable(livePost, table, "term", nBuckets)
     Writer.bucketedTable(liveDocs, table + "_docs", "id", nBuckets)
     Writer.bucketedTable(statsOf(liveDocs), table + "_stats", "n_docs", 1)
+    // The recomputed stats row IS the live corpus: the takedown deltas
+    // are absorbed, so the side table goes with the tombstones.
+    val dt = table + "_stats_deltas"
+    if (spark.catalog.tableExists(dt)) spark.sql(s"DROP TABLE `$dt`")
     spark.sql(s"DROP TABLE $t")
     Seq(table, table + "_docs", table + "_stats")
       .foreach(spark.catalog.refreshTable)
@@ -352,19 +394,27 @@ object PostingsIndex {
 
   /** Compact a [[streamIngest]] index after many per-shard appends —
     * all three tables merge their batch partitions (probe results
-    * unchanged; stats rows merge additively since the compact is a
-    * row-preserving rewrite). Same quiesce/crash contract as
-    * DedupIndex.compact: pass the ingest's checkpoint and a compact
-    * that would swallow a crashed attempt's orphan REFUSES. */
+    * unchanged). Postings and `_docs` rows are unique per doc, so they
+    * ride compactSink's distinct() rewrite; `_stats` rows are ADDITIVE
+    * deltas where distinct() is a corruption (two batches with
+    * identical (n_docs, sum_dl) would collapse to one — entirely
+    * plausible for uniform micro-batches), so the stats table merges
+    * through [[graft.streaming.StreamOps.compactSinkAdditive]]'s
+    * summed, watermark-tagged rewrite instead. Same quiesce/crash
+    * contract as DedupIndex.compact: pass the ingest's checkpoint and
+    * a compact that would swallow a crashed attempt's orphan REFUSES. */
   def compact(spark: SparkSession, table: String,
               checkpointLocation: Option[String] = None): Int = {
     val merged = graft.streaming.StreamOps.compactSink(spark, table,
       checkpointLocation = checkpointLocation)
-    Seq("_docs", "_stats").foreach { suffix =>
-      if (spark.catalog.tableExists(table + suffix))
-        graft.streaming.StreamOps.compactSink(spark, table + suffix,
-          checkpointLocation = checkpointLocation)
-    }
+    if (spark.catalog.tableExists(table + "_docs"))
+      graft.streaming.StreamOps.compactSink(spark, table + "_docs",
+        checkpointLocation = checkpointLocation)
+    if (spark.catalog.tableExists(table + "_stats"))
+      graft.streaming.StreamOps.compactSinkAdditive(spark, table + "_stats",
+        _.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl")),
+        checkpointLocation = checkpointLocation)
     merged
   }
 }

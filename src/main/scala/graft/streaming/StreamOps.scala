@@ -445,6 +445,74 @@ object StreamOps {
     }
   }
 
+  /** [[compactSink]] for ADDITIVE tables — per-batch rows that are
+    * DELTAS to be summed (PostingsIndex's `_stats` rows), where
+    * compactSink's distinct() self-heal is a correctness bug: two
+    * batches that happen to carry identical (n_docs, sum_dl) rows
+    * would collapse to one and silently shrink the corpus mass. Here
+    * the merge is the caller's aggregate (`merge` maps the stacked
+    * tag-less rows to their combined row set), so duplicates-by-value
+    * are legitimate and preserved.
+    *
+    * Crash safety cannot ride distinct() (re-summing a half-dropped
+    * table double-counts), so the merged partition's tag ENCODES a
+    * watermark: tag = -(maxBatchAbsorbed + 2), always ≤ -2. A
+    * re-run reads the newest merged partition (largest watermark =
+    * most negative tag), treats batch partitions ≤ watermark and
+    * older merged partitions as ALREADY-ABSORBED leftovers of a
+    * crashed drop phase (dropped, never re-summed), and merges only
+    * batches > watermark. The merged write itself is one 1-row-scale
+    * insert whose visibility is the job commit — the same atomicity
+    * grain compactSink's rewrite stands on. Same quiesce + orphan
+    * contract as compactSink. Returns partitions merged/dropped away. */
+  def compactSinkAdditive(spark: SparkSession, table: String,
+                          merge: DataFrame => DataFrame,
+                          checkpointLocation: Option[String] = None): Int = {
+    spark.catalog.refreshTable(table)
+    val snap = spark.table(table).localCheckpoint(true)
+    val tags = snap.select(col(BatchTag)).distinct().collect()
+      .map(_.getLong(0)).sorted
+    if (tags.contains(-1L)) throw new IllegalStateException(
+      s"`$table` has a distinct-compacted partition ($BatchTag=-1): " +
+        "additive and distinct compaction must not mix on one table — " +
+        "rebuild the table (the additive watermark cannot be recovered " +
+        "from a distinct()-merged partition)")
+    val mergedTags = tags.filter(_ <= -2L)
+    val watermark = mergedTags.map(t => -t - 2).maxOption.getOrElse(-1L)
+    val keepTag = mergedTags.minOption // most negative = newest watermark
+    val newTags = tags.filter(t => t >= 0 && t > watermark)
+    val stale = tags.filter(t =>
+      (t >= 0 && t <= watermark) || keepTag.exists(k => t <= -2 && t != k))
+    checkpointLocation.foreach { cp =>
+      val last = lastCommittedBatch(spark, cp)
+      val orphans = newTags.filter(id => last.forall(_ < id))
+      if (orphans.nonEmpty) throw new IllegalStateException(
+        s"refusing to compact `$table`: partition(s) ${orphans.mkString(", ")} " +
+          s"are beyond the checkpoint's last committed batch " +
+          s"(${last.fold("none")(_.toString)}) at $cp — a crashed attempt's " +
+          "orphaned append. Restart the stream so redelivery overwrites " +
+          "the orphan, then compact.")
+    }
+    if (newTags.isEmpty) {
+      // Nothing new — just retire crash leftovers (already absorbed).
+      stale.foreach(id =>
+        spark.sql(s"ALTER TABLE `$table` DROP PARTITION (`$BatchTag`=$id)"))
+      if (stale.nonEmpty) spark.catalog.refreshTable(table)
+      stale.length
+    } else {
+      val newTag = -(newTags.max + 2)
+      val base = keepTag.map(k => snap.where(col(BatchTag) === k))
+        .getOrElse(snap.where(lit(false)))
+      val fresh = snap.where(col(BatchTag).isin(newTags: _*))
+      writeBatchToSink(spark, table,
+        merge(base.unionByName(fresh).drop(BatchTag)), newTag)
+      tags.filter(_ != newTag).foreach(id =>
+        spark.sql(s"ALTER TABLE `$table` DROP PARTITION (`$BatchTag`=$id)"))
+      spark.catalog.refreshTable(table)
+      tags.count(_ != newTag)
+    }
+  }
+
   /** Highest batch id the checkpoint's commit log records as COMMITTED
     * — None when nothing committed yet (fresh or missing checkpoint).
     * Structured Streaming writes `commits/<batchId>` atomically after

@@ -158,8 +158,74 @@ class PostingsIndexSpec extends AnyFunSuite {
     val purged = PostingsIndex.purgeTombstones(spark, table)
     assert(purged > 0, "purge must remove the deleted docs' postings")
     assert(!spark.catalog.tableExists(table + "_tombstones"))
+    assert(!spark.catalog.tableExists(table + "_stats_deltas"),
+      "purge must absorb the takedown deltas into the recomputed stats")
     assert(probeTopK(table) == before, "purge never changes answers")
     assert(PostingsIndex.purgeTombstones(spark, table) == 0L)
+  }
+
+  test("delete snapshots the stats correction: post-takedown probe plan never touches _docs") {
+    val table = "pidx_del_plan"
+    PostingsIndex.build(spark, corpus, "doc_id", "text", table)
+    PostingsIndex.delete(spark, table, Seq(4L).toDF("id"))
+    // The correction was paid once, at delete time, into the k-row
+    // _stats_deltas table — so the probe's corpus contact stays the
+    // query terms' postings even with tombstones standing.
+    val plan = PostingsIndex.probe(spark, table, terms, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains(table + "_docs"),
+      "post-takedown probe must not semi-join the corpus-sized _docs " +
+        "table for the stats correction — that is the per-probe cost " +
+        "the delete-time snapshot exists to remove")
+    assert(plan.contains(table + "_stats_deltas"),
+      "probe must read the k-row takedown delta table instead")
+    // And the scores off that plan are still the live-corpus scan's.
+    assert(probeTopK(table) == scanTopK(corpus.where(col("doc_id") =!= 4L)))
+  }
+
+  test("stats compact is additive: identical per-batch rows never collapse; crash leftovers never double-count") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.io.Writer
+    import graft.streaming.StreamOps
+    val t = "pidx_stats_additive"
+    Writer.emptyPartitionedBucketedTable(spark, t,
+      StructType(Seq(StructField("n_docs", LongType),
+        StructField("sum_dl", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "n_docs", 1)
+    def statsRow() = Seq((4L, 20L)).toDF("n_docs", "sum_dl")
+    def mass() = spark.table(t)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)),
+        coalesce(sum(col("sum_dl")), lit(0L))).head()
+    val agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
+    // Two batches with IDENTICAL delta rows — compactSink's distinct()
+    // would collapse them to one and halve the corpus mass.
+    StreamOps.writeBatchToSink(spark, t, statsRow(), 0L)
+    StreamOps.writeBatchToSink(spark, t, statsRow(), 1L)
+    assert(mass().getLong(0) == 8L)
+    StreamOps.compactSinkAdditive(spark, t, agg)
+    assert(mass().getLong(0) == 8L && mass().getLong(1) == 40L,
+      "additive compact must sum identical per-batch rows, never distinct them")
+    assert(spark.table(t).count() == 1L, "compacted stats is one row")
+    // Crash simulation: batch 2 arrives, a compact writes its merged
+    // partition (watermark 2 → tag -4) and dies before dropping the
+    // absorbed partitions. A re-run must retire the leftovers without
+    // re-summing them.
+    StreamOps.writeBatchToSink(spark, t, statsRow(), 2L)
+    StreamOps.writeBatchToSink(spark, t,
+      Seq((12L, 60L)).toDF("n_docs", "sum_dl"), -4L)
+    assert(mass().getLong(0) == 24L, "precondition: leftovers double-count")
+    StreamOps.compactSinkAdditive(spark, t, agg)
+    assert(mass().getLong(0) == 12L && mass().getLong(1) == 60L,
+      "re-run must keep the newest merged partition and drop absorbed leftovers")
+    // A distinct-compacted (-1) partition poisons the watermark space:
+    // additive compact must refuse, not corrupt.
+    StreamOps.writeBatchToSink(spark, t, statsRow(), -1L)
+    intercept[IllegalStateException] {
+      StreamOps.compactSinkAdditive(spark, t, agg)
+    }
   }
 
   test("probe plan: term-pruned postings scan, no _docs contact, no corpus-keyed join") {

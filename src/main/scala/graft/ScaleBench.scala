@@ -87,13 +87,14 @@ object ScaleBench {
     * embedding corpus — which silently deflated the float-scan
     * baseline the ivf_quantized point measures against. */
   def genClusteredEmbeddings(spark: SparkSession, n: Long,
-                             centers: Int = 16): DataFrame =
+                             centers: Int = 16,
+                             noiseDiv: Double = 2e7): DataFrame =
     spark.range(0, n, 1, 32).toDF("vec_id")
       .withColumn("c", pmod(xxhash64(col("vec_id"), lit(7)), lit(centers.toLong)))
       .withColumn("embedding", transform(sequence(lit(1), lit(64)), i =>
         ((pmod(xxhash64(col("c"), i), lit(2001L)).cast("double") - 1000.0) / 1000.0
           + (pmod(xxhash64(col("vec_id"), i + 500), lit(2000001L)).cast("double") - 1000000.0)
-            / 20000000.0)
+            / noiseDiv)
           .cast("float")))
       .select(col("vec_id"), col("embedding"))
 
@@ -1231,6 +1232,134 @@ object ScaleBench {
       s""""brute_force":{"t":${fmt(tBrute)}}}}"""
   }
 
+  /** IVFADC (graft.ext.IvfPq) vs its two parents at the same probe
+    * width — the composed probe's bytes-touched must sit BELOW the
+    * int8 IVF probe's (same cell fraction, 8-byte code vs d-byte qv)
+    * and far below the flat-PQ scan (which reads every code). Bytes
+    * are compressed column-chunk sizes over each index's own probed
+    * partitions ([[probedChunkBytes]] — both indexes train their own
+    * Lloyd cells, so each probe prunes with its own centroids).
+    *
+    * THE REGIME BOUNDARY this gate encodes (measured, not assumed):
+    * 64-bit residual PQ on 64-dim unit vectors resolves cosine to
+    * σ ≈ 4e-3 — with a heavy tail: on a 20 k-candidate probe, ~10 %
+    * of crowd codes INFLATE past their true cosine by ≥ 7e-3 (ADC
+    * scores > 1.0 were observed). A corpus whose near-neighbor
+    * margins sit BELOW that resolution (the raw generator's crowd
+    * piles 6 k cosines within ±4e-4 of one plateau) defeats ANY
+    * shortlist — the planted twins ranked ~2,300 of 21 k by ADC and
+    * no k-proportional re-rank can hold that. That is not an IVFADC
+    * defect; it is the boundary of the tool: PQ serves corpora whose
+    * NN margins exceed code resolution, and sub-resolution margins
+    * need the int8/float tiers (which this engine also ships —
+    * [[graft.ext.IvfIndex.probeTopKQuantized]]). The gate corpus
+    * therefore uses 10× crowd noise (cos deficits ≥ 0.095, ≈ 7σ of
+    * ADC resolution — enough to clear the twin's own error draw AND
+    * the crowd's inflation tail) so recall grades the REAL miss
+    * channels — cell pruning and shortlist retention — not
+    * sub-resolution tie-breaking.
+    *
+    * Gates before numbers print (clustered corpus + TEN planted
+    * graded twins of the query at ids 1..10, coord noise ±i·2e-3
+    * against the ±5e-1 crowd spread, so the exact top-10 is
+    * SEPARABLE truth with margin above code resolution):
+    *   - the exact brute-force top-10 IS the twin set (generator
+    *     truth) with twin 1 first;
+    *   - the IVFADC probe returns twin 1 FIRST with the exact cosine
+    *     bit-equal to brute force — the twins' cell was probed, ADC
+    *     kept them in the shortlist, re-rank restored order;
+    *   - IVFADC top-10 holds ≥ 8 of the ten twins — the byte cut
+    *     must not collapse recall.
+    */
+  def ivfPqPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.{IvfIndex, IvfPq, Similarity}
+    val n = 2000L * scale
+    val pathStr = s"$dir/ivfpq_x$scale"
+    // noiseDiv 2e6 = ±0.5/coord crowd noise (10× the shared default):
+    // min crowd cosine deficit ≈ 0.095 ≈ 7σ of ADC resolution — the
+    // margin must clear BOTH the twin's own quantization-error draw
+    // (~2σ, measured −0.024 on one corpus) and the crowd's inflation
+    // tail (~4σ over 25 k candidates); ±0.2/coord (margin ≈ 1.3σ) left
+    // the twins at the 37th ADC percentile. Clusters stay separated
+    // (radius ≈ 2.3 vs inter-center ≈ 6.5).
+    genClusteredEmbeddings(spark, n + 1, noiseDiv = 2e6)
+      .write.mode("overwrite").parquet(pathStr)
+    val emb = spark.read.parquet(pathStr)
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    // Plant vecs 1..10 as graded near-twins (replacing their clustered
+    // rows): twin i = q + hash noise ±i·2e-3 per coord — two orders
+    // tighter than the ±2e-1 crowd spread, so exact top-10 = twins
+    // 1..10 in grade order, with margin ≈ 3σ of ADC resolution.
+    val twins = spark.range(1, 11).toDF("vec_id")
+      .withColumn("embedding", array(q.zipWithIndex.map { case (v, i) =>
+        lit(v) + col("vec_id").cast("float") *
+          lit((((i * 2654435761L) % 21) - 10) / 5000.0f)
+      }: _*).cast("array<float>"))
+    val corpus = emb.where(col("vec_id") > 10).unionByName(twins)
+      .localCheckpoint(true)
+    val tableQ = s"graft_scale_ivfadc_int8_x$scale"
+    val tablePq = s"graft_scale_ivfadc_pq_x$scale"
+    // Deployment policy: the cell COUNT grows with the corpus so
+    // per-cell population stays bounded (~1250 vectors here) — the
+    // probed candidate set, and with it the shortlist's retention
+    // burden, then scales with nProbe · cell size instead of the
+    // corpus. Probe fraction (1/4) and bits/vector stay constant, so
+    // bytes/probe stays the cell fraction × 8 B at every scale.
+    val kCells = math.max(16, (n / 1250L).toInt)
+    val nProbe = kCells / 4
+    val (_, tBuildQ) = timed {
+      IvfIndex.build(corpus, "vec_id", "embedding", tableQ,
+        k = kCells, iters = 2)
+    }
+    val (_, tBuildPq) = timed {
+      IvfPq.build(corpus, "vec_id", "embedding", tablePq,
+        kCells = kCells, ivfIters = 2, m = 8, kPq = 128, pqIters = 3)
+    }
+    val probedQ =
+      Similarity.probeClusters(IvfIndex.centroids(spark, tableQ), q, nProbe)
+    val probedPq =
+      Similarity.probeClusters(IvfIndex.centroids(spark, tablePq), q, nProbe)
+    val bytesInt8 = probedChunkBytes(spark, tableQ, probedQ, Set("vec_id", "qv"))
+    val bytesCode = probedChunkBytes(spark, tablePq, probedPq, Set("vec_id", "pq_code"))
+    val bytesFloat = probedChunkBytes(spark, tablePq, probedPq, Set("vec_id", "embedding"))
+    spark.sqlContext.clearCache()
+    val (qRows, tQ) = timed {
+      IvfIndex.probeTopKQuantized(spark, tableQ, "vec_id", "embedding", q, 10,
+        nProbe = nProbe).collect()
+    }
+    spark.sqlContext.clearCache()
+    val (pqRows, tPq) = timed {
+      IvfPq.probeTopK(spark, tablePq, "vec_id", "embedding", q, 10,
+        nProbe = nProbe).collect()
+    }
+    spark.sqlContext.clearCache()
+    val (bRows, tBrute) = timed {
+      Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10).collect()
+    }
+    require(bRows.map(_.getLong(0)).toSet == (1L to 10L).toSet &&
+        bRows.head.getLong(0) == 1L,
+      s"generator invariant broken: exact top-10 must be the twin set, " +
+        s"got ${bRows.map(_.getLong(0)).toSeq}")
+    require(pqRows.headOption.exists(_.getLong(0) == 1L),
+      s"IVFADC must return the planted twin first, got " +
+        pqRows.take(3).map(_.getLong(0)).toSeq)
+    require(pqRows.head.getDouble(1) == bRows.head.getDouble(1),
+      "re-ranked twin score must be the exact cosine, bit-equal to brute force")
+    val recall = bRows.map(_.getLong(0)).toSet
+      .intersect(pqRows.map(_.getLong(0)).toSet).size
+    require(recall >= 8, s"IVFADC recall collapsed: $recall of 10")
+    val int8Overlap = bRows.map(_.getLong(0)).toSet
+      .intersect(qRows.map(_.getLong(0)).toSet).size
+    s"""{"ivfpq":{"scale":$scale,"n_vecs":$n,"recall":$recall,""" +
+      s""""int8_recall":$int8Overlap,"k_cells":$kCells,"n_probe":$nProbe,""" +
+      s""""build_int8":{"t":${fmt(tBuildQ)}},"build_ivfpq":{"t":${fmt(tBuildPq)}},""" +
+      s""""probe_float_chunk_bytes":$bytesFloat,""" +
+      s""""probe_int8":{"t":${fmt(tQ)},"chunk_bytes":$bytesInt8},""" +
+      s""""probe_ivfpq":{"t":${fmt(tPq)},"chunk_bytes":$bytesCode},""" +
+      s""""brute_force":{"t":${fmt(tBrute)}}}}"""
+  }
+
   /** The round-13 second-half additions at scale (NB classifier,
     * Gopher rules, streaming decontamination, tokenize→pack), each
     * leg with a require()d oracle so a timing can never go green on
@@ -1710,6 +1839,13 @@ object ScaleBench {
     if (args.contains("pq-only")) {
       pqPoint(spark, outBase, 1)
       scales.foreach(m => println(pqPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `ivfpq-only`: IVFADC bytes/probe vs the int8 IVF probe.
+    if (args.contains("ivfpq-only")) {
+      ivfPqPoint(spark, outBase, 1)
+      scales.foreach(m => println(ivfPqPoint(spark, outBase, m)))
       spark.stop()
       return
     }

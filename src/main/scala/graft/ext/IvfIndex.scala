@@ -92,8 +92,10 @@ object IvfIndex {
   def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
     val t = table + "_tombstones"
     val d = ids.select(col("id")).distinct()
-    if (!spark.catalog.tableExists(t)) d.write.saveAsTable(t)
-    else d.join(spark.table(t), Seq("id"), "left_anti")
+    if (!spark.catalog.tableExists(t)) {
+      Writer.dropTableAndLocation(spark, t) // clear any stale location
+      d.write.saveAsTable(t)
+    } else d.join(spark.table(t), Seq("id"), "left_anti")
       .write.mode("append").insertInto(t)
     spark.catalog.refreshTable(t)
   }

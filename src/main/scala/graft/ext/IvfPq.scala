@@ -1,0 +1,199 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Writer
+
+/** IVFADC — the composed serving index (Jégou et al. 2011, §IV
+  * "IVFADC: coarse quantizer + PQ-encoded RESIDUALS"): IVF cells give
+  * PARTITION PRUNING (a probe opens only the nProbe most-query-similar
+  * cells' directories), PQ codes over the residual (unit vector minus
+  * its cell's reference point) give BYTE ECONOMY inside them (the
+  * pruned scan reads the 8-byte packed code, never the float column),
+  * and an exact float re-rank over the shortlist restores exact-cosine
+  * order.
+  *
+  * WHY RESIDUALS — the scale lesson this file exists to encode: PQ
+  * codebooks trained on the raw vectors spend nearly all their bits
+  * re-describing WHICH cell a vector sits in (information the
+  * partition key already carries for free), so within-cell ADC
+  * resolution collapses as cells grow — at 100 k vectors a planted
+  * near-twin of the query no longer survived a 40-row shortlist.
+  * Encoding x − ref(cell) spends all m·log₂(kPq) bits on within-cell
+  * structure, and the score decomposes EXACTLY:
+  *
+  *   cos(q, x) = dot(q̂, x̂) = dot(q̂, ref_cell) + dot(q̂, x̂ − ref_cell)
+  *
+  * — a per-cell constant (k driver-side dots, one literal LUT indexed
+  * by the partition column) plus the standard ADC LUT sum over the
+  * residual codebooks ([[Pq.adcScore]], the same expression the flat
+  * probes evaluate). The reference point is the unit-normalized cell
+  * centroid; the decomposition is exact for ANY fixed per-cell
+  * reference, so correctness never depends on centroid quality — only
+  * code efficiency does.
+  *
+  * This closes the scale gap both parents leave open:
+  *   - [[Pq.probeTopK]] scans EVERY packed code — 8 B/vector is cheap,
+  *     but 20 B vectors is still 160 GB per ad-hoc probe;
+  *   - [[IvfIndex.probeTopKQuantized]] prunes to nProbe cells but its
+  *     pre-rank reads the d-byte int8 column (d = vector dims).
+  * Composed: bytes/probe ≈ |corpus| · (nProbe/k) · 8 B — the cell
+  * fraction AND the 8-byte row, multiplicative. At 20 B vectors,
+  * k = 1024 cells, nProbe = 32: ~5 GB touched per probe vs 160 GB
+  * (flat PQ) or ~40 GB (int8 IVF at d = 64). ScaleBench's ivfpq point
+  * measures the compressed-bytes ratio against the int8 IVF probe.
+  *
+  * Recall contract: a true top-k member is missed only if (a) its cell
+  * is outside the nProbe probed cells (the IVF miss channel, identical
+  * to [[IvfIndex.probeTopK]]'s) or (b) residual-ADC noise ranks it
+  * below the 4×k shortlist inside the probed cells (the PQ miss
+  * channel, now at residual-scale resolution). Scores returned are
+  * EXACT cosines (the re-rank), so for every id that survives both
+  * prunes the output is bit-identical to the float probe's row.
+  */
+object IvfPq {
+
+  def codebooksTable(table: String): String = table + "_codebooks"
+
+  /** Unit-normalize a centroid into the residual REFERENCE point for
+    * its cell (zero centroids stay zero — their cells' residuals are
+    * then the unit vectors themselves, still exact). */
+  private[ext] def unitRef(c: Seq[Float]): Seq[Double] = {
+    val n = math.sqrt(Similarity.dotLocal(c, c))
+    if (n == 0.0) c.map(_ => 0.0) else c.map(_.toDouble / n)
+  }
+
+  /** The residual column: unit vector minus its cell's reference,
+    * resolved per row through one 2-D reference literal indexed by
+    * `cluster_id` — no join, pure codegen. */
+  private def residualCol(uCol: Column, clusterCol: Column,
+                          refs: Seq[Seq[Double]]): Column = {
+    val refsLit = array(refs.map(r => array(r.map(lit): _*)): _*)
+    zip_with(uCol, element_at(refsLit, clusterCol.cast("int") + 1),
+      (a, b) => a - b)
+  }
+
+  /** Train both quantizers and persist one serving layout: rows
+    * (id, vec, pq_code, cluster_id) PARTITIONED by `cluster_id` (the
+    * IvfIndex compact layout — one file per cell, id-sorted so the
+    * re-rank's pushed In(id) filter skips row groups), plus the k-row
+    * `_centroids` and (m·kPq)-row `_codebooks` side tables, so probes
+    * need only the table name. `pq_code` packs the RESIDUAL codes;
+    * the codebooks table stores the residual codebooks. Returns
+    * (centroids, codebooks) for callers that probe immediately. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, table: String,
+            kCells: Int = 16, ivfIters: Int = 2, m: Int = 8,
+            kPq: Int = 128, pqIters: Int = 3)
+      : (Seq[Seq[Float]], Seq[Seq[Seq[Float]]]) = {
+    val spark = corpus.sparkSession
+    Writer.dropTableAndLocation(spark, table)
+    Writer.dropTableAndLocation(spark, IvfIndex.centroidsTable(table))
+    Writer.dropTableAndLocation(spark, codebooksTable(table))
+    val cents = Similarity.ivfTrain(corpus, idCol, vecCol, kCells, ivfIters)
+    val refs = cents.map(unitRef)
+    // Cell assignment, normalization, and the residual ride ONE
+    // staged projection — assignment and residual computed once, the
+    // codebook training and the encode pass both read it.
+    val withRes = Pq.withUnit(
+        Similarity.ivfAssign(corpus, idCol, vecCol, cents), vecCol, "__u")
+      .withColumn("__r", residualCol(col("__u"), col("cluster_id"), refs))
+      .localCheckpoint(true)
+    val books = Pq.trainCodebooksOn(withRes, idCol, "__r", m, kPq, pqIters)
+    Pq.packCodesOn(withRes, "__r", "pq_code", books)
+      .select(col(idCol), col(vecCol), col("pq_code"), col("cluster_id"))
+      .repartition(col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"), col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id")
+      .format("parquet")
+      .saveAsTable(table)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cluster_id", "centroid")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(IvfIndex.centroidsTable(table))
+    books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.zipWithIndex.map { case (c, code) => (j, code, c) }
+    }.toDF("subspace", "code", "centroid")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(codebooksTable(table))
+    (cents, books)
+  }
+
+  /** Codebooks of a saved index — m·kPq small rows, driver-side (the
+    * [[IvfIndex.centroids]] class of collect). */
+  def codebooks(spark: SparkSession, table: String): Seq[Seq[Seq[Float]]] =
+    spark.table(codebooksTable(table))
+      .orderBy(col("subspace"), col("code"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toSeq)
+
+  /** The IVFADC score expression: per-cell constant dot(q̂, ref)
+    * (literal LUT over the partition column) + the residual ADC LUT
+    * sum ([[Pq.adcScore]] — the same expression the flat PQ probes
+    * evaluate, so the LUT arithmetic can never drift). */
+  private def ivfadcScore(query: Seq[Float], cents: Seq[Seq[Float]],
+                          books: Seq[Seq[Seq[Float]]]): Column = {
+    // The same double normalization adcScore applies internally, so
+    // the two terms score against one q̂.
+    val qn = {
+      val n = math.sqrt(query.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      if (n == 0.0) query.map(_ => 0.0) else query.map(_.toDouble / n)
+    }
+    // dot(q̂, ref) per cell — k driver-side dots, one literal LUT
+    // indexed by the partition column.
+    val cellDot = array(cents.map { c =>
+      val r = unitRef(c)
+      lit(r.indices.foldLeft(0.0)((a, d) => a + qn(d) * r(d)))
+    }: _*)
+    element_at(cellDot, col("cluster_id").cast("int") + 1) +
+      Pq.adcScore(query, books)
+  }
+
+  /** The ADC shortlist stage, split out LAZY so its scan shape is
+    * plan-pinnable (IvfPqSpec: PartitionFilters prunes to the probed
+    * cells AND ReadSchema carries `pq_code` but never the float
+    * column): per-vector score = one cell-constant lookup + m shifts
+    * + m LUT lookups off the packed BIGINT. */
+  private[graft] def adcShortlist(spark: SparkSession, table: String,
+                                  idCol: String, query: Seq[Float],
+                                  nProbe: Int, shortlist: Int): DataFrame = {
+    val cents = IvfIndex.centroids(spark, table)
+    val probe = Similarity.probeClusters(cents, query, nProbe)
+    val books = codebooks(spark, table)
+    spark.table(table)
+      .where(col("cluster_id").isin(probe: _*))
+      .select(col(idCol), ivfadcScore(query, cents, books).as("pq_score"))
+      .orderBy(col("pq_score").desc, col(idCol))
+      .limit(shortlist)
+  }
+
+  /** Cell-pruned residual-ADC top-k with exact re-rank: rank cells
+    * driver-side (k small centroid rows), ADC-shortlist `shortlist`
+    * (default 4·k) candidates reading ONLY the 8-byte codes of the
+    * probed cells, then exact-cosine re-rank the shortlist's float
+    * vectors — fetched through a pushed In(id) filter over the same
+    * probed partitions (shortlist ids are a k-scale driver collect,
+    * the [[IvfIndex.probeTopKQuantized]] shape), so the float column
+    * is read only for row groups holding candidates. */
+  def probeTopK(spark: SparkSession, table: String, idCol: String,
+                vecCol: String, query: Seq[Float], k: Int, nProbe: Int,
+                shortlist: Int = 0): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    require(sl >= k, s"shortlist $sl < topK $k")
+    val shortIds = adcShortlist(spark, table, idCol, query, nProbe, sl)
+      .select(col(idCol)).collect().map(_.get(0))
+    val cents = IvfIndex.centroids(spark, table)
+    val probe = Similarity.probeClusters(cents, query, nProbe)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    spark.table(table).where(col("cluster_id").isin(probe: _*))
+      .where(col(idCol).isin(shortIds.toIndexedSeq: _*))
+      .select(col(idCol),
+        Similarity.cosineIn(spark)(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

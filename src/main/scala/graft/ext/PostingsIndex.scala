@@ -80,8 +80,12 @@ object PostingsIndex {
     * would otherwise silently hide/miscount the fresh build's docs. */
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
             textCol: String, table: String, nBuckets: Int = 16): Unit = {
+    // Location-aware drop: a killed JVM can leave the warehouse
+    // DIRECTORY behind with no catalog entry (fresh in-memory
+    // metastore on restart), and a later saveAsTable under the same
+    // name fails with LOCATION_ALREADY_EXISTS.
     Seq(table + "_tombstones", table + "_stats_deltas").foreach { t =>
-      if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE `$t`")
+      Writer.dropTableAndLocation(spark, t)
     }
     val dls = docLengths(docs, idCol, textCol).pipe(Checkpoints.stage)
     Writer.bucketedTable(postings(docs, idCol, textCol), table, "term", nBuckets)
@@ -157,12 +161,15 @@ object PostingsIndex {
       .join(broadcast(fresh), Seq("id"), "left_semi")
       .agg((lit(0L) - count(lit(1))).as("n_docs"),
         (lit(0L) - coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
-    if (!spark.catalog.tableExists(t)) fresh.write.saveAsTable(t)
-    else fresh.write.mode("append").insertInto(t)
+    if (!spark.catalog.tableExists(t)) {
+      Writer.dropTableAndLocation(spark, t) // clear any stale location
+      fresh.write.saveAsTable(t)
+    } else fresh.write.mode("append").insertInto(t)
     val dt = table + "_stats_deltas"
-    if (!spark.catalog.tableExists(dt))
+    if (!spark.catalog.tableExists(dt)) {
+      Writer.dropTableAndLocation(spark, dt)
       delta.write.format("parquet").saveAsTable(dt)
-    else delta.write.mode("append").insertInto(dt)
+    } else delta.write.mode("append").insertInto(dt)
     Seq(t, dt).foreach(spark.catalog.refreshTable)
   }
 

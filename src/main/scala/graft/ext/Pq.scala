@@ -73,17 +73,30 @@ object Pq {
     * mean → reassign (the ivfTrain recipe under L2 on each slice).
     * Returns m codebooks of k centroids of dim d/m. */
   def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-                     m: Int = 8, k: Int = 16, iters: Int = 2): Seq[Seq[Seq[Float]]] = {
+                     m: Int = 8, k: Int = 16, iters: Int = 2): Seq[Seq[Seq[Float]]] =
+    trainCodebooksOn(
+      withUnit(corpus.select(col(idCol).as("__id"), col(vecCol)), vecCol, "__u")
+        .select(col("__id"), col("__u")),
+      "__id", "__u", m, k, iters)
+
+  /** The Lloyd core of [[trainCodebooks]] WITHOUT the unit-normalize
+    * step — `rawCol` is trained as-is (array<double>). IvfPq rides
+    * this to train codebooks on RESIDUALS (vector − cell reference),
+    * which must never be re-normalized: the ADC decomposition
+    * dot(q, x) = dot(q, ref) + dot(q, x − ref) is exact only in the
+    * residual's own scale. */
+  private[ext] def trainCodebooksOn(corpus: DataFrame, idCol: String,
+                                    rawCol: String, m: Int, k: Int,
+                                    iters: Int): Seq[Seq[Seq[Float]]] = {
     require(m >= 1 && m <= 8, s"m must be in [1, 8], got $m")
     require(k >= 2 && k <= 256, s"k must be in [2, 256], got $k")
-    val head = corpus.select(size(col(vecCol))).limit(1).collect()
+    val head = corpus.select(size(col(rawCol))).limit(1).collect()
     require(head.nonEmpty, "cannot train PQ codebooks on an empty corpus")
     val dims = head.head.getInt(0)
     require(dims % m == 0, s"vector dim $dims not divisible by m=$m")
     val sub = dims / m
-    val normed = withUnit(
-        corpus.select(col(idCol).as("__id"), col(vecCol)), vecCol, "__u")
-      .select(col("__id"), col("__u"))
+    val normed = corpus
+      .select(col(idCol).as("__id"), col(rawCol).cast("array<double>").as("__u"))
       .localCheckpoint(true)
     (0 until m).map { j =>
       val sv = normed.select(col("__id"),
@@ -113,33 +126,51 @@ object Pq {
     }
   }
 
+  /** Append the packed PQ code of `vecCol` as `outCol`, keeping every
+    * other column — the composable form of [[encodePacked]] (IvfPq
+    * rides it to carry the code alongside the cell assignment in ONE
+    * projection, no id-keyed join). One shuffle-free codegen pass. */
+  def withPackedCode(df: DataFrame, vecCol: String, outCol: String,
+                     books: Seq[Seq[Seq[Float]]]): DataFrame =
+    packCodesOn(withUnit(df, vecCol, "__pq_u"), "__pq_u", outCol, books)
+      .drop("__pq_u")
+
+  /** The encode core of [[withPackedCode]] WITHOUT the unit-normalize
+    * step — `rawCol` (array<double>) is assigned to each subspace's
+    * nearest code as-is. IvfPq packs RESIDUAL codes through this. */
+  private[ext] def packCodesOn(df: DataFrame, rawCol: String, outCol: String,
+                               books: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val sub = books.head.head.size
+    // One aliased distance array per subspace, so each evaluates once
+    // per row (argmin references it twice).
+    val withDists = books.zipWithIndex.foldLeft(df) { case (d, (cents, j)) =>
+      d.withColumn(s"__pq_d$j",
+        l2Dists(slice(col(rawCol), j * sub + 1, sub), cents))
+    }
+    val packed = books.indices.map { j =>
+      argminCode(col(s"__pq_d$j")).cast("long") * lit(1L << (8 * j))
+    }.reduceLeft[Column](_ + _)
+    withDists.withColumn(outCol, packed)
+      .drop(books.indices.map(j => s"__pq_d$j"): _*)
+  }
+
   /** Encode the corpus: normalize, assign each subspace's nearest
     * code, pack all m codes into one BIGINT (code_j in bits
     * [8j, 8j+8)). One shuffle-free codegen projection. */
   def encodePacked(corpus: DataFrame, idCol: String, vecCol: String,
-                   books: Seq[Seq[Seq[Float]]]): DataFrame = {
-    val sub = books.head.head.size
-    val base = withUnit(corpus.select(col(idCol), col(vecCol)), vecCol, "__u")
-    // One aliased distance array per subspace, so each evaluates once
-    // per row (argmin references it twice).
-    val withDists = books.zipWithIndex.foldLeft(base) { case (df, (cents, j)) =>
-      df.withColumn(s"__d$j",
-        l2Dists(slice(col("__u"), j * sub + 1, sub), cents))
-    }
-    val packed = books.indices.map { j =>
-      argminCode(col(s"__d$j")).cast("long") * lit(1L << (8 * j))
-    }.reduceLeft[Column](_ + _)
-    withDists.select(col(idCol), packed.as("pq_code"))
-  }
+                   books: Seq[Seq[Seq[Float]]]): DataFrame =
+    withPackedCode(corpus.select(col(idCol), col(vecCol)), vecCol,
+      "pq_code", books).select(col(idCol), col("pq_code"))
 
   /** ADC top-k: the exact (normalized) query builds an m×k partial
     * dot-product LUT on the driver; each vector's approximate cosine
     * is m unpack-shifts + m literal-array lookups over the packed
     * code — the probe reads 8 bytes per vector. Ties break by id. */
   /** The ONE definition of the ADC score expression — single and
-    * batched probes both call it, so the two paths can never drift
-    * (scores stay bit-identical whichever way a query is served). */
-  private def adcScore(q: Seq[Float], books: Seq[Seq[Seq[Float]]]): Column = {
+    * batched probes call it, and IvfPq's cell-pruned probe reuses it,
+    * so the paths can never drift (scores stay bit-identical
+    * whichever way a query is served). */
+  private[ext] def adcScore(q: Seq[Float], books: Seq[Seq[Seq[Float]]]): Column = {
     val m = books.size
     val sub = books.head.head.size
     require(q.size == m * sub, s"query dim ${q.size} != ${m * sub}")

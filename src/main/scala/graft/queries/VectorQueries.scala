@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, IvfIndex, Quantize, Similarity}
+import graft.ext.{Dedup, IvfIndex, IvfPq, Quantize, Similarity}
 
 /** Embedding-family registry: similarity search (brute force / LSH /
   * IVF, persisted indexes), quantization, the approximate-similarity-
@@ -66,6 +66,7 @@ private[graft] object VectorQueries {
     "x_ann_recall" -> ((s, dir) => annRecall(s, dir)),
     "x_ivf_recall" -> ((s, dir) => ivfRecall(s, dir)),
     "x_ivf_quantized" -> ((s, dir) => ivfQuantized(s, dir)),
+    "x_ivfpq_topk" -> ((s, dir) => ivfpqTopK(s, dir)),
     "x_quantize_dot" -> ((s, dir) => quantizeDot(s, dir)),
     "x_quantize_recall" -> ((s, dir) => quantizeRecall(s, dir)),
     "x_pq_recall" -> ((s, dir) => pqRecall(s, dir)),
@@ -489,6 +490,60 @@ private[graft] object VectorQueries {
         (col("__ne") >= ivfRecallFloor).cast("long").as("recall_vs_exact_ok"))
   }
 
+  /** x_ivfpq_topk: the composed IVFADC serving probe (graft.ext.IvfPq)
+    * — IVF cell pruning × 8-byte ADC scan × exact float re-rank, the
+    * probe whose bytes-touched is the cell fraction TIMES the 8-byte
+    * row (flat PQ scans every code; int8 IVF reads d bytes/vector in
+    * the probed cells). Emitted through the top-k shape gate plus the
+    * exact-probe recall floor; ADC≡flat-PQ score equality and the
+    * wide-open ≡ brute-force degeneracy are pinned in IvfPqSpec, the
+    * scan-shape plan pins there too. */
+  // IVFADC index memoized per (session, dir) — the ivfMemo contract:
+  // train once (IVF Lloyd + 8 subspace PQ Lloyds), probe many.
+  private val ivfpqMemo =
+    new java.util.WeakHashMap[SparkSession, java.util.HashSet[String]]()
+  private def ivfpqIndexFor(s: SparkSession, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val table = "graft_ivfpq_" + digest
+    ivfpqMemo.synchronized {
+      val perSession = {
+        val m = ivfpqMemo.get(s)
+        if (m != null) m
+        else { val m2 = new java.util.HashSet[String](); ivfpqMemo.put(s, m2); m2 }
+      }
+      if (!perSession.contains(dir)) {
+        IvfPq.build(Tables.embeddings(s, dir).where(col("vec_id") =!= 0)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", table,
+          kCells = 16, ivfIters = 2, m = 8, kPq = 64, pqIters = 2)
+        perSession.add(dir)
+      }
+    }
+    table
+  }
+
+  private def ivfpqTopK(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0)
+    val table = ivfpqIndexFor(s, dir)
+    val probed = IvfPq.probeTopK(s, table, "vec_id", "embedding", q,
+        k = 10, nProbe = 4)
+      .pipe(graft.ext.Checkpoints.stage)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"))
+    val hits = probed.select(col("vec_id")).join(exact, Seq("vec_id"))
+      .agg(count(lit(1)).as("__ne"))
+    topKShape(probed, corpus, "vec_id").crossJoin(hits)
+      .select(col("n_rows"), col("n_distinct_ids"), col("n_in_corpus"),
+        col("cos_bounds_ok"),
+        (col("__ne") >= ivfRecallFloor).cast("long").as("recall_vs_exact_ok"))
+  }
+
   /** Adjacent-pair dot product in int8-quantized space
     * (graft.ext.Quantize) — the oracle-checkable anchor for the
     * quantization arithmetic: scale, round-half-up, and integer dot
@@ -767,6 +822,15 @@ private[graft] object VectorQueries {
         | CAST(1 AS BIGINT) AS recall_vs_float_ok,
         | CAST(1 AS BIGINT) AS recall_vs_exact_ok""".stripMargin.replaceAll("\n", " "),
     "x_quantize_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    // IVFADC probe: top-k shape counts value-replayed; the recall
+    // floor derives from the real composed probe in-engine (score
+    // exactness and scan-shape pins live in IvfPqSpec).
+    "x_ivfpq_topk" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(10 AS BIGINT) AS n_distinct_ids,
+        | CAST(10 AS BIGINT) AS n_in_corpus,
+        | CAST(1 AS BIGINT) AS cos_bounds_ok,
+        | CAST(1 AS BIGINT) AS recall_vs_exact_ok""".stripMargin.replaceAll("\n", " "),
     // Batched PQ serving: shape counts value-replayed; the
     // batch == single equality bit derives from the real probes.
     "x_pq_batch" ->

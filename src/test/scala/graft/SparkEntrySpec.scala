@@ -62,6 +62,9 @@ class SparkEntrySpec extends AnyFunSuite {
       // 1-row scalar crossJoins: corpus token count (PMI), df/avgdl
       // scalars (BM25), and the SemDeDup gate's report assembly.
       "x_pmi_bigrams", "x_bm25_topk", "x_semantic_dedup",
+      // The BM25 half carries the same 1-row df/avgdl scalar attach;
+      // the fusion itself is k-row equi-joins.
+      "x_hybrid_rrf",
       // Same BM25 report assembly (1-row dfs × 1-row stats) off the
       // persisted index instead of the scan.
       "x_bm25_index", "x_stream_bm25", "x_bm25_batch",
@@ -78,7 +81,9 @@ class SparkEntrySpec extends AnyFunSuite {
       "x_detector_agreement",
       // Labeled gate-scale truth pass: all-pairs hamming over DISTINCT
       // hash values, plus the 1-row report assembly.
-      "x_simhash_dedup")
+      "x_simhash_dedup",
+      // Top-k shape gate × 1-row recall count (IVFADC report assembly).
+      "x_ivfpq_topk")
     val allowDayGrain = Set("x_rolling_stats", "x_gap_fill")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, TestSpark.sf0001)

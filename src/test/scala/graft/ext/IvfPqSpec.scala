@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** IVFADC (IvfPq): the composed serving index — IVF partition pruning
+  * × residual-PQ byte economy × exact float re-rank. The probe must
+  * (a) prune its ADC scan to the probed cells reading ONLY the packed
+  * code, (b) score each code as dot(q̂, ref_cell) + residual-ADC (the
+  * exact decomposition — verified here against a driver-side replay
+  * off the saved side tables), (c) return EXACT cosine scores for
+  * every surviving id, and (d) degrade to brute force when both
+  * prunes are opened wide.
+  */
+class IvfPqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val table = "ivfpq_spec"
+
+  private def dropAll(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${IvfIndex.centroidsTable(t)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${IvfPq.codebooksTable(t)}")
+  }
+
+  test("build + probe: cell-pruned 8-byte ADC scan, residual decomposition exact, exact re-rank scores, wide-open equals brute force") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = e.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val q = e.where(col("vec_id") === 0).select("embedding").first().getSeq[Float](0)
+    val n = corpus.count().toInt
+    val (cents, books) = IvfPq.build(corpus, "vec_id", "embedding", table,
+      kCells = 8, ivfIters = 2, m = 8, kPq = 16, pqIters = 2)
+    try {
+      // Side tables round-trip exactly (floats are lossless in parquet).
+      assert(IvfIndex.centroids(spark, table) == cents)
+      assert(IvfPq.codebooks(spark, table) == books)
+
+      // Plan pin: the ADC stage partition-prunes on cluster_id and its
+      // ReadSchema carries the 8-byte pq_code, never the float column.
+      val adc = IvfPq.adcShortlist(spark, table, "vec_id", q, nProbe = 2,
+        shortlist = 40)
+      val plan = adc.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+        s"ADC scan must partition-prune on cluster_id:\n$plan")
+      val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+      assert(readSchema.contains("pq_code"),
+        s"ADC scan must read the packed code:\n$readSchema")
+      assert(!readSchema.contains("embedding"),
+        s"ADC scan must NOT read the float column — that is the byte " +
+          s"economy the code column exists for:\n$readSchema")
+
+      // Residual decomposition replayed driver-side off the saved side
+      // tables: score(row) = dot(q̂, ref_cell) + Σ_j lut_j(code_j),
+      // with q̂, the LUT folds, and the sum order matching the Column
+      // expression term for term — bit-equal on every scored row.
+      val qn = {
+        val nn = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        if (nn == 0.0) q.map(_ => 0.0) else q.map(_.toDouble / nn)
+      }
+      val sub = books.head.head.size
+      val luts = books.zipWithIndex.map { case (cents_, j) =>
+        cents_.map(cv => cv.indices.foldLeft(0.0)((a, d) =>
+          a + qn(j * sub + d) * cv(d).toDouble))
+      }
+      val cellDots = cents.map { c =>
+        val r = IvfPq.unitRef(c)
+        r.indices.foldLeft(0.0)((a, d) => a + qn(d) * r(d))
+      }
+      val scored = IvfPq.adcShortlist(spark, table, "vec_id", q, nProbe = 8,
+        shortlist = n)
+      val rows = spark.table(table)
+        .join(scored, Seq("vec_id"))
+        .select(col("vec_id"), col("cluster_id"), col("pq_code"),
+          col("pq_score"))
+        .collect()
+      assert(rows.length == n)
+      rows.foreach { r =>
+        val code = r.getLong(2)
+        val resAdc = (0 until books.size)
+          .map(j => luts(j)((code >>> (8 * j)).toInt & 0xff))
+          .reduceLeft(_ + _)
+        val expect = cellDots(r.getInt(1)) + resAdc
+        assert(r.getDouble(3) == expect,
+          s"IVFADC score for ${r.getLong(0)} diverges from the " +
+            s"driver-side residual decomposition replay")
+      }
+
+      // Probe scores are EXACT cosines: every returned id matches the
+      // brute-force score bit-for-bit.
+      val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, n)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val probed = IvfPq.probeTopK(spark, table, "vec_id", "embedding", q,
+        k = 10, nProbe = 2).collect()
+      assert(probed.length == 10)
+      probed.foreach { r =>
+        assert(brute(r.getLong(0)) == r.getDouble(1),
+          s"re-ranked score for ${r.getLong(0)} is not the exact cosine")
+      }
+
+      // Both prunes opened wide (all cells, corpus-sized shortlist):
+      // the probe IS brute force, row for row.
+      val wide = IvfPq.probeTopK(spark, table, "vec_id", "embedding", q,
+        k = 10, nProbe = 8, shortlist = n)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val bruteTop = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(wide == bruteTop,
+        s"wide-open IVFADC must equal brute force:\n$wide\nvs\n$bruteTop")
+
+      // Operating point: the production prune (nProbe 2 of 8, 4k
+      // shortlist) keeps the recall floor the two-tier probes hold.
+      val hits = probed.map(_.getLong(0)).toSet
+        .intersect(bruteTop.map(_._1).toSet).size
+      assert(hits >= 5, s"IVFADC recall collapsed: $hits of 10")
+    } finally dropAll(table)
+  }
+}

@@ -175,9 +175,9 @@ object Dedup {
     * semi-join of the full one). The input should be materialized
     * (checkpointed/persisted): it feeds three consumers here. */
   def candidatePairsFromBands(b: DataFrame, params: MinHashParams): DataFrame = {
-    val sized = b.groupBy(col("band_id"), col("band_hash"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") <= params.maxBucketSize)
+    val sized = SkipReport.within(
+      SkipReport.census(b, Seq(col("band_id"), col("band_hash"))),
+      params.maxBucketSize)
     val inBucket = b.join(sized, Seq("band_id", "band_hash"))
     val l = inBucket.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
     val r = inBucket.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
@@ -186,6 +186,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
   }
+
+  /** The (band_id, band_hash) buckets [[candidatePairsFromBands]]
+    * SKIPS at the given params' cap, with sizes — the [[SkipReport]]
+    * companion for the MinHash family (same census expression as the
+    * operator's keep-filter, so the report can never drift from what
+    * was actually dropped). Takes the precomputed band table so report
+    * and pair generation share ONE shingle+minhash pass. */
+  def minhashOversized(b: DataFrame, params: MinHashParams): DataFrame =
+    SkipReport.skipped(
+      SkipReport.census(b, Seq(col("band_id"), col("band_hash"))),
+      params.maxBucketSize)
 
   /** Near-duplicate pairs: LSH candidates verified by EXACT shingle
     * Jaccard ≥ threshold. Verification joins the (small) candidate set
@@ -566,8 +577,8 @@ object Dedup {
       .select(col("id"), explode(col("fps")).as("fp"))
       // Feeds the posting-size census + both join sides.
       .pipe(Checkpoints.stage)
-    val sized = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxPostings)
+    val sized = SkipReport.within(
+      SkipReport.census(fp, Seq(col("fp"))), maxPostings)
     val in = fp.join(sized.select(col("fp")), Seq("fp"))
     val a = in.select(col("fp"), col("id").as("id_a"))
     val b = in.select(col("fp"), col("id").as("id_b"))
@@ -577,6 +588,21 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** The fingerprints [[winnowPairs]] SKIPS at the given posting cap,
+    * with their document frequencies — the [[SkipReport]] companion
+    * for the winnow family. Same fingerprint pass and census
+    * expression as the operator; output (fp, block_n). */
+  def winnowOversized(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, w: Int = 4,
+                      maxPostings: Int = 1000): DataFrame =
+    SkipReport.skipped(
+      SkipReport.census(
+        winnowedPacked(docs.select(col(idCol).as("id"), col(textCol)),
+          textCol, "fps", k, w)
+          .select(col("id"), explode(col("fps")).as("fp")),
+        Seq(col("fp"))),
+      maxPostings)
 
   /** Cross-corpus shared-passage pairs — the DECONTAMINATION detector:
     * every (train doc, eval doc) pair sharing at least `minShared`
@@ -602,9 +628,11 @@ object Dedup {
         .pipe(Checkpoints.stage)
     val tf = fps(train)
     val ef = fps(evalDocs)
-    val sized = tf.select(col("fp")).unionAll(ef.select(col("fp")))
-      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxPostings)
+    val sized = SkipReport.within(
+        SkipReport.census(
+          tf.select(col("fp")).unionAll(ef.select(col("fp"))),
+          Seq(col("fp"))),
+        maxPostings)
       .select(col("fp"))
     tf.join(sized, Seq("fp"))
       .select(col("fp"), col("id").as("train_id"))
@@ -613,6 +641,23 @@ object Dedup {
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+  }
+
+  /** The fingerprints [[crossCorpusPairs]] SKIPS at the given posting
+    * cap — the [[SkipReport]] companion for the decontamination
+    * detector, over the same train ∪ eval union census the operator's
+    * cap decision uses. Output (fp, block_n). */
+  def crossCorpusOversized(train: DataFrame, evalDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int = 8, w: Int = 4,
+                           maxPostings: Int = 1000): DataFrame = {
+    def fps(df: DataFrame): DataFrame =
+      winnowedPacked(df.select(col(idCol).as("id"), col(textCol)),
+          textCol, "fps", k, w)
+        .select(explode(col("fps")).as("fp"))
+    SkipReport.skipped(
+      SkipReport.census(fps(train).unionAll(fps(evalDocs)), Seq(col("fp"))),
+      maxPostings)
   }
 
   /** SURGICAL decontamination: cut the leaked passage OUT of a flagged
@@ -755,8 +800,9 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-band pigeonhole covers hamming <= 3, got $maxHamming")
     val bands = Checkpoints.stage(simhashBands(docs, idCol, textCol))
-    val sized = bands.groupBy(col("band_id"), col("band_val"))
-      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucketSize)
+    val sized = SkipReport.within(
+        SkipReport.census(bands, Seq(col("band_id"), col("band_val"))),
+        maxBucketSize)
       .select(col("band_id"), col("band_val"))
     val inB = bands.join(sized, Seq("band_id", "band_val"))
     inB.select(col("band_id"), col("band_val"),
@@ -796,10 +842,10 @@ object Dedup {
     * shape as [[graft.ext.Similarity.oversizedBlocks]]. */
   def simhashOversized(docs: DataFrame, idCol: String, textCol: String,
                        maxBucketSize: Long = 1000L): DataFrame =
-    simhashBands(docs, idCol, textCol)
-      .groupBy(col("band_id"), col("band_val"))
-      .agg(count(lit(1)).as("block_n"))
-      .where(col("block_n") > maxBucketSize)
+    SkipReport.skipped(
+      SkipReport.census(simhashBands(docs, idCol, textCol),
+        Seq(col("band_id"), col("band_val"))),
+      maxBucketSize)
 
   /** SimHash dedup end to end: one smallest-id survivor per connected
     * component of the [[simhashPairs]] graph — the dedupNearDups

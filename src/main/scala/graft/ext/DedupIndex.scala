@@ -63,8 +63,10 @@ object DedupIndex {
   def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
     val t = table + "_tombstones"
     val d = ids.select(col("id")).distinct()
-    if (!spark.catalog.tableExists(t)) d.write.saveAsTable(t)
-    else d.join(spark.table(t), Seq("id"), "left_anti")
+    if (!spark.catalog.tableExists(t)) {
+      Writer.dropTableAndLocation(spark, t) // clear any stale location
+      d.write.saveAsTable(t)
+    } else d.join(spark.table(t), Seq("id"), "left_anti")
       .write.mode("append").insertInto(t)
     spark.catalog.refreshTable(t)
   }
@@ -211,9 +213,9 @@ object DedupIndex {
     // incremental == full-recompute holds even on capped buckets.
     // Feeds sizing + both join sides; stage it once.
     val union = idxTouched.unionByName(newBands).pipe(stager)
-    val sized = union.groupBy(col("band_id"), col("band_hash"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") <= params.maxBucketSize)
+    val sized = SkipReport.within(
+      SkipReport.census(union, Seq(col("band_id"), col("band_hash"))),
+      params.maxBucketSize)
     val inBucket = union.join(sized, Seq("band_id", "band_hash"))
     val newSide = newBands.join(sized, Seq("band_id", "band_hash"))
       .select(col("band_id"), col("band_hash"), col("id").as("id_n"))

@@ -294,9 +294,10 @@ object Similarity {
     // IEEE expression dot/(norm_a*norm_b), so results are bit-equal to
     // the naive form — only the work moves.
     val spark = corpus.sparkSession
-    val sized = corpus.groupBy(col(blockCol).as("blk"))
-      .agg(count(lit(1)).as("__blk_n"))
-      .where(col("__blk_n") <= maxBlockSize)
+    val sized = SkipReport.within(
+        SkipReport.census(corpus.select(col(blockCol).as("blk")),
+          Seq(col("blk"))),
+        maxBlockSize)
       .select(col("blk"))
     val withNorm = corpus.select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(vecCol).as("v"), normIn(spark)(col(vecCol)).as("nrm"))
@@ -376,9 +377,10 @@ object Similarity {
     * oversized block is never a silent coverage hole. */
   def oversizedBlocks(corpus: DataFrame, blockCol: String,
                       maxBlockSize: Int = 10000): DataFrame =
-    corpus.groupBy(col(blockCol).as("blk"))
-      .agg(count(lit(1)).as("block_n"))
-      .where(col("block_n") > maxBlockSize)
+    SkipReport.skipped(
+      SkipReport.census(corpus.select(col(blockCol).as("blk")),
+        Seq(col("blk"))),
+      maxBlockSize)
 
   /** SemDeDup — SEMANTIC deduplication by k-means-scoped cosine
     * pruning (Abbas et al. 2023, arXiv:2303.09540): cluster the

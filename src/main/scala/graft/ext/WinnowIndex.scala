@@ -134,8 +134,8 @@ object WinnowIndex {
     // pipeline makes on the union corpus. Feeds sizing + both join
     // sides; stage once.
     val union = idxTouched.unionByName(np).pipe(stager)
-    val sized = union.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxPostings)
+    val sized = SkipReport.within(
+      SkipReport.census(union, Seq(col("fp"))), maxPostings)
     val inPost = union.join(sized.select(col("fp")), Seq("fp"))
     val newSide = np.join(sized.select(col("fp")), Seq("fp"))
       .select(col("fp"), col("id").as("id_n"))
@@ -223,9 +223,10 @@ object WinnowIndex {
   def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
     val t = table + "_tombstones"
     val d = ids.select(col("id")).distinct()
-    if (!spark.catalog.tableExists(t))
+    if (!spark.catalog.tableExists(t)) {
+      Writer.dropTableAndLocation(spark, t) // clear any stale location
       d.write.saveAsTable(t)
-    else
+    } else
       d.join(spark.table(t), Seq("id"), "left_anti")
         .write.mode("append").insertInto(t)
     spark.catalog.refreshTable(t)

@@ -128,7 +128,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // 2) Every bucket-sizing aggregate sits ABOVE the restriction: the
     //    probe sizes only touched buckets, never the whole index.
     val sizing = opt.collect {
-      case a: Aggregate if a.aggregateExpressions.exists(_.name == "bucket_n") => a
+      case a: Aggregate if a.aggregateExpressions.exists(_.name == graft.ext.SkipReport.CountCol) => a
     }
     assert(sizing.nonEmpty, s"bucket-sizing aggregate missing from:\n$opt")
     sizing.foreach { a =>
@@ -159,7 +159,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val semis = opt.collect { case j: Join if j.joinType == LeftSemi => j }
     assert(semis.nonEmpty, s"no left_semi posting restriction in:\n$opt")
     val sizing = opt.collect {
-      case a: Aggregate if a.aggregateExpressions.exists(_.name == "df") => a
+      case a: Aggregate if a.aggregateExpressions.exists(_.name == graft.ext.SkipReport.CountCol) => a
     }
     assert(sizing.nonEmpty, s"posting-sizing aggregate missing from:\n$opt")
     sizing.foreach { a =>

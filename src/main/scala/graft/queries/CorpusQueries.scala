@@ -5,7 +5,7 @@ import scala.util.chaining._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, DedupIndex, HeavyHitters, Mixing, Multimodal, Packing, TextAnalysis, WinnowIndex}
+import graft.ext.{Dedup, DedupIndex, HeavyHitters, Mixing, Multimodal, Packing, Retrieval, Similarity, TextAnalysis, WinnowIndex}
 
 /** Document-corpus-family registry: dedup (exact / MinHash-LSH /
   * incremental / SimHash / n-gram Jaccard), text analysis and
@@ -341,6 +341,7 @@ private[graft] object CorpusQueries {
       // oracle replay.
       TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Seq("dup", "data"), topK = 10)),
+    "x_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)),
     "x_bm25_index" -> ((s, dir) => bm25Index(s, dir)),
     "x_bm25_batch" -> ((s, dir) => bm25Batch(s, dir)),
     "x_bm25_delete" -> ((s, dir) => bm25Delete(s, dir)),
@@ -429,6 +430,21 @@ private[graft] object CorpusQueries {
           Tables.documents(s, dir).where(col("doc_id") < 200),
           "doc_id", "text", k = 8, w = 4, minShared = 2, maxPostings = 1000)
         .orderBy(col("id_a"), col("id_b"))),
+    "x_skipped_blocks" -> ((s, dir) =>
+      // The uniform skip report as a queryable fact (SkipReport +
+      // Dedup.winnowOversized): the fingerprints the winnow pair
+      // generator DROPS at posting cap 10 on the 200-doc slice, with
+      // their document frequencies — every capped detector's coverage
+      // hole in the one shared (key…, block_n) shape. Value-exact:
+      // the int-packed fps are re-hexed to the portable md5-prefix
+      // form (packing is an order-preserving bijection), which the
+      // oracle computes directly.
+      Dedup.winnowOversized(
+          Tables.documents(s, dir).where(col("doc_id") < 200),
+          "doc_id", "text", k = 8, w = 4, maxPostings = 10)
+        .select(lpad(lower(hex(col("fp"))), 8, "0").as("fp"),
+          col("block_n"))
+        .orderBy(col("fp"))),
     "x_token_split" -> ((s, dir) => tokenBudgetSplit(s, dir)),
     "x_entropy" -> ((s, dir) => entropyProfile(s, dir)),
     "x_union_evolve" -> ((s, dir) => {
@@ -1460,6 +1476,27 @@ private[graft] object CorpusQueries {
     * over the FULL corpus — value-exact across the whole
     * build → append → redeliver → probe lifecycle, because probe
     * shares bm25Rank's arithmetic with the scan path. */
+  /** x_hybrid_rrf: hybrid sparse+dense retrieval fused by reciprocal
+    * rank (graft.ext.Retrieval.rrfFuse) — BM25 top-50 for the fixed
+    * 2-term query over `documents` and exact-cosine top-50 for query
+    * vector 0 over `embeddings` (the fixture aligns doc_id ↔ vec_id),
+    * fused at the paper's k0 = 60. Both rankings and the fused
+    * 1/(k0+rank) arithmetic replay value-exact in the oracle (the
+    * BM25 and cosine scorers are the already-gated x_bm25_topk /
+    * x_cosine_topk pipelines; ranks share their tie-break). */
+  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val sparse = TextAnalysis.bm25TopK(Tables.documents(s, dir),
+        "doc_id", "text", Seq("dup", "data"), topK = 50)
+      .select(col("doc_id"), col("score"))
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val dense = Similarity.bruteForceTopK(e.where(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, 50)
+      .select(col("vec_id").as("doc_id"), col("cos_sim"))
+    Retrieval.rrfFuse(Seq(sparse, dense), k0 = 60, topK = 10)
+  }
+
   private def bm25Index(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val isNew = pmod(col("doc_id"), lit(5)) === 4
@@ -2585,6 +2622,31 @@ private[graft] object CorpusQueries {
     // int-to-double conversion, or one correctly-rounded IEEE op, so
     // scores hash-match bit-for-bit.
     "x_bm25_topk" -> bm25OracleSql,
+    // Hybrid RRF: the BM25 chain cut at top-50, the x_cosine_topk
+    // chain cut at top-50, ranks by the shared (score DESC, id) order,
+    // fused left-to-right as 1/(60+r) — the exact double expression
+    // rrfFuse evaluates.
+    "x_hybrid_rrf" ->
+      (bm25OracleSql.replace(
+        "SELECT doc_id, dl, tf_0, tf_1, score FROM s ORDER BY score DESC, doc_id LIMIT 10",
+        """, bm AS (SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 50),
+          | bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r0 FROM bm),
+          | qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+          | den AS (SELECT e.vec_id,
+          |  list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.v[i] AS DOUBLE)), (x, y) -> x + y)
+          |  / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+          |   * sqrt(list_reduce(list_transform(generate_series(1, len(qv.v)), i -> CAST(qv.v[i] AS DOUBLE) * CAST(qv.v[i] AS DOUBLE)), (x, y) -> x + y))) AS cos_sim
+          |  FROM embeddings e, qv WHERE e.vec_id <> 0),
+          | dn AS (SELECT vec_id AS doc_id, cos_sim FROM den ORDER BY cos_sim DESC, vec_id LIMIT 50),
+          | dnr AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r1 FROM dn),
+          | f AS (SELECT COALESCE(bmr.doc_id, dnr.doc_id) AS doc_id,
+          |   (CASE WHEN r0 IS NOT NULL THEN 1.0 / (60.0 + CAST(r0 AS DOUBLE)) ELSE 0.0 END)
+          |   + (CASE WHEN r1 IS NOT NULL THEN 1.0 / (60.0 + CAST(r1 AS DOUBLE)) ELSE 0.0 END) AS rrf_score,
+          |   CAST((CASE WHEN r0 IS NOT NULL THEN 1 ELSE 0 END)
+          |     + (CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lists
+          |  FROM bmr FULL OUTER JOIN dnr ON bmr.doc_id = dnr.doc_id)
+          | SELECT doc_id, rrf_score, n_lists FROM f
+          | ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " "))),
     // The index probe must reproduce the scan-time scorer EXACTLY, so
     // its oracle IS the x_bm25_topk replay over the full corpus — the
     // build/append/redeliver lifecycle and bucket-pruned probe on the
@@ -2742,6 +2804,21 @@ private[graft] object CorpusQueries {
         | SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_kgrams,
         |   CAST(len(fps) AS BIGINT) AS n_fp, list_min(fps) AS min_fp
         | FROM f ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // The skip report replayed: same fingerprint pipeline, census
+    // kept where the operator drops (> 10 postings).
+    "x_skipped_blocks" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+        | g AS (SELECT doc_id, list_transform(
+        |     generate_series(1, CASE WHEN length(text) >= 8 THEN length(text) - 7 ELSE 0 END),
+        |     i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs FROM d),
+        | f AS (SELECT doc_id,
+        |   CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_distinct(list_transform(
+        |          generate_series(1, GREATEST(len(hs) - 3, 1)),
+        |          j -> list_min(hs[j:j+3]))) END AS fps FROM g),
+        | e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        | SELECT fp, CAST(COUNT(*) AS BIGINT) AS block_n FROM e
+        | GROUP BY fp HAVING COUNT(*) > 10 ORDER BY fp""".stripMargin.replaceAll("\n", " "),
     // Winnow-pair pipeline replayed end to end: same fingerprints,
     // same <= 1000 posting cap, same pair counts and >= 2 floor.
     "x_winnow_pairs" ->

@@ -1666,19 +1666,29 @@ private[graft] object CorpusQueries {
     * equivalence compare itself still runs every execution, against
     * that rep's freshly streamed pair set. */
   private val fullPairsMemo =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, String]]()
   private def fullPairsFor(s: SparkSession, dir: String, docs: DataFrame,
                            params: Dedup.MinHashParams): DataFrame =
     fullPairsMemo.synchronized {
       val perSession = {
         val m = fullPairsMemo.get(s)
         if (m != null) m
-        else { val m2 = new java.util.HashMap[String, DataFrame](); fullPairsMemo.put(s, m2); m2 }
+        else { val m2 = new java.util.HashMap[String, String](); fullPairsMemo.put(s, m2); m2 }
       }
-      if (!perSession.containsKey(dir))
-        perSession.put(dir, Dedup.candidatePairs(docs, "doc_id", "text", params)
-          .pipe(graft.ext.Checkpoints.stage))
-      perSession.get(dir)
+      if (!perSession.containsKey(dir)) {
+        // Memoized as a PARQUET FILE, not a checkpointed DataFrame: a
+        // localCheckpoint is non-recomputable, so a memo holding one
+        // dies the moment anything sweeps persistent blocks (Bench's
+        // between-rep unpersist hygiene did exactly that —
+        // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on rep 2). A file survives
+        // any storage-level housekeeping and re-reads are pruned scans.
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_full_pairs_").toString
+        Dedup.candidatePairs(docs, "doc_id", "text", params)
+          .write.mode("overwrite").parquet(out)
+        perSession.put(dir, out)
+      }
+      s.read.parquet(perSession.get(dir))
     }
 
   private val shardMemo =

@@ -105,7 +105,11 @@ object Bench {
         System.err.println(s"[bench] could not read $floorPath: ${e.getMessage}")
         Some("")
       }
-    val parsed = floorText.map(BenchFloor.parse).getOrElse(Map.empty)
+    // Fixed-cost clamp applied at READ time: the flag line for the
+    // stateful stream joins compares against their fixed cost, not a
+    // lucky-window min (see BenchFloor.FixedCostMinSec).
+    val parsed =
+      BenchFloor.clamped(floorText.map(BenchFloor.parse).getOrElse(Map.empty))
     val fileSf = floorText.flatMap(BenchFloor.parseSf)
     val sfMatches = fileSf.forall(_ == sfDir)
     // "Readable" ≠ "has entries": an empty-but-valid floor file ({} or
@@ -167,7 +171,11 @@ object Bench {
     // queries enter at this run's min. Never raised; zombies dropped on
     // full runs above; sf-mismatched or unreadable files never written.
     if (writeAllowed) try {
-      val merged = BenchFloor.merge(BenchFloor.merge(floor, bestMap).toMap, recheck)
+      // Clamped on the write side too, so a lucky-window run can't
+      // re-poison the file below the fixed cost.
+      val merged = BenchFloor.clamped(
+        BenchFloor.merge(BenchFloor.merge(floor, bestMap).toMap, recheck)
+          .toMap).toSeq.sortBy(_._1)
       val w = new java.io.PrintWriter(floorPath, "UTF-8")
       try w.print(BenchFloor.render(merged, Some(sfDir)))
       finally w.close()

@@ -15,6 +15,29 @@ object BenchFloor {
   val RatioThreshold = 1.5
   val AbsoluteThresholdSec = 0.3
 
+  /** Floor CLAMP for FIXED-COST queries — stateful two-stream joins
+    * whose wall time is state-store + watermark-flush machinery, flat
+    * from sf0.001 to sf0.1 and flat across reps (quiet box ≈ 6.4–6.7 s
+    * measured, loaded box ≈ 8.1–8.4 s). Their min-ever floors were set
+    * in one lucky latency window (≈ 5.1 s), which put the loaded
+    * steady state past the 1.5× flag line and red-flagged 3 of 4 r13
+    * runs with zero code change. The clamp re-bases the comparison to
+    * the fixed-cost model: floors for these keys are read (and
+    * re-written) as at least this value, so the flag line sits above
+    * honest steady-state noise while a real regression (> 1.5× the
+    * fixed cost) still flags. Applies ONLY here — data-scaled queries
+    * keep the pure ratchet. */
+  val FixedCostMinSec: Map[String, Double] = Map(
+    "x_stream_interval_join" -> 6.0,
+    "x_stream_outer_join" -> 6.0)
+
+  /** [[FixedCostMinSec]] applied to a floor map (read-side and
+    * write-side, so a lucky window can never re-poison the file). */
+  def clamped(floor: Map[String, Double]): Map[String, Double] =
+    floor.map { case (k, v) =>
+      k -> FixedCostMinSec.get(k).map(math.max(v, _)).getOrElse(v)
+    }
+
   /** Key under which the run's scale-factor dir is stamped into the
     * floor file. Floors are only comparable at the sf that set them:
     * one run at a smaller sf would ratchet every floor permanently

@@ -120,6 +120,24 @@ class BenchFloorSpec extends AnyFunSuite {
     assert(BenchFloor.readable("{\n  \"q\": 1.2345,\n  \"r\""))
   }
 
+  test("fixed-cost clamp: lucky-window floors re-based, data-scaled floors untouched") {
+    val floor = Map(
+      "x_stream_interval_join" -> 5.08, // lucky-window min
+      "x_stream_outer_join" -> 7.2, // already above the clamp
+      "q_agg_pricing" -> 0.2) // data-scaled: pure ratchet
+    val c = BenchFloor.clamped(floor)
+    assert(c("x_stream_interval_join") == 6.0,
+      "below-clamp floor must re-base to the fixed cost")
+    assert(c("x_stream_outer_join") == 7.2,
+      "above-clamp floor keeps its own (tighter-flag) value")
+    assert(c("q_agg_pricing") == 0.2, "non-fixed-cost keys untouched")
+    // The loaded-box steady state (~8.3 s) must NOT flag against the
+    // clamped floor, while a real regression still does.
+    assert(BenchFloor.regressed(c, Seq("x_stream_interval_join" -> 8.3)).isEmpty)
+    assert(BenchFloor.regressed(c, Seq("x_stream_interval_join" -> 9.5))
+      == Seq("x_stream_interval_join"))
+  }
+
   test("zombies: floor keys outside the registry, sf stamp never counted") {
     val floor = Map("alive" -> 1.0, "renamed_old" -> 2.0, "deleted_q" -> 3.0,
       BenchFloor.SfKey -> 0.0)

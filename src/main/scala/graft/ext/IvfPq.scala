@@ -90,6 +90,7 @@ object IvfPq {
     Writer.dropTableAndLocation(spark, table)
     Writer.dropTableAndLocation(spark, IvfIndex.centroidsTable(table))
     Writer.dropTableAndLocation(spark, codebooksTable(table))
+    Writer.dropTableAndLocation(spark, table + "_tombstones")
     val cents = Similarity.ivfTrain(corpus, idCol, vecCol, kCells, ivfIters)
     val refs = cents.map(unitRef)
     // Cell assignment, normalization, and the residual ride ONE
@@ -119,6 +120,96 @@ object IvfPq {
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(codebooksTable(table))
     (cents, books)
+  }
+
+  /** Encode a batch against FIXED quantizers: cell-assign, residual,
+    * pack — the pure (vec, centroids, codebooks) → row function both
+    * [[build]] and [[append]] run, so an appended vector's code is
+    * bit-identical to the code a build with the same quantizers would
+    * store. */
+  private def encodeWith(batch: DataFrame, idCol: String, vecCol: String,
+                         cents: Seq[Seq[Float]],
+                         books: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val refs = cents.map(unitRef)
+    val withRes = Pq.withUnit(
+        Similarity.ivfAssign(batch, idCol, vecCol, cents), vecCol, "__u")
+      .withColumn("__r", residualCol(col("__u"), col("cluster_id"), refs))
+    Pq.packCodesOn(withRes, "__r", "pq_code", books)
+      .select(col(idCol), col(vecCol), col("pq_code"), col("cluster_id"))
+  }
+
+  /** Append a batch to a saved index WITHOUT retraining: the standard
+    * IVFADC serve-time ingest (Jégou et al. §IV — quantizers are
+    * frozen at train time; new vectors are assigned and
+    * residual-encoded under them). Probes serve the appended rows
+    * immediately; because [[encodeWith]] is a pure function of the
+    * frozen quantizers, append order can never change any code, and
+    * append → [[delete]](same ids) → [[purgeTombstones]] returns the
+    * index to BIT-IDENTICAL probe results (IvfPqSpec pins the round
+    * trip). Scale shape: one per-row assign+encode pass over the
+    * batch, then a partitioned append — no contact with existing
+    * rows. */
+  def append(spark: SparkSession, table: String, batch: DataFrame,
+             idCol: String, vecCol: String): Unit = {
+    val cents = IvfIndex.centroids(spark, table)
+    val books = codebooks(spark, table)
+    encodeWith(batch, idCol, vecCol, cents, books)
+      .repartition(col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"), col(idCol))
+      .write.mode(SaveMode.Append)
+      .format("parquet")
+      .insertInto(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Tombstone-delete vectors — the takedown pattern shared across the
+    * index families (WinnowIndex's doc has the contract). Probes hide
+    * tombstoned ids at the scan ([[adcShortlist]] and the re-rank both
+    * anti-join the takedown-sized list); [[purgeTombstones]] rewrites
+    * the layout later. */
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    val t = table + "_tombstones"
+    val d = ids.select(col("id")).distinct()
+    if (!spark.catalog.tableExists(t)) {
+      Writer.dropTableAndLocation(spark, t) // clear any stale location
+      d.write.saveAsTable(t)
+    } else d.join(spark.table(t), Seq("id"), "left_anti")
+      .write.mode("append").insertInto(t)
+    spark.catalog.refreshTable(t)
+  }
+
+  private def minusTombstones(spark: SparkSession, table: String,
+                              idCol: String, rows: DataFrame): DataFrame = {
+    val t = table + "_tombstones"
+    if (spark.catalog.tableExists(t))
+      rows.join(broadcast(spark.table(t).select(col("id").as(idCol))),
+        Seq(idCol), "left_anti")
+    else rows
+  }
+
+  /** Physically purge tombstoned vectors: rewrite in the same compact
+    * partitioned layout (a deployment-scale variant overwrites only
+    * the touched cells via dynamic partition overwrite), then drop the
+    * tombstone list. Answer-stable; returns rows removed. */
+  def purgeTombstones(spark: SparkSession, table: String,
+                      idCol: String): Long = {
+    val t = table + "_tombstones"
+    if (!spark.catalog.tableExists(t)) return 0L
+    val snap = spark.table(table).localCheckpoint(true)
+    val live = snap.join(broadcast(
+        spark.table(t).localCheckpoint(true).select(col("id").as(idCol))),
+      Seq(idCol), "left_anti").localCheckpoint(true)
+    val removed = snap.count() - live.count()
+    live
+      .repartition(col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"), col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id")
+      .format("parquet")
+      .saveAsTable(table)
+    spark.sql(s"DROP TABLE `$t`")
+    spark.catalog.refreshTable(table)
+    removed
   }
 
   /** Codebooks of a saved index — m·kPq small rows, driver-side (the
@@ -164,8 +255,8 @@ object IvfPq {
     val cents = IvfIndex.centroids(spark, table)
     val probe = Similarity.probeClusters(cents, query, nProbe)
     val books = codebooks(spark, table)
-    spark.table(table)
-      .where(col("cluster_id").isin(probe: _*))
+    minusTombstones(spark, table, idCol,
+        spark.table(table).where(col("cluster_id").isin(probe: _*)))
       .select(col(idCol), ivfadcScore(query, cents, books).as("pq_score"))
       .orderBy(col("pq_score").desc, col(idCol))
       .limit(shortlist)

@@ -117,4 +117,78 @@ class IvfPqSpec extends AnyFunSuite {
       assert(hits >= 5, s"IVFADC recall collapsed: $hits of 10")
     } finally dropAll(table)
   }
+
+  test("lifecycle: frozen-quantizer append serves immediately; append → delete → purge is probe-bit-identical") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val q = e.where(col("vec_id") === 0).select("embedding").first().getSeq[Float](0)
+    val seed = e.where(col("vec_id") =!= 0 && col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val batch = e.where(col("vec_id") % 5 === 0 && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val t = "ivfpq_spec_lifecycle"
+    IvfPq.build(seed, "vec_id", "embedding", t,
+      kCells = 8, ivfIters = 2, m = 8, kPq = 16, pqIters = 2)
+    try {
+      val before = IvfPq.probeTopK(spark, t, "vec_id", "embedding", q,
+        k = 10, nProbe = 8).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // Append under the FROZEN quantizers; the appended rows must be
+      // servable at once, and their codes must be exactly what a build
+      // with the same quantizers would store (encode is a pure
+      // function — pinned by re-encoding the batch and comparing the
+      // stored rows bit-for-bit).
+      IvfPq.append(spark, t, batch, "vec_id", "embedding")
+      val stored = spark.table(t)
+        .join(batch.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      val cents = IvfIndex.centroids(spark, t)
+      val books = IvfPq.codebooks(spark, t)
+      val refs = cents.map(IvfPq.unitRef)
+      val reEnc = Pq.packCodesOn(
+          Pq.withUnit(Similarity.ivfAssign(batch, "vec_id", "embedding", cents),
+            "embedding", "__u")
+            .withColumn("__r",
+              zip_with(col("__u"),
+                element_at(
+                  array(refs.map(r => array(r.map(lit): _*)): _*),
+                  col("cluster_id").cast("int") + 1),
+                (a, b) => a - b)),
+          "__r", "pq_code", books)
+        .select(col("vec_id"), col("pq_code"), col("cluster_id"))
+      val storedCodes = stored.select(col("vec_id"), col("pq_code"), col("cluster_id"))
+      assert(storedCodes.exceptAll(reEnc).count() == 0 &&
+          reEnc.exceptAll(storedCodes).count() == 0,
+        "appended codes must equal a fresh encode under the frozen quantizers")
+      // The appended mass is probe-visible: wide-open probe now equals
+      // brute force over seed ∪ batch.
+      val union = seed.unionByName(batch).localCheckpoint(true)
+      val afterAppend = IvfPq.probeTopK(spark, t, "vec_id", "embedding", q,
+        k = 10, nProbe = 8, shortlist = union.count().toInt)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val bruteUnion = Similarity.bruteForceTopK(union, "vec_id", "embedding", q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(afterAppend == bruteUnion,
+        "wide-open probe after append must equal brute force on the union")
+      // Takedown: tombstoned ids vanish from probes BEFORE any purge.
+      IvfPq.delete(spark, t, batch.select(col("vec_id").as("id")))
+      val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+      val hidden = IvfPq.probeTopK(spark, t, "vec_id", "embedding", q,
+        k = 10, nProbe = 8).collect().map(_.getLong(0))
+      assert(hidden.forall(!batchIds.contains(_)),
+        "tombstoned ids must not surface in probes")
+      // Physical purge: removed count is the batch, and the probe is
+      // BIT-IDENTICAL to the pre-append index — the full round trip.
+      val removed = IvfPq.purgeTombstones(spark, t, "vec_id")
+      assert(removed == batch.count(),
+        s"purge must remove exactly the batch, got $removed")
+      val after = IvfPq.probeTopK(spark, t, "vec_id", "embedding", q,
+        k = 10, nProbe = 8).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(after == before,
+        "append → delete → purge must return probe results bit-identical " +
+          "to the pre-append index")
+      // Purge is idempotent (no tombstones left).
+      assert(IvfPq.purgeTombstones(spark, t, "vec_id") == 0L)
+    } finally {
+      dropAll("ivfpq_spec_lifecycle")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_spec_lifecycle_tombstones")
+    }
+  }
 }

@@ -1536,6 +1536,63 @@ object ScaleBench {
       s""""tokenize_pack":{"t":${fmt(tTp)},"n_docs":$nDocsTp}}"""
   }
 
+  /** The dedup ENDER at web-dedup duplicate mass — the leg VERDICT
+    * r13 #1 asked for: HALF the corpus is a near-copy (one leading
+    * token changed), so the loser set the survivor anti-join carries
+    * is 50 % of the corpus — the 20–60 % dup fraction of a real crawl,
+    * and exactly the frame the old `broadcast(losers)` hint would have
+    * forced through the driver (10¹⁰–10¹¹ ids at 100 B docs; the hint
+    * is gone, PlanAuditSpec pins no corpus-derived broadcast in any
+    * ender, AQE still picks broadcast when genuinely small). The point
+    * runs [[Dedup.dedupNearDups]] END TO END and requires the full
+    * truth: every base survives, every copy loses — detection
+    * (Jaccard ≈ 0.88 vs 16-band LSH), clustering, and the anti-join
+    * all have to be exact at every scale for the wall to count. */
+  def dedupEnderPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.Dedup
+    val half = 2500L * scale
+    val base = genDocuments(spark, half)
+    // Copy i = base i with its first token replaced — Jaccard ≈ 0.88
+    // to its base (one token of 50), ~0 to everything else.
+    val copies = base.select((col("doc_id") + half).as("doc_id"),
+      concat_ws(" ",
+        array(lit("zqx")) +: Seq(slice(split(col("text"), " "), 2, 10000)): _*)
+        .as("text"))
+    val pathStr = s"$dir/dedup_ender_x$scale"
+    base.unionByName(copies).write.mode("overwrite").parquet(pathStr)
+    val docs = spark.read.parquet(pathStr)
+    spark.sqlContext.clearCache()
+    val (survivors, t) = timed {
+      Dedup.dedupNearDups(docs, "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id")).localCheckpoint(true)
+    }
+    val nSurv = survivors.count()
+    val nCopySurv = survivors.where(col("doc_id") >= half).count()
+    // Closed-form truth: genDocuments plants clusters of 4 over the
+    // first 10 % of bases (doc_id DIV 4), so base components =
+    // (half - nc) singletons + ceil(nc/4) planted clusters; every
+    // detected copy joins its base's component and never wins (min-id
+    // survivor). LSH recall at J ≈ 0.88 with 16 bands is ~1 - 4e-5, so
+    // a handful of singleton copies may escape detection at scale —
+    // each such miss surfaces as BOTH one extra survivor and one
+    // surviving copy (a base can never be lost: worst case it is a
+    // component of its own). The gate pins that equality (misses are
+    // only ever escaped copies, never dropped bases) and caps the miss
+    // rate at the LSH model's tail; the miss count is reported, never
+    // silent.
+    val nc = half / 10
+    val expected = (half - nc) + (nc + 3) / 4
+    val misses = nSurv - expected
+    require(misses == nCopySurv && misses >= 0 &&
+        misses <= math.max(2L, 2 * half / 10000),
+      s"ender truth broken: $nSurv survivors ($nCopySurv copies) vs " +
+        s"expected $expected components over $half bases")
+    val losers = 2 * half - nSurv
+    s"""{"dedup_ender":{"scale":$scale,"n_docs":${2 * half},""" +
+      s""""n_losers":$losers,"loser_fraction":${fmt(losers.toDouble / (2 * half))},""" +
+      s""""lsh_misses":$misses,"t":${fmt(t)}}}"""
+  }
+
   /** The banded-SimHash detector at scale, next to the MinHash skew
     * point: wall + verified-pair mass + the Σ bucket² join budget, on
     * the planted-cluster corpus. The 40-word synthetic vocabulary is
@@ -1825,6 +1882,13 @@ object ScaleBench {
     if (args.contains("retrieval-ops-only")) {
       retrievalOpsPoint(spark, outBase, 1)
       scales.foreach(m => println(retrievalOpsPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `dedup-ender-only`: the survivor anti-join at 50% duplicate mass.
+    if (args.contains("dedup-ender-only")) {
+      dedupEnderPoint(spark, outBase, 1)
+      scales.foreach(m => println(dedupEnderPoint(spark, outBase, m)))
       spark.stop()
       return
     }

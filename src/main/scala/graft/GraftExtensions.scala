@@ -39,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctionBuilders.nfcInfo, GraftFunctionBuilders.nfcBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_mg_topk"),
       graft.functions.MisraGriesTopK.info, graft.functions.MisraGriesTopK.builder _))
+    ext.injectFunction((FunctionIdentifier("graft_pq_encode"),
+      GraftFunctionBuilders.pqEncodeInfo, GraftFunctionBuilders.pqEncodeBuilder _))
     // Opt-in approximate similarity-join rewrite (see
     // graft.plans.ApproxSimilarityJoin — off unless
     // spark.graft.approxSimilarityJoin=true).

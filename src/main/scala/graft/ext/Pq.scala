@@ -46,6 +46,45 @@ object Pq {
       .drop("__pq_n")
   }
 
+  /** The m×k×sub codebook as one constant-folded plan literal —
+    * centroids widen Float → Double exactly as l2Dists does, so the
+    * kernel and HOF paths see identical bits. */
+  private def booksLit(books: Seq[Seq[Seq[Float]]]): Column =
+    array(books.map(book => array(book.map(cv =>
+      array(cv.map(d => lit(d.toDouble)): _*)): _*)): _*)
+
+  /** Packed-code expression with kernel dispatch: the codegen'd
+    * graft_pq_encode when the session has graft extensions (zero
+    * allocations per row), the aliased-HOF form is taken by the
+    * callers below when it doesn't. */
+  private def kernelCode(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.catalog.functionExists("graft_pq_encode")
+
+  /** GATE-ONLY single-Column HOF twin of the packed code (dist arrays
+    * re-evaluate per argmin reference — x_kernel_equiv compares it
+    * against the kernel at gate scale; production encode uses the
+    * aliased multi-column form or the kernel). */
+  private[graft] def packedCodeHof(spark: org.apache.spark.sql.SparkSession)(
+      vec: Column, books: Seq[Seq[Seq[Float]]], normalize: Boolean): Column = {
+    val sub = books.head.head.size
+    val u =
+      if (!normalize) vec
+      else {
+        val nrm = sqrt(Similarity.dotIn(spark)(vec, vec))
+        when(nrm === 0.0, transform(vec, _ => lit(0.0)))
+          .otherwise(transform(vec, x => x.cast("double") / nrm))
+      }
+    books.zipWithIndex.map { case (cents, j) =>
+      argminCode(l2Dists(slice(u, j * sub + 1, sub), cents)).cast("long") *
+        lit(1L << (8 * j))
+    }.reduceLeft[Column](_ + _)
+  }
+
+  /** The kernel call (callers gate on [[kernelCode]]). */
+  private[graft] def packedCodeKernel(vec: Column,
+      books: Seq[Seq[Seq[Float]]], normalize: Boolean): Column =
+    call_function("graft_pq_encode", vec, booksLit(books), lit(normalize))
+
   /** Squared-L2 distances from a subvector column to each centroid.
     * The codebook enters as ONE constant-folded 2-D array literal and
     * the k distances come from a single transform/zip_with/aggregate
@@ -109,8 +148,17 @@ object Pq {
         val sums = (0 until sub).map(d =>
           sum(element_at(col("__sv"), d + 1)
             .cast("decimal(27,15)")).as(s"__s$d"))
-        val rows = sv.withColumn("__d", l2Dists(col("__sv"), cents))
-          .withColumn("__c", argminCode(col("__d")))
+        // Assign via the encode kernel when present (a 1-book pack IS
+        // the argmin code); identical bits to the HOF dist+argmin.
+        val assigned =
+          if (kernelCode(corpus.sparkSession))
+            sv.withColumn("__c",
+              packedCodeKernel(col("__sv"), Seq(cents), normalize = false)
+                .cast("int"))
+          else
+            sv.withColumn("__d", l2Dists(col("__sv"), cents))
+              .withColumn("__c", argminCode(col("__d")))
+        val rows = assigned
           .groupBy(col("__c"))
           .agg(count(lit(1)).as("__n"), sums: _*)
           .collect()
@@ -132,14 +180,22 @@ object Pq {
     * projection, no id-keyed join). One shuffle-free codegen pass. */
   def withPackedCode(df: DataFrame, vecCol: String, outCol: String,
                      books: Seq[Seq[Seq[Float]]]): DataFrame =
-    packCodesOn(withUnit(df, vecCol, "__pq_u"), "__pq_u", outCol, books)
-      .drop("__pq_u")
+    if (kernelCode(df.sparkSession))
+      // Kernel path: normalize + assign + pack in ONE zero-allocation
+      // codegen call — no materialized unit-vector column at all.
+      df.withColumn(outCol, packedCodeKernel(col(vecCol), books, normalize = true))
+    else
+      packCodesOn(withUnit(df, vecCol, "__pq_u"), "__pq_u", outCol, books)
+        .drop("__pq_u")
 
   /** The encode core of [[withPackedCode]] WITHOUT the unit-normalize
     * step — `rawCol` (array<double>) is assigned to each subspace's
     * nearest code as-is. IvfPq packs RESIDUAL codes through this. */
   private[ext] def packCodesOn(df: DataFrame, rawCol: String, outCol: String,
                                books: Seq[Seq[Seq[Float]]]): DataFrame = {
+    if (kernelCode(df.sparkSession))
+      return df.withColumn(outCol,
+        packedCodeKernel(col(rawCol), books, normalize = false))
     val sub = books.head.head.size
     // One aliased distance array per subspace, so each evaluates once
     // per row (argmin references it twice).

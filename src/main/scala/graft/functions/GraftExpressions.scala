@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -375,6 +375,69 @@ object Kernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Packed product-quantization code of one vector — the kernel twin
+    * of Pq's higher-order encode (normalize → per-subspace argmin over
+    * squared-L2 to the codebook → codes packed into bits [8j, 8j+8)).
+    * Bit-identical to the HOF form by accumulating every sum in its
+    * left-to-right order in double: norm = sequential Σv², unit
+    * element = (double)v / norm (zero norm → zeros, the withUnit
+    * rule), dist = sequential Σ(u−c)², argmin = first smallest with
+    * array_min's NaN-is-largest ordering. Null on a null element or a
+    * vector shorter than m·sub (the HOF's null-padded-slice outcome);
+    * extra trailing dims beyond m·sub are ignored for distances but
+    * still feed the norm (withUnit normalizes the WHOLE vector).
+    * graft_pq_encode's pin lives in x_kernel_equiv + KernelProps. */
+  def pqEncode(vec: ArrayData, t: PqBooksTable, vecT: Int,
+               normalize: Boolean): java.lang.Long = {
+    val n = vec.numElements()
+    if (n < t.m * t.sub) return null
+    var i0 = 0
+    while (i0 < n) { if (vec.isNullAt(i0)) return null; i0 += 1 }
+    @inline def at(i: Int): Double =
+      if (vecT == TFloat) vec.getFloat(i).toDouble
+      else if (vecT == TByte) vec.getByte(i).toDouble
+      else vec.getDouble(i)
+    var norm = 1.0
+    if (normalize) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val v = at(i); acc += v * v; i += 1 }
+      norm = math.sqrt(acc)
+    }
+    val zero = normalize && norm == 0.0
+    var packed = 0L
+    var j = 0
+    while (j < t.m) {
+      var bestIdx = 0
+      var best = Double.NaN
+      var c = 0
+      while (c < t.k) {
+        var d = 0.0
+        var i = 0
+        val base = j * t.sub
+        val cbase = (j * t.k + c) * t.sub
+        while (i < t.sub) {
+          val u = if (zero) 0.0 else at(base + i) / norm
+          val diff = u - t.flat(cbase + i)
+          d += diff * diff
+          i += 1
+        }
+        // First-min-wins under array_min's ordering (NaN sorts
+        // largest): a later code replaces the best only when strictly
+        // smaller, so exact ties keep the earliest code.
+        val better =
+          if (c == 0) true
+          else if (java.lang.Double.isNaN(best)) !java.lang.Double.isNaN(d)
+          else !java.lang.Double.isNaN(d) && d < best
+        if (better) { best = d; bestIdx = c }
+        c += 1
+      }
+      packed += bestIdx.toLong << (8 * j)
+      j += 1
+    }
+    packed
+  }
 }
 
 /** A learned BPE merge table: space-joined symbol pairs in rank order
@@ -389,6 +452,13 @@ final class BpeTable(val merges: Array[String]) extends Serializable {
     m
   }
 }
+
+/** A PQ codebook flattened for the encode kernel: centroid value
+  * (j, c, i) at flat((j·k + c)·sub + i), all doubles (the HOF path
+  * folds Float centroids through lit(_.toDouble), so the kernel
+  * stores the same widened values). */
+final class PqBooksTable(val flat: Array[Double], val m: Int, val k: Int,
+                         val sub: Int) extends Serializable
 
 private[functions] object GraftVecTypes {
   /** Kernels element-type code of an array expression's elements;
@@ -843,6 +913,113 @@ case class GraftBpeEncode(textExpr: Expression, mergesExpr: Expression)
     copy(textExpr = newLeft, mergesExpr = newRight)
 }
 
+/** Encode apply: `graft_pq_encode(vec, books, normalize)` — the
+  * packed-BIGINT product-quantization code of one vector, the codegen
+  * kernel twin of Pq's higher-order encode (which allocates k
+  * intermediate arrays per subspace per row; the kernel allocates
+  * nothing). `books` is a foldable m×k×sub array<array<array<double>>>
+  * literal riding the plan — converted once per expression instance,
+  * shipped to executors as a codegen reference object. `normalize`
+  * is a foldable boolean: true applies the withUnit rule (IvfPq packs
+  * RESIDUAL codes with false — the ADC decomposition is exact only in
+  * the residual's own scale). Bit-equality with the HOF form is pinned
+  * in x_kernel_equiv (in-engine) and KernelProps (property model). */
+case class GraftPqEncode(vecExpr: Expression, booksExpr: Expression,
+                         normExpr: Expression) extends TernaryExpression {
+
+  override def first: Expression = vecExpr
+  override def second: Expression = booksExpr
+  override def third: Expression = normExpr
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def booksTypeOk: Boolean = booksExpr.dataType match {
+    case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (GraftVecTypes.code(vecExpr) < 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_encode expects an array<tinyint|float|double> vector, got ${vecExpr.dataType}")
+    else if (!booksTypeOk || !booksExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_pq_encode expects a foldable array<array<array<double>>> codebook")
+    else if (normExpr.dataType != BooleanType || !normExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_pq_encode expects a foldable boolean normalize flag")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val table: PqBooksTable = {
+    val arr = booksExpr.eval(null).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() == 0) null
+    else {
+      val m = arr.numElements()
+      val b0 = arr.getArray(0)
+      val k = b0.numElements()
+      val sub = if (k == 0) 0 else b0.getArray(0).numElements()
+      if (k == 0 || sub == 0) null
+      else {
+        val flat = new Array[Double](m * k * sub)
+        var j = 0
+        var ok = true
+        while (ok && j < m) {
+          val book = arr.getArray(j)
+          ok = book != null && book.numElements() == k
+          var c = 0
+          while (ok && c < k) {
+            val cent = book.getArray(c)
+            ok = cent != null && cent.numElements() == sub
+            var i = 0
+            while (ok && i < sub) {
+              ok = !cent.isNullAt(i)
+              if (ok) flat((j * k + c) * sub + i) = cent.getDouble(i)
+              i += 1
+            }
+            c += 1
+          }
+          j += 1
+        }
+        if (ok) new PqBooksTable(flat, m, k, sub) else null
+      }
+    }
+  }
+
+  @transient private lazy val normalize: Boolean = {
+    val v = normExpr.eval(null)
+    v != null && v.asInstanceOf[Boolean]
+  }
+
+  override def nullSafeEval(v: Any, ignoredBooks: Any, ignoredNorm: Any): Any =
+    if (table == null) null
+    else Kernels.pqEncode(v.asInstanceOf[ArrayData], table,
+      GraftVecTypes.code(vecExpr), normalize)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (table == null)
+      GraftSketchCodegen.constantNullCode(ctx, ev, "long", "0L")
+    else {
+      val ref = ctx.addReferenceObj("graftPqBooks", table,
+        classOf[PqBooksTable].getName)
+      val vt = GraftVecTypes.code(vecExpr)
+      val boxed = ctx.freshName("pqBoxed")
+      nullSafeCodeGen(ctx, ev, (v, _, _) =>
+        s"""
+           |java.lang.Long $boxed =
+           |  graft.functions.Kernels.pqEncode($v, $ref, $vt, $normalize);
+           |if ($boxed == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $boxed.longValue(); }
+         """.stripMargin)
+    }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(vecExpr = newFirst, booksExpr = newSecond, normExpr = newThird)
+}
+
 private[functions] object GraftSketchCodegen {
   /** Generated code for an always-null result of primitive `javaType`
     * (the null-sketch degenerate case of the probe expressions). */
@@ -919,4 +1096,9 @@ object GraftFunctionBuilders {
 
   val nfcInfo = new ExpressionInfo(classOf[GraftNfc].getName, "graft_nfc")
   def nfcBuilder(exprs: Seq[Expression]): Expression = GraftNfc(exprs(0))
+
+  val pqEncodeInfo =
+    new ExpressionInfo(classOf[GraftPqEncode].getName, "graft_pq_encode")
+  def pqEncodeBuilder(exprs: Seq[Expression]): Expression =
+    GraftPqEncode(exprs(0), exprs(1), exprs(2))
 }

@@ -307,6 +307,15 @@ private[graft] object VectorQueries {
     * pairs. Null-safe (`<=>`) so a null on both paths counts as
     * agreement. Fails loudly if GraftExtensions is not installed —
     * a vacuous pass would be worse than an error. */
+  /** Deterministic synthetic PQ codebook for the kernel-equivalence
+    * gate: centroid (j, c, i) = ((j·131 + c·17 + i·7) mod 2000 − 1000)
+    * / 1000 — hash-free, engine-independent, covering the full
+    * [−1, 1] range the normalized embeddings live in. */
+  private val kernelEquivBooks: Seq[Seq[Seq[Float]]] =
+    Seq.tabulate(4, 8, 16) { (j, c, i) =>
+      (((j * 131 + c * 17 + i * 7) % 2000) - 1000) / 1000.0f
+    }
+
   private def kernelEquiv(s: SparkSession, dir: String): DataFrame = {
     def mismatch(a: Column, b: Column): Column = (!(a <=> b)).cast("long")
     val k = Dedup.MinHashParams()
@@ -332,8 +341,18 @@ private[graft] object VectorQueries {
         mismatch(call_function("graft_cosine_sim", col("v_a"), col("v_b")),
           Similarity.cosine(col("v_a"), col("v_b"))).as("m_cos"),
         mismatch(call_function("graft_lsh_bucket", col("v_a"), lit(8)),
-          Similarity.lshBucket(col("v_a"), 8)).as("m_lsh"))
-      .agg(coalesce(sum(col("m_dot") + col("m_cos") + col("m_lsh")), lit(0L)).as("m_vec"))
+          Similarity.lshBucket(col("v_a"), 8)).as("m_lsh"),
+        // PQ encode kernel vs the single-Column HOF twin, both
+        // normalize modes, over a deterministic synthetic codebook
+        // (m=4 × k=8 × sub=16 on the 64-dim embeddings).
+        mismatch(
+          graft.ext.Pq.packedCodeKernel(col("v_a"), kernelEquivBooks, normalize = true),
+          graft.ext.Pq.packedCodeHof(s)(col("v_a"), kernelEquivBooks, normalize = true)).as("m_pqn"),
+        mismatch(
+          graft.ext.Pq.packedCodeKernel(col("v_a"), kernelEquivBooks, normalize = false),
+          graft.ext.Pq.packedCodeHof(s)(col("v_a"), kernelEquivBooks, normalize = false)).as("m_pqr"))
+      .agg(coalesce(sum(col("m_dot") + col("m_cos") + col("m_lsh") +
+        col("m_pqn") + col("m_pqr")), lit(0L)).as("m_vec"))
     docSide.crossJoin(vecSide)
       .select((col("m_doc") + col("m_vec")).as("n_mismatch"))
   }

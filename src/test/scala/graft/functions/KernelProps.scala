@@ -146,4 +146,71 @@ object KernelProps extends Properties("Kernels") {
         org.apache.spark.unsafe.types.UTF8String.fromString(once)).toString == once &&
         once == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
     }
+
+  // --- PQ encode ---
+
+  private val pqCase: Gen[(Array[Double], Array[Array[Array[Float]]], Boolean)] =
+    for {
+      m <- Gen.chooseNum(1, 4)
+      sub <- Gen.chooseNum(1, 4)
+      k <- Gen.chooseNum(2, 6)
+      vec <- Gen.containerOfN[Array, Double](m * sub, Gen.chooseNum(-100.0, 100.0))
+      books <- Gen.containerOfN[Array, Array[Array[Float]]](m,
+        Gen.containerOfN[Array, Array[Float]](k,
+          Gen.containerOfN[Array, Float](sub,
+            Gen.chooseNum(-100.0f, 100.0f))))
+      norm <- Gen.oneOf(true, false)
+    } yield (vec, books, norm)
+
+  /** Reference model: sequential-order norm, unit divide (zero norm →
+    * zeros), sequential squared-L2, first-min argmin, 8-bit pack. */
+  private def modelPq(vec: Array[Double], books: Array[Array[Array[Float]]],
+                      normalize: Boolean): Long = {
+    val norm = math.sqrt(vec.foldLeft(0.0)((a, v) => a + v * v))
+    val u =
+      if (!normalize) vec
+      else if (norm == 0.0) vec.map(_ => 0.0)
+      else vec.map(_ / norm)
+    val sub = books(0)(0).length
+    books.zipWithIndex.map { case (book, j) =>
+      val dists = book.map { cent =>
+        (0 until sub).foldLeft(0.0) { (acc, i) =>
+          val diff = u(j * sub + i) - cent(i).toDouble
+          acc + diff * diff
+        }
+      }
+      val best = dists.indices.minBy(dists(_)) // first min wins
+      best.toLong << (8 * j)
+    }.sum
+  }
+
+  private def tableOf(books: Array[Array[Array[Float]]]): PqBooksTable = {
+    val m = books.length; val k = books(0).length; val sub = books(0)(0).length
+    val flat = new Array[Double](m * k * sub)
+    for (j <- 0 until m; c <- 0 until k; i <- 0 until sub)
+      flat((j * k + c) * sub + i) = books(j)(c)(i).toDouble
+    new PqBooksTable(flat, m, k, sub)
+  }
+
+  property("pqEncode equals the normalize→argmin→pack reference model") =
+    forAll(pqCase) { case (vec, books, norm) =>
+      val got = Kernels.pqEncode(new GenericArrayData(vec), tableOf(books),
+        Kernels.TDouble, norm)
+      got != null && got.longValue() == modelPq(vec, books, norm)
+    }
+
+  property("pqEncode is null on a short vector, and ignores extra trailing dims for codes") =
+    forAll(pqCase) { case (vec, books, norm) =>
+      val short = Kernels.pqEncode(
+        new GenericArrayData(vec.dropRight(1)), tableOf(books),
+        Kernels.TDouble, norm)
+      // Extra dims feed the norm but not the distances: with
+      // normalize=false the packed code must not change.
+      val longer = Kernels.pqEncode(
+        new GenericArrayData(vec ++ Array(7.5)), tableOf(books),
+        Kernels.TDouble, normalize = false)
+      short == null &&
+        longer != null &&
+        longer.longValue() == modelPq(vec, books, normalize = false)
+    }
 }

@@ -162,6 +162,77 @@ object IvfPq {
     spark.catalog.refreshTable(table)
   }
 
+  /** Streaming IVFADC ingest — the serving-index twin of
+    * [[IvfIndex.streamIngest]], completing the lifecycle matrix (all
+    * five index families: build / probe / append / STREAM / compact /
+    * delete / purge). Quantizers are FROZEN up front (the standard
+    * IVFADC serve-time contract [[append]] documents — train on a seed
+    * corpus, freeze, encode arrivals under them), so each micro-batch
+    * is one pure assign + residual-encode projection appended as its
+    * own batch partition: redelivery after a crash overwrites the same
+    * partition (idempotent, same as the dedup/winnow/BM25/IVF twins),
+    * and because [[encodeWith]] is order-independent the accumulated
+    * rows are bit-identical to a one-shot [[build]]'s rows under the
+    * same quantizers, whatever the shard arrival order. Probes serve
+    * the table mid-ingest: the streaming layout is PARTITIONED by
+    * batch id and BUCKETED on `cluster_id` (bucket pruning stands in
+    * for partition pruning until [[compact]] collapses the batches).
+    * A restart MUST pass the same quantizers — run 1's rows hold run
+    * 1's codes; the side tables are rewritten because they derive from
+    * the arguments, not state. Returns (rows minus the batch tag,
+    * batches processed). */
+  def streamIngest(spark: SparkSession, table: String, stream: DataFrame,
+                   idCol: String, vecCol: String, cents: Seq[Seq[Float]],
+                   books: Seq[Seq[Seq[Float]]],
+                   queryName: String = "graft_stream_ivfpq",
+                   checkpointLocation: Option[String] = None): (DataFrame, Int) = {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val idType = stream.schema(idCol).dataType
+    val vecType = stream.schema(vecCol).dataType
+    import spark.implicits._
+    Writer.dropTableAndLocation(spark, IvfIndex.centroidsTable(table))
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cluster_id", "centroid")
+      .write.format("parquet").saveAsTable(IvfIndex.centroidsTable(table))
+    Writer.dropTableAndLocation(spark, codebooksTable(table))
+    books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.zipWithIndex.map { case (c, code) => (j, code, c) }
+    }.toDF("subspace", "code", "centroid")
+      .write.format("parquet").saveAsTable(codebooksTable(table))
+    // Keep prior rows only when the checkpoint has committed batches
+    // (fresh checkpoint + leftover table = drop, not silent merge).
+    val resuming = checkpointLocation.exists(cp =>
+      StreamOps.lastCommittedBatch(spark, cp).isDefined)
+    val mkTable = if (resuming)
+      Writer.ensurePartitionedBucketedTable _
+    else Writer.emptyPartitionedBucketedTable _
+    mkTable(spark, table,
+      StructType(Seq(
+        StructField(idCol, idType),
+        StructField(vecCol, vecType),
+        StructField("pq_code", LongType),
+        StructField("cluster_id", IntegerType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "cluster_id", 16)
+    StreamOps.sinkBatches(spark, stream, queryName, table,
+        checkpointLocation) { (b, _) =>
+      val encoded = StreamOps.Profile.timed(queryName, "encode")(
+        encodeWith(b, idCol, vecCol, cents, books).localCheckpoint(true))
+      (encoded, Seq.empty)
+    }
+  }
+
+  /** Compact a [[streamIngest]] index — collapse the per-batch
+    * partitions into one merged partition (same quiesce / redelivery /
+    * crash contract as the other four families; pass the ingest's
+    * `checkpointLocation` to refuse crash-then-compact corruption).
+    * The quantizer side tables are already compact (k-row). */
+  def compact(spark: SparkSession, table: String,
+              checkpointLocation: Option[String] = None): Int =
+    graft.streaming.StreamOps.compactSink(spark, table,
+      checkpointLocation = checkpointLocation)
+
   /** Tombstone-delete vectors — the takedown pattern shared across the
     * index families (WinnowIndex's doc has the contract). Probes hide
     * tombstoned ids at the scan ([[adcShortlist]] and the re-rank both
@@ -195,6 +266,16 @@ object IvfPq {
                       idCol: String): Long = {
     val t = table + "_tombstones"
     if (!spark.catalog.tableExists(t)) return 0L
+    // The rewrite below restores build()'s cell-partitioned layout —
+    // on a streamIngest table that would silently break the batch-tag
+    // contract the streaming redelivery and compact rely on (the
+    // same refusal the other four families' purges make).
+    require(!spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .partitionColumnNames.contains(graft.streaming.StreamOps.BatchTag),
+      s"purgeTombstones supports the build (cell-partitioned) layout " +
+        s"only — `$table` is a streaming index; run compact() and keep " +
+        "serving with tombstone filtering, or rebuild() to purge")
     val snap = spark.table(table).localCheckpoint(true)
     val live = snap.join(broadcast(
         spark.table(t).localCheckpoint(true).select(col("id").as(idCol))),

@@ -67,6 +67,7 @@ private[graft] object VectorQueries {
     "x_ivf_recall" -> ((s, dir) => ivfRecall(s, dir)),
     "x_ivf_quantized" -> ((s, dir) => ivfQuantized(s, dir)),
     "x_ivfpq_topk" -> ((s, dir) => ivfpqTopK(s, dir)),
+    "x_stream_ivfpq" -> ((s, dir) => streamIvfPq(s, dir)),
     "x_quantize_dot" -> ((s, dir) => quantizeDot(s, dir)),
     "x_quantize_recall" -> ((s, dir) => quantizeRecall(s, dir)),
     "x_pq_recall" -> ((s, dir) => pqRecall(s, dir)),
@@ -563,6 +564,64 @@ private[graft] object VectorQueries {
         (col("__ne") >= ivfRecallFloor).cast("long").as("recall_vs_exact_ok"))
   }
 
+  /** x_stream_ivfpq: streaming IVFADC ingest (IvfPq.streamIngest) —
+    * the corpus arrives as three id-keyed micro-batches encoded under
+    * quantizers FROZEN from the one-shot x_ivfpq index, completing
+    * the five-family streaming lifecycle matrix. Because encode is a
+    * pure function of the frozen quantizers, the final streamed rows
+    * (id, pq_code, cluster_id) must be BIT-IDENTICAL to the one-shot
+    * build's — whatever the shard arrival order — and the streamed
+    * table must serve probeTopK bit-identically to the build-layout
+    * index mid-lifecycle (bucket pruning standing in for partition
+    * pruning until compact). Both equalities are hard-0 exceptAll
+    * gates over the real rows/probes; counts are value-replayed. */
+  private def streamIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val refTable = ivfpqIndexFor(s, dir)
+    val cents = IvfIndex.centroids(s, refTable)
+    val books = IvfPq.codebooks(s, refTable)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val streamTable = "graft_stream_ivfpq_" + digest
+    val inDir = CorpusQueries.stagedShardsFor(s, dir + "#ivfpq", corpus,
+      idCol = "vec_id")
+    val stream = s.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val (_, nBatches) = IvfPq.streamIngest(s, streamTable, stream,
+      "vec_id", "embedding", cents, books,
+      queryName = "stream_ivfpq_" + digest)
+    val refRows = s.table(refTable)
+      .select(col("vec_id"), col("pq_code"), col("cluster_id"))
+      .pipe(graft.ext.Checkpoints.stage)
+    val gotRows = s.table(streamTable)
+      .select(col("vec_id"), col("pq_code"), col("cluster_id"))
+      .pipe(graft.ext.Checkpoints.stage)
+    val rowsMissing = refRows.exceptAll(gotRows).agg(count(lit(1)).as("__m"))
+    val rowsExtra = gotRows.exceptAll(refRows).agg(count(lit(1)).as("__e"))
+    val pRef = IvfPq.probeTopK(s, refTable, "vec_id", "embedding", q,
+      k = 10, nProbe = 4).pipe(graft.ext.Checkpoints.stage)
+    val pStr = IvfPq.probeTopK(s, streamTable, "vec_id", "embedding", q,
+      k = 10, nProbe = 4).pipe(graft.ext.Checkpoints.stage)
+    val probeMissing = pRef.exceptAll(pStr).agg(count(lit(1)).as("__pm"))
+    val probeExtra = pStr.exceptAll(pRef).agg(count(lit(1)).as("__pe"))
+    corpus.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(rowsMissing).crossJoin(rowsExtra)
+      .crossJoin(probeMissing).crossJoin(probeExtra)
+      .select(col("n_vectors"),
+        lit(if (nBatches == 3) 1L else 0L).as("three_batches_ok"),
+        (col("__m") === 0 && col("__e") === 0).cast("long")
+          .as("stream_rows_equal_build_ok"),
+        (col("__pm") === 0 && col("__pe") === 0).cast("long")
+          .as("stream_probe_equal_build_ok"))
+  }
+
   /** Adjacent-pair dot product in int8-quantized space
     * (graft.ext.Quantize) — the oracle-checkable anchor for the
     * quantization arithmetic: scale, round-half-up, and integer dot
@@ -850,6 +909,16 @@ private[graft] object VectorQueries {
         | CAST(10 AS BIGINT) AS n_in_corpus,
         | CAST(1 AS BIGINT) AS cos_bounds_ok,
         | CAST(1 AS BIGINT) AS recall_vs_exact_ok""".stripMargin.replaceAll("\n", " "),
+    // Streaming IVFADC ingest: vector count value-replayed; the
+    // rows≡build and probe≡build bits are hard-0 exceptAll gates over
+    // the real streamed table (frozen-quantizer encode is pure, so
+    // bit-equality is the contract, not a floor).
+    "x_stream_ivfpq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        | CAST(1 AS BIGINT) AS three_batches_ok,
+        | CAST(1 AS BIGINT) AS stream_rows_equal_build_ok,
+        | CAST(1 AS BIGINT) AS stream_probe_equal_build_ok
+        | FROM embeddings WHERE vec_id <> 0""".stripMargin.replaceAll("\n", " "),
     // Batched PQ serving: shape counts value-replayed; the
     // batch == single equality bit derives from the real probes.
     "x_pq_batch" ->

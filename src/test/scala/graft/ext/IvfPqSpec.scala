@@ -191,4 +191,70 @@ class IvfPqSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ivfpq_spec_lifecycle_tombstones")
     }
   }
+
+  test("streamIngest: frozen-quantizer shards rebuild the one-shot index bit-for-bit; probes serve both layouts; purge refuses the streaming layout") {
+    import java.nio.file.{Files, Paths}
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val q = e.where(col("vec_id") === 0).select("embedding").first().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val tRef = "ivfpq_spec_stream_ref"
+    val tS = "ivfpq_spec_stream"
+    val (cents, books) = IvfPq.build(corpus, "vec_id", "embedding", tRef,
+      kCells = 8, ivfIters = 2, m = 8, kPq = 16, pqIters = 2)
+    // Two single-file shards by parity — arrival order is the reverse
+    // of id order, so row-bit-equality proves order independence.
+    val base = Files.createTempDirectory("graft_ivfpq_stream_spec_").toString
+    val inDir = s"$base/in"
+    Files.createDirectories(Paths.get(inDir))
+    Seq(corpus.where(pmod(col("vec_id"), lit(2)) === 1),
+        corpus.where(pmod(col("vec_id"), lit(2)) === 0))
+      .zipWithIndex.foreach { case (df, i) =>
+        val w = s"$base/w$i"
+        df.coalesce(1).write.mode("overwrite").parquet(w)
+        val part = new java.io.File(w).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .get
+        Files.move(part.toPath, Paths.get(inDir, s"shard_$i.parquet"))
+      }
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val (_, nBatches) = IvfPq.streamIngest(spark, tS, stream,
+      "vec_id", "embedding", cents, books, queryName = "ivfpq_stream_spec")
+    try {
+      assert(nBatches == 2, s"expected 2 micro-batches, got $nBatches")
+      // Frozen-quantizer encode is pure: the streamed rows equal the
+      // one-shot build's rows exactly (id, code, cell).
+      def rows(t: String) = spark.table(t)
+        .select(col("vec_id"), col("pq_code"), col("cluster_id"))
+      assert(rows(tS).exceptAll(rows(tRef)).count() == 0 &&
+          rows(tRef).exceptAll(rows(tS)).count() == 0,
+        "streamed rows must be bit-identical to the one-shot build's")
+      // The streaming layout serves probes identically (bucket pruning
+      // stands in for partition pruning until compact).
+      def probe(t: String) = IvfPq.probeTopK(spark, t, "vec_id",
+          "embedding", q, k = 10, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val refProbe = probe(tRef)
+      assert(probe(tS) == refProbe,
+        "streamed-index probe diverges from the build-layout probe")
+      // Physical purge would clobber the batch-tag layout — refused.
+      IvfPq.delete(spark, tS,
+        corpus.limit(1).select(col("vec_id").as("id")))
+      val ex = intercept[IllegalArgumentException](
+        IvfPq.purgeTombstones(spark, tS, "vec_id"))
+      assert(ex.getMessage.contains("streaming"),
+        s"refusal must point at the layout: ${ex.getMessage}")
+      spark.sql(s"DROP TABLE IF EXISTS ${tS}_tombstones")
+      // Compact collapses the per-batch partitions; probes unchanged.
+      val merged = IvfPq.compact(spark, tS)
+      assert(merged == 2, s"expected 2 partitions merged, got $merged")
+      assert(probe(tS) == refProbe,
+        "compact must preserve probe results bit-for-bit")
+    } finally {
+      dropAll(tRef)
+      dropAll(tS)
+      spark.sql(s"DROP TABLE IF EXISTS ${tS}_tombstones")
+    }
+  }
 }

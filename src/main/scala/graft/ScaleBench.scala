@@ -1593,6 +1593,46 @@ object ScaleBench {
       s""""lsh_misses":$misses,"t":${fmt(t)}}}"""
   }
 
+  /** Band-space saturation head-to-head on NEAR-UNIFORM hashes — the
+    * r13 verdict's widening criterion, measured directly: every doc
+    * gets 50 tokens unique to it (no cross-doc sharing at all), so
+    * simhash values are near-uniform 64-bit draws, and the same hash
+    * column is banded BOTH ways — the shipped four 16-bit bands and
+    * the old four 8-bit bands (the low 32 bits, mirroring the 32-bit
+    * hash they came from). With 65 536 values/band the expected
+    * bucket is n/65 536 (≈ 4 docs at 250 k) and over-cap count must
+    * be exactly zero; with 256 values/band the expected bucket is
+    * n/256 (≈ 977 at 250 k — AT the default 1000 cap), so the old
+    * width saturates and the capped detector silently drops most of
+    * the corpus — the vacuous-guarantee failure the widening fixed. */
+  def simhashSaturationPoint(spark: SparkSession, dir: String,
+                             scale: Int): String = {
+    import graft.ext.Dedup
+    val n = 5000L * scale
+    val docs = spark.range(0, n, 1, 32).toDF("doc_id")
+      .withColumn("text", array_join(transform(sequence(lit(0), lit(49)),
+        i => concat(lit("t"), (col("doc_id") * 50 + i).cast("string"))), " "))
+    val hashes = docs.select(Dedup.simhash(col("text")).as("sh"))
+      .localCheckpoint(true)
+    def overCap(bits: Int): Long = {
+      val mask = (1L << bits) - 1
+      hashes
+        .select(posexplode(array((0 until 4).map(j =>
+          shiftright(col("sh"), bits * j).bitwiseAND(lit(mask))): _*)))
+        .toDF("band_id", "band_val")
+        .groupBy(col("band_id"), col("band_val"))
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") > 1000).count()
+    }
+    val (over16, over8) = (overCap(16), overCap(8))
+    require(over16 == 0,
+      s"16-bit bands must not saturate on uniform hashes at n=$n: $over16")
+    s"""{"simhash_saturation":{"scale":$scale,"n_docs":$n,""" +
+      s""""over_cap_16bit":$over16,"over_cap_8bit":$over8,""" +
+      s""""expected_bucket_16bit":${fmt(n / 65536.0)},""" +
+      s""""expected_bucket_8bit":${fmt(n / 256.0)}}}"""
+  }
+
   /** The banded-SimHash detector at scale, next to the MinHash skew
     * point: wall + verified-pair mass + the Σ bucket² join budget, on
     * the planted-cluster corpus. The 40-word synthetic vocabulary is
@@ -1896,6 +1936,13 @@ object ScaleBench {
     if (args.contains("simhash-only")) {
       simhashPoint(spark, outBase, 1)
       scales.foreach(m => println(simhashPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `simhash-saturation-only`: 16-bit vs 8-bit band saturation on
+    // near-uniform hashes.
+    if (args.contains("simhash-saturation-only")) {
+      scales.foreach(m => println(simhashSaturationPoint(spark, outBase, m)))
       spark.stop()
       return
     }

@@ -194,4 +194,48 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
       .orderBy(col("bucket"))
+
+  /** Padding-waste census of fixed-size batch assembly — the number
+    * [[lengthBuckets]]' doc points at, computed exactly for both
+    * dataloader strategies so the win of length bucketing is a
+    * queryable fact, not folklore: ARRIVAL takes `batchSize`
+    * consecutive docs in id order (the naive dataloader); SORTED takes
+    * them in (length, id) order (the standard length-bucketing trick).
+    * Every batch is padded to its longest member, so per batch the
+    * waste is Σ(max_len − len).
+    *
+    * Scale shape: the global positions come from
+    * [[graft.operators.PrefixSum.runningTotal]]'s range-partition
+    * rank — NO single-task global window — then one keyed groupBy per
+    * strategy; two corpus-linear passes total. All-integer until the
+    * final fraction, so an independent engine replays both strategies
+    * with row_number()+`//` exactly (x_length_bucketing).
+    *
+    * Output, one row per strategy: strategy, n_batches, padded_tokens
+    * (Σ batch width × batch rows), total_padding (padded − Σ len),
+    * padding_frac (double). */
+  def paddingCensus(docs: DataFrame, idCol: String,
+                    nTokens: org.apache.spark.sql.Column,
+                    batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val base = docs.select(col(idCol).as("__id"), nTokens.as("__len"))
+    def strategy(name: String, orderCols: Seq[String]): DataFrame =
+      graft.operators.PrefixSum.runningTotal(
+          base.withColumn("__one", lit(1L)), orderCols, "__one",
+          outCol = "__pos")
+        .withColumn("__batch", expr(s"(__pos - 1) DIV $batchSize"))
+        .groupBy(col("__batch"))
+        .agg(max(col("__len")).as("__w"), count(lit(1)).as("__n"),
+          sum(col("__len")).as("__t"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("__w") * col("__n")).as("padded_tokens"),
+          (sum(col("__w") * col("__n")) - sum(col("__t"))).as("total_padding"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("padded_tokens"), col("total_padding"),
+          (col("total_padding").cast("double") / col("padded_tokens"))
+            .as("padding_frac"))
+    strategy("arrival", Seq("__id"))
+      .unionByName(strategy("sorted", Seq("__len", "__id")))
+      .orderBy(col("strategy"))
+  }
 }

@@ -298,6 +298,15 @@ private[graft] object CorpusQueries {
       // buckets (graft.ext.Packing.lengthBuckets) — all integers.
       Packing.lengthBuckets(Tables.documents(s, dir),
         TextAnalysis.wsTokenCount(col("text")), width = 64L)),
+    "x_length_bucketing" -> ((s, dir) =>
+      // Padding-waste census of fixed-size batch assembly: arrival
+      // order vs length-sorted order at batchSize 8
+      // (Packing.paddingCensus) — global positions from the
+      // range-partition rank, no single-task window; all-integer until
+      // the final fraction, both strategies replayed by the oracle
+      // with row_number().
+      Packing.paddingCensus(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.wsTokenCount(col("text")), batchSize = 8)),
     "x_edit_distance" -> ((s, dir) => editDistance(s, dir)),
     "x_bigram_next" -> ((s, dir) => bigramNext(s, dir)),
     "x_quality_gate" -> ((s, dir) => qualityGate(s, dir)),
@@ -2090,6 +2099,28 @@ private[graft] object CorpusQueries {
         |   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |   MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
         | FROM d GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+    // Padding-waste census replayed in SQL: both batch assemblies via
+    // row_number over the same unique orders, batch width = max token
+    // count, all-integer until the final double fraction (identical
+    // IEEE operands on both engines).
+    "x_length_bucketing" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+        |  FROM documents),
+        | a AS (SELECT n_tok, (row_number() OVER (ORDER BY doc_id) - 1) // 8 AS batch FROM d),
+        | ab AS (SELECT batch, MAX(n_tok) AS w, COUNT(*) AS n, SUM(n_tok) AS t FROM a GROUP BY batch),
+        | s AS (SELECT n_tok, (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 8 AS batch FROM d),
+        | sb AS (SELECT batch, MAX(n_tok) AS w, COUNT(*) AS n, SUM(n_tok) AS t FROM s GROUP BY batch)
+        | SELECT * FROM (
+        |  SELECT 'arrival' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |    CAST(SUM(w * n) AS BIGINT) AS padded_tokens,
+        |    CAST(SUM(w * n) - SUM(t) AS BIGINT) AS total_padding,
+        |    CAST(SUM(w * n) - SUM(t) AS DOUBLE) / (SUM(w * n)) AS padding_frac FROM ab
+        |  UNION ALL
+        |  SELECT 'sorted', CAST(COUNT(*) AS BIGINT), CAST(SUM(w * n) AS BIGINT),
+        |    CAST(SUM(w * n) - SUM(t) AS BIGINT),
+        |    CAST(SUM(w * n) - SUM(t) AS DOUBLE) / (SUM(w * n)) FROM sb
+        | ) ORDER BY strategy""".stripMargin.replaceAll("\n", " "),
     // Quality gate replayed in SQL: same integer cross-multiplied
     // thresholds, same token-mode subquery.
     "x_quality_gate" ->

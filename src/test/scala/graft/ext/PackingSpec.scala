@@ -96,6 +96,40 @@ class PackingSpec extends AnyFunSuite {
       (3L, 1L, 200L, 200L, 200L)))
   }
 
+  test("paddingCensus matches the sort-and-group model; sorted never pads more than arrival") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 200L).map(id => (id, rnd.nextInt(500).toLong + 1L))
+    def model(ordered: Seq[Long], b: Int): (Long, Long, Long) = {
+      val batches = ordered.grouped(b).toSeq
+      val padded = batches.map(g => g.max * g.size).sum
+      (batches.size.toLong, padded, padded - ordered.sum)
+    }
+    val df = rows.toDF("id", "len")
+    val got = Packing.paddingCensus(df, "id", col("len"), batchSize = 8)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (na, pa, wa) = model(rows.sortBy(_._1).map(_._2), 8)
+    val (ns, ps, ws) = model(rows.sortBy(t => (t._2, t._1)).map(_._2), 8)
+    assert(got("arrival") == ((na, pa, wa, wa.toDouble / pa)))
+    assert(got("sorted") == ((ns, ps, ws, ws.toDouble / ps)))
+    // The whole point of length bucketing, as an invariant: sorting by
+    // length can never increase total padding at the same batch size.
+    assert(ws <= wa, s"sorted padding $ws exceeded arrival padding $wa")
+    assert(ws < wa, "random lengths should show a strict win")
+  }
+
+  test("paddingCensus: exact partial-batch arithmetic on a tiny fixture") {
+    // arrival batches of 3: (4,1,9) w=9, (2,2) w=2 → padded 27+4=31,
+    // data 18, padding 13; sorted (1,2,2),(4,9) → 6+18=24, padding 6.
+    val d = Seq((0L, 4L), (1L, 1L), (2L, 9L), (3L, 2L), (4L, 2L)).toDF("id", "len")
+    val got = Packing.paddingCensus(d, "id", col("len"), batchSize = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("arrival", 2L, 31L, 13L),
+      ("sorted", 2L, 24L, 6L)))
+  }
+
   test("chunkWithOverlap: coverage, overlap width, short-final-chunk, edge counts") {
     def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
     val rows = Packing.chunkWithOverlap(Seq(

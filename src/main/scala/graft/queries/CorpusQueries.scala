@@ -352,6 +352,7 @@ private[graft] object CorpusQueries {
         Seq("dup", "data"), topK = 10)),
     "x_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)),
     "x_bm25_index" -> ((s, dir) => bm25Index(s, dir)),
+    "x_retrieval_eval" -> ((s, dir) => retrievalEval(s, dir)),
     "x_bm25_batch" -> ((s, dir) => bm25Batch(s, dir)),
     "x_bm25_delete" -> ((s, dir) => bm25Delete(s, dir)),
     "x_stream_bm25" -> ((s, dir) => streamBm25(s, dir)),
@@ -1558,6 +1559,44 @@ private[graft] object CorpusQueries {
     * the REAL output for all three queries (exceptAll both ways);
     * the canonical ("dup","data") query's rows are value-checked by
     * the same full-corpus SQL replay as every BM25 twin. */
+  /** x_retrieval_eval: known-item retrieval evaluation over the BM25
+    * postings index — the standard "can the retriever find the doc
+    * the query came from" harness, made ORACLE-EXACT: each of the 5
+    * lowest-id docs queries the index with its own 4 alphabetically
+    * first distinct tokens (all 5 queries answered in ONE batched
+    * probe), and the output is the per-query RANK of the source doc
+    * among the candidates under the (score DESC, id) order — pure
+    * integers, replayed value-exact by the oracle's BM25 SQL twin
+    * (same tokenization, same linear idf and parenthesization, and
+    * the same ORDERED per-term fold probeBatch evaluates, via
+    * list_reduce over term_idx order — so even double-rounding ties
+    * cannot diverge the ranks). A rank beyond the top-100 cut drops
+    * the row on both engines. */
+  private def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val table = "graft_bm25_eval_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    graft.ext.PostingsIndex.build(s, docs, "doc_id", "text", table)
+    val qdocs = docs.where(col("doc_id") < 5)
+      .select(col("doc_id"), col("text")).collect().sortBy(_.getLong(0))
+    val queries = qdocs.map { r =>
+      (r.getLong(0),
+        r.getString(1).split(" ", -1).filter(_.nonEmpty)
+          .distinct.sorted.take(4).toSeq)
+    }.toSeq
+    val probed = graft.ext.PostingsIndex.probeBatch(s, table, queries,
+      topK = 100)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    probed.withColumn("known_item_rank", row_number().over(w).cast("long"))
+      .where(col("id") === col("query_id"))
+      .select(col("query_id"), col("known_item_rank"))
+      .orderBy(col("query_id"))
+  }
+
   private def bm25Batch(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val table = "graft_bm25_batch_" +
@@ -2663,6 +2702,37 @@ private[graft] object CorpusQueries {
     // int-to-double conversion, or one correctly-rounded IEEE op, so
     // scores hash-match bit-for-bit.
     "x_bm25_topk" -> bm25OracleSql,
+    // Known-item retrieval eval replayed end to end: the 4-term
+    // queries are DERIVED in SQL (same sorted-distinct-tokens rule),
+    // per-(query, doc) scores fold per-term components in term_idx
+    // order via list_reduce — the exact ordered fold probeBatch
+    // evaluates — and the source doc's rank comes from the same
+    // (score DESC, id) row_number. Integers only.
+    "x_retrieval_eval" ->
+      """WITH base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, text
+        |   FROM documents WHERE text IS NOT NULL),
+        | sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base),
+        | q AS (SELECT doc_id AS query_id,
+        |    unnest(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))[1:4]) AS term
+        |   FROM base WHERE doc_id < 5),
+        | qr AS (SELECT query_id, term,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY term) - 1 AS term_idx FROM q),
+        | tok AS (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM base),
+        | tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |   FROM tok WHERE term IN (SELECT term FROM qr) GROUP BY doc_id, dl, term),
+        | dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        | comp AS (SELECT qr.query_id, tf.doc_id AS id, qr.term_idx,
+        |    (((CAST(sc.n_docs AS DOUBLE) - CAST(dfs.df AS DOUBLE)) + 0.5) / (CAST(dfs.df AS DOUBLE) + 0.5))
+        |    * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |       * (CAST(tf.dl AS DOUBLE) / (CAST(sc.sum_dl AS DOUBLE) / CAST(sc.n_docs AS DOUBLE)))))) AS c
+        |   FROM qr JOIN tf USING (term) JOIN dfs ON dfs.term = qr.term CROSS JOIN sc),
+        | scored AS (SELECT query_id, id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term_idx)), (a, b) -> a + b) AS score
+        |   FROM comp GROUP BY query_id, id),
+        | ranked AS (SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rnk FROM scored)
+        | SELECT query_id, CAST(rnk AS BIGINT) AS known_item_rank
+        | FROM ranked WHERE id = query_id AND rnk <= 100 ORDER BY query_id""".stripMargin.replaceAll("\n", " "),
     // Hybrid RRF: the BM25 chain cut at top-50, the x_cosine_topk
     // chain cut at top-50, ranks by the shared (score DESC, id) order,
     // fused left-to-right as 1/(60+r) — the exact double expression

@@ -54,7 +54,7 @@ class SparkEntrySpec extends AnyFunSuite {
       // equivalence-bit counters (missing/extra anti-join counts).
       "x_incremental_dedup", "x_incremental_dedup_gate",
       "x_stream_incremental_dedup", "x_ivf_quantized", "x_embed_dedup",
-      "x_stream_embed_ingest", "x_stream_ivfpq",
+      "x_stream_embed_ingest", "x_stream_ivfpq", "x_retrieval_eval",
       // Anchor-batch × corpus scoring: the non-equi label filter is a
       // nested loop BOUNDED by the broadcast anchor batch (5 rows) —
       // linear in the corpus by construction (Similarity.hardNegatives).

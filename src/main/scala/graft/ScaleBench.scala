@@ -1593,6 +1593,38 @@ object ScaleBench {
       s""""lsh_misses":$misses,"t":${fmt(t)}}}"""
   }
 
+  /** Padding-waste census at scale: arrival vs length-sorted batch
+    * assembly over hash-varied sequence lengths (16..500 tokens,
+    * batch 16) — the dataloader-prep pass whose global positions ride
+    * PrefixSum's range-partition rank, so the leg is also the rank
+    * path's volume test (two full ranks per call). The closed
+    * invariants must hold at every scale: equal batch counts, equal
+    * data token mass, sorted padding strictly below arrival padding
+    * on varied lengths. */
+  def paddingPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.Packing
+    val n = 100000L * scale
+    val rows = spark.range(0, n, 1, 32).toDF("id")
+      .withColumn("len", pmod(xxhash64(col("id")), lit(485L)) + 16L)
+      .localCheckpoint(true)
+    spark.sqlContext.clearCache()
+    val (got, t) = timed {
+      Packing.paddingCensus(rows, "id", col("len"), batchSize = 16)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    }
+    val (na, pa, wa, fa) = got("arrival")
+    val (ns, ps, ws, fs) = got("sorted")
+    require(na == ns && na == (n + 15) / 16,
+      s"batch counts broken: arrival $na, sorted $ns, expected ${(n + 15) / 16}")
+    require(pa - wa == ps - ws, "data token mass must be strategy-invariant")
+    require(ws < wa,
+      s"sorted padding $ws must beat arrival $wa on varied lengths")
+    s"""{"padding":{"scale":$scale,"n_docs":$n,"t":${fmt(t)},""" +
+      s""""arrival_frac":${fmt(fa)},"sorted_frac":${fmt(fs)},""" +
+      s""""padding_saved":${wa - ws}}}"""
+  }
+
   /** Band-space saturation head-to-head on NEAR-UNIFORM hashes — the
     * r13 verdict's widening criterion, measured directly: every doc
     * gets 50 tokens unique to it (no cross-doc sharing at all), so
@@ -1943,6 +1975,13 @@ object ScaleBench {
     // near-uniform hashes.
     if (args.contains("simhash-saturation-only")) {
       scales.foreach(m => println(simhashSaturationPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `padding-only`: batch-assembly padding census at scale.
+    if (args.contains("padding-only")) {
+      paddingPoint(spark, outBase, 1)
+      scales.foreach(m => println(paddingPoint(spark, outBase, m)))
       spark.stop()
       return
     }

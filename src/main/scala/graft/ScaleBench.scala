@@ -1360,6 +1360,114 @@ object ScaleBench {
       s""""brute_force":{"t":${fmt(tBrute)}}}}"""
   }
 
+  /** Physical-purge cost at scale (VERDICT r14/r15 #1's evidence leg):
+    * the stage-and-swap / dynamic-partition-overwrite purge must write
+    * bytes PROPORTIONAL TO THE TOUCHED CELLS, never the corpus. Two
+    * takedown waves against one cell-partitioned IVF index:
+    *
+    *   - wave 1: 25 ids out of ONE cell — the routine takedown shape.
+    *     Gate: the file listings of every untouched cell directory are
+    *     byte-identical before/after (names, mtimes, lengths — nothing
+    *     was rewritten), and the rewritten bytes stay within 3× of the
+    *     one-cell share (totalBytes/kCells).
+    *   - wave 2: one id in EVERY cell — the worst case, where touched
+    *     ≡ corpus and the rewrite is legitimately full-size.
+    *
+    * Both waves gate answer-stability (the probe's top-10 after delete
+    * equals the top-10 after purge, bit-for-bit ids). The r14 purge
+    * paid wave-2 cost (full corpus-sized snapshot + rewrite) on EVERY
+    * wave; the ratio wave1_bytes/wave2_bytes ≈ 1/kCells is the point. */
+  def purgePoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.IvfIndex
+    import spark.implicits._
+    val n = 2000L * scale
+    val pathStr = s"$dir/purge_x$scale"
+    genClusteredEmbeddings(spark, n, noiseDiv = 2e6)
+      .write.mode("overwrite").parquet(pathStr)
+    val emb = spark.read.parquet(pathStr)
+    val table = s"graft_scale_purge_x$scale"
+    val kCells = math.max(16, (n / 1250L).toInt)
+    val (_, tBuild) = timed {
+      IvfIndex.build(emb, "vec_id", "embedding", table, k = kCells, iters = 1)
+    }
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(): Map[String, Set[(String, Long, Long)]] =
+      fs.listStatus(loc).filter(_.isDirectory).map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath)
+          .filter(s => !s.getPath.getName.startsWith("_"))
+          .map(s => (s.getPath.getName, s.getModificationTime, s.getLen))
+          .toSet
+      }.toMap
+    def changedBytes(before: Map[String, Set[(String, Long, Long)]],
+                     after: Map[String, Set[(String, Long, Long)]])
+        : (Set[String], Long) = {
+      val changed = (before.keySet ++ after.keySet)
+        .filter(d => before.get(d) != after.get(d))
+      (changed, changed.toSeq.map(d =>
+        after.get(d).map(_.toSeq.map(_._3).sum).getOrElse(0L)).sum)
+    }
+    val totalBytes = listing().values.flatten.map(_._3).sum
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0)
+    def top(): Seq[Long] =
+      IvfIndex.probeTopK(spark, table, "vec_id", "embedding", q, 10,
+        nProbe = kCells).collect().map(_.getLong(0)).toSeq
+    // Wave 1: routine takedown, 25 ids confined to one cell.
+    val victimCell = spark.table(table)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc).first().getInt(0)
+    IvfIndex.delete(spark, table,
+      spark.table(table).where(col("cluster_id") === victimCell)
+        .select(col("vec_id").as("id")).orderBy(col("id")).limit(25))
+    val expected1 = top()
+    val before1 = listing()
+    val (removed1, t1) = timed {
+      IvfIndex.purgeTombstones(spark, table, "vec_id")
+    }
+    val (changed1, bytes1) = changedBytes(before1, listing())
+    require(removed1 == 25L, s"wave 1 must remove 25 rows, got $removed1")
+    require(changed1 == Set(s"cluster_id=$victimCell"),
+      s"wave 1 touched one cell but rewrote $changed1")
+    // Proportionality gate: the rewrite is bounded by the touched
+    // cell's OWN pre-purge size (cells are uneven — 80 Lloyd cells
+    // over 16 natural clusters — so total/kCells is the wrong yard-
+    // stick), and is clearly sub-corpus.
+    val victimBytes = before1(s"cluster_id=$victimCell").toSeq.map(_._3).sum
+    require(bytes1 <= victimBytes * 3 / 2 + 1024,
+      s"wave-1 purge wrote $bytes1 B — more than the touched cell's " +
+        s"own $victimBytes B")
+    require(bytes1 * 4 <= totalBytes,
+      s"wave-1 purge wrote $bytes1 B of $totalBytes B — not a " +
+        "touched-cells write")
+    require(top() == expected1, "wave-1 purge changed probe answers")
+    // Wave 2: one id tombstoned in EVERY cell — touched ≡ corpus.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("vec_id"))
+    IvfIndex.delete(spark, table,
+      spark.table(table)
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("vec_id").as("id")))
+    val expected2 = top()
+    val before2 = listing()
+    val (removed2, t2) = timed {
+      IvfIndex.purgeTombstones(spark, table, "vec_id")
+    }
+    val (changed2, bytes2) = changedBytes(before2, listing())
+    require(removed2 == kCells.toLong,
+      s"wave 2 must remove one row per cell, got $removed2")
+    require(top() == expected2, "wave-2 purge changed probe answers")
+    s"""{"purge":{"scale":$scale,"n_vecs":$n,"k_cells":$kCells,""" +
+      s""""table_bytes":$totalBytes,"build":{"t":${fmt(tBuild)}},""" +
+      s""""wave1_one_cell":{"removed":$removed1,"touched_cells":${changed1.size},""" +
+      s""""bytes_written":$bytes1,"t":${fmt(t1)}},""" +
+      s""""wave2_all_cells":{"removed":$removed2,"touched_cells":${changed2.size},""" +
+      s""""bytes_written":$bytes2,"t":${fmt(t2)}},""" +
+      s""""wave1_byte_fraction":${fmt(bytes1.toDouble / totalBytes)}}}"""
+  }
+
   /** The round-13 second-half additions at scale (NB classifier,
     * Gopher rules, streaming decontamination, tokenize→pack), each
     * leg with a require()d oracle so a timing can never go green on
@@ -1996,6 +2104,13 @@ object ScaleBench {
     if (args.contains("ivfpq-only")) {
       ivfPqPoint(spark, outBase, 1)
       scales.foreach(m => println(ivfPqPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `purge-only`: purge bytes-written ∝ touched partitions.
+    if (args.contains("purge-only")) {
+      purgePoint(spark, outBase, 1)
+      scales.foreach(m => println(purgePoint(spark, outBase, m)))
       spark.stop()
       return
     }

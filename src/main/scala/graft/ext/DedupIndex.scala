@@ -79,10 +79,15 @@ object DedupIndex {
     else bands
   }
 
-  /** Physically purge tombstoned bands (same bucketed layout), drop
-    * the tombstone list. Answer-stable; returns rows removed. */
+  /** Physically purge tombstoned bands via STAGE-AND-SWAP
+    * ([[PurgeSwap]] — WinnowIndex.purgeTombstones has the full
+    * contract): live rows staged into the same bucketed layout, then
+    * a metadata swap; no corpus-sized snapshot, crash-safe at every
+    * point, `removed` from one tombstone-side semi-join count.
+    * Answer-stable; returns rows removed. */
   def purgeTombstones(spark: SparkSession, table: String,
                       nBuckets: Int = 16): Long = {
+    PurgeSwap.recover(spark, table)
     val t = table + "_tombstones"
     if (!spark.catalog.tableExists(t)) return 0L
     require(spark.sessionState.catalog.getTableMetadata(
@@ -91,16 +96,17 @@ object DedupIndex {
       s"purgeTombstones supports the batch (bucketed) layout only — " +
         s"`$table` is batch-partitioned (streaming layout); tombstoned " +
         "probes already exclude deleted ids there, and a physical purge " +
-        "belongs in the compact cycle")
-    val snap = spark.table(table)
-      .select(col("id"), col("band_id"), col("band_hash"))
-      .localCheckpoint(true)
-    val live = snap.join(spark.table(t).localCheckpoint(true),
-      Seq("id"), "left_anti").localCheckpoint(true)
-    val removed = snap.count() - live.count()
-    Writer.bucketedTable(live, table, "band_hash", nBuckets)
-    spark.sql(s"DROP TABLE $t")
-    spark.catalog.refreshTable(table)
+        "belongs in compact(purge = true)")
+    val stones = broadcast(spark.table(t))
+    val removed = spark.table(table).select(col("id"))
+      .join(stones, Seq("id"), "left_semi").count()
+    Writer.bucketedTable(
+      spark.table(table)
+        .select(col("id"), col("band_id"), col("band_hash"))
+        .join(stones, Seq("id"), "left_anti"),
+      PurgeSwap.stagingOf(table), "band_hash", nBuckets)
+    PurgeSwap.swap(spark, table)
+    spark.sql(s"DROP TABLE `$t`")
     removed
   }
 

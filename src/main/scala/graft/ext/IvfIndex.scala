@@ -109,28 +109,80 @@ object IvfIndex {
     else rows
   }
 
-  /** Physically purge tombstoned vectors: full rewrite in the same
-    * compact partitioned layout (a deployment-scale variant overwrites
-    * ONLY the clusters holding tombstoned ids via dynamic partition
-    * overwrite — same result, partition-pruned write), then drop the
-    * tombstone list. Answer-stable; returns rows removed. */
+  /** Physically purge tombstoned vectors by DYNAMIC PARTITION
+    * OVERWRITE of ONLY the cells holding tombstoned ids — the
+    * deployment-scale shape the doc comment used to only promise:
+    * purge bytes written are proportional to the TOUCHED cells, not
+    * the corpus (ScaleBench's purge point measures the ratio), and
+    * untouched cells' files are never rewritten. Answer-stable;
+    * returns rows removed. Shared core in [[purgeTouchedCells]]
+    * (IvfPq rides the same code). */
   def purgeTombstones(spark: SparkSession, table: String,
-                      idCol: String): Long = {
+                      idCol: String): Long =
+    purgeTouchedCells(spark, table, idCol)
+
+  /** The cell-partitioned purge core, shared by [[purgeTombstones]]
+    * and [[IvfPq.purgeTombstones]]. Three phases, each crash-safe:
+    *
+    *   1. DISCOVER — one tombstone-side semi-join over the id column
+    *      (the partition column is metadata): which cells hold
+    *      tombstoned rows, and how many (`removed`). ≤ k rows out.
+    *   2. STAGE — the touched cells' LIVE rows land in a staging
+    *      table (touched-cell-sized, never corpus-sized, nothing
+    *      pinned in memory). The write reads the live table; a crash
+    *      here leaves the index untouched and serving.
+    *   3. OVERWRITE — dynamic partition overwrite replaces exactly
+    *      the touched partitions from the staged copy; cells the
+    *      purge EMPTIED (no staged rows for the overwrite to replace)
+    *      are dropped explicitly. A crash mid-phase leaves some cells
+    *      purged and some not — but the tombstone list drops LAST, so
+    *      probes keep filtering either way, and a purge re-run
+    *      completes idempotently (already-purged cells are no longer
+    *      touched).
+    */
+  private[ext] def purgeTouchedCells(spark: SparkSession, table: String,
+                                     idCol: String): Long = {
     val t = table + "_tombstones"
     if (!spark.catalog.tableExists(t)) return 0L
-    val snap = spark.table(table).localCheckpoint(true)
-    val live = snap.join(broadcast(
-        spark.table(t).localCheckpoint(true).select(col("id").as(idCol))),
-      Seq(idCol), "left_anti").localCheckpoint(true)
-    val removed = snap.count() - live.count()
-    live
+    require(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .partitionColumnNames == Seq("cluster_id"),
+      s"purgeTombstones supports the build (cell-partitioned) layout " +
+        s"only — `$table` is a streaming index; run compact(purge = " +
+        "true), or keep serving with tombstone filtering")
+    val stones = broadcast(spark.table(t).select(col("id").as(idCol)))
+    val perCell = spark.table(table).join(stones, Seq(idCol), "left_semi")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
+      .collect()
+    if (perCell.isEmpty) { // nothing tombstoned is actually indexed
+      spark.sql(s"DROP TABLE `$t`")
+      return 0L
+    }
+    val touched = perCell.map(_.getAs[Int]("cluster_id")).toIndexedSeq
+    val removed = perCell.map(_.getAs[Long]("__n")).sum
+    val staging = PurgeSwap.stagingOf(table)
+    Writer.dropTableAndLocation(spark, staging)
+    spark.table(table)
+      .where(col("cluster_id").isin(touched: _*))
+      .join(stones, Seq(idCol), "left_anti")
       .repartition(col("cluster_id"))
       .sortWithinPartitions(col("cluster_id"), col(idCol))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cluster_id")
-      .format("parquet")
-      .saveAsTable(table)
-    spark.sql(s"DROP TABLE $t")
+      .write.partitionBy("cluster_id").format("parquet")
+      .saveAsTable(staging)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try spark.table(staging).write.mode(SaveMode.Overwrite).insertInto(table)
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val present = spark.table(staging).select(col("cluster_id"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    touched.filterNot(present).foreach(c =>
+      spark.sql(s"ALTER TABLE `$table` DROP PARTITION (cluster_id=$c)"))
+    Writer.dropTableAndLocation(spark, staging)
+    spark.sql(s"DROP TABLE `$t`")
     spark.catalog.refreshTable(table)
     removed
   }

@@ -258,40 +258,17 @@ object IvfPq {
     else rows
   }
 
-  /** Physically purge tombstoned vectors: rewrite in the same compact
-    * partitioned layout (a deployment-scale variant overwrites only
-    * the touched cells via dynamic partition overwrite), then drop the
-    * tombstone list. Answer-stable; returns rows removed. */
+  /** Physically purge tombstoned vectors by dynamic partition
+    * overwrite of ONLY the touched cells — the shared cell-partitioned
+    * core [[IvfIndex.purgeTouchedCells]] (its doc has the three-phase
+    * crash contract): purge bytes ∝ touched cells, no corpus-sized
+    * snapshot, tombstones dropped last so probes filter throughout.
+    * Refuses the streaming (batch-partitioned) layout — run
+    * compact(purge = true) there. Answer-stable; returns rows
+    * removed. */
   def purgeTombstones(spark: SparkSession, table: String,
-                      idCol: String): Long = {
-    val t = table + "_tombstones"
-    if (!spark.catalog.tableExists(t)) return 0L
-    // The rewrite below restores build()'s cell-partitioned layout —
-    // on a streamIngest table that would silently break the batch-tag
-    // contract the streaming redelivery and compact rely on (the
-    // same refusal the other four families' purges make).
-    require(!spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .partitionColumnNames.contains(graft.streaming.StreamOps.BatchTag),
-      s"purgeTombstones supports the build (cell-partitioned) layout " +
-        s"only — `$table` is a streaming index; run compact() and keep " +
-        "serving with tombstone filtering, or rebuild() to purge")
-    val snap = spark.table(table).localCheckpoint(true)
-    val live = snap.join(broadcast(
-        spark.table(t).localCheckpoint(true).select(col("id").as(idCol))),
-      Seq(idCol), "left_anti").localCheckpoint(true)
-    val removed = snap.count() - live.count()
-    live
-      .repartition(col("cluster_id"))
-      .sortWithinPartitions(col("cluster_id"), col(idCol))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cluster_id")
-      .format("parquet")
-      .saveAsTable(table)
-    spark.sql(s"DROP TABLE `$t`")
-    spark.catalog.refreshTable(table)
-    removed
-  }
+                      idCol: String): Long =
+    IvfIndex.purgeTouchedCells(spark, table, idCol)
 
   /** Codebooks of a saved index — m·kPq small rows, driver-side (the
     * [[IvfIndex.centroids]] class of collect). */

@@ -201,11 +201,22 @@ object PostingsIndex {
     }
   }
 
-  /** Physically purge tombstoned docs from all three tables (same
-    * layouts), recompute the stats row, drop the tombstone list.
+  /** Physically purge tombstoned docs from all three tables via
+    * STAGE-AND-SWAP ([[PurgeSwap]] — WinnowIndex.purgeTombstones has
+    * the full contract): the live postings, doc lengths, and a
+    * recomputed stats row are each staged into the same bucketed
+    * layouts (every stage write reads only live tables), then swapped
+    * in sequence — no corpus-sized snapshot, and the index is readable
+    * at every point (a crash between swaps leaves some tables purged
+    * and some not, but the tombstone list is dropped LAST, so probes
+    * keep filtering and the stats keep their takedown deltas until
+    * everything committed; a re-run completes idempotently).
+    * `removed` comes from one tombstone-side semi-join count.
     * Answer-stable by construction; returns postings removed. */
   def purgeTombstones(spark: SparkSession, table: String,
                       nBuckets: Int = 16): Long = {
+    val parts = Seq(table, table + "_docs", table + "_stats")
+    parts.foreach(PurgeSwap.recover(spark, _))
     val t = table + "_tombstones"
     if (!spark.catalog.tableExists(t)) return 0L
     require(spark.sessionState.catalog.getTableMetadata(
@@ -214,28 +225,36 @@ object PostingsIndex {
       s"purgeTombstones supports the batch (bucketed) layout only — " +
         s"`$table` is batch-partitioned (streaming layout); tombstoned " +
         "probes already exclude deleted ids there, and a physical purge " +
-        "belongs in the compact cycle")
-    val stones = spark.table(t).localCheckpoint(true)
-    val postSnap = spark.table(table)
-      .select(col("term"), col("id"), col("tf"), col("dl"))
-      .localCheckpoint(true)
-    val docsSnap = spark.table(table + "_docs")
-      .select(col("id"), col("dl")).localCheckpoint(true)
-    val livePost = postSnap.join(stones, Seq("id"), "left_anti")
-      .localCheckpoint(true)
-    val liveDocs = docsSnap.join(stones, Seq("id"), "left_anti")
-      .localCheckpoint(true)
-    val removed = postSnap.count() - livePost.count()
-    Writer.bucketedTable(livePost, table, "term", nBuckets)
-    Writer.bucketedTable(liveDocs, table + "_docs", "id", nBuckets)
-    Writer.bucketedTable(statsOf(liveDocs), table + "_stats", "n_docs", 1)
-    // The recomputed stats row IS the live corpus: the takedown deltas
-    // are absorbed, so the side table goes with the tombstones.
+        "belongs in compact(purge = true)")
+    val stones = broadcast(spark.table(t))
+    val removed = spark.table(table).select(col("id"))
+      .join(stones, Seq("id"), "left_semi").count()
+    // STAGE all three, reading only the live tables; the stats row
+    // recomputes off the already-staged live docs (one `_docs` scan).
+    Writer.bucketedTable(
+      spark.table(table)
+        .select(col("term"), col("id"), col("tf"), col("dl"))
+        .join(stones, Seq("id"), "left_anti"),
+      PurgeSwap.stagingOf(table), "term", nBuckets)
+    Writer.bucketedTable(
+      spark.table(table + "_docs").select(col("id"), col("dl"))
+        .join(stones, Seq("id"), "left_anti"),
+      PurgeSwap.stagingOf(table + "_docs"), "id", nBuckets)
+    Writer.bucketedTable(
+      statsOf(spark.table(PurgeSwap.stagingOf(table + "_docs"))),
+      PurgeSwap.stagingOf(table + "_stats"), "n_docs", 1)
+    PurgeSwap.swap(spark, table)
+    PurgeSwap.swap(spark, table + "_docs")
+    // The recomputed stats row IS the live corpus, so the delta table
+    // must go WITH the stats swap — and it goes FIRST: a crash between
+    // the two leaves old-stats-without-deltas (scores drift by the
+    // wave's mass in the same bounded direction delete()'s crash
+    // contract documents, healed exactly by a purge re-run), whereas
+    // new-stats-plus-deltas would double-count the removal.
     val dt = table + "_stats_deltas"
     if (spark.catalog.tableExists(dt)) spark.sql(s"DROP TABLE `$dt`")
-    spark.sql(s"DROP TABLE $t")
-    Seq(table, table + "_docs", table + "_stats")
-      .foreach(spark.catalog.refreshTable)
+    PurgeSwap.swap(spark, table + "_stats")
+    spark.sql(s"DROP TABLE `$t`")
     removed
   }
 

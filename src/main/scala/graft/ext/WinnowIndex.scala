@@ -240,13 +240,21 @@ object WinnowIndex {
     else postings
   }
 
-  /** Physically purge tombstoned postings: rewrite the index minus
-    * deleted ids in the same bucketed layout, then drop the tombstone
-    * table. Probe results are IDENTICAL before and after (the probe
-    * already filters) — purging reclaims bytes, it never changes
-    * answers. Returns the number of postings removed. */
+  /** Physically purge tombstoned postings via STAGE-AND-SWAP
+    * ([[PurgeSwap]]): write the live rows (index anti-join tombstones,
+    * the tombstone side broadcast) to a staging table in the same
+    * bucketed layout, then swap it into place — the old table is
+    * readable and serving until the staged copy is fully committed, a
+    * crash anywhere leaves the index recoverable (old or staged state,
+    * never lost), and nothing corpus-sized is ever snapshotted into
+    * executor memory. `removed` comes from ONE tombstone-side
+    * semi-join count over the id column, not two full-table counts.
+    * Probe results are IDENTICAL before and after (the probe already
+    * filters) — purging reclaims bytes, it never changes answers.
+    * Returns the number of postings removed. */
   def purgeTombstones(spark: SparkSession, table: String,
                       nBuckets: Int = 16): Long = {
+    PurgeSwap.recover(spark, table)
     val t = table + "_tombstones"
     if (!spark.catalog.tableExists(t)) return 0L
     require(spark.sessionState.catalog.getTableMetadata(
@@ -255,16 +263,17 @@ object WinnowIndex {
       s"purgeTombstones supports the batch (bucketed) layout only — " +
         s"`$table` is batch-partitioned (streaming layout); tombstoned " +
         "probes already exclude deleted ids there, and a physical purge " +
-        "belongs in the compact cycle")
-    // Snapshot BEFORE overwriting — the rewrite must never read the
-    // table it replaces mid-job (the compactSink discipline).
-    val snap = spark.table(table).localCheckpoint(true)
-    val stones = spark.table(t).localCheckpoint(true)
-    val live = snap.join(stones, Seq("id"), "left_anti").localCheckpoint(true)
-    val removed = snap.count() - live.count()
-    Writer.bucketedTable(live, table, "fp", nBuckets)
-    spark.sql(s"DROP TABLE $t")
-    spark.catalog.refreshTable(table)
+        "belongs in compact(purge = true)")
+    val stones = broadcast(spark.table(t))
+    val removed = spark.table(table).select(col("id"))
+      .join(stones, Seq("id"), "left_semi").count()
+    // STAGE: live rows into the staging table (reads the live index,
+    // never overwrites what it reads); then SWAP metadata-only.
+    Writer.bucketedTable(
+      spark.table(table).join(stones, Seq("id"), "left_anti"),
+      PurgeSwap.stagingOf(table), "fp", nBuckets)
+    PurgeSwap.swap(spark, table)
+    spark.sql(s"DROP TABLE `$t`")
     removed
   }
 

@@ -420,15 +420,28 @@ object IvfIndex {
   /** Compact a [[streamIngest]] vector index (and its pairs sink) —
     * same quiesce / redelivery / crash contract as the dedup and
     * winnow twins (StreamOps.compactSink); pass the ingest's
-    * `checkpointLocation` to refuse crash-then-compact corruption. */
+    * `checkpointLocation` to refuse crash-then-compact corruption.
+    * `purge = true` physically drops tombstoned vectors during the
+    * rewrite and clears the tombstone list (the streaming layout's
+    * purge — WinnowIndex.compact documents the shared contract);
+    * `idCol` names the index's id column for the purge anti-join. */
   def compact(spark: SparkSession, table: String,
-              checkpointLocation: Option[String] = None): Int = {
+              checkpointLocation: Option[String] = None,
+              purge: Boolean = false, idCol: String = "id"): Int = {
+    val t = table + "_tombstones"
+    val stones = if (purge && spark.catalog.tableExists(t))
+      Some(spark.table(t)) else None
     val merged = graft.streaming.StreamOps.compactSink(spark, table,
-      checkpointLocation = checkpointLocation)
+      checkpointLocation = checkpointLocation,
+      purgeIds = stones, purgeIdCol = idCol)
     val sink = table + "_pairs"
     if (spark.catalog.tableExists(sink))
       graft.streaming.StreamOps.compactSink(spark, sink,
         checkpointLocation = checkpointLocation)
+    stones.foreach { _ =>
+      spark.sql(s"DROP TABLE `$t`")
+      spark.catalog.refreshTable(table)
+    }
     merged
   }
 

@@ -227,11 +227,26 @@ object IvfPq {
     * partitions into one merged partition (same quiesce / redelivery /
     * crash contract as the other four families; pass the ingest's
     * `checkpointLocation` to refuse crash-then-compact corruption).
-    * The quantizer side tables are already compact (k-row). */
+    * The quantizer side tables are already compact (k-row).
+    * `purge = true` physically drops tombstoned vectors during the
+    * rewrite and clears the tombstone list (the streaming layout's
+    * purge — WinnowIndex.compact documents the shared contract);
+    * `idCol` names the index's id column for the purge anti-join. */
   def compact(spark: SparkSession, table: String,
-              checkpointLocation: Option[String] = None): Int =
-    graft.streaming.StreamOps.compactSink(spark, table,
-      checkpointLocation = checkpointLocation)
+              checkpointLocation: Option[String] = None,
+              purge: Boolean = false, idCol: String = "id"): Int = {
+    val t = table + "_tombstones"
+    val stones = if (purge && spark.catalog.tableExists(t))
+      Some(spark.table(t)) else None
+    val merged = graft.streaming.StreamOps.compactSink(spark, table,
+      checkpointLocation = checkpointLocation,
+      purgeIds = stones, purgeIdCol = idCol)
+    stones.foreach { _ =>
+      spark.sql(s"DROP TABLE `$t`")
+      spark.catalog.refreshTable(table)
+    }
+    merged
+  }
 
   /** Tombstone-delete vectors — the takedown pattern shared across the
     * index families (WinnowIndex's doc has the contract). Probes hide

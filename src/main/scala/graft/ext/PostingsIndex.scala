@@ -430,17 +430,66 @@ object PostingsIndex {
     * contract as DedupIndex.compact: pass the ingest's checkpoint and
     * a compact that would swallow a crashed attempt's orphan REFUSES. */
   def compact(spark: SparkSession, table: String,
-              checkpointLocation: Option[String] = None): Int = {
+              checkpointLocation: Option[String] = None,
+              purge: Boolean = false): Int = {
+    // `purge = true`: the streaming layout's physical purge
+    // (WinnowIndex.compact documents the shared contract) with the
+    // BM25 twist purgeTombstones has in batch form — the stats must
+    // shed the purged docs' mass. Postings and `_docs` anti-join the
+    // tombstones during their rewrites; `_stats` is then RECOMPUTED
+    // from the purged `_docs` (summing the per-batch rows or the
+    // takedown deltas would describe the pre-purge corpus), and the
+    // delta side table and tombstone list drop last — probes score
+    // the live corpus at every point in between, and a crashed
+    // compact(purge) re-runs to the same state.
+    val t = table + "_tombstones"
+    val stones = if (purge && spark.catalog.tableExists(t))
+      Some(spark.table(t)) else None
     val merged = graft.streaming.StreamOps.compactSink(spark, table,
-      checkpointLocation = checkpointLocation)
+      checkpointLocation = checkpointLocation, purgeIds = stones)
     if (spark.catalog.tableExists(table + "_docs"))
       graft.streaming.StreamOps.compactSink(spark, table + "_docs",
-        checkpointLocation = checkpointLocation)
-    if (spark.catalog.tableExists(table + "_stats"))
-      graft.streaming.StreamOps.compactSinkAdditive(spark, table + "_stats",
-        _.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
-          coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl")),
-        checkpointLocation = checkpointLocation)
+        checkpointLocation = checkpointLocation, purgeIds = stones)
+    if (spark.catalog.tableExists(table + "_stats")) {
+      if (stones.isEmpty)
+        graft.streaming.StreamOps.compactSinkAdditive(spark, table + "_stats",
+          _.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+            coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl")),
+          checkpointLocation = checkpointLocation)
+      else recomputeStreamStats(spark, table)
+    }
+    stones.foreach { _ =>
+      val dt = table + "_stats_deltas"
+      if (spark.catalog.tableExists(dt)) spark.sql(s"DROP TABLE `$dt`")
+      spark.sql(s"DROP TABLE `$t`")
+      Seq(table, table + "_docs").foreach(spark.catalog.refreshTable)
+    }
     merged
+  }
+
+  /** Rewrite a streaming `_stats` table as ONE row recomputed from the
+    * (already purged and compacted) `_docs` table, keeping
+    * compactSinkAdditive's watermark discipline so later additive
+    * compactions still recognize what was absorbed: the new merged
+    * partition's tag encodes max(absorbed batch) and every other
+    * partition drops. Orphan refusal already ran — the postings
+    * compactSink (same checkpoint, same batch set) throws BEFORE any
+    * table mutates, so this never sees an unchecked orphan. */
+  private def recomputeStreamStats(spark: SparkSession, table: String): Unit = {
+    import graft.streaming.StreamOps
+    val st = table + "_stats"
+    spark.catalog.refreshTable(st)
+    val tags = spark.table(st).select(col(StreamOps.BatchTag)).distinct()
+      .collect().map(_.getLong(0))
+    val maxAbsorbed = math.max(
+      tags.filter(_ >= 0L).maxOption.getOrElse(-1L),
+      tags.filter(_ <= -2L).map(tg => -tg - 2).maxOption.getOrElse(-1L))
+    val newTag = -(maxAbsorbed + 2)
+    StreamOps.writeBatchToSink(spark, st,
+      statsOf(spark.table(table + "_docs").select(col("id"), col("dl"))),
+      newTag)
+    tags.filter(_ != newTag).foreach(id =>
+      spark.sql(s"ALTER TABLE `$st` DROP PARTITION (`${StreamOps.BatchTag}`=$id)"))
+    spark.catalog.refreshTable(st)
   }
 }

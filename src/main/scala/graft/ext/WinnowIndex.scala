@@ -352,15 +352,32 @@ object WinnowIndex {
     * the winnowing twin of [[DedupIndex.compact]], same quiesce /
     * redelivery / crash contract (StreamOps.compactSink); pass the
     * ingest's `checkpointLocation` to refuse crash-then-compact
-    * corruption. */
+    * corruption.
+    *
+    * `purge = true` physically drops tombstoned ids during the
+    * rewrite and clears the tombstone list — the streaming layout's
+    * physical purge, closing the lifecycle cell [[purgeTombstones]]
+    * refuses (it cannot restore the batch-tag contract). The
+    * tombstone table drops only AFTER the rewrite commits, so probes
+    * filter until the purge is fully durable and a crashed
+    * compact(purge) re-runs to the same state. Post-purge probes
+    * equal a fresh index built on the live docs (spec-pinned). */
   def compact(spark: SparkSession, table: String,
-              checkpointLocation: Option[String] = None): Int = {
+              checkpointLocation: Option[String] = None,
+              purge: Boolean = false): Int = {
+    val t = table + "_tombstones"
+    val stones = if (purge && spark.catalog.tableExists(t))
+      Some(spark.table(t)) else None
     val merged = graft.streaming.StreamOps.compactSink(spark, table,
-      checkpointLocation = checkpointLocation)
+      checkpointLocation = checkpointLocation, purgeIds = stones)
     val sink = table + "_pairs"
     if (spark.catalog.tableExists(sink))
       graft.streaming.StreamOps.compactSink(spark, sink,
         checkpointLocation = checkpointLocation)
+    stones.foreach { _ =>
+      spark.sql(s"DROP TABLE `$t`")
+      spark.catalog.refreshTable(table)
+    }
     merged
   }
 }

@@ -414,10 +414,24 @@ object StreamOps {
     * compactSink REFUSES (IllegalStateException) instead of
     * corrupting: restart the stream (redelivery overwrites the
     * orphan), then compact. Without a checkpointLocation the contract
-    * stays the caller's obligation, as before. */
+    * stays the caller's obligation, as before.
+    *
+    * `purgeIds` — physical purge DURING the rewrite, the streaming
+    * layouts' answer to the batch layouts' purgeTombstones (which
+    * refuse batch-partitioned tables): rows whose `purgeIdCol` appears
+    * in the given id frame (column `id`, takedown-sized, broadcast)
+    * are anti-joined out of the merged partition, so the compaction a
+    * streaming index pays anyway also reclaims its tombstoned bytes.
+    * Dropping the tombstone list afterwards is the CALLER's move (the
+    * index families' compact(purge = true) do), and only after every
+    * sibling table rewrote — probes keep filtering until then, so a
+    * crash between rewrite and drop never changes answers and a
+    * compact re-run heals. */
   def compactSink(spark: SparkSession, table: String,
                   mergedId: Long = -1L,
-                  checkpointLocation: Option[String] = None): Int = {
+                  checkpointLocation: Option[String] = None,
+                  purgeIds: Option[DataFrame] = None,
+                  purgeIdCol: String = "id"): Int = {
     require(mergedId < 0, s"merged partition id must be negative: $mergedId")
     spark.catalog.refreshTable(table)
     // Snapshot BEFORE mutating — the merged write must never read the
@@ -435,9 +449,17 @@ object StreamOps {
           "orphaned append. Restart the stream so redelivery overwrites " +
           "the orphan, then compact.")
     }
-    if (ids.isEmpty) 0
+    // Nothing to merge AND nothing to purge: done. With purgeIds an
+    // already-compact table still rewrites its merged partition (the
+    // purge is the point).
+    if (ids.isEmpty && purgeIds.isEmpty) 0
     else {
-      writeBatchToSink(spark, table, snap.drop(BatchTag).distinct(), mergedId)
+      val live = purgeIds.foldLeft(snap.drop(BatchTag).distinct()) {
+        (rows, p) => rows.join(
+          broadcast(p.select(col("id").as(purgeIdCol))),
+          Seq(purgeIdCol), "left_anti")
+      }
+      writeBatchToSink(spark, table, live, mergedId)
       ids.foreach(id =>
         spark.sql(s"ALTER TABLE `$table` DROP PARTITION (`$BatchTag`=$id)"))
       spark.catalog.refreshTable(table)

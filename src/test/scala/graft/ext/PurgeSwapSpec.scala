@@ -153,6 +153,136 @@ class PurgeSwapSpec extends AnyFunSuite {
     assert(IvfIndex.purgeTombstones(spark, t, "vec_id") == 0L)
   }
 
+  test("streaming layout: compact(purge=true) ≡ rebuild-on-live — winnow postings") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.streaming.StreamOps
+    val shared = "this exact passage appears verbatim in both documents today"
+    val batch0 = Seq(
+      (1L, s"left context totally different $shared and then some more"),
+      (3L, "an unrelated document with none of that text anywhere")).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (2L, s"$shared trailing content that matches nothing else at all"),
+      (4L, "yet another fully unrelated body of prose entirely")).toDF("doc_id", "text")
+    val idx = "stream_purge_winnow_idx"
+    Seq(idx, idx + "_tombstones", idx + "_rebuild")
+      .foreach(t => graft.io.Writer.dropTableAndLocation(spark, t))
+    graft.io.Writer.emptyPartitionedBucketedTable(spark, idx,
+      StructType(Seq(StructField("id", LongType), StructField("fp", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "fp", 16)
+    // Two micro-batch appends, exactly streamIngest's per-batch write.
+    StreamOps.writeBatchToSink(spark, idx,
+      WinnowIndex.postings(batch0, "doc_id", "text", 8, 4), 0L)
+    StreamOps.writeBatchToSink(spark, idx,
+      WinnowIndex.postings(batch1, "doc_id", "text", 8, 4), 1L)
+    val probeDocs = Seq(
+      (10L, s"late arrival also containing $shared in its middle part")).toDF("doc_id", "text")
+    def probe(table: String) = WinnowIndex
+      .probeNewBatch(spark, table, probeDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(idx).map(p => (p._1, p._2)) == Set((1L, 10L), (2L, 10L)))
+    WinnowIndex.delete(spark, idx, Seq(1L).toDF("id"))
+    // The lifecycle cell purgeTombstones refuses:
+    intercept[IllegalArgumentException] { WinnowIndex.purgeTombstones(spark, idx) }
+    val merged = WinnowIndex.compact(spark, idx, purge = true)
+    assert(merged == 2, s"two batch partitions must merge, got $merged")
+    assert(!spark.catalog.tableExists(idx + "_tombstones"),
+      "purge-compact must clear the tombstone list")
+    assert(spark.table(idx).where(col("id") === 1L).count() == 0,
+      "tombstoned postings must be physically gone")
+    // ≡ rebuild-on-live: same probe pairs AND n_shared counts as a
+    // fresh batch index built on the live docs only.
+    WinnowIndex.build(
+      batch0.unionByName(batch1).where(col("doc_id") =!= 1L),
+      "doc_id", "text", idx + "_rebuild")
+    assert(probe(idx) == probe(idx + "_rebuild"),
+      "purged streaming index must probe exactly like a rebuild on live docs")
+    // A second purge-compact is a safe no-op (nothing to merge or purge).
+    assert(WinnowIndex.compact(spark, idx, purge = true) == 0)
+  }
+
+  test("streaming layout: compact(purge=true) recomputes BM25 stats — probe equals live-corpus scan bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.StreamOps
+    val docs = Seq(
+      (0L, "data dedup data pipeline"),
+      (1L, "dedup of data at scale"),
+      (2L, "a wholly different subject"),
+      (3L, "data data data everywhere"),
+      (4L, "dedup dedup and more dedup"),
+      (5L, "short data note")).toDF("doc_id", "text")
+    val table = "stream_purge_bm25_idx"
+    Seq(table, table + "_docs", table + "_stats", table + "_tombstones",
+      table + "_stats_deltas")
+      .foreach(t => graft.io.Writer.dropTableAndLocation(spark, t))
+    val idT = LongType
+    graft.io.Writer.emptyPartitionedBucketedTable(spark, table,
+      StructType(Seq(StructField("term", StringType), StructField("id", idT),
+        StructField("tf", LongType), StructField("dl", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "term", 16)
+    graft.io.Writer.emptyPartitionedBucketedTable(spark, table + "_docs",
+      StructType(Seq(StructField("id", idT), StructField("dl", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "id", 16)
+    graft.io.Writer.emptyPartitionedBucketedTable(spark, table + "_stats",
+      StructType(Seq(StructField("n_docs", LongType),
+        StructField("sum_dl", LongType),
+        StructField(StreamOps.BatchTag, LongType))),
+      StreamOps.BatchTag, "n_docs", 1)
+    // Two micro-batches, exactly streamIngest's per-batch writes.
+    Seq(0L, 1L).foreach { b =>
+      val part = docs.where(pmod(col("doc_id"), lit(2L)) === b)
+      val dls = PostingsIndex.docLengths(part, "doc_id", "text")
+        .localCheckpoint(true)
+      StreamOps.writeBatchSinks(spark, b, Seq(
+        table -> PostingsIndex.postings(part, "doc_id", "text"),
+        (table + "_docs") -> dls,
+        (table + "_stats") -> PostingsIndex.statsOf(dls)))
+    }
+    def probed() = PostingsIndex.probe(spark, table, Seq("dup", "data"), 10)
+      .select(col("id"), col("dl"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // Delete two docs (stats deltas snapshot), then purge via compact.
+    PostingsIndex.delete(spark, table, Seq(0L, 4L).toDF("id"))
+    val liveDocs = docs.where(!col("doc_id").isin(0L, 4L))
+    val expected = TextAnalysis
+      .bm25TopK(liveDocs, "doc_id", "text", Seq("dup", "data"), 10)
+      .select(col("doc_id"), col("dl"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(probed() == expected,
+      "tombstone-filtered probe must already equal the live-corpus scan")
+    PostingsIndex.compact(spark, table, purge = true)
+    assert(!spark.catalog.tableExists(table + "_tombstones"))
+    assert(!spark.catalog.tableExists(table + "_stats_deltas"))
+    assert(spark.table(table).where(col("id").isin(0L, 4L)).count() == 0,
+      "tombstoned postings must be physically gone")
+    assert(spark.table(table + "_docs").where(col("id").isin(0L, 4L)).count() == 0)
+    assert(probed() == expected,
+      "post-purge probe must equal the live-corpus scan bit-for-bit")
+    val st = spark.table(table + "_stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    assert(st.getLong(0) == 4L, "stats must describe the live corpus only")
+    // Another append + additive compact still works on the recomputed
+    // watermark (the purge tag must not confuse the additive reader).
+    val extra = Seq((6L, "data appendix")).toDF("doc_id", "text")
+    val dls6 = PostingsIndex.docLengths(extra, "doc_id", "text").localCheckpoint(true)
+    StreamOps.writeBatchSinks(spark, 2L, Seq(
+      table -> PostingsIndex.postings(extra, "doc_id", "text"),
+      (table + "_docs") -> dls6,
+      (table + "_stats") -> PostingsIndex.statsOf(dls6)))
+    PostingsIndex.compact(spark, table)
+    val expected2 = TextAnalysis
+      .bm25TopK(liveDocs.unionByName(extra), "doc_id", "text",
+        Seq("dup", "data"), 10)
+      .select(col("doc_id"), col("dl"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(probed() == expected2,
+      "post-purge appends and additive compaction must keep probing the live corpus")
+  }
+
   test("cell-partitioned purge drops a cell the takedown EMPTIES") {
     import spark.implicits._
     val e = Tables.embeddings(spark, TestSpark.sf0001)

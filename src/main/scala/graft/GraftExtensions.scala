@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctionBuilders.mightContainInfo, GraftFunctionBuilders.mightContainBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
       GraftFunctionBuilders.cmsEstimateInfo, GraftFunctionBuilders.cmsEstimateBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      GraftFunctionBuilders.simhashInfo, GraftFunctionBuilders.simhashBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_winnow"),
       GraftFunctionBuilders.winnowInfo, GraftFunctionBuilders.winnowBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_winnow_packed"),

@@ -825,7 +825,8 @@ object Dedup {
   private def simhashBands(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame =
     docs.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"),
+        simhashIn(docs.sparkSession)(col(textCol)).as("sh"))
       .select(col("id"), col("sh"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band_id"),
@@ -851,9 +852,18 @@ object Dedup {
     * component of the [[simhashPairs]] graph — the dedupNearDups
     * survivor machinery on the cheapest detector. */
   def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val pairs = simhashPairs(docs, idCol, textCol, maxHamming)
-      .select(col("id_a"), col("id_b"))
+                   maxHamming: Int = 3): DataFrame =
+    simhashDedupFromPairs(docs, idCol,
+      simhashPairs(docs, idCol, textCol, maxHamming))
+
+  /** [[simhashDedup]] from a PRECOMPUTED (id_a, id_b, …) pair frame of
+    * the same corpus — a pipeline that already ran [[simhashPairs]]
+    * for another consumer (a verification gate, a pair report) ends
+    * with the survivor anti-join WITHOUT paying a second detector
+    * pass (the buildFromBands / appendFromPostings precedent). */
+  def simhashDedupFromPairs(docs: DataFrame, idCol: String,
+                            pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.select(col("id_a"), col("id_b"))
       .pipe(Checkpoints.stage)
     val touched = pairs.select(col("id_a").as("doc"))
       .union(pairs.select(col("id_b").as("doc"))).distinct()
@@ -885,4 +895,15 @@ object Dedup {
         acc.bitwiseOR(when(votes > 0, m).otherwise(0L))
       })
   }
+
+  /** [[simhash]] with kernel dispatch: the codegen'd `graft_simhash`
+    * (ONE token pass — the HOF form re-evaluates the split+hash array
+    * once per mask bit, 64× per row) when the session has graft
+    * extensions, the bit-identical HOF when it doesn't (vote sums are
+    * exact integers, so the two can never diverge — pinned in
+    * DedupSpec). */
+  def simhashIn(spark: org.apache.spark.sql.SparkSession)(text: Column): Column =
+    if (spark.catalog.functionExists("graft_simhash"))
+      call_function("graft_simhash", text)
+    else simhash(text)
 }

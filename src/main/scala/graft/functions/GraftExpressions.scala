@@ -141,6 +141,38 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** 64-bit SimHash — the kernel twin of [[graft.ext.Dedup.simhash]]'s
+    * nested-HOF form, which re-evaluates the split+xxhash64 token
+    * array ONCE PER MASK BIT (64× per row — the nested-lambda
+    * re-evaluation trap the winnow kernel's doc describes). One
+    * primitive pass here: hash each whitespace token once (same
+    * split(" ", -1) tokens, same seed-42 XXH64 as the `xxhash64`
+    * expression), accumulate the 64 ±1 bit votes in one int array,
+    * set bits where votes > 0. Vote sums are exact integer arithmetic
+    * and order-independent, so the result is BIT-IDENTICAL to the HOF
+    * chain (pinned in DedupSpec's kernel-equivalence case). */
+  def simhash(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = text.toString.split(" ", -1)
+    val votes = new Array[Long](64)
+    var i = 0
+    while (i < toks.length) {
+      val s = UTF8String.fromString(toks(i))
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if ((h & (1L << b)) != 0L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0L) sh |= (1L << b); b += 1 }
+    sh
+  }
+
   /** Winnowing fingerprints — the kernel twin of
     * `Dedup.winnowSelect(Dedup.kgramHashes(text, k), w)`: character
     * k-gram → md5 hex prefix (8 chars, lowercase — exactly Spark's
@@ -606,6 +638,34 @@ case class GraftShingleHashes(child: Expression, k: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
       s"${ev.value} = graft.functions.Kernels.shingleHashes($t, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a string's whitespace tokens (string → long) —
+  * kernel twin of Dedup.simhash's nested-HOF vote; see
+  * Kernels.simhash. */
+case class GraftSimhash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_simhash expects a string, got $dt")
+    }
+
+  override def nullSafeEval(text: Any): Any =
+    Kernels.simhash(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.Kernels.simhash($t);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -1078,6 +1138,11 @@ object GraftFunctionBuilders {
     new ExpressionInfo(classOf[GraftCmsEstimate].getName, "graft_cms_estimate")
   def cmsEstimateBuilder(exprs: Seq[Expression]): Expression =
     GraftCmsEstimate(exprs(0), exprs(1))
+
+  val simhashInfo =
+    new ExpressionInfo(classOf[GraftSimhash].getName, "graft_simhash")
+  def simhashBuilder(exprs: Seq[Expression]): Expression =
+    GraftSimhash(exprs(0))
 
   val winnowInfo =
     new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow")

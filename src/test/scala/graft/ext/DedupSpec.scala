@@ -933,6 +933,19 @@ class DedupSpec extends AnyFunSuite {
     assert(DedupIndex.purgeTombstones(spark, idx) == 0L)
   }
 
+  test("graft_simhash kernel is bit-identical to the nested-HOF simhash over the real corpus") {
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+      .where(col("text").isNotNull)
+    // The HOF twin re-evaluates split+xxhash64 once per mask bit; the
+    // kernel votes in one pass — exact integer arithmetic both ways,
+    // so every hash must match bit-for-bit (the dispatch-safety
+    // contract simhashIn relies on).
+    val mism = docs.select(Dedup.simhash(col("text")).as("h"),
+        call_function("graft_simhash", col("text")).as("k"))
+      .where(col("h") =!= col("k")).count()
+    assert(mism == 0, s"$mism kernel/HOF simhash mismatches")
+  }
+
   test("simhashPairs: banded set equals brute-force hamming truth (pigeonhole); dedup collapses identical docs") {
     import spark.implicits._
     val docs = Tables.documents(spark, graft.TestSpark.sf0001)

@@ -136,6 +136,44 @@ object Bench {
         (if (filter.isEmpty) " — dropped (full run)" else " — kept (filtered run)"))
     val floor = if (filter.isEmpty) floorRaw -- zombies else floorRaw
     val bestMap = best.toMap
+    // EMPTY-DIFF AWARENESS (VERDICT r15 #5): the previous run's
+    // artifact carries a fingerprint of the engine source; when this
+    // run's source is byte-identical (and same sf), a recheck-surviving
+    // flag adjudicates "environment", never "confirmed" — identical
+    // code cannot regress. The previous per-query times ride along so
+    // every flag entry shows "prev", and the uniform-drift signature
+    // (median this-run/prev-run ratio) is published either way.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val srcFp = {
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(files)
+        else if (f.getName.endsWith(".scala")) Seq(f) else Seq.empty
+      val root = new java.io.File("src/main/scala")
+      if (!root.isDirectory) ""
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        files(root).foreach { f =>
+          md.update(f.getPath.getBytes("UTF-8"))
+          md.update(java.nio.file.Files.readAllBytes(f.toPath))
+        }
+        md.digest().map("%02x".format(_)).mkString
+      }
+    }
+    val prevText: String =
+      try {
+        val f = new java.io.File(outPath)
+        if (!f.exists()) "" else {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.mkString finally src.close()
+        }
+      } catch { case _: Throwable => "" }
+    val prevComparable =
+      BenchFloor.parseStringField(prevText, "sf").contains(sfDir)
+    val prevQueries: Map[String, Double] =
+      if (prevComparable) BenchFloor.parseQueriesMap(prevText) else Map.empty
+    val identicalCode = prevComparable && srcFp.nonEmpty &&
+      BenchFloor.parseStringField(prevText, "src_fingerprint").contains(srcFp)
+    val medianVsPrev = BenchFloor.medianVsPrev(bestMap, prevQueries)
     val regressed = BenchFloor.regressed(floor, best)
     // SELF-TRIAGE (VERDICT r9 #1): a non-empty regressed list is
     // re-timed immediately — same process, same reps, just the flagged
@@ -151,12 +189,15 @@ object Bench {
       }.toMap
     val regressedJson = regressed.map { k =>
       val rc = recheck.getOrElse(k, -1.0)
+      val prevField = prevQueries.get(k)
+        .map(p => ",\"prev\":" + fmt(p)).getOrElse("")
       "\"" + k + "\":{\"run\":" + fmt(bestMap(k)) + ",\"recheck\":" + fmt(rc) +
-        ",\"floor\":" + fmt(floor(k)) +
-        ",\"verdict\":\"" + BenchFloor.triage(floor(k), rc) + "\"}"
+        ",\"floor\":" + fmt(floor(k)) + prevField +
+        ",\"verdict\":\"" + BenchFloor.adjudicate(floor(k), rc, identicalCode) + "\"}"
     }.mkString("{", ",", "}")
     val confirmedCount =
-      regressed.count(k => BenchFloor.triage(floor(k), recheck.getOrElse(k, -1.0)) == "confirmed")
+      regressed.count(k => BenchFloor.adjudicate(floor(k),
+        recheck.getOrElse(k, -1.0), identicalCode) == "confirmed")
     // Ratio guarded on floor > 0: a zero/corrupt floor entry must not
     // emit Infinity/NaN (invalid JSON) into the artifact.
     val vsFloorJson = best.collect {
@@ -205,7 +246,10 @@ object Bench {
       .map(f => "\"" + f + "\":" + fmt(fams.getOrElse(f, 0.0)))
       .mkString("{", ",", "}")
     val streamingFixed = fmt(fams.getOrElse("streaming", 0.0))
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"families":$famJson,"streaming_fixed_s":$streamingFixed,"floor_total":${fmt(floorTotal)},"vs_floor":$vsFloorJson,"regressed":$regressedJson,"confirmed_regressions":$confirmedCount,"queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+    val driftJson = "\"code_changed\":" + (!identicalCode) +
+      ",\"median_vs_prev\":" +
+      medianVsPrev.map(m => f"$m%.3f").getOrElse("null")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"families":$famJson,"streaming_fixed_s":$streamingFixed,"floor_total":${fmt(floorTotal)},"vs_floor":$vsFloorJson,"regressed":$regressedJson,"confirmed_regressions":$confirmedCount,$driftJson,"src_fingerprint":"$srcFp","queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
     // The driver artifact keeps only the LAST ~2000 chars of stdout and
     // parses the final JSON line it finds there — a 136-query map with
     // per-rep runs is ~4000 chars and can never survive whole (round 7's
@@ -213,7 +257,6 @@ object Bench {
     // the COMPLETE per-query map + raw runs goes to a committed file,
     // and the printed line is a compact summary (total, families,
     // failures, the slowest queries) that always fits the tail window.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(fullJson) finally w.close()
@@ -232,7 +275,7 @@ object Bench {
     // BENCH_FULL.json). An empty regressed list = a clean run; entries
     // with verdict "transient" = adjudicated noise, no action needed;
     // "confirmed" = a real regression that survived its re-measure.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${best.size},"families":$famJson,"streaming_fixed_s":$streamingFixed,"floor_total":${fmt(floorTotal)},"regressed":$regressedJson,"confirmed_regressions":$confirmedCount,"slowest":$slowest,"failed":$failed,"queries_file":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${best.size},"families":$famJson,"streaming_fixed_s":$streamingFixed,"floor_total":${fmt(floorTotal)},"regressed":$regressedJson,"confirmed_regressions":$confirmedCount,$driftJson,"slowest":$slowest,"failed":$failed,"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -83,6 +83,51 @@ object BenchFloor {
         recheck - floor > AbsoluteThresholdSec)) "transient"
     else "confirmed"
 
+  /** [[triage]] made EMPTY-DIFF AWARE (VERDICT r15 #5): when the
+    * engine source is byte-identical to the last benched run
+    * (`identicalCode` — same src fingerprint, same sf), a flag that
+    * survives its re-measure CANNOT be a code regression by
+    * construction, so it adjudicates "environment" instead of
+    * "confirmed" (round 15 certified two false "confirmed"s on a
+    * zero-commit round this way). A crashed re-measure stays
+    * "confirmed" — identical code does not excuse a crash. With
+    * changed code the verdict is exactly [[triage]]'s. */
+  def adjudicate(floor: Double, recheck: Double,
+                 identicalCode: Boolean): String = {
+    val base = triage(floor, recheck)
+    if (base == "confirmed" && identicalCode && recheck >= 0) "environment"
+    else base
+  }
+
+  /** The per-query times of a previous run's full artifact
+    * (BENCH_FULL.json): the flat `"queries":{...}` object's pairs.
+    * Unreadable/absent → empty. */
+  def parseQueriesMap(text: String): Map[String, Double] =
+    "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text)
+      .map(m => parse(m.group(1))).getOrElse(Map.empty)
+
+  /** A top-level string field of a previous artifact (src_fingerprint,
+    * sf). */
+  def parseStringField(text: String, key: String): Option[String] =
+    ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r
+      .findFirstMatchIn(text).map(_.group(1))
+
+  /** Median of this run's per-query time over the previous run's, for
+    * queries present and positive in both — the uniform-drift
+    * signature (r15: median 1.143 across 196 queries on byte-identical
+    * code = environment, not regression). None when fewer than 3
+    * comparable queries. */
+  def medianVsPrev(best: Map[String, Double],
+                   prev: Map[String, Double]): Option[Double] = {
+    val ratios = best.toSeq.collect {
+      case (k, v) if v > 0 && prev.get(k).exists(_ > 0) => v / prev(k)
+    }.sorted
+    if (ratios.size < 3) None
+    else Some(
+      if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
+  }
+
   /** Floor keys no longer present in the query registry — a renamed or
     * deleted query would otherwise keep a zombie floor forever (merge
     * deliberately keeps keys absent from a RUN, because filtered runs

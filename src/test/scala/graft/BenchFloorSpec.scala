@@ -145,4 +145,41 @@ class BenchFloorSpec extends AnyFunSuite {
     assert(z == Seq("deleted_q", "renamed_old"))
     assert(BenchFloor.zombies(Map("a" -> 1.0), Set("a")).isEmpty)
   }
+
+  test("adjudicate: identical code turns a surviving flag into 'environment', never clears a crash") {
+    // Recheck still over both thresholds: code regression vs env drift
+    // is decided by the fingerprint match.
+    assert(BenchFloor.adjudicate(1.0, 1.7, identicalCode = false) == "confirmed")
+    assert(BenchFloor.adjudicate(1.0, 1.7, identicalCode = true) == "environment")
+    // Recheck back under a threshold: transient either way.
+    assert(BenchFloor.adjudicate(1.0, 1.2, identicalCode = true) == "transient")
+    assert(BenchFloor.adjudicate(1.0, 1.2, identicalCode = false) == "transient")
+    // A crashed re-measure is NEVER excused by identical code.
+    assert(BenchFloor.adjudicate(1.0, -1.0, identicalCode = true) == "confirmed")
+  }
+
+  test("previous-artifact parsing: queries map, string fields, median drift signature") {
+    val prev = """{"metric":"total","value":10.0,"regressed":{"x":{"run":2.0}},""" +
+      """"code_changed":false,"src_fingerprint":"abc123",""" +
+      """"queries":{"q_a":1.0,"q_b":2.0,"q_c":4.0},""" +
+      """"runs":{"q_a":[1.0,1.1]},"failed":[],"sf":"/root/testdata/sf0.1"}"""
+    assert(BenchFloor.parseQueriesMap(prev) ==
+      Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 4.0))
+    assert(BenchFloor.parseStringField(prev, "src_fingerprint") == Some("abc123"))
+    assert(BenchFloor.parseStringField(prev, "sf") == Some("/root/testdata/sf0.1"))
+    assert(BenchFloor.parseStringField(prev, "absent").isEmpty)
+    assert(BenchFloor.parseQueriesMap("junk").isEmpty)
+    // Median ratio: the r15 signature (uniform drift) in miniature.
+    val cur = Map("q_a" -> 1.1, "q_b" -> 2.3, "q_c" -> 4.6, "q_new" -> 9.9)
+    val m = BenchFloor.medianVsPrev(cur, BenchFloor.parseQueriesMap(prev))
+    assert(m.exists(v => math.abs(v - 1.15) < 1e-9),
+      s"median of (1.1, 1.15, 1.15) must be 1.15, got $m")
+    // Fewer than 3 comparable queries: no signature.
+    assert(BenchFloor.medianVsPrev(Map("q_a" -> 1.0),
+      Map("q_a" -> 1.0)).isEmpty)
+    // Failed queries (negative) never enter the ratio set.
+    assert(BenchFloor.medianVsPrev(
+      Map("q_a" -> -1.0, "q_b" -> 1.0, "q_c" -> 1.0),
+      Map("q_a" -> 1.0, "q_b" -> 1.0, "q_c" -> 1.0)).isEmpty)
+  }
 }

@@ -80,8 +80,9 @@ class SparkEntrySpec extends AnyFunSuite {
       // 1-row report assembly of the two truth detectors' counts.
       "x_detector_agreement",
       // Labeled gate-scale truth pass: all-pairs hamming over DISTINCT
-      // hash values, plus the 1-row report assembly.
-      "x_simhash_dedup",
+      // hash values, plus the 1-row report assembly; the prod split
+      // keeps the same 1-row report crossJoins (ident census × bits).
+      "x_simhash_dedup_prod", "x_simhash_dedup_gate",
       // Top-k shape gate × 1-row recall count (IVFADC report assembly).
       "x_ivfpq_topk")
     val allowDayGrain = Set("x_rolling_stats", "x_gap_fill")

@@ -192,6 +192,48 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("probeBatch: N queries, two corpus contacts, bit-identical to per-query probeTopK; tombstones honored") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val qs = e.where(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq.sortBy(_._1)
+    val corpus = e.where(col("vec_id") >= 3)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val t = "ivfpq_batch_spec"
+    dropAll(t)
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_tombstones")
+    IvfPq.build(corpus, "vec_id", "embedding", t,
+      kCells = 8, ivfIters = 1, m = 8, kPq = 16, pqIters = 1)
+    def singlesOf(k: Int, nProbe: Int) = qs.map { case (qid, q) =>
+      IvfPq.probeTopK(spark, t, "vec_id", "embedding", q, k, nProbe)
+        .select(lit(qid).as("query_id"), col("vec_id"), col("cos_sim"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+    def batchOf(k: Int, nProbe: Int) =
+      IvfPq.probeBatch(spark, t, "vec_id", "embedding", qs, k, nProbe)
+        .localCheckpoint(true)
+    // Exact-cosine rows per query equal the single probe's, both
+    // directions, at a narrow AND a wide probe width.
+    Seq((10, 2), (10, 8)).foreach { case (k, np) =>
+      val b = batchOf(k, np)
+      val s1 = singlesOf(k, np)
+      assert(b.exceptAll(s1).count() == 0 && s1.exceptAll(b).count() == 0,
+        s"batch != per-query at k=$k nProbe=$np")
+      assert(b.where(col("query_id") === qs.head._1).count() == k)
+    }
+    // Tombstoned ids vanish from the batch exactly as from singles.
+    val victim = batchOf(10, 8).where(col("query_id") === qs.head._1)
+      .select(col("vec_id")).first().getLong(0)
+    IvfPq.delete(spark, t, Seq(victim).toDF("id"))
+    val b2 = batchOf(10, 8)
+    val s2 = singlesOf(10, 8)
+    assert(b2.where(col("vec_id") === victim).count() == 0,
+      "tombstoned id must vanish from the batch probe")
+    assert(b2.exceptAll(s2).count() == 0 && s2.exceptAll(b2).count() == 0)
+    spark.sql(s"DROP TABLE ${t}_tombstones")
+    dropAll(t)
+  }
+
   test("streamIngest: frozen-quantizer shards rebuild the one-shot index bit-for-bit; probes serve both layouts; purge refuses the streaming layout") {
     import java.nio.file.{Files, Paths}
     val e = Tables.embeddings(spark, TestSpark.sf0001)

@@ -1468,6 +1468,101 @@ object ScaleBench {
       s""""wave1_byte_fraction":${fmt(bytes1.toDouble / totalBytes)}}}"""
   }
 
+  /** AQE-native skew-join vs the manual salted join, head to head
+    * (VERDICT r14 #8): one viral-key fact table (50 % of rows on one
+    * key — the duplicated-template/viral-doc shape) equi-joined to a
+    * 10 k-key dim, three ways, broadcast DISABLED both planner- and
+    * AQE-side (at 100 TB the dim side often can't broadcast — with a
+    * broadcast the skew question vanishes, which is always the first
+    * answer when it fits):
+    *
+    *   - `plain`: shuffle join with AQE skew handling OFF — the
+    *     degenerate baseline where one reducer owns half the fact
+    *     table;
+    *   - `aqe`: AQE skew-join ON, detector thresholds rescaled to
+    *     bench bytes (2 MB threshold / 1 MB advisory stand in for the
+    *     256 MB / 64 MB production defaults — same factor-of-bytes
+    *     semantics at 1/128 the data);
+    *   - `salted`: [[graft.ext.Skew.saltedJoin]] at salt 32 — the
+    *     explicit rewrite that also covers what AQE cannot reach
+    *     (skewed AGGREGATION keys, and layouts that must keep a
+    *     deterministic clustering).
+    *
+    * All three legs gate on identical (row count, checksum) — a fast
+    * wrong join never prints. The per-leg walls plus whether AQE's
+    * runtime plan actually engaged its skew reader are the published
+    * point; the BENCH_NOTES paragraph reads the trade. */
+  def skewJoinPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import spark.implicits._
+    val n = 1000000L * scale
+    val nKeys = 10000L
+    val pathL = s"$dir/skewjoin_left_x$scale"
+    val pathR = s"$dir/skewjoin_right_x$scale"
+    spark.range(0, n, 1, 32).toDF("row_id")
+      .withColumn("key", when(pmod(col("row_id"), lit(2L)) === 0, lit(0L))
+        .otherwise(pmod(xxhash64(col("row_id")), lit(nKeys))))
+      .withColumn("payload", xxhash64(col("row_id"), lit(1)))
+      .write.mode("overwrite").parquet(pathL)
+    spark.range(0, nKeys, 1, 4).toDF("key")
+      .withColumn("dim_payload", xxhash64(col("key")))
+      .write.mode("overwrite").parquet(pathR)
+    val left = spark.read.parquet(pathL)
+    val right = spark.read.parquet(pathR)
+    def withConfs[T](confs: Map[String, String])(f: => T): T = {
+      val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    // EVERY leg shares the no-broadcast confs AND the rescaled
+    // advisory/threshold — the ONLY knob that differs between the
+    // plain and aqe legs is skewJoin.enabled, so the measured gap is
+    // the skew split and nothing else (a first cut of this point left
+    // the plain leg on the default 64 MB advisory, which coalesced the
+    // whole tail into one task and mismeasured coalescing as skew).
+    val shared = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m")
+    // One leg: MATERIALIZE the bare join (toRdd.count — the same
+    // QueryExecution, so the final adaptive plan is inspectable; a
+    // downstream agg in the stage suppresses the skew split in 4.1,
+    // measured — see BENCH_NOTES), plus an untimed checksum.
+    def leg(confs: Map[String, String], joined: => DataFrame)
+        : (Long, Long, Double, Boolean) =
+      withConfs(shared ++ confs) {
+        val df = joined
+        val (rows, t) = timed(df.queryExecution.toRdd.count())
+        val engaged =
+          df.queryExecution.executedPlan.toString.contains("skew=true")
+        val chk = df.agg(
+          sum(col("payload").bitwiseXOR(col("dim_payload")))).head().getLong(0)
+        (chk, rows, t, engaged)
+      }
+    val (chkP, nP, tPlain, _) = leg(
+      Map("spark.sql.adaptive.skewJoin.enabled" -> "false"),
+      left.join(right, Seq("key")))
+    val (chkA, nA, tAqe, aqeEngaged) = leg(
+      Map("spark.sql.adaptive.skewJoin.enabled" -> "true"),
+      left.join(right, Seq("key")))
+    val (chkS, nS, tSalted, _) = leg(
+      Map("spark.sql.adaptive.skewJoin.enabled" -> "false"),
+      graft.ext.Skew.saltedJoin(left, right, "key", 32))
+    require(nP == n && nA == n && nS == n,
+      s"all legs must join every fact row: $nP / $nA / $nS vs $n")
+    require(chkP == chkA && chkA == chkS,
+      s"leg checksums diverge: $chkP / $chkA / $chkS")
+    require(aqeEngaged, "the AQE leg must actually engage the skew split")
+    s"""{"skew_join":{"scale":$scale,"n_rows":$n,"hot_key_frac":0.5,""" +
+      s""""plain_no_skew_handling":{"t":${fmt(tPlain)}},""" +
+      s""""aqe_skew_join":{"t":${fmt(tAqe)},"engaged":$aqeEngaged},""" +
+      s""""salted_join":{"t":${fmt(tSalted)},"salt":32}}}"""
+  }
+
   /** The round-13 second-half additions at scale (NB classifier,
     * Gopher rules, streaming decontamination, tokenize→pack), each
     * leg with a require()d oracle so a timing can never go green on
@@ -2111,6 +2206,13 @@ object ScaleBench {
     if (args.contains("purge-only")) {
       purgePoint(spark, outBase, 1)
       scales.foreach(m => println(purgePoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `skew-join-only`: AQE skew-join vs salted join head to head.
+    if (args.contains("skew-join-only")) {
+      skewJoinPoint(spark, outBase, 1)
+      scales.foreach(m => println(skewJoinPoint(spark, outBase, m)))
       spark.stop()
       return
     }

@@ -395,9 +395,9 @@ object StreamOps {
     * partition must stay its own). The rewrite is not atomic — a
     * crash between the merged write and the partition drops leaves
     * rows duplicated across old + merged partitions — but RERUNNING
-    * compact self-heals: the snapshot is distinct()'d ignoring the
-    * tag, so surviving duplicates collapse back to one row (exact row
-    * duplicates cannot otherwise exist: band/posting/pair rows are
+    * compact self-heals: the staged rewrite is distinct()'d ignoring
+    * the tag, so surviving duplicates collapse back to one row (exact
+    * row duplicates cannot otherwise exist: band/posting/pair rows are
     * unique per doc). The distinct rides the full-rewrite shuffle a
     * compaction pays anyway.
     *
@@ -434,11 +434,12 @@ object StreamOps {
                   purgeIdCol: String = "id"): Int = {
     require(mergedId < 0, s"merged partition id must be negative: $mergedId")
     spark.catalog.refreshTable(table)
-    // Snapshot BEFORE mutating — the merged write must never read the
-    // table it is overwriting mid-job.
-    val snap = spark.table(table).localCheckpoint(true)
-    val ids = snap.select(col(BatchTag)).distinct().collect()
-      .map(_.getLong(0)).filter(_ != mergedId).sorted
+    // Batch-tag census from CATALOG partition metadata — the sink is
+    // partition-tracked by construction, so no data scan runs here.
+    val ids = spark.sessionState.catalog
+      .listPartitionNames(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .map(_.split("=", 2)(1).toLong)
+      .filter(_ != mergedId).sorted
     checkpointLocation.foreach { cp =>
       val last = lastCommittedBatch(spark, cp)
       val orphans = ids.filter(id => id >= 0 && last.forall(_ < id))
@@ -454,14 +455,26 @@ object StreamOps {
     // purge is the point).
     if (ids.isEmpty && purgeIds.isEmpty) 0
     else {
-      val live = purgeIds.foldLeft(snap.drop(BatchTag).distinct()) {
+      // STAGE the merged rows in a side table — the rewrite must never
+      // read the table it overwrites mid-job, and the r16 purge
+      // doctrine applies here too: a staging TABLE on disk, never a
+      // corpus-sized localCheckpoint pinned in executor memory (an
+      // index compaction is exactly the corpus-sized case). A crash
+      // mid-stage leaves the sink untouched; a crash between the
+      // merged overwrite and the partition drops leaves duplicates the
+      // next compact's distinct() heals (the contract above); leftover
+      // staging is dropped and replaced on the next run.
+      val staging = table + "_compact_stage"
+      graft.io.Writer.dropTableAndLocation(spark, staging)
+      purgeIds.foldLeft(spark.table(table).drop(BatchTag).distinct()) {
         (rows, p) => rows.join(
           broadcast(p.select(col("id").as(purgeIdCol))),
           Seq(purgeIdCol), "left_anti")
-      }
-      writeBatchToSink(spark, table, live, mergedId)
+      }.write.format("parquet").saveAsTable(staging)
+      writeBatchToSink(spark, table, spark.table(staging), mergedId)
       ids.foreach(id =>
         spark.sql(s"ALTER TABLE `$table` DROP PARTITION (`$BatchTag`=$id)"))
+      graft.io.Writer.dropTableAndLocation(spark, staging)
       spark.catalog.refreshTable(table)
       ids.length
     }

@@ -95,11 +95,12 @@ object IvfPq {
     val refs = cents.map(unitRef)
     // Cell assignment, normalization, and the residual ride ONE
     // staged projection — assignment and residual computed once, the
-    // codebook training and the encode pass both read it.
-    val withRes = Pq.withUnit(
+    // codebook training and the encode pass both read it. Staged
+    // through the barrier POLICY (corpus-sized, multi-pass) and
+    // released as soon as the encode pass lands.
+    val withRes = Checkpoints.stage(Pq.withUnit(
         Similarity.ivfAssign(corpus, idCol, vecCol, cents), vecCol, "__u")
-      .withColumn("__r", residualCol(col("__u"), col("cluster_id"), refs))
-      .localCheckpoint(true)
+      .withColumn("__r", residualCol(col("__u"), col("cluster_id"), refs)))
     val books = Pq.trainCodebooksOn(withRes, idCol, "__r", m, kPq, pqIters)
     Pq.packCodesOn(withRes, "__r", "pq_code", books)
       .select(col(idCol), col(vecCol), col("pq_code"), col("cluster_id"))
@@ -109,6 +110,7 @@ object IvfPq {
       .partitionBy("cluster_id")
       .format("parquet")
       .saveAsTable(table)
+    Checkpoints.release(withRes)
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cluster_id", "centroid")

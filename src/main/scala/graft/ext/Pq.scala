@@ -134,10 +134,14 @@ object Pq {
     val dims = head.head.getInt(0)
     require(dims % m == 0, s"vector dim $dims not divisible by m=$m")
     val sub = dims / m
-    val normed = corpus
-      .select(col(idCol).as("__id"), col(rawCol).cast("array<double>").as("__u"))
-      .localCheckpoint(true)
-    (0 until m).map { j =>
+    // CORPUS-SIZED multi-pass training cache (m subspaces × iters+1
+    // reads): staged through the barrier POLICY — local blocks by
+    // default, reliable checkpoint under spark.graft.checkpointDir on
+    // a preemptible cluster — and released eagerly when training
+    // returns instead of lingering until GC.
+    val normed = Checkpoints.stage(corpus
+      .select(col(idCol).as("__id"), col(rawCol).cast("array<double>").as("__u")))
+    try (0 until m).map { j =>
       val sv = normed.select(col("__id"),
         slice(col("__u"), j * sub + 1, sub).as("__sv"))
       var cents: Seq[Seq[Float]] = sv.orderBy(col("__id")).limit(k)
@@ -171,7 +175,7 @@ object Pq {
         it += 1
       }
       cents
-    }
+    } finally Checkpoints.release(normed)
   }
 
   /** Append the packed PQ code of `vecCol` as `outCol`, keeping every

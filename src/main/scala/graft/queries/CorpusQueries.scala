@@ -58,6 +58,7 @@ private[graft] object CorpusQueries {
     "x_stream_incremental_dedup" -> ((s, dir) => streamIncrementalDedup(s, dir)),
     "x_winnow_incremental" -> ((s, dir) => winnowIncremental(s, dir)),
     "x_stream_winnow" -> ((s, dir) => streamWinnow(s, dir)),
+    "x_stream_purge_gate" -> ((s, dir) => streamPurgeGate(s, dir)),
     "x_simhash" -> ((s, dir) =>
       // SimHash values are engine-internal (xxhash64), but two
       // INVARIANTS of them are not: (a) simhash is a pure function of
@@ -1860,6 +1861,58 @@ private[graft] object CorpusQueries {
     * x_winnow_pairs SQL verbatim: same fingerprints, same cap, same
     * counts). The 3-batch shape is `require`d, so a staging failure
     * fails the gate loudly instead of degenerating to one batch. */
+  /** x_stream_purge_gate: the streaming layout's PHYSICAL PURGE under
+    * the driver's value-exact gate (compact(purge = true) — the
+    * lifecycle cell purgeTombstones refuses). Three micro-batches
+    * stream-ingest a 200-doc slice into the batch-partitioned winnow
+    * posting index, every 7th doc is tombstoned, and one
+    * purge-compaction rewrite drops the tombstoned postings while
+    * merging the batch partitions. Winnow postings are a PORTABLE pure
+    * function of (id, text) (md5-prefix fingerprints), so the purged
+    * index must equal a from-scratch posting build over the live docs
+    * ROW-FOR-ROW — checked in-engine by both-direction exceptAll
+    * (equals_rebuild_ok), while the oracle replays the live corpus's
+    * posting COUNT end-to-end in SQL (the x_winnow fingerprint CTEs)
+    * plus the doc censuses; tombstone/delta cleanup rides as bits. */
+  private def streamPurgeGate(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val docs = Tables.documents(s, dir).where(col("doc_id") < 200)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val idx = "graft_stream_purge_idx_" + digest
+    val inDir = stagedShardsFor(s, dir + "#purge200", docs)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val (_, nBatches) = WinnowIndex.streamIngest(s, idx, stream,
+      "doc_id", "text", queryName = "stream_purge_" + digest)
+    WinnowIndex.delete(s, idx,
+      docs.where(pmod(col("doc_id"), lit(7L)) === 3)
+        .select(col("doc_id").as("id")))
+    val merged = WinnowIndex.compact(s, idx, purge = true)
+    val live = docs.where(col("text").isNotNull &&
+      pmod(col("doc_id"), lit(7L)) =!= 3)
+    val got = s.table(idx).select(col("id"), col("fp"))
+      .pipe(graft.ext.Checkpoints.stage)
+    val want = WinnowIndex.postings(docs.where(pmod(col("doc_id"), lit(7L)) =!= 3),
+        "doc_id", "text", 8, 4)
+      .pipe(graft.ext.Checkpoints.stage)
+    val missing = want.exceptAll(got).agg(count(lit(1)).as("__m"))
+    val extra = got.exceptAll(want).agg(count(lit(1)).as("__e"))
+    docs.where(col("text").isNotNull).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(live.agg(count(lit(1)).as("n_live_docs")))
+      .crossJoin(got.agg(count(lit(1)).as("n_postings")))
+      .crossJoin(missing).crossJoin(extra)
+      .select(col("n_docs"), col("n_live_docs"), col("n_postings"),
+        lit(if (nBatches == 3) 1L else 0L).as("stream_three_batches_ok"),
+        lit(if (merged >= 3) 1L else 0L).as("batches_merged_ok"),
+        (col("__m") === 0 && col("__e") === 0).cast("long")
+          .as("equals_rebuild_ok"),
+        lit(if (!s.catalog.tableExists(idx + "_tombstones")) 1L else 0L)
+          .as("tombstones_cleared_ok"))
+  }
+
   private def streamWinnow(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).where(col("doc_id") < 200)
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -3211,6 +3264,30 @@ private[graft] object CorpusQueries {
         |   FROM i a JOIN i b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
         | SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    // Streaming physical purge: the live corpus's posting count
+    // replayed end-to-end (winnow fingerprints are portable md5
+    // prefixes), doc censuses replayed; the rebuild-equality and
+    // cleanup bits are computed in-engine over the real purged index.
+    "x_stream_purge_gate" ->
+      """WITH live AS (SELECT doc_id, text FROM documents
+        |   WHERE doc_id < 200 AND text IS NOT NULL AND doc_id % 7 <> 3),
+        | g AS (SELECT doc_id, list_transform(
+        |     generate_series(1, CASE WHEN length(text) >= 8 THEN length(text) - 7 ELSE 0 END),
+        |     i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs FROM live),
+        | f AS (SELECT doc_id,
+        |   CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_distinct(list_transform(
+        |          generate_series(1, GREATEST(len(hs) - 3, 1)),
+        |          j -> list_min(hs[j:j+3]))) END AS fps FROM g)
+        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |    WHERE doc_id < 200 AND text IS NOT NULL) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_live_docs,
+        |  CAST(COALESCE(SUM(len(fps)), 0) AS BIGINT) AS n_postings,
+        |  CAST(1 AS BIGINT) AS stream_three_batches_ok,
+        |  CAST(1 AS BIGINT) AS batches_merged_ok,
+        |  CAST(1 AS BIGINT) AS equals_rebuild_ok,
+        |  CAST(1 AS BIGINT) AS tombstones_cleared_ok
+        | FROM f""".stripMargin.replaceAll("\n", " "),
     // Same whitespace token-count identity as x_token_count; the
     // running total replays as a window at gate scale.
     "x_token_split" ->

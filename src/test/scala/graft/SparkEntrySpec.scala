@@ -53,6 +53,9 @@ class SparkEntrySpec extends AnyFunSuite {
       // Same 1-row report assembly as x_minhash_neardup, plus the
       // equivalence-bit counters (missing/extra anti-join counts).
       "x_incremental_dedup", "x_incremental_dedup_gate",
+      // Streaming-purge gate: the same 1-row report assembly (censuses
+      // × equality/cleanup bits).
+      "x_stream_purge_gate",
       "x_stream_incremental_dedup", "x_ivf_quantized", "x_embed_dedup",
       "x_stream_embed_ingest", "x_stream_ivfpq", "x_retrieval_eval",
       // Anchor-batch × corpus scoring: the non-equi label filter is a

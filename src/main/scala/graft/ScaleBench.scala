@@ -1360,6 +1360,60 @@ object ScaleBench {
       s""""brute_force":{"t":${fmt(tBrute)}}}}"""
   }
 
+  /** Batched vs per-query IVFADC serving at scale (the r16 probeBatch
+    * evidence leg): 32 held-out queries answered by ONE probeBatch
+    * (two corpus contacts total — union-cell code scan + shared float
+    * re-rank) vs the 32-iteration probeTopK loop (2 contacts EACH).
+    * Gate: per query, the batch rows equal the loop's rows exactly
+    * (ids and exact cosines) — a fast wrong batch never prints. The
+    * published ratio is the serving win: scan setup, stats reads, and
+    * driver round-trips amortize across the batch while the per-row
+    * ADC work is the same total. */
+  def ivfPqBatchPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.IvfPq
+    val n = 2000L * scale
+    val nQ = 32
+    val pathStr = s"$dir/ivfpq_batch_x$scale"
+    genClusteredEmbeddings(spark, n + nQ, noiseDiv = 2e6)
+      .write.mode("overwrite").parquet(pathStr)
+    val emb = spark.read.parquet(pathStr)
+    val queries = emb.where(col("vec_id") < nQ)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq.sortBy(_._1)
+    val corpus = emb.where(col("vec_id") >= nQ)
+    val table = s"graft_scale_ivfpq_batch_x$scale"
+    val kCells = math.max(16, (n / 1250L).toInt)
+    val nProbe = kCells / 4
+    val (_, tBuild) = timed {
+      IvfPq.build(corpus, "vec_id", "embedding", table,
+        kCells = kCells, ivfIters = 2, m = 8, kPq = 128, pqIters = 2)
+    }
+    spark.sqlContext.clearCache()
+    val (batchRows, tBatch) = timed {
+      IvfPq.probeBatch(spark, table, "vec_id", "embedding", queries,
+        k = 10, nProbe = nProbe).collect()
+    }
+    spark.sqlContext.clearCache()
+    val (loopRows, tLoop) = timed {
+      queries.map { case (qid, q) =>
+        qid -> IvfPq.probeTopK(spark, table, "vec_id", "embedding", q,
+          k = 10, nProbe = nProbe).collect()
+      }
+    }
+    val batchByQ = batchRows.groupBy(_.getLong(0))
+    queries.foreach { case (qid, _) =>
+      val b = batchByQ.getOrElse(qid, Array.empty)
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      val l = loopRows.toMap.apply(qid)
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      require(b == l, s"batch != per-query for query $qid:\n$b\nvs\n$l")
+    }
+    s"""{"ivfpq_batch":{"scale":$scale,"n_vecs":$n,"n_queries":$nQ,""" +
+      s""""k_cells":$kCells,"n_probe":$nProbe,"build":{"t":${fmt(tBuild)}},""" +
+      s""""batch":{"t":${fmt(tBatch)}},"per_query_loop":{"t":${fmt(tLoop)}},""" +
+      s""""speedup":${fmt(tLoop / math.max(tBatch, 1e-9))}}}"""
+  }
+
   /** Physical-purge cost at scale (VERDICT r14/r15 #1's evidence leg):
     * the stage-and-swap / dynamic-partition-overwrite purge must write
     * bytes PROPORTIONAL TO THE TOUCHED CELLS, never the corpus. Two
@@ -2213,6 +2267,13 @@ object ScaleBench {
     if (args.contains("skew-join-only")) {
       skewJoinPoint(spark, outBase, 1)
       scales.foreach(m => println(skewJoinPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `ivfpq-batch-only`: batched vs per-query IVFADC serving.
+    if (args.contains("ivfpq-batch-only")) {
+      ivfPqBatchPoint(spark, outBase, 1)
+      scales.foreach(m => println(ivfPqBatchPoint(spark, outBase, m)))
       spark.stop()
       return
     }

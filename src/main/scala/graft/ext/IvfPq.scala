@@ -56,6 +56,14 @@ object IvfPq {
 
   def codebooksTable(table: String): String = table + "_codebooks"
 
+  /** Batch size up to which [[probeBatch]]'s fan-out uses one flat
+    * codegen'd struct per query (tightest plan; ~25–30 expression
+    * nodes per query, well inside janino's method limits at 8), and
+    * above which it switches to the size-independent literal-indexed
+    * lambda (higher-order transform — CodegenFallback, but compiles
+    * at any batch size). */
+  val FlatFanoutMax = 8
+
   /** Unit-normalize a centroid into the residual REFERENCE point for
     * its cell (zero centroids stay zero — their cells' residuals are
     * then the unit vectors themselves, still exact). */
@@ -363,6 +371,108 @@ object IvfPq {
       .limit(k)
   }
 
+  /** The batched ADC shortlist stage, split out LAZY so its scan
+    * shape is plan-pinnable (IvfPqSpec: PartitionFilters prunes to the
+    * UNION of the queries' probed cells, ReadSchema carries `pq_code`
+    * and never the float column — the [[adcShortlist]] pins applied to
+    * the batch path): one scan fans each row into per-query
+    * (query_id, pq_score) entries gated to that query's own cells,
+    * then a rank window partitioned by query_id takes each query's
+    * shortlist under the single probe's exact order (WindowGroupLimit
+    * — sl rows per partition pre-shuffle). */
+  private[graft] def adcBatchShortlist(spark: SparkSession, table: String,
+                                       idCol: String,
+                                       queries: Seq[(Long, Seq[Float])],
+                                       probedCells: Map[Long, Seq[Int]],
+                                       unionCells: Seq[Int],
+                                       cents: Seq[Seq[Float]],
+                                       books: Seq[Seq[Seq[Float]]],
+                                       sl: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = books.size
+    // TWO fan-out builders, same arithmetic, picked by batch size:
+    //   - ≤ [[FlatFanoutMax]] queries: one flat struct per query, each
+    //     holding the single probe's OWN ivfadcScore expression —
+    //     whole-stage-codegen'd tight (higher-order transform is
+    //     CodegenFallback, measured ~1.6× slower on the 5-query eval);
+    //   - larger batches: every per-query constant rides ONE
+    //     constant-folded literal indexed by query position and the
+    //     fan-out is a lambda over query indices, so the GENERATED
+    //     CODE SIZE is independent of the batch size (a 32-query batch
+    //     of flat expressions blew janino's method limits, measured).
+    // The lambda replays [[ivfadcScore]] EXACTLY — per-query cell-dot
+    // constant plus the m residual-LUT terms folded left in subspace
+    // order, over the same driver-computed doubles — so both builders
+    // (and therefore any batch size) stay bit-identical to the single
+    // probe, which the 32-query ScaleBench gate proves end to end.
+    def qn(q: Seq[Float]): Seq[Double] = {
+      val n = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      if (n == 0.0) q.map(_ => 0.0) else q.map(_.toDouble / n)
+    }
+    val sub = books.head.head.size
+    // [query][cell] → dot(q̂, ref_cell); [query][subspace][code] → LUT.
+    val cellDot2d = array(queries.map { case (_, q) =>
+      val qq = qn(q)
+      array(cents.map { c =>
+        val r = unitRef(c)
+        lit(r.indices.foldLeft(0.0)((a, d) => a + qq(d) * r(d)))
+      }: _*)
+    }: _*)
+    val lut3d = array(queries.map { case (_, q) =>
+      val qq = qn(q)
+      array(books.zipWithIndex.map { case (cents2, j) =>
+        array(cents2.map(cv =>
+          lit(cv.indices.foldLeft(0.0)((a, d) =>
+            a + qq(j * sub + d) * cv(d).toDouble))): _*)
+      }: _*)
+    }: _*)
+    val cells2d = array(queries.map { case (qid, _) =>
+      array(probedCells(qid).map(lit): _*)
+    }: _*)
+    val qids = array(queries.map(q => lit(q._1)): _*)
+    val lambdaFanout = transform(sequence(lit(0), lit(queries.size - 1)), qi => {
+      val qlut = element_at(lut3d, qi + 1)
+      // cellDot + ((l0 + l1) + … + l7): EXACTLY ivfadcScore's
+      // association (cell constant added to the left-folded LUT sum) —
+      // float addition is not associative, so the shape must match for
+      // batch ≡ single bit-identity.
+      val lutSum = (0 until m).map(j =>
+        element_at(element_at(qlut, j + 1),
+          pmod(shiftright(col("pq_code"), 8 * j), lit(256L)).cast("int") + 1))
+        .reduceLeft[Column](_ + _)
+      val score = element_at(element_at(cellDot2d, qi + 1),
+        col("cluster_id").cast("int") + 1) + lutSum
+      val member = array_contains(element_at(cells2d, qi + 1),
+        col("cluster_id").cast("int"))
+      // Lazy score: a row scores only the queries whose probed cells
+      // hold it (the filter below drops the rest — at nProbe = k/4
+      // roughly 3/4 of the fan-out would otherwise compute m lookups
+      // just to be discarded).
+      struct(element_at(qids, qi + 1).as("query_id"), member.as("__in"),
+        when(member, score).as("pq_score"))
+    })
+    val fanout =
+      if (queries.size <= FlatFanoutMax)
+        array(queries.map { case (qid, q) =>
+          struct(lit(qid).as("query_id"),
+            col("cluster_id").isin(probedCells(qid): _*).as("__in"),
+            ivfadcScore(q, cents, books).as("pq_score"))
+        }: _*)
+      else lambdaFanout
+    val stacked = minusTombstones(spark, table, idCol,
+        spark.table(table).where(col("cluster_id").isin(unionCells: _*)))
+      .select(col(idCol), col("cluster_id"), col("pq_code"))
+      .select(col(idCol), explode(fanout).as("__e"))
+      .where(col("__e.__in"))
+      .select(col("__e.query_id").as("query_id"), col(idCol),
+        col("__e.pq_score").as("pq_score"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_score").desc, col(idCol))
+    stacked.withColumn("__rn", row_number().over(wAdc))
+      .where(col("__rn") <= sl)
+      .select(col("query_id"), col(idCol), col("pq_score"))
+  }
+
   /** Batched IVFADC serving — N queries answered in TWO corpus
     * contacts total, instead of 2·N (VERDICT r14 #3: the composed
     * serving index, the one you'd serve from, answered one query per
@@ -410,21 +520,8 @@ object IvfPq {
       qid -> Similarity.probeClusters(cents, q, nProbe)
     }.toMap
     val unionCells = probedCells.values.flatten.toSeq.distinct
-    val stacked = minusTombstones(spark, table, idCol,
-        spark.table(table).where(col("cluster_id").isin(unionCells: _*)))
-      .select(col(idCol), col("cluster_id"), col("pq_code"))
-      .select(col(idCol), explode(array(queries.map { case (qid, q) =>
-        struct(lit(qid).as("query_id"),
-          col("cluster_id").isin(probedCells(qid): _*).as("__in"),
-          ivfadcScore(q, cents, books).as("pq_score"))
-      }: _*)).as("__e"))
-      .where(col("__e.__in"))
-      .select(col("__e.query_id").as("query_id"), col(idCol),
-        col("__e.pq_score").as("pq_score"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("pq_score").desc, col(idCol))
-    val shortRows = stacked.withColumn("__rn", row_number().over(wAdc))
-      .where(col("__rn") <= sl)
+    val shortRows = adcBatchShortlist(spark, table, idCol, queries,
+        probedCells, unionCells, cents, books, sl)
       .select(col("query_id"), col(idCol))
       .collect()
     val shortByQ: Map[Long, Seq[Any]] = shortRows
@@ -432,20 +529,46 @@ object IvfPq {
     val unionIds = shortRows.map(_.get(1)).distinct.toIndexedSeq
     if (unionIds.isEmpty)
       // Degenerate (empty probed cells): the single probe returns an
-      // empty frame too; keep the schema.
-      return stacked.select(col("query_id"), col(idCol),
-        col("pq_score").as("cos_sim")).limit(0)
+      // empty frame too; keep the schema (idCol typed from the table).
+      return spark.table(table).where(lit(false))
+        .select(lit(0L).as("query_id"), col(idCol), lit(0.0).as("cos_sim"))
+    // Same literal-indexed fan-out as the ADC stage (code size
+    // independent of the batch size): per-query shortlist membership
+    // from a 2-D id literal, per-query exact cosine against a 2-D
+    // query literal — the SAME cosineIn expression the single probe's
+    // re-rank evaluates, over the same widened doubles.
+    val idT = spark.table(table).schema(idCol).dataType
+    val qids2 = array(queries.map(q => lit(q._1)): _*)
+    val ids2d = array(queries.map { case (qid, _) =>
+      val mine = shortByQ.getOrElse(qid, Seq.empty)
+      if (mine.isEmpty)
+        array().cast(org.apache.spark.sql.types.ArrayType(idT))
+      else array(mine.map(v => lit(v)): _*)
+    }: _*)
+    val q2d = array(queries.map { case (_, q) =>
+      array(q.map(v => lit(v.toDouble)): _*)
+    }: _*)
+    val lambdaRerank = transform(sequence(lit(0), lit(queries.size - 1)), qi =>
+      struct(element_at(qids2, qi + 1).as("query_id"),
+        array_contains(element_at(ids2d, qi + 1), col(idCol)).as("__in"),
+        Similarity.cosineIn(spark)(col(vecCol), element_at(q2d, qi + 1))
+          .as("cos_sim")))
+    val rerankFan =
+      if (queries.size <= FlatFanoutMax)
+        array(queries.map { case (qid, q) =>
+          val mine = shortByQ.getOrElse(qid, Seq.empty)
+          val member = if (mine.isEmpty) lit(false)
+            else col(idCol).isin(mine: _*)
+          val qlit = array(q.map(v => lit(v.toDouble)): _*)
+          struct(lit(qid).as("query_id"), member.as("__in"),
+            Similarity.cosineIn(spark)(col(vecCol), qlit).as("cos_sim"))
+        }: _*)
+      else lambdaRerank
     val reranked = spark.table(table)
       .where(col("cluster_id").isin(unionCells: _*))
       .where(col(idCol).isin(unionIds: _*))
-      .select(col(idCol), explode(array(queries.map { case (qid, q) =>
-        val mine = shortByQ.getOrElse(qid, Seq.empty)
-        val member = if (mine.isEmpty) lit(false)
-          else col(idCol).isin(mine: _*)
-        val qlit = array(q.map(v => lit(v.toDouble)): _*)
-        struct(lit(qid).as("query_id"), member.as("__in"),
-          Similarity.cosineIn(spark)(col(vecCol), qlit).as("cos_sim"))
-      }: _*)).as("__e"))
+      .select(col(idCol), col(vecCol))
+      .select(col(idCol), explode(rerankFan).as("__e"))
       .where(col("__e.__in"))
       .select(col("__e.query_id").as("query_id"), col(idCol),
         col("__e.cos_sim").as("cos_sim"))

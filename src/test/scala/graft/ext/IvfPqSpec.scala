@@ -221,6 +221,25 @@ class IvfPqSpec extends AnyFunSuite {
         s"batch != per-query at k=$k nProbe=$np")
       assert(b.where(col("query_id") === qs.head._1).count() == k)
     }
+    // Plan pin on the batched ADC stage: the one scan is
+    // partition-pruned to the probed-cell union and reads ONLY the
+    // packed code — never the float column (adcShortlist's contract
+    // applied to the batch path).
+    locally {
+      val cents = IvfIndex.centroids(spark, t)
+      val books = IvfPq.codebooks(spark, t)
+      val probed = qs.map { case (qid, q) =>
+        qid -> Similarity.probeClusters(cents, q, 2)
+      }.toMap
+      val stage = IvfPq.adcBatchShortlist(spark, t, "vec_id", qs,
+        probed, probed.values.flatten.toSeq.distinct, cents, books, 40)
+      val plan = stage.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+        s"batched ADC scan must partition-prune on cluster_id:\n$plan")
+      val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+      assert(read.contains("pq_code") && !read.contains("embedding"),
+        s"batched ADC scan must read the packed code only: $read")
+    }
     // Tombstoned ids vanish from the batch exactly as from singles.
     val victim = batchOf(10, 8).where(col("query_id") === qs.head._1)
       .select(col("vec_id")).first().getLong(0)

@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctionBuilders.cmsEstimateInfo, GraftFunctionBuilders.cmsEstimateBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       GraftFunctionBuilders.simhashInfo, GraftFunctionBuilders.simhashBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_ivfadc_scores"),
+      GraftFunctionBuilders.ivfAdcScoresInfo,
+      GraftFunctionBuilders.ivfAdcScoresBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_winnow"),
       GraftFunctionBuilders.winnowInfo, GraftFunctionBuilders.winnowBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_winnow_packed"),

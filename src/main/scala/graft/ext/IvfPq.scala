@@ -451,21 +451,39 @@ object IvfPq {
       struct(element_at(qids, qi + 1).as("query_id"), member.as("__in"),
         when(member, score).as("pq_score"))
     })
-    val fanout =
-      if (queries.size <= FlatFanoutMax)
-        array(queries.map { case (qid, q) =>
-          struct(lit(qid).as("query_id"),
-            col("cluster_id").isin(probedCells(qid): _*).as("__in"),
-            ivfadcScore(q, cents, books).as("pq_score"))
-        }: _*)
-      else lambdaFanout
-    val stacked = minusTombstones(spark, table, idCol,
+    val base = minusTombstones(spark, table, idCol,
         spark.table(table).where(col("cluster_id").isin(unionCells: _*)))
       .select(col(idCol), col("cluster_id"), col("pq_code"))
-      .select(col(idCol), explode(fanout).as("__e"))
-      .where(col("__e.__in"))
-      .select(col("__e.query_id").as("query_id"), col(idCol),
-        col("__e.pq_score").as("pq_score"))
+    // Fan-out ladder: the codegen KERNEL when the session has graft
+    // extensions (one call per row whatever the batch size — the
+    // per-query constants ship as one reference object), else flat
+    // per-query expressions up to FlatFanoutMax, else the
+    // literal-indexed lambda. All three replay the same association
+    // over the same doubles (kernel ≡ flat pinned in IvfPqSpec).
+    val stacked =
+      if (spark.catalog.functionExists("graft_ivfadc_scores"))
+        base.select(col(idCol),
+            posexplode(call_function("graft_ivfadc_scores",
+              col("pq_code"), col("cluster_id").cast("int"),
+              struct(lut3d, cellDot2d, cells2d))))
+          .toDF(idCol, "__qi", "pq_score")
+          .where(col("pq_score").isNotNull)
+          .select(element_at(qids, col("__qi") + 1).as("query_id"),
+            col(idCol), col("pq_score"))
+      else {
+        val fanout =
+          if (queries.size <= FlatFanoutMax)
+            array(queries.map { case (qid, q) =>
+              struct(lit(qid).as("query_id"),
+                col("cluster_id").isin(probedCells(qid): _*).as("__in"),
+                ivfadcScore(q, cents, books).as("pq_score"))
+            }: _*)
+          else lambdaFanout
+        base.select(col(idCol), explode(fanout).as("__e"))
+          .where(col("__e.__in"))
+          .select(col("__e.query_id").as("query_id"), col(idCol),
+            col("__e.pq_score").as("pq_score"))
+      }
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("pq_score").desc, col(idCol))
     stacked.withColumn("__rn", row_number().over(wAdc))

@@ -141,6 +141,43 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Per-query IVFADC scores of one packed code — the kernel behind
+    * batched IVFADC serving (graft.ext.IvfPq.probeBatch): for each
+    * query whose probed cells hold this row's cell, score =
+    * cellDot[q][cell] + ((lut[q][0][code_0] + lut[q][1][code_1]) + …)
+    * — EXACTLY ivfadcScore's float association (cell constant added to
+    * the left-folded LUT sum), over the same driver-computed doubles,
+    * so kernel scores are bit-identical to the single probe's. Queries
+    * whose cells exclude the row yield null (the fan-out filter).
+    * One pass: m unpack-shifts + nQ·(membership + m lookups). */
+  def ivfAdcScores(code: Long, cluster: Int, t: IvfAdcTable): ArrayData = {
+    val codes = new Array[Int](t.m)
+    var j = 0
+    while (j < t.m) {
+      // (code >>> 8j) & 0xFF == pmod(code >> 8j, 256) for every j —
+      // the mask keeps bits 0..7, where arithmetic and logical shifts
+      // agree; matches the expression path bit-for-bit.
+      codes(j) = ((code >>> (8 * j)) & 0xFFL).toInt
+      j += 1
+    }
+    val out = new Array[Any](t.nQ)
+    var q = 0
+    while (q < t.nQ) {
+      if (cluster >= 0 && cluster < t.kCells &&
+          t.member(q * t.kCells + cluster)) {
+        var lutSum = t.lut((q * t.m) * t.kPq + codes(0))
+        var i = 1
+        while (i < t.m) {
+          lutSum += t.lut((q * t.m + i) * t.kPq + codes(i))
+          i += 1
+        }
+        out(q) = t.cellDot(q * t.kCells + cluster) + lutSum
+      }
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash — the kernel twin of [[graft.ext.Dedup.simhash]]'s
     * nested-HOF form, which re-evaluates the split+xxhash64 token
     * array ONCE PER MASK BIT (64× per row — the nested-lambda
@@ -492,6 +529,13 @@ final class BpeTable(val merges: Array[String]) extends Serializable {
 final class PqBooksTable(val flat: Array[Double], val m: Int, val k: Int,
                          val sub: Int) extends Serializable
 
+/** Per-batch IVFADC constants for [[GraftIvfAdcScores]], flattened for
+  * tight indexing: lut[(q·m + j)·kPq + code], cellDot[q·kCells + cell],
+  * member[q·kCells + cell]. */
+final class IvfAdcTable(val lut: Array[Double], val cellDot: Array[Double],
+                        val member: Array[Boolean], val nQ: Int, val m: Int,
+                        val kPq: Int, val kCells: Int) extends Serializable
+
 private[functions] object GraftVecTypes {
   /** Kernels element-type code of an array expression's elements;
     * -1 when unsupported. */
@@ -641,6 +685,136 @@ case class GraftShingleHashes(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Batched IVFADC scoring: `graft_ivfadc_scores(pq_code, cluster_id,
+  * tables)` → array<double> with one entry per batch query — the score
+  * when the query's probed cells hold the row's cell, null otherwise.
+  * `tables` is ONE foldable struct literal carrying every per-query
+  * constant (residual LUTs, cell-dot constants, probed-cell
+  * memberships), converted once per expression instance and shipped as
+  * a codegen reference object — so the generated code is a single
+  * kernel call whatever the batch size (flat per-query expressions
+  * blow janino past ~8 queries; the higher-order fan-out is
+  * CodegenFallback). Scores replay ivfadcScore's exact association —
+  * IvfPqSpec pins kernel ≡ flat-expression bit-equality per query. */
+case class GraftIvfAdcScores(codeExpr: Expression, clusterExpr: Expression,
+                             tablesExpr: Expression) extends TernaryExpression {
+
+  override def first: Expression = codeExpr
+  override def second: Expression = clusterExpr
+  override def third: Expression = tablesExpr
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+
+  private def tablesTypeOk: Boolean = tablesExpr.dataType match {
+    case StructType(Array(
+      StructField(_, ArrayType(ArrayType(ArrayType(DoubleType, _), _), _), _, _),
+      StructField(_, ArrayType(ArrayType(DoubleType, _), _), _, _),
+      StructField(_, ArrayType(ArrayType(IntegerType, _), _), _, _))) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (codeExpr.dataType != LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_ivfadc_scores expects a bigint packed code, got ${codeExpr.dataType}")
+    else if (clusterExpr.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_ivfadc_scores expects an int cluster id, got ${clusterExpr.dataType}")
+    else if (!tablesTypeOk || !tablesExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_ivfadc_scores expects a foldable struct(lut3d, cellDot2d, cells2d)")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val table: IvfAdcTable = {
+    val row = tablesExpr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    if (row == null) null
+    else {
+      val lut3 = row.getArray(0)
+      val dot2 = row.getArray(1)
+      val cells2 = row.getArray(2)
+      val nQ = if (lut3 == null) 0 else lut3.numElements()
+      if (nQ == 0 || dot2 == null || dot2.numElements() != nQ ||
+          cells2 == null || cells2.numElements() != nQ) null
+      else {
+        val q0 = lut3.getArray(0)
+        val m = q0.numElements()
+        val kPq = if (m == 0) 0 else q0.getArray(0).numElements()
+        val kCells = dot2.getArray(0).numElements()
+        if (m == 0 || kPq == 0 || kCells == 0) null
+        else {
+          val lut = new Array[Double](nQ * m * kPq)
+          val cellDot = new Array[Double](nQ * kCells)
+          val member = new Array[Boolean](nQ * kCells)
+          var ok = true
+          var q = 0
+          while (ok && q < nQ) {
+            val ql = lut3.getArray(q)
+            ok = ql != null && ql.numElements() == m
+            var j = 0
+            while (ok && j < m) {
+              val book = ql.getArray(j)
+              ok = book != null && book.numElements() == kPq
+              var c = 0
+              while (ok && c < kPq) {
+                ok = !book.isNullAt(c)
+                if (ok) lut((q * m + j) * kPq + c) = book.getDouble(c)
+                c += 1
+              }
+              j += 1
+            }
+            val qd = dot2.getArray(q)
+            ok = ok && qd != null && qd.numElements() == kCells
+            var cc = 0
+            while (ok && cc < kCells) {
+              ok = !qd.isNullAt(cc)
+              if (ok) cellDot(q * kCells + cc) = qd.getDouble(cc)
+              cc += 1
+            }
+            val qc = cells2.getArray(q)
+            ok = ok && qc != null
+            var ci = 0
+            while (ok && ci < qc.numElements()) {
+              ok = !qc.isNullAt(ci)
+              if (ok) {
+                val cell = qc.getInt(ci)
+                if (cell >= 0 && cell < kCells) member(q * kCells + cell) = true
+              }
+              ci += 1
+            }
+            q += 1
+          }
+          if (ok) new IvfAdcTable(lut, cellDot, member, nQ, m, kPq, kCells)
+          else null
+        }
+      }
+    }
+  }
+
+  override def nullSafeEval(code: Any, cluster: Any, ignoredTables: Any): Any =
+    if (table == null) null
+    else Kernels.ivfAdcScores(code.asInstanceOf[Long],
+      cluster.asInstanceOf[Int], table)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (table == null)
+      GraftSketchCodegen.constantNullCode(ctx, ev,
+        "org.apache.spark.sql.catalyst.util.ArrayData", "null")
+    else {
+      val ref = ctx.addReferenceObj("graftIvfAdc", table,
+        classOf[IvfAdcTable].getName)
+      nullSafeCodeGen(ctx, ev, (c, cl, _) =>
+        s"${ev.value} = graft.functions.Kernels.ivfAdcScores($c, $cl, $ref);")
+    }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(codeExpr = newFirst, clusterExpr = newSecond, tablesExpr = newThird)
 }
 
 /** 64-bit SimHash of a string's whitespace tokens (string → long) —
@@ -1143,6 +1317,11 @@ object GraftFunctionBuilders {
     new ExpressionInfo(classOf[GraftSimhash].getName, "graft_simhash")
   def simhashBuilder(exprs: Seq[Expression]): Expression =
     GraftSimhash(exprs(0))
+
+  val ivfAdcScoresInfo =
+    new ExpressionInfo(classOf[GraftIvfAdcScores].getName, "graft_ivfadc_scores")
+  def ivfAdcScoresBuilder(exprs: Seq[Expression]): Expression =
+    GraftIvfAdcScores(exprs(0), exprs(1), exprs(2))
 
   val winnowInfo =
     new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow")

@@ -239,6 +239,21 @@ class IvfPqSpec extends AnyFunSuite {
       val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
       assert(read.contains("pq_code") && !read.contains("embedding"),
         s"batched ADC scan must read the packed code only: $read")
+      // Kernel ≡ flat bit-identity: the batched stage (graft_ivfadc
+      // kernel in this session) must score every (query, row) pair
+      // EXACTLY like the single probe's flat ivfadcScore expression
+      // (adcShortlist) — same cells, wide-open shortlist, doubles
+      // compared bit-for-bit via the set equality.
+      val wide = IvfPq.adcBatchShortlist(spark, t, "vec_id", qs,
+          probed, probed.values.flatten.toSeq.distinct, cents, books, 1000000)
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+      qs.foreach { case (qid, q) =>
+        val single = IvfPq.adcShortlist(spark, t, "vec_id", q, 2, 1000000)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        assert(wide.getOrElse(qid, Set.empty) == single,
+          s"kernel batch scores != single-probe ADC scores for query $qid")
+      }
     }
     // Tombstoned ids vanish from the batch exactly as from singles.
     val victim = batchOf(10, 8).where(col("query_id") === qs.head._1)

@@ -390,42 +390,27 @@ object IvfPq {
                                        sl: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = books.size
-    // TWO fan-out builders, same arithmetic, picked by batch size:
-    //   - ≤ [[FlatFanoutMax]] queries: one flat struct per query, each
-    //     holding the single probe's OWN ivfadcScore expression —
-    //     whole-stage-codegen'd tight (higher-order transform is
-    //     CodegenFallback, measured ~1.6× slower on the 5-query eval);
-    //   - larger batches: every per-query constant rides ONE
-    //     constant-folded literal indexed by query position and the
-    //     fan-out is a lambda over query indices, so the GENERATED
-    //     CODE SIZE is independent of the batch size (a 32-query batch
-    //     of flat expressions blew janino's method limits, measured).
-    // The lambda replays [[ivfadcScore]] EXACTLY — per-query cell-dot
-    // constant plus the m residual-LUT terms folded left in subspace
-    // order, over the same driver-computed doubles — so both builders
-    // (and therefore any batch size) stay bit-identical to the single
-    // probe, which the 32-query ScaleBench gate proves end to end.
-    def qn(q: Seq[Float]): Seq[Double] = {
-      val n = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-      if (n == 0.0) q.map(_ => 0.0) else q.map(_.toDouble / n)
-    }
-    val sub = books.head.head.size
+    // THREE fan-out builders, same arithmetic, by capability/size:
+    // the graft_ivfadc_scores KERNEL when the session has graft
+    // extensions (one call per row at any batch size, constants as a
+    // reference object); else flat per-query ivfadcScore structs up to
+    // [[FlatFanoutMax]] (blow janino past that); else a
+    // literal-indexed lambda (CodegenFallback, but size-independent).
+    // All replay [[ivfadcScore]] EXACTLY — per-query cell-dot constant
+    // plus the m residual-LUT terms folded left in subspace order,
+    // over the same driver-computed doubles (Pq.adcLut3d builds the
+    // shared LUT literal) — so every path is bit-identical to the
+    // single probe; IvfPqSpec pins kernel ≡ adcShortlist and the
+    // 32-query ScaleBench gate proves batch ≡ per-query end to end.
     // [query][cell] → dot(q̂, ref_cell); [query][subspace][code] → LUT.
     val cellDot2d = array(queries.map { case (_, q) =>
-      val qq = qn(q)
+      val qq = Pq.unitOf(q)
       array(cents.map { c =>
         val r = unitRef(c)
         lit(r.indices.foldLeft(0.0)((a, d) => a + qq(d) * r(d)))
       }: _*)
     }: _*)
-    val lut3d = array(queries.map { case (_, q) =>
-      val qq = qn(q)
-      array(books.zipWithIndex.map { case (cents2, j) =>
-        array(cents2.map(cv =>
-          lit(cv.indices.foldLeft(0.0)((a, d) =>
-            a + qq(j * sub + d) * cv(d).toDouble))): _*)
-      }: _*)
-    }: _*)
+    val lut3d = Pq.adcLut3d(queries, books)
     val cells2d = array(queries.map { case (qid, _) =>
       array(probedCells(qid).map(lit): _*)
     }: _*)

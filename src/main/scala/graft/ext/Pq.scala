@@ -230,14 +230,39 @@ object Pq {
     * batched probes call it, and IvfPq's cell-pruned probe reuses it,
     * so the paths can never drift (scores stay bit-identical
     * whichever way a query is served). */
+  /** The ONE unit-normalization of a driver-side query vector — the
+    * exact arithmetic [[adcScore]] has always applied, shared so every
+    * LUT builder (single, batched, IVFADC cell dots) sees identical
+    * doubles. */
+  private[ext] def unitOf(q: Seq[Float]): Seq[Double] = {
+    val n = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    if (n == 0.0) q.map(_ => 0.0) else q.map(_.toDouble / n)
+  }
+
+  /** The batched LUT literal [query][subspace][code] — each value the
+    * SAME driver-computed double [[adcScore]]'s per-query LUT holds
+    * (left-folded Σ_d q̂·centroid), so any probe path reading this
+    * literal scores bit-identically to the single probe. One
+    * constant-folded 3-D literal; the graft_ivfadc_scores kernel ships
+    * it as a codegen reference object. */
+  private[ext] def adcLut3d(queries: Seq[(Long, Seq[Float])],
+                            books: Seq[Seq[Seq[Float]]]): Column = {
+    val sub = books.head.head.size
+    array(queries.map { case (_, q) =>
+      val qq = unitOf(q)
+      array(books.zipWithIndex.map { case (cents, j) =>
+        array(cents.map(cv =>
+          lit(cv.indices.foldLeft(0.0)((a, d) =>
+            a + qq(j * sub + d) * cv(d).toDouble))): _*)
+      }: _*)
+    }: _*)
+  }
+
   private[ext] def adcScore(q: Seq[Float], books: Seq[Seq[Seq[Float]]]): Column = {
     val m = books.size
     val sub = books.head.head.size
     require(q.size == m * sub, s"query dim ${q.size} != ${m * sub}")
-    val qn = {
-      val n = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-      if (n == 0.0) q.map(_ => 0.0) else q.map(_.toDouble / n)
-    }
+    val qn = unitOf(q)
     books.zipWithIndex.map { case (cents, j) =>
       val lut = array(cents.map(cv =>
         lit(cv.indices.foldLeft(0.0)((a, d) =>
@@ -269,12 +294,37 @@ object Pq {
     require(queries.map(_._1).distinct.size == queries.size,
       "query ids must be distinct")
     import org.apache.spark.sql.expressions.Window
-    val stacked = encoded.select(col(idCol),
-        explode(array(queries.map { case (qid, q) =>
-          struct(lit(qid).as("query_id"), adcScore(q, books).as("pq_score"))
-        }: _*)).as("__e"))
-      .select(col("__e.query_id").as("query_id"), col(idCol),
-        col("__e.pq_score").as("pq_score"))
+    val spark = encoded.sparkSession
+    val qids = array(queries.map(q => lit(q._1)): _*)
+    // Kernel fan-out when the session has graft extensions: one
+    // graft_ivfadc_scores call per row in FLAT mode (empty cell
+    // tables — score is the bare left-folded LUT sum, bit-identical
+    // to adcScore), with every per-query LUT riding one folded
+    // literal. The flat per-query expression form below blows
+    // janino's generated-method limits near the 64-query cap
+    // (measured: InternalCompilerException at 64 × kPq=128, falling
+    // back to interpreted eval); the kernel path compiles at any
+    // batch size.
+    val stacked =
+      if (spark.catalog.functionExists("graft_ivfadc_scores")) {
+        val emptyD = array().cast("array<double>")
+        val emptyI = array().cast("array<int>")
+        encoded.select(col(idCol),
+            posexplode(call_function("graft_ivfadc_scores",
+              col("pq_code"), lit(0),
+              struct(adcLut3d(queries, books),
+                array(queries.map(_ => emptyD): _*),
+                array(queries.map(_ => emptyI): _*)))))
+          .toDF(idCol, "__qi", "pq_score")
+          .select(element_at(qids, col("__qi") + 1).as("query_id"),
+            col(idCol), col("pq_score"))
+      } else
+        encoded.select(col(idCol),
+            explode(array(queries.map { case (qid, q) =>
+              struct(lit(qid).as("query_id"), adcScore(q, books).as("pq_score"))
+            }: _*)).as("__e"))
+          .select(col("__e.query_id").as("query_id"), col(idCol),
+            col("__e.pq_score").as("pq_score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("pq_score").desc, col(idCol))
     stacked.withColumn("__rn", row_number().over(w))

@@ -161,17 +161,23 @@ object Kernels {
       j += 1
     }
     val out = new Array[Any](t.nQ)
+    // kCells == 0 is FLAT mode (Pq.probeBatch — no IVF cells): every
+    // query scores every row, and the score is the bare left-folded
+    // LUT sum, exactly Pq.adcScore's association (no `cellDot +`
+    // prefix — 0.0 + x is not always bit-identical to x).
+    val flat = t.kCells == 0
     var q = 0
     while (q < t.nQ) {
-      if (cluster >= 0 && cluster < t.kCells &&
-          t.member(q * t.kCells + cluster)) {
+      if (flat || (cluster >= 0 && cluster < t.kCells &&
+          t.member(q * t.kCells + cluster))) {
         var lutSum = t.lut((q * t.m) * t.kPq + codes(0))
         var i = 1
         while (i < t.m) {
           lutSum += t.lut((q * t.m + i) * t.kPq + codes(i))
           i += 1
         }
-        out(q) = t.cellDot(q * t.kCells + cluster) + lutSum
+        out(q) = if (flat) lutSum
+          else t.cellDot(q * t.kCells + cluster) + lutSum
       }
       q += 1
     }
@@ -744,8 +750,10 @@ case class GraftIvfAdcScores(codeExpr: Expression, clusterExpr: Expression,
         val q0 = lut3.getArray(0)
         val m = q0.numElements()
         val kPq = if (m == 0) 0 else q0.getArray(0).numElements()
+        // kCells == 0 is legal: FLAT mode (no cell term, every query a
+        // member — Kernels.ivfAdcScores documents the contract).
         val kCells = dot2.getArray(0).numElements()
-        if (m == 0 || kPq == 0 || kCells == 0) null
+        if (m == 0 || kPq == 0) null
         else {
           val lut = new Array[Double](nQ * m * kPq)
           val cellDot = new Array[Double](nQ * kCells)

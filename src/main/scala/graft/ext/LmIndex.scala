@@ -1,0 +1,330 @@
+package graft.ext
+
+import scala.util.chaining._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.io.Writer
+
+/** Persisted incremental bigram-LM index — the SIXTH index family
+  * (after MinHash bands, winnow postings, BM25 postings, IVF cells,
+  * IVFADC), closing the gap that every corpus-LM quality operator
+  * ([[TextAnalysis.surprisalStats]], the DSIR contrast, the per-source
+  * dashboard) recomputes its bigram census from scratch per run: a
+  * production pipeline scores each ARRIVING shard against the
+  * corpus-so-far LM (the CCNet shape with a growing reference corpus)
+  * and lets takedowns update the LM they trained.
+  *
+  * COUNTS ARE ADDITIVE INTEGERS, which buys this family stronger
+  * contracts than its siblings, all value-exact:
+  *   - probe ≡ [[TextAnalysis.surprisalStats]] bit-for-bit whenever
+  *     the index holds exactly the probed corpus's census (the DuckDB
+  *     oracle replays the whole thing);
+  *   - append/delete are EXACT count deltas — after any
+  *     build/append/delete sequence, probes equal a fresh build over
+  *     the surviving docs, including the prefix masses;
+  *   - every lifecycle write is RETRY-IDEMPOTENT BY CONSTRUCTION: the
+  *     delta table is partitioned by a `__wave` tag derived
+  *     deterministically from the wave's doc-id set, and each write is
+  *     a dynamic partition overwrite of exactly its own wave — a
+  *     crashed append/delete re-runs into the same partitions, whatever
+  *     landed before (no anti-join existence machinery, no
+  *     tombstone-vs-delta ordering hazard).
+  *
+  * Layout, three tables, all partitioned by `__wave` (string) so waves
+  * overwrite idempotently:
+  *   - `<t>`       (w1, g, c, __wave) bucketed+sorted on `w1` — the
+  *     bigram count DELTAS (negative for deletions). `w1` is the probe
+  *     prune key: a doc's surprisal needs the prefix mass c1(w1) =
+  *     Σ c over grams sharing its first token, so the probe semi-joins
+  *     on touched w1 values and bucket pruning bounds the contact.
+  *   - `<t>_docs`  (id, __wave) — the indexed-doc registry; append
+  *     skips ids already present (cross-wave dedup of whole docs).
+  *   - `<t>_tombstones` (id, __wave) — ids whose counts were
+  *     subtracted; blocked from re-append until [[compact]] absorbs
+  *     the deltas and clears them.
+  *
+  * Scale shape: build/append cost one gram census of their input
+  * (output vocabulary-sized); probe contact = the probed docs' touched
+  * w1 postings (bucket-pruned) — never a corpus rescan; delete costs a
+  * census of the deleted docs only. Waves accumulate small partitions
+  * — [[compact]] is the summed stage-and-swap rewrite that collapses
+  * them (and drops zeroed grams), the same reclaim cycle the other
+  * families run.
+  */
+object LmIndex {
+
+  /** (id, w1, g, c_doc) per-doc bigram census — the same whitespace
+    * bigrams [[TextAnalysis.surprisalStats]] builds, so index counts
+    * can never drift from the scan-time operator's. */
+  private[ext] def docGrams(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array())
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(bigrams).as("g"))
+      .groupBy(col("id"), col("g"))
+      .agg(count(lit(1)).as("c_doc"))
+      .select(col("id"), element_at(split(col("g"), " "), 1).as("w1"),
+        col("g"), col("c_doc"))
+  }
+
+  /** (w1, g, c) corpus census of a doc frame. */
+  private def gramCensus(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docGrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("g"))
+      .agg(sum(col("c_doc")).as("c"))
+
+  /** Deterministic wave tag of a doc-id set: one small aggregation
+    * (count + two order-independent hash sums) — the same ids always
+    * produce the same tag, so a retried write overwrites its own
+    * partition instead of double-counting. */
+  private[ext] def waveOf(docs: DataFrame, idCol: String): String = {
+    val r = docs.agg(count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col(idCol))), lit(0L)).as("h1"),
+      coalesce(sum(xxhash64(col(idCol), lit(7))), lit(0L)).as("h2")).head()
+    f"w${r.getLong(0)}%x_${r.getLong(1)}%016x_${r.getLong(2)}%016x"
+  }
+
+  /** Dynamic partition overwrite of `rows` into `table` as wave
+    * `wave` — the one write primitive every lifecycle op uses (shaped
+    * to the bucket layout so a wave lands as one file per bucket). */
+  private def writeWave(spark: SparkSession, table: String, rows: DataFrame,
+                        wave: String): Unit = {
+    // The conf is read from the ROWS' session at write planning (a
+    // foreachBatch micro-batch clone, not necessarily `spark`) — a
+    // static-overwrite plan would truncate every other wave (the
+    // writeBatchSinks lesson).
+    val sess = rows.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = sess.conf.getOption(key)
+    sess.conf.set(key, "dynamic")
+    try {
+      val cols = spark.table(table).columns
+      val aligned = rows.withColumn("__wave", lit(wave))
+        .select(cols.toIndexedSeq.map(col): _*)
+      val shaped = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec match {
+        case Some(bs) =>
+          aligned.repartition(bs.numBuckets, bs.bucketColumnNames.map(col): _*)
+        case None => aligned.coalesce(1)
+      }
+      shaped.write.mode("overwrite").insertInto(table)
+    } finally saved match {
+      case Some(v) => sess.conf.set(key, v)
+      case None => sess.conf.unset(key)
+    }
+    spark.catalog.refreshTable(table)
+  }
+
+  private val deltaSchema: StructType =
+    StructType(Seq(
+      StructField("w1", StringType), StructField("g", StringType),
+      StructField("c", LongType), StructField("__wave", StringType)))
+
+  private def idTableSchema(idType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(StructField("id", idType), StructField("__wave", StringType)))
+
+  /** Census the corpus and create the three-table index. Overwrites. */
+  def build(spark: SparkSession, docs: DataFrame, idCol: String,
+            textCol: String, table: String, nBuckets: Int = 16): Unit = {
+    val idType = docs.schema(idCol).dataType
+    Seq(table, table + "_docs", table + "_tombstones", PurgeSwap.stagingOf(table))
+      .foreach(Writer.dropTableAndLocation(spark, _))
+    Writer.emptyPartitionedBucketedTable(spark, table, deltaSchema,
+      "__wave", "w1", nBuckets)
+    Writer.emptyPartitionedBucketedTable(spark, table + "_docs",
+      idTableSchema(idType), "__wave", "id", nBuckets)
+    Writer.emptyPartitionedBucketedTable(spark, table + "_tombstones",
+      idTableSchema(idType), "__wave", "id", 1)
+    append(spark, table, docs, idCol, textCol)
+  }
+
+  /** Add a batch's counts. IDEMPOTENT two ways: ids already indexed
+    * (or tombstoned) drop whole before any census, and the surviving
+    * wave overwrites its own deterministic partition — a retried
+    * append can never double-count. */
+  def append(spark: SparkSession, table: String, newDocs: DataFrame,
+             idCol: String, textCol: String): Unit = {
+    val known = spark.table(table + "_docs").select(col("id"))
+      .unionByName(spark.table(table + "_tombstones").select(col("id")))
+    val fresh = newDocs.dropDuplicates(Seq(idCol))
+      .join(known.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .pipe(Checkpoints.stage)
+    if (fresh.isEmpty) return
+    val wave = waveOf(fresh.select(col(idCol)), idCol)
+    writeWave(spark, table, gramCensus(fresh, idCol, textCol), wave)
+    writeWave(spark, table + "_docs",
+      fresh.select(col(idCol).as("id")), wave)
+  }
+
+  /** Subtract deleted docs' counts — the LM takedown: the reference
+    * model itself forgets the removed text, not just a downstream
+    * probe filter. Requires the doc rows (id + text) because the
+    * subtraction is their exact census × −1; only ids actually indexed
+    * and not already tombstoned subtract (idempotent), and the wave's
+    * negative deltas + tombstone ids overwrite their own deterministic
+    * partitions, so a crashed delete re-runs to the same state —
+    * never a double subtraction, never a blocked-but-counted limbo. */
+  def delete(spark: SparkSession, table: String, docsToDelete: DataFrame,
+             idCol: String, textCol: String): Long = {
+    val fresh = docsToDelete.dropDuplicates(Seq(idCol))
+      .join(spark.table(table + "_docs").select(col("id").as(idCol)),
+        Seq(idCol), "left_semi")
+      .join(spark.table(table + "_tombstones").select(col("id").as(idCol)),
+        Seq(idCol), "left_anti")
+      .pipe(Checkpoints.stage)
+    val removed = fresh.count()
+    if (removed == 0) return 0L
+    val wave = "del_" + waveOf(fresh.select(col(idCol)), idCol)
+    writeWave(spark, table,
+      gramCensus(fresh, idCol, textCol)
+        .select(col("w1"), col("g"), (lit(0L) - col("c")).as("c")),
+      wave)
+    writeWave(spark, table + "_tombstones",
+      fresh.select(col(idCol).as("id")), wave)
+    removed
+  }
+
+  /** Per-doc surprisal of `docs` against the CURRENT index counts —
+    * the probe. Output (id, n_bigrams, n_oov, bits_sum, mean_bits):
+    * grams absent from the live LM (or zeroed by deletions) count as
+    * OOV and contribute no bits; `mean_bits` averages over the scored
+    * grams, so when the index holds exactly the probed corpus the row
+    * is BIT-IDENTICAL to [[TextAnalysis.surprisalStats]]'s (n_oov = 0,
+    * same integer sums, same one double division). Contact: the
+    * probed docs' touched-w1 postings (bucket-pruned semi-join), never
+    * a corpus rescan. */
+  def probe(spark: SparkSession, table: String, docs: DataFrame,
+            idCol: String, textCol: String): DataFrame = {
+    val pairs = docGrams(docs, idCol, textCol).pipe(Checkpoints.stage)
+    val touched = pairs.select(col("w1")).distinct()
+    val live = spark.table(table)
+      .join(touched, Seq("w1"), "left_semi")
+      .groupBy(col("w1"), col("g"))
+      .agg(sum(col("c")).as("c"))
+      .where(col("c") > 0)
+      .pipe(Checkpoints.stage)
+    val prefix = live.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+    val gramBits = live.join(prefix, "w1")
+      .select(col("g"),
+        (length(conv(expr("c1 DIV c"), 10, 2)) - 1).cast("long").as("bits"))
+    val perDoc = pairs.join(gramBits, Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(sum(col("c_doc")).as("n_bigrams"),
+        coalesce(sum(when(col("bits").isNull, col("c_doc"))), lit(0L))
+          .as("n_oov"),
+        coalesce(sum(when(col("bits").isNotNull, col("c_doc") * col("bits"))),
+          lit(0L)).as("bits_sum"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("bits_sum"), lit(0L)).as("bits_sum"),
+        when(coalesce(col("n_bigrams"), lit(0L)) -
+            coalesce(col("n_oov"), lit(0L)) > 0,
+          coalesce(col("bits_sum"), lit(0L)).cast("double") /
+            (col("n_bigrams") - col("n_oov")).cast("double"))
+          .otherwise(0.0).as("mean_bits"))
+      .orderBy(col(idCol))
+  }
+
+  /** Collapse the accumulated waves into one summed partition via
+    * STAGE-AND-SWAP ([[PurgeSwap]] — no corpus-sized snapshot, crash
+    * anywhere leaves old or staged state, never double counts):
+    * grams are re-summed (zeroed grams DROP — deleted mass reclaims),
+    * the `_docs` registry sheds tombstoned ids, and the tombstone
+    * waves clear, which UNBLOCKS deleted ids for future re-appends.
+    * The merged wave's tag digests the absorbed waves, so a repeated
+    * compact is a no-op-shaped rewrite. Answer-stable: probes sum
+    * deltas, and the sum of the summed rewrite is the same integer.
+    * Returns the number of wave partitions merged away. */
+  def compact(spark: SparkSession, table: String, nBuckets: Int = 16): Int = {
+    Seq(table, table + "_docs").foreach(PurgeSwap.recover(spark, _))
+    val idType = spark.table(table + "_docs").schema("id").dataType
+    val waves = spark.sessionState.catalog
+      .listPartitionNames(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .map(_.split("=", 2)(1)).sorted
+    val mergedWave = "m_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(waves.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    // Stage the summed delta table.
+    val staging = PurgeSwap.stagingOf(table)
+    Writer.dropTableAndLocation(spark, staging)
+    Writer.emptyPartitionedBucketedTable(spark, staging, deltaSchema,
+      "__wave", "w1", nBuckets)
+    writeWave(spark, staging,
+      spark.table(table).groupBy(col("w1"), col("g"))
+        .agg(sum(col("c")).as("c")).where(col("c") =!= 0),
+      mergedWave)
+    // Stage the live doc registry (indexed minus tombstoned).
+    val stagingDocs = PurgeSwap.stagingOf(table + "_docs")
+    Writer.dropTableAndLocation(spark, stagingDocs)
+    Writer.emptyPartitionedBucketedTable(spark, stagingDocs,
+      idTableSchema(idType), "__wave", "id", nBuckets)
+    writeWave(spark, stagingDocs,
+      spark.table(table + "_docs").select(col("id"))
+        .join(spark.table(table + "_tombstones").select(col("id")),
+          Seq("id"), "left_anti"),
+      mergedWave)
+    PurgeSwap.swap(spark, table)
+    PurgeSwap.swap(spark, table + "_docs")
+    // Tombstones clear LAST: a crash before this line leaves the ids
+    // blocked (conservative) and a compact re-run finishes the job.
+    val t = table + "_tombstones"
+    Writer.dropTableAndLocation(spark, t)
+    Writer.emptyPartitionedBucketedTable(spark, t, idTableSchema(idType),
+      "__wave", "id", 1)
+    math.max(0, waves.size - 1)
+  }
+
+  /** Streaming ingest — micro-batched shards accumulate counts with
+    * the family's redelivery discipline for free: each batch's census
+    * lands as wave `batch-<id>` (dynamic overwrite — a redelivered
+    * batch replaces exactly its own partitions), so the accumulated
+    * counts equal a one-shot [[build]] over everything ingested in any
+    * shard split, and probes serve mid-ingest. Same
+    * one-batch-per-doc-id contract as the sibling streamIngests.
+    * Returns the number of batches processed. */
+  def streamIngest(spark: SparkSession, table: String, stream: DataFrame,
+                   idCol: String, textCol: String,
+                   queryName: String = "graft_stream_lm",
+                   checkpointLocation: Option[String] = None): Int = {
+    import graft.streaming.StreamOps
+    val idType = stream.schema(idCol).dataType
+    val resuming = checkpointLocation.exists(cp =>
+      StreamOps.lastCommittedBatch(spark, cp).isDefined)
+    if (!resuming) {
+      Seq(table, table + "_docs", table + "_tombstones")
+        .foreach(Writer.dropTableAndLocation(spark, _))
+    }
+    if (!spark.catalog.tableExists(table)) {
+      Writer.emptyPartitionedBucketedTable(spark, table, deltaSchema,
+        "__wave", "w1", 16)
+      Writer.emptyPartitionedBucketedTable(spark, table + "_docs",
+        idTableSchema(idType), "__wave", "id", 16)
+      Writer.emptyPartitionedBucketedTable(spark, table + "_tombstones",
+        idTableSchema(idType), "__wave", "id", 1)
+    }
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = StreamOps.foreachBatchSink(stream, queryName,
+        checkpointLocation) { (batch, batchId) =>
+      val b = batch.localCheckpoint(true)
+      n.incrementAndGet()
+      val wave = s"batch-$batchId"
+      writeWave(spark, table, gramCensus(b, idCol, textCol), wave)
+      writeWave(spark, table + "_docs", b.select(col(idCol).as("id")), wave)
+    }
+    q.awaitTermination()
+    spark.catalog.refreshTable(table)
+    n.get()
+  }
+}

@@ -5,7 +5,7 @@ import scala.util.chaining._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, DedupIndex, HeavyHitters, Mixing, Multimodal, Packing, Retrieval, Similarity, TextAnalysis, WinnowIndex}
+import graft.ext.{Dedup, DedupIndex, HeavyHitters, LmIndex, Mixing, Multimodal, Packing, Retrieval, Similarity, TextAnalysis, WinnowIndex}
 
 /** Document-corpus-family registry: dedup (exact / MinHash-LSH /
   * incremental / SimHash / n-gram Jaccard), text analysis and
@@ -59,6 +59,9 @@ private[graft] object CorpusQueries {
     "x_winnow_incremental" -> ((s, dir) => winnowIncremental(s, dir)),
     "x_stream_winnow" -> ((s, dir) => streamWinnow(s, dir)),
     "x_stream_purge_gate" -> ((s, dir) => streamPurgeGate(s, dir)),
+    "x_lm_index" -> ((s, dir) => lmIndexProbe(s, dir)),
+    "x_lm_delete" -> ((s, dir) => lmDelete(s, dir)),
+    "x_stream_lm" -> ((s, dir) => streamLm(s, dir)),
     "x_simhash" -> ((s, dir) =>
       // SimHash values are engine-internal (xxhash64), but two
       // INVARIANTS of them are not: (a) simhash is a pure function of
@@ -1912,6 +1915,81 @@ private[graft] object CorpusQueries {
           .as("tombstones_cleared_ok"))
   }
 
+  /** x_lm_index: the incremental bigram-LM index (graft.ext.LmIndex —
+    * the sixth full-lifecycle index family): build the LM over 4/5 of
+    * the corpus, APPEND the remaining shard (exact additive count
+    * deltas — prefix masses shift with the appended grams), then probe
+    * every doc against the accumulated counts. Because the index now
+    * holds exactly the full corpus's census, every per-doc row must be
+    * BIT-IDENTICAL to the scan-time surprisal operator's — which the
+    * oracle replays end-to-end in SQL (the x_surprisal replay plus a
+    * constant-zero OOV column), value-exact per doc. */
+  private def lmIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val t = "graft_lm_idx_" + digest
+    LmIndex.build(s, docs.where(pmod(col("doc_id"), lit(5)) =!= 4),
+      "doc_id", "text", t)
+    LmIndex.append(s, t, docs.where(pmod(col("doc_id"), lit(5)) === 4),
+      "doc_id", "text")
+    LmIndex.probe(s, t, docs, "doc_id", "text")
+  }
+
+  /** x_lm_delete: the LM takedown — the REFERENCE MODEL forgets the
+    * removed text, not just a downstream filter: build over the full
+    * corpus, subtract every 5th doc's exact gram census
+    * (LmIndex.delete — negative additive deltas, retry-idempotent by
+    * deterministic wave overwrite), probe the live docs: every row
+    * must equal a fresh build over the live corpus (prefix masses
+    * included), which the oracle replays as the surprisal SQL over
+    * the live slice. The timed path runs the full physical lifecycle
+    * — delete, then the compact (summed stage-and-swap rewrite:
+    * zeroed grams reclaim, tombstones clear), then the probe over the
+    * COMPACTED layout — so a wrong rewrite fails the value compare;
+    * compact answer-stability (pre ≡ post rows) is pinned separately
+    * in LmIndexSpec rather than re-proven per bench rep. */
+  private def lmDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val t = "graft_lm_del_" + digest
+    LmIndex.build(s, docs, "doc_id", "text", t)
+    LmIndex.delete(s, t, docs.where(pmod(col("doc_id"), lit(5L)) === 0),
+      "doc_id", "text")
+    LmIndex.compact(s, t)
+    val live = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+    LmIndex.probe(s, t, live, "doc_id", "text")
+      .withColumn("tombstones_cleared_ok",
+        lit(if (s.table(t + "_tombstones").isEmpty) 1L else 0L))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x_stream_lm: streaming LM ingest — three micro-batched shards
+    * accumulate bigram counts as batch-tagged waves (dynamic partition
+    * overwrite — a redelivered batch replaces exactly its own
+    * partitions), so the accumulated LM equals a one-shot build over
+    * everything ingested whatever the shard split, and the probe of
+    * the full slice replays value-exact through the surprisal SQL. */
+  private def streamLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(col("doc_id") < 300)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val t = "graft_lm_stream_" + digest
+    val inDir = stagedShardsFor(s, dir + "#lm300", docs)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val nBatches = LmIndex.streamIngest(s, t, stream, "doc_id", "text",
+      queryName = "stream_lm_" + digest)
+    LmIndex.probe(s, t, docs, "doc_id", "text")
+      .withColumn("three_batches_ok", lit(if (nBatches == 3) 1L else 0L))
+      .orderBy(col("doc_id"))
+  }
+
   private def streamWinnow(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).where(col("doc_id") < 200)
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -2587,6 +2665,81 @@ private[graft] object CorpusQueries {
         |   THEN CAST(pd.bits_sum AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
         |   ELSE 0.0 END AS mean_bits
         | FROM documents d LEFT JOIN pd USING (doc_id)
+        | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // Incremental LM index: after build(4/5) + append(1/5) the counts
+    // ARE the full corpus census, so every probe row replays through
+    // the surprisal SQL (integer bit sums, one double division) with a
+    // constant-zero OOV column — value-exact per doc.
+    "x_lm_index" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
+        | bg AS (SELECT doc_id, tok[i] AS w1, tok[i] || ' ' || tok[i+1] AS g FROM t,
+        |  UNNEST(generate_series(1, len(tok) - 1)) AS u(i) WHERE len(tok) >= 2),
+        | pairs AS (SELECT doc_id, w1, g, COUNT(*) AS c_doc FROM bg GROUP BY 1, 2, 3),
+        | corpus AS (SELECT g, SUM(c_doc) AS c FROM pairs GROUP BY g),
+        | pre AS (SELECT w1, SUM(c_doc) AS c1 FROM pairs GROUP BY w1),
+        | j AS (SELECT p.doc_id, p.c_doc,
+        |   CAST(length(to_base(CAST(pre.c1 // corpus.c AS BIGINT), 2)) - 1 AS BIGINT) AS bits
+        |  FROM pairs p JOIN corpus USING (g) JOIN pre USING (w1)),
+        | pd AS (SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+        |   CAST(SUM(c_doc * bits) AS BIGINT) AS bits_sum FROM j GROUP BY doc_id)
+        | SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  CAST(0 AS BIGINT) AS n_oov,
+        |  COALESCE(pd.bits_sum, 0) AS bits_sum,
+        |  CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+        |   THEN CAST(pd.bits_sum AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
+        |   ELSE 0.0 END AS mean_bits
+        | FROM documents d LEFT JOIN pd USING (doc_id)
+        | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // LM takedown: the live corpus's own surprisal replay (the deleted
+    // docs' counts left the LM exactly), compact stability as a bit
+    // over the real rows.
+    "x_lm_delete" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+        |   WHERE text IS NOT NULL AND doc_id % 5 <> 0),
+        | bg AS (SELECT doc_id, tok[i] AS w1, tok[i] || ' ' || tok[i+1] AS g FROM t,
+        |  UNNEST(generate_series(1, len(tok) - 1)) AS u(i) WHERE len(tok) >= 2),
+        | pairs AS (SELECT doc_id, w1, g, COUNT(*) AS c_doc FROM bg GROUP BY 1, 2, 3),
+        | corpus AS (SELECT g, SUM(c_doc) AS c FROM pairs GROUP BY g),
+        | pre AS (SELECT w1, SUM(c_doc) AS c1 FROM pairs GROUP BY w1),
+        | j AS (SELECT p.doc_id, p.c_doc,
+        |   CAST(length(to_base(CAST(pre.c1 // corpus.c AS BIGINT), 2)) - 1 AS BIGINT) AS bits
+        |  FROM pairs p JOIN corpus USING (g) JOIN pre USING (w1)),
+        | pd AS (SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+        |   CAST(SUM(c_doc * bits) AS BIGINT) AS bits_sum FROM j GROUP BY doc_id)
+        | SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  CAST(0 AS BIGINT) AS n_oov,
+        |  COALESCE(pd.bits_sum, 0) AS bits_sum,
+        |  CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+        |   THEN CAST(pd.bits_sum AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
+        |   ELSE 0.0 END AS mean_bits,
+        |  CAST(1 AS BIGINT) AS tombstones_cleared_ok
+        | FROM documents d LEFT JOIN pd USING (doc_id)
+        | WHERE d.doc_id % 5 <> 0
+        | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // Streaming LM ingest: the accumulated waves equal the one-shot
+    // census over the slice — same surprisal replay, slice-filtered.
+    "x_stream_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+        |   WHERE text IS NOT NULL AND doc_id < 300),
+        | bg AS (SELECT doc_id, tok[i] AS w1, tok[i] || ' ' || tok[i+1] AS g FROM t,
+        |  UNNEST(generate_series(1, len(tok) - 1)) AS u(i) WHERE len(tok) >= 2),
+        | pairs AS (SELECT doc_id, w1, g, COUNT(*) AS c_doc FROM bg GROUP BY 1, 2, 3),
+        | corpus AS (SELECT g, SUM(c_doc) AS c FROM pairs GROUP BY g),
+        | pre AS (SELECT w1, SUM(c_doc) AS c1 FROM pairs GROUP BY w1),
+        | j AS (SELECT p.doc_id, p.c_doc,
+        |   CAST(length(to_base(CAST(pre.c1 // corpus.c AS BIGINT), 2)) - 1 AS BIGINT) AS bits
+        |  FROM pairs p JOIN corpus USING (g) JOIN pre USING (w1)),
+        | pd AS (SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+        |   CAST(SUM(c_doc * bits) AS BIGINT) AS bits_sum FROM j GROUP BY doc_id)
+        | SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  CAST(0 AS BIGINT) AS n_oov,
+        |  COALESCE(pd.bits_sum, 0) AS bits_sum,
+        |  CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+        |   THEN CAST(pd.bits_sum AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
+        |   ELSE 0.0 END AS mean_bits,
+        |  CAST(1 AS BIGINT) AS three_batches_ok
+        | FROM documents d LEFT JOIN pd USING (doc_id)
+        | WHERE d.doc_id < 300
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
     // Boilerplate removal replayed end-to-end: same 10-word blocks
     // (inclusive list slices), same distinct-doc census, same anti

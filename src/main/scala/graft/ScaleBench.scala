@@ -1360,6 +1360,66 @@ object ScaleBench {
       s""""brute_force":{"t":${fmt(tBrute)}}}}"""
   }
 
+  /** Incremental LM scoring at scale (the LmIndex family's evidence
+    * leg — the incrementalDedupPoint shape applied to the bigram LM):
+    * an n-doc corpus's LM is INDEXED ONCE, then each arriving 2 %
+    * shard is scored by ONE [[graft.ext.LmIndex.probe]] (contact = the
+    * shard's touched-w1 postings) vs the status quo of re-running the
+    * full-corpus [[graft.ext.TextAnalysis.surprisalStats]] census per
+    * shard. Gates before numbers print, both value-exact:
+    *   - probe(corpus sample) ≡ surprisalStats(corpus) rows
+    *     BIT-FOR-BIT (the index holds exactly the corpus census);
+    *   - the shard probe's gram mass is complete (every shard bigram
+    *     lands in n_bigrams).
+    * The published ratio is build-amortization: per-shard scoring cost
+    * vs per-shard full recompute, the same argument the dedup/winnow
+    * incremental indexes won on. */
+  def lmIncPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.{LmIndex, TextAnalysis}
+    val n = 5000L * scale
+    val pathStr = s"$dir/lm_inc_x$scale"
+    genDocuments(spark, n + n / 50)
+      .write.mode("overwrite").parquet(pathStr)
+    val all = spark.read.parquet(pathStr)
+    val corpus = all.where(col("doc_id") < n)
+    val shard = all.where(col("doc_id") >= n).localCheckpoint(true)
+    val nShard = shard.count()
+    val table = s"graft_scale_lm_x$scale"
+    val (_, tBuild) = timed {
+      LmIndex.build(spark, corpus, "doc_id", "text", table)
+    }
+    // Bit-exactness gate at scale: a corpus sample probed against the
+    // index must equal the scan-time operator row-for-row.
+    val sample = corpus.where(pmod(col("doc_id"), lit(997L)) === 0)
+      .localCheckpoint(true)
+    val got = LmIndex.probe(spark, table, sample, "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"), col("bits_sum"), col("mean_bits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = TextAnalysis.surprisalStats(corpus, "doc_id", "text")
+      .join(sample.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    require(got.toSeq == want.toSeq,
+      s"index probe diverged from surprisalStats on ${got.length} sampled docs")
+    spark.sqlContext.clearCache()
+    val (probeRows, tProbe) = timed {
+      LmIndex.probe(spark, table, shard, "doc_id", "text")
+        .agg(count(lit(1)), sum(col("n_bigrams"))).head()
+    }
+    spark.sqlContext.clearCache()
+    val (_, tRecompute) = timed {
+      TextAnalysis.surprisalStats(corpus.unionByName(shard), "doc_id", "text")
+        .join(shard.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)), sum(col("n_bigrams"))).head()
+    }
+    require(probeRows.getLong(0) == nShard,
+      s"shard probe must score every doc: ${probeRows.getLong(0)} vs $nShard")
+    s"""{"lm_inc":{"scale":$scale,"n_docs":$n,"n_shard":$nShard,""" +
+      s""""build":{"t":${fmt(tBuild)}},"probe_shard":{"t":${fmt(tProbe)}},""" +
+      s""""full_recompute":{"t":${fmt(tRecompute)}},""" +
+      s""""speedup":${fmt(tRecompute / math.max(tProbe, 1e-9))}}}"""
+  }
+
   /** Batched vs per-query IVFADC serving at scale (the r16 probeBatch
     * evidence leg): 32 held-out queries answered by ONE probeBatch
     * (two corpus contacts total — union-cell code scan + shared float
@@ -2274,6 +2334,13 @@ object ScaleBench {
     if (args.contains("ivfpq-batch-only")) {
       ivfPqBatchPoint(spark, outBase, 1)
       scales.foreach(m => println(ivfPqBatchPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `lm-inc-only`: incremental LM scoring vs full recompute.
+    if (args.contains("lm-inc-only")) {
+      lmIncPoint(spark, outBase, 1)
+      scales.foreach(m => println(lmIncPoint(spark, outBase, m)))
       spark.stop()
       return
     }

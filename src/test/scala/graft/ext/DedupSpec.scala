@@ -944,6 +944,21 @@ class DedupSpec extends AnyFunSuite {
         call_function("graft_simhash", col("text")).as("k"))
       .where(col("h") =!= col("k")).count()
     assert(mism == 0, s"$mism kernel/HOF simhash mismatches")
+    // Degenerate strings the corpus never exercises: empty text (one
+    // empty token), runs of spaces (empty tokens between), leading/
+    // trailing spaces, a single token, unicode — the split(" ", -1)
+    // token contract must match exactly, nulls propagate as null.
+    import spark.implicits._
+    val edge = Seq("", " ", "   ", "a", " a", "a ", "a  b", "é ü",
+      "same same same", "\ttab stays one-token").toDF("text")
+    val eMism = edge.select(Dedup.simhash(col("text")).as("h"),
+        call_function("graft_simhash", col("text")).as("k"))
+      .where(col("h") =!= col("k")).count()
+    assert(eMism == 0, s"$eMism edge-case kernel/HOF mismatches")
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(call_function("graft_simhash", col("text")).as("k"))
+      .where(col("k").isNotNull).count()
+    assert(nulls == 0, "null text must yield null, like the HOF chain")
   }
 
   test("simhashPairs: banded set equals brute-force hamming truth (pigeonhole); dedup collapses identical docs") {

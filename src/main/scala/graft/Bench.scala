@@ -156,6 +156,15 @@ object Bench {
           md.update(f.getPath.getBytes("UTF-8"))
           md.update(java.nio.file.Files.readAllBytes(f.toPath))
         }
+        // The "identical code" adjudication must see EVERYTHING that
+        // changes the measured engine, not just .scala sources: a
+        // javaOptions edit in build.sbt or a Spark jar upgrade is a
+        // real, reproducible perf change that would otherwise
+        // auto-label "environment" and vanish from confirmed_regressions.
+        val sbt = new java.io.File("build.sbt")
+        if (sbt.isFile)
+          md.update(java.nio.file.Files.readAllBytes(sbt.toPath))
+        md.update(org.apache.spark.SPARK_VERSION.getBytes("UTF-8"))
         md.digest().map("%02x".format(_)).mkString
       }
     }

@@ -411,8 +411,18 @@ object IvfPq {
       }: _*)
     }: _*)
     val lut3d = Pq.adcLut3d(queries, books)
+    // Empty probed-cell lists (an index trained to zero centroids, or
+    // nProbe = 0) must keep the array<int> element type — a bare
+    // array() types array<null>, failing both the kernel's struct
+    // type check and element_at analysis instead of degrading to
+    // zero-member gracefully (the ids2d cast in probeBatch's re-rank
+    // is the same guard).
     val cells2d = array(queries.map { case (qid, _) =>
-      array(probedCells(qid).map(lit): _*)
+      val mine = probedCells(qid)
+      if (mine.isEmpty)
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType))
+      else array(mine.map(lit): _*)
     }: _*)
     val qids = array(queries.map(q => lit(q._1)): _*)
     val lambdaFanout = transform(sequence(lit(0), lit(queries.size - 1)), qi => {

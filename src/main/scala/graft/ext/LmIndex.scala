@@ -132,6 +132,14 @@ object LmIndex {
   private def idTableSchema(idType: org.apache.spark.sql.types.DataType) =
     StructType(Seq(StructField("id", idType), StructField("__wave", StringType)))
 
+  /** Heal any crashed stage-and-swap across the family's three tables
+    * — run at every lifecycle entry point (the [[PurgeSwap.recover]]
+    * discipline), so a crash inside a swap's drop→rename window never
+    * leaves a reader facing a missing table. */
+  private def recoverAll(spark: SparkSession, table: String): Unit =
+    Seq(table, table + "_docs", table + "_tombstones")
+      .foreach(PurgeSwap.recover(spark, _))
+
   /** Census the corpus and create the three-table index. Overwrites. */
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
             textCol: String, table: String, nBuckets: Int = 16): Unit = {
@@ -153,6 +161,7 @@ object LmIndex {
     * append can never double-count. */
   def append(spark: SparkSession, table: String, newDocs: DataFrame,
              idCol: String, textCol: String): Unit = {
+    recoverAll(spark, table)
     val known = spark.table(table + "_docs").select(col("id"))
       .unionByName(spark.table(table + "_tombstones").select(col("id")))
     val fresh = newDocs.dropDuplicates(Seq(idCol))
@@ -175,6 +184,7 @@ object LmIndex {
     * never a double subtraction, never a blocked-but-counted limbo. */
   def delete(spark: SparkSession, table: String, docsToDelete: DataFrame,
              idCol: String, textCol: String): Long = {
+    recoverAll(spark, table)
     val fresh = docsToDelete.dropDuplicates(Seq(idCol))
       .join(spark.table(table + "_docs").select(col("id").as(idCol)),
         Seq(idCol), "left_semi")
@@ -204,6 +214,7 @@ object LmIndex {
     * a corpus rescan. */
   def probe(spark: SparkSession, table: String, docs: DataFrame,
             idCol: String, textCol: String): DataFrame = {
+    recoverAll(spark, table)
     val pairs = docGrams(docs, idCol, textCol).pipe(Checkpoints.stage)
     val touched = pairs.select(col("w1")).distinct()
     val live = spark.table(table)
@@ -246,13 +257,38 @@ object LmIndex {
     * The merged wave's tag digests the absorbed waves, so a repeated
     * compact is a no-op-shaped rewrite. Answer-stable: probes sum
     * deltas, and the sum of the summed rewrite is the same integer.
-    * Returns the number of wave partitions merged away. */
-  def compact(spark: SparkSession, table: String, nBuckets: Int = 16): Int = {
-    Seq(table, table + "_docs").foreach(PurgeSwap.recover(spark, _))
+    * Returns the number of wave partitions merged away.
+    *
+    * `checkpointLocation`: pass the [[streamIngest]] checkpoint when
+    * compacting a streaming LM — a `batch-N` wave BEYOND the
+    * checkpoint's last committed batch is a crashed attempt's orphan
+    * (the batch's counts landed but the commit didn't), and absorbing
+    * it into the merged wave would let the restarted stream redeliver
+    * the same docs into a FRESH batch-N wave, double-counting their
+    * grams. Refused with the same restart-then-compact discipline as
+    * StreamOps.compactSink (the family-wide crash-then-compact
+    * contract). Batch compacts (no checkpoint) skip the check — their
+    * waves are doc-set-keyed, where a retry overwrites itself. */
+  def compact(spark: SparkSession, table: String, nBuckets: Int = 16,
+              checkpointLocation: Option[String] = None): Int = {
+    recoverAll(spark, table)
     val idType = spark.table(table + "_docs").schema("id").dataType
     val waves = spark.sessionState.catalog
       .listPartitionNames(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .map(_.split("=", 2)(1)).sorted
+    checkpointLocation.foreach { cp =>
+      val last = graft.streaming.StreamOps.lastCommittedBatch(spark, cp)
+      val orphans = waves.flatMap(w =>
+        if (w.startsWith("batch-")) scala.util.Try(
+          w.stripPrefix("batch-").toLong).toOption else None)
+        .filter(id => last.forall(_ < id))
+      if (orphans.nonEmpty) throw new IllegalStateException(
+        s"refusing to compact `$table`: wave(s) batch-${orphans.mkString(", batch-")} " +
+          s"are beyond the checkpoint's last committed batch " +
+          s"(${last.fold("none")(_.toString)}) at $cp — a crashed attempt's " +
+          "orphaned count wave. Restart the stream so redelivery " +
+          "overwrites the orphan, then compact.")
+    }
     val mergedWave = "m_" + java.security.MessageDigest.getInstance("MD5")
       .digest(waves.mkString(",").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
@@ -277,12 +313,18 @@ object LmIndex {
       mergedWave)
     PurgeSwap.swap(spark, table)
     PurgeSwap.swap(spark, table + "_docs")
-    // Tombstones clear LAST: a crash before this line leaves the ids
-    // blocked (conservative) and a compact re-run finishes the job.
+    // Tombstones clear LAST, and ATOMICALLY (stage an empty table,
+    // swap it in — the PurgeSwap pattern, not drop-then-recreate): a
+    // crash before the swap leaves the ids blocked (conservative) and
+    // a compact re-run finishes the job; a crash INSIDE the swap's
+    // drop→rename window is healed by the recover() every lifecycle
+    // entry point runs — drop-then-recreate had a window where the
+    // tombstone table was simply missing and every reader threw.
     val t = table + "_tombstones"
-    Writer.dropTableAndLocation(spark, t)
-    Writer.emptyPartitionedBucketedTable(spark, t, idTableSchema(idType),
-      "__wave", "id", 1)
+    Writer.dropTableAndLocation(spark, PurgeSwap.stagingOf(t))
+    Writer.emptyPartitionedBucketedTable(spark, PurgeSwap.stagingOf(t),
+      idTableSchema(idType), "__wave", "id", 1)
+    PurgeSwap.swap(spark, t)
     math.max(0, waves.size - 1)
   }
 

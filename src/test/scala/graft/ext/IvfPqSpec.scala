@@ -265,6 +265,14 @@ class IvfPqSpec extends AnyFunSuite {
       "tombstoned id must vanish from the batch probe")
     assert(b2.exceptAll(s2).count() == 0 && s2.exceptAll(b2).count() == 0)
     spark.sql(s"DROP TABLE ${t}_tombstones")
+    // Degenerate fan-out: nProbe = 0 gives every query an EMPTY
+    // probed-cell list — the typed-empty-array guard must degrade to
+    // an empty result (same as the single probe), not an analysis
+    // error from an array<null> literal inside the kernel struct.
+    val none = IvfPq.probeBatch(spark, t, "vec_id", "embedding", qs,
+      k = 10, nProbe = 0)
+    assert(none.count() == 0, "nProbe=0 batch must return empty, not throw")
+    assert(none.columns.toSeq == Seq("query_id", "vec_id", "cos_sim"))
     dropAll(t)
   }
 

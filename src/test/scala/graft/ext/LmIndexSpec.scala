@@ -115,13 +115,59 @@ class LmIndexSpec extends AnyFunSuite {
       Files.move(part.toPath, Paths.get(inDir, s"shard_$k.parquet"))
     }
     val t = "lm_stream_spec"
+    val cp = s"$base/cp"
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val n = LmIndex.streamIngest(spark, t, stream, "doc_id", "text",
-      queryName = "lm_stream_spec_q")
+      queryName = "lm_stream_spec_q", checkpointLocation = Some(cp))
     assert(n == 3, s"expected 3 micro-batches, got $n")
     assert(rows(LmIndex.probe(spark, t, docs, "doc_id", "text")) ==
       scanTruth(docs),
       "stream-accumulated LM must probe exactly like a one-shot build")
+    // Crash-then-compact refusal: a batch-N count wave BEYOND the
+    // checkpoint's last committed batch is an orphan a restarted
+    // stream would redeliver — absorbing it would double-count. Plant
+    // one and compact with the checkpoint: must refuse; without the
+    // orphan the same call succeeds.
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    spark.table(t).limit(1)
+      .select(c("w1"), c("g"), c("c"), l("batch-7").as("__wave"))
+      .write.mode("append").insertInto(t)
+    val ex = intercept[IllegalStateException] {
+      LmIndex.compact(spark, t, checkpointLocation = Some(cp))
+    }
+    assert(ex.getMessage.contains("batch-7"), ex.getMessage)
+    spark.sql(s"ALTER TABLE `$t` DROP PARTITION (__wave='batch-7')")
+    LmIndex.compact(spark, t, checkpointLocation = Some(cp))
+    assert(rows(LmIndex.probe(spark, t, docs, "doc_id", "text")) ==
+      scanTruth(docs),
+      "post-compact probes unchanged once the orphan is resolved")
+  }
+
+  test("a crash inside the tombstone swap window heals at the next lifecycle entry") {
+    import graft.io.Writer
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .where(col("doc_id") < 100)
+    val t = "lm_heal_spec"
+    LmIndex.build(spark, docs, "doc_id", "text", t)
+    // Simulate compact's tombstone clear crashing between PurgeSwap's
+    // drop and rename: staged empty table present, live table gone.
+    val stones = t + "_tombstones"
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("__wave", StringType)))
+    Writer.dropTableAndLocation(spark, PurgeSwap.stagingOf(stones))
+    Writer.emptyPartitionedBucketedTable(spark, PurgeSwap.stagingOf(stones),
+      schema, "__wave", "id", 1)
+    Writer.dropTableAndLocation(spark, stones)
+    // Every entry point recovers: the probe must not throw, and the
+    // tombstone table must be back (the staged empty copy adopted).
+    assert(rows(LmIndex.probe(spark, t, docs, "doc_id", "text")) ==
+      scanTruth(docs), "probe after a swap-window crash must heal and serve")
+    assert(spark.catalog.tableExists(stones),
+      "recover() must adopt the staged tombstone table")
+    assert(spark.table(stones).count() == 0)
+    // Append still works post-heal (reads the recovered table).
+    LmIndex.append(spark, t, docs.limit(0), "doc_id", "text")
   }
 }

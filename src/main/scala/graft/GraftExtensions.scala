@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_ivfadc_scores"),
       GraftFunctionBuilders.ivfAdcScoresInfo,
       GraftFunctionBuilders.ivfAdcScoresBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_ivf_cos_scores"),
+      GraftFunctionBuilders.ivfCosScoresInfo,
+      GraftFunctionBuilders.ivfCosScoresBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_winnow"),
       GraftFunctionBuilders.winnowInfo, GraftFunctionBuilders.winnowBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_winnow_packed"),

@@ -1,0 +1,176 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+/** Shared machinery for BATCHED index serving — the two stages every
+  * batch probe in the ANN ladder composes, extracted so the float and
+  * int8 IVF tiers (VERDICT r16 #1: the last per-query-scan serving
+  * paths) ride the exact expression shapes the IVFADC batch proved:
+  *
+  *   - [[cellGatedScores]]: ONE union-cell scan fans each row into
+  *     per-query scores gated to that query's own probed cells — the
+  *     graft_ivf_cos_scores kernel when the session has graft
+  *     extensions (one call per row at any batch size; per-query
+  *     constants ship as a single reference object — flat per-query
+  *     expressions blow janino past ~8 queries, the higher-order
+  *     fan-out is CodegenFallback), else flat expressions up to
+  *     [[IvfPq.FlatFanoutMax]], else a literal-indexed lambda. Every
+  *     path replays the single probe's score expression EXACTLY
+  *     (Kernels.ivfCosScores documents the IEEE argument), so batch
+  *     scores are bit-identical to the per-query probes'.
+  *   - [[rerankFloat]]: ONE exact-cosine scan over the union of the
+  *     per-query shortlists through a single pushed In(id) filter over
+  *     the union cells — the [[IvfPq.probeBatch]] stage-2 shape,
+  *     shared verbatim (IvfPq now calls this), so the re-rank
+  *     expression can never drift between families.
+  *
+  * Null convention (inherited from the IVFADC batch): the kernel path
+  * drops member rows whose score is null (null vector element, zero
+  * int8 direction) from the fan-out, while a single probe ranks them
+  * last (nulls-last order) — divergence is possible only when a
+  * query's probed cells hold fewer than `limit` non-null rows AND
+  * degenerate vectors exist; the equality gates run on real corpora
+  * where neither holds.
+  */
+private[ext] object BatchProbe {
+
+  /** Stage 1: per-query cell-gated scores off one union-cell scan.
+    *
+    * `base` must carry (idCol, cluster_id, vecCol) already pruned to
+    * the union of probed cells (and tombstone-filtered). `queries`
+    * carries each query as the DRIVER-WIDENED doubles the single
+    * probe's literal would hold (float tier: q.map(_.toDouble); int8
+    * tier: Quantize.quantizeLocal). `qdiv` is the per-query extra
+    * denominator factor — the float tier's constant-folded
+    * sqrt(dot(q,q)) (computed here with the same sequential fold), the
+    * int8 tier's 1.0 (its probe divides by the row norm only).
+    * `zeroNull` selects the int8 tier's when(qnorm2 === 0, null)
+    * zero-direction guard. Output: (query_id, idCol, score). */
+  def cellGatedScores(spark: SparkSession, base: DataFrame, idCol: String,
+                      vecCol: String, queries: Seq[(Long, IndexedSeq[Double])],
+                      qdiv: IndexedSeq[Double],
+                      probedCells: Map[Long, Seq[Int]],
+                      zeroNull: Boolean): DataFrame = {
+    val n = queries.size
+    val vec = col(vecCol)
+    val qids = array(queries.map(q => lit(q._1)): _*)
+    val q2d = array(queries.map { case (_, qd) =>
+      array(qd.map(lit(_)): _*)
+    }: _*)
+    // Typed empty-cell literals: a bare array() types array<null>,
+    // failing the kernel's struct check and element_at analysis
+    // instead of degrading to zero-member (the IvfPq.adcBatchShortlist
+    // guard).
+    val cells2d = array(queries.map { case (qid, _) =>
+      val mine = probedCells(qid)
+      if (mine.isEmpty) array().cast(ArrayType(IntegerType))
+      else array(mine.map(lit): _*)
+    }: _*)
+    val qdivLit = array(qdiv.map(lit(_)): _*)
+    // The single probes' exact score expressions, for the two
+    // non-kernel fallbacks. Float tier = Similarity.cosineIn's tree
+    // (its query-norm factor constant-folds to the qdiv double); int8
+    // tier = quantizedPreRank's guarded row-norm division.
+    def flatScore(qlit: Column): Column =
+      if (zeroNull) {
+        val qn2 = Similarity.dotIn(spark)(vec, vec)
+        when(qn2 === 0.0, lit(null).cast("double"))
+          .otherwise(Similarity.dotIn(spark)(vec, qlit) / sqrt(qn2))
+      } else Similarity.cosineIn(spark)(vec, qlit)
+    def lambdaScore(qel: Column, qi: Column): Column =
+      if (zeroNull) {
+        val qn2 = Similarity.dotIn(spark)(vec, vec)
+        when(qn2 === 0.0, lit(null).cast("double"))
+          .otherwise(Similarity.dotIn(spark)(vec, qel) / sqrt(qn2))
+      } else
+        Similarity.dotIn(spark)(vec, qel) /
+          (sqrt(Similarity.dotIn(spark)(vec, vec)) * element_at(qdivLit, qi + 1))
+    if (spark.catalog.functionExists("graft_ivf_cos_scores"))
+      base.select(col(idCol),
+          posexplode(call_function("graft_ivf_cos_scores",
+            vec, col("cluster_id").cast("int"),
+            struct(q2d, qdivLit, cells2d, lit(zeroNull)))))
+        .toDF(idCol, "__qi", "score")
+        .where(col("score").isNotNull)
+        .select(element_at(qids, col("__qi") + 1).as("query_id"),
+          col(idCol), col("score"))
+    else {
+      val fanout =
+        if (n <= IvfPq.FlatFanoutMax)
+          array(queries.map { case (qid, qd) =>
+            val mine = probedCells(qid)
+            val member = if (mine.isEmpty) lit(false)
+              else col("cluster_id").cast("int").isin(mine: _*)
+            struct(lit(qid).as("query_id"), member.as("__in"),
+              when(member, flatScore(array(qd.map(lit(_)): _*))).as("score"))
+          }: _*)
+        else transform(sequence(lit(0), lit(n - 1)), qi => {
+          val member = array_contains(element_at(cells2d, qi + 1),
+            col("cluster_id").cast("int"))
+          struct(element_at(qids, qi + 1).as("query_id"), member.as("__in"),
+            when(member, lambdaScore(element_at(q2d, qi + 1), qi)).as("score"))
+        })
+      base.select(col(idCol), explode(fanout).as("__e"))
+        .where(col("__e.__in"))
+        .select(col("__e.query_id").as("query_id"), col(idCol),
+          col("__e.score").as("score"))
+    }
+  }
+
+  /** Stage 2: exact-cosine re-rank of per-query shortlists in ONE
+    * scan — a single pushed In(id) filter over the union cells, each
+    * row fanned out only to the queries whose shortlist holds it, then
+    * a per-query top-k rank window (WindowGroupLimit). Extracted
+    * verbatim from [[IvfPq.probeBatch]] (which now calls this), reused
+    * by [[IvfIndex.probeBatchQuantized]]. Output (query_id, idCol,
+    * cos_sim) ordered (query_id, cos_sim DESC, id); per query the rows
+    * are bit-identical to the single probes' float re-rank. */
+  def rerankFloat(spark: SparkSession, table: String, idCol: String,
+                  vecCol: String, queries: Seq[(Long, Seq[Float])],
+                  unionCells: Seq[Int], shortByQ: Map[Long, Seq[Any]],
+                  unionIds: IndexedSeq[Any], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idT = spark.table(table).schema(idCol).dataType
+    val qids2 = array(queries.map(q => lit(q._1)): _*)
+    val ids2d = array(queries.map { case (qid, _) =>
+      val mine = shortByQ.getOrElse(qid, Seq.empty)
+      if (mine.isEmpty) array().cast(ArrayType(idT))
+      else array(mine.map(v => lit(v)): _*)
+    }: _*)
+    val q2d = array(queries.map { case (_, q) =>
+      array(q.map(v => lit(v.toDouble)): _*)
+    }: _*)
+    val lambdaRerank = transform(sequence(lit(0), lit(queries.size - 1)), qi =>
+      struct(element_at(qids2, qi + 1).as("query_id"),
+        array_contains(element_at(ids2d, qi + 1), col(idCol)).as("__in"),
+        Similarity.cosineIn(spark)(col(vecCol), element_at(q2d, qi + 1))
+          .as("cos_sim")))
+    val rerankFan =
+      if (queries.size <= IvfPq.FlatFanoutMax)
+        array(queries.map { case (qid, q) =>
+          val mine = shortByQ.getOrElse(qid, Seq.empty)
+          val member = if (mine.isEmpty) lit(false)
+            else col(idCol).isin(mine: _*)
+          val qlit = array(q.map(v => lit(v.toDouble)): _*)
+          struct(lit(qid).as("query_id"), member.as("__in"),
+            Similarity.cosineIn(spark)(col(vecCol), qlit).as("cos_sim"))
+        }: _*)
+      else lambdaRerank
+    val reranked = spark.table(table)
+      .where(col("cluster_id").isin(unionCells: _*))
+      .where(col(idCol).isin(unionIds: _*))
+      .select(col(idCol), col(vecCol))
+      .select(col(idCol), explode(rerankFan).as("__e"))
+      .where(col("__e.__in"))
+      .select(col("__e.query_id").as("query_id"), col(idCol),
+        col("__e.cos_sim").as("cos_sim"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    reranked.withColumn("__rn", row_number().over(wCos))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col(idCol), col("cos_sim"))
+      .orderBy(col("query_id"), col("cos_sim").desc, col(idCol))
+  }
+}

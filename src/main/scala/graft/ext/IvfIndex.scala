@@ -460,4 +460,131 @@ object IvfIndex {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** Per-query probed cells and their union — the one set of
+    * partitions a batch probe's scans open; shared head of both batch
+    * tiers. */
+  private def batchCells(cents: Seq[Seq[Float]],
+                         queries: Seq[(Long, Seq[Float])], nProbe: Int)
+      : (Map[Long, Seq[Int]], Seq[Int]) = {
+    val probedCells = queries.map { case (qid, q) =>
+      qid -> Similarity.probeClusters(cents, q, nProbe)
+    }.toMap
+    (probedCells, probedCells.values.flatten.toSeq.distinct)
+  }
+
+  private def requireBatch(queries: Seq[(Long, Seq[Float])]): Unit = {
+    require(queries.nonEmpty && queries.size <= 64,
+      s"probeBatch takes 1-64 queries, got ${queries.size}")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "query ids must be distinct")
+  }
+
+  /** Batched FLOAT-tier serving — N queries answered in ONE corpus
+    * contact (VERDICT r16 #1: [[probeTopK]] was the last ANN serving
+    * path answering one query per scan — and the float tier is the
+    * documented regime where IVFADC code resolution fails, NN margins
+    * below ~4e-3): one scan of the UNION of the per-query probed-cell
+    * sets (partition-pruned, tombstone-filtered) fans each row into
+    * per-query cosine scores gated to that query's OWN probed cells —
+    * the [[BatchProbe.cellGatedScores]] ladder, kernel-backed at any
+    * batch size — then a per-query top-k rank window
+    * (WindowGroupLimit) under the single probe's exact order. No
+    * second contact: the float tier's scores ARE the exact cosines.
+    *
+    * Output (query_id, idCol, cos_sim), ordered (query_id, cos_sim
+    * DESC, id); per query the rows are BIT-IDENTICAL to
+    * [[probeTopK]]'s with the same (k, nProbe) — the x_ivfpq_batch
+    * both-direction exceptAll contract, gated by x_ivf_batch and
+    * pinned in IvfIndexSpec. */
+  def probeBatch(spark: SparkSession, table: String, idCol: String,
+                 vecCol: String, queries: Seq[(Long, Seq[Float])], k: Int,
+                 nProbe: Int): DataFrame = {
+    requireBatch(queries)
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids(spark, table)
+    val (probedCells, unionCells) = batchCells(cents, queries, nProbe)
+    val base = minusTombstones(spark, table, idCol,
+        spark.table(table).where(col("cluster_id").isin(unionCells: _*)))
+      .select(col(idCol), col("cluster_id"), col(vecCol))
+    // The widened query doubles and the constant-folded query norms —
+    // the same doubles the single probe's cosineIn literal tree holds
+    // after folding (sequential fold, exactly Kernels.dotT's order).
+    val qd = queries.map { case (qid, q) =>
+      qid -> q.map(_.toDouble).toIndexedSeq
+    }
+    val qdiv = qd.map { case (_, q) =>
+      math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
+    }.toIndexedSeq
+    val scored = BatchProbe.cellGatedScores(spark, base, idCol, vecCol,
+      qd, qdiv, probedCells, zeroNull = false)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col(idCol), col("score").as("cos_sim"))
+      .orderBy(col("query_id"), col("cos_sim").desc, col(idCol))
+  }
+
+  /** Batched INT8-tier serving — N queries in TWO corpus contacts
+    * (the [[IvfPq.probeBatch]] shape applied to [[probeTopKQuantized]],
+    * whose pre-rank reads the d-byte `qv` column instead of 8-byte PQ
+    * codes — the tier that serves NN margins below PQ code
+    * resolution):
+    *
+    *   1. ONE int8 pre-rank scan of the union cells reading ONLY `qv`:
+    *      per-query quantized scores gated to each query's own probed
+    *      cells ([[BatchProbe.cellGatedScores]] with the
+    *      zero-direction null guard, queries quantized driver-side
+    *      with the identical scheme), per-query top-`shortlist` under
+    *      [[quantizedPreRank]]'s exact (qscore DESC NULLS LAST, id)
+    *      order.
+    *   2. ONE exact float re-rank over the shortlist union through a
+    *      single pushed In(id) filter ([[BatchProbe.rerankFloat]] —
+    *      the same stage IVFADC serves with), per-query top-k.
+    *
+    * Output (query_id, idCol, cos_sim), ordered (query_id, cos_sim
+    * DESC, id); per query BIT-IDENTICAL to [[probeTopKQuantized]]'s
+    * rows with the same (k, nProbe, shortlist) — gated by x_ivf_batch
+    * and pinned in IvfIndexSpec. */
+  def probeBatchQuantized(spark: SparkSession, table: String, idCol: String,
+                          vecCol: String, queries: Seq[(Long, Seq[Float])],
+                          k: Int, nProbe: Int,
+                          shortlist: Int = 0): DataFrame = {
+    requireBatch(queries)
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    require(sl >= k, s"shortlist $sl < topK $k")
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids(spark, table)
+    val (probedCells, unionCells) = batchCells(cents, queries, nProbe)
+    val base = minusTombstones(spark, table, idCol,
+        spark.table(table).where(col("cluster_id").isin(unionCells: _*)))
+      .select(col(idCol), col("cluster_id"), col("qv"))
+    val qq = queries.map { case (qid, q) =>
+      qid -> Quantize.quantizeLocal(q).toIndexedSeq
+    }
+    // qdiv = 1.0: the quantized pre-rank divides by the ROW norm only
+    // (the query-norm factor is constant per query and cannot change
+    // its ranking); x · 1.0 is IEEE-exact in the kernel's shared
+    // denominator shape.
+    val ones = IndexedSeq.fill(queries.size)(1.0)
+    val scored = BatchProbe.cellGatedScores(spark, base, idCol, "qv",
+      qq, ones, probedCells, zeroNull = true)
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc_nulls_last, col(idCol))
+    val shortRows = scored.withColumn("__rn", row_number().over(wQ))
+      .where(col("__rn") <= sl)
+      .select(col("query_id"), col(idCol))
+      .collect()
+    val shortByQ: Map[Long, Seq[Any]] = shortRows
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.get(1)).toSeq).toMap
+    val unionIds = shortRows.map(_.get(1)).distinct.toIndexedSeq
+    if (unionIds.isEmpty)
+      // Degenerate (empty probed cells): the single probe returns an
+      // empty frame too; keep the schema (idCol typed from the table).
+      return spark.table(table).where(lit(false))
+        .select(lit(0L).as("query_id"), col(idCol), lit(0.0).as("cos_sim"))
+    BatchProbe.rerankFloat(spark, table, idCol, vecCol, queries,
+      unionCells, shortByQ, unionIds, k)
+  }
 }

@@ -524,7 +524,6 @@ object IvfPq {
       "query ids must be distinct")
     val sl = if (shortlist > 0) shortlist else 4 * k
     require(sl >= k, s"shortlist $sl < topK $k")
-    import org.apache.spark.sql.expressions.Window
     val cents = IvfIndex.centroids(spark, table)
     val books = codebooks(spark, table)
     // Per-query probed cells (k-row driver work per query) and their
@@ -545,51 +544,13 @@ object IvfPq {
       // empty frame too; keep the schema (idCol typed from the table).
       return spark.table(table).where(lit(false))
         .select(lit(0L).as("query_id"), col(idCol), lit(0.0).as("cos_sim"))
-    // Same literal-indexed fan-out as the ADC stage (code size
-    // independent of the batch size): per-query shortlist membership
-    // from a 2-D id literal, per-query exact cosine against a 2-D
-    // query literal — the SAME cosineIn expression the single probe's
-    // re-rank evaluates, over the same widened doubles.
-    val idT = spark.table(table).schema(idCol).dataType
-    val qids2 = array(queries.map(q => lit(q._1)): _*)
-    val ids2d = array(queries.map { case (qid, _) =>
-      val mine = shortByQ.getOrElse(qid, Seq.empty)
-      if (mine.isEmpty)
-        array().cast(org.apache.spark.sql.types.ArrayType(idT))
-      else array(mine.map(v => lit(v)): _*)
-    }: _*)
-    val q2d = array(queries.map { case (_, q) =>
-      array(q.map(v => lit(v.toDouble)): _*)
-    }: _*)
-    val lambdaRerank = transform(sequence(lit(0), lit(queries.size - 1)), qi =>
-      struct(element_at(qids2, qi + 1).as("query_id"),
-        array_contains(element_at(ids2d, qi + 1), col(idCol)).as("__in"),
-        Similarity.cosineIn(spark)(col(vecCol), element_at(q2d, qi + 1))
-          .as("cos_sim")))
-    val rerankFan =
-      if (queries.size <= FlatFanoutMax)
-        array(queries.map { case (qid, q) =>
-          val mine = shortByQ.getOrElse(qid, Seq.empty)
-          val member = if (mine.isEmpty) lit(false)
-            else col(idCol).isin(mine: _*)
-          val qlit = array(q.map(v => lit(v.toDouble)): _*)
-          struct(lit(qid).as("query_id"), member.as("__in"),
-            Similarity.cosineIn(spark)(col(vecCol), qlit).as("cos_sim"))
-        }: _*)
-      else lambdaRerank
-    val reranked = spark.table(table)
-      .where(col("cluster_id").isin(unionCells: _*))
-      .where(col(idCol).isin(unionIds: _*))
-      .select(col(idCol), col(vecCol))
-      .select(col(idCol), explode(rerankFan).as("__e"))
-      .where(col("__e.__in"))
-      .select(col("__e.query_id").as("query_id"), col(idCol),
-        col("__e.cos_sim").as("cos_sim"))
-    val wCos = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col(idCol))
-    reranked.withColumn("__rn", row_number().over(wCos))
-      .where(col("__rn") <= k)
-      .select(col("query_id"), col(idCol), col("cos_sim"))
-      .orderBy(col("query_id"), col("cos_sim").desc, col(idCol))
+    // Stage 2 is the shared batched float re-rank (BatchProbe
+    // .rerankFloat — extracted verbatim, the int8 IVF tier rides it
+    // too): per-query shortlist membership from a 2-D id literal,
+    // per-query exact cosine against a 2-D query literal — the SAME
+    // cosineIn expression the single probe's re-rank evaluates, over
+    // the same widened doubles, through one pushed In(id) union scan.
+    BatchProbe.rerankFloat(spark, table, idCol, vecCol, queries,
+      unionCells, shortByQ, unionIds, k)
   }
 }

@@ -184,6 +184,68 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Per-query cell-gated cosine scores of one vector — the kernel
+    * behind batched FLOAT and INT8 IVF serving
+    * (graft.ext.IvfIndex.probeBatch / probeBatchQuantized): for each
+    * query whose probed cells hold this row's cell, replay the single
+    * probe's score expression EXACTLY —
+    *
+    *   float tier: graft_dot(v, q) / (sqrt(graft_dot(v, v)) · qdiv_q)
+    *     with qdiv_q the driver-folded sqrt(graft_dot(q, q)) constant —
+    *     the same doubles Similarity.cosineIn produces after constant
+    *     folding (0-norm rows divide to NaN, exactly the expression);
+    *   int8 tier (zeroNull): graft_dot(qv, qq) / (sqrt(qnorm2) · 1.0)
+    *     with the when(qnorm2 === 0, null) zero-direction guard —
+    *     x · 1.0 is IEEE-exact, so the shared denominator shape costs
+    *     nothing.
+    *
+    * Queries whose cells exclude the row yield null (the fan-out
+    * filter); a null element or dims mismatch nulls the affected
+    * scores exactly like graft_dot's null propagation. One pass:
+    * d mults for the row norm + nQ·(membership + d mults). */
+  def ivfCosScores(vec: ArrayData, vecT: Int, cluster: Int,
+                   t: IvfCosTable): ArrayData = {
+    val out = new Array[Any](t.nQ)
+    val nEl = vec.numElements()
+    def elem(i: Int): Double =
+      if (vecT == TFloat) vec.getFloat(i).toDouble
+      else if (vecT == TByte) vec.getByte(i).toDouble
+      else vec.getDouble(i)
+    // Row norm² with graft_dot's null propagation: any null element →
+    // the expression path's sqrt(dot(v,v)) is null → every query's
+    // score is null.
+    var aa = 0.0
+    var i = 0
+    while (i < nEl) {
+      if (vec.isNullAt(i)) return new GenericArrayData(out)
+      val x = elem(i)
+      aa += x * x
+      i += 1
+    }
+    // int8 tier's when(qnorm2 === 0, null) zero-direction guard; the
+    // float tier falls through to 0/0 = NaN like the bare expression.
+    if (t.zeroNull && aa == 0.0) return new GenericArrayData(out)
+    val sa = math.sqrt(aa)
+    val inRange = cluster >= 0 && cluster < t.kCells
+    var q = 0
+    while (q < t.nQ) {
+      if (inRange && t.member(q * t.kCells + cluster)) {
+        // dims mismatch → graft_dot(v, q) null → score null.
+        if (nEl == t.d) {
+          var ab = 0.0
+          var j = 0
+          while (j < nEl) {
+            ab += elem(j) * t.q(q * t.d + j)
+            j += 1
+          }
+          out(q) = ab / (sa * t.qdiv(q))
+        }
+      }
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash — the kernel twin of [[graft.ext.Dedup.simhash]]'s
     * nested-HOF form, which re-evaluates the split+xxhash64 token
     * array ONCE PER MASK BIT (64× per row — the nested-lambda
@@ -542,6 +604,20 @@ final class IvfAdcTable(val lut: Array[Double], val cellDot: Array[Double],
                         val member: Array[Boolean], val nQ: Int, val m: Int,
                         val kPq: Int, val kCells: Int) extends Serializable
 
+/** Constant tables for [[Kernels.ivfCosScores]], converted once from
+  * the foldable struct literal and shipped as one codegen reference
+  * object: q[q·d + j] = query q's component j (float tier: the widened
+  * float query; int8 tier: the driver-quantized integer-valued
+  * doubles), qdiv[q] = the per-query extra denominator factor (float
+  * tier: the constant-folded sqrt(dot(q,q)); int8 tier: 1.0 — the
+  * quantized pre-rank divides by the ROW norm only), member[q·kCells +
+  * cell] = cell is in query q's probed set, zeroNull = the int8 tier's
+  * when(qnorm2 === 0, null) guard. */
+final class IvfCosTable(val q: Array[Double], val qdiv: Array[Double],
+                        val member: Array[Boolean], val nQ: Int, val d: Int,
+                        val kCells: Int, val zeroNull: Boolean)
+  extends Serializable
+
 private[functions] object GraftVecTypes {
   /** Kernels element-type code of an array expression's elements;
     * -1 when unsupported. */
@@ -823,6 +899,140 @@ case class GraftIvfAdcScores(codeExpr: Expression, clusterExpr: Expression,
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): Expression =
     copy(codeExpr = newFirst, clusterExpr = newSecond, tablesExpr = newThird)
+}
+
+/** Batched cell-gated cosine scoring: `graft_ivf_cos_scores(vec,
+  * cluster_id, tables)` → array<double> with one entry per batch query
+  * — the cosine (float tier) or row-norm-scaled quantized dot (int8
+  * tier) when the query's probed cells hold the row's cell, null
+  * otherwise. `tables` is ONE foldable struct literal
+  * struct(q2d, qdiv1d, cells2d, zeroNull) carrying every per-query
+  * constant, converted once per expression instance and shipped as a
+  * codegen reference object — the [[GraftIvfAdcScores]] shape applied
+  * to the float/int8 IVF tiers, so generated code is a single kernel
+  * call whatever the batch size. Scores replay the single probes'
+  * expressions exactly ([[Kernels.ivfCosScores]] documents the IEEE
+  * argument); IvfIndexSpec pins batch ≡ per-query bit-equality. */
+case class GraftIvfCosScores(vecExpr: Expression, clusterExpr: Expression,
+                             tablesExpr: Expression) extends TernaryExpression {
+
+  override def first: Expression = vecExpr
+  override def second: Expression = clusterExpr
+  override def third: Expression = tablesExpr
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+
+  private def tablesTypeOk: Boolean = tablesExpr.dataType match {
+    case StructType(Array(
+      StructField(_, ArrayType(ArrayType(DoubleType, _), _), _, _),
+      StructField(_, ArrayType(DoubleType, _), _, _),
+      StructField(_, ArrayType(ArrayType(IntegerType, _), _), _, _),
+      StructField(_, BooleanType, _, _))) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (GraftVecTypes.code(vecExpr) < 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_ivf_cos_scores expects an array<tinyint|float|double> vector, got ${vecExpr.dataType}")
+    else if (clusterExpr.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_ivf_cos_scores expects an int cluster id, got ${clusterExpr.dataType}")
+    else if (!tablesTypeOk || !tablesExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_ivf_cos_scores expects a foldable struct(q2d, qdiv1d, cells2d, zeroNull)")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val table: IvfCosTable = {
+    val row = tablesExpr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    if (row == null || row.isNullAt(3)) null
+    else {
+      val q2 = row.getArray(0)
+      val div1 = row.getArray(1)
+      val cells2 = row.getArray(2)
+      val zeroNull = row.getBoolean(3)
+      val nQ = if (q2 == null) 0 else q2.numElements()
+      if (nQ == 0 || div1 == null || div1.numElements() != nQ ||
+          cells2 == null || cells2.numElements() != nQ) null
+      else {
+        val d = if (q2.getArray(0) == null) 0 else q2.getArray(0).numElements()
+        // The probed-cell union bounds every gated cell id; sizing the
+        // membership table off the max id keeps the struct free of a
+        // separate kCells field. max+1 ≥ 1 so `member` is never empty.
+        var kCells = 1
+        var ok = d > 0
+        var qi = 0
+        while (ok && qi < nQ) {
+          val qc = cells2.getArray(qi)
+          ok = qc != null
+          var ci = 0
+          while (ok && ci < qc.numElements()) {
+            ok = !qc.isNullAt(ci)
+            if (ok && qc.getInt(ci) >= kCells) kCells = qc.getInt(ci) + 1
+            ci += 1
+          }
+          qi += 1
+        }
+        if (!ok) null
+        else {
+          val q = new Array[Double](nQ * d)
+          val qdiv = new Array[Double](nQ)
+          val member = new Array[Boolean](nQ * kCells)
+          var qq = 0
+          while (ok && qq < nQ) {
+            val qv = q2.getArray(qq)
+            ok = qv != null && qv.numElements() == d
+            var j = 0
+            while (ok && j < d) {
+              ok = !qv.isNullAt(j)
+              if (ok) q(qq * d + j) = qv.getDouble(j)
+              j += 1
+            }
+            ok = ok && !div1.isNullAt(qq)
+            if (ok) {
+              qdiv(qq) = div1.getDouble(qq)
+              val qc = cells2.getArray(qq)
+              var ci = 0
+              while (ci < qc.numElements()) {
+                val cell = qc.getInt(ci)
+                if (cell >= 0) member(qq * kCells + cell) = true
+                ci += 1
+              }
+            }
+            qq += 1
+          }
+          if (ok) new IvfCosTable(q, qdiv, member, nQ, d, kCells, zeroNull)
+          else null
+        }
+      }
+    }
+  }
+
+  @transient private lazy val vecT: Int = GraftVecTypes.code(vecExpr)
+
+  override def nullSafeEval(vec: Any, cluster: Any, ignoredTables: Any): Any =
+    if (table == null) null
+    else Kernels.ivfCosScores(vec.asInstanceOf[ArrayData], vecT,
+      cluster.asInstanceOf[Int], table)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (table == null)
+      GraftSketchCodegen.constantNullCode(ctx, ev,
+        "org.apache.spark.sql.catalyst.util.ArrayData", "null")
+    else {
+      val ref = ctx.addReferenceObj("graftIvfCos", table,
+        classOf[IvfCosTable].getName)
+      nullSafeCodeGen(ctx, ev, (v, cl, _) =>
+        s"${ev.value} = graft.functions.Kernels.ivfCosScores($v, $vecT, $cl, $ref);")
+    }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(vecExpr = newFirst, clusterExpr = newSecond, tablesExpr = newThird)
 }
 
 /** 64-bit SimHash of a string's whitespace tokens (string → long) —
@@ -1330,6 +1540,11 @@ object GraftFunctionBuilders {
     new ExpressionInfo(classOf[GraftIvfAdcScores].getName, "graft_ivfadc_scores")
   def ivfAdcScoresBuilder(exprs: Seq[Expression]): Expression =
     GraftIvfAdcScores(exprs(0), exprs(1), exprs(2))
+
+  val ivfCosScoresInfo =
+    new ExpressionInfo(classOf[GraftIvfCosScores].getName, "graft_ivf_cos_scores")
+  def ivfCosScoresBuilder(exprs: Seq[Expression]): Expression =
+    GraftIvfCosScores(exprs(0), exprs(1), exprs(2))
 
   val winnowInfo =
     new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow")

@@ -196,6 +196,81 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("probeBatch float + int8 tiers: bit-identical to the single probes per query; fallback ladder equal; tombstones honored; nProbe=0 degrades") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import spark.implicits._
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = e.where(col("vec_id") >= 10).select(col("vec_id"), col("embedding"))
+    // 10 queries: past FlatFanoutMax, so the no-kernel fallback below
+    // exercises the literal-indexed lambda as well as the flat path.
+    val qs = e.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq.sortBy(_._1)
+    val t = "ivf_batch_spec"
+    IvfIndex.build(corpus, "vec_id", "embedding", t, k = 8, iters = 2)
+    val k = 10
+    val nProbe = 2
+    def collectBatch(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def batchF() = collectBatch(
+      IvfIndex.probeBatch(spark, t, "vec_id", "embedding", qs, k, nProbe))
+    def batchQ() = collectBatch(
+      IvfIndex.probeBatchQuantized(spark, t, "vec_id", "embedding", qs, k, nProbe))
+    try {
+      // Per-query ORDERED equality (ids AND exact scores) against both
+      // single probes — the bit-identity contract, and the kernel ≡
+      // expression pin (the singles evaluate cosineIn / the guarded
+      // qv division; the batch fans out through graft_ivf_cos_scores).
+      val f = batchF()
+      val qn = batchQ()
+      val fByQ = f.groupBy(_._1)
+      val qByQ = qn.groupBy(_._1)
+      qs.foreach { case (qid, q) =>
+        val sf = IvfIndex.probeTopK(spark, t, "vec_id", "embedding", q, k, nProbe)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+        assert(fByQ.getOrElse(qid, Seq.empty) == sf,
+          s"float batch diverges from probeTopK for query $qid")
+        val sq = IvfIndex.probeTopKQuantized(spark, t, "vec_id", "embedding", q, k, nProbe)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+        assert(qByQ.getOrElse(qid, Seq.empty) == sq,
+          s"quantized batch diverges from probeTopKQuantized for query $qid")
+      }
+      // The no-kernel fallback ladder (flat ≤ FlatFanoutMax, lambda
+      // past it) must produce the identical rows: drop the kernel
+      // function from the session registry and re-run.
+      val fid = FunctionIdentifier("graft_ivf_cos_scores")
+      val registry = spark.sessionState.functionRegistry
+      assert(registry.dropFunction(fid), "kernel function must be registered")
+      try {
+        assert(batchF() == f, "lambda fallback (10 queries) diverges from the kernel path")
+        assert(batchQ() == qn, "lambda fallback (quantized) diverges from the kernel path")
+        val few = qs.take(3)
+        val fewF = collectBatch(
+          IvfIndex.probeBatch(spark, t, "vec_id", "embedding", few, k, nProbe))
+        val fewKeys = few.map(_._1).toSet
+        assert(fewF == f.filter(r => fewKeys.contains(r._1)),
+          "flat fallback (3 queries) diverges from the kernel path")
+      } finally registry.registerFunction(fid,
+        graft.functions.GraftFunctionBuilders.ivfCosScoresInfo,
+        graft.functions.GraftFunctionBuilders.ivfCosScoresBuilder _)
+      // Tombstones: a deleted id vanishes from both batch tiers.
+      val victim = f.head._2
+      IvfIndex.delete(spark, t, Seq(victim).toDF("id"))
+      assert(!batchF().exists(_._2 == victim), "float batch must hide tombstones")
+      assert(!batchQ().exists(_._2 == victim), "quantized batch must hide tombstones")
+      // Degenerate fan-out: nProbe = 0 gives every query an EMPTY
+      // probed-cell list — both tiers must return empty, not throw.
+      val noneF = IvfIndex.probeBatch(spark, t, "vec_id", "embedding", qs, k, 0)
+      val noneQ = IvfIndex.probeBatchQuantized(spark, t, "vec_id", "embedding", qs, k, 0)
+      assert(noneF.count() == 0 && noneQ.count() == 0)
+      assert(noneF.columns.toSeq == Seq("query_id", "vec_id", "cos_sim"))
+      assert(noneQ.columns.toSeq == Seq("query_id", "vec_id", "cos_sim"))
+    } finally {
+      Seq(t, IvfIndex.centroidsTable(t), t + "_tombstones")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    }
+  }
+
   test("delete: tombstoned vectors vanish from float AND quantized probes; purge answer-stable") {
     import spark.implicits._
     val e = Tables.embeddings(spark, TestSpark.sf0001)

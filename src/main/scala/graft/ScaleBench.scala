@@ -1474,6 +1474,146 @@ object ScaleBench {
       s""""speedup":${fmt(tLoop / math.max(tBatch, 1e-9))}}}"""
   }
 
+  /** Incremental DSIR at scale (the r17 LmIndex.dsirProbe evidence
+    * leg — the lmIncPoint amortization applied to the importance
+    * contrast): a FIXED target LM + a growing raw LM are indexed once;
+    * each arriving 2 % shard then pays ONE raw-LM append (its own
+    * census) + ONE two-index dsirProbe (touched-w1 postings of each),
+    * vs the status quo of re-running dsirContrastBits' TWO full-corpus
+    * censuses per shard. Gate before numbers print: the shard's
+    * (n_bigrams, n_oov_target, w_bits) rows from the probe equal the
+    * scan-time operator's BIT-FOR-BIT (target pred pinned to the fixed
+    * target slice). */
+  def dsirIncPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.{LmIndex, TextAnalysis}
+    val n = 5000L * scale
+    val pathStr = s"$dir/dsir_inc_x$scale"
+    genDocuments(spark, n + n / 50)
+      .write.mode("overwrite").parquet(pathStr)
+    val all = spark.read.parquet(pathStr)
+    val corpus = all.where(col("doc_id") < n)
+    val shard = all.where(col("doc_id") >= n).localCheckpoint(true)
+    val nShard = shard.count()
+    val raw = s"graft_scale_dsir_raw_x$scale"
+    val tgt = s"graft_scale_dsir_tgt_x$scale"
+    val (_, tBuild) = timed {
+      LmIndex.build(spark, corpus, "doc_id", "text", raw)
+      LmIndex.build(spark, corpus.where(pmod(col("doc_id"), lit(7L)) === 1),
+        "doc_id", "text", tgt)
+    }
+    spark.sqlContext.clearCache()
+    // The raw-LM append is INGEST cost (one shard census, amortized
+    // across every consumer of the growing LM — the family's own
+    // lm_inc point prices it); timed apart so the published ratio is
+    // the per-consumer serving cost the two-index split actually
+    // changes: weight the shard via two pruned probes vs re-census
+    // both corpora.
+    val (_, tAppend) = timed {
+      LmIndex.append(spark, raw, shard, "doc_id", "text")
+    }
+    spark.sqlContext.clearCache()
+    val (probed, tProbe) = timed {
+      LmIndex.dsirProbe(spark, raw, tgt, shard, "doc_id", "text")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    spark.sqlContext.clearCache()
+    val (want, tRecompute) = timed {
+      // The status quo: both censuses from scratch over the grown
+      // corpus (target pred pinned to the FIXED target slice — the
+      // production shape the two-index split encodes).
+      TextAnalysis.dsirContrastBits(corpus.unionByName(shard), "doc_id",
+          "text", pmod(col("doc_id"), lit(7L)) === 1 && col("doc_id") < n)
+        .join(shard.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .orderBy(col("doc_id"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    require(probed == want,
+      s"incremental DSIR diverged from the scan-time contrast on $nShard shard docs")
+    require(probed.size == nShard,
+      s"shard probe must weight every doc: ${probed.size} vs $nShard")
+    s"""{"dsir_inc":{"scale":$scale,"n_docs":$n,"n_shard":$nShard,""" +
+      s""""build":{"t":${fmt(tBuild)}},"append_shard":{"t":${fmt(tAppend)}},""" +
+      s""""probe_shard":{"t":${fmt(tProbe)}},""" +
+      s""""full_recompute":{"t":${fmt(tRecompute)}},""" +
+      s""""speedup":${fmt(tRecompute / math.max(tProbe, 1e-9))}}}"""
+  }
+
+  /** Batched vs per-query serving for the IVF float AND int8 tiers at
+    * scale (the r17 IvfIndex.probeBatch evidence leg — the float tier
+    * is the serving regime where IVFADC code resolution fails): 32
+    * held-out queries answered by ONE float-tier probeBatch (a single
+    * union-cell scan — its scores ARE the exact cosines) vs the
+    * 32-iteration probeTopK loop (one scan EACH), and by one int8-tier
+    * probeBatchQuantized (one qv pre-rank scan + one shared float
+    * re-rank) vs the probeTopKQuantized loop (two contacts each).
+    * Gate: per query, batch rows equal the loop's rows exactly (ids
+    * and exact cosines) — a fast wrong batch never prints. */
+  def ivfBatchPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.IvfIndex
+    val n = 2000L * scale
+    val nQ = 32
+    val pathStr = s"$dir/ivf_batch_x$scale"
+    genClusteredEmbeddings(spark, n + nQ, noiseDiv = 2e6)
+      .write.mode("overwrite").parquet(pathStr)
+    val emb = spark.read.parquet(pathStr)
+    val queries = emb.where(col("vec_id") < nQ)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq.sortBy(_._1)
+    val corpus = emb.where(col("vec_id") >= nQ)
+    val table = s"graft_scale_ivf_batch_x$scale"
+    val kCells = math.max(16, (n / 1250L).toInt)
+    val nProbe = kCells / 4
+    val (_, tBuild) = timed {
+      IvfIndex.build(corpus, "vec_id", "embedding", table,
+        k = kCells, iters = 2)
+    }
+    def checkEqual(tier: String, batchRows: Array[org.apache.spark.sql.Row],
+                   loopRows: Seq[(Long, Array[org.apache.spark.sql.Row])]): Unit = {
+      val batchByQ = batchRows.groupBy(_.getLong(0))
+      queries.foreach { case (qid, _) =>
+        val b = batchByQ.getOrElse(qid, Array.empty)
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+        val l = loopRows.toMap.apply(qid)
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        require(b == l, s"$tier batch != per-query for query $qid:\n$b\nvs\n$l")
+      }
+    }
+    spark.sqlContext.clearCache()
+    val (batchF, tBatchF) = timed {
+      IvfIndex.probeBatch(spark, table, "vec_id", "embedding", queries,
+        k = 10, nProbe = nProbe).collect()
+    }
+    spark.sqlContext.clearCache()
+    val (loopF, tLoopF) = timed {
+      queries.map { case (qid, q) =>
+        qid -> IvfIndex.probeTopK(spark, table, "vec_id", "embedding", q,
+          k = 10, nProbe = nProbe).collect()
+      }
+    }
+    checkEqual("float", batchF, loopF)
+    spark.sqlContext.clearCache()
+    val (batchQ, tBatchQ) = timed {
+      IvfIndex.probeBatchQuantized(spark, table, "vec_id", "embedding",
+        queries, k = 10, nProbe = nProbe).collect()
+    }
+    spark.sqlContext.clearCache()
+    val (loopQ, tLoopQ) = timed {
+      queries.map { case (qid, q) =>
+        qid -> IvfIndex.probeTopKQuantized(spark, table, "vec_id",
+          "embedding", q, k = 10, nProbe = nProbe).collect()
+      }
+    }
+    checkEqual("int8", batchQ, loopQ)
+    s"""{"ivf_batch":{"scale":$scale,"n_vecs":$n,"n_queries":$nQ,""" +
+      s""""k_cells":$kCells,"n_probe":$nProbe,"build":{"t":${fmt(tBuild)}},""" +
+      s""""float":{"batch_t":${fmt(tBatchF)},"loop_t":${fmt(tLoopF)},""" +
+      s""""speedup":${fmt(tLoopF / math.max(tBatchF, 1e-9))}},""" +
+      s""""int8":{"batch_t":${fmt(tBatchQ)},"loop_t":${fmt(tLoopQ)},""" +
+      s""""speedup":${fmt(tLoopQ / math.max(tBatchQ, 1e-9))}}}}"""
+  }
+
   /** Physical-purge cost at scale (VERDICT r14/r15 #1's evidence leg):
     * the stage-and-swap / dynamic-partition-overwrite purge must write
     * bytes PROPORTIONAL TO THE TOUCHED CELLS, never the corpus. Two
@@ -2334,6 +2474,20 @@ object ScaleBench {
     if (args.contains("ivfpq-batch-only")) {
       ivfPqBatchPoint(spark, outBase, 1)
       scales.foreach(m => println(ivfPqBatchPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `ivf-batch-only`: batched vs per-query float/int8 IVF serving.
+    if (args.contains("ivf-batch-only")) {
+      ivfBatchPoint(spark, outBase, 1)
+      scales.foreach(m => println(ivfBatchPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `dsir-inc-only`: two-index incremental DSIR vs full recompute.
+    if (args.contains("dsir-inc-only")) {
+      dsirIncPoint(spark, outBase, 1)
+      scales.foreach(m => println(dsirIncPoint(spark, outBase, m)))
       spark.stop()
       return
     }

@@ -248,6 +248,69 @@ object LmIndex {
       .orderBy(col(idCol))
   }
 
+  /** DSIR importance weights served from TWO persisted LM indexes —
+    * the incremental twin of [[TextAnalysis.dsirContrastBits]]
+    * (VERDICT r16 #2): `rawTable` holds the growing raw-corpus LM,
+    * `targetTable` the (typically fixed) target-domain LM, and an
+    * ARRIVING SHARD gets its importance log-weights at PROBE COST —
+    * the shard's touched-w1 bucket-pruned postings of each index —
+    * instead of the scan-time operator's two full-corpus censuses per
+    * run (the exact amortization the lm-inc ScaleBench point measured
+    * at 5.4× and growing).
+    *
+    * Output (id, n_bigrams, n_oov_target, w_bits) is BIT-IDENTICAL to
+    * [[TextAnalysis.dsirContrastBits]]'s whenever the indexes hold the
+    * probed corpora's censuses (the x_lm_index contract): live counts
+    * are the same summed-delta reconstruction [[probe]] serves, the
+    * whole-bit arithmetic is the same integer construction, and the
+    * target-OOV mass column is preserved untouched. One divergence
+    * channel, impossible under that contract: a probed gram ABSENT
+    * from the raw index (the scan-time operator censuses raw over the
+    * probed docs themselves, so it never sees one) counts toward
+    * `n_oov_target` and contributes no bits — a raw-OOV gram has no
+    * raw surprisal to contrast against, which is the same
+    * surface-the-choice convention the scan-time operator applies to
+    * target-OOV mass. */
+  def dsirProbe(spark: SparkSession, rawTable: String, targetTable: String,
+                docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    recoverAll(spark, rawTable)
+    recoverAll(spark, targetTable)
+    val pairs = docGrams(docs, idCol, textCol).pipe(Checkpoints.stage)
+    val touched = pairs.select(col("w1")).distinct().pipe(Checkpoints.stage)
+    // Live whole-bit surprisal of one index over the touched-w1
+    // postings — [[probe]]'s reconstruction, parameterized by table:
+    // pruning to touched w1 keys cannot change any c1 prefix mass
+    // (every gram sharing a touched w1 IS in the pruned set).
+    def liveBits(table: String, outCol: String): DataFrame = {
+      val live = spark.table(table)
+        .join(touched, Seq("w1"), "left_semi")
+        .groupBy(col("w1"), col("g"))
+        .agg(sum(col("c")).as("c"))
+        .where(col("c") > 0)
+        .pipe(Checkpoints.stage)
+      val prefix = live.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+      live.join(prefix, "w1").select(col("g"),
+        (length(conv(expr("c1 DIV c"), 10, 2)) - 1).cast("long").as(outCol))
+    }
+    val gramBits = liveBits(rawTable, "bits_raw")
+      .join(liveBits(targetTable, "bits_t"), Seq("g"), "left")
+    val perDoc = pairs.join(gramBits, Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(sum(col("c_doc")).as("n_bigrams"),
+        coalesce(sum(when(col("bits_t").isNull, col("c_doc"))), lit(0L))
+          .as("n_oov_target"),
+        coalesce(sum(when(col("bits_t").isNotNull,
+          col("c_doc") * (col("bits_raw") - col("bits_t")))), lit(0L))
+          .as("w_bits"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov_target"), lit(0L)).as("n_oov_target"),
+        coalesce(col("w_bits"), lit(0L)).as("w_bits"))
+      .orderBy(col(idCol))
+  }
+
   /** Collapse the accumulated waves into one summed partition via
     * STAGE-AND-SWAP ([[PurgeSwap]] — no corpus-sized snapshot, crash
     * anywhere leaves old or staged state, never double counts):
@@ -335,6 +398,16 @@ object LmIndex {
     * counts equal a one-shot [[build]] over everything ingested in any
     * shard split, and probes serve mid-ingest. Same
     * one-batch-per-doc-id contract as the sibling streamIngests.
+    *
+    * TAKEDOWNS INTERLEAVE: [[delete]] waves land between batch waves
+    * with no coordination needed — additive deltas commute, a
+    * redelivered batch still overwrites only its own `batch-N`
+    * partition (a deleted doc's batch counts + its `del_` wave still
+    * net to zero), and [[compact]]'s checkpoint-gated orphan refusal
+    * ignores `del_` waves. Visibility rule: delete subtracts INDEXED
+    * counts only, so a takedown arriving before its doc's batch is a
+    * no-op (returns 0) and the doc lands normally — re-issue the
+    * takedown after ingest (LmIndexSpec pins the whole interleaving).
     * Returns the number of batches processed. */
   def streamIngest(spark: SparkSession, table: String, stream: DataFrame,
                    idCol: String, textCol: String,

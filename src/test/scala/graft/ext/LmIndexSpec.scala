@@ -144,6 +144,124 @@ class LmIndexSpec extends AnyFunSuite {
       "post-compact probes unchanged once the orphan is resolved")
   }
 
+  test("takedowns interleave with streaming ingest: delete waves between batches, probe equals build-on-live") {
+    import java.nio.file.{Files, Paths}
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .where(col("doc_id") < 300)
+    val base = Files.createTempDirectory("graft_lm_stream_del_").toString
+    val inDir = s"$base/in"
+    Files.createDirectories(Paths.get(inDir))
+    def dropShard(k: Int): Unit = {
+      val w = s"$base/w_$k"
+      docs.where(pmod(col("doc_id"), lit(3L)) === k)
+        .coalesce(1).write.mode("overwrite").parquet(w)
+      val part = new java.io.File(w).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(inDir, s"shard_$k.parquet"))
+    }
+    val t = "lm_stream_del_spec"
+    val cp = s"$base/cp"
+    def ingest(): Int = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      LmIndex.streamIngest(spark, t, stream, "doc_id", "text",
+        queryName = "lm_stream_del_spec_q", checkpointLocation = Some(cp))
+    }
+    // Phase 1: shards 0 and 1 ingest as two batch waves.
+    dropShard(0)
+    dropShard(1)
+    assert(ingest() == 2)
+    // Mid-lifecycle takedown: a slice of ALREADY-INGESTED shard-0 docs
+    // subtracts (the delete wave interleaves with the batch waves) —
+    // and a delete for a NOT-YET-INGESTED shard-2 doc is a no-op (the
+    // visibility rule: delete subtracts indexed counts; a doc arriving
+    // later still lands and needs its own takedown).
+    val dead = docs.where(pmod(col("doc_id"), lit(3L)) === 0 &&
+      col("doc_id") < 100)
+    val nDead = LmIndex.delete(spark, t, dead, "doc_id", "text")
+    assert(nDead > 0, "fixture must tombstone at least one doc")
+    val early = docs.where(pmod(col("doc_id"), lit(3L)) === 2).limit(1)
+    assert(LmIndex.delete(spark, t, early, "doc_id", "text") == 0L,
+      "deleting a not-yet-ingested doc must be a no-op")
+    // Phase 2: shard 2 arrives; the stream RESUMES from the checkpoint
+    // (the delete waves persist alongside the batch waves).
+    dropShard(2)
+    assert(ingest() == 1, "resume must process exactly the new shard")
+    val live = docs.where(!(pmod(col("doc_id"), lit(3L)) === 0 &&
+      col("doc_id") < 100))
+    assert(rows(LmIndex.probe(spark, t, live, "doc_id", "text")) ==
+      scanTruth(live),
+      "probe after interleaved takedown must equal a build on the live docs")
+    // A second takedown AFTER the resume (including the doc whose
+    // pre-arrival delete no-opped) subtracts normally.
+    val dead2 = docs.where(pmod(col("doc_id"), lit(3L)) === 2 &&
+      col("doc_id") < 50)
+    assert(LmIndex.delete(spark, t, dead2, "doc_id", "text") > 0)
+    val live2 = live.where(!(pmod(col("doc_id"), lit(3L)) === 2 &&
+      col("doc_id") < 50))
+    assert(rows(LmIndex.probe(spark, t, live2, "doc_id", "text")) ==
+      scanTruth(live2),
+      "second interleaved takedown must keep probe ≡ build-on-live")
+    // Compact with the checkpoint absorbs batch + delete waves (no
+    // orphans — every batch committed) and stays answer-stable.
+    LmIndex.compact(spark, t, checkpointLocation = Some(cp))
+    assert(rows(LmIndex.probe(spark, t, live2, "doc_id", "text")) ==
+      scanTruth(live2), "compact after interleaved takedowns is answer-stable")
+  }
+
+  test("dsirProbe: two-index DSIR equals scan-time dsirContrastBits bit-for-bit, through append and delete") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val raw = "lm_dsir_raw_spec"
+    val tgt = "lm_dsir_tgt_spec"
+    def dsirRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    def truth(corpus: org.apache.spark.sql.DataFrame,
+              probed: org.apache.spark.sql.DataFrame) = {
+      val probedIds = probed.select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSet
+      dsirRows(TextAnalysis.dsirContrastBits(corpus, "doc_id", "text",
+          col("lang") === "en"))
+        .filter(r => probedIds.contains(r._1))
+    }
+    // Raw LM over 4/5 of the corpus, target LM over its English slice;
+    // the remaining 1/5 is the "arriving shard" — but the equality
+    // contract requires the indexes to hold the PROBED corpora's
+    // censuses, so the first compare probes the indexed 4/5.
+    val old = docs.where(pmod(col("doc_id"), lit(5L)) =!= 4)
+    val shard = docs.where(pmod(col("doc_id"), lit(5L)) === 4)
+    LmIndex.build(spark, old, "doc_id", "text", raw)
+    LmIndex.build(spark, old.where(col("lang") === "en"), "doc_id", "text", tgt)
+    assert(dsirRows(LmIndex.dsirProbe(spark, raw, tgt, old, "doc_id", "text")) ==
+      truth(old, old),
+      "dsirProbe must equal dsirContrastBits on the indexed corpus")
+    // Grow the RAW LM with the shard (the target stays fixed — the
+    // production shape): probes of the full corpus now contrast
+    // against the grown raw census; scan-time truth is
+    // dsirContrastBits over (full corpus, old English target), which
+    // needs the target pred restricted to the OLD slice.
+    LmIndex.append(spark, raw, shard, "doc_id", "text")
+    val fullTruth = dsirRows(TextAnalysis.dsirContrastBits(docs, "doc_id",
+      "text", col("lang") === "en" && pmod(col("doc_id"), lit(5L)) =!= 4))
+    assert(dsirRows(LmIndex.dsirProbe(spark, raw, tgt, docs, "doc_id", "text")) ==
+      fullTruth,
+      "post-append dsirProbe must equal the scan-time contrast with the grown raw census")
+    // Takedown from the raw LM: the contrast forgets the removed text.
+    val dead = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+    val live = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+    LmIndex.delete(spark, raw, dead, "doc_id", "text")
+    LmIndex.delete(spark, tgt, dead, "doc_id", "text")
+    val liveTruth = dsirRows(TextAnalysis.dsirContrastBits(live, "doc_id",
+      "text", col("lang") === "en" && pmod(col("doc_id"), lit(5L)) =!= 4))
+    assert(dsirRows(LmIndex.dsirProbe(spark, raw, tgt, live, "doc_id", "text")) ==
+      liveTruth,
+      "post-delete dsirProbe must equal the scan-time contrast on the live corpus")
+    Seq(raw, tgt).foreach { t =>
+      Seq(t, t + "_docs", t + "_tombstones")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    }
+  }
+
   test("a crash inside the tombstone swap window heals at the next lifecycle entry") {
     import graft.io.Writer
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}

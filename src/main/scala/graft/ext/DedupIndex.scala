@@ -60,24 +60,12 @@ object DedupIndex {
     * so cap decisions and candidate pairs equal a rebuild on the live
     * corpus; [[purgeTombstones]] rewrites physically later. Pinned in
     * DedupSpec (probe-equals-live + purge stability). */
-  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
-    val t = table + "_tombstones"
-    val d = ids.select(col("id")).distinct()
-    if (!spark.catalog.tableExists(t)) {
-      Writer.dropTableAndLocation(spark, t) // clear any stale location
-      d.write.saveAsTable(t)
-    } else d.join(spark.table(t), Seq("id"), "left_anti")
-      .write.mode("append").insertInto(t)
-    spark.catalog.refreshTable(t)
-  }
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
+    IndexLifecycle.registerTombstones(spark, table, ids)
 
   private def minusTombstones(spark: SparkSession, table: String,
-                              bands: DataFrame): DataFrame = {
-    val t = table + "_tombstones"
-    if (spark.catalog.tableExists(t))
-      bands.join(broadcast(spark.table(t)), Seq("id"), "left_anti")
-    else bands
-  }
+                              bands: DataFrame): DataFrame =
+    IndexLifecycle.minusTombstones(spark, table, bands)
 
   /** Physically purge tombstoned bands via STAGE-AND-SWAP
     * ([[PurgeSwap]] — WinnowIndex.purgeTombstones has the full
@@ -90,13 +78,7 @@ object DedupIndex {
     PurgeSwap.recover(spark, table)
     val t = table + "_tombstones"
     if (!spark.catalog.tableExists(t)) return 0L
-    require(spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .partitionColumnNames.isEmpty,
-      s"purgeTombstones supports the batch (bucketed) layout only — " +
-        s"`$table` is batch-partitioned (streaming layout); tombstoned " +
-        "probes already exclude deleted ids there, and a physical purge " +
-        "belongs in compact(purge = true)")
+    IndexLifecycle.requireBatchLayout(spark, table, Seq.empty, "purgeTombstones")
     val stones = broadcast(spark.table(t))
     val removed = spark.table(table).select(col("id"))
       .join(stones, Seq("id"), "left_semi").count()
@@ -294,11 +276,7 @@ object DedupIndex {
     // a checkpoint, the stream owns a fresh index. A restart MUST pass
     // the same MinHash params: the kept index rows are run-1 bands, so
     // changed params would probe incomparable signatures.
-    val resuming = checkpointLocation.exists(cp =>
-      StreamOps.lastCommittedBatch(spark, cp).isDefined)
-    val mkTable = if (resuming)
-      Writer.ensurePartitionedBucketedTable _
-    else Writer.emptyPartitionedBucketedTable _
+    val mkTable = IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)
     mkTable(spark, table,
       StructType(Seq(
         StructField("id", idType),

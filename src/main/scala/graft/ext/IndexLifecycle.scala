@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.io.Writer
+
+/** The index-family lifecycle contract glue, shared (VERDICT r16 #4:
+  * six families hand-rolled the same ensure-tables / takedown-register
+  * / tombstone-filter / resume plumbing, so every lifecycle fix had to
+  * land six times). The CONTRACTS these helpers encode are documented
+  * once at their doc comments and referenced by every family:
+  *
+  *   - takedowns REGISTER first ([[registerTombstones]]): probes hide
+  *     tombstoned ids immediately ([[minusTombstones]] — the takedown
+  *     list stays takedown-sized, so the anti-join broadcasts); the
+  *     physical purge rewrites the layout later and drops the list
+  *     LAST, so probes keep filtering through any crash.
+  *   - batch-layout-only operations REFUSE the streaming layout
+  *     ([[requireBatchLayout]]) instead of silently doing the wrong
+  *     rewrite — the streaming layout purges through
+  *     compact(purge = true).
+  *   - a streaming ingest keeps prior state ONLY when its checkpoint
+  *     has committed batches ([[resumeAwareTableMaker]]): a fresh
+  *     checkpoint with a leftover table is a drop-and-recreate, never
+  *     a silent merge.
+  */
+private[ext] object IndexLifecycle {
+
+  def tombstonesOf(table: String): String = table + "_tombstones"
+
+  /** Register takedown ids in `<table>_tombstones` — the shared
+    * takedown-register step (WinnowIndex's doc has the family
+    * contract). Idempotent: re-deleting an id is a no-op (the
+    * anti-join empties the duplicate), and the table stays
+    * takedown-sized. */
+  def registerTombstones(spark: SparkSession, table: String,
+                         ids: DataFrame): Unit = {
+    val t = tombstonesOf(table)
+    val d = ids.select(col("id")).distinct()
+    if (!spark.catalog.tableExists(t)) {
+      Writer.dropTableAndLocation(spark, t) // clear any stale location
+      d.write.saveAsTable(t)
+    } else d.join(spark.table(t), Seq("id"), "left_anti")
+      .write.mode("append").insertInto(t)
+    spark.catalog.refreshTable(t)
+  }
+
+  /** Anti-join `rows` against the takedown list (broadcast —
+    * takedown-sized by the [[registerTombstones]] contract); identity
+    * when no takedown has happened. `idCol` names the id column on the
+    * rows side. */
+  def minusTombstones(spark: SparkSession, table: String, rows: DataFrame,
+                      idCol: String = "id"): DataFrame = {
+    val t = tombstonesOf(table)
+    if (spark.catalog.tableExists(t))
+      rows.join(broadcast(spark.table(t).select(col("id").as(idCol))),
+        Seq(idCol), "left_anti")
+    else rows
+  }
+
+  /** Refuse a batch-layout-only operation on a streaming
+    * (batch-partitioned) index: `expectedPartCols` is the batch
+    * layout's partition spec (empty for the bucketed-only families,
+    * Seq("cluster_id") for the IVF cell layouts). */
+  def requireBatchLayout(spark: SparkSession, table: String,
+                         expectedPartCols: Seq[String], what: String): Unit =
+    require(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .partitionColumnNames == expectedPartCols,
+      s"$what supports the batch layout only — `$table` is a streaming " +
+        "(batch-partitioned) index; tombstoned probes already exclude " +
+        "deleted ids there, and a physical purge belongs in " +
+        "compact(purge = true)")
+
+  /** The streaming-resume table maker: keep prior state only when the
+    * checkpoint has committed batches (fresh checkpoint + leftover
+    * table = drop-and-recreate, not a silent merge — the DedupIndex
+    * streamIngest lesson, shared by every family's ingest). */
+  def resumeAwareTableMaker(spark: SparkSession,
+                            checkpointLocation: Option[String])
+      : (SparkSession, String, StructType, String, String, Int) => Unit = {
+    val resuming = checkpointLocation.exists(cp =>
+      graft.streaming.StreamOps.lastCommittedBatch(spark, cp).isDefined)
+    if (resuming) Writer.ensurePartitionedBucketedTable _
+    else Writer.emptyPartitionedBucketedTable _
+  }
+}

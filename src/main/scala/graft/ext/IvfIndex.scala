@@ -89,25 +89,12 @@ object IvfIndex {
     * shared across the four index families (WinnowIndex's doc has the
     * contract). Probes hide tombstoned ids; [[purgeTombstones]]
     * rewrites the partitioned layout later. Pinned in IvfIndexSpec. */
-  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
-    val t = table + "_tombstones"
-    val d = ids.select(col("id")).distinct()
-    if (!spark.catalog.tableExists(t)) {
-      Writer.dropTableAndLocation(spark, t) // clear any stale location
-      d.write.saveAsTable(t)
-    } else d.join(spark.table(t), Seq("id"), "left_anti")
-      .write.mode("append").insertInto(t)
-    spark.catalog.refreshTable(t)
-  }
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
+    IndexLifecycle.registerTombstones(spark, table, ids)
 
   private def minusTombstones(spark: SparkSession, table: String,
-                              idCol: String, rows: DataFrame): DataFrame = {
-    val t = table + "_tombstones"
-    if (spark.catalog.tableExists(t))
-      rows.join(broadcast(spark.table(t).select(col("id").as(idCol))),
-        Seq(idCol), "left_anti")
-    else rows
-  }
+                              idCol: String, rows: DataFrame): DataFrame =
+    IndexLifecycle.minusTombstones(spark, table, rows, idCol)
 
   /** Physically purge tombstoned vectors by DYNAMIC PARTITION
     * OVERWRITE of ONLY the cells holding tombstoned ids — the
@@ -144,12 +131,8 @@ object IvfIndex {
                                      idCol: String): Long = {
     val t = table + "_tombstones"
     if (!spark.catalog.tableExists(t)) return 0L
-    require(spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .partitionColumnNames == Seq("cluster_id"),
-      s"purgeTombstones supports the build (cell-partitioned) layout " +
-        s"only — `$table` is a streaming index; run compact(purge = " +
-        "true), or keep serving with tombstone filtering")
+    IndexLifecycle.requireBatchLayout(spark, table, Seq("cluster_id"),
+      "purgeTombstones")
     val stones = broadcast(spark.table(t).select(col("id").as(idCol)))
     val perCell = spark.table(table).join(stones, Seq(idCol), "left_semi")
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
@@ -381,11 +364,7 @@ object IvfIndex {
     // Keep prior state only when the checkpoint has committed batches
     // (fresh checkpoint + leftover table = drop, not silent merge —
     // see the dedup twin).
-    val resuming = checkpointLocation.exists(cp =>
-      StreamOps.lastCommittedBatch(spark, cp).isDefined)
-    val mkTable = if (resuming)
-      Writer.ensurePartitionedBucketedTable _
-    else Writer.emptyPartitionedBucketedTable _
+    val mkTable = IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)
     mkTable(spark, table,
       StructType(Seq(
         StructField(idCol, idType),

@@ -212,11 +212,7 @@ object IvfPq {
       .write.format("parquet").saveAsTable(codebooksTable(table))
     // Keep prior rows only when the checkpoint has committed batches
     // (fresh checkpoint + leftover table = drop, not silent merge).
-    val resuming = checkpointLocation.exists(cp =>
-      StreamOps.lastCommittedBatch(spark, cp).isDefined)
-    val mkTable = if (resuming)
-      Writer.ensurePartitionedBucketedTable _
-    else Writer.emptyPartitionedBucketedTable _
+    val mkTable = IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)
     mkTable(spark, table,
       StructType(Seq(
         StructField(idCol, idType),
@@ -263,25 +259,12 @@ object IvfPq {
     * tombstoned ids at the scan ([[adcShortlist]] and the re-rank both
     * anti-join the takedown-sized list); [[purgeTombstones]] rewrites
     * the layout later. */
-  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
-    val t = table + "_tombstones"
-    val d = ids.select(col("id")).distinct()
-    if (!spark.catalog.tableExists(t)) {
-      Writer.dropTableAndLocation(spark, t) // clear any stale location
-      d.write.saveAsTable(t)
-    } else d.join(spark.table(t), Seq("id"), "left_anti")
-      .write.mode("append").insertInto(t)
-    spark.catalog.refreshTable(t)
-  }
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
+    IndexLifecycle.registerTombstones(spark, table, ids)
 
   private def minusTombstones(spark: SparkSession, table: String,
-                              idCol: String, rows: DataFrame): DataFrame = {
-    val t = table + "_tombstones"
-    if (spark.catalog.tableExists(t))
-      rows.join(broadcast(spark.table(t).select(col("id").as(idCol))),
-        Seq(idCol), "left_anti")
-    else rows
-  }
+                              idCol: String, rows: DataFrame): DataFrame =
+    IndexLifecycle.minusTombstones(spark, table, rows, idCol)
 
   /** Physically purge tombstoned vectors by dynamic partition
     * overwrite of ONLY the touched cells — the shared cell-partitioned

@@ -252,11 +252,7 @@ object Mixing {
     import graft.io.Writer
     val idType = stream.schema(idCol).dataType
     val grpType = stream.schema(groupCol).dataType
-    val resuming = checkpointLocation.exists(cp =>
-      StreamOps.lastCommittedBatch(spark, cp).isDefined)
-    val mkTable = if (resuming)
-      Writer.ensurePartitionedBucketedTable _
-    else Writer.emptyPartitionedBucketedTable _
+    val mkTable = IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)
     mkTable(spark, table,
       StructType(Seq(
         StructField(idCol, idType),

@@ -174,12 +174,8 @@ object PostingsIndex {
   }
 
   private def minusTombstones(spark: SparkSession, table: String,
-                              postings: DataFrame): DataFrame = {
-    val t = table + "_tombstones"
-    if (spark.catalog.tableExists(t))
-      postings.join(broadcast(spark.table(t)), Seq("id"), "left_anti")
-    else postings
-  }
+                              postings: DataFrame): DataFrame =
+    IndexLifecycle.minusTombstones(spark, table, postings)
 
   /** 1-row (n_docs, sum_dl) of the LIVE corpus: the k-row stats-table
     * sum plus the (negative) takedown deltas [[delete]] snapshotted —
@@ -219,13 +215,7 @@ object PostingsIndex {
     parts.foreach(PurgeSwap.recover(spark, _))
     val t = table + "_tombstones"
     if (!spark.catalog.tableExists(t)) return 0L
-    require(spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .partitionColumnNames.isEmpty,
-      s"purgeTombstones supports the batch (bucketed) layout only — " +
-        s"`$table` is batch-partitioned (streaming layout); tombstoned " +
-        "probes already exclude deleted ids there, and a physical purge " +
-        "belongs in compact(purge = true)")
+    IndexLifecycle.requireBatchLayout(spark, table, Seq.empty, "purgeTombstones")
     val stones = broadcast(spark.table(t))
     val removed = spark.table(table).select(col("id"))
       .join(stones, Seq("id"), "left_semi").count()
@@ -383,11 +373,7 @@ object PostingsIndex {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val idType = stream.schema(idCol).dataType
-    val resuming = checkpointLocation.exists(cp =>
-      StreamOps.lastCommittedBatch(spark, cp).isDefined)
-    val mkTable = if (resuming)
-      Writer.ensurePartitionedBucketedTable _
-    else Writer.emptyPartitionedBucketedTable _
+    val mkTable = IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)
     mkTable(spark, table,
       StructType(Seq(
         StructField("term", StringType),

@@ -1028,11 +1028,7 @@ object TextAnalysis {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val idType = stream.schema(idCol).dataType
-    val resuming = checkpointLocation.exists(cp =>
-      StreamOps.lastCommittedBatch(spark, cp).isDefined)
-    val mkTable = if (resuming)
-      graft.io.Writer.ensurePartitionedBucketedTable _
-    else graft.io.Writer.emptyPartitionedBucketedTable _
+    val mkTable = IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)
     mkTable(spark, table,
       StructType(Seq(
         StructField(idCol, idType),

@@ -176,11 +176,7 @@ object WinnowIndex {
     // Restartable with a checkpoint — see the dedup twin's comment.
     // Keep prior state only when the checkpoint has committed batches
     // (fresh checkpoint + leftover table = drop, not silent merge).
-    val resuming = checkpointLocation.exists(cp =>
-      StreamOps.lastCommittedBatch(spark, cp).isDefined)
-    val mkTable = if (resuming)
-      Writer.ensurePartitionedBucketedTable _
-    else Writer.emptyPartitionedBucketedTable _
+    val mkTable = IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)
     mkTable(spark, table,
       StructType(Seq(
         StructField("id", idType),
@@ -220,25 +216,12 @@ object WinnowIndex {
     * physically in one batch. Idempotent: re-deleting an id is a
     * no-op. The tombstone table stays takedown-sized (≪ index), so the
     * probe-time anti-join broadcasts. */
-  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
-    val t = table + "_tombstones"
-    val d = ids.select(col("id")).distinct()
-    if (!spark.catalog.tableExists(t)) {
-      Writer.dropTableAndLocation(spark, t) // clear any stale location
-      d.write.saveAsTable(t)
-    } else
-      d.join(spark.table(t), Seq("id"), "left_anti")
-        .write.mode("append").insertInto(t)
-    spark.catalog.refreshTable(t)
-  }
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
+    IndexLifecycle.registerTombstones(spark, table, ids)
 
   private def minusTombstones(spark: SparkSession, table: String,
-                              postings: DataFrame): DataFrame = {
-    val t = table + "_tombstones"
-    if (spark.catalog.tableExists(t))
-      postings.join(broadcast(spark.table(t)), Seq("id"), "left_anti")
-    else postings
-  }
+                              postings: DataFrame): DataFrame =
+    IndexLifecycle.minusTombstones(spark, table, postings)
 
   /** Physically purge tombstoned postings via STAGE-AND-SWAP
     * ([[PurgeSwap]]): write the live rows (index anti-join tombstones,
@@ -257,13 +240,7 @@ object WinnowIndex {
     PurgeSwap.recover(spark, table)
     val t = table + "_tombstones"
     if (!spark.catalog.tableExists(t)) return 0L
-    require(spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .partitionColumnNames.isEmpty,
-      s"purgeTombstones supports the batch (bucketed) layout only — " +
-        s"`$table` is batch-partitioned (streaming layout); tombstoned " +
-        "probes already exclude deleted ids there, and a physical purge " +
-        "belongs in compact(purge = true)")
+    IndexLifecycle.requireBatchLayout(spark, table, Seq.empty, "purgeTombstones")
     val stones = broadcast(spark.table(t))
     val removed = spark.table(table).select(col("id"))
       .join(stones, Seq("id"), "left_semi").count()
@@ -310,11 +287,7 @@ object WinnowIndex {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val idType = stream.schema(idCol).dataType
-    val resuming = checkpointLocation.exists(cp =>
-      StreamOps.lastCommittedBatch(spark, cp).isDefined)
-    val mkTable = if (resuming)
-      Writer.ensurePartitionedBucketedTable _
-    else Writer.emptyPartitionedBucketedTable _
+    val mkTable = IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)
     val sink = evalTable + "_flags"
     mkTable(spark, sink,
       StructType(Seq(

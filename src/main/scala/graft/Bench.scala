@@ -148,24 +148,53 @@ object Bench {
       def files(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(files)
         else if (f.getName.endsWith(".scala")) Seq(f) else Seq.empty
-      val root = new java.io.File("src/main/scala")
-      if (!root.isDirectory) ""
-      else {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        files(root).foreach { f =>
-          md.update(f.getPath.getBytes("UTF-8"))
-          md.update(java.nio.file.Files.readAllBytes(f.toPath))
+      // Detect the repo root by walking up from the cwd to the first
+      // directory holding src/main/scala, so a bench JVM launched from
+      // a subdirectory still fingerprints the same bytes (paths are
+      // hashed RELATIVE to that root — launch-dir-independent, and
+      // byte-identical to the old cwd-relative strings when launched
+      // from the root, preserving fingerprint continuity).
+      val repoRoot: Option[java.io.File] = {
+        var d: java.io.File =
+          new java.io.File(".").getCanonicalFile
+        var found: Option[java.io.File] = None
+        var hops = 0
+        while (found.isEmpty && d != null && hops < 8) {
+          if (new java.io.File(d, "src/main/scala").isDirectory)
+            found = Some(d)
+          d = d.getParentFile
+          hops += 1
         }
-        // The "identical code" adjudication must see EVERYTHING that
-        // changes the measured engine, not just .scala sources: a
-        // javaOptions edit in build.sbt or a Spark jar upgrade is a
-        // real, reproducible perf change that would otherwise
-        // auto-label "environment" and vanish from confirmed_regressions.
-        val sbt = new java.io.File("build.sbt")
-        if (sbt.isFile)
-          md.update(java.nio.file.Files.readAllBytes(sbt.toPath))
-        md.update(org.apache.spark.SPARK_VERSION.getBytes("UTF-8"))
-        md.digest().map("%02x".format(_)).mkString
+        found
+      }
+      repoRoot match {
+        case None =>
+          System.err.println("[bench] no src/main/scala above the cwd — " +
+            "src fingerprint empty; identical-code adjudication disabled")
+          ""
+        case Some(rootDir) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          files(new java.io.File(rootDir, "src/main/scala")).foreach { f =>
+            md.update(rootDir.toPath.relativize(f.toPath).toString
+              .getBytes("UTF-8"))
+            md.update(java.nio.file.Files.readAllBytes(f.toPath))
+          }
+          // The "identical code" adjudication must see EVERYTHING that
+          // changes the measured engine, not just .scala sources: a
+          // javaOptions edit in build.sbt or a Spark jar upgrade is a
+          // real, reproducible perf change that would otherwise
+          // auto-label "environment" and vanish from
+          // confirmed_regressions. Resolved against the detected root
+          // (round-17 advice #3: the cwd-relative path silently lost
+          // this signal from any other launch dir) and loudly absent.
+          val sbt = new java.io.File(rootDir, "build.sbt")
+          if (sbt.isFile)
+            md.update(java.nio.file.Files.readAllBytes(sbt.toPath))
+          else
+            System.err.println(s"[bench] build.sbt missing at $rootDir — " +
+              "fingerprint excludes build config")
+          md.update(org.apache.spark.SPARK_VERSION.getBytes("UTF-8"))
+          md.digest().map("%02x".format(_)).mkString
       }
     }
     val prevText: String =

@@ -1461,10 +1461,11 @@ object ScaleBench {
       }
     }
     val batchByQ = batchRows.groupBy(_.getLong(0))
+    val loopByQ = loopRows.toMap
     queries.foreach { case (qid, _) =>
       val b = batchByQ.getOrElse(qid, Array.empty)
         .map(r => (r.getLong(1), r.getDouble(2))).toSeq
-      val l = loopRows.toMap.apply(qid)
+      val l = loopByQ(qid)
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       require(b == l, s"batch != per-query for query $qid:\n$b\nvs\n$l")
     }
@@ -1572,10 +1573,11 @@ object ScaleBench {
     def checkEqual(tier: String, batchRows: Array[org.apache.spark.sql.Row],
                    loopRows: Seq[(Long, Array[org.apache.spark.sql.Row])]): Unit = {
       val batchByQ = batchRows.groupBy(_.getLong(0))
+      val loopByQ = loopRows.toMap
       queries.foreach { case (qid, _) =>
         val b = batchByQ.getOrElse(qid, Array.empty)
           .map(r => (r.getLong(1), r.getDouble(2))).toSeq
-        val l = loopRows.toMap.apply(qid)
+        val l = loopByQ(qid)
           .map(r => (r.getLong(0), r.getDouble(1))).toSeq
         require(b == l, s"$tier batch != per-query for query $qid:\n$b\nvs\n$l")
       }

@@ -26,13 +26,17 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType}
   *     shared verbatim (IvfPq now calls this), so the re-rank
   *     expression can never drift between families.
   *
-  * Null convention (inherited from the IVFADC batch): the kernel path
-  * drops member rows whose score is null (null vector element, zero
-  * int8 direction) from the fan-out, while a single probe ranks them
-  * last (nulls-last order) — divergence is possible only when a
-  * query's probed cells hold fewer than `limit` non-null rows AND
-  * degenerate vectors exist; the equality gates run on real corpora
-  * where neither holds.
+  * Null convention: a member row whose score is null (null vector
+  * element, dims mismatch, zero int8 direction) is KEPT with a null
+  * score on every path — the kernel conflates "not this query's row"
+  * with "member, null score" in its array<double> output (both null
+  * elements), so the kernel fan-out re-derives membership for null
+  * elements only (an array_contains over that query's probed cells,
+  * short-circuited behind isNotNull) and retains the member ones.
+  * Downstream rank windows order nulls last (float desc default /
+  * explicit desc_nulls_last), exactly the single probes' placement,
+  * so degenerate vectors can no longer vanish from the kernel path
+  * while surviving the fallbacks (round-17 advice #1).
   */
 private[ext] object BatchProbe {
 
@@ -88,12 +92,19 @@ private[ext] object BatchProbe {
         Similarity.dotIn(spark)(vec, qel) /
           (sqrt(Similarity.dotIn(spark)(vec, vec)) * element_at(qdivLit, qi + 1))
     if (spark.catalog.functionExists("graft_ivf_cos_scores"))
-      base.select(col(idCol),
+      // Null elements are EITHER non-members (drop) or degenerate
+      // members (keep, nulls-last downstream) — the kernel can't tell
+      // them apart in array<double>, so re-derive membership for null
+      // elements only (the Or short-circuits behind isNotNull, so
+      // scored rows never pay the array_contains).
+      base.select(col(idCol), col("cluster_id"),
           posexplode(call_function("graft_ivf_cos_scores",
             vec, col("cluster_id").cast("int"),
             struct(q2d, qdivLit, cells2d, lit(zeroNull)))))
-        .toDF(idCol, "__qi", "score")
-        .where(col("score").isNotNull)
+        .toDF(idCol, "__cl", "__qi", "score")
+        .where(col("score").isNotNull ||
+          array_contains(element_at(cells2d, col("__qi") + 1),
+            col("__cl").cast("int")))
         .select(element_at(qids, col("__qi") + 1).as("query_id"),
           col(idCol), col("score"))
     else {

@@ -258,19 +258,24 @@ object LmIndex {
     * run (the exact amortization the lm-inc ScaleBench point measured
     * at 5.4× and growing).
     *
-    * Output (id, n_bigrams, n_oov_target, w_bits) is BIT-IDENTICAL to
+    * Output (id, n_bigrams, n_oov_target, w_bits, n_oov_raw): the
+    * first four columns are BIT-IDENTICAL to
     * [[TextAnalysis.dsirContrastBits]]'s whenever the indexes hold the
     * probed corpora's censuses (the x_lm_index contract): live counts
     * are the same summed-delta reconstruction [[probe]] serves, the
     * whole-bit arithmetic is the same integer construction, and the
-    * target-OOV mass column is preserved untouched. One divergence
-    * channel, impossible under that contract: a probed gram ABSENT
-    * from the raw index (the scan-time operator censuses raw over the
-    * probed docs themselves, so it never sees one) counts toward
-    * `n_oov_target` and contributes no bits — a raw-OOV gram has no
-    * raw surprisal to contrast against, which is the same
-    * surface-the-choice convention the scan-time operator applies to
-    * target-OOV mass. */
+    * target-OOV mass column is preserved untouched. The divergence
+    * channel the contract forbids is SURFACED, not absorbed
+    * (round-17 advice #2): a probed gram ABSENT from the raw index —
+    * the natural probe-before-append flow, where a shard is weighted
+    * to decide whether to ingest it — has no raw surprisal to
+    * contrast against, contributes no bits, and lands in its OWN
+    * `n_oov_raw` column (always 0 under the contract, when
+    * dsirContrastBits never sees one: it censuses raw over the probed
+    * docs themselves). `n_oov_target` counts only grams the raw index
+    * DOES hold whose target surprisal is missing, so a nonzero
+    * `n_oov_raw` is the detectable misuse signal instead of
+    * plausible-looking target-OOV mass. */
   def dsirProbe(spark: SparkSession, rawTable: String, targetTable: String,
                 docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     recoverAll(spark, rawTable)
@@ -294,20 +299,29 @@ object LmIndex {
     }
     val gramBits = liveBits(rawTable, "bits_raw")
       .join(liveBits(targetTable, "bits_t"), Seq("g"), "left")
+    // gramBits is LEFT-joined FROM the raw side, so within it bits_raw
+    // is never null — after the pairs left join, bits_raw null ⇔ the
+    // gram is absent from the raw index (raw-OOV, whether or not the
+    // target holds it: either way there is no raw surprisal to
+    // contrast). bits_t null with bits_raw present ⇔ genuine
+    // target-OOV, the scan-time column's meaning.
     val perDoc = pairs.join(gramBits, Seq("g"), "left")
       .groupBy(col("id"))
       .agg(sum(col("c_doc")).as("n_bigrams"),
-        coalesce(sum(when(col("bits_t").isNull, col("c_doc"))), lit(0L))
-          .as("n_oov_target"),
+        coalesce(sum(when(col("bits_raw").isNotNull && col("bits_t").isNull,
+          col("c_doc"))), lit(0L)).as("n_oov_target"),
         coalesce(sum(when(col("bits_t").isNotNull,
           col("c_doc") * (col("bits_raw") - col("bits_t")))), lit(0L))
-          .as("w_bits"))
+          .as("w_bits"),
+        coalesce(sum(when(col("bits_raw").isNull, col("c_doc"))), lit(0L))
+          .as("n_oov_raw"))
     docs.select(col(idCol).as("id"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_oov_target"), lit(0L)).as("n_oov_target"),
-        coalesce(col("w_bits"), lit(0L)).as("w_bits"))
+        coalesce(col("w_bits"), lit(0L)).as("w_bits"),
+        coalesce(col("n_oov_raw"), lit(0L)).as("n_oov_raw"))
       .orderBy(col(idCol))
   }
 

@@ -175,6 +175,16 @@ object Similarity {
     * in id order — deterministic and cheap; a production system plugs
     * k-means centroids into the same shape. Assignment is a per-row
     * argmax over k codegen'd dot products: no shuffle, no join.
+    *
+    * Degenerate vectors (0-norm, null element, dims mismatch) have a
+    * null cosine to EVERY centroid (non-ANSI Divide nulls on a 0.0
+    * divisor), so their argmax — and cluster_id — is null: they land
+    * in the index's null partition, which no probe's cell pruning ever
+    * reads. A directionless vector has no cosine rank by definition;
+    * excluding it at ingest keeps every probed cell free of rows the
+    * scorer could only null (pinned by IvfIndexSpec's degenerate-
+    * vector case, which hand-injects one to exercise the serving
+    * paths' null discipline anyway).
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: Seq[Seq[Float]]): DataFrame = {

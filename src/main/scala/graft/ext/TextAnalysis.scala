@@ -350,36 +350,45 @@ object TextAnalysis {
     * serious pretraining pipeline runs before training so eval data
     * doesn't leak into the corpus.
     *
-    * Shape for 100 TB: both sides explode to DISTINCT (doc, shingle)
-    * pairs; the benchmark side is tiny (eval suites are KBs–MBs), so
-    * its distinct shingle set broadcasts and the contaminated-doc
-    * check is a broadcast semi-join against the train side — the huge
-    * corpus is never shuffled, only scanned. Returns one summary row:
-    * train-doc count, contaminated-doc count, and the number of
-    * distinct shingles seen on both sides.
+    * Shape for 100 TB: the benchmark side is tiny (eval suites are
+    * KBs–MBs), so its distinct shingle set broadcasts and the check is
+    * a broadcast semi-join FILTER applied to the raw train-side
+    * shingle explode before anything else — the huge corpus is never
+    * shuffled, only scanned, and what reaches the count-distinct
+    * exchange is bounded by the benchmark's shingle vocabulary, not
+    * the corpus (the r17-and-earlier shape distinct'ed the corpus-
+    * sized (doc, shingle) explode first and persisted it for two
+    * consumers — a corpus-wide shuffle that regressed the bench and
+    * was value-equivalent dead work: distinct before count_distinct
+    * changes nothing). Returns one summary row: train-doc count,
+    * contaminated-doc count, and the number of distinct shingles seen
+    * on both sides.
     */
   def contaminationReport(train: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String, k: Int = 3): DataFrame = {
     def shingled(df: DataFrame) =
       df.select(col(idCol).as("doc_id"),
-          explode(shingleStrings(col(textCol), k)).as("shingle"))
-        .distinct()
+        explode(shingleStrings(col(textCol), k)).as("shingle"))
     // Spread the train-side shingle explode (graft.ext.Spread); the
     // benchmark side is tiny by assumption and stays put.
     val trainSrc = Spread.ensure(train)
-    // Two consumers below (doc-level and shingle-level hit counts)
-    // share one report action: persist the exploded train side so the
-    // corpus shingling runs once, not twice.
-    val trainSh = shingled(trainSrc)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val benchSet = shingled(benchmark).select(col("shingle")).distinct()
-    val contaminated = trainSh.join(broadcast(benchSet), Seq("shingle"), "left_semi")
-      .agg(count_distinct(col("doc_id")).as("n_contaminated"))
-    val shared = trainSh.select(col("shingle")).distinct()
-      .join(broadcast(benchSet), Seq("shingle"), "left_semi")
-      .agg(count(lit(1)).as("n_shared_shingles"))
-    train.agg(count(lit(1)).as("n_train_docs"))
-      .crossJoin(contaminated).crossJoin(shared)
+    // The broadcast semi-join is a pure FILTER, so it goes FIRST:
+    // every non-matching train shingle dies map-side, before any
+    // exchange. Both report numbers — docs with ≥1 hit, distinct
+    // shingles hit — are count-distincts over the HITS only, so the
+    // train side needs no (doc_id, shingle) distinct of its own (a
+    // corpus-sized shuffle the pre-r18 shape paid, plus a persist to
+    // share it between two consumers; distinct-before-count_distinct
+    // is a no-op on the values). What shuffles now is bounded by the
+    // benchmark's shingle vocabulary, whatever the train corpus size.
+    val hits = shingled(trainSrc)
+      .join(broadcast(shingled(benchmark).select(col("shingle")).distinct()),
+        Seq("shingle"), "left_semi")
+      .agg(count_distinct(col("doc_id")).as("n_contaminated"),
+        count_distinct(col("shingle")).as("n_shared_shingles"))
+    train.agg(count(lit(1)).as("n_train_docs")).crossJoin(hits)
+      .select(col("n_train_docs"), col("n_contaminated"),
+        col("n_shared_shingles"))
   }
 
   /** Per-document term frequencies joined with corpus-wide document

@@ -193,7 +193,12 @@ object Kernels {
     *   float tier: graft_dot(v, q) / (sqrt(graft_dot(v, v)) · qdiv_q)
     *     with qdiv_q the driver-folded sqrt(graft_dot(q, q)) constant —
     *     the same doubles Similarity.cosineIn produces after constant
-    *     folding (0-norm rows divide to NaN, exactly the expression);
+    *     folding, INCLUDING non-ANSI Divide's zero-divisor rule: a
+    *     0-norm row (or 0-norm query) makes the denominator 0.0 and
+    *     the expression path returns null, never Java's 0/0 = NaN —
+    *     so the kernel null-guards the denominator the same way
+    *     (NaN-first-in-desc vs nulls-last is a ranking divergence the
+    *     bit-identity contract can't absorb);
     *   int8 tier (zeroNull): graft_dot(qv, qq) / (sqrt(qnorm2) · 1.0)
     *     with the when(qnorm2 === 0, null) zero-direction guard —
     *     x · 1.0 is IEEE-exact, so the shared denominator shape costs
@@ -223,7 +228,9 @@ object Kernels {
       i += 1
     }
     // int8 tier's when(qnorm2 === 0, null) zero-direction guard; the
-    // float tier falls through to 0/0 = NaN like the bare expression.
+    // float tier's 0-norm rows null via the denominator guard below
+    // (non-ANSI Divide returns null on a 0.0 divisor — the expression
+    // never produces Java's 0/0 = NaN).
     if (t.zeroNull && aa == 0.0) return new GenericArrayData(out)
     val sa = math.sqrt(aa)
     val inRange = cluster >= 0 && cluster < t.kCells
@@ -238,7 +245,11 @@ object Kernels {
             ab += elem(j) * t.q(q * t.d + j)
             j += 1
           }
-          out(q) = ab / (sa * t.qdiv(q))
+          // Replicate Divide's zero-divisor → null (non-ANSI); a NaN
+          // denominator (NaN element) is != 0.0 and divides to NaN on
+          // both paths.
+          val den = sa * t.qdiv(q)
+          if (den != 0.0) out(q) = ab / den
         }
       }
       q += 1

@@ -5,7 +5,7 @@ import scala.util.chaining._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, DedupIndex, HeavyHitters, LmIndex, Mixing, Multimodal, Packing, Retrieval, Similarity, TextAnalysis, WinnowIndex}
+import graft.ext.{Dedup, DedupIndex, HeavyHitters, IndexOps, IvfIndex, IvfPq, LmIndex, Mixing, Multimodal, Packing, PostingsIndex, Retrieval, Similarity, TextAnalysis, WinnowIndex}
 
 /** Document-corpus-family registry: dedup (exact / MinHash-LSH /
   * incremental / SimHash / n-gram Jaccard), text analysis and
@@ -63,6 +63,7 @@ private[graft] object CorpusQueries {
     "x_lm_delete" -> ((s, dir) => lmDelete(s, dir)),
     "x_stream_lm" -> ((s, dir) => streamLm(s, dir)),
     "x_dsir_inc" -> ((s, dir) => dsirInc(s, dir)),
+    "x_index_census" -> ((s, dir) => indexCensus(s, dir)),
     "x_simhash" -> ((s, dir) =>
       // SimHash values are engine-internal (xxhash64), but two
       // INVARIANTS of them are not: (a) simhash is a pure function of
@@ -2023,6 +2024,85 @@ private[graft] object CorpusQueries {
     (raw, tgt)
   }
 
+  /** Session-memoized SIX-FAMILY mid-lifecycle fixture for the index
+    * ops census — each family built over a FIXED small slice
+    * (doc_id/vec_id < 500, so fixture size and census values are
+    * sf-invariant) and left mid-lifecycle: a takedown registered but
+    * not purged everywhere, plus an append and a delete wave on the
+    * LM. The CENSUS is the serving operation a 100 TB operator runs
+    * repeatedly (catalog metadata + takedown-sized + vocabulary-sized
+    * contact — IndexOps doc); the fixture is state, built once per
+    * (session, dir) like the bm25/dsir memos, so the bench floor
+    * times the census, not six index builds. */
+  private val censusMemo =
+    new java.util.WeakHashMap[SparkSession, java.util.HashSet[String]]()
+  private def censusFixtureFor(s: SparkSession, dir: String): Seq[IndexOps.Entry] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    def t(n: String) = s"graft_census_${n}_$digest"
+    val entries = Seq(
+      IndexOps.Entry("bands", t("bands")),
+      IndexOps.Entry("bm25", t("bm25"),
+        Seq(t("bm25") + "_docs", t("bm25") + "_stats",
+          t("bm25") + "_stats_deltas")),
+      IndexOps.Entry("ivf", t("ivf"),
+        Seq(IvfIndex.centroidsTable(t("ivf")))),
+      IndexOps.Entry("ivfadc", t("ivfadc"),
+        Seq(IvfIndex.centroidsTable(t("ivfadc")),
+          IvfPq.codebooksTable(t("ivfadc")))),
+      IndexOps.Entry("lm", t("lm"), Seq(t("lm") + "_docs"),
+        gramDeltas = true),
+      IndexOps.Entry("winnow", t("winnow")))
+    censusMemo.synchronized {
+      val perSession = {
+        val m = censusMemo.get(s)
+        if (m != null) m
+        else { val m2 = new java.util.HashSet[String](); censusMemo.put(s, m2); m2 }
+      }
+      if (!perSession.contains(dir)) {
+        val idx = Tables.documents(s, dir)
+          .where(col("doc_id") < 500 && col("text").isNotNull)
+        val dels = idx.where(col("doc_id") % 50 === 3)
+        val delIds = dels.select(col("doc_id").as("id"))
+        val em = Tables.embeddings(s, dir).where(col("vec_id") < 500)
+          .select(col("vec_id"), col("embedding"))
+        val emDelIds = em.where(col("vec_id") % 50 === 3)
+          .select(col("vec_id").as("id"))
+        DedupIndex.build(idx, "doc_id", "text", t("bands"))
+        DedupIndex.delete(s, t("bands"), delIds)
+        WinnowIndex.build(idx, "doc_id", "text", t("winnow"))
+        WinnowIndex.delete(s, t("winnow"), delIds)
+        PostingsIndex.build(s, idx, "doc_id", "text", t("bm25"))
+        PostingsIndex.delete(s, t("bm25"), delIds)
+        IvfIndex.build(em, "vec_id", "embedding", t("ivf"), k = 8, iters = 2)
+        IvfIndex.delete(s, t("ivf"), emDelIds)
+        IvfPq.build(em, "vec_id", "embedding", t("ivfadc"),
+          kCells = 8, ivfIters = 2, m = 8, kPq = 16, pqIters = 1)
+        IvfPq.delete(s, t("ivfadc"), emDelIds)
+        LmIndex.build(s, idx.where(col("doc_id") < 400), "doc_id", "text", t("lm"))
+        LmIndex.append(s, t("lm"), idx.where(col("doc_id") >= 400),
+          "doc_id", "text")
+        LmIndex.delete(s, t("lm"), dels, "doc_id", "text")
+        perSession.add(dir)
+      }
+    }
+    entries
+  }
+
+  /** x_index_census: the index OPS census (IndexOps.census — one row
+    * per family: layout signature, merge_parts from catalog partition
+    * metadata, tombstone backlog, LM zeroed-gram mass, and the
+    * compact_due decision bit) over the six-family mid-lifecycle
+    * fixture. Every value is deterministic by construction; the
+    * oracle replays the data-derived columns from `documents` /
+    * `embeddings` (backlog = the %-50 takedown slice count,
+    * zeroed_grams = bigrams living ONLY in deleted docs) and pins the
+    * layout/table-count constants the fixture's construction fixes —
+    * the x_ivf_topk invariant-bits convention. */
+  private def indexCensus(s: SparkSession, dir: String): DataFrame =
+    IndexOps.census(s, censusFixtureFor(s, dir))
+
   /** x_dsir_inc: INCREMENTAL DSIR — importance log-weights for an
     * arriving shard (every 10th doc) served from the two persisted LM
     * indexes (LmIndex.dsirProbe: raw-corpus LM + English-target LM,
@@ -2791,6 +2871,32 @@ private[graft] object CorpusQueries {
         | FROM documents d LEFT JOIN pd USING (doc_id)
         | WHERE d.doc_id < 300
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // Index ops census: backlog and the LM zeroed-gram mass are
+    // DATA-derived (the %-50 takedown slice of each table; bigrams
+    // living ONLY in deleted docs), replayed here; layout strings,
+    // merge_parts, and table counts are the fixture's construction
+    // constants (the x_ivf_topk invariant-bits convention).
+    "x_index_census" ->
+      """WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id < 500 AND text IS NOT NULL),
+        | del AS (SELECT doc_id, string_split(text, ' ') AS tok FROM idx WHERE doc_id % 50 = 3),
+        | keep AS (SELECT doc_id, string_split(text, ' ') AS tok FROM idx WHERE doc_id % 50 <> 3),
+        | bgd AS (SELECT DISTINCT tok[i] || ' ' || tok[i+1] AS g FROM del,
+        |  UNNEST(generate_series(1, len(tok) - 1)) AS u(i) WHERE len(tok) >= 2),
+        | bgk AS (SELECT DISTINCT tok[i] || ' ' || tok[i+1] AS g FROM keep,
+        |  UNNEST(generate_series(1, len(tok) - 1)) AS u(i) WHERE len(tok) >= 2),
+        | zg AS (SELECT CAST(COUNT(*) AS BIGINT) AS z FROM (SELECT g FROM bgd EXCEPT SELECT g FROM bgk)),
+        | nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM del),
+        | ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings WHERE vec_id < 500 AND vec_id % 50 = 3)
+        | SELECT * FROM (
+        |  SELECT 'bands' AS family, '' AS layout, CAST(0 AS BIGINT) AS merge_parts,
+        |   CAST(2 AS BIGINT) AS n_tables, (SELECT n FROM nd) AS tombstone_backlog,
+        |   CAST(0 AS BIGINT) AS zeroed_grams, CAST(1 AS BIGINT) AS compact_due
+        |  UNION ALL SELECT 'bm25', '', 0, 5, (SELECT n FROM nd), 0, 1
+        |  UNION ALL SELECT 'ivf', 'cluster_id', 0, 3, (SELECT n FROM ne), 0, 1
+        |  UNION ALL SELECT 'ivfadc', 'cluster_id', 0, 4, (SELECT n FROM ne), 0, 1
+        |  UNION ALL SELECT 'lm', '__wave', 3, 3, (SELECT n FROM nd), (SELECT z FROM zg), 1
+        |  UNION ALL SELECT 'winnow', '', 0, 2, (SELECT n FROM nd), 0, 1
+        | ) ORDER BY family""".stripMargin.replaceAll("\n", " "),
     // Incremental DSIR: the x_dsir_weight replay (both censuses over
     // the FULL corpus, whole-bit integer contrast) with the output
     // restricted to the arriving shard — the indexes hold exactly the
@@ -2810,11 +2916,13 @@ private[graft] object CorpusQueries {
         |   FROM tgtc JOIN tgtp USING (w1)),
         | gb AS (SELECT g, bits_raw, bits_t FROM rawb LEFT JOIN tgtb USING (g)),
         | pd AS (SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
-        |   CAST(SUM(CASE WHEN bits_t IS NULL THEN c_doc ELSE 0 END) AS BIGINT) AS n_oov_target,
-        |   CAST(SUM(CASE WHEN bits_t IS NOT NULL THEN c_doc * (bits_raw - bits_t) ELSE 0 END) AS BIGINT) AS w_bits
-        |  FROM pairs JOIN gb USING (g) GROUP BY doc_id)
+        |   CAST(SUM(CASE WHEN bits_raw IS NOT NULL AND bits_t IS NULL THEN c_doc ELSE 0 END) AS BIGINT) AS n_oov_target,
+        |   CAST(SUM(CASE WHEN bits_t IS NOT NULL THEN c_doc * (bits_raw - bits_t) ELSE 0 END) AS BIGINT) AS w_bits,
+        |   CAST(SUM(CASE WHEN bits_raw IS NULL THEN c_doc ELSE 0 END) AS BIGINT) AS n_oov_raw
+        |  FROM pairs LEFT JOIN gb USING (g) GROUP BY doc_id)
         | SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
-        |  COALESCE(pd.n_oov_target, 0) AS n_oov_target, COALESCE(pd.w_bits, 0) AS w_bits
+        |  COALESCE(pd.n_oov_target, 0) AS n_oov_target, COALESCE(pd.w_bits, 0) AS w_bits,
+        |  COALESCE(pd.n_oov_raw, 0) AS n_oov_raw
         | FROM documents d LEFT JOIN pd USING (doc_id)
         | WHERE d.doc_id % 10 = 3
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),

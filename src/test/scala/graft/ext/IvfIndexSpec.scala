@@ -271,6 +271,71 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("probeBatch degenerate vectors: null-score member rows survive the kernel fan-out nulls-last, bit-identical to the single probes") {
+    import spark.implicits._
+    // A vector the lifecycle can't produce but a hand-maintained index
+    // table can hold (round-17 advice #1): an all-zero vector INSIDE a
+    // real cell. The family's own build/append assign a 0-norm vector
+    // a NULL cluster_id (its cosine to every centroid is null — non-
+    // ANSI Divide returns null on a 0.0 divisor — so the argmax is
+    // null) and every probe's cell pruning excludes it; injecting the
+    // row into cell 0 post-build simulates the external-writer case.
+    // Its float cosine AND int8 pre-rank score are both NULL — the
+    // single probes keep it nulls-last and the batch paths must match
+    // bit-for-bit (the pre-fix kernel fan-out dropped the row; the
+    // pre-fix kernel also scored 0-norm rows Java-NaN where the
+    // expression path nulls, a NaN-first-vs-nulls-last rank flip).
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = e.where(col("vec_id") >= 10 && col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding"))
+    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    val qs = e.where(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq.sortBy(_._1)
+    val t = "ivf_batch_degen_spec"
+    IvfIndex.build(corpus, "vec_id", "embedding", t, k = 8, iters = 2)
+    spark.range(1).select(
+        lit(9000L).as("vec_id"),
+        array_repeat(lit(0.0f), dim).as("embedding"),
+        array_repeat(lit(0).cast("tinyint"), dim).as("qv"),
+        lit(0).as("cluster_id"))
+      .write.mode("append").insertInto(t)
+    // k beyond any cell's non-null occupancy and nProbe = all cells:
+    // the null-score member MUST surface in every query's result.
+    val k = 40
+    val nProbe = 8
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    try {
+      val bf = rows(IvfIndex.probeBatch(spark, t, "vec_id", "embedding",
+        qs, k, nProbe))
+      val bq = rows(IvfIndex.probeBatchQuantized(spark, t, "vec_id",
+        "embedding", qs, k, nProbe))
+      qs.foreach { case (qid, q) =>
+        val sf = rows(IvfIndex.probeTopK(spark, t, "vec_id", "embedding", q, k, nProbe)
+          .select(lit(qid).as("query_id"), col("vec_id"), col("cos_sim")))
+        assert(bf.filter(_._1 == qid) == sf,
+          s"float batch diverges from probeTopK on the degenerate corpus for query $qid")
+        val sq = rows(IvfIndex.probeTopKQuantized(spark, t, "vec_id", "embedding", q, k, nProbe)
+          .select(lit(qid).as("query_id"), col("vec_id"), col("cos_sim")))
+        assert(bq.filter(_._1 == qid) == sq,
+          s"quantized batch diverges from probeTopKQuantized on the degenerate corpus for query $qid")
+      }
+      // The degenerate vector is PRESENT in both tiers' batch output
+      // for every query (pre-fix: vanished from the kernel path).
+      qs.foreach { case (qid, _) =>
+        assert(bf.exists(r => r._1 == qid && r._2 == 9000L),
+          s"zero vector missing from float batch for query $qid")
+        assert(bq.exists(r => r._1 == qid && r._2 == 9000L),
+          s"zero vector missing from quantized batch for query $qid")
+      }
+    } finally {
+      Seq(t, IvfIndex.centroidsTable(t), t + "_tombstones")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    }
+  }
+
   test("delete: tombstoned vectors vanish from float AND quantized probes; purge answer-stable") {
     import spark.implicits._
     val e = Tables.embeddings(spark, TestSpark.sf0001)

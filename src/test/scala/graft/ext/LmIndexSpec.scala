@@ -235,6 +235,16 @@ class LmIndexSpec extends AnyFunSuite {
     assert(dsirRows(LmIndex.dsirProbe(spark, raw, tgt, old, "doc_id", "text")) ==
       truth(old, old),
       "dsirProbe must equal dsirContrastBits on the indexed corpus")
+    def oovRaw(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("n_oov_raw"))).first().getLong(0)
+    assert(oovRaw(LmIndex.dsirProbe(spark, raw, tgt, old, "doc_id", "text")) == 0L,
+      "covered probe carries zero raw-OOV mass")
+    // Probe-BEFORE-append misuse (weigh a shard to decide whether to
+    // ingest it) is DETECTABLE: the unseen shard's raw-OOV grams land
+    // in their own n_oov_raw column, never conflated into
+    // n_oov_target's target-OOV mass.
+    assert(oovRaw(LmIndex.dsirProbe(spark, raw, tgt, shard, "doc_id", "text")) > 0L,
+      "probing an un-ingested shard must surface nonzero n_oov_raw")
     // Grow the RAW LM with the shard (the target stays fixed — the
     // production shape): probes of the full corpus now contrast
     // against the grown raw census; scan-time truth is

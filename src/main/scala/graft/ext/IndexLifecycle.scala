@@ -26,7 +26,7 @@ import graft.io.Writer
   *     checkpoint with a leftover table is a drop-and-recreate, never
   *     a silent merge.
   */
-private[ext] object IndexLifecycle {
+private[graft] object IndexLifecycle {
 
   def tombstonesOf(table: String): String = table + "_tombstones"
 

@@ -61,6 +61,7 @@ private[graft] object VectorQueries {
     "x_semantic_dedup" -> ((s, dir) => semanticDedupGate(s, dir)),
     "x_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
     "x_stream_embed_ingest" -> ((s, dir) => streamEmbedIngest(s, dir)),
+    "x_stream_serve" -> ((s, dir) => streamServe(s, dir)),
     "x_approx_sim_join" -> ((s, dir) => approxSimJoin(s, dir)),
     "x_kernel_equiv" -> ((s, dir) => kernelEquiv(s, dir)),
     "x_ann_recall" -> ((s, dir) => annRecall(s, dir)),
@@ -738,6 +739,61 @@ private[graft] object VectorQueries {
           .as("stream_probe_equal_build_ok"))
   }
 
+  /** x_stream_serve: the streaming SERVING loop
+    * (graft.streaming.StreamOps.streamServe — VERDICT r17 #4): 48
+    * query vectors arrive as THREE micro-batched file shards
+    * (vec_id % 3) and are scored against the per-session persisted IVF
+    * index through chunked [[IvfIndex.probeBatch]] (chunkCap 10, so
+    * every 16-query batch splits 10 + 6 — the cap path is exercised,
+    * not just configured), results accumulating in a batch-tagged
+    * sink. Gate: the accumulated rows equal ONE one-shot probeBatch of
+    * all 48 queries in both exceptAll directions — the
+    * shard-split-invariance contract of the ingest streams applied to
+    * serving, which holds because probeBatch answers every query
+    * independently of its batch-mates (bit-identical to the single
+    * probe, the x_ivf_batch contract). Chunk-cap invariance is
+    * spec-pinned (StreamServeSpec). */
+  private def streamServe(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val e = Tables.embeddings(s, dir)
+    val table = ivfIndexFor(s, dir)
+    val queries = e.where(col("vec_id") < 48)
+      .select(col("vec_id"), col("embedding"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val inDir = CorpusQueries.stagedShardsFor(
+      s, dir + "#serve", queries, idCol = "vec_id")
+    val stream = s.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val sink = "graft_stream_serve_" + digest
+    val k = 10
+    val nProbe = 4
+    val qsAll = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq.sortBy(_._1)
+    val oneShot = IvfIndex.probeBatch(s, table, "vec_id", "embedding",
+        qsAll, k, nProbe)
+      .pipe(graft.ext.Checkpoints.stage)
+    val nBatches = graft.streaming.StreamOps.streamServe(
+      s, stream, "vec_id", "embedding", sink, chunkCap = 10,
+      resultSchema = oneShot.schema, keyCol = "query_id",
+      probe = chunk => IvfIndex.probeBatch(s, table, "vec_id", "embedding",
+        chunk, k, nProbe),
+      queryName = "stream_serve_" + digest)
+    val got = s.table(sink).drop(graft.streaming.StreamOps.BatchTag)
+      .pipe(graft.ext.Checkpoints.stage)
+    val missing = oneShot.exceptAll(got).agg(count(lit(1)).as("__m"))
+    val extra = got.exceptAll(oneShot).agg(count(lit(1)).as("__e"))
+    queries.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(got.agg(count(lit(1)).as("n_result_rows")))
+      .crossJoin(missing).crossJoin(extra)
+      .select(col("n_queries"), col("n_result_rows"),
+        lit(if (nBatches == 3) 1L else 0L).as("three_batches_ok"),
+        (col("__m") === 0 && col("__e") === 0).cast("long")
+          .as("accumulated_equals_oneshot_ok"))
+  }
+
   /** Adjacent-pair dot product in int8-quantized space
     * (graft.ext.Quantize) — the oracle-checkable anchor for the
     * quantization arithmetic: scale, round-half-up, and integer dot
@@ -956,6 +1012,16 @@ private[graft] object VectorQueries {
     "x_ivf_topk" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_distinct_ids,
         | CAST(10 AS BIGINT) AS n_in_corpus, CAST(1 AS BIGINT) AS cos_bounds_ok""".stripMargin.replaceAll("\n", " "),
+    // Streaming serving loop: query count and per-query top-k mass are
+    // data-derived (48 streamed queries x k=10; every query's 4 probed
+    // cells hold far more than 10 live rows); the equality bits are
+    // the gate — accumulated chunked micro-batch probes must equal the
+    // one-shot batch probe exactly.
+    "x_stream_serve" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 48) AS n_queries,
+        | (SELECT CAST(10 * COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 48) AS n_result_rows,
+        | CAST(1 AS BIGINT) AS three_batches_ok,
+        | CAST(1 AS BIGINT) AS accumulated_equals_oneshot_ok""".stripMargin.replaceAll("\n", " "),
     // Embedding near-dup / approx-sim-join gates: truth is the
     // brute-force cosine pair count at the threshold (identical
     // fold-order arithmetic), identical-vector pairs the floor.

@@ -298,6 +298,65 @@ object StreamOps {
     w.start()
   }
 
+  /** Streaming SERVING loop — the twin of the families' streaming
+    * INGEST loops (VERDICT r16 #6 / r17 #4): queries arrive as a
+    * micro-batched stream and are scored against a PERSISTED index
+    * through the family's batched probe, chunked to its batch cap.
+    * Every index family's probeBatch answers each query independently
+    * of which other queries share its batch (per query BIT-IDENTICAL
+    * to the single probe — the x_ivf_batch / x_bm25_batch contract),
+    * so the accumulated sink equals a one-shot batch probe of all
+    * queries UNDER ANY CHUNKING AND ANY SHARD SPLIT — the same
+    * shard-split-invariance contract the ingest streams carry, pinned
+    * by StreamServeSpec and gated by x_stream_serve.
+    *
+    * Per micro-batch: the batch's queries are collected to the driver
+    * (request-rate-sized BY DEFINITION — queries are the small side of
+    * serving; the corpus never moves), split into ≤ `chunkCap` groups
+    * (the family probeBatch cap), probed one corpus contact per chunk,
+    * and the union lands in `sinkTable` under the batch's own
+    * [[BatchTag]] partition — [[writeBatchToSink]]'s dynamic-overwrite
+    * redelivery discipline, so a retried batch replaces exactly its
+    * own results. A restart with the same `checkpointLocation` resumes
+    * after the last committed batch ([[IndexLifecycle
+    * .resumeAwareTableMaker]] decides keep-vs-recreate for the sink).
+    *
+    * `resultSchema` is the probe's output schema (+ [[BatchTag]] is
+    * appended here); `keyCol` buckets the sink for downstream
+    * per-query reads. Returns the number of batches processed. */
+  def streamServe(spark: SparkSession, queries: DataFrame,
+                  idCol: String, vecCol: String, sinkTable: String,
+                  chunkCap: Int,
+                  resultSchema: org.apache.spark.sql.types.StructType,
+                  keyCol: String,
+                  probe: Seq[(Long, Seq[Float])] => DataFrame,
+                  queryName: String,
+                  checkpointLocation: Option[String] = None): Int = {
+    require(chunkCap > 0, s"chunkCap must be positive: $chunkCap")
+    val sinkSchema = org.apache.spark.sql.types.StructType(
+      resultSchema.fields :+
+        org.apache.spark.sql.types.StructField(BatchTag,
+          org.apache.spark.sql.types.LongType))
+    graft.ext.IndexLifecycle.resumeAwareTableMaker(spark,
+      checkpointLocation)(spark, sinkTable, sinkSchema, BatchTag,
+      keyCol, 16)
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = foreachBatchSink(queries, queryName, checkpointLocation) {
+      (batch, batchId) =>
+        n.incrementAndGet()
+        val qs = batch.select(col(idCol), col(vecCol)).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+          .sortBy(_._1)
+        if (qs.nonEmpty) {
+          val results = qs.grouped(chunkCap).map(probe).reduce(_ unionByName _)
+          writeBatchToSink(spark, sinkTable, results, batchId)
+        }
+    }
+    q.awaitTermination()
+    spark.catalog.refreshTable(sinkTable)
+    n.get()
+  }
+
   /** Partition column tagging each sink row with the micro-batch that
     * produced it — the idempotence key for [[writeBatchToSink]]. */
   val BatchTag = "__batch_id"

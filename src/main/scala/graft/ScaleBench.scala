@@ -1748,6 +1748,101 @@ object ScaleBench {
     * wrong join never prints. The per-leg walls plus whether AQE's
     * runtime plan actually engaged its skew reader are the published
     * point; the BENCH_NOTES paragraph reads the trade. */
+  /** The relational shuffle-heavy point (VERDICT r17 #5): the TPC-H
+    * Q3 shape x_shipping_priority runs at sf0.1 — selective dim filter
+    * → 3-way join → keyed agg → top-10 — measured here at 1×/10×/50×
+    * on deterministic TPC-H-shaped tables (hash-keyed, ~4 lineitems
+    * per order, 5 market segments, 730-day calendar; every column a
+    * pure function of the row id, so the truth is fixed per scale).
+    *
+    * Two legs answer the two scale questions:
+    *   - DEFAULT (AQE + broadcast): the plan the engine actually runs —
+    *     the filtered customer side must broadcast (no shuffle of the
+    *     fact side by the dim key) and the top-10 must be
+    *     TakeOrderedAndProject, never a global sort. Plan markers are
+    *     REQUIRED, not just reported.
+    *   - SMJ (broadcast disabled): the all-shuffle fallback a 100 TB
+    *     dim side would force; its result must equal the broadcast
+    *     leg's EXACTLY (same decimal-exact revenue doubles from a
+    *     different physical plan — the cross-plan determinism gate,
+    *     a stronger check than a checksum).
+    *
+    * Published per scale: both walls, both shuffle-byte counts (the
+    * broadcast win made measurable), the 10-row gate, and the
+    * cross-plan equality bit. */
+  def relationalPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    val nCust = 5000L * scale
+    val nOrd = 50000L * scale
+    val nLine = 200000L * scale
+    val base = s"$dir/relational_x$scale"
+    spark.range(0, nCust, 1, 32)
+      .select(col("id").as("c_custkey"),
+        concat(lit("S"), pmod(xxhash64(col("id"), lit(10)), lit(5)))
+          .as("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$base/customer")
+    spark.range(0, nOrd, 1, 32)
+      .select(col("id").as("o_orderkey"),
+        pmod(xxhash64(col("id"), lit(11)), lit(nCust)).as("o_custkey"),
+        pmod(xxhash64(col("id"), lit(12)), lit(730)).cast("int")
+          .as("o_orderdate"),
+        concat(lit("P"), pmod(xxhash64(col("id"), lit(13)), lit(5)))
+          .as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$base/orders")
+    spark.range(0, nLine, 1, 32)
+      .select(col("id").as("l_linekey"),
+        pmod(xxhash64(col("id"), lit(14)), lit(nOrd)).as("l_orderkey"),
+        pmod(xxhash64(col("id"), lit(15)), lit(730)).cast("int")
+          .as("l_shipdate"),
+        (pmod(xxhash64(col("id"), lit(16)), lit(90000L)) / lit(100.0) +
+          lit(100.0)).as("l_extendedprice"),
+        (pmod(xxhash64(col("id"), lit(17)), lit(10L)) / lit(100.0))
+          .as("l_discount"))
+      .write.mode("overwrite").parquet(s"$base/lineitem")
+    def q3(): DataFrame = spark.read.parquet(s"$base/customer")
+      .where(col("c_mktsegment") === "S0")
+      .join(spark.read.parquet(s"$base/orders")
+          .where(col("o_orderdate") < 365),
+        col("c_custkey") === col("o_custkey"))
+      .join(spark.read.parquet(s"$base/lineitem")
+          .where(col("l_shipdate") >= 365),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+    spark.sqlContext.clearCache()
+    val dfA = q3()
+    val (rowsA, tA, bytesA) = withShuffleBytes(spark) { dfA.collect() }
+    val planA = dfA.queryExecution.executedPlan.toString
+    require(planA.contains("BroadcastHashJoin"),
+      s"default leg must broadcast the filtered dim side:\n$planA")
+    require(planA.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrderedAndProject, not a global sort:\n$planA")
+    spark.sqlContext.clearCache()
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val (rowsB, tB, bytesB, planB) =
+      try {
+        spark.conf.set(key, "-1")
+        val dfB = q3()
+        val (r, t, b) = withShuffleBytes(spark) { dfB.collect() }
+        (r, t, b, dfB.queryExecution.executedPlan.toString)
+      } finally spark.conf.set(key, saved)
+    require(!planB.contains("BroadcastHashJoin") &&
+      planB.contains("SortMergeJoin"),
+      s"SMJ leg must run broadcast-free:\n$planB")
+    require(rowsA.length == 10, s"expected 10 rows, got ${rowsA.length}")
+    require(rowsA.toSeq == rowsB.toSeq,
+      "cross-plan determinism gate: broadcast and SMJ legs disagree:\n" +
+        s"${rowsA.mkString("\n")}\nvs\n${rowsB.mkString("\n")}")
+    s"""{"scale":$scale,"n_customer":$nCust,"n_orders":$nOrd,""" +
+      s""""n_lineitem":$nLine,"broadcast":{"t":${fmt(tA)},""" +
+      s""""shuffle_bytes":$bytesA},"smj":{"t":${fmt(tB)},""" +
+      s""""shuffle_bytes":$bytesB},"n_rows":${rowsA.length},""" +
+      s""""cross_plan_equal":true}"""
+  }
+
   def skewJoinPoint(spark: SparkSession, dir: String, scale: Int): String = {
     import spark.implicits._
     val n = 1000000L * scale
@@ -2357,6 +2452,14 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // `relational-only`: the TPC-H Q3-shape shuffle point (broadcast
+    // vs SMJ legs, cross-plan determinism gate), 1× warmup untimed.
+    if (args.contains("relational-only")) {
+      relationalPoint(spark, outBase, 1)
+      scales.foreach(m => println(relationalPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
     // `neardup-skew-only` (any arg position): just the boilerplate-skew
     // dedup point at each scale, 1× warmup untimed first.
     if (args.contains("neardup-skew-only")) {

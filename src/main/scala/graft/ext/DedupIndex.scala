@@ -328,26 +328,16 @@ object DedupIndex {
     * probe recovery in ScaleBench's compaction point). */
   def compact(spark: SparkSession, table: String,
               checkpointLocation: Option[String] = None,
-              purge: Boolean = false): Int = {
+              purge: Boolean = false): Int =
     // `purge = true`: the streaming layout's physical purge —
     // tombstoned ids anti-joined out of the merged rewrite, tombstone
     // list dropped after it commits (WinnowIndex.compact documents
-    // the shared contract).
-    val t = table + "_tombstones"
-    val stones = if (purge && spark.catalog.tableExists(t))
-      Some(spark.table(t)) else None
-    val merged = graft.streaming.StreamOps.compactSink(spark, table,
-      checkpointLocation = checkpointLocation, purgeIds = stones)
-    val sink = table + "_pairs"
-    if (spark.catalog.tableExists(sink))
-      graft.streaming.StreamOps.compactSink(spark, sink,
-        checkpointLocation = checkpointLocation)
-    stones.foreach { _ =>
-      spark.sql(s"DROP TABLE `$t`")
-      spark.catalog.refreshTable(table)
+    // the shared contract; IndexLifecycle.compactStreaming is the
+    // shared driver).
+    IndexLifecycle.compactStreaming(spark, table, checkpointLocation,
+      purge) { _ =>
+      IndexLifecycle.compactPairsSink(spark, table, checkpointLocation)
     }
-    merged
-  }
 
   /** End-to-end incremental near-dup pairs: probe candidates, then
     * exact-Jaccard verification against the UNION corpus (only docs

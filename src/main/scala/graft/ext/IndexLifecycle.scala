@@ -74,6 +74,52 @@ private[graft] object IndexLifecycle {
         "deleted ids there, and a physical purge belongs in " +
         "compact(purge = true)")
 
+  /** The streaming-layout compact driver shared by the five tombstoned
+    * families (VERDICT r17 #6: the quiesce → merged-rewrite → sibling
+    * rewrites → tombstone-drop skeleton was hand-rolled five times;
+    * DedupIndex's and WinnowIndex's were verbatim identical): read the
+    * tombstone list when purging, [[graft.streaming.StreamOps
+    * .compactSink]] the MAIN table with it (the merged rewrite a
+    * compaction pays anyway also reclaims tombstoned bytes), run the
+    * family's sibling rewrites with the SAME purge ids, then drop the
+    * tombstone list LAST — probes keep filtering until every sibling
+    * rewrote, so any crash point leaves answers unchanged and a re-run
+    * heals (compactSink's contract). `extraDropsOnPurge` lists side
+    * tables the purge obsoletes (PostingsIndex's `_stats_deltas`),
+    * dropped in the same drop-last window. Returns the main table's
+    * merged partition count. */
+  def compactStreaming(spark: SparkSession, table: String,
+                       checkpointLocation: Option[String], purge: Boolean,
+                       idCol: String = "id",
+                       extraDropsOnPurge: Seq[String] = Nil)
+                      (siblings: Option[DataFrame] => Unit): Int = {
+    val t = tombstonesOf(table)
+    val stones = if (purge && spark.catalog.tableExists(t))
+      Some(spark.table(t)) else None
+    val merged = graft.streaming.StreamOps.compactSink(spark, table,
+      checkpointLocation = checkpointLocation, purgeIds = stones,
+      purgeIdCol = idCol)
+    siblings(stones)
+    stones.foreach { _ =>
+      extraDropsOnPurge.filter(spark.catalog.tableExists)
+        .foreach(x => spark.sql(s"DROP TABLE `$x`"))
+      spark.sql(s"DROP TABLE `$t`")
+      spark.catalog.refreshTable(table)
+    }
+    merged
+  }
+
+  /** The `_pairs` results-sink compact three families run as their
+    * sibling rewrite (never purged — pair rows are results, not index
+    * state; takedown-filtered at probe time). */
+  def compactPairsSink(spark: SparkSession, table: String,
+                       checkpointLocation: Option[String]): Unit = {
+    val sink = table + "_pairs"
+    if (spark.catalog.tableExists(sink))
+      graft.streaming.StreamOps.compactSink(spark, sink,
+        checkpointLocation = checkpointLocation)
+  }
+
   /** The streaming-resume table maker: keep prior state only when the
     * checkpoint has committed batches (fresh checkpoint + leftover
     * table = drop-and-recreate, not a silent merge — the DedupIndex

@@ -406,23 +406,11 @@ object IvfIndex {
     * `idCol` names the index's id column for the purge anti-join. */
   def compact(spark: SparkSession, table: String,
               checkpointLocation: Option[String] = None,
-              purge: Boolean = false, idCol: String = "id"): Int = {
-    val t = table + "_tombstones"
-    val stones = if (purge && spark.catalog.tableExists(t))
-      Some(spark.table(t)) else None
-    val merged = graft.streaming.StreamOps.compactSink(spark, table,
-      checkpointLocation = checkpointLocation,
-      purgeIds = stones, purgeIdCol = idCol)
-    val sink = table + "_pairs"
-    if (spark.catalog.tableExists(sink))
-      graft.streaming.StreamOps.compactSink(spark, sink,
-        checkpointLocation = checkpointLocation)
-    stones.foreach { _ =>
-      spark.sql(s"DROP TABLE `$t`")
-      spark.catalog.refreshTable(table)
+              purge: Boolean = false, idCol: String = "id"): Int =
+    IndexLifecycle.compactStreaming(spark, table, checkpointLocation,
+      purge, idCol) { _ =>
+      IndexLifecycle.compactPairsSink(spark, table, checkpointLocation)
     }
-    merged
-  }
 
   def probeTopKQuantized(spark: SparkSession, table: String, idCol: String,
                          vecCol: String, query: Seq[Float], k: Int,

@@ -240,19 +240,9 @@ object IvfPq {
     * `idCol` names the index's id column for the purge anti-join. */
   def compact(spark: SparkSession, table: String,
               checkpointLocation: Option[String] = None,
-              purge: Boolean = false, idCol: String = "id"): Int = {
-    val t = table + "_tombstones"
-    val stones = if (purge && spark.catalog.tableExists(t))
-      Some(spark.table(t)) else None
-    val merged = graft.streaming.StreamOps.compactSink(spark, table,
-      checkpointLocation = checkpointLocation,
-      purgeIds = stones, purgeIdCol = idCol)
-    stones.foreach { _ =>
-      spark.sql(s"DROP TABLE `$t`")
-      spark.catalog.refreshTable(table)
-    }
-    merged
-  }
+              purge: Boolean = false, idCol: String = "id"): Int =
+    IndexLifecycle.compactStreaming(spark, table, checkpointLocation,
+      purge, idCol)(_ => ())
 
   /** Tombstone-delete vectors — the takedown pattern shared across the
     * index families (WinnowIndex's doc has the contract). Probes hide

@@ -428,29 +428,20 @@ object PostingsIndex {
     // delta side table and tombstone list drop last — probes score
     // the live corpus at every point in between, and a crashed
     // compact(purge) re-runs to the same state.
-    val t = table + "_tombstones"
-    val stones = if (purge && spark.catalog.tableExists(t))
-      Some(spark.table(t)) else None
-    val merged = graft.streaming.StreamOps.compactSink(spark, table,
-      checkpointLocation = checkpointLocation, purgeIds = stones)
-    if (spark.catalog.tableExists(table + "_docs"))
-      graft.streaming.StreamOps.compactSink(spark, table + "_docs",
-        checkpointLocation = checkpointLocation, purgeIds = stones)
-    if (spark.catalog.tableExists(table + "_stats")) {
-      if (stones.isEmpty)
-        graft.streaming.StreamOps.compactSinkAdditive(spark, table + "_stats",
-          _.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
-            coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl")),
-          checkpointLocation = checkpointLocation)
-      else recomputeStreamStats(spark, table)
+    IndexLifecycle.compactStreaming(spark, table, checkpointLocation,
+      purge, extraDropsOnPurge = Seq(table + "_stats_deltas")) { stones =>
+      if (spark.catalog.tableExists(table + "_docs"))
+        graft.streaming.StreamOps.compactSink(spark, table + "_docs",
+          checkpointLocation = checkpointLocation, purgeIds = stones)
+      if (spark.catalog.tableExists(table + "_stats")) {
+        if (stones.isEmpty)
+          graft.streaming.StreamOps.compactSinkAdditive(spark, table + "_stats",
+            _.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+              coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl")),
+            checkpointLocation = checkpointLocation)
+        else recomputeStreamStats(spark, table)
+      }
     }
-    stones.foreach { _ =>
-      val dt = table + "_stats_deltas"
-      if (spark.catalog.tableExists(dt)) spark.sql(s"DROP TABLE `$dt`")
-      spark.sql(s"DROP TABLE `$t`")
-      Seq(table, table + "_docs").foreach(spark.catalog.refreshTable)
-    }
-    merged
   }
 
   /** Rewrite a streaming `_stats` table as ONE row recomputed from the

@@ -337,20 +337,9 @@ object WinnowIndex {
     * equal a fresh index built on the live docs (spec-pinned). */
   def compact(spark: SparkSession, table: String,
               checkpointLocation: Option[String] = None,
-              purge: Boolean = false): Int = {
-    val t = table + "_tombstones"
-    val stones = if (purge && spark.catalog.tableExists(t))
-      Some(spark.table(t)) else None
-    val merged = graft.streaming.StreamOps.compactSink(spark, table,
-      checkpointLocation = checkpointLocation, purgeIds = stones)
-    val sink = table + "_pairs"
-    if (spark.catalog.tableExists(sink))
-      graft.streaming.StreamOps.compactSink(spark, sink,
-        checkpointLocation = checkpointLocation)
-    stones.foreach { _ =>
-      spark.sql(s"DROP TABLE `$t`")
-      spark.catalog.refreshTable(table)
+              purge: Boolean = false): Int =
+    IndexLifecycle.compactStreaming(spark, table, checkpointLocation,
+      purge) { _ =>
+      IndexLifecycle.compactPairsSink(spark, table, checkpointLocation)
     }
-    merged
-  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, IvfIndex, IvfPq, Quantize, Similarity}
+import graft.ext.{Dedup, IvfIndex, IvfPq, Quantize, Similarity, TierAdvisor}
 
 /** Embedding-family registry: similarity search (brute force / LSH /
   * IVF, persisted indexes), quantization, the approximate-similarity-
@@ -73,6 +73,18 @@ private[graft] object VectorQueries {
     "x_vector_eval" -> ((s, dir) => vectorEval(s, dir)),
     "x_stream_ivfpq" -> ((s, dir) => streamIvfPq(s, dir)),
     "x_quantize_dot" -> ((s, dir) => quantizeDot(s, dir)),
+    "x_tier_advisor" -> ((s, dir) => {
+      // The measured serving-tier regime boundary as a queryable
+      // decision (graft.ext.TierAdvisor): 8 anchor queries' exact
+      // top-2 margins + the int8 tier's observed noise on those
+      // pairs, floor-to-micro integers, cheapest tier whose
+      // resolution the worst margin clears 2x. Fully DuckDB-replayed
+      // (quantization, sequential-fold cosines, rank windows, CASE).
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      TierAdvisor.advise(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 8))
+    }),
     "x_quantize_recall" -> ((s, dir) => quantizeRecall(s, dir)),
     "x_pq_recall" -> ((s, dir) => pqRecall(s, dir)),
     "x_pq_batch" -> ((s, dir) => pqBatch(s, dir)),
@@ -1163,6 +1175,40 @@ private[graft] object VectorQueries {
         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |   list_reduce(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i]), (x, y) -> x + y) AS qdot
         | FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 ORDER BY id_a""".stripMargin.replaceAll("\n", " "),
+    // Tier advisor: full replay — int8 quantization (the
+    // x_quantize_dot recipe), sequential-fold float + quantized
+    // cosines, per-anchor top-2 rank windows, floor-to-micro margins
+    // and noise, and the same CASE decision.
+    "x_tier_advisor" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma FROM embeddings),
+        | q AS (SELECT vec_id, embedding,
+        |   CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |        ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5) AS BIGINT)) END AS qv
+        |  FROM m),
+        | pr AS (SELECT a.vec_id AS anchor_id, c.vec_id AS vec_id,
+        |   list_reduce(list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cos_sim,
+        |   CASE WHEN sqrt(CAST(list_reduce(list_transform(c.qv, x -> x * x), (x, y) -> x + y) AS DOUBLE))
+        |          * sqrt(CAST(list_reduce(list_transform(a.qv, x -> x * x), (x, y) -> x + y) AS DOUBLE)) = 0 THEN NULL
+        |        ELSE CAST(list_reduce(list_transform(generate_series(1, len(c.qv)), i -> c.qv[i] * a.qv[i]), (x, y) -> x + y) AS DOUBLE)
+        |    / (sqrt(CAST(list_reduce(list_transform(c.qv, x -> x * x), (x, y) -> x + y) AS DOUBLE))
+        |     * sqrt(CAST(list_reduce(list_transform(a.qv, x -> x * x), (x, y) -> x + y) AS DOUBLE))) END AS cos_q
+        |  FROM q c JOIN q a ON a.vec_id < 8 AND c.vec_id <> a.vec_id),
+        | rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id) AS rn FROM pr),
+        | per AS (SELECT anchor_id,
+        |   CAST(floor((MAX(CASE WHEN rn = 1 THEN cos_sim END) - MAX(CASE WHEN rn = 2 THEN cos_sim END)) * 1e6) AS BIGINT) AS margin_u,
+        |   COALESCE(MAX(CAST(floor(abs(cos_q - cos_sim) * 1e6) AS BIGINT)), 0) AS noise_u
+        |  FROM rk WHERE rn <= 2 GROUP BY anchor_id),
+        | agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_anchors,
+        |   MIN(margin_u) AS min_margin_micro, MAX(noise_u) AS int8_err_micro FROM per)
+        | SELECT n_anchors, min_margin_micro, int8_err_micro,
+        |  CAST(4000 AS BIGINT) AS pq_res_micro, CAST(2 AS BIGINT) AS mult,
+        |  CASE WHEN min_margin_micro >= 2 * 4000 THEN 'ivfadc'
+        |       WHEN min_margin_micro >= 2 * GREATEST(int8_err_micro, 1) THEN 'int8'
+        |       ELSE 'float' END AS tier
+        | FROM agg""".stripMargin.replaceAll("\n", " "),
     // Sequential fold on both engines: kernel loop and list_reduce
     // both accumulate left-to-right in double.
     "x_embed_norms" ->

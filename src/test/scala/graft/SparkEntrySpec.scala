@@ -65,6 +65,9 @@ class SparkEntrySpec extends AnyFunSuite {
       // nested loop BOUNDED by the broadcast anchor batch (5 rows) —
       // linear in the corpus by construction (Similarity.hardNegatives).
       "x_hard_negatives",
+      // Same anchor-batch × corpus shape (8 broadcast anchors, id
+      // inequality), one corpus scan (TierAdvisor.advise).
+      "x_tier_advisor",
       // 1-row scalar crossJoins: corpus token count (PMI), df/avgdl
       // scalars (BM25), and the SemDeDup gate's report assembly.
       "x_pmi_bigrams", "x_bm25_topk", "x_semantic_dedup",

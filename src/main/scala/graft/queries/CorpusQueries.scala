@@ -360,6 +360,7 @@ private[graft] object CorpusQueries {
     "x_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)),
     "x_bm25_index" -> ((s, dir) => bm25Index(s, dir)),
     "x_retrieval_eval" -> ((s, dir) => retrievalEval(s, dir)),
+    "x_stream_serve_bm25" -> ((s, dir) => streamServeBm25(s, dir)),
     "x_bm25_batch" -> ((s, dir) => bm25Batch(s, dir)),
     "x_bm25_delete" -> ((s, dir) => bm25Delete(s, dir)),
     "x_stream_bm25" -> ((s, dir) => streamBm25(s, dir)),
@@ -1659,6 +1660,57 @@ private[graft] object CorpusQueries {
       }
     }
     table
+  }
+
+  /** x_stream_serve_bm25: the TEXT-side serving stream — the same
+    * StreamOps.streamServe loop x_stream_serve runs on the ANN tier,
+    * here scoring micro-batched keyword queries against the memoized
+    * full-corpus BM25 index through chunked PostingsIndex.probeBatch
+    * (24 queries in three 8-query shards, chunkCap 5 → 5 + 3 chunks
+    * per batch). One generic loop, two modalities: the collector is
+    * the only family-specific piece. Gate: accumulated ≡ one one-shot
+    * probeBatch of all 24 in both exceptAll directions. */
+  private def streamServeBm25(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val qdocs = Tables.documents(s, dir)
+      .where(col("text").isNotNull && col("doc_id") < 24)
+      .select(col("doc_id"), col("text"))
+    val table = bm25EvalIndexFor(s, dir)
+    def toQueries(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map { r =>
+        (r.getLong(0),
+          r.getString(1).split(" ", -1).filter(_.nonEmpty)
+            .distinct.sorted.take(4).toSeq)
+      }.toSeq.sortBy(_._1)
+    val qsAll = toQueries(qdocs.collect())
+    val oneShot = PostingsIndex.probeBatch(s, table, qsAll, topK = 10)
+      .pipe(graft.ext.Checkpoints.stage)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val inDir = stagedShardsFor(s, dir + "#servebm25", qdocs, idCol = "doc_id")
+    val stream = s.readStream.schema(qdocs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val sink = "graft_stream_serve_bm25_" + digest
+    val nBatches = graft.streaming.StreamOps.streamServe(
+      s, stream, sink, chunkCap = 5,
+      resultSchema = oneShot.schema, keyCol = "query_id",
+      collectQueries = (batch: DataFrame) =>
+        toQueries(batch.select(col("doc_id"), col("text")).collect()),
+      probe = (chunk: Seq[(Long, Seq[String])]) =>
+        PostingsIndex.probeBatch(s, table, chunk, topK = 10),
+      queryName = "stream_serve_bm25_" + digest)
+    val got = s.table(sink).drop(graft.streaming.StreamOps.BatchTag)
+      .pipe(graft.ext.Checkpoints.stage)
+    val missing = oneShot.exceptAll(got).agg(count(lit(1)).as("__m"))
+    val extra = got.exceptAll(oneShot).agg(count(lit(1)).as("__e"))
+    qdocs.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(got.agg(count(lit(1)).as("n_result_rows")))
+      .crossJoin(missing).crossJoin(extra)
+      .select(col("n_queries"), col("n_result_rows"),
+        lit(if (nBatches == 3) 1L else 0L).as("three_batches_ok"),
+        (col("__m") === 0 && col("__e") === 0).cast("long")
+          .as("accumulated_equals_oneshot_ok"))
   }
 
   private def retrievalEval(s: SparkSession, dir: String): DataFrame = {
@@ -3177,6 +3229,23 @@ private[graft] object CorpusQueries {
     // order via list_reduce — the exact ordered fold probeBatch
     // evaluates — and the source doc's rank comes from the same
     // (score DESC, id) row_number. Integers only.
+    // Text-side streaming serving: query count and per-query top-k
+    // mass are data-derived (24 streamed 4-term queries; a query's
+    // result rows = min(10, docs sharing >= 1 term) — BM25 scores
+    // exactly the docs with at least one matching term); the equality
+    // bits are the gate.
+    "x_stream_serve_bm25" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        | q AS (SELECT doc_id AS query_id,
+        |    unnest(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))[1:4]) AS term
+        |   FROM base WHERE doc_id < 24),
+        | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM base),
+        | m AS (SELECT q.query_id, tok.doc_id FROM q JOIN tok USING (term) GROUP BY 1, 2),
+        | pq AS (SELECT query_id, LEAST(10, COUNT(*)) AS k FROM m GROUP BY query_id)
+        | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE doc_id < 24) AS n_queries,
+        |  (SELECT CAST(SUM(k) AS BIGINT) FROM pq) AS n_result_rows,
+        |  CAST(1 AS BIGINT) AS three_batches_ok,
+        |  CAST(1 AS BIGINT) AS accumulated_equals_oneshot_ok""".stripMargin.replaceAll("\n", " "),
     "x_retrieval_eval" ->
       """WITH base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, text
         |   FROM documents WHERE text IS NOT NULL),

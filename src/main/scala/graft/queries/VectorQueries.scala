@@ -788,10 +788,13 @@ private[graft] object VectorQueries {
         qsAll, k, nProbe)
       .pipe(graft.ext.Checkpoints.stage)
     val nBatches = graft.streaming.StreamOps.streamServe(
-      s, stream, "vec_id", "embedding", sink, chunkCap = 10,
+      s, stream, sink, chunkCap = 10,
       resultSchema = oneShot.schema, keyCol = "query_id",
-      probe = chunk => IvfIndex.probeBatch(s, table, "vec_id", "embedding",
-        chunk, k, nProbe),
+      collectQueries = graft.streaming.StreamOps
+        .vectorQueryCollector("vec_id", "embedding"),
+      probe = (chunk: Seq[(Long, Seq[Float])]) =>
+        IvfIndex.probeBatch(s, table, "vec_id", "embedding",
+          chunk, k, nProbe),
       queryName = "stream_serve_" + digest)
     val got = s.table(sink).drop(graft.streaming.StreamOps.BatchTag)
       .pipe(graft.ext.Checkpoints.stage)

@@ -323,15 +323,21 @@ object StreamOps {
     *
     * `resultSchema` is the probe's output schema (+ [[BatchTag]] is
     * appended here); `keyCol` buckets the sink for downstream
-    * per-query reads. Returns the number of batches processed. */
-  def streamServe(spark: SparkSession, queries: DataFrame,
-                  idCol: String, vecCol: String, sinkTable: String,
-                  chunkCap: Int,
-                  resultSchema: org.apache.spark.sql.types.StructType,
-                  keyCol: String,
-                  probe: Seq[(Long, Seq[Float])] => DataFrame,
-                  queryName: String,
-                  checkpointLocation: Option[String] = None): Int = {
+    * per-query reads. GENERIC over the query payload `Q` —
+    * `collectQueries` turns a micro-batch into the family's probe
+    * input ((id, vector) for the ANN tiers, (id, terms) for BM25 —
+    * both driver queries ride this one loop), and MUST be
+    * deterministic given the batch's rows (sort by query id) so a
+    * redelivered batch reproduces its chunking. Returns the number of
+    * batches processed. */
+  def streamServe[Q](spark: SparkSession, queries: DataFrame,
+                     sinkTable: String, chunkCap: Int,
+                     resultSchema: org.apache.spark.sql.types.StructType,
+                     keyCol: String,
+                     collectQueries: DataFrame => Seq[Q],
+                     probe: Seq[Q] => DataFrame,
+                     queryName: String,
+                     checkpointLocation: Option[String] = None): Int = {
     require(chunkCap > 0, s"chunkCap must be positive: $chunkCap")
     val sinkSchema = org.apache.spark.sql.types.StructType(
       resultSchema.fields :+
@@ -344,9 +350,7 @@ object StreamOps {
     val q = foreachBatchSink(queries, queryName, checkpointLocation) {
       (batch, batchId) =>
         n.incrementAndGet()
-        val qs = batch.select(col(idCol), col(vecCol)).collect()
-          .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
-          .sortBy(_._1)
+        val qs = collectQueries(batch)
         if (qs.nonEmpty) {
           val results = qs.grouped(chunkCap).map(probe).reduce(_ unionByName _)
           writeBatchToSink(spark, sinkTable, results, batchId)
@@ -356,6 +360,14 @@ object StreamOps {
     spark.catalog.refreshTable(sinkTable)
     n.get()
   }
+
+  /** [[streamServe]]'s vector-stream collector: (idCol, vecCol) rows
+    * to the ANN probeBatch input, sorted by query id. */
+  def vectorQueryCollector(idCol: String, vecCol: String)
+      : DataFrame => Seq[(Long, Seq[Float])] =
+    batch => batch.select(col(idCol), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      .sortBy(_._1)
 
   /** Partition column tagging each sink row with the micro-batch that
     * produced it — the idempotence key for [[writeBatchToSink]]. */

@@ -56,9 +56,9 @@ class SparkEntrySpec extends AnyFunSuite {
       // Streaming-purge gate: the same 1-row report assembly (censuses
       // × equality/cleanup bits).
       "x_stream_purge_gate",
-      // Streaming-serving gate: 1-row report assembly (query/result
+      // Streaming-serving gates: 1-row report assembly (query/result
       // counts × the accumulated-equals-one-shot equality bits).
-      "x_stream_serve",
+      "x_stream_serve", "x_stream_serve_bm25",
       "x_stream_incremental_dedup", "x_ivf_quantized", "x_embed_dedup",
       "x_stream_embed_ingest", "x_stream_ivfpq", "x_retrieval_eval",
       // Anchor-batch × corpus scoring: the non-equi label filter is a

@@ -65,10 +65,12 @@ class StreamServeSpec extends AnyFunSuite {
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val sink = s"stream_serve_spec_sink_${nShards}_$cap"
         sinks += sink
-        val n = StreamOps.streamServe(spark, stream, "vec_id", "embedding",
+        val n = StreamOps.streamServe(spark, stream,
           sink, cap, oneShotDf.schema, "query_id",
-          chunk => IvfIndex.probeBatch(spark, t, "vec_id", "embedding",
-            chunk, k, nProbe),
+          StreamOps.vectorQueryCollector("vec_id", "embedding"),
+          (chunk: Seq[(Long, Seq[Float])]) =>
+            IvfIndex.probeBatch(spark, t, "vec_id", "embedding",
+              chunk, k, nProbe),
           s"serve_spec_${nShards}_$cap")
         assert(n == nShards, s"expected $nShards micro-batches, got $n")
         val got = rows(spark.table(sink).drop(StreamOps.BatchTag))

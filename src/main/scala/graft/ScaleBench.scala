@@ -1616,6 +1616,150 @@ object ScaleBench {
       s""""speedup":${fmt(tLoopQ / math.max(tBatchQ, 1e-9))}}}}"""
   }
 
+  /** Streaming serving loop at scale (the r18 StreamOps.streamServe
+    * evidence leg): 64 held-out queries arrive as FOUR micro-batched
+    * file shards against a persisted IVF index and are scored through
+    * chunked probeBatch (chunkCap 16 — each 16-query batch is one
+    * probeBatch call, so the stream's cost decomposes as nBatches ×
+    * (probe + sink write) + stream machinery). Published against the
+    * ONE-SHOT batch probe of all 64: the stream pays its per-batch
+    * accumulation (an idempotent partition write each batch) and the
+    * micro-batch scheduler, in exchange for serving queries AS THEY
+    * ARRIVE — the ratio is the cost of latency, and the gate is that
+    * results are FREE of it: accumulated rows ≡ the one-shot probe
+    * exactly. */
+  def servePoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.IvfIndex
+    import graft.streaming.StreamOps
+    val n = 2000L * scale
+    val nQ = 64
+    val pathStr = s"$dir/serve_x$scale"
+    genClusteredEmbeddings(spark, n + nQ, noiseDiv = 2e6)
+      .write.mode("overwrite").parquet(s"$pathStr/emb")
+    val emb = spark.read.parquet(s"$pathStr/emb")
+    val queriesDf = emb.where(col("vec_id") < nQ)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.where(col("vec_id") >= nQ)
+    val table = s"graft_scale_serve_x$scale"
+    val kCells = math.max(16, (n / 1250L).toInt)
+    val nProbe = kCells / 4
+    val (_, tBuild) = timed {
+      IvfIndex.build(corpus, "vec_id", "embedding", table,
+        k = kCells, iters = 2)
+    }
+    val queries = queriesDf.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq.sortBy(_._1)
+    spark.sqlContext.clearCache()
+    val oneShotDf = IvfIndex.probeBatch(spark, table, "vec_id", "embedding",
+      queries, k = 10, nProbe = nProbe)
+    val (oneShot, tOneShot) = timed { oneShotDf.collect() }
+    // Stage 4 one-file shards (16 queries each, vec_id % 4).
+    val inDir = s"$pathStr/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    (0 until 4).foreach { i =>
+      val w = s"$pathStr/w$i"
+      queriesDf.where(pmod(col("vec_id"), lit(4)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(w)
+      val part = new java.io.File(w).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $w"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(inDir, s"shard_$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val stream = spark.readStream.schema(queriesDf.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val sink = s"graft_scale_serve_sink_x$scale"
+    spark.sqlContext.clearCache()
+    val (nBatches, tStream) = timed {
+      StreamOps.streamServe(spark, stream, sink, chunkCap = 16,
+        oneShotDf.schema, "query_id",
+        StreamOps.vectorQueryCollector("vec_id", "embedding"),
+        (chunk: Seq[(Long, Seq[Float])]) =>
+          IvfIndex.probeBatch(spark, table, "vec_id", "embedding",
+            chunk, k = 10, nProbe = nProbe),
+        s"scale_serve_x$scale")
+    }
+    require(nBatches == 4, s"expected 4 micro-batches, got $nBatches")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val got = spark.table(sink).drop(StreamOps.BatchTag).collect()
+    require(keyed(got) == keyed(oneShot),
+      "accumulated streaming results diverge from the one-shot batch probe")
+    s"""{"serve":{"scale":$scale,"n_vecs":$n,"n_queries":$nQ,""" +
+      s""""k_cells":$kCells,"n_probe":$nProbe,"build_t":${fmt(tBuild)},""" +
+      s""""oneshot_t":${fmt(tOneShot)},"stream_t":${fmt(tStream)},""" +
+      s""""n_batches":$nBatches,"per_batch_t":${fmt(tStream / nBatches)},""" +
+      s""""stream_overhead":${fmt(tStream / math.max(tOneShot, 1e-9))}}}"""
+  }
+
+  /** Tier-advisor evidence leg (the r18 TierAdvisor point): the
+    * advisor must tell the regimes apart ON CORPORA CONSTRUCTED TO SIT
+    * IN THEM — the ivfPqPoint doctrine made adversarial:
+    *
+    *   - SEPARABLE: clustered corpus, each anchor planted a
+    *     hash-perturbed near-twin (±5e-3/coord — the vectorEval twin
+    *     recipe) against a ±0.5-noise crowd, so every anchor's top-2
+    *     margin is macroscopic. Gate: tier == "ivfadc".
+    *   - PLATEAU: every vector is one center + ±5e-4/coord noise —
+    *     near-neighbor margins BELOW the measured 4e-3 PQ code
+    *     resolution by construction (the corpus shape that defeated
+    *     standalone PQ at the ivfPqPoint). Gates: tier != "ivfadc"
+    *     AND min_margin < 2 × pq_res AND the separable corpus's
+    *     margin exceeds the plateau's.
+    *
+    * The advise() wall is published per scale — one broadcast-anchor
+    * corpus scan, so it must stay ~linear. */
+  def advisorPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.TierAdvisor
+    val n = 2000L * scale
+    val nA = 8
+    val sep0 = genClusteredEmbeddings(spark, n, noiseDiv = 2e6)
+    // Twins of anchors 0..7 at ids n..n+7: anchor coord + (hash mod
+    // 21 − 10)/2000 — double add then the column's float cast.
+    val twins = sep0.where(col("vec_id") < nA)
+      .select((col("vec_id") + n).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x.cast("double") +
+            (pmod(xxhash64(col("vec_id"), i), lit(21L)).cast("double") - 10.0)
+              / 2000.0).cast("float")).as("embedding"))
+    val sepPath = s"$dir/advisor_sep_x$scale"
+    sep0.unionByName(twins).write.mode("overwrite").parquet(sepPath)
+    val sep = spark.read.parquet(sepPath)
+    val plateauPath = s"$dir/advisor_plateau_x$scale"
+    spark.range(0, n, 1, 32).toDF("vec_id")
+      .withColumn("embedding", transform(sequence(lit(1), lit(64)), i =>
+        (((pmod(xxhash64(lit(99L), i), lit(2001L)).cast("double") - 1000.0)
+            / 1000.0)
+          + (pmod(xxhash64(col("vec_id"), i + 900), lit(2000001L))
+              .cast("double") - 1000000.0) / 2e9).cast("float")))
+      .write.mode("overwrite").parquet(plateauPath)
+    val plateau = spark.read.parquet(plateauPath)
+    def run(c: org.apache.spark.sql.DataFrame) = {
+      spark.sqlContext.clearCache()
+      timed {
+        TierAdvisor.advise(c, "vec_id", "embedding",
+          c.where(col("vec_id") < nA)).collect().head
+      }
+    }
+    val (rSep, tSep) = run(sep)
+    val (rPl, tPl) = run(plateau)
+    require(rSep.getString(5) == "ivfadc",
+      s"separable corpus must recommend ivfadc: $rSep")
+    require(rPl.getString(5) != "ivfadc",
+      s"plateau corpus must NOT recommend ivfadc: $rPl")
+    require(rPl.getLong(1) < 2L * rPl.getLong(3),
+      s"plateau margin must sit below 2x pq_res: $rPl")
+    require(rSep.getLong(1) > rPl.getLong(1),
+      s"separable margin must exceed plateau margin: $rSep vs $rPl")
+    s"""{"advisor":{"scale":$scale,"n_vecs":$n,"n_anchors":$nA,""" +
+      s""""separable":{"t":${fmt(tSep)},"min_margin_micro":${rSep.getLong(1)},""" +
+      s""""int8_err_micro":${rSep.getLong(2)},"tier":"${rSep.getString(5)}"},""" +
+      s""""plateau":{"t":${fmt(tPl)},"min_margin_micro":${rPl.getLong(1)},""" +
+      s""""int8_err_micro":${rPl.getLong(2)},"tier":"${rPl.getString(5)}"}}}"""
+  }
+
   /** Physical-purge cost at scale (VERDICT r14/r15 #1's evidence leg):
     * the stage-and-swap / dynamic-partition-overwrite purge must write
     * bytes PROPORTIONAL TO THE TOUCHED CELLS, never the corpus. Two
@@ -2452,6 +2596,20 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // `serve-only`: the streaming serving loop vs one-shot batch probe.
+    if (args.contains("serve-only")) {
+      servePoint(spark, outBase, 1)
+      scales.foreach(m => println(servePoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `advisor-only`: the tier advisor on regime-constructed corpora.
+    if (args.contains("advisor-only")) {
+      advisorPoint(spark, outBase, 1)
+      scales.foreach(m => println(advisorPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
     // `relational-only`: the TPC-H Q3-shape shuffle point (broadcast
     // vs SMJ legs, cross-plan determinism gate), 1× warmup untimed.
     if (args.contains("relational-only")) {

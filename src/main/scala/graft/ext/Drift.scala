@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-snapshot DISTRIBUTION drift census — the training-data
+  * monitoring report next to [[graft.queries.CorpusQueries]]'
+  * id-level corpusDiff: two snapshots of a corpus metric (doc token
+  * count, quality score, …) bucketed on a fixed integer grid and
+  * contrasted per bucket, the population-stability-index shape in the
+  * repo's whole-bit integer arithmetic so every emitted value is
+  * engine-exact and DuckDB-replayable (the surprisal family's
+  * convention — no engine-dependent ln()):
+  *
+  *   - `n_old` / `n_new` — bucket counts (integers).
+  *   - `d_milli` — add-one-smoothed share shift in milli-units:
+  *     1000·(c_new+1) DIV (N_new+B) − 1000·(c_old+1) DIV (N_old+B),
+  *     B = number of buckets (smoothing keeps empty buckets finite,
+  *     the standard PSI ε in integer form).
+  *   - `odds_bits` — the whole-bit log₂ odds ratio:
+  *     bits((c_new+1)·(N_old+B)) − bits((c_old+1)·(N_new+B)), where
+  *     bits(x) = bit_length(x) − 1 = floor(log₂ x). Positive = the
+  *     bucket gained mass.
+  *   - `drift_score` — d_milli · odds_bits, the PSI term's integer
+  *     twin: large only when a bucket moved BOTH in share and in
+  *     order of magnitude. Σ drift_score over buckets is the
+  *     monitoring scalar; per-bucket rows localize WHICH part of the
+  *     distribution moved.
+  *
+  * 100 TB shape: one single-pass bucket census per snapshot (map-side
+  * combine — the exchange carries ≤ maxBucket+1 rows per partition),
+  * one (maxBucket+1)-row full-outer join. Nothing corpus-sized
+  * shuffles. Works unchanged on a sampled snapshot — shares are
+  * scale-free.
+  */
+object Drift {
+
+  /** Per-bucket drift rows between `old` and `newer` on
+    * `floor(value / bucketWidth)` clamped to [0, maxBucket]. `value`
+    * must be non-negative (clamp below is at 0). Output ordered by
+    * bucket; buckets empty in BOTH snapshots are omitted (they carry
+    * d_milli = 0, odds_bits = 0 by construction). */
+  def census(old: DataFrame, newer: DataFrame, value: Column,
+             bucketWidth: Double, maxBucket: Int): DataFrame = {
+    require(bucketWidth > 0 && maxBucket > 0,
+      s"bucketWidth/maxBucket must be positive: $bucketWidth, $maxBucket")
+    val b = lit(maxBucket.toLong + 1L) // smoothing mass = bucket count
+    def bucketed(df: DataFrame, out: String): DataFrame =
+      df.select(least(greatest(floor(value / lit(bucketWidth)), lit(0L))
+          .cast("long"), lit(maxBucket.toLong)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+    def bits(c: Column): Column =
+      (length(conv(c.cast("string"), 10, 2)) - 1).cast("long")
+    val o = bucketed(old, "n_old")
+    val n = bucketed(newer, "n_new")
+    val totals = o.agg(coalesce(sum(col("n_old")), lit(0L)).as("__no"))
+      .crossJoin(n.agg(coalesce(sum(col("n_new")), lit(0L)).as("__nn")))
+    o.join(n, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .crossJoin(totals)
+      // floor-div in double is exact here: quotients are ≤ 1000 and
+      // non-integer true quotients sit ≥ 1/(N+B) from integers, far
+      // beyond double division's relative error — and DuckDB's
+      // floor()+CAST replays it symbol-for-symbol (a bare CAST would
+      // not: DuckDB rounds double→BIGINT, Spark truncates).
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        (floor(lit(1000L) * (col("n_new") + 1L) / (col("__nn") + b)) -
+          floor(lit(1000L) * (col("n_old") + 1L) / (col("__no") + b)))
+          .cast("long").as("d_milli"),
+        (bits((col("n_new") + 1L) * (col("__no") + b)) -
+          bits((col("n_old") + 1L) * (col("__nn") + b))).as("odds_bits"))
+      .withColumn("drift_score", col("d_milli") * col("odds_bits"))
+      .orderBy(col("bucket"))
+  }
+}

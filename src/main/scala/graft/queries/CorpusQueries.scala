@@ -5,7 +5,7 @@ import scala.util.chaining._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, DedupIndex, HeavyHitters, IndexOps, IvfIndex, IvfPq, LmIndex, Mixing, Multimodal, Packing, PostingsIndex, Retrieval, Similarity, TextAnalysis, WinnowIndex}
+import graft.ext.{Dedup, DedupIndex, Drift, HeavyHitters, IndexOps, IvfIndex, IvfPq, LmIndex, Mixing, Multimodal, Packing, PostingsIndex, Retrieval, Similarity, TextAnalysis, WinnowIndex}
 
 /** Document-corpus-family registry: dedup (exact / MinHash-LSH /
   * incremental / SimHash / n-gram Jaccard), text analysis and
@@ -64,6 +64,19 @@ private[graft] object CorpusQueries {
     "x_stream_lm" -> ((s, dir) => streamLm(s, dir)),
     "x_dsir_inc" -> ((s, dir) => dsirInc(s, dir)),
     "x_index_census" -> ((s, dir) => indexCensus(s, dir)),
+    "x_drift_census" -> ((s, dir) => {
+      // Snapshot distribution drift (graft.ext.Drift): the even-id
+      // half as snapshot A vs the odd-id half as snapshot B, doc
+      // whitespace-token-count bucketed at width 32 capped at 16 —
+      // per-bucket counts, milli-share shift, whole-bit log-odds, and
+      // the integer PSI-term twin, all value-replayed.
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+      Drift.census(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1),
+        TextAnalysis.wsTokenCount(col("text")),
+        bucketWidth = 32.0, maxBucket = 16)
+    }),
     "x_simhash" -> ((s, dir) =>
       // SimHash values are engine-internal (xxhash64), but two
       // INVARIANTS of them are not: (a) simhash is a pure function of
@@ -2923,6 +2936,26 @@ private[graft] object CorpusQueries {
         | FROM documents d LEFT JOIN pd USING (doc_id)
         | WHERE d.doc_id < 300
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // Drift census: full replay — same bucketing, add-one milli
+    // shares via floor (DuckDB CAST alone ROUNDS double->BIGINT where
+    // Spark truncates — floor on both sides), whole-bit log-odds via
+    // to_base bit length (the surprisal family's convention).
+    "x_drift_census" ->
+      """WITH d AS (SELECT doc_id,
+        |   LEAST(GREATEST(CAST(floor((length(text) - length(replace(text, ' ', '')) + 1) / 32.0) AS BIGINT), 0), 16) AS bucket
+        |  FROM documents WHERE text IS NOT NULL),
+        | o AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_old FROM d WHERE doc_id % 2 = 0 GROUP BY bucket),
+        | n AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new FROM d WHERE doc_id % 2 = 1 GROUP BY bucket),
+        | j AS (SELECT COALESCE(o.bucket, n.bucket) AS bucket,
+        |   COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+        |  FROM o FULL OUTER JOIN n ON o.bucket = n.bucket),
+        | t AS (SELECT (SELECT COALESCE(SUM(n_old), 0) FROM j) AS no, (SELECT COALESCE(SUM(n_new), 0) FROM j) AS nn)
+        | SELECT bucket, n_old, n_new,
+        |  CAST(floor(1000 * (n_new + 1) / CAST(nn + 17 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 17 AS DOUBLE)) AS BIGINT) AS d_milli,
+        |  CAST((length(to_base(CAST((n_new + 1) * (no + 17) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 17) AS BIGINT), 2)) - 1) AS BIGINT) AS odds_bits,
+        |  CAST((floor(1000 * (n_new + 1) / CAST(nn + 17 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 17 AS DOUBLE)))
+        |   * ((length(to_base(CAST((n_new + 1) * (no + 17) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 17) AS BIGINT), 2)) - 1)) AS BIGINT) AS drift_score
+        | FROM j CROSS JOIN t ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
     // Index ops census: backlog and the LM zeroed-gram mass are
     // DATA-derived (the %-50 takedown slice of each table; bigrams
     // living ONLY in deleted docs), replayed here; layout strings,

@@ -1694,6 +1694,101 @@ object ScaleBench {
       s""""stream_overhead":${fmt(tStream / math.max(tOneShot, 1e-9))}}}"""
   }
 
+  /** Rebalance-under-drift evidence leg (the r18 IvfIndex.rebalance
+    * point): a corpus drifts — 25 % new mass arrives as ONE tight
+    * blob (near-twins of a single vector), piling into one cell of an
+    * index trained before the drift. The census must trip
+    * rebalance_due; probes whose queries land IN the hot cell scan
+    * the whole pile. Rebalance retrains on the live corpus: the blob
+    * gets cells of its own, the hot-cell probe's scanned rows drop
+    * toward corpus/k, and answers stay exact (the probe's top-10 ids
+    * are the planted twins before AND after — truth by construction).
+    * Published per scale: skew milli-ratio before/after, the hot
+    * probe's scanned-row count before/after, rebalance wall. */
+  def rebalancePoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.IvfIndex
+    val n = 2000L * scale
+    val nBlob = n / 4
+    val basePath = s"$dir/rebalance_x$scale"
+    genClusteredEmbeddings(spark, n, noiseDiv = 2e6)
+      .write.mode("overwrite").parquet(s"$basePath/base")
+    val base = spark.read.parquet(s"$basePath/base")
+    // The drift blob: a NEW REGION the pre-drift partition cannot
+    // resolve — near-twins of a synthetic direction (hash seed 888)
+    // unrelated to the 16 base centers, at ids n..n+nBlob-1. Under the
+    // FROZEN pre-drift centroids every blob vector maps to whichever
+    // old cell happens to be least-unlike the new direction, piling
+    // new mass onto that cell's unrelated base members.
+    spark.range(0, nBlob, 1, 32).toDF("i")
+      .select((col("i") + n).as("vec_id"),
+        transform(sequence(lit(1), lit(64)), j =>
+          (((pmod(xxhash64(lit(888L), j), lit(2001L)).cast("double")
+              - 1000.0) / 1000.0)
+            + (pmod(xxhash64(col("i"), j + 700), lit(21L)).cast("double")
+                - 10.0) / 2000.0).cast("float")).as("embedding"))
+      .write.mode("overwrite").parquet(s"$basePath/blob")
+    val blob = spark.read.parquet(s"$basePath/blob")
+    val t = s"graft_scale_rebalance_x$scale"
+    val tFresh = s"graft_scale_rebalance_fresh_x$scale"
+    val kCells = math.max(16, (n / 1250L).toInt)
+    // Train BEFORE the drift (the production sequence), then append
+    // the blob through the frozen assignment.
+    IvfIndex.build(base, "vec_id", "embedding", t, k = kCells, iters = 2)
+    val cents0 = IvfIndex.centroids(spark, t)
+    graft.ext.Quantize.withQuantized(
+        graft.ext.Similarity.ivfAssign(blob, "vec_id", "embedding", cents0),
+        "embedding", "qv")
+      .withColumn("qv", col("qv").cast("array<tinyint>"))
+      .select(col("vec_id"), col("embedding"), col("qv"), col("cluster_id"))
+      .write.insertInto(t)
+    spark.catalog.refreshTable(t)
+    def skewMilli() = IvfIndex.cellSkew(spark, t, "vec_id")
+      .collect().head.getLong(3)
+    def hotProbeRows(q: Seq[Float]): Long = {
+      val cents = IvfIndex.centroids(spark, t)
+      val probe = graft.ext.Similarity.probeClusters(cents, q, kCells / 4)
+      spark.table(t).where(col("cluster_id").isin(probe: _*)).count()
+    }
+    // The drift-region query: blob twin 0's own vector.
+    val q = blob.where(col("vec_id") === n)
+      .select(col("embedding")).first().getSeq[Float](0).toSeq
+    val skewBefore = skewMilli()
+    val scanBefore = hotProbeRows(q)
+    require(IvfIndex.cellSkew(spark, t, "vec_id", dueMilli = 2000L)
+      .collect().head.getLong(4) == 1L,
+      "planted drift must trip rebalance_due at the 2x-mean threshold")
+    spark.sqlContext.clearCache()
+    val (_, tReb) = timed {
+      IvfIndex.rebalance(spark, t, "vec_id", "embedding",
+        k = kCells, iters = 2)
+    }
+    val skewAfter = skewMilli()
+    val scanAfter = hotProbeRows(q)
+    // Post-rebalance the drift query's top-10 must be blob twins —
+    // the new layout serves the new region.
+    val ids = IvfIndex.probeTopK(spark, t, "vec_id", "embedding", q,
+      k = 10, nProbe = kCells / 4).collect().map(_.getLong(0)).toSeq
+    require(ids.forall(_ >= n),
+      s"post-rebalance top-10 must be the drift twins: $ids")
+    // THE gate: rebalance ≡ an independent fresh build on the same
+    // corpus — layout-exact (same per-cell counts), Lloyd determinism.
+    IvfIndex.build(spark.table(t).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", tFresh, k = kCells, iters = 2)
+    val cells = IvfIndex.cellCensus(spark, t, "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val cellsFresh = IvfIndex.cellCensus(spark, tFresh, "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    require(cells == cellsFresh,
+      s"rebalanced layout must equal a fresh build's:\n$cells\nvs\n$cellsFresh")
+    Seq(tFresh, IvfIndex.centroidsTable(tFresh))
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    s"""{"rebalance":{"scale":$scale,"n_base":$n,"n_blob":$nBlob,""" +
+      s""""k_cells":$kCells,"skew_milli_before":$skewBefore,""" +
+      s""""skew_milli_after":$skewAfter,"hot_probe_rows_before":$scanBefore,""" +
+      s""""hot_probe_rows_after":$scanAfter,""" +
+      s""""layout_equals_fresh_build":true,"rebalance_t":${fmt(tReb)}}}"""
+  }
+
   /** Tier-advisor evidence leg (the r18 TierAdvisor point): the
     * advisor must tell the regimes apart ON CORPORA CONSTRUCTED TO SIT
     * IN THEM — the ivfPqPoint doctrine made adversarial:
@@ -2600,6 +2695,13 @@ object ScaleBench {
     if (args.contains("serve-only")) {
       servePoint(spark, outBase, 1)
       scales.foreach(m => println(servePoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `rebalance-only`: rebalance under planted distribution drift.
+    if (args.contains("rebalance-only")) {
+      rebalancePoint(spark, outBase, 1)
+      scales.foreach(m => println(rebalancePoint(spark, outBase, m)))
       spark.stop()
       return
     }

@@ -28,6 +28,133 @@ object IvfIndex {
 
   def centroidsTable(table: String): String = table + "_centroids"
 
+  /** The 1-row marker a [[rebalance]] writes AFTER both staged tables
+    * are complete and drops after both swaps commit: its presence
+    * means "the staged layout IS the index — finish the swaps", which
+    * [[recoverRebalance]] does idempotently at every probe/lifecycle
+    * entry. A staging table WITHOUT the marker is a crashed STAGE
+    * phase's garbage (old index intact); the next rebalance overwrites
+    * it — exactly PurgeSwap's doctrine extended to a two-table swap. */
+  private def rebalanceMarker(table: String): String =
+    table + "_rebalance_inflight"
+
+  /** Per-cell LIVE row counts of a saved index — the layout-health
+    * census behind [[cellSkew]]: one single-column scan (id +
+    * partition metadata), tombstones filtered, ≤ k rows out. */
+  def cellCensus(spark: SparkSession, table: String,
+                 idCol: String): DataFrame = {
+    minusTombstones(spark, table, idCol, spark.table(table))
+      .groupBy(col("cluster_id").cast("int").as("cluster_id"))
+      .agg(count(lit(1)).as("n_live"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Cell-skew summary — the when-to-REBALANCE decision next to
+    * IndexOps.census's when-to-compact: distribution drift piles new
+    * vectors into few cells (every probe of those cells then scans the
+    * pile), and the integer milli-ratio max_cell/mean_cell against
+    * `dueMilli` makes the rebalance decision a queryable fact.
+    * One row: (n_cells, n_live, max_cell, max_over_mean_milli,
+    * rebalance_due). */
+  def cellSkew(spark: SparkSession, table: String, idCol: String,
+               dueMilli: Long = 4000L): DataFrame = {
+    cellCensus(spark, table, idCol)
+      .agg(count(lit(1)).as("n_cells"),
+        coalesce(sum(col("n_live")), lit(0L)).as("n_live"),
+        coalesce(max(col("n_live")), lit(0L)).as("max_cell"))
+      .select(col("n_cells"), col("n_live"), col("max_cell"),
+        floor(lit(1000L) * col("max_cell") * col("n_cells") /
+          greatest(col("n_live"), lit(1L))).cast("long")
+          .as("max_over_mean_milli"))
+      .withColumn("rebalance_due",
+        (col("max_over_mean_milli") >= dueMilli).cast("long"))
+  }
+
+  /** REBALANCE — the index-maintenance answer to distribution drift
+    * ([[cellSkew]] detects it): retrain Lloyd centroids on the LIVE
+    * corpus (current rows minus tombstones) and rewrite the index
+    * under the new cell layout, physically purging tombstoned rows in
+    * the same pass. The result is BIT-IDENTICAL to `build(live)` with
+    * the same (k, iters) — Lloyd is deterministic — which is the
+    * contract IvfRebalanceSpec pins probe-for-probe.
+    *
+    * Crash discipline (the PurgeSwap doctrine extended to a TWO-table
+    * swap): both staged tables are written FIRST (reads only — the
+    * live index keeps serving), then the 1-row in-flight marker
+    * appears, then both swaps run and the tombstone list drops, then
+    * the marker drops. A crash before the marker leaves the old index
+    * intact (stagings are garbage). A crash after it leaves the staged
+    * layout as the index-of-record: [[recoverRebalance]] — run at
+    * every probe and lifecycle entry — completes the remaining swaps
+    * idempotently, so the mixed-layout window (new cells + old
+    * centroids) lasts only until ANY next contact, and the index is
+    * never lost. */
+  def rebalance(spark: SparkSession, table: String, idCol: String,
+                vecCol: String, k: Int = 16, iters: Int = 2): Unit = {
+    recoverRebalance(spark, table)
+    val cT = centroidsTable(table)
+    val live = minusTombstones(spark, table, idCol,
+        spark.table(table))
+      .select(col(idCol), col(vecCol))
+    val cents = Similarity.ivfTrain(live, idCol, vecCol, k, iters)
+    val stage = PurgeSwap.stagingOf(table)
+    // DDL-created staging (Writer.emptyPartitionedTable doc): a
+    // saveAsTable(partitionBy) staging would register partitions with
+    // explicit staging-path locations the swap's RENAME cannot
+    // rewrite — the renamed index would scan a vanished directory.
+    Writer.emptyPartitionedTable(spark, stage,
+      org.apache.spark.sql.types.StructType(Seq(
+        live.schema(idCol), live.schema(vecCol),
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ByteType)),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.IntegerType))),
+      "cluster_id")
+    Quantize.withQuantized(
+        Similarity.ivfAssign(live, idCol, vecCol, cents), vecCol, "qv")
+      .withColumn("qv", col("qv").cast("array<tinyint>"))
+      .select(col(idCol), col(vecCol), col("qv"), col("cluster_id"))
+      .repartition(col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"), col(idCol))
+      .write.insertInto(stage)
+    val cStage = PurgeSwap.stagingOf(cT)
+    Writer.dropTableAndLocation(spark, cStage)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cluster_id", "centroid")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(cStage)
+    val marker = rebalanceMarker(table)
+    Writer.dropTableAndLocation(spark, marker)
+    spark.range(1).write.format("parquet").saveAsTable(marker)
+    finishRebalance(spark, table)
+  }
+
+  /** Complete a rebalance whose swaps crashed mid-flight (marker
+    * present): swap whichever staged tables remain, drop the tombstone
+    * list (the staged rows are live-only — the rebalance purged), drop
+    * the marker. Idempotent; a no-op without the marker. Run at every
+    * probe/lifecycle entry, the sibling of PurgeSwap.recover. */
+  def recoverRebalance(spark: SparkSession, table: String): Boolean = {
+    if (!spark.catalog.tableExists(rebalanceMarker(table))) false
+    else { finishRebalance(spark, table); true }
+  }
+
+  private def finishRebalance(spark: SparkSession, table: String): Unit = {
+    val cT = centroidsTable(table)
+    Seq(table, cT).foreach { t =>
+      if (spark.catalog.tableExists(PurgeSwap.stagingOf(t)))
+        PurgeSwap.swap(spark, t)
+      else
+        PurgeSwap.recover(spark, t) // crashed inside a swap's drop→rename
+    }
+    val tomb = table + "_tombstones"
+    if (spark.catalog.tableExists(tomb)) spark.sql(s"DROP TABLE `$tomb`")
+    Writer.dropTableAndLocation(spark, rebalanceMarker(table))
+    Seq(table, cT).foreach(spark.catalog.refreshTable)
+  }
+
   /** Train (Lloyd, exact-decimal means — deterministic), assign, and
     * save. Returns the trained centroids so a caller that also wants
     * on-the-fly queries needn't read them back.
@@ -74,10 +201,14 @@ object IvfIndex {
     cents
   }
 
-  /** Centroids of a saved index, in cluster-id order (k small rows). */
-  def centroids(spark: SparkSession, table: String): Seq[Seq[Float]] =
+  /** Centroids of a saved index, in cluster-id order (k small rows).
+    * Every probe's FIRST contact — so a crashed rebalance heals here,
+    * before the probe reads either table (no mixed-layout probe). */
+  def centroids(spark: SparkSession, table: String): Seq[Seq[Float]] = {
+    recoverRebalance(spark, table)
     spark.table(centroidsTable(table)).orderBy(col("cluster_id"))
       .select(col("centroid")).collect().map(_.getSeq[Float](0)).toSeq
+  }
 
   /** Top-k cosine over the `nProbe` most-query-similar clusters of a
     * saved index. Results are identical to `Similarity.ivfTopK` with
@@ -93,8 +224,13 @@ object IvfIndex {
     IndexLifecycle.registerTombstones(spark, table, ids)
 
   private def minusTombstones(spark: SparkSession, table: String,
-                              idCol: String, rows: DataFrame): DataFrame =
+                              idCol: String, rows: DataFrame): DataFrame = {
+    // The probe chokepoint doubles as the rebalance-recovery hook: a
+    // crashed two-table swap (marker present) completes before any
+    // read, so the mixed-layout window never outlives one contact.
+    recoverRebalance(spark, table)
     IndexLifecycle.minusTombstones(spark, table, rows, idCol)
+  }
 
   /** Physically purge tombstoned vectors by DYNAMIC PARTITION
     * OVERWRITE of ONLY the cells holding tombstoned ids — the

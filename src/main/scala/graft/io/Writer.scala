@@ -91,7 +91,15 @@ object Writer {
     * partition columns to the end of a table's schema; declaring them
     * there keeps position-based insertInto aligned). The streaming
     * ingest sinks partition by batch id, so a redelivered batch can
-    * dynamic-partition-overwrite exactly its own directory. */
+    * dynamic-partition-overwrite exactly its own directory.
+    *
+    * This is also the ONLY safe staging shape for a PurgeSwap of a
+    * partitioned table: partitions registered by insertInto resolve
+    * under the table location, whereas a saveAsTable(partitionBy)
+    * staging registers partitions with EXPLICIT locations under the
+    * staging path, which ALTER TABLE RENAME does not rewrite — the
+    * renamed table then scans a vanished directory (found by
+    * IvfRebalanceSpec). */
   def emptyPartitionedTable(spark: SparkSession, table: String,
                             schema: org.apache.spark.sql.types.StructType,
                             partitionCol: String): Unit = {

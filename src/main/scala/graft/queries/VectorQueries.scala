@@ -62,6 +62,7 @@ private[graft] object VectorQueries {
     "x_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
     "x_stream_embed_ingest" -> ((s, dir) => streamEmbedIngest(s, dir)),
     "x_stream_serve" -> ((s, dir) => streamServe(s, dir)),
+    "x_rebalance" -> ((s, dir) => rebalanceGate(s, dir)),
     "x_approx_sim_join" -> ((s, dir) => approxSimJoin(s, dir)),
     "x_kernel_equiv" -> ((s, dir) => kernelEquiv(s, dir)),
     "x_ann_recall" -> ((s, dir) => annRecall(s, dir)),
@@ -809,6 +810,60 @@ private[graft] object VectorQueries {
           .as("accumulated_equals_oneshot_ok"))
   }
 
+  /** x_rebalance: the IVF maintenance loop under planted distribution
+    * drift — build over a corpus whose last 100 vectors are near-twins
+    * of one vector (they pile into ONE cell), read the skew report
+    * (must trip rebalance_due), take down a few ids, then
+    * [[IvfIndex.rebalance]]: retrain on the live corpus, rewrite under
+    * the new layout, purge tombstones in the same pass. Gates: the
+    * census conserves the live count, the post-rebalance probe serves
+    * 10 live rows, the tombstone list is gone. Probe-for-probe
+    * equality with a fresh build(live) is pinned by IvfRebalanceSpec
+    * (Lloyd determinism). */
+  private def rebalanceGate(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val e = Tables.embeddings(s, dir)
+    val base = e.where(col("vec_id") >= 100 && col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    val blob = e.where(col("vec_id") === 100)
+      .select(explode(sequence(lit(0L), lit(99L))).as("i"), col("embedding"))
+      .select((col("i") + 9000L).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          (x.cast("double") +
+            (pmod(xxhash64(col("i"), j), lit(21L)).cast("double") - 10.0)
+              / 2000.0).cast("float")).as("embedding"))
+    val corpus = base.unionByName(blob)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val t = "graft_rebalance_" + digest
+    IvfIndex.build(corpus, "vec_id", "embedding", t, k = 8, iters = 2)
+    val dueBefore = IvfIndex.cellSkew(s, t, "vec_id", dueMilli = 2000L)
+      .select(col("rebalance_due")).first().getLong(0)
+    IvfIndex.delete(s, t,
+      base.where(col("vec_id") % 50 === 3).select(col("vec_id").as("id")))
+    IvfIndex.rebalance(s, t, "vec_id", "embedding", k = 8, iters = 2)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0).toSeq
+    val probe = IvfIndex.probeTopK(s, t, "vec_id", "embedding", q,
+        k = 10, nProbe = 4)
+      .pipe(graft.ext.Checkpoints.stage)
+    val liveIds = corpus.select(col("vec_id"))
+      .where(col("vec_id") >= 9000L || col("vec_id") % 50 =!= 3)
+    val probeDead = probe.join(liveIds, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("__dead"))
+    val cleared = !s.catalog.tableExists(t + "_tombstones")
+    liveIds.agg(count(lit(1)).as("n_live"))
+      .crossJoin(IvfIndex.cellCensus(s, t, "vec_id")
+        .agg(coalesce(sum(col("n_live")), lit(0L)).as("census_n_live")))
+      .crossJoin(probe.agg(count(lit(1)).as("probe_rows")))
+      .crossJoin(probeDead)
+      .select(col("n_live"), col("census_n_live"),
+        lit(dueBefore).as("skew_due_before"), col("probe_rows"),
+        (col("__dead") === 0).cast("long").as("probe_all_live_ok"),
+        lit(if (cleared) 1L else 0L).as("tombstones_cleared_ok"))
+  }
+
   /** Adjacent-pair dot product in int8-quantized space
     * (graft.ext.Quantize) — the oracle-checkable anchor for the
     * quantization arithmetic: scale, round-half-up, and integer dot
@@ -1027,6 +1082,19 @@ private[graft] object VectorQueries {
     "x_ivf_topk" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_distinct_ids,
         | CAST(10 AS BIGINT) AS n_in_corpus, CAST(1 AS BIGINT) AS cos_bounds_ok""".stripMargin.replaceAll("\n", " "),
+    // Rebalance gate: the live count is data-derived (200-vector base
+    // slice minus its %-50 takedowns plus the 100-twin drift blob, a
+    // construction constant); the census must CONSERVE it, the skew
+    // report must trip on the planted drift, and the post-rebalance
+    // probe serves 10 live rows with the tombstone list gone.
+    "x_rebalance" ->
+      """WITH b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base,
+        |   CAST(SUM(CASE WHEN vec_id % 50 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_del
+        |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 300)
+        | SELECT n_base + 100 - n_del AS n_live, n_base + 100 - n_del AS census_n_live,
+        |  CAST(1 AS BIGINT) AS skew_due_before, CAST(10 AS BIGINT) AS probe_rows,
+        |  CAST(1 AS BIGINT) AS probe_all_live_ok, CAST(1 AS BIGINT) AS tombstones_cleared_ok
+        | FROM b""".stripMargin.replaceAll("\n", " "),
     // Streaming serving loop: query count and per-query top-k mass are
     // data-derived (48 streamed queries x k=10; every query's 4 probed
     // cells hold far more than 10 live rows); the equality bits are

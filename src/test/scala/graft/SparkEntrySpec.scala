@@ -62,6 +62,9 @@ class SparkEntrySpec extends AnyFunSuite {
       // Bucket census × its own 1-row totals (Drift.census — the join
       // is bounded by maxBucket+1 rows on one side and 1 on the other).
       "x_drift_census",
+      // Rebalance gate: 1-row report assembly (live/census/probe
+      // counts × cleanup bits).
+      "x_rebalance",
       "x_stream_incremental_dedup", "x_ivf_quantized", "x_embed_dedup",
       "x_stream_embed_ingest", "x_stream_ivfpq", "x_retrieval_eval",
       // Anchor-batch × corpus scoring: the non-equi label filter is a

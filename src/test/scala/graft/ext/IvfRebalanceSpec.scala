@@ -1,0 +1,148 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** IVF rebalance — the index-maintenance answer to distribution
+  * drift: retrain on the live corpus, rewrite under the new layout,
+  * purge tombstones in the same pass. Contracts pinned here:
+  *
+  *   - rebalance ≡ a FRESH build(live) with the same (k, iters),
+  *     probe-for-probe on both tiers (Lloyd is deterministic);
+  *   - cellCensus/cellSkew report the planted drift before and the
+  *     sum-conservation after;
+  *   - the two-table swap heals from both crash windows (marker
+  *     present with staged tables; marker present mid-swap) at the
+  *     next probe, which then serves the NEW layout.
+  */
+class IvfRebalanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def blobOf(src: org.apache.spark.sql.DataFrame, n: Int,
+                     baseId: Long) =
+    src.select(explode(sequence(lit(0L), lit(n - 1L))).as("i"),
+        col("embedding"))
+      .select((col("i") + baseId).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          (x.cast("double") +
+            (pmod(xxhash64(col("i"), j), lit(21L)).cast("double") - 10.0)
+              / 2000.0).cast("float")).as("embedding"))
+
+  private def probes(t: String, q: Seq[Float]) = {
+    val f = IvfIndex.probeTopK(spark, t, "vec_id", "embedding", q,
+        k = 10, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val z = IvfIndex.probeTopKQuantized(spark, t, "vec_id", "embedding", q,
+        k = 10, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    (f, z)
+  }
+
+  test("rebalance equals a fresh build on the live corpus; census reports drift before and conserves after") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val base = e.where(col("vec_id") >= 100 && col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    val blob = blobOf(e.where(col("vec_id") === 100), 100, 9000L)
+    val corpus = base.unionByName(blob)
+    val t = "ivf_rebalance_spec"
+    val t2 = "ivf_rebalance_spec_fresh"
+    try {
+      IvfIndex.build(corpus, "vec_id", "embedding", t, k = 8, iters = 2)
+      // The blob (100 near-twins of one vector) piles into one cell.
+      val skew = IvfIndex.cellSkew(spark, t, "vec_id", dueMilli = 2000L)
+        .collect().head
+      assert(skew.getLong(1) == 300L && skew.getLong(4) == 1L,
+        s"planted drift must trip the skew report: $skew")
+      // Take down part of the blob, then rebalance.
+      import spark.implicits._
+      val dels = (9000L until 9040L)
+      IvfIndex.delete(spark, t, dels.toDF("id"))
+      IvfIndex.rebalance(spark, t, "vec_id", "embedding", k = 8, iters = 2)
+      assert(!spark.catalog.tableExists(t + "_tombstones"),
+        "rebalance must purge the tombstone list")
+      val live = corpus.where(!col("vec_id").isin(dels: _*))
+      IvfIndex.build(live, "vec_id", "embedding", t2, k = 8, iters = 2)
+      val qs = e.where(col("vec_id") < 2).select(col("embedding"))
+        .collect().map(_.getSeq[Float](0).toSeq)
+      qs.foreach { q =>
+        val (f1, z1) = probes(t, q)
+        val (f2, z2) = probes(t2, q)
+        assert(f1 == f2, s"float probe diverges from fresh build:\n$f1\nvs\n$f2")
+        assert(z1 == z2, s"int8 probe diverges from fresh build:\n$z1\nvs\n$z2")
+      }
+      // Census conserves: per-cell live counts sum to the live corpus.
+      val census = IvfIndex.cellCensus(spark, t, "vec_id").collect()
+      assert(census.map(_.getLong(1)).sum == 260L, census.mkString(","))
+    } finally {
+      Seq(t, t2).flatMap(x => Seq(x, IvfIndex.centroidsTable(x),
+          x + "_tombstones", PurgeSwap.stagingOf(x),
+          PurgeSwap.stagingOf(IvfIndex.centroidsTable(x)),
+          x + "_rebalance_inflight"))
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    }
+  }
+
+  test("both crash windows of the two-table swap heal at the next probe") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = e.where(col("vec_id") >= 100 && col("vec_id") < 250)
+      .select(col("vec_id"), col("embedding"))
+    val live = corpus.where(col("vec_id") % 10 =!= 3)
+    val t = "ivf_rebalance_crash_spec"
+    val ref = "ivf_rebalance_crash_ref"
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0).toSeq
+    def stageAndMark(): Unit = {
+      // Reconstruct the exact post-marker crash state: both staged
+      // tables fully written the way rebalance writes them (the MAIN
+      // staging DDL-created + insertInto — a renamed saveAsTable
+      // staging would carry explicit dead partition locations, the
+      // Writer.emptyPartitionedTable doc), marker present, old index
+      // still in place with live tombstones registered.
+      IvfIndex.build(live, "vec_id", "embedding", ref, k = 4, iters = 1)
+      graft.io.Writer.emptyPartitionedTable(spark, PurgeSwap.stagingOf(t),
+        spark.table(ref).schema, "cluster_id")
+      spark.table(ref).write.insertInto(PurgeSwap.stagingOf(t))
+      spark.sql(s"ALTER TABLE `${IvfIndex.centroidsTable(ref)}` RENAME TO " +
+        s"`${PurgeSwap.stagingOf(IvfIndex.centroidsTable(t))}`")
+      graft.io.Writer.dropTableAndLocation(spark, ref)
+      spark.range(1).write.format("parquet")
+        .saveAsTable(t + "_rebalance_inflight")
+    }
+    try {
+      IvfIndex.build(corpus, "vec_id", "embedding", t, k = 4, iters = 1)
+      import spark.implicits._
+      IvfIndex.delete(spark, t,
+        corpus.where(col("vec_id") % 10 === 3).select(col("vec_id").as("id")))
+      // Expected post-heal answers: a fresh build of the live corpus.
+      IvfIndex.build(live, "vec_id", "embedding", ref, k = 4, iters = 1)
+      val (expF, expZ) = probes(ref, q)
+      Seq(IvfIndex.centroidsTable(ref), ref)
+        .foreach(x => spark.sql(s"DROP TABLE `$x`"))
+      // Window 1: crash right after the marker, before any swap.
+      stageAndMark()
+      val (f1, z1) = probes(t, q)
+      assert(f1 == expF && z1 == expZ, "window-1 heal serves the new layout")
+      assert(!spark.catalog.tableExists(t + "_rebalance_inflight") &&
+        !spark.catalog.tableExists(t + "_tombstones"),
+        "window-1 heal must clear marker and tombstones")
+      // Window 2: crash inside the MAIN swap's drop→rename (old main
+      // dropped, staging still named staging).
+      IvfIndex.delete(spark, t,
+        spark.range(0).select(col("id"))) // re-create an empty tombstone list
+      stageAndMark()
+      graft.io.Writer.dropTableAndLocation(spark, t)
+      val (f2, z2) = probes(t, q)
+      assert(f2 == expF && z2 == expZ, "window-2 heal serves the new layout")
+      assert(!spark.catalog.tableExists(t + "_rebalance_inflight"),
+        "window-2 heal must clear the marker")
+    } finally {
+      Seq(t, ref).flatMap(x => Seq(x, IvfIndex.centroidsTable(x),
+          x + "_tombstones", PurgeSwap.stagingOf(x),
+          PurgeSwap.stagingOf(IvfIndex.centroidsTable(x)),
+          x + "_rebalance_inflight"))
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    }
+  }
+}

@@ -170,6 +170,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** Truncation-recall census — the matryoshka question as a
+    * queryable operating curve: how much top-k recall survives
+    * serving only the first `d` dimensions of every embedding?
+    * (Prefix truncation is the storage/serving lever next to int8/PQ
+    * quantization: d/64 of the bytes, no codebooks — worth exactly
+    * what this census measures on the corpus's own geometry.)
+    *
+    * For each cut in `dims`: every anchor's top-k by cosine over the
+    * FIRST `cut` coordinates is intersected with its FULL-dimension
+    * top-k (the truth), and the census row reports the summed overlap
+    * and its milli-recall. One corpus scan per cut + one for the
+    * truth — anchors broadcast (bounded), scoring codegen'd, top-k
+    * per anchor via a rank window (WindowGroupLimit, k rows per
+    * partition pre-shuffle). All outputs integers; the DuckDB twin
+    * replays slicing, sequential-fold cosines, rank windows, and the
+    * floor-milli arithmetic value-exact (x_trunc_recall). */
+  def truncationRecall(corpus: DataFrame, idCol: String, vecCol: String,
+                       anchors: DataFrame, dims: Seq[Int],
+                       k: Int): DataFrame = {
+    require(dims.nonEmpty && k > 0, s"need dims and k > 0: $dims, $k")
+    import org.apache.spark.sql.expressions.Window
+    val s = corpus.sparkSession
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("__avec"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    def topK(cut: Option[Int]): DataFrame = {
+      def sliced(c: Column) = cut.fold(c)(d => slice(c, 1, d))
+      corpus.join(broadcast(a), col(idCol) =!= col("anchor_id"))
+        .select(col("anchor_id"), col(idCol),
+          cosineIn(s)(sliced(col(vecCol)), sliced(col("__avec")))
+            .as("cos_sim"))
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= k)
+        .select(col("anchor_id"), col(idCol))
+    }
+    val truth = topK(None)
+    dims.map { d =>
+      val overlap = topK(Some(d)).join(truth, Seq("anchor_id", idCol))
+        .agg(count(lit(1)).as("overlap_sum"))
+      truth.agg(count_distinct(col("anchor_id")).as("n_anchors"))
+        .crossJoin(overlap)
+        .select(lit(d.toLong).as("dims"), col("n_anchors"),
+          lit(k.toLong).as("k"), col("overlap_sum"),
+          floor(lit(1000L) * col("overlap_sum") /
+            (col("n_anchors") * lit(k.toLong))).cast("long")
+            .as("recall_milli"))
+    }.reduce(_ unionByName _).orderBy(col("dims"))
+  }
+
   /** IVF (inverted-file) clustering: every vector is assigned to its
     * most-cosine-similar centroid. Centroids are the first `k` vectors
     * in id order — deterministic and cheap; a production system plugs

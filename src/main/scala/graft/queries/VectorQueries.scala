@@ -63,6 +63,17 @@ private[graft] object VectorQueries {
     "x_stream_embed_ingest" -> ((s, dir) => streamEmbedIngest(s, dir)),
     "x_stream_serve" -> ((s, dir) => streamServe(s, dir)),
     "x_rebalance" -> ((s, dir) => rebalanceGate(s, dir)),
+    "x_trunc_recall" -> ((s, dir) => {
+      // Matryoshka operating curve (Similarity.truncationRecall): how
+      // much top-10 recall survives serving only the first 8/16/32 of
+      // the 64 dims — 8 anchors' truncated top-10s intersected with
+      // their full-dimension truth, integer overlaps and floor-milli
+      // recall, fully DuckDB-replayed.
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.truncationRecall(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 8), dims = Seq(8, 16, 32), k = 10)
+    }),
     "x_approx_sim_join" -> ((s, dir) => approxSimJoin(s, dir)),
     "x_kernel_equiv" -> ((s, dir) => kernelEquiv(s, dir)),
     "x_ann_recall" -> ((s, dir) => annRecall(s, dir)),
@@ -1082,6 +1093,30 @@ private[graft] object VectorQueries {
     "x_ivf_topk" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_distinct_ids,
         | CAST(10 AS BIGINT) AS n_in_corpus, CAST(1 AS BIGINT) AS cos_bounds_ok""".stripMargin.replaceAll("\n", " "),
+    // Truncation-recall census: full replay — per-cut slice cosines
+    // with the sequential fold, per-anchor rank windows under
+    // (cos DESC, id), truth = the 64-dim ranks, integer overlaps and
+    // floor-milli recall.
+    "x_trunc_recall" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        | a AS (SELECT vec_id AS anchor_id, embedding AS avec FROM e WHERE vec_id < 8),
+        | cuts AS (SELECT UNNEST([8, 16, 32, 64]) AS d),
+        | pr AS (SELECT cuts.d, a.anchor_id, e.vec_id,
+        |   list_reduce(list_transform(generate_series(1, cuts.d), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.avec[i] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(generate_series(1, cuts.d), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(generate_series(1, cuts.d), i -> CAST(a.avec[i] AS DOUBLE) * CAST(a.avec[i] AS DOUBLE)), (x, y) -> x + y))) AS cos_sim
+        |  FROM e CROSS JOIN a CROSS JOIN cuts WHERE e.vec_id <> a.anchor_id),
+        | rk AS (SELECT d, anchor_id, vec_id,
+        |   ROW_NUMBER() OVER (PARTITION BY d, anchor_id ORDER BY cos_sim DESC, vec_id) AS rn FROM pr),
+        | top AS (SELECT d, anchor_id, vec_id FROM rk WHERE rn <= 10),
+        | truth AS (SELECT anchor_id, vec_id FROM top WHERE d = 64),
+        | ov AS (SELECT top.d, CAST(COUNT(*) AS BIGINT) AS overlap_sum
+        |   FROM top JOIN truth USING (anchor_id, vec_id) WHERE top.d <> 64 GROUP BY top.d),
+        | na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a)
+        | SELECT CAST(d AS BIGINT) AS dims, (SELECT n FROM na) AS n_anchors,
+        |  CAST(10 AS BIGINT) AS k, overlap_sum,
+        |  CAST(floor(1000 * overlap_sum / CAST((SELECT n FROM na) * 10 AS DOUBLE)) AS BIGINT) AS recall_milli
+        | FROM ov ORDER BY dims""".stripMargin.replaceAll("\n", " "),
     // Rebalance gate: the live count is data-derived (200-vector base
     // slice minus its %-50 takedowns plus the 100-twin drift blob, a
     // construction constant); the census must CONSERVE it, the skew

@@ -72,8 +72,9 @@ class SparkEntrySpec extends AnyFunSuite {
       // linear in the corpus by construction (Similarity.hardNegatives).
       "x_hard_negatives",
       // Same anchor-batch × corpus shape (8 broadcast anchors, id
-      // inequality), one corpus scan (TierAdvisor.advise).
-      "x_tier_advisor",
+      // inequality), one corpus scan (TierAdvisor.advise /
+      // Similarity.truncationRecall).
+      "x_tier_advisor", "x_trunc_recall",
       // 1-row scalar crossJoins: corpus token count (PMI), df/avgdl
       // scalars (BM25), and the SemDeDup gate's report assembly.
       "x_pmi_bigrams", "x_bm25_topk", "x_semantic_dedup",

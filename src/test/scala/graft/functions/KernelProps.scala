@@ -213,4 +213,55 @@ object KernelProps extends Properties("Kernels") {
         longer != null &&
         longer.longValue() == modelPq(vec, books, normalize = false)
     }
+
+  /** ivfCosScores reference model — the EXPRESSION's semantics
+    * verbatim: null for non-members and dims mismatch, Spark's
+    * non-ANSI Divide rule (zero divisor → null, never Java 0/0 = NaN),
+    * sequential-fold dots. Vectors may be ZERO (the r18 degenerate
+    * channel) and qdiv may be 0 (a zero-norm query). */
+  private val ivfCase: Gen[(Array[Double], Int, Array[Double],
+      Array[Double], Array[Boolean], Boolean)] =
+    for {
+      d <- Gen.chooseNum(1, 6)
+      nQ <- Gen.chooseNum(1, 3)
+      kCells <- Gen.chooseNum(1, 4)
+      cell <- Gen.chooseNum(-1, 4) // may be out of range
+      zero <- Gen.oneOf(true, false)
+      vec <- if (zero) Gen.const(Array.fill(d)(0.0))
+        else Gen.containerOfN[Array, Double](d, Gen.chooseNum(-10.0, 10.0))
+      zn <- Gen.oneOf(true, false)
+      q <- Gen.containerOfN[Array, Double](nQ * d, Gen.chooseNum(-10.0, 10.0))
+      qdiv <- Gen.containerOfN[Array, Double](nQ,
+        Gen.oneOf(Gen.const(0.0), Gen.chooseNum(0.1, 10.0)))
+      member <- Gen.containerOfN[Array, Boolean](nQ * kCells,
+        Gen.oneOf(true, false))
+    } yield (vec, cell, q, qdiv, member, zn)
+
+  property("ivfCosScores equals the expression model incl. zero-norm rows and zero-divisor nulls") =
+    forAll(ivfCase) { case (vec, cell, q, qdiv, member, zeroNull) =>
+      val d = vec.length
+      val nQ = qdiv.length
+      val kCells = member.length / nQ
+      val t = new IvfCosTable(q, qdiv, member, nQ, d, kCells, zeroNull)
+      val got = Kernels.ivfCosScores(new GenericArrayData(vec),
+        Kernels.TDouble, cell, t)
+      val aa = vec.foldLeft(0.0)((acc, x) => acc + x * x)
+      (0 until nQ).forall { qq =>
+        val expect: Any =
+          if (zeroNull && aa == 0.0) null
+          else if (cell < 0 || cell >= kCells || !member(qq * kCells + cell))
+            null
+          else {
+            val ab = (0 until d).foldLeft(0.0)((acc, j) =>
+              acc + vec(j) * q(qq * d + j))
+            val den = math.sqrt(aa) * qdiv(qq)
+            if (den == 0.0) null else (ab / den): java.lang.Double
+          }
+        val g = got.get(qq, org.apache.spark.sql.types.DoubleType)
+        (g == null && expect == null) || (g != null && expect != null &&
+          java.lang.Double.doubleToLongBits(g.asInstanceOf[Double]) ==
+            java.lang.Double.doubleToLongBits(
+              expect.asInstanceOf[java.lang.Double].doubleValue()))
+      }
+    }
 }

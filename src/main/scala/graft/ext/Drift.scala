@@ -38,8 +38,10 @@ object Drift {
   /** Per-bucket drift rows between `old` and `newer` on
     * `floor(value / bucketWidth)` clamped to [0, maxBucket]. `value`
     * must be non-negative (clamp below is at 0). Output ordered by
-    * bucket; buckets empty in BOTH snapshots are omitted (they carry
-    * d_milli = 0, odds_bits = 0 by construction). */
+    * bucket; buckets empty in BOTH snapshots are omitted — with no
+    * mass on either side they carry no drift signal (their add-one
+    * smoothed shift is the floor difference of two ≤ 1000/(N+B)
+    * terms, a quantization artifact of the totals, not the data). */
   def census(old: DataFrame, newer: DataFrame, value: Column,
              bucketWidth: Double, maxBucket: Int): DataFrame = {
     require(bucketWidth > 0 && maxBucket > 0,

@@ -834,7 +834,11 @@ private[graft] object VectorQueries {
   private def rebalanceGate(s: SparkSession, dir: String): DataFrame = {
     import scala.util.chaining._
     val e = Tables.embeddings(s, dir)
-    val base = e.where(col("vec_id") >= 100 && col("vec_id") < 300)
+    // Small per-rep fixture: the bench times the LIFECYCLE's gates,
+    // not Lloyd throughput (two trains per rep are ~2.5 s/iteration of
+    // fixed job overheads whatever the row count — measured; the
+    // rebalance-only ScaleBench point carries the cost evidence).
+    val base = e.where(col("vec_id") >= 100 && col("vec_id") < 200)
       .select(col("vec_id"), col("embedding"))
     val blob = e.where(col("vec_id") === 100)
       .select(explode(sequence(lit(0L), lit(99L))).as("i"), col("embedding"))
@@ -848,16 +852,16 @@ private[graft] object VectorQueries {
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val t = "graft_rebalance_" + digest
-    IvfIndex.build(corpus, "vec_id", "embedding", t, k = 8, iters = 2)
+    IvfIndex.build(corpus, "vec_id", "embedding", t, k = 4, iters = 1)
     val dueBefore = IvfIndex.cellSkew(s, t, "vec_id", dueMilli = 2000L)
       .select(col("rebalance_due")).first().getLong(0)
     IvfIndex.delete(s, t,
       base.where(col("vec_id") % 50 === 3).select(col("vec_id").as("id")))
-    IvfIndex.rebalance(s, t, "vec_id", "embedding", k = 8, iters = 2)
+    IvfIndex.rebalance(s, t, "vec_id", "embedding", k = 4, iters = 1)
     val q = e.where(col("vec_id") === 0)
       .select(col("embedding")).first().getSeq[Float](0).toSeq
     val probe = IvfIndex.probeTopK(s, t, "vec_id", "embedding", q,
-        k = 10, nProbe = 4)
+        k = 10, nProbe = 2)
       .pipe(graft.ext.Checkpoints.stage)
     val liveIds = corpus.select(col("vec_id"))
       .where(col("vec_id") >= 9000L || col("vec_id") % 50 =!= 3)
@@ -1117,7 +1121,7 @@ private[graft] object VectorQueries {
         |  CAST(10 AS BIGINT) AS k, overlap_sum,
         |  CAST(floor(1000 * overlap_sum / CAST((SELECT n FROM na) * 10 AS DOUBLE)) AS BIGINT) AS recall_milli
         | FROM ov ORDER BY dims""".stripMargin.replaceAll("\n", " "),
-    // Rebalance gate: the live count is data-derived (200-vector base
+    // Rebalance gate: the live count is data-derived (100-vector base
     // slice minus its %-50 takedowns plus the 100-twin drift blob, a
     // construction constant); the census must CONSERVE it, the skew
     // report must trip on the planted drift, and the post-rebalance
@@ -1125,7 +1129,7 @@ private[graft] object VectorQueries {
     "x_rebalance" ->
       """WITH b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base,
         |   CAST(SUM(CASE WHEN vec_id % 50 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_del
-        |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 300)
+        |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 200)
         | SELECT n_base + 100 - n_del AS n_live, n_base + 100 - n_del AS census_n_live,
         |  CAST(1 AS BIGINT) AS skew_due_before, CAST(10 AS BIGINT) AS probe_rows,
         |  CAST(1 AS BIGINT) AS probe_all_live_ok, CAST(1 AS BIGINT) AS tombstones_cleared_ok

@@ -76,4 +76,42 @@ object Drift {
       .withColumn("drift_score", col("d_milli") * col("odds_bits"))
       .orderBy(col("bucket"))
   }
+
+  /** Streaming drift monitor — [[census]]'s streaming twin, the
+    * monitoring loop next to the ingest streams: every micro-batch of
+    * arriving documents is contrasted against the FIXED reference
+    * snapshot and its census rows land under the batch's own
+    * [[graft.streaming.StreamOps.BatchTag]] partition (idempotent
+    * redelivery, resume-aware sink) — the accumulated table is a
+    * drift TIME SERIES an operator reads to see WHEN the arriving
+    * distribution moved, not just that it did. Each batch's census is
+    * a pure function of (reference, that batch), so every accumulated
+    * slice equals the batch-mode [[census]] replayed on its shard —
+    * the x_stream_classify batch-replay contract, gated by
+    * x_stream_drift. Returns the number of batches processed. */
+  def streamCensus(spark: org.apache.spark.sql.SparkSession,
+                   reference: DataFrame, stream: DataFrame, value: Column,
+                   bucketWidth: Double, maxBucket: Int, sinkTable: String,
+                   queryName: String,
+                   checkpointLocation: Option[String] = None): Int = {
+    import org.apache.spark.sql.types._
+    import graft.streaming.StreamOps
+    val sinkSchema = StructType(Seq(
+      StructField("bucket", LongType), StructField("n_old", LongType),
+      StructField("n_new", LongType), StructField("d_milli", LongType),
+      StructField("odds_bits", LongType), StructField("drift_score", LongType),
+      StructField(StreamOps.BatchTag, LongType)))
+    IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)(
+      spark, sinkTable, sinkSchema, StreamOps.BatchTag, "bucket", 1)
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = StreamOps.foreachBatchSink(stream, queryName,
+        checkpointLocation) { (batch, batchId) =>
+      n.incrementAndGet()
+      StreamOps.writeBatchToSink(spark, sinkTable,
+        census(reference, batch, value, bucketWidth, maxBucket), batchId)
+    }
+    q.awaitTermination()
+    spark.catalog.refreshTable(sinkTable)
+    n.get()
+  }
 }

@@ -64,6 +64,7 @@ private[graft] object CorpusQueries {
     "x_stream_lm" -> ((s, dir) => streamLm(s, dir)),
     "x_dsir_inc" -> ((s, dir) => dsirInc(s, dir)),
     "x_index_census" -> ((s, dir) => indexCensus(s, dir)),
+    "x_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "x_drift_census" -> ((s, dir) => {
       // Snapshot distribution drift (graft.ext.Drift): the even-id
       // half as snapshot A vs the odd-id half as snapshot B, doc
@@ -1726,6 +1727,38 @@ private[graft] object CorpusQueries {
           .as("accumulated_equals_oneshot_ok"))
   }
 
+  /** x_stream_drift: the drift monitor as a STREAM (Drift.streamCensus)
+    * — the odd-id half arrives as three micro-batched shards and each
+    * batch's token-count census is contrasted against the fixed
+    * even-id reference snapshot, accumulating a batch-tagged drift
+    * TIME SERIES. Every batch's rows are a pure function of
+    * (reference, shard), so the whole accumulated table is
+    * value-replayed per shard by the oracle (batch i = shard i: the
+    * file source delivers the staged shard files in creation order). */
+  private def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+    val ref = docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+    val arriving = docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+      .select(col("doc_id"), col("text"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val inDir = stagedShardsFor(s, dir + "#drift", arriving, idCol = "doc_id")
+    val stream = s.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val sink = "graft_stream_drift_" + digest
+    val n = Drift.streamCensus(s, ref, stream,
+      TextAnalysis.wsTokenCount(col("text")), bucketWidth = 32.0,
+      maxBucket = 16, sinkTable = sink,
+      queryName = "stream_drift_" + digest)
+    require(n == 3, s"expected 3 micro-batches, got $n")
+    s.table(sink)
+      .select(col(graft.streaming.StreamOps.BatchTag).as("batch_id"),
+        col("bucket"), col("n_old"), col("n_new"), col("d_milli"),
+        col("odds_bits"), col("drift_score"))
+      .orderBy(col("batch_id"), col("bucket"))
+  }
+
   private def retrievalEval(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val table = bm25EvalIndexFor(s, dir)
@@ -2936,6 +2969,29 @@ private[graft] object CorpusQueries {
         | FROM documents d LEFT JOIN pd USING (doc_id)
         | WHERE d.doc_id < 300
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // Streaming drift monitor: the x_drift_census replay PER SHARD —
+    // batch i is shard doc_id % 3 = i of the odd-id half (file-source
+    // creation order), each contrasted against the full even-id
+    // reference; the whole accumulated time series is value-exact.
+    "x_stream_drift" ->
+      (0 to 2).map { s =>
+        s"""SELECT CAST($s AS BIGINT) AS batch_id, bucket, n_old, n_new, d_milli, odds_bits, drift_score FROM (
+          |WITH d AS (SELECT doc_id,
+          |   LEAST(GREATEST(CAST(floor((length(text) - length(replace(text, ' ', '')) + 1) / 32.0) AS BIGINT), 0), 16) AS bucket
+          |  FROM documents WHERE text IS NOT NULL),
+          | o AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_old FROM d WHERE doc_id % 2 = 0 GROUP BY bucket),
+          | n AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new FROM d WHERE doc_id % 2 = 1 AND doc_id % 3 = $s GROUP BY bucket),
+          | j AS (SELECT COALESCE(o.bucket, n.bucket) AS bucket,
+          |   COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+          |  FROM o FULL OUTER JOIN n ON o.bucket = n.bucket),
+          | t AS (SELECT (SELECT COALESCE(SUM(n_old), 0) FROM j) AS no, (SELECT COALESCE(SUM(n_new), 0) FROM j) AS nn)
+          | SELECT bucket, n_old, n_new,
+          |  CAST(floor(1000 * (n_new + 1) / CAST(nn + 17 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 17 AS DOUBLE)) AS BIGINT) AS d_milli,
+          |  CAST((length(to_base(CAST((n_new + 1) * (no + 17) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 17) AS BIGINT), 2)) - 1) AS BIGINT) AS odds_bits,
+          |  CAST((floor(1000 * (n_new + 1) / CAST(nn + 17 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 17 AS DOUBLE)))
+          |   * ((length(to_base(CAST((n_new + 1) * (no + 17) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 17) AS BIGINT), 2)) - 1)) AS BIGINT) AS drift_score
+          | FROM j CROSS JOIN t)""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY batch_id, bucket"),
     // Drift census: full replay — same bucketing, add-one milli
     // shares via floor (DuckDB CAST alone ROUNDS double->BIGINT where
     // Spark truncates — floor on both sides), whole-bit log-odds via

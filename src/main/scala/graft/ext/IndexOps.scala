@@ -62,30 +62,42 @@ object IndexOps {
       val tomb = IndexLifecycle.tombstonesOf(e.table)
       val present = ((e.table +: e.siblings) :+ tomb)
         .count(spark.catalog.tableExists)
-      val ident = org.apache.spark.sql.catalyst.TableIdentifier(e.table)
-      val partCols = cat.getTableMetadata(ident).partitionColumnNames
-      val layout = partCols.mkString(",")
-      val mergeParts: Long =
-        if (partCols.headOption.exists(mergeTags)) {
-          spark.catalog.refreshTable(e.table)
-          cat.listPartitionNames(ident).size.toLong
-        } else 0L
-      val backlog: Long =
-        if (spark.catalog.tableExists(tomb))
-          spark.table(tomb).select(col("id")).distinct().count()
-        else 0L
-      val zeroed: Long =
-        if (e.gramDeltas)
-          spark.table(e.table).groupBy(col("g"))
-            .agg(sum(col("c")).as("c")).where(col("c") === 0L).count()
-        else 0L
-      val due: Long =
-        if (backlog > 0L || mergeParts > 1L || zeroed > 0L) 1L else 0L
-      (e.family, layout, mergeParts, present.toLong, backlog, zeroed, due)
+      if (!spark.catalog.tableExists(e.table)) {
+        // A dashboard row, not an exception: one dropped index must
+        // not kill the whole ops report. "<absent>" is unambiguous —
+        // a real layout signature is column names or "".
+        (e.family, "<absent>", 0L, present.toLong, 0L, 0L, 0L)
+      } else censusRow(spark, e, tomb, present)
     }
     import spark.implicits._
     rows.toDF("family", "layout", "merge_parts", "n_tables",
         "tombstone_backlog", "zeroed_grams", "compact_due")
       .orderBy(col("family"))
+  }
+
+  private def censusRow(spark: SparkSession, e: Entry, tomb: String,
+                        present: Int)
+      : (String, String, Long, Long, Long, Long, Long) = {
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(e.table)
+    val partCols = cat.getTableMetadata(ident).partitionColumnNames
+    val layout = partCols.mkString(",")
+    val mergeParts: Long =
+      if (partCols.headOption.exists(mergeTags)) {
+        spark.catalog.refreshTable(e.table)
+        cat.listPartitionNames(ident).size.toLong
+      } else 0L
+    val backlog: Long =
+      if (spark.catalog.tableExists(tomb))
+        spark.table(tomb).select(col("id")).distinct().count()
+      else 0L
+    val zeroed: Long =
+      if (e.gramDeltas)
+        spark.table(e.table).groupBy(col("g"))
+            .agg(sum(col("c")).as("c")).where(col("c") === 0L).count()
+      else 0L
+    val due: Long =
+      if (backlog > 0L || mergeParts > 1L || zeroed > 0L) 1L else 0L
+    (e.family, layout, mergeParts, present.toLong, backlog, zeroed, due)
   }
 }

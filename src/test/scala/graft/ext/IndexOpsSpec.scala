@@ -20,6 +20,14 @@ class IndexOpsSpec extends AnyFunSuite {
       (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
         r.getLong(5), r.getLong(6))).toMap
 
+  test("an absent index yields a dashboard row, not an exception") {
+    val got = IndexOps.census(spark,
+      Seq(IndexOps.Entry("ghost", "census_spec_no_such_table")))
+      .collect().head
+    assert(got.getString(1) == "<absent>" && got.getLong(3) == 0L &&
+      got.getLong(6) == 0L, got.toString)
+  }
+
   test("mid-lifecycle census surfaces backlog/waves/zeroed-grams; each family's compaction collapses it") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .where(col("doc_id") < 60 && col("text").isNotNull)

@@ -120,6 +120,57 @@ private[graft] object IndexLifecycle {
         checkpointLocation = checkpointLocation)
   }
 
+  /** The rebalance in-flight marker of `table` — present exactly
+    * between "all staged tables fully written" and "all swaps +
+    * tombstone drop committed". Its ROWS are the ordered list of
+    * tables to swap, so recovery is family-agnostic: IvfIndex swaps
+    * (main, centroids), IvfPq (main, centroids, codebooks), and a
+    * probe's first contact heals either without knowing which family
+    * it serves. A staging table WITHOUT the marker is a crashed STAGE
+    * phase's garbage (old index intact) — the PurgeSwap doctrine. */
+  def rebalanceMarkerOf(table: String): String =
+    table + "_rebalance_inflight"
+
+  /** Write the marker AFTER every staged table is complete: from this
+    * instant the staged layout is the index-of-record. */
+  def markSwap(spark: SparkSession, table: String,
+               swapTables: Seq[String]): Unit = {
+    val m = rebalanceMarkerOf(table)
+    graft.io.Writer.dropTableAndLocation(spark, m)
+    import spark.implicits._
+    swapTables.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("idx", "t")
+      .write.format("parquet").saveAsTable(m)
+  }
+
+  /** Complete a marked multi-table swap: swap every listed table
+    * (PurgeSwap.swap when its staging exists, PurgeSwap.recover for a
+    * crash inside a swap's drop→rename window), drop the tombstone
+    * list (the staged rows are live-only — a rebalance purges), drop
+    * the marker LAST. Idempotent at every crash point. */
+  def finishSwap(spark: SparkSession, table: String): Unit = {
+    val m = rebalanceMarkerOf(table)
+    val list = spark.table(m).orderBy(col("idx"))
+      .collect().map(_.getString(1)).toSeq
+    list.foreach { t =>
+      if (spark.catalog.tableExists(PurgeSwap.stagingOf(t)))
+        PurgeSwap.swap(spark, t)
+      else
+        PurgeSwap.recover(spark, t)
+    }
+    val tomb = tombstonesOf(table)
+    if (spark.catalog.tableExists(tomb)) spark.sql(s"DROP TABLE `$tomb`")
+    graft.io.Writer.dropTableAndLocation(spark, m)
+    list.foreach(spark.catalog.refreshTable)
+  }
+
+  /** Heal a crashed marked swap; no-op without the marker. Run at
+    * every probe/lifecycle first contact of the families that
+    * rebalance. Returns true when a heal ran. */
+  def recoverSwap(spark: SparkSession, table: String): Boolean =
+    if (!spark.catalog.tableExists(rebalanceMarkerOf(table))) false
+    else { finishSwap(spark, table); true }
+
   /** The streaming-resume table maker: keep prior state only when the
     * checkpoint has committed batches (fresh checkpoint + leftover
     * table = drop-and-recreate, not a silent merge — the DedupIndex

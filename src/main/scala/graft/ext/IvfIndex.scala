@@ -28,15 +28,10 @@ object IvfIndex {
 
   def centroidsTable(table: String): String = table + "_centroids"
 
-  /** The 1-row marker a [[rebalance]] writes AFTER both staged tables
-    * are complete and drops after both swaps commit: its presence
-    * means "the staged layout IS the index — finish the swaps", which
-    * [[recoverRebalance]] does idempotently at every probe/lifecycle
-    * entry. A staging table WITHOUT the marker is a crashed STAGE
-    * phase's garbage (old index intact); the next rebalance overwrites
-    * it — exactly PurgeSwap's doctrine extended to a two-table swap. */
-  private def rebalanceMarker(table: String): String =
-    table + "_rebalance_inflight"
+  // Rebalance marker/swap machinery lives in IndexLifecycle
+  // (rebalanceMarkerOf/markSwap/finishSwap/recoverSwap): the marker's
+  // rows name the tables to swap, so one recovery serves this family's
+  // two-table swap and IvfPq's three-table one alike.
 
   /** Per-cell LIVE row counts of a saved index — the layout-health
     * census behind [[cellSkew]]: one single-column scan (id +
@@ -125,35 +120,16 @@ object IvfIndex {
       .toDF("cluster_id", "centroid")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(cStage)
-    val marker = rebalanceMarker(table)
-    Writer.dropTableAndLocation(spark, marker)
-    spark.range(1).write.format("parquet").saveAsTable(marker)
-    finishRebalance(spark, table)
+    IndexLifecycle.markSwap(spark, table, Seq(table, cT))
+    IndexLifecycle.finishSwap(spark, table)
   }
 
-  /** Complete a rebalance whose swaps crashed mid-flight (marker
-    * present): swap whichever staged tables remain, drop the tombstone
-    * list (the staged rows are live-only — the rebalance purged), drop
-    * the marker. Idempotent; a no-op without the marker. Run at every
-    * probe/lifecycle entry, the sibling of PurgeSwap.recover. */
-  def recoverRebalance(spark: SparkSession, table: String): Boolean = {
-    if (!spark.catalog.tableExists(rebalanceMarker(table))) false
-    else { finishRebalance(spark, table); true }
-  }
-
-  private def finishRebalance(spark: SparkSession, table: String): Unit = {
-    val cT = centroidsTable(table)
-    Seq(table, cT).foreach { t =>
-      if (spark.catalog.tableExists(PurgeSwap.stagingOf(t)))
-        PurgeSwap.swap(spark, t)
-      else
-        PurgeSwap.recover(spark, t) // crashed inside a swap's drop→rename
-    }
-    val tomb = table + "_tombstones"
-    if (spark.catalog.tableExists(tomb)) spark.sql(s"DROP TABLE `$tomb`")
-    Writer.dropTableAndLocation(spark, rebalanceMarker(table))
-    Seq(table, cT).foreach(spark.catalog.refreshTable)
-  }
+  /** Heal a crashed rebalance swap (marker present) — delegated to
+    * [[IndexLifecycle.recoverSwap]] (the marker's rows name the tables
+    * to swap); run at every probe/lifecycle entry, the sibling of
+    * PurgeSwap.recover. */
+  def recoverRebalance(spark: SparkSession, table: String): Boolean =
+    IndexLifecycle.recoverSwap(spark, table)
 
   /** Train (Lloyd, exact-decimal means — deterministic), assign, and
     * save. Returns the trained centroids so a caller that also wants

@@ -252,9 +252,76 @@ object IvfPq {
   def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
     IndexLifecycle.registerTombstones(spark, table, ids)
 
+  /** REBALANCE — [[IvfIndex.rebalance]]'s IVFADC twin, for the same
+    * distribution-drift story: retrain BOTH quantizer stages (Lloyd
+    * cells AND the residual codebooks — drifted data moves residual
+    * geometry too) on the live corpus, re-encode, and rewrite all
+    * three state tables, purging tombstones in the same pass. The
+    * result is BIT-IDENTICAL to `build(live)` with the same
+    * parameters (both trainers are deterministic) — pinned in
+    * IvfRebalanceSpec.
+    *
+    * Crash discipline: the shared marked multi-table swap
+    * ([[IndexLifecycle.markSwap]] rows name main + centroids +
+    * codebooks), written only after ALL three stagings are complete;
+    * every probe's first contact (the [[IvfIndex.centroids]] read)
+    * heals a crashed swap idempotently whichever family owns the
+    * table. The MAIN staging is DDL-created + insertInto (the
+    * Writer.emptyPartitionedTable doc: a saveAsTable staging's
+    * partition locations do not survive the rename). */
+  def rebalance(spark: SparkSession, table: String, idCol: String,
+                vecCol: String, kCells: Int = 16, ivfIters: Int = 2,
+                m: Int = 8, kPq: Int = 128, pqIters: Int = 3): Unit = {
+    IndexLifecycle.recoverSwap(spark, table)
+    val cT = IvfIndex.centroidsTable(table)
+    val bT = codebooksTable(table)
+    val live = minusTombstones(spark, table, idCol, spark.table(table))
+      .select(col(idCol), col(vecCol))
+    val cents = Similarity.ivfTrain(live, idCol, vecCol, kCells, ivfIters)
+    val refs = cents.map(unitRef)
+    val withRes = Checkpoints.stage(Pq.withUnit(
+        Similarity.ivfAssign(live, idCol, vecCol, cents), vecCol, "__u")
+      .withColumn("__r", residualCol(col("__u"), col("cluster_id"), refs)))
+    val books = Pq.trainCodebooksOn(withRes, idCol, "__r", m, kPq, pqIters)
+    val stage = PurgeSwap.stagingOf(table)
+    Writer.emptyPartitionedTable(spark, stage,
+      org.apache.spark.sql.types.StructType(Seq(
+        live.schema(idCol), live.schema(vecCol),
+        org.apache.spark.sql.types.StructField("pq_code",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.IntegerType))),
+      "cluster_id")
+    Pq.packCodesOn(withRes, "__r", "pq_code", books)
+      .select(col(idCol), col(vecCol), col("pq_code"), col("cluster_id"))
+      .repartition(col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"), col(idCol))
+      .write.insertInto(stage)
+    Checkpoints.release(withRes)
+    import spark.implicits._
+    val cStage = PurgeSwap.stagingOf(cT)
+    Writer.dropTableAndLocation(spark, cStage)
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cluster_id", "centroid")
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(cStage)
+    val bStage = PurgeSwap.stagingOf(bT)
+    Writer.dropTableAndLocation(spark, bStage)
+    books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.zipWithIndex.map { case (c, code) => (j, code, c) }
+    }.toDF("subspace", "code", "centroid")
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(bStage)
+    IndexLifecycle.markSwap(spark, table, Seq(table, cT, bT))
+    IndexLifecycle.finishSwap(spark, table)
+  }
+
   private def minusTombstones(spark: SparkSession, table: String,
-                              idCol: String, rows: DataFrame): DataFrame =
+                              idCol: String, rows: DataFrame): DataFrame = {
+    // Probe chokepoint doubles as rebalance-swap recovery (the
+    // IvfIndex.minusTombstones twin) — first contact is usually the
+    // centroids read, which also recovers.
+    IndexLifecycle.recoverSwap(spark, table)
     IndexLifecycle.minusTombstones(spark, table, rows, idCol)
+  }
 
   /** Physically purge tombstoned vectors by dynamic partition
     * overwrite of ONLY the touched cells — the shared cell-partitioned

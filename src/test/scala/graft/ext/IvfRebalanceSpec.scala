@@ -84,6 +84,45 @@ class IvfRebalanceSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC rebalance equals a fresh IvfPq build on the live corpus; tombstones purge") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = e.where(col("vec_id") >= 100 && col("vec_id") < 250)
+      .select(col("vec_id"), col("embedding"))
+    val dels = (103L to 193L by 10L)
+    val live = corpus.where(!col("vec_id").isin(dels: _*))
+    val t = "ivfpq_rebalance_spec"
+    val t2 = "ivfpq_rebalance_spec_fresh"
+    def tablesOf(x: String) = Seq(x, IvfIndex.centroidsTable(x),
+      IvfPq.codebooksTable(x), x + "_tombstones", PurgeSwap.stagingOf(x),
+      PurgeSwap.stagingOf(IvfIndex.centroidsTable(x)),
+      PurgeSwap.stagingOf(IvfPq.codebooksTable(x)),
+      IndexLifecycle.rebalanceMarkerOf(x))
+    try {
+      IvfPq.build(corpus, "vec_id", "embedding", t,
+        kCells = 4, ivfIters = 1, m = 8, kPq = 8, pqIters = 1)
+      import spark.implicits._
+      IvfPq.delete(spark, t, dels.toDF("id"))
+      IvfPq.rebalance(spark, t, "vec_id", "embedding",
+        kCells = 4, ivfIters = 1, m = 8, kPq = 8, pqIters = 1)
+      assert(!spark.catalog.tableExists(t + "_tombstones"),
+        "rebalance must purge the tombstone list")
+      IvfPq.build(live, "vec_id", "embedding", t2,
+        kCells = 4, ivfIters = 1, m = 8, kPq = 8, pqIters = 1)
+      val qs = e.where(col("vec_id") < 2).select(col("embedding"))
+        .collect().map(_.getSeq[Float](0).toSeq)
+      qs.foreach { q =>
+        def rows(x: String) = IvfPq.probeTopK(spark, x, "vec_id",
+            "embedding", q, k = 10, nProbe = 2).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(rows(t) == rows(t2),
+          s"IVFADC probe diverges from fresh build for query $q")
+      }
+    } finally {
+      (tablesOf(t) ++ tablesOf(t2))
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    }
+  }
+
   test("both crash windows of the two-table swap heal at the next probe") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val corpus = e.where(col("vec_id") >= 100 && col("vec_id") < 250)
@@ -107,8 +146,8 @@ class IvfRebalanceSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE `${IvfIndex.centroidsTable(ref)}` RENAME TO " +
         s"`${PurgeSwap.stagingOf(IvfIndex.centroidsTable(t))}`")
       graft.io.Writer.dropTableAndLocation(spark, ref)
-      spark.range(1).write.format("parquet")
-        .saveAsTable(t + "_rebalance_inflight")
+      IndexLifecycle.markSwap(spark, t,
+        Seq(t, IvfIndex.centroidsTable(t)))
     }
     try {
       IvfIndex.build(corpus, "vec_id", "embedding", t, k = 4, iters = 1)

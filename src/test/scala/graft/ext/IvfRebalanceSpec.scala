@@ -123,6 +123,59 @@ class IvfRebalanceSpec extends AnyFunSuite {
     }
   }
 
+  test("a crashed THREE-table IVFADC swap heals at the next probe (marker lists the tables)") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = e.where(col("vec_id") >= 100 && col("vec_id") < 220)
+      .select(col("vec_id"), col("embedding"))
+    val live = corpus.where(col("vec_id") % 10 =!= 7)
+    val t = "ivfpq_rebalance_crash_spec"
+    val ref = "ivfpq_rebalance_crash_ref"
+    def tablesOf(x: String) = Seq(x, IvfIndex.centroidsTable(x),
+      IvfPq.codebooksTable(x), x + "_tombstones", PurgeSwap.stagingOf(x),
+      PurgeSwap.stagingOf(IvfIndex.centroidsTable(x)),
+      PurgeSwap.stagingOf(IvfPq.codebooksTable(x)),
+      IndexLifecycle.rebalanceMarkerOf(x))
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0).toSeq
+    try {
+      IvfPq.build(corpus, "vec_id", "embedding", t,
+        kCells = 4, ivfIters = 1, m = 8, kPq = 8, pqIters = 1)
+      import spark.implicits._
+      IvfPq.delete(spark, t,
+        corpus.where(col("vec_id") % 10 === 7).select(col("vec_id").as("id")))
+      // Expected post-heal answers: a fresh build of the live corpus.
+      IvfPq.build(live, "vec_id", "embedding", ref,
+        kCells = 4, ivfIters = 1, m = 8, kPq = 8, pqIters = 1)
+      def rows(x: String) = IvfPq.probeTopK(spark, x, "vec_id", "embedding",
+          q, k = 10, nProbe = 2).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val expected = rows(ref)
+      // Reconstruct the post-marker crash state: the fresh build's
+      // three tables moved into the staging slots (main via
+      // DDL+insertInto — the rename-safe staging shape), marker rows
+      // listing all three, old index in place, crash INSIDE the main
+      // swap (old main already dropped).
+      graft.io.Writer.emptyPartitionedTable(spark, PurgeSwap.stagingOf(t),
+        spark.table(ref).schema, "cluster_id")
+      spark.table(ref).write.insertInto(PurgeSwap.stagingOf(t))
+      spark.sql(s"ALTER TABLE `${IvfIndex.centroidsTable(ref)}` RENAME TO " +
+        s"`${PurgeSwap.stagingOf(IvfIndex.centroidsTable(t))}`")
+      spark.sql(s"ALTER TABLE `${IvfPq.codebooksTable(ref)}` RENAME TO " +
+        s"`${PurgeSwap.stagingOf(IvfPq.codebooksTable(t))}`")
+      graft.io.Writer.dropTableAndLocation(spark, ref)
+      IndexLifecycle.markSwap(spark, t, Seq(t, IvfIndex.centroidsTable(t),
+        IvfPq.codebooksTable(t)))
+      graft.io.Writer.dropTableAndLocation(spark, t)
+      assert(rows(t) == expected, "heal must serve the new 3-table layout")
+      assert(!spark.catalog.tableExists(IndexLifecycle.rebalanceMarkerOf(t)) &&
+        !spark.catalog.tableExists(t + "_tombstones"),
+        "heal must clear marker and tombstones")
+    } finally {
+      (tablesOf(t) ++ tablesOf(ref))
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    }
+  }
+
   test("both crash windows of the two-table swap heal at the next probe") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
     val corpus = e.where(col("vec_id") >= 100 && col("vec_id") < 250)

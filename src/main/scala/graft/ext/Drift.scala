@@ -37,24 +37,44 @@ object Drift {
 
   /** Per-bucket drift rows between `old` and `newer` on
     * `floor(value / bucketWidth)` clamped to [0, maxBucket]. `value`
-    * must be non-negative (clamp below is at 0). Output ordered by
-    * bucket; buckets empty in BOTH snapshots are omitted — with no
-    * mass on either side they carry no drift signal (their add-one
-    * smoothed shift is the floor difference of two ≤ 1000/(N+B)
-    * terms, a quantization artifact of the totals, not the data). */
+    * must be non-negative (clamp below is at 0); NULL values carry no
+    * bucket and are dropped here (a null metric is a missing
+    * measurement, not a distribution point — and a null bucket row
+    * would break the integer replay and the streaming sink schema,
+    * ADVICE r18). Output ordered by bucket; buckets empty in BOTH
+    * snapshots are omitted — with no mass on either side they carry
+    * no drift signal (their add-one smoothed shift is the floor
+    * difference of two ≤ 1000/(N+B) terms, a quantization artifact of
+    * the totals, not the data). */
   def census(old: DataFrame, newer: DataFrame, value: Column,
              bucketWidth: Double, maxBucket: Int): DataFrame = {
     require(bucketWidth > 0 && maxBucket > 0,
       s"bucketWidth/maxBucket must be positive: $bucketWidth, $maxBucket")
-    val b = lit(maxBucket.toLong + 1L) // smoothing mass = bucket count
     def bucketed(df: DataFrame, out: String): DataFrame =
-      df.select(least(greatest(floor(value / lit(bucketWidth)), lit(0L))
+      df.where(value.isNotNull)
+        .select(least(greatest(floor(value / lit(bucketWidth)), lit(0L))
           .cast("long"), lit(maxBucket.toLong)).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+    contrastCounts(bucketed(old, "n_old"), bucketed(newer, "n_new"),
+      maxBucket.toLong + 1L) // smoothing mass = bucket count
+  }
+
+  /** The drift arithmetic over two PRE-BUCKETED count frames —
+    * [[census]]'s core, split out so censuses that arrive as counts
+    * already (an IVF index's per-cell census, a partition histogram)
+    * ride the same whole-bit PSI twin. `o` carries (bucket, n_old),
+    * `n` (bucket, n_new); `smoothingMass` is the add-one denominator
+    * mass B (the bucket/cell count — callers fix it so both sides
+    * smooth identically). Contact shape: both inputs are
+    * bucket-counted already (≤ B rows each), so everything here is
+    * B-row joins and one B-row sort — nothing corpus-sized. */
+  def contrastCounts(o: DataFrame, n: DataFrame,
+                     smoothingMass: Long): DataFrame = {
+    require(smoothingMass > 0,
+      s"smoothingMass must be positive: $smoothingMass")
+    val b = lit(smoothingMass)
     def bits(c: Column): Column =
       (length(conv(c.cast("string"), 10, 2)) - 1).cast("long")
-    val o = bucketed(old, "n_old")
-    val n = bucketed(newer, "n_new")
     val totals = o.agg(coalesce(sum(col("n_old")), lit(0L)).as("__no"))
       .crossJoin(n.agg(coalesce(sum(col("n_new")), lit(0L)).as("__nn")))
     o.join(n, Seq("bucket"), "full_outer")

@@ -152,6 +152,25 @@ private[graft] object IndexLifecycle {
     val m = rebalanceMarkerOf(table)
     val list = spark.table(m).orderBy(col("idx"))
       .collect().map(_.getString(1)).toSeq
+    // Sanity-gate the marker before acting on it (ADVICE r18): the
+    // marker's rows are the swap's WHOLE instruction set, and a marker
+    // visible with missing/partial rows (a non-atomic commit, an
+    // external writer) must abort the heal rather than half-swap —
+    // half-swapping would drop the tombstone list and marker below,
+    // silently resurrecting takedowns or leaving a mixed layout. A
+    // LEGITIMATE marker always lists >= 1 table, and every listed
+    // table has its staging or live table present at every crash
+    // point (stagings are fully written before markSwap runs).
+    require(list.nonEmpty,
+      s"rebalance marker `$m` has no rows — refusing to heal a " +
+        "corrupt/partial marker; inspect and drop it manually")
+    val broken = list.filterNot(t =>
+      spark.catalog.tableExists(PurgeSwap.stagingOf(t)) ||
+        spark.catalog.tableExists(t))
+    require(broken.isEmpty,
+      s"rebalance marker `$m` lists table(s) with neither staging nor " +
+        s"live present: ${broken.mkString(", ")} — marker corrupt; " +
+        "refusing to swap")
     list.foreach { t =>
       if (spark.catalog.tableExists(PurgeSwap.stagingOf(t)))
         PurgeSwap.swap(spark, t)

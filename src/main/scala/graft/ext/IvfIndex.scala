@@ -38,6 +38,12 @@ object IvfIndex {
     * partition metadata), tombstones filtered, ≤ k rows out. */
   def cellCensus(spark: SparkSession, table: String,
                  idCol: String): DataFrame = {
+    // Heal BEFORE touching spark.table(table): the argument to
+    // minusTombstones is evaluated first, so without this a census in
+    // the post-marker crash window (main table dropped mid-swap) would
+    // throw instead of healing — the one lifecycle entry that broke
+    // the "heals at every contact" doctrine (ADVICE r18).
+    recoverRebalance(spark, table)
     minusTombstones(spark, table, idCol, spark.table(table))
       .groupBy(col("cluster_id").cast("int").as("cluster_id"))
       .agg(count(lit(1)).as("n_live"))

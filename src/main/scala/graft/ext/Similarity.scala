@@ -183,9 +183,14 @@ object Similarity {
     * and its milli-recall. One corpus scan per cut + one for the
     * truth — anchors broadcast (bounded), scoring codegen'd, top-k
     * per anchor via a rank window (WindowGroupLimit, k rows per
-    * partition pre-shuffle). All outputs integers; the DuckDB twin
-    * replays slicing, sequential-fold cosines, rank windows, and the
-    * floor-milli arithmetic value-exact (x_trunc_recall). */
+    * partition pre-shuffle). The truth top-k is STAGED once
+    * (anchors×k rows — [[Checkpoints.stage]]) and `n_anchors` comes
+    * from the bounded anchor frame, so the |dims| union branches
+    * reference the staged rows instead of re-deriving the
+    * full-dimension scan per cut (ADVICE r18: the old shape paid
+    * ~2 extra corpus scans per cut). All outputs integers; the DuckDB
+    * twin replays slicing, sequential-fold cosines, rank windows, and
+    * the floor-milli arithmetic value-exact (x_trunc_recall). */
   def truncationRecall(corpus: DataFrame, idCol: String, vecCol: String,
                        anchors: DataFrame, dims: Seq[Int],
                        k: Int): DataFrame = {
@@ -206,18 +211,24 @@ object Similarity {
         .where(col("__rk") <= k)
         .select(col("anchor_id"), col(idCol))
     }
-    val truth = topK(None)
+    val truth = Checkpoints.stage(topK(None))
+    // n_anchors from the anchor frame, not a truth re-aggregation:
+    // identical whenever every anchor has >= 1 candidate (any corpus
+    // with a second row), and crossed in ONCE after the union — one
+    // bounded anchor scan for the whole curve instead of one per cut.
+    val nAnchors = a.agg(count_distinct(col("anchor_id")).as("n_anchors"))
     dims.map { d =>
-      val overlap = topK(Some(d)).join(truth, Seq("anchor_id", idCol))
+      topK(Some(d)).join(truth, Seq("anchor_id", idCol))
         .agg(count(lit(1)).as("overlap_sum"))
-      truth.agg(count_distinct(col("anchor_id")).as("n_anchors"))
-        .crossJoin(overlap)
-        .select(lit(d.toLong).as("dims"), col("n_anchors"),
-          lit(k.toLong).as("k"), col("overlap_sum"),
-          floor(lit(1000L) * col("overlap_sum") /
-            (col("n_anchors") * lit(k.toLong))).cast("long")
-            .as("recall_milli"))
-    }.reduce(_ unionByName _).orderBy(col("dims"))
+        .select(lit(d.toLong).as("dims"), col("overlap_sum"))
+    }.reduce(_ unionByName _)
+      .crossJoin(nAnchors)
+      .select(col("dims"), col("n_anchors"), lit(k.toLong).as("k"),
+        col("overlap_sum"),
+        floor(lit(1000L) * col("overlap_sum") /
+          (col("n_anchors") * lit(k.toLong))).cast("long")
+          .as("recall_milli"))
+      .orderBy(col("dims"))
   }
 
   /** IVF (inverted-file) clustering: every vector is assigned to its

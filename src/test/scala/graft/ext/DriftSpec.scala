@@ -51,4 +51,19 @@ class DriftSpec extends AnyFunSuite {
       col("v"), 10.0, 3))
     assert(got.map(_._1) == Seq(0L, 3L), got.toString)
   }
+
+  test("NULL metric values are dropped, not bucketed (ADVICE r18)") {
+    import spark.implicits._
+    def dfN(vs: Seq[Option[Int]]) = vs.toDF("v")
+    // With the nulls stripped the two snapshots are IDENTICAL — so the
+    // census must be all-zero drift, and no null-bucket row may appear
+    // (a null bucket would also break the sink schema and the replay).
+    val got = rows(Drift.census(
+      dfN(Seq(Some(1), None, Some(15), Some(35), None)),
+      dfN(Seq(Some(1), Some(15), None, Some(35))), col("v"), 10.0, 3))
+    assert(got.map(_._1) == Seq(0L, 1L, 3L), got.toString)
+    got.foreach { case (_, no, nn, d, ob, sc) =>
+      assert(no == nn && d == 0L && ob == 0L && sc == 0L, got.toString)
+    }
+  }
 }

@@ -237,4 +237,85 @@ class IvfRebalanceSpec extends AnyFunSuite {
         .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
     }
   }
+
+  test("cellCensus heals the post-marker crash window instead of throwing") {
+    // ADVICE r18: cellCensus evaluated spark.table(table) as a call
+    // argument BEFORE minusTombstones' recovery hook ran, so a census
+    // in the window where the old main is already dropped mid-swap
+    // threw AnalysisException — the one lifecycle entry that broke the
+    // heals-at-every-contact doctrine.
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = e.where(col("vec_id") >= 100 && col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val t = "ivf_census_crash_spec"
+    val ref = "ivf_census_crash_ref"
+    try {
+      IvfIndex.build(corpus, "vec_id", "embedding", t, k = 4, iters = 1)
+      IvfIndex.build(corpus, "vec_id", "embedding", ref, k = 4, iters = 1)
+      val expected = IvfIndex.cellCensus(spark, ref, "vec_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      // Post-marker crash, mid-MAIN-swap: staging written, marker up,
+      // old main dropped.
+      graft.io.Writer.emptyPartitionedTable(spark, PurgeSwap.stagingOf(t),
+        spark.table(ref).schema, "cluster_id")
+      spark.table(ref).write.insertInto(PurgeSwap.stagingOf(t))
+      spark.sql(s"ALTER TABLE `${IvfIndex.centroidsTable(ref)}` RENAME TO " +
+        s"`${PurgeSwap.stagingOf(IvfIndex.centroidsTable(t))}`")
+      IndexLifecycle.markSwap(spark, t, Seq(t, IvfIndex.centroidsTable(t)))
+      graft.io.Writer.dropTableAndLocation(spark, t)
+      val got = IvfIndex.cellCensus(spark, t, "vec_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(got == expected, "census must heal the swap, then count")
+      assert(!spark.catalog.tableExists(t + "_rebalance_inflight"),
+        "census contact must clear the marker")
+    } finally {
+      Seq(t, ref).flatMap(x => Seq(x, IvfIndex.centroidsTable(x),
+          x + "_tombstones", PurgeSwap.stagingOf(x),
+          PurgeSwap.stagingOf(IvfIndex.centroidsTable(x)),
+          x + "_rebalance_inflight"))
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    }
+  }
+
+  test("a corrupt marker refuses the heal instead of half-swapping") {
+    // ADVICE r18: finishSwap trusted the marker's rows completely — an
+    // empty marker (non-atomic CTAS commit) or one naming a table with
+    // neither staging nor live present (external writer, partial rows)
+    // would swap some tables yet still drop tombstones and marker.
+    import spark.implicits._
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = e.where(col("vec_id") >= 100 && col("vec_id") < 160)
+      .select(col("vec_id"), col("embedding"))
+    val t = "ivf_marker_corrupt_spec"
+    val m = IndexLifecycle.rebalanceMarkerOf(t)
+    try {
+      IvfIndex.build(corpus, "vec_id", "embedding", t, k = 4, iters = 1)
+      val before = IvfIndex.cellCensus(spark, t, "vec_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      // Empty marker: zero rows visible.
+      Seq.empty[(Int, String)].toDF("idx", "t")
+        .write.format("parquet").saveAsTable(m)
+      intercept[IllegalArgumentException] {
+        IndexLifecycle.recoverSwap(spark, t)
+      }
+      assert(spark.catalog.tableExists(t) && spark.catalog.tableExists(m),
+        "refused heal must leave the index and the marker in place")
+      spark.sql(s"DROP TABLE `$m`")
+      // Marker naming a vanished table: neither staging nor live.
+      IndexLifecycle.markSwap(spark, t, Seq(t, t + "_gone_sibling"))
+      intercept[IllegalArgumentException] {
+        IndexLifecycle.recoverSwap(spark, t)
+      }
+      assert(spark.catalog.tableExists(t) && spark.catalog.tableExists(m),
+        "refused heal must leave the index and the marker in place")
+      spark.sql(s"DROP TABLE `$m`")
+      val after = IvfIndex.cellCensus(spark, t, "vec_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(after == before, "the live index must be untouched")
+    } finally {
+      Seq(t, IvfIndex.centroidsTable(t), t + "_tombstones",
+          PurgeSwap.stagingOf(t), m)
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    }
+  }
 }

@@ -20,6 +20,29 @@ class TruncationRecallSpec extends AnyFunSuite {
       r.getLong(4) == 1000L, r.toString)
   }
 
+  test("the truth top-k is staged once: corpus scans in the plan = one per cut") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .where(col("vec_id") < 60).select(col("vec_id"), col("embedding"))
+    val dims = Seq(8, 16, 32)
+    val r = Similarity.truncationRecall(e, "vec_id", "embedding",
+      e.where(col("vec_id") < 4), dims = dims, k = 5)
+    // Per union branch: ONE corpus relation (the cut's scan) + one
+    // bounded anchor relation for the broadcast, + one anchor relation
+    // for n_anchors — the truth enters as a staged LogicalRDD, never a
+    // re-derived scan. The old shape re-derived the full-dim scan (and
+    // an n_anchors aggregation over it) inside every branch.
+    val plan = r.queryExecution.optimizedPlan
+    val rels = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    val staged = plan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    assert(rels.size == 2 * dims.size + 1,
+      s"expected ${2 * dims.size + 1} relation scans, got ${rels.size}")
+    assert(staged.nonEmpty, "expected the staged truth LogicalRDD")
+  }
+
   test("a 1-dim cut flips the winner on the hand fixture: recall 0") {
     import spark.implicits._
     // anchor 0 = (1, 0); truth top-1 is id 2 (cos 0.8); id 1's full

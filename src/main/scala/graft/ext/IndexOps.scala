@@ -27,19 +27,40 @@ import org.apache.spark.sql.functions._
   *     anti-join until one does.
   *   - `zeroed_grams` — LM only: grams whose live summed delta is 0
   *     (all mass deleted), dead rows a compact reclaims.
+  *   - `n_files` / `bytes` — data files and their summed on-disk bytes
+  *     across the family's state tables (main + siblings; the tables a
+  *     compaction rewrites), from a recursive FS listing of each
+  *     table's location (VERDICT r18 #1: the when-to-compact
+  *     decision's other half — 1,000 partitions of 1 MB and 10 of
+  *     100 GB carry the same `merge_parts` urgency but opposite
+  *     per-file overheads, and the decision bit alone can't tell them
+  *     apart). Hidden files (`_SUCCESS`, `.…`) are excluded; a
+  *     compaction collapses `n_files` to the merged layout's count
+  *     (IndexOpsSpec pins the collapse).
   *   - `compact_due` — the integer decision rule: backlog > 0 OR
-  *     merge_parts > 1 OR zeroed_grams > 0.
+  *     merge_parts > 1 OR zeroed_grams > 0. `n_files`/`bytes` inform
+  *     the URGENCY of a due compaction (tiny-file pressure vs one big
+  *     rewrite), not the bit itself — file counts are
+  *     deployment-layout-dependent, so a portable threshold on them
+  *     would be a guess; operators threshold the published columns.
   *
   * Contact discipline (what makes this runnable against 100 TB state):
   * layouts and `merge_parts` come from CATALOG partition metadata (the
   * compactSink census pattern — no data scan), `tombstone_backlog`
   * from the takedown-sized tombstone lists, `zeroed_grams` from one
-  * vocabulary-sized sum of the LM delta table. The corpus-sized main
-  * tables of the other five families are never read.
+  * vocabulary-sized sum of the LM delta table, and `n_files`/`bytes`
+  * from FS LISTING metadata (file statuses, never file contents — the
+  * same per-file metadata cost a query planner's split enumeration
+  * pays). The corpus-sized main tables of the other five families are
+  * never read.
   *
   * Driver query x_index_census runs it over a memoized six-family
   * mid-lifecycle fixture; IndexOpsSpec pins the post-compact collapse
-  * (backlog → 0, merge_parts → ≤ 1, zeroed → 0, compact_due → 0).
+  * (backlog → 0, merge_parts → ≤ 1, zeroed → 0, compact_due → 0,
+  * n_files down to the merged layout). In the registered query the
+  * byte/file columns surface as >0 invariant bits — raw values are
+  * parquet-encoding- and task-count-sensitive, which an oracle cannot
+  * replay (the x_ivf_topk invariant-bits convention).
   */
 object IndexOps {
 
@@ -57,7 +78,6 @@ object IndexOps {
     Set("__wave", graft.streaming.StreamOps.BatchTag)
 
   def census(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
-    val cat = spark.sessionState.catalog
     val rows = entries.map { e =>
       val tomb = IndexLifecycle.tombstonesOf(e.table)
       val present = ((e.table +: e.siblings) :+ tomb)
@@ -66,18 +86,19 @@ object IndexOps {
         // A dashboard row, not an exception: one dropped index must
         // not kill the whole ops report. "<absent>" is unambiguous —
         // a real layout signature is column names or "".
-        (e.family, "<absent>", 0L, present.toLong, 0L, 0L, 0L)
+        (e.family, "<absent>", 0L, present.toLong, 0L, 0L, 0L, 0L, 0L)
       } else censusRow(spark, e, tomb, present)
     }
     import spark.implicits._
     rows.toDF("family", "layout", "merge_parts", "n_tables",
-        "tombstone_backlog", "zeroed_grams", "compact_due")
+        "tombstone_backlog", "zeroed_grams", "n_files", "bytes",
+        "compact_due")
       .orderBy(col("family"))
   }
 
   private def censusRow(spark: SparkSession, e: Entry, tomb: String,
                         present: Int)
-      : (String, String, Long, Long, Long, Long, Long) = {
+      : (String, String, Long, Long, Long, Long, Long, Long, Long) = {
     val cat = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(e.table)
     val partCols = cat.getTableMetadata(ident).partitionColumnNames
@@ -96,8 +117,41 @@ object IndexOps {
         spark.table(e.table).groupBy(col("g"))
             .agg(sum(col("c")).as("c")).where(col("c") === 0L).count()
       else 0L
+    val (nFiles, bytes) = filesBytes(spark, e.table +: e.siblings)
     val due: Long =
       if (backlog > 0L || mergeParts > 1L || zeroed > 0L) 1L else 0L
-    (e.family, layout, mergeParts, present.toLong, backlog, zeroed, due)
+    (e.family, layout, mergeParts, present.toLong, backlog, zeroed,
+      nFiles, bytes, due)
+  }
+
+  /** Data-file count and summed bytes over the EXISTING tables'
+    * location subtrees — FS listing metadata only (file statuses,
+    * never contents). Hidden files (commit markers, checksums) are
+    * excluded; a location that vanished mid-listing (a concurrent
+    * swap's drop window) counts as empty rather than failing the
+    * dashboard. */
+  private[ext] def filesBytes(spark: SparkSession,
+                              tables: Seq[String]): (Long, Long) = {
+    val cat = spark.sessionState.catalog
+    var files = 0L
+    var bytes = 0L
+    tables.filter(spark.catalog.tableExists).foreach { t =>
+      val loc = cat.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      val path = new org.apache.hadoop.fs.Path(loc)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(path)) {
+        val it = fs.listFiles(path, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+            files += 1L
+            bytes += st.getLen
+          }
+        }
+      }
+    }
+    (files, bytes)
   }
 }

@@ -2190,16 +2190,30 @@ private[graft] object CorpusQueries {
 
   /** x_index_census: the index OPS census (IndexOps.census — one row
     * per family: layout signature, merge_parts from catalog partition
-    * metadata, tombstone backlog, LM zeroed-gram mass, and the
-    * compact_due decision bit) over the six-family mid-lifecycle
-    * fixture. Every value is deterministic by construction; the
-    * oracle replays the data-derived columns from `documents` /
-    * `embeddings` (backlog = the %-50 takedown slice count,
-    * zeroed_grams = bigrams living ONLY in deleted docs) and pins the
-    * layout/table-count constants the fixture's construction fixes —
-    * the x_ivf_topk invariant-bits convention. */
+    * metadata, tombstone backlog, LM zeroed-gram mass, FS-listed
+    * file/byte pressure, and the compact_due decision bit) over the
+    * six-family mid-lifecycle fixture. Every value is deterministic by
+    * construction; the oracle replays the data-derived columns from
+    * `documents` / `embeddings` (backlog = the %-50 takedown slice
+    * count, zeroed_grams = bigrams living ONLY in deleted docs) and
+    * pins the layout/table-count constants the fixture's construction
+    * fixes — the x_ivf_topk invariant-bits convention. The byte/file
+    * columns surface as >0 / >=merge_parts invariant bits here: raw
+    * values are parquet-encoding- and write-task-count-sensitive
+    * (no oracle can replay a snappy footer), while the bits hold on
+    * ANY layout with data in it; the post-compact file collapse is
+    * value-pinned in IndexOpsSpec where the layout is controlled. */
   private def indexCensus(s: SparkSession, dir: String): DataFrame =
     IndexOps.census(s, censusFixtureFor(s, dir))
+      .select(col("family"), col("layout"), col("merge_parts"),
+        col("n_tables"), col("tombstone_backlog"), col("zeroed_grams"),
+        (col("n_files") > 0L).cast("long").as("files_pos_ok"),
+        (col("bytes") > 0L).cast("long").as("bytes_pos_ok"),
+        // Every catalog partition holds >= 1 data file, so the listing
+        // can never undercount the merge backlog it motivates.
+        (col("n_files") >= greatest(col("merge_parts"), lit(1L)))
+          .cast("long").as("files_ge_parts_ok"),
+        col("compact_due"))
 
   /** x_dsir_inc: INCREMENTAL DSIR — importance log-weights for an
     * arriving shard (every 10th doc) served from the two persisted LM
@@ -3031,12 +3045,14 @@ private[graft] object CorpusQueries {
         | SELECT * FROM (
         |  SELECT 'bands' AS family, '' AS layout, CAST(0 AS BIGINT) AS merge_parts,
         |   CAST(2 AS BIGINT) AS n_tables, (SELECT n FROM nd) AS tombstone_backlog,
-        |   CAST(0 AS BIGINT) AS zeroed_grams, CAST(1 AS BIGINT) AS compact_due
-        |  UNION ALL SELECT 'bm25', '', 0, 5, (SELECT n FROM nd), 0, 1
-        |  UNION ALL SELECT 'ivf', 'cluster_id', 0, 3, (SELECT n FROM ne), 0, 1
-        |  UNION ALL SELECT 'ivfadc', 'cluster_id', 0, 4, (SELECT n FROM ne), 0, 1
-        |  UNION ALL SELECT 'lm', '__wave', 3, 3, (SELECT n FROM nd), (SELECT z FROM zg), 1
-        |  UNION ALL SELECT 'winnow', '', 0, 2, (SELECT n FROM nd), 0, 1
+        |   CAST(0 AS BIGINT) AS zeroed_grams, CAST(1 AS BIGINT) AS files_pos_ok,
+        |   CAST(1 AS BIGINT) AS bytes_pos_ok, CAST(1 AS BIGINT) AS files_ge_parts_ok,
+        |   CAST(1 AS BIGINT) AS compact_due
+        |  UNION ALL SELECT 'bm25', '', 0, 5, (SELECT n FROM nd), 0, 1, 1, 1, 1
+        |  UNION ALL SELECT 'ivf', 'cluster_id', 0, 3, (SELECT n FROM ne), 0, 1, 1, 1, 1
+        |  UNION ALL SELECT 'ivfadc', 'cluster_id', 0, 4, (SELECT n FROM ne), 0, 1, 1, 1, 1
+        |  UNION ALL SELECT 'lm', '__wave', 3, 3, (SELECT n FROM nd), (SELECT z FROM zg), 1, 1, 1, 1
+        |  UNION ALL SELECT 'winnow', '', 0, 2, (SELECT n FROM nd), 0, 1, 1, 1, 1
         | ) ORDER BY family""".stripMargin.replaceAll("\n", " "),
     // Incremental DSIR: the x_dsir_weight replay (both censuses over
     // the FULL corpus, whole-bit integer contrast) with the output

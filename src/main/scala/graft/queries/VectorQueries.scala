@@ -62,6 +62,7 @@ private[graft] object VectorQueries {
     "x_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
     "x_stream_embed_ingest" -> ((s, dir) => streamEmbedIngest(s, dir)),
     "x_stream_serve" -> ((s, dir) => streamServe(s, dir)),
+    "x_stream_serve_ivfpq" -> ((s, dir) => streamServeIvfPq(s, dir)),
     "x_rebalance" -> ((s, dir) => rebalanceGate(s, dir)),
     "x_trunc_recall" -> ((s, dir) => {
       // Matryoshka operating curve (Similarity.truncationRecall): how
@@ -821,6 +822,63 @@ private[graft] object VectorQueries {
           .as("accumulated_equals_oneshot_ok"))
   }
 
+  /** x_stream_serve_ivfpq: the serving stream on the 8-byte/vector
+    * tier (VERDICT r18 #2) — the SAME generic StreamOps.streamServe
+    * loop x_stream_serve runs on the IVF float tier, riding the same
+    * vector collector, with [[IvfPq.probeBatch]] as the probe: 36
+    * query vectors arrive as THREE micro-batched file shards, each
+    * batch split 8 + 4 by chunkCap 8 (the cap path exercised), every
+    * chunk answered in the IVFADC ladder's TWO corpus contacts (one
+    * union-cell code scan, one shared float re-rank), results
+    * accumulating batch-tagged. Gate: accumulated ≡ ONE one-shot
+    * probeBatch of all 36 queries in both exceptAll directions — the
+    * x_stream_serve shard/chunk-invariance contract, which holds
+    * because probeBatch answers each query independently of its
+    * batch-mates (the x_ivfpq_batch contract). */
+  private def streamServeIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val e = Tables.embeddings(s, dir)
+    val table = ivfpqIndexFor(s, dir)
+    val queries = e.where(col("vec_id") < 36)
+      .select(col("vec_id"), col("embedding"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val inDir = CorpusQueries.stagedShardsFor(
+      s, dir + "#serve_ivfpq", queries, idCol = "vec_id")
+    val stream = s.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val sink = "graft_stream_serve_ivfpq_" + digest
+    val k = 10
+    val nProbe = 4
+    val qsAll = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq.sortBy(_._1)
+    val oneShot = IvfPq.probeBatch(s, table, "vec_id", "embedding",
+        qsAll, k, nProbe)
+      .pipe(graft.ext.Checkpoints.stage)
+    val nBatches = graft.streaming.StreamOps.streamServe(
+      s, stream, sink, chunkCap = 8,
+      resultSchema = oneShot.schema, keyCol = "query_id",
+      collectQueries = graft.streaming.StreamOps
+        .vectorQueryCollector("vec_id", "embedding"),
+      probe = (chunk: Seq[(Long, Seq[Float])]) =>
+        IvfPq.probeBatch(s, table, "vec_id", "embedding",
+          chunk, k, nProbe),
+      queryName = "stream_serve_ivfpq_" + digest)
+    val got = s.table(sink).drop(graft.streaming.StreamOps.BatchTag)
+      .pipe(graft.ext.Checkpoints.stage)
+    val missing = oneShot.exceptAll(got).agg(count(lit(1)).as("__m"))
+    val extra = got.exceptAll(oneShot).agg(count(lit(1)).as("__e"))
+    queries.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(got.agg(count(lit(1)).as("n_result_rows")))
+      .crossJoin(missing).crossJoin(extra)
+      .select(col("n_queries"), col("n_result_rows"),
+        lit(if (nBatches == 3) 1L else 0L).as("three_batches_ok"),
+        (col("__m") === 0 && col("__e") === 0).cast("long")
+          .as("accumulated_equals_oneshot_ok"))
+  }
+
   /** x_rebalance: the IVF maintenance loop under planted distribution
     * drift — build over a corpus whose last 100 vectors are near-twins
     * of one vector (they pile into ONE cell), read the skew report
@@ -1142,6 +1200,14 @@ private[graft] object VectorQueries {
     "x_stream_serve" ->
       """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 48) AS n_queries,
         | (SELECT CAST(10 * COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 48) AS n_result_rows,
+        | CAST(1 AS BIGINT) AS three_batches_ok,
+        | CAST(1 AS BIGINT) AS accumulated_equals_oneshot_ok""".stripMargin.replaceAll("\n", " "),
+    // IVFADC serving stream: same shape — 36 streamed queries x k=10
+    // (every query's 4 probed cells hold far more than 10 rows, and
+    // the default 4k shortlist exceeds k), equality bits the gate.
+    "x_stream_serve_ivfpq" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 36) AS n_queries,
+        | (SELECT CAST(10 * COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id < 36) AS n_result_rows,
         | CAST(1 AS BIGINT) AS three_batches_ok,
         | CAST(1 AS BIGINT) AS accumulated_equals_oneshot_ok""".stripMargin.replaceAll("\n", " "),
     // Embedding near-dup / approx-sim-join gates: truth is the

@@ -58,7 +58,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "x_stream_purge_gate",
       // Streaming-serving gates: 1-row report assembly (query/result
       // counts × the accumulated-equals-one-shot equality bits).
-      "x_stream_serve", "x_stream_serve_bm25",
+      "x_stream_serve", "x_stream_serve_bm25", "x_stream_serve_ivfpq",
       // Bucket census × its own 1-row totals (Drift.census — the join
       // is bounded by maxBucket+1 rows on one side and 1 on the other).
       "x_drift_census",

@@ -15,17 +15,53 @@ import graft.{Tables, TestSpark}
 class IndexOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  private case class Cen(layout: String, mergeParts: Long, nTables: Long,
+                         backlog: Long, zeroed: Long, nFiles: Long,
+                         bytes: Long, due: Long)
   private def byFamily(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => r.getString(0) ->
-      (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getLong(5), r.getLong(6))).toMap
+      Cen(r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
 
   test("an absent index yields a dashboard row, not an exception") {
     val got = IndexOps.census(spark,
       Seq(IndexOps.Entry("ghost", "census_spec_no_such_table")))
       .collect().head
     assert(got.getString(1) == "<absent>" && got.getLong(3) == 0L &&
-      got.getLong(6) == 0L, got.toString)
+      got.getLong(6) == 0L && got.getLong(7) == 0L &&
+      got.getLong(8) == 0L, got.toString)
+  }
+
+  test("filesBytes equals an independent filesystem walk of the table locations") {
+    import spark.implicits._
+    val t = "census_spec_filesbytes"
+    try {
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .repartition(3, col("id"))
+        .write.format("parquet").saveAsTable(t)
+      val (nFiles, bytes) = IndexOps.filesBytes(spark, Seq(t))
+      // Independent truth: walk the warehouse directory with java.nio,
+      // counting non-hidden regular files and summing their lengths.
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      val root = java.nio.file.Paths.get(loc)
+      var expF = 0L
+      var expB = 0L
+      java.nio.file.Files.walk(root).forEach { p =>
+        val n = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) &&
+            !n.startsWith("_") && !n.startsWith(".")) {
+          expF += 1L
+          expB += java.nio.file.Files.size(p)
+        }
+      }
+      assert(nFiles == expF && bytes == expB,
+        s"filesBytes ($nFiles, $bytes) != walked ($expF, $expB)")
+      assert(nFiles >= 1L && bytes > 0L, s"($nFiles, $bytes)")
+      // A missing table contributes nothing rather than failing.
+      val (zf, zb) = IndexOps.filesBytes(spark, Seq(t, "census_spec_ghost"))
+      assert(zf == nFiles && zb == bytes)
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$t`")
   }
 
   test("mid-lifecycle census surfaces backlog/waves/zeroed-grams; each family's compaction collapses it") {
@@ -60,18 +96,29 @@ class IndexOpsSpec extends AnyFunSuite {
       LmIndex.delete(spark, t("lm"), dels, "doc_id", "text")
 
       val mid = byFamily(IndexOps.census(spark, entries))
-      assert(mid("bands") == (("", 0L, 2L, 3L, 0L, 1L)),
+      def core(c: Cen) = (c.layout, c.mergeParts, c.nTables, c.backlog,
+        c.zeroed, c.due)
+      assert(core(mid("bands")) == (("", 0L, 2L, 3L, 0L, 1L)),
         s"bands mid-lifecycle census off: ${mid("bands")}")
       // 5 tables mid-lifecycle: main, _docs, _stats, the takedown's
       // _stats_deltas row, and the tombstone list.
-      assert(mid("bm25") == (("", 0L, 5L, 3L, 0L, 1L)),
+      assert(core(mid("bm25")) == (("", 0L, 5L, 3L, 0L, 1L)),
         s"bm25 mid-lifecycle census off: ${mid("bm25")}")
-      assert(mid("ivf") == (("cluster_id", 0L, 3L, 3L, 0L, 1L)),
+      assert(core(mid("ivf")) == (("cluster_id", 0L, 3L, 3L, 0L, 1L)),
         s"ivf mid-lifecycle census off: ${mid("ivf")}")
-      val (lmLayout, lmWaves, lmTables, lmBacklog, lmZeroed, lmDue) = mid("lm")
-      assert(lmLayout == "__wave" && lmWaves == 3L && lmTables == 3L &&
-        lmBacklog == 3L && lmDue == 1L,
-        s"lm mid-lifecycle census off: ${mid("lm")}")
+      val lm = mid("lm")
+      assert(lm.layout == "__wave" && lm.mergeParts == 3L &&
+        lm.nTables == 3L && lm.backlog == 3L && lm.due == 1L,
+        s"lm mid-lifecycle census off: $lm")
+      val lmZeroed = lm.zeroed
+      // File/byte pressure mid-lifecycle: every family has data on
+      // disk, and a wave/batch layout carries at least one file per
+      // partition the compaction would merge.
+      mid.foreach { case (fam, c) =>
+        assert(c.nFiles > 0L && c.bytes > 0L &&
+          c.nFiles >= math.max(c.mergeParts, 1L),
+          s"$fam mid-lifecycle file census off: $c")
+      }
       // The deleted docs' exclusive bigrams are exactly the zeroed
       // gram rows — replay the definition over the data.
       def bg(df: org.apache.spark.sql.DataFrame) = df.select(
@@ -88,10 +135,22 @@ class IndexOpsSpec extends AnyFunSuite {
       IvfIndex.purgeTombstones(spark, t("ivf"), "vec_id")
       LmIndex.compact(spark, t("lm"))
       val post = byFamily(IndexOps.census(spark, entries))
-      post.foreach { case (fam, (_, mergeParts, _, backlog, zeroed, due)) =>
-        assert(backlog == 0L && mergeParts <= 1L && zeroed == 0L && due == 0L,
-          s"$fam census did not collapse post-compaction: ${post(fam)}")
+      post.foreach { case (fam, c) =>
+        assert(c.backlog == 0L && c.mergeParts <= 1L && c.zeroed == 0L &&
+          c.due == 0L,
+          s"$fam census did not collapse post-compaction: $c")
+        // Byte/file collapse: compaction never leaves MORE files than
+        // the accumulated layout had, and the state stays on disk.
+        assert(c.nFiles > 0L && c.bytes > 0L &&
+          c.nFiles <= mid(fam).nFiles,
+          s"$fam file census did not collapse post-compaction: " +
+            s"mid=${mid(fam)} post=$c")
       }
+      // The wave layout's collapse is strict: 3 merged wave partitions
+      // (>= 3 files) become one, so the file count must DROP.
+      assert(post("lm").nFiles < mid("lm").nFiles,
+        s"lm wave compaction must shrink files: mid=${mid("lm")} " +
+          s"post=${post("lm")}")
     } finally {
       entries.flatMap(e => (e.table +: e.siblings) :+
           IndexLifecycle.tombstonesOf(e.table))

@@ -97,6 +97,75 @@ object Drift {
       .orderBy(col("bucket"))
   }
 
+  /** One monitored metric of [[censusMulti]]: its name (the output's
+    * `metric` key), value expression, and its own bucket grid. */
+  case class Metric(name: String, value: Column, bucketWidth: Double,
+                    maxBucket: Int) {
+    require(bucketWidth > 0 && maxBucket > 0,
+      s"bucketWidth/maxBucket must be positive: $bucketWidth, $maxBucket")
+  }
+
+  /** Multi-metric drift census — [[census]] over SEVERAL metrics in
+    * ONE pass per snapshot (VERDICT r18 #8): monitoring token count,
+    * document length, and a quality ratio as three [[census]] calls
+    * pays three corpus scans per snapshot; here each row explodes into
+    * one (metric, bucket) pair per metric (nulls dropped per metric —
+    * the [[census]] convention) and a single map-side-combined
+    * group-by censuses them all, so the exchange carries
+    * ≤ Σ(maxBucket+1) rows per partition. Each metric keeps its OWN
+    * bucket grid and smoothing mass (maxBucket+1), and its slice of
+    * the output is EXACTLY [[census]] of that metric alone (pinned by
+    * DriftSpec). Output: (metric, bucket, n_old, n_new, d_milli,
+    * odds_bits, drift_score), ordered (metric, bucket). */
+  def censusMulti(old: DataFrame, newer: DataFrame,
+                  metrics: Seq[Metric]): DataFrame = {
+    require(metrics.nonEmpty, "need at least one metric")
+    require(metrics.map(_.name).distinct.size == metrics.size,
+      s"metric names must be distinct: ${metrics.map(_.name)}")
+    def bucketed(df: DataFrame, out: String): DataFrame =
+      df.select(explode(array(metrics.map(m =>
+          struct(lit(m.name).as("metric"),
+            when(m.value.isNotNull,
+              least(greatest(floor(m.value / lit(m.bucketWidth)), lit(0L))
+                .cast("long"), lit(m.maxBucket.toLong))).as("bucket"))): _*))
+          .as("mb"))
+        .select(col("mb.metric").as("metric"), col("mb.bucket").as("bucket"))
+        .where(col("bucket").isNotNull)
+        .groupBy(col("metric"), col("bucket")).agg(count(lit(1)).as(out))
+    def bits(c: Column): Column =
+      (length(conv(c.cast("string"), 10, 2)) - 1).cast("long")
+    val spark = old.sparkSession
+    import spark.implicits._
+    val bdf = metrics.map(m => (m.name, m.maxBucket.toLong + 1L))
+      .toDF("metric", "__b")
+    val o = bucketed(old, "n_old")
+    val n = bucketed(newer, "n_new")
+    def totals(df: DataFrame, cnt: String, out: String): DataFrame =
+      df.groupBy(col("metric")).agg(sum(col(cnt)).as(out))
+    o.join(n, Seq("metric", "bucket"), "full_outer")
+      .select(col("metric"), col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      // A metric entirely null on one side has no totals row there:
+      // left joins + coalesce give it N = 0, exactly census's empty
+      // snapshot.
+      .join(totals(o, "n_old", "__no"), Seq("metric"), "left_outer")
+      .join(totals(n, "n_new", "__nn"), Seq("metric"), "left_outer")
+      .join(broadcast(bdf), Seq("metric"))
+      .select(col("metric"), col("bucket"), col("n_old"), col("n_new"),
+        coalesce(col("__no"), lit(0L)).as("__no"),
+        coalesce(col("__nn"), lit(0L)).as("__nn"), col("__b"))
+      .select(col("metric"), col("bucket"), col("n_old"), col("n_new"),
+        (floor(lit(1000L) * (col("n_new") + 1L) / (col("__nn") + col("__b"))) -
+          floor(lit(1000L) * (col("n_old") + 1L) / (col("__no") + col("__b"))))
+          .cast("long").as("d_milli"),
+        (bits((col("n_new") + 1L) * (col("__no") + col("__b"))) -
+          bits((col("n_old") + 1L) * (col("__nn") + col("__b"))))
+          .as("odds_bits"))
+      .withColumn("drift_score", col("d_milli") * col("odds_bits"))
+      .orderBy(col("metric"), col("bucket"))
+  }
+
   /** Streaming drift monitor — [[census]]'s streaming twin, the
     * monitoring loop next to the ingest streams: every micro-batch of
     * arriving documents is contrasted against the FIXED reference

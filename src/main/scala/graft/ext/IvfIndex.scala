@@ -71,6 +71,39 @@ object IvfIndex {
         (col("max_over_mean_milli") >= dueMilli).cast("long"))
   }
 
+  /** Cell-mass DRIFT census of a live index against a PERSISTED
+    * reference census (VERDICT r18 #6) — the monitoring row the ANN
+    * families get BEFORE skew piles up: [[cellSkew]] only sees the
+    * live state, so an operator learns about a drift blob when it has
+    * already made a cell hot; contrasting today's [[cellCensus]]
+    * against a census snapshotted at (re)build time through the
+    * [[Drift.contrastCounts]] whole-bit PSI twin localizes WHICH cells
+    * the arriving distribution is filling and how fast, while the
+    * index still serves fine. Cell ids ARE the buckets; the smoothing
+    * mass is the centroid count k (the cell-space size, read from the
+    * k-row centroids table), so both snapshots smooth identically
+    * regardless of which cells happen to be occupied.
+    *
+    * `reference` carries (cluster_id, n_live) — a [[cellCensus]]
+    * persisted earlier (the operating loop: build → save census →
+    * ingest → cellDrift each monitoring tick → rebalance_due when
+    * [[cellSkew]] confirms). Output = [[Drift.census]]'s row shape
+    * with cells as buckets, fully integer, DuckDB-replayed by
+    * x_vec_drift. Contact: one id-column scan for the live census
+    * (≤ k rows out), k-row joins after that. Heals a crashed swap at
+    * entry (the census contact does). */
+  def cellDrift(spark: SparkSession, table: String, idCol: String,
+                reference: DataFrame): DataFrame = {
+    val live = cellCensus(spark, table, idCol) // heals before any read
+    val k = spark.table(centroidsTable(table)).count()
+    Drift.contrastCounts(
+      reference.select(col("cluster_id").cast("long").as("bucket"),
+        col("n_live").as("n_old")),
+      live.select(col("cluster_id").cast("long").as("bucket"),
+        col("n_live").as("n_new")),
+      smoothingMass = k)
+  }
+
   /** REBALANCE — the index-maintenance answer to distribution drift
     * ([[cellSkew]] detects it): retrain Lloyd centroids on the LIVE
     * corpus (current rows minus tombstones) and rewrite the index

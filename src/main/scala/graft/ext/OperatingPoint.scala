@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operating-point ANN advisor (VERDICT r18 #5): [[TierAdvisor]]
+  * answers WHICH tier; the operator's next question is HOW WIDE to
+  * probe it — nProbe (and by the same curve, shortlist width) against
+  * a recall target. Until now that answer lived in BENCH_NOTES prose
+  * (the r13 recall-vs-nProbe curve); this makes it a queryable
+  * decision: a measured sampled-recall census, one row per candidate
+  * nProbe, plus the recommendation — the SMALLEST sampled nProbe whose
+  * milli-recall clears the target.
+  *
+  * Semantics: for each anchor, "recall at nProbe" is the overlap of
+  * its top-k by cosine over the nProbe most-anchor-similar CELLS
+  * (cells ranked exactly as [[Similarity.probeClusters]] ranks them —
+  * centroid cosine DESC, index ASC on ties) with its UNRESTRICTED
+  * top-k; summed across anchors, floored to milli. `centroids` fixes
+  * the cell space — production passes the live index's trained
+  * centroids ([[IvfIndex.centroids]]), making the curve the index's
+  * own measured recall; the registered query (x_nprobe_advisor)
+  * passes the DETERMINISTIC first-k seed so the entire decision is
+  * DuckDB-value-replayed, the x_tier_advisor convention.
+  *
+  * 100 TB shape — ONE corpus scan, everything after it bounded:
+  *
+  *   1. The scan assigns each row its cell (per-row argmax over k
+  *      broadcast centroid literals — no shuffle) and scores it
+  *      against the broadcast anchor batch (|anchors|·n codegen'd
+  *      cosines); each row's cell PROBE RANK for each anchor comes
+  *      from a second broadcast join against the anchors×k cell-rank
+  *      frame (driver-scale).
+  *   2. A per-(anchor, cell) rank window keeps k rows per group
+  *      pre-shuffle (WindowGroupLimit), and that anchors·cells·k-row
+  *      frame is STAGED — it is a superset of the unrestricted top-k
+  *      (a global top-k row ranks ≤ k within its own cell) and of
+  *      every probed top-k, so the whole nProbe curve replays from it
+  *      without re-touching the corpus.
+  *   3. Per candidate nProbe: filter cell_rank ≤ nProbe, re-rank per
+  *      anchor, overlap with the truth — bounded arithmetic.
+  *
+  * Degenerate (0-norm) vectors carry a null cell ([[Similarity
+  * .ivfAssign]]) and drop out of the curve on both sides — they are
+  * outside the index's cell space by the ingest contract.
+  *
+  * Output (ordered by n_probe): n_probe, n_anchors, k, overlap_sum,
+  * recall_milli, target_milli, meets_target, recommended_n_probe
+  * (null when no sampled point clears the target — the advisory
+  * answer is "raise nProbe beyond the sampled range"). All integers.
+  */
+object OperatingPoint {
+
+  def nProbeCurve(corpus: DataFrame, idCol: String, vecCol: String,
+                  anchors: DataFrame, centroids: Seq[Seq[Float]],
+                  nProbes: Seq[Int], k: Int,
+                  targetRecallMilli: Long = 950L): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ > 0) && k > 0,
+      s"need positive nProbes and k: $nProbes, $k")
+    require(centroids.nonEmpty, "need centroids")
+    val s = corpus.sparkSession
+    val kCells = centroids.size
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("__avec"))
+    // Anchor→cell probe ranks: |anchors|×k rows, ranked under
+    // probeClusters' exact order (centroid cosine DESC, index ASC —
+    // its sortBy is stable, so ties fall to the lower index).
+    val asims = array(centroids.map(cv =>
+      Similarity.cosineIn(s)(col("__avec"),
+        array(cv.map(v => lit(v.toDouble)): _*))): _*)
+    val wRank = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("__csim").desc, col("cluster_id"))
+    val aCells = a.select(col("anchor_id"),
+        posexplode(asims).as(Seq("cluster_id", "__csim")))
+      .withColumn("cell_rank", row_number().over(wRank))
+      .select(col("anchor_id"), col("cluster_id"), col("cell_rank"))
+    // THE corpus scan: assign, score against the anchor batch, attach
+    // each row's probe rank for that anchor, keep k per (anchor, cell).
+    val assigned = Similarity.ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("cluster_id"))
+    val wCell = Window.partitionBy(col("anchor_id"), col("cluster_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    val cand = Checkpoints.stage(
+      assigned.join(broadcast(a), col(idCol) =!= col("anchor_id"))
+        .select(col("anchor_id"), col(idCol), col("cluster_id"),
+          Similarity.cosineIn(s)(col(vecCol), col("__avec")).as("cos_sim"))
+        .join(broadcast(aCells), Seq("anchor_id", "cluster_id"))
+        .withColumn("__rc", row_number().over(wCell))
+        .where(col("__rc") <= k)
+        .select(col("anchor_id"), col(idCol), col("cos_sim"),
+          col("cell_rank")))
+    val wAnchor = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    def topK(df: DataFrame): DataFrame =
+      df.withColumn("__rn", row_number().over(wAnchor))
+        .where(col("__rn") <= k)
+        .select(col("anchor_id"), col(idCol))
+    val truth = topK(cand)
+    val nAnchors = a.agg(count_distinct(col("anchor_id")).as("n_anchors"))
+    val points = nProbes.sorted.map { np =>
+      require(np <= kCells, s"nProbe $np > $kCells cells")
+      topK(cand.where(col("cell_rank") <= np))
+        .join(truth, Seq("anchor_id", idCol))
+        .agg(count(lit(1)).as("overlap_sum"))
+        .select(lit(np.toLong).as("n_probe"), col("overlap_sum"))
+    }.reduce(_ unionByName _)
+    // The curve is |nProbes| rows; STAGE it so the recommendation (a
+    // 1-row min over the clearing points, crossed back in) reads the
+    // same tiny frame instead of pasting the per-point aggregation
+    // subtree twice — and no single-partition window enters the plan.
+    val curve = Checkpoints.stage(points.crossJoin(nAnchors)
+      .select(col("n_probe"), col("n_anchors"), lit(k.toLong).as("k"),
+        col("overlap_sum"),
+        floor(lit(1000L) * col("overlap_sum") /
+          (col("n_anchors") * lit(k.toLong))).cast("long")
+          .as("recall_milli"))
+      .withColumn("target_milli", lit(targetRecallMilli))
+      .withColumn("meets_target",
+        (col("recall_milli") >= col("target_milli")).cast("long")))
+    curve.crossJoin(curve.agg(
+        min(when(col("meets_target") === 1L, col("n_probe")))
+          .as("recommended_n_probe")))
+      .orderBy(col("n_probe"))
+  }
+}

@@ -78,6 +78,24 @@ private[graft] object CorpusQueries {
         TextAnalysis.wsTokenCount(col("text")),
         bucketWidth = 32.0, maxBucket = 16)
     }),
+    "x_drift_multi" -> ((s, dir) => {
+      // Multi-metric drift in ONE pass per snapshot (Drift.censusMulti
+      // — VERDICT r18 #8): token count, char length, and the
+      // chars-per-token quality ratio monitored together, each on its
+      // own grid, each output slice EXACTLY the single-metric census
+      // (DriftSpec pins the slice equivalence; the oracle replays all
+      // three in integer arithmetic).
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+      val toks = TextAnalysis.wsTokenCount(col("text"))
+      Drift.censusMulti(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1),
+        Seq(
+          Drift.Metric("chars", length(col("text")), 200.0, 16),
+          Drift.Metric("chars_per_token",
+            length(col("text")).cast("double") / toks, 2.0, 16),
+          Drift.Metric("tokens", toks, 32.0, 16)))
+    }),
     "x_simhash" -> ((s, dir) =>
       // SimHash values are engine-internal (xxhash64), but two
       // INVARIANTS of them are not: (a) simhash is a pure function of
@@ -3026,6 +3044,29 @@ private[graft] object CorpusQueries {
         |  CAST((floor(1000 * (n_new + 1) / CAST(nn + 17 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 17 AS DOUBLE)))
         |   * ((length(to_base(CAST((n_new + 1) * (no + 17) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 17) AS BIGINT), 2)) - 1)) AS BIGINT) AS drift_score
         | FROM j CROSS JOIN t ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+    // Multi-metric drift: the x_drift_census replay over three metric
+    // grids at once — per-doc buckets unpivoted, census arithmetic per
+    // (metric, bucket) with per-metric totals; B = 17 for all three.
+    "x_drift_multi" ->
+      """WITH d AS (SELECT doc_id, length(text) AS ch,
+        |   (length(text) - length(replace(text, ' ', '')) + 1) AS tk,
+        |   CAST(length(text) AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1) AS cpt
+        |  FROM documents WHERE text IS NOT NULL),
+        | m AS (SELECT doc_id, 'chars' AS metric, LEAST(GREATEST(CAST(floor(ch / 200.0) AS BIGINT), 0), 16) AS bucket FROM d
+        |  UNION ALL SELECT doc_id, 'chars_per_token', LEAST(GREATEST(CAST(floor(cpt / 2.0) AS BIGINT), 0), 16) FROM d
+        |  UNION ALL SELECT doc_id, 'tokens', LEAST(GREATEST(CAST(floor(tk / 32.0) AS BIGINT), 0), 16) FROM d),
+        | o AS (SELECT metric, bucket, CAST(COUNT(*) AS BIGINT) AS n_old FROM m WHERE doc_id % 2 = 0 GROUP BY metric, bucket),
+        | n AS (SELECT metric, bucket, CAST(COUNT(*) AS BIGINT) AS n_new FROM m WHERE doc_id % 2 = 1 GROUP BY metric, bucket),
+        | j AS (SELECT COALESCE(o.metric, n.metric) AS metric, COALESCE(o.bucket, n.bucket) AS bucket,
+        |   COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+        |  FROM o FULL OUTER JOIN n ON o.metric = n.metric AND o.bucket = n.bucket),
+        | t AS (SELECT metric, SUM(n_old) AS no, SUM(n_new) AS nn FROM j GROUP BY metric)
+        | SELECT j.metric, bucket, n_old, n_new,
+        |  CAST(floor(1000 * (n_new + 1) / CAST(nn + 17 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 17 AS DOUBLE)) AS BIGINT) AS d_milli,
+        |  CAST((length(to_base(CAST((n_new + 1) * (no + 17) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 17) AS BIGINT), 2)) - 1) AS BIGINT) AS odds_bits,
+        |  CAST((floor(1000 * (n_new + 1) / CAST(nn + 17 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 17 AS DOUBLE)))
+        |   * ((length(to_base(CAST((n_new + 1) * (no + 17) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 17) AS BIGINT), 2)) - 1)) AS BIGINT) AS drift_score
+        | FROM j JOIN t ON j.metric = t.metric ORDER BY j.metric, bucket""".stripMargin.replaceAll("\n", " "),
     // Index ops census: backlog and the LM zeroed-gram mass are
     // DATA-derived (the %-50 takedown slice of each table; bigrams
     // living ONLY in deleted docs), replayed here; layout strings,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, IvfIndex, IvfPq, Quantize, Similarity, TierAdvisor}
+import graft.ext.{Dedup, IvfIndex, IvfPq, OperatingPoint, Quantize, Similarity, TierAdvisor}
 
 /** Embedding-family registry: similarity search (brute force / LSH /
   * IVF, persisted indexes), quantization, the approximate-similarity-
@@ -64,6 +64,7 @@ private[graft] object VectorQueries {
     "x_stream_serve" -> ((s, dir) => streamServe(s, dir)),
     "x_stream_serve_ivfpq" -> ((s, dir) => streamServeIvfPq(s, dir)),
     "x_rebalance" -> ((s, dir) => rebalanceGate(s, dir)),
+    "x_vec_drift" -> ((s, dir) => vecDrift(s, dir)),
     "x_trunc_recall" -> ((s, dir) => {
       // Matryoshka operating curve (Similarity.truncationRecall): how
       // much top-10 recall survives serving only the first 8/16/32 of
@@ -97,6 +98,21 @@ private[graft] object VectorQueries {
         .select(col("vec_id"), col("embedding"))
       TierAdvisor.advise(e, "vec_id", "embedding",
         e.where(col("vec_id") < 8))
+    }),
+    "x_nprobe_advisor" -> ((s, dir) => {
+      // The operating-point advisor (graft.ext.OperatingPoint —
+      // VERDICT r18 #5): the recall-vs-nProbe curve as a queryable
+      // decision. Seed centroids (first-8 by id) fix the cell space so
+      // the WHOLE decision — assignment argmax, cell probe ranks, the
+      // per-nProbe top-10 overlaps, the milli-recall, the recommended
+      // smallest nProbe clearing 950 milli — is DuckDB-value-replayed
+      // (production passes IvfIndex.centroids for the live index's
+      // own measured curve; x_tier_advisor's convention).
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      OperatingPoint.nProbeCurve(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 8),
+        Similarity.ivfCentroids(e, "vec_id", "embedding", 8),
+        nProbes = Seq(1, 2, 4, 8), k = 10)
     }),
     "x_quantize_recall" -> ((s, dir) => quantizeRecall(s, dir)),
     "x_pq_recall" -> ((s, dir) => pqRecall(s, dir)),
@@ -822,6 +838,48 @@ private[graft] object VectorQueries {
           .as("accumulated_equals_oneshot_ok"))
   }
 
+  /** x_vec_drift: the vector-space drift census (IvfIndex.cellDrift —
+    * VERDICT r18 #6): a reference cell census is persisted at build
+    * time, the corpus then grows by a 60-twin drift blob aimed at one
+    * cell, and contrasting the live census against the reference
+    * through the whole-bit PSI twin localizes the blob BEFORE it makes
+    * the cell hot enough for cellSkew. Built with the DETERMINISTIC
+    * first-k seed centroids (iters = 0) so the ENTIRE row set —
+    * assignment argmax, both censuses, d_milli/odds_bits/drift_score —
+    * is DuckDB-value-replayed (production trains with Lloyd and
+    * persists the census the same way; the blob uses an
+    * integer-arithmetic perturbation the oracle replays exactly,
+    * unlike the rebalance gate's xxhash64 blob). The planted-blob →
+    * positive-drift_score tie is also spec-pinned (IvfIndexSpec). */
+  private def vecDrift(s: SparkSession, dir: String): DataFrame = {
+    import scala.util.chaining._
+    val e = Tables.embeddings(s, dir)
+    val base = e.where(col("vec_id") >= 100 && col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    val blob = e.where(col("vec_id") === 100)
+      .select(explode(sequence(lit(0L), lit(59L))).as("i"), col("embedding"))
+      .select((col("i") + 9000L).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          (x.cast("double") +
+            (pmod(col("i") * 31L + j.cast("long") * 17L, lit(21L))
+              .cast("double") - 10.0) / 2000.0).cast("float"))
+          .as("embedding"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val t = "graft_vecdrift_" + digest
+    // Snapshot time: build + persist the reference census.
+    IvfIndex.build(base, "vec_id", "embedding", t, k = 4, iters = 0)
+    val ref = IvfIndex.cellCensus(s, t, "vec_id")
+      .pipe(graft.ext.Checkpoints.stage)
+    // Later tick: the corpus grew by the blob (same fixed seed
+    // centroids — first-4 by id of the union IS the base's first-4,
+    // blob ids sort after; a cell-count-equivalent of appends).
+    IvfIndex.build(base.unionByName(blob), "vec_id", "embedding", t,
+      k = 4, iters = 0)
+    IvfIndex.cellDrift(s, t, "vec_id", ref)
+  }
+
   /** x_stream_serve_ivfpq: the serving stream on the 8-byte/vector
     * tier (VERDICT r18 #2) — the SAME generic StreamOps.streamServe
     * loop x_stream_serve runs on the IVF float tier, riding the same
@@ -1192,6 +1250,86 @@ private[graft] object VectorQueries {
         |  CAST(1 AS BIGINT) AS skew_due_before, CAST(10 AS BIGINT) AS probe_rows,
         |  CAST(1 AS BIGINT) AS probe_all_live_ok, CAST(1 AS BIGINT) AS tombstones_cleared_ok
         | FROM b""".stripMargin.replaceAll("\n", " "),
+    // Operating-point advisor: FULL value replay — seed centroids are
+    // the raw vec_id 0..7 embeddings; assignment and cell probe ranks
+    // are first-max argmaxes / rank windows over sequential-fold
+    // cosines; the curve, target gate, and recommendation replay in
+    // integer arithmetic.
+    "x_nprobe_advisor" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        | cents AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 8),
+        | a AS (SELECT vec_id AS anchor_id, embedding AS avec FROM e WHERE vec_id < 8),
+        | asg0 AS (SELECT e.vec_id, c.cid,
+        |   list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(generate_series(1, len(c.cv)), i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y))) AS cos
+        |  FROM e CROSS JOIN cents c),
+        | asg AS (SELECT vec_id, cid AS cluster_id FROM (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM asg0) WHERE rn = 1),
+        | ac AS (SELECT anchor_id, cid AS cluster_id, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos DESC, cid) AS cell_rank
+        |  FROM (SELECT a.anchor_id, c.cid,
+        |   list_reduce(list_transform(generate_series(1, len(a.avec)), i -> CAST(a.avec[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(generate_series(1, len(a.avec)), i -> CAST(a.avec[i] AS DOUBLE) * CAST(a.avec[i] AS DOUBLE)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(generate_series(1, len(c.cv)), i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y))) AS cos
+        |   FROM a CROSS JOIN cents c)),
+        | scr AS (SELECT a.anchor_id, e.vec_id, asg.cluster_id, ac.cell_rank,
+        |   list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.avec[i] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(generate_series(1, len(a.avec)), i -> CAST(a.avec[i] AS DOUBLE) * CAST(a.avec[i] AS DOUBLE)), (x, y) -> x + y))) AS cos_sim
+        |  FROM e JOIN asg USING (vec_id) CROSS JOIN a
+        |  JOIN ac ON ac.anchor_id = a.anchor_id AND ac.cluster_id = asg.cluster_id
+        |  WHERE e.vec_id <> a.anchor_id),
+        | truth AS (SELECT anchor_id, vec_id FROM (SELECT anchor_id, vec_id, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id) AS rn FROM scr) WHERE rn <= 10),
+        | nps AS (SELECT UNNEST([1, 2, 4, 8]) AS np),
+        | pt AS (SELECT np, anchor_id, vec_id FROM (SELECT nps.np, scr.anchor_id, scr.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY nps.np, scr.anchor_id ORDER BY scr.cos_sim DESC, scr.vec_id) AS rn
+        |   FROM scr JOIN nps ON scr.cell_rank <= nps.np) WHERE rn <= 10),
+        | ov AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS overlap_sum FROM pt JOIN truth USING (anchor_id, vec_id) GROUP BY np),
+        | na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a),
+        | fin AS (SELECT CAST(np AS BIGINT) AS n_probe, (SELECT n FROM na) AS n_anchors,
+        |   CAST(10 AS BIGINT) AS k, overlap_sum,
+        |   CAST(floor(1000 * overlap_sum / CAST((SELECT n FROM na) * 10 AS DOUBLE)) AS BIGINT) AS recall_milli FROM ov)
+        | SELECT n_probe, n_anchors, k, overlap_sum, recall_milli,
+        |  CAST(950 AS BIGINT) AS target_milli,
+        |  CAST(CASE WHEN recall_milli >= 950 THEN 1 ELSE 0 END AS BIGINT) AS meets_target,
+        |  MIN(CASE WHEN recall_milli >= 950 THEN n_probe END) OVER () AS recommended_n_probe
+        | FROM fin ORDER BY n_probe""".stripMargin.replaceAll("\n", " "),
+    // Vector-space drift census: FULL value replay — seed centroids
+    // are the raw vec_id 100..103 embeddings, assignment is the
+    // first-max argmax over sequential-fold cosines, the blob is
+    // integer-arithmetic float math, and the PSI arithmetic is the
+    // x_drift_census replay with B = 4 cells.
+    "x_vec_drift" ->
+      """WITH cents AS (SELECT vec_id - 100 AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 100 AND vec_id < 104),
+        | base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 100 AND vec_id < 300),
+        | blob AS (SELECT 9000 + i AS vec_id,
+        |   list_transform(generate_series(0, len(e.embedding) - 1), j ->
+        |     CAST(CAST(e.embedding[j+1] AS DOUBLE) + (CAST((i*31 + j*17) % 21 AS DOUBLE) - 10.0) / 2000.0 AS FLOAT)) AS embedding
+        |  FROM (SELECT embedding FROM embeddings WHERE vec_id = 100) e, UNNEST(generate_series(0, 59)) AS u(i)),
+        | un AS (SELECT vec_id, embedding FROM base UNION ALL SELECT vec_id, embedding FROM blob),
+        | so AS (SELECT b.vec_id, c.cid,
+        |   list_reduce(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(generate_series(1, len(c.cv)), i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y))) AS cos
+        |  FROM base b CROSS JOIN cents c),
+        | ao AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM so) WHERE rn = 1),
+        | sn AS (SELECT b.vec_id, c.cid,
+        |   list_reduce(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(generate_series(1, len(c.cv)), i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y))) AS cos
+        |  FROM un b CROSS JOIN cents c),
+        | an AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sn) WHERE rn = 1),
+        | co AS (SELECT cid AS bucket, CAST(COUNT(*) AS BIGINT) AS n_old FROM ao GROUP BY cid),
+        | cn AS (SELECT cid AS bucket, CAST(COUNT(*) AS BIGINT) AS n_new FROM an GROUP BY cid),
+        | j AS (SELECT COALESCE(co.bucket, cn.bucket) AS bucket,
+        |   COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+        |  FROM co FULL OUTER JOIN cn ON co.bucket = cn.bucket),
+        | t AS (SELECT (SELECT COALESCE(SUM(n_old), 0) FROM j) AS no, (SELECT COALESCE(SUM(n_new), 0) FROM j) AS nn)
+        | SELECT bucket, n_old, n_new,
+        |  CAST(floor(1000 * (n_new + 1) / CAST(nn + 4 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 4 AS DOUBLE)) AS BIGINT) AS d_milli,
+        |  CAST((length(to_base(CAST((n_new + 1) * (no + 4) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 4) AS BIGINT), 2)) - 1) AS BIGINT) AS odds_bits,
+        |  CAST((floor(1000 * (n_new + 1) / CAST(nn + 4 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 4 AS DOUBLE)))
+        |   * ((length(to_base(CAST((n_new + 1) * (no + 4) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 4) AS BIGINT), 2)) - 1)) AS BIGINT) AS drift_score
+        | FROM j CROSS JOIN t ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
     // Streaming serving loop: query count and per-query top-k mass are
     // data-derived (48 streamed queries x k=10; every query's 4 probed
     // cells hold far more than 10 live rows); the equality bits are

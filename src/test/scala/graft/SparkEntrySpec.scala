@@ -60,8 +60,9 @@ class SparkEntrySpec extends AnyFunSuite {
       // counts × the accumulated-equals-one-shot equality bits).
       "x_stream_serve", "x_stream_serve_bm25", "x_stream_serve_ivfpq",
       // Bucket census × its own 1-row totals (Drift.census — the join
-      // is bounded by maxBucket+1 rows on one side and 1 on the other).
-      "x_drift_census",
+      // is bounded by maxBucket+1 rows on one side and 1 on the other;
+      // cellDrift is the same shape with <= k cells as buckets).
+      "x_drift_census", "x_vec_drift",
       // Rebalance gate: 1-row report assembly (live/census/probe
       // counts × cleanup bits).
       "x_rebalance",
@@ -73,8 +74,8 @@ class SparkEntrySpec extends AnyFunSuite {
       "x_hard_negatives",
       // Same anchor-batch × corpus shape (8 broadcast anchors, id
       // inequality), one corpus scan (TierAdvisor.advise /
-      // Similarity.truncationRecall).
-      "x_tier_advisor", "x_trunc_recall",
+      // Similarity.truncationRecall / OperatingPoint.nProbeCurve).
+      "x_tier_advisor", "x_trunc_recall", "x_nprobe_advisor",
       // 1-row scalar crossJoins: corpus token count (PMI), df/avgdl
       // scalars (BM25), and the SemDeDup gate's report assembly.
       "x_pmi_bigrams", "x_bm25_topk", "x_semantic_dedup",

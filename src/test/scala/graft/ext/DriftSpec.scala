@@ -52,6 +52,28 @@ class DriftSpec extends AnyFunSuite {
     assert(got.map(_._1) == Seq(0L, 3L), got.toString)
   }
 
+  test("censusMulti slices equal the single-metric censuses exactly") {
+    import spark.implicits._
+    val old = Seq((1, 10.0), (5, 220.0), (12, 35.0), (35, 99.0), (99, 7.0))
+      .toDF("a", "b")
+    val nw = Seq((2, 14.0), (14, 16.0), (16, 5.0), (18, 990.0), (99, 44.0))
+      .toDF("a", "b")
+    val metrics = Seq(
+      Drift.Metric("a", col("a"), 10.0, 3),
+      Drift.Metric("b", col("b"), 25.0, 8))
+    val multi = Drift.censusMulti(old, nw, metrics).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    metrics.foreach { m =>
+      val single = rows(Drift.census(old, nw, m.value,
+        m.bucketWidth, m.maxBucket))
+        .map { case (b, no, nn, d, ob, sc) => (m.name, b, no, nn, d, ob, sc) }
+      assert(multi.filter(_._1 == m.name) == single,
+        s"metric ${m.name}: multi ${multi.filter(_._1 == m.name)} != " +
+          s"single $single")
+    }
+  }
+
   test("NULL metric values are dropped, not bucketed (ADVICE r18)") {
     import spark.implicits._
     def dfN(vs: Seq[Option[Int]]) = vs.toDF("v")

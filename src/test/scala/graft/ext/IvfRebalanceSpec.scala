@@ -238,6 +238,37 @@ class IvfRebalanceSpec extends AnyFunSuite {
     }
   }
 
+  test("cellDrift localizes a planted blob: positive drift_score in the blob's cell") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val base = e.where(col("vec_id") >= 100 && col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val blob = blobOf(e.where(col("vec_id") === 100), 60, 9000L)
+    val t = "ivf_celldrift_spec"
+    try {
+      IvfIndex.build(base, "vec_id", "embedding", t, k = 4, iters = 0)
+      val ref = graft.ext.Checkpoints.stage(
+        IvfIndex.cellCensus(spark, t, "vec_id"))
+      IvfIndex.build(base.unionByName(blob), "vec_id", "embedding", t,
+        k = 4, iters = 0)
+      // The blob's cell, read from the live index itself.
+      val blobCell = spark.table(t).where(col("vec_id") === 9000L)
+        .select(col("cluster_id")).first().getInt(0).toLong
+      val drift = IvfIndex.cellDrift(spark, t, "vec_id", ref).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(5))).toMap
+      val (nOld, nNew, score) = drift(blobCell)
+      assert(nNew - nOld >= 60L,
+        s"blob cell $blobCell must gain the 60 twins: $drift")
+      assert(score > 0L,
+        s"blob cell $blobCell must carry positive drift_score: $drift")
+      assert(drift.values.map(_._3).sum > 0L,
+        s"the census scalar must go positive under the blob: $drift")
+    } finally {
+      Seq(t, IvfIndex.centroidsTable(t), t + "_tombstones")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    }
+  }
+
   test("cellCensus heals the post-marker crash window instead of throwing") {
     // ADVICE r18: cellCensus evaluated spark.table(table) as a call
     // argument BEFORE minusTombstones' recovery hook ran, so a census

@@ -557,9 +557,14 @@ private[graft] object CorpusQueries {
     val viaExpr = withPayload.select(col("doc_id"),
       Multimodal.decodeFeaturesStub(col("payload")).as("f_expr"))
     val viaBatch = Multimodal.decodeBatched(withPayload, "doc_id", "payload")
-    viaExpr.join(viaBatch, Seq("doc_id"), "full_outer")
-      .agg(coalesce(sum((!(col("f_expr") <=> col("features"))).cast("long")),
-        lit(0L)).as("n_mismatch"))
+    // Staged like x_kernel_equiv's report (round 19): lazily returned,
+    // the mismatch sum — and with it the whole EXPRESSION decode path —
+    // is column-pruned under Bench's .count(); the eager barrier makes
+    // the benched wall the two-path cost it claims to measure.
+    graft.ext.Checkpoints.stage(
+      viaExpr.join(viaBatch, Seq("doc_id"), "full_outer")
+        .agg(coalesce(sum((!(col("f_expr") <=> col("features"))).cast("long")),
+          lit(0L)).as("n_mismatch")))
   }
 
   /** Corpus vocabulary: top-50 terms by total occurrences with their

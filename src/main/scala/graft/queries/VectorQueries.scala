@@ -365,16 +365,27 @@ private[graft] object VectorQueries {
   private def kernelEquiv(s: SparkSession, dir: String): DataFrame = {
     def mismatch(a: Column, b: Column): Column = (!(a <=> b)).cast("long")
     val k = Dedup.MinHashParams()
-    val docSide = Tables.documents(s, dir).select(
+    // Materialize BOTH shingle-hash arrays once behind a stage barrier
+    // before the bands twin reads them (round 19): inlined into
+    // minhashBandsHof's 64 interpreted lambda sites, the tokenize+
+    // shingle+hash subtree re-evaluated 64× per doc — the exact
+    // CollapseProject trap Dedup.bands documents — making this gate
+    // ~19 ms/doc (95 s of hidden cost at sf0.1). The comparison is
+    // unchanged: kernel hashes vs HOF hashes on raw text (m_sh), then
+    // kernel bands over kernel hashes vs HOF bands over HOF hashes
+    // (m_mb), each path reading its own materialized array.
+    val hashed = graft.ext.Checkpoints.stage(Tables.documents(s, dir)
+      .select(
+        call_function("graft_shingle_hashes", col("text"),
+          lit(k.shingleSize)).as("kh"),
+        Dedup.shingleHashes(Dedup.shingles(col("text"), k.shingleSize))
+          .as("hh")))
+    val docSide = hashed.select(
+        mismatch(col("kh"), col("hh")).as("m_sh"),
         mismatch(
-          call_function("graft_shingle_hashes", col("text"), lit(k.shingleSize)),
-          Dedup.shingleHashes(Dedup.shingles(col("text"), k.shingleSize))).as("m_sh"),
-        mismatch(
-          call_function("graft_minhash_bands",
-            call_function("graft_shingle_hashes", col("text"), lit(k.shingleSize)),
+          call_function("graft_minhash_bands", col("kh"),
             lit(k.bands), lit(k.numHashes / k.bands)),
-          Dedup.minhashBandsHof(
-            Dedup.shingleHashes(Dedup.shingles(col("text"), k.shingleSize)),
+          Dedup.minhashBandsHof(col("hh"),
             k.bands, k.numHashes / k.bands)).as("m_mb"))
       .agg(coalesce(sum(col("m_sh") + col("m_mb")), lit(0L)).as("m_doc"))
     val e = Tables.embeddings(s, dir)
@@ -399,8 +410,15 @@ private[graft] object VectorQueries {
           graft.ext.Pq.packedCodeHof(s)(col("v_a"), kernelEquivBooks, normalize = false)).as("m_pqr"))
       .agg(coalesce(sum(col("m_dot") + col("m_cos") + col("m_lsh") +
         col("m_pqn") + col("m_pqr")), lit(0L)).as("m_vec"))
-    docSide.crossJoin(vecSide)
-      .select((col("m_doc") + col("m_vec")).as("n_mismatch"))
+    // Stage the 1-row report: a lazily-returned gate is COLUMN-PRUNED
+    // under Bench's .count() — the optimizer drops the mismatch
+    // expressions entirely and the benched number measures an empty
+    // scan, not the dual-path evaluation (found round 19 by a
+    // spark-shell collect() A/B: 95 s real vs 0.45 s benched at
+    // sf0.1). Eager staging makes the benched wall the gate's true
+    // cost; BENCH_NOTES has the full adjudication.
+    graft.ext.Checkpoints.stage(docSide.crossJoin(vecSide)
+      .select((col("m_doc") + col("m_vec")).as("n_mismatch")))
   }
 
   /** LSH-ANN recall floor as a driver-checkable bit: 1 when the

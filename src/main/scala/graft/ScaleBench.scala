@@ -1855,6 +1855,170 @@ object ScaleBench {
       s""""int8_err_micro":${rPl.getLong(2)},"tier":"${rPl.getString(5)}"}}}"""
   }
 
+  /** Operating-point advisor evidence leg (the r19 OperatingPoint):
+    * the recall-vs-nProbe curve measured with LLOYD-TRAINED centroids
+    * (the production input) on a clustered corpus at growing scale.
+    * Gates at every scale: the overlap is MONOTONE in nProbe, the
+    * full-width point (nProbe = kCells) is the exact truth (recall
+    * 1000 milli — probing every cell IS the unrestricted top-k), and
+    * the recommendation is the smallest sampled point clearing the
+    * target. The published wall is the whole curve: ONE corpus scan
+    * (broadcast anchors × broadcast anchor-cell rank frame, per-cell
+    * WindowGroupLimit to k rows pre-shuffle) + bounded arithmetic over
+    * the staged anchors·cells·k frame — it must stay ~linear in n
+    * even as the SAMPLED POINTS multiply, because the points never
+    * re-touch the corpus. */
+  def opointPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    val n = 2000L * scale
+    val nA = 8
+    val basePath = s"$dir/opoint_x$scale"
+    genClusteredEmbeddings(spark, n, noiseDiv = 2e6)
+      .write.mode("overwrite").parquet(basePath)
+    val corpus = spark.read.parquet(basePath)
+    val kCells = math.max(16, (n / 1250L).toInt)
+    val cents = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+      kCells, iters = 2)
+    val nProbes = Seq(1, 2, math.max(4, kCells / 4), kCells).distinct.sorted
+    spark.sqlContext.clearCache()
+    val (rows, tCurve) = timed {
+      graft.ext.OperatingPoint.nProbeCurve(corpus, "vec_id", "embedding",
+          corpus.where(col("vec_id") < nA), cents, nProbes, k = 10,
+          targetRecallMilli = 950L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(7)) -1L else r.getLong(7)))
+        .toSeq
+    }
+    require(rows.map(_._2) == rows.map(_._2).sorted,
+      s"overlap must be monotone in nProbe: $rows")
+    require(rows.last._3 == 1000L && rows.last._2 == nA * 10L,
+      s"full-width probe must be the truth: $rows")
+    val expectRec = rows.find(_._3 >= 950L).map(_._1).getOrElse(-1L)
+    require(rows.forall(_._4 == expectRec),
+      s"recommendation must be the smallest clearing point: $rows")
+    val curveJson = rows.map { case (np, ov, rm, _) =>
+      s"""{"n_probe":$np,"overlap":$ov,"recall_milli":$rm}"""
+    }.mkString("[", ",", "]")
+    s"""{"opoint":{"scale":$scale,"n_vecs":$n,"k_cells":$kCells,""" +
+      s""""n_anchors":$nA,"curve":$curveJson,""" +
+      s""""recommended_n_probe":$expectRec,"curve_t":${fmt(tCurve)}}}"""
+  }
+
+  /** Vector-drift census evidence leg (the r19 IvfIndex.cellDrift):
+    * the rebalancePoint corpus recipe — train BEFORE the drift,
+    * persist the reference cell census, append a new-region blob
+    * through the frozen assignment — but asking the MONITORING
+    * question: does the census contrast localize the blob at CENSUS
+    * cost (one id-column scan of the index, ≤ k rows out, k-row
+    * arithmetic after), before any rebalance runs? Gates: the blob's
+    * landing cell carries a POSITIVE drift_score and the MAX
+    * drift_score of any cell; the contrast conserves mass
+    * (Σn_new − Σn_old = blob size). The census wall is published per
+    * scale — the monitoring tick a 100 TB operator pays repeatedly,
+    * which must stay the cost of one column scan. */
+  def vecDriftPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.IvfIndex
+    val n = 2000L * scale
+    val nBlob = n / 4
+    val basePath = s"$dir/vecdrift_x$scale"
+    genClusteredEmbeddings(spark, n, noiseDiv = 2e6)
+      .write.mode("overwrite").parquet(s"$basePath/base")
+    val base = spark.read.parquet(s"$basePath/base")
+    spark.range(0, nBlob, 1, 32).toDF("i")
+      .select((col("i") + n).as("vec_id"),
+        transform(sequence(lit(1), lit(64)), j =>
+          (((pmod(xxhash64(lit(888L), j), lit(2001L)).cast("double")
+              - 1000.0) / 1000.0)
+            + (pmod(xxhash64(col("i"), j + 700), lit(21L)).cast("double")
+                - 10.0) / 2000.0).cast("float")).as("embedding"))
+      .write.mode("overwrite").parquet(s"$basePath/blob")
+    val blob = spark.read.parquet(s"$basePath/blob")
+    val t = s"graft_scale_vecdrift_x$scale"
+    val kCells = math.max(16, (n / 1250L).toInt)
+    IvfIndex.build(base, "vec_id", "embedding", t, k = kCells, iters = 2)
+    // Snapshot time: the reference census, persisted (staged here).
+    val reference = graft.ext.Checkpoints.stage(
+      IvfIndex.cellCensus(spark, t, "vec_id"))
+    val cents0 = IvfIndex.centroids(spark, t)
+    graft.ext.Quantize.withQuantized(
+        graft.ext.Similarity.ivfAssign(blob, "vec_id", "embedding", cents0),
+        "embedding", "qv")
+      .withColumn("qv", col("qv").cast("array<tinyint>"))
+      .select(col("vec_id"), col("embedding"), col("qv"), col("cluster_id"))
+      .write.insertInto(t)
+    spark.catalog.refreshTable(t)
+    spark.sqlContext.clearCache()
+    val (drift, tDrift) = timed {
+      IvfIndex.cellDrift(spark, t, "vec_id", reference).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+        .toSeq
+    }
+    val blobCell = spark.table(t).where(col("vec_id") === n)
+      .select(col("cluster_id")).first().getInt(0).toLong
+    val blobRow = drift.find(_._1 == blobCell).get
+    require(blobRow._4 > 0L,
+      s"blob cell $blobCell must carry positive drift_score: $drift")
+    require(blobRow._4 == drift.map(_._4).max,
+      s"blob cell $blobCell must carry the max drift_score: $drift")
+    val gained = drift.map(r => r._3 - r._2).sum
+    require(gained == nBlob,
+      s"contrast must conserve the blob mass: gained $gained != $nBlob")
+    Seq(t, IvfIndex.centroidsTable(t), t + "_tombstones")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    s"""{"vec_drift":{"scale":$scale,"n_base":$n,"n_blob":$nBlob,""" +
+      s""""k_cells":$kCells,"blob_cell":$blobCell,""" +
+      s""""blob_drift_score":${blobRow._4},"census_t":${fmt(tDrift)}}}"""
+  }
+
+  /** Multi-metric drift evidence leg (the r19 Drift.censusMulti):
+    * three metric grids censused in ONE pass per snapshot vs three
+    * single-metric Drift.census calls, on a synthetic numeric corpus
+    * (hash-derived metric columns, even/odd id halves as the two
+    * snapshots). Gates at every scale: the multi output's per-metric
+    * slice EQUALS the single-metric census row-for-row — the operator
+    * is a scan-sharing rewrite, never a semantic change. Both walls
+    * are published: the single-pass wall must track ONE corpus scan
+    * as metrics are added, not one per metric (the 3× the operator
+    * exists to avoid). */
+  def multiDriftPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.Drift
+    val n = 500000L * scale
+    val basePath = s"$dir/multidrift_x$scale"
+    spark.range(0, n, 1, 32).toDF("id")
+      .select(col("id"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1009L)).cast("double").as("m1"),
+        pmod(xxhash64(col("id"), lit(2)), lit(5003L)).cast("double").as("m2"),
+        pmod(xxhash64(col("id"), lit(3)), lit(101L)).cast("double").as("m3"))
+      .write.mode("overwrite").parquet(basePath)
+    val rows = spark.read.parquet(basePath)
+    val old = rows.where(pmod(col("id"), lit(2L)) === 0)
+    val nw = rows.where(pmod(col("id"), lit(2L)) === 1)
+    val metrics = Seq(
+      Drift.Metric("m1", col("m1"), 64.0, 16),
+      Drift.Metric("m2", col("m2"), 320.0, 16),
+      Drift.Metric("m3", col("m3"), 8.0, 16))
+    spark.sqlContext.clearCache()
+    val (multi, tMulti) = timed {
+      Drift.censusMulti(old, nw, metrics).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    }
+    spark.sqlContext.clearCache()
+    val (singles, tSingles) = timed {
+      metrics.map { m =>
+        Drift.census(old, nw, m.value, m.bucketWidth, m.maxBucket).collect()
+          .map(r => (m.name, r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      }
+    }
+    metrics.zip(singles).foreach { case (m, single) =>
+      require(multi.filter(_._1 == m.name) == single,
+        s"metric ${m.name}: multi slice diverges from the single census")
+    }
+    s"""{"multi_drift":{"scale":$scale,"n_rows":$n,"n_metrics":3,""" +
+      s""""multi_t":${fmt(tMulti)},"three_singles_t":${fmt(tSingles)}}}"""
+  }
+
   /** Physical-purge cost at scale (VERDICT r14/r15 #1's evidence leg):
     * the stage-and-swap / dynamic-partition-overwrite purge must write
     * bytes PROPORTIONAL TO THE TOUCHED CELLS, never the corpus. Two
@@ -2709,6 +2873,27 @@ object ScaleBench {
     if (args.contains("advisor-only")) {
       advisorPoint(spark, outBase, 1)
       scales.foreach(m => println(advisorPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `opoint-only`: the recall-vs-nProbe operating-point curve.
+    if (args.contains("opoint-only")) {
+      opointPoint(spark, outBase, 1)
+      scales.foreach(m => println(opointPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `vecdrift-only`: the cell-mass drift census vs a reference.
+    if (args.contains("vecdrift-only")) {
+      vecDriftPoint(spark, outBase, 1)
+      scales.foreach(m => println(vecDriftPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `multidrift-only`: the one-pass multi-metric census vs singles.
+    if (args.contains("multidrift-only")) {
+      multiDriftPoint(spark, outBase, 1)
+      scales.foreach(m => println(multiDriftPoint(spark, outBase, m)))
       spark.stop()
       return
     }

@@ -123,4 +123,99 @@ object OperatingPoint {
           .as("recommended_n_probe")))
       .orderBy(col("n_probe"))
   }
+
+  /** Shortlist-width advisor for the INT8 pre-rank tier — the second
+    * half of the operating-point question [[nProbeCurve]] answers for
+    * cell width: once nProbe is fixed, HOW LONG must the quantized
+    * shortlist be before the float re-rank sees every true top-k
+    * member? Per anchor, "recall at shortlist s" is the overlap of
+    * the FLOAT top-k over the anchor's probed cells (what
+    * [[IvfIndex.probeTopK]] returns — the tier's exact answer) with
+    * the top-s under the QUANTIZED cosine ordering ([[Quantize
+    * .cosineQ]], nulls last — a per-anchor-constant multiple of
+    * [[IvfIndex.quantizedPreRank]]'s row-norm-only score, so the same
+    * selection up to IEEE division ties); summed over anchors,
+    * floored to milli, smallest target-clearing width recommended.
+    *
+    * 100 TB shape: the scored frame (probed-cell rows × broadcast
+    * anchors, both cosines) feeds TWO rank branches — float top-k and
+    * quantized top-max(shortlists), each a WindowGroupLimit keeping
+    * its limit per anchor pre-shuffle — whose join is STAGED at
+    * anchors×k rows; every sampled width then replays from that tiny
+    * frame (a float-top-k row outside the quantized top-max counts as
+    * missed at every sampled s, which is exactly what it is). Against
+    * a raw DataFrame the two branches each scan the corpus once; in
+    * production the int8 index table persists (qv, cluster_id), so
+    * each branch is one partition-pruned scan of the probed cells —
+    * the quantized branch reading the d-byte column the tier exists
+    * to serve from.
+    *
+    * Output (ordered by shortlist): shortlist, n_anchors, k, n_probe,
+    * overlap_sum, recall_milli, target_milli, meets_target,
+    * recommended_shortlist (null when no sampled width clears —
+    * "widen beyond the sampled range"). All integers; x_shortlist
+    * _advisor value-replays the whole decision with seed centroids. */
+  def shortlistCurve(corpus: DataFrame, idCol: String, vecCol: String,
+                     anchors: DataFrame, centroids: Seq[Seq[Float]],
+                     nProbe: Int, shortlists: Seq[Int], k: Int,
+                     targetRecallMilli: Long = 950L): DataFrame = {
+    require(shortlists.nonEmpty && shortlists.forall(_ >= k) && k > 0,
+      s"shortlists must all be >= k: $shortlists, $k")
+    require(centroids.nonEmpty && nProbe > 0 && nProbe <= centroids.size,
+      s"need 1 <= nProbe <= ${centroids.size}: $nProbe")
+    val s = corpus.sparkSession
+    val maxS = shortlists.max
+    val a = Quantize.withQuantized(
+        anchors.select(col(idCol), col(vecCol)), vecCol, "__aqv")
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("__avec"),
+        col("__aqv"))
+    // Each anchor's nProbe probed cells, under probeClusters' order.
+    val asims = array(centroids.map(cv =>
+      Similarity.cosineIn(s)(col("__avec"),
+        array(cv.map(v => lit(v.toDouble)): _*))): _*)
+    val wRank = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("__csim").desc, col("cluster_id"))
+    val aCells = a.select(col("anchor_id"),
+        posexplode(asims).as(Seq("cluster_id", "__csim")))
+      .withColumn("__cr", row_number().over(wRank))
+      .where(col("__cr") <= nProbe)
+      .select(col("anchor_id"), col("cluster_id"))
+    val scored = Quantize.withQuantized(
+        Similarity.ivfAssign(corpus, idCol, vecCol, centroids), vecCol, "__qv")
+      .join(broadcast(a), col(idCol) =!= col("anchor_id"))
+      .join(broadcast(aCells), Seq("anchor_id", "cluster_id"))
+      .select(col("anchor_id"), col(idCol),
+        Similarity.cosineIn(s)(col(vecCol), col("__avec")).as("__cf"),
+        Quantize.cosineQ(col("__qv"), col("__aqv")).as("__cq"))
+    val wF = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("__cf").desc, col(idCol))
+    val wQ = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("__cq").desc_nulls_last, col(idCol))
+    val topF = scored.withColumn("__rf", row_number().over(wF))
+      .where(col("__rf") <= k).select(col("anchor_id"), col(idCol))
+    val topQ = scored.withColumn("__rq", row_number().over(wQ))
+      .where(col("__rq") <= maxS)
+      .select(col("anchor_id"), col(idCol), col("__rq"))
+    val cand = Checkpoints.stage(
+      topF.join(topQ, Seq("anchor_id", idCol), "left_outer"))
+    val nAnchors = a.agg(count_distinct(col("anchor_id")).as("n_anchors"))
+    val points = shortlists.sorted.map { sl =>
+      cand.agg(coalesce(sum((col("__rq") <= sl).cast("long")), lit(0L))
+          .as("overlap_sum"))
+        .select(lit(sl.toLong).as("shortlist"), col("overlap_sum"))
+    }.reduce(_ unionByName _)
+    val curve = Checkpoints.stage(points.crossJoin(nAnchors)
+      .select(col("shortlist"), col("n_anchors"), lit(k.toLong).as("k"),
+        lit(nProbe.toLong).as("n_probe"), col("overlap_sum"),
+        floor(lit(1000L) * col("overlap_sum") /
+          (col("n_anchors") * lit(k.toLong))).cast("long")
+          .as("recall_milli"))
+      .withColumn("target_milli", lit(targetRecallMilli))
+      .withColumn("meets_target",
+        (col("recall_milli") >= col("target_milli")).cast("long")))
+    curve.crossJoin(curve.agg(
+        min(when(col("meets_target") === 1L, col("shortlist")))
+          .as("recommended_shortlist")))
+      .orderBy(col("shortlist"))
+  }
 }

@@ -114,6 +114,20 @@ private[graft] object VectorQueries {
         Similarity.ivfCentroids(e, "vec_id", "embedding", 8),
         nProbes = Seq(1, 2, 4, 8), k = 10)
     }),
+    "x_shortlist_advisor" -> ((s, dir) => {
+      // The shortlist-width half of the operating-point question
+      // (OperatingPoint.shortlistCurve): at nProbe 4 over the 8-cell
+      // seed layout, how wide must the int8 pre-rank shortlist be
+      // before the float re-rank sees every true top-10 member?
+      // Sampled at 10/20/40; quantization, both cosines, both rank
+      // windows, the per-width overlaps, and the smallest clearing
+      // width all DuckDB-value-replayed.
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      OperatingPoint.shortlistCurve(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 8),
+        Similarity.ivfCentroids(e, "vec_id", "embedding", 8),
+        nProbe = 4, shortlists = Seq(10, 20, 40), k = 10)
+    }),
     "x_quantize_recall" -> ((s, dir) => quantizeRecall(s, dir)),
     "x_pq_recall" -> ((s, dir) => pqRecall(s, dir)),
     "x_pq_batch" -> ((s, dir) => pqBatch(s, dir)),
@@ -1311,6 +1325,56 @@ private[graft] object VectorQueries {
         |  CAST(CASE WHEN recall_milli >= 950 THEN 1 ELSE 0 END AS BIGINT) AS meets_target,
         |  MIN(CASE WHEN recall_milli >= 950 THEN n_probe END) OVER () AS recommended_n_probe
         | FROM fin ORDER BY n_probe""".stripMargin.replaceAll("\n", " "),
+    // Shortlist-width advisor: full replay — int8 quantization (the
+    // x_quantize_dot recipe) on corpus and anchors, float + quantized
+    // sequential-fold cosines over each anchor's 4 probed cells
+    // (x_nprobe_advisor's assignment + cell-rank replay), both rank
+    // windows, per-width overlaps, and the MIN-window recommendation.
+    "x_shortlist_advisor" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        | m AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma FROM e),
+        | q AS (SELECT vec_id, embedding,
+        |   CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |        ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5) AS BIGINT)) END AS qv
+        |  FROM m),
+        | cents AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 8),
+        | a AS (SELECT vec_id AS anchor_id, embedding AS avec, qv AS aqv FROM q WHERE vec_id < 8),
+        | asg AS (SELECT vec_id, cid AS cluster_id FROM (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(generate_series(1, len(c.cv)), i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y))) DESC, c.cid) AS rn
+        |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+        | ac AS (SELECT anchor_id, cluster_id FROM (SELECT a.anchor_id, c.cid AS cluster_id, ROW_NUMBER() OVER (PARTITION BY a.anchor_id ORDER BY
+        |   list_reduce(list_transform(generate_series(1, len(a.avec)), i -> CAST(a.avec[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.avec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) DESC, c.cid) AS cr
+        |  FROM a CROSS JOIN cents c) WHERE cr <= 4),
+        | scored AS (SELECT a.anchor_id, q.vec_id,
+        |   list_reduce(list_transform(generate_series(1, len(q.embedding)), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(a.avec[i] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(a.avec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cf,
+        |   CASE WHEN sqrt(CAST(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y) AS DOUBLE))
+        |          * sqrt(CAST(list_reduce(list_transform(a.aqv, x -> x * x), (x, y) -> x + y) AS DOUBLE)) = 0 THEN NULL
+        |        ELSE CAST(list_reduce(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * a.aqv[i]), (x, y) -> x + y) AS DOUBLE)
+        |         / (sqrt(CAST(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y) AS DOUBLE))
+        |          * sqrt(CAST(list_reduce(list_transform(a.aqv, x -> x * x), (x, y) -> x + y) AS DOUBLE))) END AS cq
+        |  FROM q JOIN asg USING (vec_id) CROSS JOIN a
+        |  JOIN ac ON ac.anchor_id = a.anchor_id AND ac.cluster_id = asg.cluster_id
+        |  WHERE q.vec_id <> a.anchor_id),
+        | tf AS (SELECT anchor_id, vec_id FROM (SELECT anchor_id, vec_id, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cf DESC, vec_id) AS rn FROM scored) WHERE rn <= 10),
+        | tq AS (SELECT anchor_id, vec_id, rq FROM (SELECT anchor_id, vec_id, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cq DESC NULLS LAST, vec_id) AS rq FROM scored) WHERE rq <= 40),
+        | cj AS (SELECT tf.anchor_id, tf.vec_id, tq.rq FROM tf LEFT JOIN tq USING (anchor_id, vec_id)),
+        | sls AS (SELECT UNNEST([10, 20, 40]) AS sl),
+        | ov AS (SELECT sl, CAST(COUNT(CASE WHEN rq <= sl THEN 1 END) AS BIGINT) AS overlap_sum FROM sls LEFT JOIN cj ON TRUE GROUP BY sl),
+        | na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a),
+        | fin AS (SELECT CAST(sl AS BIGINT) AS shortlist, (SELECT n FROM na) AS n_anchors,
+        |   CAST(10 AS BIGINT) AS k, CAST(4 AS BIGINT) AS n_probe, overlap_sum,
+        |   CAST(floor(1000 * overlap_sum / CAST((SELECT n FROM na) * 10 AS DOUBLE)) AS BIGINT) AS recall_milli FROM ov)
+        | SELECT shortlist, n_anchors, k, n_probe, overlap_sum, recall_milli,
+        |  CAST(950 AS BIGINT) AS target_milli,
+        |  CAST(CASE WHEN recall_milli >= 950 THEN 1 ELSE 0 END AS BIGINT) AS meets_target,
+        |  MIN(CASE WHEN recall_milli >= 950 THEN shortlist END) OVER () AS recommended_shortlist
+        | FROM fin ORDER BY shortlist""".stripMargin.replaceAll("\n", " "),
     // Vector-space drift census: FULL value replay — seed centroids
     // are the raw vec_id 100..103 embeddings, assignment is the
     // first-max argmax over sequential-fold cosines, the blob is

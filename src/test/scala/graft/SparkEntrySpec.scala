@@ -76,6 +76,7 @@ class SparkEntrySpec extends AnyFunSuite {
       // inequality), one corpus scan (TierAdvisor.advise /
       // Similarity.truncationRecall / OperatingPoint.nProbeCurve).
       "x_tier_advisor", "x_trunc_recall", "x_nprobe_advisor",
+      "x_shortlist_advisor",
       // 1-row scalar crossJoins: corpus token count (PMI), df/avgdl
       // scalars (BM25), and the SemDeDup gate's report assembly.
       "x_pmi_bigrams", "x_bm25_topk", "x_semantic_dedup",

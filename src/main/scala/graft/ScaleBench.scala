@@ -1899,9 +1899,30 @@ object ScaleBench {
     val curveJson = rows.map { case (np, ov, rm, _) =>
       s"""{"n_probe":$np,"overlap":$ov,"recall_milli":$rm}"""
     }.mkString("[", ",", "]")
+    // The width half of the same question (r19 shortlistCurve): at the
+    // production probe width, how wide must the int8 shortlist be?
+    // Gate: overlap monotone in width (a wider shortlist can only add
+    // candidates); recall at the widest sample published honestly —
+    // the int8 ordering's quality on this corpus's geometry, not a
+    // constant anyone promised.
+    spark.sqlContext.clearCache()
+    val (slRows, tSl) = timed {
+      graft.ext.OperatingPoint.shortlistCurve(corpus, "vec_id",
+          "embedding", corpus.where(col("vec_id") < nA), cents,
+          nProbe = math.max(4, kCells / 4),
+          shortlists = Seq(10, 40, 160), k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(4), r.getLong(5))).toSeq
+    }
+    require(slRows.map(_._2) == slRows.map(_._2).sorted,
+      s"overlap must be monotone in shortlist width: $slRows")
+    val slJson = slRows.map { case (sl, ov, rm) =>
+      s"""{"shortlist":$sl,"overlap":$ov,"recall_milli":$rm}"""
+    }.mkString("[", ",", "]")
     s"""{"opoint":{"scale":$scale,"n_vecs":$n,"k_cells":$kCells,""" +
       s""""n_anchors":$nA,"curve":$curveJson,""" +
-      s""""recommended_n_probe":$expectRec,"curve_t":${fmt(tCurve)}}}"""
+      s""""recommended_n_probe":$expectRec,"curve_t":${fmt(tCurve)},""" +
+      s""""shortlist_curve":$slJson,"shortlist_t":${fmt(tSl)}}}"""
   }
 
   /** Vector-drift census evidence leg (the r19 IvfIndex.cellDrift):

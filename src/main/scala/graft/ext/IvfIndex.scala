@@ -104,6 +104,55 @@ object IvfIndex {
       smoothingMass = k)
   }
 
+  /** Streaming vector-drift monitor — [[cellDrift]]'s streaming twin,
+    * completing the monitoring symmetry with the metric family
+    * ([[Drift.census]]/[[Drift.streamCensus]]): every micro-batch of
+    * ARRIVING vectors is cell-assigned under the FIXED centroids (the
+    * per-row argmax — no index contact at all) and its per-cell census
+    * is contrasted against the reference census through the whole-bit
+    * PSI twin; each batch's drift rows land under its own
+    * [[graft.streaming.StreamOps.BatchTag]] partition (idempotent
+    * redelivery, resume-aware sink), so the accumulated table is a
+    * drift TIME SERIES showing WHEN the arriving embedding
+    * distribution left the layout's cell space — BEFORE those vectors
+    * ever pile into a live index. Each batch's census is a pure
+    * function of (reference, centroids, that batch), so every
+    * accumulated slice equals the batch-mode contrast replayed on its
+    * shard — the x_stream_classify batch-replay contract, gated by
+    * x_stream_vec_drift. `smoothingMass` defaults to the centroid
+    * count (the cell-space size). Returns batches processed. */
+  def streamCellDrift(spark: SparkSession, reference: DataFrame,
+                      stream: DataFrame, idCol: String, vecCol: String,
+                      centroids: Seq[Seq[Float]], sinkTable: String,
+                      queryName: String,
+                      checkpointLocation: Option[String] = None): Int = {
+    import org.apache.spark.sql.types._
+    import graft.streaming.StreamOps
+    val sinkSchema = StructType(Seq(
+      StructField("bucket", LongType), StructField("n_old", LongType),
+      StructField("n_new", LongType), StructField("d_milli", LongType),
+      StructField("odds_bits", LongType), StructField("drift_score", LongType),
+      StructField(StreamOps.BatchTag, LongType)))
+    IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)(
+      spark, sinkTable, sinkSchema, StreamOps.BatchTag, "bucket", 1)
+    val ref = reference.select(
+      col("cluster_id").cast("long").as("bucket"),
+      col("n_live").as("n_old"))
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = StreamOps.foreachBatchSink(stream, queryName,
+        checkpointLocation) { (batch, batchId) =>
+      n.incrementAndGet()
+      val census = Similarity.ivfAssign(batch, idCol, vecCol, centroids)
+        .groupBy(col("cluster_id").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_new"))
+      StreamOps.writeBatchToSink(spark, sinkTable,
+        Drift.contrastCounts(ref, census, centroids.size.toLong), batchId)
+    }
+    q.awaitTermination()
+    spark.catalog.refreshTable(sinkTable)
+    n.get()
+  }
+
   /** REBALANCE — the index-maintenance answer to distribution drift
     * ([[cellSkew]] detects it): retrain Lloyd centroids on the LIVE
     * corpus (current rows minus tombstones) and rewrite the index

@@ -65,6 +65,7 @@ private[graft] object VectorQueries {
     "x_stream_serve_ivfpq" -> ((s, dir) => streamServeIvfPq(s, dir)),
     "x_rebalance" -> ((s, dir) => rebalanceGate(s, dir)),
     "x_vec_drift" -> ((s, dir) => vecDrift(s, dir)),
+    "x_stream_vec_drift" -> ((s, dir) => streamVecDrift(s, dir)),
     "x_trunc_recall" -> ((s, dir) => {
       // Matryoshka operating curve (Similarity.truncationRecall): how
       // much top-10 recall survives serving only the first 8/16/32 of
@@ -912,6 +913,47 @@ private[graft] object VectorQueries {
     IvfIndex.cellDrift(s, t, "vec_id", ref)
   }
 
+  /** x_stream_vec_drift: the vector-drift monitor as a STREAM
+    * (IvfIndex.streamCellDrift — cellDrift's streaming twin,
+    * completing the census/streamCensus :: cellDrift/streamCellDrift
+    * monitoring symmetry): arriving vectors (three micro-batched
+    * shards) are cell-assigned under the FIXED seed centroids and
+    * each batch's census is contrasted against the reference census
+    * snapshotted from the base corpus, accumulating a batch-tagged
+    * drift TIME SERIES. Every batch's rows are a pure function of
+    * (reference, centroids, shard), so the whole accumulated table is
+    * value-replayed per shard by the oracle (batch i = shard i — the
+    * file source delivers staged shard files in creation order). */
+  private def streamVecDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val base = e.where(col("vec_id") >= 100 && col("vec_id") < 300)
+    val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", 4)
+    // The reference census a production loop persists at snapshot time
+    // (IvfIndex.cellCensus of the then-live index); recomputed
+    // declaratively here — identical values under the same fixed
+    // centroids, and the query stays build-free.
+    val reference = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_live"))
+    val arriving = e.where(col("vec_id") >= 300 && col("vec_id") < 420)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val inDir = CorpusQueries.stagedShardsFor(
+      s, dir + "#vecdrift", arriving, idCol = "vec_id")
+    val stream = s.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val sink = "graft_stream_vecdrift_" + digest
+    val n = IvfIndex.streamCellDrift(s, reference, stream,
+      "vec_id", "embedding", cents, sink,
+      queryName = "stream_vecdrift_" + digest)
+    require(n == 3, s"expected 3 micro-batches, got $n")
+    s.table(sink)
+      .select(col(graft.streaming.StreamOps.BatchTag).as("batch_id"),
+        col("bucket"), col("n_old"), col("n_new"), col("d_milli"),
+        col("odds_bits"), col("drift_score"))
+      .orderBy(col("batch_id"), col("bucket"))
+  }
+
   /** x_stream_serve_ivfpq: the serving stream on the 8-byte/vector
     * tier (VERDICT r18 #2) — the SAME generic StreamOps.streamServe
     * loop x_stream_serve runs on the IVF float tier, riding the same
@@ -1412,6 +1454,40 @@ private[graft] object VectorQueries {
         |  CAST((floor(1000 * (n_new + 1) / CAST(nn + 4 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 4 AS DOUBLE)))
         |   * ((length(to_base(CAST((n_new + 1) * (no + 4) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 4) AS BIGINT), 2)) - 1)) AS BIGINT) AS drift_score
         | FROM j CROSS JOIN t ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+    // Streaming vector drift: the x_vec_drift assignment replay per
+    // arriving shard (batch i = shard i), reference census from the
+    // base slice, B = 4 cells.
+    "x_stream_vec_drift" ->
+      (0 to 2).map { sh =>
+        s"""SELECT CAST($sh AS BIGINT) AS batch_id, bucket, n_old, n_new, d_milli, odds_bits, drift_score FROM (
+          |WITH cents AS (SELECT vec_id - 100 AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 100 AND vec_id < 104),
+          | base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 100 AND vec_id < 300),
+          | shard AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 300 AND vec_id < 420 AND vec_id % 3 = $sh),
+          | so AS (SELECT b.vec_id, c.cid,
+          |   list_reduce(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
+          |    / (sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+          |     * sqrt(list_reduce(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cos
+          |  FROM base b CROSS JOIN cents c),
+          | ao AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM so) WHERE rn = 1),
+          | sn AS (SELECT b.vec_id, c.cid,
+          |   list_reduce(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
+          |    / (sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+          |     * sqrt(list_reduce(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cos
+          |  FROM shard b CROSS JOIN cents c),
+          | an AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sn) WHERE rn = 1),
+          | co AS (SELECT cid AS bucket, CAST(COUNT(*) AS BIGINT) AS n_old FROM ao GROUP BY cid),
+          | cn AS (SELECT cid AS bucket, CAST(COUNT(*) AS BIGINT) AS n_new FROM an GROUP BY cid),
+          | j AS (SELECT COALESCE(co.bucket, cn.bucket) AS bucket,
+          |   COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+          |  FROM co FULL OUTER JOIN cn ON co.bucket = cn.bucket),
+          | t AS (SELECT (SELECT COALESCE(SUM(n_old), 0) FROM j) AS no, (SELECT COALESCE(SUM(n_new), 0) FROM j) AS nn)
+          | SELECT bucket, n_old, n_new,
+          |  CAST(floor(1000 * (n_new + 1) / CAST(nn + 4 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 4 AS DOUBLE)) AS BIGINT) AS d_milli,
+          |  CAST((length(to_base(CAST((n_new + 1) * (no + 4) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 4) AS BIGINT), 2)) - 1) AS BIGINT) AS odds_bits,
+          |  CAST((floor(1000 * (n_new + 1) / CAST(nn + 4 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 4 AS DOUBLE)))
+          |   * ((length(to_base(CAST((n_new + 1) * (no + 4) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 4) AS BIGINT), 2)) - 1)) AS BIGINT) AS drift_score
+          | FROM j CROSS JOIN t)""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY batch_id, bucket"),
     // Streaming serving loop: query count and per-query top-k mass are
     // data-derived (48 streamed queries x k=10; every query's 4 probed
     // cells hold far more than 10 live rows); the equality bits are

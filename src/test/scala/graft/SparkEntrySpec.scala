@@ -62,7 +62,7 @@ class SparkEntrySpec extends AnyFunSuite {
       // Bucket census × its own 1-row totals (Drift.census — the join
       // is bounded by maxBucket+1 rows on one side and 1 on the other;
       // cellDrift is the same shape with <= k cells as buckets).
-      "x_drift_census", "x_vec_drift",
+      "x_drift_census", "x_vec_drift", "x_stream_vec_drift",
       // Rebalance gate: 1-row report assembly (live/census/probe
       // counts × cleanup bits).
       "x_rebalance",

@@ -126,31 +126,44 @@ object IndexOps {
 
   /** Data-file count and summed bytes over the EXISTING tables'
     * location subtrees — FS listing metadata only (file statuses,
-    * never contents). Hidden files (commit markers, checksums) are
-    * excluded; a location that vanished mid-listing (a concurrent
-    * swap's drop window) counts as empty rather than failing the
-    * dashboard. */
+    * never contents). Hidden files and directories (commit markers,
+    * checksums, staging dirs) are excluded; a location that vanished
+    * mid-listing (a concurrent swap's drop window) counts as empty
+    * rather than failing the dashboard.
+    *
+    * Listing API matters: `FileSystem.listFiles(path, recursive)`
+    * materializes LocatedFileStatus — block locations per file —
+    * which on Hive's ProxyLocalFileSystem costs ~5 ms PER FILE
+    * (measured round 19: 2.8 s for a 513-file bucketed table, 68×
+    * over plain statuses); a census never needs locations, so this
+    * recurses with `listStatus`, 0.04 s on the same table. */
   private[ext] def filesBytes(spark: SparkSession,
                               tables: Seq[String]): (Long, Long) = {
     val cat = spark.sessionState.catalog
+    val conf = spark.sessionState.newHadoopConf()
     var files = 0L
     var bytes = 0L
+    def walk(fs: org.apache.hadoop.fs.FileSystem,
+             p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        // Partition directories of `_`-prefixed columns (`__wave=0…`,
+        // `__batch_id=3`) are DATA, not hidden state — the Hive
+        // convention: a `_`/`.` prefix hides a path unless it is a
+        // `col=value` partition directory.
+        val hidden = name.startsWith(".") ||
+          (name.startsWith("_") && !(st.isDirectory && name.contains("=")))
+        if (!hidden) {
+          if (st.isDirectory) walk(fs, st.getPath)
+          else { files += 1L; bytes += st.getLen }
+        }
+      }
     tables.filter(spark.catalog.tableExists).foreach { t =>
       val loc = cat.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(t)).location
       val path = new org.apache.hadoop.fs.Path(loc)
-      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(path)) {
-        val it = fs.listFiles(path, true)
-        while (it.hasNext) {
-          val st = it.next()
-          val name = st.getPath.getName
-          if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-            files += 1L
-            bytes += st.getLen
-          }
-        }
-      }
+      val fs = path.getFileSystem(conf)
+      if (fs.exists(path)) walk(fs, path)
     }
     (files, bytes)
   }

@@ -59,37 +59,13 @@ object OperatingPoint {
     require(nProbes.nonEmpty && nProbes.forall(_ > 0) && k > 0,
       s"need positive nProbes and k: $nProbes, $k")
     require(centroids.nonEmpty, "need centroids")
-    val s = corpus.sparkSession
     val kCells = centroids.size
-    val a = anchors.select(col(idCol).as("anchor_id"),
-      col(vecCol).as("__avec"))
     // Anchor→cell probe ranks: |anchors|×k rows, ranked under
     // probeClusters' exact order (centroid cosine DESC, index ASC —
     // its sortBy is stable, so ties fall to the lower index).
-    val asims = array(centroids.map(cv =>
-      Similarity.cosineIn(s)(col("__avec"),
-        array(cv.map(v => lit(v.toDouble)): _*))): _*)
-    val wRank = Window.partitionBy(col("anchor_id"))
-      .orderBy(col("__csim").desc, col("cluster_id"))
-    val aCells = a.select(col("anchor_id"),
-        posexplode(asims).as(Seq("cluster_id", "__csim")))
-      .withColumn("cell_rank", row_number().over(wRank))
-      .select(col("anchor_id"), col("cluster_id"), col("cell_rank"))
-    // THE corpus scan: assign, score against the anchor batch, attach
-    // each row's probe rank for that anchor, keep k per (anchor, cell).
-    val assigned = Similarity.ivfAssign(corpus, idCol, vecCol, centroids)
-      .select(col(idCol), col(vecCol), col("cluster_id"))
-    val wCell = Window.partitionBy(col("anchor_id"), col("cluster_id"))
-      .orderBy(col("cos_sim").desc, col(idCol))
+    val (a, aCells) = anchorFrames(idCol, vecCol, anchors, centroids)
     val cand = Checkpoints.stage(
-      assigned.join(broadcast(a), col(idCol) =!= col("anchor_id"))
-        .select(col("anchor_id"), col(idCol), col("cluster_id"),
-          Similarity.cosineIn(s)(col(vecCol), col("__avec")).as("cos_sim"))
-        .join(broadcast(aCells), Seq("anchor_id", "cluster_id"))
-        .withColumn("__rc", row_number().over(wCell))
-        .where(col("__rc") <= k)
-        .select(col("anchor_id"), col(idCol), col("cos_sim"),
-          col("cell_rank")))
+      nProbeCand(corpus, idCol, vecCol, a, aCells, centroids, k))
     val wAnchor = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cos_sim").desc, col(idCol))
     def topK(df: DataFrame): DataFrame =
@@ -122,6 +98,53 @@ object OperatingPoint {
         min(when(col("meets_target") === 1L, col("n_probe")))
           .as("recommended_n_probe")))
       .orderBy(col("n_probe"))
+  }
+
+  /** THE corpus scan of [[nProbeCurve]], split out LAZY so its plan
+    * shape is spec-pinnable (OperatingPointSpec: the per-(anchor,
+    * cell) rank filter compiles to WindowGroupLimit — k rows per
+    * group kept pre-shuffle): assign each row its cell, score it
+    * against the broadcast anchor batch, attach the cell's probe rank
+    * for that anchor, keep k per (anchor, cell). */
+  private[graft] def nProbeCand(corpus: DataFrame, idCol: String,
+                                vecCol: String, a: DataFrame,
+                                aCells: DataFrame,
+                                centroids: Seq[Seq[Float]],
+                                k: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val assigned = Similarity.ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("cluster_id"))
+    val wCell = Window.partitionBy(col("anchor_id"), col("cluster_id"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    assigned.join(broadcast(a), col(idCol) =!= col("anchor_id"))
+      .select(col("anchor_id"), col(idCol), col("cluster_id"),
+        Similarity.cosineIn(s)(col(vecCol), col("__avec")).as("cos_sim"))
+      .join(broadcast(aCells), Seq("anchor_id", "cluster_id"))
+      .withColumn("__rc", row_number().over(wCell))
+      .where(col("__rc") <= k)
+      .select(col("anchor_id"), col(idCol), col("cos_sim"),
+        col("cell_rank"))
+  }
+
+  /** The anchors (renamed) and anchor→cell probe-rank frames shared by
+    * both curves — exposed for [[nProbeCand]]'s spec pin. */
+  private[graft] def anchorFrames(idCol: String, vecCol: String,
+                                  anchors: DataFrame,
+                                  centroids: Seq[Seq[Float]])
+      : (DataFrame, DataFrame) = {
+    val s = anchors.sparkSession
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("__avec"))
+    val asims = array(centroids.map(cv =>
+      Similarity.cosineIn(s)(col("__avec"),
+        array(cv.map(v => lit(v.toDouble)): _*))): _*)
+    val wRank = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("__csim").desc, col("cluster_id"))
+    val aCells = a.select(col("anchor_id"),
+        posexplode(asims).as(Seq("cluster_id", "__csim")))
+      .withColumn("cell_rank", row_number().over(wRank))
+      .select(col("anchor_id"), col("cluster_id"), col("cell_rank"))
+    (a, aCells)
   }
 
   /** Shortlist-width advisor for the INT8 pre-rank tier — the second
@@ -180,24 +203,8 @@ object OperatingPoint {
       .withColumn("__cr", row_number().over(wRank))
       .where(col("__cr") <= nProbe)
       .select(col("anchor_id"), col("cluster_id"))
-    val scored = Quantize.withQuantized(
-        Similarity.ivfAssign(corpus, idCol, vecCol, centroids), vecCol, "__qv")
-      .join(broadcast(a), col(idCol) =!= col("anchor_id"))
-      .join(broadcast(aCells), Seq("anchor_id", "cluster_id"))
-      .select(col("anchor_id"), col(idCol),
-        Similarity.cosineIn(s)(col(vecCol), col("__avec")).as("__cf"),
-        Quantize.cosineQ(col("__qv"), col("__aqv")).as("__cq"))
-    val wF = Window.partitionBy(col("anchor_id"))
-      .orderBy(col("__cf").desc, col(idCol))
-    val wQ = Window.partitionBy(col("anchor_id"))
-      .orderBy(col("__cq").desc_nulls_last, col(idCol))
-    val topF = scored.withColumn("__rf", row_number().over(wF))
-      .where(col("__rf") <= k).select(col("anchor_id"), col(idCol))
-    val topQ = scored.withColumn("__rq", row_number().over(wQ))
-      .where(col("__rq") <= maxS)
-      .select(col("anchor_id"), col(idCol), col("__rq"))
     val cand = Checkpoints.stage(
-      topF.join(topQ, Seq("anchor_id", idCol), "left_outer"))
+      shortlistCand(corpus, idCol, vecCol, a, aCells, centroids, k, maxS))
     val nAnchors = a.agg(count_distinct(col("anchor_id")).as("n_anchors"))
     val points = shortlists.sorted.map { sl =>
       cand.agg(coalesce(sum((col("__rq") <= sl).cast("long")), lit(0L))
@@ -217,5 +224,37 @@ object OperatingPoint {
         min(when(col("meets_target") === 1L, col("shortlist")))
           .as("recommended_shortlist")))
       .orderBy(col("shortlist"))
+  }
+
+  /** [[shortlistCurve]]'s two rank branches over the scored frame,
+    * split out LAZY so the plan is spec-pinnable (OperatingPointSpec:
+    * BOTH rank filters compile to WindowGroupLimit): float top-k per
+    * anchor left-joined with quantized top-maxS carrying its rank —
+    * the anchors×k frame every sampled width replays from. `a` must
+    * carry (anchor_id, __avec, __aqv); `aCells` the PROBED
+    * (anchor_id, cluster_id) pairs. */
+  private[graft] def shortlistCand(corpus: DataFrame, idCol: String,
+                                   vecCol: String, a: DataFrame,
+                                   aCells: DataFrame,
+                                   centroids: Seq[Seq[Float]], k: Int,
+                                   maxS: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val scored = Quantize.withQuantized(
+        Similarity.ivfAssign(corpus, idCol, vecCol, centroids), vecCol, "__qv")
+      .join(broadcast(a), col(idCol) =!= col("anchor_id"))
+      .join(broadcast(aCells), Seq("anchor_id", "cluster_id"))
+      .select(col("anchor_id"), col(idCol),
+        Similarity.cosineIn(s)(col(vecCol), col("__avec")).as("__cf"),
+        Quantize.cosineQ(col("__qv"), col("__aqv")).as("__cq"))
+    val wF = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("__cf").desc, col(idCol))
+    val wQ = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("__cq").desc_nulls_last, col(idCol))
+    val topF = scored.withColumn("__rf", row_number().over(wF))
+      .where(col("__rf") <= k).select(col("anchor_id"), col(idCol))
+    val topQ = scored.withColumn("__rq", row_number().over(wQ))
+      .where(col("__rq") <= maxS)
+      .select(col("anchor_id"), col(idCol), col("__rq"))
+    topF.join(topQ, Seq("anchor_id", idCol), "left_outer")
   }
 }

@@ -43,6 +43,37 @@ class OperatingPointSpec extends AnyFunSuite {
     }
   }
 
+  test("both candidate frames' rank filters compile to WindowGroupLimit (partial top-k pre-shuffle)") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.where(col("vec_id") < 150)
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 4)
+    val anchors = corpus.where(col("vec_id") < 4)
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      // Execute THIS QueryExecution so AQE finalizes it, then read it
+      // (a fresh action would build a new one — the playbook rule).
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.toString
+    }
+    val (a, aCells) = OperatingPoint.anchorFrames(
+      "vec_id", "embedding", anchors, cents)
+    val pn = finalPlan(OperatingPoint.nProbeCand(
+      corpus, "vec_id", "embedding", a, aCells, cents, 5))
+    assert(pn.contains("WindowGroupLimit"),
+      s"nProbeCand's per-(anchor,cell) top-k must group-limit:\n$pn")
+    val aq = graft.ext.Quantize.withQuantized(
+        anchors.select(col("vec_id"), col("embedding")), "embedding", "__aqv")
+      .select(col("vec_id").as("anchor_id"),
+        col("embedding").as("__avec"), col("__aqv"))
+    val probed = aCells.where(col("cell_rank") <= 2)
+      .select(col("anchor_id"), col("cluster_id"))
+    val ps = finalPlan(OperatingPoint.shortlistCand(
+      corpus, "vec_id", "embedding", broadcast(aq), probed, cents, 5, 20))
+    assert(ps.contains("WindowGroupLimit"),
+      s"shortlistCand's rank branches must group-limit:\n$ps")
+  }
+
   test("shortlistCurve: a corpus-wide width is the truth; curve monotone; recommendation is the smallest clearing width") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
       .select(col("vec_id"), col("embedding"))

@@ -136,7 +136,12 @@ object IndexOps {
     * which on Hive's ProxyLocalFileSystem costs ~5 ms PER FILE
     * (measured round 19: 2.8 s for a 513-file bucketed table, 68×
     * over plain statuses); a census never needs locations, so this
-    * recurses with `listStatus`, 0.04 s on the same table. */
+    * recurses with `listStatus`, 0.04 s on the same table. Deployment
+    * note: the trade REVERSES on object stores — S3A implements the
+    * recursive `listFiles` as one flat prefix listing while
+    * `listStatus` recursion pays one round trip per partition
+    * directory — so a cloud deployment would branch on the scheme;
+    * both paths are statuses-only either way. */
   private[ext] def filesBytes(spark: SparkSession,
                               tables: Seq[String]): (Long, Long) = {
     val cat = spark.sessionState.catalog

@@ -74,6 +74,80 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
+  test("a restarted streamCellDrift resumes after committed batches; a redelivered batch replaces a crashed attempt's rows") {
+    // The serving loop's restart discipline (StreamServeSpec) applied
+    // to the vector-drift monitor: resume-aware sink + batch-tagged
+    // dynamic overwrite, so driver death between micro-batches and a
+    // crashed attempt's orphan rows both heal into the uninterrupted
+    // time series.
+    import java.nio.file.{Files, Paths}
+    import graft.{Tables, TestSpark}
+    import graft.streaming.StreamOps
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val base = e.where(col("vec_id") >= 100 && col("vec_id") < 200)
+    val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", 4)
+    val reference = Similarity.ivfAssign(base, "vec_id", "embedding", cents)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_live"))
+    val arriving = e.where(col("vec_id") >= 200 && col("vec_id") < 260)
+    val sink = "drift_stream_restart_sink"
+    val basePath = Files.createTempDirectory("graft_vecdrift_restart_").toString
+    val inDir = s"$basePath/in"
+    val ckpt = s"$basePath/ckpt"
+    Files.createDirectories(Paths.get(inDir))
+    def addShard(i: Int): Unit = {
+      val w = s"$basePath/w$i"
+      arriving.where(pmod(col("vec_id"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(w)
+      val part = new java.io.File(w).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(inDir, s"shard_$i.parquet"))
+    }
+    def run(): Int = {
+      val stream = spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      IvfIndex.streamCellDrift(spark, reference, stream, "vec_id",
+        "embedding", cents, sink, "drift_restart_spec",
+        checkpointLocation = Some(ckpt))
+    }
+    def accumulated() = spark.table(sink).collect()
+      .map(r => (r.getLong(6), r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    try {
+      addShard(0); addShard(1)
+      assert(run() == 2, "first run must process its two files")
+      // Crashed batch-2 attempt: sink rows landed, commit didn't.
+      val garbage = spark.table(sink)
+        .where(col(StreamOps.BatchTag) === 0L)
+        .drop(StreamOps.BatchTag)
+        .withColumn("drift_score", lit(-999L))
+      StreamOps.writeBatchToSink(spark, sink, garbage, 2L)
+      spark.catalog.refreshTable(sink)
+      assert(accumulated().exists(_._7 == -999L), "garbage must be planted")
+      addShard(2)
+      assert(run() == 1, "restart must process only the uncommitted file")
+      val got = accumulated()
+      assert(!got.exists(_._7 == -999L),
+        "redelivery must replace the crashed attempt's rows")
+      // The accumulated series equals the per-shard batch recompute.
+      val expect = (0 to 2).flatMap { i =>
+        Drift.contrastCounts(
+          reference.select(col("cluster_id").cast("long").as("bucket"),
+            col("n_live").as("n_old")),
+          Similarity.ivfAssign(
+              arriving.where(pmod(col("vec_id"), lit(3)) === i),
+              "vec_id", "embedding", cents)
+            .groupBy(col("cluster_id").cast("long").as("bucket"))
+            .agg(count(lit(1)).as("n_new")),
+          smoothingMass = 4L).collect()
+          .map(r => (i.toLong, r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+      }.toSet
+      assert(got == expect,
+        s"restarted series diverged: extra=${got -- expect} missing=${expect -- got}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$sink`")
+  }
+
   test("NULL metric values are dropped, not bucketed (ADVICE r18)") {
     import spark.implicits._
     def dfN(vs: Seq[Option[Int]]) = vs.toDF("v")

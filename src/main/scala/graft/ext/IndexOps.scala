@@ -77,6 +77,74 @@ object IndexOps {
   private val mergeTags: Set[String] =
     Set("__wave", graft.streaming.StreamOps.BatchTag)
 
+  /** One family's maintenance plan: the census entry plus the
+    * family's OWN compaction action (purgeTombstones for the
+    * tombstoned batch layouts, compact for the wave / batch-tagged
+    * layouts — IndexOpsSpec's collapse matrix). The action returns
+    * the rows it reclaimed, published in the sweep log. */
+  case class Plan(entry: Entry, compact: SparkSession => Long)
+
+  /** The census-DRIVEN maintenance sweep — the decision bit the
+    * census publishes, ACTED ON. `census` told the operator WHEN to
+    * compact; this is the loop that does it: census the families,
+    * run each family's own compaction action exactly where
+    * `compact_due` = 1, census again, and return the action log.
+    *
+    * One row per family. `due_before` / `backlog_before` /
+    * `parts_before` / `zeroed_before` are the mid-lifecycle census;
+    * `reclaimed` is what the family's action reported removing;
+    * the `_after` columns must show the collapse (backlog 0,
+    * merge_parts ≤ 1, zeroed 0, due 0) for acted families and
+    * IDENTITY for skipped ones. `fs_discipline_ok` pins both sides
+    * of the skip contract from FS-listing metadata: a family the
+    * census said was due never gains files from its compaction, and
+    * a family it said was NOT due keeps bit-identical on-disk state
+    * (same file count, same bytes) — at 100 TB the most expensive
+    * no-op an index fleet can run is a rewrite nobody needed, so
+    * "the sweep did not touch what it did not have to" is a fact
+    * the log must carry, not an assumption.
+    *
+    * Contact discipline: the two censuses are metadata-priced
+    * ([[census]] doc) and the driver holds one row per FAMILY —
+    * the compaction actions themselves are the families' existing
+    * crash-safe paths (PurgeSwap-staged rewrites), so a sweep that
+    * dies mid-family leaves every index serving and the next sweep
+    * re-censuses and finishes. Driver query x_maintenance_sweep
+    * replays the decision AND collapse columns from the data;
+    * IndexOpsSpec pins idempotence (a second sweep acts nowhere). */
+  def sweep(spark: SparkSession, plans: Seq[Plan]): DataFrame = {
+    val entries = plans.map(_.entry)
+    def snap(): Map[String, org.apache.spark.sql.Row] =
+      census(spark, entries).collect().map(r => r.getString(0) -> r).toMap
+    val before = snap()
+    val reclaimed: Map[String, Long] = plans.map { p =>
+      val due = before(p.entry.family).getAs[Long]("compact_due")
+      p.entry.family -> (if (due == 1L) p.compact(spark) else 0L)
+    }.toMap
+    val after = snap()
+    val rows = plans.map { p =>
+      val f = p.entry.family
+      val b = before(f)
+      val a = after(f)
+      val due = b.getAs[Long]("compact_due")
+      val fsOk =
+        if (due == 1L) a.getAs[Long]("n_files") <= b.getAs[Long]("n_files")
+        else a.getAs[Long]("n_files") == b.getAs[Long]("n_files") &&
+          a.getAs[Long]("bytes") == b.getAs[Long]("bytes")
+      (f, b.getAs[String]("layout"), due,
+        b.getAs[Long]("tombstone_backlog"), b.getAs[Long]("merge_parts"),
+        b.getAs[Long]("zeroed_grams"), reclaimed(f),
+        a.getAs[Long]("tombstone_backlog"), a.getAs[Long]("merge_parts"),
+        a.getAs[Long]("zeroed_grams"), a.getAs[Long]("compact_due"),
+        if (fsOk) 1L else 0L)
+    }
+    import spark.implicits._
+    rows.toDF("family", "layout", "due_before", "backlog_before",
+        "parts_before", "zeroed_before", "reclaimed", "backlog_after",
+        "parts_after", "zeroed_after", "due_after", "fs_discipline_ok")
+      .orderBy(col("family"))
+  }
+
   def census(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
     val rows = entries.map { e =>
       val tomb = IndexLifecycle.tombstonesOf(e.table)

@@ -64,6 +64,7 @@ private[graft] object CorpusQueries {
     "x_stream_lm" -> ((s, dir) => streamLm(s, dir)),
     "x_dsir_inc" -> ((s, dir) => dsirInc(s, dir)),
     "x_index_census" -> ((s, dir) => indexCensus(s, dir)),
+    "x_maintenance_sweep" -> ((s, dir) => maintenanceSweep(s, dir)),
     "x_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
     "x_drift_census" -> ((s, dir) => {
       // Snapshot distribution drift (graft.ext.Drift): the even-id
@@ -2226,6 +2227,61 @@ private[graft] object CorpusQueries {
     * (no oracle can replay a snappy footer), while the bits hold on
     * ANY layout with data in it; the post-compact file collapse is
     * value-pinned in IndexOpsSpec where the layout is controlled. */
+  /** x_maintenance_sweep: the census-DRIVEN maintenance loop
+    * (IndexOps.sweep — census, act exactly where compact_due = 1,
+    * census again, log). Per-rep mid-lifecycle fixture (the
+    * x_rebalance convention: the bench times the LIFECYCLE's gates,
+    * which here IS census+act+census): a bands index with a
+    * registered takedown (due: backlog → purgeTombstones) and a
+    * winnow index with NO pending work, the skip row that pins "the
+    * sweep never rewrites an index nobody needed rewritten", the most
+    * expensive no-op a 100 TB fleet can run. The LM wave family is
+    * deliberately NOT in the benched fixture: its build+append+
+    * delete+compact lifecycle is ~13 s/rep of fixed job overheads
+    * whatever the row count (measured — vs ~2 s for this fixture),
+    * and the wave/zeroed-gram signals it would add are value-pinned
+    * in IndexOpsSpec's four-family sweep case where walls aren't
+    * graded. Decision and collapse columns are data-derived and
+    * replayed by the oracle (backlog = the %-20 takedown slice);
+    * `reclaimed_iff_due_ok` bit-ifies the action log (raw reclaimed
+    * counts are family-internal row shapes no oracle models) and
+    * `fs_discipline_ok` carries the FS-metadata skip/collapse
+    * contract (IndexOpsSpec value-pins both on a controlled layout,
+    * plus idempotence of a second sweep). */
+  private def maintenanceSweep(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    def t(n: String) = s"graft_sweep_${n}_$digest"
+    // Staged once: the 57-row fixture slice feeds two builds and a
+    // delete — without the barrier each op re-scans the corpus table.
+    val docs = graft.ext.Checkpoints.stage(Tables.documents(s, dir)
+      .where(col("doc_id") < 60 && col("text").isNotNull))
+    val dels = docs.where(col("doc_id") % 20 === 3)
+    val delIds = dels.select(col("doc_id").as("id"))
+    val plans = Seq(
+      IndexOps.Plan(IndexOps.Entry("bands", t("bands")),
+        x => DedupIndex.purgeTombstones(x, t("bands"))),
+      IndexOps.Plan(IndexOps.Entry("winnow", t("winnow")),
+        x => WinnowIndex.purgeTombstones(x, t("winnow"))))
+    // Per-rep rebuild: the sweep MUTATES its fixture (that is the
+    // point), so each rep starts from a dropped slate — a memoized
+    // fixture would make rep 2 observe rep 1's collapsed state.
+    plans.map(_.entry).flatMap(e => (e.table +: e.siblings) :+
+        graft.ext.IndexLifecycle.tombstonesOf(e.table))
+      .foreach(x => s.sql(s"DROP TABLE IF EXISTS `$x`"))
+    DedupIndex.build(docs, "doc_id", "text", t("bands"))
+    DedupIndex.delete(s, t("bands"), delIds)
+    WinnowIndex.build(docs, "doc_id", "text", t("winnow"))
+    IndexOps.sweep(s, plans)
+      .select(col("family"), col("layout"), col("due_before"),
+        col("backlog_before"), col("parts_before"), col("zeroed_before"),
+        ((col("reclaimed") > 0L) === (col("due_before") === 1L))
+          .cast("long").as("reclaimed_iff_due_ok"),
+        col("backlog_after"), col("parts_after"), col("zeroed_after"),
+        col("due_after"), col("fs_discipline_ok"))
+  }
+
   private def indexCensus(s: SparkSession, dir: String): DataFrame =
     IndexOps.census(s, censusFixtureFor(s, dir))
       .select(col("family"), col("layout"), col("merge_parts"),
@@ -3099,6 +3155,25 @@ private[graft] object CorpusQueries {
         |  UNION ALL SELECT 'ivfadc', 'cluster_id', 0, 4, (SELECT n FROM ne), 0, 1, 1, 1, 1
         |  UNION ALL SELECT 'lm', '__wave', 3, 3, (SELECT n FROM nd), (SELECT z FROM zg), 1, 1, 1, 1
         |  UNION ALL SELECT 'winnow', '', 0, 2, (SELECT n FROM nd), 0, 1, 1, 1, 1
+        | ) ORDER BY family""".stripMargin.replaceAll("\n", " "),
+    // Census-driven maintenance sweep: the decision column is
+    // replayed from the %-20 takedown slice of the doc_id < 60
+    // fixture (backlog, due bit), collapse columns are the sweep's
+    // contract constants (backlog / due → 0), and the two discipline
+    // bits must be 1 on every row — incl. the NOT-due winnow row
+    // whose fs bit asserts bit-identical on-disk state.
+    "x_maintenance_sweep" ->
+      """WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id < 60 AND text IS NOT NULL),
+        | nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx WHERE doc_id % 20 = 3)
+        | SELECT * FROM (
+        |  SELECT 'bands' AS family, '' AS layout,
+        |   CAST(CASE WHEN (SELECT n FROM nd) > 0 THEN 1 ELSE 0 END AS BIGINT) AS due_before,
+        |   (SELECT n FROM nd) AS backlog_before, CAST(0 AS BIGINT) AS parts_before,
+        |   CAST(0 AS BIGINT) AS zeroed_before, CAST(1 AS BIGINT) AS reclaimed_iff_due_ok,
+        |   CAST(0 AS BIGINT) AS backlog_after, CAST(0 AS BIGINT) AS parts_after,
+        |   CAST(0 AS BIGINT) AS zeroed_after, CAST(0 AS BIGINT) AS due_after,
+        |   CAST(1 AS BIGINT) AS fs_discipline_ok
+        |  UNION ALL SELECT 'winnow', '', 0, 0, 0, 0, 1, 0, 0, 0, 0, 1
         | ) ORDER BY family""".stripMargin.replaceAll("\n", " "),
     // Incremental DSIR: the x_dsir_weight replay (both censuses over
     // the FULL corpus, whole-bit integer contrast) with the output

@@ -157,4 +157,83 @@ class IndexOpsSpec extends AnyFunSuite {
         .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
     }
   }
+
+  test("sweep acts exactly where compact_due says, skips byte-identically, and is idempotent") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .where(col("doc_id") < 60 && col("text").isNotNull)
+    val dels = docs.where(col("doc_id") % 20 === 3) // 3, 23, 43
+    val delIds = dels.select(col("doc_id").as("id"))
+    def t(n: String) = "sweep_spec_" + n
+    val plans = Seq(
+      IndexOps.Plan(IndexOps.Entry("bands", t("bands")),
+        s => DedupIndex.purgeTombstones(s, t("bands"))),
+      IndexOps.Plan(IndexOps.Entry("bm25", t("bm25"),
+          Seq(t("bm25") + "_docs", t("bm25") + "_stats",
+            t("bm25") + "_stats_deltas")),
+        s => PostingsIndex.purgeTombstones(s, t("bm25"))),
+      IndexOps.Plan(IndexOps.Entry("lm", t("lm"), Seq(t("lm") + "_docs"),
+          gramDeltas = true),
+        s => LmIndex.compact(s, t("lm")).toLong),
+      IndexOps.Plan(IndexOps.Entry("winnow", t("winnow")),
+        s => WinnowIndex.purgeTombstones(s, t("winnow"))))
+    try {
+      DedupIndex.build(docs, "doc_id", "text", t("bands"))
+      DedupIndex.delete(spark, t("bands"), delIds)
+      PostingsIndex.build(spark, docs, "doc_id", "text", t("bm25"))
+      PostingsIndex.delete(spark, t("bm25"), delIds)
+      LmIndex.build(spark, docs.where(col("doc_id") < 40), "doc_id", "text", t("lm"))
+      LmIndex.append(spark, t("lm"), docs.where(col("doc_id") >= 40),
+        "doc_id", "text")
+      LmIndex.delete(spark, t("lm"), dels, "doc_id", "text")
+      WinnowIndex.build(docs, "doc_id", "text", t("winnow")) // no delete: not due
+
+      // Winnow's untouched-skip truth, taken BEFORE the sweep.
+      val winnowRows = spark.table(t("winnow")).count()
+      val (wf, wb) = IndexOps.filesBytes(spark, Seq(t("winnow")))
+
+      val log = IndexOps.sweep(spark, plans).collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(log.size == 4)
+      def l(f: String, c: String) = log(f).getAs[Long](c)
+      // Decision column: due families acted (reclaimed > 0), the
+      // not-due family was skipped (reclaimed == 0).
+      Seq("bands", "bm25", "lm").foreach { f =>
+        assert(l(f, "due_before") == 1L && l(f, "reclaimed") > 0L,
+          s"$f should have acted: ${log(f)}")
+        assert(l(f, "backlog_before") == 3L, log(f).toString)
+      }
+      assert(l("winnow", "due_before") == 0L &&
+        l("winnow", "reclaimed") == 0L, log("winnow").toString)
+      // Collapse + discipline columns hold for every row.
+      log.values.foreach { r =>
+        assert(r.getAs[Long]("backlog_after") == 0L &&
+          r.getAs[Long]("parts_after") <= 1L &&
+          r.getAs[Long]("zeroed_after") == 0L &&
+          r.getAs[Long]("due_after") == 0L &&
+          r.getAs[Long]("fs_discipline_ok") == 1L, r.toString)
+      }
+      assert(l("lm", "parts_before") == 3L && l("lm", "zeroed_before") > 0L,
+        log("lm").toString)
+      // The skipped family is BIT-identical on disk: same rows, same
+      // file count, same bytes — the sweep never touched it.
+      assert(spark.table(t("winnow")).count() == winnowRows)
+      assert(IndexOps.filesBytes(spark, Seq(t("winnow"))) == ((wf, wb)),
+        "sweep rewrote a family the census said was not due")
+
+      // Idempotence: a second sweep finds nothing due and acts nowhere.
+      val again = IndexOps.sweep(spark, plans).collect()
+      again.foreach { r =>
+        assert(r.getAs[Long]("due_before") == 0L &&
+          r.getAs[Long]("reclaimed") == 0L &&
+          r.getAs[Long]("due_after") == 0L &&
+          r.getAs[Long]("fs_discipline_ok") == 1L,
+          s"second sweep must be a no-op: $r")
+      }
+    } finally {
+      plans.map(_.entry).flatMap(e => (e.table +: e.siblings) :+
+          IndexLifecycle.tombstonesOf(e.table))
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    }
+  }
+
 }

@@ -1937,6 +1937,93 @@ object ScaleBench {
     * (Σn_new − Σn_old = blob size). The census wall is published per
     * scale — the monitoring tick a 100 TB operator pays repeatedly,
     * which must stay the cost of one column scan. */
+  /** Ops-loop evidence leg (the r19 IndexOps additions): the
+    * takedown AUDIT, the FRESHNESS census, and the state JANITOR
+    * measured against index state that grows 1× → 10× → 50× while
+    * the audited id set stays FIXED (1000 ids) — the walls must
+    * track the corpus-sized scans each op honestly declares (audit /
+    * freshness: one id-column scan per family) or stay flat where
+    * the op is metadata-priced (orphan census: file STATUSES, never
+    * contents — file count tracks the bucket layout, not rows).
+    * Index state is built via buildFromBands with synthetic band
+    * rows (the documented precomputed-bands path): the ops under
+    * test only ever touch the id column, and paying minhash here
+    * would time the dedup family's business, not this one's. Every
+    * count gate is exact at every scale — two families over
+    * OVERLAPPING id ranges, takedown registered on one, so the audit
+    * must expose the missed family's overlap hits precisely. */
+  def opsPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.{IndexOps, PurgeSwap}
+    val n = 200000L * scale
+    val tA = s"graft_scale_ops_a_x$scale"
+    val tB = s"graft_scale_ops_b_x$scale"
+    def bands(from: Long, until: Long) =
+      spark.range(from, until, 1, 32).toDF("id")
+        .select(col("id"), explode(sequence(lit(0), lit(3))).as("band_id"))
+        .select(col("id"), col("band_id").cast("int").as("band_id"),
+          xxhash64(col("id"), col("band_id")).as("band_hash"))
+    graft.ext.DedupIndex.buildFromBands(bands(0L, n), tA)
+    graft.ext.DedupIndex.buildFromBands(bands(n / 2, n + n / 2), tB)
+    val entries = Seq(
+      IndexOps.Entry("a", tA),
+      IndexOps.Entry("b", tB))
+    val step = n / 1000L
+    val ids = spark.range(0, 1000, 1, 8)
+      .select((col("id") * step + 7L).as("id"))
+    val expB = (0L until 1000L).count(i => i * step + 7L >= n / 2)
+    graft.ext.DedupIndex.delete(spark, tA, ids)
+    spark.sqlContext.clearCache()
+
+    val (audit, tAudit) = timed {
+      IndexOps.takedownAudit(spark, entries, ids).collect()
+        .map(r => r.getString(0) -> r).toMap
+    }
+    def ga(f: String, c: String) = audit(f).getAs[Long](c)
+    require(ga("a", "tombstoned") == 1000L && ga("a", "present_ids") == 1000L &&
+      ga("a", "visible_ids") == 0L, audit("a").toString)
+    require(ga("b", "tombstoned") == 0L && ga("b", "present_ids") == expB &&
+      ga("b", "visible_ids") == expB, audit("b").toString)
+
+    val corpus = spark.range(0, n, 1, 32).toDF("id")
+    val (fresh, tFresh) = timed {
+      IndexOps.freshness(spark, entries, corpus).collect()
+        .map(r => r.getString(0) -> r).toMap
+    }
+    def gf(f: String, c: String) = fresh(f).getAs[Long](c)
+    require(gf("a", "n_missing") == 0L && gf("a", "stale") == 0L,
+      fresh("a").toString)
+    require(gf("b", "n_indexed") == n / 2 && gf("b", "n_missing") == n / 2 &&
+      gf("b", "stale") == 1L, fresh("b").toString)
+
+    // Plant a crashed-STAGE orphan: a full copy of A's index — at
+    // 100 TB this IS a 100 TB copy, which is the point.
+    spark.table(tA).write.format("parquet")
+      .saveAsTable(PurgeSwap.stagingOf(tA))
+    val (cen, tCensus) = timed {
+      IndexOps.orphanCensus(spark, entries).collect()
+        .map(r => r.getString(0) -> r).toMap
+    }
+    val orphanBytes = cen("a").getAs[Long]("orphan_bytes")
+    require(cen("a").getAs[Long]("n_orphans") == 1L && orphanBytes > 0L,
+      cen("a").toString)
+    require(cen("b").getAs[Long]("n_orphans") == 0L, cen("b").toString)
+    val (vac, tVacuum) = timed {
+      IndexOps.vacuum(spark, entries).collect()
+        .map(r => r.getString(0) -> r).toMap
+    }
+    require(vac("a").getAs[Long]("dropped") == 1L &&
+      vac("a").getAs[Long]("bytes_reclaimed") == orphanBytes &&
+      vac("a").getAs[Long]("residual") == 0L, vac("a").toString)
+
+    Seq(tA, tB).flatMap(t => Seq(t, PurgeSwap.stagingOf(t),
+        graft.ext.IndexLifecycle.tombstonesOf(t)))
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    s"""{"ops":{"scale":$scale,"n_ids":$n,"n_audited":1000,""" +
+      s""""overlap_hits":$expB,"audit_t":${fmt(tAudit)},""" +
+      s""""fresh_t":${fmt(tFresh)},"orphan_census_t":${fmt(tCensus)},""" +
+      s""""orphan_bytes":$orphanBytes,"vacuum_t":${fmt(tVacuum)}}}"""
+  }
+
   def vecDriftPoint(spark: SparkSession, dir: String, scale: Int): String = {
     import graft.ext.IvfIndex
     val n = 2000L * scale
@@ -2901,6 +2988,13 @@ object ScaleBench {
     if (args.contains("opoint-only")) {
       opointPoint(spark, outBase, 1)
       scales.foreach(m => println(opointPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `ops-only`: audit/freshness/janitor walls vs growing index state.
+    if (args.contains("ops-only")) {
+      opsPoint(spark, outBase, 1)
+      scales.foreach(m => println(opsPoint(spark, outBase, m)))
       spark.stop()
       return
     }

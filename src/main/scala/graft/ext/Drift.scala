@@ -203,4 +203,43 @@ object Drift {
     spark.catalog.refreshTable(sinkTable)
     n.get()
   }
+
+  /** Multi-metric streaming drift monitor — [[censusMulti]]'s
+    * streaming twin, completing the symmetry census/streamCensus ::
+    * censusMulti/streamCensusMulti: every arriving micro-batch is
+    * censused against the FIXED reference on ALL monitored grids in
+    * ONE pass over the batch (the censusMulti explode — a three-
+    * metric monitor pays one batch scan, not three), rows landing
+    * batch-tagged under the redelivery discipline into a resume-aware
+    * sink. The accumulated table is a per-(metric, bucket) drift TIME
+    * SERIES; each batch is a pure function of (reference, metrics,
+    * shard), so every slice is value-replayed per shard — the
+    * x_stream_drift contract, gated by x_stream_drift_multi. Returns
+    * the number of batches processed. */
+  def streamCensusMulti(spark: org.apache.spark.sql.SparkSession,
+                        reference: DataFrame, stream: DataFrame,
+                        metrics: Seq[Metric], sinkTable: String,
+                        queryName: String,
+                        checkpointLocation: Option[String] = None): Int = {
+    import org.apache.spark.sql.types._
+    import graft.streaming.StreamOps
+    val sinkSchema = StructType(Seq(
+      StructField("metric", StringType), StructField("bucket", LongType),
+      StructField("n_old", LongType), StructField("n_new", LongType),
+      StructField("d_milli", LongType), StructField("odds_bits", LongType),
+      StructField("drift_score", LongType),
+      StructField(StreamOps.BatchTag, LongType)))
+    IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)(
+      spark, sinkTable, sinkSchema, StreamOps.BatchTag, "metric", 1)
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = StreamOps.foreachBatchSink(stream, queryName,
+        checkpointLocation) { (batch, batchId) =>
+      n.incrementAndGet()
+      StreamOps.writeBatchToSink(spark, sinkTable,
+        censusMulti(reference, batch, metrics), batchId)
+    }
+    q.awaitTermination()
+    spark.catalog.refreshTable(sinkTable)
+    n.get()
+  }
 }

@@ -65,12 +65,15 @@ import org.apache.spark.sql.functions._
 object IndexOps {
 
   /** One index family's registration: the main table, its sibling
-    * state tables (centroids, codebooks, `_docs`, `_stats`, …), and
+    * state tables (centroids, codebooks, `_docs`, `_stats`, …),
     * whether the main table holds LM count deltas (enables the
-    * zeroed-gram census). */
+    * zeroed-gram census), and the id column the family's rows carry
+    * (IvfIndex/IvfPq keep the build-time name, e.g. `vec_id`; the
+    * text families normalize to `id`) — used by [[takedownAudit]]. */
   case class Entry(family: String, table: String,
                    siblings: Seq[String] = Nil,
-                   gramDeltas: Boolean = false)
+                   gramDeltas: Boolean = false,
+                   idCol: String = "id")
 
   /** Accumulative partition tags — the layouts a compaction merges.
     * Cell (`cluster_id`) partitioning is spatial and stays. */
@@ -145,8 +148,23 @@ object IndexOps {
       .orderBy(col("family"))
   }
 
+  /** Heal-at-entry, the doctrine every probe follows (IvfIndex
+    * cellCensus learned it the ADVICE way): complete a crashed marked
+    * swap and adopt any drop→rename-window staging BEFORE reading
+    * the family's tables, so an index-facing report never describes
+    * a transient crash layout as the index. The INDEX-facing entry
+    * points here ([[census]], [[sweep]] via census, [[takedownAudit]],
+    * [[freshness]]) heal; the JANITOR pair deliberately does not
+    * census-side — [[orphanCensus]]'s whole job is to SEE the crash
+    * states, and [[vacuum]] is where they get acted on. */
+  private def healFamily(spark: SparkSession, e: Entry): Unit = {
+    IndexLifecycle.recoverSwap(spark, e.table)
+    stateTables(e).foreach(PurgeSwap.recover(spark, _))
+  }
+
   def census(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
     val rows = entries.map { e =>
+      healFamily(spark, e)
       val tomb = IndexLifecycle.tombstonesOf(e.table)
       val present = ((e.table +: e.siblings) :+ tomb)
         .count(spark.catalog.tableExists)
@@ -190,6 +208,235 @@ object IndexOps {
       if (backlog > 0L || mergeParts > 1L || zeroed > 0L) 1L else 0L
     (e.family, layout, mergeParts, present.toLong, backlog, zeroed,
       nFiles, bytes, due)
+  }
+
+  /** Register a takedown across every listed family in one call —
+    * the right-to-be-forgotten entry point when the SAME ids must
+    * disappear from the corpus's every derived artifact, not just the
+    * index someone remembered. Rides each family's shared tombstone
+    * contract (IndexLifecycle.registerTombstones: probes hide the ids
+    * immediately, the physical purge reclaims later — e.g. via
+    * [[sweep]]). NOT for the LM family: subtracting a doc's mass
+    * needs its TEXT (LmIndex.delete writes the negative count wave);
+    * registering its tombstone alone would hide the doc id while its
+    * grams keep counting. Callers route LM takedowns through
+    * LmIndex.delete and still audit it here. */
+  def takedown(spark: SparkSession, entries: Seq[Entry],
+               ids: DataFrame): Unit =
+    entries.foreach(e =>
+      IndexLifecycle.registerTombstones(spark, e.table, ids))
+
+  /** The cross-family takedown AUDIT — the compliance question a
+    * takedown pipeline must be able to answer: for these ids, which
+    * families still SERVE them (`visible_ids` — present and not
+    * tombstoned: a takedown someone MISSED), and which still HOLD
+    * them physically (`present_ids` — rows on disk a purge has not
+    * reclaimed; nonzero with visible_ids = 0 is the normal
+    * tombstoned-but-not-yet-purged state, not a violation).
+    *
+    * One row per family: `n_ids` (distinct audited ids), `tombstoned`
+    * (ids the family's takedown list covers), `present_ids`,
+    * `visible_ids`. The id set is broadcast; each family pays ONE
+    * semi-join scan of its id-bearing table (the LM's `_docs`
+    * registry when `gramDeltas` — its main table holds gram counts,
+    * not ids; everyone else's main table under `Entry.idCol`). That
+    * scan is the audit's honest price at 100 TB: takedown-sized
+    * contact for the tombstone columns, one corpus-sized scan per
+    * family for the physical columns — run it like an audit, not
+    * like a probe. A dropped/absent family reads as all-zero rows
+    * (nothing present, nothing served), the dashboard convention. */
+  def takedownAudit(spark: SparkSession, entries: Seq[Entry],
+                    ids: DataFrame): DataFrame = {
+    val idsD = broadcast(ids.select(col("id")).distinct())
+    val rows = entries.map { e =>
+      healFamily(spark, e)
+      val target = if (e.gramDeltas) e.table + "_docs" else e.table
+      val tomb = IndexLifecycle.tombstonesOf(e.table)
+      // One Spark job per family: the audited id set (takedown-sized)
+      // flagged by two broadcast-semi hit sets — `__p` from the one
+      // id-bearing-table scan, `__t` from the tombstone list — then a
+      // single count/sum aggregate. (The first cut ran three separate
+      // counts per family; on a tiny-fixture bench that tripled the
+      // fixed job overhead for identical answers.)
+      def hitFlag(t: String, c: String, flag: String) =
+        if (!spark.catalog.tableExists(t)) None
+        else Some(spark.table(t).select(col(c).as("id"))
+          .join(idsD, Seq("id"), "left_semi").distinct()
+          .withColumn(flag, lit(1)))
+      var flagged = idsD
+      flagged = hitFlag(target, e.idCol, "__p")
+        .fold(flagged.withColumn("__p", lit(null).cast("int")))(
+          h => flagged.join(h, Seq("id"), "left"))
+      flagged = hitFlag(tomb, "id", "__t")
+        .fold(flagged.withColumn("__t", lit(null).cast("int")))(
+          h => flagged.join(h, Seq("id"), "left"))
+      val r = flagged.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("__t")), lit(0)).cast("long").as("t"),
+        coalesce(sum(col("__p")), lit(0)).cast("long").as("p"),
+        coalesce(sum(when(col("__p").isNotNull && col("__t").isNull,
+          1)), lit(0)).cast("long").as("v")).first()
+      (e.family, r.getAs[Long]("n"), r.getAs[Long]("t"),
+        r.getAs[Long]("p"), r.getAs[Long]("v"))
+    }
+    import spark.implicits._
+    rows.toDF("family", "n_ids", "tombstoned", "present_ids",
+        "visible_ids")
+      .orderBy(col("family"))
+  }
+
+  /** Index FRESHNESS census — append debt, the ingest-side twin of
+    * the compaction census's `tombstone_backlog` (delete debt): for
+    * each family, how many corpus ids the index has NOT absorbed yet.
+    * A year-long crawl's pipeline needs this as a queryable fact —
+    * "is every index caught up with the corpus?" — or staleness is
+    * discovered by a probe that silently misses documents.
+    *
+    * One row per family: `n_corpus` (distinct audited corpus ids),
+    * `n_indexed` (of those, ids the family's id-bearing table holds),
+    * `n_missing` (ids neither indexed nor tombstoned — registered
+    * takedowns are deliberate absence, not lag), and the `stale`
+    * decision bit (n_missing > 0 → run the family's append path).
+    * Same contact shape as [[takedownAudit]] but corpus-sized on the
+    * LEFT: one id-column scan of the corpus and one of each family's
+    * id-bearing table, hash anti-join on ids — id columns only ever
+    * shuffle, and at 100 TB that is the honest price of a freshness
+    * answer; run it at pipeline checkpoints, not per probe. One
+    * Spark job per family (the flag-and-aggregate shape). Heals at
+    * entry like every index-facing report. */
+  def freshness(spark: SparkSession, entries: Seq[Entry],
+                corpusIds: DataFrame): DataFrame = {
+    val c = corpusIds.select(col("id")).distinct()
+    val rows = entries.map { e =>
+      healFamily(spark, e)
+      val target = if (e.gramDeltas) e.table + "_docs" else e.table
+      val tomb = IndexLifecycle.tombstonesOf(e.table)
+      def flag(t: String, idc: String, f: String) =
+        if (!spark.catalog.tableExists(t)) None
+        else Some(spark.table(t).select(col(idc).as("id")).distinct()
+          .withColumn(f, lit(1)))
+      var flagged = c
+      flagged = flag(target, e.idCol, "__i")
+        .fold(flagged.withColumn("__i", lit(null).cast("int")))(
+          h => flagged.join(h, Seq("id"), "left"))
+      flagged = flag(tomb, "id", "__t")
+        .fold(flagged.withColumn("__t", lit(null).cast("int")))(
+          h => flagged.join(h, Seq("id"), "left"))
+      val r = flagged.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("__i")), lit(0)).cast("long").as("i"),
+        coalesce(sum(when(col("__i").isNull && col("__t").isNull, 1)),
+          lit(0)).cast("long").as("m")).first()
+      (e.family, r.getAs[Long]("n"), r.getAs[Long]("i"),
+        r.getAs[Long]("m"), if (r.getAs[Long]("m") > 0L) 1L else 0L)
+    }
+    import spark.implicits._
+    rows.toDF("family", "n_corpus", "n_indexed", "n_missing", "stale")
+      .orderBy(col("family"))
+  }
+
+  /** The family's persisted state-table set: main + siblings + the
+    * tombstone list — everything a staging table could shadow. */
+  private def stateTables(e: Entry): Seq[String] =
+    (e.table +: e.siblings) :+ IndexLifecycle.tombstonesOf(e.table)
+
+  /** A state table's possible staging shadows: the PurgeSwap
+    * stage-and-swap staging and the streaming compactSink staging. */
+  private def stagingsOf(t: String): Seq[String] =
+    Seq(PurgeSwap.stagingOf(t), t + "_compact_stage")
+
+  /** Orphaned-state census — the storage-reclamation half of the ops
+    * report. The lifecycle's crash discipline deliberately leaves
+    * state behind rather than lose data: a purge/compact that dies in
+    * its STAGE phase leaves `<t>_purge_stage` / `<t>_compact_stage`
+    * holding a full copy of the index (the live table is intact and
+    * serving), and the doctrine "the next run drops and replaces it"
+    * reclaims nothing for a family that never runs another lifecycle
+    * op. At 100 TB an orphaned staging IS a 100 TB copy — dead bytes
+    * an operator must be able to SEE before deciding to reclaim them.
+    *
+    * One row per family, all from catalog + FS-listing metadata
+    * (never file contents):
+    *
+    *   - `inflight` — the family's marked multi-table swap is between
+    *     "staged layout is the index-of-record" and "swap committed"
+    *     (IndexLifecycle.rebalanceMarkerOf). Its stagings are NOT
+    *     orphans — they are the index; [[vacuum]] heals the swap
+    *     forward instead of dropping anything.
+    *   - `heal_pending` — stagings whose base table is MISSING with
+    *     no marker: a crash inside PurgeSwap's drop→rename window.
+    *     Also not garbage — the staged rows are the (already purged)
+    *     index; [[vacuum]] adopts them via PurgeSwap.recover.
+    *   - `n_orphans` / `orphan_files` / `orphan_bytes` — stagings
+    *     whose base table EXISTS and no marker protects them: a
+    *     crashed STAGE attempt's garbage, the bytes [[vacuum]]
+    *     reclaims.
+    *
+    * Like every lifecycle op here, the janitor pair runs under the
+    * single-maintainer discipline: not concurrently with a purge /
+    * compact / rebalance of the same family (a staging mid-write by a
+    * live maintainer is indistinguishable from a crashed one's). */
+  def orphanCensus(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
+    val rows = entries.map { e =>
+      val (inflight, healPending, orphans) = classify(spark, e)
+      val (f, b) = filesBytes(spark, orphans)
+      (e.family, if (inflight) 1L else 0L, healPending.size.toLong,
+        orphans.size.toLong, f, b)
+    }
+    import spark.implicits._
+    rows.toDF("family", "inflight", "heal_pending", "n_orphans",
+        "orphan_files", "orphan_bytes")
+      .orderBy(col("family"))
+  }
+
+  /** (marker present, stagings needing adoption, orphan stagings). */
+  private def classify(spark: SparkSession, e: Entry)
+      : (Boolean, Seq[String], Seq[String]) = {
+    val marker = spark.catalog.tableExists(
+      IndexLifecycle.rebalanceMarkerOf(e.table))
+    if (marker) return (true, Nil, Nil)
+    val present = stateTables(e).flatMap { t =>
+      stagingsOf(t).filter(spark.catalog.tableExists).map(s => (t, s))
+    }
+    val (adopt, orphan) = present.partition { case (t, s) =>
+      // Base missing + a PURGE staging = the drop→rename crash window:
+      // the staged rows are the index. A compact-sink staging never
+      // outlives its base legitimately — garbage either way.
+      !spark.catalog.tableExists(t) && s == PurgeSwap.stagingOf(t)
+    }
+    (false, adopt.map(_._1), orphan.map(_._2))
+  }
+
+  /** Reclaim everything [[orphanCensus]] reports, in the safe order:
+    * heal an in-flight marked swap FORWARD (IndexLifecycle.recoverSwap
+    * — the first-contact doctrine, which itself retires the swap's
+    * stagings), ADOPT crashed-swap stagings whose base vanished
+    * (PurgeSwap.recover — they are the index, renaming is the fix),
+    * then DROP the unprotected orphan stagings and their warehouse
+    * files. Returns the action log: per family, what was healed /
+    * adopted / dropped and the files/bytes the drops reclaimed, plus
+    * `residual` (orphans + heal-pending left after — 0 on any
+    * successful pass; a second vacuum is a no-op, spec-pinned).
+    * Families with nothing to do are not touched at all. */
+  def vacuum(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
+    val rows = entries.map { e =>
+      val healed = if (spark.catalog.tableExists(
+          IndexLifecycle.rebalanceMarkerOf(e.table)))
+        IndexLifecycle.recoverSwap(spark, e.table) else false
+      // Classify AFTER the heal: a healed family can still carry
+      // compact-stage orphans the marker was hiding.
+      val (_, healPending, orphans) = classify(spark, e)
+      val adopted = healPending.count(PurgeSwap.recover(spark, _))
+      val (rf, rb) = filesBytes(spark, orphans)
+      orphans.foreach(graft.io.Writer.dropTableAndLocation(spark, _))
+      val (_, hp2, o2) = classify(spark, e)
+      (e.family, if (healed) 1L else 0L, adopted.toLong,
+        orphans.size.toLong, rf, rb, (hp2.size + o2.size).toLong)
+    }
+    import spark.implicits._
+    rows.toDF("family", "healed_swap", "adopted", "dropped",
+        "files_reclaimed", "bytes_reclaimed", "residual")
+      .orderBy(col("family"))
   }
 
   /** Data-file count and summed bytes over the EXISTING tables'

@@ -65,7 +65,11 @@ private[graft] object CorpusQueries {
     "x_dsir_inc" -> ((s, dir) => dsirInc(s, dir)),
     "x_index_census" -> ((s, dir) => indexCensus(s, dir)),
     "x_maintenance_sweep" -> ((s, dir) => maintenanceSweep(s, dir)),
+    "x_vacuum" -> ((s, dir) => vacuumGate(s, dir)),
+    "x_takedown_audit" -> ((s, dir) => takedownAuditGate(s, dir)),
+    "x_freshness" -> ((s, dir) => freshnessGate(s, dir)),
     "x_stream_drift" -> ((s, dir) => streamDrift(s, dir)),
+    "x_stream_drift_multi" -> ((s, dir) => streamDriftMulti(s, dir)),
     "x_drift_census" -> ((s, dir) => {
       // Snapshot distribution drift (graft.ext.Drift): the even-id
       // half as snapshot A vs the odd-id half as snapshot B, doc
@@ -1783,6 +1787,42 @@ private[graft] object CorpusQueries {
       .orderBy(col("batch_id"), col("bucket"))
   }
 
+  /** x_stream_drift_multi: the multi-metric streaming drift monitor
+    * (Drift.streamCensusMulti — the symmetry twin completing
+    * census/streamCensus :: censusMulti/streamCensusMulti): each
+    * arriving micro-batch censused against the fixed even-id
+    * reference on the SAME three grids as x_drift_multi, in one pass
+    * over the batch. Rides the x_stream_drift staged shards (same
+    * arriving frame, same %-3 shard split), so every accumulated
+    * (batch, metric, bucket) row is the x_drift_multi arithmetic
+    * replayed on its shard — the batch-replay contract. */
+  private def streamDriftMulti(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+    val ref = docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+    val arriving = docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+      .select(col("doc_id"), col("text"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val inDir = stagedShardsFor(s, dir + "#drift", arriving, idCol = "doc_id")
+    val stream = s.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val sink = "graft_stream_driftm_" + digest
+    val toks = TextAnalysis.wsTokenCount(col("text"))
+    val n = Drift.streamCensusMulti(s, ref, stream, Seq(
+        Drift.Metric("chars", length(col("text")), 200.0, 16),
+        Drift.Metric("chars_per_token",
+          length(col("text")).cast("double") / toks, 2.0, 16),
+        Drift.Metric("tokens", toks, 32.0, 16)),
+      sinkTable = sink, queryName = "stream_driftm_" + digest)
+    require(n == 3, s"expected 3 micro-batches, got $n")
+    s.table(sink)
+      .select(col(graft.streaming.StreamOps.BatchTag).as("batch_id"),
+        col("metric"), col("bucket"), col("n_old"), col("n_new"),
+        col("d_milli"), col("odds_bits"), col("drift_score"))
+      .orderBy(col("batch_id"), col("metric"), col("bucket"))
+  }
+
   private def retrievalEval(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val table = bm25EvalIndexFor(s, dir)
@@ -2267,9 +2307,11 @@ private[graft] object CorpusQueries {
     // Per-rep rebuild: the sweep MUTATES its fixture (that is the
     // point), so each rep starts from a dropped slate — a memoized
     // fixture would make rep 2 observe rep 1's collapsed state.
+    // Location-dropping (not DROP IF EXISTS) so a killed rep's
+    // orphaned warehouse directory can't fail the next rep's build.
     plans.map(_.entry).flatMap(e => (e.table +: e.siblings) :+
         graft.ext.IndexLifecycle.tombstonesOf(e.table))
-      .foreach(x => s.sql(s"DROP TABLE IF EXISTS `$x`"))
+      .foreach(graft.io.Writer.dropTableAndLocation(s, _))
     DedupIndex.build(docs, "doc_id", "text", t("bands"))
     DedupIndex.delete(s, t("bands"), delIds)
     WinnowIndex.build(docs, "doc_id", "text", t("winnow"))
@@ -2280,6 +2322,173 @@ private[graft] object CorpusQueries {
           .cast("long").as("reclaimed_iff_due_ok"),
         col("backlog_after"), col("parts_after"), col("zeroed_after"),
         col("due_after"), col("fs_discipline_ok"))
+  }
+
+  /** x_vacuum: the state JANITOR (IndexOps.orphanCensus + vacuum) —
+    * the storage-reclamation half of the ops story. The lifecycle's
+    * crash discipline deliberately leaves staging tables behind
+    * rather than lose data, and "the next lifecycle op replaces them"
+    * reclaims nothing for a family that never runs one; at 100 TB an
+    * orphaned staging is a full index copy of dead bytes. Per-rep
+    * fixture (the janitor MUTATES state, so per-rep rebuild like
+    * x_maintenance_sweep) plants all four catalog states from tiny
+    * corpus slices: a clean family, a crashed STAGE attempt (live
+    * intact + two staging shadows = droppable garbage), a crashed
+    * SWAP window (staging present, live gone — the staged rows ARE
+    * the index, adopted via PurgeSwap.recover, never dropped), and an
+    * in-flight marked swap (healed FORWARD via recoverSwap, never
+    * dropped). The census/action/residual columns and the
+    * post-vacuum live row counts are replayed by the oracle from the
+    * slice definitions; byte columns surface as iff-bits (the
+    * x_index_census convention). IndexOpsSpec value-pins bytes,
+    * byte-identical no-touch, and second-vacuum idempotence. */
+  private def vacuumGate(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    def t(n: String) = s"graft_janitor_${n}_$digest"
+    val entries = Seq(
+      IndexOps.Entry("clean", t("clean")),
+      IndexOps.Entry("crashed_stage", t("cs")),
+      IndexOps.Entry("crashed_swap", t("sw")),
+      IndexOps.Entry("inflight", t("mk")))
+    // dropTableAndLocation, not DROP TABLE IF EXISTS: a killed rep can
+    // leave the warehouse location while the catalog entry is gone,
+    // and the next rep's saveAsTable then fails LOCATION_ALREADY_EXISTS
+    // — the janitor fixture must not trip over its own orphan class.
+    entries.flatMap(e => Seq(e.table, graft.ext.PurgeSwap.stagingOf(e.table),
+        e.table + "_compact_stage",
+        graft.ext.IndexLifecycle.tombstonesOf(e.table),
+        graft.ext.IndexLifecycle.rebalanceMarkerOf(e.table)))
+      .foreach(graft.io.Writer.dropTableAndLocation(s, _))
+    // Staged once: the slice feeds SEVEN table writes — without the
+    // barrier each write re-scans the corpus table.
+    val d60 = graft.ext.Checkpoints.stage(
+      Tables.documents(s, dir).where(col("doc_id") < 60)
+        .select(col("doc_id")))
+    val d30 = d60.where(col("doc_id") < 30)
+    d60.write.format("parquet").saveAsTable(t("clean"))
+    d60.write.format("parquet").saveAsTable(t("cs"))
+    d30.write.format("parquet")
+      .saveAsTable(graft.ext.PurgeSwap.stagingOf(t("cs")))
+    d30.write.format("parquet").saveAsTable(t("cs") + "_compact_stage")
+    d60.write.format("parquet")
+      .saveAsTable(graft.ext.PurgeSwap.stagingOf(t("sw")))
+    d60.write.format("parquet").saveAsTable(t("mk"))
+    d30.write.format("parquet")
+      .saveAsTable(graft.ext.PurgeSwap.stagingOf(t("mk")))
+    graft.ext.IndexLifecycle.markSwap(s, t("mk"), Seq(t("mk")))
+    // orphanCensus/vacuum act at CALL time (rows are built driver-
+    // side), so cen is the pre-vacuum view and live counts are read
+    // after the reclaim — explicit sequencing, no lazy-eval trap.
+    val cen = IndexOps.orphanCensus(s, entries)
+      .select(col("family"), col("inflight"), col("heal_pending"),
+        col("n_orphans"),
+        ((col("orphan_bytes") > 0L) === (col("n_orphans") > 0L))
+          .cast("long").as("orphan_bytes_iff_orphans_ok"))
+    val vac = IndexOps.vacuum(s, entries)
+      .select(col("family"), col("healed_swap"), col("adopted"),
+        col("dropped"),
+        ((col("bytes_reclaimed") > 0L) === (col("dropped") > 0L))
+          .cast("long").as("reclaimed_iff_dropped_ok"),
+        col("residual"))
+    import s.implicits._
+    val live = entries.map(e => (e.family, s.table(e.table).count()))
+      .toDF("family", "live_rows_after")
+    cen.join(vac, Seq("family")).join(live, Seq("family"))
+      .orderBy(col("family"))
+  }
+
+  /** x_takedown_audit: the cross-family right-to-be-forgotten audit
+    * (IndexOps.takedownAudit) — for a set of ids, which families
+    * still SERVE them (visible = a takedown someone missed) and which
+    * still HOLD them physically (present = purge debt). Per-rep
+    * fixture: two bands indexes over OVERLAPPING corpus slices
+    * (doc_id < 60 and doc_id in [30, 90)), takedown registered only
+    * on the first — the second is the missed family the audit must
+    * expose (its visible count = the audited ids living in the
+    * overlap, a data-derived value the oracle replays). Then the
+    * cross-family takedown closes the gap (visible → 0 everywhere,
+    * present unchanged: tombstoned-but-unpurged is the normal state,
+    * not a violation). Two audits joined on family; every column
+    * replayed from the slice definitions. The purge leg (present → 0
+    * after each family's physical purge), heterogeneous id columns,
+    * and the LM's `_docs` registry path are spec-pinned
+    * (IndexOpsSpec — kept out of the benched fixture: two extra
+    * staged-rewrite purges + a third audit were ~3 s/rep of fixed
+    * overheads re-proving what x_maintenance_sweep's purge already
+    * times). */
+  private def takedownAuditGate(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    def t(n: String) = s"graft_audit_${n}_$digest"
+    val entries = Seq(
+      IndexOps.Entry("bands_a", t("a")),
+      IndexOps.Entry("bands_b", t("b")))
+    entries.flatMap(e => Seq(e.table,
+        graft.ext.IndexLifecycle.tombstonesOf(e.table)))
+      .foreach(graft.io.Writer.dropTableAndLocation(s, _))
+    val docs = graft.ext.Checkpoints.stage(Tables.documents(s, dir)
+      .where(col("doc_id") < 90 && col("text").isNotNull))
+    // ONE banding pass over the union slice, row-subset per family —
+    // the documented buildFromBands pattern (bands are per-row), so
+    // the fixture pays shingle+minhash once, not per index. Tiny
+    // fixture → 4 buckets: the audit scans 4 tasks, not 16.
+    val banded = Dedup.bands(docs, "doc_id", "text", Dedup.MinHashParams())
+    DedupIndex.buildFromBands(banded.where(col("id") < 60), t("a"),
+      nBuckets = 4)
+    DedupIndex.buildFromBands(banded.where(col("id") >= 30), t("b"),
+      nBuckets = 4)
+    val ids = docs.where(col("doc_id") < 60 && col("doc_id") % 20 === 3)
+      .select(col("doc_id").as("id"))
+    DedupIndex.delete(s, t("a"), ids) // bands_b is the missed family
+    val before = IndexOps.takedownAudit(s, entries, ids)
+      .withColumnRenamed("tombstoned", "tombstoned_before")
+      .withColumnRenamed("present_ids", "present_before")
+      .withColumnRenamed("visible_ids", "visible_before")
+    IndexOps.takedown(s, entries.filter(_.family == "bands_b"), ids)
+    val after = IndexOps.takedownAudit(s, entries, ids)
+      .select(col("family"),
+        col("visible_ids").as("visible_after_takedown"),
+        col("present_ids").as("present_after_takedown"))
+    before.join(after, Seq("family")).orderBy(col("family"))
+  }
+
+  /** x_freshness: the index FRESHNESS census (IndexOps.freshness) —
+    * append debt, the ingest-side twin of the compaction census's
+    * tombstone backlog: how many corpus ids each family has not
+    * absorbed yet, with registered takedowns counted as deliberate
+    * absence, not lag. Per-rep fixture: bands indexes only the first
+    * 40 ids of the doc_id < 60 corpus slice AND carries a takedown
+    * registered for the never-indexed %-20 ids ≥ 40 (a takedown that
+    * arrived before the doc was indexed — the tombstone-exclusion
+    * branch, exercised in the replayed values); winnow is fully
+    * caught up with a registered takedown of PRESENT ids (also not
+    * staleness). Every column is a slice count the oracle replays;
+    * the stale bit is the CASE over them. */
+  private def freshnessGate(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    def t(n: String) = s"graft_fresh_${n}_$digest"
+    val entries = Seq(
+      IndexOps.Entry("bands", t("bands")),
+      IndexOps.Entry("winnow", t("winnow")))
+    entries.flatMap(e => Seq(e.table,
+        graft.ext.IndexLifecycle.tombstonesOf(e.table)))
+      .foreach(graft.io.Writer.dropTableAndLocation(s, _))
+    val docs = graft.ext.Checkpoints.stage(Tables.documents(s, dir)
+      .where(col("doc_id") < 60 && col("text").isNotNull))
+    DedupIndex.build(docs.where(col("doc_id") < 40), "doc_id", "text",
+      t("bands"))
+    DedupIndex.delete(s, t("bands"),
+      docs.where(col("doc_id") >= 40 && col("doc_id") % 20 === 3)
+        .select(col("doc_id").as("id")))
+    WinnowIndex.build(docs, "doc_id", "text", t("winnow"))
+    WinnowIndex.delete(s, t("winnow"),
+      docs.where(col("doc_id") % 20 === 3).select(col("doc_id").as("id")))
+    IndexOps.freshness(s, entries, docs.select(col("doc_id").as("id")))
   }
 
   private def indexCensus(s: SparkSession, dir: String): DataFrame =
@@ -3128,6 +3337,32 @@ private[graft] object CorpusQueries {
         |  CAST((floor(1000 * (n_new + 1) / CAST(nn + 17 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 17 AS DOUBLE)))
         |   * ((length(to_base(CAST((n_new + 1) * (no + 17) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 17) AS BIGINT), 2)) - 1)) AS BIGINT) AS drift_score
         | FROM j JOIN t ON j.metric = t.metric ORDER BY j.metric, bucket""".stripMargin.replaceAll("\n", " "),
+    // Multi-metric streaming drift: the x_drift_multi arithmetic
+    // replayed per shard (batch s = arriving docs with doc_id % 3 = s,
+    // the staged-shards convention x_stream_drift pins).
+    "x_stream_drift_multi" ->
+      (0 to 2).map { sh =>
+        s"""SELECT CAST($sh AS BIGINT) AS batch_id, metric, bucket, n_old, n_new, d_milli, odds_bits, drift_score FROM (
+          |WITH d AS (SELECT doc_id, length(text) AS ch,
+          |   (length(text) - length(replace(text, ' ', '')) + 1) AS tk,
+          |   CAST(length(text) AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1) AS cpt
+          |  FROM documents WHERE text IS NOT NULL),
+          | m AS (SELECT doc_id, 'chars' AS metric, LEAST(GREATEST(CAST(floor(ch / 200.0) AS BIGINT), 0), 16) AS bucket FROM d
+          |  UNION ALL SELECT doc_id, 'chars_per_token', LEAST(GREATEST(CAST(floor(cpt / 2.0) AS BIGINT), 0), 16) FROM d
+          |  UNION ALL SELECT doc_id, 'tokens', LEAST(GREATEST(CAST(floor(tk / 32.0) AS BIGINT), 0), 16) FROM d),
+          | o AS (SELECT metric, bucket, CAST(COUNT(*) AS BIGINT) AS n_old FROM m WHERE doc_id % 2 = 0 GROUP BY metric, bucket),
+          | n AS (SELECT metric, bucket, CAST(COUNT(*) AS BIGINT) AS n_new FROM m WHERE doc_id % 2 = 1 AND doc_id % 3 = $sh GROUP BY metric, bucket),
+          | j AS (SELECT COALESCE(o.metric, n.metric) AS metric, COALESCE(o.bucket, n.bucket) AS bucket,
+          |   COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+          |  FROM o FULL OUTER JOIN n ON o.metric = n.metric AND o.bucket = n.bucket),
+          | t AS (SELECT metric, SUM(n_old) AS no, SUM(n_new) AS nn FROM j GROUP BY metric)
+          | SELECT j.metric, bucket, n_old, n_new,
+          |  CAST(floor(1000 * (n_new + 1) / CAST(nn + 17 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 17 AS DOUBLE)) AS BIGINT) AS d_milli,
+          |  CAST((length(to_base(CAST((n_new + 1) * (no + 17) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 17) AS BIGINT), 2)) - 1) AS BIGINT) AS odds_bits,
+          |  CAST((floor(1000 * (n_new + 1) / CAST(nn + 17 AS DOUBLE)) - floor(1000 * (n_old + 1) / CAST(no + 17 AS DOUBLE)))
+          |   * ((length(to_base(CAST((n_new + 1) * (no + 17) AS BIGINT), 2)) - 1) - (length(to_base(CAST((n_old + 1) * (nn + 17) AS BIGINT), 2)) - 1)) AS BIGINT) AS drift_score
+          | FROM j JOIN t ON j.metric = t.metric)""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY batch_id, metric, bucket"),
     // Index ops census: backlog and the LM zeroed-gram mass are
     // DATA-derived (the %-50 takedown slice of each table; bigrams
     // living ONLY in deleted docs), replayed here; layout strings,
@@ -3174,6 +3409,64 @@ private[graft] object CorpusQueries {
         |   CAST(0 AS BIGINT) AS zeroed_after, CAST(0 AS BIGINT) AS due_after,
         |   CAST(1 AS BIGINT) AS fs_discipline_ok
         |  UNION ALL SELECT 'winnow', '', 0, 0, 0, 0, 1, 0, 0, 0, 0, 1
+        | ) ORDER BY family""".stripMargin.replaceAll("\n", " "),
+    // State janitor: the four planted catalog states and the vacuum's
+    // action log, replayed from the slice definitions — the crashed
+    // STAGE family drops its 2 shadows, the crashed SWAP family is
+    // ADOPTED (its staged doc_id<60 slice becomes the live table),
+    // the marked family is healed FORWARD (the staged doc_id<30 slice
+    // swaps in), the clean family is untouched; byte columns are
+    // iff-bits, residual is 0 everywhere.
+    "x_vacuum" ->
+      """WITH n60 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE doc_id < 60),
+        | n30 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE doc_id < 30)
+        | SELECT * FROM (
+        |  SELECT 'clean' AS family, CAST(0 AS BIGINT) AS inflight,
+        |   CAST(0 AS BIGINT) AS heal_pending, CAST(0 AS BIGINT) AS n_orphans,
+        |   CAST(1 AS BIGINT) AS orphan_bytes_iff_orphans_ok,
+        |   CAST(0 AS BIGINT) AS healed_swap, CAST(0 AS BIGINT) AS adopted,
+        |   CAST(0 AS BIGINT) AS dropped, CAST(1 AS BIGINT) AS reclaimed_iff_dropped_ok,
+        |   CAST(0 AS BIGINT) AS residual, (SELECT n FROM n60) AS live_rows_after
+        |  UNION ALL SELECT 'crashed_stage', 0, 0, 2, 1, 0, 0, 2, 1, 0, (SELECT n FROM n60)
+        |  UNION ALL SELECT 'crashed_swap', 0, 1, 0, 1, 0, 1, 0, 1, 0, (SELECT n FROM n60)
+        |  UNION ALL SELECT 'inflight', 1, 0, 0, 1, 1, 0, 0, 1, 0, (SELECT n FROM n30)
+        | ) ORDER BY family""".stripMargin.replaceAll("\n", " "),
+    // Cross-family takedown audit: the audited id set is the %-20
+    // takedown slice of doc_id < 60; bands_b (built over [30, 90))
+    // serves exactly the ids in the overlap until the cross-family
+    // takedown lands. Every value replays from the slice definitions;
+    // the purge-to-zero leg is spec-pinned.
+    "x_takedown_audit" ->
+      """WITH idx AS (SELECT doc_id FROM documents WHERE doc_id < 90 AND text IS NOT NULL),
+        | ids AS (SELECT doc_id FROM idx WHERE doc_id < 60 AND doc_id % 20 = 3),
+        | nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+        | nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids WHERE doc_id >= 30)
+        | SELECT * FROM (
+        |  SELECT 'bands_a' AS family, (SELECT n FROM nd) AS n_ids,
+        |   (SELECT n FROM nd) AS tombstoned_before,
+        |   (SELECT n FROM nd) AS present_before, CAST(0 AS BIGINT) AS visible_before,
+        |   CAST(0 AS BIGINT) AS visible_after_takedown,
+        |   (SELECT n FROM nd) AS present_after_takedown
+        |  UNION ALL SELECT 'bands_b', (SELECT n FROM nd), 0, (SELECT n FROM nb),
+        |   (SELECT n FROM nb), 0, (SELECT n FROM nb)
+        | ) ORDER BY family""".stripMargin.replaceAll("\n", " "),
+    // Freshness census: every column is a slice count — bands indexed
+    // doc_id < 40 with a takedown registered for the never-indexed
+    // %-20 ids >= 40 (deliberate absence, excluded from the debt),
+    // winnow fully caught up (its registered takedown of PRESENT ids
+    // is not staleness either).
+    "x_freshness" ->
+      """WITH idx AS (SELECT doc_id FROM documents WHERE doc_id < 60 AND text IS NOT NULL),
+        | n60 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+        | n40 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx WHERE doc_id < 40),
+        | ntd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx WHERE doc_id >= 40 AND doc_id % 20 = 3)
+        | SELECT * FROM (
+        |  SELECT 'bands' AS family, (SELECT n FROM n60) AS n_corpus,
+        |   (SELECT n FROM n40) AS n_indexed,
+        |   (SELECT n FROM n60) - (SELECT n FROM n40) - (SELECT n FROM ntd) AS n_missing,
+        |   CAST(CASE WHEN (SELECT n FROM n60) - (SELECT n FROM n40) - (SELECT n FROM ntd) > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS stale
+        |  UNION ALL SELECT 'winnow', (SELECT n FROM n60), (SELECT n FROM n60), 0, 0
         | ) ORDER BY family""".stripMargin.replaceAll("\n", " "),
     // Incremental DSIR: the x_dsir_weight replay (both censuses over
     // the FULL corpus, whole-bit integer contrast) with the output

@@ -148,6 +148,73 @@ class DriftSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS `$sink`")
   }
 
+  test("a restarted streamCensusMulti resumes after committed batches and equals the per-shard multi census") {
+    // The multi-metric monitor inherits the family restart discipline
+    // (resume-aware sink + batch-tagged dynamic overwrite) and every
+    // accumulated (batch, metric, bucket) slice is the batch-mode
+    // censusMulti replayed on its shard.
+    import java.nio.file.{Files, Paths}
+    import graft.{Tables, TestSpark}
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .where(col("text").isNotNull)
+    val ref = docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+    val arriving = docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+      .select(col("doc_id"), col("text"))
+    val metrics = Seq(
+      Drift.Metric("chars", length(col("text")), 200.0, 8),
+      Drift.Metric("tokens",
+        graft.ext.TextAnalysis.wsTokenCount(col("text")), 32.0, 8))
+    val sink = "drift_stream_multi_sink"
+    val basePath = Files.createTempDirectory("graft_multidrift_restart_").toString
+    val inDir = s"$basePath/in"
+    val ckpt = s"$basePath/ckpt"
+    Files.createDirectories(Paths.get(inDir))
+    def addShard(i: Int): Unit = {
+      val w = s"$basePath/w$i"
+      arriving.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(w)
+      val part = new java.io.File(w).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(inDir, s"shard_$i.parquet"))
+    }
+    def run(): Int = {
+      val stream = spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      Drift.streamCensusMulti(spark, ref, stream, metrics, sink,
+        "multidrift_restart_spec", checkpointLocation = Some(ckpt))
+    }
+    def accumulated() = spark.table(sink).collect()
+      .map(r => (r.getLong(7), r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    try {
+      addShard(0); addShard(1)
+      assert(run() == 2, "first run must process its two files")
+      // Crashed batch-2 attempt: sink rows landed, commit didn't.
+      val garbage = spark.table(sink)
+        .where(col(StreamOps.BatchTag) === 0L)
+        .drop(StreamOps.BatchTag)
+        .withColumn("drift_score", lit(-999L))
+      StreamOps.writeBatchToSink(spark, sink, garbage, 2L)
+      spark.catalog.refreshTable(sink)
+      assert(accumulated().exists(_._8 == -999L), "garbage must be planted")
+      addShard(2)
+      assert(run() == 1, "restart must process only the uncommitted file")
+      val got = accumulated()
+      assert(!got.exists(_._8 == -999L),
+        "redelivery must replace the crashed attempt's rows")
+      val expect = (0 to 2).flatMap { i =>
+        Drift.censusMulti(ref,
+            arriving.where(pmod(col("doc_id"), lit(3)) === i), metrics)
+          .collect()
+          .map(r => (i.toLong, r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      }.toSet
+      assert(got == expect,
+        s"restarted series diverged: extra=${got -- expect} missing=${expect -- got}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$sink`")
+  }
+
   test("NULL metric values are dropped, not bucketed (ADVICE r18)") {
     import spark.implicits._
     def dfN(vs: Seq[Option[Int]]) = vs.toDF("v")

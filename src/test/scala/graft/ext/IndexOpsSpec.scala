@@ -236,4 +236,227 @@ class IndexOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("orphan census + vacuum: drop crashed-STAGE garbage, adopt crashed swaps, heal markers, touch nothing else") {
+    import spark.implicits._
+    def mk(t: String, n: Int): Unit =
+      (1 to n).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .write.format("parquet").saveAsTable(t)
+    val entries = Seq(
+      IndexOps.Entry("clean", "janitor_spec_clean"),
+      IndexOps.Entry("crashed_stage", "janitor_spec_stage"),
+      IndexOps.Entry("crashed_swap", "janitor_spec_swap"),
+      IndexOps.Entry("inflight", "janitor_spec_marked"))
+    val all = entries.flatMap(e => Seq(e.table,
+      PurgeSwap.stagingOf(e.table), e.table + "_compact_stage",
+      IndexLifecycle.tombstonesOf(e.table),
+      IndexLifecycle.rebalanceMarkerOf(e.table)))
+    try {
+      mk("janitor_spec_clean", 5)
+      // Crashed STAGE: live intact, both staging shadows left behind.
+      mk("janitor_spec_stage", 7)
+      mk(PurgeSwap.stagingOf("janitor_spec_stage"), 7)
+      mk("janitor_spec_stage_compact_stage", 2)
+      // Crashed SWAP (drop→rename window): staging holds the index,
+      // live table gone, no marker.
+      mk(PurgeSwap.stagingOf("janitor_spec_swap"), 9)
+      // In-flight marked swap: staging complete, marker written.
+      mk("janitor_spec_marked", 4)
+      mk(PurgeSwap.stagingOf("janitor_spec_marked"), 3)
+      IndexLifecycle.markSwap(spark, "janitor_spec_marked",
+        Seq("janitor_spec_marked"))
+
+      val cen = IndexOps.orphanCensus(spark, entries).collect()
+        .map(r => r.getString(0) -> r).toMap
+      def c(f: String, col: String) = cen(f).getAs[Long](col)
+      assert(c("clean", "n_orphans") == 0L &&
+        c("clean", "heal_pending") == 0L && c("clean", "inflight") == 0L)
+      assert(c("crashed_stage", "n_orphans") == 2L &&
+        c("crashed_stage", "orphan_bytes") > 0L &&
+        c("crashed_stage", "orphan_files") > 0L, cen("crashed_stage").toString)
+      assert(c("crashed_swap", "heal_pending") == 1L &&
+        c("crashed_swap", "n_orphans") == 0L, cen("crashed_swap").toString)
+      assert(c("inflight", "inflight") == 1L &&
+        c("inflight", "n_orphans") == 0L, cen("inflight").toString)
+
+      val cleanBefore = IndexOps.filesBytes(spark, Seq("janitor_spec_clean"))
+      val vac = IndexOps.vacuum(spark, entries).collect()
+        .map(r => r.getString(0) -> r).toMap
+      def v(f: String, col: String) = vac(f).getAs[Long](col)
+      // Every family ends with zero residual work.
+      vac.values.foreach(r =>
+        assert(r.getAs[Long]("residual") == 0L, r.toString))
+      assert(v("clean", "dropped") == 0L && v("clean", "adopted") == 0L &&
+        v("clean", "healed_swap") == 0L)
+      assert(v("crashed_stage", "dropped") == 2L &&
+        v("crashed_stage", "bytes_reclaimed") > 0L, vac("crashed_stage").toString)
+      assert(v("crashed_swap", "adopted") == 1L, vac("crashed_swap").toString)
+      assert(v("inflight", "healed_swap") == 1L, vac("inflight").toString)
+      // The untouched family is bit-identical on disk; the crashed-
+      // STAGE family's LIVE table survived its garbage collection.
+      assert(IndexOps.filesBytes(spark, Seq("janitor_spec_clean")) == cleanBefore)
+      assert(spark.table("janitor_spec_stage").count() == 7L)
+      assert(!spark.catalog.tableExists(
+        PurgeSwap.stagingOf("janitor_spec_stage")))
+      // Adoption re-created the index-of-record from the staged rows.
+      assert(spark.table("janitor_spec_swap").count() == 9L)
+      // The heal completed the marked swap: staged rows are the table,
+      // marker gone.
+      assert(spark.table("janitor_spec_marked").count() == 3L)
+      assert(!spark.catalog.tableExists(
+        IndexLifecycle.rebalanceMarkerOf("janitor_spec_marked")))
+
+      // Idempotence: a second census and vacuum find nothing.
+      IndexOps.orphanCensus(spark, entries).collect().foreach(r =>
+        assert(r.getAs[Long]("n_orphans") == 0L &&
+          r.getAs[Long]("heal_pending") == 0L &&
+          r.getAs[Long]("inflight") == 0L, r.toString))
+      IndexOps.vacuum(spark, entries).collect().foreach(r =>
+        assert(r.getAs[Long]("dropped") == 0L &&
+          r.getAs[Long]("adopted") == 0L &&
+          r.getAs[Long]("healed_swap") == 0L &&
+          r.getAs[Long]("residual") == 0L, r.toString))
+    } finally all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+  }
+
+  test("takedown audit: visible ids expose the missed family; purge zeroes physical presence") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .where(col("doc_id") < 60 && col("text").isNotNull)
+    val dels = docs.where(col("doc_id") % 20 === 3) // 3, 23, 43
+    val ids = dels.select(col("doc_id").as("id"))
+    val em = Tables.embeddings(spark, TestSpark.sf0001)
+      .where(col("vec_id") < 60).select(col("vec_id"), col("embedding"))
+    def t(n: String) = "audit_spec_" + n
+    val entries = Seq(
+      IndexOps.Entry("bands", t("bands")),
+      IndexOps.Entry("ivf", t("ivf"),
+        Seq(IvfIndex.centroidsTable(t("ivf"))), idCol = "vec_id"),
+      IndexOps.Entry("lm", t("lm"), Seq(t("lm") + "_docs"),
+        gramDeltas = true))
+    try {
+      DedupIndex.build(docs, "doc_id", "text", t("bands"))
+      IvfIndex.build(em, "vec_id", "embedding", t("ivf"), k = 4, iters = 1)
+      LmIndex.build(spark, docs, "doc_id", "text", t("lm"))
+      // The takedown lands ONLY on bands — ivf and lm are the missed
+      // families a compliance audit must expose.
+      DedupIndex.delete(spark, t("bands"), ids)
+
+      val a1 = IndexOps.takedownAudit(spark, entries, ids).collect()
+        .map(r => r.getString(0) -> r).toMap
+      def g(m: Map[String, org.apache.spark.sql.Row], f: String,
+            c: String) = m(f).getAs[Long](c)
+      assert(a1.values.forall(_.getAs[Long]("n_ids") == 3L))
+      assert(g(a1, "bands", "tombstoned") == 3L &&
+        g(a1, "bands", "present_ids") == 3L &&
+        g(a1, "bands", "visible_ids") == 0L, a1("bands").toString)
+      // ivf: the same NUMERIC ids exist as vec_ids < 60 — served.
+      assert(g(a1, "ivf", "tombstoned") == 0L &&
+        g(a1, "ivf", "visible_ids") == 3L, a1("ivf").toString)
+      assert(g(a1, "lm", "tombstoned") == 0L &&
+        g(a1, "lm", "visible_ids") == 3L, a1("lm").toString)
+
+      // Close the gap: the generic cross-family takedown covers the
+      // tombstone-contract families; the LM needs its text-bearing
+      // delete (the documented exception).
+      IndexOps.takedown(spark, entries.filter(_.family == "ivf"), ids)
+      LmIndex.delete(spark, t("lm"), dels, "doc_id", "text")
+      val a2 = IndexOps.takedownAudit(spark, entries, ids).collect()
+        .map(r => r.getString(0) -> r).toMap
+      a2.values.foreach(r => assert(r.getAs[Long]("visible_ids") == 0L &&
+        r.getAs[Long]("tombstoned") == 3L, r.toString))
+
+      // Physical purge (each family's own path) zeroes presence.
+      DedupIndex.purgeTombstones(spark, t("bands"))
+      IvfIndex.purgeTombstones(spark, t("ivf"), "vec_id")
+      LmIndex.compact(spark, t("lm"))
+      val a3 = IndexOps.takedownAudit(spark, entries, ids).collect()
+      a3.foreach(r => assert(r.getAs[Long]("present_ids") == 0L &&
+        r.getAs[Long]("visible_ids") == 0L, r.toString))
+
+      // An absent family is a dashboard row, not an exception.
+      val ghost = IndexOps.takedownAudit(spark,
+        Seq(IndexOps.Entry("ghost", "audit_spec_no_such")), ids)
+        .collect().head
+      assert(ghost.getAs[Long]("present_ids") == 0L &&
+        ghost.getAs[Long]("visible_ids") == 0L &&
+        ghost.getAs[Long]("tombstoned") == 0L)
+    } finally {
+      entries.flatMap(e => (e.table +: e.siblings) :+
+          IndexLifecycle.tombstonesOf(e.table))
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    }
+  }
+
+  test("freshness census: append debt per family, tombstoned ids are deliberate absence, not lag") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .where(col("doc_id") < 60 && col("text").isNotNull)
+    def t(n: String) = "fresh_spec_" + n
+    val entries = Seq(
+      IndexOps.Entry("bands", t("bands")),
+      IndexOps.Entry("winnow", t("winnow")))
+    try {
+      // bands indexes only the first 40 ids; a takedown is registered
+      // for the NEVER-INDEXED id 43 (a takedown arriving before the
+      // doc was indexed — deliberate absence, not append debt).
+      DedupIndex.build(docs.where(col("doc_id") < 40), "doc_id", "text",
+        t("bands"))
+      DedupIndex.delete(spark, t("bands"),
+        docs.where(col("doc_id") >= 40 && col("doc_id") % 20 === 3)
+          .select(col("doc_id").as("id")))
+      // winnow is fully caught up, with a registered (unpurged)
+      // takedown of present ids — also not staleness.
+      WinnowIndex.build(docs, "doc_id", "text", t("winnow"))
+      WinnowIndex.delete(spark, t("winnow"),
+        docs.where(col("doc_id") % 20 === 3).select(col("doc_id").as("id")))
+
+      val ids = docs.select(col("doc_id").as("id"))
+      val n60 = ids.count()
+      val n40 = docs.where(col("doc_id") < 40).count()
+      val ntd = docs.where(col("doc_id") >= 40 && col("doc_id") % 20 === 3)
+        .count()
+      val got = IndexOps.freshness(spark, entries, ids).collect()
+        .map(r => r.getString(0) -> r).toMap
+      def g(f: String, c: String) = got(f).getAs[Long](c)
+      assert(g("bands", "n_corpus") == n60 && g("bands", "n_indexed") == n40 &&
+        g("bands", "n_missing") == n60 - n40 - ntd &&
+        g("bands", "stale") == 1L, got("bands").toString)
+      assert(g("winnow", "n_corpus") == n60 && g("winnow", "n_indexed") == n60 &&
+        g("winnow", "n_missing") == 0L && g("winnow", "stale") == 0L,
+        got("winnow").toString)
+
+      // Closing the debt clears the bit (catch-up = rebuild over the
+      // full slice here; production would append the missing rows).
+      DedupIndex.build(docs, "doc_id", "text", t("bands"))
+      val after = IndexOps.freshness(spark, entries, ids).collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(after("bands").getAs[Long]("n_missing") == 0L &&
+        after("bands").getAs[Long]("stale") == 0L, after("bands").toString)
+    } finally {
+      entries.flatMap(e => (e.table +: e.siblings) :+
+          IndexLifecycle.tombstonesOf(e.table))
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    }
+  }
+
+  test("index-facing reports heal a crashed swap at entry; the janitor census still sees it") {
+    import spark.implicits._
+    val t = "heal_spec_idx"
+    val entry = IndexOps.Entry("fam", t)
+    val all = Seq(t, PurgeSwap.stagingOf(t), IndexLifecycle.tombstonesOf(t),
+      IndexLifecycle.rebalanceMarkerOf(t))
+    try {
+      // Crashed drop→rename window: staging holds the index, live gone.
+      (1L to 5L).map(i => (i, s"v$i")).toDF("id", "v")
+        .write.format("parquet").saveAsTable(PurgeSwap.stagingOf(t))
+      // The janitor CENSUS reports the crash state without healing it.
+      val cen = IndexOps.orphanCensus(spark, Seq(entry)).collect().head
+      assert(cen.getAs[Long]("heal_pending") == 1L, cen.toString)
+      assert(!spark.catalog.tableExists(t))
+      // An index-facing report heals at entry instead of reporting a
+      // transient crash layout as "<absent>".
+      val row = IndexOps.census(spark, Seq(entry)).collect().head
+      assert(row.getString(1) != "<absent>", row.toString)
+      assert(spark.catalog.tableExists(t) &&
+        spark.table(t).count() == 5L)
+    } finally all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+  }
 }

@@ -276,6 +276,47 @@ object LmIndex {
     * DOES hold whose target surprisal is missing, so a nonzero
     * `n_oov_raw` is the detectable misuse signal instead of
     * plausible-looking target-OOV mass. */
+  /** Streaming DSIR scoring — [[dsirProbe]]'s streaming twin, the
+    * quality-scoring loop next to the serving loops (streamServe) and
+    * the monitoring loops (Drift.streamCensus): every micro-batch of
+    * arriving documents is importance-weighted against the SAME two
+    * persisted LM indexes, rows landing batch-tagged under the
+    * redelivery discipline into a resume-aware sink. The accumulated
+    * table is the scored corpus a mixing/curation stage reads, built
+    * shard-by-shard as the crawl arrives instead of in one batch
+    * pass. Per batch the contact is dsirProbe's: the shard's
+    * touched-w1 bucket-pruned postings of each index — never a corpus
+    * or full-vocabulary scan. Each batch is a pure function of
+    * (indexes, shard), so every accumulated slice value-replays —
+    * gated by x_stream_dsir, restart + redelivery spec-pinned
+    * (LmIndexSpec). Returns the number of batches processed. */
+  def streamDsir(spark: SparkSession, rawTable: String, targetTable: String,
+                 stream: DataFrame, idCol: String, textCol: String,
+                 sinkTable: String, queryName: String,
+                 checkpointLocation: Option[String] = None): Int = {
+    import org.apache.spark.sql.types._
+    import graft.streaming.StreamOps
+    val idType = spark.table(targetTable + "_docs").schema("id").dataType
+    val sinkSchema = StructType(Seq(
+      StructField(idCol, idType), StructField("n_bigrams", LongType),
+      StructField("n_oov_target", LongType), StructField("w_bits", LongType),
+      StructField("n_oov_raw", LongType),
+      StructField(StreamOps.BatchTag, LongType)))
+    IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)(
+      spark, sinkTable, sinkSchema, StreamOps.BatchTag, idCol, 1)
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = StreamOps.foreachBatchSink(stream, queryName,
+        checkpointLocation) { (batch, batchId) =>
+      n.incrementAndGet()
+      StreamOps.writeBatchToSink(spark, sinkTable,
+        dsirProbe(spark, rawTable, targetTable, batch, idCol, textCol),
+        batchId)
+    }
+    q.awaitTermination()
+    spark.catalog.refreshTable(sinkTable)
+    n.get()
+  }
+
   def dsirProbe(spark: SparkSession, rawTable: String, targetTable: String,
                 docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     recoverAll(spark, rawTable)

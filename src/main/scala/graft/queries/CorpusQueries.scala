@@ -63,6 +63,7 @@ private[graft] object CorpusQueries {
     "x_lm_delete" -> ((s, dir) => lmDelete(s, dir)),
     "x_stream_lm" -> ((s, dir) => streamLm(s, dir)),
     "x_dsir_inc" -> ((s, dir) => dsirInc(s, dir)),
+    "x_stream_dsir" -> ((s, dir) => streamDsir(s, dir)),
     "x_index_census" -> ((s, dir) => indexCensus(s, dir)),
     "x_maintenance_sweep" -> ((s, dir) => maintenanceSweep(s, dir)),
     "x_vacuum" -> ((s, dir) => vacuumGate(s, dir)),
@@ -2520,6 +2521,37 @@ private[graft] object CorpusQueries {
     LmIndex.dsirProbe(s, raw, tgt, shard, "doc_id", "text")
   }
 
+  /** x_stream_dsir: STREAMING DSIR scoring (LmIndex.streamDsir) —
+    * x_dsir_inc's shard served as three micro-batches against the
+    * same memoized raw/target LM pair, scores accumulating
+    * batch-tagged in a resume-aware sink: the quality-scoring loop a
+    * crawl pipeline runs as shards arrive, not as one batch pass.
+    * Every accumulated row is the x_dsir_inc replay restricted to
+    * its %-3 shard (per-doc whole-bit integers, value-exact) — the
+    * batch-replay contract; restart + redelivery pinned in
+    * LmIndexSpec. */
+  private def streamDsir(s: SparkSession, dir: String): DataFrame = {
+    val (raw, tgt) = dsirIndexesFor(s, dir)
+    val arriving = Tables.documents(s, dir)
+      .where(pmod(col("doc_id"), lit(10L)) === 3)
+      .select(col("doc_id"), col("text"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val inDir = stagedShardsFor(s, dir + "#dsir", arriving, idCol = "doc_id")
+    val stream = s.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val sink = "graft_stream_dsir_" + digest
+    val n = LmIndex.streamDsir(s, raw, tgt, stream, "doc_id", "text",
+      sinkTable = sink, queryName = "stream_dsir_" + digest)
+    require(n == 3, s"expected 3 micro-batches, got $n")
+    s.table(sink)
+      .select(col(graft.streaming.StreamOps.BatchTag).as("batch_id"),
+        col("doc_id"), col("n_bigrams"), col("n_oov_target"),
+        col("w_bits"), col("n_oov_raw"))
+      .orderBy(col("batch_id"), col("doc_id"))
+  }
+
   private def streamWinnow(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).where(col("doc_id") < 200)
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -3497,6 +3529,36 @@ private[graft] object CorpusQueries {
         | FROM documents d LEFT JOIN pd USING (doc_id)
         | WHERE d.doc_id % 10 = 3
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // Streaming DSIR: the x_dsir_inc replay restricted to each %-3
+    // shard (batch s = shard s, the staged-shards convention), one
+    // UNION ALL leg per micro-batch.
+    "x_stream_dsir" ->
+      (0 to 2).map { sh =>
+        s"""SELECT CAST($sh AS BIGINT) AS batch_id, doc_id, n_bigrams, n_oov_target, w_bits, n_oov_raw FROM (
+          |WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents WHERE text IS NOT NULL),
+          | bg AS (SELECT doc_id, lang, tok[i] || ' ' || tok[i+1] AS g FROM t,
+          |  UNNEST(generate_series(1, len(tok) - 1)) AS u(i) WHERE len(tok) >= 2),
+          | pairs AS (SELECT doc_id, lang, g, COUNT(*) AS c_doc FROM bg GROUP BY 1, 2, 3),
+          | rawc AS (SELECT g, string_split(g, ' ')[1] AS w1, SUM(c_doc) AS c FROM pairs GROUP BY g),
+          | rawp AS (SELECT w1, SUM(c) AS c1 FROM rawc GROUP BY w1),
+          | rawb AS (SELECT g, CAST(length(to_base(CAST(c1 // c AS BIGINT), 2)) - 1 AS BIGINT) AS bits_raw
+          |   FROM rawc JOIN rawp USING (w1)),
+          | tgtc AS (SELECT g, string_split(g, ' ')[1] AS w1, SUM(c_doc) AS c FROM pairs WHERE lang = 'en' GROUP BY g),
+          | tgtp AS (SELECT w1, SUM(c) AS c1 FROM tgtc GROUP BY w1),
+          | tgtb AS (SELECT g, CAST(length(to_base(CAST(c1 // c AS BIGINT), 2)) - 1 AS BIGINT) AS bits_t
+          |   FROM tgtc JOIN tgtp USING (w1)),
+          | gb AS (SELECT g, bits_raw, bits_t FROM rawb LEFT JOIN tgtb USING (g)),
+          | pd AS (SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+          |   CAST(SUM(CASE WHEN bits_raw IS NOT NULL AND bits_t IS NULL THEN c_doc ELSE 0 END) AS BIGINT) AS n_oov_target,
+          |   CAST(SUM(CASE WHEN bits_t IS NOT NULL THEN c_doc * (bits_raw - bits_t) ELSE 0 END) AS BIGINT) AS w_bits,
+          |   CAST(SUM(CASE WHEN bits_raw IS NULL THEN c_doc ELSE 0 END) AS BIGINT) AS n_oov_raw
+          |  FROM pairs LEFT JOIN gb USING (g) GROUP BY doc_id)
+          | SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+          |  COALESCE(pd.n_oov_target, 0) AS n_oov_target, COALESCE(pd.w_bits, 0) AS w_bits,
+          |  COALESCE(pd.n_oov_raw, 0) AS n_oov_raw
+          | FROM documents d LEFT JOIN pd USING (doc_id)
+          | WHERE d.doc_id % 10 = 3 AND d.doc_id % 3 = $sh)""".stripMargin.replaceAll("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY batch_id, doc_id"),
     // Boilerplate removal replayed end-to-end: same 10-word blocks
     // (inclusive list slices), same distinct-doc census, same anti
     // join, clean text rebuilt with an ordered string_agg.

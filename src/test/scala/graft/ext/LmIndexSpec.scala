@@ -298,4 +298,71 @@ class LmIndexSpec extends AnyFunSuite {
     // Append still works post-heal (reads the recovered table).
     LmIndex.append(spark, t, docs.limit(0), "doc_id", "text")
   }
+
+  test("a restarted streamDsir resumes after committed batches and equals the per-shard dsirProbe") {
+    // The scoring loop inherits the family restart discipline
+    // (resume-aware sink + batch-tagged dynamic overwrite); every
+    // accumulated slice is dsirProbe replayed on its shard.
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .where(col("doc_id") < 120 && col("text").isNotNull)
+    val raw = "dsir_stream_spec_raw"
+    val tgt = "dsir_stream_spec_tgt"
+    val sink = "dsir_stream_spec_sink"
+    val basePath = Files.createTempDirectory("graft_dsir_restart_").toString
+    val inDir = s"$basePath/in"
+    val ckpt = s"$basePath/ckpt"
+    Files.createDirectories(Paths.get(inDir))
+    val arriving = docs.where(pmod(col("doc_id"), lit(10L)) === 3)
+      .select(col("doc_id"), col("text"))
+    def addShard(i: Int): Unit = {
+      val w = s"$basePath/w$i"
+      arriving.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(w)
+      val part = new java.io.File(w).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(inDir, s"shard_$i.parquet"))
+    }
+    def run(): Int = {
+      val stream = spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      LmIndex.streamDsir(spark, raw, tgt, stream, "doc_id", "text",
+        sink, "dsir_restart_spec", checkpointLocation = Some(ckpt))
+    }
+    def accumulated() = spark.table(sink).collect()
+      .map(r => (r.getLong(5), r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    try {
+      LmIndex.build(spark, docs, "doc_id", "text", raw)
+      LmIndex.build(spark, docs.where(col("lang") === "en"),
+        "doc_id", "text", tgt)
+      addShard(0); addShard(1)
+      assert(run() == 2, "first run must process its two files")
+      // Crashed batch-2 attempt: sink rows landed, commit didn't.
+      val garbage = spark.table(sink)
+        .where(col(StreamOps.BatchTag) === 0L)
+        .drop(StreamOps.BatchTag)
+        .withColumn("w_bits", lit(-999L))
+      StreamOps.writeBatchToSink(spark, sink, garbage, 2L)
+      spark.catalog.refreshTable(sink)
+      assert(accumulated().exists(_._5 == -999L), "garbage must be planted")
+      addShard(2)
+      assert(run() == 1, "restart must process only the uncommitted file")
+      val got = accumulated()
+      assert(!got.exists(_._5 == -999L),
+        "redelivery must replace the crashed attempt's rows")
+      val expect = (0 to 2).flatMap { i =>
+        LmIndex.dsirProbe(spark, raw, tgt,
+            arriving.where(pmod(col("doc_id"), lit(3)) === i),
+            "doc_id", "text").collect()
+          .map(r => (i.toLong, r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+      }.toSet
+      assert(got == expect,
+        s"restarted series diverged: extra=${got -- expect} missing=${expect -- got}")
+    } finally Seq(raw, raw + "_docs", raw + "_tombstones",
+      tgt, tgt + "_docs", tgt + "_tombstones", sink)
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+  }
 }

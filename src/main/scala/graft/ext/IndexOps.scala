@@ -156,7 +156,12 @@ object IndexOps {
     * points here ([[census]], [[sweep]] via census, [[takedownAudit]],
     * [[freshness]]) heal; the JANITOR pair deliberately does not
     * census-side — [[orphanCensus]]'s whole job is to SEE the crash
-    * states, and [[vacuum]] is where they get acted on. */
+    * states, and [[vacuum]] is where they get acted on. A CORRUPT
+    * marker (finishSwap's refuse-loudly gate) propagates out of the
+    * healing reports by design — half-swapping silently is the worse
+    * failure — and [[orphanCensus]] stays the non-throwing inspection
+    * surface for exactly that state (it reports `inflight` without
+    * touching the marker). */
   private def healFamily(spark: SparkSession, e: Entry): Unit = {
     IndexLifecycle.recoverSwap(spark, e.table)
     stateTables(e).foreach(PurgeSwap.recover(spark, _))

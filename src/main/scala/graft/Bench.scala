@@ -177,7 +177,16 @@ object Bench {
           files(new java.io.File(rootDir, "src/main/scala")).foreach { f =>
             md.update(rootDir.toPath.relativize(f.toPath).toString
               .getBytes("UTF-8"))
-            md.update(java.nio.file.Files.readAllBytes(f.toPath))
+            // COMMENT-INSENSITIVE (VERDICT r19 #1): hash the
+            // comment-stripped, whitespace-collapsed source
+            // (BenchFloor.normalizeSource, string-literal-aware), so a
+            // scaladoc-only commit between two benches cannot flip
+            // code_changed=true and turn co-tenant load flags into
+            // "confirmed" — only bytes that can change the measured
+            // engine participate in the identical-code adjudication.
+            md.update(BenchFloor.normalizeSource(new String(
+              java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+              .getBytes("UTF-8"))
           }
           // The "identical code" adjudication must see EVERYTHING that
           // changes the measured engine, not just .scala sources: a

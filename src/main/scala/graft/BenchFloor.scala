@@ -173,6 +173,123 @@ object BenchFloor {
     s"{\n${lines.mkString(",\n")}\n}\n"
   }
 
+  /** Scala source normalized for the src FINGERPRINT: comments
+    * stripped, code whitespace collapsed — so a scaladoc edit or a
+    * re-indent hashes identically and the empty-diff adjudication
+    * ("identical code cannot regress") survives comment-only commits
+    * (VERDICT r19 #1: a 7-line scaladoc commit flipped
+    * code_changed=true and let 15 co-tenant load flags read
+    * "confirmed").
+    *
+    * The stripper is STRING-LITERAL AWARE, because the failure mode
+    * of a naive regex is the dangerous direction: mangling a `//`
+    * inside a string would make a REAL code change (editing that
+    * string) invisible to the fingerprint and auto-adjudicate it
+    * "environment". So this is a small lexer: double-quoted and
+    * triple-quoted strings are copied verbatim (escapes consumed as
+    * pairs — Scala's lexer treats `\"` uniformly even under `raw`),
+    * interpolated strings (`s"…"`, any ident prefix) recurse into
+    * their `${…}` holes as code so a nested `"b//c"` literal keeps
+    * its bytes, char literals are matched whole, and block comments
+    * nest (Scala nests them). Unknown/unterminated constructs fall
+    * through conservatively — bytes are KEPT unless provably a
+    * comment. Outside strings, whitespace runs collapse to one space;
+    * inside strings, bytes are verbatim (whitespace in a literal is
+    * behavior). */
+  def normalizeSource(src: String): String = {
+    val sb = new StringBuilder(src.length)
+    val n = src.length
+    var i = 0
+    var lastWs = true
+    def at(s: String): Boolean = src.startsWith(s, i)
+    def emitCode(c: Char): Unit =
+      if (c.isWhitespace) { if (!lastWs) { sb.append(' '); lastWs = true } }
+      else { sb.append(c); lastWs = false }
+    def emitRaw(c: Char): Unit = { sb.append(c); lastWs = false }
+
+    // Scans code; when `stopAtHoleEnd`, returns at the unbalanced '}'
+    // that closes an interpolation hole (without consuming it).
+    def scanCode(stopAtHoleEnd: Boolean): Unit = {
+      var depth = 0
+      while (i < n) {
+        if (at("//")) {
+          while (i < n && src(i) != '\n') i += 1
+          emitCode(' ') // comments separate tokens: `a//x\nb` != `ab`
+        } else if (at("/*")) {
+          var d = 1; i += 2
+          while (i < n && d > 0) {
+            if (at("/*")) { d += 1; i += 2 }
+            else if (at("*/")) { d -= 1; i += 2 }
+            else i += 1
+          }
+          emitCode(' ')
+        } else if (src(i) == '"') {
+          scanString()
+        } else if (src(i) == '\'') {
+          // Char literal ('a', '\n', '\\') copied whole; anything else
+          // (a bare Symbol quote) copies the quote alone.
+          val lit = src.substring(i, math.min(n, i + 4))
+          val isChar = lit.length >= 3 &&
+            ((lit(1) == '\\' && lit.length >= 4 && lit(3) == '\'') ||
+             (lit(1) != '\\' && lit(1) != '\'' && lit(2) == '\''))
+          if (isChar) {
+            val len = if (lit(1) == '\\') 4 else 3
+            (0 until len).foreach(k => emitRaw(src(i + k))); i += len
+          } else { emitRaw('\''); i += 1 }
+        } else if (stopAtHoleEnd && src(i) == '}' && depth == 0) {
+          return
+        } else {
+          if (src(i) == '{') depth += 1
+          else if (src(i) == '}') depth -= 1
+          emitCode(src(i)); i += 1
+        }
+      }
+    }
+
+    def scanString(): Unit = {
+      // Interpolated iff the quote is glued to an identifier (s"", f"",
+      // raw"", or any custom interpolator).
+      val interp = {
+        val p = sb.lastOption.getOrElse(' ')
+        p.isLetterOrDigit || p == '_'
+      }
+      def hole(): Unit =
+        if (at("$$")) { emitRaw('$'); emitRaw('$'); i += 2 }
+        else { // at "${"
+          emitRaw('$'); emitRaw('{'); i += 2
+          scanCode(stopAtHoleEnd = true)
+          if (i < n && src(i) == '}') { emitRaw('}'); i += 1 }
+        }
+      if (at("\"\"\"")) {
+        (0 until 3).foreach(_ => { emitRaw('"'); i += 1 })
+        while (i < n && !at("\"\"\"")) {
+          if (interp && (at("${") || at("$$"))) hole()
+          else { emitRaw(src(i)); i += 1 }
+        }
+        if (i < n) {
+          (0 until 3).foreach(_ => { emitRaw('"'); i += 1 })
+          // `""" …""""` — trailing quotes belong to the literal.
+          while (i < n && src(i) == '"') { emitRaw('"'); i += 1 }
+        }
+      } else {
+        emitRaw('"'); i += 1
+        var done = false
+        while (i < n && !done) {
+          if (src(i) == '"') { emitRaw('"'); i += 1; done = true }
+          else if (src(i) == '\n') { emitRaw('\n'); i += 1; done = true }
+          else if (src(i) == '\\' && i + 1 < n) {
+            emitRaw(src(i)); emitRaw(src(i + 1)); i += 2
+          }
+          else if (interp && (at("${") || at("$$"))) hole()
+          else { emitRaw(src(i)); i += 1 }
+        }
+      }
+    }
+
+    scanCode(stopAtHoleEnd = false)
+    sb.toString
+  }
+
   /** Whether floor-file TEXT counts as a readable floor file (vs an IO
     * or parse failure): any text that is recognizably a floor file —
     * numeric entries, an sf stamp, or just an empty JSON object —

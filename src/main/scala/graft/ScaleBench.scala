@@ -1957,6 +1957,15 @@ object ScaleBench {
     val n = 200000L * scale
     val tA = s"graft_scale_ops_a_x$scale"
     val tB = s"graft_scale_ops_b_x$scale"
+    // Drop-at-entry (ADVICE r19): a run killed between the orphan
+    // plant below and the vacuum leaves the staging behind, and the
+    // end-of-run cleanup never happens — the NEXT run's saveAsTable
+    // would fail TableAlreadyExists. Slate-drop every table this
+    // point writes (dropTableAndLocation, the gate-fixture rule: a
+    // bare DROP TABLE can leave the warehouse directory behind).
+    Seq(tA, tB).flatMap(t => Seq(t, PurgeSwap.stagingOf(t),
+        graft.ext.IndexLifecycle.tombstonesOf(t)))
+      .foreach(graft.io.Writer.dropTableAndLocation(spark, _))
     def bands(from: Long, until: Long) =
       spark.range(from, until, 1, 32).toDF("id")
         .select(col("id"), explode(sequence(lit(0), lit(3))).as("band_id"))

@@ -64,6 +64,19 @@ import org.apache.spark.sql.functions._
   */
 object IndexOps {
 
+  /** Every report here keys its driver-side row map by family name
+    * (the one-row-per-family convention) — duplicate names would
+    * silently collapse rows, misattribute census snapshots and
+    * reclaimed counts, and run compactions against the wrong decision
+    * bit (ADVICE r19). Fail loudly at entry instead. */
+  private def requireDistinctFamilies(entries: Seq[Entry]): Unit = {
+    val dups = entries.groupBy(_.family).collect {
+      case (f, es) if es.size > 1 => f
+    }
+    require(dups.isEmpty,
+      s"duplicate family names in ops registration: ${dups.mkString(", ")}")
+  }
+
   /** One index family's registration: the main table, its sibling
     * state tables (centroids, codebooks, `_docs`, `_stats`, …),
     * whether the main table holds LM count deltas (enables the
@@ -117,6 +130,7 @@ object IndexOps {
     * IndexOpsSpec pins idempotence (a second sweep acts nowhere). */
   def sweep(spark: SparkSession, plans: Seq[Plan]): DataFrame = {
     val entries = plans.map(_.entry)
+    requireDistinctFamilies(entries)
     def snap(): Map[String, org.apache.spark.sql.Row] =
       census(spark, entries).collect().map(r => r.getString(0) -> r).toMap
     val before = snap()
@@ -168,6 +182,7 @@ object IndexOps {
   }
 
   def census(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
+    requireDistinctFamilies(entries)
     val rows = entries.map { e =>
       healFamily(spark, e)
       val tomb = IndexLifecycle.tombstonesOf(e.table)
@@ -248,10 +263,17 @@ object IndexOps {
     * scan is the audit's honest price at 100 TB: takedown-sized
     * contact for the tombstone columns, one corpus-sized scan per
     * family for the physical columns — run it like an audit, not
-    * like a probe. A dropped/absent family reads as all-zero rows
-    * (nothing present, nothing served), the dashboard convention. */
+    * like a probe. A dropped/absent MAIN table reads as
+    * `present_ids` = `visible_ids` = 0 (nothing held, nothing served)
+    * — but `tombstoned` reflects any SURVIVING `_tombstones` list, so
+    * a family whose main table was dropped while its takedown list
+    * remains reports tombstoned > 0 with zeros elsewhere: the takedown
+    * is on record even though there is nothing left to hide it from
+    * (ADVICE r19 — a compliance reader must not mistake that row for
+    * a fully-absent family). */
   def takedownAudit(spark: SparkSession, entries: Seq[Entry],
                     ids: DataFrame): DataFrame = {
+    requireDistinctFamilies(entries)
     val idsD = broadcast(ids.select(col("id")).distinct())
     val rows = entries.map { e =>
       healFamily(spark, e)
@@ -311,6 +333,7 @@ object IndexOps {
     * entry like every index-facing report. */
   def freshness(spark: SparkSession, entries: Seq[Entry],
                 corpusIds: DataFrame): DataFrame = {
+    requireDistinctFamilies(entries)
     val c = corpusIds.select(col("id")).distinct()
     val rows = entries.map { e =>
       healFamily(spark, e)
@@ -376,40 +399,57 @@ object IndexOps {
     *     whose base table EXISTS and no marker protects them: a
     *     crashed STAGE attempt's garbage, the bytes [[vacuum]]
     *     reclaims.
+    *   - `suspect` — a `_compact_stage` whose BASE table is missing
+    *     (ADVICE r19): under the current crash discipline this cannot
+    *     happen (StreamOps.compactSink never drops its base — the
+    *     stage/swap order is write-staging → overwrite-base → drop-
+    *     staging), so the state means either an operator dropped the
+    *     index out-of-band or a future compact path changed its crash
+    *     window. Binning it with orphans would have [[vacuum]] DELETE
+    *     what might be the only surviving copy of the index — so it is
+    *     a distinct, NON-DROPPABLE state that vacuum refuses to touch
+    *     and reports for manual inspection; a crash-window change
+    *     fails loudly here instead of silently losing data.
     *
     * Like every lifecycle op here, the janitor pair runs under the
     * single-maintainer discipline: not concurrently with a purge /
     * compact / rebalance of the same family (a staging mid-write by a
     * live maintainer is indistinguishable from a crashed one's). */
   def orphanCensus(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
+    requireDistinctFamilies(entries)
     val rows = entries.map { e =>
-      val (inflight, healPending, orphans) = classify(spark, e)
+      val (inflight, healPending, orphans, suspects) = classify(spark, e)
       val (f, b) = filesBytes(spark, orphans)
       (e.family, if (inflight) 1L else 0L, healPending.size.toLong,
-        orphans.size.toLong, f, b)
+        orphans.size.toLong, f, b, suspects.size.toLong)
     }
     import spark.implicits._
     rows.toDF("family", "inflight", "heal_pending", "n_orphans",
-        "orphan_files", "orphan_bytes")
+        "orphan_files", "orphan_bytes", "suspect")
       .orderBy(col("family"))
   }
 
-  /** (marker present, stagings needing adoption, orphan stagings). */
+  /** (marker present, stagings needing adoption, orphan stagings,
+    * suspect stagings — see the `suspect` column doc). */
   private def classify(spark: SparkSession, e: Entry)
-      : (Boolean, Seq[String], Seq[String]) = {
+      : (Boolean, Seq[String], Seq[String], Seq[String]) = {
     val marker = spark.catalog.tableExists(
       IndexLifecycle.rebalanceMarkerOf(e.table))
-    if (marker) return (true, Nil, Nil)
+    if (marker) return (true, Nil, Nil, Nil)
     val present = stateTables(e).flatMap { t =>
       stagingsOf(t).filter(spark.catalog.tableExists).map(s => (t, s))
     }
-    val (adopt, orphan) = present.partition { case (t, s) =>
-      // Base missing + a PURGE staging = the drop→rename crash window:
-      // the staged rows are the index. A compact-sink staging never
-      // outlives its base legitimately — garbage either way.
-      !spark.catalog.tableExists(t) && s == PurgeSwap.stagingOf(t)
-    }
-    (false, adopt.map(_._1), orphan.map(_._2))
+    val (baseless, withBase) =
+      present.partition { case (t, _) => !spark.catalog.tableExists(t) }
+    // Base missing + a PURGE staging = the drop→rename crash window:
+    // the staged rows are the index — adopt. Base missing + a COMPACT
+    // staging should be impossible (compactSink never drops its base);
+    // it might be the only surviving copy, so it is SUSPECT, never
+    // dropped (ADVICE r19). Base present = a crashed STAGE attempt's
+    // garbage.
+    val (adopt, suspect) =
+      baseless.partition { case (t, s) => s == PurgeSwap.stagingOf(t) }
+    (false, adopt.map(_._1), withBase.map(_._2), suspect.map(_._2))
   }
 
   /** Reclaim everything [[orphanCensus]] reports, in the safe order:
@@ -418,29 +458,35 @@ object IndexOps {
     * stagings), ADOPT crashed-swap stagings whose base vanished
     * (PurgeSwap.recover — they are the index, renaming is the fix),
     * then DROP the unprotected orphan stagings and their warehouse
-    * files. Returns the action log: per family, what was healed /
-    * adopted / dropped and the files/bytes the drops reclaimed, plus
-    * `residual` (orphans + heal-pending left after — 0 on any
-    * successful pass; a second vacuum is a no-op, spec-pinned).
-    * Families with nothing to do are not touched at all. */
+    * files. SUSPECT stagings (baseless compact-stage — possibly the
+    * only surviving index copy; see [[orphanCensus]]) are NEVER
+    * dropped: they surface in the `suspect` column for manual
+    * inspection and persist across vacuums. Returns the action log:
+    * per family, what was healed / adopted / dropped and the
+    * files/bytes the drops reclaimed, plus `residual` (orphans +
+    * heal-pending left after — 0 on any successful pass; a second
+    * vacuum is a no-op, spec-pinned). Families with nothing to do are
+    * not touched at all. */
   def vacuum(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
+    requireDistinctFamilies(entries)
     val rows = entries.map { e =>
       val healed = if (spark.catalog.tableExists(
           IndexLifecycle.rebalanceMarkerOf(e.table)))
         IndexLifecycle.recoverSwap(spark, e.table) else false
       // Classify AFTER the heal: a healed family can still carry
       // compact-stage orphans the marker was hiding.
-      val (_, healPending, orphans) = classify(spark, e)
+      val (_, healPending, orphans, _) = classify(spark, e)
       val adopted = healPending.count(PurgeSwap.recover(spark, _))
       val (rf, rb) = filesBytes(spark, orphans)
       orphans.foreach(graft.io.Writer.dropTableAndLocation(spark, _))
-      val (_, hp2, o2) = classify(spark, e)
+      val (_, hp2, o2, sus2) = classify(spark, e)
       (e.family, if (healed) 1L else 0L, adopted.toLong,
-        orphans.size.toLong, rf, rb, (hp2.size + o2.size).toLong)
+        orphans.size.toLong, rf, rb, (hp2.size + o2.size).toLong,
+        sus2.size.toLong)
     }
     import spark.implicits._
     rows.toDF("family", "healed_swap", "adopted", "dropped",
-        "files_reclaimed", "bytes_reclaimed", "residual")
+        "files_reclaimed", "bytes_reclaimed", "residual", "suspect")
       .orderBy(col("family"))
   }
 

@@ -2332,13 +2332,15 @@ private[graft] object CorpusQueries {
     * reclaims nothing for a family that never runs one; at 100 TB an
     * orphaned staging is a full index copy of dead bytes. Per-rep
     * fixture (the janitor MUTATES state, so per-rep rebuild like
-    * x_maintenance_sweep) plants all four catalog states from tiny
+    * x_maintenance_sweep) plants all five catalog states from tiny
     * corpus slices: a clean family, a crashed STAGE attempt (live
     * intact + two staging shadows = droppable garbage), a crashed
     * SWAP window (staging present, live gone — the staged rows ARE
-    * the index, adopted via PurgeSwap.recover, never dropped), and an
+    * the index, adopted via PurgeSwap.recover, never dropped), an
     * in-flight marked swap (healed FORWARD via recoverSwap, never
-    * dropped). The census/action/residual columns and the
+    * dropped), and a SUSPECT baseless compact-stage (possibly the
+    * only surviving copy — reported, never dropped, persists across
+    * vacuums). The census/action/residual columns and the
     * post-vacuum live row counts are replayed by the oracle from the
     * slice definitions; byte columns surface as iff-bits (the
     * x_index_census convention). IndexOpsSpec value-pins bytes,
@@ -2352,7 +2354,12 @@ private[graft] object CorpusQueries {
       IndexOps.Entry("clean", t("clean")),
       IndexOps.Entry("crashed_stage", t("cs")),
       IndexOps.Entry("crashed_swap", t("sw")),
-      IndexOps.Entry("inflight", t("mk")))
+      IndexOps.Entry("inflight", t("mk")),
+      // The fifth state (ADVICE r19): a compact-stage whose BASE is
+      // missing — impossible under compactSink's crash discipline, so
+      // possibly the only surviving index copy. SUSPECT: censused
+      // distinctly, never dropped, persists across vacuums.
+      IndexOps.Entry("suspect", t("sus")))
     // dropTableAndLocation, not DROP TABLE IF EXISTS: a killed rep can
     // leave the warehouse location while the catalog entry is gone,
     // and the next rep's saveAsTable then fails LOCATION_ALREADY_EXISTS
@@ -2379,6 +2386,7 @@ private[graft] object CorpusQueries {
     d30.write.format("parquet")
       .saveAsTable(graft.ext.PurgeSwap.stagingOf(t("mk")))
     graft.ext.IndexLifecycle.markSwap(s, t("mk"), Seq(t("mk")))
+    d30.write.format("parquet").saveAsTable(t("sus") + "_compact_stage")
     // orphanCensus/vacuum act at CALL time (rows are built driver-
     // side), so cen is the pre-vacuum view and live counts are read
     // after the reclaim — explicit sequencing, no lazy-eval trap.
@@ -2386,15 +2394,20 @@ private[graft] object CorpusQueries {
       .select(col("family"), col("inflight"), col("heal_pending"),
         col("n_orphans"),
         ((col("orphan_bytes") > 0L) === (col("n_orphans") > 0L))
-          .cast("long").as("orphan_bytes_iff_orphans_ok"))
+          .cast("long").as("orphan_bytes_iff_orphans_ok"),
+        col("suspect"))
     val vac = IndexOps.vacuum(s, entries)
       .select(col("family"), col("healed_swap"), col("adopted"),
         col("dropped"),
         ((col("bytes_reclaimed") > 0L) === (col("dropped") > 0L))
           .cast("long").as("reclaimed_iff_dropped_ok"),
-        col("residual"))
+        col("residual"), col("suspect").as("suspect_after"))
     import s.implicits._
-    val live = entries.map(e => (e.family, s.table(e.table).count()))
+    // The suspect family has NO live table by construction (that is
+    // what makes it suspect) — report -1, not an exception.
+    val live = entries.map(e => (e.family,
+        if (s.catalog.tableExists(e.table)) s.table(e.table).count()
+        else -1L))
       .toDF("family", "live_rows_after")
     cen.join(vac, Seq("family")).join(live, Seq("family"))
       .orderBy(col("family"))
@@ -3442,13 +3455,15 @@ private[graft] object CorpusQueries {
         |   CAST(1 AS BIGINT) AS fs_discipline_ok
         |  UNION ALL SELECT 'winnow', '', 0, 0, 0, 0, 1, 0, 0, 0, 0, 1
         | ) ORDER BY family""".stripMargin.replaceAll("\n", " "),
-    // State janitor: the four planted catalog states and the vacuum's
+    // State janitor: the five planted catalog states and the vacuum's
     // action log, replayed from the slice definitions — the crashed
     // STAGE family drops its 2 shadows, the crashed SWAP family is
     // ADOPTED (its staged doc_id<60 slice becomes the live table),
     // the marked family is healed FORWARD (the staged doc_id<30 slice
-    // swaps in), the clean family is untouched; byte columns are
-    // iff-bits, residual is 0 everywhere.
+    // swaps in), the clean family is untouched, and the SUSPECT
+    // baseless compact-stage is reported but NEVER dropped (it
+    // persists: suspect_after = 1, live -1 = no base table); byte
+    // columns are iff-bits, residual is 0 everywhere.
     "x_vacuum" ->
       """WITH n60 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE doc_id < 60),
         | n30 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE doc_id < 30)
@@ -3456,12 +3471,15 @@ private[graft] object CorpusQueries {
         |  SELECT 'clean' AS family, CAST(0 AS BIGINT) AS inflight,
         |   CAST(0 AS BIGINT) AS heal_pending, CAST(0 AS BIGINT) AS n_orphans,
         |   CAST(1 AS BIGINT) AS orphan_bytes_iff_orphans_ok,
+        |   CAST(0 AS BIGINT) AS suspect,
         |   CAST(0 AS BIGINT) AS healed_swap, CAST(0 AS BIGINT) AS adopted,
         |   CAST(0 AS BIGINT) AS dropped, CAST(1 AS BIGINT) AS reclaimed_iff_dropped_ok,
-        |   CAST(0 AS BIGINT) AS residual, (SELECT n FROM n60) AS live_rows_after
-        |  UNION ALL SELECT 'crashed_stage', 0, 0, 2, 1, 0, 0, 2, 1, 0, (SELECT n FROM n60)
-        |  UNION ALL SELECT 'crashed_swap', 0, 1, 0, 1, 0, 1, 0, 1, 0, (SELECT n FROM n60)
-        |  UNION ALL SELECT 'inflight', 1, 0, 0, 1, 1, 0, 0, 1, 0, (SELECT n FROM n30)
+        |   CAST(0 AS BIGINT) AS residual, CAST(0 AS BIGINT) AS suspect_after,
+        |   (SELECT n FROM n60) AS live_rows_after
+        |  UNION ALL SELECT 'crashed_stage', 0, 0, 2, 1, 0, 0, 0, 2, 1, 0, 0, (SELECT n FROM n60)
+        |  UNION ALL SELECT 'crashed_swap', 0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 0, (SELECT n FROM n60)
+        |  UNION ALL SELECT 'inflight', 1, 0, 0, 1, 0, 1, 0, 0, 1, 0, 0, (SELECT n FROM n30)
+        |  UNION ALL SELECT 'suspect', 0, 0, 0, 1, 1, 0, 0, 0, 1, 0, 1, CAST(-1 AS BIGINT)
         | ) ORDER BY family""".stripMargin.replaceAll("\n", " "),
     // Cross-family takedown audit: the audited id set is the %-20
     // takedown slice of doc_id < 60; bands_b (built over [30, 90))

@@ -158,6 +158,97 @@ class BenchFloorSpec extends AnyFunSuite {
     assert(BenchFloor.adjudicate(1.0, -1.0, identicalCode = true) == "confirmed")
   }
 
+  test("normalizeSource: comment/whitespace-only diffs hash identically => environment") {
+    // The r19 incident in miniature: the SAME code with an edited
+    // scaladoc, an added line comment, and a re-indent must normalize
+    // to identical bytes — so the fingerprints match, identicalCode
+    // holds, and a recheck-surviving flag adjudicates "environment".
+    val v1 =
+      """package p
+        |/** Old scaladoc. */
+        |object A {
+        |  // a note
+        |  def f(x: Int): Int = x + 1 /* inline */ + 2
+        |}
+        |""".stripMargin
+    val v2 =
+      """package p
+        |/** NEW scaladoc, reworded at length.
+        |  * Extra line too. */
+        |object A {
+        |    // a DIFFERENT note, plus indent change below
+        |      def f(x: Int): Int = x + 1 + 2
+        |}
+        |""".stripMargin
+    assert(BenchFloor.normalizeSource(v1) == BenchFloor.normalizeSource(v2),
+      "comment/whitespace-only diff must not change the fingerprint input")
+    // ...and the adjudication that falls out of it:
+    assert(BenchFloor.adjudicate(1.0, 1.7, identicalCode = true) == "environment")
+    // A REAL code change (the constant) must still change the bytes.
+    val v3 = v1.replace("x + 1", "x + 9")
+    assert(BenchFloor.normalizeSource(v1) != BenchFloor.normalizeSource(v3))
+  }
+
+  test("normalizeSource is string-literal aware: '//' in literals is code, not comment") {
+    // A '//' inside a plain string must survive, and editing the bytes
+    // AFTER it must change the normalization (else a real change would
+    // auto-adjudicate "environment" — the dangerous direction).
+    val url1 = """val u = "http://example/a""""
+    val url2 = """val u = "http://example/b""""
+    assert(BenchFloor.normalizeSource(url1).contains("http://example/a"))
+    assert(BenchFloor.normalizeSource(url1) != BenchFloor.normalizeSource(url2))
+    // Nested quotes inside an interpolation hole: the classic
+    // mis-alignment case for naive strippers.
+    val s1 = """val m = s"a ${f("b//c")} d""""
+    val s2 = """val m = s"a ${f("b//X")} d""""
+    assert(BenchFloor.normalizeSource(s1).contains("b//c"))
+    assert(BenchFloor.normalizeSource(s1) != BenchFloor.normalizeSource(s2))
+    // Triple-quoted strings keep comment-looking lines verbatim
+    // (oracle SQL carries '--' and '//'-ish text in this repo).
+    val t1 = "val q = \"\"\"SELECT 1 // not a comment\n* nor this\"\"\""
+    val t2 = "val q = \"\"\"SELECT 2 // not a comment\n* nor this\"\"\""
+    assert(BenchFloor.normalizeSource(t1).contains("// not a comment"))
+    assert(BenchFloor.normalizeSource(t1) != BenchFloor.normalizeSource(t2))
+    // Whitespace INSIDE a literal is behavior — never collapsed.
+    val w1 = """val s = "a  b""""
+    val w2 = """val s = "a b""""
+    assert(BenchFloor.normalizeSource(w1) != BenchFloor.normalizeSource(w2))
+    // Comments separate tokens: `a/*x*/b` must not fuse to `ab`.
+    assert(BenchFloor.normalizeSource("a/*x*/b") ==
+      BenchFloor.normalizeSource("a b"))
+    // Char literals (incl. escaped quote/backslash) pass through whole.
+    val c = """val q = '\''; val b = '\\'; val a = 'z' // tail"""
+    val norm = BenchFloor.normalizeSource(c)
+    assert(norm.contains("'\\''") && norm.contains("'\\\\'") &&
+      norm.contains("'z'") && !norm.contains("tail"))
+    // Nested block comments (Scala nests them) strip fully.
+    assert(BenchFloor.normalizeSource("a /* x /* y */ z */ b") ==
+      BenchFloor.normalizeSource("a b"))
+    // Escaped quotes inside interpolated strings don't derail the scan.
+    val e1 = "val x = s\"quote \\\" ${v} end\"; val tail1 = 1"
+    assert(BenchFloor.normalizeSource(e1).contains("tail1"))
+  }
+
+  test("normalizeSource round-trips the real engine source without losing code bytes") {
+    // Run the normalizer over every committed main-source file: it must
+    // never throw, never return empty for a non-trivial file, and
+    // stripping must be idempotent (normalize ∘ normalize = normalize —
+    // what it keeps is code, and code re-normalizes to itself).
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Seq.empty
+    val srcs = walk(new java.io.File("src/main/scala"))
+    assert(srcs.size > 50, s"expected the engine source tree, got ${srcs.size}")
+    srcs.foreach { f =>
+      val text = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val n1 = BenchFloor.normalizeSource(text)
+      assert(n1.nonEmpty, s"normalize emptied $f")
+      val n2 = BenchFloor.normalizeSource(n1)
+      assert(n1 == n2, s"normalize not idempotent on $f")
+    }
+  }
+
   test("previous-artifact parsing: queries map, string fields, median drift signature") {
     val prev = """{"metric":"total","value":10.0,"regressed":{"x":{"run":2.0}},""" +
       """"code_changed":false,"src_fingerprint":"abc123",""" +

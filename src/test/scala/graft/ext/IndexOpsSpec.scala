@@ -245,7 +245,8 @@ class IndexOpsSpec extends AnyFunSuite {
       IndexOps.Entry("clean", "janitor_spec_clean"),
       IndexOps.Entry("crashed_stage", "janitor_spec_stage"),
       IndexOps.Entry("crashed_swap", "janitor_spec_swap"),
-      IndexOps.Entry("inflight", "janitor_spec_marked"))
+      IndexOps.Entry("inflight", "janitor_spec_marked"),
+      IndexOps.Entry("suspect", "janitor_spec_sus"))
     val all = entries.flatMap(e => Seq(e.table,
       PurgeSwap.stagingOf(e.table), e.table + "_compact_stage",
       IndexLifecycle.tombstonesOf(e.table),
@@ -264,6 +265,11 @@ class IndexOpsSpec extends AnyFunSuite {
       mk(PurgeSwap.stagingOf("janitor_spec_marked"), 3)
       IndexLifecycle.markSwap(spark, "janitor_spec_marked",
         Seq("janitor_spec_marked"))
+      // SUSPECT (ADVICE r19): a compact-stage whose base is MISSING —
+      // impossible under compactSink's crash discipline, so possibly
+      // the only surviving copy of the index. Reported distinctly,
+      // never dropped.
+      mk("janitor_spec_sus_compact_stage", 6)
 
       val cen = IndexOps.orphanCensus(spark, entries).collect()
         .map(r => r.getString(0) -> r).toMap
@@ -277,14 +283,30 @@ class IndexOpsSpec extends AnyFunSuite {
         c("crashed_swap", "n_orphans") == 0L, cen("crashed_swap").toString)
       assert(c("inflight", "inflight") == 1L &&
         c("inflight", "n_orphans") == 0L, cen("inflight").toString)
+      // The suspect staging is neither orphan nor heal-pending — its
+      // own column, and nothing else's.
+      assert(c("suspect", "suspect") == 1L &&
+        c("suspect", "n_orphans") == 0L &&
+        c("suspect", "heal_pending") == 0L, cen("suspect").toString)
+      assert(entries.filterNot(_.family == "suspect")
+        .forall(e => c(e.family, "suspect") == 0L))
 
       val cleanBefore = IndexOps.filesBytes(spark, Seq("janitor_spec_clean"))
       val vac = IndexOps.vacuum(spark, entries).collect()
         .map(r => r.getString(0) -> r).toMap
       def v(f: String, col: String) = vac(f).getAs[Long](col)
-      // Every family ends with zero residual work.
+      // Every family ends with zero residual work (the suspect is not
+      // residual WORK — it is a refuse-to-touch state, its own column).
       vac.values.foreach(r =>
         assert(r.getAs[Long]("residual") == 0L, r.toString))
+      // Vacuum REFUSES the suspect: nothing dropped, nothing adopted,
+      // the staging survives with its rows intact, and the flag
+      // persists for manual inspection.
+      assert(v("suspect", "dropped") == 0L && v("suspect", "adopted") == 0L &&
+        v("suspect", "bytes_reclaimed") == 0L &&
+        v("suspect", "suspect") == 1L, vac("suspect").toString)
+      assert(spark.table("janitor_spec_sus_compact_stage").count() == 6L,
+        "vacuum must never delete a possibly-only-copy staging")
       assert(v("clean", "dropped") == 0L && v("clean", "adopted") == 0L &&
         v("clean", "healed_swap") == 0L)
       assert(v("crashed_stage", "dropped") == 2L &&
@@ -305,7 +327,8 @@ class IndexOpsSpec extends AnyFunSuite {
       assert(!spark.catalog.tableExists(
         IndexLifecycle.rebalanceMarkerOf("janitor_spec_marked")))
 
-      // Idempotence: a second census and vacuum find nothing.
+      // Idempotence: a second census and vacuum find nothing to DO —
+      // while the suspect keeps being reported, un-acted-on.
       IndexOps.orphanCensus(spark, entries).collect().foreach(r =>
         assert(r.getAs[Long]("n_orphans") == 0L &&
           r.getAs[Long]("heal_pending") == 0L &&
@@ -315,6 +338,17 @@ class IndexOpsSpec extends AnyFunSuite {
           r.getAs[Long]("adopted") == 0L &&
           r.getAs[Long]("healed_swap") == 0L &&
           r.getAs[Long]("residual") == 0L, r.toString))
+      assert(spark.table("janitor_spec_sus_compact_stage").count() == 6L)
+      // Duplicate family names would silently collapse the one-row-
+      // per-family maps — refused loudly at entry (ADVICE r19).
+      val dup = entries :+ IndexOps.Entry("clean", "janitor_spec_other")
+      intercept[IllegalArgumentException](IndexOps.orphanCensus(spark, dup))
+      intercept[IllegalArgumentException](IndexOps.vacuum(spark, dup))
+      intercept[IllegalArgumentException](IndexOps.census(spark, dup))
+      intercept[IllegalArgumentException](
+        IndexOps.freshness(spark, dup, spark.range(1).toDF("id")))
+      intercept[IllegalArgumentException](
+        IndexOps.takedownAudit(spark, dup, spark.range(1).toDF("id")))
     } finally all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
   }
 

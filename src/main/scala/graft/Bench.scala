@@ -293,10 +293,18 @@ object Bench {
       .map(f => "\"" + f + "\":" + fmt(fams.getOrElse(f, 0.0)))
       .mkString("{", ",", "}")
     val streamingFixed = fmt(fams.getOrElse("streaming", 0.0))
+    // The per-query micro-batch machinery unit, measured in isolation
+    // by x_stream_machinery (a 3-batch loop doing no operator work):
+    // streaming-family wall ≈ n_streaming_queries × unit +
+    // per-operator cost, so readers can subtract the fixed component
+    // instead of re-deriving it from 30+ queries (VERDICT r19 #6).
+    val machineryUnit = bestMap.get("x_stream_machinery")
+      .filter(_ >= 0).map(fmt).getOrElse("null")
+    val machineryJson = s""""streaming_machinery_unit_s":$machineryUnit"""
     val driftJson = "\"code_changed\":" + (!identicalCode) +
       ",\"median_vs_prev\":" +
       medianVsPrev.map(m => f"$m%.3f").getOrElse("null")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"families":$famJson,"streaming_fixed_s":$streamingFixed,"floor_total":${fmt(floorTotal)},"vs_floor":$vsFloorJson,"regressed":$regressedJson,"confirmed_regressions":$confirmedCount,$driftJson,"src_fingerprint":"$srcFp","queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"families":$famJson,"streaming_fixed_s":$streamingFixed,$machineryJson,"floor_total":${fmt(floorTotal)},"vs_floor":$vsFloorJson,"regressed":$regressedJson,"confirmed_regressions":$confirmedCount,$driftJson,"src_fingerprint":"$srcFp","queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
     // The driver artifact keeps only the LAST ~2000 chars of stdout and
     // parses the final JSON line it finds there — a 136-query map with
     // per-rep runs is ~4000 chars and can never survive whole (round 7's
@@ -322,7 +330,7 @@ object Bench {
     // BENCH_FULL.json). An empty regressed list = a clean run; entries
     // with verdict "transient" = adjudicated noise, no action needed;
     // "confirmed" = a real regression that survived its re-measure.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${best.size},"families":$famJson,"streaming_fixed_s":$streamingFixed,"floor_total":${fmt(floorTotal)},"regressed":$regressedJson,"confirmed_regressions":$confirmedCount,$driftJson,"slowest":$slowest,"failed":$failed,"queries_file":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${best.size},"families":$famJson,"streaming_fixed_s":$streamingFixed,$machineryJson,"floor_total":${fmt(floorTotal)},"regressed":$regressedJson,"confirmed_regressions":$confirmedCount,$driftJson,"slowest":$slowest,"failed":$failed,"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.MisraGriesTopK.info, graft.functions.MisraGriesTopK.builder _))
     ext.injectFunction((FunctionIdentifier("graft_pq_encode"),
       GraftFunctionBuilders.pqEncodeInfo, GraftFunctionBuilders.pqEncodeBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_image_dims"),
+      GraftFunctionBuilders.imageDimsInfo,
+      GraftFunctionBuilders.imageDimsBuilder _))
     // Opt-in approximate similarity-join rewrite (see
     // graft.plans.ApproxSimilarityJoin — off unless
     // spark.graft.approxSimilarityJoin=true).

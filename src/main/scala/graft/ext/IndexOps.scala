@@ -162,6 +162,196 @@ object IndexOps {
       .orderBy(col("family"))
   }
 
+  /** A family's FULL maintenance registration (VERDICT r19 next #2 —
+    * [[sweep]] acted on compact_due only while the fleet also computed
+    * rebalance_due, stale, and droppable orphans): the census-driven
+    * compaction plus the family's OTHER decision/action pairs, every
+    * action the family's existing crash-safe path.
+    *
+    *   - `compact` — acts on the census's compact_due (as [[Plan]]).
+    *   - `append` — acts on freshness's `stale`: receives the
+    *     family's missing-id frame (corpus ids neither indexed nor
+    *     tombstoned) and runs the family's own append path; returns
+    *     ids absorbed. Families without one (or where absence is
+    *     deliberate) just don't register it.
+    *   - `rebalanceDue` / `rebalance` — the family's own skew decision
+    *     (e.g. IvfIndex.cellSkew's rebalance_due) and its crash-safe
+    *     rebalance. Non-spatial families register neither.
+    */
+  case class FullPlan(entry: Entry,
+                      compact: SparkSession => Long,
+                      append: Option[(SparkSession, DataFrame) => Long] = None,
+                      rebalanceDue: Option[SparkSession => Long] = None,
+                      rebalance: Option[SparkSession => Unit] = None)
+
+  /** The fleet's ENTIRE maintenance pass in one call — every decision
+    * bit the ops reports publish, acted on by the owning family's own
+    * crash-safe path, in the safe order:
+    *
+    *   1. JANITOR — [[vacuum]]: heal crashed swaps forward, adopt
+    *      drop-window stagings, drop stage-crash garbage (suspects
+    *      reported, never touched). Runs FIRST so every later report
+    *      reads healed state.
+    *   2. FRESHNESS — append-iff-stale: each stale family's append
+    *      path absorbs exactly its missing corpus ids.
+    *   3. COMPACT — census-iff-due, censused AFTER the appends (an
+    *      append can create the very merge-parts / wave partitions the
+    *      compaction bit watches — deciding from a pre-append census
+    *      would leave due state behind and break idempotence).
+    *   4. REBALANCE — the family's skew decision, acted on LAST so the
+    *      retrain sees the appended + compacted state.
+    *
+    * Returns the action log: one row per family with each decision bit
+    * as censused before its action, what the action reported, and the
+    * after-state (orphans / missing / compact_due all collapse to 0 —
+    * IndexOpsSpec pins act-iff-due across all four bits and full
+    * idempotence; `rebalance_due_after` is data-dependent — a corpus
+    * can be inherently skewed past any threshold — so the log reports
+    * it honestly rather than promising 0). Like every lifecycle op:
+    * single-maintainer discipline per family. */
+  def sweepAll(spark: SparkSession, plans: Seq[FullPlan],
+               corpusIds: DataFrame): DataFrame = {
+    requireDistinctFamilies(plans.map(_.entry))
+    val entries = plans.map(_.entry)
+    def key(df: DataFrame): Map[String, org.apache.spark.sql.Row] =
+      df.collect().map(r => r.getString(0) -> r).toMap
+    val corpus = corpusIds.select(col("id")).distinct()
+
+    val orphB = key(orphanCensus(spark, entries))
+    val vac = key(vacuum(spark, entries))
+
+    val freshB = key(freshness(spark, entries, corpus))
+    val appended: Map[String, Long] = plans.map { p =>
+      val stale = freshB(p.entry.family).getAs[Long]("stale") == 1L
+      p.entry.family -> (p.append match {
+        case Some(act) if stale =>
+          act(spark, missingIdsOf(spark, p.entry, corpus))
+        case _ => 0L
+      })
+    }.toMap
+
+    val cenMid = key(census(spark, entries))
+    val reclaimed: Map[String, Long] = plans.map { p =>
+      val due = cenMid(p.entry.family).getAs[Long]("compact_due")
+      p.entry.family -> (if (due == 1L) p.compact(spark) else 0L)
+    }.toMap
+
+    val rebDue: Map[String, Long] = plans.map(p => p.entry.family ->
+      p.rebalanceDue.map(_(spark)).getOrElse(0L)).toMap
+    val rebalanced: Map[String, Long] = plans.map { p =>
+      p.entry.family -> (p.rebalance match {
+        case Some(act) if rebDue(p.entry.family) == 1L => act(spark); 1L
+        case _ => 0L
+      })
+    }.toMap
+
+    val cenA = key(census(spark, entries))
+    val freshA = key(freshness(spark, entries, corpus))
+    val orphA = key(orphanCensus(spark, entries))
+    val rebDueA: Map[String, Long] = plans.map(p => p.entry.family ->
+      p.rebalanceDue.map(_(spark)).getOrElse(0L)).toMap
+
+    val rows = plans.map { p =>
+      val f = p.entry.family
+      (f,
+        orphB(f).getAs[Long]("n_orphans"),
+        orphB(f).getAs[Long]("heal_pending"),
+        vac(f).getAs[Long]("healed_swap"), vac(f).getAs[Long]("adopted"),
+        vac(f).getAs[Long]("dropped"),
+        freshB(f).getAs[Long]("stale"), freshB(f).getAs[Long]("n_missing"),
+        appended(f),
+        cenMid(f).getAs[Long]("compact_due"), reclaimed(f),
+        rebDue(f), rebalanced(f),
+        orphA(f).getAs[Long]("n_orphans"),
+        freshA(f).getAs[Long]("n_missing"),
+        cenA(f).getAs[Long]("compact_due"), rebDueA(f))
+    }
+    import spark.implicits._
+    rows.toDF("family", "orphans_before", "heal_pending_before",
+        "healed_swap", "adopted", "dropped",
+        "stale_before", "n_missing_before", "appended",
+        "compact_due_mid", "reclaimed", "rebalance_due", "rebalanced",
+        "orphans_after", "n_missing_after", "compact_due_after",
+        "rebalance_due_after")
+      .orderBy(col("family"))
+  }
+
+  /** A family's missing corpus ids — the frame [[freshness]] counts as
+    * `n_missing` (neither indexed nor tombstoned), handed to a
+    * [[FullPlan.append]] action. */
+  private def missingIdsOf(spark: SparkSession, e: Entry,
+                           corpus: DataFrame): DataFrame = {
+    val target = if (e.gramDeltas) e.table + "_docs" else e.table
+    val tomb = IndexLifecycle.tombstonesOf(e.table)
+    var m = corpus
+    if (spark.catalog.tableExists(target))
+      m = m.join(spark.table(target).select(col(e.idCol).as("id"))
+        .distinct(), Seq("id"), "left_anti")
+    if (spark.catalog.tableExists(tomb))
+      m = m.join(spark.table(tomb).select(col("id")).distinct(),
+        Seq("id"), "left_anti")
+    m
+  }
+
+  /** The one-row-per-family ops DASHBOARD (VERDICT r19 next #3) — the
+    * row a 100 TB fleet's operator reads each morning, composed from
+    * the fleet's existing metadata- / id-column-priced reports:
+    *
+    *   - [[orphanCensus]] (run FIRST — [[census]] heals at entry,
+    *     which would erase the crash states this must show):
+    *     inflight / heal_pending / n_orphans / orphan bytes / suspect.
+    *   - [[census]]: layout, merge_parts, backlog, zeroed grams,
+    *     file/byte pressure, compact_due.
+    *   - [[freshness]] against `corpusIds`: append debt.
+    *   - [[takedownAudit]] against the UNION of every family's
+    *     registered tombstones — the fleet-wide question "did any
+    *     family miss a takedown someone else registered?" (visible_ids
+    *     > 0 = yes). No tombstones anywhere → zero-valued columns.
+    *   - `rebalance_due` from the per-family skew hook (e.g.
+    *     IvfIndex.cellSkew for ANN families); families without one
+    *     read 0.
+    *
+    * `attention` ORs every action-needed signal — the one bit to scan
+    * down. Pure composition: k-row driver-side joins on family; the
+    * underlying contact discipline is each report's own (documented
+    * there). */
+  def dashboard(spark: SparkSession, entries: Seq[Entry],
+                corpusIds: DataFrame,
+                skewDue: Map[String, SparkSession => Long] = Map.empty)
+      : DataFrame = {
+    requireDistinctFamilies(entries)
+    val orph = orphanCensus(spark, entries)
+    val cen = census(spark, entries)
+    val tombTables = entries.map(e => IndexLifecycle.tombstonesOf(e.table))
+      .filter(spark.catalog.tableExists)
+    val audit: DataFrame =
+      if (tombTables.isEmpty) {
+        import spark.implicits._
+        entries.map(e => (e.family, 0L, 0L, 0L, 0L))
+          .toDF("family", "n_ids", "tombstoned", "present_ids",
+            "visible_ids")
+      } else takedownAudit(spark, entries,
+        tombTables.map(t => spark.table(t).select(col("id")))
+          .reduce(_.unionByName(_)).distinct())
+    val fresh = freshness(spark, entries, corpusIds)
+    import spark.implicits._
+    val reb = entries.map(e => (e.family,
+        skewDue.get(e.family).map(_(spark)).getOrElse(0L)))
+      .toDF("family", "rebalance_due")
+    orph.join(cen, Seq("family"))
+      .join(fresh, Seq("family"))
+      .join(audit.withColumnRenamed("n_ids", "n_takedown_ids"),
+        Seq("family"))
+      .join(reb, Seq("family"))
+      .withColumn("attention",
+        (col("compact_due") === 1L || col("stale") === 1L ||
+          col("visible_ids") > 0L || col("n_orphans") > 0L ||
+          col("suspect") > 0L || col("rebalance_due") === 1L ||
+          col("inflight") === 1L || col("heal_pending") > 0L)
+          .cast("long"))
+      .orderBy(col("family"))
+  }
+
   /** Heal-at-entry, the doctrine every probe follows (IvfIndex
     * cellCensus learned it the ADVICE way): complete a crashed marked
     * swap and adopt any drop→rename-window staging BEFORE reading

@@ -493,4 +493,161 @@ class IndexOpsSpec extends AnyFunSuite {
         spark.table(t).count() == 5L)
     } finally all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
   }
+
+  test("sweepAll: act-iff-due across all four decision bits, afters collapse, fully idempotent") {
+    import spark.implicits._
+    def t(n: String) = "sweepall_spec_" + n
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .where(col("doc_id") < 60 && col("text").isNotNull)
+      .localCheckpoint(true)
+    val delIds = docs.where(col("doc_id") % 20 === 3)
+      .select(col("doc_id").as("id"))
+    // The corpus of record excludes taken-down ids (the x_sweep_full
+    // doc: a purge drops the tombstone list, and purged ids must not
+    // re-read as append debt).
+    val corpus = docs.where(col("doc_id") % 20 =!= 3)
+      .select(col("doc_id").as("id"))
+    val nMissing = corpus.where(col("id") >= 40).count()
+    // The rebalance pair as a planted decision/action: a flag table IS
+    // the due bit, the action retires it — pinning sweepAll's LOOP
+    // contract (act-iff-due, ordering, idempotence) independently of
+    // Lloyd dynamics (IvfRebalanceSpec owns those; the registered
+    // x_sweep_full runs the real IvfIndex.rebalance wiring).
+    val flagT = t("skew_flag")
+    val entries = Seq(IndexOps.Entry("bands", t("bands")),
+      IndexOps.Entry("winnow", t("win")))
+    val all = entries.flatMap(e => Seq(e.table,
+      PurgeSwap.stagingOf(e.table), e.table + "_compact_stage",
+      IndexLifecycle.tombstonesOf(e.table))) :+ flagT
+    try {
+      all.foreach(graft.io.Writer.dropTableAndLocation(spark, _))
+      DedupIndex.build(docs, "doc_id", "text", t("bands"))
+      DedupIndex.delete(spark, t("bands"), delIds)
+      spark.table(t("bands")).write.format("parquet")
+        .saveAsTable(PurgeSwap.stagingOf(t("bands")))
+      WinnowIndex.build(docs.where(col("doc_id") < 40), "doc_id",
+        "text", t("win"))
+      Seq((1L, "due")).toDF("id", "v").write.format("parquet")
+        .saveAsTable(flagT)
+      var rebalanceRuns = 0
+      val plans = Seq(
+        IndexOps.FullPlan(IndexOps.Entry("bands", t("bands")),
+          x => DedupIndex.purgeTombstones(x, t("bands"))),
+        IndexOps.FullPlan(IndexOps.Entry("winnow", t("win")),
+          x => WinnowIndex.purgeTombstones(x, t("win")),
+          append = Some((x, missing) => {
+            val nd = docs.join(missing.select(col("id").as("doc_id")),
+              Seq("doc_id"), "left_semi")
+            val n = nd.count()
+            WinnowIndex.append(x, t("win"), nd, "doc_id", "text")
+            n
+          }),
+          rebalanceDue = Some(x =>
+            if (x.catalog.tableExists(flagT)) 1L else 0L),
+          rebalance = Some { x =>
+            rebalanceRuns += 1
+            graft.io.Writer.dropTableAndLocation(x, flagT)
+          }))
+      val log1 = IndexOps.sweepAll(spark, plans, corpus).collect()
+        .map(r => r.getString(0) -> r).toMap
+      def g(f: String, c: String) = log1(f).getAs[Long](c)
+      // bands: orphan vacuumed, compaction acted on the backlog bit,
+      // nothing appended (not stale), nothing rebalanced (no hook).
+      assert(g("bands", "orphans_before") == 1L &&
+        g("bands", "dropped") == 1L, log1("bands").toString)
+      assert(g("bands", "stale_before") == 0L &&
+        g("bands", "appended") == 0L)
+      assert(g("bands", "compact_due_mid") == 1L &&
+        g("bands", "reclaimed") > 0L)
+      assert(g("bands", "rebalance_due") == 0L &&
+        g("bands", "rebalanced") == 0L)
+      // winnow: append acted on exactly the missing ids; compaction
+      // SKIPPED (not due); the planted rebalance bit acted and retired.
+      assert(g("winnow", "stale_before") == 1L &&
+        g("winnow", "n_missing_before") == nMissing &&
+        g("winnow", "appended") == nMissing, log1("winnow").toString)
+      assert(g("winnow", "compact_due_mid") == 0L &&
+        g("winnow", "reclaimed") == 0L)
+      assert(g("winnow", "rebalance_due") == 1L &&
+        g("winnow", "rebalanced") == 1L && rebalanceRuns == 1)
+      // Afters collapse everywhere.
+      log1.values.foreach { r =>
+        assert(r.getAs[Long]("orphans_after") == 0L &&
+          r.getAs[Long]("n_missing_after") == 0L &&
+          r.getAs[Long]("compact_due_after") == 0L &&
+          r.getAs[Long]("rebalance_due_after") == 0L, r.toString)
+      }
+      // Idempotence: a second full pass acts NOWHERE.
+      val log2 = IndexOps.sweepAll(spark, plans, corpus).collect()
+      log2.foreach { r =>
+        assert(r.getAs[Long]("dropped") == 0L &&
+          r.getAs[Long]("appended") == 0L &&
+          r.getAs[Long]("reclaimed") == 0L &&
+          r.getAs[Long]("rebalanced") == 0L &&
+          r.getAs[Long]("stale_before") == 0L &&
+          r.getAs[Long]("compact_due_mid") == 0L &&
+          r.getAs[Long]("rebalance_due") == 0L, r.toString)
+      }
+      assert(rebalanceRuns == 1, "second sweep must not re-rebalance")
+    } finally all.foreach(graft.io.Writer.dropTableAndLocation(spark, _))
+  }
+
+  test("dashboard: one row per family composing janitor + census + freshness + fleet audit + skew") {
+    import spark.implicits._
+    def t(n: String) = "dash_spec_" + n
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .where(col("doc_id") < 60 && col("text").isNotNull)
+      .localCheckpoint(true)
+    val delIds = docs.where(col("doc_id") % 20 === 3)
+      .select(col("doc_id").as("id"))
+    val nDel = delIds.count()
+    val entries = Seq(IndexOps.Entry("a", t("a")),
+      IndexOps.Entry("b", t("b")))
+    val all = entries.flatMap(e => Seq(e.table,
+      PurgeSwap.stagingOf(e.table), e.table + "_compact_stage",
+      IndexLifecycle.tombstonesOf(e.table)))
+    try {
+      all.foreach(graft.io.Writer.dropTableAndLocation(spark, _))
+      DedupIndex.build(docs, "doc_id", "text", t("a"))
+      DedupIndex.delete(spark, t("a"), delIds) // a: tombstoned
+      DedupIndex.build(docs.where(col("doc_id") < 40), "doc_id",
+        "text", t("b")) // b: stale vs the <60 corpus, misses a's takedown
+      spark.table(t("a")).write.format("parquet")
+        .saveAsTable(PurgeSwap.stagingOf(t("a"))) // a: orphan
+      val corpus = docs.select(col("doc_id").as("id"))
+      val dash = IndexOps.dashboard(spark, entries, corpus,
+          skewDue = Map("b" -> (_ => 1L))).collect()
+        .map(r => r.getString(0) -> r).toMap
+      def g(f: String, c: String) = dash(f).getAs[Long](c)
+      assert(dash.keySet == Set("a", "b"))
+      // a: backlog + compact_due + orphan; fully fresh; its own
+      // takedown fully tombstoned (visible 0, present = the dels).
+      assert(g("a", "tombstone_backlog") == nDel &&
+        g("a", "compact_due") == 1L && g("a", "n_orphans") == 1L,
+        dash("a").toString)
+      assert(g("a", "n_missing") == 0L && g("a", "stale") == 0L)
+      assert(g("a", "n_takedown_ids") == nDel &&
+        g("a", "tombstoned") == nDel && g("a", "present_ids") == nDel &&
+        g("a", "visible_ids") == 0L)
+      assert(g("a", "rebalance_due") == 0L && g("a", "attention") == 1L)
+      // b: stale (the [40, 60) debt — tombstoned ids of OTHER families
+      // are not deliberate absence HERE, so they stay in b's debt);
+      // the fleet audit exposes a's ids < 40 as VISIBLE in b (missed
+      // takedown); the planted skew hook reads through.
+      val nMissB = docs.where(col("doc_id") >= 40).count()
+      val nVisB = docs.where(col("doc_id") < 40 &&
+        col("doc_id") % 20 === 3).count()
+      assert(g("b", "stale") == 1L && g("b", "n_missing") == nMissB,
+        dash("b").toString)
+      assert(g("b", "visible_ids") == nVisB && nVisB > 0L)
+      assert(g("b", "rebalance_due") == 1L && g("b", "attention") == 1L)
+      // READ-ONLY: the dashboard censused the orphan without acting.
+      assert(spark.catalog.tableExists(PurgeSwap.stagingOf(t("a"))))
+      val again = IndexOps.dashboard(spark, entries, corpus,
+        skewDue = Map("b" -> (_ => 1L))).collect()
+      assert(again.map(_.toString).toSeq ==
+        dash.values.toSeq.sortBy(_.getString(0)).map(_.toString),
+        "a second read must see identical state")
+    } finally all.foreach(graft.io.Writer.dropTableAndLocation(spark, _))
+  }
 }

@@ -39,7 +39,18 @@ object BenchFloor {
   val FixedCostMinSec: Map[String, Double] = Map(
     "x_stream_interval_join" -> 6.0,
     "x_stream_outer_join" -> 6.0,
-    "x_connected_components" -> 1.5)
+    "x_connected_components" -> 1.5,
+    //   - x_index_census / x_decontaminate: catalog + FS-listing
+    //     metadata ops (census) and a broadcast-semi over a tiny eval
+    //     slice (decontaminate) — dozens of sub-second driver/FS round
+    //     trips, so the wall is latency, not data. Measured across
+    //     r19–r20 on unchanged code: census quiet ≈ 0.90–1.06 s
+    //     (lucky floor 0.60 flagged three runs, all adjudicated
+    //     noise), decontaminate quiet ≈ 1.04–1.33 s (lucky floor 0.75,
+    //     same story). The clamps put the 1.5× flag line above the
+    //     loaded steady state, the same sizing rule as above.
+    "x_index_census" -> 0.8,
+    "x_decontaminate" -> 1.0)
 
   /** [[FixedCostMinSec]] applied to a floor map (read-side and
     * write-side, so a lucky window can never re-poison the file). */

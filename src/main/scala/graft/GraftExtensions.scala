@@ -52,6 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_image_dims"),
       GraftFunctionBuilders.imageDimsInfo,
       GraftFunctionBuilders.imageDimsBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_unigram_encode"),
+      GraftFunctionBuilders.unigramEncodeInfo,
+      GraftFunctionBuilders.unigramEncodeBuilder _))
     // Opt-in approximate similarity-join rewrite (see
     // graft.plans.ApproxSimilarityJoin — off unless
     // spark.graft.approxSimilarityJoin=true).

@@ -692,6 +692,136 @@ object TextAnalysis {
     df.withColumn(outCol, call_function("graft_nfc", col(textCol)))
   }
 
+  /** SentencePiece-style UNIGRAM-LM tokenizer trainer (Kudo 2018,
+    * arXiv:1804.10959) — the [[bpeTrain]] sibling: instead of greedy
+    * merges, learn a piece INVENTORY with per-piece costs and let a
+    * Viterbi pick each word's best segmentation. Deliberately
+    * integerized like everything else here: piece costs are WHOLE
+    * BITS (floor(log2(totalUsage DIV usage)) — binary bit-length, no
+    * libm), Viterbi compares Long sums, and all tie-breaks are total
+    * orders (longer-last-piece in the DP; (count desc, piece asc) in
+    * every census cut), so training is bit-deterministic and the spec
+    * can pin exact segmentations.
+    *
+    * Algorithm over the WORD CENSUS (the bpeTrain scale argument: the
+    * census is vocabulary-sized at any corpus scale, the corpus
+    * contributes one distributed count pass; one census row per
+    * distinct word, collected under `maxVocab`):
+    *
+    *   1. SEED: every single codepoint of every census word (kept
+    *      unconditionally forever — full coverage, encode never
+    *      throws) plus all substrings of 2..`maxPieceLen` codepoints,
+    *      scored by occurrence mass; the seed keeps the top
+    *      8·vocabSize multi-char candidates.
+    *   2. EM (`emIters` hard-EM rounds — Viterbi assignment, the
+    *      deterministic variant): segment each census word under the
+    *      current costs via Kernels.unigramSegment (THE SAME function
+    *      the encode kernel runs — trainer and encoder can never
+    *      disagree), tally per-piece usage weighted by word count,
+    *      re-derive whole-bit costs; multi-char pieces with zero
+    *      usage drop out (the EM's pruning pressure).
+    *   3. CUT: keep the top `vocabSize` pieces by (usage desc, piece
+    *      asc), single-codepoint pieces always retained on top.
+    *
+    * Returns inventory entries "piece<TAB>bits" for
+    * [[unigramEncode]] / the `graft_unigram_encode` kernel. */
+  def unigramTrain(df: DataFrame, textCol: String, vocabSize: Int,
+                   maxPieceLen: Int = 5, emIters: Int = 3,
+                   maxVocab: Int = 10000000): Seq[String] = {
+    require(vocabSize > 0 && maxPieceLen >= 2 && emIters >= 1)
+    val census = df.where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def log2floor(v: Long): Long =
+      if (v <= 1L) 0L else 63L - java.lang.Long.numberOfLeadingZeros(v)
+    def codepoints(w: String): Seq[String] = {
+      val b = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + n); i += n
+      }
+      b.toSeq
+    }
+    // SEED masses.
+    val charMass = scala.collection.mutable.HashMap[String, Long]()
+    val subMass = scala.collection.mutable.HashMap[String, Long]()
+    census.foreach { case (w, c) =>
+      val cps = codepoints(w)
+      cps.foreach(ch => charMass.update(ch, charMass.getOrElse(ch, 0L) + c))
+      var i = 0
+      while (i < cps.length) {
+        var len = 2
+        while (len <= maxPieceLen && i + len <= cps.length) {
+          val p = cps.slice(i, i + len).mkString
+          subMass.update(p, subMass.getOrElse(p, 0L) + c)
+          len += 1
+        }
+        i += 1
+      }
+    }
+    val seedMulti = subMass.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(vocabSize * 8)
+    var scored: Map[String, Long] = {
+      val total = math.max(1L,
+        charMass.values.sum + seedMulti.map(_._2).sum)
+      (charMass.toSeq ++ seedMulti)
+        .map { case (p, c) => p -> log2floor(total / math.max(1L, c)) }
+        .toMap
+    }
+    // Hard-EM rounds.
+    var usage: scala.collection.mutable.HashMap[String, Long] = null
+    (1 to emIters).foreach { _ =>
+      val table = new graft.functions.UnigramTable(
+        scored.toSeq.sortBy(_._1).map { case (p, b) => p + "\t" + b }.toArray)
+      usage = scala.collection.mutable.HashMap[String, Long]()
+      census.foreach { case (w, c) =>
+        graft.functions.Kernels.unigramSegment(w, table)
+          .foreach(p => usage.update(p, usage.getOrElse(p, 0L) + c))
+      }
+      val total = math.max(1L, usage.values.sum)
+      val fallbackBits = log2floor(total) + 1L
+      scored =
+        (charMass.keysIterator.map(ch =>
+            ch -> usage.get(ch).map(u => log2floor(total / u))
+              .getOrElse(fallbackBits)) ++
+          usage.iterator.filter { case (p, _) => !charMass.contains(p) }
+            .map { case (p, u) => p -> log2floor(total / u) }).toMap
+    }
+    // Final cut: top-vocabSize by usage, single codepoints always in.
+    val keptMulti = usage.toSeq
+      .filter { case (p, _) => !charMass.contains(p) }
+      .sortBy { case (p, u) => (-u, p) }
+      .take(math.max(0, vocabSize - charMass.size))
+      .map(_._1).toSet
+    scored.toSeq
+      .filter { case (p, _) => charMass.contains(p) || keptMulti(p) }
+      .sortBy(_._1)
+      .map { case (p, b) => p + "\t" + b }
+  }
+
+  /** Distributed unigram tokenizer APPLY — [[bpeEncode]]'s sibling:
+    * adds `outCol` (array<string> pieces) segmenting `textCol` against
+    * a learned inventory ([[unigramTrain]]'s output) with the
+    * codegen'd `graft_unigram_encode` kernel; the inventory rides the
+    * plan as one reference object and the per-word Viterbi stays
+    * inside whole-stage codegen — the 100 TB tokenize is
+    * shuffle-free. Kernel REQUIRED (the DP is unboundedly iterative;
+    * no higher-order twin exists). */
+  def unigramEncode(df: DataFrame, textCol: String, pieces: Seq[String],
+                    outCol: String): DataFrame = {
+    require(df.sparkSession.catalog.functionExists("graft_unigram_encode"),
+      "graft_unigram_encode kernel not registered — set " +
+        "spark.sql.extensions=graft.GraftExtensions")
+    df.withColumn(outCol,
+      call_function("graft_unigram_encode", col(textCol),
+        lit(pieces.toArray)))
+  }
+
   def bpeEncode(df: DataFrame, textCol: String, merges: Seq[String],
                 outCol: String): DataFrame = {
     require(df.sparkSession.catalog.functionExists("graft_bpe_encode"),

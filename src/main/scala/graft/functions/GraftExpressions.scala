@@ -524,6 +524,97 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Whole-bit cost charged for a single codepoint absent from the
+    * unigram inventory — large enough that any in-vocabulary path
+    * wins, small enough that sums over a word never approach Long
+    * overflow. Exposed for the trainer/spec. */
+  val UnigramOovBits = 40L
+
+  /** Viterbi segmentation of ONE whitespace-free word under a unigram
+    * piece inventory (integer whole-bit costs): minimize the summed
+    * bits; on exact ties prefer the LONGER last piece (then the
+    * shorter prefix recursively — a total, deterministic order, so
+    * trainer and encoder always agree). Splits on CODE POINTS (the
+    * bpeEncode convention — astral characters never split
+    * mid-surrogate). A codepoint with no single-char piece costs
+    * [[UnigramOovBits]], so the DP always completes — crawler byte
+    * soup segments, never throws. */
+  def unigramSegment(word: String, table: UnigramTable): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    // Codepoint boundaries (indices into the UTF-16 string).
+    val bounds = {
+      val b = new scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      b += 0
+      while (i < word.length) {
+        i += Character.charCount(word.codePointAt(i))
+        b += i
+      }
+      b.toArray
+    }
+    val n = bounds.length - 1 // codepoints
+    val cost = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1) // best last-piece length, in codepoints
+    java.util.Arrays.fill(cost, Long.MaxValue)
+    cost(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var len = 1
+      while (len <= i) {
+        val s = bounds(i) - bounds(i - len)
+        if (s <= table.maxLen || len == 1) {
+          val piece = word.substring(bounds(i - len), bounds(i))
+          val c = table.cost.get(piece)
+          val bits =
+            if (c != null) c.longValue()
+            else if (len == 1) UnigramOovBits
+            else -1L
+          if (bits >= 0L && cost(i - len) != Long.MaxValue) {
+            val cand = cost(i - len) + bits
+            // Strictly better, or an exact tie won by the longer
+            // last piece (back(i) holds the incumbent's length).
+            if (cand < cost(i) || (cand == cost(i) && len > back(i))) {
+              cost(i) = cand
+              back(i) = len
+            }
+          }
+        }
+        len += 1
+      }
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var p = n
+    while (p > 0) {
+      val len = back(p)
+      out += word.substring(bounds(p - len), bounds(p))
+      p -= len
+    }
+    out.reverseIterator.toArray
+  }
+
+  /** Unigram-LM tokenizer APPLY (string → array<string> pieces): each
+    * whitespace token Viterbi-segmented under the inventory via
+    * [[unigramSegment]]; per-word outputs concatenate in order.
+    * Invariant (spec-pinned, gated by x_unigram_encode): concatenating
+    * the output reproduces the text with spaces removed. */
+  def unigramEncode(text: org.apache.spark.unsafe.types.UTF8String,
+                    table: UnigramTable): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    val words = text.toString.split(" ", -1)
+    var wi = 0
+    while (wi < words.length) {
+      val pieces = unigramSegment(words(wi), table)
+      var k = 0
+      while (k < pieces.length) {
+        out += UTF8String.fromString(pieces(k)); k += 1
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Packed product-quantization code of one vector — the kernel twin
     * of Pq's higher-order encode (normalize → per-subspace argmin over
     * squared-L2 to the codebook → codes packed into bits [8j, 8j+8)).
@@ -686,6 +777,29 @@ final class BpeTable(val merges: Array[String]) extends Serializable {
     var i = 0
     while (i < merges.length) { m.put(merges(i), Integer.valueOf(i)); i += 1 }
     m
+  }
+}
+
+/** A learned unigram-LM piece inventory for the encode kernel: each
+  * entry "piece<TAB>bits" (integer whole-bit cost — the house
+  * integer-surprisal trick, so Viterbi compares Longs, never floats).
+  * The transient cost map and max piece length rebuild lazily per
+  * executor after plan-reference transport (the BpeTable pattern). */
+final class UnigramTable(val entries: Array[String]) extends Serializable {
+  @transient lazy val (cost: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int) = {
+    val m = new java.util.HashMap[String, java.lang.Long](entries.length * 2)
+    var mx = 1
+    var i = 0
+    while (i < entries.length) {
+      val e = entries(i)
+      val t = e.lastIndexOf('\t')
+      val p = e.substring(0, t)
+      m.put(p, java.lang.Long.valueOf(e.substring(t + 1)))
+      if (p.length > mx) mx = p.length
+      i += 1
+    }
+    (m, mx)
   }
 }
 
@@ -1586,6 +1700,65 @@ private[functions] object GraftSketchCodegen {
   }
 }
 
+/** Unigram-LM tokenizer encode (string + foldable inventory →
+  * array<string> pieces) — the SentencePiece-style sibling of
+  * [[GraftBpeEncode]]: per-word integer-bit Viterbi inside whole-stage
+  * codegen, the learned inventory riding the plan as one reference
+  * object (Kernels.unigramEncode / UnigramTable). Registered as
+  * `graft_unigram_encode`; trained by TextAnalysis.unigramTrain. */
+case class GraftUnigramEncode(textExpr: Expression, piecesExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = textExpr
+  override def right: Expression = piecesExpr
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (textExpr.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_unigram_encode expects a string text, got ${textExpr.dataType}")
+    else if (!piecesExpr.dataType.isInstanceOf[ArrayType] ||
+        piecesExpr.dataType.asInstanceOf[ArrayType].elementType != StringType ||
+        !piecesExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_unigram_encode expects a foldable array<string> piece inventory")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val table: UnigramTable = {
+    val arr = piecesExpr.eval(null).asInstanceOf[ArrayData]
+    if (arr == null) null
+    else {
+      val n = arr.numElements()
+      val entries = new Array[String](n)
+      var i = 0
+      while (i < n) { entries(i) = arr.getUTF8String(i).toString; i += 1 }
+      new UnigramTable(entries)
+    }
+  }
+
+  override def nullSafeEval(t: Any, ignoredPieces: Any): Any =
+    Kernels.unigramEncode(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (table == null)
+      GraftSketchCodegen.constantNullCode(ctx, ev,
+        "org.apache.spark.sql.catalyst.util.ArrayData", "null")
+    else {
+      val ref = ctx.addReferenceObj("graftUnigram", table,
+        classOf[UnigramTable].getName)
+      nullSafeCodeGen(ctx, ev, (t, _) =>
+        s"${ev.value} = graft.functions.Kernels.unigramEncode($t, $ref);")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(textExpr = newLeft, piecesExpr = newRight)
+}
+
 /** Image-header dims (binary → struct<format string, width int,
   * height int>, null when undecodable) — the codegen'd expression path
   * of the multimodal two-path decode contract, backed by
@@ -1711,6 +1884,12 @@ object GraftFunctionBuilders {
     new ExpressionInfo(classOf[GraftImageDims].getName, "graft_image_dims")
   def imageDimsBuilder(exprs: Seq[Expression]): Expression =
     GraftImageDims(exprs(0))
+
+  val unigramEncodeInfo =
+    new ExpressionInfo(classOf[GraftUnigramEncode].getName,
+      "graft_unigram_encode")
+  def unigramEncodeBuilder(exprs: Seq[Expression]): Expression =
+    GraftUnigramEncode(exprs(0), exprs(1))
 
   val pqEncodeInfo =
     new ExpressionInfo(classOf[GraftPqEncode].getName, "graft_pq_encode")

@@ -408,6 +408,7 @@ private[graft] object CorpusQueries {
     "x_bm25_delete" -> ((s, dir) => bm25Delete(s, dir)),
     "x_stream_bm25" -> ((s, dir) => streamBm25(s, dir)),
     "x_bpe_encode" -> ((s, dir) => bpeEncodeCensus(s, dir)),
+    "x_unigram_encode" -> ((s, dir) => unigramEncodeCensus(s, dir)),
     "x_tokenize_pack" -> ((s, dir) => tokenizePack(s, dir)),
     "x_fertility" -> ((s, dir) => fertility(s, dir)),
     "x_source_quality" -> ((s, dir) => sourceQuality(s, dir)),
@@ -1677,6 +1678,41 @@ private[graft] object CorpusQueries {
         (sum(col("__ntok")) <= sum(col("__chars")) &&
           sum(col("__ntok")) >= sum(col("__newords"))).cast("long").as("bounds_ok"),
         (sum(col("__ntok")) < sum(col("__chars"))).cast("long").as("merged_ok"))
+  }
+
+  /** x_unigram_encode: the SentencePiece-style unigram-LM tokenizer
+    * (TextAnalysis.unigramTrain — integer-bit hard-EM over the word
+    * census — + the codegen'd graft_unigram_encode Viterbi kernel),
+    * trained at vocabSize 200 and applied corpus-wide. Piece
+    * identities are engine-internal (the x_bpe_encode rationale), so
+    * the gate is the census+invariant form: SQL-replayable corpus
+    * masses plus bits over the REAL encode — reconstruction
+    * (concatenated pieces = text sans spaces, every doc), bounds
+    * (non-empty words ≤ pieces ≤ non-space chars), and compression
+    * (the inventory's multi-char pieces actually engage: strictly
+    * fewer pieces than chars). Exact segmentations, tie-breaks, OOV
+    * fallback, and train/encode agreement are TextAnalysisSpec-pinned. */
+  private def unigramEncodeCensus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pieces = TextAnalysis.unigramTrain(docs, "text", vocabSize = 200)
+    val toks = TextAnalysis.tokens(col("text"))
+    TextAnalysis.unigramEncode(docs.where(col("text").isNotNull), "text",
+        pieces, "__toks")
+      .select(
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("__chars"),
+        size(toks).cast("long").as("__words"),
+        size(filter(toks, w => length(w) > 0)).cast("long").as("__newords"),
+        size(col("__toks")).cast("long").as("__ntok"),
+        (concat_ws("", col("__toks")) ===
+          regexp_replace(col("text"), " ", "")).cast("long").as("__rec"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("total_chars"),
+        sum(col("__words")).as("total_words"),
+        (count(lit(1)) === sum(col("__rec"))).cast("long").as("reconstruct_ok"),
+        (sum(col("__ntok")) <= sum(col("__chars")) &&
+          sum(col("__ntok")) >= sum(col("__newords"))).cast("long").as("bounds_ok"),
+        (sum(col("__ntok")) < sum(col("__chars"))).cast("long").as("compressed_ok"))
   }
 
   /** x_stream_group_budget: per-language token quotas enforced DURING
@@ -4373,6 +4409,15 @@ private[graft] object CorpusQueries {
         | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
         | CAST(1 AS BIGINT) AS reconstruct_ok, CAST(1 AS BIGINT) AS bounds_ok,
         | CAST(1 AS BIGINT) AS merged_ok
+        | FROM documents WHERE text IS NOT NULL""".stripMargin.replaceAll("\n", " "),
+    // Unigram tokenizer: same census+invariant gate form as BPE (piece
+    // identities are engine-internal; masses replay, bits are hard 1s).
+    "x_unigram_encode" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(len(replace(text, ' ', ''))) AS BIGINT) AS total_chars,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+        | CAST(1 AS BIGINT) AS reconstruct_ok, CAST(1 AS BIGINT) AS bounds_ok,
+        | CAST(1 AS BIGINT) AS compressed_ok
         | FROM documents WHERE text IS NOT NULL""".stripMargin.replaceAll("\n", " "),
     // Per-source dashboard replayed end-to-end: the x_surprisal LM
     // folded per source in integer milli-bits, the Gopher flags'

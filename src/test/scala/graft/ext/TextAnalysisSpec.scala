@@ -561,4 +561,60 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
       "prediction must not depend on partitioning")
   }
+
+  test("unigramSegment: min-bits Viterbi, longer-piece tie-break, OOV fallback") {
+    import graft.functions.{Kernels, UnigramTable}
+    def tab(es: (String, Long)*) =
+      new UnigramTable(es.map { case (p, b) => s"$p\t$b" }.toArray)
+    // A cheap "ab" piece beats character paths.
+    val t1 = tab("a" -> 3L, "b" -> 3L, "c" -> 4L, "ab" -> 2L)
+    assert(Kernels.unigramSegment("ababc", t1).toSeq == Seq("ab", "ab", "c"))
+    // Exact cost tie ("ab" = 6 = a + b): the LONGER last piece wins.
+    val t2 = tab("a" -> 3L, "b" -> 3L, "ab" -> 6L)
+    assert(Kernels.unigramSegment("ab", t2).toSeq == Seq("ab"))
+    // Global min-bits beats greedy-longest-prefix: a+bc = 4 < ab+c = 10.
+    val t3 = tab("a" -> 2L, "b" -> 5L, "c" -> 9L, "ab" -> 1L, "bc" -> 2L)
+    assert(Kernels.unigramSegment("abc", t3).toSeq == Seq("a", "bc"))
+    // An out-of-inventory codepoint falls back to itself at OOV cost —
+    // segmentation never throws.
+    assert(Kernels.unigramSegment("axb", t1).toSeq == Seq("a", "x", "b"))
+    assert(Kernels.unigramSegment("", t1).isEmpty)
+  }
+
+  test("unigramEncode: the codegen kernel, per-word concatenation, null/empty") {
+    val pieces = Seq("a\t3", "b\t3", "c\t4", "ab\t2")
+    val docs = Seq((1L, "ababc ab"), (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramEncode(docs, "text", pieces, "toks")
+      .orderBy("doc_id").collect()
+    assert(got(0).getSeq[String](2) == Seq("ab", "ab", "c", "ab"))
+    assert(got(1).getSeq[String](2).isEmpty)
+    assert(got(2).isNullAt(2))
+  }
+
+  test("unigramTrain: char coverage, determinism, vocab cut, kernel reconstruction, compression") {
+    val docs = Seq((1L, "abab abab cd"), (2L, "abab cd xyz"))
+      .toDF("doc_id", "text")
+    val inv = TextAnalysis.unigramTrain(docs, "text", vocabSize = 8,
+      maxPieceLen = 4)
+    assert(inv == TextAnalysis.unigramTrain(docs, "text", vocabSize = 8,
+      maxPieceLen = 4), "training must be bit-deterministic")
+    val piecesOnly = inv.map(e => e.substring(0, e.lastIndexOf('\t')))
+    Seq("a", "b", "c", "d", "x", "y", "z").foreach(ch =>
+      assert(piecesOnly.contains(ch), s"char coverage must include '$ch'"))
+    // vocabSize 8 with 7 single chars leaves exactly one multi piece.
+    assert(piecesOnly.size == 8 &&
+      piecesOnly.count(_.length > 1) == 1, inv.toString)
+    inv.foreach { e =>
+      val i = e.lastIndexOf('\t')
+      assert(i > 0 && e.substring(i + 1).toLong >= 0L, e)
+    }
+    // The training corpus reconstructs through the encode kernel, and
+    // the multi-char piece actually engages (compression).
+    val enc = TextAnalysis.unigramEncode(docs, "text", inv, "toks")
+    assert(enc.where(concat_ws("", col("toks")) =!=
+      regexp_replace(col("text"), " ", "")).count() == 0L)
+    val nPieces = enc.agg(sum(size(col("toks")))).head().getLong(0)
+    assert(nPieces < 19L, s"expected compression below 19 chars, got $nPieces")
+  }
 }

@@ -55,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_unigram_encode"),
       GraftFunctionBuilders.unigramEncodeInfo,
       GraftFunctionBuilders.unigramEncodeBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_wav_meta"),
+      GraftFunctionBuilders.wavMetaInfo,
+      GraftFunctionBuilders.wavMetaBuilder _))
     // Opt-in approximate similarity-join rewrite (see
     // graft.plans.ApproxSimilarityJoin — off unless
     // spark.graft.approxSimilarityJoin=true).

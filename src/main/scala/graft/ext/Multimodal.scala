@@ -123,6 +123,43 @@ object Multimodal {
       .toDF(idCol, "format", "width", "height")
   }
 
+  /** WAV audio-header metadata through the same two-path contract —
+    * the audio sibling of [[imageDims]] (Kernels.wavMeta: RIFF chunk
+    * scan to "fmt ", pure JVM, null-not-throw). Returns
+    * struct<format,channels,sample_rate,bits_per_sample>. */
+  def wavMeta(payload: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    require(spark.catalog.functionExists("graft_wav_meta"),
+      "graft_wav_meta needs spark.sql.extensions=graft.GraftExtensions")
+    call_function("graft_wav_meta", payload)
+  }
+
+  /** The mapPartitions twin of [[wavMeta]] — same parser, batched
+    * plumbing; x_wav_meta gates per-row parity. Output: (idCol,
+    * format, channels, sample_rate, bits_per_sample), all decode
+    * columns null for undecodable payloads. */
+  def decodeWavMetaBatched(df: DataFrame, idCol: String,
+                           payloadCol: String,
+                           batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            graft.functions.Kernels.wavMeta(bytes) match {
+              case null => (id, null: String, None: Option[Int],
+                None: Option[Int], None: Option[Int])
+              case r => (id, r.getUTF8String(0).toString,
+                Some(r.getInt(1)), Some(r.getInt(2)), Some(r.getInt(3)))
+            }
+          }
+        }
+      }
+      .toDF(idCol, "format", "channels", "sample_rate", "bits_per_sample")
+  }
+
   /** Batched decode over partitions — the Scala shape of a Python
     * `mapInPandas` decode: rows stream through in `batchSize` groups so
     * a real codec can amortize per-batch setup (model load, native

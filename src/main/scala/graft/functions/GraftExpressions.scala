@@ -733,6 +733,21 @@ object Kernels {
       if (w > 0 && h > 0) return row("gif", w, h)
       return null
     }
+    // BMP: "BM" file header, then a DIB header whose size field tells
+    // the layout; BITMAPINFOHEADER and later (size >= 40) carry
+    // little-endian i32 width/height at offsets 18/22 (height may be
+    // negative = top-down rows; magnitude is the dimension).
+    if (n >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
+      val dibSize = le16(14).toLong | (le16(16).toLong << 16)
+      if (dibSize < 40L) return null // BITMAPCOREHEADER not supported
+      val wRaw = le16(18).toLong | (le16(20).toLong << 16)
+      val hRaw = le16(22).toLong | (le16(24).toLong << 16)
+      val w = wRaw.toInt // i32 reassembled from the two LE halves
+      val h = math.abs(hRaw.toInt).toLong
+      if (w > 0 && h > 0L && h <= Int.MaxValue)
+        return row("bmp", w, h.toInt)
+      return null
+    }
     // JPEG: SOI, then marker segments until the first frame header
     // (SOF0–SOF15 minus the non-frame C4/C8/CC). Dimensions always
     // precede scan data, so hitting SOS or EOI first = malformed.
@@ -762,6 +777,50 @@ object Kernels {
         }
       }
       return null
+    }
+    null
+  }
+
+  /** WAV audio-header metadata — the audio sibling of [[imageDims]]
+    * (RIFF container, public format): a "RIFF…WAVE" signature, then a
+    * chunk scan (4-byte id + little-endian u32 size, chunks padded to
+    * even offsets) to the "fmt " chunk, whose PCM fields are
+    * little-endian — format tag u16, channels u16, sample rate u32,
+    * bits-per-sample u16. Returns an InternalRow (format UTF8String
+    * "wav", channels Int, sample_rate Int, bits_per_sample Int), or
+    * null for anything that is not a well-formed WAV head — same
+    * doctrine as imageDims: byte soup classifies, never throws. */
+  def wavMeta(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    if (bytes == null || bytes.length < 36) return null
+    def u(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32(i: Int): Long =
+      u(i).toLong | (u(i + 1).toLong << 8) | (u(i + 2).toLong << 16) |
+        (u(i + 3).toLong << 24)
+    val n = bytes.length
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+        bytes(10) == 'V' && bytes(11) == 'E')) return null
+    var i = 12
+    while (i + 8 <= n) {
+      val isFmt = bytes(i) == 'f' && bytes(i + 1) == 'm' &&
+        bytes(i + 2) == 't' && bytes(i + 3) == ' '
+      val size = le32(i + 4)
+      if (isFmt) {
+        if (size < 16L || i + 8 + 16 > n) return null
+        val channels = le16(i + 10)
+        val rate = le32(i + 12)
+        val bits = le16(i + 22)
+        if (channels > 0 && rate > 0L && rate <= Int.MaxValue && bits > 0)
+          return new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString("wav"),
+              channels, rate.toInt, bits))
+        return null
+      }
+      if (size < 0L || size > Int.MaxValue) return null
+      // Chunks are word-aligned: odd sizes carry one pad byte.
+      i += 8 + size.toInt + (size.toInt & 1)
     }
     null
   }
@@ -1803,6 +1862,48 @@ object GraftImageDims {
     StructField("height", IntegerType, nullable = false)))
 }
 
+/** WAV audio-header metadata (binary → struct<format string, channels
+  * int, sample_rate int, bits_per_sample int>, null when undecodable)
+  * — the audio sibling of [[GraftImageDims]], backed by
+  * [[Kernels.wavMeta]] (RIFF chunk scan to "fmt ", pure JVM).
+  * Registered as `graft_wav_meta`; x_wav_meta gates it with in-plan
+  * synthesized RIFF headers. */
+case class GraftWavMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = GraftWavMeta.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_wav_meta expects binary, got $dt")
+    }
+
+  override def nullSafeEval(payload: Any): Any =
+    Kernels.wavMeta(payload.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |${ev.value} = graft.functions.Kernels.wavMeta($v);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GraftWavMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false)))
+}
+
 object GraftFunctionBuilders {
 
   private[functions] def intLit(e: Expression, what: String): Int = e match {
@@ -1890,6 +1991,11 @@ object GraftFunctionBuilders {
       "graft_unigram_encode")
   def unigramEncodeBuilder(exprs: Seq[Expression]): Expression =
     GraftUnigramEncode(exprs(0), exprs(1))
+
+  val wavMetaInfo =
+    new ExpressionInfo(classOf[GraftWavMeta].getName, "graft_wav_meta")
+  def wavMetaBuilder(exprs: Seq[Expression]): Expression =
+    GraftWavMeta(exprs(0))
 
   val pqEncodeInfo =
     new ExpressionInfo(classOf[GraftPqEncode].getName, "graft_pq_encode")

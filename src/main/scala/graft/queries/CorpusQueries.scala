@@ -129,6 +129,7 @@ private[graft] object CorpusQueries {
         .orderBy(col("doc_id"))),
     "x_multimodal_decode" -> ((s, dir) => decodeParity(s, dir)),
     "x_image_dims" -> ((s, dir) => imageDimsGate(s, dir)),
+    "x_wav_meta" -> ((s, dir) => wavMetaGate(s, dir)),
     "x_approx_distinct" -> ((s, dir) =>
       // HLL++ cardinality — the sketch the exact-dedup census upgrades
       // to at 100 TB (no full-key shuffle). The estimate itself is
@@ -586,8 +587,9 @@ private[graft] object CorpusQueries {
     * in-plan from doc_id arithmetic (unhex of the documented header
     * layouts: PNG signature+IHDR with big-endian u32 dims, JFIF
     * APP0 → SOF0 marker stream with big-endian u16 dims, GIF89a
-    * logical screen descriptor with little-endian u16 dims, plus a
-    * TRUNCATED png per 4th row that must decode to null) — so the
+    * logical screen descriptor with little-endian u16 dims, BMP
+    * BITMAPINFOHEADER with little-endian i32 dims, plus a
+    * TRUNCATED png per 5th row that must decode to null) — so the
     * oracle replays format/width/height from the same arithmetic with
     * zero byte knowledge. The output rides the codegen'd
     * graft_image_dims expression; `paths_agree` is the per-row parity
@@ -610,11 +612,17 @@ private[graft] object CorpusQueries {
       hexN(hC, 4), hexN(wC, 4), lit("03011100021101031101"))
     val gifHex = concat(lit("474946383961"), le16(wC), le16(hC),
       lit("F70000"))
+    // BMP: "BM" file header (size/reserved/offset ignored by the
+    // parser), BITMAPINFOHEADER (40) with LE i32 dims (< 2^16 here,
+    // so the high half is zero).
+    val bmpHex = concat(lit("424D000000000000000036000000" + "28000000"),
+      le16(wC), lit("0000"), le16(hC), lit("0000"))
     val truncHex = lit("89504E470D0A1A0A0000000D") // signature, no IHDR
-    val sel = pmod(col("doc_id"), lit(4))
+    val sel = pmod(col("doc_id"), lit(5))
     val payloads = Tables.documents(s, dir).select(col("doc_id"),
       unhex(when(sel === 0, pngHex).when(sel === 1, jpegHex)
-        .when(sel === 2, gifHex).otherwise(truncHex)).as("payload"))
+        .when(sel === 2, gifHex).when(sel === 3, bmpHex)
+        .otherwise(truncHex)).as("payload"))
     val viaExpr = payloads
       .select(col("doc_id"), Multimodal.imageDims(col("payload")).as("d"))
       .select(col("doc_id"), col("d.format").as("format"),
@@ -628,6 +636,57 @@ private[graft] object CorpusQueries {
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           (col("format") <=> col("__f") && col("width") <=> col("__w") &&
             col("height") <=> col("__h")).cast("long").as("paths_agree"))
+        .orderBy(col("doc_id")))
+  }
+
+  /** x_wav_meta: the AUDIO half of the real-decoder story — WAV
+    * header metadata (Kernels.wavMeta: RIFF chunk scan to "fmt ",
+    * little-endian PCM fields) through the same two-path contract as
+    * x_image_dims. The in-plan RIFF synthesis puts a JUNK chunk
+    * before "fmt " so the chunk scan (not just a fixed offset) is
+    * what the oracle certifies; every 4th row is a truncated RIFF
+    * that must decode to null. channels/rate/bits derive from doc_id
+    * arithmetic; `paths_agree` is the per-row expression-vs-batched
+    * parity bit, hard 1. */
+  private def wavMetaGate(s: SparkSession, dir: String): DataFrame = {
+    val ch = (lit(1) + pmod(col("doc_id"), lit(8))).cast("int")
+    val rate = (lit(8000) + pmod(col("doc_id"), lit(8)) * 4000).cast("int")
+    val bits = (lit(8) * (lit(1) + pmod(col("doc_id"), lit(3)))).cast("int")
+    def hexN(c: org.apache.spark.sql.Column, n: Int) =
+      lpad(hex(c), n, "0")
+    def le16(c: org.apache.spark.sql.Column) =
+      concat(hexN(pmod(c, lit(256)), 2), hexN(shiftright(c, 8), 2))
+    def le32(c: org.apache.spark.sql.Column) = concat(le16(c), lit("0000"))
+    val wavHex = concat(
+      lit("52494646" + "24000000" + "57415645"), // RIFF size WAVE
+      lit("4A554E4B" + "04000000" + "DEADBEEF"), // JUNK chunk, size 4
+      lit("666D7420" + "10000000" + "0100"), // fmt , size 16, PCM
+      le16(ch), le32(rate),
+      lit("00000000" + "0400"), // byte rate (unread), block align
+      le16(bits))
+    val truncHex = lit("524946462400000057415645") // RIFF…WAVE, no fmt
+    val payloads = Tables.documents(s, dir).select(col("doc_id"),
+      unhex(when(pmod(col("doc_id"), lit(4)) === 3, truncHex)
+        .otherwise(wavHex)).as("payload"))
+    val viaExpr = payloads
+      .select(col("doc_id"), Multimodal.wavMeta(col("payload")).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.channels").as("channels"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.bits_per_sample").as("bits_per_sample"))
+    val viaBatch = Multimodal
+      .decodeWavMetaBatched(payloads, "doc_id", "payload")
+      .select(col("doc_id"), col("format").as("__f"),
+        col("channels").as("__c"), col("sample_rate").as("__r"),
+        col("bits_per_sample").as("__b"))
+    graft.ext.Checkpoints.stage(
+      viaExpr.join(viaBatch, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bits_per_sample"),
+          (col("format") <=> col("__f") && col("channels") <=> col("__c") &&
+            col("sample_rate") <=> col("__r") &&
+            col("bits_per_sample") <=> col("__b")).cast("long")
+            .as("paths_agree"))
         .orderBy(col("doc_id")))
   }
 
@@ -3183,12 +3242,26 @@ private[graft] object CorpusQueries {
     // expression-vs-batched parity bit is a hard 1.
     "x_image_dims" ->
       """SELECT doc_id,
-        | CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-        |  WHEN 2 THEN 'gif' END AS format,
-        | CASE WHEN doc_id % 4 = 3 THEN NULL
+        | CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |  WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' END AS format,
+        | CASE WHEN doc_id % 5 = 4 THEN NULL
         |  ELSE CAST(16 + doc_id % 512 AS INT) END AS width,
-        | CASE WHEN doc_id % 4 = 3 THEN NULL
+        | CASE WHEN doc_id % 5 = 4 THEN NULL
         |  ELSE CAST(16 + (doc_id * 7) % 512 AS INT) END AS height,
+        | CAST(1 AS BIGINT) AS paths_agree
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // WAV audio-header metadata: the in-plan RIFF synthesis includes a
+    // JUNK chunk before "fmt " so the chunk scan is exercised; fields
+    // replay from doc_id arithmetic, truncated rows decode to null.
+    "x_wav_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 'wav' END AS format,
+        | CASE WHEN doc_id % 4 = 3 THEN NULL
+        |  ELSE CAST(1 + doc_id % 8 AS INT) END AS channels,
+        | CASE WHEN doc_id % 4 = 3 THEN NULL
+        |  ELSE CAST(8000 + (doc_id % 8) * 4000 AS INT) END AS sample_rate,
+        | CASE WHEN doc_id % 4 = 3 THEN NULL
+        |  ELSE CAST(8 * (1 + doc_id % 3) AS INT) END AS bits_per_sample,
         | CAST(1 AS BIGINT) AS paths_agree
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // Exact-k sampling replayed in SQL: same hash, same (h, id) order.

@@ -59,6 +59,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dims(gif(65535, 1, ver = '7')) == Some(("gif", 65535, 1)))
   }
 
+  private def bmp(w: Int, h: Int): Array[Byte] =
+    bytes('B', 'M', 0, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0,
+      40, 0, 0, 0,
+      w & 0xff, (w >> 8) & 0xff, (w >> 16) & 0xff, (w >>> 24) & 0xff,
+      h & 0xff, (h >> 8) & 0xff, (h >> 16) & 0xff, (h >>> 24) & 0xff,
+      1, 0, 24, 0)
+
+  private def wav(ch: Int, rate: Int, bits: Int): Array[Byte] =
+    bytes('R', 'I', 'F', 'F', 0x24, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'J', 'U', 'N', 'K', 4, 0, 0, 0, 1, 2, 3, 4, // scanned past
+      'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0, ch & 0xff, (ch >> 8) & 0xff,
+      rate & 0xff, (rate >> 8) & 0xff, (rate >> 16) & 0xff,
+      (rate >>> 24) & 0xff,
+      0, 0, 0, 0, 4, 0, bits & 0xff, (bits >> 8) & 0xff)
+
+  test("BMP dims incl. top-down negative height; WAV fmt scan past junk chunks") {
+    assert(dims(bmp(800, 600)) == Some(("bmp", 800, 600)))
+    // Top-down BMP: negative height, magnitude is the dimension.
+    assert(dims(bmp(31, -17)) == Some(("bmp", 31, 17)))
+    assert(dims(bmp(0, 10)) == None) // zero width out of spec
+    assert(dims(bmp(8, 8).take(25)) == None) // cut inside height
+    def meta(b: Array[Byte]): Option[(String, Int, Int, Int)] =
+      graft.functions.Kernels.wavMeta(b) match {
+        case null => None
+        case r => Some((r.getUTF8String(0).toString, r.getInt(1),
+          r.getInt(2), r.getInt(3)))
+      }
+    assert(meta(wav(2, 44100, 16)) == Some(("wav", 2, 44100, 16)))
+    assert(meta(wav(1, 8000, 8)) == Some(("wav", 1, 8000, 8)))
+    assert(meta(null) == None)
+    assert(meta("RIFFxxxxWAVE".getBytes("UTF-8")) == None) // no fmt
+    assert(meta(wav(2, 44100, 16).take(40)) == None) // cut inside fmt
+    assert(meta(wav(0, 44100, 16)) == None) // zero channels
+    assert(meta("not audio at all, just words".getBytes("UTF-8")) == None)
+    // Expression + batched twin agree (the x_wav_meta contract).
+    val docs = Seq(1L -> wav(2, 48000, 24), 2L -> wav(6, 16000, 8),
+      3L -> "junk".getBytes("UTF-8"), 4L -> (null: Array[Byte]))
+      .toDF("doc_id", "payload")
+    val e = docs.select(col("doc_id"),
+        Multimodal.wavMeta(col("payload")).as("m"))
+      .select(col("doc_id"), col("m.format"), col("m.channels"),
+        col("m.sample_rate"), col("m.bits_per_sample"))
+      .orderBy("doc_id").collect()
+    val b = Multimodal.decodeWavMetaBatched(docs, "doc_id", "payload",
+      batchSize = 2).orderBy("doc_id").collect()
+    e.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+    assert(e(0).getInt(3) == 48000 && e(1).getInt(2) == 6)
+    assert(e(2).isNullAt(1) && e(3).isNullAt(1))
+  }
+
   test("malformed byte soup decodes to null, never throws") {
     assert(dims(null) == None)
     assert(dims(Array.emptyByteArray) == None)

@@ -2033,6 +2033,72 @@ object ScaleBench {
       s""""orphan_bytes":$orphanBytes,"vacuum_t":${fmt(tVacuum)}}}"""
   }
 
+  /** `curation-stream-only`: the streaming curation pipeline
+    * (Curation.streamCurate) at corpus scale — the composition's
+    * claim is "per-batch contact = the batch's own per-row work plus
+    * one fingerprint-column anti-join against the accumulated index",
+    * so the wall must track the corpus while every count stays EXACT.
+    * Synthetic corpus: n = 20000·m docs, every 4th an exact dup of an
+    * earlier text (ids ≡ 3 mod 4 repeat id−3's text), all texts
+    * gate-passing by construction (24 tokens, one stopword, distinct
+    * words, avg length in band — the CurationSpec recipe), five
+    * id-keyed shard files → five micro-batches. Gates: 5 batches,
+    * survivors = distinct texts = 3n/4 (exact — survivor IDENTITY
+    * depends on arrival order, the COUNT does not), fingerprint index
+    * = one row per distinct text, token mass = 24·survivors. */
+  def curationStreamPoint(spark: SparkSession, dir: String,
+                          scale: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val n = 20000L * scale
+    val sink = s"graft_scale_curation_x$scale"
+    Seq(sink, graft.ext.Curation.fingerprintIndexOf(sink))
+      .foreach(graft.io.Writer.dropTableAndLocation(spark, _))
+    val base = when(pmod(col("id"), lit(4)) === 3, col("id") - 3)
+      .otherwise(col("id"))
+    val docs = spark.range(0, n, 1, 32).toDF("id")
+      .select(col("id").as("doc_id"),
+        concat(lit("the "),
+          array_join(transform(sequence(lit(1), lit(23)), j =>
+            concat(lit("w"), base.cast("string"), lit("x"),
+              j.cast("string"))), " ")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val ioBase = Files.createTempDirectory("graft_scale_curation_").toString
+    val inDir = s"$ioBase/in"
+    Files.createDirectories(Paths.get(inDir))
+    (0 until 5).foreach { k =>
+      val w = s"$ioBase/w$k"
+      docs.where(pmod(col("doc_id"), lit(5)) === k)
+        .coalesce(1).write.mode("overwrite").parquet(w)
+      val part = new java.io.File(w).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part under $w"))
+      Files.move(part.toPath, Paths.get(inDir, s"shard_$k.parquet"))
+    }
+    spark.sqlContext.clearCache()
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val ((acc, nBatches), wall) = timed {
+      graft.ext.Curation.streamCurate(spark, sink, stream,
+        "doc_id", "text", queryName = s"scale_curation_x$scale")
+    }
+    require(nBatches == 5, s"expected 5 micro-batches, got $nBatches")
+    val expected = n - n / 4
+    val got = acc.agg(count(lit(1)), coalesce(sum(col("n_tok")), lit(0L)))
+      .first()
+    require(got.getLong(0) == expected,
+      s"survivors ${got.getLong(0)} != $expected")
+    require(got.getLong(1) == 24L * expected,
+      s"token mass ${got.getLong(1)} != ${24L * expected}")
+    val fpRows = spark.table(graft.ext.Curation.fingerprintIndexOf(sink))
+      .count()
+    require(fpRows == expected, s"fp index $fpRows != $expected")
+    Seq(sink, graft.ext.Curation.fingerprintIndexOf(sink))
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS `$x`"))
+    s"""{"curation_stream":{"scale":$scale,"n_docs":$n,"batches":5,""" +
+      s""""survivors":$expected,"wall_s":${fmt(wall)}}}"""
+  }
+
   def vecDriftPoint(spark: SparkSession, dir: String, scale: Int): String = {
     import graft.ext.IvfIndex
     val n = 2000L * scale
@@ -3004,6 +3070,14 @@ object ScaleBench {
     if (args.contains("ops-only")) {
       opsPoint(spark, outBase, 1)
       scales.foreach(m => println(opsPoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `curation-stream-only`: the streaming curation pipeline's wall
+    // vs corpus scale, counts exact at every m.
+    if (args.contains("curation-stream-only")) {
+      curationStreamPoint(spark, outBase, 1)
+      scales.foreach(m => println(curationStreamPoint(spark, outBase, m)))
       spark.stop()
       return
     }

@@ -801,8 +801,13 @@ object Kernels {
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
         bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
         bytes(10) == 'V' && bytes(11) == 'E')) return null
-    var i = 12
-    while (i + 8 <= n) {
+    // The cursor is a Long: a crafted chunk size near 2^31 would
+    // overflow an Int cursor into a negative index and THROW — the
+    // exact crash the never-throw doctrine forbids (caught by the
+    // KernelProps byte-soup fuzz while writing it).
+    var iL = 12L
+    while (iL + 8L <= n) {
+      val i = iL.toInt
       val isFmt = bytes(i) == 'f' && bytes(i + 1) == 'm' &&
         bytes(i + 2) == 't' && bytes(i + 3) == ' '
       val size = le32(i + 4)
@@ -818,9 +823,8 @@ object Kernels {
               channels, rate.toInt, bits))
         return null
       }
-      if (size < 0L || size > Int.MaxValue) return null
       // Chunks are word-aligned: odd sizes carry one pad byte.
-      i += 8 + size.toInt + (size.toInt & 1)
+      iL += 8L + size + (size & 1L)
     }
     null
   }

@@ -94,6 +94,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta(wav(2, 44100, 16).take(40)) == None) // cut inside fmt
     assert(meta(wav(0, 44100, 16)) == None) // zero channels
     assert(meta("not audio at all, just words".getBytes("UTF-8")) == None)
+    // A crafted chunk size near 2^31 must not overflow the cursor into
+    // a negative index (the fuzz-found Int-cursor crash): both the
+    // max-positive and the max-u32 size walk safely off the end.
+    assert(meta(bytes('R', 'I', 'F', 'F', 0x24, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'J', 'U', 'N', 'K', 0xff, 0xff, 0xff, 0x7f,
+      1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)) == None)
+    assert(meta(bytes('R', 'I', 'F', 'F', 0x24, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'J', 'U', 'N', 'K', 0xff, 0xff, 0xff, 0xff,
+      1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)) == None)
     // Expression + batched twin agree (the x_wav_meta contract).
     val docs = Seq(1L -> wav(2, 48000, 24), 2L -> wav(6, 16000, 8),
       3L -> "junk".getBytes("UTF-8"), 4L -> (null: Array[Byte]))

@@ -264,4 +264,87 @@ object KernelProps extends Properties("Kernels") {
               expect.asInstanceOf[java.lang.Double].doubleValue()))
       }
     }
+
+  // --- header decoders (imageDims / wavMeta): the null-not-throw
+  // doctrine fuzzed — crawler byte soup must CLASSIFY, never crash ---
+
+  private val byteSoup: Gen[Array[Byte]] =
+    Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte))
+  // Soup biased to start like a real container, so the fuzz spends its
+  // budget INSIDE the parsers (marker scans, chunk walks, truncation
+  // edges) instead of bouncing off the signature checks.
+  private def sigBytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+  private val signedSoup: Gen[Array[Byte]] = for {
+    sig <- Gen.oneOf(
+      sigBytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      sigBytes(0xff, 0xd8),
+      sigBytes('G', 'I', 'F', '8', '9', 'a'),
+      sigBytes('B', 'M'),
+      sigBytes('R', 'I', 'F', 'F', 0x24, 0, 0, 0, 'W', 'A', 'V', 'E'))
+    tail <- byteSoup
+  } yield sig ++ tail
+
+  property("imageDims never throws and any decode has a known format and positive dims") =
+    forAll(Gen.oneOf(byteSoup, signedSoup)) { bs =>
+      Kernels.imageDims(bs) match {
+        case null => true
+        case r =>
+          Set("png", "jpeg", "gif", "bmp")(r.getUTF8String(0).toString) &&
+            r.getInt(1) > 0 && r.getInt(2) > 0
+      }
+    }
+
+  property("wavMeta never throws and any decode has positive PCM fields") =
+    forAll(Gen.oneOf(byteSoup, signedSoup)) { bs =>
+      Kernels.wavMeta(bs) match {
+        case null => true
+        case r => r.getUTF8String(0).toString == "wav" &&
+          r.getInt(1) > 0 && r.getInt(2) > 0 && r.getInt(3) > 0
+      }
+    }
+
+  // --- unigram encode ---
+
+  private val pieceGen: Gen[Array[String]] = Gen.listOf(for {
+    p <- Gen.oneOf("a", "b", "c", "d", "ab", "bc", "cd", "abc", "abcd")
+    bits <- Gen.chooseNum(0L, 30L)
+  } yield s"$p\t$bits").map(_.groupBy(_.split("\t")(0)).values
+    .map(_.head).toArray)
+
+  private def uniEncode(text: String, pieces: Array[String]): Seq[String] = {
+    val arr = Kernels.unigramEncode(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text),
+      new UnigramTable(if (pieces.isEmpty) Array("a\t1") else pieces))
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  property("unigramEncode reconstruction: concat of pieces == text minus spaces, any inventory") =
+    forAll(bpeTextGen, pieceGen) { (text, pieces) =>
+      uniEncode(text, pieces).mkString == text.replace(" ", "")
+    }
+
+  property("unigramEncode pieces are inventory members or single OOV codepoints") =
+    forAll(bpeTextGen, pieceGen) { (text, pieces) =>
+      val inv = pieces.map(_.split("\t")(0)).toSet + "a"
+      uniEncode(text, pieces).forall(p => inv(p) || p.length == 1)
+    }
+
+  property("unigramSegment is optimal: no split of any piece into inventory halves is cheaper") =
+    forAll(bpeTextGen, pieceGen) { (text, pieces) =>
+      // Cost of the chosen segmentation must be <= the all-singles
+      // baseline cost (both computable from the same table).
+      val table = new UnigramTable(
+        if (pieces.isEmpty) Array("a\t1") else pieces)
+      def bits(p: String): Long = {
+        val c = table.cost.get(p)
+        if (c != null) c.longValue()
+        else if (p.length == 1) Kernels.UnigramOovBits
+        else Long.MaxValue / 4
+      }
+      text.split(" ", -1).forall { w =>
+        val chosen = Kernels.unigramSegment(w, table).map(bits).sum
+        val singles = w.map(ch => bits(ch.toString)).sum
+        chosen <= singles
+      }
+    }
 }

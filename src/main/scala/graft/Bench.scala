@@ -10,6 +10,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // House overwrite discipline: every partitioned overwrite-insert
+      // is a dynamic per-partition replace (Writer
+      // .ensureDynamicOverwrite doc) — set once at startup so the
+      // library's latch never has to mutate conf mid-run.
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -37,8 +37,14 @@ object BenchFloor {
     * real regression (> 1.5× the machinery cost) still flags. Applies
     * ONLY here — data-scaled queries keep the pure ratchet. */
   val FixedCostMinSec: Map[String, Double] = Map(
-    "x_stream_interval_join" -> 6.0,
-    "x_stream_outer_join" -> 6.0,
+    // r21 re-based: the stateful stream joins' state partitions are
+    // now sized to input bytes (StreamOps.scaledStatePartitions), so
+    // the fixed state-store machinery dropped from ~6–7 s to ~3–4.5 s
+    // quiet (measured this round: interval 9.5 → 2.7 s in the sizing
+    // experiment, 3.1 s through the full query; outer ~4.5 s). The
+    // old 6.0 clamps would hide any regression below 9 s.
+    "x_stream_interval_join" -> 3.0,
+    "x_stream_outer_join" -> 3.5,
     "x_connected_components" -> 1.5,
     //   - x_index_census / x_decontaminate: catalog + FS-listing
     //     metadata ops (census) and a broadcast-semi over a tiny eval
@@ -49,7 +55,10 @@ object BenchFloor {
     //     noise), decontaminate quiet ≈ 1.04–1.33 s (lucky floor 0.75,
     //     same story). The clamps put the 1.5× flag line above the
     //     loaded steady state, the same sizing rule as above.
-    "x_index_census" -> 0.8,
+    // r21: the census's per-family jobs now overlap (IndexOps via
+    // Par) — quiet cost ~0.3–0.4 s; the 0.8 clamp would hide any
+    // regression below 1.2 s.
+    "x_index_census" -> 0.4,
     "x_decontaminate" -> 1.0)
 
   /** [[FixedCostMinSec]] applied to a floor map (read-side and
@@ -213,8 +222,19 @@ object BenchFloor {
     var i = 0
     var lastWs = true
     def at(s: String): Boolean = src.startsWith(s, i)
+    // NEWLINE-AWARE collapse (ADVICE r20): a whitespace run that
+    // contains a newline collapses to '\n', a pure-space run to ' ' —
+    // Scala's semicolon inference makes some newline-vs-space edits
+    // semantically different (`return\nexpr` vs `return expr`), and
+    // collapsing both identically would hash a REAL code change as
+    // identical (the dangerous direction). Re-indents stay invisible;
+    // line-structure changes alter the fingerprint.
     def emitCode(c: Char): Unit =
-      if (c.isWhitespace) { if (!lastWs) { sb.append(' '); lastWs = true } }
+      if (c.isWhitespace) {
+        if (!lastWs) { sb.append(if (c == '\n') '\n' else ' '); lastWs = true }
+        else if (c == '\n' && sb.nonEmpty && sb.charAt(sb.length - 1) == ' ')
+          sb.setCharAt(sb.length - 1, '\n')
+      }
       else { sb.append(c); lastWs = false }
     def emitRaw(c: Char): Unit = { sb.append(c); lastWs = false }
 
@@ -228,12 +248,15 @@ object BenchFloor {
           emitCode(' ') // comments separate tokens: `a//x\nb` != `ab`
         } else if (at("/*")) {
           var d = 1; i += 2
+          var sawNl = false
           while (i < n && d > 0) {
             if (at("/*")) { d += 1; i += 2 }
             else if (at("*/")) { d -= 1; i += 2 }
-            else i += 1
+            else { if (src(i) == '\n') sawNl = true; i += 1 }
           }
-          emitCode(' ')
+          // A block comment spanning lines counts as a line end for
+          // the scanner's semicolon inference — keep the newline.
+          emitCode(if (sawNl) '\n' else ' ')
         } else if (src(i) == '"') {
           scanString()
         } else if (src(i) == '\'') {

@@ -166,10 +166,12 @@ object ParityQueries {
       // Structured Streaming twin of q_daily_counts: readStream →
       // watermark → tumbling 1-day window → memory sink, bounded run.
       // Same rows as the batch query — one oracle serves both.
-      graft.streaming.StreamOps.runAvailableNow(
-        graft.streaming.StreamOps.dailyCounts(
-          graft.streaming.StreamOps.eventsStream(s, dir)),
-        "stream_daily_counts")
+      graft.streaming.StreamOps.withScaledStatePartitions(s,
+          graft.streaming.StreamOps.eventsBytes(s, dir))(
+        graft.streaming.StreamOps.runAvailableNow(
+          graft.streaming.StreamOps.dailyCounts(
+            graft.streaming.StreamOps.eventsStream(s, dir)),
+          "stream_daily_counts"))
         .orderBy(col("day"))),
     "q_window_running_sum" -> ((s, dir) => windowRunningSum(s, dir)),
     "q_rollup_pricing" -> ((s, dir) =>

@@ -2053,13 +2053,26 @@ object ScaleBench {
     val sink = s"graft_scale_curation_x$scale"
     Seq(sink, graft.ext.Curation.fingerprintIndexOf(sink))
       .foreach(graft.io.Writer.dropTableAndLocation(spark, _))
+    // ADVICE r20: the synthesized word grew with the id's digit count,
+    // so past scale 50 (ids ≥ 10⁷) n_cns crossed the quality gate's
+    // 10·n_tok band and the point's own require(survivors == expected)
+    // threw — a SILENT cliff just past the documented maximum. Fixed
+    // two ways: the id is lpad'd to 6 digits (doc length is now
+    // scale-INVARIANT through the full documented range — n_cns = 224,
+    // inside [3·24, 10·24] = [72, 240]; a wider pad cannot fit the
+    // 10-chars-per-token band at 24 tokens), and scales past the 6
+    // digits' 10⁶-id capacity are REFUSED loudly here instead of
+    // failing downstream in the gate band.
+    require(scale <= 50,
+      s"curationStreamPoint supports scale <= 50 (ids must fit 6 digits " +
+        s"for scale-invariant doc length inside the quality gate band); got $scale")
     val base = when(pmod(col("id"), lit(4)) === 3, col("id") - 3)
       .otherwise(col("id"))
     val docs = spark.range(0, n, 1, 32).toDF("id")
       .select(col("id").as("doc_id"),
         concat(lit("the "),
           array_join(transform(sequence(lit(1), lit(23)), j =>
-            concat(lit("w"), base.cast("string"), lit("x"),
+            concat(lit("w"), lpad(base.cast("string"), 6, "0"), lit("x"),
               j.cast("string"))), " ")).as("text"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     val ioBase = Files.createTempDirectory("graft_scale_curation_").toString

@@ -19,6 +19,8 @@ object Verify {
       // Legacy (non-ANSI) semantics: malformed cast / to_timestamp →
       // null, matching the oracle's TRY_-style functions (SURVEY §7.5).
       .config("spark.sql.ansi.enabled", "false")
+      // House overwrite discipline (Writer.ensureDynamicOverwrite doc).
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

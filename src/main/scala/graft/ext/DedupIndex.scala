@@ -42,7 +42,7 @@ object DedupIndex {
     * `band_hash`. Overwrites `table`. */
   def build(docs: DataFrame, idCol: String, textCol: String, table: String,
             params: Dedup.MinHashParams = Dedup.MinHashParams(),
-            nBuckets: Int = 16): Unit =
+            nBuckets: Int = 0): Unit =
     buildFromBands(Dedup.bands(docs, idCol, textCol, params), table, nBuckets)
 
   /** Persist a PRECOMPUTED (id, band_id, band_hash) table — for
@@ -51,8 +51,11 @@ object DedupIndex {
     * bucketed save, never a second shingle+minhash pass. Bands are
     * per-row, so any row-subset of a larger band table is a valid
     * index for that subset of docs. */
-  def buildFromBands(bands: DataFrame, table: String, nBuckets: Int = 16): Unit =
-    Writer.bucketedTable(bands, table, "band_hash", nBuckets)
+  def buildFromBands(bands: DataFrame, table: String, nBuckets: Int = 0): Unit =
+    // nBuckets ≤ 0 sizes buckets to the band frame's estimated bytes
+    // (Writer.scaledBuckets — r21, guide §6).
+    Writer.bucketedTable(bands, table, "band_hash",
+      if (nBuckets > 0) nBuckets else Writer.scaledBuckets(bands))
 
   /** Tombstone-delete docs from the band index — the takedown pattern
     * shared across the four index families (WinnowIndex's doc has the
@@ -74,7 +77,7 @@ object DedupIndex {
     * point, `removed` from one tombstone-side semi-join count.
     * Answer-stable; returns rows removed. */
   def purgeTombstones(spark: SparkSession, table: String,
-                      nBuckets: Int = 16): Long = {
+                      nBuckets: Int = 0): Long = {
     PurgeSwap.recover(spark, table)
     val t = table + "_tombstones"
     if (!spark.catalog.tableExists(t)) return 0L
@@ -82,11 +85,14 @@ object DedupIndex {
     val stones = broadcast(spark.table(t))
     val removed = spark.table(table).select(col("id"))
       .join(stones, Seq("id"), "left_semi").count()
+    // Rewrite reuses the LIVE table's bucket count by default (r21).
     Writer.bucketedTable(
       spark.table(table)
         .select(col("id"), col("band_id"), col("band_hash"))
         .join(stones, Seq("id"), "left_anti"),
-      PurgeSwap.stagingOf(table), "band_hash", nBuckets)
+      PurgeSwap.stagingOf(table), "band_hash",
+      if (nBuckets > 0) nBuckets
+      else Writer.bucketsOf(spark, table).getOrElse(16))
     PurgeSwap.swap(spark, table)
     spark.sql(s"DROP TABLE `$t`")
     removed

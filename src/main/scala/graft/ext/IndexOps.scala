@@ -134,7 +134,8 @@ object IndexOps {
     def snap(): Map[String, org.apache.spark.sql.Row] =
       census(spark, entries).collect().map(r => r.getString(0) -> r).toMap
     val before = snap()
-    val reclaimed: Map[String, Long] = plans.map { p =>
+    // Compactions act on disjoint family state — overlap them (Par doc).
+    val reclaimed: Map[String, Long] = Par.map(plans) { p =>
       val due = before(p.entry.family).getAs[Long]("compact_due")
       p.entry.family -> (if (due == 1L) p.compact(spark) else 0L)
     }.toMap
@@ -221,7 +222,10 @@ object IndexOps {
     val vac = key(vacuum(spark, entries))
 
     val freshB = key(freshness(spark, entries, corpus))
-    val appended: Map[String, Long] = plans.map { p =>
+    // Phases stay strictly ordered (vacuum → append → compact →
+    // rebalance — the safe order this doc fixes); WITHIN a phase the
+    // per-family actions touch disjoint state and overlap (Par doc).
+    val appended: Map[String, Long] = Par.map(plans) { p =>
       val stale = freshB(p.entry.family).getAs[Long]("stale") == 1L
       p.entry.family -> (p.append match {
         case Some(act) if stale =>
@@ -231,25 +235,35 @@ object IndexOps {
     }.toMap
 
     val cenMid = key(census(spark, entries))
-    val reclaimed: Map[String, Long] = plans.map { p =>
+    val reclaimed: Map[String, Long] = Par.map(plans) { p =>
       val due = cenMid(p.entry.family).getAs[Long]("compact_due")
       p.entry.family -> (if (due == 1L) p.compact(spark) else 0L)
     }.toMap
 
-    val rebDue: Map[String, Long] = plans.map(p => p.entry.family ->
+    val rebDue: Map[String, Long] = Par.map(plans)(p => p.entry.family ->
       p.rebalanceDue.map(_(spark)).getOrElse(0L)).toMap
-    val rebalanced: Map[String, Long] = plans.map { p =>
+    val rebalanced: Map[String, Long] = Par.map(plans) { p =>
       p.entry.family -> (p.rebalance match {
         case Some(act) if rebDue(p.entry.family) == 1L => act(spark); 1L
         case _ => 0L
       })
     }.toMap
 
-    val cenA = key(census(spark, entries))
-    val freshA = key(freshness(spark, entries, corpus))
-    val orphA = key(orphanCensus(spark, entries))
-    val rebDueA: Map[String, Long] = plans.map(p => p.entry.family ->
-      p.rebalanceDue.map(_(spark)).getOrElse(0L)).toMap
+    // The four AFTER-state reports are read-only over healed state —
+    // overlap them too. One explicit heal pass first (cheap catalog
+    // checks; the actions above leave no crash state on success) so
+    // the reports' heal-at-entry is provably a no-op and two
+    // concurrent reports can never race a same-family heal.
+    Par.map(entries)(healFamily(spark, _))
+    val cenAF = Par.future(key(census(spark, entries)))
+    val freshAF = Par.future(key(freshness(spark, entries, corpus)))
+    val orphAF = Par.future(key(orphanCensus(spark, entries)))
+    val rebDueAF = Par.future(Par.map(plans)(p => p.entry.family ->
+      p.rebalanceDue.map(_(spark)).getOrElse(0L)).toMap)
+    val cenA = Par.await(cenAF)
+    val freshA = Par.await(freshAF)
+    val orphA = Par.await(orphAF)
+    val rebDueA = Par.await(rebDueAF)
 
     val rows = plans.map { p =>
       val f = p.entry.family
@@ -320,11 +334,19 @@ object IndexOps {
                 skewDue: Map[String, SparkSession => Long] = Map.empty)
       : DataFrame = {
     requireDistinctFamilies(entries)
+    // Janitor view FIRST, strictly before anything heals (its whole
+    // job is to SEE the crash states), THEN one explicit heal pass per
+    // family — after which the remaining reports' heal-at-entry is a
+    // no-op and the four of them are independent reads over disjoint
+    // per-family state: overlap them (guide §2.6 via Par). The
+    // explicit heal also removes the only same-family heal race two
+    // concurrent reports could have had.
     val orph = orphanCensus(spark, entries)
-    val cen = census(spark, entries)
-    val tombTables = entries.map(e => IndexLifecycle.tombstonesOf(e.table))
-      .filter(spark.catalog.tableExists)
-    val audit: DataFrame =
+    Par.map(entries)(healFamily(spark, _))
+    val cenF = Par.future(census(spark, entries))
+    val auditF = Par.future {
+      val tombTables = entries.map(e => IndexLifecycle.tombstonesOf(e.table))
+        .filter(spark.catalog.tableExists)
       if (tombTables.isEmpty) {
         import spark.implicits._
         entries.map(e => (e.family, 0L, 0L, 0L, 0L))
@@ -333,11 +355,17 @@ object IndexOps {
       } else takedownAudit(spark, entries,
         tombTables.map(t => spark.table(t).select(col("id")))
           .reduce(_.unionByName(_)).distinct())
-    val fresh = freshness(spark, entries, corpusIds)
+    }
+    val freshF = Par.future(freshness(spark, entries, corpusIds))
     import spark.implicits._
-    val reb = entries.map(e => (e.family,
-        skewDue.get(e.family).map(_(spark)).getOrElse(0L)))
-      .toDF("family", "rebalance_due")
+    val rebF = Par.future(
+      Par.map(entries)(e => (e.family,
+          skewDue.get(e.family).map(_(spark)).getOrElse(0L)))
+        .toDF("family", "rebalance_due"))
+    val cen = Par.await(cenF)
+    val audit = Par.await(auditF)
+    val fresh = Par.await(freshF)
+    val reb = Par.await(rebF)
     orph.join(cen, Seq("family"))
       .join(fresh, Seq("family"))
       .join(audit.withColumnRenamed("n_ids", "n_takedown_ids"),
@@ -373,7 +401,11 @@ object IndexOps {
 
   def census(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
     requireDistinctFamilies(entries)
-    val rows = entries.map { e =>
+    // Families' state tables are disjoint: the per-family census jobs
+    // (tombstone count, zeroed-gram sum, FS listing) overlap on driver
+    // threads instead of paying each job's fixed overhead end-to-end
+    // (Par doc; results are driver-side tuples, order by the sort).
+    val rows = Par.map(entries) { e =>
       healFamily(spark, e)
       val tomb = IndexLifecycle.tombstonesOf(e.table)
       val present = ((e.table +: e.siblings) :+ tomb)
@@ -465,7 +497,7 @@ object IndexOps {
                     ids: DataFrame): DataFrame = {
     requireDistinctFamilies(entries)
     val idsD = broadcast(ids.select(col("id")).distinct())
-    val rows = entries.map { e =>
+    val rows = Par.map(entries) { e =>
       healFamily(spark, e)
       val target = if (e.gramDeltas) e.table + "_docs" else e.table
       val tomb = IndexLifecycle.tombstonesOf(e.table)
@@ -525,7 +557,7 @@ object IndexOps {
                 corpusIds: DataFrame): DataFrame = {
     requireDistinctFamilies(entries)
     val c = corpusIds.select(col("id")).distinct()
-    val rows = entries.map { e =>
+    val rows = Par.map(entries) { e =>
       healFamily(spark, e)
       val target = if (e.gramDeltas) e.table + "_docs" else e.table
       val tomb = IndexLifecycle.tombstonesOf(e.table)
@@ -607,7 +639,7 @@ object IndexOps {
     * live maintainer is indistinguishable from a crashed one's). */
   def orphanCensus(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
     requireDistinctFamilies(entries)
-    val rows = entries.map { e =>
+    val rows = Par.map(entries) { e =>
       val (inflight, healPending, orphans, suspects) = classify(spark, e)
       val (f, b) = filesBytes(spark, orphans)
       (e.family, if (inflight) 1L else 0L, healPending.size.toLong,
@@ -659,7 +691,7 @@ object IndexOps {
     * not touched at all. */
   def vacuum(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
     requireDistinctFamilies(entries)
-    val rows = entries.map { e =>
+    val rows = Par.map(entries) { e =>
       val healed = if (spark.catalog.tableExists(
           IndexLifecycle.rebalanceMarkerOf(e.table)))
         IndexLifecycle.recoverSwap(spark, e.table) else false

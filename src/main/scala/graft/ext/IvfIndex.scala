@@ -352,14 +352,12 @@ object IvfIndex {
       .sortWithinPartitions(col("cluster_id"), col(idCol))
       .write.partitionBy("cluster_id").format("parquet")
       .saveAsTable(staging)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val saved = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try spark.table(staging).write.mode(SaveMode.Overwrite).insertInto(table)
-    finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // One-way dynamic-overwrite latch (Writer.ensureDynamicOverwrite):
+    // the old save/set/restore could race a concurrent family's
+    // in-flight dynamic write under r21's overlapped sweep phases
+    // (guide §2.6 via Par) and silently degrade it to STATIC overwrite.
+    graft.io.Writer.ensureDynamicOverwrite(spark)
+    spark.table(staging).write.mode(SaveMode.Overwrite).insertInto(table)
     val present = spark.table(staging).select(col("cluster_id"))
       .distinct().collect().map(_.getInt(0)).toSet
     touched.filterNot(present).foreach(c =>

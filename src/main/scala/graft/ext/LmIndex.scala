@@ -59,27 +59,37 @@ object LmIndex {
   /** (id, w1, g, c_doc) per-doc bigram census — the same whitespace
     * bigrams [[TextAnalysis.surprisalStats]] builds, so index counts
     * can never drift from the scan-time operator's. */
-  private[ext] def docGrams(docs: DataFrame, idCol: String,
-                            textCol: String): DataFrame = {
+  private def bigramsOf(textCol: String): Column = {
     val t = TextAnalysis.tokens(col(textCol))
-    val bigrams = when(size(t) >= 2,
+    when(size(t) >= 2,
       transform(sequence(lit(0), size(t) - 2),
         i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
       .otherwise(array())
+  }
+
+  private[ext] def docGrams(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
     docs.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), explode(bigrams).as("g"))
+      .select(col(idCol).as("id"), explode(bigramsOf(textCol)).as("g"))
       .groupBy(col("id"), col("g"))
       .agg(count(lit(1)).as("c_doc"))
       .select(col("id"), element_at(split(col("g"), " "), 1).as("w1"),
         col("g"), col("c_doc"))
-  }
 
-  /** (w1, g, c) corpus census of a doc frame. */
+  /** (w1, g, c) corpus census of a doc frame — ONE aggregation
+    * straight off the exploded gram stream (Σ over docs of the per-doc
+    * counts ≡ the total count, so the old docGrams → re-aggregate
+    * two-exchange shape priced a per-doc census nobody read; partial
+    * map-side aggregation still bounds the shuffle to
+    * vocabulary-sized bytes — guide §2.3/§2.4). */
   private def gramCensus(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame =
-    docGrams(docs, idCol, textCol)
-      .groupBy(col("w1"), col("g"))
-      .agg(sum(col("c_doc")).as("c"))
+    docs.where(col(textCol).isNotNull)
+      .select(explode(bigramsOf(textCol)).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("c"))
+      .select(element_at(split(col("g"), " "), 1).as("w1"),
+        col("g"), col("c"))
 
   /** Deterministic wave tag of a doc-id set: one small aggregation
     * (count + two order-independent hash sums) — the same ids always
@@ -97,30 +107,25 @@ object LmIndex {
     * to the bucket layout so a wave lands as one file per bucket). */
   private def writeWave(spark: SparkSession, table: String, rows: DataFrame,
                         wave: String): Unit = {
-    // The conf is read from the ROWS' session at write planning (a
-    // foreachBatch micro-batch clone, not necessarily `spark`) — a
-    // static-overwrite plan would truncate every other wave (the
-    // writeBatchSinks lesson).
-    val sess = rows.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val saved = sess.conf.getOption(key)
-    sess.conf.set(key, "dynamic")
-    try {
-      val cols = spark.table(table).columns
-      val aligned = rows.withColumn("__wave", lit(wave))
-        .select(cols.toIndexedSeq.map(col): _*)
-      val shaped = spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-        .bucketSpec match {
-        case Some(bs) =>
-          aligned.repartition(bs.numBuckets, bs.bucketColumnNames.map(col): _*)
-        case None => aligned.coalesce(1)
-      }
-      shaped.write.mode("overwrite").insertInto(table)
-    } finally saved match {
-      case Some(v) => sess.conf.set(key, v)
-      case None => sess.conf.unset(key)
+    // Dynamic overwrite via the one-way conf latch
+    // (Writer.ensureDynamicOverwrite) on the ROWS' session — the conf
+    // is read at write planning from that session (a foreachBatch
+    // micro-batch clone, not necessarily `spark` — the writeBatchSinks
+    // lesson), and the old per-write save/set/RESTORE racing r21's
+    // overlapped disjoint-table writes could flip an in-flight plan
+    // back to STATIC overwrite, truncating every other wave.
+    Writer.ensureDynamicOverwrite(rows.sparkSession)
+    val cols = spark.table(table).columns
+    val aligned = rows.withColumn("__wave", lit(wave))
+      .select(cols.toIndexedSeq.map(col): _*)
+    val shaped = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec match {
+      case Some(bs) =>
+        aligned.repartition(bs.numBuckets, bs.bucketColumnNames.map(col): _*)
+      case None => aligned.coalesce(1)
     }
+    shaped.write.mode("overwrite").insertInto(table)
     spark.catalog.refreshTable(table)
   }
 
@@ -140,18 +145,25 @@ object LmIndex {
     Seq(table, table + "_docs", table + "_tombstones")
       .foreach(PurgeSwap.recover(spark, _))
 
-  /** Census the corpus and create the three-table index. Overwrites. */
+  /** Census the corpus and create the three-table index. Overwrites.
+    * `nBuckets` ≤ 0 (the default) sizes buckets to the doc frame's
+    * estimated bytes (Writer.scaledBuckets — r21, guide §6: a KB
+    * fixture gets 1 bucket, not 16 near-empty files per wave). */
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
-            textCol: String, table: String, nBuckets: Int = 16): Unit = {
+            textCol: String, table: String, nBuckets0: Int = 0): Unit = {
+    val nBuckets =
+      if (nBuckets0 > 0) nBuckets0 else Writer.scaledBuckets(docs)
     val idType = docs.schema(idCol).dataType
-    Seq(table, table + "_docs", table + "_tombstones", PurgeSwap.stagingOf(table))
-      .foreach(Writer.dropTableAndLocation(spark, _))
-    Writer.emptyPartitionedBucketedTable(spark, table, deltaSchema,
-      "__wave", "w1", nBuckets)
-    Writer.emptyPartitionedBucketedTable(spark, table + "_docs",
-      idTableSchema(idType), "__wave", "id", nBuckets)
-    Writer.emptyPartitionedBucketedTable(spark, table + "_tombstones",
-      idTableSchema(idType), "__wave", "id", 1)
+    Par.map(Seq(table, table + "_docs", table + "_tombstones",
+        PurgeSwap.stagingOf(table)))(Writer.dropTableAndLocation(spark, _))
+    // Three disjoint-table DDLs — overlap (guide §2.6 via Par).
+    Par.all(
+      () => Writer.emptyPartitionedBucketedTable(spark, table, deltaSchema,
+        "__wave", "w1", nBuckets),
+      () => Writer.emptyPartitionedBucketedTable(spark, table + "_docs",
+        idTableSchema(idType), "__wave", "id", nBuckets),
+      () => Writer.emptyPartitionedBucketedTable(spark, table + "_tombstones",
+        idTableSchema(idType), "__wave", "id", 1))
     append(spark, table, docs, idCol, textCol)
   }
 
@@ -169,9 +181,12 @@ object LmIndex {
       .pipe(Checkpoints.stage)
     if (fresh.isEmpty) return
     val wave = waveOf(fresh.select(col(idCol)), idCol)
-    writeWave(spark, table, gramCensus(fresh, idCol, textCol), wave)
-    writeWave(spark, table + "_docs",
-      fresh.select(col(idCol).as("id")), wave)
+    // The delta and `_docs` waves land in DISJOINT tables off the same
+    // staged `fresh` barrier — overlap the two writes (guide §2.6).
+    Par.all(
+      () => writeWave(spark, table, gramCensus(fresh, idCol, textCol), wave),
+      () => writeWave(spark, table + "_docs",
+        fresh.select(col(idCol).as("id")), wave))
   }
 
   /** Subtract deleted docs' counts — the LM takedown: the reference
@@ -194,12 +209,14 @@ object LmIndex {
     val removed = fresh.count()
     if (removed == 0) return 0L
     val wave = "del_" + waveOf(fresh.select(col(idCol)), idCol)
-    writeWave(spark, table,
-      gramCensus(fresh, idCol, textCol)
-        .select(col("w1"), col("g"), (lit(0L) - col("c")).as("c")),
-      wave)
-    writeWave(spark, table + "_tombstones",
-      fresh.select(col(idCol).as("id")), wave)
+    // Disjoint tables off the same staged barrier — overlap (§2.6).
+    Par.all(
+      () => writeWave(spark, table,
+        gramCensus(fresh, idCol, textCol)
+          .select(col("w1"), col("g"), (lit(0L) - col("c")).as("c")),
+        wave),
+      () => writeWave(spark, table + "_tombstones",
+        fresh.select(col(idCol).as("id")), wave))
     removed
   }
 
@@ -387,9 +404,15 @@ object LmIndex {
     * StreamOps.compactSink (the family-wide crash-then-compact
     * contract). Batch compacts (no checkpoint) skip the check — their
     * waves are doc-set-keyed, where a retry overwrites itself. */
-  def compact(spark: SparkSession, table: String, nBuckets: Int = 16,
+  def compact(spark: SparkSession, table: String, nBuckets0: Int = 0,
               checkpointLocation: Option[String] = None): Int = {
     recoverAll(spark, table)
+    // The compacted rewrite reuses the LIVE table's bucket count by
+    // default (r21 — compaction reclaims waves, it must not reset the
+    // layout).
+    val nBuckets =
+      if (nBuckets0 > 0) nBuckets0
+      else Writer.bucketsOf(spark, table).getOrElse(16)
     val idType = spark.table(table + "_docs").schema("id").dataType
     val waves = spark.sessionState.catalog
       .listPartitionNames(org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -410,25 +433,32 @@ object LmIndex {
     val mergedWave = "m_" + java.security.MessageDigest.getInstance("MD5")
       .digest(waves.mkString(",").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
-    // Stage the summed delta table.
+    // Stage the summed delta table and the live doc registry
+    // CONCURRENTLY (disjoint staging tables reading disjoint live
+    // tables — guide §2.6 via Par); the swaps run after both, in the
+    // same order as before.
     val staging = PurgeSwap.stagingOf(table)
-    Writer.dropTableAndLocation(spark, staging)
-    Writer.emptyPartitionedBucketedTable(spark, staging, deltaSchema,
-      "__wave", "w1", nBuckets)
-    writeWave(spark, staging,
-      spark.table(table).groupBy(col("w1"), col("g"))
-        .agg(sum(col("c")).as("c")).where(col("c") =!= 0),
-      mergedWave)
-    // Stage the live doc registry (indexed minus tombstoned).
     val stagingDocs = PurgeSwap.stagingOf(table + "_docs")
-    Writer.dropTableAndLocation(spark, stagingDocs)
-    Writer.emptyPartitionedBucketedTable(spark, stagingDocs,
-      idTableSchema(idType), "__wave", "id", nBuckets)
-    writeWave(spark, stagingDocs,
-      spark.table(table + "_docs").select(col("id"))
-        .join(spark.table(table + "_tombstones").select(col("id")),
-          Seq("id"), "left_anti"),
-      mergedWave)
+    Par.all(
+      () => {
+        Writer.dropTableAndLocation(spark, staging)
+        Writer.emptyPartitionedBucketedTable(spark, staging, deltaSchema,
+          "__wave", "w1", nBuckets)
+        writeWave(spark, staging,
+          spark.table(table).groupBy(col("w1"), col("g"))
+            .agg(sum(col("c")).as("c")).where(col("c") =!= 0),
+          mergedWave)
+      },
+      () => {
+        Writer.dropTableAndLocation(spark, stagingDocs)
+        Writer.emptyPartitionedBucketedTable(spark, stagingDocs,
+          idTableSchema(idType), "__wave", "id", nBuckets)
+        writeWave(spark, stagingDocs,
+          spark.table(table + "_docs").select(col("id"))
+            .join(spark.table(table + "_tombstones").select(col("id")),
+              Seq("id"), "left_anti"),
+          mergedWave)
+      })
     PurgeSwap.swap(spark, table)
     PurgeSwap.swap(spark, table + "_docs")
     // Tombstones clear LAST, and ATOMICALLY (stage an empty table,

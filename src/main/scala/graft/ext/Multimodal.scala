@@ -105,6 +105,7 @@ object Multimodal {
                              batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    requireNumericId(df, idCol, "decodeImageDimsBatched")
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -121,6 +122,18 @@ object Multimodal {
         }
       }
       .toDF(idCol, "format", "width", "height")
+  }
+
+  /** The batched decoders cast `idCol` to long for the typed
+    * mapPartitions row; called with a non-numeric id column the cast
+    * would yield NULL ids — a join-keyless parity frame instead of an
+    * error (ADVICE r20). Fail loudly at entry instead, the
+    * requireDistinctFamilies convention. */
+  private def requireNumericId(df: DataFrame, idCol: String,
+                               op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op needs a numeric id column; `$idCol` is ${dt.simpleString}")
   }
 
   /** WAV audio-header metadata through the same two-path contract —
@@ -143,6 +156,7 @@ object Multimodal {
                            batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    requireNumericId(df, idCol, "decodeWavMetaBatched")
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>

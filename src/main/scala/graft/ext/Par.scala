@@ -1,0 +1,78 @@
+package graft.ext
+
+/** Driver-side overlap of INDEPENDENT Spark actions (optimization
+  * guide §2.6): Spark's scheduler happily runs several jobs at once
+  * inside one application — actions are only sequential because the
+  * driver calls them sequentially. The ops-census / lifecycle
+  * operators in this package are dozens of small metadata-priced jobs
+  * over DISJOINT per-family state; run serially each job's fixed
+  * overhead (planning, task dispatch, driver round trips) is paid
+  * end-to-end on an idle cluster, while submitted from a few driver
+  * threads the jobs back-fill each other's stragglers and the wall
+  * approaches the slowest member instead of the sum (measured r21
+  * through the full queries, Bench min-of-3 at sf0.1: x_sweep_full
+  * 10.1 → 7.4 s, x_maintenance_sweep 5.0 → 2.8 s, x_ops_dashboard
+  * 1.65 → 0.57 s, x_index_census 0.87 → 0.38 s — identical results;
+  * the census rows are driver-side tuples, order restored by the
+  * callers' orderBy).
+  *
+  * A CACHED daemon pool, not a fixed one: callers nest (sweepAll's
+  * phases each par-map the family list, and a family's action may
+  * itself stage barriers) and a bounded pool would deadlock when a
+  * pooled task blocks waiting for slots its ancestors hold. Actual
+  * concurrency is bounded by the call sites (≤ ~8 families / legs at
+  * once); jobs run FIFO on the scheduler, which is exactly the
+  * back-fill behaviour wanted.
+  *
+  * Single-maintainer discipline unchanged: parallelism here is ACROSS
+  * families/legs whose state tables are disjoint by construction
+  * (requireDistinctFamilies), never two maintainers of one family.
+  */
+object Par {
+
+  private lazy val pool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-par-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  /** Map `f` over `xs` with each element on its own pooled thread,
+    * preserving order. Exceptions rethrow at the caller (first
+    * failing element wins); the remaining futures still complete —
+    * index state stays consistent because every action is its
+    * family's own crash-safe path. */
+  def map[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    if (xs.size <= 1) return xs.map(f)
+    val futs = xs.map(x => pool.submit(
+      new java.util.concurrent.Callable[B] { def call(): B = f(x) }))
+    futs.map { fu =>
+      try fu.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+    }
+  }
+
+  /** Run independent thunks concurrently, returning in order. */
+  def all[B](thunks: (() => B)*): Seq[B] =
+    map(thunks.toSeq)(t => t())
+
+  /** Start one computation on the pool; [[await]] joins it. For
+    * overlapping a handful of heterogeneously-typed independent
+    * actions where [[all]]'s single element type doesn't fit. */
+  def future[B](f: => B): java.util.concurrent.Future[B] =
+    pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f })
+
+  def await[B](fu: java.util.concurrent.Future[B]): B =
+    try fu.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+}

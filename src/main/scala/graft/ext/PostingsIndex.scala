@@ -79,7 +79,7 @@ object PostingsIndex {
     * `_stats_deltas`) from a previous index under the same name, which
     * would otherwise silently hide/miscount the fresh build's docs. */
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
-            textCol: String, table: String, nBuckets: Int = 16): Unit = {
+            textCol: String, table: String, nBuckets: Int = 0): Unit = {
     // Location-aware drop: a killed JVM can leave the warehouse
     // DIRECTORY behind with no catalog entry (fresh in-memory
     // metastore on restart), and a later saveAsTable under the same
@@ -88,10 +88,20 @@ object PostingsIndex {
       Writer.dropTableAndLocation(spark, t)
     }
     val dls = docLengths(docs, idCol, textCol).pipe(Checkpoints.stage)
-    Writer.bucketedTable(postings(docs, idCol, textCol), table, "term", nBuckets)
-    Writer.bucketedTable(dls, table + "_docs", "id", nBuckets)
-    // 1-row scalar table; the single bucket is just the uniform writer.
-    Writer.bucketedTable(statsOf(dls), table + "_stats", "n_docs", 1)
+    // nBuckets ≤ 0 sizes each table's buckets to its own estimated
+    // bytes (Writer.scaledBuckets — r21, guide §6).
+    def bCount(df: DataFrame) =
+      if (nBuckets > 0) nBuckets else Writer.scaledBuckets(df)
+    // Three disjoint-table writes off independent inputs (docs / the
+    // staged dls barrier) — overlap them (guide §2.6 via Par). Build
+    // is an overwrite with no mid-build crash contract (a crashed
+    // build is rebuilt), so write order carries no semantics.
+    val post = postings(docs, idCol, textCol)
+    Par.all(
+      () => Writer.bucketedTable(post, table, "term", bCount(post)),
+      () => Writer.bucketedTable(dls, table + "_docs", "id", bCount(dls)),
+      // 1-row scalar table; the single bucket is just the uniform writer.
+      () => Writer.bucketedTable(statsOf(dls), table + "_stats", "n_docs", 1))
   }
 
   /** Append a new batch. IDEMPOTENT at doc granularity: ids already in
@@ -210,7 +220,7 @@ object PostingsIndex {
     * `removed` comes from one tombstone-side semi-join count.
     * Answer-stable by construction; returns postings removed. */
   def purgeTombstones(spark: SparkSession, table: String,
-                      nBuckets: Int = 16): Long = {
+                      nBuckets: Int = 0): Long = {
     val parts = Seq(table, table + "_docs", table + "_stats")
     parts.foreach(PurgeSwap.recover(spark, _))
     val t = table + "_tombstones"
@@ -219,17 +229,21 @@ object PostingsIndex {
     val stones = broadcast(spark.table(t))
     val removed = spark.table(table).select(col("id"))
       .join(stones, Seq("id"), "left_semi").count()
+    // Rewrites reuse each LIVE table's bucket count by default (r21).
+    def bCount(live: String) =
+      if (nBuckets > 0) nBuckets
+      else Writer.bucketsOf(spark, live).getOrElse(16)
     // STAGE all three, reading only the live tables; the stats row
     // recomputes off the already-staged live docs (one `_docs` scan).
     Writer.bucketedTable(
       spark.table(table)
         .select(col("term"), col("id"), col("tf"), col("dl"))
         .join(stones, Seq("id"), "left_anti"),
-      PurgeSwap.stagingOf(table), "term", nBuckets)
+      PurgeSwap.stagingOf(table), "term", bCount(table))
     Writer.bucketedTable(
       spark.table(table + "_docs").select(col("id"), col("dl"))
         .join(stones, Seq("id"), "left_anti"),
-      PurgeSwap.stagingOf(table + "_docs"), "id", nBuckets)
+      PurgeSwap.stagingOf(table + "_docs"), "id", bCount(table + "_docs"))
     Writer.bucketedTable(
       statsOf(spark.table(PurgeSwap.stagingOf(table + "_docs"))),
       PurgeSwap.stagingOf(table + "_stats"), "n_docs", 1)

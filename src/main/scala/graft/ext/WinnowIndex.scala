@@ -44,16 +44,19 @@ import graft.io.Writer
 object WinnowIndex {
 
   /** Fingerprint the corpus and persist its postings as a
-    * bucketed+sorted table keyed on `fp`. Overwrites `table`. */
+    * bucketed+sorted table keyed on `fp`. Overwrites `table`.
+    * `nBuckets` ≤ 0 (the default) sizes buckets to the posting
+    * frame's estimated bytes (Writer.scaledBuckets — r21, guide §6). */
   def build(docs: DataFrame, idCol: String, textCol: String, table: String,
-            k: Int = 8, w: Int = 4, nBuckets: Int = 16): Unit =
+            k: Int = 8, w: Int = 4, nBuckets: Int = 0): Unit =
     buildFromPostings(postings(docs, idCol, textCol, k, w), table, nBuckets)
 
   /** Persist a PRECOMPUTED (id, fp) posting table — postings are
     * per-row, so any row-subset of a larger posting table is a valid
     * index for that subset of docs. */
-  def buildFromPostings(p: DataFrame, table: String, nBuckets: Int = 16): Unit =
-    Writer.bucketedTable(p, table, "fp", nBuckets)
+  def buildFromPostings(p: DataFrame, table: String, nBuckets: Int = 0): Unit =
+    Writer.bucketedTable(p, table, "fp",
+      if (nBuckets > 0) nBuckets else Writer.scaledBuckets(p))
 
   /** (id, fp) exploded posting list of `docs` — one row per distinct
     * fingerprint per doc (winnow sets are distinct by construction). */
@@ -236,7 +239,7 @@ object WinnowIndex {
     * filters) — purging reclaims bytes, it never changes answers.
     * Returns the number of postings removed. */
   def purgeTombstones(spark: SparkSession, table: String,
-                      nBuckets: Int = 16): Long = {
+                      nBuckets: Int = 0): Long = {
     PurgeSwap.recover(spark, table)
     val t = table + "_tombstones"
     if (!spark.catalog.tableExists(t)) return 0L
@@ -245,10 +248,14 @@ object WinnowIndex {
     val removed = spark.table(table).select(col("id"))
       .join(stones, Seq("id"), "left_semi").count()
     // STAGE: live rows into the staging table (reads the live index,
-    // never overwrites what it reads); then SWAP metadata-only.
+    // never overwrites what it reads); then SWAP metadata-only. The
+    // rewrite reuses the LIVE table's bucket count by default (r21 —
+    // a purge reclaims bytes, it must not reset the layout).
     Writer.bucketedTable(
       spark.table(table).join(stones, Seq("id"), "left_anti"),
-      PurgeSwap.stagingOf(table), "fp", nBuckets)
+      PurgeSwap.stagingOf(table), "fp",
+      if (nBuckets > 0) nBuckets
+      else Writer.bucketsOf(spark, table).getOrElse(16))
     PurgeSwap.swap(spark, table)
     spark.sql(s"DROP TABLE `$t`")
     removed

@@ -477,51 +477,124 @@ object Kernels {
     val words = text.toString.split(" ", -1)
     var wi = 0
     while (wi < words.length) {
-      val word = words(wi)
-      var symbols = {
-        val buf = new scala.collection.mutable.ArrayBuffer[String]()
-        var i = 0
-        while (i < word.length) {
-          val n = Character.charCount(word.codePointAt(i))
-          buf += word.substring(i, i + n)
-          i += n
-        }
-        buf
-      }
-      var done = symbols.length < 2
-      while (!done) {
-        var best = -1
-        var bestRank = Int.MaxValue
-        var i = 0
-        while (i < symbols.length - 1) {
-          val r = table.rank.get(symbols(i) + " " + symbols(i + 1))
-          if (r != null && r.intValue() < bestRank) {
-            bestRank = r.intValue(); best = i
-          }
-          i += 1
-        }
-        if (best < 0) done = true
-        else {
-          val a = symbols(best)
-          val b = symbols(best + 1)
-          val merged = new scala.collection.mutable.ArrayBuffer[String](symbols.length)
-          var j = 0
-          while (j < symbols.length) {
-            if (j < symbols.length - 1 && symbols(j) == a && symbols(j + 1) == b) {
-              merged += (a + b); j += 2
-            } else { merged += symbols(j); j += 1 }
-          }
-          symbols = merged
-          done = symbols.length < 2
-        }
-      }
-      var k = 0
-      while (k < symbols.length) {
-        out += UTF8String.fromString(symbols(k)); k += 1
-      }
+      bpeWord(words(wi), table, out)
       wi += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** One word's BPE merge via a doubly-linked symbol list + a
+    * (rank, position) min-heap — O(n log n) in the word length where
+    * the naive rescan-per-merge loop is O(n²) with NO length bound
+    * (VERDICT r20 #1: "word" is the whole document for spaceless
+    * scripts, so a 1 M-char CJK/minified-JS/base64 run must not wedge
+    * a task). Behavior-identical to the rescan loop on EVERY input:
+    * the heap pops the globally lowest-rank pair first, and the
+    * same-rank drain below replays the old "merge ALL occurrences of
+    * the chosen pair left-to-right in one pass" semantics exactly
+    * (rank ↔ pair string is one-to-one, heap order within a rank is
+    * ascending start offset = left-to-right, and merging (a,b) can
+    * never create a new (a,b): a+b = a or a+b = b is impossible for
+    * nonempty symbols). Stale heap entries — a side consumed by an
+    * earlier merge — are detected by liveness + adjacency and
+    * skipped, reproducing the old pass's overlap rule ("aaa" → [aa,a]).
+    */
+  private def bpeWord(word: String, table: BpeTable,
+                      out: scala.collection.mutable.ArrayBuffer[AnyRef]): Unit = {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Split into codepoint symbols (astral chars never split
+    // mid-surrogate — the house convention).
+    val sym0 = {
+      val buf = new scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < word.length) {
+        val n = Character.charCount(word.codePointAt(i))
+        buf += word.substring(i, i + n)
+        i += n
+      }
+      buf
+    }
+    val n = sym0.length
+    if (n < 2) {
+      var k = 0
+      while (k < n) { out += UTF8String.fromString(sym0(k)); k += 1 }
+      return
+    }
+    // Node store: ids 0..n-1 initial symbols; each merge allocates one
+    // new id (≤ n-1 merges), so 2n-1 slots suffice.
+    val cap = 2 * n
+    val sym = new Array[String](cap)
+    val nxt = new Array[Int](cap)
+    val prv = new Array[Int](cap)
+    val alive = new Array[Boolean](cap)
+    val start = new Array[Int](cap) // original position, the tie-break
+    var nNodes = n
+    var i = 0
+    while (i < n) {
+      sym(i) = sym0(i); nxt(i) = i + 1; prv(i) = i - 1
+      alive(i) = true; start(i) = i
+      i += 1
+    }
+    nxt(n - 1) = -1
+    var head = 0
+    // Heap entries: {rank, start, leftId, rightId}, ordered by
+    // (rank, start). (rank, start) pairs are unique over the run (a
+    // pair string fixes its rank; a given start can hold a given left
+    // symbol at most once), so the order is total and deterministic.
+    val heap = new java.util.PriorityQueue[Array[Int]](n,
+      (x: Array[Int], y: Array[Int]) =>
+        if (x(0) != y(0)) Integer.compare(x(0), y(0))
+        else Integer.compare(x(1), y(1)))
+    // Pairs created DURING a pass are deferred to `pending` and only
+    // enter the heap when the pass ends: pushed eagerly, a created
+    // pair with a LOWER rank would surface at the heap top mid-drain
+    // and end the pass while occurrences of the current pair remain —
+    // the old code finishes every occurrence of the chosen pair
+    // before rescanning (caught by the reference-model property).
+    val pending = new scala.collection.mutable.ArrayBuffer[Array[Int]]()
+    def push(left: Int, right: Int,
+             to: Array[Int] => Unit): Unit = {
+      val r = table.rank.get(sym(left) + " " + sym(right))
+      if (r != null) to(Array(r.intValue(), start(left), left, right))
+    }
+    i = 0
+    while (i < n - 1) { push(i, i + 1, e => heap.add(e)); i += 1 }
+    def valid(e: Array[Int]): Boolean =
+      alive(e(2)) && alive(e(3)) && nxt(e(2)) == e(3)
+    def merge(e: Array[Int]): Unit = {
+      val l = e(2); val r = e(3)
+      val m = nNodes; nNodes += 1
+      sym(m) = sym(l) + sym(r)
+      start(m) = start(l)
+      prv(m) = prv(l); nxt(m) = nxt(r)
+      alive(m) = true; alive(l) = false; alive(r) = false
+      if (prv(m) >= 0) nxt(prv(m)) = m else head = m
+      if (nxt(m) >= 0) prv(nxt(m)) = m
+      if (prv(m) >= 0) push(prv(m), m, pending += _)
+      if (nxt(m) >= 0) push(m, nxt(m), pending += _)
+    }
+    while (!heap.isEmpty) {
+      val e = heap.poll()
+      if (valid(e)) {
+        val rank = e(0)
+        pending.clear()
+        merge(e)
+        // Same-rank drain: finish every remaining occurrence of THIS
+        // pair before re-evaluating the global minimum — the old
+        // code's one-pass-per-pair semantics. All same-rank entries
+        // are occurrences of the same pair string (rank ↔ pair is
+        // one-to-one), and a merge of (a,b) can never create a new
+        // (a,b), so the drain set is exactly the pass's occurrences.
+        while (heap.peek() != null && heap.peek()(0) == rank) {
+          val e2 = heap.poll()
+          if (valid(e2)) merge(e2)
+        }
+        var pi = 0
+        while (pi < pending.length) { heap.add(pending(pi)); pi += 1 }
+      }
+    }
+    var p = head
+    while (p >= 0) { out += UTF8String.fromString(sym(p)); p = nxt(p) }
   }
 
   /** Whole-bit cost charged for a single codepoint absent from the
@@ -560,9 +633,17 @@ object Kernels {
     var i = 1
     while (i <= n) {
       var len = 1
-      while (len <= i) {
+      // The candidate span s = bounds(i) - bounds(i-len) is monotone
+      // nondecreasing in len, so once it exceeds table.maxLen (past the
+      // always-evaluated len == 1 OOV case) no longer piece can be in
+      // the inventory: break, don't just skip. Bounds the inner loop at
+      // O(maxLen) per position — a 1 M-char spaceless word (CJK,
+      // minified JS, base64 soup) costs O(word × maxLen), not O(word²).
+      var capped = false
+      while (len <= i && !capped) {
         val s = bounds(i) - bounds(i - len)
-        if (s <= table.maxLen || len == 1) {
+        if (s > table.maxLen && len > 1) capped = true
+        else {
           val piece = word.substring(bounds(i - len), bounds(i))
           val c = table.cost.get(piece)
           val bits =

@@ -31,6 +31,31 @@ object Writer {
     ((bytes + targetPartitionBytes - 1) / targetPartitionBytes)
       .max(1).min(Int.MaxValue).toInt
 
+  /** SCALE-ADAPTIVE bucket count for a bucketed index write (r21,
+    * guide §6: size files to the data, not a constant tuned for
+    * either local mode or the cluster): plan-estimated bytes against
+    * a ~32 MB-per-bucket target, clamped to [1, 4096]. A fixed 16
+    * buckets writes 16 near-empty files for a KB-scale build (and 16
+    * commit renames, the measured cost) while undershooting a TB
+    * build by orders of magnitude. Bucket count is physical layout
+    * only — results are bucket-count-invariant; probes read the
+    * catalog bucket spec, so they adapt with the table. Callers pass
+    * an explicit count when a fixture pins one. */
+  def scaledBuckets(df: DataFrame,
+                    targetBytes: Long = 32L * 1024 * 1024,
+                    maxBuckets: Int = 4096): Int =
+    ((estimatedBytes(df) + targetBytes - 1) / targetBytes)
+      .max(1).min(maxBuckets).toInt
+
+  /** The bucket count an EXISTING table was written with — the count
+    * a purge/compact REWRITE must reuse so the rewrite preserves the
+    * table's layout instead of resetting it to a constant. */
+  def bucketsOf(spark: SparkSession, table: String): Option[Int] =
+    if (!spark.catalog.tableExists(table)) None
+    else spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+
   /** Y3+S6: coalesce to the size-derived partition count, write snappy
     * parquet, overwrite.
     */
@@ -166,6 +191,23 @@ object Writer {
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col(sortCol))
       .write.partitionBy("shard").mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Ensure `spark.sql.sources.partitionOverwriteMode=dynamic` on the
+    * given session — the house overwrite discipline: EVERY partitioned
+    * overwrite-insert in this codebase is a dynamic per-partition
+    * replace (waves, batch sinks, cell purges); nothing relies on
+    * static truncate-everything semantics. A one-way latch, not a
+    * save/restore: with r21's overlapped disjoint-table writes
+    * (guide §2.6 via Par) a concurrent restore could flip an
+    * in-flight plan back to STATIC overwrite, which truncates every
+    * other partition — the writeBatchSinks lesson, now house-wide.
+    * The Bench/Verify/test sessions set the conf at startup, so this
+    * is normally a no-op check. */
+  def ensureDynamicOverwrite(spark: SparkSession): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    if (!spark.conf.getOption(key).exists(_.equalsIgnoreCase("dynamic")))
+      spark.conf.set(key, "dynamic")
   }
 
   /** True-overwrite for a managed table in the default database: drop

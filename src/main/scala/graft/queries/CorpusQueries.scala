@@ -1109,11 +1109,20 @@ private[graft] object CorpusQueries {
     val nPurged = WinnowIndex.purgeTombstones(s, idx)
     val probe2 = WinnowIndex.probeNewBatch(s, idx, newDocs, "doc_id", "text")
       .pipe(graft.ext.Checkpoints.stage)
-    val stable = probe1.exceptAll(probe2).count() == 0 &&
-      probe2.exceptAll(probe1).count() == 0
+    // Multiset equality in ONE pass off the two staged probes (the
+    // multisetParityBit shape) instead of two exceptAll().count()
+    // driver actions — same bit (A ≡ B as multisets ⟺ every signed
+    // count nets to zero), folded into the query's own plan so the
+    // final collect is the only action.
+    val stableBit = probe1.withColumn("_w", lit(1L))
+      .unionAll(probe2.withColumn("_w", lit(-1L)))
+      .groupBy(probe1.columns.map(col).toIndexedSeq: _*)
+      .agg(sum(col("_w")).as("_d"))
+      .agg((count(when(col("_d") =!= 0, lit(1))) === 0).cast("long")
+        .as("purge_stable_ok"))
     probe1
       .withColumn("n_purged", lit(nPurged))
-      .withColumn("purge_stable_ok", lit(if (stable) 1L else 0L))
+      .crossJoin(stableBit)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -1946,6 +1955,8 @@ private[graft] object CorpusQueries {
             .distinct.sorted.take(4).toSeq)
       }.toSeq.sortBy(_._1)
     val qsAll = toQueries(qdocs.collect())
+    // (r21 note: overlapping the one-shot twin with the serving
+    // stream measured a wash — see streamServeIvfPq.)
     val oneShot = PostingsIndex.probeBatch(s, table, qsAll, topK = 10)
       .pipe(graft.ext.Checkpoints.stage)
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -2272,6 +2283,13 @@ private[graft] object CorpusQueries {
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
+    // The from-scratch rebuild twin (`want`) reads only `docs` — fully
+    // independent of the ingest → delete → purge chain, so it
+    // fingerprints concurrently with the stream (guide §2.6 via Par).
+    val wantF = graft.ext.Par.future(
+      WinnowIndex.postings(docs.where(pmod(col("doc_id"), lit(7L)) =!= 3),
+          "doc_id", "text", 8, 4)
+        .pipe(graft.ext.Checkpoints.stage))
     val (_, nBatches) = WinnowIndex.streamIngest(s, idx, stream,
       "doc_id", "text", queryName = "stream_purge_" + digest)
     WinnowIndex.delete(s, idx,
@@ -2282,9 +2300,7 @@ private[graft] object CorpusQueries {
       pmod(col("doc_id"), lit(7L)) =!= 3)
     val got = s.table(idx).select(col("id"), col("fp"))
       .pipe(graft.ext.Checkpoints.stage)
-    val want = WinnowIndex.postings(docs.where(pmod(col("doc_id"), lit(7L)) =!= 3),
-        "doc_id", "text", 8, 4)
-      .pipe(graft.ext.Checkpoints.stage)
+    val want = graft.ext.Par.await(wantF)
     val missing = want.exceptAll(got).agg(count(lit(1)).as("__m"))
     val extra = got.exceptAll(want).agg(count(lit(1)).as("__e"))
     docs.where(col("text").isNotNull).agg(count(lit(1)).as("n_docs"))
@@ -2530,12 +2546,18 @@ private[graft] object CorpusQueries {
     // fixture would make rep 2 observe rep 1's collapsed state.
     // Location-dropping (not DROP IF EXISTS) so a killed rep's
     // orphaned warehouse directory can't fail the next rep's build.
-    plans.map(_.entry).flatMap(e => (e.table +: e.siblings) :+
-        graft.ext.IndexLifecycle.tombstonesOf(e.table))
-      .foreach(graft.io.Writer.dropTableAndLocation(s, _))
-    DedupIndex.build(docs, "doc_id", "text", t("bands"))
-    DedupIndex.delete(s, t("bands"), delIds)
-    WinnowIndex.build(docs, "doc_id", "text", t("winnow"))
+    graft.ext.Par.map(plans.map(_.entry).flatMap(e =>
+        (e.table +: e.siblings) :+
+        graft.ext.IndexLifecycle.tombstonesOf(e.table)))(
+      graft.io.Writer.dropTableAndLocation(s, _))
+    // The two family fixtures touch disjoint tables — build them
+    // concurrently (guide §2.6 via Par).
+    graft.ext.Par.all(
+      () => {
+        DedupIndex.build(docs, "doc_id", "text", t("bands"))
+        DedupIndex.delete(s, t("bands"), delIds)
+      },
+      () => WinnowIndex.build(docs, "doc_id", "text", t("winnow")))
     IndexOps.sweep(s, plans)
       .select(col("family"), col("layout"), col("due_before"),
         col("backlog_before"), col("parts_before"), col("zeroed_before"),
@@ -2581,36 +2603,45 @@ private[graft] object CorpusQueries {
     val bandsT = t("bands"); val winT = t("win"); val ivfT = t("ivf")
     // Per-rep slate drop (location-dropping — a killed rep must not
     // wedge the next on LOCATION_ALREADY_EXISTS).
-    Seq(bandsT, winT, ivfT, IvfIndex.centroidsTable(ivfT)).flatMap(x =>
-        Seq(x, graft.ext.PurgeSwap.stagingOf(x), x + "_compact_stage",
-          graft.ext.IndexLifecycle.tombstonesOf(x),
-          graft.ext.IndexLifecycle.rebalanceMarkerOf(x)))
-      .distinct.foreach(graft.io.Writer.dropTableAndLocation(s, _))
+    graft.ext.Par.map(
+      Seq(bandsT, winT, ivfT, IvfIndex.centroidsTable(ivfT)).flatMap(x =>
+          Seq(x, graft.ext.PurgeSwap.stagingOf(x), x + "_compact_stage",
+            graft.ext.IndexLifecycle.tombstonesOf(x),
+            graft.ext.IndexLifecycle.rebalanceMarkerOf(x)))
+        .distinct)(graft.io.Writer.dropTableAndLocation(s, _))
     val docs = graft.ext.Checkpoints.stage(Tables.documents(s, dir)
       .where(col("doc_id") < 60 && col("text").isNotNull))
     val delIds = docs.where(col("doc_id") % 20 === 3)
       .select(col("doc_id").as("id"))
     val corpusIds = docs.where(col("doc_id") % 20 =!= 3)
       .select(col("doc_id").as("id"))
-    DedupIndex.build(docs, "doc_id", "text", bandsT)
-    DedupIndex.delete(s, bandsT, delIds)
-    s.table(bandsT).write.format("parquet")
-      .saveAsTable(graft.ext.PurgeSwap.stagingOf(bandsT))
-    WinnowIndex.build(docs.where(col("doc_id") < 40), "doc_id", "text",
-      winT)
-    val em = Tables.embeddings(s, dir).where(col("vec_id") < 60)
-      .select(col("vec_id"), col("embedding"))
-    val blob = em.where(col("vec_id") === 0)
-      .select(explode(sequence(lit(0L), lit(99L))).as("i"),
-        col("embedding"))
-      .select((col("i") + 9000L).as("vec_id"),
-        transform(col("embedding"), (x, j) =>
-          (x.cast("double") +
-            (pmod(col("i") * 31L + j.cast("long") * 17L, lit(21L))
-              .cast("double") - 10.0) / 2000.0).cast("float"))
-          .as("embedding"))
-    IvfIndex.build(em.unionByName(blob), "vec_id", "embedding", ivfT,
-      k = 4, iters = 0)
+    // The three planted-family fixture chains touch disjoint tables —
+    // build them concurrently (guide §2.6 via Par; ~10 fixed-overhead
+    // jobs overlap instead of running end-to-end).
+    graft.ext.Par.all(
+      () => {
+        DedupIndex.build(docs, "doc_id", "text", bandsT)
+        DedupIndex.delete(s, bandsT, delIds)
+        s.table(bandsT).write.format("parquet")
+          .saveAsTable(graft.ext.PurgeSwap.stagingOf(bandsT))
+      },
+      () => WinnowIndex.build(docs.where(col("doc_id") < 40), "doc_id",
+        "text", winT),
+      () => {
+        val em = Tables.embeddings(s, dir).where(col("vec_id") < 60)
+          .select(col("vec_id"), col("embedding"))
+        val blob = em.where(col("vec_id") === 0)
+          .select(explode(sequence(lit(0L), lit(99L))).as("i"),
+            col("embedding"))
+          .select((col("i") + 9000L).as("vec_id"),
+            transform(col("embedding"), (x, j) =>
+              (x.cast("double") +
+                (pmod(col("i") * 31L + j.cast("long") * 17L, lit(21L))
+                  .cast("double") - 10.0) / 2000.0).cast("float"))
+              .as("embedding"))
+        IvfIndex.build(em.unionByName(blob), "vec_id", "embedding", ivfT,
+          k = 4, iters = 0)
+      })
     val plans = Seq(
       IndexOps.FullPlan(IndexOps.Entry("bands", bandsT),
         x => DedupIndex.purgeTombstones(x, bandsT)),
@@ -2792,29 +2823,36 @@ private[graft] object CorpusQueries {
     // leave the warehouse location while the catalog entry is gone,
     // and the next rep's saveAsTable then fails LOCATION_ALREADY_EXISTS
     // — the janitor fixture must not trip over its own orphan class.
-    entries.flatMap(e => Seq(e.table, graft.ext.PurgeSwap.stagingOf(e.table),
-        e.table + "_compact_stage",
-        graft.ext.IndexLifecycle.tombstonesOf(e.table),
-        graft.ext.IndexLifecycle.rebalanceMarkerOf(e.table)))
-      .foreach(graft.io.Writer.dropTableAndLocation(s, _))
+    graft.ext.Par.map(entries.flatMap(e =>
+        Seq(e.table, graft.ext.PurgeSwap.stagingOf(e.table),
+          e.table + "_compact_stage",
+          graft.ext.IndexLifecycle.tombstonesOf(e.table),
+          graft.ext.IndexLifecycle.rebalanceMarkerOf(e.table))))(
+      graft.io.Writer.dropTableAndLocation(s, _))
     // Staged once: the slice feeds SEVEN table writes — without the
-    // barrier each write re-scans the corpus table.
+    // barrier each write re-scans the corpus table. The nine planted
+    // writes land in DISJOINT tables off that one barrier — overlap
+    // them (guide §2.6 via Par); only the swap marker must follow its
+    // own family's two writes, so that chain stays ordered.
     val d60 = graft.ext.Checkpoints.stage(
       Tables.documents(s, dir).where(col("doc_id") < 60)
         .select(col("doc_id")))
     val d30 = d60.where(col("doc_id") < 30)
-    d60.write.format("parquet").saveAsTable(t("clean"))
-    d60.write.format("parquet").saveAsTable(t("cs"))
-    d30.write.format("parquet")
-      .saveAsTable(graft.ext.PurgeSwap.stagingOf(t("cs")))
-    d30.write.format("parquet").saveAsTable(t("cs") + "_compact_stage")
-    d60.write.format("parquet")
-      .saveAsTable(graft.ext.PurgeSwap.stagingOf(t("sw")))
-    d60.write.format("parquet").saveAsTable(t("mk"))
-    d30.write.format("parquet")
-      .saveAsTable(graft.ext.PurgeSwap.stagingOf(t("mk")))
-    graft.ext.IndexLifecycle.markSwap(s, t("mk"), Seq(t("mk")))
-    d30.write.format("parquet").saveAsTable(t("sus") + "_compact_stage")
+    graft.ext.Par.all(
+      () => d60.write.format("parquet").saveAsTable(t("clean")),
+      () => d60.write.format("parquet").saveAsTable(t("cs")),
+      () => d30.write.format("parquet")
+        .saveAsTable(graft.ext.PurgeSwap.stagingOf(t("cs"))),
+      () => d30.write.format("parquet").saveAsTable(t("cs") + "_compact_stage"),
+      () => d60.write.format("parquet")
+        .saveAsTable(graft.ext.PurgeSwap.stagingOf(t("sw"))),
+      () => {
+        d60.write.format("parquet").saveAsTable(t("mk"))
+        d30.write.format("parquet")
+          .saveAsTable(graft.ext.PurgeSwap.stagingOf(t("mk")))
+        graft.ext.IndexLifecycle.markSwap(s, t("mk"), Seq(t("mk")))
+      },
+      () => d30.write.format("parquet").saveAsTable(t("sus") + "_compact_stage"))
     // orphanCensus/vacuum act at CALL time (rows are built driver-
     // side), so cen is the pre-vacuum view and live counts are read
     // after the reclaim — explicit sequencing, no lazy-eval trap.
@@ -2833,7 +2871,7 @@ private[graft] object CorpusQueries {
     import s.implicits._
     // The suspect family has NO live table by construction (that is
     // what makes it suspect) — report -1, not an exception.
-    val live = entries.map(e => (e.family,
+    val live = graft.ext.Par.map(entries)(e => (e.family,
         if (s.catalog.tableExists(e.table)) s.table(e.table).count()
         else -1L))
       .toDF("family", "live_rows_after")
@@ -2878,10 +2916,13 @@ private[graft] object CorpusQueries {
     // the fixture pays shingle+minhash once, not per index. Tiny
     // fixture → 4 buckets: the audit scans 4 tasks, not 16.
     val banded = Dedup.bands(docs, "doc_id", "text", Dedup.MinHashParams())
-    DedupIndex.buildFromBands(banded.where(col("id") < 60), t("a"),
-      nBuckets = 4)
-    DedupIndex.buildFromBands(banded.where(col("id") >= 30), t("b"),
-      nBuckets = 4)
+    // Two disjoint index builds off the shared band pass — overlap
+    // (guide §2.6 via Par).
+    graft.ext.Par.all(
+      () => DedupIndex.buildFromBands(banded.where(col("id") < 60), t("a"),
+        nBuckets = 4),
+      () => DedupIndex.buildFromBands(banded.where(col("id") >= 30), t("b"),
+        nBuckets = 4))
     val ids = docs.where(col("doc_id") < 60 && col("doc_id") % 20 === 3)
       .select(col("doc_id").as("id"))
     DedupIndex.delete(s, t("a"), ids) // bands_b is the missed family
@@ -2922,14 +2963,22 @@ private[graft] object CorpusQueries {
       .foreach(graft.io.Writer.dropTableAndLocation(s, _))
     val docs = graft.ext.Checkpoints.stage(Tables.documents(s, dir)
       .where(col("doc_id") < 60 && col("text").isNotNull))
-    DedupIndex.build(docs.where(col("doc_id") < 40), "doc_id", "text",
-      t("bands"))
-    DedupIndex.delete(s, t("bands"),
-      docs.where(col("doc_id") >= 40 && col("doc_id") % 20 === 3)
-        .select(col("doc_id").as("id")))
-    WinnowIndex.build(docs, "doc_id", "text", t("winnow"))
-    WinnowIndex.delete(s, t("winnow"),
-      docs.where(col("doc_id") % 20 === 3).select(col("doc_id").as("id")))
+    // The two family fixture chains touch disjoint tables — overlap
+    // (guide §2.6 via Par).
+    graft.ext.Par.all(
+      () => {
+        DedupIndex.build(docs.where(col("doc_id") < 40), "doc_id", "text",
+          t("bands"))
+        DedupIndex.delete(s, t("bands"),
+          docs.where(col("doc_id") >= 40 && col("doc_id") % 20 === 3)
+            .select(col("doc_id").as("id")))
+      },
+      () => {
+        WinnowIndex.build(docs, "doc_id", "text", t("winnow"))
+        WinnowIndex.delete(s, t("winnow"),
+          docs.where(col("doc_id") % 20 === 3)
+            .select(col("doc_id").as("id")))
+      })
     IndexOps.freshness(s, entries, docs.select(col("doc_id").as("id")))
   }
 
@@ -3046,24 +3095,39 @@ private[graft] object CorpusQueries {
     // because banding the new shard is the probe's own contract.
     val allBands = Dedup.bands(docs, "doc_id", "text", params)
       .pipe(graft.ext.Checkpoints.stage)
-    DedupIndex.buildFromBands(allBands.where(!isNewId(col("id"))), table)
-    val inc = DedupIndex.probeNewBatch(s, table, newDocs, "doc_id", "text", params)
-      .pipe(graft.ext.Checkpoints.stage)
+    // Three INDEPENDENT pipeline legs off the shared band barrier —
+    // overlap them on driver threads (guide §2.6 via Par): the
+    // incremental chain (build → probe → verify), the full-recompute
+    // twin, and the exact-Jaccard truth. Identical frames, identical
+    // bits; only the serial fixed overheads overlap.
+    val incF = graft.ext.Par.future {
+      DedupIndex.buildFromBands(allBands.where(!isNewId(col("id"))), table)
+      val inc = DedupIndex.probeNewBatch(s, table, newDocs, "doc_id",
+          "text", params)
+        .pipe(graft.ext.Checkpoints.stage)
+      val verified = Dedup.verifyPairs(docs, inc, "doc_id", "text",
+          params, 0.5)
+        .pipe(graft.ext.Checkpoints.stage)
+      (inc, verified)
+    }
     // Full-recompute twin over old ∪ new, cut to new-touching pairs
     // (the split is arithmetic on the id, so the cut is a cheap filter).
-    val fullNew = Dedup.candidatePairsFromBands(allBands, params)
-      .where(isNewId(col("id_a")) || isNewId(col("id_b")))
-      .pipe(graft.ext.Checkpoints.stage)
+    val fullNewF = graft.ext.Par.future(
+      Dedup.candidatePairsFromBands(allBands, params)
+        .where(isNewId(col("id_a")) || isNewId(col("id_b")))
+        .pipe(graft.ext.Checkpoints.stage))
+    val truthF = graft.ext.Par.future(
+      Dedup.exactJaccardPairs(docs, "doc_id", "text",
+          params.shingleSize, 0.5)
+        .where(isNewId(col("id_a")) || isNewId(col("id_b")))
+        .pipe(graft.ext.Checkpoints.stage))
+    val (inc, verified) = graft.ext.Par.await(incF)
+    val fullNew = graft.ext.Par.await(fullNewF)
+    val truth = graft.ext.Par.await(truthF)
     val missing = fullNew.join(inc, Seq("id_a", "id_b"), "left_anti")
       .agg(count(lit(1)).as("__missing"))
     val extra = inc.join(fullNew, Seq("id_a", "id_b"), "left_anti")
       .agg(count(lit(1)).as("__extra"))
-    val verified = Dedup.verifyPairs(docs, inc, "doc_id", "text", params, 0.5)
-      .pipe(graft.ext.Checkpoints.stage)
-    val truth = Dedup.exactJaccardPairs(docs, "doc_id", "text",
-        params.shingleSize, 0.5)
-      .where(isNewId(col("id_a")) || isNewId(col("id_b")))
-      .pipe(graft.ext.Checkpoints.stage)
     val nTruth = truth.agg(count(lit(1)).as("n_true_new_pairs"),
       coalesce(sum((col("jaccard") >= 1.0).cast("long")), lit(0L))
         .as("n_exact_new_pairs"))

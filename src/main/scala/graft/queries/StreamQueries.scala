@@ -69,10 +69,11 @@ private[graft] object StreamQueries {
     import graft.streaming.StreamOps
     val ev = StreamOps.eventsStream(s, dir)
       .select(col("user_id"), col("ts")).as[StreamOps.SessionEvent]
-    val streamed = StreamOps.runAvailableNow(
-      StreamOps.sessionize(ev, gapMinutes = 60).toDF(),
-      "stream_sessions_parity",
-      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = StreamOps.withScaledStatePartitions(s,
+        StreamOps.eventsBytes(s, dir))(StreamOps.runAvailableNow(
+        StreamOps.sessionize(ev, gapMinutes = 60).toDF(),
+        "stream_sessions_parity",
+        org.apache.spark.sql.streaming.OutputMode.Append()))
       .select(col("user_id"), unix_millis(col("start")).as("start_ms"),
         unix_millis(col("end")).as("end_ms"), col("n_events"))
     val batch = StreamOps.sessionizeBatchEmitted(
@@ -96,8 +97,10 @@ private[graft] object StreamQueries {
       sideS("click", "click_id"), sideS("view", "view_id"),
       "user_id", "ts", windowMinutes = 10, watermark = "60 minutes")
       .select(col("click_id"), col("view_id"))
-    val streamed = StreamOps.runAvailableNow(joined, "stream_interval_parity",
-      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = StreamOps.withScaledStatePartitions(s,
+      StreamOps.eventsBytes(s, dir))(
+      StreamOps.runAvailableNow(joined, "stream_interval_parity",
+        org.apache.spark.sql.streaming.OutputMode.Append()))
     val ev = Tables.events(s, dir)
     val c = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
@@ -129,8 +132,10 @@ private[graft] object StreamQueries {
       "user_id", "ts", windowMinutes = 10, watermark = "60 minutes",
       joinType = "left_outer")
       .select(col("click_id"), col("view_id"))
-    val streamed = StreamOps.runAvailableNow(joined, "stream_outer_interval_parity",
-      org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = StreamOps.withScaledStatePartitions(s,
+      StreamOps.eventsBytes(s, dir))(
+      StreamOps.runAvailableNow(joined, "stream_outer_interval_parity",
+        org.apache.spark.sql.streaming.OutputMode.Append()))
     val ev = Tables.events(s, dir)
     def sideB(t: String, idAs: String) =
       ev.where(col("event_type") === t)
@@ -152,8 +157,9 @@ private[graft] object StreamQueries {
     val deduped = StreamOps.dedup(
       StreamOps.eventsStream(s, dir).select(col("event_id"), col("ts")),
       Seq("event_id"))
-    StreamOps.runAvailableNow(deduped, "stream_dedup_q",
-        org.apache.spark.sql.streaming.OutputMode.Append())
+    StreamOps.withScaledStatePartitions(s, StreamOps.eventsBytes(s, dir))(
+        StreamOps.runAvailableNow(deduped, "stream_dedup_q",
+          org.apache.spark.sql.streaming.OutputMode.Append()))
       .agg(count(lit(1)).as("n_unique"))
   }
 
@@ -173,7 +179,10 @@ private[graft] object StreamQueries {
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(call_function("graft_mg_topk", col("event_type"), lit(8)).as("cand"))
       .select(col("w.start").cast("date").as("day"), col("cand"))
-    StreamOps.runAvailableNow(sketched, "stream_heavy_q")
+    // Safe under partition scaling: k=8 ≥ the 5-type vocabulary, so
+    // the MG candidates are EXACT counts whatever the merge grouping.
+    StreamOps.withScaledStatePartitions(s, StreamOps.eventsBytes(s, dir))(
+      StreamOps.runAvailableNow(sketched, "stream_heavy_q"))
       .select(col("day"), explode(col("cand")).as(Seq("event_type", "n")))
       .orderBy(col("day"), col("event_type"))
   }
@@ -214,12 +223,14 @@ private[graft] object StreamQueries {
     import graft.operators.Upsert
     val daily = StreamOps.dailyCounts(StreamOps.eventsStream(s, dir))
     var state: DataFrame = null
-    val q = StreamOps.foreachBatchSink(daily, "stream_upsert_sink") { (batch, _) =>
-      val b = batch.localCheckpoint(true)
-      state = if (state == null) b
-        else Upsert.upsert(state, b, Seq("day")).localCheckpoint(true)
+    StreamOps.withScaledStatePartitions(s, StreamOps.eventsBytes(s, dir)) {
+      val q = StreamOps.foreachBatchSink(daily, "stream_upsert_sink") { (batch, _) =>
+        val b = batch.localCheckpoint(true)
+        state = if (state == null) b
+          else Upsert.upsert(state, b, Seq("day")).localCheckpoint(true)
+      }
+      q.awaitTermination()
     }
-    q.awaitTermination()
     if (state == null) daily.sparkSession.emptyDataFrame
     else state.orderBy(col("day"))
   }

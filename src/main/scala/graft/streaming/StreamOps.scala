@@ -23,6 +23,56 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** SCALE-ADAPTIVE state-partition count for STATEFUL streaming
+    * queries (r21, optimization guide §2.2/§2.5 "derive partitioning
+    * from input size, not a constant tuned for local or cluster"):
+    * every stateful operator creates `spark.sql.shuffle.partitions`
+    * state-store instances, and each instance pays a fixed
+    * provider-load + delta-commit cost PER MICRO-BATCH — at the
+    * session default (= core count) a 2 MB bounded fixture pays 32
+    * store commits × stores × batches of pure overhead (measured r21:
+    * x_stream_interval_join 9.5 s at 32 partitions → 2.7 s at 4, the
+    * state machinery being ~70 % of the wall), while at 100 TB a
+    * core-count constant is far too FEW. Partitions are therefore
+    * sized to the stream's INPUT BYTES against a per-partition
+    * target: ~32 MB of input per state partition (override with
+    * `spark.graft.stream.statePartitionTargetBytes`), clamped to
+    * [1, 32768]. Results are partition-count-invariant for every
+    * operator this wraps (aggregations, joins, dedup,
+    * flatMapGroupsWithState sessions; the MG sketch runs k ≥ vocab =
+    * exact) — re-proved against the DuckDB oracle after the change.
+    */
+  def scaledStatePartitions(spark: SparkSession, inputBytes: Long): Int = {
+    val target = spark.conf.getOption(
+        "spark.graft.stream.statePartitionTargetBytes")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    math.min(math.max(1L, (inputBytes + target - 1) / target), 32768L).toInt
+  }
+
+  /** Run `body` (which must START and AWAIT its streaming query) with
+    * `spark.sql.shuffle.partitions` scoped to the scaled state count —
+    * the streaming runtime captures the conf at query start and pins
+    * it in the checkpoint, so the scope must cover the start. The
+    * batch twins a parity gate builds around the stream read the
+    * RESTORED conf at their own action time (lazy frames), keeping
+    * batch plans on the session's normal fan-out. */
+  def withScaledStatePartitions[T](spark: SparkSession, inputBytes: Long)
+                                  (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, scaledStatePartitions(spark, inputBytes).toString)
+    try body finally spark.conf.set(key, saved)
+  }
+
+  /** On-disk bytes of the events table a [[eventsStream]] run will
+    * ingest — the input-size hint for [[withScaledStatePartitions]]
+    * (FS metadata only). */
+  def eventsBytes(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
   /** Per-phase wall timing of the streaming ingest loops, gated on
     * SPARK_GRAFT_STREAM_PROFILE — the instrument behind the per-batch
     * fixed-cost breakdown in BENCH_NOTES.md (each micro-batch's
@@ -388,21 +438,22 @@ object StreamOps {
     * share no live table (the probe stages its index union before the
     * append — DedupIndex doc), so their jobs overlap instead of
     * serializing — the profile's two largest per-batch terms. The
-    * partitionOverwriteMode conf is set ONCE across all writes and
-    * restored after the LAST completes: a per-write save/restore racing
-    * a concurrent insert could restore mid-plan and silently degrade
-    * it to STATIC overwrite, which truncates every other batch's
+    * partitionOverwriteMode conf is a ONE-WAY dynamic latch
+    * (Writer.ensureDynamicOverwrite): any save/restore racing a
+    * concurrent insert could restore mid-plan and silently degrade it
+    * to STATIC overwrite, which truncates every other batch's
     * partition (measured in DedupSpec before this was conf-scoped).
     * insertInto ignores per-write options, hence session conf at all. */
   def writeBatchSinks(spark: SparkSession, batchId: Long,
                       writes: Seq[(String, DataFrame)]): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    // The conf is read from each ROWS' session (the foreachBatch
-    // micro-batch clone, not necessarily `spark`) at write planning.
-    val sessions = writes.map(_._2.sparkSession).distinct
-    val saved = sessions.map(s => s -> s.conf.getOption(key))
-    sessions.foreach(_.conf.set(key, "dynamic"))
-    try {
+    // One-way dynamic-overwrite latch per ROWS' session (the
+    // foreachBatch micro-batch clone, not necessarily `spark`) — the
+    // conf is read at write planning; the old save/restore could race
+    // ANOTHER thread's in-flight dynamic write under r21's overlapped
+    // lifecycle phases (Writer.ensureDynamicOverwrite doc).
+    writes.map(_._2.sparkSession).distinct
+      .foreach(graft.io.Writer.ensureDynamicOverwrite)
+    locally {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
@@ -441,11 +492,6 @@ object StreamOps {
           shaped.write.mode("overwrite").insertInto(sinkTable))
       }}
       Await.result(Future.sequence(jobs), Duration.Inf)
-    } finally saved.foreach { case (s, prev) =>
-      prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
     }
   }
 

@@ -122,19 +122,20 @@ class BenchFloorSpec extends AnyFunSuite {
 
   test("fixed-cost clamp: lucky-window floors re-based, data-scaled floors untouched") {
     val floor = Map(
-      "x_stream_interval_join" -> 5.08, // lucky-window min
+      "x_stream_interval_join" -> 2.1, // lucky-window min
       "x_stream_outer_join" -> 7.2, // already above the clamp
       "q_agg_pricing" -> 0.2) // data-scaled: pure ratchet
     val c = BenchFloor.clamped(floor)
-    assert(c("x_stream_interval_join") == 6.0,
+    assert(c("x_stream_interval_join") == 3.0,
       "below-clamp floor must re-base to the fixed cost")
     assert(c("x_stream_outer_join") == 7.2,
       "above-clamp floor keeps its own (tighter-flag) value")
     assert(c("q_agg_pricing") == 0.2, "non-fixed-cost keys untouched")
-    // The loaded-box steady state (~8.3 s) must NOT flag against the
-    // clamped floor, while a real regression still does.
-    assert(BenchFloor.regressed(c, Seq("x_stream_interval_join" -> 8.3)).isEmpty)
-    assert(BenchFloor.regressed(c, Seq("x_stream_interval_join" -> 9.5))
+    // The loaded-box steady state (~4.2 s at the r21 scaled state
+    // partitions) must NOT flag against the clamped floor, while a
+    // real regression still does.
+    assert(BenchFloor.regressed(c, Seq("x_stream_interval_join" -> 4.2)).isEmpty)
+    assert(BenchFloor.regressed(c, Seq("x_stream_interval_join" -> 4.8))
       == Seq("x_stream_interval_join"))
   }
 
@@ -187,6 +188,24 @@ class BenchFloorSpec extends AnyFunSuite {
     // A REAL code change (the constant) must still change the bytes.
     val v3 = v1.replace("x + 1", "x + 9")
     assert(BenchFloor.normalizeSource(v1) != BenchFloor.normalizeSource(v3))
+  }
+
+  test("normalizeSource: newline-vs-space edits change the fingerprint (semicolon inference)") {
+    // ADVICE r20: `return\nexpr` and `return expr` are DIFFERENT
+    // programs; a collapse that maps both to one byte stream would
+    // auto-adjudicate a real change as "environment".
+    assert(BenchFloor.normalizeSource("def f: Int = { return\n1 }") !=
+      BenchFloor.normalizeSource("def f: Int = { return 1 }"))
+    assert(BenchFloor.normalizeSource("foo\nbar()") !=
+      BenchFloor.normalizeSource("foo bar()"))
+    // ...while pure re-indents and trailing spaces stay invisible:
+    assert(BenchFloor.normalizeSource("a\n  b") ==
+      BenchFloor.normalizeSource("a   \n b"))
+    // A block comment spanning lines keeps its line-end role.
+    assert(BenchFloor.normalizeSource("a /* x\ny */ b") ==
+      BenchFloor.normalizeSource("a\nb"))
+    assert(BenchFloor.normalizeSource("a /* x */ b") ==
+      BenchFloor.normalizeSource("a b"))
   }
 
   test("normalizeSource is string-literal aware: '//' in literals is code, not comment") {

@@ -66,6 +66,10 @@ class SparkEntrySpec extends AnyFunSuite {
       // Rebalance gate: 1-row report assembly (live/census/probe
       // counts × cleanup bits).
       "x_rebalance",
+      // Purge-stability bit: the staged probe rows cross ONE 1-row
+      // multiset-parity aggregate (r21 — replaced two exceptAll
+      // driver actions with the in-plan bit).
+      "x_index_delete",
       "x_stream_incremental_dedup", "x_ivf_quantized", "x_embed_dedup",
       "x_stream_embed_ingest", "x_stream_ivfpq", "x_retrieval_eval",
       // Anchor-batch × corpus scoring: the non-equi label filter is a

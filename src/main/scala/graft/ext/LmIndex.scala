@@ -229,10 +229,20 @@ object LmIndex {
     * same integer sums, same one double division). Contact: the
     * probed docs' touched-w1 postings (bucket-pruned semi-join), never
     * a corpus rescan. */
+  /** Stage the probe's per-doc gram census AHEAD of the probe — it
+    * reads only the docs, never the index, so a lifecycle caller can
+    * compute it CONCURRENTLY with its build/append/delete/compact
+    * chain (guide §2.6 via Par) and hand it to [[probe]]'s `prepared`
+    * parameter. Identical frame to what probe stages itself. */
+  def prepareProbe(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    docGrams(docs, idCol, textCol).pipe(Checkpoints.stage)
+
   def probe(spark: SparkSession, table: String, docs: DataFrame,
-            idCol: String, textCol: String): DataFrame = {
+            idCol: String, textCol: String,
+            prepared: Option[DataFrame] = None): DataFrame = {
     recoverAll(spark, table)
-    val pairs = docGrams(docs, idCol, textCol).pipe(Checkpoints.stage)
+    val pairs = prepared.getOrElse(prepareProbe(docs, idCol, textCol))
     val touched = pairs.select(col("w1")).distinct()
     val live = spark.table(table)
       .join(touched, Seq("w1"), "left_semi")

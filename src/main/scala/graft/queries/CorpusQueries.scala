@@ -2331,11 +2331,16 @@ private[graft] object CorpusQueries {
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val t = "graft_lm_idx_" + digest
+    // The probe's gram census reads only the docs — stage it
+    // concurrently with the build + append chain (guide §2.6 via Par).
+    val pairsF = graft.ext.Par.future(
+      LmIndex.prepareProbe(docs, "doc_id", "text"))
     LmIndex.build(s, docs.where(pmod(col("doc_id"), lit(5)) =!= 4),
       "doc_id", "text", t)
     LmIndex.append(s, t, docs.where(pmod(col("doc_id"), lit(5)) === 4),
       "doc_id", "text")
-    LmIndex.probe(s, t, docs, "doc_id", "text")
+    LmIndex.probe(s, t, docs, "doc_id", "text",
+      prepared = Some(graft.ext.Par.await(pairsF)))
   }
 
   /** x_lm_delete: the LM takedown — the REFERENCE MODEL forgets the
@@ -2357,12 +2362,17 @@ private[graft] object CorpusQueries {
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val t = "graft_lm_del_" + digest
+    val live = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+    // The probe's gram census reads only the live docs — stage it
+    // concurrently with the build → delete → compact chain (§2.6).
+    val pairsF = graft.ext.Par.future(
+      LmIndex.prepareProbe(live, "doc_id", "text"))
     LmIndex.build(s, docs, "doc_id", "text", t)
     LmIndex.delete(s, t, docs.where(pmod(col("doc_id"), lit(5L)) === 0),
       "doc_id", "text")
     LmIndex.compact(s, t)
-    val live = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
-    LmIndex.probe(s, t, live, "doc_id", "text")
+    LmIndex.probe(s, t, live, "doc_id", "text",
+        prepared = Some(graft.ext.Par.await(pairsF)))
       .withColumn("tombstones_cleared_ok",
         lit(if (s.table(t + "_tombstones").isEmpty) 1L else 0L))
       .orderBy(col("doc_id"))

@@ -70,37 +70,41 @@ object ConnectedComponents {
       (r.getLong(0), r.getLong(1))
     }
 
-    var sig = signature(e)
-    var converged = false
-    var round = 0
-    while (!converged) {
-      // Large-star: every node u links its LARGER neighbors to
-      // m(u) = min(Γ(u) ∪ {u}). Keeps the symmetric-view invariant
-      // input; output is oriented (big, small) candidate edges.
-      val mins = e.groupBy(col("a")).agg(min(col("b")).as("mn"))
+    // One alternating-star pass over the SYMMETRIC view: large-star
+    // (every node links its LARGER neighbors to m(u) = min(Γ(u) ∪ {u});
+    // output oriented (big, small)), then small-star over the oriented
+    // result (every node re-roots its smaller neighbors and itself at
+    // min(Γ≤(u))), re-symmetrized for the next pass.
+    def starPair(sym: DataFrame): DataFrame = {
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
         .select(col("a"), least(col("mn"), col("a")).as("m"))
-      val large = e.join(mins, "a")
+      val large = sym.join(mins, "a")
         .where(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
         .where(col("a") =!= col("b"))
         .distinct()
-
-      // Small-star over the oriented result: every node u with smaller
-      // neighbors Γ≤(u) re-roots them (and itself) at min(Γ≤(u)).
       val sMins = large.groupBy(col("a")).agg(min(col("b")).as("m"))
       val small = large.join(sMins, "a")
         .select(col("b").as("a"), col("m").as("b"))
         .union(sMins.select(col("a"), col("m").as("b")))
         .where(col("a") =!= col("b"))
         .distinct()
+      small.union(small.select(col("b").as("a"), col("a").as("b"))).distinct()
+    }
 
-      // Re-symmetrize for the next large-star round. The new barrier is
-      // eager, so once staged the prior round's blocks are dead — free
-      // them NOW (the async ContextCleaner lets them accumulate across
-      // rounds and bench reps otherwise).
+    var sig = signature(e)
+    var converged = false
+    var round = 0
+    while (!converged) {
+      // ONE star pair per materialization barrier. (r21 tried two —
+      // halving the barrier count — and measured it 3–4× SLOWER: the
+      // inner pair's result is referenced several times by the outer
+      // pair's joins, and without a barrier between them the inner
+      // DAG re-evaluates per reference — the same CollapseProject/
+      // shared-subtree trap Dedup.bands documents. The barrier IS the
+      // reuse point; the loop stays round-latency-bound by design.)
       val prev = e
-      e = Checkpoints.stage(
-        small.union(small.select(col("b").as("a"), col("a").as("b"))).distinct())
+      e = Checkpoints.stage(starPair(e))
       Checkpoints.release(prev)
       val next = signature(e)
       if (next == sig) converged = true

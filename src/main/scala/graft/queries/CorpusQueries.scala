@@ -1881,10 +1881,17 @@ private[graft] object CorpusQueries {
     graft.ext.PostingsIndex.purgeTombstones(s, table)
     val probe2 = graft.ext.PostingsIndex.probe(s, table, Seq("dup", "data"), topK = 10)
       .pipe(graft.ext.Checkpoints.stage)
-    val stable = probe1.exceptAll(probe2).count() == 0 &&
-      probe2.exceptAll(probe1).count() == 0
+    // Multiset equality in ONE in-plan pass off the two staged probes
+    // (the x_index_delete r21 shape) instead of two exceptAll driver
+    // actions — same bit (every signed count nets to zero).
+    val stableBit = probe1.withColumn("_w", lit(1L))
+      .unionAll(probe2.withColumn("_w", lit(-1L)))
+      .groupBy(probe1.columns.map(col).toIndexedSeq: _*)
+      .agg(sum(col("_w")).as("_d"))
+      .agg((count(when(col("_d") =!= 0, lit(1))) === 0).cast("long")
+        .as("purge_stable_ok"))
     probe1.withColumnRenamed("id", "doc_id")
-      .withColumn("purge_stable_ok", lit(if (stable) 1L else 0L))
+      .crossJoin(stableBit)
   }
 
   /** x_bm25_batch: the SERVING shape — three term queries answered by

@@ -69,7 +69,7 @@ class SparkEntrySpec extends AnyFunSuite {
       // Purge-stability bit: the staged probe rows cross ONE 1-row
       // multiset-parity aggregate (r21 — replaced two exceptAll
       // driver actions with the in-plan bit).
-      "x_index_delete",
+      "x_index_delete", "x_bm25_delete",
       "x_stream_incremental_dedup", "x_ivf_quantized", "x_embed_dedup",
       "x_stream_embed_ingest", "x_stream_ivfpq", "x_retrieval_eval",
       // Anchor-batch × corpus scoring: the non-equi label filter is a

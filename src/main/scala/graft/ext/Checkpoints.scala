@@ -38,6 +38,34 @@ object Checkpoints {
       case None => df.localCheckpoint(eager = true)
     }
 
+  /** [[stage]] with the materialization DEFERRED to the caller's next
+    * action over the returned frame — the one-job-per-round shape for
+    * iterative operators (optimization guide §2.6: actions are only
+    * sequential because the driver calls them sequentially; here two
+    * driver round trips per round — eager barrier, then convergence
+    * aggregate — become one, because the aggregate's own job computes
+    * AND persists the barrier RDD en route). r22, VERDICT r21 #1: the
+    * alternating-star loop was round-LATENCY-bound at ~2 jobs/round.
+    *
+    * Contract for callers (all local to the loop that uses this):
+    *   - run exactly ONE action over the result before ANY other
+    *     reference to it — the first action materializes every
+    *     partition and finalizes the checkpoint (Spark's
+    *     LocalRDDCheckpointData self-heals partitions a short-circuit
+    *     skipped, so an aggregate is always enough);
+    *   - do NOT [[release]] the frames it was derived from until that
+    *     action has run (their blocks are still the lineage).
+    *
+    * With `spark.graft.checkpointDir` configured this falls back to
+    * the EAGER [[stage]]: a reliable Dataset.checkpoint(eager=false)
+    * writes its files by RECOMPUTING the plan after the first action —
+    * two computations, strictly worse than eager-then-aggregate. */
+  def stageLazy(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+      case Some(_) => stage(df)
+      case None => df.localCheckpoint(eager = false)
+    }
+
   /** Free the storage behind a [[stage]]d frame NOW instead of waiting
     * for the async ContextCleaner. Iterative operators (label
     * propagation, large/small-star rounds) retire one barrier per

@@ -323,16 +323,20 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nl")).as("nmin"))
+      // LAZY barrier: the changed-count below is the action that
+      // materializes the round — one job per round instead of stage +
+      // count (Checkpoints.stageLazy doc; labels identical, r22).
       val next = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-        .pipe(Checkpoints.stage)
+        .pipe(Checkpoints.stageLazy)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
         .where(col("cluster_id") =!= col("prev")).count()
       // The convergence count was the old barrier's last reader — free
       // its blocks now rather than letting rounds accumulate until the
-      // async ContextCleaner gets to them.
+      // async ContextCleaner gets to them. (After the count: the old
+      // labels are part of `next`'s just-materialized lineage.)
       Checkpoints.release(labels)
       labels = next
       converged = changed == 0

@@ -56,7 +56,11 @@ object ConnectedComponents {
     val e0 = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    var e = Checkpoints.stage(
+    // LAZY barrier (Checkpoints.stageLazy): the signature aggregate
+    // below is the action that materializes it — one job instead of
+    // barrier + aggregate, here and per round (VERDICT r21 #1: the
+    // loop is round-latency-bound, so job count per round IS the wall).
+    var e = Checkpoints.stageLazy(
       e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct())
 
     // Order-independent edge-set signature for convergence detection:
@@ -102,11 +106,17 @@ object ConnectedComponents {
       // pair's joins, and without a barrier between them the inner
       // DAG re-evaluates per reference — the same CollapseProject/
       // shared-subtree trap Dedup.bands documents. The barrier IS the
-      // reuse point; the loop stays round-latency-bound by design.)
+      // reuse point.) r22: the barrier is LAZY and the signature
+      // aggregate is the job that materializes it — ONE action per
+      // round instead of stage + signature (the round-cost fix VERDICT
+      // r21 #1 asked for; same signature, same rounds, labels
+      // identical). prev is released only AFTER that action: the new
+      // round's blocks must exist before the old round's are freed,
+      // or the signature job would find its lineage unpersisted.
       val prev = e
-      e = Checkpoints.stage(starPair(e))
-      Checkpoints.release(prev)
+      e = Checkpoints.stageLazy(starPair(e))
       val next = signature(e)
+      Checkpoints.release(prev)
       if (next == sig) converged = true
       else {
         round += 1

@@ -96,10 +96,22 @@ object LmIndex {
     * produce the same tag, so a retried write overwrites its own
     * partition instead of double-counting. */
   private[ext] def waveOf(docs: DataFrame, idCol: String): String = {
+    val (n, tag) = waveCensus(docs, idCol)
+    require(n >= 0, "unreachable"); tag
+  }
+
+  /** (doc count, wave tag) in ONE aggregation — append/delete run it
+    * over their LAZILY staged `fresh` barrier (Checkpoints.stageLazy),
+    * so one job materializes the barrier AND answers both "is there
+    * anything to do" and "what wave is it" (r22; these were three
+    * separate driver actions — stage, isEmpty, waveOf — per
+    * append/delete, pure fixed overhead at any scale). */
+  private def waveCensus(docs: DataFrame, idCol: String): (Long, String) = {
     val r = docs.agg(count(lit(1)).as("n"),
       coalesce(sum(xxhash64(col(idCol))), lit(0L)).as("h1"),
       coalesce(sum(xxhash64(col(idCol), lit(7))), lit(0L)).as("h2")).head()
-    f"w${r.getLong(0)}%x_${r.getLong(1)}%016x_${r.getLong(2)}%016x"
+    (r.getLong(0),
+      f"w${r.getLong(0)}%x_${r.getLong(1)}%016x_${r.getLong(2)}%016x")
   }
 
   /** Dynamic partition overwrite of `rows` into `table` as wave
@@ -164,7 +176,7 @@ object LmIndex {
         idTableSchema(idType), "__wave", "id", nBuckets),
       () => Writer.emptyPartitionedBucketedTable(spark, table + "_tombstones",
         idTableSchema(idType), "__wave", "id", 1))
-    append(spark, table, docs, idCol, textCol)
+    append(spark, table, docs, idCol, textCol, overlapWaves = true)
   }
 
   /** Add a batch's counts. IDEMPOTENT two ways: ids already indexed
@@ -172,21 +184,53 @@ object LmIndex {
     * wave overwrites its own deterministic partition — a retried
     * append can never double-count. */
   def append(spark: SparkSession, table: String, newDocs: DataFrame,
-             idCol: String, textCol: String): Unit = {
+             idCol: String, textCol: String): Unit =
+    append(spark, table, newDocs, idCol, textCol, overlapWaves = false)
+
+  /** [[append]] with the delta/registry wave ORDER relaxed to a §2.6
+    * overlap — legal ONLY from [[build]] (r22): build just dropped and
+    * recreated every table, so its retry path is build-again-from-
+    * scratch, not the registry-anti-join idempotence an interrupted
+    * APPEND retry relies on (the ADVICE r21 crash contract). A crashed
+    * build leaves an index that was never consistent; re-running build
+    * drops both waves whole. */
+  private def append(spark: SparkSession, table: String, newDocs: DataFrame,
+                     idCol: String, textCol: String,
+                     overlapWaves: Boolean): Unit = {
     recoverAll(spark, table)
     val known = spark.table(table + "_docs").select(col("id"))
       .unionByName(spark.table(table + "_tombstones").select(col("id")))
+    // Lazy barrier: the wave census below is the action that
+    // materializes it — one job for barrier + emptiness + wave tag
+    // (waveCensus doc) instead of three.
     val fresh = newDocs.dropDuplicates(Seq(idCol))
       .join(known.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-      .pipe(Checkpoints.stage)
-    if (fresh.isEmpty) return
-    val wave = waveOf(fresh.select(col(idCol)), idCol)
-    // The delta and `_docs` waves land in DISJOINT tables off the same
-    // staged `fresh` barrier — overlap the two writes (guide §2.6).
-    Par.all(
+      .pipe(Checkpoints.stageLazy)
+    val (nFresh, wave) = waveCensus(fresh, idCol)
+    if (nFresh == 0L) return
+    // ORDER IS THE CRASH CONTRACT (ADVICE r21, high): the count-delta
+    // wave must COMMIT strictly before the `_docs` registry wave.
+    // Retry idempotence anti-joins on the registry — if the registry
+    // landed but the deltas did not (r21 ran the two under Par.all,
+    // so a crash between the commits could order them either way), a
+    // retried append classifies the ids as already processed and the
+    // counts are silently never written: permanent index drift no
+    // census can see. Delta-first, a crash between the writes leaves
+    // counts committed but unregistered, and the retry re-censuses the
+    // same doc set into the SAME deterministic wave partition — a
+    // self-overwrite, never a double count. (The ~0.2 s the overlap
+    // bought at fixture scale is not worth an undetectable-drift
+    // window; Par stays on the genuinely commutable overlaps — which
+    // includes the BUILD path: `overlapWaves` doc.)
+    if (overlapWaves) Par.all(
       () => writeWave(spark, table, gramCensus(fresh, idCol, textCol), wave),
       () => writeWave(spark, table + "_docs",
         fresh.select(col(idCol).as("id")), wave))
+    else {
+      writeWave(spark, table, gramCensus(fresh, idCol, textCol), wave)
+      writeWave(spark, table + "_docs",
+        fresh.select(col(idCol).as("id")), wave)
+    }
   }
 
   /** Subtract deleted docs' counts — the LM takedown: the reference
@@ -200,23 +244,28 @@ object LmIndex {
   def delete(spark: SparkSession, table: String, docsToDelete: DataFrame,
              idCol: String, textCol: String): Long = {
     recoverAll(spark, table)
+    // Lazy barrier + one-job wave census — see append.
     val fresh = docsToDelete.dropDuplicates(Seq(idCol))
       .join(spark.table(table + "_docs").select(col("id").as(idCol)),
         Seq(idCol), "left_semi")
       .join(spark.table(table + "_tombstones").select(col("id").as(idCol)),
         Seq(idCol), "left_anti")
-      .pipe(Checkpoints.stage)
-    val removed = fresh.count()
+      .pipe(Checkpoints.stageLazy)
+    val (removed, tag) = waveCensus(fresh, idCol)
     if (removed == 0) return 0L
-    val wave = "del_" + waveOf(fresh.select(col(idCol)), idCol)
-    // Disjoint tables off the same staged barrier — overlap (§2.6).
-    Par.all(
-      () => writeWave(spark, table,
-        gramCensus(fresh, idCol, textCol)
-          .select(col("w1"), col("g"), (lit(0L) - col("c")).as("c")),
-        wave),
-      () => writeWave(spark, table + "_tombstones",
-        fresh.select(col(idCol).as("id")), wave))
+    val wave = "del_" + tag
+    // Negative-delta wave strictly BEFORE the tombstone wave — same
+    // crash contract as append (ADVICE r21, high): the retry anti-joins
+    // on `_tombstones`, so tombstones-without-deltas would block the
+    // re-delete while the counts were never subtracted. Delta-first, a
+    // crash leaves subtracted-but-untombstoned ids the retry re-deletes
+    // into the same deterministic wave — a self-overwrite.
+    writeWave(spark, table,
+      gramCensus(fresh, idCol, textCol)
+        .select(col("w1"), col("g"), (lit(0L) - col("c")).as("c")),
+      wave)
+    writeWave(spark, table + "_tombstones",
+      fresh.select(col(idCol).as("id")), wave)
     removed
   }
 
@@ -449,6 +498,7 @@ object LmIndex {
     // same order as before.
     val staging = PurgeSwap.stagingOf(table)
     val stagingDocs = PurgeSwap.stagingOf(table + "_docs")
+    val t = table + "_tombstones"
     Par.all(
       () => {
         Writer.dropTableAndLocation(spark, staging)
@@ -468,20 +518,25 @@ object LmIndex {
             .join(spark.table(table + "_tombstones").select(col("id")),
               Seq("id"), "left_anti"),
           mergedWave)
+      },
+      // The empty replacement-tombstone table reads NOTHING — staging
+      // it is a pure DDL that joins the overlap wave (r22, guide §2.6;
+      // its SWAP stays strictly last below, so the crash ordering is
+      // unchanged: a staged-but-unswapped empty table is inert).
+      () => {
+        Writer.dropTableAndLocation(spark, PurgeSwap.stagingOf(t))
+        Writer.emptyPartitionedBucketedTable(spark, PurgeSwap.stagingOf(t),
+          idTableSchema(idType), "__wave", "id", 1)
       })
     PurgeSwap.swap(spark, table)
     PurgeSwap.swap(spark, table + "_docs")
-    // Tombstones clear LAST, and ATOMICALLY (stage an empty table,
-    // swap it in — the PurgeSwap pattern, not drop-then-recreate): a
+    // Tombstones clear LAST, and ATOMICALLY (swap in the empty table
+    // staged above — the PurgeSwap pattern, not drop-then-recreate): a
     // crash before the swap leaves the ids blocked (conservative) and
     // a compact re-run finishes the job; a crash INSIDE the swap's
     // drop→rename window is healed by the recover() every lifecycle
     // entry point runs — drop-then-recreate had a window where the
     // tombstone table was simply missing and every reader threw.
-    val t = table + "_tombstones"
-    Writer.dropTableAndLocation(spark, PurgeSwap.stagingOf(t))
-    Writer.emptyPartitionedBucketedTable(spark, PurgeSwap.stagingOf(t),
-      idTableSchema(idType), "__wave", "id", 1)
     PurgeSwap.swap(spark, t)
     math.max(0, waves.size - 1)
   }
@@ -517,10 +572,13 @@ object LmIndex {
         .foreach(Writer.dropTableAndLocation(spark, _))
     }
     if (!spark.catalog.tableExists(table)) {
+      // Source-byte-derived buckets (r22, guide §6 — the streaming
+      // twin of build's scaledBuckets; scaledSinkBuckets doc).
+      val nBuckets = StreamOps.scaledSinkBuckets(stream)
       Writer.emptyPartitionedBucketedTable(spark, table, deltaSchema,
-        "__wave", "w1", 16)
+        "__wave", "w1", nBuckets)
       Writer.emptyPartitionedBucketedTable(spark, table + "_docs",
-        idTableSchema(idType), "__wave", "id", 16)
+        idTableSchema(idType), "__wave", "id", nBuckets)
       Writer.emptyPartitionedBucketedTable(spark, table + "_tombstones",
         idTableSchema(idType), "__wave", "id", 1)
     }
@@ -530,8 +588,16 @@ object LmIndex {
       val b = batch.localCheckpoint(true)
       n.incrementAndGet()
       val wave = s"batch-$batchId"
-      writeWave(spark, table, gramCensus(b, idCol, textCol), wave)
-      writeWave(spark, table + "_docs", b.select(col(idCol).as("id")), wave)
+      // The two batch waves OVERLAP (r22, guide §2.6): unlike append,
+      // the streaming retry discipline is CHECKPOINT REDELIVERY, not a
+      // registry anti-join — a crash between (or inside) these writes
+      // means batch-N never committed, the restarted stream redelivers
+      // it, and both waves dynamic-overwrite their own batch-N
+      // partitions whole. No ordering can leak state across the retry.
+      Par.all(
+        () => writeWave(spark, table, gramCensus(b, idCol, textCol), wave),
+        () => writeWave(spark, table + "_docs",
+          b.select(col(idCol).as("id")), wave))
     }
     q.awaitTermination()
     spark.catalog.refreshTable(table)

@@ -70,6 +70,10 @@ class SparkEntrySpec extends AnyFunSuite {
       // multiset-parity aggregate (r21 — replaced two exceptAll
       // driver actions with the in-plan bit).
       "x_index_delete", "x_bm25_delete",
+      // Tombstones-cleared bit: the probe rows cross ONE 1-row count
+      // aggregate (r22 — replaced the isEmpty driver action with the
+      // in-plan bit, the same pattern).
+      "x_lm_delete",
       "x_stream_incremental_dedup", "x_ivf_quantized", "x_embed_dedup",
       "x_stream_embed_ingest", "x_stream_ivfpq", "x_retrieval_eval",
       // Anchor-batch × corpus scoring: the non-equi label filter is a

@@ -92,17 +92,20 @@ object Curation {
     val idType = stream.schema(idCol).dataType
     val fpIdx = fingerprintIndexOf(table)
     val mk = IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)
+    // Sink buckets from the stream's source bytes (r22, guide §6 —
+    // StreamOps.scaledSinkBuckets doc).
+    val nBuckets = StreamOps.scaledSinkBuckets(stream)
     mk(spark, fpIdx,
       StructType(Seq(
         StructField("id", idType), StructField("fp", StringType),
         StructField(StreamOps.BatchTag, LongType))),
-      StreamOps.BatchTag, "fp", 8)
+      StreamOps.BatchTag, "fp", nBuckets)
     mk(spark, table,
       StructType(Seq(
         StructField("id", idType), StructField("split", StringType),
         StructField("n_chars", LongType), StructField("n_tok", LongType),
         StructField(StreamOps.BatchTag, LongType))),
-      StreamOps.BatchTag, "id", 8)
+      StreamOps.BatchTag, "id", nBuckets)
     StreamOps.sinkBatches(spark, stream, queryName, table,
         checkpointLocation) { (b, batchId) =>
       // Refresh the index's cached file listing at probe start (the

@@ -283,24 +283,26 @@ object DedupIndex {
     // the same MinHash params: the kept index rows are run-1 bands, so
     // changed params would probe incomparable signatures.
     val mkTable = IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)
+    // Source-byte-derived buckets (r22, guide §6 — scaledSinkBuckets).
+    val nBuckets = StreamOps.scaledSinkBuckets(stream)
     mkTable(spark, table,
       StructType(Seq(
         StructField("id", idType),
         StructField("band_id", IntegerType),
         StructField("band_hash", LongType),
         StructField(StreamOps.BatchTag, LongType))),
-      StreamOps.BatchTag, "band_hash", 16)
-    // Pairs sink bucketed on id_a: the write shapes to 8 files/batch
-    // (vs one per upstream slice), and the accumulated pairs feed
-    // id-keyed consumers (cluster label-prop, survivor anti-join)
-    // that can ride the stored clustering.
+      StreamOps.BatchTag, "band_hash", nBuckets)
+    // Pairs sink bucketed on id_a: the write shapes to one file per
+    // bucket per batch (vs one per upstream slice), and the
+    // accumulated pairs feed id-keyed consumers (cluster label-prop,
+    // survivor anti-join) that can ride the stored clustering.
     val sink = table + "_pairs"
     mkTable(spark, sink,
       StructType(Seq(
         StructField("id_a", idType),
         StructField("id_b", idType),
         StructField(StreamOps.BatchTag, LongType))),
-      StreamOps.BatchTag, "id_a", 8)
+      StreamOps.BatchTag, "id_a", nBuckets)
     StreamOps.sinkBatches(spark, stream, queryName, sink,
         checkpointLocation) { (b, batchId) =>
       // Refresh the index's cached file listing HERE — the previous

@@ -563,13 +563,15 @@ object IvfIndex {
     // (fresh checkpoint + leftover table = drop, not silent merge —
     // see the dedup twin).
     val mkTable = IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)
+    // Source-byte-derived buckets (r22, guide §6 — scaledSinkBuckets).
+    val nBuckets = StreamOps.scaledSinkBuckets(stream)
     mkTable(spark, table,
       StructType(Seq(
         StructField(idCol, idType),
         StructField(vecCol, vecType),
         StructField("cluster_id", IntegerType),
         StructField(StreamOps.BatchTag, LongType))),
-      StreamOps.BatchTag, "cluster_id", 16)
+      StreamOps.BatchTag, "cluster_id", nBuckets)
     val sink = table + "_pairs"
     mkTable(spark, sink,
       StructType(Seq(
@@ -577,7 +579,7 @@ object IvfIndex {
         StructField("id_b", idType),
         StructField("cos_sim", DoubleType),
         StructField(StreamOps.BatchTag, LongType))),
-      StreamOps.BatchTag, "id_a", 8)
+      StreamOps.BatchTag, "id_a", nBuckets)
     StreamOps.sinkBatches(spark, stream, queryName, sink,
         checkpointLocation) { (b, batchId) =>
       // Refresh-at-probe + index append as a concurrent side write —

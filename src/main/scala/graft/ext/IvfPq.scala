@@ -220,7 +220,8 @@ object IvfPq {
         StructField("pq_code", LongType),
         StructField("cluster_id", IntegerType),
         StructField(StreamOps.BatchTag, LongType))),
-      StreamOps.BatchTag, "cluster_id", 16)
+      // Source-byte-derived (r22, guide §6 — scaledSinkBuckets doc).
+      StreamOps.BatchTag, "cluster_id", StreamOps.scaledSinkBuckets(stream))
     StreamOps.sinkBatches(spark, stream, queryName, table,
         checkpointLocation) { (b, _) =>
       val encoded = StreamOps.Profile.timed(queryName, "encode")(

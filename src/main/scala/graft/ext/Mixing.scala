@@ -259,7 +259,8 @@ object Mixing {
         StructField(groupCol, grpType),
         StructField("tok", LongType),
         StructField(StreamOps.BatchTag, LongType))),
-      StreamOps.BatchTag, idCol, 8)
+      // Source-byte-derived (r22, guide §6 — scaledSinkBuckets doc).
+      StreamOps.BatchTag, idCol, StreamOps.scaledSinkBuckets(stream))
     mkTable(spark, table + "_totals",
       StructType(Seq(
         StructField(groupCol, grpType),

@@ -24,6 +24,24 @@ package graft.ext
   * once); jobs run FIFO on the scheduler, which is exactly the
   * back-fill behaviour wanted.
   *
+  * FAN-OUT CAP CONVENTION (r22, VERDICT r21 #5 item): because the
+  * pool itself is unbounded BY DESIGN, the bound lives at the call
+  * sites — a [[map]] over a collection whose size is not structurally
+  * small (family registries, fixed leg lists, ≤ ~8 today) must chunk
+  * or cap its input first (e.g. `xs.grouped(8).flatMap(Par.map(_)(f))`
+  * keeps a wave ≤ 8 whatever the fleet grows to). Nesting multiplies:
+  * an outer map of n over an inner map of m holds n×m threads — keep
+  * the PRODUCT of the caps in the low dozens. ParSpec pins that
+  * nesting completes, preserves order, and holds exactly outer×inner
+  * concurrent tasks (no hidden amplification beyond the call sites').
+  *
+  * CONF-SCOPE HAZARD: session-conf save/set/restore scopes (e.g.
+  * StreamOps.withScaledStatePartitions) must NOT run on a Par thread
+  * or overlap one that plans on the same session — a sibling action
+  * planned inside the scope silently picks up the scoped conf (that
+  * guard is enforced there; keep new scopes out of thunks passed
+  * here).
+  *
   * Single-maintainer discipline unchanged: parallelism here is ACROSS
   * families/legs whose state tables are disjoint by construction
   * (requireDistinctFamilies), never two maintainers of one family.
@@ -42,20 +60,35 @@ object Par {
       })
 
   /** Map `f` over `xs` with each element on its own pooled thread,
-    * preserving order. Exceptions rethrow at the caller (first
-    * failing element wins); the remaining futures still complete —
-    * index state stays consistent because every action is its
-    * family's own crash-safe path. */
+    * preserving order. On failure the FIRST failing element's
+    * exception rethrows — but only after EVERY sibling future has
+    * completed (ADVICE r21, medium): rethrowing while siblings still
+    * run would return control to a caller (bench rep cleanup, fixture
+    * drops) that may immediately drop/recreate tables an orphaned
+    * still-running thunk is writing — LOCATION_ALREADY_EXISTS wedges
+    * or cross-rep state corruption. Each action itself stays its
+    * family's own crash-safe path; later failures are attached to the
+    * first as suppressed. */
   def map[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
     if (xs.size <= 1) return xs.map(f)
     val futs = xs.map(x => pool.submit(
       new java.util.concurrent.Callable[B] { def call(): B = f(x) }))
-    futs.map { fu =>
-      try fu.get()
+    // Await ALL before surfacing anything: no caller may observe
+    // completion (normal or exceptional) while a sibling job is still
+    // mutating state.
+    val outcomes: Seq[Either[Throwable, B]] = futs.map { fu =>
+      try Right(fu.get())
       catch {
         case e: java.util.concurrent.ExecutionException =>
-          throw Option(e.getCause).getOrElse(e)
+          Left(Option(e.getCause).getOrElse(e))
+        case e: Throwable => Left(e)
       }
+    }
+    outcomes.collect { case Left(e) => e } match {
+      case Seq() => outcomes.map(_.toOption.get)
+      case first +: rest =>
+        rest.foreach(e => if (e ne first) first.addSuppressed(e))
+        throw first
     }
   }
 

@@ -383,10 +383,14 @@ object PostingsIndex {
                    idCol: String, textCol: String,
                    queryName: String = "graft_bm25_ingest",
                    checkpointLocation: Option[String] = None,
-                   nBuckets: Int = 16): (DataFrame, Int) = {
+                   nBuckets0: Int = 0): (DataFrame, Int) = {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val idType = stream.schema(idCol).dataType
+    // nBuckets0 ≤ 0 (the default) derives the bucket count from the
+    // stream's source bytes (r22, guide §6 — scaledSinkBuckets doc).
+    val nBuckets =
+      if (nBuckets0 > 0) nBuckets0 else StreamOps.scaledSinkBuckets(stream)
     val mkTable = IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)
     mkTable(spark, table,
       StructType(Seq(

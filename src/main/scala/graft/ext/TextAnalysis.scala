@@ -1178,7 +1178,8 @@ object TextAnalysis {
         StructField("n_oov", LongType),
         StructField("correct", LongType),
         StructField(StreamOps.BatchTag, LongType))),
-      StreamOps.BatchTag, idCol, 8)
+      // Source-byte-derived (r22, guide §6 — scaledSinkBuckets doc).
+      StreamOps.BatchTag, idCol, StreamOps.scaledSinkBuckets(stream))
     val g = grid.localCheckpoint(true)
     val d = dflt.localCheckpoint(true)
     StreamOps.sinkBatches(spark, stream, queryName, table,

@@ -180,12 +180,15 @@ object WinnowIndex {
     // Keep prior state only when the checkpoint has committed batches
     // (fresh checkpoint + leftover table = drop, not silent merge).
     val mkTable = IndexLifecycle.resumeAwareTableMaker(spark, checkpointLocation)
+    // Sink/index buckets derive from the stream's source bytes (r22,
+    // guide §6 — StreamOps.scaledSinkBuckets doc).
+    val nBuckets = StreamOps.scaledSinkBuckets(stream)
     mkTable(spark, table,
       StructType(Seq(
         StructField("id", idType),
         StructField("fp", LongType),
         StructField(StreamOps.BatchTag, LongType))),
-      StreamOps.BatchTag, "fp", 16)
+      StreamOps.BatchTag, "fp", nBuckets)
     // Pairs sink bucketed on id_a — see the dedup twin's rationale.
     val sink = table + "_pairs"
     mkTable(spark, sink,
@@ -194,7 +197,7 @@ object WinnowIndex {
         StructField("id_b", idType),
         StructField("n_shared", LongType),
         StructField(StreamOps.BatchTag, LongType))),
-      StreamOps.BatchTag, "id_a", 8)
+      StreamOps.BatchTag, "id_a", nBuckets)
     StreamOps.sinkBatches(spark, stream, queryName, sink,
         checkpointLocation) { (b, batchId) =>
       // Refresh-at-probe + index append as a concurrent side write —
@@ -302,7 +305,7 @@ object WinnowIndex {
         StructField("eval_id", idType),
         StructField("n_shared", LongType),
         StructField(StreamOps.BatchTag, LongType))),
-      StreamOps.BatchTag, "train_id", 8)
+      StreamOps.BatchTag, "train_id", StreamOps.scaledSinkBuckets(stream))
     // Eval-side posting cap decided ONCE from the static index —
     // batch-independent by construction; materialized so the stream
     // never recomputes the census.

@@ -28,6 +28,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("withScaledStatePartitions refuses Par threads and restores the conf") {
+    // The conf-scope guard (VERDICT r21 #8 / ADVICE r21): a Par-thread
+    // caller would leak the stream-sized shuffle.partitions into
+    // sibling actions planning on the same session.
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Par.await(graft.ext.Par.future(
+        StreamOps.withScaledStatePartitions(spark, 100L)(1)))
+    }
+    assert(e.getMessage.contains("Par thread"))
+    // Off a Par thread the scope applies and restores.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val inside = StreamOps.withScaledStatePartitions(spark, 100L)(
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    assert(inside == "1", "100 bytes must scale to 1 state partition")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == saved)
+  }
+
   test("streaming dedup removes planted duplicate keys") {
     val input = MemoryStream[(Long, String)](spark)
     input.addData((1L, "a"), (1L, "a"), (2L, "b"), (3L, "a"), (2L, "b"))

@@ -1,6 +1,59 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** One self-triaged regression flag: this run's min, its re-measure,
+    * the floor, the previous run's time if known, the adjudicated
+    * verdict. */
+  private[graft] case class Flag(name: String, run: Double, recheck: Double,
+      floor: Double, prev: Option[Double], verdict: String)
+
+  private[graft] def fmtSec(v: Double): String =
+    if (v < 0) "-1" else f"$v%.4f"
+
+  private[graft] def flagJson(f: Flag): String = {
+    val prevField = f.prev.map(p => ",\"prev\":" + fmtSec(p)).getOrElse("")
+    "\"" + f.name + "\":{\"run\":" + fmtSec(f.run) +
+      ",\"recheck\":" + fmtSec(f.recheck) +
+      ",\"floor\":" + fmtSec(f.floor) + prevField +
+      ",\"verdict\":\"" + f.verdict + "\"}"
+  }
+
+  /** Cap for every unbounded map in the printed closing line. */
+  private[graft] val SummaryTopN = 5
+
+  /** The compact closing line printed to stdout. The driver keeps only
+    * the LAST ~2000 chars of output and parses the final JSON line in
+    * that window; round 20's line overflowed it (a large `regressed`
+    * map) and never parsed — BENCH_r20.json `parsed: null`, and PERF
+    * round-over-round went dark for two rounds (VERDICT r21 #2). So
+    * every unbounded collection is CAPPED here: `regressed` keeps the
+    * [[SummaryTopN]] worst flags ("confirmed" verdicts first, then
+    * largest run/floor ratio) with `n_regressed` carrying the true
+    * count; `slowest` and `failed` keep [[SummaryTopN]] entries
+    * (`n_failed` the true count); env-provided paths are tail-
+    * truncated. BenchLineSpec proves the worst case (longest registry
+    * names, every field populated, every cap hit) stays under 1900
+    * bytes. The COMPLETE maps are in BENCH_FULL.json either way. */
+  private[graft] def renderSummary(total: Double, reps: Int, nQueries: Int,
+      famJson: String, streamingFixed: String, machineryJson: String,
+      floorTotal: Double, flags: Seq[Flag], confirmedCount: Int,
+      driftJson: String, slowest: Seq[(String, Double)],
+      failed: Seq[String], outPath: String, sfDir: String): String = {
+    def cap(s: String, n: Int) =
+      if (s.length <= n) s else "..." + s.takeRight(n - 3)
+    val topFlags = flags.sortBy(f =>
+      (f.verdict != "confirmed", -(f.run / math.max(f.floor, 1e-9))))
+      .take(SummaryTopN)
+    val regressedJson = topFlags.map(flagJson).mkString("{", ",", "}")
+    val slowJson = slowest.take(SummaryTopN)
+      .map { case (k, v) => "\"" + k + "\":" + fmtSec(v) }
+      .mkString("{", ",", "}")
+    val failedJson = failed.take(SummaryTopN)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","reps":$reps,"n_queries":$nQueries,"families":$famJson,"streaming_fixed_s":$streamingFixed,$machineryJson,"floor_total":${fmtSec(floorTotal)},"regressed":$regressedJson,"n_regressed":${flags.size},"confirmed_regressions":$confirmedCount,$driftJson,"slowest":$slowJson,"failed":$failedJson,"n_failed":${failed.size},"queries_file":"${cap(outPath, 80)}","sf":"${cap(sfDir, 80)}"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -117,6 +170,15 @@ object Bench {
       BenchFloor.clamped(floorText.map(BenchFloor.parse).getOrElse(Map.empty))
     val fileSf = floorText.flatMap(BenchFloor.parseSf)
     val sfMatches = fileSf.forall(_ == sfDir)
+    // Core-count gate (r22, VERDICT r21 #3): at sf0.1 the bench is
+    // fixed-per-partition-overhead bound, so floors set at a different
+    // core count are not comparable IN EITHER DIRECTION (the driver's
+    // r21 8-core leg ratcheted 43 committed 32-core floors below any
+    // 32-core-reachable value). Mismatch = ignore + never write, same
+    // as an sf mismatch; stampless legacy files match and get stamped
+    // on the next write.
+    val fileCpus = floorText.flatMap(BenchFloor.parseCpus)
+    val cpusMatches = fileCpus.forall(_ == cpus)
     // "Readable" ≠ "has entries": an empty-but-valid floor file ({} or
     // sf-stamp-only) must stay writable or the ratchet wedges forever
     // (BenchFloor.readable; the IO-failure path reaches here as "").
@@ -124,10 +186,13 @@ object Bench {
     if (!sfMatches)
       System.err.println(s"[bench] $floorPath is for sf ${fileSf.get}, this run " +
         s"is $sfDir — floors ignored and file left untouched")
+    if (!cpusMatches)
+      System.err.println(s"[bench] $floorPath is for cpus ${fileCpus.get}, " +
+        s"this run is cpus $cpus — floors ignored and file left untouched")
     if (!readOk)
       System.err.println(s"[bench] existing $floorPath unreadable — " +
         "floors ignored and file left untouched (NOT rewritten from empty)")
-    val writeAllowed = sfMatches && readOk
+    val writeAllowed = sfMatches && cpusMatches && readOk
     val floorRaw: Map[String, Double] =
       if (writeAllowed) parsed else Map.empty
     // Zombie floors (renamed/deleted queries): warn always; on a FULL
@@ -239,17 +304,15 @@ object Bench {
       else timeQueries(regressed.toSet).map { case (k, ts) =>
         k -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
       }.toMap
-    val regressedJson = regressed.map { k =>
+    val flags = regressed.map { k =>
       val rc = recheck.getOrElse(k, -1.0)
-      val prevField = prevQueries.get(k)
-        .map(p => ",\"prev\":" + fmt(p)).getOrElse("")
-      "\"" + k + "\":{\"run\":" + fmt(bestMap(k)) + ",\"recheck\":" + fmt(rc) +
-        ",\"floor\":" + fmt(floor(k)) + prevField +
-        ",\"verdict\":\"" + BenchFloor.adjudicate(floor(k), rc, identicalCode) + "\"}"
-    }.mkString("{", ",", "}")
-    val confirmedCount =
-      regressed.count(k => BenchFloor.adjudicate(floor(k),
-        recheck.getOrElse(k, -1.0), identicalCode) == "confirmed")
+      Flag(k, bestMap(k), rc, floor(k), prevQueries.get(k),
+        BenchFloor.adjudicate(floor(k), rc, identicalCode))
+    }
+    // COMPLETE flag map — goes to the BENCH_FULL.json file; the printed
+    // line carries the capped selection (renderSummary doc).
+    val regressedJson = flags.map(flagJson).mkString("{", ",", "}")
+    val confirmedCount = flags.count(_.verdict == "confirmed")
     // Ratio guarded on floor > 0: a zero/corrupt floor entry must not
     // emit Infinity/NaN (invalid JSON) into the artifact.
     val vsFloorJson = best.collect {
@@ -270,7 +333,7 @@ object Bench {
         BenchFloor.merge(BenchFloor.merge(floor, bestMap).toMap, recheck)
           .toMap).toSeq.sortBy(_._1)
       val w = new java.io.PrintWriter(floorPath, "UTF-8")
-      try w.print(BenchFloor.render(merged, Some(sfDir)))
+      try w.print(BenchFloor.render(merged, Some(sfDir), Some(cpus)))
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $floorPath: ${e.getMessage}")
@@ -327,15 +390,15 @@ object Bench {
     // slowest list profiles production paths only (gates are visible
     // in the full map and the "gate" family number).
     val slowest = best.filter(t => t._2 >= 0 && family(t._1) != "gate")
-      .sortBy(-_._2).take(8)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    // Compact floor summary for the tail-limited driver artifact: the
-    // floor-comparable total and the SELF-TRIAGED regressed entries
-    // (run/recheck/floor/verdict; full per-query ratios live in
-    // BENCH_FULL.json). An empty regressed list = a clean run; entries
-    // with verdict "transient" = adjudicated noise, no action needed;
-    // "confirmed" = a real regression that survived its re-measure.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${best.size},"families":$famJson,"streaming_fixed_s":$streamingFixed,$machineryJson,"floor_total":${fmt(floorTotal)},"regressed":$regressedJson,"confirmed_regressions":$confirmedCount,$driftJson,"slowest":$slowest,"failed":$failed,"queries_file":"$outPath","sf":"$sfDir"}""")
+      .sortBy(-_._2)
+    // Compact floor summary for the tail-limited driver artifact
+    // (renderSummary doc: every unbounded map capped so the line ALWAYS
+    // parses). An empty regressed list = a clean run; "transient" =
+    // adjudicated noise; "confirmed" = a real regression that survived
+    // its re-measure.
+    println(renderSummary(total, reps, best.size, famJson, streamingFixed,
+      machineryJson, floorTotal, flags, confirmedCount, driftJson,
+      slowest, best.filter(_._2 < 0).map(_._1), outPath, sfDir))
     spark.stop()
   }
 }

@@ -77,6 +77,19 @@ object BenchFloor {
     * quoted string, invisible to [[parse]]'s numeric-pair regex. */
   val SfKey = "__sf__"
 
+  /** Key under which the run's core count is stamped into the floor
+    * file (r22, VERDICT r21 #3). Floors are machine-shape-specific the
+    * same way they are sf-specific: at sf0.1 the bench is fixed-
+    * per-partition-overhead bound, so an 8-core run is FASTER
+    * family-wide than a 32-core one — the driver's r21 8-core scaling
+    * leg ratcheted 43 committed 32-core floors below what any 32-core
+    * run can reach, and the next full run opened with three spurious
+    * "confirmed" flags. A cpus mismatch is treated exactly like an sf
+    * mismatch: floors ignored, file never written. Files written
+    * before the stamp existed have none — treated as matching and
+    * stamped on the next write. */
+  val CpusKey = "__cpus__"
+
   /** Parse a flat {"name": seconds, ...} floor file. Tolerant of
     * formatting (regex over pairs); unreadable input → empty. */
   def parse(text: String): Map[String, Double] =
@@ -88,6 +101,12 @@ object BenchFloor {
     * stamped on the next write). */
   def parseSf(text: String): Option[String] =
     ("\"" + SfKey + "\"\\s*:\\s*\"([^\"]*)\"").r
+      .findFirstMatchIn(text).map(_.group(1))
+
+  /** The core count stamped in the floor file, if any — see
+    * [[CpusKey]]. Quoted string, invisible to [[parse]]. */
+  def parseCpus(text: String): Option[String] =
+    ("\"" + CpusKey + "\"\\s*:\\s*\"([^\"]*)\"").r
       .findFirstMatchIn(text).map(_.group(1))
 
   /** Queries of this run flagged as regressed vs their floor. Failed
@@ -164,7 +183,7 @@ object BenchFloor {
     * see only a subset). Bench warns on these always and drops them on
     * full runs, where registry membership is authoritative. */
   def zombies(floor: Map[String, Double], registry: Set[String]): Seq[String] =
-    (floor.keySet -- registry - SfKey).toSeq.sorted
+    (floor.keySet -- registry - SfKey - CpusKey).toSeq.sorted
 
   /** The ratcheted floor: min(known floor, this run) per query; new
     * queries enter at this run's min; a query absent from this run
@@ -187,8 +206,10 @@ object BenchFloor {
     * computed over the CONCATENATED line list: an sf stamp with zero
     * entries (a filtered run whose regex matched nothing) must not
     * leave a dangling comma. */
-  def render(entries: Seq[(String, Double)], sf: Option[String] = None): String = {
+  def render(entries: Seq[(String, Double)], sf: Option[String] = None,
+             cpus: Option[String] = None): String = {
     val lines = sf.map(v => s"""  "$SfKey": "$v"""").toSeq ++
+      cpus.map(v => s"""  "$CpusKey": "$v"""").toSeq ++
       entries.map { case (k, v) => s"""  "$k": ${f"$v%.4f"}""" }
     s"{\n${lines.mkString(",\n")}\n}\n"
   }
@@ -338,6 +359,7 @@ object BenchFloor {
   def readable(text: String): Boolean = {
     val t = text.trim
     parse(text).nonEmpty || parseSf(text).isDefined ||
+      parseCpus(text).isDefined ||
       (t.startsWith("{") && t.endsWith("}"))
   }
 }

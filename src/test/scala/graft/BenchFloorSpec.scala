@@ -35,6 +35,33 @@ class BenchFloorSpec extends AnyFunSuite {
     assert(BenchFloor.parseSf(BenchFloor.render(entries)).isEmpty)
   }
 
+  test("cpus stamp: round-trips, invisible to parse, mismatch semantics like sf") {
+    // VERDICT r21 #3: the driver's 8-core scaling leg ratcheted the
+    // 32-core floor file (8 cores is FASTER at sf0.1 — the bench is
+    // fixed-overhead bound), so floors are stamped with the cpu count
+    // that set them and a mismatch is ignored-never-written.
+    val entries = Seq("q1" -> 0.5)
+    val text = BenchFloor.render(entries, Some("/data/sf0.1"), Some("32"))
+    assert(BenchFloor.parseCpus(text).contains("32"))
+    assert(BenchFloor.parseSf(text).contains("/data/sf0.1"))
+    assert(BenchFloor.parse(text) == entries.toMap,
+      "the cpus marker must never parse as a query floor")
+    // Legacy files without a stamp: None (Bench treats as matching and
+    // stamps on the next write).
+    assert(BenchFloor.parseCpus(BenchFloor.render(entries, Some("/d"))).isEmpty)
+    // The stamp is not a zombie (it must survive full-run zombie drops)
+    // and a stamped file is readable at zero entries.
+    assert(BenchFloor.zombies(
+      Map(BenchFloor.SfKey -> 0.0, BenchFloor.CpusKey -> 0.0, "gone" -> 1.0),
+      Set("alive")) == Seq("gone"))
+    assert(BenchFloor.readable(BenchFloor.render(Nil, Some("/d"), Some("8"))))
+    // The committed floor file carries the 32-core stamp (the shape the
+    // driver's main bench runs at).
+    val src = scala.io.Source.fromFile("BENCH_FLOOR.json", "UTF-8")
+    val committed = try src.mkString finally src.close()
+    assert(BenchFloor.parseCpus(committed).contains("32"))
+  }
+
   test("merge ratchets downward only; absent queries keep their floor; failures never enter") {
     val floor = Map("q1" -> 2.0, "q2" -> 1.0, "q3" -> 5.0)
     val run = Map("q1" -> 1.5, "q2" -> 9.0, "q4" -> 0.7, "q5" -> -1.0)

@@ -1374,6 +1374,58 @@ object ScaleBench {
     * The published ratio is build-amortization: per-shard scoring cost
     * vs per-shard full recompute, the same argument the dedup/winnow
     * incremental indexes won on. */
+  /** The r22 SCALING-EVIDENCE point (VERDICT r21 #6): at sf0.1 the
+    * bench is fixed-overhead bound (the driver's 8-core leg beat 32
+    * cores family-wide), so the size-derived layout paths —
+    * Writer.scaledBuckets for batch index builds,
+    * StreamOps.scaledSinkBuckets for micro-batch sink tables,
+    * StreamOps.scaledStatePartitions for stateful streams — had only
+    * ever been observed at their clamps' floor (1 bucket / 1 state
+    * partition). This point builds the LM index and runs a stateful
+    * dedup stream over growing synthetic corpora and publishes the
+    * DERIVED counts next to the walls: the evidence is counts growing
+    * past 1 with sub-linear walls, i.e. the derivations actually
+    * scale instead of merely not hurting at fixture size. */
+  def bucketScalingPoint(spark: SparkSession, dir: String, scale: Int): String = {
+    import graft.ext.LmIndex
+    import graft.streaming.StreamOps
+    import graft.io.Writer
+    val n = 20000L * scale
+    val pathStr = s"$dir/bucket_scaling_x$scale"
+    genDocuments(spark, n).write.mode("overwrite").parquet(pathStr)
+    val docs = spark.read.parquet(pathStr)
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    val planBuckets = Writer.scaledBuckets(docs)
+    val table = s"graft_scale_buckets_x$scale"
+    val (_, tBuild) = timed {
+      LmIndex.build(spark, docs, "doc_id", "text", table)
+    }
+    // What the build actually wrote (the catalog spec probes reuse).
+    val catalogBuckets = Writer.bucketsOf(spark, table).getOrElse(-1)
+    val stream = spark.readStream.schema(docs.schema).parquet(pathStr)
+    val sinkBuckets = StreamOps.scaledSinkBuckets(stream)
+    val stateParts = StreamOps.scaledStatePartitions(spark, bytes)
+    val nRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val (_, tStream) = timed {
+      StreamOps.withScaledStatePartitions(spark, bytes) {
+        val q = StreamOps.foreachBatchSink(
+          StreamOps.dedup(stream.select(col("doc_id")), Seq("doc_id")),
+          s"bucket_scaling_stream_x$scale") { (b, _) =>
+          nRows.addAndGet(b.count())
+        }
+        q.awaitTermination()
+      }
+    }
+    require(nRows.get() == n,
+      s"stateful dedup must emit every unique id: ${nRows.get()} vs $n")
+    s"""{"bucket_scaling":{"scale":$scale,"n_docs":$n,"input_bytes":$bytes,""" +
+      s""""plan_buckets":$planBuckets,"catalog_buckets":$catalogBuckets,""" +
+      s""""sink_buckets":$sinkBuckets,"state_partitions":$stateParts,""" +
+      s""""t_build":${fmt(tBuild)},"t_stream":${fmt(tStream)}}}"""
+  }
+
   def lmIncPoint(spark: SparkSession, dir: String, scale: Int): String = {
     import graft.ext.{LmIndex, TextAnalysis}
     val n = 5000L * scale
@@ -3055,6 +3107,15 @@ object ScaleBench {
     if (args.contains("serve-only")) {
       servePoint(spark, outBase, 1)
       scales.foreach(m => println(servePoint(spark, outBase, m)))
+      spark.stop()
+      return
+    }
+    // `bucket-scaling-only`: the size-derived layout paths observed
+    // GROWING (buckets / sink buckets / state partitions > 1) with
+    // sub-linear walls — the evidence leg sf0.1 cannot provide.
+    if (args.contains("bucket-scaling-only")) {
+      bucketScalingPoint(spark, outBase, 1)
+      scales.foreach(m => println(bucketScalingPoint(spark, outBase, m)))
       spark.stop()
       return
     }

@@ -97,7 +97,13 @@ object StreamOps {
     * ([[scaledSinkBuckets]] floors at 1 bucket). */
   def sourceBytes(stream: DataFrame): Long = {
     val conf = stream.sparkSession.sessionState.newHadoopConf()
-    stream.queryExecution.logical.collect {
+    // The ANALYZED plan, not `logical`: a raw `readStream...parquet(p)`
+    // frame's unanalyzed plan in Spark 4.1 is one UnresolvedDataSource
+    // node — StreamingRelation only exists after analysis. (Caught by
+    // the r22 bucket-scaling evidence leg: against `logical` this read
+    // 0 bytes for every file stream and all sinks silently floored at
+    // 1 bucket whatever the source size.)
+    stream.queryExecution.analyzed.collect {
       case sr: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation =>
         val opts = sr.dataSource.options
         val glob = opts.get("pathGlobFilter")

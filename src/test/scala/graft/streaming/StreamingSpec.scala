@@ -28,6 +28,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("sourceBytes sees a file stream's bytes before any batch exists") {
+    // Regression pin for the r22 bucket-scaling finding: collecting
+    // StreamingRelation from the UNANALYZED plan read 0 bytes for
+    // every file stream (Spark 4.1 keeps one UnresolvedDataSource
+    // there), silently flooring every micro-batch sink at 1 bucket
+    // whatever the source size.
+    val stream = StreamOps.eventsStream(spark, TestSpark.sf0001)
+    val bytes = StreamOps.sourceBytes(stream)
+    assert(bytes > 0, "a file-backed stream must report its source bytes")
+    // The derivation actually scales: at a 1-byte target the bucket
+    // count must leave the clamp floor.
+    assert(StreamOps.scaledSinkBuckets(stream, targetBytes = 1L) > 1)
+    // Non-file sources read 0 and size conservatively.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[Long](spark)
+    assert(StreamOps.sourceBytes(mem.toDF()) == 0L)
+    assert(StreamOps.scaledSinkBuckets(mem.toDF()) == 1)
+  }
+
   test("withScaledStatePartitions refuses Par threads and restores the conf") {
     // The conf-scope guard (VERDICT r21 #8 / ADVICE r21): a Par-thread
     // caller would leak the stream-sized shuffle.partitions into

@@ -666,10 +666,16 @@ object IvfIndex {
     * pinned in IvfIndexSpec. */
   def probeBatch(spark: SparkSession, table: String, idCol: String,
                  vecCol: String, queries: Seq[(Long, Seq[Float])], k: Int,
-                 nProbe: Int): DataFrame = {
+                 nProbe: Int,
+                 preparedCents: Option[Seq[Seq[Float]]] = None): DataFrame = {
     requireBatch(queries)
     import org.apache.spark.sql.expressions.Window
-    val cents = centroids(spark, table)
+    // `preparedCents` = centroids loaded ONCE by a serving loop (r22,
+    // guide §2.6): an index constant between lifecycle ops that costs
+    // a driver collect + heal pass per call otherwise — a chunked
+    // stream paid that per chunk per batch. Identical values either
+    // way; callers that mutate the index between probes don't pass it.
+    val cents = preparedCents.getOrElse(centroids(spark, table))
     val (probedCells, unionCells) = batchCells(cents, queries, nProbe)
     val base = minusTombstones(spark, table, idCol,
         spark.table(table).where(col("cluster_id").isin(unionCells: _*)))

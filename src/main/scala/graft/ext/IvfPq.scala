@@ -558,15 +558,23 @@ object IvfPq {
     * gated by x_ivfpq_batch and pinned in IvfPqSpec. */
   def probeBatch(spark: SparkSession, table: String, idCol: String,
                  vecCol: String, queries: Seq[(Long, Seq[Float])], k: Int,
-                 nProbe: Int, shortlist: Int = 0): DataFrame = {
+                 nProbe: Int, shortlist: Int = 0,
+                 prepared: Option[(Seq[Seq[Float]], Seq[Seq[Seq[Float]]])] =
+                   None): DataFrame = {
     require(queries.nonEmpty && queries.size <= 64,
       s"probeBatch takes 1-64 queries, got ${queries.size}")
     require(queries.map(_._1).distinct.size == queries.size,
       "query ids must be distinct")
     val sl = if (shortlist > 0) shortlist else 4 * k
     require(sl >= k, s"shortlist $sl < topK $k")
-    val cents = IvfIndex.centroids(spark, table)
-    val books = codebooks(spark, table)
+    // `prepared` = (centroids, codebooks) loaded ONCE by a serving
+    // loop (r22, guide §2.6): both are index constants between
+    // lifecycle ops, but loading them here costs two driver collects
+    // (+ a heal pass) PER CALL — a chunked stream paid that per chunk
+    // per batch. Callers that mutate the index between probes just
+    // don't pass it. Values are identical either way.
+    val (cents, books) = prepared.getOrElse(
+      (IvfIndex.centroids(spark, table), codebooks(spark, table)))
     // Per-query probed cells (k-row driver work per query) and their
     // union — the one set of partitions either scan opens.
     val probedCells: Map[Long, Seq[Int]] = queries.map { case (qid, q) =>

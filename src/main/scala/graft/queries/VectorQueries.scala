@@ -861,8 +861,12 @@ private[graft] object VectorQueries {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq.sortBy(_._1)
     // (r21 note: overlapping the one-shot twin with the serving
     // stream measured a wash — see streamServeIvfPq.)
+    // Centroids load ONCE for the whole serving run (r22 — the probe
+    // re-collected them per chunk per batch; index constant here, the
+    // stream never mutates it).
+    val cents = Some(IvfIndex.centroids(s, table))
     val oneShot = IvfIndex.probeBatch(s, table, "vec_id", "embedding",
-        qsAll, k, nProbe)
+        qsAll, k, nProbe, preparedCents = cents)
       .pipe(graft.ext.Checkpoints.stage)
     val nBatches = graft.streaming.StreamOps.streamServe(
       s, stream, sink, chunkCap = 10,
@@ -871,7 +875,7 @@ private[graft] object VectorQueries {
         .vectorQueryCollector("vec_id", "embedding"),
       probe = (chunk: Seq[(Long, Seq[Float])]) =>
         IvfIndex.probeBatch(s, table, "vec_id", "embedding",
-          chunk, k, nProbe),
+          chunk, k, nProbe, preparedCents = cents),
       queryName = "stream_serve_" + digest)
     val got = s.table(sink).drop(graft.streaming.StreamOps.BatchTag)
       .pipe(graft.ext.Checkpoints.stage)
@@ -1005,8 +1009,12 @@ private[graft] object VectorQueries {
     // stream was tried and measured a wash here — the twin's probe
     // contends with the stream's own per-chunk probes on the same
     // index — so the sequential shape stays.)
+    // Centroids + PQ codebooks load ONCE for the whole serving run
+    // (r22 — the probe re-collected both per chunk per batch; index
+    // constants here, the stream never mutates them).
+    val prep = Some((IvfIndex.centroids(s, table), IvfPq.codebooks(s, table)))
     val oneShot = IvfPq.probeBatch(s, table, "vec_id", "embedding",
-        qsAll, k, nProbe)
+        qsAll, k, nProbe, prepared = prep)
       .pipe(graft.ext.Checkpoints.stage)
     val nBatches = graft.streaming.StreamOps.streamServe(
       s, stream, sink, chunkCap = 8,
@@ -1015,7 +1023,7 @@ private[graft] object VectorQueries {
         .vectorQueryCollector("vec_id", "embedding"),
       probe = (chunk: Seq[(Long, Seq[Float])]) =>
         IvfPq.probeBatch(s, table, "vec_id", "embedding",
-          chunk, k, nProbe),
+          chunk, k, nProbe, prepared = prep),
       queryName = "stream_serve_ivfpq_" + digest)
     val got = s.table(sink).drop(graft.streaming.StreamOps.BatchTag)
       .pipe(graft.ext.Checkpoints.stage)
